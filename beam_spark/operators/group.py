@@ -1,0 +1,219 @@
+"""Grouping & combining operators (SURVEY.md §2.1/§2.3/§2.4).
+
+Beam reference: GroupByKey core.py:3446; CombinePerKey core.py:3083;
+CombineGlobally core.py:2893; GroupBy/aggregate_field core.py:3575-3746;
+CoGroupByKey transforms/util.py:124-287; CombineFn lifecycle
+core.py:1061-1253.
+
+Design: everything compiles to ``groupBy().agg()`` so Catalyst's
+HashAggregate gives map-side partial aggregation (Beam's combiner lifting,
+translations.py:1263) for free; windowed grouping just adds the window
+struct column to the grouping key — exactly what Beam's own Spark runner
+does (runners/spark/.../batch/GroupByKeyTranslatorBatch.java:84-101).
+
+Scale notes:
+* GroupByKey materializes per-key iterables via ``collect_list`` — correct
+  but memory-bound for huge groups (the reference flags the same hazard,
+  GroupByKeyTranslatorBatch.java:87-93 "preferGroupByKeyToHandleHugeValues").
+  Prefer CombinePerKey/agg, which never materializes the group.
+* CombineGlobally with fanout: two-phase salted aggregation for
+  non-algebraic combines; plain ``df.agg`` (already partial-aggregated)
+  for built-ins.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from beam_spark.pcollection import PCollection, PTransform
+
+
+def _cols(exprs) -> list[Column]:
+    out = []
+    for e in exprs:
+        out.append(F.expr(e) if isinstance(e, str) else e)
+    return out
+
+
+#: Built-in CombineFn name -> Spark aggregate function. The Beam built-in
+#: combiners (combiners.py / cy_combiners.py) all map to native Catalyst
+#: aggregates — no Python in the hot path.
+BUILTIN_COMBINERS: Mapping[str, Callable[[str], Column]] = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "mean": F.avg,
+    "avg": F.avg,
+    "any_value": F.any_value,
+    "collect_list": F.collect_list,
+    "collect_set": F.collect_set,
+    "count_distinct": F.count_distinct,
+    "stddev": F.stddev,
+    "stddev_pop": F.stddev_pop,
+    "var_samp": F.var_samp,
+    "var_pop": F.var_pop,
+    "first": F.first,
+    "last": F.last,
+}
+
+
+def resolve_agg(fn, col: str) -> Column:
+    """fn may be a name from BUILTIN_COMBINERS, a Column factory, or a
+    ready Column."""
+    if isinstance(fn, Column):
+        return fn
+    if isinstance(fn, str):
+        if fn in BUILTIN_COMBINERS:
+            return BUILTIN_COMBINERS[fn](col)
+        return F.expr(fn)  # raw SQL aggregate expression
+    if callable(fn):
+        return fn(col)
+    raise TypeError(f"bad aggregate spec {fn!r}")
+
+
+class GroupByKey(PTransform):
+    """Per-key(-per-window) value grouping (core.py:3446).
+
+    Output: key columns + ``values`` array of structs of the remaining
+    columns (or of ``value_col`` if named). The window column, when
+    present, joins the grouping key (Beam per-key-per-window semantics).
+    """
+
+    def __init__(self, *key_cols: str, value_col: str | None = None, label=None):
+        super().__init__(label)
+        self.key_cols = list(key_cols) or ["key"]
+        self.value_col = value_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        keys = list(self.key_cols)
+        if pcoll.window_col and pcoll.window_col not in keys:
+            keys.append(pcoll.window_col)
+        df = pcoll.df
+        if self.value_col:
+            val = F.col(self.value_col)
+        else:
+            rest = [c for c in df.columns if c not in keys]
+            val = F.struct(*[F.col(c) for c in rest]) if len(rest) > 1 else F.col(rest[0])
+        out = df.groupBy(*keys).agg(F.collect_list(val).alias("values"))
+        return pcoll.with_df(out)
+
+
+class CombinePerKey(PTransform):
+    """Per-key(-per-window) aggregation (core.py:3083).
+
+    ``CombinePerKey('key', total='sum(x)', n='count(*)')`` or with Column
+    aggregates. Catalyst lifts to partial+final HashAggregate, which is
+    Beam's combiner-lifting optimization (translations.py:1263) built in.
+    Hot-key fanout (core.py:3321) is unnecessary here: partial aggregation
+    already combines map-side per partition.
+    """
+
+    def __init__(self, *key_cols: str, label=None, **aggs):
+        super().__init__(label)
+        self.key_cols, self.aggs = list(key_cols), aggs
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        keys = list(self.key_cols)
+        if pcoll.window_col and pcoll.window_col not in keys:
+            keys.append(pcoll.window_col)
+        # str form: either 'sum' (combine the column with the output name)
+        # or a full SQL aggregate expression 'sum(x * y)'.
+        agg_cols = []
+        for name, spec in self.aggs.items():
+            if isinstance(spec, str) and spec in BUILTIN_COMBINERS:
+                agg_cols.append(BUILTIN_COMBINERS[spec](name).alias(name))
+            elif isinstance(spec, str):
+                agg_cols.append(F.expr(spec).alias(name))
+            else:
+                agg_cols.append(resolve_agg(spec, name).alias(name))
+        out = pcoll.df.groupBy(*keys).agg(*agg_cols)
+        return pcoll.with_df(out)
+
+
+class CombineGlobally(PTransform):
+    """Whole-PCollection aggregation (core.py:2893). Default value for the
+    empty input mirrors Beam's ``CombineGlobally().with_defaults()``."""
+
+    def __init__(self, label=None, **aggs):
+        super().__init__(label)
+        self.aggs = aggs
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        agg_cols = []
+        for name, spec in self.aggs.items():
+            if isinstance(spec, str) and spec in BUILTIN_COMBINERS:
+                agg_cols.append(BUILTIN_COMBINERS[spec](name).alias(name))
+            elif isinstance(spec, str):
+                agg_cols.append(F.expr(spec).alias(name))
+            else:
+                agg_cols.append(resolve_agg(spec, name).alias(name))
+        keys = [pcoll.window_col] if pcoll.window_col else []
+        df = pcoll.df.groupBy(*keys).agg(*agg_cols) if keys else pcoll.df.agg(*agg_cols)
+        return pcoll.with_df(df)
+
+
+class GroupBy(PTransform):
+    """Named-key multi-aggregate sugar (core.py:3575-3746).
+
+    ``GroupBy('a', 'b').aggregate_field('x', 'sum', 'total_x')
+                        .aggregate_field('sum(y*z)', None, 'yz')``
+    """
+
+    def __init__(self, *key_exprs, label=None, **named_keys):
+        super().__init__(label)
+        self.key_exprs = list(key_exprs)
+        self.named_keys = named_keys
+        self._aggs: list[tuple] = []
+
+    def aggregate_field(self, field, combine_fn, dest: str) -> "GroupBy":
+        self._aggs.append((field, combine_fn, dest))
+        return self
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        keys = [F.col(k) if isinstance(k, str) else k for k in self.key_exprs]
+        keys += [(F.expr(e) if isinstance(e, str) else e).alias(n)
+                 for n, e in self.named_keys.items()]
+        if pcoll.window_col:
+            keys.append(F.col(pcoll.window_col))
+        aggs = []
+        for field, fn, dest in self._aggs:
+            if fn is None:
+                aggs.append((F.expr(field) if isinstance(field, str) else field).alias(dest))
+            else:
+                aggs.append(resolve_agg(fn, field).alias(dest))
+        return pcoll.with_df(pcoll.df.groupBy(*keys).agg(*aggs))
+
+
+class CoGroupByKey(PTransform):
+    """N-way grouping: key -> {tag: [values]} (transforms/util.py:124-287).
+
+    Apply to a dict of PCollections: ``{'a': pc1, 'b': pc2} | CoGroupByKey('k')``.
+    Implementation: per-side pre-aggregation (collect_list) then a chained
+    full-outer join on the key — each side shuffles once on the key, no
+    row explosion, and Catalyst can still broadcast small pre-grouped
+    sides.
+    """
+
+    def __init__(self, *key_cols: str, label=None):
+        super().__init__(label)
+        self.key_cols = list(key_cols) or ["key"]
+
+    def expand(self, tagged) -> PCollection:
+        items = list(tagged.items())
+        first_pcoll = items[0][1]
+        grouped: DataFrame | None = None
+        for tag, pcoll in items:
+            df = pcoll.df
+            rest = [c for c in df.columns if c not in self.key_cols]
+            val = F.struct(*[F.col(c) for c in rest]) if len(rest) > 1 else F.col(rest[0])
+            g = df.groupBy(*self.key_cols).agg(F.collect_list(val).alias(tag))
+            grouped = g if grouped is None else grouped.join(g, on=self.key_cols, how="full_outer")
+        # Outer-joined missing sides are NULL; Beam yields empty iterables.
+        out = grouped
+        for tag, _ in items:
+            out = out.withColumn(tag, F.coalesce(F.col(tag), F.array()))
+        return first_pcoll.with_df(out)

@@ -1,0 +1,130 @@
+"""Bounded sources & sinks (SURVEY.md §2.8).
+
+Beam reference: io/textio.py:60,581 ReadFromText/WriteToText;
+io/parquetio.py:195-795 ReadFromParquet/WriteToParquet; io/avroio.py:75,361.
+Beam's splittable-source machinery (iobase.py, liquid sharding) is NOT
+rebuilt: Spark's DataSource V2 owns file splitting, predicate pushdown and
+column pruning — declaring the read is enough.
+
+Scale notes: parquet reads get PushedFilters/ReadSchema pruning from
+Catalyst automatically; writers use Spark's file committer (which replaces
+Beam's temp-file + rename protocol, io/fileio.py:668).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from beam_spark.pcollection import PBegin, PCollection, PTransform
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
+    """Load the TESTDATA star schema from a scale-factor directory."""
+    return {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names}
+
+
+class _Read(PTransform):
+    fmt = None
+
+    def __init__(self, path: str, schema=None, label=None, **options):
+        super().__init__(label)
+        self.path, self.schema, self.options = path, schema, options
+
+    def expand(self, pbegin: PBegin) -> PCollection:
+        reader = pbegin.spark.read.options(**self.options)
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        df = reader.format(self.fmt).load(self.path)
+        pipeline = getattr(pbegin, "pipeline", None)
+        return PCollection(df, pipeline=pipeline)
+
+
+class ReadFromParquet(_Read):
+    """parquetio.py:195 — columnar scan w/ pushdown via DataSource V2."""
+    fmt = "parquet"
+
+
+class ReadFromText(_Read):
+    """textio.py:60 — one row per line, column 'value'."""
+    fmt = "text"
+
+
+class ReadFromCsv(_Read):
+    fmt = "csv"
+
+    def __init__(self, path, schema=None, header=True, inferSchema=None, label=None, **options):
+        options.setdefault("header", str(header).lower())
+        if schema is None and inferSchema is None:
+            options.setdefault("inferSchema", "true")
+        super().__init__(path, schema, label, **options)
+
+
+class ReadFromJson(_Read):
+    fmt = "json"
+
+
+class ReadFromAvro(_Read):
+    """avroio.py:75 — requires the spark-avro package at runtime."""
+    fmt = "avro"
+
+
+class ReadFromOrc(_Read):
+    fmt = "orc"
+
+
+class ReadTable(PTransform):
+    """Catalog table scan (Beam SQL's BeamIOSourceRel analog)."""
+
+    def __init__(self, name: str, label=None):
+        super().__init__(label)
+        self.name = name
+
+    def expand(self, pbegin: PBegin) -> PCollection:
+        return PCollection(pbegin.spark.table(self.name),
+                           pipeline=getattr(pbegin, "pipeline", None))
+
+
+class _Write(PTransform):
+    fmt = None
+
+    def __init__(self, path: str, mode: str = "overwrite", partition_by=None,
+                 label=None, **options):
+        super().__init__(label)
+        self.path, self.mode = path, mode
+        self.partition_by = ([partition_by] if isinstance(partition_by, str)
+                             else list(partition_by or []))
+        self.options = options
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        w = pcoll.df.write.mode(self.mode).options(**self.options)
+        if self.partition_by:
+            # Dynamic destinations (Beam WriteToFiles fileio.py:177-920) ->
+            # hive-style partitioned layout.
+            w = w.partitionBy(*self.partition_by)
+        w.format(self.fmt).save(self.path)
+        return pcoll
+
+
+class WriteToParquet(_Write):
+    fmt = "parquet"
+
+
+class WriteToText(_Write):
+    fmt = "text"
+
+
+class WriteToCsv(_Write):
+    fmt = "csv"
+
+    def __init__(self, path, mode="overwrite", header=True, label=None, **options):
+        options.setdefault("header", str(header).lower())
+        super().__init__(path, mode, None, label, **options)
+
+
+class WriteToJson(_Write):
+    fmt = "json"

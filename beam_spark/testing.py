@@ -1,0 +1,74 @@
+"""Test utilities mirroring Beam's assert_that/equal_to discipline
+(reference sdks/python/apache_beam/testing/util.py:166 assert_that,
+util.py:317 equal_to): unordered multiset equality over collected results,
+with float normalization, matching FIXTURES.md's oracle protocol.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame
+
+from beam_spark.pcollection import PCollection
+
+
+def _canon_value(v, float_tol_digits: int = 9):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, float_tol_digits)
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon_value(x, float_tol_digits) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon_value(x, float_tol_digits)) for k, x in v.items()))
+    if hasattr(v, "asDict"):  # Row
+        return tuple(sorted((k, _canon_value(x, float_tol_digits)) for k, x in v.asDict().items()))
+    return v
+
+
+def _canon_rows(rows: Iterable, float_tol_digits: int = 9) -> list:
+    out = []
+    for r in rows:
+        if hasattr(r, "asDict"):
+            r = tuple(_canon_value(v, float_tol_digits) for v in r)
+        elif isinstance(r, dict):
+            r = tuple(_canon_value(r[k], float_tol_digits) for k in sorted(r))
+        elif isinstance(r, (list, tuple)):
+            r = tuple(_canon_value(v, float_tol_digits) for v in r)
+        else:
+            r = (_canon_value(r, float_tol_digits),)
+        out.append(r)
+    return sorted(out, key=repr)
+
+
+def equal_to(expected: Sequence):
+    """Matcher: unordered multiset equality (testing/util.py:317)."""
+
+    def _match(actual_rows):
+        a = _canon_rows(actual_rows)
+        e = _canon_rows(expected)
+        if a != e:
+            raise AssertionError(
+                f"PCollection contents differ.\n  expected: {e}\n  actual:   {a}")
+
+    return _match
+
+
+def is_empty():
+    def _match(actual_rows):
+        rows = list(actual_rows)
+        if rows:
+            raise AssertionError(f"expected empty, got {rows}")
+    return _match
+
+
+def assert_that(pcoll: PCollection | DataFrame, matcher) -> None:
+    """Collect and check. Mirrors testing/util.py:166 assert_that."""
+    df = pcoll.df if isinstance(pcoll, PCollection) else pcoll
+    matcher(df.collect())
+
+
+def assert_frames_equal(actual: DataFrame, expected_rows: Sequence, float_tol_digits: int = 9) -> None:
+    equal_to(expected_rows)(actual.collect())

@@ -1,0 +1,145 @@
+"""Unit tests for element-wise + grouping operators, Beam assert_that style
+(reference test model: transforms/util_test.py, combiners_test.py)."""
+
+from pyspark.sql import functions as F
+
+from beam_spark.pcollection import Pipeline
+from beam_spark.operators.core import (Create, Distinct, Filter, Flatten,
+                                       FlatMap, Impulse, KvSwap, Map,
+                                       Partition, Regex, Select, ToString,
+                                       WithKeys, WithTimestamps)
+from beam_spark.operators.group import (CoGroupByKey, CombineGlobally,
+                                        CombinePerKey, GroupBy, GroupByKey)
+from beam_spark.testing import assert_that, equal_to
+
+
+def p(spark):
+    return Pipeline(spark)
+
+
+def test_create_scalars(spark):
+    out = p(spark) | Create([1, 2, 3], schema="value: long")
+    assert_that(out, equal_to([(1,), (2,), (3,)]))
+
+
+def test_create_dicts(spark):
+    out = p(spark) | Create([{"a": 1, "b": "x"}, {"a": 2, "b": "y"}])
+    assert_that(out, equal_to([(1, "x"), (2, "y")]))
+
+
+def test_impulse(spark):
+    out = p(spark) | Impulse()
+    assert out.count() == 1
+
+
+def test_map_expression(spark):
+    out = (p(spark) | Create([{"x": 1}, {"x": 2}])
+           | Map("x * 10 as y"))
+    assert_that(out, equal_to([(10,), (20,)]))
+
+
+def test_map_callable(spark):
+    out = (p(spark) | Create([{"x": 1}, {"x": 2}])
+           | Map(lambda r: {"y": r["x"] + 1}, output_schema="y: long"))
+    assert_that(out, equal_to([(2,), (3,)]))
+
+
+def test_flatmap_callable(spark):
+    out = (p(spark) | Create([{"x": 2}, {"x": 3}])
+           | FlatMap(lambda r: [{"y": i} for i in range(r["x"])],
+                     output_schema="y: long"))
+    assert_that(out, equal_to([(0,), (1,), (0,), (1,), (2,)]))
+
+
+def test_filter_expression_and_callable(spark):
+    src = [{"x": i} for i in range(10)]
+    out1 = p(spark) | Create(src) | Filter("x % 2 = 0")
+    assert out1.count() == 5
+    out2 = p(spark) | Create(src) | Filter(lambda r: r["x"] % 2 == 0)
+    assert out2.count() == 5
+
+
+def test_select_named(spark):
+    out = (p(spark) | Create([{"a": 1, "b": 2}])
+           | Select("a", c="a + b"))
+    assert_that(out, equal_to([(1, 3)]))
+
+
+def test_partition(spark):
+    parts = (p(spark) | Create([{"x": i} for i in range(10)])
+             | Partition("x % 3", 3))
+    assert [pc.count() for pc in parts] == [4, 3, 3]
+
+
+def test_flatten(spark):
+    a = p(spark) | Create([{"x": 1}])
+    b = p(spark) | Create([{"x": 2}, {"x": 3}])
+    out = (a, b) | Flatten()
+    assert_that(out, equal_to([(1,), (2,), (3,)]))
+
+
+def test_with_keys_kvswap(spark):
+    out = (p(spark) | Create([{"value": "ab"}])
+           | WithKeys(F.length("value")) | KvSwap())
+    rows = out.collect()
+    assert rows[0]["value"] == 2 and rows[0]["key"] == "ab"
+
+
+def test_distinct(spark):
+    out = p(spark) | Create([{"x": 1}, {"x": 1}, {"x": 2}]) | Distinct()
+    assert out.count() == 2
+
+
+def test_group_by_key(spark):
+    out = (p(spark) | Create([{"key": "a", "v": 1}, {"key": "a", "v": 2},
+                              {"key": "b", "v": 3}])
+           | GroupByKey())
+    got = {r["key"]: sorted(r["values"]) for r in out.collect()}
+    assert got == {"a": [1, 2], "b": [3]}
+
+
+def test_combine_per_key(spark):
+    out = (p(spark) | Create([{"k": "a", "v": 1}, {"k": "a", "v": 2},
+                              {"k": "b", "v": 5}])
+           | CombinePerKey("k", total="sum(v)", n="count(*)"))
+    got = {r["k"]: (r["total"], r["n"]) for r in out.collect()}
+    assert got == {"a": (3, 2), "b": (5, 1)}
+
+
+def test_combine_globally(spark):
+    out = (p(spark) | Create([{"v": 1}, {"v": 2}, {"v": 3}])
+           | CombineGlobally(total="sum(v)", avg="avg(v)"))
+    row = out.collect()[0]
+    assert row["total"] == 6 and row["avg"] == 2.0
+
+
+def test_groupby_aggregate_field(spark):
+    out = (p(spark) | Create([{"k": "a", "x": 1.0}, {"k": "a", "x": 3.0}])
+           | GroupBy("k").aggregate_field("x", "sum", "sx")
+                         .aggregate_field("x", "max", "mx"))
+    row = out.collect()[0]
+    assert row["sx"] == 4.0 and row["mx"] == 3.0
+
+
+def test_cogroup_by_key(spark):
+    emails = p(spark) | Create([{"k": "amy", "email": "amy@x.com"}])
+    phones = p(spark) | Create([{"k": "amy", "phone": "123"},
+                                {"k": "bob", "phone": "456"}])
+    out = {"emails": emails, "phones": phones} | CoGroupByKey("k")
+    got = {r["k"]: (sorted(r["emails"]), sorted(r["phones"])) for r in out.collect()}
+    assert got == {"amy": (["amy@x.com"], ["123"]), "bob": ([], ["456"])}
+
+
+def test_regex_and_tostring(spark):
+    out = (p(spark) | Create([{"s": "a1b2"}])
+           | Regex.find_all("s", "[0-9]", out="digits"))
+    assert out.collect()[0]["digits"] == ["1", "2"]
+    out2 = p(spark) | Create([{"a": 1, "b": "x"}]) | ToString(":")
+    assert out2.collect()[0]["value"] == "1:x"
+
+
+def test_with_timestamps(spark):
+    out = (p(spark) | Create([{"t": "2024-01-01 00:00:00", "v": 1}])
+           | WithTimestamps("t"))
+    assert out.ts_col == "__ts"
+    assert out.collect()[0]["__ts"] is not None
