@@ -49,6 +49,15 @@ def oracle_sql() -> dict[str, str]:
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> PCollection:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS) which Spark's reader
+        # rejects; read nanos as long and rebuild a micros timestamp (the
+        # data is whole-micros, so this is lossless and matches DuckDB's
+        # TIMESTAMP_NS -> TIMESTAMP cast).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return PCollection(df, ts_col="ts")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     return PCollection(df)
 
@@ -108,3 +117,296 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         | CombinePerKey("l_returnflag", "l_linestatus", **aggs)
     )
     return out.df
+
+
+# --------------------------------------------------------------------------
+# M1 — relational operators: joins (inner/outer/semi/anti/cross), set ops,
+# top-k, distinct, cogroup, secondary sort. SURVEY.md §2.4-2.6.
+# --------------------------------------------------------------------------
+_REVENUE = f"{dec('l_extendedprice')} * {_DISC}"
+
+
+@query("q3_shipping_priority", f"""
+SELECT l_orderkey, {dsum(_REVENUE, 'revenue')}, o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < CAST('1998-03-15' AS TIMESTAMP)
+  AND l_shipdate > CAST('1998-03-15' AS TIMESTAMP)
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""")
+def q3(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join -> agg -> top-k. The customer side is
+    filtered then joined (Catalyst broadcast-joins it at this size; at
+    100 TB the dim side still broadcasts, fact side never shuffles twice)."""
+    from beam_spark.operators.join import Join
+    from beam_spark.operators.sort import TopK
+
+    out = (
+        table(spark, sf_dir, "customer")
+        | Filter("c_mktsegment = 'BUILDING'")
+        | Join(table(spark, sf_dir, "orders").df,
+               condition=F.col("c_custkey") == F.col("o_custkey"))
+        | Filter("o_orderdate < CAST('1998-03-15' AS TIMESTAMP)")
+        | Join(table(spark, sf_dir, "lineitem").df,
+               condition=F.col("o_orderkey") == F.col("l_orderkey"))
+        | Filter("l_shipdate > CAST('1998-03-15' AS TIMESTAMP)")
+        | CombinePerKey("l_orderkey", "o_orderdate", "o_orderpriority",
+                        revenue=F.expr(f"CAST(SUM({_REVENUE}) AS DOUBLE)"))
+        | TopK(10, "revenue desc", "l_orderkey")
+    )
+    return out.df
+
+
+@query("q5_local_supplier_volume", f"""
+SELECT n_name, {dsum(_REVENUE, 'revenue')}
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= CAST('1996-01-01' AS TIMESTAMP)
+  AND o_orderdate < CAST('1997-01-01' AS TIMESTAMP)
+GROUP BY n_name
+""")
+def q5(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join with two broadcast dims (nation/region)."""
+    from beam_spark.operators.join import Join
+
+    out = (
+        table(spark, sf_dir, "customer")
+        | Join(table(spark, sf_dir, "orders").df,
+               condition=F.col("c_custkey") == F.col("o_custkey"))
+        | Filter("o_orderdate >= CAST('1996-01-01' AS TIMESTAMP) AND "
+                 "o_orderdate < CAST('1997-01-01' AS TIMESTAMP)")
+        | Join(table(spark, sf_dir, "lineitem").df,
+               condition=F.col("o_orderkey") == F.col("l_orderkey"))
+        | Join(table(spark, sf_dir, "supplier").df,
+               condition=(F.col("l_suppkey") == F.col("s_suppkey"))
+               & (F.col("c_nationkey") == F.col("s_nationkey")))
+        | Join(table(spark, sf_dir, "nation").df,
+               condition=F.col("s_nationkey") == F.col("n_nationkey"),
+               broadcast=True)
+        | Join(table(spark, sf_dir, "region").df,
+               condition=F.col("n_regionkey") == F.col("r_regionkey"),
+               broadcast=True)
+        | Filter("r_name = 'ASIA'")
+        | CombinePerKey("n_name",
+                        revenue=F.expr(f"CAST(SUM({_REVENUE}) AS DOUBLE)"))
+    )
+    return out.df
+
+
+@query("q_left_join_order_stats", f"""
+SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+       {dsum(f"COALESCE({dec('o_totalprice')}, 0)", 'total_spend')}
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+""")
+def q_left_join(spark, sf_dir):
+    """Left outer join keeping order-less customers (Join.leftOuterJoin,
+    join-library Join.java:139)."""
+    from beam_spark.operators.join import Join
+
+    out = (
+        table(spark, sf_dir, "customer")
+        | Join(table(spark, sf_dir, "orders").df,
+               condition=F.col("c_custkey") == F.col("o_custkey"), how="left")
+        | CombinePerKey(
+            "c_custkey", "c_name",
+            n_orders=F.count("o_orderkey"),
+            total_spend=F.expr(
+                f"CAST(SUM(COALESCE({dec('o_totalprice')}, 0)) AS DOUBLE)"))
+    )
+    return out.df
+
+
+@query("q_anti_join_customers_without_orders", """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""")
+def q_anti(spark, sf_dir):
+    """Anti join (beyond Beam's 4 join types; Beam expresses this as CoGBK
+    + empty-side filter)."""
+    from beam_spark.operators.join import Join
+
+    out = (
+        table(spark, sf_dir, "customer")
+        | Join(table(spark, sf_dir, "orders").df.select("o_custkey"),
+               condition=F.col("c_custkey") == F.col("o_custkey"), how="anti")
+        | Select("c_custkey", "c_name")
+    )
+    return out.df
+
+
+@query("q_semi_join_parts_shipped", """
+SELECT p_partkey, p_brand FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+              AND l_quantity > 45)
+""")
+def q_semi(spark, sf_dir):
+    from beam_spark.operators.join import Join
+
+    out = (
+        table(spark, sf_dir, "part")
+        | Join(table(spark, sf_dir, "lineitem").df.filter("l_quantity > 45"),
+               condition=F.col("p_partkey") == F.col("l_partkey"), how="semi")
+        | Select("p_partkey", "p_brand")
+    )
+    return out.df
+
+
+@query("q_cross_join_region_nation", """
+SELECT r_name, n_name FROM region CROSS JOIN nation
+WHERE r_regionkey <> n_regionkey
+""")
+def q_cross(spark, sf_dir):
+    """Theta join via cross+filter (Beam only reaches these on the Calcite
+    enumerable driver-local path; Spark runs BNLJ distributed)."""
+    from beam_spark.operators.join import Join
+
+    out = (
+        table(spark, sf_dir, "region")
+        | Join(table(spark, sf_dir, "nation").df, how="cross")
+        | Filter("r_regionkey <> n_regionkey")
+        | Select("r_name", "n_name")
+    )
+    return out.df
+
+
+@query("q_union_all_priority_split", """
+SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '5-LOW'
+""")
+def q_union_all(spark, sf_dir):
+    from beam_spark.operators.setops import UnionAll
+
+    urgent = (table(spark, sf_dir, "orders")
+              | Filter("o_orderpriority = '1-URGENT'")
+              | Select("o_orderkey", "o_orderpriority"))
+    low = (table(spark, sf_dir, "orders")
+           | Filter("o_orderpriority = '5-LOW'")
+           | Select("o_orderkey", "o_orderpriority"))
+    return (urgent | UnionAll(low)).df
+
+
+@query("q_intersect_multi_segment_nations", """
+SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+""")
+def q_intersect(spark, sf_dir):
+    from beam_spark.operators.setops import IntersectDistinct
+
+    a = (table(spark, sf_dir, "customer")
+         | Filter("c_mktsegment = 'BUILDING'") | Select("c_nationkey"))
+    b = (table(spark, sf_dir, "customer")
+         | Filter("c_mktsegment = 'MACHINERY'") | Select("c_nationkey"))
+    return (a | IntersectDistinct(b)).df
+
+
+@query("q_except_nations", """
+SELECT c_nationkey FROM customer
+EXCEPT
+SELECT s_nationkey FROM supplier
+""")
+def q_except(spark, sf_dir):
+    from beam_spark.operators.setops import ExceptDistinct
+
+    a = table(spark, sf_dir, "customer") | Select(F.col("c_nationkey"))
+    b = table(spark, sf_dir, "supplier") | Select(F.col("s_nationkey").alias("c_nationkey"))
+    return (a | ExceptDistinct(b)).df
+
+
+@query("q_topk_orders_global", """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+""")
+def q_topk(spark, sf_dir):
+    """Global top-k -> TakeOrderedAndProject (no global sort); unique-key
+    tiebreak keeps the result set deterministic across engines."""
+    from beam_spark.operators.sort import TopK
+
+    out = (table(spark, sf_dir, "orders")
+           | Select("o_orderkey", "o_totalprice")
+           | TopK(15, "o_totalprice desc", "o_orderkey"))
+    return out.df
+
+
+@query("q_topk_orders_per_customer", """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) t
+WHERE rn <= 3
+""")
+def q_topk_per_key(spark, sf_dir):
+    from beam_spark.operators.sort import TopKPerKey
+
+    out = (table(spark, sf_dir, "orders")
+           | Select("o_custkey", "o_orderkey", "o_totalprice")
+           | TopKPerKey("o_custkey", 3, "o_totalprice desc", "o_orderkey"))
+    return out.df
+
+
+@query("q_distinct_order_status", """
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+""")
+def q_distinct(spark, sf_dir):
+    from beam_spark.operators.core import Distinct
+
+    out = (table(spark, sf_dir, "orders")
+           | Select("o_orderstatus", "o_orderpriority") | Distinct())
+    return out.df
+
+
+@query("q_sorted_values_per_user", """
+SELECT user_id, list(value ORDER BY ts, event_id) AS sorted_values
+FROM events GROUP BY user_id
+""")
+def q_sortvalues(spark, sf_dir):
+    """Secondary sort within key (SortValues.java): JVM-side
+    sort_array(collect_list(struct)), no Python, no per-key memory blowup
+    at this group size. Tie-break on event_id for determinism."""
+    out = (
+        table(spark, sf_dir, "events")
+        | Select("user_id", "ts", "event_id", "value")
+    )
+    df = (out.df.groupBy("user_id")
+          .agg(F.expr(
+              "transform(sort_array(collect_list(struct(ts, event_id, value))),"
+              " x -> x.value) AS sorted_values")))
+    return df
+
+
+@query("q_cogroup_customer_orders", """
+SELECT k, COALESCE(o.order_keys, []) AS order_keys,
+       COALESCE(c.names, []) AS names
+FROM (SELECT o_custkey AS k, list(o_orderkey ORDER BY o_orderkey) AS order_keys
+      FROM orders GROUP BY o_custkey) o
+FULL OUTER JOIN (SELECT c_custkey AS k, list(c_name ORDER BY c_name) AS names
+                 FROM customer GROUP BY c_custkey) c
+USING (k)
+""")
+def q_cogroup(spark, sf_dir):
+    """CoGroupByKey (transforms/util.py:124): key -> {tag: [values]} via
+    per-side pre-aggregation + full outer join; arrays sorted for
+    engine-independent comparison."""
+    from beam_spark.operators.group import CoGroupByKey
+
+    orders = (table(spark, sf_dir, "orders")
+              | Select(F.col("o_custkey").alias("k"), F.col("o_orderkey")))
+    custs = (table(spark, sf_dir, "customer")
+             | Select(F.col("c_custkey").alias("k"), F.col("c_name")))
+    out = {"order_keys": orders, "names": custs} | CoGroupByKey("k")
+    df = out.df.select(
+        "k",
+        F.sort_array("order_keys").alias("order_keys"),
+        F.sort_array("names").alias("names"))
+    return df
