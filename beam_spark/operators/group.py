@@ -75,6 +75,24 @@ def resolve_agg(fn, col: str) -> Column:
     raise TypeError(f"bad aggregate spec {fn!r}")
 
 
+
+def _grouping_keys(pcoll, keys: list) -> list:
+    """Key list extended with the window: a materialized ``__window``
+    column, or a pending merging WindowFn (Sessions) applied here —
+    Beam's per-key-per-window grouping contract."""
+    from beam_spark.pcollection import WINDOW_COL
+
+    out = [F.col(k) if isinstance(k, str) else k for k in keys]
+    str_keys = [k for k in keys if isinstance(k, str)]
+    if pcoll.window_col and pcoll.window_col not in str_keys:
+        out.append(F.col(pcoll.window_col))
+    elif getattr(pcoll, "window_fn", None) is not None:
+        expr = pcoll.window_fn.grouping_expr(pcoll.ts_col)
+        if expr is not None:
+            out.append(expr.alias(WINDOW_COL))
+    return out
+
+
 class GroupByKey(PTransform):
     """Per-key(-per-window) value grouping (core.py:3446).
 
@@ -89,14 +107,13 @@ class GroupByKey(PTransform):
         self.value_col = value_col
 
     def expand(self, pcoll: PCollection) -> PCollection:
-        keys = list(self.key_cols)
-        if pcoll.window_col and pcoll.window_col not in keys:
-            keys.append(pcoll.window_col)
+        keys = _grouping_keys(pcoll, list(self.key_cols))
+        key_names = list(self.key_cols) + ([pcoll.window_col] if pcoll.window_col else [])
         df = pcoll.df
         if self.value_col:
             val = F.col(self.value_col)
         else:
-            rest = [c for c in df.columns if c not in keys]
+            rest = [c for c in df.columns if c not in key_names]
             val = F.struct(*[F.col(c) for c in rest]) if len(rest) > 1 else F.col(rest[0])
         out = df.groupBy(*keys).agg(F.collect_list(val).alias("values"))
         return pcoll.with_df(out)
@@ -117,9 +134,7 @@ class CombinePerKey(PTransform):
         self.key_cols, self.aggs = list(key_cols), aggs
 
     def expand(self, pcoll: PCollection) -> PCollection:
-        keys = list(self.key_cols)
-        if pcoll.window_col and pcoll.window_col not in keys:
-            keys.append(pcoll.window_col)
+        keys = _grouping_keys(pcoll, list(self.key_cols))
         # str form: either 'sum' (combine the column with the output name)
         # or a full SQL aggregate expression 'sum(x * y)'.
         agg_cols = []
@@ -151,7 +166,7 @@ class CombineGlobally(PTransform):
                 agg_cols.append(F.expr(spec).alias(name))
             else:
                 agg_cols.append(resolve_agg(spec, name).alias(name))
-        keys = [pcoll.window_col] if pcoll.window_col else []
+        keys = _grouping_keys(pcoll, [])
         df = pcoll.df.groupBy(*keys).agg(*agg_cols) if keys else pcoll.df.agg(*agg_cols)
         return pcoll.with_df(df)
 
@@ -177,8 +192,7 @@ class GroupBy(PTransform):
         keys = [F.col(k) if isinstance(k, str) else k for k in self.key_exprs]
         keys += [(F.expr(e) if isinstance(e, str) else e).alias(n)
                  for n, e in self.named_keys.items()]
-        if pcoll.window_col:
-            keys.append(F.col(pcoll.window_col))
+        keys = _grouping_keys(pcoll, keys)
         aggs = []
         for field, fn, dest in self._aggs:
             if fn is None:

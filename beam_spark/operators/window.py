@@ -1,0 +1,180 @@
+"""Event-time windowing (SURVEY.md §2.7).
+
+Beam reference: transforms/window.py — GlobalWindows (:343),
+FixedWindows(size, offset) (:392), SlidingWindows(size, period, offset)
+(:455), Sessions(gap) (:528), WindowFn interface (:121), TimestampCombiner
+(:96-119); WindowInto core.py:3979; proto standard_window_fns.proto:41-113.
+
+Spark design: a window is an ordinary ``__window struct<start,end>``
+column.
+
+* FixedWindows  -> ``F.window(ts, size, offset)`` materialized eagerly —
+  the element carries its window like Beam's WindowedValue.
+* SlidingWindows -> each element belongs to size/period windows. We
+  materialize by exploding the enumerated window set (JVM-side sequence+
+  transform, no Python); grouping operators could also defer to
+  ``F.window(ts, size, slide)`` at groupBy time — same semantics.
+* Sessions      -> merging windows cannot be assigned per element
+  (Beam merges at GBK time; so does Spark). WindowInto records the
+  pending WindowFn on the PCollection and grouping operators apply
+  ``F.session_window(ts, gap)`` inside groupBy.
+* GlobalWindows -> drops the window column (one global window).
+
+TimestampCombiner: the output timestamp of a windowed aggregate —
+END_OF_WINDOW is ``__window.end``; EARLIEST/LATEST are ``min/max(ts)``
+aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from beam_spark.pcollection import PCollection, PTransform, TS_COL, WINDOW_COL
+
+
+def _dur_to_sql(seconds: float) -> str:
+    if seconds == int(seconds):
+        return f"{int(seconds)} seconds"
+    return f"{int(seconds * 1_000_000)} microseconds"
+
+
+class WindowFn:
+    """Window assignment strategy (window.py:121)."""
+
+    #: merging window fns (Sessions) are applied at groupBy time
+    merging = False
+
+    def assign(self, ts: Column) -> Column | None:
+        """Column producing the window struct(s) for an element, or None
+        for merging fns."""
+        raise NotImplementedError
+
+    def grouping_expr(self, ts_col: str) -> Column:
+        """Expression used directly inside groupBy()."""
+        raise NotImplementedError
+
+
+class GlobalWindows(WindowFn):
+    """window.py:343 — everything in one window."""
+
+    def assign(self, ts):
+        return None
+
+    def grouping_expr(self, ts_col):
+        return None
+
+
+class FixedWindows(WindowFn):
+    """Tumbling windows (window.py:392; proto :53-64)."""
+
+    def __init__(self, size_sec: float, offset_sec: float = 0):
+        self.size, self.offset = size_sec, offset_sec
+
+    def assign(self, ts):
+        return F.window(ts, _dur_to_sql(self.size),
+                        startTime=_dur_to_sql(self.offset)) if self.offset else \
+            F.window(ts, _dur_to_sql(self.size))
+
+    def grouping_expr(self, ts_col):
+        return self.assign(F.col(ts_col))
+
+
+class SlidingWindows(WindowFn):
+    """Overlapping windows (window.py:455; proto :80-94): an element with
+    timestamp t is in windows [start, start+size) for every start =
+    k*period + offset with t-size < start <= t."""
+
+    def __init__(self, size_sec: float, period_sec: float, offset_sec: float = 0):
+        self.size, self.period, self.offset = size_sec, period_sec, offset_sec
+
+    def assign(self, ts):
+        return None  # element-level assignment goes through assign_sql
+
+    def assign_sql(self, ts_col: str) -> str:
+        # Enumerate the element's windows JVM-side: sequence() over window
+        # starts, then struct(start, end) per entry. Whole-stage codegen'd;
+        # the explode that follows is Beam's element duplication made
+        # explicit.
+        size_us = int(self.size * 1_000_000)
+        period_us = int(self.period * 1_000_000)
+        offset_us = int(self.offset * 1_000_000)
+        t = f"unix_micros({ts_col})"
+        # first window start: the smallest k*period+offset > t - size
+        first = (f"(floor(({t} - {offset_us} - {size_us}) / {period_us}) + 1) "
+                 f"* {period_us} + {offset_us}")
+        last = f"floor(({t} - {offset_us}) / {period_us}) * {period_us} + {offset_us}"
+        return (f"transform(sequence(CAST({first} AS BIGINT), CAST({last} AS BIGINT), "
+                f"{period_us}), s -> struct(timestamp_micros(s) AS start, "
+                f"timestamp_micros(s + {size_us}) AS end))")
+
+    def grouping_expr(self, ts_col):
+        return F.window(F.col(ts_col), _dur_to_sql(self.size),
+                        _dur_to_sql(self.period),
+                        _dur_to_sql(self.offset) if self.offset else None) \
+            if self.offset else F.window(F.col(ts_col), _dur_to_sql(self.size),
+                                         _dur_to_sql(self.period))
+
+
+class Sessions(WindowFn):
+    """Gap-merged per-key sessions (window.py:528; proto :106-113)."""
+
+    merging = True
+
+    def __init__(self, gap_sec: float):
+        self.gap = gap_sec
+
+    def assign(self, ts):
+        return None
+
+    def grouping_expr(self, ts_col):
+        return F.session_window(F.col(ts_col), _dur_to_sql(self.gap))
+
+
+class WindowInto(PTransform):
+    """Assign elements to windows (core.py:3979).
+
+    Fixed/Sliding: materializes ``__window`` (sliding explodes — one row
+    per (element, window), which is Beam's model). Sessions/Global: records
+    the window_fn for grouping operators to apply.
+    """
+
+    def __init__(self, window_fn: WindowFn, ts_col: str | None = None, label=None):
+        super().__init__(label)
+        self.window_fn, self.ts_col = window_fn, ts_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        ts_col = self.ts_col or pcoll.ts_col or TS_COL
+        fn = self.window_fn
+        if isinstance(fn, GlobalWindows):
+            df = pcoll.df.drop(WINDOW_COL) if WINDOW_COL in pcoll.df.columns else pcoll.df
+            return pcoll.with_df(df, window_col=None, window_fn=None, ts_col=ts_col)
+        if isinstance(fn, SlidingWindows):
+            df = pcoll.df.withColumn(
+                WINDOW_COL, F.explode(F.expr(fn.assign_sql(ts_col))))
+            return pcoll.with_df(df, window_col=WINDOW_COL, window_fn=None,
+                                 ts_col=ts_col)
+        if fn.merging:
+            return pcoll.with_df(pcoll.df, window_fn=fn, window_col=None,
+                                 ts_col=ts_col)
+        df = pcoll.df.withColumn(WINDOW_COL, fn.assign(F.col(ts_col)))
+        return pcoll.with_df(df, window_col=WINDOW_COL, window_fn=None,
+                             ts_col=ts_col)
+
+
+class TimestampCombiner:
+    """Output-timestamp policy for windowed aggregates (window.py:96-119)."""
+
+    END_OF_WINDOW = "end_of_window"
+    EARLIEST = "earliest"
+    LATEST = "latest"
+
+    @staticmethod
+    def output_ts(policy: str, window_col: str, ts_col: str) -> Column:
+        if policy == TimestampCombiner.END_OF_WINDOW:
+            return F.col(f"{window_col}.end")
+        if policy == TimestampCombiner.EARLIEST:
+            return F.min(ts_col)
+        if policy == TimestampCombiner.LATEST:
+            return F.max(ts_col)
+        raise ValueError(policy)

@@ -79,12 +79,15 @@ class PCollection:
 
     def __init__(self, df: DataFrame, pipeline: Pipeline | None = None,
                  is_bounded: bool = True, ts_col: str | None = None,
-                 window_col: str | None = None):
+                 window_col: str | None = None, window_fn=None):
         self.df = df
         self.pipeline = pipeline
         self.is_bounded = is_bounded
         self.ts_col = ts_col
         self.window_col = window_col
+        # Pending WindowFn (e.g. merging Sessions) that grouping operators
+        # apply at groupBy time; fixed windows materialize a column instead.
+        self.window_fn = window_fn
 
     # -- application ------------------------------------------------------
     def __or__(self, transform: "PTransform") -> Any:
@@ -97,7 +100,8 @@ class PCollection:
     def with_df(self, df: DataFrame, **overrides) -> "PCollection":
         """New PCollection with same metadata but a different DataFrame."""
         meta = dict(pipeline=self.pipeline, is_bounded=self.is_bounded,
-                    ts_col=self.ts_col, window_col=self.window_col)
+                    ts_col=self.ts_col, window_col=self.window_col,
+                    window_fn=self.window_fn)
         meta.update(overrides)
         return PCollection(df, **meta)
 

@@ -410,3 +410,120 @@ def q_cogroup(spark, sf_dir):
         F.sort_array("order_keys").alias("order_keys"),
         F.sort_array("names").alias("names"))
     return df
+
+
+# --------------------------------------------------------------------------
+# M2 — event-time windowing on the events table (SURVEY.md §2.7):
+# fixed/sliding/session windows, TimestampCombiner. Oracles: time_bucket,
+# explicit window enumeration, gaps-and-islands.
+# --------------------------------------------------------------------------
+_EVENT_VAL = dec("value", 18, 6)
+
+
+@query("q_window_fixed_hourly", f"""
+SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type, COUNT(*) AS n, {dsum(_EVENT_VAL, 'total')}
+FROM events
+GROUP BY window_start, event_type
+""")
+def q_window_fixed(spark, sf_dir):
+    """Tumbling 1h windows per event_type: WindowInto(FixedWindows) ->
+    CombinePerKey; the window struct is an ordinary grouping column."""
+    from beam_spark.operators.window import FixedWindows, WindowInto
+
+    out = (
+        table(spark, sf_dir, "events")
+        | WindowInto(FixedWindows(3600), ts_col="ts")
+        | CombinePerKey("event_type", n="count(*)",
+                        total=F.expr(f"CAST(SUM({_EVENT_VAL}) AS DOUBLE)"))
+    )
+    return out.df.select(F.col("__window.start").alias("window_start"),
+                         "event_type", "n", "total")
+
+
+@query("q_window_sliding_counts", f"""
+WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, {_EVENT_VAL} AS v FROM events),
+w AS (SELECT t, v,
+             time_bucket(INTERVAL '15 minutes', t) - k * (INTERVAL '15 minutes')
+               AS window_start
+      FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k))
+SELECT window_start, COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS total
+FROM w
+WHERE t >= window_start AND t < window_start + INTERVAL '1 hour'
+GROUP BY window_start
+""")
+def q_window_sliding(spark, sf_dir):
+    """Sliding 1h/15min windows: WindowInto(SlidingWindows) explodes each
+    element into its 4 windows JVM-side (sequence+transform+explode),
+    then a plain grouped count — Beam's element-duplication model."""
+    from beam_spark.operators.window import SlidingWindows, WindowInto
+    from beam_spark.operators.group import CombineGlobally
+
+    out = (
+        table(spark, sf_dir, "events")
+        | WindowInto(SlidingWindows(3600, 900), ts_col="ts")
+        | CombineGlobally(n="count(*)",
+                          total=F.expr(f"CAST(SUM({_EVENT_VAL}) AS DOUBLE)"))
+    )
+    return out.df.select(F.col("__window.start").alias("window_start"), "n", "total")
+
+
+@query("q_window_sessions_per_user", f"""
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, {_EVENT_VAL} AS v
+           FROM events),
+m AS (SELECT *, CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                       OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                          >= INTERVAL '30 minutes'
+                     THEN 1 ELSE 0 END AS new_s
+      FROM e),
+s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+SELECT user_id, MIN(t) AS session_start,
+       MAX(t) + INTERVAL '30 minutes' AS session_end,
+       COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS total
+FROM s GROUP BY user_id, sid
+""")
+def q_window_sessions(spark, sf_dir):
+    """Session windows (gap 30min) per user: merging WindowFn applied at
+    groupBy time via session_window — Spark merges sessions distributed,
+    the oracle re-derives them with gaps-and-islands SQL."""
+    from beam_spark.operators.window import Sessions, WindowInto
+
+    out = (
+        table(spark, sf_dir, "events")
+        | WindowInto(Sessions(1800), ts_col="ts")
+        | CombinePerKey("user_id", n="count(*)",
+                        total=F.expr(f"CAST(SUM({_EVENT_VAL}) AS DOUBLE)"))
+    )
+    return out.df.select("user_id",
+                         F.col("__window.start").alias("session_start"),
+                         F.col("__window.end").alias("session_end"),
+                         "n", "total")
+
+
+@query("q_window_timestamp_combiner", """
+SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS window_start,
+       time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) + INTERVAL '1 day'
+         AS end_of_window,
+       MIN(CAST(ts AS TIMESTAMP)) AS earliest,
+       MAX(CAST(ts AS TIMESTAMP)) AS latest,
+       COUNT(*) AS n
+FROM events
+GROUP BY window_start
+""")
+def q_window_ts_combiner(spark, sf_dir):
+    """TimestampCombiner policies (window.py:96-119): END_OF_WINDOW /
+    EARLIEST / LATEST emitted side by side for daily windows."""
+    from beam_spark.operators.window import (FixedWindows, TimestampCombiner,
+                                             WindowInto)
+
+    pc = (table(spark, sf_dir, "events")
+          | WindowInto(FixedWindows(86400), ts_col="ts"))
+    df = pc.df.groupBy("__window").agg(
+        TimestampCombiner.output_ts(TimestampCombiner.EARLIEST, "__window", "ts").alias("earliest"),
+        TimestampCombiner.output_ts(TimestampCombiner.LATEST, "__window", "ts").alias("latest"),
+        F.count("*").alias("n"))
+    return df.select(F.col("__window.start").alias("window_start"),
+                     F.col("__window.end").alias("end_of_window"),
+                     "earliest", "latest", "n")
