@@ -1,0 +1,182 @@
+"""Built-in combiners (SURVEY.md §2.3).
+
+Beam reference: transforms/combiners.py — Count (:134), Mean (:87),
+Top (:188), Sample (:558), ToList/ToDict/ToSet (:734), Latest (:924),
+TupleCombineFn (:639); SQL aggregations BeamBuiltinAggregations.java:60-91,
+CountIf.java, ArrayAgg/StringAgg udafs.
+
+All map to native Catalyst aggregates (map-side partial aggregation,
+whole-stage codegen); none of Beam's Python accumulator machinery is
+needed. TupleCombineFn == multiple aggs in one .agg() call.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from beam_spark.pcollection import PCollection, PTransform
+from beam_spark.operators.group import CombineGlobally, CombinePerKey
+
+
+class Count:
+    """combiners.py:134-187."""
+
+    @staticmethod
+    def Globally(label=None) -> PTransform:
+        return CombineGlobally(count=F.count("*"), label=label)
+
+    @staticmethod
+    def PerKey(*keys: str, label=None) -> PTransform:
+        return CombinePerKey(*keys, count=F.count("*"), label=label)
+
+    @staticmethod
+    def PerElement(*cols: str, label=None) -> PTransform:
+        """Count occurrences of each distinct element."""
+        return CombinePerKey(*cols, count=F.count("*"), label=label)
+
+
+class Mean:
+    """combiners.py:87-133."""
+
+    @staticmethod
+    def Globally(col: str, label=None) -> PTransform:
+        return CombineGlobally(mean=F.avg(col), label=label)
+
+    @staticmethod
+    def PerKey(keys, col: str, label=None) -> PTransform:
+        keys = [keys] if isinstance(keys, str) else list(keys)
+        return CombinePerKey(*keys, mean=F.avg(col), label=label)
+
+
+class Top:
+    """combiners.py:188-557 — delegate to sort.TopK/TopKPerKey
+    (TakeOrderedAndProject / windowed row_number; same per-bundle-heap
+    strategy Beam uses, executed natively)."""
+
+    @staticmethod
+    def Of(k: int, *order_by, label=None) -> PTransform:
+        from beam_spark.operators.sort import TopK
+        return TopK(k, *order_by, label=label)
+
+    Largest = Of
+
+    @staticmethod
+    def Smallest(k: int, col: str, label=None) -> PTransform:
+        from beam_spark.operators.sort import TopK
+        return TopK(k, col, label=label)
+
+    @staticmethod
+    def PerKey(keys, k: int, *order_by, label=None) -> PTransform:
+        from beam_spark.operators.sort import TopKPerKey
+        return TopKPerKey(keys, k, *order_by, label=label)
+
+
+class Sample:
+    """combiners.py:558-638 — exact-size uniform sample.
+
+    Implementation: rand(seed) sort-limit (two-pass exact size, the
+    reservoir equivalent). ``df.sample`` is cheaper but approximate-size;
+    we follow Beam's exact-n contract.
+    """
+
+    @staticmethod
+    def FixedSizeGlobally(n: int, seed: int = 42, label=None) -> PTransform:
+        from beam_spark.operators.sort import TopK
+        class _S(PTransform):
+            def expand(self, pcoll):
+                df = pcoll.df.withColumn("__r", F.rand(seed))
+                out = df.orderBy("__r").limit(n).drop("__r")
+                return pcoll.with_df(out)
+        return _S(label)
+
+    @staticmethod
+    def FixedSizePerKey(keys, n: int, seed: int = 42, label=None) -> PTransform:
+        from beam_spark.operators.sort import TopKPerKey
+        class _S(PTransform):
+            def expand(self, pcoll):
+                from pyspark.sql import Window
+                ks = [keys] if isinstance(keys, str) else list(keys)
+                w = Window.partitionBy(*ks).orderBy(F.rand(seed))
+                df = (pcoll.df.withColumn("__rn", F.row_number().over(w))
+                      .filter(F.col("__rn") <= n).drop("__rn"))
+                return pcoll.with_df(df)
+        return _S(label)
+
+
+class ToList(PTransform):
+    """combiners.py:734 — materialize all rows of a column into one array.
+    Driver-memory bound by design (same caveat as Beam)."""
+
+    def __init__(self, col: str, sort: bool = True, label=None):
+        super().__init__(label)
+        self.col, self.sort = col, sort
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        agg = F.collect_list(self.col)
+        if self.sort:
+            agg = F.sort_array(agg)
+        return pcoll.with_df(pcoll.df.agg(agg.alias("values")))
+
+
+class ToSet(PTransform):
+    def __init__(self, col: str, label=None):
+        super().__init__(label)
+        self.col = col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        return pcoll.with_df(
+            pcoll.df.agg(F.sort_array(F.collect_set(self.col)).alias("values")))
+
+
+class ToDict(PTransform):
+    """combiners.py ToDict — key/value pairs to one map (last wins)."""
+
+    def __init__(self, key_col: str = "key", value_col: str = "value", label=None):
+        super().__init__(label)
+        self.key_col, self.value_col = key_col, value_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        df = pcoll.df.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(self.key_col, self.value_col))).alias("dict"))
+        return pcoll.with_df(df)
+
+
+class Latest:
+    """combiners.py:924-990 — value with max event timestamp: F.max_by.
+    ``tiebreak`` adds a deterministic secondary order (Beam leaves ties
+    arbitrary)."""
+
+    @staticmethod
+    def Globally(value_col: str, ts_col: str, tiebreak: str | None = None,
+                 label=None) -> PTransform:
+        ordc = F.struct(ts_col, tiebreak) if tiebreak else F.col(ts_col)
+        return CombineGlobally(latest=F.max_by(value_col, ordc), label=label)
+
+    @staticmethod
+    def PerKey(keys, value_col: str, ts_col: str, tiebreak: str | None = None,
+               label=None) -> PTransform:
+        ks = [keys] if isinstance(keys, str) else list(keys)
+        ordc = F.struct(ts_col, tiebreak) if tiebreak else F.col(ts_col)
+        return CombinePerKey(*ks, latest=F.max_by(value_col, ordc), label=label)
+
+
+def count_if(cond: str | Column) -> Column:
+    """CountIf.java — conditional count."""
+    c = F.expr(cond) if isinstance(cond, str) else cond
+    return F.count_if(c)
+
+
+def string_agg(col: str, sep: str = ",", sort: bool = True) -> Column:
+    """StringAgg.java — deterministic via sorted collect."""
+    arr = F.collect_list(col)
+    if sort:
+        arr = F.sort_array(arr)
+    return F.array_join(arr, sep)
+
+
+def array_agg(col: str, sort: bool = True) -> Column:
+    """ArrayAgg.java."""
+    arr = F.collect_list(col)
+    return F.sort_array(arr) if sort else arr

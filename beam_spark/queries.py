@@ -527,3 +527,237 @@ def q_window_ts_combiner(spark, sf_dir):
     return df.select(F.col("__window.start").alias("window_start"),
                      F.col("__window.end").alias("end_of_window"),
                      "earliest", "latest", "n")
+
+
+# --------------------------------------------------------------------------
+# M3 — combiner/stats surface (SURVEY.md §2.3): Count/Mean/Latest/ToSet/
+# StringAgg/CountIf/bit-ops, exact percentiles, moments-based variance/
+# covariance, approx sketches (rows-only), OVER-clause analytics.
+# --------------------------------------------------------------------------
+
+@query("q_count_per_element", """
+SELECT event_type, COUNT(*) AS count FROM events GROUP BY event_type
+""")
+def q_count_per_element(spark, sf_dir):
+    from beam_spark.operators.combiners import Count
+
+    return (table(spark, sf_dir, "events")
+            | Count.PerElement("event_type")).df
+
+
+@query("q_mean_value_per_type", f"""
+SELECT event_type, {davg(_EVENT_VAL, 'mean')} FROM events GROUP BY event_type
+""")
+def q_mean_per_key(spark, sf_dir):
+    out = (table(spark, sf_dir, "events")
+           | CombinePerKey("event_type",
+                           mean=F.expr(f"CAST(SUM({_EVENT_VAL}) AS DOUBLE) / COUNT(*)")))
+    return out.df
+
+
+@query("q_latest_value_per_user", """
+SELECT user_id, value AS latest FROM (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) t WHERE rn = 1
+""")
+def q_latest(spark, sf_dir):
+    """Latest.PerKey (combiners.py:924): max_by on (ts, event_id) —
+    a single hash aggregate, no sort, no shuffle beyond the key."""
+    from beam_spark.operators.combiners import Latest
+
+    return (table(spark, sf_dir, "events")
+            | Latest.PerKey("user_id", "value", "ts", tiebreak="event_id")).df
+
+
+@query("q_string_agg_nations_per_region", """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""")
+def q_string_agg(spark, sf_dir):
+    from beam_spark.operators.combiners import string_agg
+    from beam_spark.operators.join import Join
+
+    out = (
+        table(spark, sf_dir, "nation")
+        | Join(table(spark, sf_dir, "region").df,
+               condition=F.col("n_regionkey") == F.col("r_regionkey"),
+               broadcast=True)
+        | CombinePerKey("r_name", nations=string_agg("n_name")))
+    return out.df
+
+
+@query("q_event_types_per_user", """
+SELECT user_id, list(DISTINCT event_type ORDER BY event_type) AS types
+FROM events GROUP BY user_id
+""")
+def q_toset_per_key(spark, sf_dir):
+    out = (table(spark, sf_dir, "events")
+           | CombinePerKey("user_id",
+                           types=F.sort_array(F.collect_set("event_type"))))
+    return out.df
+
+
+@query("q_countif_bitops_per_user", """
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       bit_or(event_id) AS id_bits,
+       bit_xor(event_id) AS id_xor
+FROM events GROUP BY user_id
+""")
+def q_countif_bitops(spark, sf_dir):
+    """CountIf.java + BIT_OR/BIT_XOR from BeamBuiltinAggregations.java:60-91."""
+    from beam_spark.operators.combiners import count_if
+
+    out = (table(spark, sf_dir, "events")
+           | CombinePerKey("user_id",
+                           n_purchase=count_if("event_type = 'purchase'"),
+                           id_bits=F.bit_or("event_id"),
+                           id_xor=F.bit_xor("event_id")))
+    return out.df
+
+
+@query("q_exact_percentiles_quantity", """
+SELECT l_returnflag, quantile_cont(l_quantity, [0.25, 0.5, 0.75, 0.9]) AS qs
+FROM lineitem GROUP BY l_returnflag
+""")
+def q_exact_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (the oracle-able counterpart of
+    ApproximateQuantiles, stats.py:283)."""
+    from beam_spark.operators.stats import exact_percentile
+
+    out = (table(spark, sf_dir, "lineitem")
+           | CombinePerKey("l_returnflag",
+                           qs=exact_percentile("l_quantity", [0.25, 0.5, 0.75, 0.9])))
+    return out.df
+
+
+@query("q_variance_moments_per_type", """
+SELECT event_type,
+       __VAR__ AS var_value,
+       sqrt(__VAR__) AS stddev_value
+FROM events GROUP BY event_type
+""".replace("__VAR__", __import__("beam_spark.operators.stats", fromlist=["moments_var_samp_sql"]).moments_var_samp_sql("CAST(value AS DECIMAL(18,6))")))
+def q_variance_moments(spark, sf_dir):
+    """VAR_SAMP/STDDEV (VarianceFn.java) computed from exact decimal
+    moments — deterministic across engines and partitionings, unlike
+    streaming one-pass variance."""
+    from beam_spark.operators.stats import moments_var_samp_sql
+
+    v = moments_var_samp_sql("CAST(value AS DECIMAL(18,6))")
+    out = (table(spark, sf_dir, "events")
+           | CombinePerKey("event_type",
+                           var_value=F.expr(v),
+                           stddev_value=F.expr(f"sqrt({v})")))
+    return out.df
+
+
+@query("q_covar_price_quantity", """
+SELECT l_returnflag,
+       __COV__ AS covar_pq
+FROM lineitem GROUP BY l_returnflag
+""".replace("__COV__", __import__("beam_spark.operators.stats", fromlist=["moments_covar_samp_sql"]).moments_covar_samp_sql("CAST(l_extendedprice AS DECIMAL(12,2))", "CAST(l_quantity AS DECIMAL(12,2))")))
+def q_covar_moments(spark, sf_dir):
+    """COVAR_SAMP (CovarianceFn.java) from exact cross-moments."""
+    from beam_spark.operators.stats import moments_covar_samp_sql
+
+    c = moments_covar_samp_sql("CAST(l_extendedprice AS DECIMAL(12,2))",
+                               "CAST(l_quantity AS DECIMAL(12,2))")
+    out = (table(spark, sf_dir, "lineitem")
+           | CombinePerKey("l_returnflag", covar_pq=F.expr(c)))
+    return out.df
+
+
+@query("q_running_total_per_customer", """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_spend
+FROM orders
+""")
+def q_running_total(spark, sf_dir):
+    """OVER-clause running aggregate with an explicit ROWS frame
+    (BeamWindowRel.java frame bounds)."""
+    from beam_spark.operators.analytics import (CURRENT_ROW,
+                                                UNBOUNDED_PRECEDING,
+                                                WithAnalytics, window_spec)
+
+    spec = window_spec("o_custkey", ["o_orderdate", "o_orderkey"],
+                       rows_between=(UNBOUNDED_PRECEDING, CURRENT_ROW))
+    out = (table(spark, sf_dir, "orders")
+           | WithAnalytics(spec, running_spend=F.sum(
+               F.expr("CAST(o_totalprice AS DECIMAL(12,2))"))))
+    return out.df.select("o_custkey", "o_orderkey",
+                         F.col("running_spend").cast("double").alias("running_spend"))
+
+
+@query("q_rank_orders_in_priority", """
+SELECT o_orderkey, o_orderpriority,
+       rank() OVER w AS price_rank,
+       dense_rank() OVER w AS price_dense_rank,
+       CAST(percent_rank() OVER w AS DOUBLE) AS price_pct_rank,
+       row_number() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)
+""")
+def q_rank(spark, sf_dir):
+    """Ranking analytic functions (BeamBuiltinAnalyticFunctions.java:35-48)."""
+    from beam_spark.operators.analytics import WithAnalytics, window_spec
+
+    w = window_spec("o_orderpriority", ["o_totalprice desc"])
+    w2 = window_spec("o_orderpriority", ["o_totalprice desc", "o_orderkey"])
+    out = (table(spark, sf_dir, "orders")
+           | WithAnalytics(w, price_rank=F.rank(),
+                           price_dense_rank=F.dense_rank())
+           | WithAnalytics(w2, rn=F.row_number()))
+    df = out.df.withColumn("price_pct_rank", F.percent_rank().over(w))
+    return df.select("o_orderkey", "o_orderpriority", "price_rank",
+                     "price_dense_rank", "price_pct_rank", "rn")
+
+
+@query("q_approx_distinct_users", None)
+def q_approx_distinct(spark, sf_dir):
+    """ApproximateUnique (stats.py:89) -> HLL++. No SQL oracle (sketch
+    internals differ per engine); tolerance-tested vs exact in pytest."""
+    from beam_spark.operators.stats import ApproximateUnique
+
+    return (table(spark, sf_dir, "events")
+            | ApproximateUnique.PerKey("event_type", "user_id", rsd=0.02)).df
+
+
+@query("q_approx_quantiles_value", None)
+def q_approx_quantiles(spark, sf_dir):
+    """ApproximateQuantiles (stats.py:283) -> percentile_approx;
+    tolerance-tested vs exact in pytest."""
+    from beam_spark.operators.stats import ApproximateQuantiles
+
+    return (table(spark, sf_dir, "events")
+            | ApproximateQuantiles.Globally("value", [0.25, 0.5, 0.75])).df
+
+
+@query("q_hll_sketch_mergeable", None)
+def q_hll_sketch(spark, sf_dir):
+    """HllCount-style reusable sketch column (HllCount.java): per-type
+    sketches -> union -> estimate. The sketch bytes are mergeable across
+    partitions/queries, which is the point of the operator."""
+    from beam_spark.operators.stats import hll_estimate, hll_sketch, hll_union
+
+    per_type = (table(spark, sf_dir, "events").df
+                .groupBy("event_type")
+                .agg(hll_sketch("user_id").alias("sketch")))
+    merged = per_type.agg(F.hll_union_agg("sketch").alias("sketch"))
+    return merged.select(hll_estimate("sketch").alias("approx_users"))
+
+
+@query("q_sample_fixed_size", None)
+def q_sample(spark, sf_dir):
+    """Sample.FixedSizeGlobally (combiners.py:558): exact-size uniform
+    sample via seeded rand sort-limit; size asserted in pytest."""
+    from beam_spark.operators.combiners import Sample
+
+    return (table(spark, sf_dir, "events")
+            | Sample.FixedSizeGlobally(100)).df
