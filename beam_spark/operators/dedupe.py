@@ -1,0 +1,239 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+The reference only ships exact Distinct (util.py:312), TTL Deduplicate
+(transforms/deduplicate.py:43) and ApproximateUnique (stats.py:89); the
+near-dup family here is the standard extension a 100 TB corpus needs
+(brief requirement; cf. MinHashLSH in Spark MLlib, re-expressed with pure
+SQL expressions so there is no Python and no MLlib model object in the
+path).
+
+Scale design notes:
+* Exact dedup: hash-groupBy on a content fingerprint — one shuffle on the
+  md5 key, combiner-lifted min() pick of the survivor.
+* NgramJaccardPairs (exact): explode shingles -> pair-count join. The
+  join key is the shingle, so cost is sum over shingles of df^2 — fine
+  for verification corpora, quadratic in heavy shingles. At 100 TB use
+  MinHashLSH below and keep this as the verifier on candidates only.
+* MinHashLSH: k permutation min-hashes from one xxhash64 base hash
+  (h_i = (a_i*h + b_i) mod p), banded; only same-band docs join. Tunable
+  (bands, rows) s-curve; candidates verified with exact jaccard. All
+  JVM-side; the only shuffle is the band-bucket groupBy-join.
+* SimHash64: 64 bit-vote aggregate columns (codegen'd wide agg) -> one
+  int64 fingerprint per doc; near-dup = hamming <= k via 16-bit-chunk
+  pigeonhole bucketing + bit_count(xor) verify.
+* Embedding near-dup: see similarity.py (cosine machinery shared).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from beam_spark.pcollection import PCollection, PTransform
+from beam_spark.operators.text import tokens, word_shingles
+
+# Deterministic MinHash permutation parameters (public Carter-Wegman
+# construction): h_i(x) = (a_i * x + b_i) mod p over the Mersenne prime
+# 2^31-1. The 31-bit universe keeps a_i * h inside int64 (ANSI mode
+# errors on overflow) while leaving minhash collision noise negligible.
+_MERSENNE_31 = (1 << 31) - 1
+
+
+def _perm_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+
+    rnd = random.Random(seed)
+    return [(rnd.randrange(1, _MERSENNE_31), rnd.randrange(0, _MERSENNE_31))
+            for _ in range(k)]
+
+
+class ExactDedup(PTransform):
+    """Exact content dedup: md5(normalized text) groupBy, keep the minimum
+    id (deterministic survivor). Output: one row per distinct content with
+    ``dup_count``."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id", label=None):
+        super().__init__(label)
+        self.text_col, self.id_col = text_col, id_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        norm = F.concat_ws(" ", tokens(self.text_col))
+        df = (pcoll.df
+              .withColumn("content_md5", F.md5(norm))
+              .groupBy("content_md5")
+              .agg(F.min(self.id_col).alias("keep_id"),
+                   F.count("*").alias("dup_count")))
+        return pcoll.with_df(df)
+
+
+class NgramJaccardPairs(PTransform):
+    """Exact near-dup pairs by word n-gram jaccard >= threshold.
+
+    explode(shingles) -> self-join on shingle -> per-pair common count ->
+    jaccard from set sizes. Exact and oracle-able; the verifier for the
+    approximate paths below.
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 n: int = 3, threshold: float = 0.6, label=None):
+        super().__init__(label)
+        self.text_col, self.id_col = text_col, id_col
+        self.n, self.threshold = n, threshold
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        idc = self.id_col
+        sh = (pcoll.df
+              .select(F.col(idc), word_shingles(self.text_col, self.n).alias("sh"))
+              .withColumn("n_sh", F.size("sh")))
+        sh.persist()
+        ex = sh.select(idc, "n_sh", F.explode("sh").alias("shingle"))
+        a = ex.select(F.col(idc).alias("i"), F.col("n_sh").alias("ni"), "shingle")
+        b = ex.select(F.col(idc).alias("j"), F.col("n_sh").alias("nj"), "shingle")
+        common = (a.join(b, on="shingle")
+                  .filter(F.col("i") < F.col("j"))
+                  .groupBy("i", "j", "ni", "nj")
+                  .agg(F.count("*").alias("common")))
+        jac = F.col("common") / (F.col("ni") + F.col("nj") - F.col("common"))
+        out = (common
+               .withColumn("jaccard", jac)
+               .filter(F.col("jaccard") >= self.threshold)
+               .select("i", "j", "jaccard"))
+        return pcoll.with_df(out)
+
+
+class MinHashLSH(PTransform):
+    """MinHash signature + banded LSH candidate generation + exact-jaccard
+    verification.
+
+    num_perm = bands * rows_per_band min-hashes per doc; docs sharing any
+    band bucket become candidates; candidates are verified with exact
+    jaccard on the shingle arrays. Output: (i, j, jaccard) pairs with
+    jaccard >= threshold — same contract as NgramJaccardPairs but with
+    LSH-bounded join fan-in, the 100 TB path.
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 n: int = 3, bands: int = 16, rows_per_band: int = 8,
+                 threshold: float = 0.6, verify: bool = True, label=None):
+        super().__init__(label)
+        self.text_col, self.id_col = text_col, id_col
+        self.n, self.bands, self.rows = n, bands, rows_per_band
+        self.threshold, self.verify = threshold, verify
+
+    def _signature(self, sh: Column) -> Column:
+        """Array of num_perm min-hash values, fully JVM-side: base =
+        xxhash64(shingle); h_i = (a_i*base + b_i) mod M61 (non-negative
+        via pmod)."""
+        params = _perm_params(self.bands * self.rows)
+        base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)))
+        mins = [F.array_min(F.transform(
+            base, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_31))))
+            for a, b in params]
+        return F.array(*mins)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        idc = self.id_col
+        sh = (pcoll.df
+              .select(F.col(idc), word_shingles(self.text_col, self.n).alias("sh"))
+              .filter(F.size("sh") > 0))
+        sig = sh.withColumn("sig", self._signature(F.col("sh")))
+        sig.persist()
+        # band key = (band index, xxhash64 of the band's signature slice)
+        bands = sig.select(
+            idc, F.explode(F.transform(
+                F.sequence(F.lit(0), F.lit(self.bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(
+                        ",", F.transform(
+                            F.slice("sig", b * self.rows + 1, self.rows),
+                            lambda v: v.cast("string")))).alias("bucket")))
+            ).alias("bk"))
+        cand = (bands.select(F.col(idc).alias("i"), "bk")
+                .join(bands.select(F.col(idc).alias("j"), "bk"), on="bk")
+                .filter(F.col("i") < F.col("j"))
+                .select("i", "j").distinct())
+        if not self.verify:
+            return pcoll.with_df(cand)
+        # exact verification on candidate pairs only
+        sets_i = sh.select(F.col(idc).alias("i"), F.col("sh").alias("sh_i"))
+        sets_j = sh.select(F.col(idc).alias("j"), F.col("sh").alias("sh_j"))
+        verified = (cand.join(sets_i, on="i").join(sets_j, on="j")
+                    .withColumn("common", F.size(F.array_intersect("sh_i", "sh_j")))
+                    .withColumn("jaccard", F.col("common") /
+                                (F.size("sh_i") + F.size("sh_j") - F.col("common")))
+                    .filter(F.col("jaccard") >= self.threshold)
+                    .select("i", "j", "jaccard"))
+        return pcoll.with_df(verified)
+
+
+class SimHash(PTransform):
+    """64-bit SimHash fingerprint per document.
+
+    Token hashes vote per bit position, weighted by term frequency; the
+    64 per-bit vote sums are plain aggregate columns (one wide codegen'd
+    HashAggregate), then recombined into one BIGINT fingerprint.
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id", label=None):
+        super().__init__(label)
+        self.text_col, self.id_col = text_col, id_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        idc = self.id_col
+        tok = (pcoll.df
+               .select(idc, F.explode(tokens(self.text_col)).alias("tok"))
+               .groupBy(idc, "tok").agg(F.count("*").alias("w"))
+               .withColumn("h", F.xxhash64("tok")))
+        votes = [F.sum(F.when(F.shiftright("h", b).bitwiseAND(1) == 1,
+                              F.col("w")).otherwise(-F.col("w"))).alias(f"v{b}")
+                 for b in range(64)]
+        agg = tok.groupBy(idc).agg(*votes)
+        fp = None
+        for b in range(64):
+            bit = F.when(F.col(f"v{b}") > 0,
+                         F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            term = F.shiftleft(bit, b)
+            fp = term if fp is None else fp.bitwiseXOR(term)
+        out = agg.select(F.col(idc), fp.alias("simhash"))
+        return pcoll.with_df(out)
+
+
+class SimHashNearDupPairs(PTransform):
+    """Near-dup pairs with hamming(simhash) <= max_distance.
+
+    Pigeonhole bucketing: split the 64-bit fingerprint into
+    ``max_distance+1`` chunks; any pair within distance shares at least
+    one exact chunk, so candidates join on (chunk index, chunk value)
+    instead of cross-joining. Verify with bit_count(xor).
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 max_distance: int = 3, label=None):
+        super().__init__(label)
+        self.text_col, self.id_col = text_col, id_col
+        self.max_distance = max_distance
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        idc = self.id_col
+        fp = (pcoll | SimHash(self.text_col, self.id_col)).df
+        fp.persist()
+        n_chunks = self.max_distance + 1
+        width = 64 // n_chunks
+        chunks = fp.select(
+            idc, "simhash",
+            F.explode(F.array(*[
+                F.struct(F.lit(c).alias("c"),
+                         F.shiftrightunsigned("simhash", c * width)
+                         .bitwiseAND((1 << width) - 1).alias("v"))
+                for c in range(n_chunks)])).alias("ck"))
+        a = chunks.select(F.col(idc).alias("i"), F.col("simhash").alias("fi"), "ck")
+        b = chunks.select(F.col(idc).alias("j"), F.col("simhash").alias("fj"), "ck")
+        out = (a.join(b, on="ck").filter(F.col("i") < F.col("j"))
+               .select("i", "j", "fi", "fj").distinct()
+               .withColumn("hamming", F.bit_count(
+                   F.col("fi").bitwiseXOR(F.col("fj"))))
+               .filter(F.col("hamming") <= self.max_distance)
+               .select("i", "j", "hamming"))
+        return pcoll.with_df(out)

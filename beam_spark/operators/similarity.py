@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline; hyperplane-LSH-bucketed
+candidate generation as the scale path; embedding-cosine near-dup pairs
+for dedup. The reference's nearest analog is the RAG vector-search
+enrichment (ml/rag/enrichment/bigquery_vector_search.py, milvus_search.py)
+which delegates to an external ANN service — here the index is the
+DataFrame itself.
+
+Scale design:
+* dot products via zip_with + aggregate — JVM higher-order functions,
+  no Python, deterministic left-to-right accumulation.
+* norms computed once per side before the join (not per pair).
+* brute force is an O(N*M) broadcast-join: right for M (query set) small.
+* LshTopK buckets both sides by sign-bit sketches of deterministic
+  pseudo-random hyperplanes; only same-bucket pairs are scored. Recall
+  is tunable with n_planes (fewer planes = bigger buckets) — the
+  standard random-hyperplane LSH for cosine (Charikar'02).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from beam_spark.pcollection import PCollection, PTransform
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic dot product of two array columns (double result)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"),
+                              lambda acc, v: acc + v.cast("double") * v))
+
+
+def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    return dot(a, b) / (norm_a * norm_b)
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _sketch(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit sketch as BIGINT: bit p set iff dot(vec, plane_p) > 0."""
+    bits = None
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(dot(vec, lit_plane) > 0,
+                     F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, p)
+        bits = term if bits is None else bits.bitwiseXOR(term)
+    return bits
+
+
+class BruteForceCosineTopK(PTransform):
+    """Exact top-k neighbors for each query vector.
+
+    queries (small) are broadcast against the corpus; ranking is a
+    per-query-key window top-k (TakeOrdered pattern), ties broken by id.
+    """
+
+    def __init__(self, queries: DataFrame | PCollection, k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 query_id_col: str | None = None, exclude_self: bool = True,
+                 label=None):
+        super().__init__(label)
+        self.queries = queries.df if isinstance(queries, PCollection) else queries
+        self.k, self.id_col, self.vec_col = k, id_col, vec_col
+        self.query_id_col = query_id_col or id_col
+        self.exclude_self = exclude_self
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        corpus = (pcoll.df
+                  .select(F.col(self.id_col).alias("nbr_id"),
+                          F.col(self.vec_col).alias("nbr_vec"))
+                  .withColumn("nbr_norm", norm(F.col("nbr_vec"))))
+        qs = (self.queries
+              .select(F.col(self.query_id_col).alias("query_id"),
+                      F.col(self.vec_col).alias("q_vec"))
+              .withColumn("q_norm", norm(F.col("q_vec"))))
+        scored = (corpus.join(F.broadcast(qs))
+                  .withColumn("cosine", cosine(F.col("q_vec"), F.col("nbr_vec"),
+                                               F.col("q_norm"), F.col("nbr_norm"))))
+        if self.exclude_self:
+            scored = scored.filter(F.col("query_id") != F.col("nbr_id"))
+        w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                                   F.col("nbr_id"))
+        out = (scored.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= self.k)
+               .select("query_id", "nbr_id", "rank",
+                       F.round("cosine", 6).alias("cosine")))
+        return pcoll.with_df(out)
+
+
+class LshCosineTopK(PTransform):
+    """Approximate top-k: hyperplane sign-bucket join, then exact scoring
+    within buckets. Multi-probe: queries also probe buckets at hamming
+    distance 1 (flip one bit), trading k*n_planes bucket keys for recall."""
+
+    def __init__(self, queries: DataFrame | PCollection, k: int = 10,
+                 n_planes: int = 8, id_col: str = "vec_id",
+                 vec_col: str = "embedding", dim: int = 64,
+                 multi_probe: bool = True, exclude_self: bool = True, label=None):
+        super().__init__(label)
+        self.queries = queries.df if isinstance(queries, PCollection) else queries
+        self.k, self.n_planes, self.dim = k, n_planes, dim
+        self.id_col, self.vec_col = id_col, vec_col
+        self.multi_probe, self.exclude_self = multi_probe, exclude_self
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        planes = _hyperplanes(self.n_planes, self.dim)
+        corpus = (pcoll.df
+                  .select(F.col(self.id_col).alias("nbr_id"),
+                          F.col(self.vec_col).alias("nbr_vec"))
+                  .withColumn("nbr_norm", norm(F.col("nbr_vec")))
+                  .withColumn("bucket", _sketch(F.col("nbr_vec"), planes)))
+        qs = (self.queries
+              .select(F.col(self.id_col).alias("query_id"),
+                      F.col(self.vec_col).alias("q_vec"))
+              .withColumn("q_norm", norm(F.col("q_vec")))
+              .withColumn("bucket0", _sketch(F.col("q_vec"), planes)))
+        if self.multi_probe:
+            probes = F.array(F.col("bucket0"), *[
+                F.col("bucket0").bitwiseXOR(F.lit(1 << p))
+                for p in range(self.n_planes)])
+        else:
+            probes = F.array(F.col("bucket0"))
+        qs = qs.select("query_id", "q_vec", "q_norm",
+                       F.explode(probes).alias("bucket"))
+        scored = (corpus.join(F.broadcast(qs), on="bucket")
+                  .withColumn("cosine", cosine(F.col("q_vec"), F.col("nbr_vec"),
+                                               F.col("q_norm"), F.col("nbr_norm"))))
+        if self.exclude_self:
+            scored = scored.filter(F.col("query_id") != F.col("nbr_id"))
+        w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                                   F.col("nbr_id"))
+        out = (scored.select("query_id", "nbr_id", "cosine").distinct()
+               .withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= self.k)
+               .select("query_id", "nbr_id", "rank",
+                       F.round("cosine", 6).alias("cosine")))
+        return pcoll.with_df(out)
+
+
+class EmbeddingNearDupPairs(PTransform):
+    """All pairs with cosine >= threshold (embedding near-dup dedup).
+
+    strategy='lsh' buckets by sign sketch first (misses only pairs whose
+    sketches differ in every bucket — tune n_planes); 'brute' is exact.
+    """
+
+    def __init__(self, threshold: float = 0.9, strategy: str = "lsh",
+                 n_planes: int = 6, id_col: str = "vec_id",
+                 vec_col: str = "embedding", dim: int = 64, label=None):
+        super().__init__(label)
+        self.threshold, self.strategy = threshold, strategy
+        self.n_planes, self.dim = n_planes, dim
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        side = (pcoll.df
+                .select(F.col(self.id_col).alias("id"),
+                        F.col(self.vec_col).alias("vec"))
+                .withColumn("nrm", norm(F.col("vec"))))
+        if self.strategy == "lsh":
+            planes = _hyperplanes(self.n_planes, self.dim)
+            side = side.withColumn("bucket", _sketch(F.col("vec"), planes))
+            join_on = ["bucket"]
+        else:
+            side = side.withColumn("bucket", F.lit(0))
+            join_on = ["bucket"]
+        a = side.select(F.col("id").alias("i"), F.col("vec").alias("vi"),
+                        F.col("nrm").alias("ni"), "bucket")
+        b = side.select(F.col("id").alias("j"), F.col("vec").alias("vj"),
+                        F.col("nrm").alias("nj"), "bucket")
+        out = (a.join(b, on=join_on).filter(F.col("i") < F.col("j"))
+               .withColumn("cosine", cosine(F.col("vi"), F.col("vj"),
+                                            F.col("ni"), F.col("nj")))
+               .filter(F.col("cosine") >= self.threshold)
+               .select("i", "j", F.round("cosine", 6).alias("cosine")))
+        return pcoll.with_df(out)

@@ -1,0 +1,194 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's own surface (per the build brief): language-ID,
+quality scoring, token counting, document fingerprinting. The reference's
+nearest analogs are the MLTransform text ops (ml/transforms/tft.py:148-728
+NGrams/BagOfWords/TFIDF) and wordcount-style Regex/ToString pipelines
+(transforms/util.py:2342).
+
+Everything here is a pure Catalyst expression (split/transform/sequence/
+aggregate higher-order functions) — no Python in the hot path, so the ops
+whole-stage-codegen and scale linearly with input bytes. At 100 TB the
+only shuffle any of these introduce is the one you add by grouping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from beam_spark.pcollection import PCollection, PTransform
+
+# GPT2-ish pretokenizer: words / numbers / single non-space punctuation.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+#: Tiny per-language stopword seeds for the n-gram/stopword-vote heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "en", "por"],
+}
+#: Deterministic tie order for argmax (first wins on equal votes).
+LANG_ORDER = ["en", "de", "fr", "es"]
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokens, lowercased."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count_whitespace(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def token_count_bpe(col: str | Column) -> Column:
+    """BPE-ish token count via the GPT2-style pretokenizer regex — an
+    upper-bound proxy for LLM token budgets, computed JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def word_shingles(col: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (the unit for jaccard/minhash dedup).
+    Guarded for short docs: Spark's sequence(1, 0) yields a DESCENDING
+    [1, 0], not an empty array, so size < n must short-circuit."""
+    w = tokens(col)
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)])))
+    return F.when(F.size(w) >= n, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
+def char_ngrams(col: str | Column, n: int = 3) -> Column:
+    """Distinct character n-grams (language-robust shingle alternative)."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.length(c) - (n - 1)),
+        lambda i: c.substr(i, F.lit(n))))
+    return F.when(F.length(c) >= n, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
+def punct_ratio(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.greatest(F.length(c), F.lit(1))
+    return F.length(F.regexp_replace(c, r"[^\p{Punct}]", "")) / total
+
+
+def alpha_ratio(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.greatest(F.length(c), F.lit(1))
+    return F.length(F.regexp_replace(c, r"[^A-Za-z]", "")) / total
+
+
+def stopword_ratio(col: str | Column, lang: str = "en") -> Column:
+    t = tokens(col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(t, sw)) / F.greatest(F.size(t), F.lit(1))
+
+
+def mean_token_length(col: str | Column) -> Column:
+    t = tokens(col)
+    return (F.aggregate(t, F.lit(0).cast("long"),
+                        lambda acc, x: acc + F.length(x)).cast("double")
+            / F.greatest(F.size(t), F.lit(1)))
+
+
+def cjk_ratio(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.greatest(F.length(c), F.lit(1))
+    return F.length(F.regexp_replace(c, r"[^一-鿿]", "")) / total
+
+
+class QualityScore(PTransform):
+    """Document quality features + composite score (the
+    length/punctuation/stopword heuristics a pretraining filter applies).
+
+    Output columns: n_chars, n_tokens, mean_token_len, punct_ratio,
+    alpha_ratio, stopword_ratio, quality_score in [0,1].
+    """
+
+    def __init__(self, text_col: str = "text", label=None):
+        super().__init__(label)
+        self.text_col = text_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        c = self.text_col
+        df = (pcoll.df
+              .withColumn("n_chars", F.length(c))
+              .withColumn("n_tokens", token_count_whitespace(c))
+              .withColumn("mean_token_len", mean_token_length(c))
+              .withColumn("punct_ratio", punct_ratio(c))
+              .withColumn("alpha_ratio", alpha_ratio(c))
+              .withColumn("stopword_ratio", stopword_ratio(c)))
+        # Composite: reward mid-length docs with low punctuation noise.
+        score = (
+            F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.4
+            + (1 - F.least(F.col("punct_ratio") * 5, F.lit(1.0))) * 0.3
+            + F.least(F.col("alpha_ratio") * 1.25, F.lit(1.0)) * 0.3)
+        return pcoll.with_df(df.withColumn("quality_score", score))
+
+
+class LanguageId(PTransform):
+    """Heuristic language ID: per-language stopword votes + CJK-character
+    share, argmax with a fixed tie order. Real detectors (fasttext etc.)
+    slot in behind the same column contract via RunInference."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "lang_pred", label=None):
+        super().__init__(label)
+        self.text_col, self.out_col = text_col, out_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        t = tokens(self.text_col)
+        votes = {lang: F.size(F.array_intersect(
+            t, F.array(*[F.lit(w) for w in STOPWORDS[lang]])))
+            for lang in LANG_ORDER}
+        # zh wins when CJK chars dominate; otherwise stopword argmax.
+        best = F.lit(LANG_ORDER[-1])
+        best_v = votes[LANG_ORDER[-1]]
+        for lang in reversed(LANG_ORDER[:-1]):
+            cond = votes[lang] >= best_v
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_v = F.when(cond, votes[lang]).otherwise(best_v)
+        out = F.when(cjk_ratio(self.text_col) > 0.25, F.lit("zh")).otherwise(best)
+        return pcoll.with_df(pcoll.df.withColumn(self.out_col, out))
+
+
+class Fingerprint(PTransform):
+    """Deterministic document fingerprints:
+
+    * ``content_md5`` — exact-dup key: md5 of whitespace-normalized,
+      lowercased text (stable across engines; DuckDB md5 matches).
+    * ``rolling_hash`` — order-sensitive 64-bit polynomial rolling hash of
+      the token stream (xxhash64-based), the cheap near-dup prefilter.
+    """
+
+    def __init__(self, text_col: str = "text", label=None):
+        super().__init__(label)
+        self.text_col = text_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        c = self.text_col
+        norm = F.concat_ws(" ", tokens(c))
+        df = pcoll.df.withColumn("content_md5", F.md5(norm))
+        # polynomial rolling hash: fold tokens with h = h*31 + xxhash64(tok)
+        df = df.withColumn(
+            "rolling_hash",
+            F.aggregate(tokens(c), F.lit(0).cast("long"),
+                        lambda acc, x: acc * F.lit(31) + F.xxhash64(x)))
+        return pcoll.with_df(df)
+
+
+class TokenCount(PTransform):
+    def __init__(self, text_col: str = "text", label=None):
+        super().__init__(label)
+        self.text_col = text_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        df = (pcoll.df
+              .withColumn("n_tokens_ws", token_count_whitespace(self.text_col))
+              .withColumn("n_tokens_bpe", token_count_bpe(self.text_col)))
+        return pcoll.with_df(df)

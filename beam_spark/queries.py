@@ -761,3 +761,231 @@ def q_sample(spark, sf_dir):
 
     return (table(spark, sf_dir, "events")
             | Sample.FixedSizeGlobally(100)).df
+
+
+# --------------------------------------------------------------------------
+# M4 — LLM-training-data operators (build brief first-class surface):
+# text analysis, dedup family, similarity search, multimodal plumbing.
+# --------------------------------------------------------------------------
+_TOK = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_SHINGLES = ("CASE WHEN len(" + _TOK + ") >= 3 THEN list_distinct("
+             "list_transform(range(1, len(" + _TOK + ") - 1), "
+             "i -> " + _TOK + "[i] || ' ' || " + _TOK + "[i+1] || ' ' || "
+             + _TOK + "[i+2])) ELSE [] END")
+
+
+@query("q_text_token_stats", f"""
+SELECT doc_id,
+       len({_TOK}) AS n_tokens_ws,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
+       length(text) AS n_chars_calc,
+       CAST(list_sum(list_transform({_TOK}, x -> length(x))) AS DOUBLE)
+         / greatest(len({_TOK}), 1) AS mean_token_len
+FROM documents
+""")
+def q_text_token_stats(spark, sf_dir):
+    """Token counting (whitespace + BPE-ish regex) + mean token length —
+    pure codegen expressions, linear scan at any scale."""
+    from beam_spark.operators.text import (mean_token_length,
+                                           token_count_bpe,
+                                           token_count_whitespace)
+
+    df = table(spark, sf_dir, "documents").df
+    return df.select(
+        "doc_id",
+        token_count_whitespace("text").alias("n_tokens_ws"),
+        token_count_bpe("text").alias("n_tokens_bpe"),
+        F.length("text").alias("n_chars_calc"),
+        mean_token_length("text").alias("mean_token_len"))
+
+
+@query("q_text_fingerprint_exact_dedup", f"""
+SELECT md5(array_to_string({_TOK}, ' ')) AS content_md5,
+       MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM documents GROUP BY content_md5
+""")
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup by md5 of normalized text: one shuffle on the hash key,
+    deterministic min-id survivor."""
+    from beam_spark.operators.dedupe import ExactDedup
+
+    return (table(spark, sf_dir, "documents") | ExactDedup()).df
+
+
+_JACCARD_ORACLE = f"""
+WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+        CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(a.shingles) > 0 AND len(b.shingles) > 0)
+SELECT i, j, jaccard FROM p WHERE jaccard >= 0.6
+"""
+
+
+@query("q_dedup_ngram_jaccard_pairs", _JACCARD_ORACLE)
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram-shingle jaccard near-dup pairs (threshold 0.6):
+    explode->join-on-shingle->pair counts. The exact verifier; quadratic
+    only within shared shingles."""
+    from beam_spark.operators.dedupe import NgramJaccardPairs
+
+    return (table(spark, sf_dir, "documents")
+            | NgramJaccardPairs(threshold=0.6)).df
+
+
+@query("q_dedup_minhash_lsh_pairs", _JACCARD_ORACLE)
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash(128 perms)+LSH(16 bands x 8 rows) candidates, exact-jaccard
+    verified — the 100 TB dedup path. Same oracle as the exact query: at
+    these similarities (>=0.9) the miss probability per pair is
+    (1 - s^8)^16 < 1e-7, and verification removes false positives."""
+    from beam_spark.operators.dedupe import MinHashLSH
+
+    return (table(spark, sf_dir, "documents")
+            | MinHashLSH(bands=16, rows_per_band=8, threshold=0.6)).df
+
+
+@query("q_dedup_simhash_pairs", None)
+def q_simhash(spark, sf_dir):
+    """SimHash-64 near-dup pairs (hamming <= 3) via chunk-pigeonhole
+    bucketing. xxhash64-based — no SQL oracle; plant-recall asserted in
+    pytest."""
+    from beam_spark.operators.dedupe import SimHashNearDupPairs
+
+    return (table(spark, sf_dir, "documents")
+            | SimHashNearDupPairs(max_distance=3)).df
+
+
+@query("q_text_quality_scores", f"""
+WITH t AS (SELECT doc_id, text, {_TOK} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+         / greatest(length(text), 1) AS punct_ratio,
+       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         / greatest(length(text), 1) AS alpha_ratio,
+       CAST(len(list_intersect(toks,
+            ['the','and','of','to','a','in','is','that','it','for'])) AS DOUBLE)
+         / greatest(len(toks), 1) AS stopword_ratio
+FROM t
+""")
+def q_quality(spark, sf_dir):
+    """Quality-scoring features (length/punct/stopword ratios)."""
+    from beam_spark.operators.text import (alpha_ratio, punct_ratio,
+                                           stopword_ratio,
+                                           token_count_whitespace)
+
+    df = table(spark, sf_dir, "documents").df
+    return df.select(
+        "doc_id",
+        token_count_whitespace("text").alias("n_tokens"),
+        punct_ratio("text").alias("punct_ratio"),
+        alpha_ratio("text").alias("alpha_ratio"),
+        stopword_ratio("text").alias("stopword_ratio"))
+
+
+@query("q_text_langid", f"""
+WITH t AS (SELECT doc_id, text, {_TOK} AS toks FROM documents),
+v AS (SELECT doc_id,
+        len(list_intersect(toks, ['the','and','of','to','a','in','is','that','it','for'])) AS v_en,
+        len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit','auf','zu'])) AS v_de,
+        len(list_intersect(toks, ['le','la','les','et','est','un','une','dans','pour','que'])) AS v_fr,
+        len(list_intersect(toks, ['el','la','los','las','y','es','un','una','en','por'])) AS v_es
+      FROM t)
+SELECT doc_id,
+       CASE WHEN v_en >= greatest(v_de, v_fr, v_es) THEN 'en'
+            WHEN v_de >= greatest(v_fr, v_es) THEN 'de'
+            WHEN v_fr >= v_es THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM v
+""")
+def q_langid(spark, sf_dir):
+    """Stopword-vote language ID (deterministic argmax, fixed tie order).
+    The synthetic corpus is same-vocabulary across langs, so this checks
+    the operator's determinism; detection accuracy is pytest-checked on
+    real multilingual samples."""
+    from beam_spark.operators.text import LanguageId
+
+    out = (table(spark, sf_dir, "documents") | LanguageId())
+    return out.df.select("doc_id", "lang_pred")
+
+
+@query("q_embedding_neardup_pairs", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS i, b.vec_id AS j,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+""")
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact (brute strategy) — vectors
+    cast to double before the fold so both engines accumulate doubles."""
+    from beam_spark.operators.similarity import EmbeddingNearDupPairs
+    from beam_spark.pcollection import PCollection
+
+    emb = table(spark, sf_dir, "embeddings").df.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"))
+    return (PCollection(emb)
+            | EmbeddingNearDupPairs(threshold=0.35, strategy="brute")).df
+
+
+@query("q_ann_bruteforce_topk", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+s AS (SELECT q.vec_id AS query_id, e.vec_id AS nbr_id,
+             list_cosine_similarity(q.v, e.v) AS c
+      FROM q JOIN e ON q.vec_id <> e.vec_id),
+r AS (SELECT query_id, nbr_id, c,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY c DESC, nbr_id) AS rank
+      FROM s)
+SELECT query_id, nbr_id, rank, round(c, 6) AS cosine FROM r WHERE rank <= 5
+""")
+def q_ann_brute(spark, sf_dir):
+    """Brute-force cosine top-k (exact ANN baseline): broadcast query set,
+    single corpus scan, per-query TakeOrdered."""
+    from beam_spark.operators.similarity import BruteForceCosineTopK
+    from beam_spark.pcollection import PCollection
+
+    emb = table(spark, sf_dir, "embeddings").df.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"))
+    queries_df = emb.filter("vec_id < 10")
+    return (PCollection(emb)
+            | BruteForceCosineTopK(queries_df, k=5)).df
+
+
+@query("q_ann_lsh_topk", None)
+def q_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH bucketed ANN (the scale path): recall vs brute force
+    asserted in pytest."""
+    from beam_spark.operators.similarity import LshCosineTopK
+    from beam_spark.pcollection import PCollection
+
+    emb = table(spark, sf_dir, "embeddings").df.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"))
+    queries_df = emb.filter("vec_id < 10")
+    # 4 planes + 1-bit multi-probe: on this near-uniform random corpus the
+    # neighbor angles are wide (~65 deg), so few planes + probing is the
+    # right trade; on real embedding corpora (neighbors cos>0.8) more
+    # planes sharpen buckets. Recall vs brute is pytest-asserted.
+    return (PCollection(emb)
+            | LshCosineTopK(queries_df, k=5, n_planes=4)).df
+
+
+@query("q_multimodal_image_features", None)
+def q_multimodal(spark, sf_dir):
+    """Multimodal plumbing: binary payload column -> Arrow-batched decode
+    (stubbed) -> metadata + feature vector. Schema/batching/partitioning
+    are real; the codec is a deterministic fake (no media libs here)."""
+    from beam_spark.operators.multimodal import (DecodeImageMetadata,
+                                                 ExtractImageFeatures,
+                                                 make_assets_from_documents)
+    from beam_spark.pcollection import PCollection
+
+    assets = make_assets_from_documents(table(spark, sf_dir, "documents").df)
+    out = (PCollection(assets)
+           | DecodeImageMetadata()
+           | ExtractImageFeatures(dim=16))
+    return out.df.select("asset_id", "media_type", "width", "height", "features")
