@@ -989,3 +989,35 @@ def q_multimodal(spark, sf_dir):
            | DecodeImageMetadata()
            | ExtractImageFeatures(dim=16))
     return out.df.select("asset_id", "media_type", "width", "height", "features")
+
+
+# --------------------------------------------------------------------------
+# M5 — ParDo/DoFn UDF surface in the gate: an arbitrary-Python per-element
+# transform whose semantics are still SQL-checkable.
+# --------------------------------------------------------------------------
+
+@query("q_pardo_json_props", """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       event_type
+FROM events WHERE event_type <> 'error'
+""")
+def q_pardo_json(spark, sf_dir):
+    """ParDo slow path end-to-end: Python json.loads per element inside
+    Arrow batches (the DoFn bundle), checked against DuckDB's JSON
+    extraction. Hot-path equivalent would be F.get_json_object."""
+    import json
+
+    from beam_spark.operators.pardo import DoFn, ParDo
+
+    class ExtractProps(DoFn):
+        def process(self, el):
+            if el["event_type"] == "error":
+                return
+            yield {"event_id": el["event_id"],
+                   "k": json.loads(el["props"]).get("k"),
+                   "event_type": el["event_type"]}
+
+    out = (table(spark, sf_dir, "events")
+           | ParDo(ExtractProps(),
+                   output_schema="event_id: long, k: long, event_type: string"))
+    return out.df

@@ -1,0 +1,130 @@
+"""ParDo/DoFn surface tests (reference model: transforms/ptransform_test.py
+multi-output + exception-handling cases)."""
+
+import pytest
+
+from beam_spark.pcollection import Pipeline
+from beam_spark.operators.core import Create
+from beam_spark.operators.pardo import (AsDict, AsList, AsSingleton,
+                                        BatchedDoFn, CombineFn,
+                                        CombinePerKeyFn, DoFn, MAIN_TAG,
+                                        ParDo, TaggedOutput)
+from beam_spark.testing import assert_that, equal_to
+
+
+def p(spark):
+    return Pipeline(spark)
+
+
+def test_pardo_basic(spark):
+    out = (p(spark) | Create([{"x": 1}, {"x": 2}])
+           | ParDo(lambda el: [{"y": el["x"] * 10}], output_schema="y: long"))
+    assert_that(out, equal_to([(10,), (20,)]))
+
+
+def test_pardo_multi_output(spark):
+    # Defined inside the test: cloudpickle then serializes the class by
+    # value, so executors don't need the test module importable.
+    class SplitEvenOdd(DoFn):
+        def process(self, el):
+            if el["x"] % 2 == 0:
+                yield {"x": el["x"]}
+            else:
+                yield TaggedOutput("odd", {"x": el["x"]})
+
+    outs = (p(spark) | Create([{"x": i} for i in range(6)])
+            | ParDo(SplitEvenOdd(), output_schema="x: long").with_outputs("odd"))
+    assert sorted(r["x"] for r in outs[MAIN_TAG].collect()) == [0, 2, 4]
+    assert sorted(r["x"] for r in outs["odd"].collect()) == [1, 3, 5]
+
+
+def test_pardo_exception_handling_dlq(spark):
+    def risky(el):
+        if el["x"] == 3:
+            raise ValueError("boom")
+        return [{"y": el["x"]}]
+
+    main, dlq = (p(spark) | Create([{"x": i} for i in range(5)])
+                 | ParDo(risky, output_schema="y: long").with_exception_handling())
+    assert sorted(r["y"] for r in main.collect()) == [0, 1, 2, 4]
+    errs = dlq.collect()
+    assert len(errs) == 1 and "boom" in errs[0]["__error"]
+
+
+def test_pardo_lifecycle_bundle_hooks(spark):
+    class Counting(DoFn):
+        def setup(self):
+            self.n = 0
+
+        def process(self, el):
+            self.n += 1
+            yield {"x": el["x"]}
+
+        def finish_bundle(self):
+            yield {"x": -self.n}  # one marker per bundle
+
+    rows = (p(spark) | Create([{"x": i} for i in range(10)])
+            | ParDo(Counting(), output_schema="x: long")).collect()
+    xs = [r["x"] for r in rows]
+    assert sorted(x for x in xs if x >= 0) == list(range(10))
+    assert sum(-x for x in xs if x < 0) == 10  # bundle counts add up
+
+
+def test_side_inputs(spark):
+    thresholds = p(spark) | Create([{"t": 3}])
+    lookup = p(spark) | Create([{"k": 0, "v": "zero"}, {"k": 1, "v": "one"}])
+
+    class WithSides(DoFn):
+        def process(self, el):
+            t = self.side_inputs["threshold"]
+            names = self.side_inputs["names"]
+            if el["x"] >= t:
+                yield {"label": names.get(el["x"] % 2, "?")}
+
+    out = (p(spark) | Create([{"x": i} for i in range(5)])
+           | ParDo(WithSides(), output_schema="label: string",
+                   side_inputs={"threshold": AsSingleton(thresholds),
+                                "names": AsDict(lookup)}))
+    assert sorted(r["label"] for r in out.collect()) == ["one", "zero"]
+
+
+def test_as_list_view(spark):
+    v = AsList(p(spark) | Create([{"x": 2}, {"x": 1}]))
+    assert sorted(v.materialize()) == [1, 2]
+
+
+def test_batched_dofn(spark):
+    def double(pdf):
+        out = pdf.copy()
+        out["x"] = out["x"] * 2
+        return out
+
+    out = (p(spark) | Create([{"x": i} for i in range(4)])
+           | BatchedDoFn(double, output_schema="x: long"))
+    assert sorted(r["x"] for r in out.collect()) == [0, 2, 4, 6]
+
+
+def test_custom_combine_fn(spark):
+    class GeoMean(CombineFn):
+        def create_accumulator(self):
+            return (0.0, 0)
+
+        def add_input(self, acc, v):
+            import math
+            return (acc[0] + math.log(v), acc[1] + 1)
+
+        def merge_accumulators(self, accs):
+            return (sum(a for a, _ in accs), sum(n for _, n in accs))
+
+        def extract_output(self, acc):
+            import math
+            return math.exp(acc[0] / acc[1]) if acc[1] else None
+
+    out = (p(spark)
+           | Create([{"k": "a", "v": 2.0}, {"k": "a", "v": 8.0},
+                     {"k": "b", "v": 5.0}])
+           | CombinePerKeyFn("k", GeoMean(), "v",
+                             output_schema="k: string, output: double"))
+    got = {r["k"]: r["output"] for r in out.collect()}
+    assert got["a"] == pytest.approx(4.0)
+    assert got["b"] == pytest.approx(5.0)
