@@ -1,0 +1,11 @@
+from beam_spark.streaming.core import (Deduplicate, GroupIntoBatches,
+                                       ReadFileStream, ReadRateStream,
+                                       TestStream, WithWatermark,
+                                       WriteStreamToMemory,
+                                       WriteStreamToFiles, foreach_batch)
+
+__all__ = [
+    "Deduplicate", "GroupIntoBatches", "ReadFileStream", "ReadRateStream",
+    "TestStream", "WithWatermark", "WriteStreamToMemory",
+    "WriteStreamToFiles", "foreach_batch",
+]

