@@ -1021,3 +1021,28 @@ def q_pardo_json(spark, sf_dir):
            | ParDo(ExtractProps(),
                    output_schema="event_id: long, k: long, event_type: string"))
     return out.df
+
+
+# --------------------------------------------------------------------------
+# M7 — SQL surface in the gate: SqlTransform with the Beam TUMBLE TVF
+# dialect rewritten to native window().
+# --------------------------------------------------------------------------
+
+@query("q_sql_tumble_hourly", f"""
+SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       COUNT(*) AS n, {dsum(_EVENT_VAL, 'total')}
+FROM events GROUP BY window_start
+""")
+def q_sql_tumble(spark, sf_dir):
+    """Beam SQL windowing TVF through SqlTransform: the TUMBLE TVF is
+    rewritten to Spark's window() (BeamAggregationRule.java:121-180
+    mapping done as a dialect pre-pass)."""
+    from beam_spark.sql import SqlTransform
+
+    events = table(spark, sf_dir, "events")
+    out = ({"events": events} | SqlTransform(f"""
+        SELECT window_start, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        GROUP BY window_start"""))
+    return out.df

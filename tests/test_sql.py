@@ -1,0 +1,89 @@
+"""SqlTransform + dialect shim + scalar function parity tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from beam_spark.pcollection import Pipeline
+from beam_spark.operators.core import Create
+from beam_spark.sql import SqlTransform, _rewrite_tvf
+from beam_spark import queries as q
+
+
+def test_sql_single_input_default_name(spark):
+    out = (Pipeline(spark) | Create([{"x": 1}, {"x": 2}])
+           | SqlTransform("SELECT sum(x) AS s FROM PCOLLECTION"))
+    assert out.collect()[0]["s"] == 3
+
+
+def test_sql_multi_input_join(spark, sf_dir):
+    orders = q.table(spark, sf_dir, "orders")
+    customer = q.table(spark, sf_dir, "customer")
+    out = ({"orders": orders, "customer": customer}
+           | SqlTransform("""
+               SELECT c_mktsegment, COUNT(*) AS n
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               GROUP BY c_mktsegment"""))
+    rows = {r["c_mktsegment"]: r["n"] for r in out.collect()}
+    assert sum(rows.values()) == orders.df.count()
+
+
+def test_tumble_tvf_rewrite_and_run(spark, sf_dir):
+    events = q.table(spark, sf_dir, "events")
+    out = ({"events": events}
+           | SqlTransform("""
+               SELECT window_start, COUNT(*) AS n
+               FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+               GROUP BY window_start"""))
+    rows = out.collect()
+    assert sum(r["n"] for r in rows) == events.df.count()
+    # window starts are hour-aligned
+    assert all(r["window_start"].minute == 0 and r["window_start"].second == 0
+               for r in rows)
+
+
+def test_session_tvf_rewrite_and_run(spark, sf_dir):
+    events = q.table(spark, sf_dir, "events")
+    out = ({"events": events}
+           | SqlTransform("""
+               SELECT user_id, COUNT(*) AS n
+               FROM TABLE(SESSION(TABLE events, DESCRIPTOR(ts), INTERVAL '30' MINUTE))
+               GROUP BY user_id, window"""))
+    assert sum(r["n"] for r in out.collect()) == events.df.count()
+
+
+def test_rewrite_is_noop_without_tvf():
+    sql = "SELECT a FROM t WHERE b > 1"
+    assert _rewrite_tvf(sql) == sql
+
+
+def test_std_operators_all_native(spark):
+    """The BeamSqlDslSqlStdOperatorsTest surface (SURVEY §2.9) runs as
+    plain Spark SQL."""
+    row = spark.sql("""
+        SELECT abs(-2) a, ceil(1.2) c, floor(1.8) f, mod(7, 3) m,
+               power(2, 10) p, round(2.5) r, sign(-9) s, sqrt(16) q,
+               char_length('abc') cl, initcap('ab cd') ic, lower('AB') lo,
+               upper('ab') up, trim('  x  ') tr, coalesce(NULL, 5) co,
+               nullif(1, 1) ni, substring('hello', 2, 3) su,
+               endswith('hello', 'lo') ew, startswith('hello', 'he') sw,
+               hex(255) hx, reverse('ab') rv, lpad('x', 3, '0') lp,
+               md5('a') h1, sha2('a', 256) h2,
+               year(timestamp '2024-03-05 01:02:03') y,
+               quarter(timestamp '2024-03-05 01:02:03') qu,
+               dayofweek(timestamp '2024-03-05 01:02:03') dw,
+               extract(hour FROM timestamp '2024-03-05 01:02:03') eh,
+               isnan(cast('NaN' as double)) nn
+    """).collect()[0]
+    assert row["a"] == 2 and row["m"] == 1 and row["p"] == 1024.0
+    assert row["ic"] == "Ab Cd" and row["su"] == "ell"
+    assert row["ew"] and row["sw"] and row["hx"] == "FF"
+    assert row["y"] == 2024 and row["qu"] == 1 and row["eh"] == 1
+    assert row["nn"] is True and row["ni"] is None
+
+
+def test_is_inf_shim(spark):
+    from beam_spark.functions import is_inf
+
+    df = spark.createDataFrame([(float("inf"),), (1.0,)], "x double")
+    got = [r[0] for r in df.select(is_inf("x")).collect()]
+    assert got == [True, False]
