@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from beam_spark.pcollection import PCollection, PTransform
-from beam_spark.operators.text import tokens, word_shingles
+from beam_spark.operators.text import tokens, word_shingles, word_shingles_on
 
 # Deterministic MinHash permutation parameters (public Carter-Wegman
 # construction): h_i(x) = (a_i * x + b_i) mod p over the Mersenne prime
@@ -84,7 +84,8 @@ class NgramJaccardPairs(PTransform):
     def expand(self, pcoll: PCollection) -> PCollection:
         idc = self.id_col
         sh = (pcoll.df
-              .select(F.col(idc), word_shingles(self.text_col, self.n).alias("sh"))
+              .select(F.col(idc), tokens(self.text_col).alias("__w"))
+              .select(F.col(idc), word_shingles_on("__w", self.n).alias("sh"))
               .withColumn("n_sh", F.size("sh")))
         sh.persist()
         ex = sh.select(idc, "n_sh", F.explode("sh").alias("shingle"))
@@ -121,23 +122,48 @@ class MinHashLSH(PTransform):
         self.n, self.bands, self.rows = n, bands, rows_per_band
         self.threshold, self.verify = threshold, verify
 
-    def _signature(self, sh: Column) -> Column:
-        """Array of num_perm min-hash values, fully JVM-side: base =
-        xxhash64(shingle); h_i = (a_i*base + b_i) mod M61 (non-negative
-        via pmod)."""
+    def _with_signature(self, sh_df: DataFrame, idc: str) -> DataFrame:
+        """Append the num_perm min-hash signature array.
+
+        The base hash per shingle is JVM-side xxhash64 (one pass); the
+        k=bands*rows permutations h_i = (a_i*base + b_i) mod M31 are
+        evaluated in an Arrow batch with numpy (outer product + min per
+        axis) — the 128-permutation inner loop is the hot spot and
+        interpreted Catalyst higher-order functions are ~30x slower here.
+        Determinism: pure int64 modular arithmetic, identical on every
+        executor."""
+        import numpy as np
+        import pandas as pd
+
         params = _perm_params(self.bands * self.rows)
-        base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)))
-        mins = [F.array_min(F.transform(
-            base, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_31))))
-            for a, b in params]
-        return F.array(*mins)
+        A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+        B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+
+        with_base = sh_df.withColumn(
+            "base", F.transform("sh", lambda s: F.pmod(F.xxhash64(s),
+                                                       F.lit(_MERSENNE_31))))
+
+        def gen(batches):
+            for pdf in batches:
+                sigs = []
+                for h in pdf["base"]:
+                    hv = np.asarray(h, dtype=np.int64)[None, :]
+                    sigs.append(((A * hv + B) % _MERSENNE_31).min(axis=1))
+                out = pdf[[idc, "sh"]].copy()
+                out["sig"] = sigs
+                yield out
+
+        return with_base.mapInPandas(
+            gen, schema=f"{idc} long, sh array<string>, sig array<long>")
 
     def expand(self, pcoll: PCollection) -> PCollection:
         idc = self.id_col
         sh = (pcoll.df
-              .select(F.col(idc), word_shingles(self.text_col, self.n).alias("sh"))
+              .select(F.col(idc), tokens(self.text_col).alias("__w"))
+              .select(F.col(idc), word_shingles_on("__w", self.n).alias("sh"))
               .filter(F.size("sh") > 0))
-        sig = sh.withColumn("sig", self._signature(F.col("sh")))
+        sh.persist()  # reused for candidate verification below
+        sig = self._with_signature(sh, idc)
         sig.persist()
         # band key = (band index, xxhash64 of the band's signature slice)
         bands = sig.select(

@@ -64,8 +64,13 @@ def _sketch(vec: Column, planes: list[list[float]]) -> Column:
 class BruteForceCosineTopK(PTransform):
     """Exact top-k neighbors for each query vector.
 
-    queries (small) are broadcast against the corpus; ranking is a
-    per-query-key window top-k (TakeOrdered pattern), ties broken by id.
+    The query set (small) is collected to a numpy matrix and shipped in
+    the task closure; each Arrow batch of the corpus computes a
+    batch x query BLAS matmul and emits only its per-batch top-k rows per
+    query (argpartition prune), so the shuffled intermediate is bounded by
+    k * n_queries * n_batches regardless of corpus size. A final window
+    top-k merges batch winners — the TakeOrdered pattern with vectorized
+    scoring.
     """
 
     def __init__(self, queries: DataFrame | PCollection, k: int = 10,
@@ -79,25 +84,41 @@ class BruteForceCosineTopK(PTransform):
         self.exclude_self = exclude_self
 
     def expand(self, pcoll: PCollection) -> PCollection:
+        import numpy as np
+        import pandas as pd
         from pyspark.sql import Window
 
-        corpus = (pcoll.df
-                  .select(F.col(self.id_col).alias("nbr_id"),
-                          F.col(self.vec_col).alias("nbr_vec"))
-                  .withColumn("nbr_norm", norm(F.col("nbr_vec"))))
-        qs = (self.queries
-              .select(F.col(self.query_id_col).alias("query_id"),
-                      F.col(self.vec_col).alias("q_vec"))
-              .withColumn("q_norm", norm(F.col("q_vec"))))
-        scored = (corpus.join(F.broadcast(qs))
-                  .withColumn("cosine", cosine(F.col("q_vec"), F.col("nbr_vec"),
-                                               F.col("q_norm"), F.col("nbr_norm"))))
-        if self.exclude_self:
-            scored = scored.filter(F.col("query_id") != F.col("nbr_id"))
+        k, idc, vc = self.k, self.id_col, self.vec_col
+        exclude_self = self.exclude_self
+        qrows = (self.queries
+                 .select(F.col(self.query_id_col), F.col(vc)).collect())
+        q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+        q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
+        q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+        def gen(batches):
+            for pdf in batches:
+                ids = pdf[idc].to_numpy(dtype=np.int64)
+                mat = np.array(list(pdf[vc]), dtype=np.float64)
+                mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+                scores = q_mat @ mat.T  # (n_queries, batch)
+                if exclude_self:
+                    mask = q_ids[:, None] == ids[None, :]
+                    scores = np.where(mask, -np.inf, scores)
+                top = min(k, scores.shape[1])
+                idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+                out = {"query_id": np.repeat(q_ids, top),
+                       "nbr_id": ids[idx].ravel(),
+                       "cosine": np.take_along_axis(scores, idx, 1).ravel()}
+                pdf_out = pd.DataFrame(out)
+                yield pdf_out[pdf_out["cosine"] > -np.inf]
+
+        partial = pcoll.df.select(idc, vc).mapInPandas(
+            gen, schema="query_id long, nbr_id long, cosine double")
         w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                    F.col("nbr_id"))
-        out = (scored.withColumn("rank", F.row_number().over(w))
-               .filter(F.col("rank") <= self.k)
+        out = (partial.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= k)
                .select("query_id", "nbr_id", "rank",
                        F.round("cosine", 6).alias("cosine")))
         return pcoll.with_df(out)
@@ -171,24 +192,50 @@ class EmbeddingNearDupPairs(PTransform):
         self.id_col, self.vec_col = id_col, vec_col
 
     def expand(self, pcoll: PCollection) -> PCollection:
+        import numpy as np
+        import pandas as pd
+
+        idc, vc, threshold = self.id_col, self.vec_col, self.threshold
+        if self.strategy == "brute":
+            # One side rides in the closure as a normalized numpy matrix
+            # (fits executor memory up to ~10M x 64 vectors); each Arrow
+            # batch of the distributed side does a BLAS matmul against it.
+            # Beyond closure scale, use strategy='lsh' (both sides stay
+            # distributed, bucketed by sketch).
+            rows = pcoll.df.select(idc, vc).collect()
+            all_ids = np.array([r[0] for r in rows], dtype=np.int64)
+            all_mat = np.array([r[1] for r in rows], dtype=np.float64)
+            all_mat = all_mat / np.linalg.norm(all_mat, axis=1, keepdims=True)
+
+            def gen(batches):
+                for pdf in batches:
+                    ids = pdf[idc].to_numpy(dtype=np.int64)
+                    mat = np.array(list(pdf[vc]), dtype=np.float64)
+                    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+                    scores = mat @ all_mat.T  # (batch, N)
+                    ii, jj = np.nonzero(
+                        (scores >= threshold) & (ids[:, None] < all_ids[None, :]))
+                    if len(ii):
+                        yield pd.DataFrame({
+                            "i": ids[ii], "j": all_ids[jj],
+                            "cosine": np.round(scores[ii, jj], 6)})
+
+            out = pcoll.df.select(idc, vc).mapInPandas(
+                gen, schema="i long, j long, cosine double")
+            return pcoll.with_df(out)
+
+        planes = _hyperplanes(self.n_planes, self.dim)
         side = (pcoll.df
-                .select(F.col(self.id_col).alias("id"),
-                        F.col(self.vec_col).alias("vec"))
-                .withColumn("nrm", norm(F.col("vec"))))
-        if self.strategy == "lsh":
-            planes = _hyperplanes(self.n_planes, self.dim)
-            side = side.withColumn("bucket", _sketch(F.col("vec"), planes))
-            join_on = ["bucket"]
-        else:
-            side = side.withColumn("bucket", F.lit(0))
-            join_on = ["bucket"]
+                .select(F.col(idc).alias("id"), F.col(vc).alias("vec"))
+                .withColumn("nrm", norm(F.col("vec")))
+                .withColumn("bucket", _sketch(F.col("vec"), planes)))
         a = side.select(F.col("id").alias("i"), F.col("vec").alias("vi"),
                         F.col("nrm").alias("ni"), "bucket")
         b = side.select(F.col("id").alias("j"), F.col("vec").alias("vj"),
                         F.col("nrm").alias("nj"), "bucket")
-        out = (a.join(b, on=join_on).filter(F.col("i") < F.col("j"))
+        out = (a.join(b, on=["bucket"]).filter(F.col("i") < F.col("j"))
                .withColumn("cosine", cosine(F.col("vi"), F.col("vj"),
                                             F.col("ni"), F.col("nj")))
-               .filter(F.col("cosine") >= self.threshold)
+               .filter(F.col("cosine") >= threshold)
                .select("i", "j", F.round("cosine", 6).alias("cosine")))
         return pcoll.with_df(out)
