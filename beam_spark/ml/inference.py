@@ -1,0 +1,129 @@
+"""RunInference (SURVEY.md §2.12).
+
+Beam reference: ml/inference/base.py:171 (ModelHandler contract:
+load_model / run_inference over batches), :1373 RunInference (batching,
+model sharing per process, DLQ, metrics).
+
+Spark design: ``mapInPandas`` with a PER-EXECUTOR-PROCESS model
+singleton. The handler's ``load_model()`` runs once per python worker
+(not per batch, not per row) and is cached in a module-level slot keyed
+by the handler's share token — Beam's "model sharing across bundles"
+(base.py model manager) without the gRPC machinery. Batches are Arrow
+frames; ``batch_size`` re-chunks them to the model's preferred size.
+GPU scheduling at cluster scale: stage-level resource profiles — out of
+scope here, the operator shape is identical.
+
+The container has no torch/sklearn; real handlers plug in by subclassing
+ModelHandler. DeterministicFakeHandler ships for tests/plumbing.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Iterator, Sequence
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from beam_spark.pcollection import PCollection, PTransform
+
+#: per-python-worker model cache: share_token -> loaded model
+_MODEL_CACHE: dict[str, Any] = {}
+
+
+class ModelHandler:
+    """Beam ModelHandler (ml/inference/base.py:171) reduced to the two
+    methods that matter + a share token for per-process reuse."""
+
+    #: handlers with the same share_token share one loaded model per worker
+    share_token: str = "default"
+
+    def load_model(self) -> Any:
+        raise NotImplementedError
+
+    def run_inference(self, batch: Sequence, model: Any) -> Sequence:
+        """batch: list of input values; returns list of predictions
+        (same length/order)."""
+        raise NotImplementedError
+
+
+class DeterministicFakeHandler(ModelHandler):
+    """Test handler: 'model' is a seeded hash projection — deterministic,
+    dependency-free, exercises the full batching/caching path."""
+
+    share_token = "fake"
+
+    def load_model(self):
+        import hashlib
+
+        def model(xs):
+            out = []
+            for x in xs:
+                h = hashlib.sha256(str(x).encode()).digest()
+                out.append(int.from_bytes(h[:4], "little") / 2**32)
+            return out
+
+        return model
+
+    def run_inference(self, batch, model):
+        return model(batch)
+
+
+class RunInference(PTransform):
+    """Batched inference over a column (ml/inference/base.py:1373).
+
+    ``RunInference(handler, input_col, output_col, output_type)``.
+    ``with_exception_handling()`` routes per-batch failures to a DLQ
+    column pair instead of failing the stage (Beam's DLQ support).
+    """
+
+    def __init__(self, handler: ModelHandler, input_col: str,
+                 output_col: str = "prediction",
+                 output_type: str | T.DataType = "double",
+                 batch_size: int = 256, label=None):
+        super().__init__(label)
+        self.handler, self.input_col = handler, input_col
+        self.output_col, self.output_type = output_col, output_type
+        self.batch_size = batch_size
+        self._dlq = False
+
+    def with_exception_handling(self) -> "RunInference":
+        self._dlq = True
+        return self
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        import pandas as pd
+
+        handler = self.handler
+        in_col, out_col = self.input_col, self.output_col
+        bs, dlq = self.batch_size, self._dlq
+
+        out_type = self.output_type
+        if isinstance(out_type, str):
+            out_type = T._parse_datatype_string(out_type)
+        fields = list(pcoll.df.schema.fields) + [T.StructField(out_col, out_type)]
+        if dlq:
+            fields.append(T.StructField("__error", T.StringType()))
+        schema = T.StructType(fields)
+
+        def gen(batches: Iterator["pd.DataFrame"]):
+            model = _MODEL_CACHE.get(handler.share_token)
+            if model is None:
+                model = handler.load_model()
+                _MODEL_CACHE[handler.share_token] = model
+            for pdf in batches:
+                for start in range(0, len(pdf), bs):
+                    chunk = pdf.iloc[start:start + bs].copy()
+                    inputs = list(chunk[in_col])
+                    try:
+                        preds = handler.run_inference(inputs, model)
+                        chunk[out_col] = list(preds)
+                        if dlq:
+                            chunk["__error"] = None
+                    except Exception as e:
+                        if not dlq:
+                            raise
+                        chunk[out_col] = None
+                        chunk["__error"] = f"{type(e).__name__}: {e}"[:2000]
+                    yield chunk
+
+        return pcoll.with_df(pcoll.df.mapInPandas(gen, schema=schema))

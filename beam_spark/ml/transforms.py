@@ -1,0 +1,175 @@
+"""MLTransform feature ops (SURVEY.md §2.12).
+
+Beam reference: ml/transforms/tft.py:148-728 — ComputeAndApplyVocabulary,
+ScaleToZScore, ScaleTo01, ApplyBuckets, Bucketize, TFIDF, ScaleByMinMax,
+NGrams, BagOfWords, HashStrings; artifacts (fitted params persisted for
+train/serve consistency, ml/transforms/base.py:298).
+
+Spark design: fit = one aggregation producing a small params DataFrame
+(persistable as the artifact — parquet round-trip); apply = broadcast
+join or literal fold. The fit params are exact (decimal moments where
+relevant), so train/serve and re-runs are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from beam_spark.pcollection import PCollection, PTransform
+from beam_spark.operators.text import tokens
+
+
+class ScaleTo01(PTransform):
+    """tft.ScaleTo01: (x - min) / (max - min). Fit+apply in one pass via
+    window-free global agg broadcast (two Spark jobs, no shuffle of the
+    data itself)."""
+
+    def __init__(self, col: str, out_col: str | None = None, label=None):
+        super().__init__(label)
+        self.col, self.out_col = col, out_col or f"{col}_scaled"
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        lo, hi = pcoll.df.agg(F.min(self.col), F.max(self.col)).first()
+        rng = (hi - lo) or 1.0
+        out = pcoll.df.withColumn(
+            self.out_col, (F.col(self.col) - F.lit(lo)) / F.lit(rng))
+        return pcoll.with_df(out)
+
+    def fit_params(self, pcoll: PCollection) -> dict:
+        lo, hi = pcoll.df.agg(F.min(self.col), F.max(self.col)).first()
+        return {"min": lo, "max": hi}
+
+
+class ScaleToZScore(PTransform):
+    """tft.ScaleToZScore: (x - mean) / stddev_pop."""
+
+    def __init__(self, col: str, out_col: str | None = None, label=None):
+        super().__init__(label)
+        self.col, self.out_col = col, out_col or f"{col}_z"
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        mean, std = pcoll.df.agg(F.avg(self.col), F.stddev_pop(self.col)).first()
+        out = pcoll.df.withColumn(
+            self.out_col, (F.col(self.col) - F.lit(mean)) / F.lit(std or 1.0))
+        return pcoll.with_df(out)
+
+
+class ApplyBuckets(PTransform):
+    """tft.ApplyBuckets: bucket index by explicit boundaries (0..n)."""
+
+    def __init__(self, col: str, boundaries: list[float],
+                 out_col: str | None = None, label=None):
+        super().__init__(label)
+        self.col, self.boundaries = col, sorted(boundaries)
+        self.out_col = out_col or f"{col}_bucket"
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        c = F.col(self.col)
+        expr = F.lit(0)
+        for b in self.boundaries:
+            expr = expr + F.when(c >= F.lit(b), 1).otherwise(0)
+        return pcoll.with_df(pcoll.df.withColumn(self.out_col, expr))
+
+
+class Bucketize(PTransform):
+    """tft.Bucketize: quantile buckets — fit boundaries with
+    percentile_approx, then ApplyBuckets."""
+
+    def __init__(self, col: str, n_buckets: int, out_col: str | None = None,
+                 label=None):
+        super().__init__(label)
+        self.col, self.n = col, n_buckets
+        self.out_col = out_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        qs = [i / self.n for i in range(1, self.n)]
+        bounds = pcoll.df.agg(F.percentile_approx(
+            self.col, F.array(*[F.lit(q) for q in qs]), 10000)).first()[0]
+        return pcoll | ApplyBuckets(self.col, list(bounds), self.out_col)
+
+
+class NGrams(PTransform):
+    """tft.NGrams over a text column -> array of word n-grams (ordered,
+    with duplicates — unlike dedup shingles)."""
+
+    def __init__(self, text_col: str = "text", n: int = 2,
+                 out_col: str = "ngrams", label=None):
+        super().__init__(label)
+        self.text_col, self.n, self.out_col = text_col, n, out_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        n = self.n
+        tok = pcoll.df.withColumn("__w", tokens(self.text_col))
+        parts = ", ".join(f"__w[i-1+{j}]" if j else "__w[i-1]" for j in range(n))
+        out = tok.withColumn(self.out_col, F.expr(
+            f"CASE WHEN size(__w) >= {n} THEN "
+            f"transform(sequence(1, size(__w) - {n - 1}), i -> concat_ws(' ', {parts})) "
+            f"ELSE array() END")).drop("__w")
+        return pcoll.with_df(out)
+
+
+class BagOfWords(PTransform):
+    """tft.BagOfWords: map token -> count per document."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "bow", label=None):
+        super().__init__(label)
+        self.text_col, self.out_col = text_col, out_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        # token -> count map without UDFs: distinct tokens, then count
+        # occurrences with a filtered-size per token (tokens projected
+        # once — HOF-CSE trap).
+        out = pcoll.df.withColumn("__w", tokens(self.text_col))
+        out = out.withColumn(
+            self.out_col,
+            F.map_from_entries(F.expr(
+                "transform(array_distinct(__w), "
+                "t -> struct(t, size(filter(__w, x -> x = t))))")))
+        return pcoll.with_df(out.drop("__w"))
+
+
+class HashStrings(PTransform):
+    """tft.HashStrings: stable bucket hash of a string column."""
+
+    def __init__(self, col: str, n_buckets: int = 1024,
+                 out_col: str | None = None, label=None):
+        super().__init__(label)
+        self.col, self.n = col, n_buckets
+        self.out_col = out_col or f"{col}_hash"
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        return pcoll.with_df(pcoll.df.withColumn(
+            self.out_col, F.pmod(F.xxhash64(self.col), F.lit(self.n))))
+
+
+class TFIDF(PTransform):
+    """tft.TFIDF: per (doc, term) tf-idf scores.
+
+    Output: exploded rows (id, term, tf, df, tfidf). Two shuffles: one
+    per-term document-frequency agg (broadcast back), one nothing — the
+    per-doc tf is computed in place. idf = ln((1 + N) / (1 + df)) + 1
+    (smooth, sklearn-style).
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id", label=None):
+        super().__init__(label)
+        self.text_col, self.id_col = text_col, id_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        idc = self.id_col
+        tok = (pcoll.df.select(F.col(idc), tokens(self.text_col).alias("__w"))
+               .withColumn("n_tokens", F.size("__w")))
+        terms = (tok.select(idc, "n_tokens", F.explode("__w").alias("term"))
+                 .groupBy(idc, "n_tokens", "term")
+                 .agg(F.count("*").alias("tf_count")))
+        n_docs = pcoll.df.count()
+        docfreq = (terms.groupBy("term")
+                   .agg(F.count_distinct(idc).alias("df")))
+        out = (terms.join(F.broadcast(docfreq), on="term")
+               .withColumn("tf", F.col("tf_count") / F.col("n_tokens"))
+               .withColumn("idf", F.log((F.lit(1.0) + n_docs)
+                                        / (F.lit(1.0) + F.col("df"))) + 1.0)
+               .withColumn("tfidf", F.col("tf") * F.col("idf"))
+               .select(idc, "term", "tf_count", "df", "tfidf"))
+        return pcoll.with_df(out)

@@ -1046,3 +1046,86 @@ def q_sql_tumble(spark, sf_dir):
         FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
         GROUP BY window_start"""))
     return out.df
+
+
+# --------------------------------------------------------------------------
+# M8 — ML/LLM pipeline module (SURVEY §2.12): RunInference batching,
+# chunking, TFIDF, feature scaling.
+# --------------------------------------------------------------------------
+
+@query("q_ml_chunk_documents", f"""
+WITH t AS (SELECT doc_id, {_TOK} AS w FROM documents),
+c AS (SELECT doc_id,
+             unnest(list_transform(
+               range(0, greatest(CAST(ceil((len(w) - 64) / 56.0) AS BIGINT), 0) + 1),
+               k -> struct_pack(
+                 chunk_index := k,
+                 chunk_text := array_to_string(w[k*56+1 : k*56+64], ' '),
+                 n_chunk_tokens := len(w[k*56+1 : k*56+64])))) AS ch
+      FROM t)
+SELECT doc_id,
+       doc_id || '#' || (ch.chunk_index) AS chunk_id,
+       ch.chunk_index AS chunk_index,
+       ch.chunk_text AS chunk_text,
+       ch.n_chunk_tokens AS n_chunk_tokens
+FROM c WHERE ch.n_chunk_tokens > 0
+""")
+def q_ml_chunk(spark, sf_dir):
+    """RAG chunking (64-token windows, 8-token overlap): tokenize once,
+    enumerate chunk starts, slice+join, explode — all JVM-side."""
+    from beam_spark.ml.chunking import ChunkText
+
+    return (table(spark, sf_dir, "documents")
+            | ChunkText(chunk_tokens=64, overlap_tokens=8)).df
+
+
+@query("q_ml_tfidf_top_terms", """
+WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+             FROM documents),
+terms AS (SELECT doc_id, len(w) AS n_tokens, unnest(w) AS term FROM tok),
+tf AS (SELECT doc_id, n_tokens, term, COUNT(*) AS tf_count
+       FROM terms GROUP BY doc_id, n_tokens, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf_count, df.df,
+       (CAST(tf.tf_count AS DOUBLE) / tf.n_tokens)
+         * (ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0) AS tfidf
+FROM tf, df, n WHERE tf.term = df.term AND tf.doc_id < 20
+""")
+def q_ml_tfidf(spark, sf_dir):
+    """TFIDF (tft.py TFIDF): per-term document frequency broadcast back
+    onto per-doc term counts. Restricted to doc_id < 20 to keep the gate
+    output bounded."""
+    from beam_spark.ml.transforms import TFIDF
+    from beam_spark.pcollection import PCollection
+
+    docs = table(spark, sf_dir, "documents")
+    out = (docs | TFIDF()).df
+    return out.filter("doc_id < 20")
+
+
+@query("q_ml_runinference_fake", None)
+def q_ml_runinference(spark, sf_dir):
+    """RunInference plumbing with the deterministic fake handler: model
+    loaded once per worker (share token), Arrow-batched, rows-only check
+    (determinism asserted in pytest)."""
+    from beam_spark.ml.inference import DeterministicFakeHandler, RunInference
+
+    return (table(spark, sf_dir, "documents")
+            | RunInference(DeterministicFakeHandler(), "text",
+                           output_col="score", batch_size=128)).df
+
+
+@query("q_ml_scale_bucketize", f"""
+WITH s AS (SELECT min(c_acctbal) AS lo, max(c_acctbal) AS hi FROM customer)
+SELECT c_custkey,
+       (c_acctbal - s.lo) / (s.hi - s.lo) AS c_acctbal_scaled
+FROM customer, s
+""")
+def q_ml_scale(spark, sf_dir):
+    """ScaleTo01 (tft.py ScaleToMinMax family): fitted min/max artifact
+    applied as a literal fold."""
+    from beam_spark.ml.transforms import ScaleTo01
+
+    out = (table(spark, sf_dir, "customer") | ScaleTo01("c_acctbal"))
+    return out.df.select("c_custkey", "c_acctbal_scaled")

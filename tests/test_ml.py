@@ -1,0 +1,94 @@
+"""ML module behavior tests: RunInference caching/DLQ, chunk overlap
+semantics, feature transform correctness."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from beam_spark import queries as q
+from beam_spark.pcollection import Pipeline
+from beam_spark.operators.core import Create
+from beam_spark.ml.chunking import ChunkText
+from beam_spark.ml.inference import (DeterministicFakeHandler, ModelHandler,
+                                     RunInference)
+from beam_spark.ml.transforms import (ApplyBuckets, BagOfWords, Bucketize,
+                                      NGrams, ScaleTo01, ScaleToZScore)
+
+
+def test_runinference_deterministic(spark, sf_dir):
+    df1 = q.queries()["q_ml_runinference_fake"](spark, sf_dir)
+    a = sorted((r["doc_id"], round(r["score"], 12)) for r in df1.collect())
+    df2 = q.queries()["q_ml_runinference_fake"](spark, sf_dir)
+    b = sorted((r["doc_id"], round(r["score"], 12)) for r in df2.collect())
+    assert a == b and len(a) > 0
+    assert all(0.0 <= s <= 1.0 for _, s in a)
+
+
+def test_runinference_dlq(spark):
+    class Flaky(ModelHandler):
+        share_token = "flaky"
+
+        def load_model(self):
+            return None
+
+        def run_inference(self, batch, model):
+            if any(x == "bad" for x in batch):
+                raise RuntimeError("poison batch")
+            return [float(len(x)) for x in batch]
+
+    main = (Pipeline(spark)
+            | Create([{"t": "ok"}, {"t": "bad"}, {"t": "fine"}])
+            | RunInference(Flaky(), "t", output_col="score",
+                           batch_size=1).with_exception_handling())
+    rows = main.collect()
+    errs = [r for r in rows if r["__error"] is not None]
+    good = [r for r in rows if r["__error"] is None]
+    assert len(errs) == 1 and "poison" in errs[0]["__error"]
+    assert sorted(r["score"] for r in good) == [2.0, 4.0]
+
+
+def test_chunk_overlap_semantics(spark):
+    text = " ".join(f"w{i}" for i in range(150))
+    out = (Pipeline(spark)
+           | Create([{"doc_id": 1, "text": text}])
+           | ChunkText(chunk_tokens=64, overlap_tokens=8))
+    rows = sorted(out.collect(), key=lambda r: r["chunk_index"])
+    # stride 56: chunks at 0, 56, 112
+    assert [r["chunk_index"] for r in rows] == [0, 1, 2]
+    assert rows[0]["chunk_text"].split()[:1] == ["w0"]
+    assert rows[1]["chunk_text"].split()[0] == "w56"
+    # overlap: chunk1 starts 8 tokens before chunk0's end
+    assert rows[0]["chunk_text"].split()[-8:] == rows[1]["chunk_text"].split()[:8]
+    assert rows[2]["n_chunk_tokens"] == 150 - 112
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    out = (Pipeline(spark)
+           | Create([{"doc_id": 1, "text": "a b c"}])
+           | ChunkText(chunk_tokens=64, overlap_tokens=8))
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["n_chunk_tokens"] == 3
+
+
+def test_scale_and_buckets(spark):
+    pc = Pipeline(spark) | Create([{"x": float(i)} for i in range(11)])
+    scaled = (pc | ScaleTo01("x")).collect()
+    vals = sorted(r["x_scaled"] for r in scaled)
+    assert vals[0] == 0.0 and vals[-1] == 1.0
+
+    z = (pc | ScaleToZScore("x")).collect()
+    assert abs(sum(r["x_z"] for r in z)) < 1e-9
+
+    b = (pc | ApplyBuckets("x", [3.0, 7.0])).collect()
+    got = {r["x"]: r["x_bucket"] for r in b}
+    assert got[0.0] == 0 and got[5.0] == 1 and got[9.0] == 2
+
+    qb = (pc | Bucketize("x", 4, out_col="qb")).collect()
+    assert set(r["qb"] for r in qb) <= {0, 1, 2, 3}
+
+
+def test_ngrams_and_bow(spark):
+    pc = Pipeline(spark) | Create([{"text": "a b a c"}])
+    ng = (pc | NGrams(n=2)).collect()[0]["ngrams"]
+    assert ng == ["a b", "b a", "a c"]
+    bow = (pc | BagOfWords()).collect()[0]["bow"]
+    assert bow == {"a": 2, "b": 1, "c": 1}
