@@ -1129,3 +1129,238 @@ def q_ml_scale(spark, sf_dir):
 
     out = (table(spark, sf_dir, "customer") | ScaleTo01("c_acctbal"))
     return out.df.select("c_custkey", "c_acctbal_scaled")
+
+
+# --------------------------------------------------------------------------
+# M9 — TPC-H-shape breadth (adapted to the TESTDATA columns): scalar
+# subqueries, EXISTS, HAVING, CASE aggregation, OR-predicate joins,
+# year() grouping — the relational surface the reference's TPC-DS corpus
+# exercises (SURVEY §5).
+# --------------------------------------------------------------------------
+
+@query("q6_forecast_revenue", f"""
+SELECT {dsum(f"{dec('l_extendedprice')} * {dec('l_discount', 4, 2)}", 'revenue')}
+FROM lineitem
+WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
+  AND l_shipdate < CAST('1997-01-01' AS TIMESTAMP)
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""")
+def q6(spark, sf_dir):
+    """TPC-H Q6: pure scan-filter-aggregate; every predicate pushes to
+    the parquet scan."""
+    from beam_spark.operators.group import CombineGlobally
+
+    out = (
+        table(spark, sf_dir, "lineitem")
+        | Filter("l_shipdate >= CAST('1996-01-01' AS TIMESTAMP) AND "
+                 "l_shipdate < CAST('1997-01-01' AS TIMESTAMP) AND "
+                 "l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24")
+        | CombineGlobally(revenue=F.expr(
+            f"CAST(SUM({dec('l_extendedprice')} * {dec('l_discount', 4, 2)}) AS DOUBLE)"))
+    )
+    return out.df
+
+
+@query("q4_order_priority_exists", """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= CAST('1996-07-01' AS TIMESTAMP)
+  AND o_orderdate < CAST('1996-10-01' AS TIMESTAMP)
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""")
+def q4(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS -> left-semi join, then agg."""
+    from beam_spark.operators.join import Join
+
+    orders = (table(spark, sf_dir, "orders")
+              | Filter("o_orderdate >= CAST('1996-07-01' AS TIMESTAMP) AND "
+                       "o_orderdate < CAST('1996-10-01' AS TIMESTAMP)"))
+    li = table(spark, sf_dir, "lineitem").df
+    out = (orders
+           | Join(li, condition=(F.col("o_orderkey") == F.col("l_orderkey"))
+                  & (F.col("l_shipdate") > F.col("o_orderdate")), how="semi")
+           | CombinePerKey("o_orderpriority", order_count="count(*)"))
+    return out.df
+
+
+@query("q10_returned_items", f"""
+SELECT c_custkey, c_name, {dsum(_REVENUE, 'revenue')}, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= CAST('1997-01-01' AS TIMESTAMP)
+  AND o_orderdate < CAST('1997-04-01' AS TIMESTAMP)
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""")
+def q10(spark, sf_dir):
+    from beam_spark.operators.join import Join
+    from beam_spark.operators.sort import TopK
+
+    out = (
+        table(spark, sf_dir, "customer")
+        | Join(table(spark, sf_dir, "orders").df,
+               condition=F.col("c_custkey") == F.col("o_custkey"))
+        | Filter("o_orderdate >= CAST('1997-01-01' AS TIMESTAMP) AND "
+                 "o_orderdate < CAST('1997-04-01' AS TIMESTAMP)")
+        | Join(table(spark, sf_dir, "lineitem").df.filter("l_returnflag = 'R'"),
+               condition=F.col("o_orderkey") == F.col("l_orderkey"))
+        | Join(table(spark, sf_dir, "nation").df,
+               condition=F.col("c_nationkey") == F.col("n_nationkey"),
+               broadcast=True)
+        | CombinePerKey("c_custkey", "c_name", "n_name",
+                        revenue=F.expr(f"CAST(SUM({_REVENUE}) AS DOUBLE)"))
+        | TopK(20, "revenue desc", "c_custkey")
+    )
+    return out.df.select("c_custkey", "c_name", "revenue", "n_name")
+
+
+@query("q7_volume_shipping_nation_pairs", f"""
+SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+       year(o_orderdate) AS o_year, {dsum(_REVENUE, 'revenue')}
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY cust_nation, supp_nation, o_year
+""")
+def q7(spark, sf_dir):
+    """TPC-H Q7 shape: same dim joined twice under different roles."""
+    from beam_spark.operators.join import Join
+
+    n1 = table(spark, sf_dir, "nation").df.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("cust_nation"))
+    n2 = table(spark, sf_dir, "nation").df.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
+    # o_year is a computed key: GroupBy with named keys
+    from beam_spark.operators.group import GroupBy
+
+    out2 = (
+        table(spark, sf_dir, "customer")
+        | Join(table(spark, sf_dir, "orders").df,
+               condition=F.col("c_custkey") == F.col("o_custkey"))
+        | Join(table(spark, sf_dir, "lineitem").df,
+               condition=F.col("o_orderkey") == F.col("l_orderkey"))
+        | Join(table(spark, sf_dir, "supplier").df,
+               condition=F.col("l_suppkey") == F.col("s_suppkey"))
+        | Join(n1, condition=F.col("c_nationkey") == F.col("n1_key"), broadcast=True)
+        | Join(n2, condition=F.col("s_nationkey") == F.col("n2_key"), broadcast=True)
+        | Filter("cust_nation <> supp_nation")
+        | GroupBy("cust_nation", "supp_nation", o_year="year(o_orderdate)")
+          .aggregate_field(f"CAST(SUM({_REVENUE}) AS DOUBLE)", None, "revenue")
+    )
+    return out2.df
+
+
+@query("q14_promo_revenue", f"""
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                             THEN {_REVENUE} ELSE CAST(0 AS DECIMAL(26,4)) END) AS DOUBLE)
+             / CAST(SUM({_REVENUE}) AS DOUBLE) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= CAST('1997-01-01' AS TIMESTAMP)
+  AND l_shipdate < CAST('1997-02-01' AS TIMESTAMP)
+""")
+def q14(spark, sf_dir):
+    """TPC-H Q14 shape: CASE inside aggregate, ratio of exact sums."""
+    from beam_spark.operators.join import Join
+    from beam_spark.operators.group import CombineGlobally
+
+    out = (
+        table(spark, sf_dir, "lineitem")
+        | Filter("l_shipdate >= CAST('1997-01-01' AS TIMESTAMP) AND "
+                 "l_shipdate < CAST('1997-02-01' AS TIMESTAMP)")
+        | Join(table(spark, sf_dir, "part").df,
+               condition=F.col("l_partkey") == F.col("p_partkey"), broadcast=True)
+        | CombineGlobally(promo_pct=F.expr(
+            f"100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REVENUE} "
+            f"ELSE CAST(0 AS DECIMAL(26,4)) END) AS DOUBLE) "
+            f"/ CAST(SUM({_REVENUE}) AS DOUBLE)"))
+    )
+    return out.df
+
+
+@query("q18_large_volume_customers", f"""
+SELECT c_custkey, c_name, o_orderkey, {dsum(dec('l_quantity'), 'total_qty')}
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_custkey, c_name, o_orderkey
+HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250
+""")
+def q18(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING over a grouped join (post-agg filter)."""
+    from beam_spark.operators.join import Join
+
+    out = (
+        table(spark, sf_dir, "customer")
+        | Join(table(spark, sf_dir, "orders").df,
+               condition=F.col("c_custkey") == F.col("o_custkey"))
+        | Join(table(spark, sf_dir, "lineitem").df,
+               condition=F.col("o_orderkey") == F.col("l_orderkey"))
+        | CombinePerKey("c_custkey", "c_name", "o_orderkey",
+                        total_qty=F.expr(
+                            f"CAST(SUM({dec('l_quantity')}) AS DOUBLE)"))
+        | Filter("total_qty > 250")
+    )
+    return out.df
+
+
+@query("q19_or_predicate_join", f"""
+SELECT {dsum(_REVENUE, 'revenue')}
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)
+   OR (p_type = 'PROMO' AND p_size BETWEEN 20 AND 50 AND l_quantity < 15)
+""")
+def q19(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive predicates over a join."""
+    from beam_spark.operators.join import Join
+    from beam_spark.operators.group import CombineGlobally
+
+    out = (
+        table(spark, sf_dir, "lineitem")
+        | Join(table(spark, sf_dir, "part").df,
+               condition=F.col("l_partkey") == F.col("p_partkey"), broadcast=True)
+        | Filter("(p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10) OR "
+                 "(p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20) OR "
+                 "(p_type = 'PROMO' AND p_size BETWEEN 20 AND 50 AND l_quantity < 15)")
+        | CombineGlobally(revenue=F.expr(f"CAST(SUM({_REVENUE}) AS DOUBLE)"))
+    )
+    return out.df
+
+
+@query("q22_global_sales_opportunity", f"""
+SELECT c_nationkey, COUNT(*) AS numcust,
+       {dsum(dec('c_acctbal'), 'totacctbal')}
+FROM customer
+WHERE c_acctbal > (SELECT CAST(SUM({dec('c_acctbal')}) AS DOUBLE) / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+""")
+def q22(spark, sf_dir):
+    """TPC-H Q22 shape: scalar subquery (exact decimal mean) + anti join."""
+    from beam_spark.operators.join import Join
+
+    cust = table(spark, sf_dir, "customer")
+    avg_bal = cust.df.filter("c_acctbal > 0").agg(
+        F.expr(f"CAST(SUM({dec('c_acctbal')}) AS DOUBLE) / COUNT(*)")).first()[0]
+    out = (
+        cust
+        | Filter(F.col("c_acctbal") > F.lit(avg_bal))
+        | Join(table(spark, sf_dir, "orders").df.select("o_custkey"),
+               condition=F.col("c_custkey") == F.col("o_custkey"), how="anti")
+        | CombinePerKey("c_nationkey",
+                        numcust="count(*)",
+                        totacctbal=F.expr(
+                            f"CAST(SUM({dec('c_acctbal')}) AS DOUBLE)"))
+    )
+    return out.df
