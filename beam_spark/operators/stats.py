@@ -98,3 +98,39 @@ def moments_covar_samp_sql(dec_x: str, dec_y: str) -> str:
     sxy = f"CAST(SUM({dec_x} * {dec_y}) AS DOUBLE)"
     n = f"COUNT(*)"
     return f"(({sxy}) - ({sx}) * ({sy}) / {n}) / ({n} - 1)"
+
+
+class CountMinSketch:
+    """SketchFrequencies (sdks/java/extensions/sketching/
+    SketchFrequencies.java) -> Spark's native count-min sketch.
+
+    ``fit`` builds the sketch over a column (driver-held, mergeable via
+    the JVM CountMinSketch object); ``estimate`` queries item counts.
+    For a fully-distributed variant keep sketches per group with
+    ``count_min_sketch`` SQL aggregate (returns sketch bytes).
+    """
+
+    def __init__(self, eps: float = 0.001, confidence: float = 0.99,
+                 seed: int = 42):
+        self.eps, self.confidence, self.seed = eps, confidence, seed
+        self._sketch = None
+
+    def fit(self, df, col: str) -> "CountMinSketch":
+        # PySpark 4 dropped df.stat.countMinSketch; aggregate the sketch
+        # bytes with the SQL function (distributed, mergeable) and
+        # rehydrate the JVM CountMinSketch for point queries.
+        raw = df.agg(self.agg_column(col, self.eps, self.confidence,
+                                     self.seed).alias("s")).first()["s"]
+        jvm = df.sparkSession._jvm
+        bis = jvm.java.io.ByteArrayInputStream(bytes(raw))
+        self._sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+        return self
+
+    def estimate(self, item) -> int:
+        return self._sketch.estimateCount(item)
+
+    @staticmethod
+    def agg_column(col: str, eps: float = 0.001, confidence: float = 0.99,
+                   seed: int = 42):
+        """Mergeable sketch bytes as an aggregate column (per group)."""
+        return F.expr(f"count_min_sketch({col}, {eps}d, {confidence}d, {seed})")

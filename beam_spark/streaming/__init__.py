@@ -1,4 +1,5 @@
 from beam_spark.streaming.core import (Deduplicate, GroupIntoBatches,
+                                       TriggeredCountPerKey,
                                        ReadFileStream, ReadRateStream,
                                        TestStream, WithWatermark,
                                        WriteStreamToMemory,
@@ -6,6 +7,7 @@ from beam_spark.streaming.core import (Deduplicate, GroupIntoBatches,
 
 __all__ = [
     "Deduplicate", "GroupIntoBatches", "ReadFileStream", "ReadRateStream",
+    "TriggeredCountPerKey",
     "TestStream", "WithWatermark", "WriteStreamToMemory",
     "WriteStreamToFiles", "foreach_batch",
 ]

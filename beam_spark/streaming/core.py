@@ -263,3 +263,77 @@ class TestStream:
         df = (self.spark.readStream.schema(self.schema)
               .option("maxFilesPerTrigger", 1).parquet(self.dir))
         return PCollection(df, is_bounded=False)
+
+
+class TriggeredCountPerKey(PTransform):
+    """Minimal trigger emulator: ``Repeatedly(AfterCount(n))`` per key on
+    the global window, DISCARDING accumulation (SURVEY §2.7 "build ONE
+    generic stateful TriggerEmulator"; reference
+    runners/portability/fn_api_runner/trigger_manager.py:123).
+
+    Emits a pane row every ``n`` elements per key with Beam-style pane
+    metadata (pane_index, pane timing EARLY — the global window never
+    closes). Remainders stay buffered in state (fire on next inputs).
+    Batch fallback: panes computed with row_number arithmetic.
+    """
+
+    def __init__(self, key_cols, n: int, value_col: str, label=None):
+        super().__init__(label)
+        self.key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        self.n, self.value_col = n, value_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        import pandas as pd
+
+        n, vcol, keys = self.n, self.value_col, self.key_cols
+        key_types = ", ".join(
+            f"{k} {pcoll.df.schema[k].dataType.simpleString()}" for k in keys)
+        out_schema = (f"{key_types}, pane_index long, pane_count long, "
+                      f"pane_sum double, pane_timing string")
+
+        if pcoll.is_bounded:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*keys).orderBy(F.monotonically_increasing_id())
+            df = (pcoll.df
+                  .withColumn("__rn", F.row_number().over(w) - 1)
+                  .withColumn("__pane", F.col("__rn") / n)
+                  .withColumn("__pane", F.floor("__pane")))
+            out = (df.groupBy(*keys, "__pane")
+                   .agg(F.count("*").alias("pane_count"),
+                        F.sum(vcol).cast("double").alias("pane_sum"))
+                   .filter(F.col("pane_count") == n)  # full panes fired
+                   .select(*keys, F.col("__pane").alias("pane_index"),
+                           "pane_count", "pane_sum",
+                           F.lit("EARLY").alias("pane_timing")))
+            return pcoll.with_df(out)
+
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        def fn(key, pdfs, state):
+            if state.exists:
+                buf_vals, pane_idx = list(state.get[0]), state.get[1]
+            else:
+                buf_vals, pane_idx = [], 0
+            panes = []
+            for pdf in pdfs:
+                for v in pdf[vcol]:
+                    buf_vals.append(float(v))
+                    if len(buf_vals) >= n:
+                        panes.append((pane_idx, len(buf_vals), sum(buf_vals)))
+                        pane_idx += 1
+                        buf_vals = []  # DISCARDING accumulation
+            state.update((buf_vals, pane_idx))
+            if panes:
+                yield pd.DataFrame([
+                    {**dict(zip(keys, key)), "pane_index": pi,
+                     "pane_count": pc, "pane_sum": ps, "pane_timing": "EARLY"}
+                    for pi, pc, ps in panes])
+
+        out = (pcoll.df.groupBy(*keys)
+               .applyInPandasWithState(
+                   fn, outputStructType=out_schema,
+                   stateStructType="buf array<double>, pane_idx long",
+                   outputMode="append",
+                   timeoutConf=GroupStateTimeout.NoTimeout))
+        return pcoll.with_df(out)

@@ -94,3 +94,43 @@ def test_streaming_file_sink_roundtrip(spark, tmp_path):
     (ts.stream() | WriteStreamToFiles(out_dir))
     back = spark.read.parquet(out_dir)
     assert sorted((r["k"], r["v"]) for r in back.collect()) == [("a", 1), ("b", 2)]
+
+
+def test_triggered_count_streaming_panes(spark):
+    from beam_spark.streaming import TriggeredCountPerKey
+
+    ts = TestStream(spark, "k string, v long")
+    ts.add_elements([{"k": "a", "v": i} for i in range(1, 6)])   # 5 values
+    ts.add_elements([{"k": "a", "v": 10}])                       # completes pane 2
+
+    out = (ts.stream()
+           | TriggeredCountPerKey("k", 2, "v")
+           | WriteStreamToMemory(output_mode="append"))
+    rows = sorted(out.collect(), key=lambda r: r["pane_index"])
+    # panes of 2, DISCARDING: (1,2), (3,4), (5,10)
+    assert [(r["pane_index"], r["pane_count"], r["pane_sum"]) for r in rows] == [
+        (0, 2, 3.0), (1, 2, 7.0), (2, 2, 15.0)]
+    assert all(r["pane_timing"] == "EARLY" for r in rows)
+
+
+def test_triggered_count_bounded(spark):
+    from beam_spark.streaming import TriggeredCountPerKey
+
+    pc = (Pipeline(spark)
+          | Create([{"k": "a", "v": i} for i in range(1, 8)])
+          | TriggeredCountPerKey("k", 3, "v"))
+    rows = pc.collect()
+    assert sorted(r["pane_count"] for r in rows) == [3, 3]  # 7 -> 2 full panes
+
+
+def test_count_min_sketch(spark, sf_dir):
+    from beam_spark import queries as q
+    from beam_spark.operators.stats import CountMinSketch
+
+    events = q.table(spark, sf_dir, "events").df
+    cms = CountMinSketch(eps=0.0001).fit(events, "event_type")
+    exact = {r["event_type"]: r["count"]
+             for r in events.groupBy("event_type").count().collect()}
+    for k, n in exact.items():
+        est = cms.estimate(k)
+        assert n <= est <= n * 1.05 + 5, (k, n, est)
