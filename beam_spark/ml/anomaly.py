@@ -1,0 +1,91 @@
+"""Anomaly detection (SURVEY.md §2.12).
+
+Beam reference: ml/anomaly/transforms.py:53-561 (AnomalyDetection with
+ensemble detectors), detectors ml/anomaly/detectors/ (z-score, IQR, MAD).
+
+Batch implementations score against group statistics computed in one
+aggregation (exact decimal moments -> deterministic, cross-engine
+checkable); the streaming variant would carry the same statistics in
+transformWithState state and update online (round 2+).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from beam_spark.pcollection import PCollection, PTransform
+
+
+class ZScoreDetector(PTransform):
+    """|x - mean| / stddev > threshold per group (detectors/zscore.py).
+
+    Moments are computed with exact decimal sums (see stats.moments_*)
+    so scores are identical across partitionings and engines.
+    """
+
+    def __init__(self, value_col: str, group_cols=None, threshold: float = 3.0,
+                 dec_expr: str | None = None, label=None):
+        super().__init__(label)
+        self.value_col = value_col
+        self.group_cols = ([group_cols] if isinstance(group_cols, str)
+                           else list(group_cols or []))
+        self.threshold = threshold
+        self.dec_expr = dec_expr or f"CAST({value_col} AS DECIMAL(18,6))"
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        d = self.dec_expr
+        s1 = f"CAST(SUM({d}) AS DOUBLE)"
+        s2 = f"CAST(SUM({d} * {d}) AS DOUBLE)"
+        n = f"COUNT({d})"
+        # expression SHAPE matters for cross-engine bit-equality: compute
+        # mean once and square it (mirrors the oracle SQL exactly), never
+        # an algebraically-equal-but-differently-rounded variant
+        mean = f"{s1} / {n}"
+        stats_agg = [
+            F.expr(mean).alias("__mean"),
+            F.expr(f"sqrt(({s2}) / {n} - ({mean}) * ({mean}))").alias("__std"),
+        ]
+        df = pcoll.df
+        if self.group_cols:
+            stats = df.groupBy(*self.group_cols).agg(*stats_agg)
+            scored = df.join(F.broadcast(stats), on=self.group_cols)
+        else:
+            m, s = df.agg(*stats_agg).first()
+            scored = df.withColumn("__mean", F.lit(m)).withColumn("__std", F.lit(s))
+        out = (scored
+               .withColumn("zscore", (F.col(self.value_col) - F.col("__mean"))
+                           / F.col("__std"))
+               .withColumn("is_anomaly", F.abs(F.col("zscore")) > self.threshold)
+               .drop("__mean", "__std"))
+        return pcoll.with_df(out)
+
+
+class IQRDetector(PTransform):
+    """Interquartile-range outliers (detectors/iqr.py): outside
+    [q1 - k*iqr, q3 + k*iqr]. Quantiles via exact percentile (group stats
+    broadcast back)."""
+
+    def __init__(self, value_col: str, group_cols=None, k: float = 1.5, label=None):
+        super().__init__(label)
+        self.value_col = value_col
+        self.group_cols = ([group_cols] if isinstance(group_cols, str)
+                           else list(group_cols or []))
+        self.k = k
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        v = self.value_col
+        agg = F.expr(f"percentile({v}, array(0.25, 0.75))").alias("__q")
+        df = pcoll.df
+        if self.group_cols:
+            stats = df.groupBy(*self.group_cols).agg(agg)
+            scored = df.join(F.broadcast(stats), on=self.group_cols)
+        else:
+            q = df.agg(agg).first()[0]
+            scored = df.withColumn("__q", F.array(F.lit(q[0]), F.lit(q[1])))
+        out = (scored
+               .withColumn("__iqr", F.col("__q")[1] - F.col("__q")[0])
+               .withColumn("is_anomaly",
+                           (F.col(v) < F.col("__q")[0] - self.k * F.col("__iqr"))
+                           | (F.col(v) > F.col("__q")[1] + self.k * F.col("__iqr")))
+               .drop("__q", "__iqr"))
+        return pcoll.with_df(out)

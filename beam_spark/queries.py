@@ -1364,3 +1364,73 @@ def q22(spark, sf_dir):
                             f"CAST(SUM({dec('c_acctbal')}) AS DOUBLE)"))
     )
     return out.df
+
+
+# --------------------------------------------------------------------------
+# M10 — MATCH_RECOGNIZE (CEP): row-pattern matching per key
+# (BeamMatchRel.java + NFA.java semantics, re-implemented as a per-key
+# applyInPandas matcher).
+# --------------------------------------------------------------------------
+
+@query("q_cep_views_then_purchase", """
+WITH e AS (SELECT user_id, event_id, event_type, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+m AS (SELECT *,
+             max(CASE WHEN event_type <> 'view' THEN rn END)
+               OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_nonview
+      FROM e)
+SELECT user_id, event_id AS purchase_event_id,
+       rn - 1 - COALESCE(prev_nonview, 0) AS n_views,
+       value AS purchase_value
+FROM m
+WHERE event_type = 'purchase' AND rn - 1 - COALESCE(prev_nonview, 0) >= 1
+""")
+def q_cep(spark, sf_dir):
+    """Pattern V+ P per user in event-time order: every purchase preceded
+    by an unbroken run of views, with the run length as a measure.
+    Oracle: run-length reformulation with window functions."""
+    from beam_spark.operators.cep import MatchRecognize
+
+    out = (
+        table(spark, sf_dir, "events")
+        | MatchRecognize(
+            partition_by="user_id",
+            order_by=["ts", "event_id"],
+            pattern=[("V", "+"), ("P", "1")],
+            defines={"V": lambda r: r["event_type"] == "view",
+                     "P": lambda r: r["event_type"] == "purchase"},
+            measures={
+                "purchase_event_id": lambda m: m[-1][1]["event_id"],
+                "n_views": lambda m: sum(1 for s, _ in m if s == "V"),
+                "purchase_value": lambda m: m[-1][1]["value"],
+            },
+            output_schema=("user_id long, purchase_event_id long, "
+                           "n_views long, purchase_value double"))
+    )
+    return out.df
+
+
+@query("q_anomaly_zscore_events", f"""
+WITH s AS (SELECT event_type,
+                  CAST(SUM({_EVENT_VAL}) AS DOUBLE) / COUNT(*) AS mean_v,
+                  sqrt(CAST(SUM({_EVENT_VAL} * {_EVENT_VAL}) AS DOUBLE) / COUNT(*)
+                       - (CAST(SUM({_EVENT_VAL}) AS DOUBLE) / COUNT(*))
+                         * (CAST(SUM({_EVENT_VAL}) AS DOUBLE) / COUNT(*))) AS std_v
+           FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type,
+       (e.value - s.mean_v) / s.std_v AS zscore,
+       abs((e.value - s.mean_v) / s.std_v) > 2.5 AS is_anomaly
+FROM events e JOIN s ON e.event_type = s.event_type
+""")
+def q_anomaly(spark, sf_dir):
+    """AnomalyDetection z-score ensemble member (ml/anomaly/transforms.py:
+    53): per-group exact moments broadcast back onto the stream."""
+    from beam_spark.ml.anomaly import ZScoreDetector
+
+    out = (table(spark, sf_dir, "events")
+           | ZScoreDetector("value", "event_type", threshold=2.5))
+    return out.df.select("event_id", "event_type", "zscore", "is_anomaly")
