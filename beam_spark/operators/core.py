@@ -359,3 +359,46 @@ class Flatten(PTransform):
         for p in pcolls[1:]:
             df = df.unionByName(p.df, allowMissingColumns=self.allow_missing)
         return pcolls[0].with_df(df)
+
+
+class LogElements(PTransform):
+    """Debug logging (util.py:2183): print a bounded sample; passthrough."""
+
+    def __init__(self, n: int = 20, prefix: str = "", label=None):
+        super().__init__(label)
+        self.n, self.prefix = n, prefix
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        for row in pcoll.df.limit(self.n).collect():
+            print(f"{self.prefix}{row.asDict()}")
+        return pcoll
+
+
+class Tee(PTransform):
+    """Side-effect branch (util.py:2576): run a consumer on the
+    PCollection, return the input unchanged. Persists to avoid
+    recomputation of the shared upstream."""
+
+    def __init__(self, consumer: Callable, label=None):
+        super().__init__(label)
+        self.consumer = consumer
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        pcoll.df.persist()
+        self.consumer(pcoll)
+        return pcoll
+
+
+class WaitOn(PTransform):
+    """Delay main input until signals complete (util.py:2606): forces the
+    signal PCollections to materialize before the main one proceeds —
+    DAG-ordering barrier."""
+
+    def __init__(self, *signals, label=None):
+        super().__init__(label)
+        self.signals = signals
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        for s in self.signals:
+            s.df.write.format("noop").mode("overwrite").save()
+        return pcoll

@@ -104,3 +104,55 @@ def salted_join(big: DataFrame, small: DataFrame, on: str, how: str = "inner",
     salted_small = small.crossJoin(F.broadcast(salts))
     out = salted_big.join(salted_small, on=[on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+class Enrichment(PTransform):
+    """Keyed enrichment against an external handler with caching and
+    batched calls (transforms/enrichment.py:103 + RequestResponseIO
+    io/requestresponse.py).
+
+    ``handler(keys: list) -> dict[key, dict]`` is called once per Arrow
+    batch with only the keys missed by the per-worker LRU cache;
+    ``throttle_qps`` rate-limits handler calls per worker. For dimension
+    tables that fit in memory use Join(broadcast=True) instead.
+    """
+
+    def __init__(self, key_col: str, handler: Callable[[list], dict],
+                 output_schema, cache_size: int = 10000,
+                 throttle_qps: float | None = None, label=None):
+        super().__init__(label)
+        self.key_col, self.handler = key_col, handler
+        self.output_schema = output_schema
+        self.cache_size, self.throttle_qps = cache_size, throttle_qps
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        import time as _time
+
+        import pandas as pd
+
+        key_col, handler = self.key_col, self.handler
+        cache_size, qps = self.cache_size, self.throttle_qps
+
+        def gen(batches):
+            from collections import OrderedDict
+
+            cache: "OrderedDict" = OrderedDict()
+            last_call = [0.0]
+            for pdf in batches:
+                missing = [k for k in dict.fromkeys(pdf[key_col]) if k not in cache]
+                if missing:
+                    if qps:
+                        wait = last_call[0] + 1.0 / qps - _time.monotonic()
+                        if wait > 0:
+                            _time.sleep(wait)
+                    fetched = handler(missing)
+                    last_call[0] = _time.monotonic()
+                    for k in missing:
+                        cache[k] = fetched.get(k) or {}
+                        cache.move_to_end(k)
+                    while len(cache) > cache_size:
+                        cache.popitem(last=False)
+                extra = pd.DataFrame([cache.get(k, {}) for k in pdf[key_col]])
+                yield pd.concat([pdf.reset_index(drop=True), extra], axis=1)
+
+        return pcoll.with_df(pcoll.df.mapInPandas(gen, schema=self.output_schema))

@@ -128,3 +128,29 @@ def test_custom_combine_fn(spark):
     got = {r["k"]: r["output"] for r in out.collect()}
     assert got["a"] == pytest.approx(4.0)
     assert got["b"] == pytest.approx(5.0)
+
+
+def test_enrichment_caching_and_batching(spark):
+    from beam_spark.operators.join import Enrichment
+
+    calls = []
+
+    def handler(keys):
+        calls.append(sorted(keys))
+        return {k: {"name": f"user{k}"} for k in keys}
+
+    out = (p(spark) | Create([{"uid": 1}, {"uid": 2}, {"uid": 1}, {"uid": 3}])
+           | Enrichment("uid", handler, "uid long, name string"))
+    rows = {(r["uid"], r["name"]) for r in out.df.coalesce(1).collect()}
+    assert rows == {(1, "user1"), (2, "user2"), (3, "user3")}
+
+
+def test_tee_and_waiton(spark):
+    from beam_spark.operators.core import Tee, WaitOn
+
+    seen = {}
+    src = p(spark) | Create([{"x": 1}, {"x": 2}])
+    out = src | Tee(lambda pc: seen.setdefault("n", pc.count()))
+    assert seen["n"] == 2
+    gated = out | WaitOn(p(spark) | Create([{"y": 9}]))
+    assert gated.count() == 2
