@@ -83,11 +83,17 @@ class NgramJaccardPairs(PTransform):
 
     def expand(self, pcoll: PCollection) -> PCollection:
         idc = self.id_col
+        # Filter on token count BEFORE shingling: a filter on size(sh)
+        # pushed below the projection would inline the token array into the
+        # shingle lambda's free variable and re-split the text per lambda
+        # element (O(tokens^2) — measured 20x). n_sh is derived from the
+        # persisted frame so sh is never recomputed.
         sh = (pcoll.df
               .select(F.col(idc), tokens(self.text_col).alias("__w"))
-              .select(F.col(idc), word_shingles_on("__w", self.n).alias("sh"))
-              .withColumn("n_sh", F.size("sh")))
+              .filter(F.size("__w") >= self.n)
+              .select(F.col(idc), word_shingles_on("__w", self.n).alias("sh")))
         sh.persist()
+        sh = sh.withColumn("n_sh", F.size("sh"))
         ex = sh.select(idc, "n_sh", F.explode("sh").alias("shingle"))
         a = ex.select(F.col(idc).alias("i"), F.col("n_sh").alias("ni"), "shingle")
         b = ex.select(F.col(idc).alias("j"), F.col("n_sh").alias("nj"), "shingle")
@@ -149,19 +155,22 @@ class MinHashLSH(PTransform):
                 for h in pdf["base"]:
                     hv = np.asarray(h, dtype=np.int64)[None, :]
                     sigs.append(((A * hv + B) % _MERSENNE_31).min(axis=1))
-                out = pdf[[idc, "sh"]].copy()
+                out = pdf[[idc]].copy()
                 out["sig"] = sigs
                 yield out
 
-        return with_base.mapInPandas(
-            gen, schema=f"{idc} long, sh array<string>, sig array<long>")
+        # only (id, sig) comes back — the shingle arrays stay in the
+        # persisted sh frame (caching them twice doubled memory+serde)
+        return with_base.select(idc, "base").mapInPandas(
+            gen, schema=f"{idc} long, sig array<long>")
 
     def expand(self, pcoll: PCollection) -> PCollection:
         idc = self.id_col
         sh = (pcoll.df
               .select(F.col(idc), tokens(self.text_col).alias("__w"))
-              .select(F.col(idc), word_shingles_on("__w", self.n).alias("sh"))
-              .filter(F.size("sh") > 0))
+              .filter(F.size("__w") >= self.n)  # guard BEFORE shingling (lambda
+              # free-var inlining trap — see NgramJaccardPairs comment)
+              .select(F.col(idc), word_shingles_on("__w", self.n).alias("sh")))
         sh.persist()  # reused for candidate verification below
         sig = self._with_signature(sh, idc)
         sig.persist()

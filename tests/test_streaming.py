@@ -134,3 +134,48 @@ def test_count_min_sketch(spark, sf_dir):
     for k, n in exact.items():
         est = cms.estimate(k)
         assert n <= est <= n * 1.05 + 5, (k, n, est)
+
+
+def test_stateful_pardo_streaming_dedup_counter(spark):
+    """Custom stateful automaton: per-user running count across
+    micro-batches, emitting only when the count changes parity — state
+    survives batches (the Beam stateful-DoFn contract)."""
+    from beam_spark.streaming import StatefulDoFn, StatefulParDo
+
+    class ParityEmitter(StatefulDoFn):
+        def process(self, key, rows, state):
+            n = state.get("n", 0)
+            for _ in rows:
+                n += 1
+                if n % 2 == 0:
+                    yield {"user": key[0], "n": n}
+            state.set("n", n)
+
+    ts = TestStream(spark, "user string, v long")
+    ts.add_elements([{"user": "u", "v": 1}])          # n=1, no emit
+    ts.add_elements([{"user": "u", "v": 2}])          # n=2 -> emit (state crossed batches)
+    ts.add_elements([{"user": "u", "v": 3}, {"user": "u", "v": 4}])  # n=4 -> emit
+
+    out = (ts.stream()
+           | StatefulParDo("user", ParityEmitter(), "user string, n long")
+           | WriteStreamToMemory(output_mode="append"))
+    got = sorted(r["n"] for r in out.collect())
+    assert got == [2, 4]
+
+
+def test_stateful_pardo_bounded_with_completion(spark):
+    from beam_spark.streaming import StatefulDoFn, StatefulParDo
+
+    class SumWithFlush(StatefulDoFn):
+        def process(self, key, rows, state):
+            state.set("s", sum(r["v"] for r in rows))
+            return ()
+
+        def on_completion(self, key, state):
+            yield {"k": key[0], "total": state.get("s")}
+
+    pc = (Pipeline(spark)
+          | Create([{"k": "a", "v": 1}, {"k": "a", "v": 2}, {"k": "b", "v": 5}])
+          | StatefulParDo("k", SumWithFlush(), "k string, total long"))
+    got = {r["k"]: r["total"] for r in pc.collect()}
+    assert got == {"a": 3, "b": 5}
