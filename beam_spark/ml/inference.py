@@ -127,3 +127,41 @@ class RunInference(PTransform):
                     yield chunk
 
         return pcoll.with_df(pcoll.df.mapInPandas(gen, schema=schema))
+
+
+class FakeTextEmbeddingHandler(ModelHandler):
+    """Deterministic text-embedding handler (ml/transforms/base.py:666
+    _TextEmbeddingHandler pattern): maps text -> unit-norm float vector.
+    Hash-seeded fake standing in for a sentence-transformer; the output
+    column contract (array<float>, unit norm) is the real one."""
+
+    share_token = "fake-embed"
+
+    def __init__(self, dim: int = 64):
+        self.dim = dim
+
+    def load_model(self):
+        import hashlib
+        import math
+
+        dim = self.dim
+
+        def model(texts):
+            out = []
+            for t in texts:
+                h = hashlib.sha256(str(t).encode()).digest()
+                # extend digest deterministically to dim values
+                vals = []
+                block = h
+                while len(vals) < dim:
+                    block = hashlib.sha256(block).digest()
+                    vals.extend(b / 255.0 - 0.5 for b in block)
+                v = vals[:dim]
+                n = math.sqrt(sum(x * x for x in v)) or 1.0
+                out.append([x / n for x in v])
+            return out
+
+        return model
+
+    def run_inference(self, batch, model):
+        return model(batch)

@@ -1434,3 +1434,37 @@ def q_anomaly(spark, sf_dir):
     out = (table(spark, sf_dir, "events")
            | ZScoreDetector("value", "event_type", threshold=2.5))
     return out.df.select("event_id", "event_type", "zscore", "is_anomaly")
+
+
+@query("q_pipeline_llm_dataprep", None)
+def q_pipeline(spark, sf_dir):
+    """End-to-end training-data prep: quality-filter -> exact-dedup
+    survivors -> near-dup removal (minhash pairs, drop higher doc_id) ->
+    chunk -> embed (RunInference batching). One composed DAG — Catalyst
+    sees the whole lineage; rows-only gate, shape asserted in pytest."""
+    from beam_spark.ml.chunking import ChunkText
+    from beam_spark.ml.inference import FakeTextEmbeddingHandler, RunInference
+    from beam_spark.operators.dedupe import ExactDedup, MinHashLSH
+    from beam_spark.operators.join import Join
+    from beam_spark.operators.text import QualityScore
+
+    docs = table(spark, sf_dir, "documents")
+    scored = docs | QualityScore() | Filter("quality_score > 0.3")
+    scored.persist()
+
+    # exact-dup survivors
+    keep = (scored | ExactDedup()).df.select(F.col("keep_id").alias("doc_id"))
+    # near-dup losers (higher id of each pair)
+    neardup_losers = (scored | MinHashLSH(threshold=0.6)).df.select(
+        F.col("j").alias("doc_id")).distinct()
+
+    clean = (scored
+             | Join(keep, on="doc_id", how="semi")
+             | Join(neardup_losers, on="doc_id", how="anti"))
+    chunks = clean | ChunkText(chunk_tokens=64, overlap_tokens=8)
+    embedded = chunks | RunInference(FakeTextEmbeddingHandler(dim=32),
+                                     "chunk_text", output_col="embedding",
+                                     output_type="array<float>",
+                                     batch_size=256)
+    return embedded.df.select("doc_id", "chunk_id", "chunk_index",
+                              "n_chunk_tokens", "embedding")

@@ -128,3 +128,32 @@ class WriteToCsv(_Write):
 
 class WriteToJson(_Write):
     fmt = "json"
+
+
+class WriteBucketedTable(PTransform):
+    """Bucketed managed table (hash-bucketed by join key, optionally
+    sorted within buckets): two tables bucketed the same way join with NO
+    shuffle exchange — the pre-partitioned co-located join strategy for
+    repeated large-fact joins at 100 TB (SURVEY §4.3 shuffle row).
+
+    Beam has no bucketing concept (every CoGBK shuffles); this is a
+    Spark-native capability the engine surfaces as a first-class sink.
+    """
+
+    def __init__(self, table_name: str, bucket_cols, n_buckets: int = 32,
+                 sort_cols=None, mode: str = "overwrite", label=None):
+        super().__init__(label)
+        self.table_name = table_name
+        self.bucket_cols = ([bucket_cols] if isinstance(bucket_cols, str)
+                            else list(bucket_cols))
+        self.sort_cols = ([sort_cols] if isinstance(sort_cols, str)
+                          else list(sort_cols or []))
+        self.n_buckets, self.mode = n_buckets, mode
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        w = (pcoll.df.write.mode(self.mode)
+             .bucketBy(self.n_buckets, *self.bucket_cols))
+        if self.sort_cols:
+            w = w.sortBy(*self.sort_cols)
+        w.format("parquet").saveAsTable(self.table_name)
+        return pcoll

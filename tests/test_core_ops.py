@@ -143,3 +143,43 @@ def test_with_timestamps(spark):
            | WithTimestamps("t"))
     assert out.ts_col == "__ts"
     assert out.collect()[0]["__ts"] is not None
+
+
+def test_bucketed_table_join_no_shuffle(spark, tmp_path):
+    """Two same-bucketed tables join without a shuffle exchange — the
+    co-located join strategy for repeated big joins."""
+    import io
+    from contextlib import redirect_stdout
+
+    from beam_spark.pcollection import PCollection
+    from beam_spark.sources.io import WriteBucketedTable
+
+    import shutil
+    spark.sql("DROP TABLE IF EXISTS bt_orders")
+    spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+    # a crashed prior run can orphan the managed-table location
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t_ in ("bt_orders", "bt_lineitem"):
+        shutil.rmtree(f"{wh}/{t_}", ignore_errors=True)
+    orders = spark.range(1000).select(F.col("id").alias("o_orderkey"),
+                                      (F.col("id") % 7).alias("x"))
+    li = spark.range(3000).select((F.col("id") % 1000).alias("o_orderkey"),
+                                  F.col("id").alias("l_id"))
+    PCollection(orders) | WriteBucketedTable("bt_orders", "o_orderkey", 8)
+    PCollection(li) | WriteBucketedTable("bt_lineitem", "o_orderkey", 8)
+
+    # disable broadcast so the join strategy is SMJ (the 100 TB case
+    # where neither side broadcasts) and bucketing can prove its point
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bt_orders").join(spark.table("bt_lineitem"), "o_orderkey")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert joined.count() == 3000
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketing removed the shuffle
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

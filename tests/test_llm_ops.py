@@ -91,3 +91,29 @@ def test_video_frame_sampling_shape(spark, sf_dir):
         per_asset.setdefault(r["asset_id"], []).append(r["frame_idx"])
     for aid, idxs in per_asset.items():
         assert sorted(idxs) == list(range(len(idxs)))  # dense frame indices
+
+
+def test_ivf_ann_recall_vs_brute(spark, sf_dir):
+    from beam_spark.operators.similarity import BruteForceCosineTopK, IvfCosineTopK
+
+    emb = q.table(spark, sf_dir, "embeddings").df.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"))
+    emb.persist()
+    qs = emb.filter("vec_id < 10")
+    brute = {(r["query_id"], r["nbr_id"]) for r in
+             (PCollection(emb) | BruteForceCosineTopK(qs, k=5)).df.collect()}
+    ivf = {(r["query_id"], r["nbr_id"]) for r in
+           (PCollection(emb) | IvfCosineTopK(qs, k=5, n_lists=8, nprobe=4)).df.collect()}
+    recall = len(ivf & brute) / len(brute)
+    assert recall >= 0.5, recall  # probing half the lists
+
+
+def test_ivf_deterministic(spark, sf_dir):
+    from beam_spark.operators.similarity import IvfCosineTopK
+
+    emb = q.table(spark, sf_dir, "embeddings").df.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"))
+    qs = emb.filter("vec_id < 5")
+    a = sorted(map(tuple, (PCollection(emb) | IvfCosineTopK(qs, k=3)).df.collect()))
+    b = sorted(map(tuple, (PCollection(emb) | IvfCosineTopK(qs, k=3)).df.collect()))
+    assert a == b

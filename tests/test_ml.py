@@ -92,3 +92,25 @@ def test_ngrams_and_bow(spark):
     assert ng == ["a b", "b a", "a c"]
     bow = (pc | BagOfWords()).collect()[0]["bow"]
     assert bow == {"a": 2, "b": 1, "c": 1}
+
+
+def test_llm_dataprep_pipeline_shape(spark, sf_dir):
+    df = q.queries()["q_pipeline_llm_dataprep"](spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) > 0
+    # unit-norm 32-dim embeddings, stable chunk ids
+    import math
+    for r in rows[:20]:
+        assert len(r["embedding"]) == 32
+        n = math.sqrt(sum(x * x for x in r["embedding"]))
+        assert abs(n - 1.0) < 1e-3
+        assert r["chunk_id"] == f"{r['doc_id']}#{r['chunk_index']}"
+    # near-dup losers are gone: minhash pairs' higher ids absent
+    from beam_spark.operators.dedupe import MinHashLSH
+    from beam_spark.operators.text import QualityScore
+    from beam_spark.operators.core import Filter
+    scored = (q.table(spark, sf_dir, "documents") | QualityScore()
+              | Filter("quality_score > 0.3"))
+    losers = {r["j"] for r in (scored | MinHashLSH(threshold=0.6)).df.collect()}
+    kept_docs = {r["doc_id"] for r in rows}
+    assert not (losers & kept_docs)
