@@ -178,3 +178,87 @@ class TimestampCombiner:
         if policy == TimestampCombiner.LATEST:
             return F.max(ts_col)
         raise ValueError(policy)
+
+
+class CustomMergingWindowFn(WindowFn):
+    """General custom merging WindowFn (window.py:121 assign/merge
+    interface; exemplar WinningBids.java auction-expiry windows).
+
+    The user supplies ``assign(row) -> (start_us, end_us)`` and
+    ``merge(a, b) -> merged | None`` (None = don't merge). Grouping
+    operators can't express arbitrary merging in Catalyst, so apply it
+    explicitly with ``MergeCustomWindows`` BEFORE grouping: per key, rows
+    are sorted by window start and adjacent windows folded with
+    ``merge`` — the same sort+segment algorithm Beam's merging-window
+    GBK performs, run in applyInPandas.
+    """
+
+    merging = True
+
+    def __init__(self, assign_fn, merge_fn):
+        self.assign_fn, self.merge_fn = assign_fn, merge_fn
+
+    def assign(self, ts):
+        return None
+
+    def grouping_expr(self, ts_col):
+        raise TypeError(
+            "CustomMergingWindowFn must be applied with MergeCustomWindows "
+            "before grouping (arbitrary merges are not a Catalyst expression)")
+
+
+class MergeCustomWindows(PTransform):
+    """Materialize merged custom windows as a ``__window`` column.
+
+    Per key: assign each row's proto-window, sort by start, fold
+    overlapping/mergeable neighbours via ``merge_fn``, then stamp every
+    row with its final merged window — after this the ordinary grouping
+    operators treat it like any other window column.
+    """
+
+    def __init__(self, window_fn: CustomMergingWindowFn, key_cols, label=None):
+        super().__init__(label)
+        self.window_fn = window_fn
+        self.key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        assign_fn = self.window_fn.assign_fn
+        merge_fn = self.window_fn.merge_fn
+        keys = self.key_cols
+
+        in_fields = list(pcoll.df.schema.fields)
+        out_schema = T.StructType(in_fields + [T.StructField(
+            WINDOW_COL, T.StructType([T.StructField("start", T.TimestampType()),
+                                      T.StructField("end", T.TimestampType())]))])
+
+        def apply(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            import datetime
+
+            rows = pdf.to_dict(orient="records")
+            proto = [assign_fn(r) for r in rows]           # (start_us, end_us)
+            order = sorted(range(len(rows)), key=lambda i: proto[i])
+            merged: list[list] = []                        # [win, [row idxs]]
+            for i in order:
+                w = proto[i]
+                if merged:
+                    m = merge_fn(tuple(merged[-1][0]), w)
+                    if m is not None:
+                        merged[-1][0] = list(m)
+                        merged[-1][1].append(i)
+                        continue
+                merged.append([list(w), [i]])
+            out = []
+            for win, idxs in merged:
+                s = datetime.datetime.utcfromtimestamp(win[0] / 1e6)
+                e = datetime.datetime.utcfromtimestamp(win[1] / 1e6)
+                for i in idxs:
+                    r = dict(rows[i])
+                    r[WINDOW_COL] = {"start": s, "end": e}
+                    out.append(r)
+            return pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
+
+        out = pcoll.df.groupBy(*keys).applyInPandas(apply, schema=out_schema)
+        return pcoll.with_df(out, window_col=WINDOW_COL, window_fn=None)

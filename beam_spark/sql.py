@@ -18,8 +18,9 @@ Spark: ``spark.sql`` IS the engine (Catalyst replaces Calcite wholesale —
 3. scalar-function parity (functions/ module): every operator asserted by
    BeamSqlDslSqlStdOperatorsTest is native Spark SQL.
 
-MATCH_RECOGNIZE (BeamMatchRel + NFA) is not in this round — documented
-gap; the plan is a per-key applyInPandas NFA.
+MATCH_RECOGNIZE (BeamMatchRel + NFA) lives in operators/cep.py as the
+MatchRecognize transform (python-API surface; SQL-text parsing of the
+MATCH_RECOGNIZE clause itself is future work).
 """
 
 from __future__ import annotations
@@ -33,8 +34,16 @@ from beam_spark.pcollection import PCollection, PTransform
 _INTERVAL = r"INTERVAL\s+'([^']+)'\s+(\w+)"
 
 
+_UNIT_US = {"second": 1_000_000, "minute": 60_000_000, "hour": 3_600_000_000,
+            "day": 86_400_000_000}
+
+
 def _iv(value: str, unit: str) -> str:
     return f"{value} {unit.lower()}{'' if value == '1' else 's' if not unit.lower().endswith('s') else ''}"
+
+
+def _iv_us(value: str, unit: str) -> int:
+    return int(value) * _UNIT_US[unit.lower().rstrip("s")]
 
 
 def _rewrite_tvf(sql: str) -> str:
@@ -55,11 +64,20 @@ def _rewrite_tvf(sql: str) -> str:
                 f"FROM (SELECT *, window({ts}, '{size}') AS window FROM {t}))")
 
     def hop(m):
+        # Calcite HOP TVF argument order: slide interval, then size.
         t, ts = m.group(1), m.group(2)
-        slide = _iv(m.group(3), m.group(4))
-        size = _iv(m.group(5), m.group(6))
+        slide_us = _iv_us(m.group(3), m.group(4))
+        size_us = _iv_us(m.group(5), m.group(6))
+        # enumerate each element's windows inline (same construction as
+        # operators.window.SlidingWindows.assign_sql)
+        tcol = f"unix_micros({ts})"
+        first = (f"(floor(({tcol} - {size_us}) / {slide_us}) + 1) * {slide_us}")
+        last = f"floor({tcol} / {slide_us}) * {slide_us}"
+        enum = (f"transform(sequence(CAST({first} AS BIGINT), CAST({last} AS BIGINT), "
+                f"{slide_us}), s -> struct(timestamp_micros(s) AS start, "
+                f"timestamp_micros(s + {size_us}) AS end))")
         return (f"(SELECT *, window.start AS window_start, window.end AS window_end "
-                f"FROM (SELECT *, explode(window_list({ts}, '{size}', '{slide}')) AS window FROM {t}))")
+                f"FROM (SELECT *, explode({enum}) AS window FROM {t}))")
 
     def session(m):
         t, ts = m.group(1), m.group(2)
@@ -80,22 +98,6 @@ def _rewrite_tvf(sql: str) -> str:
     return sql
 
 
-# HOP needs an element-window enumerator in SQL; register a tiny SQL macro
-# at session setup (Spark SQL lambda via transform/sequence — mirrors
-# operators.window.SlidingWindows.assign_sql).
-_WINDOW_LIST_FN = """
-CREATE OR REPLACE TEMPORARY FUNCTION window_list AS ''
-"""
-
-
-def _ensure_hop_support(spark: SparkSession) -> None:
-    # Implemented as a SQL expression rewrite instead of a UDF: replace
-    # window_list(ts, size, slide) post-hoc. Simpler: Spark's window()
-    # natively supports slide inside GROUP BY, so the HOP rewrite is only
-    # needed for the TVF-in-FROM form; we expand it inline.
-    pass
-
-
 class SqlTransform(PTransform):
     """Run SQL over named PCollections (SqlTransform.java:112).
 
@@ -112,16 +114,6 @@ class SqlTransform(PTransform):
         for name, df in tables.items():
             df.createOrReplaceTempView(name)
         sql = _rewrite_tvf(self.sql)
-        if "window_list(" in sql:
-            # inline-expand the hop enumerator
-            sql = re.sub(
-                r"explode\(window_list\((\w+),\s*'([^']+)',\s*'([^']+)'\)\)",
-                lambda m: f"explode_outer(hop_windows({m.group(1)}, '{m.group(2)}', '{m.group(3)}'))",
-                sql)
-            raise NotImplementedError(
-                "HOP TVF in FROM position: use WindowInto(SlidingWindows) "
-                "or GROUP BY window(ts, size, slide) — Spark expresses "
-                "sliding windows at aggregation time")
         return spark.sql(sql)
 
     def expand(self, pcolls) -> PCollection:

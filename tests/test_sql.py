@@ -87,3 +87,17 @@ def test_is_inf_shim(spark):
     df = spark.createDataFrame([(float("inf"),), (1.0,)], "x double")
     got = [r[0] for r in df.select(is_inf("x")).collect()]
     assert got == [True, False]
+
+
+def test_hop_tvf_rewrite_and_run(spark, sf_dir):
+    events = q.table(spark, sf_dir, "events")
+    out = ({"events": events}
+           | SqlTransform("""
+               SELECT window_start, COUNT(*) AS n
+               FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts),
+                              INTERVAL '15' MINUTE, INTERVAL '1' HOUR))
+               GROUP BY window_start"""))
+    rows = out.collect()
+    # each event lands in 4 windows (60/15)
+    assert sum(r["n"] for r in rows) == events.df.count() * 4
+    assert all(r["window_start"].minute % 15 == 0 for r in rows)

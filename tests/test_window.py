@@ -63,3 +63,33 @@ def test_global_windows_drops_window(spark):
            | CombineGlobally(n="count(*)"))
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["n"] == 2
+
+
+def test_custom_merging_window_fn(spark):
+    """WinningBids-style custom merging windows: each element opens a
+    window [t, t+expiry); overlapping windows merge to their union."""
+    from beam_spark.operators.window import (CustomMergingWindowFn,
+                                             MergeCustomWindows)
+    from beam_spark.operators.group import CombinePerKey
+
+    def assign(row):
+        t = int(row["t"].timestamp() * 1e6)
+        return (t, t + 60_000_000)  # 60s expiry
+
+    def merge(a, b):
+        if b[0] < a[1]:  # overlap -> union
+            return (min(a[0], b[0]), max(a[1], b[1]))
+        return None
+
+    from pyspark.sql import functions as F
+
+    fn = CustomMergingWindowFn(assign, merge)
+    pc = (Pipeline(spark)
+          | Create([{"t": t, "k": k, "v": v} for t, k, v in
+                    [("2024-01-01 00:00:00", "k1", 1),
+                     ("2024-01-01 00:00:30", "k1", 2),   # overlaps -> merge
+                     ("2024-01-01 00:05:00", "k1", 4)]]))  # separate
+    pc = pc.with_df(pc.df.withColumn("t", F.col("t").cast("timestamp")), ts_col="t")
+    out = (pc | MergeCustomWindows(fn, "k") | CombinePerKey("k", n="count(*)", s="sum(v)"))
+    got = {(r["__window"]["start"].isoformat(), r["n"], r["s"]) for r in out.collect()}
+    assert got == {("2024-01-01T00:00:00", 2, 3), ("2024-01-01T00:05:00", 1, 4)}
