@@ -1468,3 +1468,52 @@ def q_pipeline(spark, sf_dir):
                                      batch_size=256)
     return embedded.df.select("doc_id", "chunk_id", "chunk_index",
                               "n_chunk_tokens", "embedding")
+
+
+@query("q_group_into_batches_sorted", """
+WITH s AS (SELECT user_id, list(value ORDER BY value, event_id) AS vals
+           FROM events GROUP BY user_id),
+c AS (SELECT user_id,
+             unnest(list_transform(range(0, (len(vals) - 1) // 50 + 1),
+                    i -> struct_pack(batch_index := i,
+                                     batch := vals[i*50+1 : i*50+50]))) AS b
+      FROM s)
+SELECT user_id, b.batch_index AS batch_index, b.batch AS batch FROM c
+""")
+def q_gib(spark, sf_dir):
+    """GroupIntoBatches (bounded): values sorted for determinism, sliced
+    into 50-element chunks JVM-side."""
+    df = (table(spark, sf_dir, "events").df
+          .groupBy("user_id")
+          .agg(F.expr("transform(sort_array(collect_list(struct(value, event_id))),"
+                      " x -> x.value)").alias("vals")))
+    out = df.select(
+        "user_id",
+        F.explode(F.expr(
+            "transform(sequence(0, (size(vals) - 1) div 50), "
+            "i -> struct(i AS batch_index, slice(vals, i * 50 + 1, 50) AS batch))"
+        )).alias("b"))
+    return out.select("user_id", F.col("b.batch_index").alias("batch_index"),
+                      F.col("b.batch").alias("batch"))
+
+
+@query("q_partition_split_union", """
+SELECT 0 AS part, event_id FROM events WHERE event_id % 3 = 0
+UNION ALL SELECT 1 AS part, event_id FROM events WHERE event_id % 3 = 1
+UNION ALL SELECT 2 AS part, event_id FROM events WHERE event_id % 3 = 2
+""")
+def q_partition(spark, sf_dir):
+    """Partition (core.py:3809) round-trip: split into 3 then re-union
+    with the part tag — single upstream computation (persisted)."""
+    from beam_spark.operators.core import Partition
+    from beam_spark.operators.setops import UnionAll
+
+    parts = (table(spark, sf_dir, "events")
+             | Select("event_id")
+             | Partition("event_id % 3", 3))
+    tagged = [p.with_df(p.df.select(F.lit(i).alias("part"), "event_id"))
+              for i, p in enumerate(parts)]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out | UnionAll(t)
+    return out.df
