@@ -1517,3 +1517,135 @@ def q_partition(spark, sf_dir):
     for t in tagged[1:]:
         out = out | UnionAll(t)
     return out.df
+
+
+@query("q8_market_share", f"""
+SELECT year(o_orderdate) AS o_year,
+       CAST(SUM(CASE WHEN n_name = 'CHINA' THEN {_REVENUE}
+                     ELSE CAST(0 AS DECIMAL(26,4)) END) AS DOUBLE)
+         / CAST(SUM({_REVENUE}) AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_year
+""")
+def q8(spark, sf_dir):
+    """TPC-H Q8 shape: market-share ratio of conditional to total exact
+    sums per year."""
+    from beam_spark.operators.group import GroupBy
+    from beam_spark.operators.join import Join
+
+    out = (
+        table(spark, sf_dir, "lineitem")
+        | Join(table(spark, sf_dir, "supplier").df,
+               condition=F.col("l_suppkey") == F.col("s_suppkey"), broadcast=True)
+        | Join(table(spark, sf_dir, "nation").df,
+               condition=F.col("s_nationkey") == F.col("n_nationkey"), broadcast=True)
+        | Join(table(spark, sf_dir, "orders").df,
+               condition=F.col("l_orderkey") == F.col("o_orderkey"))
+        | GroupBy(o_year="year(o_orderdate)")
+          .aggregate_field(
+              f"CAST(SUM(CASE WHEN n_name = 'CHINA' THEN {_REVENUE} "
+              f"ELSE CAST(0 AS DECIMAL(26,4)) END) AS DOUBLE) "
+              f"/ CAST(SUM({_REVENUE}) AS DOUBLE)", None, "mkt_share")
+    )
+    return out.df
+
+
+@query("q12_priority_by_status", """
+SELECT l_linestatus,
+       COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+         AS high_line_count,
+       COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+         AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= CAST('1997-01-01' AS TIMESTAMP)
+  AND l_shipdate < CAST('1998-01-01' AS TIMESTAMP)
+GROUP BY l_linestatus
+""")
+def q12(spark, sf_dir):
+    """TPC-H Q12 shape: conditional dual counts (count_if pair)."""
+    from beam_spark.operators.combiners import count_if
+    from beam_spark.operators.join import Join
+
+    out = (
+        table(spark, sf_dir, "orders")
+        | Join(table(spark, sf_dir, "lineitem").df
+               .filter("l_shipdate >= CAST('1997-01-01' AS TIMESTAMP) AND "
+                       "l_shipdate < CAST('1998-01-01' AS TIMESTAMP)"),
+               condition=F.col("o_orderkey") == F.col("l_orderkey"))
+        | CombinePerKey(
+            "l_linestatus",
+            high_line_count=count_if("o_orderpriority IN ('1-URGENT', '2-HIGH')"),
+            low_line_count=count_if("o_orderpriority NOT IN ('1-URGENT', '2-HIGH')"))
+    )
+    return out.df
+
+
+@query("q16_supplier_count_by_part", """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_size IN (1, 10, 20, 30, 40, 50)
+GROUP BY p_brand, p_size
+""")
+def q16(spark, sf_dir):
+    """TPC-H Q16 shape: COUNT(DISTINCT) with a pushed-down IN filter."""
+    from beam_spark.operators.join import Join
+
+    out = (
+        table(spark, sf_dir, "part")
+        | Filter("p_size IN (1, 10, 20, 30, 40, 50)")
+        | Join(table(spark, sf_dir, "lineitem").df,
+               condition=F.col("p_partkey") == F.col("l_partkey"))
+        | CombinePerKey("p_brand", "p_size",
+                        supplier_cnt=F.count_distinct(F.col("l_suppkey")))
+    )
+    return out.df
+
+
+@query("q11_important_stock", f"""
+WITH pv AS (SELECT l_partkey, {dsum(_REVENUE, 'part_value')}
+            FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT CAST(SUM({_REVENUE}) AS DOUBLE) AS total FROM lineitem)
+SELECT l_partkey, part_value FROM pv, tot
+WHERE part_value > total * 0.001
+""")
+def q11(spark, sf_dir):
+    """TPC-H Q11 shape: HAVING against a scalar fraction of the global sum."""
+    li = table(spark, sf_dir, "lineitem")
+    total = li.df.agg(F.expr(f"CAST(SUM({_REVENUE}) AS DOUBLE)")).first()[0]
+    out = (li
+           | CombinePerKey("l_partkey",
+                           part_value=F.expr(f"CAST(SUM({_REVENUE}) AS DOUBLE)"))
+           | Filter(F.col("part_value") > F.lit(total) * 0.001))
+    return out.df
+
+
+@query("q15_top_supplier", f"""
+WITH rev AS (SELECT l_suppkey, {dsum(_REVENUE, 'total_revenue')}
+             FROM lineitem
+             WHERE l_shipdate >= CAST('1997-01-01' AS TIMESTAMP)
+               AND l_shipdate < CAST('1997-04-01' AS TIMESTAMP)
+             GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+""")
+def q15(spark, sf_dir):
+    """TPC-H Q15 shape: view + MAX scalar subquery (exact doubles, so the
+    equality is engine-stable)."""
+    from beam_spark.operators.join import Join
+
+    rev = (table(spark, sf_dir, "lineitem")
+           | Filter("l_shipdate >= CAST('1997-01-01' AS TIMESTAMP) AND "
+                    "l_shipdate < CAST('1997-04-01' AS TIMESTAMP)")
+           | CombinePerKey("l_suppkey",
+                           total_revenue=F.expr(f"CAST(SUM({_REVENUE}) AS DOUBLE)")))
+    rev.persist()
+    mx = rev.df.agg(F.max("total_revenue")).first()[0]
+    out = (table(spark, sf_dir, "supplier")
+           | Join(rev.df, condition=F.col("s_suppkey") == F.col("l_suppkey"))
+           | Filter(F.col("total_revenue") == F.lit(mx))
+           | Select("s_suppkey", "s_name", "total_revenue"))
+    return out.df

@@ -183,3 +183,16 @@ def test_bucketed_table_join_no_shuffle(spark, tmp_path):
         assert "Exchange" not in plan  # bucketing removed the shuffle
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_pandas_on_spark_conversion(spark, sf_dir):
+    """SURVEY §2.11: the Beam DataFrame API capability is satisfied by
+    pyspark.pandas — expose and exercise the conversion."""
+    from beam_spark import queries as q
+
+    pc = q.table(spark, sf_dir, "orders")
+    psdf = pc.df.pandas_api()
+    counts = psdf.groupby("o_orderpriority")["o_totalprice"].count()
+    exact = {r["o_orderpriority"]: r["n"] for r in
+             pc.df.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()}
+    assert counts.to_dict() == exact
