@@ -72,3 +72,23 @@ def assert_that(pcoll: PCollection | DataFrame, matcher) -> None:
 
 def assert_frames_equal(actual: DataFrame, expected_rows: Sequence, float_tol_digits: int = 9) -> None:
     equal_to(expected_rows)(actual.collect())
+
+
+def equal_to_per_window(expected_per_window: dict):
+    """Windowed matcher (testing/util.py:149 equal_to_per_window):
+    {window_start_iso: [rows...]} compared per __window group."""
+
+    def _match(actual_rows):
+        got: dict = {}
+        for r in actual_rows:
+            d = r.asDict() if hasattr(r, "asDict") else dict(r)
+            w = d.pop("__window", None)
+            key = w["start"].isoformat() if w else None
+            got.setdefault(key, []).append(tuple(d.values()))
+        exp = {k: _canon_rows(v) for k, v in expected_per_window.items()}
+        act = {k: _canon_rows(v) for k, v in got.items()}
+        if exp != act:
+            raise AssertionError(
+                f"per-window contents differ.\n  expected: {exp}\n  actual:   {act}")
+
+    return _match

@@ -196,3 +196,14 @@ def test_pandas_on_spark_conversion(spark, sf_dir):
     exact = {r["o_orderpriority"]: r["n"] for r in
              pc.df.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()}
     assert counts.to_dict() == exact
+
+
+def test_regex_matches_replace_split(spark):
+    out = (p(spark) | Create([{"s": "ab12"}, {"s": "xxxx"}])
+           | Regex.matches("s", "[0-9]+"))
+    assert [r["match"] for r in out.collect()] == ["12"]
+    out2 = (p(spark) | Create([{"s": "a-b-c"}])
+            | Regex.replace_all("s", "-", "_"))
+    assert out2.collect()[0]["s"] == "a_b_c"
+    out3 = (p(spark) | Create([{"s": "a,b,c"}]) | Regex.split("s", ","))
+    assert out3.collect()[0]["parts"] == ["a", "b", "c"]

@@ -93,3 +93,16 @@ def test_custom_merging_window_fn(spark):
     out = (pc | MergeCustomWindows(fn, "k") | CombinePerKey("k", n="count(*)", s="sum(v)"))
     got = {(r["__window"]["start"].isoformat(), r["n"], r["s"]) for r in out.collect()}
     assert got == {("2024-01-01T00:00:00", 2, 3), ("2024-01-01T00:05:00", 1, 4)}
+
+
+def test_assert_that_per_window(spark):
+    from beam_spark.testing import assert_that, equal_to_per_window
+
+    pc = (_events(spark, [("2024-01-01 00:00:10", "a", 1),
+                          ("2024-01-01 00:01:10", "a", 2)])
+          | WindowInto(FixedWindows(60))
+          | CombinePerKey("k", n="count(*)"))
+    assert_that(pc, equal_to_per_window({
+        "2024-01-01T00:00:00": [("a", 1)],
+        "2024-01-01T00:01:00": [("a", 1)],
+    }))
