@@ -1,0 +1,67 @@
+"""Source/sink round-trips (SURVEY §2.8): built-in formats write->read
+equality, partitioned (dynamic-destination) layout, schema'd reads."""
+
+from pyspark.sql import functions as F
+
+from beam_spark.pcollection import PCollection, Pipeline
+from beam_spark.operators.core import Create
+from beam_spark.sources import (ReadFromCsv, ReadFromJson, ReadFromOrc,
+                                ReadFromParquet, ReadFromText, WriteToCsv,
+                                WriteToJson, WriteToParquet, WriteToText)
+from beam_spark.sources.io import ReadFromOrc as _Orc
+
+
+ROWS = [{"k": "a", "v": 1, "x": 1.5}, {"k": "b", "v": 2, "x": 2.5}]
+
+
+def _rt(spark, tmp_path, writer, reader, **read_kw):
+    path = str(tmp_path / "data")
+    pc = Pipeline(spark) | Create(ROWS)
+    pc | writer(path)
+    back = Pipeline(spark) | reader(path, **read_kw)
+    got = sorted((r["k"], r["v"], r["x"]) for r in back.collect())
+    assert got == [("a", 1, 1.5), ("b", 2, 2.5)]
+
+
+def test_parquet_roundtrip(spark, tmp_path):
+    _rt(spark, tmp_path, WriteToParquet, ReadFromParquet)
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    _rt(spark, tmp_path, WriteToCsv, ReadFromCsv,
+        schema="k string, v long, x double")
+
+
+def test_json_roundtrip(spark, tmp_path):
+    _rt(spark, tmp_path, WriteToJson, ReadFromJson,
+        schema="k string, v long, x double")
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from beam_spark.sources.io import _Write
+
+    class WriteToOrc(_Write):
+        fmt = "orc"
+
+    _rt(spark, tmp_path, WriteToOrc, ReadFromOrc)
+
+
+def test_text_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "txt")
+    pc = (Pipeline(spark) | Create([{"value": "hello"}, {"value": "world"}]))
+    pc | WriteToText(path)
+    back = Pipeline(spark) | ReadFromText(path)
+    assert sorted(r["value"] for r in back.collect()) == ["hello", "world"]
+
+
+def test_partitioned_write_dynamic_destinations(spark, tmp_path):
+    """Beam WriteToFiles dynamic destinations -> hive-partitioned layout;
+    partition pruning then skips other destinations at read time."""
+    import os
+
+    path = str(tmp_path / "part")
+    pc = Pipeline(spark) | Create(ROWS)
+    pc | WriteToParquet(path, partition_by="k")
+    assert sorted(d for d in os.listdir(path) if d.startswith("k=")) == ["k=a", "k=b"]
+    back = spark.read.parquet(path).filter("k = 'a'")
+    assert back.count() == 1
