@@ -28,12 +28,45 @@ Capability map (SURVEY.md §2):
 from beam_spark.pcollection import PCollection, Pipeline, PTransform, ptransform_fn
 from beam_spark.session import get_spark
 
+# Beam-style flat namespace: `import beam_spark as beam; beam.Map(...)`
+from beam_spark.operators.core import (Create, Distinct, Filter, Flatten,
+                                       FlatMap, Impulse, Keys, KvSwap,
+                                       LogElements, Map, Partition, Regex,
+                                       Reify, Reshuffle, Select, Tee,
+                                       ToString, Values, WaitOn, WithKeys,
+                                       WithTimestamps)
+from beam_spark.operators.group import (CoGroupByKey, CombineGlobally,
+                                        CombinePerKey, GroupBy, GroupByKey)
+from beam_spark.operators.combiners import (Count, Latest, Mean, Sample,
+                                            ToDict, ToList, ToSet, Top)
+from beam_spark.operators.join import Enrichment, Join, LookupJoin
+from beam_spark.operators.setops import (ExceptAll, ExceptDistinct,
+                                         IntersectAll, IntersectDistinct,
+                                         UnionAll, UnionDistinct)
+from beam_spark.operators.sort import OrderBy, SortValues, TopK, TopKPerKey
+from beam_spark.operators.window import (FixedWindows, GlobalWindows,
+                                         Sessions, SlidingWindows,
+                                         TimestampCombiner, WindowInto)
+from beam_spark.operators.pardo import (AsDict, AsIter, AsList, AsMultiMap,
+                                        AsSingleton, BatchedDoFn, CombineFn,
+                                        DoFn, ParDo, TaggedOutput)
+from beam_spark.operators.cep import MatchRecognize
+from beam_spark.sql import SqlTransform
+
 __all__ = [
-    "PCollection",
-    "Pipeline",
-    "PTransform",
-    "ptransform_fn",
-    "get_spark",
+    "PCollection", "Pipeline", "PTransform", "ptransform_fn", "get_spark",
+    "Create", "Distinct", "Filter", "Flatten", "FlatMap", "Impulse", "Keys",
+    "KvSwap", "LogElements", "Map", "Partition", "Regex", "Reify",
+    "Reshuffle", "Select", "Tee", "ToString", "Values", "WaitOn", "WithKeys",
+    "WithTimestamps", "CoGroupByKey", "CombineGlobally", "CombinePerKey",
+    "GroupBy", "GroupByKey", "Count", "Latest", "Mean", "Sample", "ToDict",
+    "ToList", "ToSet", "Top", "Enrichment", "Join", "LookupJoin",
+    "ExceptAll", "ExceptDistinct", "IntersectAll", "IntersectDistinct",
+    "UnionAll", "UnionDistinct", "OrderBy", "SortValues", "TopK",
+    "TopKPerKey", "FixedWindows", "GlobalWindows", "Sessions",
+    "SlidingWindows", "TimestampCombiner", "WindowInto", "AsDict", "AsIter",
+    "AsList", "AsMultiMap", "AsSingleton", "BatchedDoFn", "CombineFn",
+    "DoFn", "ParDo", "TaggedOutput", "MatchRecognize", "SqlTransform",
 ]
 
 __version__ = "0.1.0"

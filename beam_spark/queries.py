@@ -1649,3 +1649,69 @@ def q15(spark, sf_dir):
            | Filter(F.col("total_revenue") == F.lit(mx))
            | Select("s_suppkey", "s_name", "total_revenue"))
     return out.df
+
+
+# --------------------------------------------------------------------------
+# M11 — Nexmark-shape event queries (BASELINE comparability: the reference
+# publishes Nexmark throughput; these adapt Q5/Q7 shapes to the events
+# table).
+# --------------------------------------------------------------------------
+
+@query("q_nexmark5_hot_users", f"""
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+w AS (SELECT user_id,
+             time_bucket(INTERVAL '15 minutes', t) - k * (INTERVAL '15 minutes')
+               AS window_start
+      FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+      WHERE t >= time_bucket(INTERVAL '15 minutes', t) - k * (INTERVAL '15 minutes')
+        AND t <  time_bucket(INTERVAL '15 minutes', t) - k * (INTERVAL '15 minutes')
+               + INTERVAL '1 hour'),
+c AS (SELECT window_start, user_id, COUNT(*) AS n
+      FROM w GROUP BY window_start, user_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY window_start
+                                   ORDER BY n DESC, user_id) AS rk
+      FROM c)
+SELECT window_start, user_id, n FROM r WHERE rk <= 3
+""")
+def q_nexmark5(spark, sf_dir):
+    """Nexmark Q5 shape (hot items): sliding 1h/15m windows, top-3 users
+    per window by activity. Sliding explode -> grouped count -> windowed
+    rank; the count shuffle carries per-(window,user) partials."""
+    from beam_spark.operators.sort import TopKPerKey
+    from beam_spark.operators.window import SlidingWindows, WindowInto
+
+    out = (
+        table(spark, sf_dir, "events")
+        | WindowInto(SlidingWindows(3600, 900), ts_col="ts")
+        | CombinePerKey("user_id", n="count(*)")
+        | TopKPerKey("__window", 3, "n desc", "user_id")
+    )
+    return out.df.select(F.col("__window.start").alias("window_start"),
+                         "user_id", "n")
+
+
+@query("q_nexmark7_max_value_per_window", """
+WITH e AS (SELECT event_id, user_id, value,
+                  time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+                    AS window_start
+           FROM events),
+r AS (SELECT *, row_number() OVER (PARTITION BY window_start
+                                   ORDER BY value DESC, event_id) AS rk
+      FROM e)
+SELECT window_start, event_id, user_id, value FROM r WHERE rk = 1
+""")
+def q_nexmark7(spark, sf_dir):
+    """Nexmark Q7 shape (highest bid per window): per fixed window the
+    single max-value event — max_by on (value, event_id), one aggregate,
+    no sort."""
+    from beam_spark.operators.window import FixedWindows, WindowInto
+
+    pc = (table(spark, sf_dir, "events")
+          | WindowInto(FixedWindows(3600), ts_col="ts"))
+    df = (pc.df.groupBy("__window")
+          .agg(F.max_by(F.struct("event_id", "user_id", "value"),
+                        F.struct(F.col("value"), F.col("event_id"))).alias("m")))
+    return df.select(F.col("__window.start").alias("window_start"),
+                     F.col("m.event_id").alias("event_id"),
+                     F.col("m.user_id").alias("user_id"),
+                     F.col("m.value").alias("value"))
