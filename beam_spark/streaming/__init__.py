@@ -1,3 +1,4 @@
+from beam_spark.streaming.triggers import AfterWatermarkEarlyCount
 from beam_spark.streaming.state import StatefulDoFn, StatefulParDo, UserState
 from beam_spark.streaming.core import (Deduplicate, GroupIntoBatches,
                                        TriggeredCountPerKey,
@@ -11,5 +12,5 @@ __all__ = [
     "TriggeredCountPerKey",
     "TestStream", "WithWatermark", "WriteStreamToMemory",
     "WriteStreamToFiles", "foreach_batch",
-    "StatefulDoFn", "StatefulParDo", "UserState",
+    "StatefulDoFn", "StatefulParDo", "UserState", "AfterWatermarkEarlyCount",
 ]

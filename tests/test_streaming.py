@@ -179,3 +179,28 @@ def test_stateful_pardo_bounded_with_completion(spark):
           | StatefulParDo("k", SumWithFlush(), "k string, total long"))
     got = {r["k"]: r["total"] for r in pc.collect()}
     assert got == {"a": 3, "b": 5}
+
+
+def test_after_watermark_early_count_panes(spark):
+    """Full trigger emulation: AfterWatermark(early=AfterCount(2)) on 60s
+    windows, DISCARDING mode — early panes mid-window, ON_TIME pane when
+    the watermark closes the window."""
+    from beam_spark.streaming import AfterWatermarkEarlyCount
+
+    ts = TestStream(spark, "t timestamp, k string, v long")
+    # window [00:00, 00:01): 3 elements -> one EARLY pane (2 els) + remainder
+    ts.add_elements([{"t": "2024-01-01 00:00:05", "k": "a", "v": 1},
+                     {"t": "2024-01-01 00:00:10", "k": "a", "v": 2},
+                     {"t": "2024-01-01 00:00:20", "k": "a", "v": 4}])
+    # watermark jumps past window end (10s delay) -> ON_TIME pane fires
+    ts.add_elements([{"t": "2024-01-01 00:05:00", "k": "a", "v": 100}])
+
+    pc = (ts.stream()
+          | WithWatermark("t", "10 seconds")
+          | AfterWatermarkEarlyCount("k", 60, "v", early_count=2, ts_col="t"))
+    out = pc | WriteStreamToMemory(output_mode="append")
+    rows = [r for r in out.collect()
+            if r["window_start"].isoformat() == "2024-01-01T00:00:00"]
+    panes = sorted((r["pane_index"], r["pane_timing"], r["pane_count"],
+                    r["pane_sum"]) for r in rows)
+    assert panes == [(0, "EARLY", 2, 3.0), (1, "ON_TIME", 1, 4.0)]
