@@ -12,8 +12,10 @@ the state holds one accumulator per open window. Early panes fire when a
 window's element count since the last firing reaches ``early_count``
 (DISCARDING accumulation — Beam's default); the ON_TIME pane fires when
 the watermark passes the window end (event-time timeout armed at the
-earliest open window end), carrying the since-last-firing remainder and
-Beam-style pane metadata (pane_index, timing).
+earliest open window end), with Beam-style pane metadata (pane_index,
+timing). ``accumulation_mode``: DISCARDING (default) resets pane values
+after each firing; ACCUMULATING re-emits the running total
+(beam_runner_api.proto:1236-1249).
 
 Divergences (documented): late panes are not emitted (rows behind the
 watermark are dropped by Spark upstream of the stateful operator);
@@ -41,19 +43,27 @@ class AfterWatermarkEarlyCount(PTransform):
     (EARLY|ON_TIME), pane_count, pane_sum.
     """
 
+    DISCARDING = "discarding"
+    ACCUMULATING = "accumulating"
+
     def __init__(self, key_cols, window_size_sec: int, value_col: str,
-                 early_count: int, ts_col: str | None = None, label=None):
+                 early_count: int, ts_col: str | None = None,
+                 accumulation_mode: str = "discarding", label=None):
         super().__init__(label)
         self.key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
         self.size = int(window_size_sec)
         self.value_col, self.early_count = value_col, early_count
         self.ts_col = ts_col
+        if accumulation_mode not in (self.DISCARDING, self.ACCUMULATING):
+            raise ValueError(accumulation_mode)
+        self.accumulation_mode = accumulation_mode
 
     def expand(self, pcoll: PCollection) -> PCollection:
         import pandas as pd
         from pyspark.sql.streaming.state import GroupStateTimeout
 
         keys, vcol, n = self.key_cols, self.value_col, self.early_count
+        accumulating = self.accumulation_mode == self.ACCUMULATING
         size_ms = self.size * 1000
         ts_col = self.ts_col or pcoll.ts_col
         if ts_col is None:
@@ -78,8 +88,10 @@ class AfterWatermarkEarlyCount(PTransform):
                             "pane_index": acc[0], "pane_timing": timing,
                             "pane_count": acc[1], "pane_sum": acc[2]})
                 acc[0] += 1
-                acc[1] = 0      # DISCARDING accumulation
-                acc[2] = 0.0
+                acc[3] = 0      # since-last-firing counter
+                if not accumulating:   # DISCARDING resets the pane values
+                    acc[1] = 0
+                    acc[2] = 0.0
 
             if not state.hasTimedOut:
                 for pdf in pdfs:
@@ -87,10 +99,12 @@ class AfterWatermarkEarlyCount(PTransform):
                     vals = pdf[vcol].tolist()
                     for t, v in zip(ts_ms, vals):
                         ws = (t // size_ms) * size_ms
-                        acc = wins.setdefault(ws, [0, 0, 0.0])
+                        # acc: [pane_index, count, sum, since_last_firing]
+                        acc = wins.setdefault(ws, [0, 0, 0.0, 0])
                         acc[1] += 1
                         acc[2] += float(v)
-                        if acc[1] >= n:
+                        acc[3] += 1
+                        if acc[3] >= n:
                             emit(ws, acc, "EARLY")
 
             # close windows the watermark has passed

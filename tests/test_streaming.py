@@ -204,3 +204,25 @@ def test_after_watermark_early_count_panes(spark):
     panes = sorted((r["pane_index"], r["pane_timing"], r["pane_count"],
                     r["pane_sum"]) for r in rows)
     assert panes == [(0, "EARLY", 2, 3.0), (1, "ON_TIME", 1, 4.0)]
+
+
+def test_after_watermark_accumulating_mode(spark):
+    from beam_spark.streaming import AfterWatermarkEarlyCount
+
+    ts = TestStream(spark, "t timestamp, k string, v long")
+    ts.add_elements([{"t": "2024-01-01 00:00:05", "k": "a", "v": 1},
+                     {"t": "2024-01-01 00:00:10", "k": "a", "v": 2},
+                     {"t": "2024-01-01 00:00:20", "k": "a", "v": 4}])
+    ts.add_elements([{"t": "2024-01-01 00:05:00", "k": "a", "v": 100}])
+
+    pc = (ts.stream()
+          | WithWatermark("t", "10 seconds")
+          | AfterWatermarkEarlyCount("k", 60, "v", early_count=2, ts_col="t",
+                                     accumulation_mode="accumulating"))
+    out = pc | WriteStreamToMemory(output_mode="append")
+    rows = [r for r in out.collect()
+            if r["window_start"].isoformat() == "2024-01-01T00:00:00"]
+    panes = sorted((r["pane_index"], r["pane_timing"], r["pane_count"],
+                    r["pane_sum"]) for r in rows)
+    # ACCUMULATING: ON_TIME pane re-states the whole window (3 els, 7.0)
+    assert panes == [(0, "EARLY", 2, 3.0), (1, "ON_TIME", 3, 7.0)]
