@@ -1715,3 +1715,111 @@ def q_nexmark7(spark, sf_dir):
                      F.col("m.event_id").alias("event_id"),
                      F.col("m.user_id").alias("user_id"),
                      F.col("m.value").alias("value"))
+
+
+@query("q_ann_ivf_topk", None)
+def q_ann_ivf(spark, sf_dir):
+    """IVF-flat ANN (coarse-quantizer inverted lists, nprobe probing) —
+    the FAISS-style scale path; recall vs brute asserted in pytest."""
+    from beam_spark.operators.similarity import IvfCosineTopK
+    from beam_spark.pcollection import PCollection
+
+    emb = table(spark, sf_dir, "embeddings").df.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"))
+    queries_df = emb.filter("vec_id < 10")
+    return (PCollection(emb)
+            | IvfCosineTopK(queries_df, k=5, n_lists=8, nprobe=4)).df
+
+
+@query("q13_customer_order_distribution", """
+WITH c AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey)
+SELECT c_count, COUNT(*) AS custdist FROM c GROUP BY c_count
+""")
+def q13(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of counts (two-level aggregation
+    over a left join)."""
+    from beam_spark.operators.join import Join
+
+    out = (
+        table(spark, sf_dir, "customer")
+        | Join(table(spark, sf_dir, "orders").df,
+               condition=F.col("c_custkey") == F.col("o_custkey"), how="left")
+        | CombinePerKey("c_custkey", c_count=F.count("o_orderkey"))
+        | CombinePerKey("c_count", custdist="count(*)")
+    )
+    return out.df
+
+
+@query("q17_small_quantity_revenue", f"""
+WITH pa AS (SELECT l_partkey AS pk,
+                   0.5 * CAST(SUM({dec('l_quantity')}) AS DOUBLE) / COUNT(*)
+                     AS half_avg_qty
+            FROM lineitem GROUP BY l_partkey)
+SELECT {dsum(dec('l_extendedprice'), 'small_qty_revenue')}
+FROM lineitem JOIN pa ON l_partkey = pk
+WHERE l_quantity < half_avg_qty
+""")
+def q17(spark, sf_dir):
+    """TPC-H Q17 shape: correlated per-part scalar (avg qty) as a
+    pre-aggregated join side (exact mean -> engine-stable comparison)."""
+    from beam_spark.operators.group import CombineGlobally
+    from beam_spark.operators.join import Join
+
+    li = table(spark, sf_dir, "lineitem")
+    pa = (li | CombinePerKey(
+        "l_partkey",
+        half_avg_qty=F.expr(
+            f"0.5 * CAST(SUM({dec('l_quantity')}) AS DOUBLE) / COUNT(*)"))
+    ).df.select(F.col("l_partkey").alias("pk"), "half_avg_qty")
+    out = (li
+           | Join(pa, condition=F.col("l_partkey") == F.col("pk"))
+           | Filter(F.col("l_quantity") < F.col("half_avg_qty"))
+           | CombineGlobally(small_qty_revenue=F.expr(
+               f"CAST(SUM({dec('l_extendedprice')}) AS DOUBLE)")))
+    return out.df
+
+
+@query("q21_waiting_orders", """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_name
+""")
+def q21(spark, sf_dir):
+    """TPC-H Q21 shape: chained EXISTS / NOT EXISTS against the same
+    table under different aliases -> semi + anti joins on composite
+    conditions."""
+    from beam_spark.operators.join import Join
+
+    li = table(spark, sf_dir, "lineitem").df
+    l1 = li.select(F.col("l_orderkey"), F.col("l_suppkey"), F.col("l_shipdate"))
+    l2 = li.select(F.col("l_orderkey").alias("l2_ok"),
+                   F.col("l_suppkey").alias("l2_sk"))
+    l3 = li.select(F.col("l_orderkey").alias("l3_ok"),
+                   F.col("l_suppkey").alias("l3_sk"),
+                   F.col("l_shipdate").alias("l3_sd"))
+    out = (
+        PCollection(l1)
+        | Join(l2, condition=(F.col("l_orderkey") == F.col("l2_ok"))
+               & (F.col("l_suppkey") != F.col("l2_sk")), how="semi")
+        | Join(l3, condition=(F.col("l_orderkey") == F.col("l3_ok"))
+               & (F.col("l_suppkey") != F.col("l3_sk"))
+               & (F.col("l3_sd") > F.col("l_shipdate")), how="anti")
+        | Join(table(spark, sf_dir, "orders").df.filter("o_orderstatus = 'F'"),
+               condition=F.col("l_orderkey") == F.col("o_orderkey"))
+        | Join(table(spark, sf_dir, "supplier").df,
+               condition=F.col("l_suppkey") == F.col("s_suppkey"), broadcast=True)
+        | CombinePerKey("s_name", numwait="count(*)")
+    )
+    return out.df
