@@ -1,0 +1,114 @@
+"""Property-based tests (reference analog: coders_property_based_test.py —
+Hypothesis-driven semantic checks against sequential Python models).
+
+Each property drives the Spark operator with small random inputs and
+compares against a straightforward Python reference implementation.
+max_examples is kept low: each example is a Spark job.
+"""
+
+import math
+from collections import Counter, defaultdict
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from beam_spark.pcollection import Pipeline
+from beam_spark.operators.core import Create, Distinct
+from beam_spark.operators.group import CombinePerKey
+from beam_spark.operators.sort import TopKPerKey
+from beam_spark.operators.window import FixedWindows, Sessions, WindowInto
+
+SETTINGS = dict(max_examples=8, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+rows_strategy = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(-100, 100)),
+    min_size=1, max_size=30)
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_combine_per_key_matches_python(spark, rows):
+    pc = (Pipeline(spark)
+          | Create([{"k": k, "v": v} for k, v in rows])
+          | CombinePerKey("k", s="sum(v)", n="count(*)", mx="max(v)"))
+    got = {r["k"]: (r["s"], r["n"], r["mx"]) for r in pc.collect()}
+    ref = defaultdict(list)
+    for k, v in rows:
+        ref[k].append(v)
+    exp = {k: (sum(vs), len(vs), max(vs)) for k, vs in ref.items()}
+    assert got == exp
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_distinct_matches_python(spark, rows):
+    pc = (Pipeline(spark)
+          | Create([{"k": k, "v": v} for k, v in rows]) | Distinct())
+    got = sorted((r["k"], r["v"]) for r in pc.collect())
+    assert got == sorted(set(rows))
+
+
+@given(rows=rows_strategy, k=st.integers(1, 4))
+@settings(**SETTINGS)
+def test_topk_per_key_matches_python(spark, rows, k):
+    pc = (Pipeline(spark)
+          | Create([{"k": kk, "v": v, "i": i} for i, (kk, v) in enumerate(rows)])
+          | TopKPerKey("k", k, "v desc", "i"))
+    got = defaultdict(list)
+    for r in pc.collect():
+        got[r["k"]].append((r["v"], r["i"]))
+    ref = defaultdict(list)
+    for i, (kk, v) in enumerate(rows):
+        ref[kk].append((v, i))
+    for kk, vs in ref.items():
+        exp = sorted(vs, key=lambda t: (-t[0], t[1]))[:k]
+        assert sorted(got[kk]) == sorted(exp), (kk, got[kk], exp)
+
+
+@given(ts=st.lists(st.integers(0, 600), min_size=1, max_size=25),
+       size=st.sampled_from([30, 60, 120]))
+@settings(**SETTINGS)
+def test_fixed_window_assignment_matches_python(spark, ts, size):
+    from pyspark.sql import functions as F
+
+    pc = Pipeline(spark) | Create(
+        [{"t": f"2024-01-01 00:{t // 60:02d}:{t % 60:02d}", "v": 1} for t in ts])
+    pc = pc.with_df(pc.df.withColumn("t", F.col("t").cast("timestamp")), ts_col="t")
+    out = pc | WindowInto(FixedWindows(size)) | CombinePerKey(n="count(*)")
+    got = {(r["__window"]["start"].minute * 60 + r["__window"]["start"].second
+            if False else r["__window"]["start"].isoformat(), r["n"])
+           for r in out.collect()}
+    ref = Counter((t // size) * size for t in ts)
+    exp = set()
+    for start_s, n in ref.items():
+        exp.add((f"2024-01-01T00:{start_s // 60:02d}:{start_s % 60:02d}", n))
+    assert got == exp
+
+
+@given(ts=st.lists(st.integers(0, 3000), min_size=1, max_size=20, unique=True),
+       gap=st.sampled_from([60, 300]))
+@settings(**SETTINGS)
+def test_session_windows_match_python_model(spark, ts, gap):
+    """Session merge semantics vs a sequential gaps-and-islands model."""
+    from pyspark.sql import functions as F
+
+    pc = Pipeline(spark) | Create([{"k": "u", "t": t} for t in ts],
+                                  schema="k string, t long")
+    pc = pc.with_df(pc.df.withColumn("ts", F.timestamp_seconds("t")), ts_col="ts")
+    out = pc | WindowInto(Sessions(gap)) | CombinePerKey("k", n="count(*)")
+    got = sorted((r["__window"]["start"].isoformat(), r["n"]) for r in out.collect())
+
+    sessions = []
+    for t in sorted(ts):
+        if sessions and t - sessions[-1][-1] < gap:
+            sessions[-1].append(t)
+        else:
+            sessions.append([t])
+    import datetime
+
+    exp = sorted((datetime.datetime(2024, 1, 1).replace(
+        year=1970, month=1, day=1) + datetime.timedelta(seconds=s[0]), len(s))
+        for s in sessions)
+    exp = sorted((d.isoformat(), n) for d, n in exp)
+    assert got == exp
