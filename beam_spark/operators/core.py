@@ -402,3 +402,45 @@ class WaitOn(PTransform):
         for s in self.signals:
             s.df.write.format("noop").mode("overwrite").save()
         return pcoll
+
+
+class MapTuple(PTransform):
+    """Map with positional unpacking (core.py:2164): fn(*row) -> dict."""
+
+    def __init__(self, fn: Callable, output_schema, label=None):
+        super().__init__(label)
+        self.fn, self.schema = fn, _to_schema(output_schema)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        fn = self.fn
+        out = _map_in_pandas_rows(pcoll.df,
+                                  lambda r: [fn(*r.values())], self.schema)
+        return pcoll.with_df(out)
+
+
+class FlatMapTuple(PTransform):
+    """FlatMap with positional unpacking (core.py:2242)."""
+
+    def __init__(self, fn: Callable, output_schema, label=None):
+        super().__init__(label)
+        self.fn, self.schema = fn, _to_schema(output_schema)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        fn = self.fn
+        out = _map_in_pandas_rows(pcoll.df,
+                                  lambda r: fn(*r.values()), self.schema)
+        return pcoll.with_df(out)
+
+
+class FlattenWith(PTransform):
+    """Union additional PCollections into the main one (core.py:4155)."""
+
+    def __init__(self, *others, label=None):
+        super().__init__(label)
+        self.others = others
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        df = pcoll.df
+        for o in self.others:
+            df = df.unionByName(o.df, allowMissingColumns=True)
+        return pcoll.with_df(df)

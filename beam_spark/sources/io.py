@@ -157,3 +157,61 @@ class WriteBucketedTable(PTransform):
             w = w.sortBy(*self.sort_cols)
         w.format("parquet").saveAsTable(self.table_name)
         return pcoll
+
+
+class ReadFromKafka(PTransform):
+    """Kafka source (Beam io/kafka.py:136 xlang -> native Spark Kafka).
+
+    Streaming by default; requires the spark-sql-kafka package on the
+    cluster (not shipped in this container — declared interface, gated
+    behind the format lookup at runtime)."""
+
+    def __init__(self, bootstrap_servers: str, topics: str,
+                 starting_offsets: str = "latest", streaming: bool = True,
+                 label=None, **options):
+        super().__init__(label)
+        self.servers, self.topics = bootstrap_servers, topics
+        self.starting_offsets, self.streaming = starting_offsets, streaming
+        self.options = options
+
+    def expand(self, pbegin: PBegin) -> PCollection:
+        reader = (pbegin.spark.readStream if self.streaming
+                  else pbegin.spark.read)
+        df = (reader.format("kafka")
+              .option("kafka.bootstrap.servers", self.servers)
+              .option("subscribe", self.topics)
+              .option("startingOffsets", self.starting_offsets)
+              .options(**self.options).load())
+        return PCollection(df, pipeline=getattr(pbegin, "pipeline", None),
+                           is_bounded=not self.streaming, ts_col="timestamp")
+
+
+class ReadFromJdbc(PTransform):
+    """JDBC source (Beam io/jdbc.py:143 xlang -> spark.read.jdbc).
+
+    ``partition_column``/``num_partitions`` give the parallel read the
+    reference gets from JdbcIO partitioning."""
+
+    def __init__(self, url: str, table: str, partition_column: str | None = None,
+                 lower_bound=None, upper_bound=None, num_partitions: int = 8,
+                 label=None, **properties):
+        super().__init__(label)
+        self.url, self.table = url, table
+        self.partition_column = partition_column
+        self.bounds = (lower_bound, upper_bound)
+        self.num_partitions, self.properties = num_partitions, properties
+
+    def expand(self, pbegin: PBegin) -> PCollection:
+        kwargs = dict(url=self.url, table=self.table, properties=self.properties)
+        if self.partition_column:
+            kwargs.update(column=self.partition_column,
+                          lowerBound=self.bounds[0], upperBound=self.bounds[1],
+                          numPartitions=self.num_partitions)
+        df = pbegin.spark.read.jdbc(**kwargs)
+        return PCollection(df, pipeline=getattr(pbegin, "pipeline", None))
+
+
+def register_parquet_table(spark: SparkSession, name: str, path: str) -> None:
+    """CREATE EXTERNAL TABLE analog (Beam SQL DDL, impl/parser/):
+    registers a parquet path as a queryable table."""
+    spark.sql(f"CREATE TABLE IF NOT EXISTS {name} USING parquet LOCATION '{path}'")

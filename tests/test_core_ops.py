@@ -207,3 +207,25 @@ def test_regex_matches_replace_split(spark):
     assert out2.collect()[0]["s"] == "a_b_c"
     out3 = (p(spark) | Create([{"s": "a,b,c"}]) | Regex.split("s", ","))
     assert out3.collect()[0]["parts"] == ["a", "b", "c"]
+
+
+def test_maptuple_flatmaptuple_flattenwith(spark):
+    from beam_spark.operators.core import FlatMapTuple, FlattenWith, MapTuple
+
+    src = p(spark) | Create([{"a": 2, "b": 3}])
+    m = src | MapTuple(lambda a, b: {"s": a + b}, output_schema="s: long")
+    assert m.collect()[0]["s"] == 5
+    fm = src | FlatMapTuple(lambda a, b: [{"x": i} for i in range(a)],
+                            output_schema="x: long")
+    assert sorted(r["x"] for r in fm.collect()) == [0, 1]
+    other = p(spark) | Create([{"a": 9, "b": 9}])
+    fw = src | FlattenWith(other)
+    assert fw.count() == 2
+
+
+def test_register_parquet_table(spark, sf_dir):
+    from beam_spark.sources.io import register_parquet_table
+
+    spark.sql("DROP TABLE IF EXISTS ext_region")
+    register_parquet_table(spark, "ext_region", f"{sf_dir}/region.parquet")
+    assert spark.sql("SELECT count(*) FROM ext_region").first()[0] == 5
