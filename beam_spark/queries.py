@@ -1823,3 +1823,42 @@ def q21(spark, sf_dir):
         | CombinePerKey("s_name", numwait="count(*)")
     )
     return out.df
+
+
+@query("q_unnest_token_counts", f"""
+SELECT term, COUNT(*) AS n
+FROM (SELECT unnest({_TOK}) AS term FROM documents) t
+GROUP BY term
+ORDER BY n DESC, term LIMIT 20
+""")
+def q_unnest(spark, sf_dir):
+    """UNNEST / cross-apply (BeamUncollectRel/BeamUnnestRel -> explode):
+    wordcount over the corpus, top-20."""
+    from beam_spark.operators.sort import TopK
+    from beam_spark.operators.text import tokens
+
+    pc = table(spark, sf_dir, "documents")
+    exploded = pc.with_df(
+        pc.df.select(F.explode(tokens("text")).alias("term")))
+    out = (exploded
+           | CombinePerKey("term", n="count(*)")
+           | TopK(20, "n desc", "term"))
+    return out.df
+
+
+@query("q_values_literal_join", """
+SELECT v.r_name, r.r_regionkey
+FROM (VALUES ('ASIA'), ('EUROPE')) AS v(r_name)
+JOIN region r USING (r_name)
+""")
+def q_values(spark, sf_dir):
+    """VALUES literal source (BeamValuesRel -> createDataFrame) joined
+    against a table."""
+    from beam_spark.operators.core import Create
+    from beam_spark.operators.join import Join
+    from beam_spark.pcollection import Pipeline
+
+    vals = (Pipeline(spark)
+            | Create([{"r_name": "ASIA"}, {"r_name": "EUROPE"}]))
+    out = vals | Join(table(spark, sf_dir, "region").df, on="r_name")
+    return out.df.select("r_name", "r_regionkey")

@@ -229,3 +229,13 @@ def test_register_parquet_table(spark, sf_dir):
     spark.sql("DROP TABLE IF EXISTS ext_region")
     register_parquet_table(spark, "ext_region", f"{sf_dir}/region.parquet")
     assert spark.sql("SELECT count(*) FROM ext_region").first()[0] == 5
+
+
+def test_orderby_rejects_unbounded(spark):
+    from beam_spark.operators.sort import OrderBy
+    from beam_spark.pcollection import PCollection
+
+    pc = PCollection(spark.range(1), is_bounded=False)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unbounded"):
+        pc | OrderBy("id")
