@@ -17,10 +17,17 @@ timing). ``accumulation_mode``: DISCARDING (default) resets pane values
 after each firing; ACCUMULATING re-emits the running total
 (beam_runner_api.proto:1236-1249).
 
-Divergences (documented): late panes are not emitted (rows behind the
-watermark are dropped by Spark upstream of the stateful operator);
-processing-time early firings would need a second query (Spark allows
-one timeout kind per operator).
+Late data: Spark filters stateful-operator input behind the query
+watermark, so allowed lateness is held INSIDE the operator: with
+``allowed_lateness_sec = L`` the upstream ``withWatermark`` delay should
+be out_of_order_bound + L, and the operator closes windows (ON_TIME
+pane) as soon as semantic-watermark = spark-watermark + L passes the
+window end. Rows arriving after the close but still above Spark's
+watermark fire LATE panes (one per micro-batch of late arrivals —
+Beam's late-firing shape); closed-window markers purge once Spark's
+watermark passes the window end (nothing older can arrive).
+Remaining divergence: processing-time early firings would need a second
+query (Spark allows one timeout kind per operator).
 """
 
 from __future__ import annotations
@@ -48,7 +55,8 @@ class AfterWatermarkEarlyCount(PTransform):
 
     def __init__(self, key_cols, window_size_sec: int, value_col: str,
                  early_count: int, ts_col: str | None = None,
-                 accumulation_mode: str = "discarding", label=None):
+                 accumulation_mode: str = "discarding",
+                 allowed_lateness_sec: int = 0, label=None):
         super().__init__(label)
         self.key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
         self.size = int(window_size_sec)
@@ -57,6 +65,7 @@ class AfterWatermarkEarlyCount(PTransform):
         if accumulation_mode not in (self.DISCARDING, self.ACCUMULATING):
             raise ValueError(accumulation_mode)
         self.accumulation_mode = accumulation_mode
+        self.allowed_lateness_sec = allowed_lateness_sec
 
     def expand(self, pcoll: PCollection) -> PCollection:
         import pandas as pd
@@ -65,6 +74,7 @@ class AfterWatermarkEarlyCount(PTransform):
         keys, vcol, n = self.key_cols, self.value_col, self.early_count
         accumulating = self.accumulation_mode == self.ACCUMULATING
         size_ms = self.size * 1000
+        lateness_ms = self.allowed_lateness_sec * 1000
         ts_col = self.ts_col or pcoll.ts_col
         if ts_col is None:
             raise ValueError("needs an event-time column (ts_col)")
@@ -76,9 +86,13 @@ class AfterWatermarkEarlyCount(PTransform):
                       f"pane_timing string, pane_count long, pane_sum double")
 
         def fn(key, pdfs: Iterator["pd.DataFrame"], state):
-            # state: {win_start_ms: [pane_index, count, sum]}
-            wins: dict = (pickle.loads(bytes(state.get[0]))
-                          if state.exists else {})
+            # state: (open {ws: [pane_idx, count, sum, since_fire]},
+            #         closed {ws: [next_pane_idx, late_count, late_sum]})
+            if state.exists:
+                blob = pickle.loads(bytes(state.get[0]))
+                wins, closed = (blob if isinstance(blob, tuple) else (blob, {}))
+            else:
+                wins, closed = {}, {}
             out = []
 
             def emit(ws, acc, timing):
@@ -93,12 +107,34 @@ class AfterWatermarkEarlyCount(PTransform):
                     acc[1] = 0
                     acc[2] = 0.0
 
+            wm = state.getCurrentWatermarkMs()
+
+            def close_pass():
+                # ON_TIME when semantic watermark (spark wm + held
+                # lateness) passes the window end
+                for ws in sorted(list(wins)):
+                    if wm + lateness_ms >= ws + size_ms:
+                        acc = wins.pop(ws)
+                        emit(ws, acc, "ON_TIME")
+                        if lateness_ms > 0:
+                            closed[ws] = [acc[0], 0, 0.0]
+
+            # windows whose close crossed between batches fire BEFORE this
+            # batch's inputs (Beam ordering: watermark crossing precedes
+            # later elements), so those inputs land in LATE panes
+            close_pass()
+
             if not state.hasTimedOut:
                 for pdf in pdfs:
                     ts_ms = (pdf[ts_col].astype("int64") // 1_000_000).tolist()
                     vals = pdf[vcol].tolist()
                     for t, v in zip(ts_ms, vals):
                         ws = (t // size_ms) * size_ms
+                        if ws in closed:
+                            # late arrival for a fired window
+                            closed[ws][1] += 1
+                            closed[ws][2] += float(v)
+                            continue
                         # acc: [pane_index, count, sum, since_last_firing]
                         acc = wins.setdefault(ws, [0, 0, 0.0, 0])
                         acc[1] += 1
@@ -107,16 +143,28 @@ class AfterWatermarkEarlyCount(PTransform):
                         if acc[3] >= n:
                             emit(ws, acc, "EARLY")
 
-            # close windows the watermark has passed
-            wm = state.getCurrentWatermarkMs()
-            for ws in sorted(list(wins)):
+            # second pass: bulk arrivals whose window was already past
+            # the semantic watermark when they arrived in THIS batch
+            close_pass()
+            # fire LATE panes for this batch's late arrivals; purge expired
+            for ws in sorted(list(closed)):
+                nxt, lc, lsum = closed[ws]
+                if lc > 0:
+                    out.append({**dict(zip(keys, key)),
+                                "window_start": pd.Timestamp(ws, unit="ms"),
+                                "window_end": pd.Timestamp(ws + size_ms, unit="ms"),
+                                "pane_index": nxt, "pane_timing": "LATE",
+                                "pane_count": lc, "pane_sum": lsum})
+                    closed[ws] = [nxt + 1, 0, 0.0]
                 if wm >= ws + size_ms:
-                    acc = wins.pop(ws)
-                    emit(ws, acc, "ON_TIME")
+                    # spark's own filter now drops anything this old
+                    del closed[ws]
 
-            if wins:
-                state.update((pickle.dumps(wins),))
-                state.setTimeoutTimestamp(min(wins) + size_ms)
+            if wins or closed:
+                state.update((pickle.dumps((wins, closed)),))
+                if wins:
+                    target = min(wins) + size_ms - lateness_ms
+                    state.setTimeoutTimestamp(max(target, wm + 1))
             else:
                 state.remove()
             if out:

@@ -226,3 +226,28 @@ def test_after_watermark_accumulating_mode(spark):
                     r["pane_sum"]) for r in rows)
     # ACCUMULATING: ON_TIME pane re-states the whole window (3 els, 7.0)
     assert panes == [(0, "EARLY", 2, 3.0), (1, "ON_TIME", 3, 7.0)]
+
+
+def test_after_watermark_late_panes(spark):
+    """Late arrivals within allowed lateness fire LATE panes after the
+    ON_TIME pane (Beam pane timing lifecycle EARLY* -> ON_TIME -> LATE*)."""
+    from beam_spark.streaming import AfterWatermarkEarlyCount
+
+    # lateness L=300s is held inside the operator; the upstream watermark
+    # delay is bound(10s) + L so late-but-allowed rows pass Spark's filter
+    ts = TestStream(spark, "t timestamp, k string, v long")
+    ts.add_elements([{"t": "2024-01-01 00:00:05", "k": "a", "v": 1}])
+    # wm -> 00:00:50; semantic wm -> 00:05:50 >= w0 end -> ON_TIME fires
+    ts.add_elements([{"t": "2024-01-01 00:06:00", "k": "a", "v": 50}])
+    # late for w0 but above spark wm (00:00:50) -> LATE pane
+    ts.add_elements([{"t": "2024-01-01 00:00:55", "k": "a", "v": 7}])
+
+    pc = (ts.stream() | WithWatermark("t", "310 seconds")
+          | AfterWatermarkEarlyCount("k", 60, "v", early_count=99, ts_col="t",
+                                     allowed_lateness_sec=300))
+    out = pc | WriteStreamToMemory(output_mode="append")
+    rows = [r for r in out.collect()
+            if r["window_start"].isoformat() == "2024-01-01T00:00:00"]
+    panes = sorted((r["pane_index"], r["pane_timing"], r["pane_count"],
+                    r["pane_sum"]) for r in rows)
+    assert panes == [(0, "ON_TIME", 1, 1.0), (1, "LATE", 1, 7.0)]
