@@ -89,3 +89,59 @@ class IQRDetector(PTransform):
                            | (F.col(v) > F.col("__q")[1] + self.k * F.col("__iqr")))
                .drop("__q", "__iqr"))
         return pcoll.with_df(out)
+
+
+class OnlineZScoreDetector(PTransform):
+    """Streaming score-and-learn z-score detector (the reference's
+    stateful AnomalyDetection mode, ml/anomaly/transforms.py:53): per-key
+    running count/mean/M2 (Welford) kept in state; each element is scored
+    against the statistics BEFORE it updates them, so scores are
+    prefix-deterministic for a given arrival order.
+
+    Built on streaming.StatefulParDo (pickled-blob state). Bounded inputs
+    process the whole group in arrival order — same contract.
+    """
+
+    def __init__(self, key_cols, value_col: str, threshold: float = 3.0,
+                 min_samples: int = 5, label=None):
+        super().__init__(label)
+        self.key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        self.value_col, self.threshold = value_col, threshold
+        self.min_samples = min_samples
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        import math
+
+        from beam_spark.streaming.state import StatefulDoFn, StatefulParDo
+
+        vcol, thr, min_n = self.value_col, self.threshold, self.min_samples
+        keys = self.key_cols
+        key_types = ", ".join(
+            f"{k} {pcoll.df.schema[k].dataType.simpleString()}" for k in keys)
+        out_schema = (f"{key_types}, value double, zscore double, "
+                      f"is_anomaly boolean")
+
+        class Detector(StatefulDoFn):
+            def process(self, key, rows, state):
+                n = state.get("n", 0)
+                mean = state.get("mean", 0.0)
+                m2 = state.get("m2", 0.0)
+                for r in rows:
+                    v = float(r[vcol])
+                    if n >= min_n and m2 > 0:
+                        std = math.sqrt(m2 / n)
+                        z = (v - mean) / std
+                    else:
+                        z = 0.0
+                    yield {**{k: r[k] for k in keys}, "value": v,
+                           "zscore": z, "is_anomaly": abs(z) > thr}
+                    # Welford update AFTER scoring (score-then-learn)
+                    n += 1
+                    d = v - mean
+                    mean += d / n
+                    m2 += d * (v - mean)
+                state.set("n", n)
+                state.set("mean", mean)
+                state.set("m2", m2)
+
+        return pcoll | StatefulParDo(keys, Detector(), out_schema)

@@ -173,3 +173,61 @@ class TFIDF(PTransform):
                .withColumn("tfidf", F.col("tf") * F.col("idf"))
                .select(idc, "term", "tf_count", "df", "tfidf"))
         return pcoll.with_df(out)
+
+
+class ComputeAndApplyVocabulary(PTransform):
+    """tft.ComputeAndApplyVocabulary (tft.py:148): fit a frequency-ranked
+    vocabulary over a text column, map tokens to indices (OOV -> -1).
+
+    The fitted vocabulary is the ARTIFACT (ml/transforms/base.py:298
+    artifact contract): persist with ``save_artifact`` and re-apply at
+    serving time with ``VocabularyArtifact.load`` — train/serve skew-free
+    because the mapping rides as a broadcast table, not a refit.
+    Ranking is deterministic: (-count, token) order.
+    """
+
+    def __init__(self, text_col: str = "text", out_col: str = "token_ids",
+                 top_k: int | None = None, label=None):
+        super().__init__(label)
+        self.text_col, self.out_col, self.top_k = text_col, out_col, top_k
+        self.vocab_df = None  # set on expand (the artifact)
+
+    def fit(self, pcoll: PCollection):
+        from beam_spark.operators.text import tokens as _tokens
+
+        vocab = (pcoll.df
+                 .select(F.explode(_tokens(self.text_col)).alias("token"))
+                 .groupBy("token").agg(F.count("*").alias("cnt")))
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+        vocab = vocab.withColumn("token_id", F.row_number().over(w) - 1)
+        if self.top_k:
+            vocab = vocab.filter(F.col("token_id") < self.top_k)
+        return vocab.select("token", "token_id", "cnt")
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        self.vocab_df = self.fit(pcoll)
+        return apply_vocabulary(pcoll, self.vocab_df, self.text_col, self.out_col)
+
+    def save_artifact(self, path: str) -> None:
+        self.vocab_df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def apply_vocabulary(pcoll: PCollection, vocab_df, text_col: str = "text",
+                     out_col: str = "token_ids") -> PCollection:
+    """Apply a fitted vocabulary (broadcast map join, OOV -> -1)."""
+    from beam_spark.operators.text import tokens as _tokens
+
+    rows = vocab_df.select("token", "token_id").collect()
+    mapping = F.create_map(
+        *[x for r in rows for x in (F.lit(r["token"]), F.lit(r["token_id"]))])
+    ids = F.transform(_tokens(text_col),
+                      lambda t: F.coalesce(mapping[t], F.lit(-1)))
+    return pcoll.with_df(pcoll.df.withColumn(out_col, ids))
+
+
+class VocabularyArtifact:
+    @staticmethod
+    def load(spark, path: str):
+        return spark.read.parquet(path)

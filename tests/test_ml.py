@@ -114,3 +114,56 @@ def test_llm_dataprep_pipeline_shape(spark, sf_dir):
     losers = {r["j"] for r in (scored | MinHashLSH(threshold=0.6)).df.collect()}
     kept_docs = {r["doc_id"] for r in rows}
     assert not (losers & kept_docs)
+
+
+def test_online_zscore_detector_streaming(spark):
+    from beam_spark.ml.anomaly import OnlineZScoreDetector
+    from beam_spark.streaming import TestStream, WriteStreamToMemory
+
+    ts = TestStream(spark, "k string, v double")
+    ts.add_elements([{"k": "a", "v": float(x)}
+                     for x in [10, 11, 9, 10, 11, 10]])   # learn baseline
+    ts.add_elements([{"k": "a", "v": 100.0}])             # outlier
+    ts.add_elements([{"k": "a", "v": 10.0}])              # normal again
+
+    pc = (ts.stream() | OnlineZScoreDetector("k", "v", threshold=3.0))
+    out = pc | WriteStreamToMemory(output_mode="append")
+    rows = out.collect()
+    anomalies = [r["value"] for r in rows if r["is_anomaly"]]
+    assert anomalies == [100.0]
+    # state carried across micro-batches: the post-outlier normal value
+    # is scored against stats that now include the outlier
+    last = [r for r in rows if r["value"] == 10.0 and not r["is_anomaly"]]
+    assert last
+
+
+def test_online_zscore_detector_bounded(spark):
+    from beam_spark.ml.anomaly import OnlineZScoreDetector
+
+    pc = (Pipeline(spark)
+          | Create([{"k": "a", "v": float(x)}
+                    for x in [5, 6, 5, 6, 5, 6, 50]])
+          | OnlineZScoreDetector("k", "v", threshold=3.0, min_samples=5))
+    rows = pc.collect()
+    assert [r["value"] for r in rows if r["is_anomaly"]] == [50.0]
+
+
+def test_vocabulary_fit_apply_artifact_roundtrip(spark, tmp_path):
+    from beam_spark.ml.transforms import (ComputeAndApplyVocabulary,
+                                          VocabularyArtifact,
+                                          apply_vocabulary)
+
+    train = Pipeline(spark) | Create([{"text": "a b a c"}, {"text": "a b"}])
+    op = ComputeAndApplyVocabulary(top_k=2)
+    out = train | op
+    row = out.collect()[0]
+    # a(3) -> 0, b(2) -> 1, c OOV -> -1
+    vocab = {r["token"]: r["token_id"] for r in op.vocab_df.collect()}
+    assert vocab == {"a": 0, "b": 1}
+
+    art = str(tmp_path / "vocab")
+    op.save_artifact(art)
+    loaded = VocabularyArtifact.load(spark, art)
+    serve = Pipeline(spark) | Create([{"text": "c a b"}])
+    applied = apply_vocabulary(serve, loaded)
+    assert applied.collect()[0]["token_ids"] == [-1, 0, 1]
