@@ -18,9 +18,9 @@ Spark: ``spark.sql`` IS the engine (Catalyst replaces Calcite wholesale —
 3. scalar-function parity (functions/ module): every operator asserted by
    BeamSqlDslSqlStdOperatorsTest is native Spark SQL.
 
-MATCH_RECOGNIZE (BeamMatchRel + NFA) lives in operators/cep.py as the
-MatchRecognize transform (python-API surface; SQL-text parsing of the
-MATCH_RECOGNIZE clause itself is future work).
+MATCH_RECOGNIZE (BeamMatchRel + NFA) lives in operators/cep.py; the SQL
+clause form is parsed by sql_match.py (constrained grammar) and executed
+through the same operator.
 """
 
 from __future__ import annotations
@@ -114,6 +114,10 @@ class SqlTransform(PTransform):
         for name, df in tables.items():
             df.createOrReplaceTempView(name)
         sql = _rewrite_tvf(self.sql)
+        if "MATCH_RECOGNIZE" in sql.upper():
+            from beam_spark.sql_match import try_rewrite_match_recognize
+
+            sql = try_rewrite_match_recognize(sql, spark, tables)
         return spark.sql(sql)
 
     def expand(self, pcolls) -> PCollection:

@@ -101,3 +101,27 @@ def test_hop_tvf_rewrite_and_run(spark, sf_dir):
     # each event lands in 4 windows (60/15)
     assert sum(r["n"] for r in rows) == events.df.count() * 4
     assert all(r["window_start"].minute % 15 == 0 for r in rows)
+
+
+def test_match_recognize_sql_clause(spark, sf_dir):
+    """MATCH_RECOGNIZE SQL text -> cep.MatchRecognize, result equal to the
+    python-API gate query."""
+    events = q.table(spark, sf_dir, "events")
+    out = ({"events": events} | SqlTransform("""
+        SELECT user_id, n_views, purchase_value
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES COUNT(V.event_id) AS n_views,
+                   LAST(P.value) AS purchase_value
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (V+ P)
+          DEFINE V AS V.event_type = 'view',
+                 P AS P.event_type = 'purchase'
+        )"""))
+    got = sorted((r["user_id"], r["n_views"], round(r["purchase_value"], 6))
+                 for r in out.collect())
+    ref = q.queries()["q_cep_views_then_purchase"](spark, sf_dir)
+    exp = sorted((r["user_id"], r["n_views"], round(r["purchase_value"], 6))
+                 for r in ref.collect())
+    assert got == exp and len(got) > 0
