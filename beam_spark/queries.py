@@ -1862,3 +1862,40 @@ def q_values(spark, sf_dir):
             | Create([{"r_name": "ASIA"}, {"r_name": "EUROPE"}]))
     out = vals | Join(table(spark, sf_dir, "region").df, on="r_name")
     return out.df.select("r_name", "r_regionkey")
+
+
+@query("q_cep_sql_match_recognize", """
+WITH e AS (SELECT user_id, event_id, event_type, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+m AS (SELECT *,
+             max(CASE WHEN event_type <> 'view' THEN rn END)
+               OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_nonview
+      FROM e)
+SELECT user_id, rn - 1 - COALESCE(prev_nonview, 0) AS n_views,
+       value AS purchase_value
+FROM m
+WHERE event_type = 'purchase' AND rn - 1 - COALESCE(prev_nonview, 0) >= 1
+""")
+def q_cep_sql(spark, sf_dir):
+    """The same V+ P pattern expressed as MATCH_RECOGNIZE SQL text,
+    parsed by sql_match.py and executed by the CEP operator."""
+    from beam_spark.sql import SqlTransform
+
+    events = table(spark, sf_dir, "events")
+    out = ({"events": events} | SqlTransform("""
+        SELECT user_id, n_views, purchase_value
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES COUNT(V.event_id) AS n_views,
+                   LAST(P.value) AS purchase_value
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (V+ P)
+          DEFINE V AS V.event_type = 'view',
+                 P AS P.event_type = 'purchase'
+        )"""))
+    return out.df

@@ -239,3 +239,22 @@ def test_orderby_rejects_unbounded(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unbounded"):
         pc | OrderBy("id")
+
+
+def test_sample_fixed_size_per_key(spark):
+    from beam_spark.operators.combiners import Sample
+
+    pc = (p(spark) | Create([{"k": chr(97 + i % 2), "v": i} for i in range(20)])
+          | Sample.FixedSizePerKey("k", 3))
+    got = {}
+    for r in pc.collect():
+        got.setdefault(r["k"], []).append(r["v"])
+    assert {k: len(v) for k, v in got.items()} == {"a": 3, "b": 3}
+
+
+def test_todict_combiner(spark):
+    from beam_spark.operators.combiners import ToDict
+
+    pc = (p(spark) | Create([{"key": "x", "value": 1}, {"key": "y", "value": 2}])
+          | ToDict())
+    assert pc.collect()[0]["dict"] == {"x": 1, "y": 2}
