@@ -1,0 +1,190 @@
+"""Beam YAML front-end (SURVEY.md §3 entry point 4).
+
+Beam reference: sdks/python/apache_beam/yaml/yaml_*.py — YAML specs map
+provider names onto the same transforms (yaml_join.py:173 even compiles
+joins to SQL). This is the equivalent thin frontend over beam_spark:
+a linear ``transforms`` chain (the common case; explicit ``input``
+wiring for multi-input transforms like Sql over several tables).
+
+Supported types (extensible via ``register_yaml_transform``):
+  ReadFromParquet/ReadFromCsv/ReadFromJson/ReadFromText: {path, ...}
+  Create:        {elements: [...]}
+  Filter:        {keep: "<sql predicate>"}
+  MapToFields:   {fields: {out: "<sql expr>", ...}, append: bool}
+  Sql:           {query: "...", name: "<view name for current pcoll>"}
+  Combine:       {group_by: [cols], aggregates: {out: "<sql agg expr>"}}
+  Join:          {with: <name of earlier named step>, on/condition, how}
+  WindowInto:    {windowing: {type: fixed|sliding|sessions, size, ...}}
+  Top:           {count, order_by: [...]}
+  WriteToParquet/WriteToCsv/WriteToJson: {path, ...}
+
+Steps may carry ``name`` to be referenced by later Join/Sql steps.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import SparkSession
+
+from beam_spark.pcollection import PBegin, PCollection, Pipeline
+
+_REGISTRY: dict[str, Callable] = {}
+
+
+def register_yaml_transform(name: str):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+def _expand(t: dict, current, named: dict, pipeline: Pipeline):
+    ttype = t["type"]
+    if ttype not in _REGISTRY:
+        raise ValueError(f"unknown YAML transform type: {ttype}")
+    return _REGISTRY[ttype](t, current, named, pipeline)
+
+
+def run_yaml(spec: str | dict, spark: SparkSession | None = None) -> PCollection:
+    """Build and return the pipeline described by a YAML string/dict."""
+    import yaml
+
+    if isinstance(spec, str):
+        spec = yaml.safe_load(spec)
+    pipeline = Pipeline(spark)
+    transforms = spec["pipeline"]["transforms"]
+    current = None
+    named: dict[str, PCollection] = {}
+    for t in transforms:
+        current = _expand(t, current, named, pipeline)
+        if t.get("name"):
+            named[t["name"]] = current
+    return current
+
+
+# -- providers -----------------------------------------------------------
+@register_yaml_transform("Create")
+def _create(t, current, named, pipeline):
+    from beam_spark.operators.core import Create
+
+    return pipeline | Create(t["elements"], schema=t.get("schema"))
+
+
+def _reader(fmt_cls):
+    def fn(t, current, named, pipeline):
+        kwargs = {k: v for k, v in t.items()
+                  if k not in ("type", "name", "path")}
+        return pipeline | fmt_cls(t["path"], **kwargs)
+    return fn
+
+
+@register_yaml_transform("Filter")
+def _filter(t, current, named, pipeline):
+    from beam_spark.operators.core import Filter
+
+    return current | Filter(t["keep"])
+
+
+@register_yaml_transform("MapToFields")
+def _map_to_fields(t, current, named, pipeline):
+    from pyspark.sql import functions as F
+
+    df = current.df
+    if t.get("append", True):
+        for out, expr in t["fields"].items():
+            df = df.withColumn(out, F.expr(str(expr)))
+    else:
+        df = df.select(*[F.expr(str(e)).alias(o)
+                         for o, e in t["fields"].items()])
+    return current.with_df(df)
+
+
+@register_yaml_transform("Sql")
+def _sql(t, current, named, pipeline):
+    from beam_spark.sql import SqlTransform
+
+    tables = {name: pc for name, pc in named.items()}
+    if current is not None:
+        tables.setdefault(t.get("input_name", "PCOLLECTION"), current)
+    return tables | SqlTransform(t["query"]) if len(tables) > 1 else \
+        (current | SqlTransform(t["query"], table_name=t.get("input_name", "PCOLLECTION")))
+
+
+@register_yaml_transform("Combine")
+def _combine(t, current, named, pipeline):
+    from pyspark.sql import functions as F
+
+    from beam_spark.operators.group import CombineGlobally, CombinePerKey
+
+    aggs = {out: F.expr(str(e)) for out, e in t["aggregates"].items()}
+    keys = t.get("group_by") or []
+    if keys:
+        return current | CombinePerKey(*keys, **aggs)
+    return current | CombineGlobally(**aggs)
+
+
+@register_yaml_transform("Join")
+def _join(t, current, named, pipeline):
+    from pyspark.sql import functions as F
+
+    from beam_spark.operators.join import Join
+
+    right = named[t["with"]]
+    cond = F.expr(t["condition"]) if "condition" in t else None
+    return current | Join(right.df, on=t.get("on"), how=t.get("how", "inner"),
+                          condition=cond,
+                          broadcast=bool(t.get("broadcast", False)))
+
+
+@register_yaml_transform("WindowInto")
+def _window_into(t, current, named, pipeline):
+    from beam_spark.operators.window import (FixedWindows, Sessions,
+                                             SlidingWindows, WindowInto)
+
+    w = t["windowing"]
+    wtype = w["type"]
+    if wtype == "fixed":
+        fn = FixedWindows(w["size"])
+    elif wtype == "sliding":
+        fn = SlidingWindows(w["size"], w["period"])
+    elif wtype == "sessions":
+        fn = Sessions(w["gap"])
+    else:
+        raise ValueError(wtype)
+    return current | WindowInto(fn, ts_col=w.get("ts_col"))
+
+
+@register_yaml_transform("Top")
+def _top(t, current, named, pipeline):
+    from beam_spark.operators.sort import TopK
+
+    return current | TopK(t["count"], *t["order_by"])
+
+
+def _writer(fmt_cls):
+    def fn(t, current, named, pipeline):
+        kwargs = {k: v for k, v in t.items()
+                  if k not in ("type", "name", "path")}
+        return current | fmt_cls(t["path"], **kwargs)
+    return fn
+
+
+def _register_io():
+    from beam_spark.sources.io import (ReadFromCsv, ReadFromJson,
+                                       ReadFromParquet, ReadFromText,
+                                       WriteToCsv, WriteToJson,
+                                       WriteToParquet)
+
+    for name, cls in [("ReadFromParquet", ReadFromParquet),
+                      ("ReadFromCsv", ReadFromCsv),
+                      ("ReadFromJson", ReadFromJson),
+                      ("ReadFromText", ReadFromText)]:
+        _REGISTRY[name] = _reader(cls)
+    for name, cls in [("WriteToParquet", WriteToParquet),
+                      ("WriteToCsv", WriteToCsv),
+                      ("WriteToJson", WriteToJson)]:
+        _REGISTRY[name] = _writer(cls)
+
+
+_register_io()

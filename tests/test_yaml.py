@@ -1,0 +1,93 @@
+"""Beam-YAML-style frontend tests (reference: sdks/python/apache_beam/
+yaml/): YAML spec -> the same operator pipeline."""
+
+from beam_spark.yaml_pipeline import run_yaml
+
+
+def test_yaml_linear_pipeline(spark, sf_dir):
+    spec = f"""
+pipeline:
+  transforms:
+    - type: ReadFromParquet
+      path: {sf_dir}/orders.parquet
+    - type: Filter
+      keep: "o_orderstatus = 'F'"
+    - type: MapToFields
+      fields:
+        price_tier: "CASE WHEN o_totalprice > 100000 THEN 'high' ELSE 'low' END"
+    - type: Combine
+      group_by: [price_tier]
+      aggregates:
+        n: "count(*)"
+        total: "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)"
+    - type: Top
+      count: 2
+      order_by: ["n desc", "price_tier"]
+"""
+    out = run_yaml(spec, spark)
+    rows = {r["price_tier"]: r["n"] for r in out.collect()}
+    exact = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .filter("o_orderstatus = 'F'").count()
+    assert sum(rows.values()) == exact and len(rows) <= 2
+
+
+def test_yaml_join_with_named_step(spark, sf_dir):
+    spec = f"""
+pipeline:
+  transforms:
+    - type: ReadFromParquet
+      path: {sf_dir}/nation.parquet
+      name: nations
+    - type: ReadFromParquet
+      path: {sf_dir}/region.parquet
+    - type: Join
+      with: nations
+      condition: "r_regionkey = n_regionkey"
+      broadcast: true
+    - type: Combine
+      group_by: [r_name]
+      aggregates:
+        n_nations: "count(*)"
+"""
+    out = run_yaml(spec, spark)
+    got = {r["r_name"]: r["n_nations"] for r in out.collect()}
+    assert sum(got.values()) == 25 and len(got) == 5
+
+
+def test_yaml_sql_step(spark, sf_dir):
+    spec = f"""
+pipeline:
+  transforms:
+    - type: ReadFromParquet
+      path: {sf_dir}/customer.parquet
+    - type: Sql
+      query: "SELECT c_mktsegment, count(*) AS n FROM PCOLLECTION GROUP BY c_mktsegment"
+"""
+    out = run_yaml(spec, spark)
+    assert sum(r["n"] for r in out.collect()) == \
+        spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+
+
+def test_yaml_windowed(spark, sf_dir):
+    # events needs the nanos shim, so feed it through Create
+    spec = """
+pipeline:
+  transforms:
+    - type: Create
+      elements:
+        - {t: "2024-01-01 00:00:10", v: 1}
+        - {t: "2024-01-01 00:00:50", v: 2}
+        - {t: "2024-01-01 00:02:10", v: 5}
+    - type: MapToFields
+      fields:
+        ts: "CAST(t AS TIMESTAMP)"
+    - type: WindowInto
+      windowing: {type: fixed, size: 60, ts_col: ts}
+    - type: Combine
+      group_by: []
+      aggregates:
+        n: "count(*)"
+"""
+    out = run_yaml(spec, spark)
+    counts = sorted(r["n"] for r in out.collect())
+    assert counts == [1, 2]
