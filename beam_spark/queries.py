@@ -1899,3 +1899,80 @@ def q_cep_sql(spark, sf_dir):
                  P AS P.event_type = 'purchase'
         )"""))
     return out.df
+
+
+# --------------------------------------------------------------------------
+# M12 — scalar/collection SQL conformance in the gate, mirroring the
+# BeamSqlDsl test families (SURVEY §5): arrays/maps, datetime extraction,
+# conditionals.
+# --------------------------------------------------------------------------
+
+@query("q_array_ops_tokens", f"""
+WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS cardinality,
+       toks[1] AS first_token,
+       toks[len(toks)] AS last_token,
+       array_to_string(list_sort(list_distinct(toks[1:2])), ',') AS head_sorted
+FROM t
+""")
+def q_array_ops(spark, sf_dir):
+    """Array operator family (BeamSqlDsl arrays: CARDINALITY, ELEMENT,
+    slicing): expressed on the token array."""
+    from beam_spark.operators.text import tokens
+
+    df = table(spark, sf_dir, "documents").df
+    t = tokens("text")
+    return df.select(
+        "doc_id",
+        F.size(t).alias("cardinality"),
+        F.element_at(t, 1).alias("first_token"),
+        F.element_at(t, F.size(t)).alias("last_token"),
+        F.array_join(F.sort_array(F.array_distinct(F.slice(t, 1, 2))), ",")
+         .alias("head_sorted"))
+
+
+@query("q_datetime_functions", """
+SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+       month(o_orderdate) AS m, dayofweek(o_orderdate) + 1 AS dow,  -- duckdb 0=Sunday vs Spark 1=Sunday
+       COUNT(*) AS n,
+       CAST(MAX(date_diff('day', CAST('1995-01-01' AS TIMESTAMP), o_orderdate))
+            AS BIGINT) AS max_days_since_epoch_start
+FROM orders GROUP BY y, q, m, dow
+""")
+def q_datetime(spark, sf_dir):
+    """Datetime extraction family (EXTRACT/YEAR/QUARTER/MONTH/DAYOFWEEK/
+    TIMESTAMPDIFF) — all native; DAYOFWEEK is 1=Sunday in both engines."""
+    df = table(spark, sf_dir, "orders").df
+    return (df.groupBy(
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("q"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofweek("o_orderdate").alias("dow"))
+        .agg(F.count("*").alias("n"),
+             F.max(F.expr(
+                 "timestampdiff(DAY, CAST('1995-01-01' AS TIMESTAMP), o_orderdate)"))
+             .cast("long").alias("max_days_since_epoch_start")))
+
+
+@query("q_conditional_functions", """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 150000 THEN 'big'
+            WHEN o_totalprice > 50000 THEN 'mid'
+            ELSE 'small' END AS size_tier,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_label,
+       IF(o_orderpriority = '1-URGENT', 1, 0) AS is_urgent
+FROM orders
+""")
+def q_conditionals(spark, sf_dir):
+    """Conditional scalar family (CASE/COALESCE/NULLIF/IF)."""
+    df = table(spark, sf_dir, "orders").df
+    return df.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 150000, "big")
+         .when(F.col("o_totalprice") > 50000, "mid")
+         .otherwise("small").alias("size_tier"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open"))
+         .alias("status_label"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+         .alias("is_urgent"))
