@@ -215,16 +215,53 @@ class ComputeAndApplyVocabulary(PTransform):
 
 
 def apply_vocabulary(pcoll: PCollection, vocab_df, text_col: str = "text",
-                     out_col: str = "token_ids") -> PCollection:
-    """Apply a fitted vocabulary (broadcast map join, OOV -> -1)."""
+                     out_col: str = "token_ids", id_col: str | None = None,
+                     literal_max: int = 10_000) -> PCollection:
+    """Apply a fitted vocabulary (OOV -> -1), preserving token order.
+
+    Small vocabularies (<= ``literal_max`` entries) inline as a literal
+    ``create_map`` — pure whole-stage-codegen lookup, no shuffle. Larger
+    vocabularies go through posexplode -> broadcast-hash-join ->
+    positional re-aggregation: the vocab ships as a broadcast TABLE
+    (tens of MB at 1M tokens), never as a Catalyst literal (a 1M-entry
+    literal map is a multi-hundred-MB plan / driver OOM).
+
+    ``id_col`` names a unique row id used to re-assemble token arrays in
+    the join path; when absent a monotonic id is stamped and the input
+    persisted (monotonically_increasing_id is nondeterministic across
+    recomputation, so the self-join must not recompute it).
+    """
     from beam_spark.operators.text import tokens as _tokens
 
-    rows = vocab_df.select("token", "token_id").collect()
-    mapping = F.create_map(
-        *[x for r in rows for x in (F.lit(r["token"]), F.lit(r["token_id"]))])
-    ids = F.transform(_tokens(text_col),
-                      lambda t: F.coalesce(mapping[t], F.lit(-1)))
-    return pcoll.with_df(pcoll.df.withColumn(out_col, ids))
+    n_vocab = vocab_df.limit(literal_max + 1).count()
+    if n_vocab <= literal_max:
+        rows = vocab_df.select("token", "token_id").collect()
+        mapping = F.create_map(
+            *[x for r in rows for x in (F.lit(r["token"]), F.lit(r["token_id"]))])
+        ids = F.transform(_tokens(text_col),
+                          lambda t: F.coalesce(mapping[t], F.lit(-1)).cast("int"))
+        return pcoll.with_df(pcoll.df.withColumn(out_col, ids))
+
+    df = pcoll.df
+    uid = id_col or "__bs_vocab_uid"
+    if id_col is None:
+        df = df.withColumn(uid, F.monotonically_increasing_id())
+        df.persist()
+    toks = (df.select(uid, F.posexplode(_tokens(text_col))
+                      .alias("__bs_pos", "token")))
+    joined = toks.join(F.broadcast(vocab_df.select("token", "token_id")),
+                       on="token", how="left")
+    ids = (joined.groupBy(uid)
+           .agg(F.array_sort(F.collect_list(F.struct(
+               F.col("__bs_pos").alias("pos"),
+               F.coalesce("token_id", F.lit(-1)).cast("int").alias("id"))))
+               .alias("__bs_arr"))
+           .select(uid, F.transform("__bs_arr", lambda s: s["id"]).alias(out_col)))
+    out = (df.join(ids, on=uid, how="left")
+           .withColumn(out_col, F.coalesce(out_col, F.array().cast("array<int>"))))
+    if id_col is None:
+        out = out.drop(uid)
+    return pcoll.with_df(out)
 
 
 class VocabularyArtifact:

@@ -56,13 +56,21 @@ class Top:
 
     @staticmethod
     def Of(k: int, *order_by, label=None) -> PTransform:
+        """Beam Top.Of/Largest contract: the k LARGEST by the given
+        column(s) — bare column names sort descending here (explicit
+        ``Column``/" asc"/" desc" specs are honored as written)."""
         from beam_spark.operators.sort import TopK
-        return TopK(k, *order_by, label=label)
+
+        specs = [F.col(s).desc() if isinstance(s, str)
+                 and not s.lower().endswith((" asc", " desc")) else s
+                 for s in order_by]
+        return TopK(k, *specs, label=label)
 
     Largest = Of
 
     @staticmethod
     def Smallest(k: int, col: str, label=None) -> PTransform:
+        """The k smallest (ascending natural order)."""
         from beam_spark.operators.sort import TopK
         return TopK(k, col, label=label)
 

@@ -362,16 +362,29 @@ class Flatten(PTransform):
 
 
 class LogElements(PTransform):
-    """Debug logging (util.py:2183): print a bounded sample; passthrough."""
+    """Debug logging (util.py:2183): passthrough tap that prints up to
+    ``n`` elements PER PARTITION when the pipeline actually RUNS (on the
+    executors — check executor logs on a cluster). Lazy: expand() only
+    builds the plan; no job is triggered at construction time."""
 
     def __init__(self, n: int = 20, prefix: str = "", label=None):
         super().__init__(label)
         self.n, self.prefix = n, prefix
 
     def expand(self, pcoll: PCollection) -> PCollection:
-        for row in pcoll.df.limit(self.n).collect():
-            print(f"{self.prefix}{row.asDict()}")
-        return pcoll
+        n, prefix = self.n, self.prefix
+
+        def tap(batches):
+            remaining = n
+            for pdf in batches:
+                if remaining > 0:
+                    for rec in pdf.head(remaining).to_dict("records"):
+                        print(f"{prefix}{rec}")
+                    remaining -= min(remaining, len(pdf))
+                yield pdf
+
+        return pcoll.with_df(
+            pcoll.df.mapInPandas(tap, schema=pcoll.df.schema))
 
 
 class Tee(PTransform):

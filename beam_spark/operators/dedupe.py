@@ -161,8 +161,9 @@ class MinHashLSH(PTransform):
 
         # only (id, sig) comes back — the shingle arrays stay in the
         # persisted sh frame (caching them twice doubled memory+serde)
+        id_type = sh_df.schema[idc].dataType.simpleString()
         return with_base.select(idc, "base").mapInPandas(
-            gen, schema=f"{idc} long, sig array<long>")
+            gen, schema=f"{idc} {id_type}, sig array<long>")
 
     def expand(self, pcoll: PCollection) -> PCollection:
         idc = self.id_col

@@ -76,21 +76,46 @@ def resolve_agg(fn, col: str) -> Column:
 
 
 
-def _grouping_keys(pcoll, keys: list) -> list:
-    """Key list extended with the window: a materialized ``__window``
-    column, or a pending merging WindowFn (Sessions) applied here —
-    Beam's per-key-per-window grouping contract."""
+def _windowed_grouping(pcoll, keys: list) -> tuple[DataFrame, list]:
+    """(df, grouping columns) with the window key appended: a materialized
+    ``__window`` column, or a pending merging WindowFn (Sessions) applied
+    here — Beam's per-key-per-window grouping contract. Sessions
+    materializes via ``sessionize`` (gaps-and-islands, Beam-exact gap
+    boundary), which may rewrite the DataFrame."""
     from beam_spark.pcollection import WINDOW_COL
+    from beam_spark.operators.window import Sessions, sessionize
 
+    df = pcoll.df
     out = [F.col(k) if isinstance(k, str) else k for k in keys]
     str_keys = [k for k in keys if isinstance(k, str)]
     if pcoll.window_col and pcoll.window_col not in str_keys:
         out.append(F.col(pcoll.window_col))
     elif getattr(pcoll, "window_fn", None) is not None:
-        expr = pcoll.window_fn.grouping_expr(pcoll.ts_col)
-        if expr is not None:
-            out.append(expr.alias(WINDOW_COL))
-    return out
+        fn = pcoll.window_fn
+        if isinstance(fn, Sessions):
+            if df.isStreaming:
+                # lag/cumsum window functions don't exist on streams;
+                # Spark's native session_window is the streaming path.
+                # Documented divergence: at the EXACT gap boundary
+                # (next_ts - prev_ts == gap) Spark merges where Beam
+                # starts a new session (strict-overlap rule,
+                # reference transforms/window.py:528).
+                from beam_spark.operators.window import _dur_to_sql
+                out.append(F.session_window(
+                    F.col(pcoll.ts_col), _dur_to_sql(fn.gap)).alias(WINDOW_COL))
+            else:
+                df = sessionize(df, list(out), pcoll.ts_col, fn.gap)
+                out.append(F.col(WINDOW_COL))
+        else:
+            expr = fn.grouping_expr(pcoll.ts_col)
+            if expr is not None:
+                out.append(expr.alias(WINDOW_COL))
+    return df, out
+
+
+def _grouping_keys(pcoll, keys: list) -> list:
+    """Back-compat shim over :func:`_windowed_grouping` (columns only)."""
+    return _windowed_grouping(pcoll, keys)[1]
 
 
 class GroupByKey(PTransform):
@@ -107,13 +132,14 @@ class GroupByKey(PTransform):
         self.value_col = value_col
 
     def expand(self, pcoll: PCollection) -> PCollection:
-        keys = _grouping_keys(pcoll, list(self.key_cols))
-        key_names = list(self.key_cols) + ([pcoll.window_col] if pcoll.window_col else [])
-        df = pcoll.df
+        from beam_spark.pcollection import WINDOW_COL
+
+        df, keys = _windowed_grouping(pcoll, list(self.key_cols))
+        key_names = list(self.key_cols) + [WINDOW_COL, pcoll.window_col or WINDOW_COL]
         if self.value_col:
             val = F.col(self.value_col)
         else:
-            rest = [c for c in df.columns if c not in key_names]
+            rest = [c for c in pcoll.df.columns if c not in key_names]
             val = F.struct(*[F.col(c) for c in rest]) if len(rest) > 1 else F.col(rest[0])
         out = df.groupBy(*keys).agg(F.collect_list(val).alias("values"))
         return pcoll.with_df(out)
@@ -134,7 +160,7 @@ class CombinePerKey(PTransform):
         self.key_cols, self.aggs = list(key_cols), aggs
 
     def expand(self, pcoll: PCollection) -> PCollection:
-        keys = _grouping_keys(pcoll, list(self.key_cols))
+        df, keys = _windowed_grouping(pcoll, list(self.key_cols))
         # str form: either 'sum' (combine the column with the output name)
         # or a full SQL aggregate expression 'sum(x * y)'.
         agg_cols = []
@@ -145,7 +171,7 @@ class CombinePerKey(PTransform):
                 agg_cols.append(F.expr(spec).alias(name))
             else:
                 agg_cols.append(resolve_agg(spec, name).alias(name))
-        out = pcoll.df.groupBy(*keys).agg(*agg_cols)
+        out = df.groupBy(*keys).agg(*agg_cols)
         return pcoll.with_df(out)
 
 
@@ -166,8 +192,8 @@ class CombineGlobally(PTransform):
                 agg_cols.append(F.expr(spec).alias(name))
             else:
                 agg_cols.append(resolve_agg(spec, name).alias(name))
-        keys = _grouping_keys(pcoll, [])
-        df = pcoll.df.groupBy(*keys).agg(*agg_cols) if keys else pcoll.df.agg(*agg_cols)
+        df, keys = _windowed_grouping(pcoll, [])
+        df = df.groupBy(*keys).agg(*agg_cols) if keys else df.agg(*agg_cols)
         return pcoll.with_df(df)
 
 
@@ -192,14 +218,14 @@ class GroupBy(PTransform):
         keys = [F.col(k) if isinstance(k, str) else k for k in self.key_exprs]
         keys += [(F.expr(e) if isinstance(e, str) else e).alias(n)
                  for n, e in self.named_keys.items()]
-        keys = _grouping_keys(pcoll, keys)
+        df, keys = _windowed_grouping(pcoll, keys)
         aggs = []
         for field, fn, dest in self._aggs:
             if fn is None:
                 aggs.append((F.expr(field) if isinstance(field, str) else field).alias(dest))
             else:
                 aggs.append(resolve_agg(fn, field).alias(dest))
-        return pcoll.with_df(pcoll.df.groupBy(*keys).agg(*aggs))
+        return pcoll.with_df(df.groupBy(*keys).agg(*aggs))
 
 
 class CoGroupByKey(PTransform):

@@ -98,7 +98,15 @@ def salted_join(big: DataFrame, small: DataFrame, on: str, how: str = "inner",
     """Skew-resistant equi-join: salt the big side's key into ``salt``
     buckets and replicate the small side per bucket. Beam's analog is
     hot-key fanout (core.py:3321); on Spark prefer AQE skew-join first and
-    reach for this only when one key dominates a stage."""
+    reach for this only when one key dominates a stage.
+
+    Only inner/left are supported: the small side is replicated once per
+    salt bucket, so right/full outer would emit unmatched small-side rows
+    up to ``salt`` times."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r} "
+            "(replicated small side would duplicate unmatched rows)")
     salted_big = big.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
     salts = small.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt"))
     salted_small = small.crossJoin(F.broadcast(salts))

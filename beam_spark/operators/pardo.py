@@ -224,8 +224,30 @@ class BatchedDoFn(PTransform):
 # Side input views (pvalue.py:480-644)
 # ----------------------------------------------------------------------
 class _View:
-    def __init__(self, pcoll: PCollection):
+    """Side-input view base (pvalue.py:480-644).
+
+    Views materialize to the DRIVER and ship to workers in the DoFn
+    closure — Beam's model, bounded by worker memory. ``max_rows``
+    fails fast when a side input is too big for that model; at scale a
+    map-shaped side input belongs in ``Join(broadcast=True)`` (the
+    broadcast-hash-join path), which is what SURVEY maps large side
+    inputs to.
+    """
+
+    DEFAULT_MAX_ROWS = 1_000_000
+
+    def __init__(self, pcoll: PCollection, max_rows: int | None = None):
         self.pcoll = pcoll
+        self.max_rows = self.DEFAULT_MAX_ROWS if max_rows is None else max_rows
+
+    def _bounded_collect(self) -> list:
+        rows = self.pcoll.df.limit(self.max_rows + 1).collect()
+        if len(rows) > self.max_rows:
+            raise ValueError(
+                f"{type(self).__name__} side input exceeds max_rows="
+                f"{self.max_rows}; use Join(broadcast=True) for large "
+                "keyed side inputs, or raise max_rows explicitly")
+        return rows
 
     def materialize(self) -> Any:
         raise NotImplementedError
@@ -244,7 +266,7 @@ class AsSingleton(_View):
 
 class AsList(_View):
     def materialize(self):
-        rows = self.pcoll.df.collect()
+        rows = self._bounded_collect()
         return [r[0] if len(r) == 1 else r.asDict() for r in rows]
 
 
@@ -256,13 +278,13 @@ class AsDict(_View):
     """Two-column (key, value) PCollection -> dict."""
 
     def materialize(self):
-        return {r[0]: r[1] for r in self.pcoll.df.collect()}
+        return {r[0]: r[1] for r in self._bounded_collect()}
 
 
 class AsMultiMap(_View):
     def materialize(self):
         out: dict = {}
-        for r in self.pcoll.df.collect():
+        for r in self._bounded_collect():
             out.setdefault(r[0], []).append(r[1])
         return out
 

@@ -16,8 +16,13 @@ column.
   ``F.window(ts, size, slide)`` at groupBy time — same semantics.
 * Sessions      -> merging windows cannot be assigned per element
   (Beam merges at GBK time; so does Spark). WindowInto records the
-  pending WindowFn on the PCollection and grouping operators apply
-  ``F.session_window(ts, gap)`` inside groupBy.
+  pending WindowFn on the PCollection and grouping operators call
+  ``sessionize`` — a gaps-and-islands materialization with Beam's exact
+  merge rule (merge iff the next element starts STRICTLY inside the
+  previous window's gap: IntervalWindow intersection, reference
+  transforms/window.py:528). ``F.session_window`` is NOT used: Spark
+  closes/extends sessions differently at the exact gap boundary
+  (falsified by hypothesis at ts=[0, 60], gap=60).
 * GlobalWindows -> drops the window column (one global window).
 
 TimestampCombiner: the output timestamp of a windowed aggregate —
@@ -117,7 +122,11 @@ class SlidingWindows(WindowFn):
 
 
 class Sessions(WindowFn):
-    """Gap-merged per-key sessions (window.py:528; proto :106-113)."""
+    """Gap-merged per-key sessions (window.py:528; proto :106-113).
+
+    Applied by grouping operators through :func:`sessionize` (NOT
+    ``F.session_window`` — see module docstring for the boundary
+    divergence)."""
 
     merging = True
 
@@ -128,7 +137,46 @@ class Sessions(WindowFn):
         return None
 
     def grouping_expr(self, ts_col):
-        return F.session_window(F.col(ts_col), _dur_to_sql(self.gap))
+        raise TypeError(
+            "Sessions is materialized via sessionize() by grouping "
+            "operators; it has no per-element grouping expression")
+
+
+def sessionize(df, key_cols, ts_col: str, gap_sec: float):
+    """Materialize Beam-exact merged session windows as a ``__window``
+    struct column via gaps-and-islands.
+
+    Per key, ordered by event time: a new session starts when
+    ``ts - prev_ts >= gap`` (merge only on STRICT overlap of the
+    per-element windows [t, t+gap) — Beam IntervalWindow intersection,
+    reference transforms/window.py:528). The merged window is
+    [min(ts), max(ts) + gap).
+
+    Scale: one shuffle on the session key (reused by the groupBy that
+    follows — HashPartitioning(keys) satisfies the keys+session_id
+    clustering, so Catalyst inserts no second exchange). Keyless
+    sessionization degenerates to a single partition — sessions are a
+    per-key construct; use keys at scale.
+    """
+    from pyspark.sql.window import Window
+
+    gap_us = int(gap_sec * 1_000_000)
+    part = [F.col(k) if isinstance(k, str) else k for k in key_cols] or [F.lit(1)]
+    tsm, new, sid = "__bs_tsm", "__bs_sess_new", "__bs_sid"
+    w = Window.partitionBy(*part).orderBy(tsm)
+    df = df.withColumn(tsm, F.unix_micros(F.col(ts_col).cast("timestamp")))
+    prev = F.lag(tsm).over(w)
+    df = df.withColumn(
+        new, F.when(prev.isNull() | (F.col(tsm) - prev >= gap_us), 1).otherwise(0))
+    df = df.withColumn(sid, F.sum(new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    bounds = Window.partitionBy(*part, F.col(sid))
+    df = df.withColumn(
+        WINDOW_COL,
+        F.struct(
+            F.timestamp_micros(F.min(tsm).over(bounds)).alias("start"),
+            F.timestamp_micros(F.max(tsm).over(bounds) + gap_us).alias("end")))
+    return df.drop(tsm, new, sid)
 
 
 class WindowInto(PTransform):

@@ -117,7 +117,13 @@ class AfterWatermarkEarlyCount(PTransform):
                         acc = wins.pop(ws)
                         emit(ws, acc, "ON_TIME")
                         if lateness_ms > 0:
-                            closed[ws] = [acc[0], 0, 0.0]
+                            # closed acc: [next_pane, count, sum, new_since_fire].
+                            # ACCUMULATING re-emits the running total on every
+                            # pane (beam_runner_api.proto AccumulationMode), so
+                            # seed with the window's fired totals; DISCARDING
+                            # panes carry only the late arrivals.
+                            closed[ws] = ([acc[0], acc[1], acc[2], 0]
+                                          if accumulating else [acc[0], 0, 0.0, 0])
 
             # windows whose close crossed between batches fire BEFORE this
             # batch's inputs (Beam ordering: watermark crossing precedes
@@ -134,6 +140,7 @@ class AfterWatermarkEarlyCount(PTransform):
                             # late arrival for a fired window
                             closed[ws][1] += 1
                             closed[ws][2] += float(v)
+                            closed[ws][3] += 1
                             continue
                         # acc: [pane_index, count, sum, since_last_firing]
                         acc = wins.setdefault(ws, [0, 0, 0.0, 0])
@@ -148,14 +155,15 @@ class AfterWatermarkEarlyCount(PTransform):
             close_pass()
             # fire LATE panes for this batch's late arrivals; purge expired
             for ws in sorted(list(closed)):
-                nxt, lc, lsum = closed[ws]
-                if lc > 0:
+                nxt, lc, lsum, fresh = closed[ws]
+                if fresh > 0:
                     out.append({**dict(zip(keys, key)),
                                 "window_start": pd.Timestamp(ws, unit="ms"),
                                 "window_end": pd.Timestamp(ws + size_ms, unit="ms"),
                                 "pane_index": nxt, "pane_timing": "LATE",
                                 "pane_count": lc, "pane_sum": lsum})
-                    closed[ws] = [nxt + 1, 0, 0.0]
+                    closed[ws] = ([nxt + 1, lc, lsum, 0] if accumulating
+                                  else [nxt + 1, 0, 0.0, 0])
                 if wm >= ws + size_ms:
                     # spark's own filter now drops anything this old
                     del closed[ws]

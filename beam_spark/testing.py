@@ -28,13 +28,24 @@ def _canon_value(v, float_tol_digits: int = 9):
     return v
 
 
-def _canon_rows(rows: Iterable, float_tol_digits: int = 9) -> list:
+def _canon_rows(rows: Iterable, float_tol_digits: int = 9,
+                keyed: bool | None = None) -> list:
+    """``keyed=True`` canonicalizes Rows/dicts as sorted (name, value)
+    pairs (schema-order independent); ``keyed=False`` positionally.
+    ``None`` auto-detects per row (Row/dict -> keyed). equal_to picks ONE
+    mode from the expectation shape so Rows and dict expectations always
+    compare in the same order (column order must not matter)."""
     out = []
     for r in rows:
         if hasattr(r, "asDict"):
-            r = tuple(_canon_value(v, float_tol_digits) for v in r)
+            if keyed is False:
+                r = tuple(_canon_value(v, float_tol_digits) for v in r)
+            else:
+                r = tuple(sorted((k, _canon_value(v, float_tol_digits))
+                                 for k, v in r.asDict().items()))
         elif isinstance(r, dict):
-            r = tuple(_canon_value(r[k], float_tol_digits) for k in sorted(r))
+            r = tuple(sorted((k, _canon_value(r[k], float_tol_digits))
+                             for k in r))
         elif isinstance(r, (list, tuple)):
             r = tuple(_canon_value(v, float_tol_digits) for v in r)
         else:
@@ -47,8 +58,12 @@ def equal_to(expected: Sequence):
     """Matcher: unordered multiset equality (testing/util.py:317)."""
 
     def _match(actual_rows):
-        a = _canon_rows(actual_rows)
-        e = _canon_rows(expected)
+        exp = list(expected)
+        # dict expectations -> compare by column NAME; tuple expectations
+        # -> positionally (Rows flattened in schema order).
+        keyed = any(isinstance(r, dict) or hasattr(r, "asDict") for r in exp)
+        a = _canon_rows(actual_rows, keyed=keyed)
+        e = _canon_rows(exp, keyed=keyed)
         if a != e:
             raise AssertionError(
                 f"PCollection contents differ.\n  expected: {e}\n  actual:   {a}")

@@ -258,3 +258,40 @@ def test_todict_combiner(spark):
     pc = (p(spark) | Create([{"key": "x", "value": 1}, {"key": "y", "value": 2}])
           | ToDict())
     assert pc.collect()[0]["dict"] == {"x": 1, "y": 2}
+
+
+def test_top_largest_differs_from_smallest(spark):
+    """Beam Top.Of/Largest = k LARGEST; Smallest = k smallest
+    (combiners.py:188; regression: both used to sort ascending)."""
+    from beam_spark.operators.combiners import Top
+
+    pc = p(spark) | Create([{"v": i} for i in [5, 1, 9, 3, 7]])
+    largest = sorted(r["v"] for r in (pc | Top.Largest(2, "v")).df.collect())
+    smallest = sorted(r["v"] for r in (pc | Top.Smallest(2, "v")).df.collect())
+    assert largest == [7, 9]
+    assert smallest == [1, 3]
+
+
+def test_salted_join_rejects_outer(spark):
+    from beam_spark.operators.join import salted_join
+    import pytest
+
+    df = spark.range(4).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="inner"):
+        salted_join(df, df, on="k", how="full")
+
+
+def test_log_elements_is_lazy(spark):
+    """LogElements must not trigger a job at pipeline-construction time
+    (regression: it used to limit().collect() inside expand())."""
+    import pytest
+    from beam_spark.operators.core import LogElements
+    from beam_spark.operators.pardo import BatchedDoFn
+
+    def boom(pdf):
+        raise RuntimeError("evaluated")
+
+    pc = p(spark) | Create([{"x": 1}]) | BatchedDoFn(boom, "x long")
+    tapped = pc | LogElements(n=5)          # must NOT raise (no job yet)
+    with pytest.raises(Exception, match="evaluated"):
+        tapped.df.collect()                 # job runs only on action

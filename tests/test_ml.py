@@ -167,3 +167,25 @@ def test_vocabulary_fit_apply_artifact_roundtrip(spark, tmp_path):
     serve = Pipeline(spark) | Create([{"text": "c a b"}])
     applied = apply_vocabulary(serve, loaded)
     assert applied.collect()[0]["token_ids"] == [-1, 0, 1]
+
+
+def test_apply_vocabulary_join_path_matches_literal(spark):
+    """Above literal_max the vocab must go through posexplode +
+    broadcast-hash-join (never a giant literal map); both paths agree."""
+    from beam_spark.pcollection import Pipeline
+    from beam_spark.operators.core import Create
+    from beam_spark.ml.transforms import ComputeAndApplyVocabulary, apply_vocabulary
+
+    docs = [{"doc_id": i, "text": t} for i, t in enumerate(
+        ["alpha beta gamma", "beta beta delta", "gamma zeta", ""])]
+    pc = Pipeline(spark) | Create(docs)
+    vocab = ComputeAndApplyVocabulary().fit(pc)
+
+    lit = apply_vocabulary(pc, vocab, literal_max=10_000)
+    join = apply_vocabulary(pc, vocab, literal_max=2, id_col="doc_id")
+    got_lit = {r["doc_id"]: r["token_ids"] for r in lit.df.collect()}
+    got_join = {r["doc_id"]: r["token_ids"] for r in join.df.collect()}
+    assert got_lit == got_join
+    assert all(i >= -1 for ids in got_join.values() for i in ids)
+    plan = join.df._jdf.queryExecution().executedPlan().toString()
+    assert "keys: [" not in plan  # no literal map in the join path

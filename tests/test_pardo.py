@@ -154,3 +154,16 @@ def test_tee_and_waiton(spark):
     assert seen["n"] == 2
     gated = out | WaitOn(p(spark) | Create([{"y": 9}]))
     assert gated.count() == 2
+
+
+def test_side_input_row_cap_fails_fast(spark):
+    """Side-input views are driver-materialized and must fail fast past
+    max_rows (large keyed side inputs belong in Join(broadcast=True))."""
+    import pytest
+    from beam_spark.pcollection import Pipeline
+    from beam_spark.operators.core import Create
+
+    pc = Pipeline(spark) | Create([{"x": i} for i in range(5)])
+    with pytest.raises(ValueError, match="max_rows"):
+        AsList(pc, max_rows=2).materialize()
+    assert len(AsList(pc, max_rows=5).materialize()) == 5
