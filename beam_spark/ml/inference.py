@@ -165,3 +165,83 @@ class FakeTextEmbeddingHandler(ModelHandler):
 
     def run_inference(self, batch, model):
         return model(batch)
+
+
+class LinearRegressionHandler(ModelHandler):
+    """REAL fitted model handler (reference sklearn_inference.py:34
+    _load_model/joblib pattern): ordinary-least-squares weights fitted
+    offline on a labeled set (provenance in the artifact's ``train``
+    block) and loaded from the artifact file ONCE PER EXECUTOR PROCESS
+    via the share-token cache — numpy stands in for sklearn, which is
+    not in this container (see SklearnModelHandler for the joblib path).
+
+    Input column: array<double> feature vector in the artifact's feature
+    order. Scoring accumulates strictly left-to-right
+    (((w0 + x0*w1) + x1*w2) + ...) so an ANSI-SQL oracle with the same
+    literal weights reproduces the exact IEEE-754 doubles.
+    """
+
+    def __init__(self, artifact_path: str | None = None):
+        import os
+
+        self.artifact_path = artifact_path or os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "artifacts", "linear_model.json")
+        self.share_token = f"linreg:{self.artifact_path}"
+
+    def load_model(self):
+        import json
+
+        with open(self.artifact_path) as f:
+            m = json.load(f)
+        assert m["kind"] == "linear_regression_ols", m["kind"]
+        return m
+
+    def run_inference(self, batch, model):
+        import numpy as np
+
+        X = np.asarray([list(x) for x in batch], dtype=np.float64)
+        score = np.full(len(X), model["intercept"], dtype=np.float64)
+        for j, w in enumerate(model["weights"]):
+            score = score + X[:, j] * w   # fixed fold order, matches SQL
+        return score.tolist()
+
+    def sql_score_expr(self, feature_exprs: list[str]) -> str:
+        """The exact scoring expression as ANSI SQL (valid in Spark SQL
+        and DuckDB) — the gate oracle uses this to verify the handler
+        end-to-end against real weights."""
+        import json
+
+        with open(self.artifact_path) as f:
+            m = json.load(f)
+        expr = repr(m["intercept"])
+        for fe, w in zip(feature_exprs, m["weights"]):
+            expr = f"({expr} + CAST({fe} AS DOUBLE) * {w!r})"
+        return expr
+
+
+class SklearnModelHandler(ModelHandler):
+    """Sklearn handler (reference ml/inference/sklearn_inference.py):
+    joblib-pickled estimator loaded per executor, ``predict`` over the
+    batch matrix. Importable only where sklearn/joblib exist — this
+    container has neither, so the contract is proven by
+    LinearRegressionHandler (identical load/score/batch path) and this
+    class is exercised when the libs are present."""
+
+    def __init__(self, model_uri: str):
+        self.model_uri = model_uri
+        self.share_token = f"sklearn:{model_uri}"
+
+    def load_model(self):
+        try:
+            import joblib
+        except ImportError as e:  # pragma: no cover - env without sklearn
+            raise ImportError(
+                "SklearnModelHandler needs joblib/sklearn; use "
+                "LinearRegressionHandler in this environment") from e
+        return joblib.load(self.model_uri)
+
+    def run_inference(self, batch, model):
+        import numpy as np
+
+        return model.predict(np.asarray([list(x) for x in batch])).tolist()

@@ -1366,6 +1366,138 @@ def q22(spark, sf_dir):
     return out.df
 
 
+@query("q2_min_cost_supplier", f"""
+WITH eu_supp AS (SELECT s_suppkey, s_name FROM supplier
+                 JOIN nation ON s_nationkey = n_nationkey
+                 JOIN region ON n_regionkey = r_regionkey
+                 WHERE r_name = 'EUROPE'),
+offers AS (SELECT l_partkey, l_suppkey,
+                  MIN({dec('l_extendedprice')}) AS min_price
+           FROM lineitem GROUP BY l_partkey, l_suppkey),
+best AS (SELECT o.l_partkey AS bp, MIN(o.min_price) AS best_price
+         FROM offers o JOIN eu_supp s ON o.l_suppkey = s.s_suppkey
+         GROUP BY o.l_partkey)
+SELECT p_partkey, s_name, CAST(b.best_price AS DOUBLE) AS min_cost
+FROM part
+JOIN best b ON p_partkey = b.bp
+JOIN offers o ON o.l_partkey = p_partkey AND o.min_price = b.best_price
+JOIN eu_supp s ON o.l_suppkey = s.s_suppkey
+WHERE p_size = 15
+""")
+def q2(spark, sf_dir):
+    """TPC-H Q2 shape (adapted — no partsupp table in TESTDATA, so
+    lineitem stands in as the part-supplier offer relation): correlated
+    MIN subquery = per-part best price re-joined on equality. Ties emit
+    every minimal supplier, exactly like Q2."""
+    from beam_spark.operators.join import Join
+
+    eu_supp = (table(spark, sf_dir, "supplier")
+               | Join(table(spark, sf_dir, "nation").df,
+                      condition=F.col("s_nationkey") == F.col("n_nationkey"),
+                      broadcast=True)
+               | Join(table(spark, sf_dir, "region").df,
+                      condition=F.col("n_regionkey") == F.col("r_regionkey"),
+                      broadcast=True)
+               | Filter("r_name = 'EUROPE'")
+               | Select("s_suppkey", "s_name"))
+    offers = (table(spark, sf_dir, "lineitem")
+              | CombinePerKey("l_partkey", "l_suppkey",
+                              min_price=F.expr(f"MIN({dec('l_extendedprice')})")))
+    offers.persist()
+    best = (offers
+            | Join(eu_supp.df, condition=F.col("l_suppkey") == F.col("s_suppkey"),
+                   how="semi")
+            | CombinePerKey("l_partkey", best_price=F.min("min_price")))
+    out = (table(spark, sf_dir, "part")
+           | Filter("p_size = 15")
+           | Join(best.df.select(F.col("l_partkey").alias("bp"), "best_price"),
+                  condition=F.col("p_partkey") == F.col("bp"))
+           | Join(offers.df.select(F.col("l_partkey").alias("op"),
+                                   F.col("l_suppkey").alias("os"), "min_price"),
+                  condition=(F.col("op") == F.col("p_partkey"))
+                  & (F.col("min_price") == F.col("best_price")))
+           | Join(eu_supp.df, condition=F.col("os") == F.col("s_suppkey"),
+                  broadcast=True)
+           | Select("p_partkey", "s_name",
+                    F.col("best_price").cast("double").alias("min_cost")))
+    return out.df
+
+
+@query("q9_profit_by_nation_year", f"""
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       {dsum(_REVENUE, 'sum_profit')}
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN part ON p_partkey = l_partkey
+WHERE p_type = 'PROMO'
+GROUP BY n_name, year(o_orderdate)
+""")
+def q9(spark, sf_dir):
+    """TPC-H Q9 shape (adapted: p_type filter stands in for the p_name
+    LIKE predicate; profit = discounted revenue — no supplycost column):
+    5-way join, computed grouping keys."""
+    from beam_spark.operators.group import GroupBy
+    from beam_spark.operators.join import Join
+
+    out = (
+        table(spark, sf_dir, "lineitem")
+        | Join(table(spark, sf_dir, "supplier").df,
+               condition=F.col("l_suppkey") == F.col("s_suppkey"), broadcast=True)
+        | Join(table(spark, sf_dir, "nation").df,
+               condition=F.col("s_nationkey") == F.col("n_nationkey"), broadcast=True)
+        | Join(table(spark, sf_dir, "orders").df,
+               condition=F.col("o_orderkey") == F.col("l_orderkey"))
+        | Join(table(spark, sf_dir, "part").df.filter("p_type = 'PROMO'"),
+               condition=F.col("p_partkey") == F.col("l_partkey"), broadcast=True)
+        | GroupBy(nation="n_name", o_year="year(o_orderdate)")
+          .aggregate_field(f"CAST(SUM({_REVENUE}) AS DOUBLE)", None, "sum_profit")
+    )
+    return out.df
+
+
+@query("q20_promo_quantity_suppliers", f"""
+WITH sq AS (SELECT l_suppkey, {dsum(dec('l_quantity'), 'promo_qty')}
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_type = 'PROMO'
+              AND l_shipdate >= CAST('1997-01-01' AS TIMESTAMP)
+              AND l_shipdate < CAST('1998-01-01' AS TIMESTAMP)
+            GROUP BY l_suppkey)
+SELECT s_name, promo_qty
+FROM supplier
+JOIN sq ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND promo_qty > 50
+""")
+def q20(spark, sf_dir):
+    """TPC-H Q20 shape (adapted): suppliers of a nation whose shipped
+    quantity of filtered parts over a year exceeds a threshold — the
+    nested-EXISTS chain becomes pre-agg + joins."""
+    from beam_spark.operators.join import Join
+
+    sq = (table(spark, sf_dir, "lineitem")
+          | Join(table(spark, sf_dir, "part").df.filter("p_type = 'PROMO'"),
+                 condition=F.col("l_partkey") == F.col("p_partkey"),
+                 broadcast=True)
+          | Filter("l_shipdate >= CAST('1997-01-01' AS TIMESTAMP) AND "
+                   "l_shipdate < CAST('1998-01-01' AS TIMESTAMP)")
+          | CombinePerKey("l_suppkey", promo_qty=F.expr(
+              f"CAST(SUM({dec('l_quantity')}) AS DOUBLE)")))
+    out = (table(spark, sf_dir, "supplier")
+           | Join(sq.df, condition=F.col("s_suppkey") == F.col("l_suppkey"))
+           | Join(table(spark, sf_dir, "nation").df,
+                  condition=F.col("s_nationkey") == F.col("n_nationkey"),
+                  broadcast=True)
+           | Join(table(spark, sf_dir, "region").df,
+                  condition=F.col("n_regionkey") == F.col("r_regionkey"),
+                  broadcast=True)
+           | Filter("r_name = 'ASIA' AND promo_qty > 50")
+           | Select("s_name", "promo_qty"))
+    return out.df
+
+
 # --------------------------------------------------------------------------
 # M10 — MATCH_RECOGNIZE (CEP): row-pattern matching per key
 # (BeamMatchRel.java + NFA.java semantics, re-implemented as a per-key
