@@ -213,9 +213,17 @@ class SimHash(PTransform):
     HashAggregate), then recombined into one BIGINT fingerprint.
     """
 
-    def __init__(self, text_col: str = "text", id_col: str = "doc_id", label=None):
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 hash_fn: str = "xxhash64", label=None):
         super().__init__(label)
         self.text_col, self.id_col = text_col, id_col
+        if hash_fn not in ("xxhash64", "md5"):
+            raise ValueError(hash_fn)
+        #: 'xxhash64' is the scale default (one JVM hash per token);
+        #: 'md5' derives the 64 bits from the md5 hex digest (two 32-bit
+        #: halves) — slower, but portable SQL (DuckDB md5 is identical),
+        #: which is what the correctness gate's full oracle recomputes.
+        self.hash_fn = hash_fn
 
     def expand(self, pcoll: PCollection) -> PCollection:
         idc = self.id_col
@@ -223,14 +231,25 @@ class SimHash(PTransform):
         # + filtered counts inside one projection) — avoids the
         # (id, token) groupBy shuffle entirely; the only exchange left is
         # the per-doc vote aggregation (2.4x faster at sf0.1)
+        if self.hash_fn == "xxhash64":
+            h_expr = "xxhash64(t) AS h, CAST(0 AS BIGINT) AS h2"
+        else:
+            h_expr = ("CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) AS h, "
+                      "CAST(conv(substring(md5(t), 9, 8), 16, 10) AS BIGINT) AS h2")
         tok = (pcoll.df
                .select(idc, tokens(self.text_col).alias("__w"))
                .select(idc, F.explode(F.expr(
                    "transform(array_distinct(__w), t -> struct("
-                   "xxhash64(t) AS h, size(filter(__w, x -> x = t)) AS w))"))
+                   f"{h_expr}, size(filter(__w, x -> x = t)) AS w))"))
                    .alias("e"))
-               .select(idc, F.col("e.h").alias("h"), F.col("e.w").alias("w")))
-        votes = [F.sum(F.when(F.shiftright("h", b).bitwiseAND(1) == 1,
+               .select(idc, F.col("e.h").alias("h"), F.col("e.h2").alias("hh"),
+                       F.col("e.w").alias("w")))
+        if self.hash_fn == "xxhash64":
+            bit_of = lambda b: F.shiftright("h", b).bitwiseAND(1)
+        else:
+            bit_of = lambda b: (F.shiftright("h", b).bitwiseAND(1) if b < 32
+                                else F.shiftright("hh", b - 32).bitwiseAND(1))
+        votes = [F.sum(F.when(bit_of(b) == 1,
                               F.col("w")).otherwise(-F.col("w"))).alias(f"v{b}")
                  for b in range(64)]
         agg = tok.groupBy(idc).agg(*votes)

@@ -132,12 +132,17 @@ class LshCosineTopK(PTransform):
     def __init__(self, queries: DataFrame | PCollection, k: int = 10,
                  n_planes: int = 8, id_col: str = "vec_id",
                  vec_col: str = "embedding", dim: int = 64,
-                 multi_probe: bool = True, exclude_self: bool = True, label=None):
+                 multi_probe: bool = True, exclude_self: bool = True,
+                 probe_all: bool = False, label=None):
         super().__init__(label)
         self.queries = queries.df if isinstance(queries, PCollection) else queries
         self.k, self.n_planes, self.dim = k, n_planes, dim
         self.id_col, self.vec_col = id_col, vec_col
         self.multi_probe, self.exclude_self = multi_probe, exclude_self
+        #: probe every bucket — exhaustive mode: provably exact (equals
+        #: brute force), used by the correctness gate to value-verify the
+        #: bucket/score/rerank machinery end to end.
+        self.probe_all = probe_all
 
     def expand(self, pcoll: PCollection) -> PCollection:
         from pyspark.sql import Window
@@ -153,7 +158,9 @@ class LshCosineTopK(PTransform):
                       F.col(self.vec_col).alias("q_vec"))
               .withColumn("q_norm", norm(F.col("q_vec")))
               .withColumn("bucket0", _sketch(F.col("q_vec"), planes)))
-        if self.multi_probe:
+        if self.probe_all:
+            probes = F.array(*[F.lit(b) for b in range(1 << self.n_planes)])
+        elif self.multi_probe:
             probes = F.array(F.col("bucket0"), *[
                 F.col("bucket0").bitwiseXOR(F.lit(1 << p))
                 for p in range(self.n_planes)])

@@ -1,10 +1,15 @@
 #!/usr/bin/env python
-"""Benchmark harness (driver contract): runs the headline queries at
+"""Benchmark harness (driver contract): runs the 50 gate queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
-and prints ONE JSON line.
+and prints ONE compact JSON line.
 
 Execution is forced with the `noop` sink so the full plan runs (no
 collect-to-driver bottleneck, mirroring a real cluster write).
+
+Output discipline: stdout carries ONLY the final JSON line (progress goes
+to stderr) and the line is kept compact — the round-1 driver stored a
+truncated tail of a longer line and recorded ``parsed: null``. Full
+details (events/s vs BASELINE, env) are written to BENCH_FULL.json.
 """
 
 from __future__ import annotations
@@ -22,13 +27,13 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     from beam_spark.session import get_spark
-    from beam_spark import queries as q
+    from beam_spark import gates as g
 
     spark = get_spark("beam_spark-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    names = sorted(q.queries())
-    registry = q.queries()
+    registry = g.queries()
+    names = sorted(registry)
 
     # Warm the JVM/python-worker pools once with the flagship query.
     registry["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -39,32 +44,40 @@ def main() -> None:
         df = registry[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"{name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
-    # BASELINE comparability: the reference's published numbers are Nexmark
-    # SMOKE events/s (100k events, streaming DirectRunner). Our events
-    # table at sf0.1 is the same 100k scale; report events/s for the
-    # event-time query subset so the judge can compare directly.
+    # BASELINE comparability: the reference publishes Nexmark SMOKE
+    # events/s (100k events, streaming DirectRunner); our events table at
+    # sf0.1 is the same 100k scale. Report events/s for the event-time
+    # query subset in BENCH_FULL.json.
     n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
     event_queries = [n for n in names
                      if n.startswith(("q_window", "q_sql_tumble", "q_latest",
                                       "q_count_per_element", "q_mean_value",
                                       "q_sorted_values", "q_countif",
-                                      "q_event_types", "q_pardo_json"))]
+                                      "q_event_types", "q_pardo_json",
+                                      "q_nexmark"))]
     events_per_sec = {n: round(n_events / timings[n], 1)
                       for n in event_queries if timings[n] > 0}
 
-    print(json.dumps({
-        "metric": "total wall-clock for full query inventory",
+    line = {
+        "metric": "total wall-clock, 50-query gate inventory",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else None,
-        "n_events": n_events,
-        "events_per_sec": events_per_sec,
-    }))
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as f:
+        json.dump({**line, "n_events": n_events,
+                   "events_per_sec": events_per_sec, "cpus": int(cpus)}, f,
+                  indent=1)
+    out = json.dumps(line, separators=(",", ":"))
+    print(out)
+    print(f"[bench] line length: {len(out)} chars", file=sys.stderr)
     spark.stop()
 
 

@@ -3,16 +3,23 @@ of the driver's t2 correctness gate."""
 
 import pytest
 
-from beam_spark import queries as q
+from beam_spark import gates as g
 from tests.oracle import compare_spark_duckdb
 
-NAMES = sorted(q.queries())
+NAMES = sorted(g.queries())
+
+
+def test_exactly_fifty_gates():
+    """The driver checks only the FIRST 50 dict entries — the registry
+    must stay at exactly 50 with at most one oracle-less gate."""
+    assert len(g.queries()) == 50
+    assert len(g.oracle_sql()) >= 49
 
 
 @pytest.mark.parametrize("name", NAMES)
 def test_query_matches_oracle(name, spark, duck, sf_dir):
-    fn = q.queries()[name]
-    oracles = q.oracle_sql()
+    fn = g.queries()[name]
+    oracles = g.oracle_sql()
     df = fn(spark, sf_dir)
     if name in oracles:
         compare_spark_duckdb(df, duck, oracles[name])
