@@ -1,4 +1,7 @@
 from beam_spark.streaming.triggers import AfterWatermarkEarlyCount
+from beam_spark.streaming.trigger_algebra import (AfterAll, AfterAny,
+    AfterCount, AfterEach, AfterProcessingTime, OrFinally, Repeatedly,
+    Trigger)
 from beam_spark.streaming.state import StatefulDoFn, StatefulParDo, UserState
 from beam_spark.streaming.core import (Deduplicate, GroupIntoBatches,
                                        TriggeredCountPerKey,
@@ -13,4 +16,6 @@ __all__ = [
     "TestStream", "WithWatermark", "WriteStreamToMemory",
     "WriteStreamToFiles", "foreach_batch",
     "StatefulDoFn", "StatefulParDo", "UserState", "AfterWatermarkEarlyCount",
+    "Trigger", "AfterCount", "AfterProcessingTime", "Repeatedly",
+    "AfterAny", "AfterAll", "AfterEach", "OrFinally",
 ]

@@ -85,11 +85,20 @@ class StatefulParDo(PTransform):
     """
 
     def __init__(self, key_cols, dofn: StatefulDoFn, output_schema,
-                 use_timer: bool = False, label=None):
+                 use_timer: bool = False,
+                 requires_time_sorted_input: bool = False,
+                 ts_col: str | None = None, label=None):
         super().__init__(label)
         self.key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
         self.dofn, self.output_schema = dofn, output_schema
         self.use_timer = use_timer
+        #: beam_runner_api.proto:547-550 requires_time_sorted_input — the
+        #: DoFn sees each key's elements in event-time order. Bounded
+        #: inputs only (Beam's own constraint: DataflowRunner rejects it
+        #: on unbounded PCollections too; streaming order comes from
+        #: watermark-driven timers instead).
+        self.requires_time_sorted_input = requires_time_sorted_input
+        self.ts_col = ts_col
 
     def expand(self, pcoll: PCollection) -> PCollection:
         import pandas as pd
@@ -100,9 +109,25 @@ class StatefulParDo(PTransform):
             schema = T._parse_datatype_string(schema)
         out_cols = [f.name for f in schema.fields]
 
+        ts_sort = None
+        if self.requires_time_sorted_input:
+            if not pcoll.is_bounded:
+                raise ValueError(
+                    "requires_time_sorted_input is bounded-only (the "
+                    "reference imposes the same streaming restriction)")
+            ts_sort = self.ts_col or pcoll.ts_col
+            if ts_sort is None:
+                raise ValueError("requires_time_sorted_input needs ts_col")
+
         if pcoll.is_bounded:
             def apply(pdf: "pd.DataFrame") -> "pd.DataFrame":
                 key = tuple(pdf[k].iloc[0] for k in keys)
+                if ts_sort is not None:
+                    # per-key event-time order inside the group — the
+                    # same buffer-and-sort Beam's runner performs for
+                    # requires_time_sorted_input (stable sort keeps
+                    # equal-timestamp arrival order).
+                    pdf = pdf.sort_values(ts_sort, kind="mergesort")
                 st = UserState()
                 out = list(dofn.process(key, pdf.to_dict(orient="records"), st))
                 out += list(dofn.on_completion(key, st))

@@ -54,9 +54,9 @@ class AfterWatermarkEarlyCount(PTransform):
     ACCUMULATING = "accumulating"
 
     def __init__(self, key_cols, window_size_sec: int, value_col: str,
-                 early_count: int, ts_col: str | None = None,
+                 early_count: int | None = None, ts_col: str | None = None,
                  accumulation_mode: str = "discarding",
-                 allowed_lateness_sec: int = 0, label=None):
+                 allowed_lateness_sec: int = 0, early_trigger=None, label=None):
         super().__init__(label)
         self.key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
         self.size = int(window_size_sec)
@@ -66,12 +66,27 @@ class AfterWatermarkEarlyCount(PTransform):
             raise ValueError(accumulation_mode)
         self.accumulation_mode = accumulation_mode
         self.allowed_lateness_sec = allowed_lateness_sec
+        #: early-pane trigger: any trigger_algebra.Trigger composite
+        #: (AfterAny/AfterAll/AfterEach/OrFinally/AfterProcessingTime/...).
+        #: ``early_count=n`` is sugar for Repeatedly(AfterCount(n)) —
+        #: Beam's AfterWatermark(early=AfterCount(n)) shape.
+        from beam_spark.streaming.trigger_algebra import AfterCount, Repeatedly
+
+        if early_trigger is not None:
+            self.early_trigger = early_trigger
+        elif early_count is not None:
+            self.early_trigger = Repeatedly(AfterCount(early_count))
+        else:
+            self.early_trigger = None
 
     def expand(self, pcoll: PCollection) -> PCollection:
+        import time as _time
+
         import pandas as pd
         from pyspark.sql.streaming.state import GroupStateTimeout
 
-        keys, vcol, n = self.key_cols, self.value_col, self.early_count
+        keys, vcol = self.key_cols, self.value_col
+        trigger = self.early_trigger
         accumulating = self.accumulation_mode == self.ACCUMULATING
         size_ms = self.size * 1000
         lateness_ms = self.allowed_lateness_sec * 1000
@@ -86,8 +101,9 @@ class AfterWatermarkEarlyCount(PTransform):
                       f"pane_timing string, pane_count long, pane_sum double")
 
         def fn(key, pdfs: Iterator["pd.DataFrame"], state):
-            # state: (open {ws: [pane_idx, count, sum, since_fire]},
-            #         closed {ws: [next_pane_idx, late_count, late_sum]})
+            # state: (open {ws: [pane_idx, count, sum, since_fire,
+            #                    trigger_state, trigger_finished]},
+            #         closed {ws: [next_pane_idx, count, sum, since_fire]})
             if state.exists:
                 blob = pickle.loads(bytes(state.get[0]))
                 wins, closed = (blob if isinstance(blob, tuple) else (blob, {}))
@@ -130,6 +146,12 @@ class AfterWatermarkEarlyCount(PTransform):
             # later elements), so those inputs land in LATE panes
             close_pass()
 
+            now_ms = int(_time.time() * 1000)
+
+            def ctx_for(ws):
+                return {"now_ms": now_ms, "wm_ms": wm,
+                        "window_end_ms": ws + size_ms}
+
             if not state.hasTimedOut:
                 for pdf in pdfs:
                     ts_ms = (pdf[ts_col].astype("int64") // 1_000_000).tolist()
@@ -142,12 +164,29 @@ class AfterWatermarkEarlyCount(PTransform):
                             closed[ws][2] += float(v)
                             closed[ws][3] += 1
                             continue
-                        # acc: [pane_index, count, sum, since_last_firing]
-                        acc = wins.setdefault(ws, [0, 0, 0.0, 0])
+                        acc = wins.setdefault(ws, [
+                            0, 0, 0.0, 0,
+                            trigger.new_state() if trigger else None, False])
                         acc[1] += 1
                         acc[2] += float(v)
                         acc[3] += 1
-                        if acc[3] >= n:
+                        if trigger is not None and not acc[5]:
+                            c = ctx_for(ws)
+                            trigger.on_element(acc[4], c)
+                            if trigger.should_fire(acc[4], c):
+                                acc[5] = trigger.on_fire(acc[4], c)
+                                emit(ws, acc, "EARLY")
+                # processing-time conditions that became true without a
+                # same-window element in this batch (AfterProcessingTime
+                # and composites over it) — batch-boundary evaluation,
+                # see trigger_algebra module docstring.
+                if trigger is not None:
+                    for ws in sorted(wins):
+                        acc = wins[ws]
+                        c = ctx_for(ws)
+                        if (not acc[5] and acc[3] > 0
+                                and trigger.should_fire(acc[4], c)):
+                            acc[5] = trigger.on_fire(acc[4], c)
                             emit(ws, acc, "EARLY")
 
             # second pass: bulk arrivals whose window was already past

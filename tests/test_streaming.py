@@ -251,3 +251,88 @@ def test_after_watermark_late_panes(spark):
     panes = sorted((r["pane_index"], r["pane_timing"], r["pane_count"],
                     r["pane_sum"]) for r in rows)
     assert panes == [(0, "ON_TIME", 1, 1.0), (1, "LATE", 1, 7.0)]
+
+
+def test_composite_trigger_after_each_panes(spark):
+    """AfterWatermark(early=AfterEach(AfterCount(1), AfterCount(2))):
+    first early pane after 1 element, second after 2 more, then the
+    sequence is finished — remaining elements fold into ON_TIME."""
+    from beam_spark.streaming import (AfterCount, AfterEach,
+                                      AfterWatermarkEarlyCount)
+
+    ts = TestStream(spark, "t timestamp, k string, v long")
+    ts.add_elements([{"t": "2024-01-01 00:00:05", "k": "a", "v": 1},
+                     {"t": "2024-01-01 00:00:10", "k": "a", "v": 2},
+                     {"t": "2024-01-01 00:00:15", "k": "a", "v": 4},
+                     {"t": "2024-01-01 00:00:20", "k": "a", "v": 8},
+                     {"t": "2024-01-01 00:00:25", "k": "a", "v": 16}])
+    ts.add_elements([{"t": "2024-01-01 00:05:00", "k": "a", "v": 100}])
+
+    pc = (ts.stream()
+          | WithWatermark("t", "10 seconds")
+          | AfterWatermarkEarlyCount(
+              "k", 60, "v", ts_col="t",
+              early_trigger=AfterEach(AfterCount(1), AfterCount(2))))
+    out = pc | WriteStreamToMemory(output_mode="append")
+    rows = [r for r in out.collect()
+            if r["window_start"].isoformat() == "2024-01-01T00:00:00"]
+    panes = sorted((r["pane_index"], r["pane_timing"], r["pane_count"],
+                    r["pane_sum"]) for r in rows)
+    assert panes == [(0, "EARLY", 1, 1.0), (1, "EARLY", 2, 6.0),
+                     (2, "ON_TIME", 2, 24.0)]
+
+
+def test_composite_trigger_or_finally_stops_early_panes(spark):
+    """Repeatedly(AfterCount(2)).orFinally(AfterCount(3)): panes at 2 and
+    3 elements, then early firing stops for the window."""
+    from beam_spark.streaming import (AfterCount, OrFinally, Repeatedly,
+                                      AfterWatermarkEarlyCount)
+
+    ts = TestStream(spark, "t timestamp, k string, v long")
+    ts.add_elements([{"t": f"2024-01-01 00:00:{s:02d}", "k": "a", "v": 1}
+                     for s in (5, 10, 15, 20, 25, 30)])
+    ts.add_elements([{"t": "2024-01-01 00:05:00", "k": "a", "v": 100}])
+
+    pc = (ts.stream()
+          | WithWatermark("t", "10 seconds")
+          | AfterWatermarkEarlyCount(
+              "k", 60, "v", ts_col="t",
+              early_trigger=OrFinally(Repeatedly(AfterCount(2)),
+                                      AfterCount(3))))
+    out = pc | WriteStreamToMemory(output_mode="append")
+    rows = [r for r in out.collect()
+            if r["window_start"].isoformat() == "2024-01-01T00:00:00"]
+    panes = sorted((r["pane_index"], r["pane_timing"], r["pane_count"])
+                   for r in rows)
+    assert panes == [(0, "EARLY", 2), (1, "EARLY", 1), (2, "ON_TIME", 3)]
+
+
+def test_stateful_pardo_time_sorted_input(spark):
+    """requires_time_sorted_input (beam_runner_api.proto:547-550): the
+    DoFn sees per-key rows in event-time order regardless of input
+    order."""
+    from beam_spark.pcollection import Pipeline
+    from beam_spark.operators.core import Create
+    from beam_spark.streaming.state import StatefulDoFn, StatefulParDo
+
+    class Collector(StatefulDoFn):
+        def process(self, key, rows, state):
+            seq = [r["v"] for r in rows]
+            yield {"k": key[0], "order": ",".join(map(str, seq))}
+
+    rows = [{"k": "a", "t": 5, "v": 3}, {"k": "a", "t": 1, "v": 1},
+            {"k": "b", "t": 9, "v": 9}, {"k": "a", "t": 3, "v": 2},
+            {"k": "b", "t": 2, "v": 5}]
+    pc = Pipeline(spark) | Create(rows)
+    out = (pc | StatefulParDo("k", Collector(), "k string, order string",
+                              requires_time_sorted_input=True, ts_col="t"))
+    got = {r["k"]: r["order"] for r in out.df.collect()}
+    assert got == {"a": "1,2,3", "b": "5,9"}
+
+    import pytest
+
+    unbounded = pc.with_df(pc.df, is_bounded=False)
+    with pytest.raises(ValueError, match="bounded-only"):
+        (unbounded | StatefulParDo("k", Collector(), "k string, order string",
+                                   requires_time_sorted_input=True,
+                                   ts_col="t"))
