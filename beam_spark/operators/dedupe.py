@@ -227,39 +227,41 @@ class SimHash(PTransform):
 
     def expand(self, pcoll: PCollection) -> PCollection:
         idc = self.id_col
-        # per-doc (hash, weight) pairs computed scan-side (distinct tokens
-        # + filtered counts inside one projection) — avoids the
-        # (id, token) groupBy shuffle entirely; the only exchange left is
-        # the per-doc vote aggregation (2.4x faster at sf0.1)
+        # Zero-shuffle formulation: the whole 64-bit vote aggregation is
+        # ONE projection per document — distinct tokens fold through
+        # aggregate() with a 64-wide zip_with accumulator, then the sign
+        # bits recombine with a bitwise-or fold. No explode, no groupBy:
+        # a pure map-side scan that trivially survives any scale-up
+        # (previous shape shuffled (id, 64 partial votes) per doc).
         if self.hash_fn == "xxhash64":
-            h_expr = "xxhash64(t) AS h, CAST(0 AS BIGINT) AS h2"
+            h_expr = "xxhash64(t) AS h, CAST(0 AS BIGINT) AS hh"
+            bit_expr = "(shiftright(e.h, b) & 1)"
         else:
             h_expr = ("CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) AS h, "
-                      "CAST(conv(substring(md5(t), 9, 8), 16, 10) AS BIGINT) AS h2")
-        tok = (pcoll.df
+                      "CAST(conv(substring(md5(t), 9, 8), 16, 10) AS BIGINT) AS hh")
+            bit_expr = ("(IF(b < 32, shiftright(e.h, b), "
+                        "shiftright(e.hh, b - 32)) & 1)")
+        votes_expr = f"""
+            aggregate(
+              transform(array_distinct(__w), t -> struct(
+                {h_expr}, CAST(size(filter(__w, x -> x = t)) AS BIGINT) AS w)),
+              array_repeat(CAST(0 AS BIGINT), 64),
+              (acc, e) -> zip_with(acc,
+                transform(sequence(0, 63),
+                          b -> IF({bit_expr} = 1, e.w, -e.w)),
+                (a, v) -> a + v))
+        """
+        fp_expr = """
+            aggregate(
+              zip_with(__votes, sequence(0, 63),
+                       (v, b) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), b),
+                                    CAST(0 AS BIGINT))),
+              CAST(0 AS BIGINT), (a, x) -> a | x)
+        """
+        out = (pcoll.df
                .select(idc, tokens(self.text_col).alias("__w"))
-               .select(idc, F.explode(F.expr(
-                   "transform(array_distinct(__w), t -> struct("
-                   f"{h_expr}, size(filter(__w, x -> x = t)) AS w))"))
-                   .alias("e"))
-               .select(idc, F.col("e.h").alias("h"), F.col("e.h2").alias("hh"),
-                       F.col("e.w").alias("w")))
-        if self.hash_fn == "xxhash64":
-            bit_of = lambda b: F.shiftright("h", b).bitwiseAND(1)
-        else:
-            bit_of = lambda b: (F.shiftright("h", b).bitwiseAND(1) if b < 32
-                                else F.shiftright("hh", b - 32).bitwiseAND(1))
-        votes = [F.sum(F.when(bit_of(b) == 1,
-                              F.col("w")).otherwise(-F.col("w"))).alias(f"v{b}")
-                 for b in range(64)]
-        agg = tok.groupBy(idc).agg(*votes)
-        fp = None
-        for b in range(64):
-            bit = F.when(F.col(f"v{b}") > 0,
-                         F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-            term = F.shiftleft(bit, b)
-            fp = term if fp is None else fp.bitwiseXOR(term)
-        out = agg.select(F.col(idc), fp.alias("simhash"))
+               .withColumn("__votes", F.expr(votes_expr))
+               .select(F.col(idc), F.expr(fp_expr).alias("simhash")))
         return pcoll.with_df(out)
 
 
