@@ -13,6 +13,8 @@ relevant), so train/serve and re-runs are bit-identical.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -70,6 +72,148 @@ class ApplyBuckets(PTransform):
         for b in self.boundaries:
             expr = expr + F.when(c >= F.lit(b), 1).otherwise(0)
         return pcoll.with_df(pcoll.df.withColumn(self.out_col, expr))
+
+
+class ApplyBucketsWithInterpolation(PTransform):
+    """tft.ApplyBucketsWithInterpolation (reference ml/transforms/tft.py
+    apply_buckets_with_interpolation): map x to a float in [0, 1] by
+    piecewise-linear interpolation between the bucket boundaries —
+    below the first boundary -> 0, above the last -> 1, else
+    (i + (x - b_i) / (b_{i+1} - b_i)) / (n - 1). Pure codegen
+    expressions over a literal boundary array (boundaries are a small
+    fitted artifact, like TFT's)."""
+
+    def __init__(self, col: str, boundaries: list[float],
+                 out_col: str | None = None, label=None):
+        super().__init__(label)
+        if len(boundaries) < 2:
+            raise ValueError("need >= 2 boundaries to interpolate")
+        self.col = col
+        self.boundaries = sorted(float(b) for b in boundaries)
+        self.out_col = out_col or f"{col}_interp"
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        bs = self.boundaries
+        n = len(bs)
+        c = F.col(self.col).cast("double")
+        # bucket index i in [0, n-2]: number of interior boundaries <= x,
+        # clamped so the top segment absorbs x == last boundary
+        idx = F.lit(0)
+        for b in bs[1:-1]:
+            idx = idx + F.when(c >= F.lit(b), 1).otherwise(0)
+        arr = F.array(*[F.lit(b) for b in bs])
+        lo = F.element_at(arr, idx + 1)
+        hi = F.element_at(arr, idx + 2)
+        seg = F.when(hi > lo, (c - lo) / (hi - lo)).otherwise(F.lit(0.0))
+        interp = (idx.cast("double") + seg) / F.lit(float(n - 1))
+        out = (F.when(c <= F.lit(bs[0]), 0.0)
+               .when(c >= F.lit(bs[-1]), 1.0)
+               .otherwise(interp))
+        return pcoll.with_df(pcoll.df.withColumn(self.out_col, out))
+
+
+class ScaleToGaussian(PTransform):
+    """tft.ScaleToGaussian (reference ml/transforms/tft.py:148): rescale a
+    column to approximately standard normal.
+
+    Implementation: empirical-CDF fit (quantile boundaries via
+    percentile_approx — the mergeable sketch, so the fit is one pass at
+    any scale) -> piecewise-linear CDF application (the
+    ApplyBucketsWithInterpolation machinery) -> probit via Acklam's
+    rational approximation (public-domain constants), evaluated in an
+    Arrow-batched pandas UDF (numpy has no vectorized erfinv).
+    Divergence note: the reference fits a parametric Tukey-HH transform;
+    the rank-Gaussian map here achieves the same contract (output
+    ~N(0,1) for any continuous input) with a quantile artifact instead
+    of Tukey parameters.
+
+    ``boundaries`` (the fitted artifact) round-trips via
+    fit_params/from params like the other fitted transforms.
+    """
+
+    def __init__(self, col: str, out_col: str | None = None,
+                 n_quantiles: int = 64, boundaries: list[float] | None = None,
+                 label=None):
+        super().__init__(label)
+        self.col = col
+        self.out_col = out_col or f"{col}_gauss"
+        self.n_quantiles = n_quantiles
+        self.boundaries = boundaries
+
+    def fit_params(self, pcoll: PCollection) -> dict:
+        qs = [i / self.n_quantiles for i in range(self.n_quantiles + 1)]
+        bounds = pcoll.df.agg(F.percentile_approx(
+            self.col, F.array(*[F.lit(q) for q in qs]), 10000)).first()[0]
+        # strictly increasing (drop ties so interpolation is well-defined)
+        uniq = []
+        for b in bounds:
+            if not uniq or b > uniq[-1]:
+                uniq.append(float(b))
+        return {"boundaries": uniq}
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql.functions import pandas_udf
+
+        bounds = self.boundaries or self.fit_params(pcoll)["boundaries"]
+        cdf_col = "__bs_cdf"
+        pc = pcoll | ApplyBucketsWithInterpolation(self.col, bounds, cdf_col)
+
+        @pandas_udf("double")
+        def probit(u: pd.Series) -> pd.Series:
+            import numpy as np
+
+            # Acklam inverse-normal-CDF rational approximation
+            # (peter.acklam's public-domain algorithm; |rel err| < 1.2e-9)
+            a = [-3.969683028665376e+01, 2.209460984245205e+02,
+                 -2.759285104469687e+02, 1.383577518672690e+02,
+                 -3.066479806614716e+01, 2.506628277459239e+00]
+            b = [-5.447609879822406e+01, 1.615858368580409e+02,
+                 -1.556989798598866e+02, 6.680131188771972e+01,
+                 -1.328068155288572e+01]
+            c = [-7.784894002430293e-03, -3.223964580411365e-01,
+                 -2.400758277161838e+00, -2.549732539343734e+00,
+                 4.374664141464968e+00, 2.938163982698783e+00]
+            d = [7.784695709041462e-03, 3.224671290700398e-01,
+                 2.445134137142996e+00, 3.754408661907416e+00]
+            # clamp away from 0/1 (min/max of the fit map there)
+            p = np.clip(u.to_numpy(dtype=np.float64), 1e-6, 1 - 1e-6)
+            out = np.empty_like(p)
+            lo, hi = 0.02425, 1 - 0.02425
+            m = p < lo
+            q = np.sqrt(-2 * np.log(p[m]))
+            out[m] = ((((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q
+                        + c[4]) * q + c[5])
+                      / ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1))
+            m = p > hi
+            q = np.sqrt(-2 * np.log(1 - p[m]))
+            out[m] = -((((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q
+                         + c[4]) * q + c[5])
+                       / ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1))
+            m = (p >= lo) & (p <= hi)
+            q = p[m] - 0.5
+            r = q * q
+            out[m] = ((((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r
+                        + a[4]) * r + a[5]) * q
+                      / (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r
+                          + b[4]) * r + 1))
+            return pd.Series(out)
+
+        out = pc.df.withColumn(self.out_col, probit(F.col(cdf_col))).drop(cdf_col)
+        return pcoll.with_df(out)
+
+
+class DeduplicateTensorPerRow(PTransform):
+    """tft DeduplicateTensorPerRow (reference ml/transforms/tft.py:700ish):
+    drop duplicate values within each row's array, keeping first
+    occurrence order (array_distinct preserves it)."""
+
+    def __init__(self, col: str, out_col: str | None = None, label=None):
+        super().__init__(label)
+        self.col, self.out_col = col, out_col or col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        return pcoll.with_df(pcoll.df.withColumn(
+            self.out_col, F.array_distinct(self.col)))
 
 
 class Bucketize(PTransform):

@@ -189,3 +189,56 @@ def test_apply_vocabulary_join_path_matches_literal(spark):
     assert all(i >= -1 for ids in got_join.values() for i in ids)
     plan = join.df._jdf.queryExecution().executedPlan().toString()
     assert "keys: [" not in plan  # no literal map in the join path
+
+
+def test_apply_buckets_with_interpolation(spark):
+    from beam_spark.pcollection import Pipeline
+    from beam_spark.operators.core import Create
+    from beam_spark.ml.transforms import ApplyBucketsWithInterpolation
+
+    pc = Pipeline(spark) | Create(
+        [{"x": v} for v in [-5.0, 0.0, 5.0, 10.0, 15.0, 20.0, 25.0]])
+    out = (pc | ApplyBucketsWithInterpolation("x", [0.0, 10.0, 20.0])).df
+    got = {r["x"]: r["x_interp"] for r in out.collect()}
+    assert got[-5.0] == 0.0 and got[0.0] == 0.0
+    assert abs(got[5.0] - 0.25) < 1e-12      # halfway through segment 0
+    assert abs(got[10.0] - 0.5) < 1e-12
+    assert abs(got[15.0] - 0.75) < 1e-12
+    assert got[20.0] == 1.0 and got[25.0] == 1.0
+
+
+def test_scale_to_gaussian_normalizes(spark):
+    """Exponential(1) input -> approximately N(0,1) output; artifact
+    boundaries round-trip bit-exact."""
+    import numpy as np
+    from beam_spark.pcollection import Pipeline
+    from beam_spark.operators.core import Create
+    from beam_spark.ml.transforms import ScaleToGaussian
+
+    rng = np.random.default_rng(11)
+    xs = rng.exponential(1.0, 4000).tolist()
+    pc = Pipeline(spark) | Create([{"x": float(v)} for v in xs],
+                                  schema="x double")
+    op = ScaleToGaussian("x", n_quantiles=64)
+    params = op.fit_params(pc)
+    applied = (Pipeline(spark) | Create([{"x": float(v)} for v in xs],
+                                        schema="x double")
+               | ScaleToGaussian("x", boundaries=params["boundaries"]))
+    vals = np.array([r["x_gauss"] for r in applied.df.collect()])
+    assert abs(vals.mean()) < 0.1
+    assert abs(vals.std() - 1.0) < 0.15
+    # skewness should collapse from ~2 (exponential) to ~0
+    skew = ((vals - vals.mean()) ** 3).mean() / vals.std() ** 3
+    assert abs(skew) < 0.4, skew
+
+
+def test_deduplicate_tensor_per_row(spark):
+    from beam_spark.pcollection import Pipeline
+    from beam_spark.operators.core import Create
+    from beam_spark.ml.transforms import DeduplicateTensorPerRow
+
+    pc = Pipeline(spark) | Create(
+        [{"id": 1, "v": [3, 1, 3, 2, 1]}, {"id": 2, "v": []}],
+        schema="id long, v array<long>")
+    got = {r["id"]: r["v"] for r in (pc | DeduplicateTensorPerRow("v")).df.collect()}
+    assert got[1] == [3, 1, 2] and got[2] == []
