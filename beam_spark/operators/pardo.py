@@ -344,3 +344,70 @@ class CombinePerKeyFn(PTransform):
 
         out = pcoll.df.groupBy(*keys).applyInPandas(apply, schema=schema)
         return pcoll.with_df(out)
+
+
+class AsyncParDo(PTransform):
+    """IO-bound per-element processing with bounded in-flight concurrency
+    (reference transforms/async_dofn.py — AsyncWrapper: parallelize slow
+    per-element calls, cap outstanding requests, surface failures).
+
+    ``fn(el: dict) -> dict | None`` runs on a per-worker thread pool of
+    ``max_concurrency`` threads INSIDE each Arrow batch — the Spark task
+    stays single-threaded from the engine's view while slow RPCs overlap.
+    Output order within a batch is preserved (futures joined in submit
+    order). ``with_exception_handling()`` adds an ``__error`` column
+    instead of failing the stage (the DLQ contract RunInference uses).
+
+    Scale note: concurrency is per python worker; total in-flight =
+    max_concurrency x python workers — size against the callee's rate
+    limit, and prefer Enrichment (keyed caching + batching) when calls
+    are keyed lookups.
+    """
+
+    def __init__(self, fn: Callable[[dict], dict | None], output_schema,
+                 max_concurrency: int = 16, label=None):
+        super().__init__(label)
+        self.fn, self.output_schema = fn, output_schema
+        self.max_concurrency = max_concurrency
+        self._dlq = False
+
+    def with_exception_handling(self) -> "AsyncParDo":
+        self._dlq = True
+        return self
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        import pandas as pd
+
+        fn, width, dlq = self.fn, self.max_concurrency, self._dlq
+        schema = self.output_schema
+        if isinstance(schema, dict):
+            schema = schema_from_dict(schema)
+        if isinstance(schema, str):
+            schema = T._parse_datatype_string(schema)
+        if dlq:
+            schema = T.StructType(list(schema.fields)
+                                  + [T.StructField("__error", T.StringType())])
+        out_cols = [f.name for f in schema.fields]
+
+        def gen(batches: Iterator["pd.DataFrame"]):
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=width) as pool:
+                for pdf in batches:
+                    rows = pdf.to_dict(orient="records")
+                    futs = [pool.submit(fn, r) for r in rows]
+                    out = []
+                    for f in futs:
+                        try:
+                            r = f.result()
+                            if r is not None:
+                                out.append({**r, "__error": None} if dlq else r)
+                        except Exception as e:
+                            if not dlq:
+                                raise
+                            out.append({**{c: None for c in out_cols},
+                                        "__error": f"{type(e).__name__}: {e}"[:2000]})
+                    if out:
+                        yield pd.DataFrame(out, columns=out_cols)
+
+        return pcoll.with_df(pcoll.df.mapInPandas(gen, schema=schema))

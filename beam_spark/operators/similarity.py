@@ -306,7 +306,10 @@ class IvfCosineTopK(PTransform):
                 mat = np.array(list(pdf[vc]), dtype=np.float64)
                 mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
                 lists = (mat @ C.T).argmax(axis=1)
-                out = pdf[[idc, vc]].copy()
+                out = pdf[[idc]].copy()
+                # emit the NORMALIZED vector: the scored join then needs
+                # only a dot product — no per-candidate norm recompute
+                out[vc] = list(mat)
                 out["list_id"] = lists.astype(np.int32)
                 yield out
 
@@ -330,10 +333,9 @@ class IvfCosineTopK(PTransform):
             probe_gen, schema="query_id long, q_vec array<double>, list_id int")
 
         joined = corpus.join(F.broadcast(qs), on="list_id")
-        scored = joined.withColumn(
-            "cosine",
-            dot(F.col("q_vec"), F.col(vc))
-            / (norm(F.col(vc)) * F.lit(1.0)))  # q_vec pre-normalized
+        # both sides pre-normalized in their mapInPandas pass: cosine is a
+        # plain dot product (no norms in the join hot path)
+        scored = joined.withColumn("cosine", dot(F.col("q_vec"), F.col(vc)))
         if exclude_self:
             scored = scored.filter(F.col("query_id") != F.col(idc))
         w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),

@@ -129,3 +129,55 @@ class SqlTransform(PTransform):
             ref = next(iter(pcolls.values()))
         out = self._run(ref.df.sparkSession, tables)
         return ref.with_df(out)
+
+
+# --------------------------------------------------------------------------
+# DDL surface (SURVEY.md §2.10)
+# --------------------------------------------------------------------------
+_DDL_RE = re.compile(
+    r"^\s*CREATE\s+EXTERNAL\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>\w+)\s*\((?P<cols>.*?)\)\s*"
+    r"TYPE\s+'?(?P<type>\w+)'?\s*"
+    r"(?:LOCATION\s+'(?P<location>[^']+)')?"
+    r"(?:\s*TBLPROPERTIES\s+'(?P<props>[^']*)')?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+#: Beam SQL DDL type name -> Spark reader format
+_DDL_FORMATS = {"parquet": "parquet", "text": "text", "csv": "csv",
+                "json": "json", "orc": "orc", "avro": "avro"}
+
+
+def execute_ddl(spark: SparkSession, ddl: str) -> None:
+    """Beam SQL ``CREATE EXTERNAL TABLE`` (reference
+    sdks/java/extensions/sql/impl/parser/SqlCreateExternalTable.java +
+    Parser.jj grammar): parse the statement and register the external
+    source as a temp view, schema-checked against the declared columns.
+
+    Supported: TYPE parquet|csv|json|orc|text|avro with LOCATION; the
+    vendor table providers (bigtable/pubsub/kafka...) need their
+    connectors — same jar boundary as sources/io.py. TBLPROPERTIES is
+    accepted and passed to the reader as JSON options.
+    """
+    import json as _json
+
+    m = _DDL_RE.match(ddl)
+    if not m:
+        raise ValueError(f"unsupported DDL (CREATE EXTERNAL TABLE only): {ddl[:120]}")
+    name, cols = m.group("name"), m.group("cols").strip()
+    fmt = m.group("type").lower()
+    if fmt not in _DDL_FORMATS:
+        raise ValueError(
+            f"TYPE '{fmt}' needs a connector jar (supported here: "
+            f"{sorted(_DDL_FORMATS)})")
+    location = m.group("location")
+    if not location:
+        raise ValueError("LOCATION is required for file-backed types")
+    options = _json.loads(m.group("props")) if m.group("props") else {}
+    # Beam DDL column syntax is SQL-standard enough for Spark's DDL parser
+    schema = cols.replace("VARCHAR", "STRING")
+    reader = spark.read.format(_DDL_FORMATS[fmt]).schema(schema)
+    if options:
+        reader = reader.options(**{k: str(v) for k, v in options.items()})
+    if fmt == "csv":
+        reader = reader.option("header", True)
+    reader.load(location).createOrReplaceTempView(name)

@@ -167,3 +167,35 @@ def test_side_input_row_cap_fails_fast(spark):
     with pytest.raises(ValueError, match="max_rows"):
         AsList(pc, max_rows=2).materialize()
     assert len(AsList(pc, max_rows=5).materialize()) == 5
+
+
+def test_async_pardo_concurrent_and_ordered(spark):
+    """AsyncParDo overlaps slow calls (wall-clock bound) and keeps
+    submit-order output within batches; DLQ captures per-element
+    failures."""
+    import time as _t
+    from beam_spark.operators.pardo import AsyncParDo
+    from beam_spark.pcollection import Pipeline
+    from beam_spark.operators.core import Create
+
+    def slow(el):
+        _t.sleep(0.2)
+        if el["v"] == 13:
+            raise RuntimeError("boom")
+        return {"v": el["v"], "r": el["v"] * 2}
+
+    rows = [{"v": i} for i in list(range(10)) + [13]]
+    pc = Pipeline(spark) | Create(rows, schema="v long")
+    pc = pc.with_df(pc.df.coalesce(1))
+    t0 = _t.time()
+    out = (pc | AsyncParDo(slow, "v long, r long",
+                           max_concurrency=16).with_exception_handling())
+    got = out.df.collect()
+    wall = _t.time() - t0
+    good = {r["v"]: r["r"] for r in got if r["__error"] is None}
+    assert good == {i: i * 2 for i in range(10)}
+    errs = [r for r in got if r["__error"] is not None]
+    assert len(errs) == 1 and "boom" in errs[0]["__error"]
+    # 11 x 0.2s serial would be 2.2s of sleep inside one partition;
+    # concurrent execution keeps the sleep portion near one round
+    assert wall < 30  # generous; mostly asserts no serial-timeout blowup

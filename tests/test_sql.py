@@ -125,3 +125,26 @@ def test_match_recognize_sql_clause(spark, sf_dir):
     exp = sorted((r["user_id"], r["n_views"], round(r["purchase_value"], 6))
                  for r in ref.collect())
     assert got == exp and len(got) > 0
+
+
+def test_create_external_table_ddl(spark, tmp_path):
+    """CREATE EXTERNAL TABLE DDL registers a schema-declared file source
+    as a queryable table (SqlCreateExternalTable.java shape)."""
+    import pytest
+    from beam_spark.sql import execute_ddl
+
+    p = str(tmp_path / "ext")
+    spark.range(5).selectExpr("id AS k", "CAST(id * 2 AS DOUBLE) AS v") \
+        .write.mode("overwrite").parquet(p)
+    execute_ddl(spark, f"""
+        CREATE EXTERNAL TABLE ext_t (k BIGINT, v DOUBLE)
+        TYPE parquet LOCATION '{p}'
+    """)
+    got = spark.sql("SELECT SUM(v) AS s, COUNT(*) AS n FROM ext_t").first()
+    assert (got["s"], got["n"]) == (20.0, 5)
+
+    with pytest.raises(ValueError, match="connector jar"):
+        execute_ddl(spark, f"CREATE EXTERNAL TABLE t2 (k BIGINT) "
+                           f"TYPE bigtable LOCATION '{p}'")
+    with pytest.raises(ValueError, match="unsupported DDL"):
+        execute_ddl(spark, "DROP TABLE ext_t")
