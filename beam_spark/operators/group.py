@@ -257,3 +257,58 @@ class CoGroupByKey(PTransform):
         for tag, _ in items:
             out = out.withColumn(tag, F.coalesce(F.col(tag), F.array()))
         return first_pcoll.with_df(out)
+
+
+class CombineValues(PTransform):
+    """Post-GBK per-key value combining (core.py:3201 CombineValues):
+    input is GroupByKey-shaped (a ``values`` array column); the combine
+    runs per ROW over the already-grouped array.
+
+    Built-in specs ('sum'/'min'/'max'/'count'/'mean') fold JVM-side via
+    aggregate()/array functions — no Python, no extra shuffle (the group
+    already materialized). A python callable (list -> value) runs on the
+    Arrow slow path with an explicit ``output_type``.
+
+    Prefer CombinePerKey when the aggregation is known up front: it never
+    materializes the group (Beam gives the same guidance).
+    """
+
+    def __init__(self, fn, value_col: str = "values",
+                 out_col: str = "combined", output_type: str = "double",
+                 label=None):
+        super().__init__(label)
+        self.fn, self.value_col, self.out_col = fn, value_col, out_col
+        self.output_type = output_type
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        vc, oc = self.value_col, self.out_col
+        if isinstance(self.fn, str):
+            exprs = {
+                "sum": f"aggregate({vc}, CAST(0 AS DOUBLE), "
+                       f"(a, x) -> a + CAST(x AS DOUBLE))",
+                "min": f"array_min({vc})",
+                "max": f"array_max({vc})",
+                "count": f"CAST(size({vc}) AS BIGINT)",
+                "mean": f"aggregate({vc}, CAST(0 AS DOUBLE), "
+                        f"(a, x) -> a + CAST(x AS DOUBLE)) "
+                        f"/ greatest(size({vc}), 1)",
+            }
+            if self.fn not in exprs:
+                raise ValueError(f"unknown builtin combine {self.fn!r}")
+            return pcoll.with_df(
+                pcoll.df.withColumn(oc, F.expr(exprs[self.fn])).drop(vc))
+
+        fn, out_type = self.fn, self.output_type
+        import pandas as pd
+
+        fields = [f for f in pcoll.df.schema.fields if f.name != vc]
+        schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in fields) + f", {oc} {out_type}"
+
+        def gen(batches):
+            for pdf in batches:
+                out = pdf.drop(columns=[vc])
+                out[oc] = [fn(list(v)) for v in pdf[vc]]
+                yield out
+
+        return pcoll.with_df(pcoll.df.mapInPandas(gen, schema=schema))

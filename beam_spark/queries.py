@@ -1598,8 +1598,14 @@ def q_pipeline(spark, sf_dir):
                                      "chunk_text", output_col="embedding",
                                      output_type="array<float>",
                                      batch_size=256)
-    return embedded.df.select("doc_id", "chunk_id", "chunk_index",
-                              "n_chunk_tokens", "embedding")
+    # scalar probes instead of the raw vector: the driver canonicalizes
+    # rows-only outputs too and cannot hash arrays (round-1 failure mode)
+    return embedded.df.select(
+        "doc_id", "chunk_id", "chunk_index", "n_chunk_tokens",
+        F.size("embedding").alias("embedding_dim"),
+        F.round(F.aggregate("embedding", F.lit(0.0),
+                            lambda a, x: a + x.cast("double") * x), 4)
+        .alias("embedding_sq_norm"))
 
 
 @query("q_group_into_batches_sorted", """

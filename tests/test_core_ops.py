@@ -295,3 +295,22 @@ def test_log_elements_is_lazy(spark):
     tapped = pc | LogElements(n=5)          # must NOT raise (no job yet)
     with pytest.raises(Exception, match="evaluated"):
         tapped.df.collect()                 # job runs only on action
+
+
+def test_combine_values_builtin_and_callable(spark):
+    """CombineValues (core.py:3201): post-GBK combining of grouped value
+    arrays — JVM fold for builtins, Arrow path for callables."""
+    from beam_spark.operators.group import CombineValues, GroupByKey
+
+    pc = p(spark) | Create([{"k": "a", "v": 1}, {"k": "a", "v": 2},
+                            {"k": "b", "v": 5}])
+    grouped = pc | GroupByKey("k", value_col="v")
+    sums = {r["k"]: r["combined"]
+            for r in (grouped | CombineValues("sum")).df.collect()}
+    assert sums == {"a": 3.0, "b": 5.0}
+
+    joined = {r["k"]: r["combined"] for r in
+              (grouped | CombineValues(
+                  lambda vs: "+".join(map(str, sorted(vs))),
+                  output_type="string")).df.collect()}
+    assert joined == {"a": "1+2", "b": "5"}

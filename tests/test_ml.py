@@ -98,12 +98,10 @@ def test_llm_dataprep_pipeline_shape(spark, sf_dir):
     df = q.queries()["q_pipeline_llm_dataprep"](spark, sf_dir)
     rows = df.collect()
     assert len(rows) > 0
-    # unit-norm 32-dim embeddings, stable chunk ids
-    import math
+    # unit-norm 32-dim embeddings (scalar probes), stable chunk ids
     for r in rows[:20]:
-        assert len(r["embedding"]) == 32
-        n = math.sqrt(sum(x * x for x in r["embedding"]))
-        assert abs(n - 1.0) < 1e-3
+        assert r["embedding_dim"] == 32
+        assert abs(r["embedding_sq_norm"] - 1.0) < 1e-3
         assert r["chunk_id"] == f"{r['doc_id']}#{r['chunk_index']}"
     # near-dup losers are gone: minhash pairs' higher ids absent
     from beam_spark.operators.dedupe import MinHashLSH

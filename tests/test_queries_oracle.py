@@ -26,3 +26,18 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     else:
         # rows-only check for non-SQL-expressible ops
         assert df.count() >= 0
+
+
+def test_gate_outputs_are_scalar_only(spark):
+    """The driver's canonicalizer cannot hash arrays/maps/structs
+    (round-1 'unhashable list' errors) — every gate output column must
+    be scalar. Schemas only; no data is executed."""
+    from pyspark.sql import types as T
+
+    sf = "/root/testdata/sf0.001"
+    for name, fn in g.queries().items():
+        df = fn(spark, sf)
+        for f in df.schema.fields:
+            assert not isinstance(
+                f.dataType, (T.ArrayType, T.MapType, T.StructType)), (
+                f"{name}.{f.name} is {f.dataType.simpleString()}")
