@@ -112,3 +112,53 @@ def test_session_windows_match_python_model(spark, ts, gap):
         for s in sessions)
     exp = sorted((d.isoformat(), n) for d, n in exp)
     assert got == exp
+
+
+@given(data=st.lists(st.binary(min_size=0, max_size=200), min_size=0,
+                     max_size=20))
+@settings(**SETTINGS)
+def test_tfrecord_roundtrip_arbitrary_bytes(tmp_path_factory, data):
+    """TFRecord framing round-trips any byte payloads (incl. empty
+    records) with valid crcs — pure python, no Spark job per example."""
+    import os
+    from beam_spark.sources.tfrecord import parse_records, write_records
+
+    p = os.path.join(str(tmp_path_factory.mktemp("tfr")), "f.tfrecord")
+    write_records(p, data)
+    with open(p, "rb") as f:
+        assert list(parse_records(f.read())) == data
+
+
+@given(bounds=st.lists(st.floats(-100, 100, allow_nan=False),
+                       min_size=2, max_size=6, unique=True),
+       xs=st.lists(st.floats(-150, 150, allow_nan=False), min_size=1,
+                   max_size=15))
+@settings(**SETTINGS)
+def test_apply_buckets_interpolation_monotone_bounded(spark, bounds, xs):
+    """Interpolated bucket mapping is monotone non-decreasing in x and
+    bounded in [0, 1] for any boundary set."""
+    from beam_spark.ml.transforms import ApplyBucketsWithInterpolation
+
+    pc = Pipeline(spark) | Create([{"x": float(v)} for v in xs],
+                                  schema="x double")
+    got = {r["x"]: r["x_interp"]
+           for r in (pc | ApplyBucketsWithInterpolation("x", bounds)).df.collect()}
+    assert all(0.0 <= v <= 1.0 for v in got.values())
+    ordered = [got[x] for x in sorted(got)]
+    assert all(a <= b + 1e-12 for a, b in zip(ordered, ordered[1:]))
+
+
+@given(vals=st.lists(st.integers(0, 5), min_size=0, max_size=12))
+@settings(**SETTINGS)
+def test_deduplicate_tensor_keeps_first_occurrence_order(spark, vals):
+    from beam_spark.ml.transforms import DeduplicateTensorPerRow
+
+    pc = Pipeline(spark) | Create([{"id": 1, "v": vals}],
+                                  schema="id long, v array<long>")
+    got = (pc | DeduplicateTensorPerRow("v")).df.collect()[0]["v"]
+    seen, ref = set(), []
+    for v in vals:
+        if v not in seen:
+            seen.add(v)
+            ref.append(v)
+    assert got == ref
