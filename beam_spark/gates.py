@@ -227,10 +227,12 @@ def q_cogroup(spark, sf_dir):
         F.concat_ws(",", "names").alias("names_csv"))
 
 
+# COALESCE: duckdb array_to_string([]) is NULL where Spark concat_ws
+# yields '' (bites on keys with an empty side, e.g. order-less customers)
 _COGROUP_SQL = _wrap(
     "k, len(order_keys) AS n_orders, len(names) AS n_names, "
-    "array_to_string(order_keys, ',') AS order_keys_csv, "
-    "array_to_string(names, ',') AS names_csv",
+    "COALESCE(array_to_string(order_keys, ','), '') AS order_keys_csv, "
+    "COALESCE(array_to_string(names, ','), '') AS names_csv",
     _component_sql("q_cogroup_customer_orders"))
 
 
@@ -490,14 +492,17 @@ def q_dedup_pairs_suite(spark, sf_dir):
     ])
 
 
-_DEDUP_PAIRS_SQL = "\nUNION ALL\n".join([
-    _wrap("'ngram' AS method, i, j, jaccard AS sim",
-          _component_sql("q_dedup_ngram_jaccard_pairs")),
-    _wrap("'minhash_lsh' AS method, i, j, jaccard AS sim",
-          _component_sql("q_dedup_minhash_lsh_pairs")),
-    _wrap("'embedding' AS method, i, j, cosine AS sim",
-          _component_sql("q_embedding_neardup_pairs")),
-])
+# ngram and minhash share ONE jaccard-pair oracle (the quadratic CTE is
+# the oracle's dominant cost — compute it once, tag it twice)
+_DEDUP_PAIRS_SQL = f"""
+WITH jp AS MATERIALIZED ({_component_sql("q_dedup_ngram_jaccard_pairs")})
+SELECT 'ngram' AS method, i, j, jaccard AS sim FROM jp
+UNION ALL
+SELECT 'minhash_lsh' AS method, i, j, jaccard AS sim FROM jp
+UNION ALL
+{_wrap("'embedding' AS method, i, j, cosine AS sim",
+       _component_sql("q_embedding_neardup_pairs"))}
+"""
 
 
 def q_simhash_fingerprints(spark, sf_dir):
