@@ -188,3 +188,72 @@ def _register_io():
 
 
 _register_io()
+
+
+@register_yaml_transform("RunInference")
+def _run_inference(t, current, named, pipeline):
+    """{model: linear_regression|fake, input_col, output_col, artifact?}
+    — yaml_ml.py analog over the real handlers."""
+    from beam_spark.ml.inference import (DeterministicFakeHandler,
+                                         LinearRegressionHandler, RunInference)
+
+    model = t.get("model", "fake")
+    if model == "linear_regression":
+        handler = LinearRegressionHandler(t.get("artifact"))
+    elif model == "fake":
+        handler = DeterministicFakeHandler()
+    else:
+        raise ValueError(f"unknown model {model!r} (use a python handler "
+                         "via register_yaml_transform for custom models)")
+    return current | RunInference(handler, t["input_col"],
+                                  output_col=t.get("output_col", "prediction"),
+                                  batch_size=t.get("batch_size", 256))
+
+
+@register_yaml_transform("Deduplicate")
+def _dedup(t, current, named, pipeline):
+    """{strategy: exact|minhash_pairs|simhash_pairs, ...op kwargs}."""
+    from beam_spark.operators.dedupe import (ExactDedup, MinHashLSH,
+                                             SimHashNearDupPairs)
+
+    strategy = t.get("strategy", "exact")
+    kwargs = {k: v for k, v in t.items()
+              if k not in ("type", "name", "strategy")}
+    cls = {"exact": ExactDedup, "minhash_pairs": MinHashLSH,
+           "simhash_pairs": SimHashNearDupPairs}.get(strategy)
+    if cls is None:
+        raise ValueError(f"unknown dedup strategy {strategy!r}")
+    return current | cls(**kwargs)
+
+
+@register_yaml_transform("ReadFromTFRecord")
+def _read_tfrecord(t, current, named, pipeline):
+    from beam_spark.sources.tfrecord import ReadFromTFRecord
+
+    return pipeline | ReadFromTFRecord(t["path"])
+
+
+@register_yaml_transform("WriteToTFRecord")
+def _write_tfrecord(t, current, named, pipeline):
+    from beam_spark.sources.tfrecord import WriteToTFRecord
+
+    return current | WriteToTFRecord(t["path"],
+                                     record_col=t.get("record_col", "record"))
+
+
+@register_yaml_transform("MLTransform")
+def _ml_transform(t, current, named, pipeline):
+    """{op: scale_to_01|scale_to_zscore|scale_to_gaussian|bucketize|
+    apply_buckets_interpolated, col, ...}."""
+    from beam_spark.ml.transforms import (ApplyBucketsWithInterpolation,
+                                          Bucketize, ScaleTo01,
+                                          ScaleToGaussian, ScaleToZScore)
+
+    op = t["op"]
+    kwargs = {k: v for k, v in t.items() if k not in ("type", "name", "op")}
+    cls = {"scale_to_01": ScaleTo01, "scale_to_zscore": ScaleToZScore,
+           "scale_to_gaussian": ScaleToGaussian, "bucketize": Bucketize,
+           "apply_buckets_interpolated": ApplyBucketsWithInterpolation}.get(op)
+    if cls is None:
+        raise ValueError(f"unknown MLTransform op {op!r}")
+    return current | cls(**kwargs)

@@ -91,3 +91,34 @@ pipeline:
     out = run_yaml(spec, spark)
     counts = sorted(r["n"] for r in out.collect())
     assert counts == [1, 2]
+
+
+def test_yaml_ml_and_dedup_chain(spark, sf_dir):
+    """Round-2 YAML providers: Deduplicate + MLTransform + RunInference
+    over the documents table."""
+    from beam_spark.yaml_pipeline import run_yaml
+
+    out = run_yaml({
+        "pipeline": {"transforms": [
+            {"type": "ReadFromParquet",
+             "path": f"{sf_dir}/documents.parquet"},
+            {"type": "MapToFields", "append": True,
+             "fields": {"features":
+                        "array(CAST(n_chars AS DOUBLE), "
+                        "CAST(n_chars AS DOUBLE), CAST(n_chars AS DOUBLE))"}},
+            {"type": "RunInference", "model": "linear_regression",
+             "input_col": "features", "output_col": "score"},
+            {"type": "MLTransform", "op": "scale_to_01", "col": "score"},
+        ]}}, spark)
+    rows = out.df.select("doc_id", "score", "score_scaled").collect()
+    assert len(rows) > 0
+    assert all(0.0 <= r["score_scaled"] <= 1.0 for r in rows)
+
+    dedup = run_yaml({
+        "pipeline": {"transforms": [
+            {"type": "ReadFromParquet",
+             "path": f"{sf_dir}/documents.parquet"},
+            {"type": "Deduplicate", "strategy": "exact"},
+        ]}}, spark)
+    assert dedup.df.columns == ["content_md5", "keep_id", "dup_count"]
+    assert dedup.df.count() > 0
