@@ -5,13 +5,15 @@ from beam_spark.streaming.trigger_algebra import (AfterAll, AfterAny,
 from beam_spark.streaming.state import StatefulDoFn, StatefulParDo, UserState
 from beam_spark.streaming.core import (Deduplicate, GroupIntoBatches,
                                        TriggeredCountPerKey,
-                                       ReadFileStream, ReadRateStream,
+                                       ReadFileStream, ReadFromSocket,
+                                       ReadRateStream,
                                        TestStream, WithWatermark,
                                        WriteStreamToMemory,
                                        WriteStreamToFiles, foreach_batch)
 
 __all__ = [
-    "Deduplicate", "GroupIntoBatches", "ReadFileStream", "ReadRateStream",
+    "Deduplicate", "GroupIntoBatches", "ReadFileStream", "ReadFromSocket",
+    "ReadRateStream",
     "TriggeredCountPerKey",
     "TestStream", "WithWatermark", "WriteStreamToMemory",
     "WriteStreamToFiles", "foreach_batch",

@@ -50,6 +50,30 @@ class ReadRateStream(PTransform):
                            is_bounded=False, ts_col="timestamp")
 
 
+class ReadFromSocket(PTransform):
+    """Unbounded text-socket source (the Pub/Sub-class adapter shape:
+    reference io/gcp/pubsub.py:210 ReadFromPubSub — payload + arrival
+    timestamp; attributes become upstream JSON in the payload).
+
+    Emits (value string, ts timestamp=arrival processing time). Spark's
+    socket source is dev-grade (no replay); the production analogs are
+    ReadFromKafka (offsets = Beam's acked subscription) and
+    ReadFileStream. The column contract is the same for all three, so a
+    pipeline developed against this source swaps sources unchanged.
+    """
+
+    def __init__(self, host: str = "localhost", port: int = 9999, label=None):
+        super().__init__(label)
+        self.host, self.port = host, port
+
+    def expand(self, pbegin: PBegin) -> PCollection:
+        df = (pbegin.spark.readStream.format("socket")
+              .option("host", self.host).option("port", self.port)
+              .option("includeTimestamp", True).load())
+        return PCollection(df, pipeline=getattr(pbegin, "pipeline", None),
+                           is_bounded=False, ts_col="timestamp")
+
+
 class ReadFileStream(PTransform):
     """Streaming directory watch (Beam MatchContinuously / Watch.growthOf,
     io/fileio.py:254): new files become new micro-batch input."""

@@ -336,3 +336,50 @@ def test_stateful_pardo_time_sorted_input(spark):
         (unbounded | StatefulParDo("k", Collector(), "k string, order string",
                                    requires_time_sorted_input=True,
                                    ts_col="t"))
+
+
+def test_read_from_socket_streams_lines(spark):
+    """Unbounded socket source adapter (Pub/Sub-shape: payload + arrival
+    ts): a local TCP server feeds lines; the stream delivers them with
+    timestamps."""
+    import socket
+    import threading
+    import time as _t
+
+    from beam_spark.pcollection import Pipeline
+    from beam_spark.streaming import ReadFromSocket, WriteStreamToMemory
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("localhost", 0))
+    port = srv.getsockname()[1]
+    srv.listen(1)
+
+    def serve():
+        conn, _ = srv.accept()
+        for i in range(5):
+            conn.sendall(f"msg-{i}\n".encode())
+        _t.sleep(2.0)
+        conn.close()
+
+    th = threading.Thread(target=serve, daemon=True)
+    th.start()
+
+    pc = Pipeline(spark) | ReadFromSocket("localhost", port)
+    q = (pc.df.writeStream.format("memory")
+         .queryName("socket_test").outputMode("append").start())
+    try:
+        deadline = _t.time() + 30
+        while _t.time() < deadline:
+            got = {r["value"] for r in spark.sql(
+                "SELECT value FROM socket_test").collect()}
+            if len(got) >= 5:
+                break
+            _t.sleep(0.5)
+        assert got == {f"msg-{i}" for i in range(5)}, got
+        ts_ok = spark.sql("SELECT COUNT(*) AS n FROM socket_test "
+                          "WHERE timestamp IS NOT NULL").first()["n"]
+        assert ts_ok >= 5
+    finally:
+        q.stop()
+        srv.close()
