@@ -86,3 +86,35 @@ def test_trigger_state_is_picklable():
     s2 = pickle.loads(pickle.dumps(s))
     t.on_element(s2, ctx)
     assert t.should_fire(s2, ctx)
+
+
+def test_property_repeatedly_count_pane_arithmetic():
+    """Repeatedly(AfterCount(n)) over m elements fires exactly m // n
+    panes, for all small (n, m)."""
+    for n in range(1, 6):
+        for m in range(0, 25):
+            fired, finished = drive(Repeatedly(AfterCount(n)), [("el",)] * m)
+            assert len(fired) == m // n, (n, m, fired)
+            assert not finished
+
+
+def test_property_after_each_total_capacity():
+    """AfterEach(AfterCount(a), AfterCount(b)) fires at cumulative counts
+    a and a+b, then is finished regardless of further elements."""
+    for a in range(1, 5):
+        for b in range(1, 5):
+            events = [("el",)] * (a + b + 3)
+            fired, finished = drive(AfterEach(AfterCount(a), AfterCount(b)),
+                                    events)
+            assert fired == [a - 1, a + b - 1], (a, b, fired)
+            assert finished
+
+
+def test_property_or_finally_never_fires_past_until():
+    """After OrFinally's until-side fires, no further panes ever fire."""
+    for until_n in range(2, 8):
+        fired, finished = drive(
+            OrFinally(Repeatedly(AfterCount(2)), AfterCount(until_n)),
+            [("el",)] * 20)
+        assert finished
+        assert max(fired) <= until_n - 1  # final pane at the until element
