@@ -262,6 +262,13 @@ class MergeCustomWindows(PTransform):
     overlapping/mergeable neighbours via ``merge_fn``, then stamp every
     row with its final merged window — after this the ordinary grouping
     operators treat it like any other window column.
+
+    Scale note: the whole key's rows pass through one pandas group (the
+    same bound Beam's merging-window GBK has — merging is inherently
+    per-key-global). A single key larger than worker memory will OOM;
+    built-in Sessions avoids this via the expression-only gaps-and-
+    islands path, so reach for CustomMergingWindowFn only when merge
+    logic is genuinely arbitrary.
     """
 
     def __init__(self, window_fn: CustomMergingWindowFn, key_cols, label=None):
