@@ -134,3 +134,129 @@ class CountMinSketch:
                    seed: int = 42):
         """Mergeable sketch bytes as an aggregate column (per group)."""
         return F.expr(f"count_min_sketch({col}, {eps}d, {confidence}d, {seed})")
+
+
+# ----------------------------------------------------------------------
+# TDigestQuantiles (reference sdks/java/extensions/sketching/
+# TDigestQuantiles.java — t-digest centroid sketches, mergeable across
+# partitions). Semantics rebuilt from the public t-digest construction
+# (Dunning's k1 scale bound: centroid weight <= 4*n*q*(1-q)/delta).
+# ----------------------------------------------------------------------
+def _tdigest_compress(means, weights, delta: float):
+    """Merge sorted (mean, weight) centroids under the k1 size bound."""
+    import numpy as np
+
+    order = np.argsort(means, kind="mergesort")
+    m, w = np.asarray(means, float)[order], np.asarray(weights, float)[order]
+    total = w.sum()
+    out_m: list = []
+    out_w: list = []
+    cur_m, cur_w, done_w = m[0], w[0], 0.0
+    for i in range(1, len(m)):
+        q = (done_w + cur_w / 2.0) / total
+        limit = max(4.0 * total * q * (1.0 - q) / delta, 1.0)
+        if cur_w + w[i] <= limit:
+            cur_m = (cur_m * cur_w + m[i] * w[i]) / (cur_w + w[i])
+            cur_w += w[i]
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            done_w += cur_w
+            cur_m, cur_w = m[i], w[i]
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return out_m, out_w
+
+
+def _tdigest_quantile(means, weights, q: float) -> float:
+    """Interpolated quantile from centroid (mean, weight) pairs."""
+    import numpy as np
+
+    m, w = np.asarray(means, float), np.asarray(weights, float)
+    order = np.argsort(m, kind="mergesort")
+    m, w = m[order], w[order]
+    total = w.sum()
+    target = q * total
+    # centroid centers sit at cumulative weight (prefix + w/2)
+    centers = np.cumsum(w) - w / 2.0
+    if target <= centers[0]:
+        return float(m[0])
+    if target >= centers[-1]:
+        return float(m[-1])
+    i = int(np.searchsorted(centers, target)) - 1
+    span = centers[i + 1] - centers[i]
+    frac = (target - centers[i]) / span if span > 0 else 0.0
+    return float(m[i] + frac * (m[i + 1] - m[i]))
+
+
+class TDigestQuantiles(PTransform):
+    """Distributed, mergeable t-digest quantiles.
+
+    Two-level sketch: each input PARTITION folds its rows into a local
+    digest inside one Arrow pass (per key when keyed), then the per-key
+    reduce merges the partial digests' centroids — the shuffle carries
+    O(delta) centroids per (key, partition), never the rows. That is the
+    property percentile_approx also has; this class exists for parity
+    with the reference's explicit TDigest contract (tunable ``delta``,
+    digest merge semantics) and as the documented custom-sketch pattern.
+
+    Output: key cols + one DOUBLE column per requested quantile, named
+    ``q_<percent>`` (q_50, q_99_9).
+    """
+
+    def __init__(self, col: str, quantiles, keys=None, delta: float = 100.0,
+                 label=None):
+        super().__init__(label)
+        self.col, self.quantiles = col, list(quantiles)
+        self.keys = [keys] if isinstance(keys, str) else list(keys or [])
+        self.delta = delta
+
+    @staticmethod
+    def _qname(q: float) -> str:
+        return ("q_" + f"{q * 100:g}".replace(".", "_"))
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        import pandas as pd
+
+        col, keys, delta, qs = self.col, self.keys, self.delta, self.quantiles
+        key_schema = ", ".join(
+            f"{k} {pcoll.df.schema[k].dataType.simpleString()}" for k in keys)
+        mid_schema = (key_schema + ", " if keys else "") + \
+            "means array<double>, weights array<double>"
+
+        def partial(batches):
+            for pdf in batches:
+                groups = pdf.groupby(keys) if keys else [((), pdf)]
+                rows = []
+                for gkey, gdf in groups:
+                    vals = gdf[col].dropna().to_numpy(dtype=float)
+                    if not len(vals):
+                        continue
+                    m, w = _tdigest_compress(vals, [1.0] * len(vals), delta)
+                    gkey = gkey if isinstance(gkey, tuple) else (gkey,)
+                    rows.append({**dict(zip(keys, gkey)),
+                                 "means": m, "weights": w})
+                if rows:
+                    yield pd.DataFrame(rows)
+
+        partials = pcoll.df.select(*(keys + [col])).mapInPandas(
+            partial, schema=mid_schema)
+
+        out_schema = (key_schema + ", " if keys else "") + ", ".join(
+            f"{self._qname(q)} double" for q in qs)
+
+        def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            means = [x for arr in pdf["means"] for x in arr]
+            weights = [x for arr in pdf["weights"] for x in arr]
+            m, w = _tdigest_compress(means, weights, delta)
+            row = {k: pdf[k].iloc[0] for k in keys}
+            for q in qs:
+                row[self._qname(q)] = _tdigest_quantile(m, w, q)
+            return pd.DataFrame([row])
+
+        if keys:
+            out = partials.groupBy(*keys).applyInPandas(merge, schema=out_schema)
+        else:
+            out = (partials.withColumn("__g", F.lit(1)).groupBy("__g")
+                   .applyInPandas(lambda pdf: merge(pdf), schema=out_schema))
+        return pcoll.with_df(out)

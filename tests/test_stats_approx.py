@@ -40,3 +40,46 @@ def test_sample_exact_size_and_subset(spark, sf_dir):
     all_ids = {r["event_id"] for r in
                q.table(spark, sf_dir, "events").df.select("event_id").collect()}
     assert {r["event_id"] for r in rows} <= all_ids
+
+
+def test_tdigest_quantiles_accuracy_and_merge(spark):
+    """TDigest (sketching extension parity): merged per-partition digests
+    estimate quantiles of a skewed distribution within tolerance, and
+    the estimate is stable across partitioning (mergeability)."""
+    import numpy as np
+    from beam_spark.pcollection import PCollection
+    from beam_spark.operators.stats import TDigestQuantiles
+
+    rng = np.random.default_rng(3)
+    vals = rng.lognormal(0.0, 1.0, 20_000)
+    exact = {q: float(np.quantile(vals, q)) for q in (0.5, 0.9, 0.99)}
+
+    def run(n_parts):
+        df = spark.createDataFrame(
+            [(float(v),) for v in vals], "v double").repartition(n_parts)
+        out = (PCollection(df)
+               | TDigestQuantiles("v", [0.5, 0.9, 0.99], delta=200))
+        return out.df.collect()[0]
+
+    r8 = run(8)
+    for q, name in [(0.5, "q_50"), (0.9, "q_90"), (0.99, "q_99")]:
+        rel = abs(r8[name] - exact[q]) / exact[q]
+        assert rel < 0.05, (q, r8[name], exact[q])
+
+    r1 = run(1)
+    for name in ("q_50", "q_90", "q_99"):
+        assert abs(r1[name] - r8[name]) / abs(r8[name]) < 0.05
+
+
+def test_tdigest_per_key(spark):
+    from beam_spark.pcollection import PCollection
+    from beam_spark.operators.stats import TDigestQuantiles
+
+    rows = [("a", float(i)) for i in range(101)] + \
+           [("b", float(i * 10)) for i in range(101)]
+    df = spark.createDataFrame(rows, "k string, v double").repartition(4)
+    out = (PCollection(df)
+           | TDigestQuantiles("v", [0.5], keys="k", delta=100)).df
+    got = {r["k"]: r["q_50"] for r in out.collect()}
+    assert abs(got["a"] - 50.0) < 3.0
+    assert abs(got["b"] - 500.0) < 30.0
