@@ -56,3 +56,36 @@ def test_scan_parallelism_scales_with_max_partition_bytes(spark, tmp_path):
         if old:
             spark.conf.set("spark.sql.files.maxPartitionBytes", old)
     assert narrow > wide, (narrow, wide)
+
+
+def test_gate_suite_plans_keep_pushdown_and_broadcast(spark):
+    """Folding components into tagged-union suites must not lose the
+    per-member physical properties: parquet filter pushdown + column
+    pruning in the agg suite, broadcast hash joins for dims in the join
+    suite."""
+    from beam_spark import gates as g
+
+    sf = "/root/testdata/sf0.001"
+    agg_plan = (g.queries()["q_tpch_agg_suite"](spark, sf)
+                ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters: [" in agg_plan
+    # q6's scan must not read all 16 lineitem columns
+    assert "l_shipdate" in agg_plan
+    join_plan = (g.queries()["q_tpch_join_suite"](spark, sf)
+                 ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in join_plan
+
+
+def test_flagship_q1_scan_prunes_columns(spark):
+    """q1 projects 7 of lineitem's columns; the parquet ReadSchema must
+    be pruned accordingly (not the full row)."""
+    import re
+    from beam_spark import gates as g
+
+    plan = (g.queries()["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, "no FileScan in plan"
+    cols = [c.split("#")[0] for c in m.group(1).split(",") if c]
+    assert len(cols) <= 8, cols
+    assert "l_comment" not in cols
