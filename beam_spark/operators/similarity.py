@@ -190,13 +190,19 @@ class EmbeddingNearDupPairs(PTransform):
     sketches differ in every bucket — tune n_planes); 'brute' is exact.
     """
 
+    #: brute mode fails fast past this corpus size (closure-shipped
+    #: matrix; ~0.5 GB per 1M x 64 doubles) — use strategy='lsh' beyond.
+    BRUTE_MAX_ROWS = 2_000_000
+
     def __init__(self, threshold: float = 0.9, strategy: str = "lsh",
                  n_planes: int = 6, id_col: str = "vec_id",
-                 vec_col: str = "embedding", dim: int = 64, label=None):
+                 vec_col: str = "embedding", dim: int = 64,
+                 brute_max_rows: int | None = None, label=None):
         super().__init__(label)
         self.threshold, self.strategy = threshold, strategy
         self.n_planes, self.dim = n_planes, dim
         self.id_col, self.vec_col = id_col, vec_col
+        self.brute_max_rows = brute_max_rows or self.BRUTE_MAX_ROWS
 
     def expand(self, pcoll: PCollection) -> PCollection:
         import numpy as np
@@ -209,7 +215,13 @@ class EmbeddingNearDupPairs(PTransform):
             # batch of the distributed side does a BLAS matmul against it.
             # Beyond closure scale, use strategy='lsh' (both sides stay
             # distributed, bucketed by sketch).
-            rows = pcoll.df.select(idc, vc).collect()
+            rows = pcoll.df.select(idc, vc).limit(
+                self.brute_max_rows + 1).collect()
+            if len(rows) > self.brute_max_rows:
+                raise ValueError(
+                    f"strategy='brute' caps at {self.brute_max_rows} "
+                    "vectors (driver/closure materialization); use "
+                    "strategy='lsh' at this scale")
             all_ids = np.array([r[0] for r in rows], dtype=np.int64)
             all_mat = np.array([r[1] for r in rows], dtype=np.float64)
             all_mat = all_mat / np.linalg.norm(all_mat, axis=1, keepdims=True)

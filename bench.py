@@ -81,5 +81,36 @@ def main() -> None:
     spark.stop()
 
 
+def bench_components() -> None:
+    """Optional: per-component timings (the pre-consolidation query
+    names, for cross-round comparability) -> BENCH_COMPONENTS.json.
+    Run: SPARK_GRAFT_BENCH_COMPONENTS=1 python bench.py"""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from beam_spark.session import get_spark
+    from beam_spark import queries as q
+
+    spark = get_spark("beam_spark-bench-components", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = q.queries()
+    registry["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    timings = {}
+    for name in sorted(registry):
+        t0 = time.perf_counter()
+        registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"{name}: {timings[name]}s", file=sys.stderr)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_COMPONENTS.json"), "w") as f:
+        json.dump({"sf_dir": sf_dir, "cpus": int(cpus),
+                   "total_sec": round(sum(timings.values()), 3),
+                   "components": timings}, f, indent=1)
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SPARK_GRAFT_BENCH_COMPONENTS"):
+        bench_components()
+    else:
+        main()
