@@ -117,3 +117,49 @@ def test_ivf_deterministic(spark, sf_dir):
     a = sorted(map(tuple, (PCollection(emb) | IvfCosineTopK(qs, k=3)).df.collect()))
     b = sorted(map(tuple, (PCollection(emb) | IvfCosineTopK(qs, k=3)).df.collect()))
     assert a == b
+
+
+def test_streaming_llm_dataprep_composition(spark):
+    """The LLM dataprep operators compose UNCHANGED on a stream: quality
+    score -> filter -> TTL exact-dedup (dropDuplicatesWithinWatermark on
+    content_md5) -> chunk -> RunInference, driven by TestStream micro-
+    batches. Near-dup LSH stays batch (pairwise joins need bounded
+    input — same restriction Beam has for cross-element joins)."""
+    from pyspark.sql import functions as F
+    from beam_spark.ml.chunking import ChunkText
+    from beam_spark.ml.inference import FakeTextEmbeddingHandler, RunInference
+    from beam_spark.operators.core import Filter
+    from beam_spark.operators.text import Fingerprint, QualityScore
+    from beam_spark.streaming import (Deduplicate, TestStream, WithWatermark,
+                                      WriteStreamToMemory)
+
+    long_text = " ".join(f"tok{i}" for i in range(80))
+    ts = TestStream(spark, "t timestamp, doc_id long, text string")
+    ts.add_elements([
+        {"t": "2024-01-01 00:00:01", "doc_id": 1, "text": long_text},
+        {"t": "2024-01-01 00:00:02", "doc_id": 2, "text": long_text},   # dup
+        {"t": "2024-01-01 00:00:03", "doc_id": 3, "text": "short"},     # low quality
+    ])
+    ts.add_elements([
+        {"t": "2024-01-01 00:00:10", "doc_id": 4,
+         "text": " ".join(f"other{i}" for i in range(90))},
+        {"t": "2024-01-01 00:00:11", "doc_id": 5, "text": long_text},   # dup again
+    ])
+
+    pc = (ts.stream()
+          | WithWatermark("t", "1 minute")
+          | QualityScore()
+          | Filter("n_tokens >= 50")
+          | Fingerprint()
+          | Deduplicate("content_md5")
+          | ChunkText(chunk_tokens=64, overlap_tokens=8)
+          | RunInference(FakeTextEmbeddingHandler(dim=16), "chunk_text",
+                         output_col="embedding", output_type="array<float>",
+                         batch_size=64))
+    out = pc | WriteStreamToMemory(output_mode="append")
+    rows = out.collect()
+    kept_docs = {r["doc_id"] for r in rows}
+    # doc 1 survives; 2 and 5 are content-dups; 3 fails quality
+    assert kept_docs == {1, 4}, kept_docs
+    assert all(len(r["embedding"]) == 16 for r in rows)
+    assert any(r["chunk_index"] == 1 for r in rows)  # overlap chunking ran
