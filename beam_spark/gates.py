@@ -666,6 +666,12 @@ def q_io_roundtrip(spark, sf_dir):
                                      "n_name", "n_regionkey"))
 
     tf_path = os.path.join(base, "tfrecord")
+    # clean stale shards: a previous run with MORE partitions would leave
+    # extra part files behind (the raw sink writes, it doesn't commit a
+    # directory) and duplicate the read
+    import shutil
+
+    shutil.rmtree(tf_path, ignore_errors=True)
     recs = PCollection(nation.select(F.encode(F.concat_ws(
         "|", F.col("n_nationkey").cast("string"), "n_name",
         F.col("n_regionkey").cast("string")), "utf-8").alias("record")))
