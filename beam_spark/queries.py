@@ -1855,6 +1855,131 @@ def q_nexmark7(spark, sf_dir):
                      F.col("m.value").alias("value"))
 
 
+@query("q_nexmark3_signup_purchases", """
+WITH s AS (SELECT user_id, event_id AS signup_event_id,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events WHERE event_type = 'signup')
+SELECT p.user_id, s.signup_event_id, p.event_id AS purchase_event_id,
+       p.value AS purchase_value
+FROM events p JOIN s ON p.user_id = s.user_id AND s.rn = 1
+WHERE p.event_type = 'purchase'
+""")
+def q_nexmark3(spark, sf_dir):
+    """Nexmark Q3 shape (filtered incremental join person x auction):
+    every purchase joined to the user's FIRST signup — the
+    state-per-key join Beam implements with a stateful DoFn; batch form
+    is first-event extraction (max_by shape) + equi-join."""
+    from beam_spark.operators.combiners import Latest
+    from beam_spark.operators.join import Join
+
+    ev = table(spark, sf_dir, "events")
+    first_signup = (
+        ev.df.filter("event_type = 'signup'")
+        .groupBy("user_id")
+        .agg(F.min_by("event_id", F.struct(F.col("ts"), F.col("event_id")))
+             .alias("signup_event_id")))
+    out = (ev
+           | Filter("event_type = 'purchase'")
+           | Join(first_signup, on="user_id", broadcast=True))
+    return out.df.select("user_id", "signup_event_id",
+                         F.col("event_id").alias("purchase_event_id"),
+                         F.col("value").alias("purchase_value"))
+
+
+@query("q_nexmark4_avg_winning_value", f"""
+WITH w AS (SELECT event_type,
+                  time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+                    AS window_start,
+                  MAX({_EVENT_VAL}) AS win_value
+           FROM events GROUP BY event_type, window_start)
+SELECT event_type,
+       CAST(SUM(win_value) AS DOUBLE) / COUNT(*) AS avg_winning_value
+FROM w GROUP BY event_type
+""")
+def q_nexmark4(spark, sf_dir):
+    """Nexmark Q4 shape (avg winning bid per category over closed
+    auction windows): two-level aggregation — per (type, hour) max,
+    then exact mean of the maxima per type."""
+    from beam_spark.operators.window import FixedWindows, WindowInto
+
+    pc = (table(spark, sf_dir, "events")
+          | WindowInto(FixedWindows(3600), ts_col="ts")
+          | CombinePerKey("event_type",
+                          win_value=F.expr(f"MAX({_EVENT_VAL})")))
+    out = (pc.with_df(pc.df.drop("__window"), window_col=None)
+           | CombinePerKey("event_type", avg_winning_value=F.expr(
+               "CAST(SUM(win_value) AS DOUBLE) / COUNT(*)")))
+    return out.df
+
+
+@query("q_nexmark6_avg_last10_per_user", """
+WITH p AS (SELECT user_id, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events WHERE event_type = 'purchase')
+SELECT user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+         AS avg_last10
+FROM p WHERE rn <= 10 GROUP BY user_id
+""")
+def q_nexmark6(spark, sf_dir):
+    """Nexmark Q6 shape (avg selling price of each seller's last 10
+    closed auctions): per-key bounded history — windowed row_number
+    then exact mean."""
+    from beam_spark.operators.sort import TopKPerKey
+
+    out = (table(spark, sf_dir, "events")
+           | Filter("event_type = 'purchase'")
+           | TopKPerKey("user_id", 10, "ts desc", "event_id desc")
+           | CombinePerKey("user_id", avg_last10=F.expr(
+               "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)")))
+    return out.df
+
+
+@query("q_nexmark8_new_user_purchases", """
+WITH first_seen AS (SELECT user_id,
+                           time_bucket(INTERVAL '1 hour',
+                                       MIN(CAST(ts AS TIMESTAMP)))
+                             AS first_window
+                    FROM events GROUP BY user_id),
+p AS (SELECT user_id,
+             time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+               AS window_start,
+             COUNT(*) AS n_purchases
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, window_start)
+SELECT p.window_start, p.user_id, p.n_purchases
+FROM p JOIN first_seen f
+  ON p.user_id = f.user_id AND p.window_start = f.first_window
+""")
+def q_nexmark8(spark, sf_dir):
+    """Nexmark Q8 shape (monitor new users: persons who joined in window
+    W and acted in W): windowed first-appearance semi-join."""
+    from beam_spark.operators.join import Join
+    from beam_spark.operators.window import FixedWindows, WindowInto
+
+    ev = table(spark, sf_dir, "events")
+    # first event's hourly window per user
+    first_seen = (ev.df.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+                  .select("user_id",
+                          F.window("first_ts", "1 hour").getField("start")
+                          .alias("first_window")))
+    purchases = (ev
+                 | Filter("event_type = 'purchase'")
+                 | WindowInto(FixedWindows(3600), ts_col="ts")
+                 | CombinePerKey("user_id", n_purchases="count(*)"))
+    windowed = purchases.df.select(
+        F.col("__window.start").alias("window_start"), "user_id",
+        "n_purchases")
+    out = (windowed
+           .join(first_seen.withColumnRenamed("user_id", "fs_user"),
+                 on=[windowed.user_id == F.col("fs_user"),
+                     windowed.window_start == F.col("first_window")])
+           .select("window_start", "user_id", "n_purchases"))
+    return out
+
+
 @query("q_ann_ivf_topk", None)
 def q_ann_ivf(spark, sf_dir):
     """IVF-flat ANN (coarse-quantizer inverted lists, nprobe probing) —

@@ -162,3 +162,39 @@ def test_deduplicate_tensor_keeps_first_occurrence_order(spark, vals):
             seen.add(v)
             ref.append(v)
     assert got == ref
+
+
+@given(rows=st.lists(st.tuples(st.sampled_from(["u1", "u2"]),
+                               st.sampled_from(["d1", "d2"]),
+                               st.integers(0, 400)),
+                     min_size=1, max_size=24),
+       gap=st.sampled_from([30, 60]))
+@settings(**SETTINGS)
+def test_session_windows_multi_key_match_python_model(spark, rows, gap):
+    """sessionize with a COMPOSITE key: sessions merge independently per
+    (user, device) against the sequential strict-< model."""
+    from pyspark.sql import functions as F
+    from beam_spark.operators.window import Sessions, WindowInto
+    from beam_spark.operators.group import CombinePerKey
+
+    pc = Pipeline(spark) | Create(
+        [{"u": u, "d": d, "t": t} for u, d, t in rows],
+        schema="u string, d string, t long")
+    pc = pc.with_df(pc.df.withColumn("ts", F.timestamp_seconds("t")), ts_col="ts")
+    out = pc | WindowInto(Sessions(gap)) | CombinePerKey("u", "d", n="count(*)")
+    got = sorted((r["u"], r["d"], r["__window"]["start"].isoformat(), r["n"])
+                 for r in out.collect())
+
+    ref = defaultdict(list)
+    for u, d, t in sorted(rows, key=lambda x: (x[0], x[1], x[2])):
+        key = (u, d)
+        if ref[key] and t - ref[key][-1][-1] < gap:
+            ref[key][-1].append(t)
+        else:
+            ref[key].append([t])
+    import datetime
+    exp = sorted(
+        (u, d, (datetime.datetime(1970, 1, 1)
+                + datetime.timedelta(seconds=s[0])).isoformat(), len(s))
+        for (u, d), sessions in ref.items() for s in sessions)
+    assert got == exp
