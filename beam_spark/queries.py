@@ -1855,6 +1855,119 @@ def q_nexmark7(spark, sf_dir):
                      F.col("m.value").alias("value"))
 
 
+@query("q_nexmark0_passthrough", """
+SELECT event_id, user_id, event_type, value FROM events
+""")
+def q_nexmark0(spark, sf_dir):
+    """Nexmark Q0 (passthrough: serialization floor)."""
+    return (table(spark, sf_dir, "events")
+            | Select("event_id", "user_id", "event_type", "value")).df
+
+
+@query("q_nexmark1_currency_map", f"""
+SELECT event_id, user_id,
+       CAST({dec('value', 18, 6)} * CAST(0.89 AS DECIMAL(4,2)) AS DOUBLE)
+         AS eur_value
+FROM events
+""")
+def q_nexmark1(spark, sf_dir):
+    """Nexmark Q1 (currency conversion Map): exact decimal multiply."""
+    from beam_spark.operators.core import Map
+
+    out = (table(spark, sf_dir, "events")
+           | Map("event_id", "user_id",
+                 f"CAST({dec('value', 18, 6)} * CAST(0.89 AS DECIMAL(4,2)) "
+                 "AS DOUBLE) AS eur_value"))
+    return out.df
+
+
+@query("q_nexmark2_filter", """
+SELECT event_id, user_id FROM events
+WHERE user_id % 5 = 0 AND event_type = 'click'
+""")
+def q_nexmark2(spark, sf_dir):
+    """Nexmark Q2 (selection filter)."""
+    return (table(spark, sf_dir, "events")
+            | Filter("user_id % 5 = 0 AND event_type = 'click'")
+            | Select("event_id", "user_id")).df
+
+
+@query("q_nexmark9_winning_values", """
+WITH o AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, value,
+                  event_id FROM events),
+s AS (SELECT user_id, t, value, event_id,
+             CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                       >= 600000000 OR lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                       IS NULL THEN 1 ELSE 0 END AS brk
+      FROM o),
+g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s)
+SELECT user_id, MIN(t) AS window_start_us,
+       MAX(CAST(value AS DECIMAL(18,6)))::DOUBLE AS winning_value,
+       COUNT(*) AS n_bids
+FROM g GROUP BY user_id, sid
+""")
+def q_nexmark9(spark, sf_dir):
+    """Nexmark Q9 shape (WinningBids: CUSTOM MERGING WINDOWS): per user,
+    expiry windows [t, t+10min) merged on overlap — executed through the
+    generic CustomMergingWindowFn/MergeCustomWindows machinery (NOT the
+    built-in Sessions operator), which this query gives a full oracle:
+    overlap-merge of [t, t+gap) windows is gaps-and-islands with a
+    strict-< 600 s gap."""
+    from beam_spark.operators.window import (CustomMergingWindowFn,
+                                             MergeCustomWindows)
+
+    gap_us = 600 * 1_000_000
+
+    def assign(row):
+        t_us = int(row["ts"].timestamp() * 1_000_000)
+        return (t_us, t_us + gap_us)
+
+    def merge(a, b):
+        # merge iff strictly overlapping intervals
+        if b[0] < a[1]:
+            return (min(a[0], b[0]), max(a[1], b[1]))
+        return None
+
+    fn = CustomMergingWindowFn(assign, merge)
+    pc = (table(spark, sf_dir, "events")
+          | MergeCustomWindows(fn, "user_id"))
+    out = (pc.df.groupBy("user_id", "__window")
+           .agg(F.expr("CAST(MAX(CAST(value AS DECIMAL(18,6))) AS DOUBLE)")
+                .alias("winning_value"),
+                F.count("*").alias("n_bids"),
+                F.min(F.unix_micros("ts")).alias("window_start_us")))
+    return out.select("user_id", "window_start_us", "winning_value",
+                      "n_bids")
+
+
+@query("q_nexmark10_sharded_log", """
+SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type, COUNT(*) AS n
+FROM events GROUP BY window_start, event_type
+""")
+def q_nexmark10(spark, sf_dir):
+    """Nexmark Q10 shape (log to sharded files): write events
+    hive-partitioned by (hour, type), read the files back, count per
+    shard — verifying the dynamic-destination file layout round-trips."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    base = _os.path.join(_tempfile.gettempdir(), "beam_spark_nexmark10",
+                         _os.path.basename(sf_dir.rstrip("/")))
+    _shutil.rmtree(base, ignore_errors=True)
+    ev = table(spark, sf_dir, "events").df.select(
+        "event_id", "event_type", "ts",
+        F.date_trunc("hour", "ts").alias("window_start"))
+    (ev.write.mode("overwrite").partitionBy("window_start", "event_type")
+     .parquet(base))
+    back = spark.read.parquet(base)
+    return (back.groupBy("window_start", "event_type")
+            .agg(F.count("*").alias("n")))
+
+
 @query("q_nexmark3_signup_purchases", """
 WITH s AS (SELECT user_id, event_id AS signup_event_id,
                   row_number() OVER (PARTITION BY user_id
