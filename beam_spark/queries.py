@@ -1915,8 +1915,8 @@ def q_nexmark9(spark, sf_dir):
     built-in Sessions operator), which this query gives a full oracle:
     overlap-merge of [t, t+gap) windows is gaps-and-islands with a
     strict-< 600 s gap."""
-    from beam_spark.operators.window import (CustomMergingWindowFn,
-                                             MergeCustomWindows)
+    from beam_spark.operators.window import (MergeCustomWindows,
+                                             OverlapMergingWindowFn)
 
     gap_us = 600 * 1_000_000
 
@@ -1924,13 +1924,11 @@ def q_nexmark9(spark, sf_dir):
         t_us = int(row["ts"].timestamp() * 1_000_000)
         return (t_us, t_us + gap_us)
 
-    def merge(a, b):
-        # merge iff strictly overlapping intervals
-        if b[0] < a[1]:
-            return (min(a[0], b[0]), max(a[1], b[1]))
-        return None
+    def assign_batch(pdf):
+        starts = pdf["ts"].astype("int64") // 1000  # ns -> us
+        return starts, starts + gap_us
 
-    fn = CustomMergingWindowFn(assign, merge)
+    fn = OverlapMergingWindowFn(assign, assign_batch)  # fully vectorized
     pc = (table(spark, sf_dir, "events")
           | MergeCustomWindows(fn, "user_id"))
     out = (pc.df.groupBy("user_id", "__window")
