@@ -131,3 +131,23 @@ def test_jdbc_reader_contract_without_driver(spark):
             partition_column="event_id", lower_bound=0, upper_bound=100,
             num_partitions=4)).df
     assert "driver" in str(ei.value).lower() or "jdbc" in str(ei.value).lower()
+
+
+def test_tfrecord_read_without_validation(spark, tmp_path):
+    """validate=False skips crc checks (reads tolerant of foreign
+    writers with nonstandard masks)."""
+    from beam_spark.pcollection import Pipeline
+    from beam_spark.sources import tfrecord as t
+
+    p = str(tmp_path / "nv")
+    import os
+    os.makedirs(p)
+    t.write_records(os.path.join(p, "a.tfrecord"), [b"x", b"yz"])
+    data = bytearray(open(os.path.join(p, "a.tfrecord"), "rb").read())
+    data[8] ^= 0xFF  # corrupt the length crc
+    open(os.path.join(p, "a.tfrecord"), "wb").write(bytes(data))
+
+    back = (Pipeline(spark)
+            | t.ReadFromTFRecord(p + "/*.tfrecord", validate=False))
+    got = sorted(bytes(r["record"]) for r in back.df.collect())
+    assert got == [b"x", b"yz"]

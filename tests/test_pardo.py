@@ -199,3 +199,17 @@ def test_async_pardo_concurrent_and_ordered(spark):
     # 11 x 0.2s serial would be 2.2s of sleep inside one partition;
     # concurrent execution keeps the sleep portion near one round
     assert wall < 30  # generous; mostly asserts no serial-timeout blowup
+
+
+def test_async_pardo_without_dlq_propagates(spark):
+    import pytest
+    from beam_spark.operators.pardo import AsyncParDo
+    from beam_spark.pcollection import Pipeline
+    from beam_spark.operators.core import Create
+
+    def boom(el):
+        raise RuntimeError("async-fail")
+
+    pc = Pipeline(spark) | Create([{"v": 1}]) | AsyncParDo(boom, "v long")
+    with pytest.raises(Exception, match="async-fail"):
+        pc.df.collect()

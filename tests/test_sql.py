@@ -148,3 +148,18 @@ def test_create_external_table_ddl(spark, tmp_path):
                            f"TYPE bigtable LOCATION '{p}'")
     with pytest.raises(ValueError, match="unsupported DDL"):
         execute_ddl(spark, "DROP TABLE ext_t")
+
+
+def test_ddl_tblproperties_reach_reader(spark, tmp_path):
+    """TBLPROPERTIES JSON flows into reader options (CSV delimiter)."""
+    from beam_spark.sql import execute_ddl
+
+    p = str(tmp_path / "csvsrc")
+    (spark.range(3).selectExpr("id AS k", "id * 2 AS v")
+     .write.mode("overwrite").option("header", True).option("sep", ";")
+     .csv(p))
+    execute_ddl(spark, f"""
+        CREATE EXTERNAL TABLE csv_t (k BIGINT, v BIGINT)
+        TYPE csv LOCATION '{p}' TBLPROPERTIES '{{"sep": ";"}}'
+    """)
+    assert spark.sql("SELECT SUM(v) AS s FROM csv_t").first()["s"] == 6
