@@ -28,8 +28,10 @@ is consolidated here into 50 gates that together evidence every operator:
   - RunInference: a real fitted OLS model whose left-to-right scoring
     is reproduced literally in the oracle SQL.
 
-Only ``q_pipeline_llm_dataprep`` stays rows-only (multi-stage pipeline
-with seeded LSH internals — its component stages are all verified).
+Every gate now carries a value-level oracle — ``q_pipeline_llm_dataprep``
+(rows-only through round 2) gained a composed DuckDB oracle that chains
+the verified stage CTEs (quality filter -> exact-dedup keep set ->
+jaccard near-dup drop set -> chunk explode), so 50/50 rows hash-check.
 """
 
 from __future__ import annotations
@@ -535,11 +537,67 @@ bits AS (SELECT doc_id, b.b AS b,
          FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b
          GROUP BY doc_id, b.b)
 SELECT doc_id,
-  SUM(CASE WHEN vote > 0 AND b < 32 THEN (CAST(1 AS BIGINT) << b)
-      ELSE 0 END) AS fp_lo,
-  SUM(CASE WHEN vote > 0 AND b >= 32 THEN (CAST(1 AS BIGINT) << (b - 32))
-      ELSE 0 END) AS fp_hi
+  CAST(SUM(CASE WHEN vote > 0 AND b < 32 THEN (CAST(1 AS BIGINT) << b)
+      ELSE 0 END) AS BIGINT) AS fp_lo,
+  CAST(SUM(CASE WHEN vote > 0 AND b >= 32 THEN (CAST(1 AS BIGINT) << (b - 32))
+      ELSE 0 END) AS BIGINT) AS fp_hi
 FROM bits GROUP BY doc_id
+"""
+
+
+_SHINGLES = Q._SHINGLES
+
+# Composed oracle for the end-to-end LLM dataprep pipeline: each CTE
+# mirrors one verified stage (QualityScore filter -> ExactDedup keep set
+# -> MinHashLSH near-dup losers [exact-jaccard oracle, same argument as
+# q_dedup_minhash_lsh_pairs: miss prob < 1e-7 at threshold 0.6] ->
+# ChunkText). The fake embedding is unit-norm by construction, so the
+# scalar probes are deterministic: dim=32, round(sq_norm, 4)=1.0.
+_PIPELINE_SQL = f"""
+WITH q AS (
+  SELECT doc_id, text,
+         len({_TOK}) AS n_tokens,
+         CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS punct_ratio,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS alpha_ratio
+  FROM documents),
+s AS (
+  SELECT doc_id, text FROM q
+  WHERE least(n_tokens / 100.0, 1.0) * 0.4
+        + (1 - least(punct_ratio * 5, 1.0)) * 0.3
+        + least(alpha_ratio * 1.25, 1.0) * 0.3 > 0.3),
+keep AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5(array_to_string({_TOK}, ' ')) AS m FROM s)
+  GROUP BY m),
+sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM s),
+losers AS (
+  SELECT DISTINCT b.doc_id AS doc_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / (len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles))) >= 0.6),
+clean AS (
+  SELECT s.doc_id, s.text FROM s
+  WHERE s.doc_id IN (SELECT doc_id FROM keep)
+    AND s.doc_id NOT IN (SELECT doc_id FROM losers)),
+t AS (SELECT doc_id, {_TOK} AS w FROM clean),
+c AS (SELECT doc_id,
+             unnest(list_transform(
+               range(0, greatest(CAST(ceil((len(w) - 64) / 56.0) AS BIGINT), 0) + 1),
+               k -> struct_pack(
+                 chunk_index := k,
+                 n_chunk_tokens := len(w[k*56+1 : k*56+64])))) AS ch
+      FROM t)
+SELECT doc_id,
+       doc_id || '#' || (ch.chunk_index) AS chunk_id,
+       ch.chunk_index AS chunk_index,
+       ch.n_chunk_tokens AS n_chunk_tokens,
+       CAST(32 AS INTEGER) AS embedding_dim,
+       CAST(1.0 AS DOUBLE) AS embedding_sq_norm
+FROM c WHERE ch.n_chunk_tokens > 0
 """
 
 
@@ -788,7 +846,8 @@ _ORDER: list = [
     "q_anomaly_zscore_events",
     "q_nexmark5_hot_users",
     "q_nexmark7_max_value_per_window",
-    "q_pipeline_llm_dataprep",      # rows-only by design (see module doc)
+    ("q_pipeline_llm_dataprep", _component("q_pipeline_llm_dataprep"),
+     _PIPELINE_SQL),
     ("q_io_roundtrip_suite", q_io_roundtrip, _IO_ROUNDTRIP_SQL),
     ("q_scalar_conformance_suite", q_scalar_conformance, _SCALAR_SQL),
 ]

@@ -50,13 +50,19 @@ def oracle_sql() -> dict[str, str]:
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> PCollection:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which Spark's reader
-        # rejects; read nanos as long and rebuild a micros timestamp (the
-        # data is whole-micros, so this is lossless and matches DuckDB's
-        # TIMESTAMP_NS -> TIMESTAMP cast).
+        # events.ts has shipped as TIMESTAMP(NANOS) (earlier testdata —
+        # Spark's reader only accepts it via nanosAsLong) and as
+        # TIMESTAMP(MICROS) (current testdata — read natively as
+        # TIMESTAMP_NTZ). Normalize both to TimestampType micros; the
+        # driver container runs UTC, so the NTZ cast preserves the same
+        # instants DuckDB sees reading the file naively.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":  # nanos-as-long: rebuild micros timestamp
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type != "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return PCollection(df, ts_col="ts")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     return PCollection(df)
