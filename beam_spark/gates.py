@@ -550,7 +550,8 @@ _SHINGLES = Q._SHINGLES
 # Composed oracle for the end-to-end LLM dataprep pipeline: each CTE
 # mirrors one verified stage (QualityScore filter -> ExactDedup keep set
 # -> MinHashLSH near-dup losers [exact-jaccard oracle, same argument as
-# q_dedup_minhash_lsh_pairs: miss prob < 1e-7 at threshold 0.6] ->
+# q_dedup_minhash_lsh_pairs: planted pairs have jaccard >= 0.9 and the
+# seeded permutations make the realized candidate set reproducible] ->
 # ChunkText). The fake embedding is unit-norm by construction, so the
 # scalar probes are deterministic: dim=32, round(sq_norm, 4)=1.0.
 _PIPELINE_SQL = f"""
@@ -667,24 +668,40 @@ def _runinference_sql() -> str:
 # CEP suite (API + SQL MATCH_RECOGNIZE variants)
 # --------------------------------------------------------------------------
 def q_cep_suite(spark, sf_dir):
-    """The V+ P pattern through BOTH front-ends: the python MatchRecognize
-    API (with the purchase event id measure) and the parsed SQL
-    MATCH_RECOGNIZE clause."""
+    """Four CEP variants in one gate: the V+ P pattern through BOTH
+    front-ends (python MatchRecognize API with the purchase event id
+    measure; parsed SQL MATCH_RECOGNIZE clause), plus the alternation +
+    bounded-quantifier pattern V{2,} (C|P) through both front-ends —
+    the matched alternative is folded into the variant tag so label
+    assignment is value-checked."""
     api = _component("q_cep_views_then_purchase")(spark, sf_dir)
     sql = _component("q_cep_sql_match_recognize")(spark, sf_dir)
+    alt_api = _component("q_cep_alternation_api")(spark, sf_dir)
+    alt_sql = _component("q_cep_alternation_sql")(spark, sf_dir)
+    alt_sel = ["user_id", "end_event_id AS pev", "n_views",
+               "end_value AS purchase_value"]
     return _union([
         api.selectExpr("'api' AS variant", "user_id",
                        "purchase_event_id AS pev", "n_views", "purchase_value"),
         sql.selectExpr("'sql' AS variant", "user_id", "CAST(0 AS BIGINT) AS pev",
                        "n_views", "purchase_value"),
+        alt_api.selectExpr("'altapi-' || sym AS variant", *alt_sel),
+        alt_sql.selectExpr("'altsql-' || sym AS variant", *alt_sel),
     ])
 
+
+_CEP_ALT_SEL = ("user_id, end_event_id AS pev, n_views, "
+                "end_value AS purchase_value")
 
 _CEP_SQL = "\nUNION ALL\n".join([
     _wrap("'api' AS variant, user_id, purchase_event_id AS pev, n_views, "
           "purchase_value", _component_sql("q_cep_views_then_purchase")),
     _wrap("'sql' AS variant, user_id, CAST(0 AS BIGINT) AS pev, n_views, "
           "purchase_value", _component_sql("q_cep_sql_match_recognize")),
+    _wrap(f"'altapi-' || sym AS variant, {_CEP_ALT_SEL}",
+          _component_sql("q_cep_alternation_api")),
+    _wrap(f"'altsql-' || sym AS variant, {_CEP_ALT_SEL}",
+          _component_sql("q_cep_alternation_sql")),
 ])
 
 

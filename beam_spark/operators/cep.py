@@ -3,28 +3,43 @@
 Beam reference: sdks/java/extensions/sql/impl/rel/BeamMatchRel.java (486
 LoC: sort rows per partition key :378, run an NFA over them :234) and the
 NFA itself impl/nfa/NFA.java (795 LoC). Semantics re-implemented (not
-ported): regex-over-rows with per-symbol predicates, greedy quantifiers,
-AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW, measures over the matched
-span.
+ported): regex-over-rows with per-symbol predicates, greedy quantifiers
+(incl. bounded ``{n,m}``), alternation groups ``(A|B)``, AFTER MATCH SKIP
+PAST LAST ROW | TO NEXT ROW, measures over the matched span.
 
-Spark design: ``repartition(keys).applyInPandas`` — each key's rows are
+Spark design: ``groupBy(keys).applyInPandas`` — each key's rows are
 sorted by the ORDER BY column in pandas and a small backtracking matcher
-runs per group (state machine is pure Python over an Arrow batch; the
-group is the natural CEP unit and Beam executes it the same way). At
-scale the shuffle is one partition-by-key exchange; skewed keys are the
-caveat (same as Beam's per-key sort).
+runs per group (the group is the natural CEP unit and Beam executes it
+the same way). At scale the shuffle is one partition-by-key exchange;
+skewed keys are the caveat (same as Beam's per-key sort).
 
-Pattern language (subset):
-  pattern = sequence of (symbol, quantifier) with quantifier in
-  {'1', '?', '+', '*'}; symbols defined by predicates over the row dict.
+Execution: symbol predicates are evaluated ONCE per (symbol, row) into
+numpy boolean masks before matching — the backtracking matcher then only
+reads bits, so predicate cost is O(rows x symbols) rather than
+O(rows x scan x backtrack). Predicates supplied as ``vectorized()``
+defines evaluate whole-column (no per-row Python at all, and row dicts
+are materialized lazily only for rows inside a match); plain callables
+fall back to one pass over row dicts.
+
+Pattern language:
+  pattern = sequence of (symbol(s), quantifier) where symbol(s) is a
+  name or a tuple of alternatives ``("C", "P")`` (leftmost alternative
+  labels each row), and quantifier is ``'1' | '?' | '+' | '*'`` or a
+  bounded ``(min, max)`` tuple (max=None for unbounded).
 Measures: callables over the list of (symbol, row) pairs of one match.
+
+Divergence note (documented): within one quantified alternation run the
+row label is the leftmost alternative whose predicate passes; the
+matcher backtracks on run LENGTH but not on per-row alternative choice.
+For disjoint alternatives (the SQL-standard common case) this is exact;
+overlapping alternatives that require cross-row label backtracking need
+the full NFA (Beam's NFA.java has the same greedy default).
 """
 
 from __future__ import annotations
 
-from typing import Callable, Iterable, Mapping, Sequence
+from typing import Callable, Mapping, Sequence
 
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from beam_spark.pcollection import PCollection, PTransform
@@ -34,33 +49,79 @@ SKIP_PAST_LAST_ROW = "past_last_row"
 SKIP_TO_NEXT_ROW = "to_next_row"
 
 
-def _match_at(rows: list, start: int, pattern: list, defines: Mapping) -> list | None:
-    """Greedy backtracking matcher; returns list of (symbol, row_index)
-    or None. Pattern items: (symbol, quantifier)."""
+class Define:
+    """Symbol predicate: a row-level callable and/or a vectorized mask.
 
-    def rec(pos: int, pi: int, acc: list):
+    ``mask_fn(pdf) -> bool array`` is the fast path (whole-column numpy);
+    ``row_fn(row_dict) -> bool`` is the fallback. Either may be None.
+    """
+
+    __slots__ = ("row_fn", "mask_fn")
+
+    def __init__(self, row_fn: Callable | None = None,
+                 mask_fn: Callable | None = None):
+        if row_fn is None and mask_fn is None:
+            raise ValueError("Define needs row_fn or mask_fn")
+        self.row_fn = row_fn
+        self.mask_fn = mask_fn
+
+
+def vectorized(mask_fn: Callable, row_fn: Callable | None = None) -> Define:
+    """Vectorized symbol predicate: ``mask_fn`` takes the group's sorted
+    pandas DataFrame and returns a boolean array (one bit per row)."""
+    return Define(row_fn=row_fn, mask_fn=mask_fn)
+
+
+def _normalize_pattern(pattern: Sequence[tuple]) -> list[tuple]:
+    """-> [(alts_tuple, min, max_or_None), ...]"""
+    out = []
+    for sym, quant in pattern:
+        alts = tuple(sym) if isinstance(sym, (tuple, list)) else (sym,)
+        if quant == "1":
+            mn, mx = 1, 1
+        elif quant == "?":
+            mn, mx = 0, 1
+        elif quant == "+":
+            mn, mx = 1, None
+        elif quant == "*":
+            mn, mx = 0, None
+        elif isinstance(quant, tuple):
+            mn, mx = quant
+            if mn < 0 or (mx is not None and mx < mn):
+                raise ValueError(f"bad bounded quantifier {quant}")
+        else:
+            raise ValueError(f"unknown quantifier {quant!r}")
+        out.append((alts, mn, mx))
+    return out
+
+
+def _match_at(masks: Mapping, n_rows: int, start: int,
+              pattern: list) -> list | None:
+    """Greedy backtracking matcher over precomputed masks; returns list
+    of (symbol, row_index) or None. Pattern items: (alts, min, max)."""
+
+    def label(alts, pos):
+        for s in alts:
+            if masks[s][pos]:
+                return s
+        return None
+
+    def rec(pos, pi, acc):
         if pi == len(pattern):
             return acc
-        sym, quant = pattern[pi]
-        pred = defines[sym]
-        if quant == "1":
-            if pos < len(rows) and pred(rows[pos]):
-                return rec(pos + 1, pi + 1, acc + [(sym, pos)])
-            return None
-        if quant == "?":
-            if pos < len(rows) and pred(rows[pos]):
-                r = rec(pos + 1, pi + 1, acc + [(sym, pos)])
-                if r is not None:
-                    return r
-            return rec(pos, pi + 1, acc)
-        # + / * : greedy, then backtrack
-        min_n = 1 if quant == "+" else 0
-        n = 0
-        while pos + n < len(rows) and pred(rows[pos + n]):
-            n += 1
-        while n >= min_n:
+        alts, mn, mx = pattern[pi]
+        labels = []
+        p = pos
+        while (mx is None or len(labels) < mx) and p < n_rows:
+            s = label(alts, p)
+            if s is None:
+                break
+            labels.append(s)
+            p += 1
+        n = len(labels)
+        while n >= mn:
             r = rec(pos + n, pi + 1,
-                    acc + [(sym, pos + i) for i in range(n)])
+                    acc + [(labels[i], pos + i) for i in range(n)])
             if r is not None:
                 return r
             n -= 1
@@ -75,8 +136,10 @@ class MatchRecognize(PTransform):
     Args:
       partition_by: key column(s).
       order_by: event-order column (ties: add a secondary unique column).
-      pattern: [('A', '1'), ('B', '+'), ...] regex-over-rows.
-      defines: {'A': lambda row: bool, ...} symbol predicates.
+      pattern: [('A', '1'), ('B', '+'), (('C','D'), (2, 4)), ...] —
+        regex-over-rows with alternation tuples and bounded quantifiers.
+      defines: {'A': predicate} where predicate is a row callable, or a
+        ``vectorized()`` / Define for whole-column evaluation.
       measures: {'out_col': lambda match_rows: value} where match_rows is
         the list of (symbol, row_dict) pairs in match order.
       output_schema: schema of partition_by cols + measure cols.
@@ -84,21 +147,26 @@ class MatchRecognize(PTransform):
     """
 
     def __init__(self, partition_by, order_by,
-                 pattern: Sequence[tuple], defines: Mapping[str, Callable],
+                 pattern: Sequence[tuple], defines: Mapping,
                  measures: Mapping[str, Callable], output_schema,
                  after_match: str = SKIP_PAST_LAST_ROW, label=None):
         super().__init__(label)
         self.partition_by = ([partition_by] if isinstance(partition_by, str)
                              else list(partition_by))
         self.order_by = [order_by] if isinstance(order_by, str) else list(order_by)
-        self.pattern = list(pattern)
+        self.pattern = _normalize_pattern(pattern)
         self.defines = dict(defines)
         self.measures = dict(measures)
         self.output_schema = (schema_from_dict(output_schema)
                               if isinstance(output_schema, dict) else output_schema)
         self.after_match = after_match
+        needed = {s for alts, _, _ in self.pattern for s in alts}
+        missing = needed - set(self.defines)
+        if missing:
+            raise ValueError(f"pattern symbols without DEFINE: {sorted(missing)}")
 
     def expand(self, pcoll: PCollection) -> PCollection:
+        import numpy as np
         import pandas as pd
 
         keys = self.partition_by
@@ -110,25 +178,78 @@ class MatchRecognize(PTransform):
             schema = T._parse_datatype_string(schema)
         out_cols = [f.name for f in schema.fields]
 
+        # Superset of feasible match starts: union of the alternative
+        # masks of every leading item up to and including the first
+        # mandatory (min>0) one. Lets the scan loop jump between
+        # candidates instead of probing every row.
+        lead_items = []
+        for alts, mn, _ in pattern:
+            lead_items.append(alts)
+            if mn > 0:
+                break
+
         def apply(pdf: "pd.DataFrame") -> "pd.DataFrame":
-            pdf = pdf.sort_values(order_by, kind="mergesort")
-            rows = pdf.to_dict(orient="records")
+            pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(drop=True)
+            n = len(pdf)
+            if n == 0:
+                return pd.DataFrame(columns=out_cols)
+
+            records = None  # row dicts, built only if needed
+
+            def get_records():
+                nonlocal records
+                if records is None:
+                    records = pdf.to_dict(orient="records")
+                return records
+
+            masks = {}
+            for sym, d in defines.items():
+                mask_fn = d.mask_fn if isinstance(d, Define) else None
+                if mask_fn is not None:
+                    masks[sym] = np.asarray(mask_fn(pdf)).astype(bool)
+                else:
+                    fn = d.row_fn if isinstance(d, Define) else d
+                    rs = get_records()
+                    masks[sym] = np.fromiter(
+                        (bool(fn(r)) for r in rs), dtype=bool, count=n)
+
+            lead = np.zeros(n, dtype=bool)
+            for alts in lead_items:
+                for s in alts:
+                    lead |= masks[s]
+            starts = np.flatnonzero(lead)
+
+            # Lazy row construction for measures: only rows inside a
+            # match are ever converted to dicts on the vectorized path.
+            cols = {c: pdf[c].to_numpy() for c in pdf.columns}
+
+            def row(i):
+                if records is not None:
+                    return records[i]
+                return {c: v[i] for c, v in cols.items()}
+
+            key_rec = {k: cols[k][0] for k in keys}
             out = []
             i = 0
-            while i < len(rows):
-                m = _match_at(rows, i, pattern, defines)
+            si = 0
+            n_starts = len(starts)
+            while si < n_starts:
+                pos = starts[si]
+                if pos < i:
+                    si += 1
+                    continue
+                m = _match_at(masks, n, pos, pattern)
                 if m:
-                    match_rows = [(sym, rows[idx]) for sym, idx in m]
-                    rec = {k: rows[0][k] for k in keys}
+                    match_rows = [(sym, row(idx)) for sym, idx in m]
+                    rec = dict(key_rec)
                     for name, fn in measures.items():
                         rec[name] = fn(match_rows)
                     out.append(rec)
-                    if after_match == SKIP_PAST_LAST_ROW:
-                        i = m[-1][1] + 1
-                    else:
-                        i += 1
+                    i = m[-1][1] + 1 if after_match == SKIP_PAST_LAST_ROW \
+                        else pos + 1
                 else:
-                    i += 1
+                    i = pos + 1
+                si += 1
             if not out:
                 return pd.DataFrame(columns=out_cols)
             return pd.DataFrame(out, columns=out_cols)

@@ -53,9 +53,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> PCollection:
         # events.ts has shipped as TIMESTAMP(NANOS) (earlier testdata —
         # Spark's reader only accepts it via nanosAsLong) and as
         # TIMESTAMP(MICROS) (current testdata — read natively as
-        # TIMESTAMP_NTZ). Normalize both to TimestampType micros; the
-        # driver container runs UTC, so the NTZ cast preserves the same
-        # instants DuckDB sees reading the file naively.
+        # TIMESTAMP_NTZ). Normalize both to TimestampType micros. The
+        # NTZ->timestamp cast is instant-preserving only when the SESSION
+        # timezone is UTC (get_spark() pins spark.sql.session.timeZone);
+        # pin it here too so a caller-built session on a non-UTC host
+        # cannot silently shift every event timestamp.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         ts_type = dict(df.dtypes)["ts"]
@@ -844,9 +847,16 @@ def q_ngram_jaccard(spark, sf_dir):
 @query("q_dedup_minhash_lsh_pairs", _JACCARD_ORACLE)
 def q_minhash_lsh(spark, sf_dir):
     """MinHash(128 perms)+LSH(16 bands x 8 rows) candidates, exact-jaccard
-    verified — the 100 TB dedup path. Same oracle as the exact query: at
-    these similarities (>=0.9) the miss probability per pair is
-    (1 - s^8)^16 < 1e-7, and verification removes false positives."""
+    verified — the 100 TB dedup path. Oracle caveat: LSH is a recall
+    filter. At 16x8 the per-pair collision prob is 1-(1-s^8)^16 — ~0.24
+    at s=0.6 (the threshold), ~1-1.2e-4 at s=0.9, and only >=1-1e-7 for
+    s>=0.945. The exact-jaccard oracle matches because (a) the testdata's
+    planted near-dups all have jaccard >= 0.9 (verified across SFs) and
+    (b) the permutations are seed-deterministic, so the realized candidate
+    set is reproducible, and exact-jaccard verification removes false
+    positives. A future testdata pair with borderline similarity
+    (0.6 <= s < ~0.9) could legitimately miss — that would be an LSH
+    recall property, not an engine bug."""
     from beam_spark.operators.dedupe import MinHashLSH
 
     return (table(spark, sf_dir, "documents")
@@ -1531,7 +1541,7 @@ def q_cep(spark, sf_dir):
     """Pattern V+ P per user in event-time order: every purchase preceded
     by an unbroken run of views, with the run length as a measure.
     Oracle: run-length reformulation with window functions."""
-    from beam_spark.operators.cep import MatchRecognize
+    from beam_spark.operators.cep import MatchRecognize, vectorized
 
     out = (
         table(spark, sf_dir, "events")
@@ -1539,8 +1549,10 @@ def q_cep(spark, sf_dir):
             partition_by="user_id",
             order_by=["ts", "event_id"],
             pattern=[("V", "+"), ("P", "1")],
-            defines={"V": lambda r: r["event_type"] == "view",
-                     "P": lambda r: r["event_type"] == "purchase"},
+            defines={"V": vectorized(lambda pdf: pdf["event_type"] == "view",
+                                     lambda r: r["event_type"] == "view"),
+                     "P": vectorized(lambda pdf: pdf["event_type"] == "purchase",
+                                     lambda r: r["event_type"] == "purchase")},
             measures={
                 "purchase_event_id": lambda m: m[-1][1]["event_id"],
                 "n_views": lambda m: sum(1 for s, _ in m if s == "V"),
@@ -2276,6 +2288,89 @@ def q_cep_sql(spark, sf_dir):
           AFTER MATCH SKIP PAST LAST ROW
           PATTERN (V+ P)
           DEFINE V AS V.event_type = 'view',
+                 P AS P.event_type = 'purchase'
+        )"""))
+    return out.df
+
+
+_CEP_ALT_ORACLE = """
+WITH e AS (SELECT user_id, event_id, event_type, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+m AS (SELECT *,
+             max(CASE WHEN event_type <> 'view' THEN rn END)
+               OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_nonview
+      FROM e)
+SELECT user_id,
+       CASE event_type WHEN 'click' THEN 'C' ELSE 'P' END AS sym,
+       event_id AS end_event_id,
+       rn - 1 - COALESCE(prev_nonview, 0) AS n_views,
+       value AS end_value
+FROM m
+WHERE event_type IN ('click', 'purchase')
+  AND rn - 1 - COALESCE(prev_nonview, 0) >= 2
+"""
+
+
+@query("q_cep_alternation_api", _CEP_ALT_ORACLE)
+def q_cep_alt_api(spark, sf_dir):
+    """Alternation + bounded quantifier through the python API: pattern
+    V{2,} (C|P) — at least two views then a click OR a purchase, with
+    the matched alternative surfaced as a measure (the label the
+    backtracking matcher assigned). Oracle: run-length reformulation,
+    sym derived from the end row's event_type (alternatives are
+    disjoint, so label == type)."""
+    from beam_spark.operators.cep import MatchRecognize, vectorized
+
+    out = (
+        table(spark, sf_dir, "events")
+        | MatchRecognize(
+            partition_by="user_id",
+            order_by=["ts", "event_id"],
+            pattern=[("V", (2, None)), (("C", "P"), "1")],
+            defines={"V": vectorized(lambda pdf: pdf["event_type"] == "view"),
+                     "C": vectorized(lambda pdf: pdf["event_type"] == "click"),
+                     "P": vectorized(
+                         lambda pdf: pdf["event_type"] == "purchase")},
+            measures={
+                "sym": lambda m: m[-1][0],
+                "end_event_id": lambda m: m[-1][1]["event_id"],
+                "n_views": lambda m: sum(1 for s, _ in m if s == "V"),
+                "end_value": lambda m: m[-1][1]["value"],
+            },
+            output_schema=("user_id long, sym string, end_event_id long, "
+                           "n_views long, end_value double"))
+    )
+    return out.df
+
+
+@query("q_cep_alternation_sql", _CEP_ALT_ORACLE)
+def q_cep_alt_sql(spark, sf_dir):
+    """The same V{2,} (C|P) pattern as MATCH_RECOGNIZE SQL text:
+    alternation group, bounded quantifier, CLASSIFIER() measure, and
+    per-alternative LAST() measures coalesced in the outer query."""
+    from beam_spark.sql import SqlTransform
+
+    events = table(spark, sf_dir, "events")
+    out = ({"events": events} | SqlTransform("""
+        SELECT user_id, sym, COALESCE(c_eid, p_eid) AS end_event_id,
+               n_views, COALESCE(c_val, p_val) AS end_value
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES CLASSIFIER() AS sym,
+                   COUNT(V.event_id) AS n_views,
+                   LAST(C.event_id) AS c_eid,
+                   LAST(P.event_id) AS p_eid,
+                   LAST(C.value) AS c_val,
+                   LAST(P.value) AS p_val
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (V{2,} (C|P))
+          DEFINE V AS V.event_type = 'view',
+                 C AS C.event_type = 'click',
                  P AS P.event_type = 'purchase'
         )"""))
     return out.df

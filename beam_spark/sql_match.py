@@ -1,9 +1,10 @@
 """MATCH_RECOGNIZE SQL clause support (constrained grammar).
 
 Beam reference: BeamMatchRel.java (Calcite parses the clause; the rel
-sorts per partition and runs an NFA). Here the clause is parsed with a
-small recognizer and executed by operators.cep.MatchRecognize; the
-surrounding query runs as normal Spark SQL against the match result
+sorts per partition and runs an NFA) with the pattern grammar from
+impl/cep/CEPUtils.java + impl/nfa/NFA.java. Here the clause is parsed
+with a small recognizer and executed by operators.cep.MatchRecognize;
+the surrounding query runs as normal Spark SQL against the match result
 registered as a temp view.
 
 Supported grammar (the common CEP core):
@@ -12,22 +13,30 @@ Supported grammar (the common CEP core):
       PARTITION BY c1 [, c2 ...]
       ORDER BY o1 [, o2 ...]
       MEASURES FIRST(S.col) | LAST(S.col) | COUNT(S.col) | SUM(S.col)
-               AS alias [, ...]
+               | CLASSIFIER() AS alias [, ...]
       [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
-      PATTERN (SYM[+|*|?] SYM[+|*|?] ...)
+      PATTERN (ITEM ITEM ...)
       DEFINE SYM AS <cond> [AND <cond>]* [, ...]
     ) [AS alias]
 
-where <cond> is ``SYM.col <op> literal`` (op: = <> != >= <= > <).
-Symbols without a DEFINE match any row (SQL standard). Nested
-subqueries/complex defines are out of scope (use the python
-MatchRecognize API directly).
+where ITEM is ``SYM`` or an alternation group ``(S1|S2|...)``, each with
+an optional quantifier ``+ * ?`` or bounded ``{n} {n,} {n,m}``, and
+<cond> is ``SYM.col <op> literal`` (op: = <> != >= <= > <). Symbols
+without a DEFINE match any row (SQL standard). CLASSIFIER() returns the
+pattern variable of the last row of the match (ONE ROW PER MATCH
+semantics). DEFINE conditions compile to BOTH a row predicate and a
+vectorized numpy mask — the operator evaluates whole columns, no per-row
+Python. Nested groups / PERMUTE / cross-symbol PREV/NEXT references are
+out of scope (use the python MatchRecognize API directly).
 """
 
 from __future__ import annotations
 
+import operator
 import re
 from typing import Callable
+
+from beam_spark.operators.cep import Define
 
 _MR_RE = re.compile(
     r"FROM\s+(\w+)\s+MATCH_RECOGNIZE\s*\((.*)\)\s*(?:AS\s+(\w+))?",
@@ -37,8 +46,22 @@ _COND_RE = re.compile(
     r"(\w+)\.(\w+)\s*(=|<>|!=|>=|<=|>|<)\s*('(?:[^'])*'|-?[0-9.]+)")
 
 _MEASURE_RE = re.compile(
-    r"(FIRST|LAST|COUNT|SUM)\s*\(\s*(\w+)\.(\w+)\s*\)\s+AS\s+(\w+)",
+    r"(FIRST|LAST|COUNT|SUM)\s*\(\s*(\w+)\.(\w+)\s*\)\s+AS\s+(\w+)"
+    r"|(CLASSIFIER)\s*\(\s*\)\s+AS\s+(\w+)",
     re.IGNORECASE)
+
+# ITEM: symbol or (A|B|...) group, then optional quantifier.
+_PAT_ITEM_RE = re.compile(
+    r"(?:\(\s*(?P<alts>\w+(?:\s*\|\s*\w+)+)\s*\)|(?P<sym>\w+))"
+    r"(?P<q>[+*?]|\{\s*\d+\s*(?:,\s*\d*\s*)?\})?")
+
+_ROW_OPS = {"=": lambda a, b: a == b, "<>": lambda a, b: a != b,
+            "!=": lambda a, b: a != b, ">=": lambda a, b: a >= b,
+            "<=": lambda a, b: a <= b, ">": lambda a, b: a > b,
+            "<": lambda a, b: a < b}
+_VEC_OPS = {"=": operator.eq, "<>": operator.ne, "!=": operator.ne,
+            ">=": operator.ge, "<=": operator.le, ">": operator.gt,
+            "<": operator.lt}
 
 
 def _parse_literal(lit: str):
@@ -47,8 +70,46 @@ def _parse_literal(lit: str):
     return float(lit) if "." in lit else int(lit)
 
 
-def _compile_condition(cond_sql: str, symbol: str) -> Callable[[dict], bool]:
-    """AND-chain of SYM.col op literal comparisons -> row predicate."""
+def _parse_quantifier(q: str | None):
+    if q is None:
+        return "1"
+    if q in "+*?":
+        return q
+    body = q.strip("{}").replace(" ", "")
+    if "," not in body:
+        n = int(body)
+        return (n, n)
+    lo, hi = body.split(",")
+    return (int(lo), int(hi) if hi else None)
+
+
+def parse_pattern(pattern_sql: str) -> list[tuple]:
+    """'V+ (C|P) A{2,4}' -> [('V','+'), (('C','P'),'1'), ('A',(2,4))]"""
+    out = []
+    pos = 0
+    s = pattern_sql.strip()
+    while pos < len(s):
+        if s[pos].isspace():
+            pos += 1
+            continue
+        m = _PAT_ITEM_RE.match(s, pos)
+        if not m:
+            raise ValueError(f"unparseable PATTERN at: {s[pos:]!r}")
+        if m.group("alts"):
+            sym = tuple(a.strip() for a in m.group("alts").split("|"))
+        else:
+            sym = m.group("sym")
+        out.append((sym, _parse_quantifier(m.group("q"))))
+        pos = m.end()
+    if not out:
+        raise ValueError("empty PATTERN")
+    return out
+
+
+def _compile_condition(cond_sql: str, symbol: str) -> Define:
+    """AND-chain of SYM.col op literal comparisons -> Define with a row
+    predicate and a vectorized whole-column mask (NULL never matches, in
+    both paths — including vectorized ``<>``)."""
     parts = re.split(r"\s+AND\s+", cond_sql.strip(), flags=re.IGNORECASE)
     tests = []
     for part in parts:
@@ -58,21 +119,25 @@ def _compile_condition(cond_sql: str, symbol: str) -> Callable[[dict], bool]:
         sym, col, op, lit = m.groups()
         if sym.upper() != symbol.upper():
             raise ValueError(f"DEFINE for {symbol} references {sym}")
-        val = _parse_literal(lit)
-        ops = {"=": lambda a, b: a == b, "<>": lambda a, b: a != b,
-               "!=": lambda a, b: a != b, ">=": lambda a, b: a >= b,
-               "<=": lambda a, b: a <= b, ">": lambda a, b: a > b,
-               "<": lambda a, b: a < b}[op]
-        tests.append((col, ops, val))
+        tests.append((col, op, _parse_literal(lit)))
 
     def predicate(row: dict) -> bool:
-        for col, fn, val in tests:
+        for col, op, val in tests:
             v = row.get(col)
-            if v is None or not fn(v, val):
+            if v is None or not _ROW_OPS[op](v, val):
                 return False
         return True
 
-    return predicate
+    def mask(pdf):
+        import numpy as np
+        m = np.ones(len(pdf), dtype=bool)
+        for col, op, val in tests:
+            s = pdf[col]
+            cmp = _VEC_OPS[op](s, val)
+            m &= s.notna().to_numpy() & np.asarray(cmp.fillna(False), dtype=bool)
+        return m
+
+    return Define(row_fn=predicate, mask_fn=mask)
 
 
 def _compile_measure(agg: str, sym: str, col: str):
@@ -94,6 +159,10 @@ def _compile_measure(agg: str, sym: str, col: str):
     return fn
 
 
+def _classifier_measure(match_rows):
+    return match_rows[-1][0]
+
+
 def try_rewrite_match_recognize(sql: str, spark, tables: dict) -> str:
     """If the SQL contains a MATCH_RECOGNIZE clause, execute it via the
     MatchRecognize operator and rewrite the query to select from the
@@ -113,17 +182,13 @@ def try_rewrite_match_recognize(sql: str, spark, tables: dict) -> str:
     order_by = [c.strip() for c in
                 clause("ORDER BY", "MEASURES").split(",")]
     measures_sql = clause("MEASURES", "AFTER MATCH|PATTERN")
-    pattern_sql = re.search(r"PATTERN\s*\(([^)]*)\)", body, re.IGNORECASE).group(1)
+    pattern_sql = re.search(r"PATTERN\s*\((.*?)\)\s*(?:DEFINE|AFTER)", body,
+                            re.IGNORECASE | re.DOTALL).group(1)
     define_sql = re.search(r"DEFINE\s+(.*)$", body,
                            re.IGNORECASE | re.DOTALL).group(1).strip()
     skip_to_next = bool(re.search(r"SKIP\s+TO\s+NEXT\s+ROW", body, re.IGNORECASE))
 
-    pattern = []
-    for tok in pattern_sql.split():
-        if tok[-1] in "+*?":
-            pattern.append((tok[:-1], tok[-1]))
-        else:
-            pattern.append((tok, "1"))
+    pattern = parse_pattern(pattern_sql)
 
     defines: dict = {}
     for part in re.split(r",\s*(?=\w+\s+AS\s)", define_sql, flags=re.IGNORECASE):
@@ -131,12 +196,20 @@ def try_rewrite_match_recognize(sql: str, spark, tables: dict) -> str:
                       re.IGNORECASE | re.DOTALL)
         defines[dm.group(1)] = _compile_condition(dm.group(2), dm.group(1))
     for sym, _ in pattern:  # undefined symbols match any row
-        defines.setdefault(sym, lambda r: True)
+        for s in (sym if isinstance(sym, tuple) else (sym,)):
+            defines.setdefault(s, Define(
+                row_fn=lambda r: True,
+                mask_fn=lambda pdf: __import__("numpy").ones(len(pdf), bool)))
 
     measures, measure_types = {}, []
     df = tables[table_name] if table_name in tables else spark.table(table_name)
     col_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-    for agg, sym, col, out_name in _MEASURE_RE.findall(measures_sql):
+    for agg, sym, col, out_name, classifier, cls_name in \
+            _MEASURE_RE.findall(measures_sql):
+        if classifier:
+            measures[cls_name] = _classifier_measure
+            measure_types.append(f"{cls_name} string")
+            continue
         measures[out_name] = _compile_measure(agg, sym, col)
         t = ("bigint" if agg.upper() == "COUNT"
              else col_types.get(col, "string"))
