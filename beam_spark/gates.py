@@ -709,12 +709,14 @@ _CEP_SQL = "\nUNION ALL\n".join([
 # I/O round-trip suite: TFRecord + CSV + JSON + ORC
 # --------------------------------------------------------------------------
 def q_io_roundtrip(spark, sf_dir):
-    """Write the nation keys through four formats and read them back —
-    the oracle is the parquet source crossed with the format tags, so a
-    lossy round-trip in ANY format hash-mismatches."""
+    """Write the nation keys through five formats (incl. the pure-python
+    Avro OCF codec, Java-interop-tested in tests/test_io.py) and read
+    them back — the oracle is the parquet source crossed with the format
+    tags, so a lossy round-trip in ANY format hash-mismatches."""
     import tempfile
 
     from beam_spark.pcollection import PCollection, Pipeline
+    from beam_spark.sources.avro import ReadFromAvroFile, WriteToAvroFile
     from beam_spark.sources.tfrecord import ReadFromTFRecord, WriteToTFRecord
 
     base = os.path.join(tempfile.gettempdir(), "beam_spark_gate_io",
@@ -757,13 +759,20 @@ def q_io_roundtrip(spark, sf_dir):
         "CAST(split(decode(record, 'utf-8'), '\\\\|')[0] AS BIGINT) AS n_nationkey",
         "split(decode(record, 'utf-8'), '\\\\|')[1] AS n_name",
         "CAST(split(decode(record, 'utf-8'), '\\\\|')[2] AS BIGINT) AS n_regionkey"))
+
+    avro_path = os.path.join(base, "avro")
+    shutil.rmtree(avro_path, ignore_errors=True)  # same stale-shard logic
+    (PCollection(nation) | WriteToAvroFile(avro_path)).df.collect()
+    back = (Pipeline(spark) | ReadFromAvroFile(avro_path + "/*.avro")).df
+    parts.append(back.selectExpr("'avro' AS fmt", "n_nationkey", "n_name",
+                                 "n_regionkey"))
     return _union(parts)
 
 
 _IO_ROUNDTRIP_SQL = """
 SELECT f.fmt, n_nationkey, n_name, n_regionkey
 FROM nation
-CROSS JOIN (SELECT unnest(['csv', 'json', 'orc', 'tfrecord']) AS fmt) f
+CROSS JOIN (SELECT unnest(['avro', 'csv', 'json', 'orc', 'tfrecord']) AS fmt) f
 """
 
 

@@ -111,6 +111,17 @@ class PCollection:
             return self.pipeline.spark
         return self.df.sparkSession
 
+    def to_dataframe(self):
+        """Deferred pandas-compatible frame (SURVEY §2.11; Beam's
+        ``to_dataframe``, dataframe/convert.py): delegates to
+        ``pyspark.pandas`` — operations stay lazy Spark plans with pandas
+        semantics (conformance sample: tests/test_pandas_api.py)."""
+        return self.df.pandas_api()
+
+    # Beam spells the capability via convert.to_dataframe; pandas-on-Spark
+    # spells it pandas_api. Expose both.
+    pandas_api = to_dataframe
+
     # -- conveniences (test/debug only; not the scale path) ---------------
     def collect(self) -> list:
         return self.df.collect()

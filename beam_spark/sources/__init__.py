@@ -1,10 +1,13 @@
 from beam_spark.sources.io import (ReadFromParquet, ReadFromText, ReadFromCsv,
                                    ReadFromJson, ReadFromAvro, ReadFromOrc,
                                    ReadTable, WriteToParquet, WriteToText,
-                                   WriteToCsv, WriteToJson, load_tables)
+                                   WriteToCsv, WriteToJson, WriteToAvro,
+                                   load_tables)
+from beam_spark.sources.avro import ReadFromAvroFile, WriteToAvroFile
 
 __all__ = [
     "ReadFromParquet", "ReadFromText", "ReadFromCsv", "ReadFromJson",
     "ReadFromAvro", "ReadFromOrc", "ReadTable", "WriteToParquet",
-    "WriteToText", "WriteToCsv", "WriteToJson", "load_tables",
+    "WriteToText", "WriteToCsv", "WriteToJson", "WriteToAvro",
+    "ReadFromAvroFile", "WriteToAvroFile", "load_tables",
 ]

@@ -69,8 +69,23 @@ class ReadFromJson(_Read):
 
 
 class ReadFromAvro(_Read):
-    """avroio.py:75 — requires the spark-avro package at runtime."""
+    """avroio.py:75 — native spark-avro DataSource when the jar is on the
+    classpath (preferred at cluster scale: JVM decode, block splitting);
+    otherwise falls back to the pure-python OCF codec
+    (sources/avro.py, spec-implemented + Java-interop-tested)."""
     fmt = "avro"
+
+    def expand(self, pbegin: PBegin) -> PCollection:
+        from pyspark.errors import AnalysisException
+
+        try:
+            return super().expand(pbegin)
+        except AnalysisException:  # DATA_SOURCE_NOT_FOUND: jar absent
+            from beam_spark.sources.avro import ReadFromAvroFile
+
+            return ReadFromAvroFile(
+                self.path, avro_schema=self.options.get("avroSchema"),
+            ).expand(pbegin)
 
 
 class ReadFromOrc(_Read):
@@ -128,6 +143,25 @@ class WriteToCsv(_Write):
 
 class WriteToJson(_Write):
     fmt = "json"
+
+
+class WriteToAvro(_Write):
+    """avroio.py:361 — native spark-avro sink when the jar is present;
+    else the pure-python partition-parallel OCF sink (sources/avro.py)."""
+    fmt = "avro"
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.errors import AnalysisException
+
+        try:
+            return super().expand(pcoll)
+        except AnalysisException:  # jar absent
+            from beam_spark.sources.avro import WriteToAvroFile
+
+            sink = WriteToAvroFile(self.path,
+                                   codec=self.options.get("codec", "deflate"))
+            sink.expand(pcoll).df.collect()  # execute the shard writes
+            return pcoll
 
 
 class WriteBucketedTable(PTransform):

@@ -9,14 +9,15 @@ from beam_spark.streaming.core import (Deduplicate, GroupIntoBatches,
                                        ReadRateStream,
                                        TestStream, WithWatermark,
                                        WriteStreamToMemory,
-                                       WriteStreamToFiles, foreach_batch)
+                                       WriteStreamToFiles, foreach_batch,
+                                       with_late_output)
 
 __all__ = [
     "Deduplicate", "GroupIntoBatches", "ReadFileStream", "ReadFromSocket",
     "ReadRateStream",
     "TriggeredCountPerKey",
     "TestStream", "WithWatermark", "WriteStreamToMemory",
-    "WriteStreamToFiles", "foreach_batch",
+    "WriteStreamToFiles", "foreach_batch", "with_late_output",
     "StatefulDoFn", "StatefulParDo", "UserState", "AfterWatermarkEarlyCount",
     "Trigger", "AfterCount", "AfterProcessingTime", "Repeatedly",
     "AfterAny", "AfterAll", "AfterEach", "OrFinally",

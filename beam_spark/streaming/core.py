@@ -251,6 +251,64 @@ def foreach_batch(pcoll: PCollection, fn: Callable[[DataFrame, int], None],
     return w.start()
 
 
+def _parse_delay(delay: str):
+    import datetime
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*(second|minute|hour|day)s?\s*", delay)
+    if not m:
+        raise ValueError(f"unparseable delay {delay!r}")
+    return datetime.timedelta(**{m.group(2) + "s": int(m.group(1))})
+
+
+def with_late_output(pcoll: PCollection, ts_col: str, delay: str,
+                     on_time_fn: Callable[[DataFrame, int], None],
+                     late_fn: Callable[[DataFrame, int], None],
+                     available_now: bool = True):
+    """Beam late-pane visibility for NATIVE windowed aggs (outside the
+    trigger emulator). Spark's watermark silently DROPS rows older than
+    max(event time) - delay before stateful aggregations; Beam instead
+    marks them as late panes (beam_runner_api.proto:977-1000). This tee
+    reproduces Spark's exact dropping criterion — the watermark is the
+    running max event time over COMPLETED micro-batches minus ``delay``,
+    updated only at batch boundaries, which is precisely when Spark
+    advances it — and forks would-be-dropped rows to ``late_fn`` tagged
+    with pane metadata (``pane_timing='LATE'`` plus the classifying
+    ``__watermark``) instead of losing them. On-time rows go to
+    ``on_time_fn`` (apply the windowed agg there per micro-batch, or
+    write to the sink that feeds the downstream agg).
+
+    Scale: driver state is ONE timestamp; per-batch work is two filters
+    and one max over the batch — no extra shuffle, no per-key state.
+    """
+    delay_td = _parse_delay(delay)
+    state: dict = {"max_ts": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            wm = (state["max_ts"] - delay_td
+                  if state["max_ts"] is not None else None)
+            if wm is None:
+                on_time = batch_df
+                late = batch_df.limit(0)
+            else:
+                late = batch_df.filter(F.col(ts_col) < F.lit(wm))
+                on_time = batch_df.filter(~(F.col(ts_col) < F.lit(wm)))
+            late = (late.withColumn("pane_timing", F.lit("LATE"))
+                    .withColumn("__watermark", F.lit(wm)))
+            late_fn(late, batch_id)
+            on_time_fn(on_time, batch_id)
+            mx = batch_df.agg(F.max(ts_col)).first()[0]
+            if mx is not None and (state["max_ts"] is None
+                                   or mx > state["max_ts"]):
+                state["max_ts"] = mx
+        finally:
+            batch_df.unpersist()
+
+    return foreach_batch(pcoll, process, available_now=available_now)
+
+
 class TestStream:
     """Deterministic scripted stream (testing/test_stream.py): each
     ``add_elements`` call becomes one parquet file; with

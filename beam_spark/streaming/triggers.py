@@ -14,8 +14,13 @@ window's element count since the last firing reaches ``early_count``
 the watermark passes the window end (event-time timeout armed at the
 earliest open window end), with Beam-style pane metadata (pane_index,
 timing). ``accumulation_mode``: DISCARDING (default) resets pane values
-after each firing; ACCUMULATING re-emits the running total
-(beam_runner_api.proto:1236-1249).
+after each firing; ACCUMULATING re-emits the running total;
+ACCUMULATING_AND_RETRACTING additionally precedes every non-first pane
+with a RETRACT row negating the previous emission, so a downstream SUM
+over all emissions equals the current total
+(beam_runner_api.proto:1236-1249 AccumulationMode — Beam itself only
+stubs RETRACTING; implemented here for the full lifecycle incl. LATE
+panes).
 
 Late data: Spark filters stateful-operator input behind the query
 watermark, so allowed lateness is held INSIDE the operator: with
@@ -52,6 +57,7 @@ class AfterWatermarkEarlyCount(PTransform):
 
     DISCARDING = "discarding"
     ACCUMULATING = "accumulating"
+    RETRACTING = "accumulating_and_retracting"
 
     def __init__(self, key_cols, window_size_sec: int, value_col: str,
                  early_count: int | None = None, ts_col: str | None = None,
@@ -62,7 +68,8 @@ class AfterWatermarkEarlyCount(PTransform):
         self.size = int(window_size_sec)
         self.value_col, self.early_count = value_col, early_count
         self.ts_col = ts_col
-        if accumulation_mode not in (self.DISCARDING, self.ACCUMULATING):
+        if accumulation_mode not in (self.DISCARDING, self.ACCUMULATING,
+                                     self.RETRACTING):
             raise ValueError(accumulation_mode)
         self.accumulation_mode = accumulation_mode
         self.allowed_lateness_sec = allowed_lateness_sec
@@ -87,7 +94,14 @@ class AfterWatermarkEarlyCount(PTransform):
 
         keys, vcol = self.key_cols, self.value_col
         trigger = self.early_trigger
-        accumulating = self.accumulation_mode == self.ACCUMULATING
+        # RETRACTING (beam_runner_api.proto AccumulationMode
+        # ACCUMULATING_AND_RETRACTING) = accumulating panes, but each
+        # non-first pane is preceded by a retraction row (pane_timing
+        # 'RETRACT', the previously-emitted values negated) so a
+        # downstream SUM over all emissions equals the current total.
+        retracting = self.accumulation_mode == self.RETRACTING
+        accumulating = (self.accumulation_mode == self.ACCUMULATING
+                        or retracting)
         size_ms = self.size * 1000
         lateness_ms = self.allowed_lateness_sec * 1000
         ts_col = self.ts_col or pcoll.ts_col
@@ -112,11 +126,19 @@ class AfterWatermarkEarlyCount(PTransform):
             out = []
 
             def emit(ws, acc, timing):
-                out.append({**dict(zip(keys, key)),
-                            "window_start": pd.Timestamp(ws, unit="ms"),
-                            "window_end": pd.Timestamp(ws + size_ms, unit="ms"),
-                            "pane_index": acc[0], "pane_timing": timing,
+                base = {**dict(zip(keys, key)),
+                        "window_start": pd.Timestamp(ws, unit="ms"),
+                        "window_end": pd.Timestamp(ws + size_ms, unit="ms")}
+                if retracting and acc[0] > 0:
+                    # retract the previous pane's emitted values first
+                    out.append({**base, "pane_index": acc[0] - 1,
+                                "pane_timing": "RETRACT",
+                                "pane_count": -acc[6], "pane_sum": -acc[7]})
+                out.append({**base, "pane_index": acc[0],
+                            "pane_timing": timing,
                             "pane_count": acc[1], "pane_sum": acc[2]})
+                if retracting:
+                    acc[6], acc[7] = acc[1], acc[2]  # last emitted
                 acc[0] += 1
                 acc[3] = 0      # since-last-firing counter
                 if not accumulating:   # DISCARDING resets the pane values
@@ -133,13 +155,16 @@ class AfterWatermarkEarlyCount(PTransform):
                         acc = wins.pop(ws)
                         emit(ws, acc, "ON_TIME")
                         if lateness_ms > 0:
-                            # closed acc: [next_pane, count, sum, new_since_fire].
+                            # closed acc: [next_pane, count, sum,
+                            # new_since_fire, last_emitted_c, last_emitted_s].
                             # ACCUMULATING re-emits the running total on every
                             # pane (beam_runner_api.proto AccumulationMode), so
                             # seed with the window's fired totals; DISCARDING
                             # panes carry only the late arrivals.
-                            closed[ws] = ([acc[0], acc[1], acc[2], 0]
-                                          if accumulating else [acc[0], 0, 0.0, 0])
+                            closed[ws] = ([acc[0], acc[1], acc[2], 0,
+                                           acc[6], acc[7]]
+                                          if accumulating
+                                          else [acc[0], 0, 0.0, 0, 0, 0.0])
 
             # windows whose close crossed between batches fire BEFORE this
             # batch's inputs (Beam ordering: watermark crossing precedes
@@ -166,7 +191,8 @@ class AfterWatermarkEarlyCount(PTransform):
                             continue
                         acc = wins.setdefault(ws, [
                             0, 0, 0.0, 0,
-                            trigger.new_state() if trigger else None, False])
+                            trigger.new_state() if trigger else None, False,
+                            0, 0.0])  # [6,7]: last-emitted c/s (RETRACTING)
                         acc[1] += 1
                         acc[2] += float(v)
                         acc[3] += 1
@@ -194,15 +220,22 @@ class AfterWatermarkEarlyCount(PTransform):
             close_pass()
             # fire LATE panes for this batch's late arrivals; purge expired
             for ws in sorted(list(closed)):
-                nxt, lc, lsum, fresh = closed[ws]
+                nxt, lc, lsum, fresh, last_c, last_s = closed[ws]
                 if fresh > 0:
-                    out.append({**dict(zip(keys, key)),
-                                "window_start": pd.Timestamp(ws, unit="ms"),
-                                "window_end": pd.Timestamp(ws + size_ms, unit="ms"),
-                                "pane_index": nxt, "pane_timing": "LATE",
+                    base = {**dict(zip(keys, key)),
+                            "window_start": pd.Timestamp(ws, unit="ms"),
+                            "window_end": pd.Timestamp(ws + size_ms, unit="ms")}
+                    if retracting and nxt > 0:
+                        out.append({**base, "pane_index": nxt - 1,
+                                    "pane_timing": "RETRACT",
+                                    "pane_count": -last_c,
+                                    "pane_sum": -last_s})
+                    out.append({**base, "pane_index": nxt,
+                                "pane_timing": "LATE",
                                 "pane_count": lc, "pane_sum": lsum})
-                    closed[ws] = ([nxt + 1, lc, lsum, 0] if accumulating
-                                  else [nxt + 1, 0, 0.0, 0])
+                    closed[ws] = ([nxt + 1, lc, lsum, 0, lc, lsum]
+                                  if accumulating
+                                  else [nxt + 1, 0, 0.0, 0, 0, 0.0])
                 if wm >= ws + size_ms:
                     # spark's own filter now drops anything this old
                     del closed[ws]

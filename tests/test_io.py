@@ -151,3 +151,159 @@ def test_tfrecord_read_without_validation(spark, tmp_path):
             | t.ReadFromTFRecord(p + "/*.tfrecord", validate=False))
     got = sorted(bytes(r["record"]) for r in back.df.collect())
     assert got == [b"x", b"yz"]
+
+
+# --------------------------------------------------------------------------
+# Avro: pure-python OCF codec (sources/avro.py) — spec known-answers,
+# round-trips, Java-implementation interop, distributed Spark path.
+# --------------------------------------------------------------------------
+
+def test_avro_binary_known_answers():
+    """Byte-exact encodings from the Avro 1.12 spec."""
+    import io
+
+    from beam_spark.sources import avro as A
+
+    for n, expect in [(0, b"\x00"), (-1, b"\x01"), (1, b"\x02"),
+                      (-64, b"\x7f"), (64, b"\x80\x01")]:
+        b = io.BytesIO()
+        A.write_long(b, n)
+        assert b.getvalue() == expect, n
+        got, _ = A.read_long(memoryview(b.getvalue()), 0)
+        assert got == n
+    # the spec's record example: {"a": 27, "b": "foo"} -> 36 06 66 6f 6f
+    schema = {"type": "record", "name": "test",
+              "fields": [{"name": "a", "type": "long"},
+                         {"name": "b", "type": "string"}]}
+    b = io.BytesIO()
+    A.write_datum(b, schema, {"a": 27, "b": "foo"})
+    assert b.getvalue().hex() == "3606666f6f"
+
+
+def test_avro_container_roundtrip_all_types(tmp_path):
+    import datetime
+    import json
+
+    from beam_spark.sources import avro as A
+
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": ["null", "string"]},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "props", "type": {"type": "map",
+                                   "values": ["null", "long"]}},
+        {"name": "ts", "type": {"type": "long",
+                                "logicalType": "timestamp-micros"}},
+        {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "score", "type": ["null", "double"]},
+        {"name": "blob", "type": "bytes"},
+        {"name": "flag", "type": "boolean"},
+    ]}
+    recs = [
+        {"id": 1, "name": "x", "tags": ["a", "b"], "props": {"k": 1, "z": None},
+         "ts": datetime.datetime(2024, 1, 1, 12, 30, 15, 123456),
+         "d": datetime.date(2024, 2, 29), "score": 1.5,
+         "blob": b"\x00\xff", "flag": True},
+        {"id": 2, "name": None, "tags": [], "props": {},
+         "ts": datetime.datetime(1969, 12, 31, 23, 59, 59, 999999),  # pre-epoch
+         "d": datetime.date(1969, 1, 1), "score": None,
+         "blob": b"", "flag": False},
+    ]
+    for codec in ("deflate", "null"):
+        p = str(tmp_path / f"t_{codec}.avro")
+        assert A.write_container(p, json.dumps(sch), recs, codec=codec) == 2
+        _, out = A.read_container(open(p, "rb").read())
+        assert out == recs
+
+
+def test_avro_java_interop_both_directions(spark, tmp_path):
+    """Cross-implementation evidence: files written by the pure-python
+    codec parse with org.apache.avro (the reference Java implementation,
+    on Spark's classpath) and vice versa."""
+    import json
+
+    from beam_spark.sources import avro as A
+
+    jvm = spark._jvm
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": ["null", "string"]},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "score", "type": ["null", "double"]},
+    ]}
+    recs = [{"id": 1, "name": "x", "tags": ["a", "b"], "score": 1.5},
+            {"id": 2, "name": None, "tags": [], "score": None}]
+
+    # python write -> java read
+    p = str(tmp_path / "py.avro")
+    A.write_container(p, json.dumps(sch), recs, codec="deflate")
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p), jvm.org.apache.avro.generic.GenericDatumReader())
+    out = []
+    while reader.hasNext():
+        rec = reader.next()
+        name = rec.get("name")
+        out.append((rec.get("id"), None if name is None else str(name),
+                    rec.get("score")))
+    reader.close()
+    assert out == [(1, "x", 1.5), (2, None, None)]
+
+    # java write -> python read
+    schema_j = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(sch))
+    w = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema_j))
+    w.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    p2 = str(tmp_path / "java.avro")
+    w.create(schema_j, jvm.java.io.File(p2))
+    rec = jvm.org.apache.avro.generic.GenericData.Record(schema_j)
+    rec.put("id", 42)
+    rec.put("name", "java")
+    arr = jvm.java.util.ArrayList()
+    arr.add("t1")
+    arr.add("t2")
+    rec.put("tags", arr)
+    rec.put("score", 2.25)
+    w.append(rec)
+    w.close()
+    _, out2 = A.read_container(open(p2, "rb").read())
+    assert out2 == [{"id": 42, "name": "java", "tags": ["t1", "t2"],
+                     "score": 2.25}]
+
+
+def test_avro_spark_distributed_roundtrip(spark, sf_dir, tmp_path):
+    """WriteToAvroFile (partition-parallel shards) -> ReadFromAvroFile
+    (file-parallel binaryFile + mapInPandas decode) on a real table,
+    value-equal to the parquet source."""
+    from beam_spark.sources.avro import ReadFromAvroFile, WriteToAvroFile
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+    out_dir = str(tmp_path / "orders_avro")
+    shards = (PCollection(src.repartition(4))
+              | WriteToAvroFile(out_dir)).df.collect()
+    assert sum(r["n_records"] for r in shards) == src.count()
+    assert len(shards) == 4
+
+    back = (Pipeline(spark)
+            | ReadFromAvroFile(out_dir + "/*.avro")).df
+    assert back.schema.simpleString() == \
+        "struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string," \
+        "o_totalprice:double,o_orderpriority:string>"
+    a = sorted(map(tuple, back.collect()))
+    b = sorted(map(tuple, src.collect()))
+    assert a == b
+
+
+def test_avro_reader_jar_fallback(spark, tmp_path):
+    """ReadFromAvro/WriteToAvro: with no spark-avro jar in this container
+    the native DataSource raises and the pure-python OCF path takes over
+    transparently."""
+    from beam_spark.sources import ReadFromAvro, WriteToAvro
+
+    pc = Pipeline(spark) | Create(ROWS)
+    path = str(tmp_path / "fallback")
+    pc | WriteToAvro(path)
+    back = Pipeline(spark) | ReadFromAvro(path + "/*.avro")
+    got = sorted((r["k"], r["v"], r["x"]) for r in back.collect())
+    assert got == [("a", 1, 1.5), ("b", 2, 2.5)]

@@ -383,3 +383,119 @@ def test_read_from_socket_streams_lines(spark):
     finally:
         q.stop()
         srv.close()
+
+
+def test_with_late_output_tee(spark):
+    """Beam late-pane visibility outside the trigger emulator: rows Spark's
+    watermark would silently drop before a stateful agg surface in the
+    late branch with pane metadata; on-time rows flow to the main branch."""
+    from beam_spark.streaming import with_late_output
+
+    ts = TestStream(spark, "t timestamp, k string, v long")
+    # batch 0: establishes max event time 00:02:30 (no watermark yet)
+    ts.add_elements([{"t": "2024-01-01 00:00:10", "k": "a", "v": 1},
+                     {"t": "2024-01-01 00:02:30", "k": "a", "v": 2}])
+    # batch 1: watermark = 00:02:30 - 30s = 00:02:00 -> 00:00:20 is LATE,
+    # 00:02:10 is on time (late vs max-seen but inside allowed lateness)
+    ts.add_elements([{"t": "2024-01-01 00:00:20", "k": "a", "v": 100},
+                     {"t": "2024-01-01 00:02:10", "k": "a", "v": 3}])
+
+    main_rows, late_rows = [], []
+    with_late_output(
+        ts.stream(), "t", "30 seconds",
+        on_time_fn=lambda df, bid: main_rows.extend(df.collect()),
+        late_fn=lambda df, bid: late_rows.extend(df.collect()))
+
+    assert sorted(r["v"] for r in main_rows) == [1, 2, 3]
+    assert [r["v"] for r in late_rows] == [100]
+    late = late_rows[0]
+    assert late["pane_timing"] == "LATE"
+    # the classifying watermark is exposed: max seen (00:02:30) - 30s
+    assert late["__watermark"].isoformat() == "2024-01-01T00:02:00"
+
+
+def test_with_late_output_feeds_windowed_agg(spark):
+    """The tee's main branch drives a per-batch windowed count while late
+    rows stay visible — the WithLateOutput + native-agg composition."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from beam_spark.streaming import with_late_output
+
+    ts = TestStream(spark, "t timestamp, k string, v long")
+    ts.add_elements([{"t": "2024-01-01 00:00:10", "k": "a", "v": 1},
+                     {"t": "2024-01-01 00:03:00", "k": "a", "v": 2}])
+    ts.add_elements([{"t": "2024-01-01 00:00:40", "k": "a", "v": 9}])  # late
+
+    counts: dict = defaultdict(int)
+    late_rows = []
+
+    def agg(df, bid):
+        for r in (df.groupBy(F.window("t", "1 minute").alias("w"), "k")
+                  .count().collect()):
+            counts[(r["w"]["start"].isoformat(), r["k"])] += r["count"]
+
+    with_late_output(ts.stream(), "t", "30 seconds",
+                     on_time_fn=agg,
+                     late_fn=lambda df, bid: late_rows.extend(df.collect()))
+
+    assert counts[("2024-01-01T00:00:00", "a")] == 1  # late row not counted
+    assert counts[("2024-01-01T00:03:00", "a")] == 1
+    assert [r["v"] for r in late_rows] == [9]
+
+
+def test_after_watermark_retracting_mode(spark):
+    """ACCUMULATING_AND_RETRACTING (beam_runner_api.proto
+    AccumulationMode): every non-first pane is preceded by a RETRACT row
+    negating the previous emission, so SUM over all emitted pane_sum
+    values equals the true window total at any prefix."""
+    from beam_spark.streaming import AfterWatermarkEarlyCount
+
+    ts = TestStream(spark, "t timestamp, k string, v long")
+    ts.add_elements([{"t": "2024-01-01 00:00:05", "k": "a", "v": 1},
+                     {"t": "2024-01-01 00:00:10", "k": "a", "v": 2},
+                     {"t": "2024-01-01 00:00:20", "k": "a", "v": 4}])
+    ts.add_elements([{"t": "2024-01-01 00:05:00", "k": "a", "v": 100}])
+
+    pc = (ts.stream()
+          | WithWatermark("t", "10 seconds")
+          | AfterWatermarkEarlyCount(
+              "k", 60, "v", early_count=2, ts_col="t",
+              accumulation_mode="accumulating_and_retracting"))
+    out = pc | WriteStreamToMemory(output_mode="append")
+    rows = [r for r in out.collect()
+            if r["window_start"].isoformat() == "2024-01-01T00:00:00"]
+    panes = sorted((r["pane_index"], r["pane_timing"], r["pane_count"],
+                    r["pane_sum"]) for r in rows)
+    # EARLY(2 els, 3.0) -> RETRACT(-2, -3.0) -> ON_TIME restates (3, 7.0)
+    assert panes == [(0, "EARLY", 2, 3.0), (0, "RETRACT", -2, -3.0),
+                     (1, "ON_TIME", 3, 7.0)]
+    # downstream-sum invariant
+    assert sum(r["pane_sum"] for r in rows) == 7.0
+    assert sum(r["pane_count"] for r in rows) == 3
+
+
+def test_retracting_mode_late_panes(spark):
+    """RETRACT rows also precede LATE panes: the late restatement retracts
+    the ON_TIME emission, keeping the downstream-sum invariant."""
+    from beam_spark.streaming import AfterWatermarkEarlyCount
+
+    ts = TestStream(spark, "t timestamp, k string, v long")
+    ts.add_elements([{"t": "2024-01-01 00:00:05", "k": "a", "v": 1}])
+    ts.add_elements([{"t": "2024-01-01 00:06:00", "k": "a", "v": 50}])
+    ts.add_elements([{"t": "2024-01-01 00:00:55", "k": "a", "v": 7}])  # late
+
+    pc = (ts.stream() | WithWatermark("t", "310 seconds")
+          | AfterWatermarkEarlyCount(
+              "k", 60, "v", early_count=99, ts_col="t",
+              allowed_lateness_sec=300,
+              accumulation_mode="accumulating_and_retracting"))
+    out = pc | WriteStreamToMemory(output_mode="append")
+    rows = [r for r in out.collect()
+            if r["window_start"].isoformat() == "2024-01-01T00:00:00"]
+    panes = sorted((r["pane_index"], r["pane_timing"], r["pane_count"],
+                    r["pane_sum"]) for r in rows)
+    assert panes == [(0, "ON_TIME", 1, 1.0), (0, "RETRACT", -1, -1.0),
+                     (1, "LATE", 2, 8.0)]
+    assert sum(r["pane_sum"] for r in rows) == 8.0
