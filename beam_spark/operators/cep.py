@@ -23,9 +23,11 @@ fall back to one pass over row dicts.
 
 Pattern language:
   pattern = sequence of (symbol(s), quantifier) where symbol(s) is a
-  name or a tuple of alternatives ``("C", "P")`` (leftmost alternative
-  labels each row), and quantifier is ``'1' | '?' | '+' | '*'`` or a
-  bounded ``(min, max)`` tuple (max=None for unbounded).
+  name, a tuple of alternatives ``("C", "P")`` (leftmost alternative
+  labels each row), or ``Permute("A", "B", ...)`` (all symbols once
+  each in any order; orderings backtrack in lexicographic preference),
+  and quantifier is ``'1' | '?' | '+' | '*'`` or a bounded
+  ``(min, max)`` tuple (max=None for unbounded).
 Measures: callables over the list of (symbol, row) pairs of one match.
 
 Divergence note (documented): within one quantified alternation run the
@@ -72,11 +74,28 @@ def vectorized(mask_fn: Callable, row_fn: Callable | None = None) -> Define:
     return Define(row_fn=row_fn, mask_fn=mask_fn)
 
 
+class Permute:
+    """PERMUTE(A, B, ...) pattern group (Calcite/Beam NFA PERMUTE): one
+    repetition matches ALL the symbols exactly once in ANY order;
+    orderings are tried in lexicographic order of the symbol list (the
+    SQL-standard expansion order) with full backtracking."""
+
+    __slots__ = ("symbols",)
+
+    def __init__(self, *symbols: str):
+        if len(symbols) < 2:
+            raise ValueError("PERMUTE needs at least two symbols")
+        self.symbols = tuple(symbols)
+
+
 def _normalize_pattern(pattern: Sequence[tuple]) -> list[tuple]:
-    """-> [(alts_tuple, min, max_or_None), ...]"""
+    """-> [(alts_tuple_or_Permute, min, max_or_None), ...]"""
     out = []
     for sym, quant in pattern:
-        alts = tuple(sym) if isinstance(sym, (tuple, list)) else (sym,)
+        if isinstance(sym, Permute):
+            alts = sym
+        else:
+            alts = tuple(sym) if isinstance(sym, (tuple, list)) else (sym,)
         if quant == "1":
             mn, mx = 1, 1
         elif quant == "?":
@@ -98,7 +117,11 @@ def _normalize_pattern(pattern: Sequence[tuple]) -> list[tuple]:
 def _match_at(masks: Mapping, n_rows: int, start: int,
               pattern: list) -> list | None:
     """Greedy backtracking matcher over precomputed masks; returns list
-    of (symbol, row_index) or None. Pattern items: (alts, min, max)."""
+    of (symbol, row_index) or None. Pattern items: (alts|Permute, min,
+    max). Quantifier counts and PERMUTE orderings backtrack; within a
+    quantified alternation run each row takes the leftmost matching
+    alternative (see module docstring)."""
+    import itertools
 
     def label(alts, pos):
         for s in alts:
@@ -106,10 +129,26 @@ def _match_at(masks: Mapping, n_rows: int, start: int,
                 return s
         return None
 
-    def rec(pos, pi, acc):
-        if pi == len(pattern):
-            return acc
-        alts, mn, mx = pattern[pi]
+    def expand_item(alts, mn, mx, pos):
+        """Yield (labels, end_pos) candidates in preference order."""
+        if isinstance(alts, Permute):
+            syms = alts.symbols
+            k = len(syms)
+
+            def reps(p, depth):
+                if depth == 0:
+                    yield [], p
+                    return
+                if p + k > n_rows:
+                    return
+                for perm in itertools.permutations(syms):
+                    if all(masks[s][p + i] for i, s in enumerate(perm)):
+                        for rest, end in reps(p + k, depth - 1):
+                            yield list(perm) + rest, end
+            max_reps = mx if mx is not None else (n_rows - pos) // k
+            for count in range(max_reps, mn - 1, -1):
+                yield from reps(pos, count)
+            return
         labels = []
         p = pos
         while (mx is None or len(labels) < mx) and p < n_rows:
@@ -118,13 +157,18 @@ def _match_at(masks: Mapping, n_rows: int, start: int,
                 break
             labels.append(s)
             p += 1
-        n = len(labels)
-        while n >= mn:
-            r = rec(pos + n, pi + 1,
-                    acc + [(labels[i], pos + i) for i in range(n)])
+        for n in range(len(labels), mn - 1, -1):
+            yield labels[:n], pos + n
+
+    def rec(pos, pi, acc):
+        if pi == len(pattern):
+            return acc
+        alts, mn, mx = pattern[pi]
+        for labels, end in expand_item(alts, mn, mx, pos):
+            r = rec(end, pi + 1,
+                    acc + [(labels[i], pos + i) for i in range(len(labels))])
             if r is not None:
                 return r
-            n -= 1
         return None
 
     return rec(start, 0, [])
@@ -160,7 +204,9 @@ class MatchRecognize(PTransform):
         self.output_schema = (schema_from_dict(output_schema)
                               if isinstance(output_schema, dict) else output_schema)
         self.after_match = after_match
-        needed = {s for alts, _, _ in self.pattern for s in alts}
+        needed = {s for alts, _, _ in self.pattern
+                  for s in (alts.symbols if isinstance(alts, Permute)
+                            else alts)}
         missing = needed - set(self.defines)
         if missing:
             raise ValueError(f"pattern symbols without DEFINE: {sorted(missing)}")
@@ -184,7 +230,8 @@ class MatchRecognize(PTransform):
         # candidates instead of probing every row.
         lead_items = []
         for alts, mn, _ in pattern:
-            lead_items.append(alts)
+            lead_items.append(alts.symbols if isinstance(alts, Permute)
+                              else alts)
             if mn > 0:
                 break
 

@@ -245,6 +245,24 @@ class ReadFromJdbc(PTransform):
         return PCollection(df, pipeline=getattr(pbegin, "pipeline", None))
 
 
+class WriteToJdbc(PTransform):
+    """JDBC sink (Beam io/jdbc.py WriteToJdbc xlang -> ``df.write.jdbc``,
+    partition-parallel inserts). Integration-tested against the embedded
+    Derby engine bundled with Spark (tests/test_io.py) — the same path
+    serves any server-mode driver on a cluster."""
+
+    def __init__(self, url: str, table: str, mode: str = "append",
+                 label=None, **properties):
+        super().__init__(label)
+        self.url, self.table, self.mode = url, table, mode
+        self.properties = {k: str(v) for k, v in properties.items()}
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        pcoll.df.write.jdbc(self.url, self.table, mode=self.mode,
+                            properties=self.properties)
+        return pcoll
+
+
 def register_parquet_table(spark: SparkSession, name: str, path: str) -> None:
     """CREATE EXTERNAL TABLE analog (Beam SQL DDL, impl/parser/):
     registers a parquet path as a queryable table."""

@@ -19,15 +19,17 @@ Supported grammar (the common CEP core):
       DEFINE SYM AS <cond> [AND <cond>]* [, ...]
     ) [AS alias]
 
-where ITEM is ``SYM`` or an alternation group ``(S1|S2|...)``, each with
-an optional quantifier ``+ * ?`` or bounded ``{n} {n,} {n,m}``, and
-<cond> is ``SYM.col <op> literal`` (op: = <> != >= <= > <). Symbols
-without a DEFINE match any row (SQL standard). CLASSIFIER() returns the
-pattern variable of the last row of the match (ONE ROW PER MATCH
-semantics). DEFINE conditions compile to BOTH a row predicate and a
-vectorized numpy mask — the operator evaluates whole columns, no per-row
-Python. Nested groups / PERMUTE / cross-symbol PREV/NEXT references are
-out of scope (use the python MatchRecognize API directly).
+where ITEM is ``SYM``, an alternation group ``(S1|S2|...)``, or
+``PERMUTE(S1, S2, ...)`` (all symbols once each in any order, orderings
+tried lexicographically with backtracking), each with an optional
+quantifier ``+ * ?`` or bounded ``{n} {n,} {n,m}``, and <cond> is
+``SYM.col <op> literal`` (op: = <> != >= <= > <). Symbols without a
+DEFINE match any row (SQL standard). CLASSIFIER() returns the pattern
+variable of the last row of the match (ONE ROW PER MATCH semantics).
+DEFINE conditions compile to BOTH a row predicate and a vectorized
+numpy mask — the operator evaluates whole columns, no per-row Python.
+Nested sequence groups / cross-symbol PREV/NEXT references are out of
+scope (use the python MatchRecognize API directly).
 """
 
 from __future__ import annotations
@@ -50,10 +52,12 @@ _MEASURE_RE = re.compile(
     r"|(CLASSIFIER)\s*\(\s*\)\s+AS\s+(\w+)",
     re.IGNORECASE)
 
-# ITEM: symbol or (A|B|...) group, then optional quantifier.
+# ITEM: PERMUTE(A,B,...), (A|B|...) group, or symbol — each with an
+# optional quantifier.
 _PAT_ITEM_RE = re.compile(
-    r"(?:\(\s*(?P<alts>\w+(?:\s*\|\s*\w+)+)\s*\)|(?P<sym>\w+))"
-    r"(?P<q>[+*?]|\{\s*\d+\s*(?:,\s*\d*\s*)?\})?")
+    r"(?:(?P<perm>PERMUTE)\s*\(\s*(?P<psyms>\w+(?:\s*,\s*\w+)+)\s*\)"
+    r"|\(\s*(?P<alts>\w+(?:\s*\|\s*\w+)+)\s*\)|(?P<sym>\w+))"
+    r"(?P<q>[+*?]|\{\s*\d+\s*(?:,\s*\d*\s*)?\})?", re.IGNORECASE)
 
 _ROW_OPS = {"=": lambda a, b: a == b, "<>": lambda a, b: a != b,
             "!=": lambda a, b: a != b, ">=": lambda a, b: a >= b,
@@ -84,7 +88,10 @@ def _parse_quantifier(q: str | None):
 
 
 def parse_pattern(pattern_sql: str) -> list[tuple]:
-    """'V+ (C|P) A{2,4}' -> [('V','+'), (('C','P'),'1'), ('A',(2,4))]"""
+    """'V+ (C|P) A{2,4} PERMUTE(X, Y)' ->
+    [('V','+'), (('C','P'),'1'), ('A',(2,4)), (Permute('X','Y'),'1')]"""
+    from beam_spark.operators.cep import Permute
+
     out = []
     pos = 0
     s = pattern_sql.strip()
@@ -95,7 +102,9 @@ def parse_pattern(pattern_sql: str) -> list[tuple]:
         m = _PAT_ITEM_RE.match(s, pos)
         if not m:
             raise ValueError(f"unparseable PATTERN at: {s[pos:]!r}")
-        if m.group("alts"):
+        if m.group("perm"):
+            sym = Permute(*[a.strip() for a in m.group("psyms").split(",")])
+        elif m.group("alts"):
             sym = tuple(a.strip() for a in m.group("alts").split("|"))
         else:
             sym = m.group("sym")
@@ -195,8 +204,12 @@ def try_rewrite_match_recognize(sql: str, spark, tables: dict) -> str:
         dm = re.match(r"(\w+)\s+AS\s+(.*)", part.strip(),
                       re.IGNORECASE | re.DOTALL)
         defines[dm.group(1)] = _compile_condition(dm.group(2), dm.group(1))
+    from beam_spark.operators.cep import Permute
+
     for sym, _ in pattern:  # undefined symbols match any row
-        for s in (sym if isinstance(sym, tuple) else (sym,)):
+        syms = (sym.symbols if isinstance(sym, Permute)
+                else sym if isinstance(sym, tuple) else (sym,))
+        for s in syms:
             defines.setdefault(s, Define(
                 row_fn=lambda r: True,
                 mask_fn=lambda pdf: __import__("numpy").ones(len(pdf), bool)))

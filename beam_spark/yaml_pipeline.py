@@ -171,19 +171,22 @@ def _writer(fmt_cls):
 
 
 def _register_io():
-    from beam_spark.sources.io import (ReadFromCsv, ReadFromJson,
-                                       ReadFromParquet, ReadFromText,
+    from beam_spark.sources.io import (ReadFromAvro, ReadFromCsv,
+                                       ReadFromJson, ReadFromParquet,
+                                       ReadFromText, WriteToAvro,
                                        WriteToCsv, WriteToJson,
                                        WriteToParquet)
 
     for name, cls in [("ReadFromParquet", ReadFromParquet),
                       ("ReadFromCsv", ReadFromCsv),
                       ("ReadFromJson", ReadFromJson),
-                      ("ReadFromText", ReadFromText)]:
+                      ("ReadFromText", ReadFromText),
+                      ("ReadFromAvro", ReadFromAvro)]:
         _REGISTRY[name] = _reader(cls)
     for name, cls in [("WriteToParquet", WriteToParquet),
                       ("WriteToCsv", WriteToCsv),
-                      ("WriteToJson", WriteToJson)]:
+                      ("WriteToJson", WriteToJson),
+                      ("WriteToAvro", WriteToAvro)]:
         _REGISTRY[name] = _writer(cls)
 
 

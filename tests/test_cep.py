@@ -86,3 +86,68 @@ def test_match_recognize_per_key_isolation(spark):
                             measures={"n": lambda m: len(m)},
                             output_schema="k long, n long")).collect()
     assert out == []  # a and b in different keys: no cross-key match
+
+
+def test_matcher_permute():
+    from beam_spark.operators.cep import Permute
+
+    # PERMUTE(A,B): either order, each exactly once
+    m = match(rows("a", "b"), 0, [(Permute("A", "B"), "1")])
+    assert [(s, i) for s, i in m] == [("A", 0), ("B", 1)]
+    m = match(rows("b", "a"), 0, [(Permute("A", "B"), "1")])
+    assert [(s, i) for s, i in m] == [("B", 0), ("A", 1)]
+    assert match(rows("a", "a"), 0, [(Permute("A", "B"), "1")]) is None
+    # ordering backtracks against the NEXT item: rows b a a with
+    # PERMUTE(A,B) A — must label (B,A) then A, not greedily misassign
+    m = match(rows("b", "a", "a"), 0, [(Permute("A", "B"), "1"), ("A", "1")])
+    assert [(s, i) for s, i in m] == [("B", 0), ("A", 1), ("A", 2)]
+    # three symbols, middle ordering
+    m = match(rows("c", "a", "b"), 0, [(Permute("A", "B", "C"), "1")])
+    assert [(s, i) for s, i in m] == [("C", 0), ("A", 1), ("B", 2)]
+    # quantified PERMUTE: two repetitions
+    m = match(rows("a", "b", "b", "a"), 0, [(Permute("A", "B"), (2, 2))])
+    assert [(s, i) for s, i in m] == [("A", 0), ("B", 1), ("B", 2), ("A", 3)]
+    # ambiguous row (matches A and B): lexicographic preference picks
+    # the A-first ordering
+    AMBIG = {"A": lambda r: r["t"] in ("a", "x"),
+             "B": lambda r: r["t"] in ("b", "x"),
+             "C": lambda r: r["t"] == "c"}
+    m = match(rows("x", "x"), 0, [(Permute("A", "B"), "1")], AMBIG)
+    assert [(s, i) for s, i in m] == [("A", 0), ("B", 1)]
+
+
+def test_sql_permute_end_to_end(spark):
+    """PERMUTE through the SQL front-end: signup and view in either
+    order, then a purchase."""
+    from beam_spark.sql import SqlTransform
+
+    rows_in = [
+        # user 1: signup, view, purchase -> match
+        {"u": 1, "i": 1, "t": "signup"}, {"u": 1, "i": 2, "t": "view"},
+        {"u": 1, "i": 3, "t": "purchase"},
+        # user 2: view, signup, purchase -> match (other order)
+        {"u": 2, "i": 1, "t": "view"}, {"u": 2, "i": 2, "t": "signup"},
+        {"u": 2, "i": 3, "t": "purchase"},
+        # user 3: signup, signup, purchase -> no match
+        {"u": 3, "i": 1, "t": "signup"}, {"u": 3, "i": 2, "t": "signup"},
+        {"u": 3, "i": 3, "t": "purchase"},
+    ]
+    pc = Pipeline(spark) | Create(rows_in)
+    out = ({"ev": pc} | SqlTransform("""
+        SELECT u, last_sym, n_rows
+        FROM ev MATCH_RECOGNIZE (
+          PARTITION BY u
+          ORDER BY i
+          MEASURES CLASSIFIER() AS last_sym,
+                   FIRST(S.i) AS s_i, FIRST(V.i) AS v_i,
+                   COUNT(P.i) AS n_rows
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (PERMUTE(S, V) P)
+          DEFINE S AS S.t = 'signup',
+                 V AS V.t = 'view',
+                 P AS P.t = 'purchase'
+        )""")).df
+    got = {(r["u"], r["s_i"], r["v_i"]) for r in
+           out.sparkSession.table("__mr_ev").select("u", "s_i", "v_i")
+           .collect()}
+    assert got == {(1, 1, 2), (2, 2, 1)}

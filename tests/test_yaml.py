@@ -122,3 +122,31 @@ def test_yaml_ml_and_dedup_chain(spark, sf_dir):
         ]}}, spark)
     assert dedup.df.columns == ["content_md5", "keep_id", "dup_count"]
     assert dedup.df.count() > 0
+
+
+def test_yaml_avro_roundtrip(spark, tmp_path):
+    """Avro source/sink through the YAML front-end (pure-python OCF
+    fallback in this container)."""
+    from beam_spark.yaml_pipeline import run_yaml
+
+    path = str(tmp_path / "y_avro")
+    run_yaml(f"""
+pipeline:
+  transforms:
+    - type: Create
+      elements:
+        - {{k: a, v: 1}}
+        - {{k: b, v: 2}}
+    - type: WriteToAvro
+      path: {path}
+""", spark)
+    out = run_yaml(f"""
+pipeline:
+  transforms:
+    - type: ReadFromAvro
+      path: {path}/*.avro
+    - type: Filter
+      keep: v > 1
+""", spark)
+    rows = [(r["k"], r["v"]) for r in out.collect()]
+    assert rows == [("b", 2)]
