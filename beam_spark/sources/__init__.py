@@ -1,13 +1,15 @@
 from beam_spark.sources.io import (ReadFromParquet, ReadFromText, ReadFromCsv,
                                    ReadFromJson, ReadFromAvro, ReadFromOrc,
-                                   ReadTable, WriteToParquet, WriteToText,
+                                   ReadTable, MatchFiles, ReadMatches,
+                                   WriteToParquet, WriteToText,
                                    WriteToCsv, WriteToJson, WriteToAvro,
                                    load_tables)
 from beam_spark.sources.avro import ReadFromAvroFile, WriteToAvroFile
 
 __all__ = [
     "ReadFromParquet", "ReadFromText", "ReadFromCsv", "ReadFromJson",
-    "ReadFromAvro", "ReadFromOrc", "ReadTable", "WriteToParquet",
+    "ReadFromAvro", "ReadFromOrc", "ReadTable", "MatchFiles",
+    "ReadMatches", "WriteToParquet",
     "WriteToText", "WriteToCsv", "WriteToJson", "WriteToAvro",
     "ReadFromAvroFile", "WriteToAvroFile", "load_tables",
 ]

@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from beam_spark.pcollection import PBegin, PCollection, PTransform
 
@@ -90,6 +91,40 @@ class ReadFromAvro(_Read):
 
 class ReadFromOrc(_Read):
     fmt = "orc"
+
+
+class MatchFiles(PTransform):
+    """fileio.py:177 MatchFiles/MatchAll — file-metadata rows (path,
+    size_bytes, last_updated) for a glob, WITHOUT reading contents: the
+    binaryFile source's column pruning drops the ``content`` column, so
+    only the driver-side listing + per-file stat runs (scales with file
+    COUNT, like Beam's match)."""
+
+    def __init__(self, path_glob: str, label=None):
+        super().__init__(label)
+        self.path_glob = path_glob
+
+    def expand(self, pbegin: PBegin) -> PCollection:
+        df = (pbegin.spark.read.format("binaryFile").load(self.path_glob)
+              .select(F.col("path"),
+                      F.col("length").alias("size_bytes"),
+                      F.col("modificationTime").alias("last_updated")))
+        return PCollection(df, pipeline=getattr(pbegin, "pipeline", None))
+
+
+class ReadMatches(PTransform):
+    """fileio.py ReadMatches — one row per matched file WITH its bytes
+    (path, content). Downstream ParDos parse per-file payloads (the
+    ReadableFile analog). File-parallel like every binaryFile read."""
+
+    def __init__(self, path_glob: str, label=None):
+        super().__init__(label)
+        self.path_glob = path_glob
+
+    def expand(self, pbegin: PBegin) -> PCollection:
+        df = (pbegin.spark.read.format("binaryFile").load(self.path_glob)
+              .select("path", "content"))
+        return PCollection(df, pipeline=getattr(pbegin, "pipeline", None))
 
 
 class ReadTable(PTransform):

@@ -336,3 +336,25 @@ def test_jdbc_real_roundtrip_embedded_derby(spark, tmp_path):
     assert back.df.rdd.getNumPartitions() == 4
     got = sorted((r["id"], r["name"], r["val"]) for r in back.collect())
     assert got == [(i, f"n{i}", i / 2) for i in range(100)]
+
+
+def test_match_files_and_read_matches(spark, tmp_path):
+    """fileio analogs: MatchFiles lists metadata with the content column
+    pruned out of the scan; ReadMatches yields (path, bytes)."""
+    from beam_spark.pcollection import Pipeline
+    from beam_spark.sources.io import MatchFiles, ReadMatches
+
+    for name, data in [("a.bin", b"xx"), ("b.bin", b"yyyy")]:
+        (tmp_path / name).write_bytes(data)
+
+    meta = (Pipeline(spark) | MatchFiles(str(tmp_path) + "/*.bin")).df
+    rows = {(r["path"].rsplit("/", 1)[-1], r["size_bytes"])
+            for r in meta.collect()}
+    assert rows == {("a.bin", 2), ("b.bin", 4)}
+    # content really is pruned from the plan
+    assert "content" not in meta.schema.simpleString()
+
+    got = {(r["path"].rsplit("/", 1)[-1], bytes(r["content"]))
+           for r in (Pipeline(spark)
+                     | ReadMatches(str(tmp_path) + "/*.bin")).collect()}
+    assert got == {("a.bin", b"xx"), ("b.bin", b"yyyy")}
