@@ -340,6 +340,114 @@ def read_datum(buf: memoryview, pos: int, schema):
 
 
 # --------------------------------------------------------------------------
+# Schema resolution (spec: "Schema Resolution") — evolve on read:
+# writer fields absent from the reader are skipped, reader fields absent
+# from the writer take their defaults, numeric promotions apply
+# (int->long/float/double, long->float/double, float->double,
+# string<->bytes), unions resolve by branch.
+# --------------------------------------------------------------------------
+
+_PROMOTIONS = {
+    ("int", "long"): int, ("int", "float"): float, ("int", "double"): float,
+    ("long", "float"): float, ("long", "double"): float,
+    ("float", "double"): float,
+    ("string", "bytes"): lambda v: v.encode("utf-8"),
+    ("bytes", "string"): lambda v: v.decode("utf-8"),
+}
+
+
+def _type_name(schema) -> str:
+    if isinstance(schema, str):
+        return schema
+    if isinstance(schema, list):
+        return "union"
+    return schema["type"]
+
+
+def _default_value(schema, default):
+    if _type_name(schema) == "bytes":
+        # spec: bytes defaults are JSON strings of latin-1 code points
+        return default.encode("latin-1") if isinstance(default, str) else default
+    return default
+
+
+def read_datum_resolved(buf: memoryview, pos: int, writer, reader):
+    """Decode a datum written with ``writer`` as seen through ``reader``."""
+    if writer == reader:
+        return read_datum(buf, pos, reader)
+    if isinstance(writer, list):  # writer union: branch first, then resolve
+        idx, pos = read_long(buf, pos)
+        return read_datum_resolved(buf, pos, writer[idx], reader)
+    if isinstance(reader, list):  # reader union: first matching branch
+        wname = _type_name(writer)
+        for branch in reader:
+            bname = _type_name(branch)
+            if bname == wname or (wname, bname) in _PROMOTIONS:
+                return read_datum_resolved(buf, pos, writer, branch)
+        raise TypeError(f"writer {wname} matches no reader union branch")
+    wname, rname = _type_name(writer), _type_name(reader)
+    if wname == "record" and rname == "record":
+        rfields = {f["name"]: f for f in reader["fields"]}
+        rec = {}
+        seen = set()
+        for wf in writer["fields"]:
+            rf = rfields.get(wf["name"])
+            if rf is None:
+                _, pos = read_datum(buf, pos, wf["type"])  # skip
+            else:
+                rec[wf["name"]], pos = read_datum_resolved(
+                    buf, pos, wf["type"], rf["type"])
+                seen.add(wf["name"])
+        for rf in reader["fields"]:
+            if rf["name"] not in seen:
+                if "default" not in rf:
+                    raise TypeError(
+                        f"reader field {rf['name']} missing from writer "
+                        "and has no default")
+                rec[rf["name"]] = _default_value(rf["type"], rf["default"])
+        return rec, pos
+    if wname == "array" and rname == "array":
+        out = []
+        while True:
+            n, pos = read_long(buf, pos)
+            if n == 0:
+                break
+            if n < 0:
+                n = -n
+                _, pos = read_long(buf, pos)
+            for _ in range(n):
+                v, pos = read_datum_resolved(buf, pos, writer["items"],
+                                             reader["items"])
+                out.append(v)
+        return out, pos
+    if wname == "map" and rname == "map":
+        out = {}
+        while True:
+            n, pos = read_long(buf, pos)
+            if n == 0:
+                break
+            if n < 0:
+                n = -n
+                _, pos = read_long(buf, pos)
+            for _ in range(n):
+                k, pos = read_bytes(buf, pos)
+                out[k.decode("utf-8")], pos = read_datum_resolved(
+                    buf, pos, writer["values"], reader["values"])
+        return out, pos
+    promote = _PROMOTIONS.get((wname, rname))
+    if promote is not None:
+        v, pos = read_datum(buf, pos, writer)
+        return promote(v), pos
+    if wname == rname:  # same type, differing attrs (e.g. logicalType)
+        if wname in ("enum", "fixed"):
+            # indices/sizes are defined by the WRITER's declaration
+            return read_datum(buf, pos, writer)
+        return read_datum(buf, pos, reader if isinstance(reader, dict)
+                          else writer)
+    raise TypeError(f"cannot resolve writer {wname} as reader {rname}")
+
+
+# --------------------------------------------------------------------------
 # Object Container File framing (spec: "Object Container Files")
 # --------------------------------------------------------------------------
 
@@ -382,8 +490,11 @@ def write_container(path: str, schema_json: str, records: list[dict],
     return len(records)
 
 
-def read_container(data: bytes) -> tuple[dict, list[dict]]:
-    """Parse one OCF; returns (parsed avro schema, records)."""
+def read_container(data: bytes,
+                   reader_schema=None) -> tuple[dict, list[dict]]:
+    """Parse one OCF; returns (parsed avro schema, records). With
+    ``reader_schema`` (parsed dict), records are resolved through the
+    spec's schema-evolution rules instead of decoded verbatim."""
     buf = memoryview(data)
     if bytes(buf[:4]) != MAGIC:
         raise ValueError("not an Avro object container file (bad magic)")
@@ -420,10 +531,16 @@ def read_container(data: bytes) -> tuple[dict, list[dict]]:
             raise ValueError(f"unsupported codec {codec}")
         block = memoryview(payload)
         bpos = 0
-        for _ in range(count):
-            rec, bpos = read_datum(block, bpos, schema)
-            records.append(rec)
-    return schema, records
+        if reader_schema is not None and reader_schema != schema:
+            for _ in range(count):
+                rec, bpos = read_datum_resolved(block, bpos, schema,
+                                                reader_schema)
+                records.append(rec)
+        else:
+            for _ in range(count):
+                rec, bpos = read_datum(block, bpos, schema)
+                records.append(rec)
+    return (reader_schema if reader_schema is not None else schema), records
 
 
 # --------------------------------------------------------------------------
@@ -461,10 +578,15 @@ class ReadFromAvroFile(PTransform):
         ts_cols = [f.name for f in spark_schema.fields
                    if isinstance(f.dataType, T.TimestampType)]
 
+        reader_schema = schema
+
         def gen(batches: Iterator["pd.DataFrame"]):
             for pdf in batches:
                 for content in pdf["content"]:
-                    _, records = read_container(bytes(content))
+                    # resolve through schema evolution if this file was
+                    # written with an older/newer schema than the plan's
+                    _, records = read_container(bytes(content),
+                                                reader_schema=reader_schema)
                     if not records:
                         continue
                     out = pd.DataFrame(

@@ -358,3 +358,70 @@ def test_match_files_and_read_matches(spark, tmp_path):
            for r in (Pipeline(spark)
                      | ReadMatches(str(tmp_path) + "/*.bin")).collect()}
     assert got == {("a.bin", b"xx"), ("b.bin", b"yyyy")}
+
+
+def test_avro_schema_evolution(tmp_path):
+    """Spec schema-resolution rules: dropped writer fields are skipped,
+    added reader fields take defaults, numeric promotions apply, unions
+    resolve by branch."""
+    import json
+
+    from beam_spark.sources import avro as A
+
+    writer = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "int"},
+        {"name": "legacy", "type": "string"},
+        {"name": "score", "type": "float"},
+        {"name": "maybe", "type": ["null", "int"]},
+    ]}
+    reader = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},                      # int -> long
+        {"name": "score", "type": "double"},                 # float -> double
+        {"name": "maybe", "type": ["null", "long"]},         # union promote
+        {"name": "added", "type": "string", "default": "d"}, # new w/ default
+        # "legacy" dropped -> skipped on read
+    ]}
+    recs = [{"id": 7, "legacy": "old", "score": 1.5, "maybe": 3},
+            {"id": 8, "legacy": "x", "score": 2.0, "maybe": None}]
+    p = str(tmp_path / "evo.avro")
+    A.write_container(p, json.dumps(writer), recs)
+    _, out = A.read_container(open(p, "rb").read(), reader_schema=reader)
+    assert out == [
+        {"id": 7, "score": 1.5, "maybe": 3, "added": "d"},
+        {"id": 8, "score": 2.0, "maybe": None, "added": "d"}]
+    assert isinstance(out[0]["id"], int)
+    # no-default missing field errors
+    bad = {"type": "record", "name": "r", "fields": [
+        {"name": "nope", "type": "string"}]}
+    import pytest
+
+    with pytest.raises(TypeError, match="no default"):
+        A.read_container(open(p, "rb").read(), reader_schema=bad)
+
+
+def test_avro_spark_read_with_evolved_schema(spark, tmp_path):
+    """ReadFromAvroFile(avro_schema=...) resolves older files through the
+    reader schema — mixed-schema directories read uniformly."""
+    import json
+
+    from beam_spark.pcollection import Pipeline
+    from beam_spark.sources import avro as A
+    from beam_spark.sources.avro import ReadFromAvroFile
+
+    old = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "int"}, {"name": "v", "type": "float"}]}
+    new = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"}, {"name": "v", "type": "double"},
+        {"name": "tag", "type": "string", "default": "none"}]}
+    d = tmp_path / "mixed"
+    d.mkdir()
+    A.write_container(str(d / "old.avro"), json.dumps(old),
+                      [{"id": 1, "v": 0.5}])
+    A.write_container(str(d / "new.avro"), json.dumps(new),
+                      [{"id": 2, "v": 1.5, "tag": "t"}])
+    back = (Pipeline(spark)
+            | ReadFromAvroFile(str(d) + "/*.avro",
+                               avro_schema=json.dumps(new))).df
+    rows = sorted(map(tuple, back.collect()))
+    assert rows == [(1, 0.5, "none"), (2, 1.5, "t")]
+    assert back.schema["id"].dataType.simpleString() == "bigint"

@@ -198,3 +198,59 @@ def test_session_windows_multi_key_match_python_model(spark, rows, gap):
                 + datetime.timedelta(seconds=s[0])).isoformat(), len(s))
         for (u, d), sessions in ref.items() for s in sessions)
     assert got == exp
+
+
+# --------------------------------------------------------------------------
+# Avro codec properties: encode/decode round-trip over arbitrary records
+# (no Spark involvement — the pure codec must be total on its domain)
+# --------------------------------------------------------------------------
+
+_avro_schema = {
+    "type": "record", "name": "prop", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "d", "type": ["null", "double"]},
+        {"name": "b", "type": "boolean"},
+        {"name": "raw", "type": "bytes"},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": "string"}},
+    ]}
+
+_avro_rows = st.lists(st.fixed_dictionaries({
+    "id": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    "s": st.one_of(st.none(), st.text(max_size=40)),
+    "d": st.one_of(st.none(),
+                   st.floats(allow_nan=False, allow_infinity=False)),
+    "b": st.booleans(),
+    "raw": st.binary(max_size=32),
+    "arr": st.lists(st.integers(-(2**31), 2**31 - 1), max_size=8),
+    "m": st.dictionaries(st.text(min_size=1, max_size=8),
+                         st.text(max_size=10), max_size=4),
+}), max_size=25)
+
+
+@given(rows=_avro_rows, codec=st.sampled_from(["null", "deflate"]))
+@settings(max_examples=40, deadline=None)
+def test_avro_container_roundtrip_property(tmp_path_factory, rows, codec):
+    import json
+
+    from beam_spark.sources import avro as A
+
+    p = str(tmp_path_factory.mktemp("avro") / "prop.avro")
+    A.write_container(p, json.dumps(_avro_schema), rows, codec=codec,
+                      block_records=7)  # force multi-block containers
+    _, out = A.read_container(open(p, "rb").read())
+    assert out == rows
+
+
+@given(n=st.integers(min_value=-(2**63), max_value=2**63 - 1))
+@settings(max_examples=200, deadline=None)
+def test_avro_zigzag_long_roundtrip(n):
+    import io
+
+    from beam_spark.sources import avro as A
+
+    b = io.BytesIO()
+    A.write_long(b, n)
+    got, pos = A.read_long(memoryview(b.getvalue()), 0)
+    assert got == n and pos == len(b.getvalue())
