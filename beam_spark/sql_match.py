@@ -23,7 +23,9 @@ where ITEM is ``SYM``, an alternation group ``(S1|S2|...)``, or
 ``PERMUTE(S1, S2, ...)`` (all symbols once each in any order, orderings
 tried lexicographically with backtracking), each with an optional
 quantifier ``+ * ?`` or bounded ``{n} {n,} {n,m}``, and <cond> is
-``SYM.col <op> literal`` (op: = <> != >= <= > <). Symbols without a
+``SYM.col <op> (literal | PREV(SYM.col[, k]) | NEXT(SYM.col[, k]))``
+(op: = <> != >= <= > <; PREV/NEXT are row navigation over the sorted
+partition and compile to vectorized column shifts). Symbols without a
 DEFINE match any row (SQL standard). CLASSIFIER() returns the pattern
 variable of the last row of the match (ONE ROW PER MATCH semantics).
 DEFINE conditions compile to BOTH a row predicate and a vectorized
@@ -45,7 +47,9 @@ _MR_RE = re.compile(
     re.IGNORECASE | re.DOTALL)
 
 _COND_RE = re.compile(
-    r"(\w+)\.(\w+)\s*(=|<>|!=|>=|<=|>|<)\s*('(?:[^'])*'|-?[0-9.]+)")
+    r"(\w+)\.(\w+)\s*(=|<>|!=|>=|<=|>|<)\s*"
+    r"(?:(PREV|NEXT)\s*\(\s*(\w+)\.(\w+)\s*(?:,\s*(\d+)\s*)?\)"
+    r"|('(?:[^'])*'|-?[0-9.]+))", re.IGNORECASE)
 
 _MEASURE_RE = re.compile(
     r"(FIRST|LAST|COUNT|SUM)\s*\(\s*(\w+)\.(\w+)\s*\)\s+AS\s+(\w+)"
@@ -116,19 +120,32 @@ def parse_pattern(pattern_sql: str) -> list[tuple]:
 
 
 def _compile_condition(cond_sql: str, symbol: str) -> Define:
-    """AND-chain of SYM.col op literal comparisons -> Define with a row
-    predicate and a vectorized whole-column mask (NULL never matches, in
-    both paths — including vectorized ``<>``)."""
+    """AND-chain of ``SYM.col op (literal | PREV(SYM.col[,k]) |
+    NEXT(SYM.col[,k]))`` comparisons -> Define with a vectorized
+    whole-column mask (NULL never matches, in both paths — including
+    vectorized ``<>``). PREV/NEXT are ROW navigation over the sorted
+    partition (SQL standard): they compile to column shifts, so even
+    cross-row predicates stay fully vectorized; the first/last rows
+    (shift out of range) never match, per the standard's undefined-PREV
+    semantics. A plain row predicate is also provided when no navigation
+    is used (API parity)."""
     parts = re.split(r"\s+AND\s+", cond_sql.strip(), flags=re.IGNORECASE)
     tests = []
+    has_nav = False
     for part in parts:
         m = _COND_RE.fullmatch(part.strip())
         if not m:
             raise ValueError(f"unsupported DEFINE condition: {part!r}")
-        sym, col, op, lit = m.groups()
+        sym, col, op, nav, nav_sym, nav_col, nav_k, lit = m.groups()
         if sym.upper() != symbol.upper():
             raise ValueError(f"DEFINE for {symbol} references {sym}")
-        tests.append((col, op, _parse_literal(lit)))
+        if nav:
+            has_nav = True
+            k = int(nav_k) if nav_k else 1
+            shift = k if nav.upper() == "PREV" else -k
+            tests.append((col, op, ("__nav__", nav_col, shift)))
+        else:
+            tests.append((col, op, _parse_literal(lit)))
 
     def predicate(row: dict) -> bool:
         for col, op, val in tests:
@@ -142,11 +159,18 @@ def _compile_condition(cond_sql: str, symbol: str) -> Define:
         m = np.ones(len(pdf), dtype=bool)
         for col, op, val in tests:
             s = pdf[col]
-            cmp = _VEC_OPS[op](s, val)
-            m &= s.notna().to_numpy() & np.asarray(cmp.fillna(False), dtype=bool)
+            if isinstance(val, tuple) and val[0] == "__nav__":
+                rhs = pdf[val[1]].shift(val[2])
+                cmp = _VEC_OPS[op](s, rhs)
+                m &= (s.notna().to_numpy() & rhs.notna().to_numpy()
+                      & np.asarray(cmp.fillna(False), dtype=bool))
+            else:
+                cmp = _VEC_OPS[op](s, val)
+                m &= s.notna().to_numpy() & np.asarray(cmp.fillna(False),
+                                                      dtype=bool)
         return m
 
-    return Define(row_fn=predicate, mask_fn=mask)
+    return Define(row_fn=None if has_nav else predicate, mask_fn=mask)
 
 
 def _compile_measure(agg: str, sym: str, col: str):

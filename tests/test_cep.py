@@ -151,3 +151,50 @@ def test_sql_permute_end_to_end(spark):
            out.sparkSession.table("__mr_ev").select("u", "s_i", "v_i")
            .collect()}
     assert got == {(1, 1, 2), (2, 2, 1)}
+
+
+def test_sql_prev_navigation_falling_runs(spark):
+    """PREV() in DEFINE (row navigation -> vectorized shift): maximal
+    strictly-decreasing runs A B+ with B AS B.v < PREV(B.v)."""
+    from beam_spark.sql import SqlTransform
+
+    vals = [5, 4, 3, 7, 6, 2, 8]
+    rows_in = [{"k": 1, "i": i, "v": v} for i, v in enumerate(vals)]
+    pc = Pipeline(spark) | Create(rows_in)
+    out = ({"s": pc} | SqlTransform("""
+        SELECT k, top_v, bottom_v, n_down
+        FROM s MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY i
+          MEASURES FIRST(A.v) AS top_v,
+                   LAST(B.v) AS bottom_v,
+                   COUNT(B.v) AS n_down
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+)
+          DEFINE B AS B.v < PREV(B.v)
+        )""")).df
+    got = sorted((r["top_v"], r["bottom_v"], r["n_down"])
+                 for r in out.collect())
+    assert got == [(5, 3, 2), (7, 2, 2)]
+
+
+def test_sql_next_navigation(spark):
+    """NEXT() navigation: rows immediately followed by a larger value."""
+    from beam_spark.sql import SqlTransform
+
+    vals = [1, 3, 2, 5]
+    rows_in = [{"k": 1, "i": i, "v": v} for i, v in enumerate(vals)]
+    pc = Pipeline(spark) | Create(rows_in)
+    out = ({"s": pc} | SqlTransform("""
+        SELECT k, rising_v
+        FROM s MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY i
+          MEASURES FIRST(R.v) AS rising_v
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (R)
+          DEFINE R AS R.v < NEXT(R.v)
+        )""")).df
+    got = sorted(r["rising_v"] for r in out.collect())
+    # 1<3, 2<5 rise; 3>2 and 5 (no next) don't
+    assert got == [1, 2]
