@@ -88,11 +88,59 @@ class Permute:
         self.symbols = tuple(symbols)
 
 
+class Seq:
+    """Nested sequence group ``(A B+)`` usable as a quantified pattern
+    item: one repetition matches the sub-pattern once. Items are
+    (symbol/group, quantifier) pairs like the top-level pattern."""
+
+    __slots__ = ("items",)
+
+    def __init__(self, *items):
+        if not items:
+            raise ValueError("empty sequence group")
+        self.items = _normalize_pattern(items)
+
+
+class Alt:
+    """Sequence-level alternation ``((A B)|C)``: branches tried in
+    order, full backtracking. Each branch is a symbol, a Seq, or any
+    other group node."""
+
+    __slots__ = ("branches",)
+
+    def __init__(self, *branches):
+        if len(branches) < 2:
+            raise ValueError("alternation needs at least two branches")
+        self.branches = tuple(branches)
+
+
+def _symbols_of(node):
+    """All symbols reachable from a pattern node (for DEFINE checks and
+    the lead-mask superset)."""
+    if isinstance(node, Permute):
+        return set(node.symbols)
+    if isinstance(node, Seq):
+        out = set()
+        for sub, _, _ in node.items:
+            out |= _symbols_of(sub)
+        return out
+    if isinstance(node, Alt):
+        out = set()
+        for b in node.branches:
+            out |= _symbols_of(b if isinstance(b, (Permute, Seq, Alt))
+                               else (b,) if isinstance(b, str) else b)
+        return out
+    if isinstance(node, str):
+        return {node}
+    return set(node)  # tuple of alternative symbols
+
+
 def _normalize_pattern(pattern: Sequence[tuple]) -> list[tuple]:
-    """-> [(alts_tuple_or_Permute, min, max_or_None), ...]"""
+    """-> [(node, min, max_or_None), ...] where node is a tuple of
+    alternative symbols, a Permute, a Seq, or an Alt."""
     out = []
     for sym, quant in pattern:
-        if isinstance(sym, Permute):
+        if isinstance(sym, (Permute, Seq, Alt)):
             alts = sym
         else:
             alts = tuple(sym) if isinstance(sym, (tuple, list)) else (sym,)
@@ -129,23 +177,54 @@ def _match_at(masks: Mapping, n_rows: int, start: int,
                 return s
         return None
 
-    def expand_item(alts, mn, mx, pos):
-        """Yield (labels, end_pos) candidates in preference order."""
-        if isinstance(alts, Permute):
-            syms = alts.symbols
-            k = len(syms)
+    def seq_matches(items, p):
+        """Yield (labels, end) for matching a sub-pattern item list."""
+        if not items:
+            yield [], p
+            return
+        node, mn, mx = items[0]
+        rest = items[1:]
+        for l1, p1 in expand_item(node, mn, mx, p):
+            for l2, p2 in seq_matches(rest, p1):
+                yield l1 + l2, p2
 
+    def one_rep(node, p):
+        """Yield (labels, end) for ONE repetition of a group node."""
+        if isinstance(node, Seq):
+            yield from seq_matches(node.items, p)
+        elif isinstance(node, Alt):
+            for b in node.branches:
+                if isinstance(b, (Seq, Alt, Permute)):
+                    yield from one_rep(b, p)
+                else:
+                    alts = (b,) if isinstance(b, str) else tuple(b)
+                    if p < n_rows:
+                        s = label(alts, p)
+                        if s is not None:
+                            yield [s], p + 1
+        elif isinstance(node, Permute):
+            syms = node.symbols
+            k = len(syms)
+            if p + k <= n_rows:
+                for perm in itertools.permutations(syms):
+                    if all(masks[s][p + i] for i, s in enumerate(perm)):
+                        yield list(perm), p + k
+
+    def expand_item(alts, mn, mx, pos):
+        """Yield (labels, end_pos) candidates in preference order
+        (greedy: more repetitions first; ordering/branch backtracking
+        within each count)."""
+        if isinstance(alts, (Permute, Seq, Alt)):
             def reps(p, depth):
                 if depth == 0:
                     yield [], p
                     return
-                if p + k > n_rows:
-                    return
-                for perm in itertools.permutations(syms):
-                    if all(masks[s][p + i] for i, s in enumerate(perm)):
-                        for rest, end in reps(p + k, depth - 1):
-                            yield list(perm) + rest, end
-            max_reps = mx if mx is not None else (n_rows - pos) // k
+                for l1, p1 in one_rep(alts, p):
+                    if p1 == p:  # zero-width rep: no progress, stop
+                        continue
+                    for rest, end in reps(p1, depth - 1):
+                        yield l1 + rest, end
+            max_reps = mx if mx is not None else max(n_rows - pos, mn)
             for count in range(max_reps, mn - 1, -1):
                 yield from reps(pos, count)
             return
@@ -205,8 +284,7 @@ class MatchRecognize(PTransform):
                               if isinstance(output_schema, dict) else output_schema)
         self.after_match = after_match
         needed = {s for alts, _, _ in self.pattern
-                  for s in (alts.symbols if isinstance(alts, Permute)
-                            else alts)}
+                  for s in _symbols_of(alts)}
         missing = needed - set(self.defines)
         if missing:
             raise ValueError(f"pattern symbols without DEFINE: {sorted(missing)}")
@@ -230,8 +308,7 @@ class MatchRecognize(PTransform):
         # candidates instead of probing every row.
         lead_items = []
         for alts, mn, _ in pattern:
-            lead_items.append(alts.symbols if isinstance(alts, Permute)
-                              else alts)
+            lead_items.append(tuple(_symbols_of(alts)))
             if mn > 0:
                 break
 

@@ -56,12 +56,7 @@ _MEASURE_RE = re.compile(
     r"|(CLASSIFIER)\s*\(\s*\)\s+AS\s+(\w+)",
     re.IGNORECASE)
 
-# ITEM: PERMUTE(A,B,...), (A|B|...) group, or symbol — each with an
-# optional quantifier.
-_PAT_ITEM_RE = re.compile(
-    r"(?:(?P<perm>PERMUTE)\s*\(\s*(?P<psyms>\w+(?:\s*,\s*\w+)+)\s*\)"
-    r"|\(\s*(?P<alts>\w+(?:\s*\|\s*\w+)+)\s*\)|(?P<sym>\w+))"
-    r"(?P<q>[+*?]|\{\s*\d+\s*(?:,\s*\d*\s*)?\})?", re.IGNORECASE)
+_PAT_TOKEN_RE = re.compile(r"\w+|[()|,+*?]|\{[^}]*\}")
 
 _ROW_OPS = {"=": lambda a, b: a == b, "<>": lambda a, b: a != b,
             "!=": lambda a, b: a != b, ">=": lambda a, b: a >= b,
@@ -92,30 +87,89 @@ def _parse_quantifier(q: str | None):
 
 
 def parse_pattern(pattern_sql: str) -> list[tuple]:
-    """'V+ (C|P) A{2,4} PERMUTE(X, Y)' ->
-    [('V','+'), (('C','P'),'1'), ('A',(2,4)), (Permute('X','Y'),'1')]"""
-    from beam_spark.operators.cep import Permute
+    """Recursive-descent PATTERN parser.
 
-    out = []
-    pos = 0
-    s = pattern_sql.strip()
-    while pos < len(s):
-        if s[pos].isspace():
-            pos += 1
-            continue
-        m = _PAT_ITEM_RE.match(s, pos)
-        if not m:
-            raise ValueError(f"unparseable PATTERN at: {s[pos:]!r}")
-        if m.group("perm"):
-            sym = Permute(*[a.strip() for a in m.group("psyms").split(",")])
-        elif m.group("alts"):
-            sym = tuple(a.strip() for a in m.group("alts").split("|"))
-        else:
-            sym = m.group("sym")
-        out.append((sym, _parse_quantifier(m.group("q"))))
-        pos = m.end()
-    if not out:
+    'V+ (C|P) A{2,4} PERMUTE(X, Y) ((A B)|C)+' ->
+    [('V','+'), (('C','P'),'1'), ('A',(2,4)), (Permute('X','Y'),'1'),
+     (Alt(Seq(('A','1'),('B','1')), 'C'), '+')]
+
+    Grouping rules: a parenthesized single sequence is a Seq group; an
+    alternation whose branches are ALL bare symbols stays a symbol
+    tuple (row-level alternation); otherwise it is a sequence-level Alt.
+    """
+    from beam_spark.operators.cep import Alt, Permute, Seq
+
+    toks = _PAT_TOKEN_RE.findall(pattern_sql)
+    if not toks:
         raise ValueError("empty PATTERN")
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def take():
+        t = peek()
+        pos[0] += 1
+        return t
+
+    def expect(t):
+        got = take()
+        if got != t:
+            raise ValueError(f"PATTERN: expected {t!r}, got {got!r}")
+
+    def parse_quant_opt():
+        t = peek()
+        if t in ("+", "*", "?") or (t and t.startswith("{")):
+            return _parse_quantifier(take())
+        return "1"
+
+    def parse_primary():
+        t = take()
+        if t is None:
+            raise ValueError("PATTERN: unexpected end")
+        if t.upper() == "PERMUTE" and peek() == "(":
+            take()
+            syms = [take()]
+            while peek() == ",":
+                take()
+                syms.append(take())
+            expect(")")
+            return Permute(*syms)
+        if t == "(":
+            branches = [parse_seq()]
+            while peek() == "|":
+                take()
+                branches.append(parse_seq())
+            expect(")")
+            nodes = []
+            for b in branches:
+                if len(b) == 1 and b[0][1] == "1" \
+                        and isinstance(b[0][0], str):
+                    nodes.append(b[0][0])  # bare symbol branch
+                else:
+                    nodes.append(Seq(*b))
+            if len(nodes) == 1:
+                n = nodes[0]
+                return n if isinstance(n, str) else n
+            if all(isinstance(n, str) for n in nodes):
+                return tuple(nodes)  # row-level alternation fast path
+            return Alt(*nodes)
+        if re.fullmatch(r"\w+", t):
+            return t
+        raise ValueError(f"PATTERN: unexpected token {t!r}")
+
+    def parse_seq():
+        items = []
+        while peek() is not None and peek() not in (")", "|"):
+            node = parse_primary()
+            items.append((node, parse_quant_opt()))
+        if not items:
+            raise ValueError("PATTERN: empty sequence")
+        return items
+
+    out = parse_seq()
+    if peek() is not None:
+        raise ValueError(f"PATTERN: trailing tokens from {peek()!r}")
     return out
 
 
@@ -228,12 +282,10 @@ def try_rewrite_match_recognize(sql: str, spark, tables: dict) -> str:
         dm = re.match(r"(\w+)\s+AS\s+(.*)", part.strip(),
                       re.IGNORECASE | re.DOTALL)
         defines[dm.group(1)] = _compile_condition(dm.group(2), dm.group(1))
-    from beam_spark.operators.cep import Permute
+    from beam_spark.operators.cep import _symbols_of
 
     for sym, _ in pattern:  # undefined symbols match any row
-        syms = (sym.symbols if isinstance(sym, Permute)
-                else sym if isinstance(sym, tuple) else (sym,))
-        for s in syms:
+        for s in _symbols_of(sym):
             defines.setdefault(s, Define(
                 row_fn=lambda r: True,
                 mask_fn=lambda pdf: __import__("numpy").ones(len(pdf), bool)))

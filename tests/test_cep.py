@@ -198,3 +198,69 @@ def test_sql_next_navigation(spark):
     got = sorted(r["rising_v"] for r in out.collect())
     # 1<3, 2<5 rise; 3>2 and 5 (no next) don't
     assert got == [1, 2]
+
+
+def test_matcher_nested_groups():
+    from beam_spark.operators.cep import Alt, Seq
+
+    # (A B)+ : repeated two-row sequence
+    m = match(rows("a", "b", "a", "b", "c"), 0,
+              [(Seq(("A", "1"), ("B", "1")), "+"), ("C", "1")])
+    assert [(s, i) for s, i in m] == [
+        ("A", 0), ("B", 1), ("A", 2), ("B", 3), ("C", 4)]
+    # greedy backtracks reps: (A B)+ then A B? No — use ((A B)|C)+ D-like
+    # shape: Alt of a sequence branch and a symbol branch
+    alt = Alt(Seq(("A", "1"), ("B", "1")), "C")
+    m = match(rows("a", "b", "c", "a", "b"), 0, [(alt, "+")])
+    assert [(s, i) for s, i in m] == [
+        ("A", 0), ("B", 1), ("C", 2), ("A", 3), ("B", 4)]
+    # branch order preference: sequence branch first
+    m = match(rows("a", "b"), 0, [(alt, "1")])
+    assert [(s, i) for s, i in m] == [("A", 0), ("B", 1)]
+    # quantified nested group backtracks count for the tail item
+    m = match(rows("a", "b", "a", "b"), 0,
+              [(Seq(("A", "1"), ("B", "1")), "+"),
+               ("A", "1"), ("B", "1")])
+    assert [(s, i) for s, i in m] == [
+        ("A", 0), ("B", 1), ("A", 2), ("B", 3)]  # 1 rep + tail
+
+
+def test_sql_nested_group_pattern(spark):
+    """((V C)|P)+ through the SQL parser: view-click pairs or purchases,
+    repeated."""
+    from beam_spark.sql import SqlTransform
+
+    seqs = ["view", "click", "purchase", "view", "click", "error"]
+    rows_in = [{"k": 1, "i": i, "t": t} for i, t in enumerate(seqs)]
+    pc = Pipeline(spark) | Create(rows_in)
+    out = ({"s": pc} | SqlTransform("""
+        SELECT k, n_v, n_p
+        FROM s MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY i
+          MEASURES COUNT(V.i) AS n_v, COUNT(P.i) AS n_p
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (((V C)|P)+)
+          DEFINE V AS V.t = 'view', C AS C.t = 'click',
+                 P AS P.t = 'purchase'
+        )""")).df
+    got = [(r["n_v"], r["n_p"]) for r in out.collect()]
+    # one maximal match: (V C) P (V C) -> 2 view-click pairs + 1 purchase
+    assert got == [(2, 1)]
+
+
+def test_sql_parse_pattern_shapes():
+    from beam_spark.operators.cep import Alt, Permute, Seq
+    from beam_spark.sql_match import parse_pattern
+
+    p = parse_pattern("V+ (C|P) A{2,4} PERMUTE(X, Y) ((A B)|C)+")
+    assert p[0] == ("V", "+")
+    assert p[1] == (("C", "P"), "1")
+    assert p[2] == ("A", (2, 4))
+    assert isinstance(p[3][0], Permute) and p[3][0].symbols == ("X", "Y")
+    assert isinstance(p[4][0], Alt) and p[4][1] == "+"
+    br = p[4][0].branches
+    assert isinstance(br[0], Seq) and br[1] == "C"
+    # single parenthesized sequence is a Seq group
+    q = parse_pattern("(A B){2}")
+    assert isinstance(q[0][0], Seq) and q[0][1] == (2, 2)
