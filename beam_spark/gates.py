@@ -454,12 +454,14 @@ def q_text_suite(spark, sf_dir):
     fp = (table(spark, sf_dir, "documents") | Fingerprint()).df.select(
         "doc_id", "content_md5")
     groups = _component("q_text_fingerprint_exact_dedup")(spark, sf_dir)
+    pii = _component("q_text_pii_redaction")(spark, sf_dir).select(
+        "doc_id", "pii_count")
     return (a.join(b, on="doc_id").join(c, on="doc_id").join(fp, on="doc_id")
-            .join(groups, on="content_md5")
+            .join(groups, on="content_md5").join(pii, on="doc_id")
             .select("doc_id", "n_tokens_ws", "n_tokens_bpe", "n_chars_calc",
                     "mean_token_len", "n_tokens", "punct_ratio", "alpha_ratio",
                     "stopword_ratio", "lang_pred", "content_md5", "keep_id",
-                    "dup_count"))
+                    "dup_count", "pii_count"))
 
 
 _TEXT_SUITE_SQL = f"""
@@ -468,15 +470,18 @@ b AS ({_component_sql("q_text_quality_scores")}),
 c AS ({_component_sql("q_text_langid")}),
 fp AS (SELECT doc_id, md5(array_to_string({_TOK}, ' ')) AS content_md5
        FROM documents),
-g AS ({_component_sql("q_text_fingerprint_exact_dedup")})
+g AS ({_component_sql("q_text_fingerprint_exact_dedup")}),
+pii AS ({_component_sql("q_text_pii_redaction")})
 SELECT a.doc_id, a.n_tokens_ws, a.n_tokens_bpe, a.n_chars_calc,
        a.mean_token_len, b.n_tokens, b.punct_ratio, b.alpha_ratio,
-       b.stopword_ratio, c.lang_pred, fp.content_md5, g.keep_id, g.dup_count
+       b.stopword_ratio, c.lang_pred, fp.content_md5, g.keep_id, g.dup_count,
+       pii.pii_count
 FROM a
 JOIN b ON a.doc_id = b.doc_id
 JOIN c ON a.doc_id = c.doc_id
 JOIN fp ON a.doc_id = fp.doc_id
 JOIN g ON fp.content_md5 = g.content_md5
+JOIN pii ON a.doc_id = pii.doc_id
 """
 
 
@@ -487,10 +492,13 @@ def q_dedup_pairs_suite(spark, sf_dir):
     ngram = _component("q_dedup_ngram_jaccard_pairs")(spark, sf_dir)
     minhash = _component("q_dedup_minhash_lsh_pairs")(spark, sf_dir)
     emb = _component("q_embedding_neardup_pairs")(spark, sf_dir)
+    cc = _component("q_dedup_connected_components")(spark, sf_dir)
     return _union([
         ngram.selectExpr("'ngram' AS method", "i", "j", "jaccard AS sim"),
         minhash.selectExpr("'minhash_lsh' AS method", "i", "j", "jaccard AS sim"),
         emb.selectExpr("'embedding' AS method", "i", "j", "cosine AS sim"),
+        cc.selectExpr("'cc' AS method", "node AS i", "comp AS j",
+                      "CAST(0 AS DOUBLE) AS sim"),
     ])
 
 
@@ -504,6 +512,9 @@ SELECT 'minhash_lsh' AS method, i, j, jaccard AS sim FROM jp
 UNION ALL
 {_wrap("'embedding' AS method, i, j, cosine AS sim",
        _component_sql("q_embedding_neardup_pairs"))}
+UNION ALL
+{_wrap("'cc' AS method, node AS i, comp AS j, CAST(0 AS DOUBLE) AS sim",
+       _component_sql("q_dedup_connected_components"))}
 """
 
 

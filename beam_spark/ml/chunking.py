@@ -63,3 +63,44 @@ class ChunkText(PTransform):
             F.col("c.chunk_text").alias("chunk_text"),
             F.col("c.n_chunk_tokens").alias("n_chunk_tokens"))
         return pcoll.with_df(out.filter(F.col("n_chunk_tokens") > 0))
+
+
+class PackSequences(PTransform):
+    """Sequence packing for training batches: assign documents to
+    fixed-token-budget bins. Contiguous greedy packing — docs are taken
+    in ``order_col`` order within each ``shard_col`` group and a new bin
+    starts when the running token total would pass ``token_budget``
+    (the standard streaming-packing approximation: each bin holds the
+    docs whose *preceding* cumulative total fits, so a bin can overflow
+    by at most one document — exact bin-packing is NP-hard and
+    non-deterministic under parallelism).
+
+    Scale: one window over (shard, order) — shards parallelize the sort
+    (one global window would serialize); bin ids are (shard, local_bin)
+    pairs, exposed as ``pack_bin``. Deterministic: pure function of the
+    input ordering.
+    """
+
+    def __init__(self, token_budget: int, n_tokens_col: str = "n_tokens",
+                 order_col: str = "doc_id", shard_col=None, label=None):
+        super().__init__(label)
+        self.budget = int(token_budget)
+        self.n_tokens_col, self.order_col = n_tokens_col, order_col
+        self.shard_col = shard_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        w = (Window.partitionBy(self.shard_col) if self.shard_col
+             else Window.partitionBy())
+        w = (w.orderBy(self.order_col)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        cum = F.sum(self.n_tokens_col).over(w)
+        out = (pcoll.df
+               .withColumn("__cum_tokens", cum)
+               .withColumn("pack_bin",
+                           F.floor((F.col("__cum_tokens")
+                                    - F.col(self.n_tokens_col))
+                                   / F.lit(self.budget)))
+               .drop("__cum_tokens"))
+        return pcoll.with_df(out)

@@ -188,3 +188,34 @@ def array_agg(col: str, sort: bool = True) -> Column:
     """ArrayAgg.java."""
     arr = F.collect_list(col)
     return F.sort_array(arr) if sort else arr
+
+
+class HashSample(PTransform):
+    """Deterministic stratified sampling — the language/domain-balanced
+    subsample step of a training-data pipeline. Unlike rand()-based
+    Sample, the keep decision is a pure function of the row id
+    (md5-derived uniform in [0,1)), so runs are reproducible across
+    engines, retries, and partitionings, and the SAME sample is drawn
+    at any scale factor. Zero-shuffle map-side filter.
+
+    ``fractions``: {stratum_value: keep_fraction}; ``default`` applies
+    to unlisted strata.
+    """
+
+    def __init__(self, stratify_col: str, fractions: dict,
+                 id_col: str, default: float = 0.0, label=None):
+        super().__init__(label)
+        self.stratify_col, self.id_col = stratify_col, id_col
+        self.fractions, self.default = dict(fractions), default
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        # uniform hash bucket in [0, 10000): first 8 md5 hex chars
+        bucket = F.expr(
+            f"CAST(conv(substring(md5(CAST({self.id_col} AS STRING)), 1, 8),"
+            f" 16, 10) AS BIGINT) % 10000")
+        frac = F.lit(self.default)
+        for stratum, f_keep in self.fractions.items():
+            frac = F.when(F.col(self.stratify_col) == stratum,
+                          F.lit(f_keep)).otherwise(frac)
+        out = pcoll.df.filter(bucket < (frac * 10000).cast("bigint"))
+        return pcoll.with_df(out)

@@ -302,3 +302,66 @@ class SimHashNearDupPairs(PTransform):
                .filter(F.col("hamming") <= self.max_distance)
                .select("i", "j", "hamming"))
         return pcoll.with_df(out)
+
+
+class ConnectedComponents(PTransform):
+    """Transitive closure of a near-dup pair graph -> (node, component)
+    with component = MIN node id in each component. The missing last
+    stage of a real dedup pipeline: MinHash/SimHash emit PAIRS, but
+    keep/drop decisions need CLUSTERS (A~B, B~C => {A,B,C} keep one).
+
+    Input: a PCollection of (i, j) edges (i < j convention not
+    required). Output: one row per node appearing in any edge.
+
+    Spark design: distributed min-label propagation — labels(node) =
+    min(label over undirected neighbors + self), iterated to a fixed
+    point. Each round is one shuffle (join on node + min-agg); the
+    driver only sees a changed-row COUNT per round. Near-dup components
+    are near-cliques (tiny diameter), so rounds ~ 2-3 in practice;
+    ``max_iterations`` bounds adversarial chains, and every round
+    persists its labels and unpersists the previous lineage so the plan
+    doesn't grow (the alternating large-star/small-star formulation
+    drops in here if log-diameter convergence is ever needed — same
+    per-round shape).
+
+    Beam parity: the reference has no built-in CC; Beam users hand-roll
+    this same loop over GroupByKey (or export to a graph engine).
+    """
+
+    def __init__(self, i_col: str = "i", j_col: str = "j",
+                 max_iterations: int = 25, label=None):
+        super().__init__(label)
+        self.i_col, self.j_col = i_col, j_col
+        self.max_iterations = max_iterations
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        ic, jc = self.i_col, self.j_col
+        edges = pcoll.df.select(F.col(ic).alias("a"), F.col(jc).alias("b"))
+        # undirected: both directions, once
+        sym = edges.union(edges.select(F.col("b").alias("a"),
+                                       F.col("a").alias("b"))).distinct()
+        sym.persist()
+        labels = (sym.select(F.col("a").alias("node"))
+                  .distinct()
+                  .withColumn("comp", F.col("node")))
+        labels.persist()
+        labels.count()
+
+        for _ in range(self.max_iterations):
+            # candidate labels: own + min over neighbors' current labels
+            neighbor = (sym.join(labels, sym["b"] == labels["node"])
+                        .select(sym["a"].alias("node"),
+                                F.col("comp")))
+            new_labels = (labels.select("node", "comp").union(neighbor)
+                          .groupBy("node")
+                          .agg(F.min("comp").alias("comp")))
+            new_labels.persist()
+            changed = (new_labels.join(labels.withColumnRenamed(
+                "comp", "old_comp"), on="node")
+                .filter(F.col("comp") != F.col("old_comp")).count())
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        sym.unpersist()
+        return pcoll.with_df(labels.select("node", "comp"))

@@ -209,3 +209,47 @@ class TokenCount(PTransform):
               .withColumn("n_tokens_ws", token_count_whitespace(self.text_col))
               .withColumn("n_tokens_bpe", token_count_bpe(self.text_col)))
         return pcoll.with_df(df)
+
+
+class PiiRedact(PTransform):
+    """Training-data PII scrubbing: replace emails, phone numbers, IPv4
+    addresses, SSN-shaped ids, and credit-card-shaped numbers with typed
+    placeholder tokens (``<EMAIL>``, ``<PHONE>``, ...). Pure JVM
+    ``regexp_replace`` chain — zero-shuffle map-side scan, trivially
+    scale-safe; the pattern set is the standard rule-based first pass a
+    production pipeline runs before model-based PII detection (which
+    would ride RunInference on the same column).
+
+    Adds ``<text_col>_redacted`` plus ``pii_count`` (total replacements,
+    cheap quality signal for filtering).
+    """
+
+    # order matters: cards before phones (overlapping digit runs)
+    PATTERNS = [
+        ("<EMAIL>", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+        ("<CARD>", r"\b(?:\d[ -]?){13,16}\b"),
+        ("<SSN>", r"\b\d{3}-\d{2}-\d{4}\b"),
+        ("<PHONE>", r"\b(?:\+?\d{1,2}[ .-]?)?(?:\(\d{3}\)|\d{3})"
+                    r"[ .-]?\d{3}[ .-]?\d{4}\b"),
+        ("<IP>", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ]
+
+    def __init__(self, text_col: str = "text", label=None):
+        super().__init__(label)
+        self.text_col = text_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        c = self.text_col
+        red = F.col(c)
+        for token, pat in self.PATTERNS:
+            red = F.regexp_replace(red, pat, token)
+        df = pcoll.df.withColumn(f"{c}_redacted", red)
+        # count of placeholders inserted = how much PII the doc carried
+        n = F.lit(0)
+        for token, _ in self.PATTERNS:
+            n = n + (F.length(f"{c}_redacted")
+                     - F.length(F.replace(F.col(f"{c}_redacted"),
+                                          F.lit(token), F.lit("")))) \
+                / F.length(F.lit(token))
+        df = df.withColumn("pii_count", n.cast("long"))
+        return pcoll.with_df(df)

@@ -833,6 +833,142 @@ SELECT i, j, jaccard FROM p WHERE jaccard >= 0.6
 """
 
 
+def _pii_component_sql() -> str:
+    """Oracle built from PiiRedact.PATTERNS itself (one source of truth):
+    inject deterministic PII into each doc, then the same regexp_replace
+    chain + placeholder-count arithmetic in DuckDB ('g' = replace-all,
+    Spark's default)."""
+    from beam_spark.operators.text import PiiRedact
+
+    inj = ("text || ' Contact: user' || CAST(doc_id AS VARCHAR) || "
+           "'@example.com, call (555) 123-4567, card "
+           "4111 1111 1111 1111, ssn 123-45-6789, ip 10.0.0.' || "
+           "CAST(doc_id % 200 + 1 AS VARCHAR)")
+    red = inj
+    for token, pat in PiiRedact.PATTERNS:
+        pat_sql = pat.replace("'", "''")
+        red = f"regexp_replace({red}, '{pat_sql}', '{token}', 'g')"
+    count = " + ".join(
+        f"(length(red) - length(replace(red, '{t}', ''))) / {len(t)}"
+        for t, _ in PiiRedact.PATTERNS)
+    return (f"WITH r AS (SELECT doc_id, {red} AS red FROM documents) "
+            f"SELECT doc_id, red AS text_redacted, "
+            f"CAST({count} AS BIGINT) AS pii_count FROM r")
+
+
+@query("q_text_pii_redaction", _pii_component_sql())
+def q_pii_redaction(spark, sf_dir):
+    """Rule-based PII scrubbing (emails/cards/SSNs/phones/IPs ->
+    placeholder tokens) over documents with deterministic injected PII —
+    a zero-shuffle regexp_replace chain; pii_count is the per-doc
+    replacement total used as a filter signal."""
+    from beam_spark.operators.text import PiiRedact
+
+    inj = ("text || ' Contact: user' || CAST(doc_id AS STRING) || "
+           "'@example.com, call (555) 123-4567, card "
+           "4111 1111 1111 1111, ssn 123-45-6789, ip 10.0.0.' || "
+           "CAST(doc_id % 200 + 1 AS STRING)")
+    docs = table(spark, sf_dir, "documents").df.selectExpr(
+        "doc_id", f"{inj} AS text")
+    out = PCollection(docs) | PiiRedact()
+    return out.df.select("doc_id",
+                         F.col("text_redacted"),
+                         "pii_count")
+
+
+_HASH_SAMPLE_ORACLE = """
+WITH d AS (SELECT doc_id, 'd' || CAST(doc_id % 3 AS VARCHAR) AS domain
+           FROM documents)
+SELECT doc_id, domain FROM d
+WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 10000
+      < CAST((CASE domain WHEN 'd0' THEN 0.5 WHEN 'd1' THEN 0.25
+              ELSE 0.1 END) * 10000 AS BIGINT)
+"""
+
+
+@query("q_ml_hash_sample_stratified", _HASH_SAMPLE_ORACLE)
+def q_hash_sample(spark, sf_dir):
+    """Deterministic stratified sampling (domain-balanced subsample):
+    keep fraction per stratum decided by an md5-derived uniform hash of
+    the row id — reproducible across engines/retries/partitionings,
+    zero-shuffle. Strata here are a synthetic 3-way domain split."""
+    from beam_spark.operators.combiners import HashSample
+
+    docs = table(spark, sf_dir, "documents").df.selectExpr(
+        "doc_id", "'d' || CAST(doc_id % 3 AS STRING) AS domain")
+    out = (PCollection(docs)
+           | HashSample("domain", {"d0": 0.5, "d1": 0.25},
+                        id_col="doc_id", default=0.1))
+    return out.df.select("doc_id", "domain")
+
+
+_PACK_ORACLE = f"""
+WITH t AS (SELECT doc_id, doc_id % 4 AS shard,
+                  len({_TOK}) AS n_tokens_ws
+           FROM documents)
+SELECT doc_id, shard, n_tokens_ws,
+       CAST(floor((SUM(n_tokens_ws) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens_ws) / 2000.0) AS BIGINT) AS pack_bin
+FROM t
+"""
+
+
+@query("q_ml_pack_sequences", _PACK_ORACLE)
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing: documents -> fixed-token-budget training bins
+    (contiguous greedy packing per shard; shards parallelize the window
+    sort). pack_bin is a pure function of (shard, doc order), so the
+    assignment is reproducible at any parallelism."""
+    from beam_spark.ml.chunking import PackSequences
+    from beam_spark.operators.text import token_count_whitespace
+
+    docs = (table(spark, sf_dir, "documents").df
+            .selectExpr("doc_id", "doc_id % 4 AS shard", "text")
+            .withColumn("n_tokens_ws", token_count_whitespace("text"))
+            .drop("text"))
+    out = (PCollection(docs)
+           | PackSequences(2000, n_tokens_col="n_tokens_ws",
+                           order_col="doc_id", shard_col="shard"))
+    return out.df.select("doc_id", "shard", "n_tokens_ws", "pack_bin")
+
+
+_CC_ORACLE = f"""
+WITH RECURSIVE
+sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+        CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(a.shingles) > 0 AND len(b.shingles) > 0),
+e AS (SELECT i, j FROM p WHERE jaccard >= 0.6),
+sym AS (SELECT i AS a, j AS b FROM e UNION SELECT j, i FROM e),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS node, MIN(b) AS comp FROM reach GROUP BY a
+"""
+
+
+@query("q_dedup_connected_components", _CC_ORACLE)
+def q_dedup_cc(spark, sf_dir):
+    """Near-dup CLUSTERS, not just pairs: MinHash+LSH candidate pairs ->
+    distributed min-label propagation to a fixed point (the keep/drop
+    unit of a real dedup pipeline: one survivor per component). Oracle:
+    recursive-CTE transitive closure over the exact-jaccard edge set —
+    valid because the LSH candidate set equals the exact edge set on
+    this data (same argument as q_dedup_minhash_lsh_pairs)."""
+    from beam_spark.operators.dedupe import ConnectedComponents, MinHashLSH
+
+    pairs = (table(spark, sf_dir, "documents")
+             | MinHashLSH(bands=16, rows_per_band=8, threshold=0.6))
+    return (pairs | ConnectedComponents()).df
+
+
 @query("q_dedup_ngram_jaccard_pairs", _JACCARD_ORACLE)
 def q_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram-shingle jaccard near-dup pairs (threshold 0.6):

@@ -163,3 +163,20 @@ def test_streaming_llm_dataprep_composition(spark):
     assert kept_docs == {1, 4}, kept_docs
     assert all(len(r["embedding"]) == 16 for r in rows)
     assert any(r["chunk_index"] == 1 for r in rows)  # overlap chunking ran
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """Label propagation: chains (transitivity), separate clusters, and
+    min-id canonical labels."""
+    from beam_spark.operators.dedupe import ConnectedComponents
+    from beam_spark.pcollection import Pipeline
+    from beam_spark.operators.core import Create
+
+    edges = [{"i": 1, "j": 2}, {"i": 2, "j": 3}, {"i": 3, "j": 4},  # chain
+             {"i": 10, "j": 11},                                     # pair
+             {"i": 20, "j": 22}, {"i": 21, "j": 22}]                 # star
+    out = (Pipeline(spark) | Create(edges) | ConnectedComponents()).df
+    got = {(r["node"], r["comp"]) for r in out.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
+                   (10, 10), (11, 10),
+                   (20, 20), (21, 20), (22, 20)}
