@@ -50,6 +50,9 @@ from beam_spark.types import schema_from_dict
 SKIP_PAST_LAST_ROW = "past_last_row"
 SKIP_TO_NEXT_ROW = "to_next_row"
 
+ONE_ROW_PER_MATCH = "one"
+ALL_ROWS_PER_MATCH = "all"
+
 
 class Define:
     """Symbol predicate: a row-level callable and/or a vectorized mask.
@@ -265,15 +268,26 @@ class MatchRecognize(PTransform):
         ``vectorized()`` / Define for whole-column evaluation.
       measures: {'out_col': lambda match_rows: value} where match_rows is
         the list of (symbol, row_dict) pairs in match order.
-      output_schema: schema of partition_by cols + measure cols.
+      output_schema: schema of partition_by cols + measure cols (ONE ROW
+        PER MATCH) — in ALL ROWS PER MATCH mode pass the INPUT columns
+        you want forwarded plus the measure cols; ``__classifier`` and
+        ``__match_number`` are appended automatically.
       after_match: SKIP_PAST_LAST_ROW (default) or SKIP_TO_NEXT_ROW.
+      rows_per_match: ONE_ROW_PER_MATCH (default, SQL standard default)
+        or ALL_ROWS_PER_MATCH — one output row per MATCHED INPUT ROW,
+        carrying that row's columns, the row's pattern variable
+        (``__classifier``), the 1-based ``__match_number``, and the
+        measures evaluated over the whole match (FINAL semantics —
+        RUNNING measures are a documented divergence).
     """
 
     def __init__(self, partition_by, order_by,
                  pattern: Sequence[tuple], defines: Mapping,
                  measures: Mapping[str, Callable], output_schema,
-                 after_match: str = SKIP_PAST_LAST_ROW, label=None):
+                 after_match: str = SKIP_PAST_LAST_ROW,
+                 rows_per_match: str = ONE_ROW_PER_MATCH, label=None):
         super().__init__(label)
+        self.rows_per_match = rows_per_match
         self.partition_by = ([partition_by] if isinstance(partition_by, str)
                              else list(partition_by))
         self.order_by = [order_by] if isinstance(order_by, str) else list(order_by)
@@ -297,9 +311,14 @@ class MatchRecognize(PTransform):
         order_by = self.order_by
         pattern, defines = self.pattern, self.defines
         measures, after_match = self.measures, self.after_match
+        all_rows = self.rows_per_match == ALL_ROWS_PER_MATCH
         schema = self.output_schema
         if isinstance(schema, str):
             schema = T._parse_datatype_string(schema)
+        if all_rows and "__classifier" not in schema.fieldNames():
+            schema = (schema
+                      .add("__classifier", T.StringType())
+                      .add("__match_number", T.LongType()))
         out_cols = [f.name for f in schema.fields]
 
         # Superset of feasible match starts: union of the alternative
@@ -365,10 +384,16 @@ class MatchRecognize(PTransform):
                 m = _match_at(masks, n, pos, pattern)
                 if m:
                     match_rows = [(sym, row(idx)) for sym, idx in m]
-                    rec = dict(key_rec)
-                    for name, fn in measures.items():
-                        rec[name] = fn(match_rows)
-                    out.append(rec)
+                    meas = {name: fn(match_rows)
+                            for name, fn in measures.items()}
+                    if all_rows:
+                        match_no = (out[-1]["__match_number"]
+                                    if out else 0) + 1
+                        for sym, r in match_rows:
+                            out.append({**r, **meas, "__classifier": sym,
+                                        "__match_number": match_no})
+                    else:
+                        out.append({**key_rec, **meas})
                     i = m[-1][1] + 1 if after_match == SKIP_PAST_LAST_ROW \
                         else pos + 1
                 else:

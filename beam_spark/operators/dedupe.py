@@ -345,8 +345,7 @@ class ConnectedComponents(PTransform):
                   .distinct()
                   .withColumn("comp", F.col("node")))
         labels.persist()
-        labels.count()
-
+        prev_sum = labels.agg(F.sum("comp")).first()[0]  # materializes too
         for _ in range(self.max_iterations):
             # candidate labels: own + min over neighbors' current labels
             neighbor = (sym.join(labels, sym["b"] == labels["node"])
@@ -356,12 +355,14 @@ class ConnectedComponents(PTransform):
                           .groupBy("node")
                           .agg(F.min("comp").alias("comp")))
             new_labels.persist()
-            changed = (new_labels.join(labels.withColumnRenamed(
-                "comp", "old_comp"), on="node")
-                .filter(F.col("comp") != F.col("old_comp")).count())
+            # convergence via one agg, no join: labels only ever
+            # DECREASE under min-propagation, so an unchanged sum means
+            # a fixed point
+            new_sum = new_labels.agg(F.sum("comp")).first()[0]
             labels.unpersist()
             labels = new_labels
-            if changed == 0:
+            if new_sum == prev_sum:
                 break
+            prev_sum = new_sum
         sym.unpersist()
         return pcoll.with_df(labels.select("node", "comp"))

@@ -966,6 +966,9 @@ def q_dedup_cc(spark, sf_dir):
 
     pairs = (table(spark, sf_dir, "documents")
              | MinHashLSH(bands=16, rows_per_band=8, threshold=0.6))
+    # persist the candidate edges: the CC loop iterates over them (and
+    # would otherwise recompute the whole minhash lineage every round)
+    pairs.df.persist()
     return (pairs | ConnectedComponents()).df
 
 

@@ -274,6 +274,7 @@ def try_rewrite_match_recognize(sql: str, spark, tables: dict) -> str:
     define_sql = re.search(r"DEFINE\s+(.*)$", body,
                            re.IGNORECASE | re.DOTALL).group(1).strip()
     skip_to_next = bool(re.search(r"SKIP\s+TO\s+NEXT\s+ROW", body, re.IGNORECASE))
+    all_rows = bool(re.search(r"ALL\s+ROWS\s+PER\s+MATCH", body, re.IGNORECASE))
 
     pattern = parse_pattern(pattern_sql)
 
@@ -304,19 +305,30 @@ def try_rewrite_match_recognize(sql: str, spark, tables: dict) -> str:
              else col_types.get(col, "string"))
         measure_types.append(f"{out_name} {t}")
 
-    from beam_spark.operators.cep import (SKIP_PAST_LAST_ROW,
+    from beam_spark.operators.cep import (ALL_ROWS_PER_MATCH,
+                                          ONE_ROW_PER_MATCH,
+                                          SKIP_PAST_LAST_ROW,
                                           SKIP_TO_NEXT_ROW, MatchRecognize)
     from beam_spark.pcollection import PCollection
 
-    key_types = ", ".join(f"{k} {col_types[k]}" for k in partition_by)
-    out_schema = f"{key_types}, {', '.join(measure_types)}"
+    if all_rows:
+        # SQL standard: ALL ROWS PER MATCH forwards every input column,
+        # one output row per matched row, plus measures (FINAL) and the
+        # per-row CLASSIFIER / MATCH_NUMBER (appended by the operator)
+        base_types = ", ".join(f"{c} {t}" for c, t in col_types.items())
+    else:
+        base_types = ", ".join(f"{k} {col_types[k]}" for k in partition_by)
+    out_schema = f"{base_types}, {', '.join(measure_types)}" \
+        if measure_types else base_types
     result = (PCollection(df)
               | MatchRecognize(
                   partition_by=partition_by, order_by=order_by,
                   pattern=pattern, defines=defines, measures=measures,
                   output_schema=out_schema,
                   after_match=SKIP_TO_NEXT_ROW if skip_to_next
-                  else SKIP_PAST_LAST_ROW)).df
+                  else SKIP_PAST_LAST_ROW,
+                  rows_per_match=ALL_ROWS_PER_MATCH if all_rows
+                  else ONE_ROW_PER_MATCH)).df
     view = f"__mr_{table_name}"
     result.createOrReplaceTempView(view)
     return sql[: m.start()] + f"FROM {view}" + (f" AS {alias}" if alias else "") \

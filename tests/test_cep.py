@@ -264,3 +264,44 @@ def test_sql_parse_pattern_shapes():
     # single parenthesized sequence is a Seq group
     q = parse_pattern("(A B){2}")
     assert isinstance(q[0][0], Seq) and q[0][1] == (2, 2)
+
+
+def test_all_rows_per_match_api(spark):
+    from beam_spark.operators.cep import ALL_ROWS_PER_MATCH
+
+    data = rows("a", "a", "b", "c", "a", "b")
+    out = (Pipeline(spark) | Create(data)
+           | MatchRecognize(
+               partition_by="k", order_by="i",
+               pattern=[("A", "+"), ("B", "1")], defines=DEF,
+               measures={"n_a": lambda m: sum(1 for s, _ in m if s == "A")},
+               output_schema="k long, i long, t string, n_a long",
+               rows_per_match=ALL_ROWS_PER_MATCH)).collect()
+    got = [(r["i"], r["t"], r["__classifier"], r["__match_number"], r["n_a"])
+           for r in sorted(out, key=lambda r: r["i"])]
+    # match 1: rows 0,1 (A,A) + row 2 (B); match 2: rows 4 (A) + 5 (B)
+    assert got == [(0, "a", "A", 1, 2), (1, "a", "A", 1, 2),
+                   (2, "b", "B", 1, 2),
+                   (4, "a", "A", 2, 1), (5, "b", "B", 2, 1)]
+
+
+def test_all_rows_per_match_sql(spark):
+    from beam_spark.sql import SqlTransform
+
+    data = rows("a", "b", "a", "b")
+    pc = Pipeline(spark) | Create(data)
+    out = ({"s": pc} | SqlTransform("""
+        SELECT i, t, __classifier, __match_number
+        FROM s MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY i
+          MEASURES COUNT(A.i) AS n_a
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B)
+          DEFINE A AS A.t = 'a', B AS B.t = 'b'
+        )""")).df
+    got = sorted((r["i"], r["t"], r["__classifier"], r["__match_number"])
+                 for r in out.collect())
+    assert got == [(0, "a", "A", 1), (1, "b", "B", 1),
+                   (2, "a", "A", 2), (3, "b", "B", 2)]
