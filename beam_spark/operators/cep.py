@@ -165,6 +165,23 @@ def _normalize_pattern(pattern: Sequence[tuple]) -> list[tuple]:
     return out
 
 
+def _node_min_rows(node) -> int:
+    if isinstance(node, Permute):
+        return len(node.symbols)
+    if isinstance(node, Seq):
+        return _pattern_min_rows(node.items)
+    if isinstance(node, Alt):
+        return min(_node_min_rows(b) if isinstance(b, (Permute, Seq, Alt))
+                   else 1 for b in node.branches)
+    return 1
+
+
+def _pattern_min_rows(pattern: list) -> int:
+    """Minimum rows a (normalized) pattern can consume — the phantom-row
+    budget for streaming frontier decisions."""
+    return sum(mn * _node_min_rows(node) for node, mn, _ in pattern)
+
+
 def _match_at(masks: Mapping, n_rows: int, start: int,
               pattern: list) -> list | None:
     """Greedy backtracking matcher over precomputed masks; returns list
@@ -307,6 +324,9 @@ class MatchRecognize(PTransform):
         import numpy as np
         import pandas as pd
 
+        if not pcoll.is_bounded:
+            return self._expand_streaming(pcoll)
+
         keys = self.partition_by
         order_by = self.order_by
         pattern, defines = self.pattern, self.defines
@@ -405,3 +425,132 @@ class MatchRecognize(PTransform):
 
         out = (pcoll.df.groupBy(*keys).applyInPandas(apply, schema=schema))
         return pcoll.with_df(out)
+
+    def _expand_streaming(self, pcoll: PCollection) -> PCollection:
+        """Streaming CEP (Beam SQL MATCH_RECOGNIZE on unbounded input /
+        Flink CEP shape): per-key row buffer in state, matcher runs over
+        the watermark-mature prefix each micro-batch.
+
+        Emission rule (no retraction needed): the matcher runs over the
+        mature rows extended by ``min_rows(pattern)`` PHANTOM rows on
+        which every symbol matches — the stand-in for rows that may
+        still arrive. A match that stays entirely within the mature
+        region is definitive (greedy quantifiers would have consumed the
+        all-matching phantoms if extension were possible) and is
+        emitted; a match touching a phantom is inconclusive and held; no
+        match even WITH phantoms is a definitive failure and the start
+        row is released. Consumed rows (SKIP PAST LAST ROW) drop from
+        state; the held tail is bounded by the watermark's out-of-order
+        allowance plus one open match span. A key whose pattern stays
+        open holds its rows until more data arrives (event-time
+        semantics: absence is unprovable without a WITHIN bound — same
+        as Beam's NFA).
+
+        Requires ``ONE_ROW_PER_MATCH`` and a watermarked event-time
+        column as the first ``order_by`` key.
+        """
+        import pickle
+
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        if self.rows_per_match != ONE_ROW_PER_MATCH:
+            raise ValueError("streaming MATCH_RECOGNIZE supports "
+                             "ONE ROW PER MATCH only")
+        keys = self.partition_by
+        order_by = self.order_by
+        ts_col = pcoll.ts_col or order_by[0]
+        pattern, defines = self.pattern, self.defines
+        measures, after_match = self.measures, self.after_match
+        schema = self.output_schema
+        if isinstance(schema, str):
+            schema = T._parse_datatype_string(schema)
+        out_cols = [f.name for f in schema.fields]
+
+        def masks_for(pdf):
+            n = len(pdf)
+            records = None
+            ms = {}
+            for sym, d in defines.items():
+                mask_fn = d.mask_fn if isinstance(d, Define) else None
+                if mask_fn is not None:
+                    ms[sym] = np.asarray(mask_fn(pdf)).astype(bool)
+                else:
+                    fn = d.row_fn if isinstance(d, Define) else d
+                    if records is None:
+                        records = pdf.to_dict(orient="records")
+                    ms[sym] = np.fromiter((bool(fn(r)) for r in records),
+                                          dtype=bool, count=n)
+            return ms
+
+        def fn(key, pdfs, state):
+            buf = (pickle.loads(bytes(state.get[0])) if state.exists
+                   else [])
+            for pdf in pdfs:
+                buf.extend(pdf.to_dict(orient="records"))
+            if not buf:
+                if state.exists:
+                    state.remove()
+                return
+            buf.sort(key=lambda r: tuple(r[c] for c in order_by))
+            wm = state.getCurrentWatermarkMs()
+
+            def ts_ms(r):
+                v = r[ts_col]
+                return int(pd.Timestamp(v).value // 1_000_000)
+
+            n_mature = 0
+            while n_mature < len(buf) and ts_ms(buf[n_mature]) <= wm:
+                n_mature += 1
+
+            out = []
+            consumed = 0
+            if n_mature > 0:
+                mature = pd.DataFrame(buf[:n_mature])
+                phantoms = max(1, _pattern_min_rows(pattern))
+                masks = {
+                    sym: np.concatenate(
+                        [mask, np.ones(phantoms, dtype=bool)])
+                    for sym, mask in masks_for(mature).items()}
+                n_ext = n_mature + phantoms
+                i = 0
+                while i < n_mature:
+                    m = _match_at(masks, n_ext, i, pattern)
+                    if m is None:
+                        # not even all-matching future rows can complete
+                        # a match here: release the row
+                        consumed = max(consumed, i + 1)
+                        i += 1
+                    elif m[-1][1] < n_mature:
+                        # fully mature: definitive (greedy would have
+                        # taken phantoms if extension were possible)
+                        rec = dict(zip(keys, key))
+                        match_rows = [(sym, buf[idx]) for sym, idx in m]
+                        for name, fmeas in measures.items():
+                            rec[name] = fmeas(match_rows)
+                        out.append(rec)
+                        nxt = (m[-1][1] + 1
+                               if after_match == SKIP_PAST_LAST_ROW
+                               else i + 1)
+                        consumed = max(consumed, nxt)
+                        i = nxt
+                    else:
+                        break  # touches phantoms: hold until decidable
+            buf = buf[consumed:]
+            if buf:
+                state.update((pickle.dumps(buf),))
+                # wake when the watermark passes the earliest held row
+                state.setTimeoutTimestamp(max(ts_ms(buf[0]) + 1, wm + 1))
+            else:
+                state.remove()
+            if out:
+                yield pd.DataFrame(out, columns=out_cols)
+
+        out_df = (pcoll.df.groupBy(*keys)
+                  .applyInPandasWithState(
+                      fn, outputStructType=schema,
+                      stateStructType="blob binary",
+                      outputMode="append",
+                      timeoutConf=GroupStateTimeout.EventTimeTimeout))
+        return pcoll.with_df(out_df)

@@ -305,3 +305,64 @@ def test_all_rows_per_match_sql(spark):
                  for r in out.collect())
     assert got == [(0, "a", "A", 1), (1, "b", "B", 1),
                    (2, "a", "A", 2), (3, "b", "B", 2)]
+
+
+def test_streaming_match_recognize(spark):
+    """Streaming CEP: V+ P per user with watermark-gated emission — a
+    match is emitted only once the watermark proves no earlier-ordered
+    row can extend or break it (phantom-row frontier rule)."""
+    from beam_spark.operators.cep import vectorized
+    from beam_spark.streaming import (TestStream, WithWatermark,
+                                      WriteStreamToMemory)
+
+    ts = TestStream(spark, "t timestamp, u long, typ string, v long")
+    # batch 0: two views (held — everything immature)
+    ts.add_elements([{"t": "2024-01-01 00:00:10", "u": 1, "typ": "view", "v": 1},
+                     {"t": "2024-01-01 00:00:20", "u": 1, "typ": "view", "v": 2}])
+    # batch 1: the purchase (still not emittable: P at the frontier)
+    ts.add_elements([{"t": "2024-01-01 00:00:30", "u": 1, "typ": "purchase",
+                      "v": 9}])
+    # batches 2-3: unrelated later rows advance the watermark past the
+    # purchase so the V+ P match becomes definitive
+    ts.add_elements([{"t": "2024-01-01 00:01:00", "u": 1, "typ": "error",
+                      "v": 0}])
+    ts.add_elements([{"t": "2024-01-01 00:02:00", "u": 1, "typ": "error",
+                      "v": 0}])
+
+    pc = (ts.stream()
+          | WithWatermark("t", "10 seconds")
+          | MatchRecognize(
+              partition_by="u", order_by=["t"],
+              pattern=[("V", "+"), ("P", "1")],
+              defines={"V": vectorized(lambda pdf: pdf["typ"] == "view"),
+                       "P": vectorized(lambda pdf: pdf["typ"] == "purchase")},
+              measures={"n_views": lambda m: sum(1 for s, _ in m if s == "V"),
+                        "purchase_v": lambda m: m[-1][1]["v"]},
+              output_schema="u long, n_views long, purchase_v long")
+          | WriteStreamToMemory(output_mode="append"))
+    rows = [(r["u"], r["n_views"], r["purchase_v"]) for r in pc.collect()]
+    assert rows == [(1, 2, 9)]
+
+
+def test_streaming_match_recognize_no_premature_emission(spark):
+    """A pattern whose tail is still extendable at the frontier must NOT
+    emit: greedy V+ with no terminator stays held."""
+    from beam_spark.operators.cep import vectorized
+    from beam_spark.streaming import (TestStream, WithWatermark,
+                                      WriteStreamToMemory)
+
+    ts = TestStream(spark, "t timestamp, u long, typ string")
+    ts.add_elements([{"t": "2024-01-01 00:00:10", "u": 1, "typ": "view"}])
+    ts.add_elements([{"t": "2024-01-01 00:01:00", "u": 1, "typ": "view"}])
+
+    pc = (ts.stream()
+          | WithWatermark("t", "10 seconds")
+          | MatchRecognize(
+              partition_by="u", order_by=["t"],
+              pattern=[("V", "+")],
+              defines={"V": vectorized(lambda pdf: pdf["typ"] == "view")},
+              measures={"n": lambda m: len(m)},
+              output_schema="u long, n long")
+          | WriteStreamToMemory(output_mode="append"))
+    # both views could still be extended by future views: nothing emits
+    assert pc.collect() == []
