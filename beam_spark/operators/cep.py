@@ -302,9 +302,22 @@ class MatchRecognize(PTransform):
                  pattern: Sequence[tuple], defines: Mapping,
                  measures: Mapping[str, Callable], output_schema,
                  after_match: str = SKIP_PAST_LAST_ROW,
-                 rows_per_match: str = ONE_ROW_PER_MATCH, label=None):
+                 rows_per_match: str = ONE_ROW_PER_MATCH,
+                 within: str | None = None, label=None):
+        """``within``: optional time bound ("10 minutes") — a match must
+        complete within this interval of its first row (Flink/Calcite
+        ``PATTERN (...) WITHIN``). On streams this BOUNDS STATE: once
+        the watermark passes start_ts + within, the decision at that
+        start is definitive (no phantoms) and the rows drain; without
+        it, an open pattern can hold its key's rows indefinitely."""
         super().__init__(label)
         self.rows_per_match = rows_per_match
+        if within is not None:
+            from beam_spark.streaming.core import _parse_delay
+
+            self.within_ms = int(_parse_delay(within).total_seconds() * 1000)
+        else:
+            self.within_ms = None
         self.partition_by = ([partition_by] if isinstance(partition_by, str)
                              else list(partition_by))
         self.order_by = [order_by] if isinstance(order_by, str) else list(order_by)
@@ -332,6 +345,7 @@ class MatchRecognize(PTransform):
         pattern, defines = self.pattern, self.defines
         measures, after_match = self.measures, self.after_match
         all_rows = self.rows_per_match == ALL_ROWS_PER_MATCH
+        within_ms = self.within_ms
         schema = self.output_schema
         if isinstance(schema, str):
             schema = T._parse_datatype_string(schema)
@@ -392,6 +406,9 @@ class MatchRecognize(PTransform):
                 return {c: v[i] for c, v in cols.items()}
 
             key_rec = {k: cols[k][0] for k in keys}
+            if within_ms is not None:
+                ts_arr = (pdf[order_by[0]].astype("int64")
+                          // 1_000_000).to_numpy()
             out = []
             i = 0
             si = 0
@@ -401,7 +418,14 @@ class MatchRecognize(PTransform):
                 if pos < i:
                     si += 1
                     continue
-                m = _match_at(masks, n, pos, pattern)
+                if within_ms is not None:
+                    # WITHIN bound: candidate rows are those inside the
+                    # start row's time window
+                    j_end = int(np.searchsorted(
+                        ts_arr, ts_arr[pos] + within_ms, side="right"))
+                    m = _match_at(masks, j_end, pos, pattern)
+                else:
+                    m = _match_at(masks, n, pos, pattern)
                 if m:
                     match_rows = [(sym, row(idx)) for sym, idx in m]
                     meas = {name: fn(match_rows)
@@ -463,6 +487,7 @@ class MatchRecognize(PTransform):
         ts_col = pcoll.ts_col or order_by[0]
         pattern, defines = self.pattern, self.defines
         measures, after_match = self.measures, self.after_match
+        within_ms = self.within_ms
         schema = self.output_schema
         if isinstance(schema, str):
             schema = T._parse_datatype_string(schema)
@@ -514,17 +539,33 @@ class MatchRecognize(PTransform):
                         [mask, np.ones(phantoms, dtype=bool)])
                     for sym, mask in masks_for(mature).items()}
                 n_ext = n_mature + phantoms
+                ts_arr = np.array([ts_ms(r) for r in buf[:n_mature]],
+                                  dtype=np.int64)
                 i = 0
                 while i < n_mature:
-                    m = _match_at(masks, n_ext, i, pattern)
+                    closed = False
+                    if within_ms is not None:
+                        limit = ts_arr[i] + within_ms
+                        if wm >= limit:
+                            # window over: decide on rows <= limit only,
+                            # no phantoms — definitive either way
+                            closed = True
+                            j_end = int(np.searchsorted(ts_arr, limit,
+                                                        side="right"))
+                            m = _match_at(masks, j_end, i, pattern)
+                        else:
+                            m = _match_at(masks, n_ext, i, pattern)
+                    else:
+                        m = _match_at(masks, n_ext, i, pattern)
                     if m is None:
                         # not even all-matching future rows can complete
                         # a match here: release the row
                         consumed = max(consumed, i + 1)
                         i += 1
-                    elif m[-1][1] < n_mature:
-                        # fully mature: definitive (greedy would have
-                        # taken phantoms if extension were possible)
+                    elif closed or m[-1][1] < n_mature:
+                        # definitive: window closed, or fully mature
+                        # (greedy would have taken phantoms if extension
+                        # were possible)
                         rec = dict(zip(keys, key))
                         match_rows = [(sym, buf[idx]) for sym, idx in m]
                         for name, fmeas in measures.items():
@@ -540,8 +581,13 @@ class MatchRecognize(PTransform):
             buf = buf[consumed:]
             if buf:
                 state.update((pickle.dumps(buf),))
-                # wake when the watermark passes the earliest held row
-                state.setTimeoutTimestamp(max(ts_ms(buf[0]) + 1, wm + 1))
+                # wake when the watermark passes the earliest held row —
+                # or, with WITHIN, when its window closes (guaranteed
+                # drain even if the key never sees another row)
+                target = ts_ms(buf[0]) + 1
+                if within_ms is not None:
+                    target = ts_ms(buf[0]) + within_ms + 1
+                state.setTimeoutTimestamp(max(target, wm + 1))
             else:
                 state.remove()
             if out:

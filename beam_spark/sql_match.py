@@ -269,8 +269,14 @@ def try_rewrite_match_recognize(sql: str, spark, tables: dict) -> str:
     order_by = [c.strip() for c in
                 clause("ORDER BY", "MEASURES").split(",")]
     measures_sql = clause("MEASURES", "AFTER MATCH|PATTERN")
-    pattern_sql = re.search(r"PATTERN\s*\((.*?)\)\s*(?:DEFINE|AFTER)", body,
-                            re.IGNORECASE | re.DOTALL).group(1)
+    pattern_sql = re.search(
+        r"PATTERN\s*\((.*?)\)\s*(?:WITHIN|DEFINE|AFTER)", body,
+        re.IGNORECASE | re.DOTALL).group(1)
+    within_m = re.search(
+        r"WITHIN\s+INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)S?",
+        body, re.IGNORECASE)
+    within = (f"{within_m.group(1)} {within_m.group(2).lower()}s"
+              if within_m else None)
     define_sql = re.search(r"DEFINE\s+(.*)$", body,
                            re.IGNORECASE | re.DOTALL).group(1).strip()
     skip_to_next = bool(re.search(r"SKIP\s+TO\s+NEXT\s+ROW", body, re.IGNORECASE))
@@ -328,7 +334,8 @@ def try_rewrite_match_recognize(sql: str, spark, tables: dict) -> str:
                   after_match=SKIP_TO_NEXT_ROW if skip_to_next
                   else SKIP_PAST_LAST_ROW,
                   rows_per_match=ALL_ROWS_PER_MATCH if all_rows
-                  else ONE_ROW_PER_MATCH)).df
+                  else ONE_ROW_PER_MATCH,
+                  within=within)).df
     view = f"__mr_{table_name}"
     result.createOrReplaceTempView(view)
     return sql[: m.start()] + f"FROM {view}" + (f" AS {alias}" if alias else "") \

@@ -366,3 +366,91 @@ def test_streaming_match_recognize_no_premature_emission(spark):
           | WriteStreamToMemory(output_mode="append"))
     # both views could still be extended by future views: nothing emits
     assert pc.collect() == []
+
+
+def test_within_batch(spark):
+    """WITHIN bound (batch): V+ P only matches when the purchase lands
+    inside the start row's window."""
+    import datetime
+
+    def t(sec):
+        return datetime.datetime(2024, 1, 1, 0, 0, sec)
+
+    data = [
+        # fast funnel: match under 30s
+        {"u": 1, "ts": t(0), "typ": "view"}, {"u": 1, "ts": t(10), "typ": "view"},
+        {"u": 1, "ts": t(20), "typ": "purchase"},
+        # slow funnel: purchase 50s after first view -> outside WITHIN 30s
+        {"u": 2, "ts": t(0), "typ": "view"},
+        {"u": 2, "ts": t(50), "typ": "purchase"},
+    ]
+    out = (Pipeline(spark) | Create(data)
+           | MatchRecognize(
+               partition_by="u", order_by=["ts"],
+               pattern=[("V", "+"), ("P", "1")],
+               defines={"V": lambda r: r["typ"] == "view",
+                        "P": lambda r: r["typ"] == "purchase"},
+               measures={"n": lambda m: len(m)},
+               output_schema="u long, n long",
+               within="30 seconds")).collect()
+    assert [(r["u"], r["n"]) for r in out] == [(1, 3)]
+
+
+def test_within_streaming_drains_state(spark):
+    """WITHIN on streams: a held pattern whose window closes resolves
+    definitively — the incomplete funnel emits nothing AND completed
+    funnels emit without further same-key traffic."""
+    from beam_spark.operators.cep import vectorized
+    from beam_spark.streaming import (TestStream, WithWatermark,
+                                      WriteStreamToMemory)
+
+    ts = TestStream(spark, "t timestamp, u long, typ string")
+    # user 1: view then purchase within 30s; user 2: view only
+    ts.add_elements([{"t": "2024-01-01 00:00:05", "u": 1, "typ": "view"},
+                     {"t": "2024-01-01 00:00:06", "u": 2, "typ": "view"}])
+    ts.add_elements([{"t": "2024-01-01 00:00:20", "u": 1, "typ": "purchase"}])
+    # advance the watermark far past both windows (other key)
+    ts.add_elements([{"t": "2024-01-01 00:05:00", "u": 99, "typ": "error"}])
+    ts.add_elements([{"t": "2024-01-01 00:06:00", "u": 99, "typ": "error"}])
+
+    pc = (ts.stream()
+          | WithWatermark("t", "10 seconds")
+          | MatchRecognize(
+              partition_by="u", order_by=["t"],
+              pattern=[("V", "+"), ("P", "1")],
+              defines={"V": vectorized(lambda pdf: pdf["typ"] == "view"),
+                       "P": vectorized(lambda pdf: pdf["typ"] == "purchase")},
+              measures={"n": lambda m: len(m)},
+              output_schema="u long, n long",
+              within="30 seconds")
+          | WriteStreamToMemory(output_mode="append"))
+    rows = sorted((r["u"], r["n"]) for r in pc.collect())
+    # user 1 emits (window closed, match found); user 2's window closed
+    # with no completion -> released, nothing emitted
+    assert rows == [(1, 2)]
+
+
+def test_within_sql_clause(spark):
+    import datetime
+
+    def t(sec):
+        return datetime.datetime(2024, 1, 1, 0, 0, sec)
+
+    from beam_spark.sql import SqlTransform
+
+    data = [{"u": 1, "ts": t(0), "typ": "view"},
+            {"u": 1, "ts": t(20), "typ": "purchase"},
+            {"u": 2, "ts": t(0), "typ": "view"},
+            {"u": 2, "ts": t(50), "typ": "purchase"}]
+    pc = Pipeline(spark) | Create(data)
+    out = ({"s": pc} | SqlTransform("""
+        SELECT u, n
+        FROM s MATCH_RECOGNIZE (
+          PARTITION BY u
+          ORDER BY ts
+          MEASURES COUNT(P.ts) AS n
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (V P) WITHIN INTERVAL '30' SECOND
+          DEFINE V AS V.typ = 'view', P AS P.typ = 'purchase'
+        )""")).df
+    assert [(r["u"], r["n"]) for r in out.collect()] == [(1, 1)]
