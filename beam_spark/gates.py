@@ -689,6 +689,7 @@ def q_cep_suite(spark, sf_dir):
     sql = _component("q_cep_sql_match_recognize")(spark, sf_dir)
     alt_api = _component("q_cep_alternation_api")(spark, sf_dir)
     alt_sql = _component("q_cep_alternation_sql")(spark, sf_dir)
+    win = _component("q_cep_within_funnel")(spark, sf_dir)
     alt_sel = ["user_id", "end_event_id AS pev", "n_views",
                "end_value AS purchase_value"]
     return _union([
@@ -698,6 +699,8 @@ def q_cep_suite(spark, sf_dir):
                        "n_views", "purchase_value"),
         alt_api.selectExpr("'altapi-' || sym AS variant", *alt_sel),
         alt_sql.selectExpr("'altsql-' || sym AS variant", *alt_sel),
+        win.selectExpr("'within' AS variant", "user_id", "pev", "n_views",
+                       "purchase_value"),
     ])
 
 
@@ -713,6 +716,8 @@ _CEP_SQL = "\nUNION ALL\n".join([
           _component_sql("q_cep_alternation_api")),
     _wrap(f"'altsql-' || sym AS variant, {_CEP_ALT_SEL}",
           _component_sql("q_cep_alternation_sql")),
+    _wrap("'within' AS variant, user_id, pev, n_views, purchase_value",
+          _component_sql("q_cep_within_funnel")),
 ])
 
 

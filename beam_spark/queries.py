@@ -2454,6 +2454,62 @@ WHERE event_type IN ('click', 'purchase')
 """
 
 
+_CEP_WITHIN_ORACLE = """
+WITH e AS (SELECT user_id, event_id, event_type, value, ts,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+m AS (SELECT *,
+             max(CASE WHEN event_type <> 'view' THEN rn END)
+               OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_nonview
+      FROM e),
+p AS (SELECT user_id, event_id, value, ts, rn,
+             COALESCE(prev_nonview, 0) + 1 AS run_start_rn
+      FROM m WHERE event_type = 'purchase')
+SELECT p.user_id, p.event_id AS pev,
+       (SELECT COUNT(*) FROM e v
+        WHERE v.user_id = p.user_id
+          AND v.rn BETWEEN p.run_start_rn AND p.rn - 1
+          AND epoch_ms(p.ts) - epoch_ms(v.ts) <= 120000) AS n_views,
+       p.value AS purchase_value
+FROM p
+WHERE (SELECT COUNT(*) FROM e v
+       WHERE v.user_id = p.user_id
+         AND v.rn BETWEEN p.run_start_rn AND p.rn - 1
+         AND epoch_ms(p.ts) - epoch_ms(v.ts) <= 120000) >= 1
+"""
+
+
+@query("q_cep_within_funnel", _CEP_WITHIN_ORACLE)
+def q_cep_within(spark, sf_dir):
+    """Time-boxed funnel: V+ P WITHIN 2 minutes. The matcher slides the
+    start forward past views too old for the window, so n_views counts
+    only the suffix of the view run inside [p.ts - 2min, p.ts] — the
+    oracle reproduces that with a correlated run-suffix count."""
+    from beam_spark.operators.cep import MatchRecognize, vectorized
+
+    out = (
+        table(spark, sf_dir, "events")
+        | MatchRecognize(
+            partition_by="user_id",
+            order_by=["ts", "event_id"],
+            pattern=[("V", "+"), ("P", "1")],
+            defines={"V": vectorized(lambda pdf: pdf["event_type"] == "view"),
+                     "P": vectorized(
+                         lambda pdf: pdf["event_type"] == "purchase")},
+            measures={
+                "pev": lambda m: m[-1][1]["event_id"],
+                "n_views": lambda m: sum(1 for s, _ in m if s == "V"),
+                "purchase_value": lambda m: m[-1][1]["value"],
+            },
+            output_schema=("user_id long, pev long, n_views long, "
+                           "purchase_value double"),
+            within="2 minutes"))
+    return out.df
+
+
 @query("q_cep_alternation_api", _CEP_ALT_ORACLE)
 def q_cep_alt_api(spark, sf_dir):
     """Alternation + bounded quantifier through the python API: pattern
