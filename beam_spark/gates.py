@@ -679,12 +679,13 @@ def _runinference_sql() -> str:
 # CEP suite (API + SQL MATCH_RECOGNIZE variants)
 # --------------------------------------------------------------------------
 def q_cep_suite(spark, sf_dir):
-    """Four CEP variants in one gate: the V+ P pattern through BOTH
+    """Five CEP variants in one gate: the V+ P pattern through BOTH
     front-ends (python MatchRecognize API with the purchase event id
-    measure; parsed SQL MATCH_RECOGNIZE clause), plus the alternation +
-    bounded-quantifier pattern V{2,} (C|P) through both front-ends —
-    the matched alternative is folded into the variant tag so label
-    assignment is value-checked."""
+    measure; parsed SQL MATCH_RECOGNIZE clause), the alternation +
+    bounded-quantifier pattern V{2,} (C|P) through both front-ends
+    (matched alternative folded into the variant tag so label
+    assignment is value-checked), and the WITHIN-bounded funnel
+    (time-boxed run-suffix semantics oracle-verified)."""
     api = _component("q_cep_views_then_purchase")(spark, sf_dir)
     sql = _component("q_cep_sql_match_recognize")(spark, sf_dir)
     alt_api = _component("q_cep_alternation_api")(spark, sf_dir)

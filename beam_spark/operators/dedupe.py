@@ -341,9 +341,10 @@ class ConnectedComponents(PTransform):
         sym = edges.union(edges.select(F.col("b").alias("a"),
                                        F.col("a").alias("b"))).distinct()
         sym.persist()
-        labels = (sym.select(F.col("a").alias("node"))
-                  .distinct()
-                  .withColumn("comp", F.col("node")))
+        # seed with min(self, direct neighbors) — equivalent to one
+        # propagation round from identity labels, one shuffle cheaper
+        labels = (sym.groupBy(F.col("a").alias("node"))
+                  .agg(F.least(F.min("a"), F.min("b")).alias("comp")))
         labels.persist()
         prev_sum = labels.agg(F.sum("comp")).first()[0]  # materializes too
         for _ in range(self.max_iterations):
