@@ -425,3 +425,29 @@ def test_avro_spark_read_with_evolved_schema(spark, tmp_path):
     rows = sorted(map(tuple, back.collect()))
     assert rows == [(1, 0.5, "none"), (2, 1.5, "t")]
     assert back.schema["id"].dataType.simpleString() == "bigint"
+
+
+def test_avro_corruption_detection(tmp_path):
+    """Bad magic and sync-marker corruption raise pointed errors instead
+    of decoding garbage."""
+    import json
+
+    import pytest
+
+    from beam_spark.sources import avro as A
+
+    sch = {"type": "record", "name": "r",
+           "fields": [{"name": "x", "type": "long"}]}
+    p = str(tmp_path / "c.avro")
+    A.write_container(p, json.dumps(sch), [{"x": i} for i in range(10)],
+                      codec="null")
+    data = bytearray(open(p, "rb").read())
+
+    with pytest.raises(ValueError, match="bad magic"):
+        A.read_container(b"NOPE" + bytes(data[4:]))
+
+    # flip a byte inside the trailing sync marker
+    bad = bytearray(data)
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="sync marker"):
+        A.read_container(bytes(bad))

@@ -89,3 +89,57 @@ def test_flagship_q1_scan_prunes_columns(spark):
     cols = [c.split("#")[0] for c in m.group(1).split(",") if c]
     assert len(cols) <= 8, cols
     assert "l_comment" not in cols
+
+
+def test_pii_redact_zero_shuffle(spark, sf_dir):
+    """PiiRedact is a pure projection: no Exchange in the plan."""
+    from beam_spark.operators.text import PiiRedact
+    from beam_spark.pcollection import PCollection
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = (PCollection(df) | PiiRedact()).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_hash_sample_zero_shuffle_and_pruned(spark, sf_dir):
+    """HashSample is a map-side filter: no Exchange, and column pruning
+    still reaches the scan (only the columns the query needs)."""
+    from beam_spark.operators.combiners import HashSample
+    from beam_spark.pcollection import PCollection
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id", "'d' || CAST(doc_id % 3 AS STRING) AS domain")
+    out = (PCollection(df)
+           | HashSample("domain", {"d0": 0.5}, id_col="doc_id")).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "text" not in plan.split("ReadSchema")[-1][:200]  # pruned
+
+
+def test_simhash_zero_shuffle(spark, sf_dir):
+    """SimHash's vote aggregation is one projection — the whole
+    fingerprint computation is a map-side scan (SCALE.md)."""
+    from beam_spark.operators.dedupe import SimHash
+    from beam_spark.pcollection import PCollection
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = (PCollection(df) | SimHash()).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_avro_read_is_file_parallel_mapinpandas(spark, sf_dir, tmp_path):
+    """The pure-python Avro read plans as binaryFile scan ->
+    MapInPandas (Arrow-batched decode), no shuffle before consumption."""
+    from beam_spark.pcollection import PCollection, Pipeline
+    from beam_spark.sources.avro import ReadFromAvroFile, WriteToAvroFile
+
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    out_dir = str(tmp_path / "nation_avro")
+    (PCollection(src.repartition(2)) | WriteToAvroFile(out_dir)).df.collect()
+    back = (Pipeline(spark) | ReadFromAvroFile(out_dir + "/*.avro")).df
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
