@@ -1555,7 +1555,17 @@ def q2(spark, sf_dir):
                       broadcast=True)
                | Filter("r_name = 'EUROPE'")
                | Select("s_suppkey", "s_name"))
+    # push the p_size predicate BELOW both aggregations: a broadcast
+    # semi-join keeps only the ~2% of lineitem rows whose part survives,
+    # so the per-(part,supplier) and per-part groupBys aggregate 50x
+    # less data — the late-filter version would aggregate everything and
+    # discard 98% at the end (the classic 100 TB scale smell). Values
+    # are identical: per-part aggregates are independent across parts.
+    sized = (table(spark, sf_dir, "part") | Filter("p_size = 15"))
     offers = (table(spark, sf_dir, "lineitem")
+              | Join(sized.df.select(F.col("p_partkey").alias("__pk")),
+                     condition=F.col("l_partkey") == F.col("__pk"),
+                     how="semi", broadcast=True)
               | CombinePerKey("l_partkey", "l_suppkey",
                               min_price=F.expr(f"MIN({dec('l_extendedprice')})")))
     offers.persist()
@@ -1563,8 +1573,7 @@ def q2(spark, sf_dir):
             | Join(eu_supp.df, condition=F.col("l_suppkey") == F.col("s_suppkey"),
                    how="semi")
             | CombinePerKey("l_partkey", best_price=F.min("min_price")))
-    out = (table(spark, sf_dir, "part")
-           | Filter("p_size = 15")
+    out = (sized
            | Join(best.df.select(F.col("l_partkey").alias("bp"), "best_price"),
                   condition=F.col("p_partkey") == F.col("bp"))
            | Join(offers.df.select(F.col("l_partkey").alias("op"),
