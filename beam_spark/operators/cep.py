@@ -59,22 +59,32 @@ class Define:
 
     ``mask_fn(pdf) -> bool array`` is the fast path (whole-column numpy);
     ``row_fn(row_dict) -> bool`` is the fallback. Either may be None.
+    ``frontier_sensitive`` marks predicates whose mask depends on
+    NEIGHBOR rows (PREV/NEXT shifts): their value at the last buffered
+    row can change when more data arrives, so the streaming matcher must
+    reject them (a frontier evaluation could wrongly release rows).
     """
 
-    __slots__ = ("row_fn", "mask_fn")
+    __slots__ = ("row_fn", "mask_fn", "frontier_sensitive")
 
     def __init__(self, row_fn: Callable | None = None,
-                 mask_fn: Callable | None = None):
+                 mask_fn: Callable | None = None,
+                 frontier_sensitive: bool = False):
         if row_fn is None and mask_fn is None:
             raise ValueError("Define needs row_fn or mask_fn")
         self.row_fn = row_fn
         self.mask_fn = mask_fn
+        self.frontier_sensitive = frontier_sensitive
 
 
-def vectorized(mask_fn: Callable, row_fn: Callable | None = None) -> Define:
+def vectorized(mask_fn: Callable, row_fn: Callable | None = None,
+               frontier_sensitive: bool = False) -> Define:
     """Vectorized symbol predicate: ``mask_fn`` takes the group's sorted
-    pandas DataFrame and returns a boolean array (one bit per row)."""
-    return Define(row_fn=row_fn, mask_fn=mask_fn)
+    pandas DataFrame and returns a boolean array (one bit per row). Set
+    ``frontier_sensitive=True`` if the mask reads neighboring rows
+    (e.g. ``pdf[c].shift(...)``) — required for streaming correctness."""
+    return Define(row_fn=row_fn, mask_fn=mask_fn,
+                  frontier_sensitive=frontier_sensitive)
 
 
 class Permute:
@@ -407,6 +417,12 @@ class MatchRecognize(PTransform):
 
             key_rec = {k: cols[k][0] for k in keys}
             if within_ms is not None:
+                ts_dtype = pdf[order_by[0]].dtype
+                if not str(ts_dtype).startswith("datetime64"):
+                    raise TypeError(
+                        f"WITHIN needs a timestamp first order_by column"
+                        f" ({order_by[0]} is {ts_dtype}) — a numeric "
+                        "column would silently use the wrong unit")
                 ts_arr = (pdf[order_by[0]].astype("int64")
                           // 1_000_000).to_numpy()
             out = []
@@ -482,9 +498,23 @@ class MatchRecognize(PTransform):
         if self.rows_per_match != ONE_ROW_PER_MATCH:
             raise ValueError("streaming MATCH_RECOGNIZE supports "
                              "ONE ROW PER MATCH only")
+        for sym, d in self.defines.items():
+            if isinstance(d, Define) and d.frontier_sensitive:
+                raise ValueError(
+                    f"DEFINE {sym} reads neighboring rows (PREV/NEXT): "
+                    "its mask at the buffer frontier would change when "
+                    "more data arrives, so the streaming matcher cannot "
+                    "evaluate it safely — use batch mode or rewrite the "
+                    "predicate row-locally")
         keys = self.partition_by
         order_by = self.order_by
         ts_col = pcoll.ts_col or order_by[0]
+        if not isinstance(pcoll.df.schema[ts_col].dataType,
+                          (T.TimestampType, T.TimestampNTZType)):
+            raise TypeError(
+                f"streaming MATCH_RECOGNIZE needs a timestamp event-time "
+                f"column ({ts_col} is "
+                f"{pcoll.df.schema[ts_col].dataType.simpleString()})")
         pattern, defines = self.pattern, self.defines
         measures, after_match = self.measures, self.after_match
         within_ms = self.within_ms

@@ -365,5 +365,10 @@ class ConnectedComponents(PTransform):
             if new_sum == prev_sum:
                 break
             prev_sum = new_sum
+        # truncate lineage and release every cached intermediate: the
+        # result is materialized once, the iteration caches don't leak
+        # into the caller's session
+        final = labels.select("node", "comp").localCheckpoint(eager=True)
+        labels.unpersist()
         sym.unpersist()
-        return pcoll.with_df(labels.select("node", "comp"))
+        return pcoll.with_df(final)

@@ -967,9 +967,13 @@ def q_dedup_cc(spark, sf_dir):
     pairs = (table(spark, sf_dir, "documents")
              | MinHashLSH(bands=16, rows_per_band=8, threshold=0.6))
     # persist the candidate edges: the CC loop iterates over them (and
-    # would otherwise recompute the whole minhash lineage every round)
+    # would otherwise recompute the whole minhash lineage every round).
+    # CC checkpoints its result, so the cache can be released as soon as
+    # the (eager) iteration finishes — no cross-run leak.
     pairs.df.persist()
-    return (pairs | ConnectedComponents()).df
+    out = (pairs | ConnectedComponents()).df
+    pairs.df.unpersist()
+    return out
 
 
 @query("q_dedup_ngram_jaccard_pairs", _JACCARD_ORACLE)

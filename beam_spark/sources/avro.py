@@ -202,8 +202,14 @@ def write_datum(out: _io.BytesIO, schema, v) -> None:
 
             if isinstance(v, datetime.datetime):
                 # exact integer math from timedelta parts (total_seconds
-                # would round through a float)
-                td = v - datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+                # would round through a float); aware values anchor at
+                # the UTC epoch — anchoring at the value's own tz would
+                # shift every timestamp by its UTC offset
+                epoch = (datetime.datetime(1970, 1, 1,
+                                           tzinfo=datetime.timezone.utc)
+                         if v.tzinfo is not None
+                         else datetime.datetime(1970, 1, 1))
+                td = v - epoch
                 us = (td.days * 86_400 + td.seconds) * 1_000_000 \
                     + td.microseconds
             else:
@@ -490,11 +496,10 @@ def write_container(path: str, schema_json: str, records: list[dict],
     return len(records)
 
 
-def read_container(data: bytes,
-                   reader_schema=None) -> tuple[dict, list[dict]]:
-    """Parse one OCF; returns (parsed avro schema, records). With
-    ``reader_schema`` (parsed dict), records are resolved through the
-    spec's schema-evolution rules instead of decoded verbatim."""
+def read_header(data: bytes) -> tuple[dict, str, bytes, int]:
+    """Parse just the OCF header: (schema, codec, sync, body_offset).
+    Works on a PREFIX of the file (the header is magic + metadata map +
+    sync), so schema inference never needs the whole file."""
     buf = memoryview(data)
     if bytes(buf[:4]) != MAGIC:
         raise ValueError("not an Avro object container file (bad magic)")
@@ -515,6 +520,16 @@ def read_container(data: bytes,
     pos += SYNC_SIZE
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     codec = meta.get("avro.codec", b"null").decode("utf-8")
+    return schema, codec, sync, pos
+
+
+def read_container(data: bytes,
+                   reader_schema=None) -> tuple[dict, list[dict]]:
+    """Parse one OCF; returns (parsed avro schema, records). With
+    ``reader_schema`` (parsed dict), records are resolved through the
+    spec's schema-evolution rules instead of decoded verbatim."""
+    buf = memoryview(data)
+    schema, codec, sync, pos = read_header(data)
     records = []
     total = len(buf)
     while pos < total:
@@ -563,15 +578,19 @@ class ReadFromAvroFile(PTransform):
         import pandas as pd
 
         spark = pipeline.spark
-        files = (spark.read.format("binaryFile").load(self.path_glob)
-                 .select("content"))
+        listing = spark.read.format("binaryFile").load(self.path_glob)
+        files = listing.select("content")
         if self.avro_schema is not None:
             schema = json.loads(self.avro_schema)
         else:
-            head = files.limit(1).collect()
+            # header-only inference: list one path (no content transfer)
+            # and read the first KBs through the Hadoop FS — collecting
+            # a whole multi-GB shard to parse a few-hundred-byte header
+            # would be a driver OOM at scale
+            head = listing.select("path").limit(1).collect()
             if not head:
                 raise FileNotFoundError(self.path_glob)
-            schema, _ = read_container(bytes(head[0]["content"]))
+            schema = self._read_schema_from_header(spark, head[0]["path"])
         spark_schema = avro_to_spark(schema)
         if not isinstance(spark_schema, T.StructType):
             raise TypeError("top-level Avro schema must be a record")
@@ -599,6 +618,36 @@ class ReadFromAvroFile(PTransform):
         return PCollection(df)
 
 
+    @staticmethod
+    def _read_schema_from_header(spark, path: str) -> dict:
+        """Read only the OCF header bytes through the Hadoop FS (works
+        for any scheme Spark can read), growing the window if a huge
+        schema overflows it."""
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        size = 64 * 1024
+        while True:
+            stream = fs.open(jpath)
+            try:
+                # readNBytes returns the array (a byte[] passed INTO
+                # java via py4j would not be mutated back)
+                data = bytes(stream.readNBytes(size))
+                read = len(data)
+            finally:
+                stream.close()
+            if not data.startswith(MAGIC):
+                raise ValueError(
+                    f"not an Avro object container file: {path}")
+            try:
+                schema, _, _, _ = read_header(data)
+                return schema
+            except (IndexError, ValueError, KeyError):
+                if read < size or size >= 64 * 1024 * 1024:
+                    raise
+                size *= 8  # giant schema: widen the window
+
+
 class WriteToAvroFile(PTransform):
     """io/avroio.py:361 — partition-parallel OCF sink: one
     ``part-NNNNN.avro`` container per partition, WriteFiles-style.
@@ -610,9 +659,17 @@ class WriteToAvroFile(PTransform):
         self.path, self.codec, self.shard_name = path, codec, shard_name
 
     def expand(self, pcoll: PCollection) -> PCollection:
+        import glob as _glob
+
         import pandas as pd
 
         os.makedirs(self.path, exist_ok=True)
+        # overwrite semantics: drop stale shards from a previous write —
+        # a run with fewer partitions would otherwise leave old
+        # part-files behind and a glob read would union old + new rows
+        for stale in _glob.glob(
+                os.path.join(self.path, f"{self.shard_name}-*.avro")):
+            os.remove(stale)
         path, codec, shard_name = self.path, self.codec, self.shard_name
         spark_schema = pcoll.df.schema
         schema_json = json.dumps(spark_to_avro(spark_schema, "topLevelRecord"))
@@ -620,16 +677,16 @@ class WriteToAvroFile(PTransform):
         def _nullify(s):
             # NaN/NaT -> None without tripping on array/map cells (where
             # elementwise isna returns an array, not a bool)
-            import pandas as pd
-
             def conv(v):
                 try:
                     na = pd.isna(v)
                 except (TypeError, ValueError):
                     return v
-                if isinstance(na, bool) and na:
-                    return None
-                return v if isinstance(na, bool) else v
+                # scalar verdicts (bool or 0-d numpy bool) decide; array
+                # verdicts mean an array-typed cell — keep it
+                if isinstance(na, bool) or getattr(na, "ndim", 1) == 0:
+                    return None if bool(na) else v
+                return v
 
             return [conv(v) for v in s.tolist()]
 

@@ -81,7 +81,9 @@ class ReadFromAvro(_Read):
 
         try:
             return super().expand(pbegin)
-        except AnalysisException:  # DATA_SOURCE_NOT_FOUND: jar absent
+        except AnalysisException as e:
+            if not _is_missing_datasource(e):
+                raise  # real read errors (missing path, ...) surface
             from beam_spark.sources.avro import ReadFromAvroFile
 
             return ReadFromAvroFile(
@@ -180,21 +182,54 @@ class WriteToJson(_Write):
     fmt = "json"
 
 
+def _is_missing_datasource(e) -> bool:
+    """True only for the jar-absent error — other AnalysisExceptions
+    (missing path, exists-with-mode-error, ...) must surface."""
+    get_cls = (getattr(e, "getCondition", None)
+               or getattr(e, "getErrorClass", None))
+    cls = (get_cls() if get_cls else None) or ""
+    msg = str(e)
+    return ("DATA_SOURCE_NOT_FOUND" in cls or "DATA_SOURCE_NOT_FOUND" in msg
+            or "Failed to find data source" in msg
+            or "Failed to find the data source" in msg)
+
+
 class WriteToAvro(_Write):
     """avroio.py:361 — native spark-avro sink when the jar is present;
-    else the pure-python partition-parallel OCF sink (sources/avro.py)."""
+    else the pure-python partition-parallel OCF sink (sources/avro.py),
+    honoring write modes (partition_by is native-only — the fallback
+    fails fast rather than silently writing a flat layout)."""
     fmt = "avro"
 
     def expand(self, pcoll: PCollection) -> PCollection:
+        import glob as _glob
+        import os as _os
+
         from pyspark.errors import AnalysisException
 
         try:
             return super().expand(pcoll)
-        except AnalysisException:  # jar absent
+        except AnalysisException as e:
+            if not _is_missing_datasource(e):
+                raise
+            if self.partition_by:
+                raise NotImplementedError(
+                    "WriteToAvro(partition_by=...) needs the spark-avro "
+                    "DataSource; the pure-python fallback writes flat "
+                    "part-NNNNN shards only") from e
             from beam_spark.sources.avro import WriteToAvroFile
 
+            existing = _glob.glob(_os.path.join(self.path, "part-*.avro"))
+            if existing and self.mode in ("error", "errorifexists"):
+                raise FileExistsError(self.path) from e
+            if existing and self.mode == "ignore":
+                return pcoll
             sink = WriteToAvroFile(self.path,
                                    codec=self.options.get("codec", "deflate"))
+            if self.mode == "append":
+                # keep prior shards: new ones get fresh partition ids,
+                # so name them into a unique subshard prefix
+                sink.shard_name = f"part-{len(existing):04d}a"
             sink.expand(pcoll).df.collect()  # execute the shard writes
             return pcoll
 

@@ -224,7 +224,8 @@ def _compile_condition(cond_sql: str, symbol: str) -> Define:
                                                       dtype=bool)
         return m
 
-    return Define(row_fn=None if has_nav else predicate, mask_fn=mask)
+    return Define(row_fn=None if has_nav else predicate, mask_fn=mask,
+                  frontier_sensitive=has_nav)
 
 
 def _compile_measure(agg: str, sym: str, col: str):

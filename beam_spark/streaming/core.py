@@ -293,10 +293,18 @@ def with_late_output(pcoll: PCollection, ts_col: str, delay: str,
                 on_time = batch_df
                 late = batch_df.limit(0)
             else:
-                late = batch_df.filter(F.col(ts_col) < F.lit(wm))
-                on_time = batch_df.filter(~(F.col(ts_col) < F.lit(wm)))
+                # null event times go to the ON-TIME branch (a bare
+                # `~(ts < wm)` would drop them from BOTH tees — NULL
+                # comparisons are NULL, and a tee must never lose rows)
+                is_late = F.col(ts_col).isNotNull() & (F.col(ts_col)
+                                                       < F.lit(wm))
+                late = batch_df.filter(is_late)
+                on_time = batch_df.filter(~is_late)
+            # typed even when wm is None, so late_fn sinks see a stable
+            # schema from the first batch on
             late = (late.withColumn("pane_timing", F.lit("LATE"))
-                    .withColumn("__watermark", F.lit(wm)))
+                    .withColumn("__watermark",
+                                F.lit(wm).cast("timestamp")))
             late_fn(late, batch_id)
             on_time_fn(on_time, batch_id)
             mx = batch_df.agg(F.max(ts_col)).first()[0]

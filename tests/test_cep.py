@@ -454,3 +454,26 @@ def test_within_sql_clause(spark):
           DEFINE V AS V.typ = 'view', P AS P.typ = 'purchase'
         )""")).df
     assert [(r["u"], r["n"]) for r in out.collect()] == [(1, 1)]
+
+
+def test_streaming_rejects_frontier_sensitive_defines(spark):
+    """PREV/NEXT-style masks read neighbor rows, which is unsound at the
+    stream buffer frontier — the streaming matcher must refuse them
+    (review finding)."""
+    import pytest
+
+    from beam_spark.operators.cep import vectorized
+    from beam_spark.streaming import TestStream, WithWatermark
+
+    ts = TestStream(spark, "t timestamp, u long, v long")
+    ts.add_elements([{"t": "2024-01-01 00:00:10", "u": 1, "v": 1}])
+    pc = ts.stream() | WithWatermark("t", "10 seconds")
+    with pytest.raises(ValueError, match="frontier|neighboring"):
+        pc | MatchRecognize(
+            partition_by="u", order_by=["t"],
+            pattern=[("D", "+")],
+            defines={"D": vectorized(
+                lambda pdf: pdf["v"] < pdf["v"].shift(1),
+                frontier_sensitive=True)},
+            measures={"n": lambda m: len(m)},
+            output_schema="u long, n long")

@@ -451,3 +451,62 @@ def test_avro_corruption_detection(tmp_path):
     bad[-1] ^= 0xFF
     with pytest.raises(ValueError, match="sync marker"):
         A.read_container(bytes(bad))
+
+
+def test_avro_write_clears_stale_shards(spark, tmp_path):
+    """A rewrite with fewer partitions must not leave stale shards that
+    a glob read would union in (review finding)."""
+    from beam_spark.pcollection import PCollection, Pipeline
+    from beam_spark.sources.avro import ReadFromAvroFile, WriteToAvroFile
+
+    out = str(tmp_path / "resh")
+    df4 = spark.range(40).selectExpr("id AS x").repartition(4)
+    (PCollection(df4) | WriteToAvroFile(out)).df.collect()
+    df2 = spark.range(10).selectExpr("id AS x").repartition(2)
+    (PCollection(df2) | WriteToAvroFile(out)).df.collect()
+    back = (Pipeline(spark) | ReadFromAvroFile(out + "/*.avro")).df
+    assert back.count() == 10  # not 10 + leftovers
+
+
+def test_avro_write_mode_semantics(spark, tmp_path):
+    """WriteToAvro fallback honors error/ignore/append modes instead of
+    silently overwriting (review finding)."""
+    import pytest
+
+    from beam_spark.pcollection import Pipeline
+    from beam_spark.operators.core import Create
+    from beam_spark.sources import ReadFromAvro, WriteToAvro
+
+    path = str(tmp_path / "modes")
+    pc = Pipeline(spark) | Create([{"k": "a", "v": 1}])
+    pc | WriteToAvro(path)
+
+    with pytest.raises(FileExistsError):
+        pc | WriteToAvro(path, mode="error")
+
+    pc | WriteToAvro(path, mode="ignore")  # no-op, no error
+    back = Pipeline(spark) | ReadFromAvro(path + "/*.avro")
+    assert back.count() == 1
+
+    pc | WriteToAvro(path, mode="append")
+    back = Pipeline(spark) | ReadFromAvro(path + "/*.avro")
+    assert back.count() == 2
+
+    with pytest.raises(NotImplementedError):
+        pc | WriteToAvro(str(tmp_path / "p2"), partition_by="k")
+
+
+def test_avro_tz_aware_timestamp_anchor():
+    """Aware non-UTC datetimes anchor at the UTC epoch: the epoch
+    instant encodes as 0 whatever its zone (review finding)."""
+    import datetime
+    import io
+
+    from beam_spark.sources import avro as A
+
+    sch = {"type": "long", "logicalType": "timestamp-micros"}
+    tz5 = datetime.timezone(datetime.timedelta(hours=5))
+    b = io.BytesIO()
+    A.write_datum(b, sch, datetime.datetime(1970, 1, 1, 5, 0, tzinfo=tz5))
+    got, _ = A.read_long(memoryview(b.getvalue()), 0)
+    assert got == 0

@@ -499,3 +499,22 @@ def test_retracting_mode_late_panes(spark):
     assert panes == [(0, "ON_TIME", 1, 1.0), (0, "RETRACT", -1, -1.0),
                      (1, "LATE", 2, 8.0)]
     assert sum(r["pane_sum"] for r in rows) == 8.0
+
+
+def test_with_late_output_null_event_times_not_lost(spark):
+    """NULL event-time rows must reach a tee branch, not vanish in the
+    three-valued comparison (review finding)."""
+    from beam_spark.streaming import with_late_output
+
+    ts = TestStream(spark, "t timestamp, k string, v long")
+    ts.add_elements([{"t": "2024-01-01 00:10:00", "k": "a", "v": 1}])
+    ts.add_elements([{"t": None, "k": "a", "v": 42},
+                     {"t": "2024-01-01 00:00:01", "k": "a", "v": 9}])  # late
+
+    main_rows, late_rows = [], []
+    with_late_output(
+        ts.stream(), "t", "30 seconds",
+        on_time_fn=lambda df, bid: main_rows.extend(df.collect()),
+        late_fn=lambda df, bid: late_rows.extend(df.collect()))
+    assert sorted(r["v"] for r in main_rows) == [1, 42]  # null -> on_time
+    assert [r["v"] for r in late_rows] == [9]
