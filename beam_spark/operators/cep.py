@@ -313,15 +313,24 @@ class MatchRecognize(PTransform):
                  measures: Mapping[str, Callable], output_schema,
                  after_match: str = SKIP_PAST_LAST_ROW,
                  rows_per_match: str = ONE_ROW_PER_MATCH,
-                 within: str | None = None, label=None):
+                 within: str | None = None,
+                 measure_semantics: str = "final", label=None):
         """``within``: optional time bound ("10 minutes") — a match must
         complete within this interval of its first row (Flink/Calcite
         ``PATTERN (...) WITHIN``). On streams this BOUNDS STATE: once
         the watermark passes start_ts + within, the decision at that
         start is definitive (no phantoms) and the rows drain; without
-        it, an open pattern can hold its key's rows indefinitely."""
+        it, an open pattern can hold its key's rows indefinitely.
+
+        ``measure_semantics`` (ALL ROWS PER MATCH only): 'final' (each
+        output row carries the whole-match measure values) or 'running'
+        (the SQL-standard default for that mode — measures evaluate over
+        the match PREFIX up to each row)."""
         super().__init__(label)
         self.rows_per_match = rows_per_match
+        if measure_semantics not in ("final", "running"):
+            raise ValueError(measure_semantics)
+        self.measure_semantics = measure_semantics
         if within is not None:
             from beam_spark.streaming.core import _parse_delay
 
@@ -355,6 +364,7 @@ class MatchRecognize(PTransform):
         pattern, defines = self.pattern, self.defines
         measures, after_match = self.measures, self.after_match
         all_rows = self.rows_per_match == ALL_ROWS_PER_MATCH
+        running = all_rows and self.measure_semantics == "running"
         within_ms = self.within_ms
         schema = self.output_schema
         if isinstance(schema, str):
@@ -449,8 +459,11 @@ class MatchRecognize(PTransform):
                     if all_rows:
                         match_no = (out[-1]["__match_number"]
                                     if out else 0) + 1
-                        for sym, r in match_rows:
-                            out.append({**r, **meas, "__classifier": sym,
+                        for ridx, (sym, r) in enumerate(match_rows):
+                            meas_r = (meas if not running else
+                                      {name: fn(match_rows[:ridx + 1])
+                                       for name, fn in measures.items()})
+                            out.append({**r, **meas_r, "__classifier": sym,
                                         "__match_number": match_no})
                     else:
                         out.append({**key_rec, **meas})

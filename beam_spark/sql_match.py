@@ -336,6 +336,9 @@ def try_rewrite_match_recognize(sql: str, spark, tables: dict) -> str:
                   else SKIP_PAST_LAST_ROW,
                   rows_per_match=ALL_ROWS_PER_MATCH if all_rows
                   else ONE_ROW_PER_MATCH,
+                  # SQL standard: ALL ROWS PER MATCH measures default to
+                  # RUNNING semantics (prefix-evaluated per row)
+                  measure_semantics="running" if all_rows else "final",
                   within=within)).df
     view = f"__mr_{table_name}"
     result.createOrReplaceTempView(view)

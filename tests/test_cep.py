@@ -477,3 +477,37 @@ def test_streaming_rejects_frontier_sensitive_defines(spark):
                 frontier_sensitive=True)},
             measures={"n": lambda m: len(m)},
             output_schema="u long, n long")
+
+
+def test_all_rows_running_measures(spark):
+    """RUNNING semantics: measures evaluate over the match prefix at
+    each row (SQL-standard default for ALL ROWS PER MATCH — the SQL
+    front-end uses it; the python API opts in)."""
+    from beam_spark.operators.cep import ALL_ROWS_PER_MATCH
+    from beam_spark.sql import SqlTransform
+
+    data = rows("a", "a", "b")
+    out = (Pipeline(spark) | Create(data)
+           | MatchRecognize(
+               partition_by="k", order_by="i",
+               pattern=[("A", "+"), ("B", "1")], defines=DEF,
+               measures={"n_a": lambda m: sum(1 for s, _ in m if s == "A")},
+               output_schema="k long, i long, t string, n_a long",
+               rows_per_match=ALL_ROWS_PER_MATCH,
+               measure_semantics="running")).collect()
+    got = [(r["i"], r["n_a"]) for r in sorted(out, key=lambda r: r["i"])]
+    assert got == [(0, 1), (1, 2), (2, 2)]  # prefix counts
+
+    # the SQL clause applies RUNNING automatically in ALL ROWS mode
+    pc = Pipeline(spark) | Create(data)
+    sql_out = ({"s": pc} | SqlTransform("""
+        SELECT i, n_a FROM s MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY i
+          MEASURES COUNT(A.i) AS n_a
+          ALL ROWS PER MATCH
+          PATTERN (A+ B)
+          DEFINE A AS A.t = 'a', B AS B.t = 'b'
+        )""")).df
+    got_sql = sorted((r["i"], r["n_a"]) for r in sql_out.collect())
+    assert got_sql == [(0, 1), (1, 2), (2, 2)]
