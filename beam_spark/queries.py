@@ -2117,8 +2117,25 @@ FROM events GROUP BY window_start, event_type
 """)
 def q_nexmark10(spark, sf_dir):
     """Nexmark Q10 shape (log to sharded files): write events
-    hive-partitioned by (hour, type), read the files back, count per
-    shard — verifying the dynamic-destination file layout round-trips."""
+    hive-partitioned by window (Nexmark Q10 shards its log files by
+    window, not by every attribute), read the files back, count per
+    (window, type) — verifying the dynamic-destination layout
+    round-trips.
+
+    Scale notes (the two small-files killers, both hit here in round 4):
+
+    * Hash-repartition on the destination key BEFORE ``partitionBy`` —
+      otherwise every input task opens a writer for every destination
+      (tasks x destinations files; at 1000 executors that is a file
+      explosion and a handle storm). Beam's WriteFiles pre-groups by
+      destination the same way (a GroupByKey on (destination, shard);
+      sdks/python/apache_beam/io/filebasedsink.py).
+    * Pin the shuffle partition count. AQE's size-based planner sees a
+      tiny shuffle and splits ``repartition(cols)`` into one near-empty
+      task per destination (720 task commits ~= 67s at sf0.1); a fixed
+      count keeps task-commit overhead proportional to the cluster, and
+      each destination still lands in exactly one task.
+    """
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
@@ -2129,7 +2146,9 @@ def q_nexmark10(spark, sf_dir):
     ev = table(spark, sf_dir, "events").df.select(
         "event_id", "event_type", "ts",
         F.date_trunc("hour", "ts").alias("window_start"))
-    (ev.write.mode("overwrite").partitionBy("window_start", "event_type")
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    (ev.repartition(n_shuffle, "window_start")
+     .write.mode("overwrite").partitionBy("window_start")
      .parquet(base))
     back = spark.read.parquet(base)
     return (back.groupBy("window_start", "event_type")
