@@ -260,12 +260,23 @@ class OverlapMergingWindowFn(CustomMergingWindowFn):
     (IntervalWindow semantics — Sessions generalized to arbitrary
     per-element windows). ``assign(row) -> (start_us, end_us)``.
 
-    MergeCustomWindows detects this subclass and runs a VECTORIZED
-    numpy island merge (sort by start, new island when start >= running
-    max end) instead of the per-row python fold — same result, ~10x on
-    wide keys."""
+    MergeCustomWindows detects this subclass and compiles the merge to
+    the same gaps-and-islands WINDOW-FUNCTION plan Sessions uses (sort
+    by start per key, new island when start >= running max end) —
+    overlap-merge is a monotone fold, so no per-key pandas group is
+    needed and the per-key-must-fit-in-memory bound disappears (Spark's
+    window sort spills). Assignment preference order:
 
-    def __init__(self, assign_fn, assign_batch=None):
+    1. ``assign_expr=(start_sql, end_sql)`` — SQL expressions producing
+       BIGINT microseconds; the whole operator stays in Catalyst
+       (zero Python, one shuffle on the key).
+    2. ``assign_batch(pdf) -> (starts_us, ends_us)`` — stamped by a
+       NARROW Arrow-batched mapInPandas (no shuffle), merge still
+       expression-side.
+    3. per-row ``assign_fn`` — same mapInPandas with a row loop.
+    """
+
+    def __init__(self, assign_fn, assign_batch=None, assign_expr=None):
         def merge(a, b):
             if b[0] < a[1]:
                 return (min(a[0], b[0]), max(a[1], b[1]))
@@ -275,6 +286,9 @@ class OverlapMergingWindowFn(CustomMergingWindowFn):
         #: optional vectorized assignment: pdf -> (starts_us, ends_us)
         #: numpy arrays — skips the per-row python assign loop entirely.
         self.assign_batch = assign_batch
+        #: optional (start_sql, end_sql) BIGINT-microsecond expressions —
+        #: lifts assignment itself into Catalyst.
+        self.assign_expr = assign_expr
 
 
 class MergeCustomWindows(PTransform):
@@ -285,20 +299,91 @@ class MergeCustomWindows(PTransform):
     row with its final merged window — after this the ordinary grouping
     operators treat it like any other window column.
 
-    Scale note: the whole key's rows pass through one pandas group (the
-    same bound Beam's merging-window GBK has — merging is inherently
-    per-key-global). A single key larger than worker memory will OOM;
-    built-in Sessions avoids this via the expression-only gaps-and-
-    islands path, so reach for CustomMergingWindowFn only when merge
-    logic is genuinely arbitrary.
+    Scale note: :class:`OverlapMergingWindowFn` (the WinningBids /
+    interval-overlap case) is compiled to the expression-only
+    gaps-and-islands plan — one shuffle on the key, spillable sort, no
+    per-key memory bound, and zero Python when ``assign_expr`` is given.
+    Only a genuinely arbitrary ``merge_fn`` takes the applyInPandas
+    path, where the whole key's rows pass through one pandas group (the
+    same bound Beam's merging-window GBK has — arbitrary merging is
+    inherently per-key-global) and a single key larger than worker
+    memory will OOM.
     """
 
-    def __init__(self, window_fn: CustomMergingWindowFn, key_cols, label=None):
+    def __init__(self, window_fn: CustomMergingWindowFn, key_cols, label=None,
+                 force_generic: bool = False):
         super().__init__(label)
         self.window_fn = window_fn
         self.key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        #: run the generic applyInPandas machinery even for overlap
+        #: merges (test hook for the arbitrary-merge path).
+        self.force_generic = force_generic
+
+    def _expand_overlap(self, pcoll: PCollection) -> PCollection:
+        """Gaps-and-islands compilation for strict-overlap merges.
+
+        Sorted by proto-window start per key, a new merged window
+        ("island") begins exactly where start >= the running max end of
+        every earlier proto-window — the same invariant the sessionize()
+        expression path uses, generalized to per-element intervals."""
+        from pyspark.sql.window import Window
+
+        fnw = self.window_fn
+        keys = self.key_cols
+        ps, pe, new, isl = "__bs_ps", "__bs_pe", "__bs_new", "__bs_isl"
+        df = pcoll.df
+
+        if fnw.assign_expr is not None:
+            s_sql, e_sql = fnw.assign_expr
+            df = df.withColumn(
+                ps, F.expr(s_sql).cast("bigint") if isinstance(s_sql, str)
+                else s_sql.cast("bigint"))
+            df = df.withColumn(
+                pe, F.expr(e_sql).cast("bigint") if isinstance(e_sql, str)
+                else e_sql.cast("bigint"))
+        else:
+            import numpy as np
+            from pyspark.sql import types as T
+
+            stamp_schema = T.StructType(list(df.schema.fields) + [
+                T.StructField(ps, T.LongType()),
+                T.StructField(pe, T.LongType())])
+            assign_batch, assign_fn = fnw.assign_batch, fnw.assign_fn
+
+            def stamp(batches):
+                for pdf in batches:
+                    if assign_batch is not None:
+                        starts, ends = assign_batch(pdf)
+                    else:
+                        proto = [assign_fn(r)
+                                 for r in pdf.to_dict(orient="records")]
+                        starts = [p[0] for p in proto]
+                        ends = [p[1] for p in proto]
+                    pdf = pdf.copy()
+                    pdf[ps] = np.asarray(starts, dtype=np.int64)
+                    pdf[pe] = np.asarray(ends, dtype=np.int64)
+                    yield pdf
+
+            df = df.mapInPandas(stamp, stamp_schema)
+
+        w = Window.partitionBy(*keys).orderBy(ps, pe)
+        run_prev = F.max(pe).over(
+            w.rowsBetween(Window.unboundedPreceding, -1))
+        df = df.withColumn(new, F.when(
+            run_prev.isNull() | (F.col(ps) >= run_prev), 1).otherwise(0))
+        df = df.withColumn(isl, F.sum(new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        bounds = Window.partitionBy(*keys, F.col(isl))
+        df = df.withColumn(WINDOW_COL, F.struct(
+            F.timestamp_micros(F.min(ps).over(bounds)).alias("start"),
+            F.timestamp_micros(F.max(pe).over(bounds)).alias("end")))
+        df = df.drop(ps, pe, new, isl)
+        return pcoll.with_df(df, window_col=WINDOW_COL, window_fn=None)
 
     def expand(self, pcoll: PCollection) -> PCollection:
+        if (isinstance(self.window_fn, OverlapMergingWindowFn)
+                and not self.force_generic):
+            return self._expand_overlap(pcoll)
         import pandas as pd
         from pyspark.sql import types as T
 

@@ -2098,7 +2098,15 @@ def q_nexmark9(spark, sf_dir):
         starts = pdf["ts"].astype("int64") // 1000  # ns -> us
         return starts, starts + gap_us
 
-    fn = OverlapMergingWindowFn(assign, assign_batch)  # fully vectorized
+    # assign_expr lifts the whole operator into Catalyst: assignment is
+    # an expression and the overlap-merge compiles to the gaps-and-
+    # islands window-function plan (one shuffle on user_id, no Python).
+    # assign/assign_batch stay as the documented fallbacks for
+    # non-expressible assignments.
+    fn = OverlapMergingWindowFn(
+        assign, assign_batch,
+        assign_expr=("unix_micros(ts)",
+                     f"unix_micros(ts) + {gap_us}"))
     pc = (table(spark, sf_dir, "events")
           | MergeCustomWindows(fn, "user_id"))
     out = (pc.df.groupBy("user_id", "__window")

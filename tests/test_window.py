@@ -106,3 +106,70 @@ def test_assert_that_per_window(spark):
         "2024-01-01T00:00:00": [("a", 1)],
         "2024-01-01T00:01:00": [("a", 1)],
     }))
+
+
+def test_overlap_merge_three_paths_agree(spark):
+    """OverlapMergingWindowFn's three assignment routes (assign_expr
+    Catalyst-only, assign_batch mapInPandas stamp, force_generic
+    applyInPandas fold) produce identical merged windows."""
+    from pyspark.sql import functions as F
+
+    from beam_spark.operators.window import (MergeCustomWindows,
+                                             OverlapMergingWindowFn)
+
+    rows = [("2024-01-01 00:00:00", "k1", 1), ("2024-01-01 00:00:40", "k1", 2),
+            ("2024-01-01 00:02:00", "k1", 3), ("2024-01-01 00:02:30", "k2", 4),
+            ("2024-01-01 00:09:59", "k2", 5), ("2024-01-01 00:11:00", "k2", 6)]
+    pc0 = Pipeline(spark) | Create(
+        [{"t": t, "k": k, "v": v} for t, k, v in rows])
+    pc0 = pc0.with_df(pc0.df.withColumn("t", F.col("t").cast("timestamp")),
+                      ts_col="t")
+
+    def assign(row):
+        t = int(row["t"].timestamp() * 1e6)
+        return (t, t + 60_000_000)
+
+    def assign_batch(pdf):
+        starts = pdf["t"].astype("int64") // 1000
+        return starts, starts + 60_000_000
+
+    def run(fn, **kw):
+        out = (pc0 | MergeCustomWindows(fn, "k", **kw)).df
+        return sorted((r["k"], r["v"], r["__window"]["start"].isoformat(),
+                       r["__window"]["end"].isoformat())
+                      for r in out.collect())
+
+    expr_fn = OverlapMergingWindowFn(
+        assign, assign_expr=("unix_micros(t)", "unix_micros(t) + 60000000"))
+    batch_fn = OverlapMergingWindowFn(assign, assign_batch)
+    rowloop_fn = OverlapMergingWindowFn(assign)
+
+    got_expr = run(expr_fn)
+    assert got_expr == run(batch_fn) == run(rowloop_fn) \
+        == run(rowloop_fn, force_generic=True)
+    # k1: first two rows merge ([0,100s)), third separate; k2: 09:59
+    # window [599s, 659s) overlaps 11:00's [660s)? no — 659 < 660.
+    starts = {(k, s) for k, _, s, _ in got_expr}
+    assert ("k1", "2024-01-01T00:00:00") in starts
+    assert ("k1", "2024-01-01T00:02:00") in starts
+
+
+def test_overlap_merge_expr_path_is_pure_catalyst(spark):
+    """With assign_expr, the merged-window plan has NO python stages and
+    a single exchange (the key shuffle the window sort needs)."""
+    from pyspark.sql import functions as F
+
+    from beam_spark.operators.window import (MergeCustomWindows,
+                                             OverlapMergingWindowFn)
+
+    pc = Pipeline(spark) | Create(
+        [{"t": "2024-01-01 00:00:00", "k": "a", "v": 1}])
+    pc = pc.with_df(pc.df.withColumn("t", F.col("t").cast("timestamp")),
+                    ts_col="t")
+    fn = OverlapMergingWindowFn(
+        lambda r: (0, 1),
+        assign_expr=("unix_micros(t)", "unix_micros(t) + 60000000"))
+    out = (pc | MergeCustomWindows(fn, "k")).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "MapInPandas" not in plan
