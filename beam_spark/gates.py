@@ -560,9 +560,16 @@ _SHINGLES = Q._SHINGLES
 
 # Composed oracle for the end-to-end LLM dataprep pipeline: each CTE
 # mirrors one verified stage (QualityScore filter -> ExactDedup keep set
-# -> MinHashLSH near-dup losers [exact-jaccard oracle, same argument as
-# q_dedup_minhash_lsh_pairs: planted pairs have jaccard >= 0.9 and the
-# seeded permutations make the realized candidate set reproducible] ->
+# -> MinHashLSH near-dup losers [exact-jaccard oracle. The REAL LSH
+# guarantee at 16 bands x 8 rows is probabilistic: measured planted
+# pairs sit at jaccard 0.90-0.99 (min 0.90 at sf0.01), where the
+# per-pair miss probability (1-s^8)^16 is ~1.2e-4 at s=0.90 — NOT
+# negligible over many pairs. The gate is exact anyway because the
+# permutations are seed-deterministic: the realized candidate set is a
+# pure function of the data, re-verified against the exact-jaccard
+# oracle at each SF. Fresh testdata with pairs near s=0.9 could
+# legitimately miss under a different seed — an LSH recall property,
+# not an engine bug] ->
 # ChunkText). The fake embedding is unit-norm by construction, so the
 # scalar probes are deterministic: dim=32, round(sq_norm, 4)=1.0.
 _PIPELINE_SQL = f"""

@@ -67,13 +67,18 @@ class ChunkText(PTransform):
 
 class PackSequences(PTransform):
     """Sequence packing for training batches: assign documents to
-    fixed-token-budget bins. Contiguous greedy packing — docs are taken
-    in ``order_col`` order within each ``shard_col`` group and a new bin
-    starts when the running token total would pass ``token_budget``
-    (the standard streaming-packing approximation: each bin holds the
-    docs whose *preceding* cumulative total fits, so a bin can overflow
-    by at most one document — exact bin-packing is NP-hard and
-    non-deterministic under parallelism).
+    fixed-token-budget bins. Contiguous packing by BUDGET-ALIGNED
+    CUMULATIVE INTERVALS: docs are taken in ``order_col`` order within
+    each ``shard_col`` group and doc d lands in bin
+    ``floor((cum_tokens_before_d) / budget)`` — bin k holds the docs
+    whose preceding cumulative total falls in [k*budget, (k+1)*budget).
+    A bin can overflow by at most one document, and (unlike greedy
+    packing with a per-bin reset) an overflowing document's excess
+    reduces the NEXT bin's effective capacity — the cumulative grid
+    stays aligned, which is what makes the assignment a pure windowed
+    expression (exact bin-packing is NP-hard and non-deterministic
+    under parallelism; a greedy-reset variant would need a per-shard
+    applyInPandas pass).
 
     Scale: one window over (shard, order) — shards parallelize the sort
     (one global window would serialize); bin ids are (shard, local_bin)

@@ -257,6 +257,17 @@ def _match_at(masks: Mapping, n_rows: int, start: int,
             max_reps = mx if mx is not None else max(n_rows - pos, mn)
             for count in range(max_reps, mn - 1, -1):
                 yield from reps(pos, count)
+            # SQL-standard empty-group matching: a group whose body can
+            # itself match zero-width (every sub-item optional, e.g.
+            # ((A?) B)) satisfies a min>=1 quantifier with an empty
+            # match — reps() skips no-progress repetitions, so surface
+            # the zero-width candidate explicitly (after all non-empty
+            # candidates: greedy preference order)
+            if mn >= 1:
+                for _l1, p1 in one_rep(alts, pos):
+                    if p1 == pos:
+                        yield [], pos
+                        break
             return
         labels = []
         p = pos

@@ -217,5 +217,9 @@ class HashSample(PTransform):
         for stratum, f_keep in self.fractions.items():
             frac = F.when(F.col(self.stratify_col) == stratum,
                           F.lit(f_keep)).otherwise(frac)
-        out = pcoll.df.filter(bucket < (frac * 10000).cast("bigint"))
+        # round() before the cast: the keep threshold is computed in
+        # binary floats, so e.g. 0.15 * 10000 = 1499.999... and a bare
+        # cast truncates to 1499/10000 — off by one bucket vs exact
+        # decimal arithmetic
+        out = pcoll.df.filter(bucket < F.round(frac * 10000).cast("bigint"))
         return pcoll.with_df(out)

@@ -329,13 +329,23 @@ class ConnectedComponents(PTransform):
     """
 
     def __init__(self, i_col: str = "i", j_col: str = "j",
-                 max_iterations: int = 25, label=None):
+                 max_iterations: int = 25, on_nonconverged: str = "warn",
+                 label=None):
         super().__init__(label)
         self.i_col, self.j_col = i_col, j_col
         self.max_iterations = max_iterations
+        if on_nonconverged not in ("warn", "raise"):
+            raise ValueError("on_nonconverged must be 'warn' or 'raise'")
+        self.on_nonconverged = on_nonconverged
 
     def expand(self, pcoll: PCollection) -> PCollection:
+        import warnings
+
         ic, jc = self.i_col, self.j_col
+        # convergence check sums labels in DECIMAL(38,0): a bigint sum
+        # wraps silently for node ids near 2^62 and could fake (or hide)
+        # a fixed point
+        dec_sum = F.sum(F.col("comp").cast("decimal(38,0)"))
         edges = pcoll.df.select(F.col(ic).alias("a"), F.col(jc).alias("b"))
         # undirected: both directions, once
         sym = edges.union(edges.select(F.col("b").alias("a"),
@@ -346,7 +356,8 @@ class ConnectedComponents(PTransform):
         labels = (sym.groupBy(F.col("a").alias("node"))
                   .agg(F.least(F.min("a"), F.min("b")).alias("comp")))
         labels.persist()
-        prev_sum = labels.agg(F.sum("comp")).first()[0]  # materializes too
+        prev_sum = labels.agg(dec_sum).first()[0]  # materializes too
+        converged = False
         for _ in range(self.max_iterations):
             # candidate labels: own + min over neighbors' current labels
             neighbor = (sym.join(labels, sym["b"] == labels["node"])
@@ -355,16 +366,31 @@ class ConnectedComponents(PTransform):
             new_labels = (labels.select("node", "comp").union(neighbor)
                           .groupBy("node")
                           .agg(F.min("comp").alias("comp")))
-            new_labels.persist()
+            # localCheckpoint, not just persist: each round's plan
+            # references the previous round's, so without lineage
+            # truncation the logical plan DOUBLES per iteration and a
+            # >10-round graph (long chain) OOMs the driver on plan
+            # objects alone
+            new_labels = new_labels.localCheckpoint(eager=True)
             # convergence via one agg, no join: labels only ever
             # DECREASE under min-propagation, so an unchanged sum means
             # a fixed point
-            new_sum = new_labels.agg(F.sum("comp")).first()[0]
+            new_sum = new_labels.agg(dec_sum).first()[0]
             labels.unpersist()
             labels = new_labels
             if new_sum == prev_sum:
+                converged = True
                 break
             prev_sum = new_sum
+        if not converged:
+            msg = (f"ConnectedComponents did not reach a fixed point in "
+                   f"{self.max_iterations} iterations — component labels "
+                   f"are UNCONVERGED (graph diameter exceeds the round "
+                   f"budget; min-label propagation advances one hop per "
+                   f"round on chains). Raise max_iterations.")
+            if self.on_nonconverged == "raise":
+                raise RuntimeError(msg)
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
         # truncate lineage and release every cached intermediate: the
         # result is materialized once, the iteration caches don't leak
         # into the caller's session

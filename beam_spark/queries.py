@@ -55,9 +55,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> PCollection:
         # TIMESTAMP(MICROS) (current testdata — read natively as
         # TIMESTAMP_NTZ). Normalize both to TimestampType micros. The
         # NTZ->timestamp cast is instant-preserving only when the SESSION
-        # timezone is UTC (get_spark() pins spark.sql.session.timeZone);
-        # pin it here too so a caller-built session on a non-UTC host
-        # cannot silently shift every event timestamp.
+        # timezone is UTC, so gate correctness DEPENDS on this conf: pin
+        # it (rather than assert-and-raise) so a caller-built vanilla
+        # session on a non-UTC host runs correctly instead of failing —
+        # the driver harness builds its own session without get_spark().
+        # Runtime SQL conf: takes effect for all reads planned after
+        # this line; deliberate non-UTC analysis sessions should not
+        # route through these gate helpers.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -882,8 +886,8 @@ WITH d AS (SELECT doc_id, 'd' || CAST(doc_id % 3 AS VARCHAR) AS domain
 SELECT doc_id, domain FROM d
 WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
       % 10000
-      < CAST((CASE domain WHEN 'd0' THEN 0.5 WHEN 'd1' THEN 0.25
-              ELSE 0.1 END) * 10000 AS BIGINT)
+      < CAST(round((CASE domain WHEN 'd0' THEN 0.5 WHEN 'd1' THEN 0.25
+              ELSE 0.1 END) * 10000) AS BIGINT)
 """
 
 

@@ -596,6 +596,11 @@ class ReadFromAvroFile(PTransform):
             raise TypeError("top-level Avro schema must be a record")
         ts_cols = [f.name for f in spark_schema.fields
                    if isinstance(f.dataType, T.TimestampType)]
+        # mirror of the write-side conversion: the codec decodes UTC
+        # instants, but Arrow interprets naive datetime64 output as
+        # SESSION-LOCAL wall time — shift into the session tz so the
+        # round-tripped instant is preserved under any session timezone
+        session_tz = spark.conf.get("spark.sql.session.timeZone")
 
         reader_schema = schema
 
@@ -612,6 +617,10 @@ class ReadFromAvroFile(PTransform):
                         records, columns=[f.name for f in spark_schema.fields])
                     for c in ts_cols:
                         out[c] = pd.to_datetime(out[c])
+                        if session_tz not in ("UTC", "Etc/UTC", "GMT"):
+                            out[c] = (out[c].dt.tz_localize("UTC")
+                                      .dt.tz_convert(session_tz)
+                                      .dt.tz_localize(None))
                     yield out
 
         df = files.mapInPandas(gen, schema=spark_schema)
@@ -673,6 +682,13 @@ class WriteToAvroFile(PTransform):
         path, codec, shard_name = self.path, self.codec, self.shard_name
         spark_schema = pcoll.df.schema
         schema_json = json.dumps(spark_to_avro(spark_schema, "topLevelRecord"))
+        # Arrow hands the UDF naive datetimes in SESSION-LOCAL wall time;
+        # Avro timestamp-micros is defined as a UTC instant, so convert
+        # through the session timezone before encoding (what spark-avro
+        # does internally). Top-level columns only: timestamps nested in
+        # arrays/structs arrive as python objects and stay wall-time.
+        session_tz = pcoll.df.sparkSession.conf.get(
+            "spark.sql.session.timeZone")
 
         def _nullify(s):
             # NaN/NaT -> None without tripping on array/map cells (where
@@ -693,6 +709,14 @@ class WriteToAvroFile(PTransform):
         def gen(batches: Iterator["pd.DataFrame"]):
             rows: list[dict] = []
             for pdf in batches:
+                for c in pdf.columns:
+                    s = pdf[c]
+                    if (str(s.dtype).startswith("datetime64")
+                            and getattr(s.dt, "tz", None) is None
+                            and session_tz not in ("UTC", "Etc/UTC", "GMT")):
+                        pdf = pdf.copy()
+                        pdf[c] = (s.dt.tz_localize(session_tz)
+                                  .dt.tz_convert("UTC").dt.tz_localize(None))
                 data = {c: _nullify(pdf[c]) for c in pdf.columns}
                 cols = list(pdf.columns)
                 rows.extend(dict(zip(cols, vals))

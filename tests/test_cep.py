@@ -511,3 +511,23 @@ def test_all_rows_running_measures(spark):
         )""")).df
     got_sql = sorted((r["i"], r["n_a"]) for r in sql_out.collect())
     assert got_sql == [(0, 1), (1, 2), (2, 2)]
+
+
+def test_matcher_empty_group_matches_zero_width():
+    """SQL-standard empty-group matching: a mandatory group whose body
+    is entirely optional — PATTERN ((A?) B) — matches zero-width, so a
+    row matching only B is accepted."""
+    from beam_spark.operators.cep import Seq
+
+    # ((A?) B) on a lone 'b': the group contributes nothing, B matches
+    m = match(rows("b"), 0, [(Seq(("A", "?")), "1"), ("B", "1")])
+    assert m is not None and [(s, i) for s, i in m] == [("B", 0)]
+    # with the optional satisfied, the group still prefers the non-empty
+    # match (greedy)
+    m = match(rows("a", "b"), 0, [(Seq(("A", "?")), "1"), ("B", "1")])
+    assert [(s, i) for s, i in m] == [("A", 0), ("B", 1)]
+    # (A? B?){1} alone on no matching rows: zero-width group can't be
+    # the WHOLE match (no rows consumed -> no match rows), but with a
+    # tail it must not block
+    m = match(rows("c"), 0, [(Seq(("A", "?"), ("B", "?")), "1"), ("C", "1")])
+    assert [(s, i) for s, i in m] == [("C", 0)]

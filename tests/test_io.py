@@ -510,3 +510,36 @@ def test_avro_tz_aware_timestamp_anchor():
     A.write_datum(b, sch, datetime.datetime(1970, 1, 1, 5, 0, tzinfo=tz5))
     got, _ = A.read_long(memoryview(b.getvalue()), 0)
     assert got == 0
+
+
+def test_avro_timestamps_are_utc_instants_in_non_utc_session(spark, tmp_path):
+    """Avro timestamp-micros stores UTC instants. Written from a session
+    with a non-UTC timezone (Arrow hands the writer LOCAL wall times),
+    the on-disk micros must still be the UTC instant, and reading back
+    in that session must return the same instant."""
+    from beam_spark.sources.avro import (ReadFromAvroFile, WriteToAvroFile,
+                                         read_container)
+
+    us = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z
+    ny = spark.newSession()
+    ny.conf.set("spark.sql.session.timeZone", "America/New_York")
+    df = ny.range(1).selectExpr(
+        "id", f"timestamp_micros({us}) AS ts")
+    out_dir = str(tmp_path / "tz_avro")
+    (PCollection(df) | WriteToAvroFile(out_dir)).df.collect()
+
+    import glob
+
+    shard = glob.glob(out_dir + "/part-*.avro")[0]
+    with open(shard, "rb") as f:
+        _, records = read_container(f.read())
+    got = records[0]["ts"]
+    stored_us = int((got - type(got)(1970, 1, 1)).total_seconds()) * 10**6 \
+        + got.microsecond
+    assert stored_us == us  # raw file micros are the UTC instant
+
+    class _P:  # minimal Pipeline shim carrying the NY session
+        spark = ny
+
+    back = (ReadFromAvroFile(out_dir + "/*.avro").expand(_P())).df
+    assert back.selectExpr("unix_micros(ts) AS us").first()["us"] == us

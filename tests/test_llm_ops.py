@@ -180,3 +180,47 @@ def test_connected_components_chain_and_clusters(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
                    (10, 10), (11, 10),
                    (20, 20), (21, 20), (22, 20)}
+
+
+def test_hash_sample_threshold_rounds_not_truncates(spark):
+    """keep fraction 0.15: 0.15 * 10000 = 1499.999... in doubles — the
+    threshold must ROUND to 1500/10000 (exact-decimal semantics), not
+    truncate to 1499, so bucket 1499 is kept."""
+    from beam_spark.operators.combiners import HashSample
+
+    df = spark.range(0, 5000).selectExpr("id AS doc_id", "'d0' AS domain")
+    kept = (PCollection(df)
+            | HashSample("domain", {"d0": 0.15}, id_col="doc_id")).df
+    exact = df.filter(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) "
+        "AS BIGINT) % 10000 < 1500")
+    assert kept.count() == exact.count()
+    assert kept.exceptAll(exact).count() == 0
+
+
+def test_connected_components_large_ids_and_nonconvergence(spark):
+    """Node ids near 2^62: the convergence sum must not wrap (decimal
+    accumulator), and an under-budgeted chain must WARN (or raise) about
+    unconverged labels instead of returning them silently."""
+    import warnings
+
+    import pytest
+
+    from beam_spark.operators.dedupe import ConnectedComponents
+
+    base = 1 << 62
+    chain = [{"i": base + k, "j": base + k + 1} for k in range(12)]
+    pc = Pipeline(spark) | Create(chain)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # converged run must NOT warn
+        out = (pc | ConnectedComponents(max_iterations=25)).df
+        rows = out.collect()
+    assert len(rows) == 13
+    assert {r["comp"] for r in rows} == {base}
+
+    with pytest.warns(RuntimeWarning, match="UNCONVERGED"):
+        (pc | ConnectedComponents(max_iterations=2)).df.collect()
+    with pytest.raises(RuntimeError, match="UNCONVERGED"):
+        (pc | ConnectedComponents(max_iterations=2,
+                                  on_nonconverged="raise")).df.collect()
