@@ -686,20 +686,26 @@ def _runinference_sql() -> str:
 # CEP suite (API + SQL MATCH_RECOGNIZE variants)
 # --------------------------------------------------------------------------
 def q_cep_suite(spark, sf_dir):
-    """Five CEP variants in one gate: the V+ P pattern through BOTH
+    """Seven CEP variants in one gate: the V+ P pattern through BOTH
     front-ends (python MatchRecognize API with the purchase event id
     measure; parsed SQL MATCH_RECOGNIZE clause), the alternation +
     bounded-quantifier pattern V{2,} (C|P) through both front-ends
     (matched alternative folded into the variant tag so label
-    assignment is value-checked), and the WITHIN-bounded funnel
-    (time-boxed run-suffix semantics oracle-verified)."""
+    assignment is value-checked), the WITHIN-bounded funnel (time-boxed
+    run-suffix semantics oracle-verified), and the SUBSET +
+    FIRST/LAST-in-DEFINE pattern S D+ through both front-ends (the
+    SUBSET-measured span length folded into the variant tag)."""
     api = _component("q_cep_views_then_purchase")(spark, sf_dir)
     sql = _component("q_cep_sql_match_recognize")(spark, sf_dir)
     alt_api = _component("q_cep_alternation_api")(spark, sf_dir)
     alt_sql = _component("q_cep_alternation_sql")(spark, sf_dir)
     win = _component("q_cep_within_funnel")(spark, sf_dir)
+    sub_api = _component("q_cep_subset_first_last_api")(spark, sf_dir)
+    sub_sql = _component("q_cep_subset_first_last_sql")(spark, sf_dir)
     alt_sel = ["user_id", "end_event_id AS pev", "n_views",
                "end_value AS purchase_value"]
+    sub_sel = ["user_id", "signup_event_id AS pev", "n_cheap AS n_views",
+               "last_cheap AS purchase_value"]
     return _union([
         api.selectExpr("'api' AS variant", "user_id",
                        "purchase_event_id AS pev", "n_views", "purchase_value"),
@@ -709,6 +715,10 @@ def q_cep_suite(spark, sf_dir):
         alt_sql.selectExpr("'altsql-' || sym AS variant", *alt_sel),
         win.selectExpr("'within' AS variant", "user_id", "pev", "n_views",
                        "purchase_value"),
+        sub_api.selectExpr("'subapi-' || CAST(n_span AS STRING) AS variant",
+                           *sub_sel),
+        sub_sql.selectExpr("'subsql-' || CAST(n_span AS STRING) AS variant",
+                           *sub_sel),
     ])
 
 
@@ -726,6 +736,14 @@ _CEP_SQL = "\nUNION ALL\n".join([
           _component_sql("q_cep_alternation_sql")),
     _wrap("'within' AS variant, user_id, pev, n_views, purchase_value",
           _component_sql("q_cep_within_funnel")),
+    _wrap("'subapi-' || CAST(n_span AS VARCHAR) AS variant, user_id, "
+          "signup_event_id AS pev, n_cheap AS n_views, "
+          "last_cheap AS purchase_value",
+          _component_sql("q_cep_subset_first_last_api")),
+    _wrap("'subsql-' || CAST(n_span AS VARCHAR) AS variant, user_id, "
+          "signup_event_id AS pev, n_cheap AS n_views, "
+          "last_cheap AS purchase_value",
+          _component_sql("q_cep_subset_first_last_sql")),
 ])
 
 

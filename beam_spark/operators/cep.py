@@ -63,28 +63,42 @@ class Define:
     NEIGHBOR rows (PREV/NEXT shifts): their value at the last buffered
     row can change when more data arrives, so the streaming matcher must
     reject them (a frontier evaluation could wrongly release rows).
+
+    ``ctx_fn(cols, pos, acc) -> bool`` is an optional MATCH-STATE
+    predicate evaluated on top of the mask during matching — ``cols``
+    maps column name -> numpy array for the sorted group, ``acc`` is the
+    list of (symbol, row_index) labels already committed in the current
+    candidate match. This is what FIRST/LAST symbol references in DEFINE
+    compile to (``B AS B.value < FIRST(A.value)``). Batch-only: the
+    streaming matcher's phantom-row frontier probe cannot evaluate
+    match-state predicates on rows that do not exist yet.
     """
 
-    __slots__ = ("row_fn", "mask_fn", "frontier_sensitive")
+    __slots__ = ("row_fn", "mask_fn", "frontier_sensitive", "ctx_fn")
 
     def __init__(self, row_fn: Callable | None = None,
                  mask_fn: Callable | None = None,
-                 frontier_sensitive: bool = False):
+                 frontier_sensitive: bool = False,
+                 ctx_fn: Callable | None = None):
         if row_fn is None and mask_fn is None:
             raise ValueError("Define needs row_fn or mask_fn")
         self.row_fn = row_fn
         self.mask_fn = mask_fn
         self.frontier_sensitive = frontier_sensitive
+        self.ctx_fn = ctx_fn
 
 
 def vectorized(mask_fn: Callable, row_fn: Callable | None = None,
-               frontier_sensitive: bool = False) -> Define:
+               frontier_sensitive: bool = False,
+               ctx_fn: Callable | None = None) -> Define:
     """Vectorized symbol predicate: ``mask_fn`` takes the group's sorted
     pandas DataFrame and returns a boolean array (one bit per row). Set
     ``frontier_sensitive=True`` if the mask reads neighboring rows
-    (e.g. ``pdf[c].shift(...)``) — required for streaming correctness."""
+    (e.g. ``pdf[c].shift(...)``) — required for streaming correctness.
+    ``ctx_fn(cols, pos, acc)`` adds a match-state condition (see
+    :class:`Define`)."""
     return Define(row_fn=row_fn, mask_fn=mask_fn,
-                  frontier_sensitive=frontier_sensitive)
+                  frontier_sensitive=frontier_sensitive, ctx_fn=ctx_fn)
 
 
 class Permute:
@@ -193,70 +207,89 @@ def _pattern_min_rows(pattern: list) -> int:
 
 
 def _match_at(masks: Mapping, n_rows: int, start: int,
-              pattern: list) -> list | None:
+              pattern: list, ctx: Mapping | None = None) -> list | None:
     """Greedy backtracking matcher over precomputed masks; returns list
     of (symbol, row_index) or None. Pattern items: (alts|Permute, min,
     max). Quantifier counts and PERMUTE orderings backtrack; within a
     quantified alternation run each row takes the leftmost matching
-    alternative (see module docstring)."""
+    alternative (see module docstring).
+
+    ``ctx`` optionally maps symbol -> ``fn(pos, acc) -> bool``: a
+    MATCH-STATE predicate evaluated on top of the symbol's mask, where
+    ``acc`` is the list of (symbol, row_index) labels committed so far
+    in the current candidate match (the current row NOT included) —
+    this is what FIRST/LAST symbol references in DEFINE compile to.
+    Labels depend only on PRECEDING acc entries, so backtracking a
+    quantifier run keeps its retained prefix valid."""
     import itertools
 
-    def label(alts, pos):
+    ctx = ctx or {}
+
+    def ok(s, pos, acc):
+        if not masks[s][pos]:
+            return False
+        f = ctx.get(s)
+        return True if f is None else bool(f(pos, acc))
+
+    def label(alts, pos, acc):
         for s in alts:
-            if masks[s][pos]:
+            if ok(s, pos, acc):
                 return s
         return None
 
-    def seq_matches(items, p):
-        """Yield (labels, end) for matching a sub-pattern item list."""
+    def seq_matches(items, p, acc):
+        """Yield (acc', end) for matching a sub-pattern item list."""
         if not items:
-            yield [], p
+            yield acc, p
             return
         node, mn, mx = items[0]
         rest = items[1:]
-        for l1, p1 in expand_item(node, mn, mx, p):
-            for l2, p2 in seq_matches(rest, p1):
-                yield l1 + l2, p2
+        for acc1, p1 in expand_item(node, mn, mx, p, acc):
+            yield from seq_matches(rest, p1, acc1)
 
-    def one_rep(node, p):
-        """Yield (labels, end) for ONE repetition of a group node."""
+    def one_rep(node, p, acc):
+        """Yield (acc', end) for ONE repetition of a group node."""
         if isinstance(node, Seq):
-            yield from seq_matches(node.items, p)
+            yield from seq_matches(node.items, p, acc)
         elif isinstance(node, Alt):
             for b in node.branches:
                 if isinstance(b, (Seq, Alt, Permute)):
-                    yield from one_rep(b, p)
+                    yield from one_rep(b, p, acc)
                 else:
                     alts = (b,) if isinstance(b, str) else tuple(b)
                     if p < n_rows:
-                        s = label(alts, p)
+                        s = label(alts, p, acc)
                         if s is not None:
-                            yield [s], p + 1
+                            yield acc + [(s, p)], p + 1
         elif isinstance(node, Permute):
             syms = node.symbols
             k = len(syms)
             if p + k <= n_rows:
                 for perm in itertools.permutations(syms):
-                    if all(masks[s][p + i] for i, s in enumerate(perm)):
-                        yield list(perm), p + k
+                    acc1 = acc
+                    for i, s in enumerate(perm):
+                        if not ok(s, p + i, acc1):
+                            break
+                        acc1 = acc1 + [(s, p + i)]
+                    else:
+                        yield acc1, p + k
 
-    def expand_item(alts, mn, mx, pos):
-        """Yield (labels, end_pos) candidates in preference order
+    def expand_item(alts, mn, mx, pos, acc):
+        """Yield (acc', end_pos) candidates in preference order
         (greedy: more repetitions first; ordering/branch backtracking
         within each count)."""
         if isinstance(alts, (Permute, Seq, Alt)):
-            def reps(p, depth):
+            def reps(p, acc0, depth):
                 if depth == 0:
-                    yield [], p
+                    yield acc0, p
                     return
-                for l1, p1 in one_rep(alts, p):
+                for acc1, p1 in one_rep(alts, p, acc0):
                     if p1 == p:  # zero-width rep: no progress, stop
                         continue
-                    for rest, end in reps(p1, depth - 1):
-                        yield l1 + rest, end
+                    yield from reps(p1, acc1, depth - 1)
             max_reps = mx if mx is not None else max(n_rows - pos, mn)
             for count in range(max_reps, mn - 1, -1):
-                yield from reps(pos, count)
+                yield from reps(pos, acc, count)
             # SQL-standard empty-group matching: a group whose body can
             # itself match zero-width (every sub-item optional, e.g.
             # ((A?) B)) satisfies a min>=1 quantifier with an empty
@@ -264,29 +297,33 @@ def _match_at(masks: Mapping, n_rows: int, start: int,
             # the zero-width candidate explicitly (after all non-empty
             # candidates: greedy preference order)
             if mn >= 1:
-                for _l1, p1 in one_rep(alts, pos):
+                for _a1, p1 in one_rep(alts, pos, acc):
                     if p1 == pos:
-                        yield [], pos
+                        yield acc, pos
                         break
             return
-        labels = []
+        # plain symbol / row-level alternation run: greedy forward scan,
+        # then backtrack on the run LENGTH. Labels committed earlier in
+        # the run stay valid when the tail is cut (prefix-stability).
+        run = []
         p = pos
-        while (mx is None or len(labels) < mx) and p < n_rows:
-            s = label(alts, p)
+        acc_run = acc
+        while (mx is None or len(run) < mx) and p < n_rows:
+            s = label(alts, p, acc_run)
             if s is None:
                 break
-            labels.append(s)
+            run.append((s, p))
+            acc_run = acc_run + [(s, p)] if ctx else acc_run
             p += 1
-        for n in range(len(labels), mn - 1, -1):
-            yield labels[:n], pos + n
+        for n in range(len(run), mn - 1, -1):
+            yield acc + run[:n], pos + n
 
     def rec(pos, pi, acc):
         if pi == len(pattern):
             return acc
         alts, mn, mx = pattern[pi]
-        for labels, end in expand_item(alts, mn, mx, pos):
-            r = rec(end, pi + 1,
-                    acc + [(labels[i], pos + i) for i in range(len(labels))])
+        for acc1, end in expand_item(alts, mn, mx, pos, acc):
+            r = rec(end, pi + 1, acc1)
             if r is not None:
                 return r
         return None
@@ -431,6 +468,13 @@ class MatchRecognize(PTransform):
             # match are ever converted to dicts on the vectorized path.
             cols = {c: pdf[c].to_numpy() for c in pdf.columns}
 
+            # match-state predicates (FIRST/LAST refs in DEFINE): bind
+            # the group's column arrays once; the matcher calls
+            # ctx[sym](pos, acc) on top of the mask bit
+            ctx = {sym: (lambda pos, acc, _f=d.ctx_fn: _f(cols, pos, acc))
+                   for sym, d in defines.items()
+                   if isinstance(d, Define) and d.ctx_fn is not None} or None
+
             def row(i):
                 if records is not None:
                     return records[i]
@@ -460,9 +504,9 @@ class MatchRecognize(PTransform):
                     # start row's time window
                     j_end = int(np.searchsorted(
                         ts_arr, ts_arr[pos] + within_ms, side="right"))
-                    m = _match_at(masks, j_end, pos, pattern)
+                    m = _match_at(masks, j_end, pos, pattern, ctx)
                 else:
-                    m = _match_at(masks, n, pos, pattern)
+                    m = _match_at(masks, n, pos, pattern, ctx)
                 if m:
                     match_rows = [(sym, row(idx)) for sym, idx in m]
                     meas = {name: fn(match_rows)
@@ -530,6 +574,13 @@ class MatchRecognize(PTransform):
                     "more data arrives, so the streaming matcher cannot "
                     "evaluate it safely — use batch mode or rewrite the "
                     "predicate row-locally")
+            if isinstance(d, Define) and d.ctx_fn is not None:
+                raise ValueError(
+                    f"DEFINE {sym} uses a match-state condition "
+                    "(FIRST/LAST symbol reference): the streaming "
+                    "matcher's phantom-row frontier probe cannot "
+                    "evaluate match-state predicates on rows that do "
+                    "not exist yet — use batch mode")
         keys = self.partition_by
         order_by = self.order_by
         ts_col = pcoll.ts_col or order_by[0]

@@ -2615,6 +2615,105 @@ def q_cep_alt_sql(spark, sf_dir):
     return out.df
 
 
+# Oracle for PATTERN (S D+) / SUBSET U = (S, D) /
+# DEFINE D AS view AND value < FIRST(S.value): a match is a signup
+# followed by the maximal contiguous run of views cheaper than the
+# signup, length >= 1. Matches cannot overlap (a signup is never
+# consumed as D — D requires 'view' — so SKIP PAST LAST ROW resumes
+# before the next signup), which is what makes the greedy semantics
+# expressible as a per-signup run computation. stop_rn = first row
+# failing D (null-safe: a NULL value fails D.value < s.value and breaks
+# the run, matching the matcher's NULL-never-matches masks).
+_CEP_SUBSET_ORACLE = """
+WITH e AS (SELECT user_id, event_id, event_type, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+b AS (SELECT s.user_id, s.rn, s.event_id, s.value,
+             COALESCE((SELECT MIN(x.rn) FROM e x
+                       WHERE x.user_id = s.user_id AND x.rn > s.rn
+                         AND (x.event_type <> 'view' OR x.value IS NULL
+                              OR s.value IS NULL OR x.value >= s.value)),
+                      (SELECT MAX(x.rn) + 1 FROM e x
+                       WHERE x.user_id = s.user_id)) AS stop_rn
+      FROM e s WHERE s.event_type = 'signup')
+SELECT b.user_id, b.event_id AS signup_event_id,
+       b.stop_rn - b.rn - 1 AS n_cheap,
+       b.stop_rn - b.rn AS n_span,
+       (SELECT x.value FROM e x
+        WHERE x.user_id = b.user_id AND x.rn = b.stop_rn - 1) AS last_cheap
+FROM b WHERE b.stop_rn - b.rn >= 2
+"""
+
+
+@query("q_cep_subset_first_last_sql", _CEP_SUBSET_ORACLE)
+def q_cep_subset_sql(spark, sf_dir):
+    """SUBSET + FIRST/LAST-in-DEFINE through the SQL front-end: pattern
+    S D+ where D's predicate references the match state (every D row
+    cheaper than the FIRST S row), with a SUBSET union variable U=(S,D)
+    aggregated in MEASURES. FIRST/LAST in DEFINE compile to a
+    match-state ctx predicate the backtracking matcher evaluates on top
+    of the vectorized masks (Define.ctx_fn)."""
+    from beam_spark.sql import SqlTransform
+
+    events = table(spark, sf_dir, "events")
+    out = ({"events": events} | SqlTransform("""
+        SELECT user_id, signup_event_id, n_cheap, n_span, last_cheap
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(S.event_id) AS signup_event_id,
+                   COUNT(D.event_id) AS n_cheap,
+                   COUNT(U.event_id) AS n_span,
+                   LAST(D.value) AS last_cheap
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (S D+)
+          SUBSET U = (S, D)
+          DEFINE S AS S.event_type = 'signup',
+                 D AS D.event_type = 'view' AND D.value < FIRST(S.value)
+        )"""))
+    return out.df
+
+
+@query("q_cep_subset_first_last_api", _CEP_SUBSET_ORACLE)
+def q_cep_subset_api(spark, sf_dir):
+    """The same S D+ / SUBSET / FIRST(S.value) query through the python
+    API: the match-state condition is a ``ctx_fn`` on the D define
+    (cols, pos, acc) -> bool, and the SUBSET measure is an ordinary
+    measure over the (symbol, row) pairs."""
+    from beam_spark.operators.cep import MatchRecognize, vectorized
+
+    def d_ctx(cols, pos, acc):
+        firsts = [i for s, i in acc if s == "S"]
+        if not firsts:
+            return False
+        v, t = cols["value"][pos], cols["value"][firsts[0]]
+        return v is not None and t is not None and v < t
+
+    out = (
+        table(spark, sf_dir, "events")
+        | MatchRecognize(
+            partition_by="user_id",
+            order_by=["ts", "event_id"],
+            pattern=[("S", "1"), ("D", "+")],
+            defines={
+                "S": vectorized(lambda pdf: pdf["event_type"] == "signup"),
+                "D": vectorized(lambda pdf: pdf["event_type"] == "view",
+                                ctx_fn=d_ctx)},
+            measures={
+                "signup_event_id": lambda m: next(
+                    r["event_id"] for s, r in m if s == "S"),
+                "n_cheap": lambda m: sum(1 for s, _ in m if s == "D"),
+                "n_span": lambda m: len(m),  # U = (S, D) spans the match
+                "last_cheap": lambda m: [r["value"] for s, r in m
+                                         if s == "D"][-1],
+            },
+            output_schema=("user_id long, signup_event_id long, "
+                           "n_cheap long, n_span long, last_cheap double"))
+    )
+    return out.df
+
+
 # --------------------------------------------------------------------------
 # M12 — scalar/collection SQL conformance in the gate, mirroring the
 # BeamSqlDsl test families (SURVEY §5): arrays/maps, datetime extraction,

@@ -16,6 +16,7 @@ Supported grammar (the common CEP core):
                | CLASSIFIER() AS alias [, ...]
       [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
       PATTERN (ITEM ITEM ...)
+      [SUBSET U = (S1, S2) [, V = (...)]]
       DEFINE SYM AS <cond> [AND <cond>]* [, ...]
     ) [AS alias]
 
@@ -23,11 +24,18 @@ where ITEM is ``SYM``, an alternation group ``(S1|S2|...)``, or
 ``PERMUTE(S1, S2, ...)`` (all symbols once each in any order, orderings
 tried lexicographically with backtracking), each with an optional
 quantifier ``+ * ?`` or bounded ``{n} {n,} {n,m}``, and <cond> is
-``SYM.col <op> (literal | PREV(SYM.col[, k]) | NEXT(SYM.col[, k]))``
+``SYM.col <op> (literal | PREV(SYM.col[, k]) | NEXT(SYM.col[, k])
+| FIRST(SYM2.col[, k]) | LAST(SYM2.col[, k]))``
 (op: = <> != >= <= > <; PREV/NEXT are row navigation over the sorted
-partition and compile to vectorized column shifts). Symbols without a
-DEFINE match any row (SQL standard). CLASSIFIER() returns the pattern
-variable of the last row of the match (ONE ROW PER MATCH semantics).
+partition and compile to vectorized column shifts; FIRST/LAST are
+MATCH navigation — they read the k-th-from-first / k-th-from-last row
+so far mapped to SYM2 in the current match, RUNNING semantics, and
+compile to a match-state predicate the matcher evaluates during
+backtracking). SUBSET declares union variables usable as SYM2 in
+FIRST/LAST and as the symbol of any MEASURES aggregate (rows mapped to
+any member, in match order). Symbols without a DEFINE match any row
+(SQL standard). CLASSIFIER() returns the pattern variable of the last
+row of the match (ONE ROW PER MATCH semantics).
 DEFINE conditions compile to BOTH a row predicate and a vectorized
 numpy mask — the operator evaluates whole columns, no per-row Python.
 Nested sequence groups / cross-symbol PREV/NEXT references are out of
@@ -48,7 +56,7 @@ _MR_RE = re.compile(
 
 _COND_RE = re.compile(
     r"(\w+)\.(\w+)\s*(=|<>|!=|>=|<=|>|<)\s*"
-    r"(?:(PREV|NEXT)\s*\(\s*(\w+)\.(\w+)\s*(?:,\s*(\d+)\s*)?\)"
+    r"(?:(PREV|NEXT|FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*(?:,\s*(\d+)\s*)?\)"
     r"|('(?:[^'])*'|-?[0-9.]+))", re.IGNORECASE)
 
 _MEASURE_RE = re.compile(
@@ -173,18 +181,33 @@ def parse_pattern(pattern_sql: str) -> list[tuple]:
     return out
 
 
-def _compile_condition(cond_sql: str, symbol: str) -> Define:
+def _compile_condition(cond_sql: str, symbol: str,
+                       subsets: dict | None = None) -> Define:
     """AND-chain of ``SYM.col op (literal | PREV(SYM.col[,k]) |
-    NEXT(SYM.col[,k]))`` comparisons -> Define with a vectorized
-    whole-column mask (NULL never matches, in both paths — including
-    vectorized ``<>``). PREV/NEXT are ROW navigation over the sorted
-    partition (SQL standard): they compile to column shifts, so even
-    cross-row predicates stay fully vectorized; the first/last rows
-    (shift out of range) never match, per the standard's undefined-PREV
-    semantics. A plain row predicate is also provided when no navigation
-    is used (API parity)."""
+    NEXT(SYM.col[,k]) | FIRST(SYM2.col[,k]) | LAST(SYM2.col[,k]))``
+    comparisons -> Define with a vectorized whole-column mask (NULL
+    never matches, in both paths — including vectorized ``<>``).
+
+    PREV/NEXT are ROW navigation over the sorted partition (SQL
+    standard): they compile to column shifts, so even cross-row
+    predicates stay fully vectorized; the first/last rows (shift out of
+    range) never match, per the standard's undefined-PREV semantics.
+
+    FIRST/LAST are MATCH navigation (SQL standard RUNNING semantics):
+    ``LAST(A.price)`` reads the column at the last row so far mapped to
+    A — including the current row if the symbol being defined is (in)
+    A — and ``FIRST(A.price, k)``/``LAST(A.price, k)`` step k rows in
+    from the ends of A's mapped-row list. ``A`` may be a SUBSET union
+    variable. No mapped row (or offset past the list) compares as NULL:
+    never matches. These compile to a match-state ``ctx_fn`` the
+    matcher evaluates on top of the mask (Define.ctx_fn).
+
+    A plain row predicate is also provided when no navigation is used
+    (API parity)."""
+    subsets = subsets or {}
     parts = re.split(r"\s+AND\s+", cond_sql.strip(), flags=re.IGNORECASE)
     tests = []
+    ctx_tests = []
     has_nav = False
     for part in parts:
         m = _COND_RE.fullmatch(part.strip())
@@ -193,7 +216,12 @@ def _compile_condition(cond_sql: str, symbol: str) -> Define:
         sym, col, op, nav, nav_sym, nav_col, nav_k, lit = m.groups()
         if sym.upper() != symbol.upper():
             raise ValueError(f"DEFINE for {symbol} references {sym}")
-        if nav:
+        if nav and nav.upper() in ("FIRST", "LAST"):
+            members = frozenset(
+                s.upper() for s in subsets.get(nav_sym, (nav_sym,)))
+            k = int(nav_k) if nav_k else 0
+            ctx_tests.append((col, op, nav.upper(), members, nav_col, k))
+        elif nav:
             has_nav = True
             k = int(nav_k) if nav_k else 1
             shift = k if nav.upper() == "PREV" else -k
@@ -224,16 +252,44 @@ def _compile_condition(cond_sql: str, symbol: str) -> Define:
                                                       dtype=bool)
         return m
 
-    return Define(row_fn=None if has_nav else predicate, mask_fn=mask,
-                  frontier_sensitive=has_nav)
+    ctx_fn = None
+    if ctx_tests:
+        self_u = symbol.upper()
+
+        def ctx_fn(cols, pos, acc):
+            import pandas as pd
+            for col, op, which, members, tcol, k in ctx_tests:
+                rows = [i for s, i in acc if s.upper() in members]
+                if self_u in members:
+                    rows.append(pos)  # current row maps to the symbol
+                idx = k if which == "FIRST" else len(rows) - 1 - k
+                if idx < 0 or idx >= len(rows):
+                    return False  # NULL reference never matches
+                v = cols[col][pos]
+                t = cols[tcol][rows[idx]]
+                try:
+                    if pd.isna(v) or pd.isna(t):
+                        return False
+                except (TypeError, ValueError):
+                    pass
+                if not _ROW_OPS[op](v, t):
+                    return False
+            return True
+
+    return Define(row_fn=None if (has_nav or ctx_tests) else predicate,
+                  mask_fn=mask, frontier_sensitive=has_nav, ctx_fn=ctx_fn)
 
 
-def _compile_measure(agg: str, sym: str, col: str):
+def _compile_measure(agg: str, sym: str, col: str,
+                     subsets: dict | None = None):
     agg = agg.upper()
-    symu = sym.upper()
+    # SUBSET union variables: a measure over U = (A, B) aggregates the
+    # rows mapped to ANY member symbol, in match order (SQL standard)
+    members = frozenset(
+        s.upper() for s in (subsets or {}).get(sym, (sym,)))
 
     def fn(match_rows):
-        vals = [r[col] for s, r in match_rows if s.upper() == symu]
+        vals = [r[col] for s, r in match_rows if s.upper() in members]
         if agg == "FIRST":
             return vals[0] if vals else None
         if agg == "LAST":
@@ -271,8 +327,18 @@ def try_rewrite_match_recognize(sql: str, spark, tables: dict) -> str:
                 clause("ORDER BY", "MEASURES").split(",")]
     measures_sql = clause("MEASURES", "AFTER MATCH|PATTERN")
     pattern_sql = re.search(
-        r"PATTERN\s*\((.*?)\)\s*(?:WITHIN|DEFINE|AFTER)", body,
+        r"PATTERN\s*\((.*?)\)\s*(?:WITHIN|SUBSET|DEFINE|AFTER)", body,
         re.IGNORECASE | re.DOTALL).group(1)
+    # SUBSET U = (A, B) [, V = (...)]: union variables for MEASURES and
+    # FIRST/LAST references in DEFINE (SQL standard / Flink CEP)
+    subsets: dict[str, tuple] = {}
+    subset_m = re.search(r"SUBSET\s+(.*?)(?=DEFINE)", body,
+                         re.IGNORECASE | re.DOTALL)
+    if subset_m:
+        for ent in re.finditer(r"(\w+)\s*=\s*\(([^)]*)\)",
+                               subset_m.group(1)):
+            subsets[ent.group(1)] = tuple(
+                s.strip() for s in ent.group(2).split(","))
     within_m = re.search(
         r"WITHIN\s+INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)S?",
         body, re.IGNORECASE)
@@ -289,7 +355,8 @@ def try_rewrite_match_recognize(sql: str, spark, tables: dict) -> str:
     for part in re.split(r",\s*(?=\w+\s+AS\s)", define_sql, flags=re.IGNORECASE):
         dm = re.match(r"(\w+)\s+AS\s+(.*)", part.strip(),
                       re.IGNORECASE | re.DOTALL)
-        defines[dm.group(1)] = _compile_condition(dm.group(2), dm.group(1))
+        defines[dm.group(1)] = _compile_condition(dm.group(2), dm.group(1),
+                                                  subsets)
     from beam_spark.operators.cep import _symbols_of
 
     for sym, _ in pattern:  # undefined symbols match any row
@@ -307,7 +374,7 @@ def try_rewrite_match_recognize(sql: str, spark, tables: dict) -> str:
             measures[cls_name] = _classifier_measure
             measure_types.append(f"{cls_name} string")
             continue
-        measures[out_name] = _compile_measure(agg, sym, col)
+        measures[out_name] = _compile_measure(agg, sym, col, subsets)
         t = ("bigint" if agg.upper() == "COUNT"
              else col_types.get(col, "string"))
         measure_types.append(f"{out_name} {t}")
