@@ -458,6 +458,20 @@ def read_datum_resolved(buf: memoryview, pos: int, writer, reader):
 # --------------------------------------------------------------------------
 
 
+def _import_snappy():
+    """snappy codec is optional: the spec framing (block + CRC32 of the
+    uncompressed data) is implemented here, but the compressor itself
+    comes from the python-snappy wheel when present."""
+    try:
+        import snappy
+    except ImportError as exc:
+        raise ValueError(
+            "avro codec 'snappy' needs the python-snappy package "
+            "(not installed in this environment); use codec='deflate' "
+            "or 'null'") from exc
+    return snappy
+
+
 def write_container(path: str, schema_json: str, records: list[dict],
                     codec: str = "deflate", sync: bytes | None = None,
                     block_records: int = 4096) -> int:
@@ -485,6 +499,12 @@ def write_container(path: str, schema_json: str, records: list[dict],
             payload = body.getvalue()
             if codec == "deflate":
                 payload = zlib.compress(payload)[2:-4]  # raw, per spec
+            elif codec == "snappy":
+                # spec: snappy block + 4-byte big-endian CRC32 of the
+                # UNCOMPRESSED data
+                sn = _import_snappy()
+                crc = zlib.crc32(payload) & 0xFFFFFFFF
+                payload = sn.compress(payload) + crc.to_bytes(4, "big")
             elif codec != "null":
                 raise ValueError(f"unsupported codec {codec}")
             head = _io.BytesIO()
@@ -542,6 +562,12 @@ def read_container(data: bytes,
         pos += SYNC_SIZE
         if codec == "deflate":
             payload = zlib.decompress(payload, wbits=-15)
+        elif codec == "snappy":
+            sn = _import_snappy()
+            body, crc = payload[:-4], int.from_bytes(payload[-4:], "big")
+            payload = sn.decompress(body)
+            if (zlib.crc32(payload) & 0xFFFFFFFF) != crc:
+                raise ValueError("snappy block CRC mismatch (corrupt block)")
         elif codec != "null":
             raise ValueError(f"unsupported codec {codec}")
         block = memoryview(payload)

@@ -543,3 +543,29 @@ def test_avro_timestamps_are_utc_instants_in_non_utc_session(spark, tmp_path):
 
     back = (ReadFromAvroFile(out_dir + "/*.avro").expand(_P())).df
     assert back.selectExpr("unix_micros(ts) AS us").first()["us"] == us
+
+
+def test_avro_snappy_codec_roundtrip_or_clean_error(tmp_path):
+    """snappy codec: spec framing (block + CRC32 of uncompressed data)
+    round-trips when python-snappy is present; otherwise requesting it
+    raises a clear ValueError naming the missing package."""
+    import pytest
+
+    from beam_spark.sources import avro as A
+
+    schema = '{"type":"record","name":"r","fields":[{"name":"x","type":"long"}]}'
+    recs = [{"x": i} for i in range(100)]
+    p = str(tmp_path / "t_snappy.avro")
+    try:
+        import snappy  # noqa: F401
+        have = True
+    except ImportError:
+        have = False
+    if not have:
+        with pytest.raises(ValueError, match="python-snappy"):
+            A.write_container(p, schema, recs, codec="snappy")
+        return
+    A.write_container(p, schema, recs, codec="snappy")
+    with open(p, "rb") as f:
+        _, back = A.read_container(f.read())
+    assert back == recs
