@@ -398,3 +398,107 @@ class ConnectedComponents(PTransform):
         labels.unpersist()
         sym.unpersist()
         return pcoll.with_df(final)
+
+
+class Decontaminate(PTransform):
+    """Benchmark decontamination: flag training documents whose word
+    n-grams overlap a benchmark/eval set — the standard pre-training
+    hygiene step (remove eval contamination before training).
+
+    ``benchmark``: a DataFrame with a text column (the eval corpus).
+    Output: one row per input document with ``n_contaminated`` (distinct
+    overlapping n-grams) and ``contaminated``.
+
+    Scale design: the benchmark n-gram set is built once (distinct
+    shingles of the eval corpus — small: benchmarks are MBs, the corpus
+    is TBs) and BROADCAST to the corpus-side join, so the exploded
+    corpus shingles never shuffle; only the HIT rows (rare) shuffle
+    into the per-doc count, and the final left join restores zero-hit
+    docs. No Python anywhere.
+
+    Beam parity: no built-in equivalent; Beam users express this as a
+    side-input lookup per n-gram (the broadcast join is the Spark form
+    of that side input).
+    """
+
+    def __init__(self, benchmark: DataFrame, n: int = 3,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 bench_text_col: str | None = None, label=None):
+        super().__init__(label)
+        self.benchmark = benchmark
+        self.n = n
+        self.text_col, self.id_col = text_col, id_col
+        self.bench_text_col = bench_text_col or text_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        ic = self.id_col
+        # pre-project token arrays (Catalyst does not CSE inside lambda
+        # bodies — see word_shingles_on)
+        docs = pcoll.df.select(
+            ic, tokens(self.text_col).alias("__toks"))
+        doc_grams = docs.select(
+            ic, F.explode(word_shingles_on("__toks", self.n)).alias("gram"))
+        bench = (self.benchmark
+                 .select(tokens(self.bench_text_col).alias("__toks"))
+                 .select(F.explode(
+                     word_shingles_on("__toks", self.n)).alias("gram"))
+                 .distinct())
+        hits = (doc_grams.join(F.broadcast(bench), "gram")
+                .groupBy(ic)
+                .agg(F.count("*").alias("n_contaminated")))
+        out = (pcoll.df.select(ic).join(hits, ic, "left")
+               .select(ic,
+                       F.coalesce("n_contaminated", F.lit(0))
+                       .alias("n_contaminated"))
+               .withColumn("contaminated", F.col("n_contaminated") > 0))
+        return pcoll.with_df(out)
+
+
+class LineDedup(PTransform):
+    """Corpus-level line deduplication (the C4/RefinedWeb step): every
+    line that appears anywhere else in the corpus keeps only its FIRST
+    occurrence (ordered by (doc id, line position)); later copies are
+    dropped and documents are reassembled from their surviving lines.
+
+    Lines shorter than ``min_len`` after trimming (e.g. blank separator
+    lines) pass through untouched — deduplicating those would strip
+    formatting corpus-wide.
+
+    Output: one row per input document — ``text`` (reassembled),
+    ``n_kept``, ``n_dropped``.
+
+    Scale design: two shuffles, both keyed safely — (1) a window over
+    the LINE value assigns first-occurrence rank (hot identical lines
+    concentrate on one key: the very lines this op exists to delete;
+    their rank-1 scan is a single sorted partition pass), (2) the
+    per-document regroup to reassemble text. All expressions, no
+    Python.
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 sep: str = "\n", min_len: int = 1, label=None):
+        super().__init__(label)
+        self.text_col, self.id_col = text_col, id_col
+        self.sep, self.min_len = sep, min_len
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql.window import Window
+
+        ic, tc = self.id_col, self.text_col
+        lines = pcoll.df.select(
+            ic, F.posexplode(F.split(F.col(tc), self.sep, -1))
+            .alias("__pos", "__line"))
+        w = Window.partitionBy("__line").orderBy(ic, "__pos")
+        ranked = lines.withColumn("__rn", F.row_number().over(w))
+        kept = ranked.withColumn(
+            "__keep", (F.col("__rn") == 1)
+            | (F.length(F.trim("__line")) < self.min_len))
+        per_doc = (kept.groupBy(ic).agg(
+            F.concat_ws(self.sep, F.transform(
+                F.array_sort(F.collect_list(F.when(
+                    F.col("__keep"),
+                    F.struct(F.col("__pos"), F.col("__line"))))),
+                lambda s: s["__line"])).alias(tc),
+            F.count_if(F.col("__keep")).alias("n_kept"),
+            F.count_if(~F.col("__keep")).alias("n_dropped")))
+        return pcoll.with_df(per_doc)

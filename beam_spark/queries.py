@@ -980,6 +980,82 @@ def q_dedup_cc(spark, sf_dir):
     return out
 
 
+_DECON_ORACLE = f"""
+WITH b AS (SELECT DISTINCT g
+           FROM (SELECT unnest({_SHINGLES}) AS g
+                 FROM documents WHERE doc_id < 20) _u),
+d AS (SELECT doc_id, unnest({_SHINGLES}) AS g FROM documents),
+h AS (SELECT doc_id, COUNT(*) AS n FROM d JOIN b USING (g)
+      GROUP BY doc_id)
+SELECT documents.doc_id, COALESCE(h.n, 0) AS n_contaminated,
+       COALESCE(h.n, 0) > 0 AS contaminated
+FROM documents LEFT JOIN h ON documents.doc_id = h.doc_id
+"""
+
+
+@query("q_decontaminate_vs_benchmark", _DECON_ORACLE)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (pre-training hygiene): flag documents
+    whose 3-gram shingles overlap the 'benchmark' set (here: the first
+    20 documents standing in for an eval corpus). The benchmark n-gram
+    set is built once and BROADCAST to the corpus-side join — the
+    exploded corpus shingles never shuffle; only hit rows do."""
+    from beam_spark.operators.dedupe import Decontaminate
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.df.filter("doc_id < 20").select("text")
+    out = docs | Decontaminate(bench, n=3)
+    return out.df.select("doc_id", "n_contaminated", "contaminated")
+
+
+# Lines synthesized deterministically from 6-token chunks (TESTDATA
+# documents are single-line); dedup keeps the FIRST (doc_id, pos)
+# occurrence of each line corpus-wide, reassembles survivors.
+_LINEDEDUP_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+c AS (SELECT doc_id,
+             list_transform(
+               range(0, greatest(1, CAST(ceil(len(toks) / 6.0) AS BIGINT))),
+               i -> array_to_string(toks[i*6+1 : i*6+6], ' ')) AS ls
+      FROM t),
+l AS (SELECT doc_id, pos, ls[pos] AS line
+      FROM c, unnest(range(1, len(ls) + 1)) AS u(pos)),
+r AS (SELECT *, row_number() OVER (PARTITION BY line
+                                   ORDER BY doc_id, pos) AS rn
+      FROM l),
+k AS (SELECT doc_id, pos, line,
+             (rn = 1 OR length(trim(line)) < 1) AS keep
+      FROM r)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
+                           ORDER BY pos), '') AS text,
+       count(*) FILTER (WHERE keep) AS n_kept,
+       count(*) FILTER (WHERE NOT keep) AS n_dropped
+FROM k GROUP BY doc_id
+"""
+
+
+@query("q_line_dedup_corpus", _LINEDEDUP_ORACLE)
+def q_line_dedup(spark, sf_dir):
+    """Corpus-level line dedup (C4/RefinedWeb step): every repeated line
+    keeps only its first (doc_id, position) occurrence; documents are
+    reassembled from surviving lines. Lines come from deterministic
+    6-token chunking of the documents (the testdata is single-line)."""
+    from beam_spark.operators.dedupe import LineDedup
+    from beam_spark.operators.text import tokens
+
+    df = table(spark, sf_dir, "documents").df.select(
+        "doc_id", tokens("text").alias("__toks"))
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil(F.size("__toks") / F.lit(6.0)).cast("int"))
+    lines = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i * 6 + 1, 6)))
+    df = df.select("doc_id", F.concat_ws("\n", lines).alias("text"))
+    out = PCollection(df) | LineDedup()
+    return out.df.select("doc_id", "text", "n_kept", "n_dropped")
+
+
 @query("q_dedup_ngram_jaccard_pairs", _JACCARD_ORACLE)
 def q_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram-shingle jaccard near-dup pairs (threshold 0.6):

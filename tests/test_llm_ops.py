@@ -224,3 +224,34 @@ def test_connected_components_large_ids_and_nonconvergence(spark):
     with pytest.raises(RuntimeError, match="UNCONVERGED"):
         (pc | ConnectedComponents(max_iterations=2,
                                   on_nonconverged="raise")).df.collect()
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """Documents sharing a 3-gram with the benchmark are flagged with
+    the distinct-overlap count; clean docs report zero."""
+    from beam_spark.operators.dedupe import Decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "beta gamma delta epsilon"),
+         (3, "zeta eta theta iota"), (4, "x y")],  # 4: too short for 3-grams
+        "doc_id long, text string")
+    bench = spark.createDataFrame([("beta gamma delta mu",)], "text string")
+    out = {tuple(r) for r in
+           (PCollection(docs) | Decontaminate(bench, n=3)).df.collect()}
+    assert out == {(1, 1, True), (2, 1, True), (3, 0, False), (4, 0, False)}
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    """Corpus-wide line dedup: later copies of a line drop, first
+    (doc_id, pos) occurrence survives, docs reassemble in order; blank
+    lines (below min_len) always pass through."""
+    from beam_spark.operators.dedupe import LineDedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b\nc d\ne f"), (2, "c d\ng h"), (3, "c d\n\na b\nx y")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["text"], r["n_kept"], r["n_dropped"]) for r in
+           (PCollection(docs) | LineDedup()).df.collect()}
+    assert out[1] == ("a b\nc d\ne f", 3, 0)
+    assert out[2] == ("g h", 1, 1)
+    assert out[3] == ("\nx y", 2, 2)  # blank line kept, 'c d'/'a b' drop

@@ -169,3 +169,30 @@ def test_nexmark10_sharded_write_one_file_per_destination(spark, sf_dir):
     assert per_dir, "no files written"
     assert max(per_dir.values()) == 1, {
         d: n for d, n in per_dir.items() if n > 1}
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark n-gram set joins BROADCAST (corpus-side exploded
+    shingles never shuffle before the join) and the whole plan is
+    expression-only — no Python stages."""
+    from beam_spark.operators.dedupe import Decontaminate
+    from beam_spark.pcollection import PCollection
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter("doc_id < 20").select("text")
+    out = (PCollection(docs) | Decontaminate(bench, n=3)).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
+
+
+def test_line_dedup_is_expression_only(spark, sf_dir):
+    """LineDedup = two keyed shuffles (line rank, doc regroup), zero
+    Python."""
+    from beam_spark.operators.dedupe import LineDedup
+    from beam_spark.pcollection import PCollection
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = (PCollection(docs) | LineDedup()).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
