@@ -79,6 +79,18 @@ def word_shingles_on(tokens_col: str, n: int = 3) -> Column:
                   f"ELSE array() END")
 
 
+def word_ngrams_all_on(tokens_col: str, n: int) -> Column:
+    """NON-distinct word n-grams over a pre-projected token array —
+    repetition statistics need every occurrence, unlike the deduped
+    shingles word_shingles_on produces."""
+    parts = ", ".join(f"{tokens_col}[i-1+{j}]" if j else f"{tokens_col}[i-1]"
+                      for j in range(n))
+    grams = (f"transform(sequence(1, size({tokens_col}) - {n - 1}), "
+             f"i -> concat_ws(' ', {parts}))")
+    return F.expr(f"CASE WHEN size({tokens_col}) >= {n} THEN {grams} "
+                  f"ELSE array() END")
+
+
 def char_ngrams(col: str | Column, n: int = 3) -> Column:
     """Distinct character n-grams (language-robust shingle alternative)."""
     c = F.lower(F.col(col) if isinstance(col, str) else col)
@@ -253,3 +265,94 @@ class PiiRedact(PTransform):
                 / F.length(F.lit(token))
         df = df.withColumn("pii_count", n.cast("long"))
         return pcoll.with_df(df)
+
+
+class RepetitionStats(PTransform):
+    """Per-document repetition quality signals (the Gopher/RefinedWeb
+    repetition rules): documents dominated by repeated lines or n-grams
+    are low-quality for training and these fractions are the standard
+    filter inputs.
+
+    Appends:
+      ``n_lines``            — line count (split on ``sep``)
+      ``dup_line_frac``      — fraction of line occurrences that are
+                               duplicates (a line appearing c>1 times
+                               contributes all c occurrences)
+      ``dup_line_char_frac`` — fraction of line characters inside
+                               duplicated lines
+      ``top_2gram_frac``     — occurrences of the most frequent word
+                               2-gram / total 2-gram occurrences
+      ``dup_3gram_frac``     — fraction of word-3-gram occurrences that
+                               are duplicates
+
+    Scale design: every metric is computed INSIDE the row with a sorted
+    run-length fold (``array_sort`` + ``F.aggregate``) — documents are
+    independent, so the whole operator is a zero-shuffle map-side
+    projection (plan-asserted); no explode, no groupBy, no Python. Cost
+    is O(items log items) per document for the sort, linear for the
+    fold.
+    """
+
+    def __init__(self, text_col: str = "text", sep: str = "\n", label=None):
+        super().__init__(label)
+        self.text_col, self.sep = text_col, sep
+
+    @staticmethod
+    def _run_fold(sorted_arr: Column) -> Column:
+        """Fold a SORTED string array into run-length statistics:
+        struct(total, dup_occ, max_run, dup_chars, total_chars).
+        A run of length c>1 counts all c occurrences (and c*len chars)
+        as duplicates — when the run reaches 2, the first occurrence is
+        retro-counted."""
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("total"),
+            F.lit(0).cast("long").alias("dup_occ"),
+            F.lit(0).cast("long").alias("max_run"),
+            F.lit(0).cast("long").alias("dup_chars"),
+            F.lit(0).cast("long").alias("total_chars"))
+
+        def merge(acc, x):
+            same = acc["prev"].eqNullSafe(x)
+            new_run = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+            inc = F.when(~same, F.lit(0)).otherwise(
+                F.when(acc["run"] == 1, F.lit(2)).otherwise(F.lit(1)))
+            return F.struct(
+                x.alias("prev"),
+                new_run.alias("run"),
+                (acc["total"] + 1).alias("total"),
+                (acc["dup_occ"] + inc).alias("dup_occ"),
+                F.greatest(acc["max_run"], new_run).alias("max_run"),
+                (acc["dup_chars"] + inc * F.length(x)).alias("dup_chars"),
+                (acc["total_chars"] + F.length(x)).alias("total_chars"))
+
+        return F.aggregate(sorted_arr, init, merge)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        tc = self.text_col
+        df = (pcoll.df
+              .withColumn("__ls", F.array_sort(
+                  F.split(F.col(tc), self.sep, -1)))
+              .withColumn("__toks", tokens(tc)))
+        df = (df
+              .withColumn("__lstat", self._run_fold(F.col("__ls")))
+              .withColumn("__g2", self._run_fold(
+                  F.array_sort(word_ngrams_all_on("__toks", 2))))
+              .withColumn("__g3", self._run_fold(
+                  F.array_sort(word_ngrams_all_on("__toks", 3)))))
+
+        def frac(num: Column, den: Column) -> Column:
+            return F.when(den > 0, num.cast("double") / den).otherwise(
+                F.lit(0.0))
+
+        ls, g2, g3 = F.col("__lstat"), F.col("__g2"), F.col("__g3")
+        out = (df
+               .withColumn("n_lines", ls["total"])
+               .withColumn("dup_line_frac", frac(ls["dup_occ"], ls["total"]))
+               .withColumn("dup_line_char_frac",
+                           frac(ls["dup_chars"], ls["total_chars"]))
+               .withColumn("top_2gram_frac", frac(g2["max_run"], g2["total"]))
+               .withColumn("dup_3gram_frac", frac(g3["dup_occ"], g3["total"]))
+               .drop("__ls", "__toks", "__lstat", "__g2", "__g3"))
+        return pcoll.with_df(out)

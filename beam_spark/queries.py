@@ -1056,6 +1056,71 @@ def q_line_dedup(spark, sf_dir):
     return out.df.select("doc_id", "text", "n_kept", "n_dropped")
 
 
+_REPETITION_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+c AS (SELECT doc_id,
+             list_transform(
+               range(0, greatest(1, CAST(ceil(len(toks) / 6.0) AS BIGINT))),
+               i -> array_to_string(toks[i*6+1 : i*6+6], ' ')) AS ls
+      FROM t),
+l AS (SELECT doc_id, ls[pos] AS line
+      FROM c, unnest(range(1, len(ls) + 1)) AS u(pos)),
+lc AS (SELECT doc_id, line, COUNT(*) AS cnt, length(line) AS len
+       FROM l GROUP BY doc_id, line),
+lagg AS (SELECT doc_id, SUM(cnt) AS n_lines,
+                COALESCE(SUM(cnt) FILTER (WHERE cnt > 1), 0) AS dup_occ,
+                SUM(cnt * len) AS total_chars,
+                COALESCE(SUM(cnt * len) FILTER (WHERE cnt > 1), 0)
+                  AS dup_chars
+         FROM lc GROUP BY doc_id),
+g2 AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+       FROM t, unnest(range(1, len(toks))) AS u(i)),
+g2c AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, g),
+g2a AS (SELECT doc_id, CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_2gram_frac
+        FROM g2c GROUP BY doc_id),
+g3 AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+       FROM t, unnest(range(1, len(toks) - 1)) AS u(i)),
+g3c AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g3 GROUP BY doc_id, g),
+g3a AS (SELECT doc_id,
+               CAST(COALESCE(SUM(cnt) FILTER (WHERE cnt > 1), 0) AS DOUBLE)
+                 / SUM(cnt) AS dup_3gram_frac
+        FROM g3c GROUP BY doc_id)
+SELECT lagg.doc_id, lagg.n_lines,
+       CAST(lagg.dup_occ AS DOUBLE) / lagg.n_lines AS dup_line_frac,
+       CAST(lagg.dup_chars AS DOUBLE)
+         / greatest(lagg.total_chars, 1) AS dup_line_char_frac,
+       COALESCE(g2a.top_2gram_frac, 0.0) AS top_2gram_frac,
+       COALESCE(g3a.dup_3gram_frac, 0.0) AS dup_3gram_frac
+FROM lagg
+LEFT JOIN g2a ON lagg.doc_id = g2a.doc_id
+LEFT JOIN g3a ON lagg.doc_id = g3a.doc_id
+"""
+
+
+@query("q_text_repetition_stats", _REPETITION_ORACLE)
+def q_repetition_stats(spark, sf_dir):
+    """Gopher/RefinedWeb repetition quality signals per document —
+    duplicate-line fraction (occurrence and character weighted), top
+    2-gram dominance, duplicate-3-gram fraction — computed as a
+    ZERO-SHUFFLE map-side projection (array_sort + F.aggregate run-
+    length fold inside each row; docs are independent). Lines come from
+    the same 6-token chunking as q_line_dedup_corpus."""
+    from beam_spark.operators.text import RepetitionStats, tokens
+
+    df = table(spark, sf_dir, "documents").df.select(
+        "doc_id", tokens("text").alias("__toks"))
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil(F.size("__toks") / F.lit(6.0)).cast("int"))
+    lines = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i * 6 + 1, 6)))
+    df = df.select("doc_id", F.concat_ws("\n", lines).alias("text"))
+    out = PCollection(df) | RepetitionStats()
+    return out.df.select("doc_id", "n_lines", "dup_line_frac",
+                         "dup_line_char_frac", "top_2gram_frac",
+                         "dup_3gram_frac")
+
+
 @query("q_dedup_ngram_jaccard_pairs", _JACCARD_ORACLE)
 def q_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram-shingle jaccard near-dup pairs (threshold 0.6):

@@ -255,3 +255,40 @@ def test_line_dedup_first_occurrence_wins(spark):
     assert out[1] == ("a b\nc d\ne f", 3, 0)
     assert out[2] == ("g h", 1, 1)
     assert out[3] == ("\nx y", 2, 2)  # blank line kept, 'c d'/'a b' drop
+
+
+def test_repetition_stats_known_answers(spark):
+    """Hand-computed Gopher-style repetition fractions."""
+    import pytest
+
+    from beam_spark.operators.text import RepetitionStats
+
+    docs = spark.createDataFrame(
+        [(1, "a b\na b\nc d"),        # line 'a b' x2 of 3
+         (2, "x y x y x y"),          # heavy 2-gram repetition
+         (3, "unique words only here")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           (PCollection(docs) | RepetitionStats()).df.collect()}
+    r1 = got[1]
+    assert r1["n_lines"] == 3
+    assert r1["dup_line_frac"] == pytest.approx(2 / 3)
+    assert r1["dup_line_char_frac"] == pytest.approx(6 / 9)
+    assert r1["top_2gram_frac"] == pytest.approx(2 / 5)
+    assert r1["dup_3gram_frac"] == 0.0
+    r2 = got[2]
+    assert r2["top_2gram_frac"] == pytest.approx(3 / 5)
+    assert r2["dup_3gram_frac"] == 1.0
+    assert got[3]["dup_line_frac"] == 0.0
+
+
+def test_repetition_stats_zero_shuffle(spark, sf_dir):
+    """All metrics fold inside the row (array_sort + aggregate): the
+    plan has no Exchange and no Python stages."""
+    from beam_spark.operators.text import RepetitionStats
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = (PCollection(df) | RepetitionStats()).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
