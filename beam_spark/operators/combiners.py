@@ -223,3 +223,57 @@ class HashSample(PTransform):
         # decimal arithmetic
         out = pcoll.df.filter(bucket < F.round(frac * 10000).cast("bigint"))
         return pcoll.with_df(out)
+
+
+class TemperatureSample(PTransform):
+    """Temperature-based domain rebalancing — the multilingual /
+    multi-source mixing step of a training-data pipeline: target domain
+    shares follow p_i ∝ n_i^alpha (alpha=1 keeps natural proportions,
+    alpha→0 flattens toward uniform), and each domain is downsampled
+    deterministically to hit its share of ``target_frac * N`` rows in
+    expectation.
+
+    keep_rate_i = min(1, p_i * target_frac * N / n_i); the keep decision
+    per row is the same md5-hash uniform as HashSample — reproducible
+    across engines, retries, partitionings, and scale factors.
+
+    Scale design: one tiny aggregate (domain counts — thousands of rows)
+    computed ONCE, rates derived on the driver-free plan side and
+    broadcast back onto the stream; the filter itself is map-side.
+
+    Cross-engine determinism note: the rate passes through
+    floor(rate * 1e6 + 0.5) so an oracle recomputing it in another
+    engine compares integers, not raw doubles (pow() may differ in the
+    last ulp across libms; a 1e-6 rate grid absorbs that).
+    """
+
+    def __init__(self, domain_col: str, id_col: str, alpha: float = 0.5,
+                 target_frac: float = 0.5, label=None):
+        super().__init__(label)
+        self.domain_col, self.id_col = domain_col, id_col
+        self.alpha, self.target_frac = float(alpha), float(target_frac)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        dc, ic = self.domain_col, self.id_col
+        df = pcoll.df
+        # p_i = n_i^alpha / sum_j n_j^alpha; rate on a 1e-6 grid
+        weights = df.groupBy(dc).agg(
+            F.count("*").alias("__n"),
+            F.pow(F.count("*"), F.lit(self.alpha)).alias("__w"))
+        stats = weights.groupBy().agg(F.sum("__n").alias("__N"),
+                                      F.sum("__w").alias("__wsum"))
+        rate = F.least(
+            F.lit(1.0),
+            (weights["__w"] / stats["__wsum"])
+            * F.lit(self.target_frac) * stats["__N"] / weights["__n"])
+        rates = (weights.crossJoin(F.broadcast(stats))
+                 .select(F.col(dc),
+                         F.floor(rate * 1_000_000 + F.lit(0.5))
+                         .cast("bigint").alias("__rate_ppm")))
+        bucket = F.expr(
+            f"CAST(conv(substring(md5(CAST({ic} AS STRING)), 1, 8),"
+            f" 16, 10) AS BIGINT) % 1000000")
+        out = (df.join(F.broadcast(rates), dc)
+               .filter(bucket < F.col("__rate_ppm"))
+               .drop("__rate_ppm"))
+        return pcoll.with_df(out)

@@ -907,6 +907,45 @@ def q_hash_sample(spark, sf_dir):
     return out.df.select("doc_id", "domain")
 
 
+_TEMP_SAMPLE_ORACLE = """
+WITH d AS (SELECT doc_id,
+                  CASE WHEN doc_id % 10 < 6 THEN 'big'
+                       WHEN doc_id % 10 < 9 THEN 'mid'
+                       ELSE 'small' END AS domain
+           FROM documents),
+n AS (SELECT domain, COUNT(*) AS cnt FROM d GROUP BY domain),
+tot AS (SELECT SUM(cnt) AS N, SUM(pow(cnt, 0.5)) AS wsum FROM n),
+r AS (SELECT domain,
+             CAST(floor(least(1.0, pow(cnt, 0.5) / wsum * 0.5 * N / cnt)
+                        * 1000000 + 0.5) AS BIGINT) AS ppm
+      FROM n, tot)
+SELECT d.doc_id, d.domain
+FROM d JOIN r USING (domain)
+WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) % 1000000 < r.ppm
+"""
+
+
+@query("q_ml_temperature_sample", _TEMP_SAMPLE_ORACLE)
+def q_temperature_sample(spark, sf_dir):
+    """Temperature-based domain rebalancing (multilingual mixing step):
+    target shares p_i ∝ n_i^0.5 flatten a skewed 60/30/10 synthetic
+    domain split toward uniform at target_frac=0.5; the per-row keep
+    decision is the deterministic md5 hash, and the per-domain rate is
+    snapped to a 1e-6 grid so the oracle compares integers, not raw
+    pow() doubles."""
+    from beam_spark.operators.combiners import TemperatureSample
+
+    docs = table(spark, sf_dir, "documents").df.selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 10 < 6 THEN 'big' "
+        "WHEN doc_id % 10 < 9 THEN 'mid' ELSE 'small' END AS domain")
+    out = (PCollection(docs)
+           | TemperatureSample("domain", id_col="doc_id", alpha=0.5,
+                               target_frac=0.5))
+    return out.df.select("doc_id", "domain")
+
+
 _PACK_ORACLE = f"""
 WITH t AS (SELECT doc_id, doc_id % 4 AS shard,
                   len({_TOK}) AS n_tokens_ws

@@ -292,3 +292,33 @@ def test_repetition_stats_zero_shuffle(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
+
+
+def test_temperature_sample_flattens_toward_targets(spark):
+    """alpha=0.5 rebalancing: kept domain shares approach p_i ~ sqrt(n_i)
+    and the total approaches target_frac; decisions are deterministic
+    (same rows kept on a re-run)."""
+    import math
+
+    from beam_spark.operators.combiners import TemperatureSample
+
+    df = spark.range(0, 4000).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 10 < 8 THEN 'big' ELSE 'small' END AS domain")
+    op = TemperatureSample("domain", id_col="doc_id", alpha=0.5,
+                           target_frac=0.5)
+    kept = (PCollection(df) | op).df
+    counts = {r["domain"]: r["n"] for r in
+              kept.groupBy("domain").agg(
+                  F.count("*").alias("n")).collect()}
+    n_big, n_small = 3200, 800
+    wsum = math.sqrt(n_big) + math.sqrt(n_small)
+    exp_big = min(1.0, math.sqrt(n_big) / wsum * 0.5 * 4000 / n_big) * n_big
+    exp_small = (min(1.0, math.sqrt(n_small) / wsum * 0.5 * 4000 / n_small)
+                 * n_small)
+    assert abs(counts["big"] - exp_big) / exp_big < 0.1
+    assert abs(counts["small"] - exp_small) / exp_small < 0.1
+    # determinism: identical keep set on re-run
+    again = (PCollection(df) | op).df
+    assert kept.exceptAll(again).count() == 0
+    assert again.exceptAll(kept).count() == 0
