@@ -164,3 +164,160 @@ class Enrichment(PTransform):
                 yield pd.concat([pdf.reset_index(drop=True), extra], axis=1)
 
         return pcoll.with_df(pcoll.df.mapInPandas(gen, schema=self.output_schema))
+
+
+class AsOfJoin(PTransform):
+    """Time-series as-of join: each left row picks the LATEST right row
+    with ``right_ts <= left_ts`` for the same key (``direction=
+    'backward'``, the pandas ``merge_asof`` default; ``'forward'``
+    mirrors to the earliest right row with ``right_ts >= left_ts``).
+    Unmatched left rows keep NULL right columns (left-join semantics).
+    ``tolerance`` (seconds) voids matches further away than the bound.
+
+    Spark-first design — the union + last-value window trick, NOT a
+    pairwise join: right rows are tagged and UNIONED with left rows,
+    one sort per key over the merged timeline stamps every left row
+    with the running last right payload. One shuffle on the key, no
+    per-key cross-product (a range theta-join explodes on hot keys),
+    no Python. Beam has no as-of operator (SURVEY §2.4 bonus row);
+    users hand-roll this same trick over GroupByKey.
+
+    Ties (right_ts == left_ts) match, per the standard inclusive
+    semantics. Duplicate right timestamps per key: the LAST one in
+    ``(right_ts, order of union)`` wins — dedupe the right side first
+    for full determinism (the gate query does max_by).
+    """
+
+    def __init__(self, right: DataFrame, on, left_ts: str,
+                 right_ts: str | None = None, direction: str = "backward",
+                 tolerance: float | None = None, suffix: str = "_r",
+                 label=None):
+        super().__init__(label)
+        if direction not in ("backward", "forward"):
+            raise ValueError("direction must be 'backward' or 'forward'")
+        self.right = right
+        self.on = [on] if isinstance(on, str) else list(on)
+        self.left_ts = left_ts
+        self.right_ts = right_ts or left_ts
+        self.direction = direction
+        self.tolerance = tolerance
+        self.suffix = suffix
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql.window import Window
+
+        keys = self.on
+        left, right = pcoll.df, self.right
+        rpay = [c for c in right.columns if c not in keys]
+        lcols = list(left.columns)
+
+        # merged timeline in event-time micros; forward = backward on
+        # the negated axis
+        sign = -1 if self.direction == "forward" else 1
+        t_us = lambda c: F.unix_micros(F.col(c).cast("timestamp")) * sign  # noqa: E731
+
+        l_tag = (left
+                 .withColumn("__t", t_us(self.left_ts))
+                 .withColumn("__tag", F.lit(1))
+                 .withColumn("__rp", F.lit(None).cast(
+                     "struct<" + ",".join(
+                         f"`{c}`:{right.schema[c].dataType.simpleString()}"
+                         for c in rpay) + ">"))
+                 .select(*keys, "__t", "__tag", "__rp",
+                         F.struct(*lcols).alias("__lp")))
+        r_tag = (right
+                 .withColumn("__t", t_us(self.right_ts))
+                 .withColumn("__tag", F.lit(0))
+                 .select(*keys, "__t", "__tag",
+                         F.struct(*rpay).alias("__rp"),
+                         F.lit(None).cast(
+                             l_tag.schema["__lp"].dataType).alias("__lp")))
+
+        merged = l_tag.unionByName(r_tag)
+        # right rows (tag 0) sort before left rows at equal time, so an
+        # exact-tie right row is visible to the left row (inclusive)
+        w = (Window.partitionBy(*keys).orderBy("__t", "__tag")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        stamped = (merged
+                   .withColumn("__last_rp",
+                               F.last("__rp", ignorenulls=True).over(w))
+                   .withColumn("__last_rt", F.last(
+                       F.when(F.col("__tag") == 0, F.col("__t")),
+                       ignorenulls=True).over(w)))
+        out = stamped.filter(F.col("__tag") == 1)
+        if self.tolerance is not None:
+            tol_us = int(self.tolerance * 1_000_000)
+            in_tol = (F.col("__t") - F.col("__last_rt")) <= tol_us
+            out = out.withColumn(
+                "__last_rp", F.when(in_tol, F.col("__last_rp")))
+        cols = [F.col("__lp")[c].alias(c) for c in lcols]
+        cols += [F.col("__last_rp")[c].alias(
+            c + (self.suffix if c in lcols else "")) for c in rpay]
+        return pcoll.with_df(out.select(*cols))
+
+
+class IntervalJoin(PTransform):
+    """Flink-style interval join: pair each left row with every right
+    row of the same key whose time lies in
+    ``[left_ts + lower, left_ts + upper]`` seconds (bounds inclusive,
+    ``lower`` usually negative). Inner-join semantics.
+
+    Spark-first design: a naive key equi-join + range filter computes a
+    full per-key cross product before filtering — quadratic on hot
+    keys. Instead both sides are bucketed by a window of width
+    ``upper - lower``: a left row can only match rights in (at most)
+    two adjacent buckets, so it is exploded to those bucket ids and the
+    join runs on (key, bucket) with the exact range re-checked. Join
+    fan-in is bounded by rows-per-bucket, not rows-per-key. All
+    expressions, no Python.
+    """
+
+    def __init__(self, right: DataFrame, on, left_ts: str,
+                 right_ts: str | None = None, lower: float = -60.0,
+                 upper: float = 0.0, suffix: str = "_r", label=None):
+        super().__init__(label)
+        if upper < lower:
+            raise ValueError("upper must be >= lower")
+        self.right = right
+        self.on = [on] if isinstance(on, str) else list(on)
+        self.left_ts = left_ts
+        self.right_ts = right_ts or left_ts
+        self.lower, self.upper = float(lower), float(upper)
+        self.suffix = suffix
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        keys = self.on
+        left, right = pcoll.df, self.right
+        lo_us = int(self.lower * 1_000_000)
+        hi_us = int(self.upper * 1_000_000)
+        w_us = max(1, hi_us - lo_us)
+        lcols = list(left.columns)
+        rpay = [c for c in right.columns if c not in keys]
+
+        lt = F.unix_micros(F.col(self.left_ts).cast("timestamp"))
+        l_b = (left
+               .withColumn("__lt", lt)
+               .withColumn("__bkt", F.explode(F.array_distinct(F.array(
+                   F.floor((F.col("__lt") + lo_us) / w_us),
+                   F.floor((F.col("__lt") + hi_us) / w_us)))))
+               .select(*[F.col(c) for c in keys], "__lt", "__bkt",
+                       F.struct(*lcols).alias("__lp")))
+        rt = F.unix_micros(F.col(self.right_ts).cast("timestamp"))
+        r_b = (right
+               .withColumn("__rt", rt)
+               .withColumn("__bkt", F.floor(F.col("__rt") / w_us))
+               .select(*[F.col(c).alias(f"__rk_{c}") for c in keys],
+                       "__rt", "__bkt",
+                       F.struct(*rpay).alias("__rp")))
+
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & (l_b[k] == r_b[f"__rk_{k}"])
+        cond = cond & (l_b["__bkt"] == r_b["__bkt"])
+        joined = (l_b.join(r_b, cond)
+                  .filter(F.col("__rt").between(F.col("__lt") + lo_us,
+                                                F.col("__lt") + hi_us)))
+        cols = [F.col("__lp")[c].alias(c) for c in lcols]
+        cols += [F.col("__rp")[c].alias(
+            c + (self.suffix if c in lcols else "")) for c in rpay]
+        return pcoll.with_df(joined.select(*cols))

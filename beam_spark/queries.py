@@ -2826,6 +2826,81 @@ FROM b WHERE b.stop_rn - b.rn >= 2
 """
 
 
+_ASOF_ORACLE = """
+WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events WHERE event_type = 'purchase'),
+s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             max(event_id) AS signup_event_id,
+             arg_max(value, event_id) AS signup_value
+      FROM events WHERE event_type = 'signup'
+      GROUP BY user_id, ts)
+SELECT p.user_id, p.event_id AS purchase_event_id,
+       epoch_us(p.ts) AS t_us, s.signup_event_id, s.signup_value
+FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
+@query("q_asof_join_purchase_signup", _ASOF_ORACLE)
+def q_asof_join(spark, sf_dir):
+    """As-of join (time-series point lookup): each purchase picks the
+    LATEST signup at-or-before it per user — executed with the
+    union + last-value-window plan (ONE shuffle on the key, no per-key
+    range cross-product, no Python). Oracle: DuckDB's native
+    ASOF LEFT JOIN. Right side deduped to unique (user, ts) by max
+    event id so both engines pick the same row on timestamp ties."""
+    from beam_spark.operators.join import AsOfJoin
+
+    ev = table(spark, sf_dir, "events").df
+    purchases = (ev.filter("event_type = 'purchase'")
+                 .select("user_id", "event_id", "ts", "value"))
+    signups = (ev.filter("event_type = 'signup'")
+               .groupBy("user_id", "ts")
+               .agg(F.max("event_id").alias("signup_event_id"),
+                    F.max_by("value", "event_id").alias("signup_value")))
+    out = (PCollection(purchases)
+           | AsOfJoin(signups, on="user_id", left_ts="ts"))
+    return out.df.select(
+        "user_id", F.col("event_id").alias("purchase_event_id"),
+        F.unix_micros("ts").alias("t_us"),
+        "signup_event_id", "signup_value")
+
+
+_INTERVAL_ORACLE = """
+WITH p AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      FROM events WHERE event_type = 'click')
+SELECT p.user_id, p.event_id AS purchase_event_id,
+       c.event_id AS click_event_id, c.value AS click_value
+FROM p JOIN c ON p.user_id = c.user_id
+             AND c.t BETWEEN p.t - 3600000000 AND p.t
+"""
+
+
+@query("q_interval_join_clicks_before_purchase", _INTERVAL_ORACLE)
+def q_interval_join(spark, sf_dir):
+    """Interval join (Flink-style bounded time join): every click of
+    the same user within the hour before each purchase. Both sides
+    bucket by the window width and join on (key, bucket) — fan-in is
+    bounded by rows-per-bucket instead of the per-key cross product a
+    naive range theta-join computes. Oracle: the plain SQL range join."""
+    from beam_spark.operators.join import IntervalJoin
+
+    ev = table(spark, sf_dir, "events").df
+    purchases = (ev.filter("event_type = 'purchase'")
+                 .select("user_id", "event_id", "ts"))
+    clicks = (ev.filter("event_type = 'click'")
+              .select("user_id",
+                      F.col("event_id").alias("click_event_id"),
+                      F.col("value").alias("click_value"), "ts"))
+    out = (PCollection(purchases)
+           | IntervalJoin(clicks, on="user_id", left_ts="ts",
+                          right_ts="ts", lower=-3600, upper=0))
+    return out.df.select(
+        "user_id", F.col("event_id").alias("purchase_event_id"),
+        "click_event_id", "click_value")
+
+
 @query("q_cep_subset_first_last_sql", _CEP_SUBSET_ORACLE)
 def q_cep_subset_sql(spark, sf_dir):
     """SUBSET + FIRST/LAST-in-DEFINE through the SQL front-end: pattern

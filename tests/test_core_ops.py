@@ -314,3 +314,88 @@ def test_combine_values_builtin_and_callable(spark):
                   lambda vs: "+".join(map(str, sorted(vs))),
                   output_type="string")).df.collect()}
     assert joined == {"a": "1+2", "b": "5"}
+
+
+def test_asof_join_modes(spark):
+    """Backward (inclusive tie), forward, and tolerance semantics of the
+    as-of join; unmatched rows keep NULL right columns."""
+    from pyspark.sql import functions as F
+
+    from beam_spark.operators.join import AsOfJoin
+    from beam_spark.pcollection import PCollection
+
+    trades = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:05", 100.0),
+         (1, "2024-01-01 00:00:15", 101.0),
+         (2, "2024-01-01 00:00:10", 50.0)],
+        "k long, t string, px double").withColumn(
+            "t", F.col("t").cast("timestamp"))
+    quotes = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:04", 99.5),
+         (1, "2024-01-01 00:00:15", 100.9),   # exact tie with a trade
+         (2, "2024-01-01 00:00:20", 49.9)],
+        "k long, t string, bid double").withColumn(
+            "t", F.col("t").cast("timestamp"))
+
+    def run(**kw):
+        out = (PCollection(trades) | AsOfJoin(quotes, on="k",
+                                              left_ts="t", **kw)).df
+        return {(r["k"], r["px"]): r["bid"] for r in out.collect()}
+
+    back = run()
+    assert back == {(1, 100.0): 99.5, (1, 101.0): 100.9, (2, 50.0): None}
+    fwd = run(direction="forward")
+    assert fwd == {(1, 100.0): 100.9, (1, 101.0): 100.9, (2, 50.0): 49.9}
+    tol = run(tolerance=5)
+    assert tol == {(1, 100.0): 99.5, (1, 101.0): 100.9, (2, 50.0): None}
+
+
+def test_asof_join_single_shuffle_no_python(spark):
+    """The union + last-value-window plan shuffles ONCE on the key and
+    contains no Python stages (no per-key range cross-product)."""
+    from pyspark.sql import functions as F
+
+    from beam_spark.operators.join import AsOfJoin
+    from beam_spark.pcollection import PCollection
+
+    left = spark.range(100).selectExpr(
+        "id % 5 AS k", "timestamp_micros(id * 1000000) AS t", "id AS v")
+    right = spark.range(20).selectExpr(
+        "id % 5 AS k", "timestamp_micros(id * 5000000) AS t", "id AS w")
+    out = (PCollection(left) | AsOfJoin(right, on="k", left_ts="t")).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
+
+
+def test_interval_join_bounds_inclusive(spark):
+    """[lower, upper] bounds are inclusive; cross-key rows never match;
+    the bucketed plan equals the naive range join."""
+    from pyspark.sql import functions as F
+
+    from beam_spark.operators.join import IntervalJoin
+    from beam_spark.pcollection import PCollection
+
+    l = spark.createDataFrame([(1, "2024-01-01 00:02:00", "p1")],
+                              "k long, t string, pid string").withColumn(
+        "t", F.col("t").cast("timestamp"))
+    r = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:59", "early"),   # 61s before: out
+         (1, "2024-01-01 00:01:00", "edge_lo"),  # exactly -60s: in
+         (1, "2024-01-01 00:01:30", "mid"),
+         (1, "2024-01-01 00:02:00", "edge_hi"),  # exactly 0s: in
+         (1, "2024-01-01 00:02:01", "late"),     # after: out
+         (2, "2024-01-01 00:01:30", "wrong_key")],
+        "k long, t string, cid string").withColumn(
+        "t", F.col("t").cast("timestamp"))
+    out = (PCollection(l) | IntervalJoin(r, on="k", left_ts="t",
+                                         lower=-60, upper=0)).df
+    got = sorted(x["cid"] for x in out.collect())
+    assert got == ["edge_hi", "edge_lo", "mid"]
+    # cross-check vs the naive range join on the same frames
+    naive = (l.alias("l").join(
+        r.alias("r"),
+        (F.col("l.k") == F.col("r.k"))
+        & F.unix_micros("r.t").between(
+            F.unix_micros("l.t") - 60_000_000, F.unix_micros("l.t"))))
+    assert naive.count() == len(got)
