@@ -319,10 +319,18 @@ class ConnectedComponents(PTransform):
     driver only sees a changed-row COUNT per round. Near-dup components
     are near-cliques (tiny diameter), so rounds ~ 2-3 in practice;
     ``max_iterations`` bounds adversarial chains, and every round
-    persists its labels and unpersists the previous lineage so the plan
-    doesn't grow (the alternating large-star/small-star formulation
-    drops in here if log-diameter convergence is ever needed — same
-    per-round shape).
+    checkpoints its labels so the plan doesn't grow.
+
+    ``algorithm='star'`` switches to the alternating large-star /
+    small-star formulation (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): each large-star round hangs every
+    HIGHER-numbered neighbor of u off min(N(u) ∪ {u}), each small-star
+    round re-hangs the lower neighbors — component diameter roughly
+    halves per round pair, so a diameter-D chain converges in O(log D)
+    rounds instead of D. Same per-round shape (one groupBy + join);
+    choose it when the pair graph may contain long chains (default
+    'label' is 2-3 rounds on the near-clique graphs near-dup pipelines
+    produce).
 
     Beam parity: the reference has no built-in CC; Beam users hand-roll
     this same loop over GroupByKey (or export to a graph engine).
@@ -330,16 +338,112 @@ class ConnectedComponents(PTransform):
 
     def __init__(self, i_col: str = "i", j_col: str = "j",
                  max_iterations: int = 25, on_nonconverged: str = "warn",
-                 label=None):
+                 algorithm: str = "label", label=None):
         super().__init__(label)
         self.i_col, self.j_col = i_col, j_col
         self.max_iterations = max_iterations
         if on_nonconverged not in ("warn", "raise"):
             raise ValueError("on_nonconverged must be 'warn' or 'raise'")
         self.on_nonconverged = on_nonconverged
+        if algorithm not in ("label", "star"):
+            raise ValueError("algorithm must be 'label' or 'star'")
+        self.algorithm = algorithm
+
+    def _nonconverged(self):
+        import warnings
+
+        msg = (f"ConnectedComponents did not reach a fixed point in "
+               f"{self.max_iterations} iterations — component labels "
+               f"are UNCONVERGED. Raise max_iterations"
+               + (" (or use algorithm='star' for log-diameter "
+                  "convergence on chain-shaped graphs)."
+                  if self.algorithm == "label" else "."))
+        if self.on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=3)
+
+    def _expand_star(self, pcoll: PCollection) -> PCollection:
+        """Alternating large-star / small-star rounds to a fixed point.
+
+        Edge invariant: the (directed, deduped) edge set always links
+        each node toward a smaller node of its component; at the fixed
+        point it is a star forest (v -> component min). Convergence is
+        detected by an order-insensitive edge-set fingerprint
+        (count + sum of per-edge hashes) going stable — both phases are
+        deterministic given the edge SET, so equal fingerprints mean
+        equal sets here."""
+        ic, jc = self.i_col, self.j_col
+        edges = (pcoll.df
+                 .select(F.greatest(F.col(ic), F.col(jc)).alias("u"),
+                         F.least(F.col(ic), F.col(jc)).alias("v"))
+                 .filter(F.col("u") != F.col("v"))
+                 .distinct()
+                 .localCheckpoint(eager=True))
+        nodes = (pcoll.df.select(F.col(ic).alias("node"))
+                 .union(pcoll.df.select(F.col(jc).alias("node")))
+                 .distinct()
+                 .localCheckpoint(eager=True))
+
+        def fingerprint(e):
+            row = e.agg(
+                F.count("*").alias("n"),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")
+            ).first()
+            return (row["n"], row["h"])
+
+        def large_star(e):
+            # undirected view; m(u) = min over N(u) ∪ {u}; for every
+            # neighbor w > u: edge (w, m(u))
+            sym = e.select("u", "v").union(
+                e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            mins = sym.groupBy("u").agg(
+                F.least(F.min("v"), F.first("u")).alias("m"))
+            out = (sym.join(mins, "u")
+                   .filter(F.col("v") > F.col("u"))
+                   .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                   .filter(F.col("u") != F.col("v"))
+                   .distinct())
+            return out
+
+        def small_star(e):
+            # edges already point big -> small; per node u with smaller
+            # neighbors N: m = min(N); re-hang N ∪ {u} \ {m} on m
+            mins = e.groupBy("u").agg(F.min("v").alias("m"))
+            hang_nbrs = (e.join(mins, "u")
+                         .filter(F.col("v") != F.col("m"))
+                         .select(F.col("v").alias("u"),
+                                 F.col("m").alias("v")))
+            hang_self = mins.select(F.col("u"), F.col("m").alias("v"))
+            return (hang_nbrs.union(hang_self)
+                    .filter(F.col("u") != F.col("v"))
+                    .distinct())
+
+        prev_fp = fingerprint(edges)
+        converged = False
+        for _ in range(self.max_iterations):
+            stepped = small_star(large_star(edges)).localCheckpoint(
+                eager=True)
+            fp = fingerprint(stepped)
+            edges = stepped
+            if fp == prev_fp:
+                converged = True
+                break
+            prev_fp = fp
+        if not converged:
+            self._nonconverged()
+        # at the fixed point edges form a star forest: u -> its root.
+        # Roots themselves (and isolated self-edges) get comp = node.
+        labels = (nodes.join(edges.withColumnRenamed("u", "node"),
+                             "node", "left")
+                  .select("node",
+                          F.coalesce("v", "node").alias("comp"))
+                  .groupBy("node").agg(F.min("comp").alias("comp")))
+        final = labels.localCheckpoint(eager=True)
+        return pcoll.with_df(final)
 
     def expand(self, pcoll: PCollection) -> PCollection:
-        import warnings
+        if self.algorithm == "star":
+            return self._expand_star(pcoll)
 
         ic, jc = self.i_col, self.j_col
         # convergence check sums labels in DECIMAL(38,0): a bigint sum
@@ -383,14 +487,7 @@ class ConnectedComponents(PTransform):
                 break
             prev_sum = new_sum
         if not converged:
-            msg = (f"ConnectedComponents did not reach a fixed point in "
-                   f"{self.max_iterations} iterations — component labels "
-                   f"are UNCONVERGED (graph diameter exceeds the round "
-                   f"budget; min-label propagation advances one hop per "
-                   f"round on chains). Raise max_iterations.")
-            if self.on_nonconverged == "raise":
-                raise RuntimeError(msg)
-            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+            self._nonconverged()
         # truncate lineage and release every cached intermediate: the
         # result is materialized once, the iteration caches don't leak
         # into the caller's session

@@ -322,3 +322,35 @@ def test_temperature_sample_flattens_toward_targets(spark):
     again = (PCollection(df) | op).df
     assert kept.exceptAll(again).count() == 0
     assert again.exceptAll(kept).count() == 0
+
+
+def test_connected_components_star_log_convergence_and_equivalence(spark):
+    """algorithm='star' (large-star/small-star): a 120-node chain
+    converges well inside 12 rounds (label propagation needs ~120), and
+    labels equal the label-propagation result on a random multi-
+    component graph."""
+    import random
+
+    from beam_spark.operators.dedupe import ConnectedComponents
+
+    # chain 0-1-2-...-120: log-diameter convergence
+    chain = [{"i": k, "j": k + 1} for k in range(120)]
+    out = (Pipeline(spark) | Create(chain)
+           | ConnectedComponents(algorithm="star", max_iterations=12)).df
+    rows = out.collect()
+    assert len(rows) == 121
+    assert {r["comp"] for r in rows} == {0}
+
+    # random graph, several components: star == label propagation
+    rnd = random.Random(7)
+    edges = [{"i": rnd.randrange(0, 60) + 1000 * rnd.randrange(0, 4),
+              "j": rnd.randrange(0, 60) + 1000 * rnd.randrange(0, 4)}
+             for _ in range(150)]
+    edges = [e for e in edges if e["i"] != e["j"]]
+    star = {(r["node"], r["comp"]) for r in
+            (Pipeline(spark) | Create(edges)
+             | ConnectedComponents(algorithm="star")).df.collect()}
+    label = {(r["node"], r["comp"]) for r in
+             (Pipeline(spark) | Create(edges)
+              | ConnectedComponents()).df.collect()}
+    assert star == label
