@@ -260,6 +260,107 @@ class EmbeddingNearDupPairs(PTransform):
         return pcoll.with_df(out)
 
 
+class SemDeDup(PTransform):
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with a coarse
+    quantizer, then — WITHIN each cluster only — mark a point as a
+    duplicate when it has cosine >= ``threshold`` with an earlier-id
+    point of the same cluster. The earlier point survives as the
+    canonical representative; downstream drops ``is_dup = 1`` rows.
+
+    The quadratic pair scan is confined to one cluster (the SemDeDup
+    design point: n_clusters scales with corpus size so cluster
+    populations stay bounded; the paper uses K ~ sqrt(N)). No
+    reference-repo counterpart — this extends the training-data surface.
+
+    Clustering: deterministic seed centroids (the ``n_clusters``
+    smallest-id vectors, normalized) so the result is a pure function of
+    the data — the mode the DuckDB oracle replicates. ``lloyd_iters > 0``
+    refines the seeds with numpy Lloyd rounds over a bounded
+    deterministic sample (same scheme as IvfCosineTopK) for better
+    balance at the cost of oracle reproducibility.
+
+    Scale: seeds/centroids are a K x dim closure matrix (bounded);
+    assignment is a zero-shuffle projection (JVM expression argmax over
+    dot products); the intra-cluster self-join shuffles on cluster_id
+    only. Output is one row per input vector: (id, cluster_id, is_dup).
+    """
+
+    MAX_SEED_COLLECT = 4096
+
+    def __init__(self, n_clusters: int = 8, threshold: float = 0.35,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 lloyd_iters: int = 0, fit_sample: int = 2048, label=None):
+        super().__init__(label)
+        if n_clusters > self.MAX_SEED_COLLECT:
+            raise ValueError(
+                f"n_clusters caps at {self.MAX_SEED_COLLECT} (centroids "
+                "ride in the task closure)")
+        self.n_clusters, self.threshold = int(n_clusters), threshold
+        self.id_col, self.vec_col = id_col, vec_col
+        self.lloyd_iters, self.fit_sample = lloyd_iters, fit_sample
+
+    def _centroids(self, df):
+        """(sids, matrix): seed ids + row-normalized float64 centroids."""
+        import numpy as np
+
+        rows = (df.select(self.id_col, self.vec_col)
+                .orderBy(self.id_col).limit(self.n_clusters).collect())
+        sids = [int(r[0]) for r in rows]
+        C = np.array([r[1] for r in rows], dtype=np.float64)
+        C = C / np.linalg.norm(C, axis=1, keepdims=True)
+        if self.lloyd_iters:
+            sample = (df.select(self.vec_col)
+                      .orderBy(F.xxhash64(self.id_col))
+                      .limit(self.fit_sample).collect())
+            X = np.array([r[0] for r in sample], dtype=np.float64)
+            X = X / np.linalg.norm(X, axis=1, keepdims=True)
+            for _ in range(self.lloyd_iters):
+                assign = (X @ C.T).argmax(axis=1)
+                for c in range(self.n_clusters):
+                    members = X[assign == c]
+                    if len(members):
+                        m = members.mean(axis=0)
+                        C[c] = m / (np.linalg.norm(m) or 1.0)
+        return sids, C
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        idc, vc, threshold = self.id_col, self.vec_col, self.threshold
+        sids, C = self._centroids(pcoll.df)
+
+        # argmax over dot(vec, normalized-centroid) == argmax cosine
+        # (row norm is a positive per-row constant). Centroid literals are
+        # double, so zip_with products run in double. First-max index on
+        # ties == smallest seed id (seeds are id-ordered).
+        dots = F.array(*[dot(F.col("vec"),
+                             F.array(*[F.lit(float(v)) for v in row]))
+                         for row in C])
+        sid_arr = F.array(*[F.lit(s).cast("long") for s in sids])
+        assigned = (pcoll.df
+                    .select(F.col(idc).alias("id"),
+                            F.col(vc).cast("array<double>").alias("vec"))
+                    .withColumn("cluster_id", F.element_at(
+                        sid_arr,
+                        F.array_position(dots, F.array_max(dots)).cast("int")))
+                    .withColumn("nrm", norm(F.col("vec"))))
+
+        a = assigned.select(F.col("id").alias("i"), F.col("vec").alias("vi"),
+                            F.col("nrm").alias("ni"), "cluster_id")
+        b = assigned.select(F.col("id").alias("j"), F.col("vec").alias("vj"),
+                            F.col("nrm").alias("nj"), "cluster_id")
+        dup_ids = (a.join(b, on="cluster_id")
+                   .filter((F.col("j") < F.col("i"))
+                           & (cosine(F.col("vi"), F.col("vj"),
+                                     F.col("ni"), F.col("nj")) >= threshold))
+                   .select("i").distinct())
+        out = (assigned
+               .join(dup_ids.withColumn("__dup", F.lit(1)),
+                     assigned["id"] == dup_ids["i"], "left")
+               .select(F.col("id").alias(idc), "cluster_id",
+                       F.coalesce(F.col("__dup"), F.lit(0)).alias("is_dup")))
+        return pcoll.with_df(out)
+
+
 class IvfCosineTopK(PTransform):
     """IVF-flat approximate top-k: corpus assigned to inverted lists by
     nearest centroid; queries probe the ``nprobe`` nearest lists and score

