@@ -599,3 +599,98 @@ class LineDedup(PTransform):
             F.count_if(F.col("__keep")).alias("n_kept"),
             F.count_if(~F.col("__keep")).alias("n_dropped")))
         return pcoll.with_df(per_doc)
+
+
+class ExactSubstrSpans(PTransform):
+    """Duplicated-substring span detection — the window-hash form of
+    ExactSubstr dedup (Lee et al. 2021, arXiv:2107.06499 §4.1): every
+    k-token window whose text occurs >= ``min_count`` times ANYWHERE in
+    the corpus marks its span as duplicated; a doc's duplicated
+    coverage is the union of its marked [pos, pos+k-1] spans. The paper
+    builds a suffix array to find maximal repeats >= 50 tokens; fixed-k
+    sliding windows find exactly the same spans whenever the repeat is
+    >= k tokens (every length-k subwindow of a repeat is itself a
+    repeat), trading the non-distributable suffix array for two
+    hash-keyed shuffles.
+
+    Output (one row per doc): ``n_tokens``, ``dup_windows`` (marked
+    window count), ``dup_token_cov`` (tokens under the span union),
+    ``dup_frac``.
+
+    Scale: windows explode k per token position, but ``hash_grams=True``
+    (default) replaces each gram string with xxhash64 BEFORE the
+    shuffle, so the heavy groupBy+join moves 8-byte keys, not k-token
+    strings. Coverage union is gaps-and-islands over (doc, pos) — one
+    window partitioned by doc. hash_grams=False keeps the raw gram
+    string end-to-end (what the cross-engine oracle compares;
+    collision-free by construction).
+    """
+
+    def __init__(self, k: int = 50, min_count: int = 2,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 hash_grams: bool = True, label=None):
+        super().__init__(label)
+        self.k, self.min_count = int(k), int(min_count)
+        self.text_col, self.id_col = text_col, id_col
+        self.hash_grams = hash_grams
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        k, idc = self.k, self.id_col
+        toks = F.filter(F.split(F.trim(F.col(self.text_col)), r"\s+"),
+                        lambda w: w != "")
+        base = pcoll.df.select(F.col(idc),
+                               toks.alias("__w")).withColumn(
+            "n_tokens", F.size("__w"))
+
+        # positions 1..n-k+1 (sequence(1, max(...,1)) then filter guards
+        # docs shorter than k: Spark's sequence(1, 0) is descending, not
+        # empty)
+        wins = (base
+                .select(idc, "n_tokens", "__w",
+                        F.explode(F.sequence(
+                            F.lit(1),
+                            F.greatest(F.col("n_tokens") - (k - 1),
+                                       F.lit(1)))).alias("pos"))
+                .filter(F.col("pos") + (k - 1) <= F.col("n_tokens"))
+                .withColumn("gram",
+                            F.concat_ws(" ", F.slice("__w", F.col("pos"),
+                                                     k)))
+                .drop("__w"))
+        if self.hash_grams:
+            wins = wins.withColumn("gram", F.xxhash64("gram"))
+
+        dup_grams = (wins.groupBy("gram").count()
+                     .filter(F.col("count") >= self.min_count)
+                     .select("gram"))
+        marked = wins.join(dup_grams, on="gram").select(idc, "pos")
+
+        w_doc = Window.partitionBy(idc).orderBy("pos")
+        isl = (marked
+               .withColumn("__prev", F.lag("pos").over(w_doc))
+               .withColumn("__new", F.when(
+                   F.col("__prev").isNull()
+                   | (F.col("pos") - F.col("__prev") > k), 1).otherwise(0))
+               .withColumn("island", F.sum("__new").over(
+                   w_doc.rowsBetween(Window.unboundedPreceding,
+                                     Window.currentRow))))
+        per_doc = (isl.groupBy(idc, "island")
+                   .agg(F.min("pos").alias("mn"), F.max("pos").alias("mx"),
+                        F.count(F.lit(1)).alias("nwin"))
+                   .groupBy(idc)
+                   .agg(F.sum(F.col("mx") - F.col("mn") + k)
+                        .alias("dup_token_cov"),
+                        F.sum("nwin").alias("dup_windows")))
+
+        out = (base.select(idc, "n_tokens")
+               .join(per_doc, on=idc, how="left")
+               .select(idc, "n_tokens",
+                       F.coalesce("dup_windows", F.lit(0)).alias(
+                           "dup_windows"),
+                       F.coalesce("dup_token_cov", F.lit(0)).alias(
+                           "dup_token_cov"))
+               .withColumn("dup_frac", F.round(
+                   F.col("dup_token_cov").cast("double")
+                   / F.greatest(F.col("n_tokens"), F.lit(1)), 6)))
+        return pcoll.with_df(out)

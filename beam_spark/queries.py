@@ -1222,6 +1222,56 @@ def q_gopher_filter(spark, sf_dir):
         "stopword_hits", "keep")
 
 
+@query("q_dedup_exact_substr_spans", r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                             w -> w <> '') AS w
+  FROM documents),
+base AS (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens, w FROM toks),
+wins AS (
+  SELECT doc_id, pos, array_to_string(w[pos : pos + 7], ' ') AS gram
+  FROM (SELECT doc_id, w, n_tokens,
+               unnest(range(1, greatest(n_tokens - 6, 1))) AS pos
+        FROM base)
+  WHERE pos + 7 <= n_tokens),
+dup AS (SELECT gram FROM wins GROUP BY gram HAVING count(*) >= 2),
+marked AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (gram)),
+lagged AS (SELECT doc_id, pos,
+                  lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+           FROM marked),
+isl AS (SELECT doc_id, pos,
+               sum(CASE WHEN prev IS NULL OR pos - prev > 8
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS island
+        FROM lagged),
+grp AS (SELECT doc_id, island, min(pos) AS mn, max(pos) AS mx,
+               count(*) AS nwin
+        FROM isl GROUP BY doc_id, island),
+per_doc AS (SELECT doc_id,
+                   CAST(sum(mx - mn + 8) AS BIGINT) AS dup_token_cov,
+                   CAST(sum(nwin) AS BIGINT) AS dup_windows
+            FROM grp GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens,
+       coalesce(p.dup_windows, 0) AS dup_windows,
+       coalesce(p.dup_token_cov, 0) AS dup_token_cov,
+       round(CAST(coalesce(p.dup_token_cov, 0) AS DOUBLE)
+             / greatest(b.n_tokens, 1), 6) AS dup_frac
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+""")
+def q_exact_substr_spans(spark, sf_dir):
+    """ExactSubstr-style duplicated-span coverage (arXiv:2107.06499):
+    corpus-wide duplicated k-token windows mark their spans; per-doc
+    coverage is the gaps-and-islands union. k=8 here (the paper's 50
+    exceeds these short synthetic docs); hash_grams=False so the oracle
+    compares gram strings — the scale path hashes to 8-byte keys before
+    the shuffle."""
+    from beam_spark.operators.dedupe import ExactSubstrSpans
+
+    return (table(spark, sf_dir, "documents")
+            | ExactSubstrSpans(k=8, hash_grams=False)).df
+
+
 @query("q_dedup_ngram_jaccard_pairs", _JACCARD_ORACLE)
 def q_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram-shingle jaccard near-dup pairs (threshold 0.6):

@@ -421,3 +421,36 @@ def test_gopher_filter_zero_shuffle(spark, sf_dir):
     out = (q.table(spark, sf_dir, "documents") | GopherQualityFilter()).df
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_exact_substr_spans_planted_and_hashed(spark, sf_dir):
+    """A planted 10-token span shared by two docs is found with exact
+    coverage; a doc shorter than k yields no windows; an in-doc repeat
+    also counts; hash_grams=True gives identical results to the
+    string-keyed mode on the real corpus."""
+    from beam_spark.operators.dedupe import ExactSubstrSpans
+
+    span = " ".join(f"tok{i}" for i in range(10))
+    docs = [
+        {"doc_id": 1, "text": "alpha beta " + span + " gamma delta"},
+        {"doc_id": 2, "text": "x1 x2 x3 " + span + " y1 y2 y3 y4"},
+        {"doc_id": 3, "text": "nothing shared here at all friends"},
+        {"doc_id": 4, "text": "tiny doc"},
+        {"doc_id": 5, "text": ("r1 r2 r3 r4 r5 " * 2) + "tail1 tail2"},
+    ]
+    out = (Pipeline(spark) | Create(docs) | ExactSubstrSpans(k=5)).df
+    rows = {r["doc_id"]: r.asDict() for r in out.collect()}
+    # docs 1/2 share a 10-token run -> 6 dup windows each, coverage 10
+    assert rows[1]["dup_windows"] == 6 and rows[1]["dup_token_cov"] == 10
+    assert rows[2]["dup_windows"] == 6 and rows[2]["dup_token_cov"] == 10
+    assert rows[3]["dup_windows"] == 0 and rows[3]["dup_frac"] == 0.0
+    assert rows[4]["dup_windows"] == 0 and rows[4]["n_tokens"] == 2
+    # doc 5: "r1..r5 r1..r5" repeats the 5-gram r1..r5 at pos 1 and 6
+    assert rows[5]["dup_windows"] >= 2 and rows[5]["dup_token_cov"] >= 10
+
+    hashed = (q.table(spark, sf_dir, "documents")
+              | ExactSubstrSpans(k=8, hash_grams=True)).df
+    plain = (q.table(spark, sf_dir, "documents")
+             | ExactSubstrSpans(k=8, hash_grams=False)).df
+    assert hashed.exceptAll(plain).count() == 0
+    assert plain.exceptAll(hashed).count() == 0
