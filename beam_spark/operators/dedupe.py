@@ -694,3 +694,52 @@ class ExactSubstrSpans(PTransform):
                    F.col("dup_token_cov").cast("double")
                    / F.greatest(F.col("n_tokens"), F.lit(1)), 6)))
         return pcoll.with_df(out)
+
+
+class FuzzyDedupKeep(PTransform):
+    """END-TO-END fuzzy dedup decision: MinHash+LSH near-dup pairs ->
+    connected components -> one canonical survivor (the MIN doc id) per
+    component. This is the composition a real corpus-dedup pipeline
+    runs; the pieces (MinHashLSH, ConnectedComponents) exist separately
+    — this transform wires them and emits the per-document verdict.
+
+    Output: one row per input document — (id_col, comp, keep) with
+    ``comp`` = component label (the doc's own id when it has no
+    near-dup) and ``keep`` = 1 iff the doc is its component's minimum
+    (the survivor). ``df.filter("keep = 1")`` is the deduplicated
+    corpus.
+
+    Scale: inherits the pieces' shapes — banded LSH join for pairs, one
+    shuffle per CC round (edges persisted across rounds, released
+    after), one final left join back to the corpus on the id.
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 n: int = 3, bands: int = 16, rows_per_band: int = 8,
+                 threshold: float = 0.6, cc_algorithm: str = "label",
+                 label=None):
+        super().__init__(label)
+        self.text_col, self.id_col, self.n = text_col, id_col, n
+        self.bands, self.rows_per_band = bands, rows_per_band
+        self.threshold, self.cc_algorithm = threshold, cc_algorithm
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        idc = self.id_col
+        pairs = pcoll | MinHashLSH(
+            text_col=self.text_col, id_col=idc, n=self.n,
+            bands=self.bands, rows_per_band=self.rows_per_band,
+            threshold=self.threshold)
+        # CC iterates over the edges; persist so each round doesn't
+        # recompute the minhash lineage. CC checkpoints its labels, so
+        # the cache is releasable right after the (eager) loop.
+        pairs.df.persist()
+        cc = (pairs | ConnectedComponents(
+            algorithm=self.cc_algorithm)).df
+        pairs.df.unpersist()
+        out = (pcoll.df.select(idc)
+               .join(cc, on=F.col(idc) == cc["node"], how="left")
+               .select(F.col(idc),
+                       F.coalesce(cc["comp"], F.col(idc)).alias("comp"))
+               .withColumn("keep", (F.col("comp") == F.col(idc))
+                           .cast("int")))
+        return pcoll.with_df(out)

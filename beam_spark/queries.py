@@ -1019,6 +1019,42 @@ def q_dedup_cc(spark, sf_dir):
     return out
 
 
+_KEEPLIST_ORACLE = f"""
+WITH RECURSIVE
+sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+        CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(a.shingles) > 0 AND len(b.shingles) > 0),
+e AS (SELECT i, j FROM p WHERE jaccard >= 0.6),
+sym AS (SELECT i AS a, j AS b FROM e UNION SELECT j, i FROM e),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+cc AS (SELECT a AS node, MIN(b) AS comp FROM reach GROUP BY a)
+SELECT d.doc_id, coalesce(cc.comp, d.doc_id) AS comp,
+       CAST(CASE WHEN coalesce(cc.comp, d.doc_id) = d.doc_id
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+"""
+
+
+@query("q_dedup_fuzzy_keeplist", _KEEPLIST_ORACLE)
+def q_fuzzy_keeplist(spark, sf_dir):
+    """End-to-end fuzzy dedup verdict: MinHash+LSH pairs -> connected
+    components -> keep = (doc is its component's min). Oracle: exact-
+    jaccard edges + recursive-CTE closure, left-joined back to the
+    corpus (LSH candidate set equals the exact edge set on this data —
+    same argument as q_dedup_minhash_lsh_pairs)."""
+    from beam_spark.operators.dedupe import FuzzyDedupKeep
+
+    return (table(spark, sf_dir, "documents") | FuzzyDedupKeep()).df
+
+
 _DECON_ORACLE = f"""
 WITH b AS (SELECT DISTINCT g
            FROM (SELECT unnest({_SHINGLES}) AS g

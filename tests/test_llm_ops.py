@@ -454,3 +454,25 @@ def test_exact_substr_spans_planted_and_hashed(spark, sf_dir):
              | ExactSubstrSpans(k=8, hash_grams=False)).df
     assert hashed.exceptAll(plain).count() == 0
     assert plain.exceptAll(hashed).count() == 0
+
+
+def test_fuzzy_dedup_keeplist_end_to_end(spark):
+    """Near-identical docs collapse to one survivor (the min id);
+    distinct docs all survive; filter('keep = 1') is the deduped
+    corpus."""
+    from beam_spark.operators.dedupe import FuzzyDedupKeep
+
+    base = " ".join(f"w{i}" for i in range(40))
+    docs = [
+        {"doc_id": 10, "text": base},
+        {"doc_id": 11, "text": base + " extra"},          # near-dup of 10
+        {"doc_id": 12, "text": " ".join(
+            ["q3" if t == "w3" else t
+             for t in base.split()])},                     # near-dup of 10
+        {"doc_id": 20, "text": " ".join(f"z{i}" for i in range(40))},
+    ]
+    out = (Pipeline(spark) | Create(docs) | FuzzyDedupKeep()).df
+    rows = {r["doc_id"]: (r["comp"], r["keep"]) for r in out.collect()}
+    assert rows[10] == (10, 1)
+    assert rows[11] == (10, 0) and rows[12] == (10, 0)
+    assert rows[20] == (20, 1)
