@@ -5,7 +5,8 @@ LoC: sort rows per partition key :378, run an NFA over them :234) and the
 NFA itself impl/nfa/NFA.java (795 LoC). Semantics re-implemented (not
 ported): regex-over-rows with per-symbol predicates, greedy quantifiers
 (incl. bounded ``{n,m}``), alternation groups ``(A|B)``, AFTER MATCH SKIP
-PAST LAST ROW | TO NEXT ROW, measures over the matched span.
+PAST LAST ROW | TO NEXT ROW | TO FIRST/LAST <symbol>, measures over the
+matched span.
 
 Spark design: ``groupBy(keys).applyInPandas`` — each key's rows are
 sorted by the ORDER BY column in pandas and a small backtracking matcher
@@ -49,6 +50,43 @@ from beam_spark.types import schema_from_dict
 
 SKIP_PAST_LAST_ROW = "past_last_row"
 SKIP_TO_NEXT_ROW = "to_next_row"
+
+
+def skip_to_first(symbol: str) -> tuple:
+    """``AFTER MATCH SKIP TO FIRST <symbol>``: resume matching AT the
+    first row the symbol mapped to (SQL standard; Beam NFA.java's
+    SKIP_TO_FIRST)."""
+    return ("to_first", symbol)
+
+
+def skip_to_last(symbol: str) -> tuple:
+    """``AFTER MATCH SKIP TO [LAST] <symbol>``: resume matching AT the
+    last row the symbol mapped to (``SKIP TO X`` in SQL is shorthand
+    for LAST)."""
+    return ("to_last", symbol)
+
+
+def _next_start(after_match, m, pos):
+    """Resumption index after a match per the AFTER MATCH clause.
+    ``m`` is the match as (symbol, row_index) pairs, ``pos`` its start.
+    """
+    if after_match == SKIP_PAST_LAST_ROW:
+        return m[-1][1] + 1
+    if after_match == SKIP_TO_NEXT_ROW:
+        return pos + 1
+    mode, tsym = after_match
+    idxs = [idx for s, idx in m if s == tsym]
+    if not idxs:
+        raise ValueError(
+            f"AFTER MATCH SKIP TO {tsym}: the symbol did not occur in "
+            "the match")
+    tgt = idxs[0] if mode == "to_first" else idxs[-1]
+    if tgt <= pos:
+        raise ValueError(
+            f"AFTER MATCH SKIP TO {tsym} resumes at the match's start "
+            "row — an infinite loop, which the SQL standard defines as "
+            "a runtime error")
+    return tgt
 
 ONE_ROW_PER_MATCH = "one"
 ALL_ROWS_PER_MATCH = "all"
@@ -347,7 +385,10 @@ class MatchRecognize(PTransform):
         PER MATCH) — in ALL ROWS PER MATCH mode pass the INPUT columns
         you want forwarded plus the measure cols; ``__classifier`` and
         ``__match_number`` are appended automatically.
-      after_match: SKIP_PAST_LAST_ROW (default) or SKIP_TO_NEXT_ROW.
+      after_match: SKIP_PAST_LAST_ROW (default), SKIP_TO_NEXT_ROW, or
+        ``skip_to_first(sym)`` / ``skip_to_last(sym)`` — resume AT the
+        first/last row the symbol mapped to (errors if that is the
+        match's start row, per the SQL standard).
       rows_per_match: ONE_ROW_PER_MATCH (default, SQL standard default)
         or ALL_ROWS_PER_MATCH — one output row per MATCHED INPUT ROW,
         carrying that row's columns, the row's pattern variable
@@ -522,8 +563,7 @@ class MatchRecognize(PTransform):
                                         "__match_number": match_no})
                     else:
                         out.append({**key_rec, **meas})
-                    i = m[-1][1] + 1 if after_match == SKIP_PAST_LAST_ROW \
-                        else pos + 1
+                    i = _next_start(after_match, m, pos)
                 else:
                     i = pos + 1
                 si += 1
@@ -676,9 +716,7 @@ class MatchRecognize(PTransform):
                         for name, fmeas in measures.items():
                             rec[name] = fmeas(match_rows)
                         out.append(rec)
-                        nxt = (m[-1][1] + 1
-                               if after_match == SKIP_PAST_LAST_ROW
-                               else i + 1)
+                        nxt = _next_start(after_match, m, i)
                         consumed = max(consumed, nxt)
                         i = nxt
                     else:

@@ -14,7 +14,8 @@ Supported grammar (the common CEP core):
       ORDER BY o1 [, o2 ...]
       MEASURES FIRST(S.col) | LAST(S.col) | COUNT(S.col) | SUM(S.col)
                | CLASSIFIER() AS alias [, ...]
-      [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
+      [AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
+       | SKIP TO [FIRST|LAST] <symbol>]
       PATTERN (ITEM ITEM ...)
       [SUBSET U = (S1, S2) [, V = (...)]]
       DEFINE SYM AS <cond> [AND <cond>]* [, ...]
@@ -347,6 +348,14 @@ def try_rewrite_match_recognize(sql: str, spark, tables: dict) -> str:
     define_sql = re.search(r"DEFINE\s+(.*)$", body,
                            re.IGNORECASE | re.DOTALL).group(1).strip()
     skip_to_next = bool(re.search(r"SKIP\s+TO\s+NEXT\s+ROW", body, re.IGNORECASE))
+    skip_to_sym = None
+    skip_sym_m = re.search(
+        r"AFTER\s+MATCH\s+SKIP\s+TO\s+(?:(FIRST|LAST)\s+)?(\w+)",
+        body, re.IGNORECASE)
+    if skip_sym_m and skip_sym_m.group(2).upper() != "NEXT":
+        # SQL: SKIP TO X == SKIP TO LAST X
+        mode = (skip_sym_m.group(1) or "LAST").upper()
+        skip_to_sym = (mode, skip_sym_m.group(2))
     all_rows = bool(re.search(r"ALL\s+ROWS\s+PER\s+MATCH", body, re.IGNORECASE))
 
     pattern = parse_pattern(pattern_sql)
@@ -382,7 +391,8 @@ def try_rewrite_match_recognize(sql: str, spark, tables: dict) -> str:
     from beam_spark.operators.cep import (ALL_ROWS_PER_MATCH,
                                           ONE_ROW_PER_MATCH,
                                           SKIP_PAST_LAST_ROW,
-                                          SKIP_TO_NEXT_ROW, MatchRecognize)
+                                          SKIP_TO_NEXT_ROW, MatchRecognize,
+                                          skip_to_first, skip_to_last)
     from beam_spark.pcollection import PCollection
 
     if all_rows:
@@ -399,8 +409,12 @@ def try_rewrite_match_recognize(sql: str, spark, tables: dict) -> str:
                   partition_by=partition_by, order_by=order_by,
                   pattern=pattern, defines=defines, measures=measures,
                   output_schema=out_schema,
-                  after_match=SKIP_TO_NEXT_ROW if skip_to_next
-                  else SKIP_PAST_LAST_ROW,
+                  after_match=(
+                      SKIP_TO_NEXT_ROW if skip_to_next
+                      else (skip_to_first(skip_to_sym[1])
+                            if skip_to_sym and skip_to_sym[0] == "FIRST"
+                            else skip_to_last(skip_to_sym[1]))
+                      if skip_to_sym else SKIP_PAST_LAST_ROW),
                   rows_per_match=ALL_ROWS_PER_MATCH if all_rows
                   else ONE_ROW_PER_MATCH,
                   # SQL standard: ALL ROWS PER MATCH measures default to

@@ -791,3 +791,87 @@ def test_streaming_equals_batch_alternation(spark):
     ]
     s, b = _stream_vs_batch(spark, batches, **cfg)
     assert s == b and b == [(1, "C", 2), (2, "P", 3)]
+
+
+def test_skip_to_last_and_first_symbol(spark):
+    """AFTER MATCH SKIP TO LAST B resumes AT the last B row (it can
+    start the next match); SKIP TO FIRST B resumes earlier and finds
+    more overlaps; skipping to the match's start row raises."""
+    from beam_spark.operators.cep import skip_to_first, skip_to_last
+    import pytest as _pytest
+
+    # a b a b a: pattern A B — SKIP TO LAST B resumes at each b, which
+    # cannot start A, so matches = (0,1) and (2,3): same as PAST LAST
+    # here. Use pattern A B+ on a b b a b: LAST B resumes at row 2 (the
+    # last b), FIRST B at row 1.
+    data = rows("a", "b", "b", "a", "b")
+    base = dict(partition_by="k", order_by="i",
+                pattern=[("A", "1"), ("B", "+")], defines=DEF,
+                measures={"s": lambda m: m[0][1]["i"],
+                          "e": lambda m: m[-1][1]["i"]},
+                output_schema="k long, s long, e long")
+    last = (Pipeline(spark) | Create(data)
+            | MatchRecognize(**base, after_match=skip_to_last("B"))
+            ).collect()
+    first = (Pipeline(spark) | Create(data)
+             | MatchRecognize(**base, after_match=skip_to_first("B"))
+             ).collect()
+    # both resume at a 'b' row, which can't start an A-match, so the
+    # match set equals PAST LAST ROW semantics on this data
+    assert sorted((r["s"], r["e"]) for r in last) == [(0, 2), (3, 4)]
+    assert sorted((r["s"], r["e"]) for r in first) == [(0, 2), (3, 4)]
+
+    # resume rows CAN start a match when the lead symbol also accepts
+    # them: S matches a OR b, pattern S B+
+    def2 = {"S": lambda r: r["t"] in ("a", "b"),
+            "B": lambda r: r["t"] == "b"}
+    alt = dict(partition_by="k", order_by="i",
+               pattern=[("S", "1"), ("B", "+")], defines=def2,
+               measures={"s": lambda m: m[0][1]["i"],
+                         "e": lambda m: m[-1][1]["i"]},
+               output_schema="k long, s long, e long")
+    # match 1: rows 0-3 (S B B B). SKIP TO LAST B resumes AT row 3 — a
+    # lone b cannot complete S B+, so one match. SKIP TO FIRST B
+    # resumes at row 1: match 2 = rows 1-3, then 2: match 3 = rows 2-3.
+    overlapped = (Pipeline(spark) | Create(rows("a", "b", "b", "b"))
+                  | MatchRecognize(**alt, after_match=skip_to_last("B"))
+                  ).collect()
+    assert sorted((r["s"], r["e"]) for r in overlapped) == [(0, 3)]
+    over_first = (Pipeline(spark) | Create(rows("a", "b", "b", "b"))
+                  | MatchRecognize(**alt, after_match=skip_to_first("B"))
+                  ).collect()
+    assert sorted((r["s"], r["e"]) for r in over_first) == \
+        [(0, 3), (1, 3), (2, 3)]
+
+    # SKIP TO FIRST A where A is the start row: SQL-standard error
+    bad = dict(partition_by="k", order_by="i",
+               pattern=[("A", "1"), ("B", "1")], defines=DEF,
+               measures={"n": lambda m: len(m)},
+               output_schema="k long, n long")
+    with _pytest.raises(Exception, match="infinite loop"):
+        (Pipeline(spark) | Create(rows("a", "b"))
+         | MatchRecognize(**bad, after_match=skip_to_first("A"))).collect()
+
+
+def test_sql_after_match_skip_to_symbol(spark):
+    """SQL front-end: AFTER MATCH SKIP TO [FIRST|LAST] <sym> parses and
+    changes the match set exactly as the API mode does."""
+    from beam_spark.sql import SqlTransform
+
+    rows_in = [{"k": 1, "i": i, "t": t} for i, t in enumerate("abbb")]
+    sql = """
+    SELECT s, e FROM ev MATCH_RECOGNIZE (
+      PARTITION BY k ORDER BY i
+      MEASURES FIRST(S.i) AS s, LAST(B.i) AS e
+      AFTER MATCH SKIP TO FIRST B
+      PATTERN (S B+)
+      DEFINE S AS S.t <> 'z', B AS B.t = 'b'
+    )"""
+    pc = Pipeline(spark) | Create(rows_in)
+    out = ({"ev": pc} | SqlTransform(sql)).df
+    assert sorted((r["s"], r["e"]) for r in out.collect()) == \
+        [(0, 3), (1, 3), (2, 3)]
+    pc2 = Pipeline(spark) | Create(rows_in)
+    out2 = ({"ev": pc2} | SqlTransform(
+        sql.replace("SKIP TO FIRST B", "SKIP TO LAST B"))).df
+    assert sorted((r["s"], r["e"]) for r in out2.collect()) == [(0, 3)]
