@@ -438,3 +438,74 @@ class GopherQualityFilter(PTransform):
                 & (F.col("stopword_hits") >= self.min_stopword_hits))
         return pcoll.with_df(
             df.withColumn("keep", keep.cast("int")))
+
+
+class NgramPerplexity(PTransform):
+    """Corpus-trained bigram language-model scoring — the CCNet-style
+    quality signal (Wenzek et al. 2019 train a KenLM and keep
+    low-perplexity docs; here the LM is a bigram model with add-k
+    smoothing fit ON the corpus itself, so the operator is a pure
+    function of its input and needs no external model file).
+
+    P(b|a) = (c(ab) + k) / (c(a) + k*V): c(ab)/c(a) corpus bigram and
+    unigram counts, V the vocabulary size. Appends per document:
+
+      ``n_bigrams`` — scored bigram count
+      ``nll``       — mean negative log-likelihood (nats/bigram); docs
+                      with < 2 tokens score NULL
+      ``ppl``       — exp(nll), the per-bigram perplexity
+
+    Scale: two passes over the corpus (count fit + scoring — persist
+    the token arrays upstream to pay tokenization once), shuffles keyed
+    on unigram/bigram, scoring join keyed the same way; AQE broadcasts
+    the count tables when the vocabulary is small.
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 add_k: float = 0.5, label=None):
+        super().__init__(label)
+        self.text_col, self.id_col, self.add_k = text_col, id_col, add_k
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        idc, k = self.id_col, float(self.add_k)
+        t = tokens(self.text_col)
+        toks = pcoll.df.select(F.col(idc), t.alias("__t"))
+
+        uni = (toks.select(F.explode("__t").alias("w"))
+               .groupBy("w").agg(F.count(F.lit(1)).alias("cw")))
+        vocab = uni.agg(F.count(F.lit(1)).alias("V"))
+
+        bg_arr = F.when(
+            F.size("__t") >= 2,
+            F.zip_with(F.slice("__t", 1, F.size("__t") - 1),
+                       F.expr("slice(__t, 2, size(__t) - 1)"),
+                       lambda a, b: F.struct(a.alias("w1"),
+                                             F.concat_ws(" ", a, b)
+                                             .alias("bg")))
+        ).otherwise(F.array().cast(
+            "array<struct<w1:string,bg:string>>"))
+        doc_bg = (toks.select(idc, F.explode(bg_arr).alias("p"))
+                  .select(idc, F.col("p.w1").alias("w1"),
+                          F.col("p.bg").alias("bg")))
+
+        big = (doc_bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cb")))
+
+        scored = (doc_bg
+                  .join(big, on="bg")
+                  .join(uni, doc_bg["w1"] == uni["w"])
+                  .crossJoin(F.broadcast(vocab))
+                  .select(F.col(idc),
+                          (-(F.log(F.col("cb") + k)
+                             - F.log(F.col("cw") + k * F.col("V"))))
+                          .alias("__nl")))
+        per_doc = (scored.groupBy(idc)
+                   .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                        F.avg("__nl").alias("__nll")))
+        out = (pcoll.df
+               .join(per_doc, on=idc, how="left")
+               .withColumn("n_bigrams",
+                           F.coalesce("n_bigrams", F.lit(0)))
+               .withColumn("nll", F.round("__nll", 6))
+               .withColumn("ppl", F.round(F.exp("__nll"), 6))
+               .drop("__nll"))
+        return pcoll.with_df(out)

@@ -1308,6 +1308,40 @@ def q_exact_substr_spans(spark, sf_dir):
             | ExactSubstrSpans(k=8, hash_grams=False)).df
 
 
+@query("q_text_bigram_perplexity", r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents),
+bgt AS (SELECT doc_id, w[pos] || ' ' || w[pos+1] AS bg, w[pos] AS w1
+        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS pos
+              FROM toks)),
+uni AS (SELECT u.w AS w, count(*) AS cw
+        FROM (SELECT unnest(w) AS w FROM toks) u GROUP BY u.w),
+v AS (SELECT count(*) AS V FROM uni),
+big AS (SELECT bg, count(*) AS cb FROM bgt GROUP BY bg),
+scored AS (SELECT t.doc_id,
+                  -(ln(b.cb + 0.5) - ln(u.cw + 0.5 * v.V)) AS nl
+           FROM bgt t JOIN big b USING (bg)
+           JOIN uni u ON t.w1 = u.w CROSS JOIN v),
+per_doc AS (SELECT doc_id, count(*) AS n_bigrams, avg(nl) AS nll
+            FROM scored GROUP BY doc_id)
+SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams,
+       round(p.nll, 6) AS nll, round(exp(p.nll), 6) AS ppl
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""")
+def q_bigram_perplexity(spark, sf_dir):
+    """CCNet-style LM quality signal: bigram model with add-0.5
+    smoothing fit on the corpus itself, per-doc mean negative
+    log-likelihood + perplexity. Two corpus passes (count fit, scoring
+    join); low-ppl docs are the fluent ones a pretraining filter
+    keeps."""
+    from beam_spark.operators.text import NgramPerplexity
+
+    out = table(spark, sf_dir, "documents") | NgramPerplexity()
+    return out.df.select("doc_id", "n_bigrams", "nll", "ppl")
+
+
 @query("q_dedup_ngram_jaccard_pairs", _JACCARD_ORACLE)
 def q_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram-shingle jaccard near-dup pairs (threshold 0.6):

@@ -476,3 +476,19 @@ def test_fuzzy_dedup_keeplist_end_to_end(spark):
     assert rows[10] == (10, 1)
     assert rows[11] == (10, 0) and rows[12] == (10, 0)
     assert rows[20] == (20, 1)
+
+
+def test_bigram_perplexity_ranks_fluency(spark):
+    """Docs made of corpus-frequent bigrams score lower perplexity than
+    a doc of bigrams seen nowhere else; sub-2-token docs score NULL."""
+    from beam_spark.operators.text import NgramPerplexity
+
+    common = "the cat sat on the mat"
+    docs = ([{"doc_id": i, "text": common} for i in range(10)]
+            + [{"doc_id": 90, "text": "zyx wvu tsr qpo nml kji"},
+               {"doc_id": 91, "text": "solo"}])
+    out = (Pipeline(spark) | Create(docs) | NgramPerplexity()).df
+    rows = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert rows[0]["ppl"] < rows[90]["ppl"]
+    assert rows[91]["nll"] is None and rows[91]["n_bigrams"] == 0
+    assert rows[0]["n_bigrams"] == 5
