@@ -277,3 +277,39 @@ class TemperatureSample(PTransform):
                .filter(bucket < F.col("__rate_ppm"))
                .drop("__rate_ppm"))
         return pcoll.with_df(out)
+
+
+class SplitByHash(PTransform):
+    """Deterministic train/val/test split: each row's split label is a
+    pure function of its id (the same md5-bucket uniform HashSample
+    uses), so the assignment is reproducible across engines, retries,
+    partitionings, and scale factors, and a row NEVER migrates between
+    splits when the corpus grows — the property rand()-based splits
+    lack. Zero-shuffle map-side projection.
+
+    ``splits``: ordered {label: fraction}; fractions must sum to <= 1
+    (on the 1/10000 bucket grid); rows past the cumulative end get a
+    NULL label (an explicit holdout).
+    """
+
+    def __init__(self, splits: dict, id_col: str, out_col: str = "split",
+                 label=None):
+        super().__init__(label)
+        self.splits, self.id_col, self.out_col = dict(splits), id_col, out_col
+        total = sum(round(f * 10000) for f in self.splits.values())
+        if total > 10000:
+            raise ValueError(f"split fractions sum past 1.0: {self.splits}")
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        bucket = F.expr(
+            f"CAST(conv(substring(md5(CAST({self.id_col} AS STRING)), 1, 8),"
+            f" 16, 10) AS BIGINT) % 10000")
+        expr = F.lit(None).cast("string")
+        cum = 0
+        bounds = []
+        for name, frac in self.splits.items():
+            cum += int(round(frac * 10000))
+            bounds.append((name, cum))
+        for name, b in reversed(bounds):
+            expr = F.when(bucket < b, F.lit(name)).otherwise(expr)
+        return pcoll.with_df(pcoll.df.withColumn(self.out_col, expr))

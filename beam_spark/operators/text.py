@@ -509,3 +509,32 @@ class NgramPerplexity(PTransform):
                .withColumn("ppl", F.round(F.exp("__nll"), 6))
                .drop("__nll"))
         return pcoll.with_df(out)
+
+
+class NormalizeText(PTransform):
+    """Pre-dedup text normalization (the canonicalization step C4/CCNet
+    run before exact and fuzzy dedup): lowercase, strip control and
+    zero-width characters, optionally strip ASCII punctuation, collapse
+    whitespace runs to single spaces, trim. Zero-shuffle expression
+    chain; the explicit ASCII punctuation class (not \\p{Punct}) keeps
+    the regex portable across engines.
+    """
+
+    def __init__(self, text_col: str = "text", out_col: str = "norm_text",
+                 strip_punct: bool = False, label=None):
+        super().__init__(label)
+        self.text_col, self.out_col = text_col, out_col
+        self.strip_punct = strip_punct
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        x = F.lower(F.col(self.text_col))
+        # control chars + zero-width space/joiners + BOM, as literal
+        # chars in the class (portable across Java-regex and RE2).
+        # \t \n \x0b \x0c \r stay: they are WHITESPACE and must collapse
+        # to a space below, not vanish
+        x = F.regexp_replace(
+            x, "[\x00-\x08\x0e-\x1f\x7f​‌‍﻿]", "")
+        if self.strip_punct:
+            x = F.regexp_replace(x, r"[!-/:-@\[-`{-~]", " ")
+        x = F.trim(F.regexp_replace(x, r"\s+", " "))
+        return pcoll.with_df(pcoll.df.withColumn(self.out_col, x))

@@ -1342,6 +1342,50 @@ def q_bigram_perplexity(spark, sf_dir):
     return out.df.select("doc_id", "n_bigrams", "nll", "ppl")
 
 
+@query("q_text_normalize", r"""
+SELECT doc_id,
+  trim(regexp_replace(
+    regexp_replace(
+      regexp_replace(lower(text),
+        '[\x00-\x08\x0e-\x1f\x7f\x{200b}\x{200c}\x{200d}\x{feff}]',
+        '', 'g'),
+      '[!-/:-@\[-`{-~]', ' ', 'g'),
+    '\s+', ' ', 'g')) AS norm_text
+FROM documents
+""")
+def q_normalize_text(spark, sf_dir):
+    """Pre-dedup canonicalization: lowercase, strip control/zero-width
+    chars, punctuation to spaces, collapse whitespace — the C4/CCNet
+    step before exact/fuzzy dedup. Zero-shuffle expression chain."""
+    from beam_spark.operators.text import NormalizeText
+
+    out = (table(spark, sf_dir, "documents")
+           | NormalizeText(strip_punct=True))
+    return out.df.select("doc_id", "norm_text")
+
+
+@query("q_ml_split_by_hash", """
+SELECT doc_id,
+       CASE WHEN b < 8000 THEN 'train'
+            WHEN b < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10000 AS b
+      FROM documents)
+""")
+def q_split_by_hash(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split: the label is a pure
+    md5-bucket function of the doc id, so rows never migrate between
+    splits across engines, retries, or corpus growth. Zero-shuffle."""
+    from beam_spark.operators.combiners import SplitByHash
+
+    out = (table(spark, sf_dir, "documents")
+           | SplitByHash({"train": 0.8, "val": 0.1, "test": 0.1},
+                         id_col="doc_id"))
+    return out.df.select("doc_id", "split")
+
+
 @query("q_dedup_ngram_jaccard_pairs", _JACCARD_ORACLE)
 def q_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram-shingle jaccard near-dup pairs (threshold 0.6):

@@ -492,3 +492,41 @@ def test_bigram_perplexity_ranks_fluency(spark):
     assert rows[0]["ppl"] < rows[90]["ppl"]
     assert rows[91]["nll"] is None and rows[91]["n_bigrams"] == 0
     assert rows[0]["n_bigrams"] == 5
+
+
+def test_normalize_text_rules(spark):
+    from beam_spark.operators.text import NormalizeText
+
+    docs = [{"doc_id": 1,
+             "text": "  Hello,\tWORLD!!\x07  zero​width   gap "}]
+    out = (Pipeline(spark) | Create(docs)
+           | NormalizeText(strip_punct=True)).df
+    assert out.collect()[0]["norm_text"] == "hello world zerowidth gap"
+    keep_punct = (Pipeline(spark) | Create(docs) | NormalizeText()).df
+    assert keep_punct.collect()[0]["norm_text"] == \
+        "hello, world!! zerowidth gap"
+
+
+def test_split_by_hash_stability_and_validation(spark, sf_dir):
+    """Labels are a pure function of the id: the split of a SUBSET of
+    the corpus equals its split within the full corpus (no migration);
+    fractions summing past 1 raise; a sub-1 sum leaves NULL holdout."""
+    import pytest as _pytest
+    from beam_spark.operators.combiners import SplitByHash
+
+    docs = q.table(spark, sf_dir, "documents").df.select("doc_id")
+    full = {r["doc_id"]: r["split"] for r in
+            (PCollection(docs)
+             | SplitByHash({"train": 0.8, "val": 0.2}, "doc_id")
+             ).df.collect()}
+    sub = {r["doc_id"]: r["split"] for r in
+           (PCollection(docs.filter("doc_id % 7 = 0"))
+            | SplitByHash({"train": 0.8, "val": 0.2}, "doc_id")
+            ).df.collect()}
+    assert all(full[k] == v for k, v in sub.items())
+    with _pytest.raises(ValueError, match="sum past"):
+        SplitByHash({"a": 0.9, "b": 0.2}, "doc_id")
+    holdout = (PCollection(docs)
+               | SplitByHash({"train": 0.5}, "doc_id")).df
+    labels = {r["split"] for r in holdout.collect()}
+    assert labels == {"train", None}
