@@ -109,6 +109,21 @@ class NgramJaccardPairs(PTransform):
         return pcoll.with_df(out)
 
 
+def _band_keys(sig_df: DataFrame, idc: str, bands: int, rows: int) -> DataFrame:
+    """Explode a (id, sig) frame into LSH band keys: one row per band,
+    bk = (band index, xxhash64 of that band's signature slice)."""
+    return sig_df.select(
+        idc, F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",", F.transform(
+                        F.slice("sig", b * rows + 1, rows),
+                        lambda v: v.cast("string")))).alias("bucket")))
+        ).alias("bk"))
+
+
 class MinHashLSH(PTransform):
     """MinHash signature + banded LSH candidate generation + exact-jaccard
     verification.
@@ -175,17 +190,7 @@ class MinHashLSH(PTransform):
         sh.persist()  # reused for candidate verification below
         sig = self._with_signature(sh, idc)
         sig.persist()
-        # band key = (band index, xxhash64 of the band's signature slice)
-        bands = sig.select(
-            idc, F.explode(F.transform(
-                F.sequence(F.lit(0), F.lit(self.bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.concat_ws(
-                        ",", F.transform(
-                            F.slice("sig", b * self.rows + 1, self.rows),
-                            lambda v: v.cast("string")))).alias("bucket")))
-            ).alias("bk"))
+        bands = _band_keys(sig, idc, self.bands, self.rows)
         bands.persist()  # self-joined below: compute the band expr once
         cand = (bands.select(F.col(idc).alias("i"), "bk")
                 .join(bands.select(F.col(idc).alias("j"), "bk"), on="bk")
@@ -742,4 +747,89 @@ class FuzzyDedupKeep(PTransform):
                        F.coalesce(cc["comp"], F.col(idc)).alias("comp"))
                .withColumn("keep", (F.col("comp") == F.col(idc))
                            .cast("int")))
+        return pcoll.with_df(out)
+
+
+class DedupAgainstCorpus(PTransform):
+    """INCREMENTAL fuzzy dedup: test a new batch of documents against an
+    EXISTING corpus (plus the batch's own earlier docs) without ever
+    joining corpus x corpus — the "dedup tonight's crawl against the
+    lake" operation. A batch doc is a duplicate when its jaccard to any
+    corpus doc, or to a lower-id batch doc, reaches ``threshold``.
+
+    Output: one row per batch doc — (id_col, dup_of_corpus,
+    dup_of_batch, is_dup): the MIN matching corpus / earlier-batch id
+    (NULL when none) and the combined verdict.
+
+    Scale: both sides get MinHash band keys (same machinery as
+    MinHashLSH); the only joins are band-bucket equijoins batch x corpus
+    and batch x batch, then exact-jaccard verification on candidates.
+    Corpus band keys are a pure function of corpus text, so a real
+    deployment computes them once and persists them as the dedup index;
+    here they are derived inline from the given DataFrame.
+    """
+
+    def __init__(self, corpus, text_col: str = "text",
+                 id_col: str = "doc_id", n: int = 3, bands: int = 16,
+                 rows_per_band: int = 8, threshold: float = 0.6,
+                 label=None):
+        super().__init__(label)
+        self.corpus = corpus.df if isinstance(corpus, PCollection) else corpus
+        self.text_col, self.id_col, self.n = text_col, id_col, n
+        self.bands, self.rows = bands, rows_per_band
+        self.threshold = threshold
+
+    def _prep(self, df, mh, idc):
+        sh = (df.select(F.col(idc), tokens(self.text_col).alias("__w"))
+              .filter(F.size("__w") >= self.n)
+              .select(F.col(idc), word_shingles_on("__w", self.n).alias("sh")))
+        sh.persist()
+        bands = _band_keys(mh._with_signature(sh, idc), idc,
+                           self.bands, self.rows)
+        return sh, bands
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        idc, threshold = self.id_col, self.threshold
+        mh = MinHashLSH(text_col=self.text_col, id_col=idc, n=self.n,
+                        bands=self.bands, rows_per_band=self.rows,
+                        threshold=threshold)
+        sh_b, bands_b = self._prep(pcoll.df, mh, idc)
+        sh_c, bands_c = self._prep(self.corpus, mh, idc)
+        bands_b.persist()
+
+        def verify(cand, sh_ref):
+            left = sh_b.select(F.col(idc).alias("b"), F.col("sh").alias("sh_b"))
+            right = sh_ref.select(F.col(idc).alias("r"),
+                                  F.col("sh").alias("sh_r"))
+            return (cand.join(left, on="b").join(right, on="r")
+                    .withColumn("common",
+                                F.size(F.array_intersect("sh_b", "sh_r")))
+                    .withColumn("jaccard", F.col("common") /
+                                (F.size("sh_b") + F.size("sh_r")
+                                 - F.col("common")))
+                    .filter(F.col("jaccard") >= threshold)
+                    .groupBy("b").agg(F.min("r").alias("dup_of")))
+
+        cand_cb = (bands_b.select(F.col(idc).alias("b"), "bk")
+                   .join(bands_c.select(F.col(idc).alias("r"), "bk"), on="bk")
+                   .select("b", "r").distinct())
+        cand_bb = (bands_b.select(F.col(idc).alias("b"), "bk")
+                   .join(bands_b.select(F.col(idc).alias("r"), "bk"), on="bk")
+                   .filter(F.col("r") < F.col("b"))
+                   .select("b", "r").distinct())
+        vs_corpus = verify(cand_cb, sh_c).withColumnRenamed(
+            "dup_of", "dup_of_corpus")
+        vs_batch = verify(cand_bb, sh_b).withColumnRenamed(
+            "dup_of", "dup_of_batch")
+
+        out = (pcoll.df.select(F.col(idc).alias("b"))
+               .join(vs_corpus, on="b", how="left")
+               .join(vs_batch, on="b", how="left")
+               .select(F.col("b").alias(idc), "dup_of_corpus",
+                       "dup_of_batch",
+                       (F.col("dup_of_corpus").isNotNull()
+                        | F.col("dup_of_batch").isNotNull())
+                       .cast("int").alias("is_dup")))
+        for frame in (sh_b, sh_c, bands_b):
+            frame.unpersist()
         return pcoll.with_df(out)

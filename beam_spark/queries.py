@@ -1055,6 +1055,50 @@ def q_fuzzy_keeplist(spark, sf_dir):
     return (table(spark, sf_dir, "documents") | FuzzyDedupKeep()).df
 
 
+_INCR_DEDUP_ORACLE = f"""
+WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+b AS (SELECT * FROM sh WHERE doc_id >= 250 AND len(shingles) > 0),
+refc AS (SELECT * FROM sh WHERE doc_id < 250 AND len(shingles) > 0),
+jc AS (SELECT b.doc_id AS bid, min(refc.doc_id) AS dup_of_corpus
+       FROM b JOIN refc
+         ON CAST(len(list_intersect(b.shingles, refc.shingles)) AS DOUBLE)
+            / (len(b.shingles) + len(refc.shingles)
+               - len(list_intersect(b.shingles, refc.shingles))) >= 0.6
+       GROUP BY b.doc_id),
+jb AS (SELECT b.doc_id AS bid, min(e.doc_id) AS dup_of_batch
+       FROM b JOIN b e
+         ON e.doc_id < b.doc_id
+        AND CAST(len(list_intersect(b.shingles, e.shingles)) AS DOUBLE)
+            / (len(b.shingles) + len(e.shingles)
+               - len(list_intersect(b.shingles, e.shingles))) >= 0.6
+       GROUP BY b.doc_id)
+SELECT d.doc_id, jc.dup_of_corpus, jb.dup_of_batch,
+       CAST(CASE WHEN jc.dup_of_corpus IS NOT NULL
+                   OR jb.dup_of_batch IS NOT NULL
+             THEN 1 ELSE 0 END AS INT) AS is_dup
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
+LEFT JOIN jc ON d.doc_id = jc.bid
+LEFT JOIN jb ON d.doc_id = jb.bid
+"""
+
+
+@query("q_dedup_against_corpus", _INCR_DEDUP_ORACLE)
+def q_dedup_against_corpus(spark, sf_dir):
+    """Incremental dedup: the batch (doc_id >= 250) tested against the
+    existing corpus (doc_id < 250) and against earlier batch docs —
+    never corpus x corpus. Oracle: exact jaccard (LSH candidates equal
+    the exact edge set on this data, same argument as the other dedup
+    gates)."""
+    from beam_spark.operators.dedupe import DedupAgainstCorpus
+
+    docs = table(spark, sf_dir, "documents").df
+    corpus = docs.filter("doc_id < 250")
+    batch = docs.filter("doc_id >= 250")
+    from beam_spark.pcollection import PCollection
+
+    return (PCollection(batch) | DedupAgainstCorpus(corpus)).df
+
+
 _DECON_ORACLE = f"""
 WITH b AS (SELECT DISTINCT g
            FROM (SELECT unnest({_SHINGLES}) AS g

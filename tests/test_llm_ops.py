@@ -530,3 +530,26 @@ def test_split_by_hash_stability_and_validation(spark, sf_dir):
                | SplitByHash({"train": 0.5}, "doc_id")).df
     labels = {r["split"] for r in holdout.collect()}
     assert labels == {"train", None}
+
+
+def test_dedup_against_corpus_incremental(spark):
+    """Batch docs flag against the corpus and earlier batch only: a
+    batch doc near-dup of a corpus doc names it; two near-identical
+    batch docs keep the earlier one clean; corpus never self-joins."""
+    from beam_spark.operators.dedupe import DedupAgainstCorpus
+
+    base = " ".join(f"c{i}" for i in range(40))
+    other = " ".join(f"x{i}" for i in range(40))
+    corpus = spark.createDataFrame(
+        [(1, base), (2, " ".join(f"z{i}" for i in range(40)))],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(101, base + " tail"),      # near-dup of corpus 1
+         (102, other),               # clean
+         (103, other + " tail")],    # near-dup of earlier batch 102
+        "doc_id long, text string")
+    out = (PCollection(batch) | DedupAgainstCorpus(corpus)).df
+    rows = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert rows[101]["dup_of_corpus"] == 1 and rows[101]["is_dup"] == 1
+    assert rows[102]["is_dup"] == 0
+    assert rows[103]["dup_of_batch"] == 102 and rows[103]["is_dup"] == 1
