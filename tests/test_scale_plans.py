@@ -196,3 +196,41 @@ def test_line_dedup_is_expression_only(spark, sf_dir):
     out = (PCollection(docs) | LineDedup()).df
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
+
+
+def test_normalize_and_split_zero_shuffle(spark, sf_dir):
+    """NormalizeText and SplitByHash are map-side projections: no
+    Exchange; SplitByHash still lets column pruning reach the scan."""
+    from beam_spark.operators.combiners import SplitByHash
+    from beam_spark.operators.text import NormalizeText
+    from beam_spark.pcollection import PCollection
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = (PCollection(df) | NormalizeText(strip_punct=True)).df
+    plan = norm._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    split = (PCollection(df)
+             | SplitByHash({"train": 0.9, "val": 0.1}, "doc_id")
+             ).df.select("doc_id", "split")
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "text" not in plan.split("ReadSchema")[-1][:200]  # pruned
+
+
+def test_exact_substr_hashes_before_shuffle(spark, sf_dir):
+    """ExactSubstrSpans with hash_grams=True: the gram column entering
+    the count/join exchanges is the xxhash64 LONG, not the k-token
+    string — the shuffle moves 8-byte keys."""
+    from beam_spark.operators.dedupe import ExactSubstrSpans
+    from beam_spark.pcollection import PCollection
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = (PCollection(df) | ExactSubstrSpans(k=8)).df
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64" in optimized
+    # the gram string (concat_ws) is computed below every Exchange:
+    # no Exchange operator's output column list carries a concat_ws
+    import re
+    for frag in re.findall(r"Exchange [^\n]*", optimized):
+        assert "concat_ws" not in frag
