@@ -1,0 +1,90 @@
+"""Lexical retrieval over document corpora: BM25 top-k scoring.
+
+The reference's RAG enrichment delegates vector search to external
+services (ml/rag/enrichment/*); classic lexical retrieval has no Beam
+counterpart at all. Here the inverted index IS a DataFrame — (term,
+doc, tf) — so BM25 is three keyed joins and a window top-k, all
+JVM-side.
+
+Scale design: the corpus statistics (doc lengths, document frequencies)
+are one aggregation pass each; query terms are tiny and broadcast; the
+scoring join is keyed on the term, so fan-in per term is its posting
+list — the classic inverted-index shape. Ranking uses the ROUNDED
+score (6 dp) with doc-id tie-break, which makes the top-k reproducible
+across engines and partial-aggregation orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from beam_spark.pcollection import PCollection, PTransform
+from beam_spark.operators.text import tokens
+
+
+class Bm25TopK(PTransform):
+    """Okapi BM25 (Lucene idf variant) top-k documents per query.
+
+    score(q, d) = sum over distinct q terms t of
+        ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+        * tf_td * (k1 + 1) / (tf_td + k1 * (1 - b + b * dl_d / avgdl))
+
+    Output: (query_id, doc_id, rank, score) with rank over
+    (round(score, 6) DESC, doc_id) — deterministic under ties.
+    """
+
+    def __init__(self, queries: DataFrame | PCollection, k: int = 10,
+                 k1: float = 1.2, b: float = 0.75,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 query_id_col: str = "query_id",
+                 query_text_col: str = "text", label=None):
+        super().__init__(label)
+        self.queries = queries.df if isinstance(queries, PCollection) else queries
+        self.k, self.k1, self.b = k, k1, b
+        self.text_col, self.id_col = text_col, id_col
+        self.query_id_col, self.query_text_col = query_id_col, query_text_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        idc, k1, b = self.id_col, float(self.k1), float(self.b)
+        toks = pcoll.df.select(F.col(idc),
+                               tokens(self.text_col).alias("__t"))
+        # postings: (term, doc, tf) + doc length
+        postings = (toks.select(idc, F.size("__t").alias("dl"),
+                                F.explode("__t").alias("term"))
+                    .groupBy(idc, "dl", "term")
+                    .agg(F.count(F.lit(1)).alias("tf")))
+        stats = toks.agg(F.count(F.lit(1)).alias("N"),
+                         F.avg(F.size("__t")).alias("avgdl"))
+        dfreq = postings.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df"))
+
+        qterms = (self.queries
+                  .select(F.col(self.query_id_col).alias("query_id"),
+                          F.explode(F.array_distinct(
+                              tokens(self.query_text_col))).alias("term")))
+
+        idf = F.log(F.lit(1.0) + (F.col("N") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5))
+        tf_part = (F.col("tf") * (k1 + 1)
+                   / (F.col("tf") + k1 * (1 - b + b * F.col("dl")
+                                          / F.col("avgdl"))))
+        # document frequencies restricted to the QUERY terms before any
+        # broadcast — dfreq itself is vocabulary-sized and must stay
+        # distributed; the restriction is at most |query terms| rows
+        q_df = dfreq.join(
+            F.broadcast(qterms.select("term").distinct()), on="term")
+        scored = (postings
+                  .join(F.broadcast(qterms), on="term")
+                  .join(F.broadcast(q_df), on="term")
+                  .crossJoin(F.broadcast(stats))
+                  .groupBy("query_id", idc)
+                  .agg(F.round(F.sum(idf * tf_part), 6).alias("score")))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col(idc))
+        out = (scored.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= self.k)
+               .select("query_id", idc, "rank", "score"))
+        return pcoll.with_df(out)

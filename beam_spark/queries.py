@@ -1430,6 +1430,48 @@ def q_split_by_hash(spark, sf_dir):
     return out.df.select("doc_id", "split")
 
 
+@query("q_retrieval_bm25_topk", r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents),
+post AS (SELECT doc_id, dl, term, count(*) AS tf
+         FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks)
+         GROUP BY doc_id, dl, term),
+stats AS (SELECT count(*) AS N, avg(len(t)) AS avgdl FROM toks),
+dfq AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+qt AS (SELECT doc_id AS query_id, unnest(list_distinct(t)) AS term
+       FROM toks WHERE doc_id < 5),
+scored AS (
+  SELECT qt.query_id, p.doc_id,
+         round(sum(ln(1 + (s.N - d.df + 0.5) / (d.df + 0.5))
+                   * ((p.tf * 2.5)
+                      / (p.tf + 1.5 * (0.25 + 0.75 * p.dl / s.avgdl)))),
+               6) AS score
+  FROM post p JOIN qt ON p.term = qt.term
+  JOIN dfq d ON p.term = d.term CROSS JOIN stats s
+  GROUP BY qt.query_id, p.doc_id),
+r AS (SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scored)
+SELECT query_id, doc_id, rank, score FROM r WHERE rank <= 5
+""")
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 lexical retrieval (Lucene idf variant), top-5 docs for
+    each of 5 query documents. Rank over the ROUNDED score + doc-id
+    tie-break keeps the top-k reproducible across engines and partial-
+    agg orders. k1=1.5 in the gate (binary-exact literal; operator
+    default is the textbook 1.2)."""
+    from beam_spark.operators.retrieval import Bm25TopK
+
+    docs = table(spark, sf_dir, "documents").df
+    queries_df = docs.filter("doc_id < 5").selectExpr(
+        "doc_id AS query_id", "text")
+    from beam_spark.pcollection import PCollection
+
+    return (PCollection(docs) | Bm25TopK(queries_df, k=5, k1=1.5)).df
+
+
 @query("q_dedup_ngram_jaccard_pairs", _JACCARD_ORACLE)
 def q_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram-shingle jaccard near-dup pairs (threshold 0.6):

@@ -553,3 +553,26 @@ def test_dedup_against_corpus_incremental(spark):
     assert rows[101]["dup_of_corpus"] == 1 and rows[101]["is_dup"] == 1
     assert rows[102]["is_dup"] == 0
     assert rows[103]["dup_of_batch"] == 102 and rows[103]["is_dup"] == 1
+
+
+def test_bm25_ranks_rare_term_doc_first(spark):
+    """A query with a rare term ranks the only doc containing it first;
+    a stopword-ish query term spread over all docs adds little; ties
+    rank deterministically by doc_id."""
+    from beam_spark.operators.retrieval import Bm25TopK
+
+    docs = spark.createDataFrame(
+        [(1, "common words fill this document with common words"),
+         (2, "common words plus the rare zyzzyva appears here"),
+         (3, "common words again nothing special here at all")],
+        "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(100, "zyzzyva common")], "query_id long, text string")
+    out = (PCollection(docs) | Bm25TopK(queries, k=3)).df
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert rows[0]["doc_id"] == 2
+    assert rows[0]["score"] > rows[1]["score"]
+    # determinism across runs
+    again = sorted((PCollection(docs) | Bm25TopK(queries, k=3)).df.collect(),
+                   key=lambda r: r["rank"])
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
