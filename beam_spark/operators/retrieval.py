@@ -88,3 +88,50 @@ class Bm25TopK(PTransform):
                .filter(F.col("rank") <= self.k)
                .select("query_id", idc, "rank", "score"))
         return pcoll.with_df(out)
+
+
+class RrfFuse(PTransform):
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two or more
+    rankings — the standard hybrid-search combiner (lexical BM25 +
+    vector ANN): score(d) = sum over rankings r of 1 / (k0 + rank_r(d)).
+    Rank-based, so fusion is immune to incomparable score scales AND to
+    float noise (the inputs are integer ranks).
+
+    Input frames share (query_id, id_col, rank); a doc absent from one
+    ranking simply contributes nothing there. Output: (query_id,
+    id_col, rank, rrf_score) — top-k per query, ties broken by id.
+
+    Scale: a union + one groupBy on (query, doc) + one window per
+    query; input rankings are already top-k-bounded, so every stage is
+    k*queries-sized regardless of corpus size.
+    """
+
+    def __init__(self, *rankings, k: int = 10, k0: int = 60,
+                 id_col: str = "doc_id", label=None):
+        super().__init__(label)
+        if len(rankings) < 2:
+            raise ValueError("RrfFuse needs at least two rankings")
+        self.rankings = [r.df if isinstance(r, PCollection) else r
+                         for r in rankings]
+        self.k, self.k0, self.id_col = k, int(k0), id_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from functools import reduce
+        from pyspark.sql import Window
+
+        idc, k0 = self.id_col, self.k0
+        parts = [r.select("query_id", idc, "rank") for r in self.rankings]
+        unioned = reduce(lambda a, b: a.unionByName(b), parts)
+        # integer-exact scoring: sum of 1/(k0+rank) rounded at 9 dp —
+        # every addend is one of a few hundred exact grid values, so
+        # cross-engine float agreement is structural, not lucky
+        scored = (unioned
+                  .groupBy("query_id", idc)
+                  .agg(F.round(F.sum(F.lit(1.0) / (F.col("rank") + k0)), 9)
+                       .alias("rrf_score")))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("rrf_score").desc(), F.col(idc))
+        out = (scored.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= self.k)
+               .select("query_id", idc, "rank", "rrf_score"))
+        return pcoll.with_df(out)

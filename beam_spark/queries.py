@@ -1472,6 +1472,74 @@ def q_bm25_topk(spark, sf_dir):
     return (PCollection(docs) | Bm25TopK(queries_df, k=5, k1=1.5)).df
 
 
+@query("q_retrieval_hybrid_rrf", r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents),
+post AS (SELECT doc_id, dl, term, count(*) AS tf
+         FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks)
+         GROUP BY doc_id, dl, term),
+stats AS (SELECT count(*) AS N, avg(len(t)) AS avgdl FROM toks),
+dfq AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+qt AS (SELECT doc_id AS query_id, unnest(list_distinct(t)) AS term
+       FROM toks WHERE doc_id < 5),
+bm_scored AS (
+  SELECT qt.query_id, p.doc_id,
+         round(sum(ln(1 + (s.N - d.df + 0.5) / (d.df + 0.5))
+                   * ((p.tf * 2.5)
+                      / (p.tf + 1.5 * (0.25 + 0.75 * p.dl / s.avgdl)))),
+               6) AS score
+  FROM post p JOIN qt ON p.term = qt.term
+  JOIN dfq d ON p.term = d.term CROSS JOIN stats s
+  GROUP BY qt.query_id, p.doc_id),
+bm AS (SELECT query_id, doc_id, rank FROM (
+         SELECT query_id, doc_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rank
+         FROM bm_scored) WHERE rank <= 5),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+cs AS (SELECT qv.vec_id AS query_id, e.vec_id AS doc_id,
+              list_cosine_similarity(qv.v, e.v) AS c
+       FROM qv CROSS JOIN e),
+ann AS (SELECT query_id, doc_id, rank FROM (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY c DESC, doc_id) AS rank
+          FROM cs) WHERE rank <= 5),
+u AS (SELECT * FROM bm UNION ALL SELECT * FROM ann),
+f AS (SELECT query_id, doc_id,
+             round(sum(CAST(1 AS DOUBLE) / (rank + 60)), 9) AS rrf_score
+      FROM u GROUP BY query_id, doc_id)
+SELECT query_id, doc_id, rank, rrf_score FROM (
+  SELECT query_id, doc_id, rrf_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_score DESC, doc_id) AS rank
+  FROM f) WHERE rank <= 5
+""")
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid search: BM25 lexical ranking fused with exact embedding-
+    cosine ranking by reciprocal-rank fusion (k0=60). Queries are docs
+    0-4 on the text side and the matching vectors on the embedding
+    side; both legs and the fusion replicate exactly in DuckDB."""
+    from beam_spark.operators.retrieval import Bm25TopK, RrfFuse
+    from beam_spark.operators.similarity import BruteForceCosineTopK
+    from beam_spark.pcollection import PCollection
+
+    docs = table(spark, sf_dir, "documents").df
+    queries_df = docs.filter("doc_id < 5").selectExpr(
+        "doc_id AS query_id", "text")
+    bm = (PCollection(docs) | Bm25TopK(queries_df, k=5, k1=1.5)).df
+    emb = table(spark, sf_dir, "embeddings").df.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        .alias("embedding"))
+    ann = (PCollection(emb)
+           | BruteForceCosineTopK(emb.filter("vec_id < 5"), k=5,
+                                  exclude_self=False)
+           ).df.selectExpr("query_id", "nbr_id AS doc_id", "rank")
+    return (PCollection(docs) | RrfFuse(bm, ann, k=5)).df
+
+
 @query("q_dedup_ngram_jaccard_pairs", _JACCARD_ORACLE)
 def q_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram-shingle jaccard near-dup pairs (threshold 0.6):

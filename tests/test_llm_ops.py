@@ -576,3 +576,24 @@ def test_bm25_ranks_rare_term_doc_first(spark):
     again = sorted((PCollection(docs) | Bm25TopK(queries, k=3)).df.collect(),
                    key=lambda r: r["rank"])
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_rrf_fusion_properties(spark):
+    """A doc ranked top in BOTH rankings beats docs top in only one;
+    fewer than two rankings is rejected."""
+    import pytest as _pytest
+    from beam_spark.operators.retrieval import RrfFuse
+
+    r1 = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, doc_id long, rank int")
+    r2 = spark.createDataFrame(
+        [(1, 10, 2), (1, 13, 1), (1, 12, 3)],
+        "query_id long, doc_id long, rank int")
+    dummy = PCollection(r1)
+    out = (dummy | RrfFuse(r1, r2, k=4)).df
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert rows[0]["doc_id"] == 10          # 1/61 + 1/62: in both, high
+    assert rows[0]["rrf_score"] > rows[1]["rrf_score"]
+    with _pytest.raises(ValueError, match="at least two"):
+        RrfFuse(r1)
