@@ -1,0 +1,110 @@
+"""Data-quality operators: column profiling and constraint checking —
+the Deequ/TFDV-style validation layer a production pipeline runs before
+and after every materialization. No reference counterpart (Beam users
+bolt on Deequ or hand-rolled asserts); here both are single-pass
+DataFrame aggregations.
+
+Scale design: ProfileColumns is ONE global aggregation over the input
+(count/null/min/max/sum fold per column; the exact distincts add
+Spark's Expand-based multi-distinct plan), then a constant-size
+unpivot. CheckConstraints is one global aggregation evaluating every
+check expression. Neither grows with column cardinality beyond the
+aggregation state itself.
+
+Cross-engine determinism: numeric means go through an exact decimal SUM
+(associative — immune to partial-agg order) divided once in double, the
+repo's standard dec() pattern; min/max/counts are exact by nature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from beam_spark.pcollection import PCollection, PTransform
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType)
+
+
+class ProfileColumns(PTransform):
+    """Per-column profile: one output row per profiled column with
+    ``column, dtype, n, n_null, n_distinct, min_value, max_value,
+    mean`` (mean is NULL for non-numeric columns; min/max are rendered
+    as strings so the output schema is column-type-independent).
+
+    ``mean_scale``: decimal scale used for the exact mean sum — inputs
+    with more fractional digits than this are profiled approximately
+    (documented; the TESTDATA money columns carry <= 2).
+    """
+
+    def __init__(self, columns=None, mean_scale: int = 6, label=None):
+        super().__init__(label)
+        self.columns = list(columns) if columns else None
+        self.mean_scale = mean_scale
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        df = pcoll.df
+        cols = self.columns or [f.name for f in df.schema.fields]
+        aggs, per_col = [], []
+        for c in cols:
+            dt = df.schema[c].dataType
+            is_num = isinstance(dt, _NUMERIC)
+            aggs += [
+                F.count(F.lit(1)).alias(f"{c}__n"),
+                F.count_if(F.col(c).isNull()).alias(f"{c}__nnull"),
+                F.count_distinct(F.col(c)).alias(f"{c}__ndist"),
+                F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+                F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+            ]
+            if is_num:
+                dec = F.col(c).cast(f"decimal(28,{self.mean_scale})")
+                aggs.append(
+                    (F.sum(dec).cast("double")
+                     / F.count(F.col(c))).alias(f"{c}__mean"))
+            else:
+                aggs.append(F.lit(None).cast("double").alias(f"{c}__mean"))
+            per_col.append((c, dt.simpleString()))
+        one = df.agg(*aggs)
+        # unpivot the single stats row into one output row per column
+        structs = F.array(*[
+            F.struct(F.lit(c).alias("column"), F.lit(t).alias("dtype"),
+                     F.col(f"{c}__n").alias("n"),
+                     F.col(f"{c}__nnull").alias("n_null"),
+                     F.col(f"{c}__ndist").alias("n_distinct"),
+                     F.col(f"{c}__min").alias("min_value"),
+                     F.col(f"{c}__max").alias("max_value"),
+                     F.col(f"{c}__mean").alias("mean"))
+            for c, t in per_col])
+        out = (one.select(F.explode(structs).alias("p")).select("p.*"))
+        return pcoll.with_df(out)
+
+
+class CheckConstraints(PTransform):
+    """Deequ-style constraint suite in one aggregation pass.
+
+    ``checks``: {name: aggregate SQL boolean expression}, e.g.
+    ``{"pk_unique": "count(DISTINCT id) = count(*)",
+       "price_nonneg": "min(price) >= 0",
+       "complete_cust": "count_if(cust IS NULL) = 0"}``.
+
+    Output: one row per check — (check, passed). Compose with a
+    fail-fast: ``assert out.filter("passed = 0").count() == 0``.
+    """
+
+    def __init__(self, checks: dict, label=None):
+        super().__init__(label)
+        if not checks:
+            raise ValueError("CheckConstraints needs at least one check")
+        self.checks = dict(checks)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        aggs = [F.expr(expr).cast("int").alias(name)
+                for name, expr in self.checks.items()]
+        one = pcoll.df.agg(*aggs)
+        structs = F.array(*[
+            F.struct(F.lit(name).alias("check"),
+                     F.col(name).alias("passed"))
+            for name in self.checks])
+        out = one.select(F.explode(structs).alias("c")).select("c.*")
+        return pcoll.with_df(out)

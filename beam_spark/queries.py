@@ -1540,6 +1540,66 @@ def q_hybrid_rrf(spark, sf_dir):
     return (PCollection(docs) | RrfFuse(bm, ann, k=5)).df
 
 
+_PROFILE_COL = """
+SELECT '{c}' AS "column", '{t}' AS dtype, count(*) AS n,
+       CAST(count(*) FILTER ({c} IS NULL) AS BIGINT) AS n_null,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_value,
+       CAST(max({c}) AS VARCHAR) AS max_value,
+       {mean} AS mean
+FROM orders"""
+
+
+@query("q_quality_profile_columns", " UNION ALL ".join(
+    _PROFILE_COL.format(
+        c=c, t=t,
+        mean=(f"CAST(sum(CAST({c} AS DECIMAL(28,6))) AS DOUBLE)"
+              f" / count({c})" if t in ("bigint", "double")
+              else "CAST(NULL AS DOUBLE)"))
+    for c, t in [("o_orderkey", "bigint"), ("o_custkey", "bigint"),
+                 ("o_orderstatus", "string"), ("o_totalprice", "double"),
+                 ("o_orderpriority", "string")]))
+def q_profile_columns(spark, sf_dir):
+    """Deequ/TFDV-style column profiling: one aggregation pass emits
+    count/null/distinct/min/max/mean per column (exact decimal-sum
+    mean — associative, partial-agg-order-immune). Timestamp column
+    excluded from the gate: its string rendering is engine-specific."""
+    from beam_spark.operators.quality import ProfileColumns
+
+    return (table(spark, sf_dir, "orders")
+            | ProfileColumns(["o_orderkey", "o_custkey", "o_orderstatus",
+                              "o_totalprice", "o_orderpriority"])).df
+
+
+@query("q_quality_check_constraints", """
+SELECT 'orderkey_unique' AS "check",
+       CAST(count(DISTINCT o_orderkey) = count(*) AS INT) AS passed
+FROM orders
+UNION ALL
+SELECT 'custkey_complete',
+       CAST(count(*) FILTER (o_custkey IS NULL) = 0 AS INT) FROM orders
+UNION ALL
+SELECT 'price_positive',
+       CAST(min(o_totalprice) > 0 AS INT) FROM orders
+UNION ALL
+SELECT 'status_domain',
+       CAST(count(*) FILTER (o_orderstatus NOT IN ('O', 'F', 'P')) = 0
+            AS INT) FROM orders
+""")
+def q_check_constraints(spark, sf_dir):
+    """Deequ-style constraint suite in ONE aggregation pass: primary-key
+    uniqueness, completeness, range, and domain checks over orders."""
+    from beam_spark.operators.quality import CheckConstraints
+
+    return (table(spark, sf_dir, "orders") | CheckConstraints({
+        "orderkey_unique": "count(DISTINCT o_orderkey) = count(*)",
+        "custkey_complete": "count_if(o_custkey IS NULL) = 0",
+        "price_positive": "min(o_totalprice) > 0",
+        "status_domain":
+            "count_if(o_orderstatus NOT IN ('O', 'F', 'P')) = 0",
+    })).df
+
+
 @query("q_dedup_ngram_jaccard_pairs", _JACCARD_ORACLE)
 def q_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram-shingle jaccard near-dup pairs (threshold 0.6):

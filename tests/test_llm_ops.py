@@ -597,3 +597,33 @@ def test_rrf_fusion_properties(spark):
     assert rows[0]["rrf_score"] > rows[1]["rrf_score"]
     with _pytest.raises(ValueError, match="at least two"):
         RrfFuse(r1)
+
+
+def test_profile_and_constraints_quality_ops(spark):
+    """ProfileColumns reports nulls/distincts/mean correctly on a
+    crafted frame; CheckConstraints flags the violated check and passes
+    the satisfied ones."""
+    from beam_spark.operators.quality import (CheckConstraints,
+                                              ProfileColumns)
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, None, "b"), (3, 30.0, "b"), (3, 20.0, None)],
+        "id long, price double, tag string")
+    prof = {r["column"]: r.asDict()
+            for r in (PCollection(df) | ProfileColumns()).df.collect()}
+    assert prof["id"]["n"] == 4 and prof["id"]["n_distinct"] == 3
+    assert prof["price"]["n_null"] == 1
+    assert prof["price"]["mean"] == 20.0  # (10+30+20)/3
+    assert prof["tag"]["mean"] is None
+    assert prof["tag"]["min_value"] == "a"
+
+    checks = (PCollection(df) | CheckConstraints({
+        "id_unique": "count(DISTINCT id) = count(*)",      # violated
+        "price_pos": "min(price) > 0",
+        "tag_complete": "count_if(tag IS NULL) = 0",       # violated
+    })).df
+    got = {r["check"]: r["passed"] for r in checks.collect()}
+    assert got == {"id_unique": 0, "price_pos": 1, "tag_complete": 0}
+    with _pytest.raises(ValueError, match="at least one"):
+        CheckConstraints({})
