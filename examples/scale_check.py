@@ -101,6 +101,18 @@ def run_suite(spark, sf_dir):
 
     res["quality"] = timed("  quality scores", lambda: (
         (docs | QualityScore()).df.count()))
+
+    from beam_spark.operators.dedupe import ExactSubstrSpans
+    from beam_spark.operators.retrieval import Bm25TopK
+    from beam_spark.operators.text import GopherQualityFilter, NgramPerplexity
+
+    res["exact_substr"] = timed("  exact-substr span coverage", lambda: (
+        (docs | ExactSubstrSpans(k=8)).df.count()))
+    res["gopher_ppl"] = timed("  gopher rules + bigram perplexity", lambda: (
+        (docs | GopherQualityFilter() | NgramPerplexity()).df.count()))
+    qdf = docs.df.limit(5).selectExpr("doc_id AS query_id", "text")
+    res["bm25"] = timed("  bm25 top-10 (5 queries)", lambda: (
+        (docs | Bm25TopK(qdf, k=10)).df.count()))
     return res
 
 
