@@ -260,3 +260,47 @@ def _ml_transform(t, current, named, pipeline):
     if cls is None:
         raise ValueError(f"unknown MLTransform op {op!r}")
     return current | cls(**kwargs)
+
+
+def _register_curation():
+    """The training-data curation / quality surface as YAML transforms:
+    every op here is (DataFrame in -> DataFrame out) with plain-scalar
+    or dict kwargs, so one generic adapter covers them."""
+    import importlib
+
+    specs = {
+        "NormalizeText": ("beam_spark.operators.text", "NormalizeText"),
+        "GopherQualityFilter": ("beam_spark.operators.text",
+                                "GopherQualityFilter"),
+        "RepetitionStats": ("beam_spark.operators.text", "RepetitionStats"),
+        "NgramPerplexity": ("beam_spark.operators.text", "NgramPerplexity"),
+        "QualityScore": ("beam_spark.operators.text", "QualityScore"),
+        "LanguageId": ("beam_spark.operators.text", "LanguageId"),
+        "PiiRedact": ("beam_spark.operators.text", "PiiRedact"),
+        "TokenCount": ("beam_spark.operators.text", "TokenCount"),
+        "HashSample": ("beam_spark.operators.combiners", "HashSample"),
+        "TemperatureSample": ("beam_spark.operators.combiners",
+                              "TemperatureSample"),
+        "SplitByHash": ("beam_spark.operators.combiners", "SplitByHash"),
+        "FuzzyDedupKeep": ("beam_spark.operators.dedupe", "FuzzyDedupKeep"),
+        "ExactSubstrSpans": ("beam_spark.operators.dedupe",
+                             "ExactSubstrSpans"),
+        "ProfileColumns": ("beam_spark.operators.quality", "ProfileColumns"),
+        "CheckConstraints": ("beam_spark.operators.quality",
+                             "CheckConstraints"),
+        "ChunkText": ("beam_spark.ml.chunking", "ChunkText"),
+        "PackSequences": ("beam_spark.ml.chunking", "PackSequences"),
+    }
+
+    def make(mod_name, cls_name):
+        def fn(t, current, named, pipeline):
+            cls = getattr(importlib.import_module(mod_name), cls_name)
+            kwargs = {k: v for k, v in t.items() if k not in ("type", "name")}
+            return current | cls(**kwargs)
+        return fn
+
+    for yaml_name, (mod, cls) in specs.items():
+        _REGISTRY[yaml_name] = make(mod, cls)
+
+
+_register_curation()

@@ -150,3 +150,43 @@ pipeline:
 """, spark)
     rows = [(r["k"], r["v"]) for r in out.collect()]
     assert rows == [("b", 2)]
+
+
+def test_yaml_curation_pipeline(spark, sf_dir):
+    """The curation surface drives from YAML: normalize -> gopher rules
+    -> deterministic split, then constraint checks."""
+    from beam_spark.yaml_pipeline import run_yaml
+
+    spec = f"""
+pipeline:
+  transforms:
+    - type: ReadFromParquet
+      path: {sf_dir}/documents.parquet
+    - type: NormalizeText
+      strip_punct: true
+    - type: GopherQualityFilter
+      min_words: 20
+      min_stopword_hits: 1
+    - type: SplitByHash
+      splits: {{train: 0.8, val: 0.2}}
+      id_col: doc_id
+"""
+    out = run_yaml(spec, spark)
+    rows = out.df.select("doc_id", "norm_text", "keep", "split").collect()
+    assert len(rows) == 500
+    assert {r["split"] for r in rows} <= {"train", "val"}
+    assert any(r["keep"] == 1 for r in rows)
+
+    check_spec = f"""
+pipeline:
+  transforms:
+    - type: ReadFromParquet
+      path: {sf_dir}/orders.parquet
+    - type: CheckConstraints
+      checks:
+        orderkey_unique: count(DISTINCT o_orderkey) = count(*)
+        price_positive: min(o_totalprice) > 0
+"""
+    checks = run_yaml(check_spec, spark)
+    got = {r["check"]: r["passed"] for r in checks.df.collect()}
+    assert got == {"orderkey_unique": 1, "price_positive": 1}
