@@ -661,16 +661,30 @@ def q_ann_exhaustive_suite(spark, sf_dir):
            | LshCosineTopK(queries_df, k=5, n_planes=4, probe_all=True)).df
     ivf = (PCollection(emb)
            | IvfCosineTopK(queries_df, k=5, n_lists=8, nprobe=8)).df
+    bm25 = _component("q_retrieval_bm25_topk")(spark, sf_dir)
+    rrf = _component("q_retrieval_hybrid_rrf")(spark, sf_dir)
     return _union([
         lsh.selectExpr("'lsh' AS method", "query_id", "nbr_id", "rank", "cosine"),
         ivf.selectExpr("'ivf' AS method", "query_id", "nbr_id", "rank", "cosine"),
+        bm25.selectExpr("'bm25' AS method", "query_id", "doc_id AS nbr_id",
+                        "rank", "score AS cosine"),
+        rrf.selectExpr("'rrf' AS method", "query_id", "doc_id AS nbr_id",
+                       "rank", "rrf_score AS cosine"),
     ])
 
 
 _ANN_EXHAUSTIVE_SQL = "\nUNION ALL\n".join(
     _wrap(f"'{m}' AS method, query_id, nbr_id, rank, cosine",
           _component_sql("q_ann_bruteforce_topk"))
-    for m in ("lsh", "ivf"))
+    for m in ("lsh", "ivf")) + f"""
+UNION ALL
+{_wrap("'bm25' AS method, query_id, doc_id AS nbr_id, rank, score AS cosine",
+       _component_sql("q_retrieval_bm25_topk"))}
+UNION ALL
+{_wrap("'rrf' AS method, query_id, doc_id AS nbr_id, rank, "
+       "rrf_score AS cosine",
+       _component_sql("q_retrieval_hybrid_rrf"))}
+"""
 
 
 # --------------------------------------------------------------------------
