@@ -108,3 +108,76 @@ class CheckConstraints(PTransform):
             for name in self.checks])
         out = one.select(F.explode(structs).alias("c")).select("c.*")
         return pcoll.with_df(out)
+
+
+class DistributionDrift(PTransform):
+    """Population-stability-index (PSI) drift between a REFERENCE frame
+    and the current input, per numeric column — the standard
+    "did yesterday's corpus shift" monitor (TFDV's drift comparator,
+    credit-risk PSI). PSI = sum over bins of (p - q) * ln(p / q), with
+    p/q the reference/current bin fractions clamped at ``eps``;
+    conventional reading: < 0.1 stable, 0.1-0.25 moderate, > 0.25
+    drifted.
+
+    Bins: ``n_bins`` fixed-width intervals over the REFERENCE min/max
+    (out-of-range current values clamp into the edge bins, so new mass
+    outside the reference range is visible as edge-bin drift).
+
+    Output: one row per column — (column, psi, n_ref, n_cur, drifted).
+
+    Scale: per column, one aggregation over each frame (bin counts) and
+    a bins-sized (constant) join; the reference min/max ride in a
+    broadcast 1-row frame. Everything stays distributed.
+    """
+
+    def __init__(self, reference, columns, n_bins: int = 10,
+                 threshold: float = 0.25, eps: float = 1e-6, label=None):
+        super().__init__(label)
+        self.reference = (reference.df if isinstance(reference, PCollection)
+                          else reference)
+        self.columns = [columns] if isinstance(columns, str) else list(columns)
+        self.n_bins, self.threshold, self.eps = n_bins, threshold, eps
+
+    def _bin_counts(self, df, c, stats, tag):
+        nb = self.n_bins
+        width = (F.col("__mx") - F.col("__mn")) / nb
+        raw = F.floor((F.col(c) - F.col("__mn")) / width)
+        bin_id = F.when(F.col("__mx") == F.col("__mn"), F.lit(0)).otherwise(
+            F.least(F.lit(nb - 1), F.greatest(F.lit(0), raw))).cast("int")
+        return (df.select(c).where(F.col(c).isNotNull())
+                .crossJoin(F.broadcast(stats))
+                .groupBy(bin_id.alias("bin"))
+                .agg(F.count(F.lit(1)).alias(f"n_{tag}")))
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        eps = self.eps
+        outs = []
+        for c in self.columns:
+            stats = self.reference.agg(
+                F.min(F.col(c).cast("double")).alias("__mn"),
+                F.max(F.col(c).cast("double")).alias("__mx"))
+            ref = self._bin_counts(self.reference, c, stats, "ref")
+            cur = self._bin_counts(pcoll.df, c, stats, "cur")
+            joined = (ref.join(cur, on="bin", how="full")
+                      .select(F.coalesce("n_ref", F.lit(0)).alias("nr"),
+                              F.coalesce("n_cur", F.lit(0)).alias("nc")))
+            p = F.greatest(F.col("nr") / F.sum("nr").over(_all()), F.lit(eps))
+            q = F.greatest(F.col("nc") / F.sum("nc").over(_all()), F.lit(eps))
+            per_bin = joined.select(
+                ((p - q) * F.log(p / q)).alias("term"), "nr", "nc")
+            outs.append(per_bin.agg(
+                F.lit(c).alias("column"),
+                F.round(F.sum("term"), 6).alias("psi"),
+                F.sum("nr").alias("n_ref"), F.sum("nc").alias("n_cur"))
+                .withColumn("drifted",
+                            (F.col("psi") > self.threshold).cast("int")))
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return pcoll.with_df(out)
+
+
+def _all():
+    from pyspark.sql import Window
+
+    return Window.partitionBy()

@@ -1600,6 +1600,61 @@ def q_check_constraints(spark, sf_dir):
     })).df
 
 
+_DRIFT_COL = """
+SELECT '{c}' AS "column", round(sum(term), 6) AS psi,
+       CAST(sum(nr) AS BIGINT) AS n_ref, CAST(sum(nc) AS BIGINT) AS n_cur,
+       CAST(round(sum(term), 6) > 0.25 AS INT) AS drifted
+FROM (
+  SELECT (greatest(CAST(nr AS DOUBLE) / sum(nr) OVER (), 1e-6)
+          - greatest(CAST(nc AS DOUBLE) / sum(nc) OVER (), 1e-6))
+         * ln(greatest(CAST(nr AS DOUBLE) / sum(nr) OVER (), 1e-6)
+              / greatest(CAST(nc AS DOUBLE) / sum(nc) OVER (), 1e-6))
+           AS term, nr, nc
+  FROM (
+    SELECT coalesce(rb.bin, cb.bin) AS bin,
+           coalesce(rb.nr, 0) AS nr, coalesce(cb.nc, 0) AS nc
+    FROM (SELECT CASE WHEN st.mx = st.mn THEN 0
+                 ELSE CAST(least(9, greatest(0,
+                      floor((x - st.mn) / ((st.mx - st.mn) / 10)))) AS INT)
+                 END AS bin, count(*) AS nr
+          FROM (SELECT CAST({c} AS DOUBLE) AS x FROM orders
+                WHERE o_orderkey % 2 = 0) r,
+               (SELECT min(CAST({c} AS DOUBLE)) AS mn,
+                       max(CAST({c} AS DOUBLE)) AS mx FROM orders
+                WHERE o_orderkey % 2 = 0) st
+          GROUP BY 1) rb
+    FULL JOIN
+         (SELECT CASE WHEN st.mx = st.mn THEN 0
+                 ELSE CAST(least(9, greatest(0,
+                      floor((x - st.mn) / ((st.mx - st.mn) / 10)))) AS INT)
+                 END AS bin, count(*) AS nc
+          FROM (SELECT CAST({c} AS DOUBLE) AS x FROM orders
+                WHERE o_totalprice > 300000) u,
+               (SELECT min(CAST({c} AS DOUBLE)) AS mn,
+                       max(CAST({c} AS DOUBLE)) AS mx FROM orders
+                WHERE o_orderkey % 2 = 0) st
+          GROUP BY 1) cb
+    ON rb.bin = cb.bin))"""
+
+
+@query("q_quality_distribution_drift",
+       " UNION ALL ".join(_DRIFT_COL.format(c=c)
+                          for c in ("o_totalprice", "o_custkey")))
+def q_distribution_drift(spark, sf_dir):
+    """PSI drift monitor: reference = even-orderkey orders; current =
+    the high-price slice. o_totalprice is drifted by construction
+    (mass pushed into the top bins); o_custkey stays stable (the slice
+    is ~random over customers)."""
+    from beam_spark.operators.quality import DistributionDrift
+    from beam_spark.pcollection import PCollection
+
+    orders = table(spark, sf_dir, "orders").df
+    ref = orders.filter("o_orderkey % 2 = 0")
+    cur = orders.filter("o_totalprice > 300000")
+    return (PCollection(cur)
+            | DistributionDrift(ref, ["o_totalprice", "o_custkey"])).df
+
+
 @query("q_dedup_ngram_jaccard_pairs", _JACCARD_ORACLE)
 def q_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram-shingle jaccard near-dup pairs (threshold 0.6):

@@ -627,3 +627,21 @@ def test_profile_and_constraints_quality_ops(spark):
     assert got == {"id_unique": 0, "price_pos": 1, "tag_complete": 0}
     with _pytest.raises(ValueError, match="at least one"):
         CheckConstraints({})
+
+
+def test_distribution_drift_psi(spark):
+    """Identical distributions score ~0 PSI; a shifted distribution
+    crosses the drift threshold; reference-range clamping keeps
+    out-of-range mass visible in the edge bin."""
+    from beam_spark.operators.quality import DistributionDrift
+
+    ref = spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
+    same = spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
+    shifted = spark.range(1000).selectExpr(
+        "CAST(id % 100 + 500 AS DOUBLE) AS v")  # fully out of ref range
+    stable = (PCollection(same) | DistributionDrift(ref, "v")).df.collect()[0]
+    assert stable["psi"] < 0.01 and stable["drifted"] == 0
+    drift = (PCollection(shifted)
+             | DistributionDrift(ref, "v")).df.collect()[0]
+    assert drift["psi"] > 0.25 and drift["drifted"] == 1
+    assert drift["n_ref"] == 1000 and drift["n_cur"] == 1000

@@ -518,3 +518,34 @@ def test_with_late_output_null_event_times_not_lost(spark):
         late_fn=lambda df, bid: late_rows.extend(df.collect()))
     assert sorted(r["v"] for r in main_rows) == [1, 42]  # null -> on_time
     assert [r["v"] for r in late_rows] == [9]
+
+
+def test_streaming_curation_ops_compose(spark):
+    """The round-5 curation projections (NormalizeText, Gopher rules,
+    SplitByHash) are stateless expressions, so they run UNCHANGED on an
+    unbounded input — TestStream micro-batches in, per-doc verdicts
+    out, no state required."""
+    from beam_spark.operators.combiners import SplitByHash
+    from beam_spark.operators.text import GopherQualityFilter, NormalizeText
+    from beam_spark.streaming import (TestStream, WithWatermark,
+                                      WriteStreamToMemory)
+
+    good = " ".join(["the big dog and the cat of doom went home"] * 6)
+    ts = TestStream(spark, "t timestamp, doc_id long, text string")
+    ts.add_elements([
+        {"t": "2024-01-01 00:00:01", "doc_id": 1, "text": good},
+        {"t": "2024-01-01 00:00:02", "doc_id": 2, "text": "too short"},
+    ])
+    ts.add_elements([
+        {"t": "2024-01-01 00:00:10", "doc_id": 3, "text": good + " again"},
+    ])
+    pc = (ts.stream()
+          | WithWatermark("t", "1 minute")
+          | NormalizeText()
+          | GopherQualityFilter(min_words=50)
+          | SplitByHash({"train": 0.5, "val": 0.5}, "doc_id"))
+    rows = (pc | WriteStreamToMemory(output_mode="append")).collect()
+    got = {r["doc_id"]: (r["keep"], r["split"]) for r in rows}
+    assert set(got) == {1, 2, 3}
+    assert got[1][0] == 1 and got[2][0] == 0 and got[3][0] == 1
+    assert all(s in ("train", "val") for _, s in got.values())
