@@ -263,6 +263,70 @@ class WriteBucketedTable(PTransform):
         return pcoll
 
 
+class OverwritePartitionsDynamic(PTransform):
+    """Idempotent partition-scoped overwrite: replace ONLY the hive
+    partitions present in the input, leaving every other partition of
+    the destination untouched — the safe backfill/reprocess pattern for
+    a partitioned lake (rerunning one day must not clobber the table).
+
+    Uses Spark's dynamic partitionOverwriteMode scoped to this write
+    (set via the writer option, not the session conf, so concurrent
+    static-mode writes are unaffected). The input is repartitioned on
+    the partition columns first — the Nexmark-Q10 lesson: without it
+    every task opens a writer per destination and the job writes
+    thousands of tiny files.
+    """
+
+    def __init__(self, path: str, partition_by, fmt: str = "parquet",
+                 label=None, **options):
+        super().__init__(label)
+        self.path, self.fmt = path, fmt
+        self.partition_by = ([partition_by] if isinstance(partition_by, str)
+                             else list(partition_by))
+        self.options = options
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        df = pcoll.df.repartition(*[F.col(c) for c in self.partition_by])
+        (df.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .options(**self.options)
+         .partitionBy(*self.partition_by)
+         .format(self.fmt).save(self.path))
+        return pcoll
+
+
+class CompactParquet(PTransform):
+    """Small-files compaction: rewrite a parquet dataset (optionally a
+    single hive partition) into ~``target_file_mb``-sized files — the
+    lake-maintenance job that undoes write-amplification from streaming
+    or over-parallel writers. File count = ceil(input_bytes / target);
+    input bytes come from the file listing (no data scan).
+
+    Run it per-partition behind OverwritePartitionsDynamic semantics to
+    compact in place without touching sibling partitions.
+    """
+
+    def __init__(self, path: str, target_file_mb: int = 128,
+                 partition_filter: str | None = None, label=None):
+        super().__init__(label)
+        self.path, self.target_mb = path, int(target_file_mb)
+        self.partition_filter = partition_filter
+
+    def expand(self, pbegin) -> PCollection:
+        spark = getattr(pbegin, "spark", None) or pbegin.df.sparkSession
+        df = spark.read.parquet(self.path)
+        if self.partition_filter:
+            df = df.filter(self.partition_filter)
+        listing = (spark.read.format("binaryFile")
+                   .option("pathGlobFilter", "*.parquet")
+                   .option("recursiveFileLookup", "true")
+                   .load(self.path).select("length"))
+        total = listing.agg(F.sum("length")).collect()[0][0] or 0
+        n_files = max(1, -(-int(total) // (self.target_mb * 1024 * 1024)))
+        out = df.repartition(n_files)
+        return PCollection(out, pipeline=getattr(pbegin, "pipeline", None))
+
+
 class ReadFromKafka(PTransform):
     """Kafka source (Beam io/kafka.py:136 xlang -> native Spark Kafka).
 

@@ -569,3 +569,52 @@ def test_avro_snappy_codec_roundtrip_or_clean_error(tmp_path):
     with open(p, "rb") as f:
         _, back = A.read_container(f.read())
     assert back == recs
+
+
+def test_overwrite_partitions_dynamic(spark, tmp_path):
+    """Rewriting one hive partition leaves sibling partitions intact
+    (the idempotent backfill pattern), and the repartition-first write
+    plan produces one file per rewritten partition, not one per task."""
+    import glob
+    from beam_spark.pcollection import PCollection
+    from beam_spark.sources.io import OverwritePartitionsDynamic
+
+    path = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [("2024-01-01", i, "old") for i in range(50)]
+        + [("2024-01-02", i, "keep") for i in range(50)],
+        "day string, id long, v string")
+    (base.write.mode("overwrite").partitionBy("day").parquet(path))
+
+    redo = spark.createDataFrame(
+        [("2024-01-01", i, "new") for i in range(10)],
+        "day string, id long, v string")
+    PCollection(redo) | OverwritePartitionsDynamic(path, "day")
+
+    got = spark.read.parquet(path)
+    day1 = got.filter("day = '2024-01-01'").collect()
+    day2 = got.filter("day = '2024-01-02'").collect()
+    assert len(day1) == 10 and all(r["v"] == "new" for r in day1)
+    assert len(day2) == 50 and all(r["v"] == "keep" for r in day2)
+    files = glob.glob(f"{path}/day=2024-01-01/*.parquet")
+    assert len(files) <= 2, files
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """A 20-file dataset compacts to the byte-target file count with
+    rows preserved."""
+    import glob
+    from beam_spark.pcollection import Pipeline
+    from beam_spark.sources.io import CompactParquet
+
+    src = str(tmp_path / "fragmented")
+    spark.range(2000).selectExpr("id", "id * 2 AS v") \
+        .repartition(20).write.mode("overwrite").parquet(src)
+    assert len(glob.glob(f"{src}/*.parquet")) == 20
+
+    out = (Pipeline(spark) | CompactParquet(src, target_file_mb=128)).df
+    assert out.rdd.getNumPartitions() == 1  # tiny input -> one file
+    assert out.count() == 2000
+    dst = str(tmp_path / "compacted")
+    out.write.mode("overwrite").parquet(dst)
+    assert len(glob.glob(f"{dst}/*.parquet")) == 1
