@@ -119,24 +119,31 @@ class DistributionDrift(PTransform):
     conventional reading: < 0.1 stable, 0.1-0.25 moderate, > 0.25
     drifted.
 
-    Bins: ``n_bins`` fixed-width intervals over the REFERENCE min/max
-    (out-of-range current values clamp into the edge bins, so new mass
-    outside the reference range is visible as edge-bin drift).
+    Bins — numeric columns: ``n_bins`` fixed-width intervals over the
+    REFERENCE min/max (out-of-range current values clamp into the edge
+    bins, so new mass outside the reference range is visible as edge-bin
+    drift). String columns: the reference's ``max_categories`` most
+    frequent values (count-desc, value tie-break), everything else in
+    an OTHER bucket — so novel categories in the current frame surface
+    as OTHER-bucket drift.
 
     Output: one row per column — (column, psi, n_ref, n_cur, drifted).
 
     Scale: per column, one aggregation over each frame (bin counts) and
-    a bins-sized (constant) join; the reference min/max ride in a
-    broadcast 1-row frame. Everything stays distributed.
+    a bins-sized (constant) join; the reference min/max (or top-N
+    category list) ride in a broadcast bounded frame. Everything stays
+    distributed.
     """
 
     def __init__(self, reference, columns, n_bins: int = 10,
-                 threshold: float = 0.25, eps: float = 1e-6, label=None):
+                 max_categories: int = 20, threshold: float = 0.25,
+                 eps: float = 1e-6, label=None):
         super().__init__(label)
         self.reference = (reference.df if isinstance(reference, PCollection)
                           else reference)
         self.columns = [columns] if isinstance(columns, str) else list(columns)
         self.n_bins, self.threshold, self.eps = n_bins, threshold, eps
+        self.max_categories = max_categories
 
     def _bin_counts(self, df, c, stats, tag):
         nb = self.n_bins
@@ -149,15 +156,36 @@ class DistributionDrift(PTransform):
                 .groupBy(bin_id.alias("bin"))
                 .agg(F.count(F.lit(1)).alias(f"n_{tag}")))
 
+    def _cat_counts(self, df, c, cats, tag):
+        """Counts per category bucket: top-N reference values are their
+        own bucket; everything else folds into OTHER."""
+        return (df.select(F.col(c).alias("__v"))
+                .where(F.col("__v").isNotNull())
+                .join(F.broadcast(cats), on="__v", how="left")
+                .groupBy(F.coalesce("__cat", F.lit("OTHER")).alias("bin"))
+                .agg(F.count(F.lit(1)).alias(f"n_{tag}")))
+
     def expand(self, pcoll: PCollection) -> PCollection:
         eps = self.eps
         outs = []
         for c in self.columns:
-            stats = self.reference.agg(
-                F.min(F.col(c).cast("double")).alias("__mn"),
-                F.max(F.col(c).cast("double")).alias("__mx"))
-            ref = self._bin_counts(self.reference, c, stats, "ref")
-            cur = self._bin_counts(pcoll.df, c, stats, "cur")
+            if isinstance(pcoll.df.schema[c].dataType, T.StringType):
+                # top-N via orderBy+limit: TakeOrdered, no global sort
+                cats = (self.reference
+                        .select(F.col(c).alias("__v"))
+                        .where(F.col("__v").isNotNull())
+                        .groupBy("__v").agg(F.count(F.lit(1)).alias("__n"))
+                        .orderBy(F.col("__n").desc(), F.col("__v"))
+                        .limit(self.max_categories)
+                        .select("__v", F.col("__v").alias("__cat")))
+                ref = self._cat_counts(self.reference, c, cats, "ref")
+                cur = self._cat_counts(pcoll.df, c, cats, "cur")
+            else:
+                stats = self.reference.agg(
+                    F.min(F.col(c).cast("double")).alias("__mn"),
+                    F.max(F.col(c).cast("double")).alias("__mx"))
+                ref = self._bin_counts(self.reference, c, stats, "ref")
+                cur = self._bin_counts(pcoll.df, c, stats, "cur")
             joined = (ref.join(cur, on="bin", how="full")
                       .select(F.coalesce("n_ref", F.lit(0)).alias("nr"),
                               F.coalesce("n_cur", F.lit(0)).alias("nc")))

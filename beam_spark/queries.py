@@ -1637,14 +1637,51 @@ FROM (
     ON rb.bin = cb.bin))"""
 
 
+_DRIFT_CAT_COL = """
+SELECT '{c}' AS "column", round(sum(term), 6) AS psi,
+       CAST(sum(nr) AS BIGINT) AS n_ref, CAST(sum(nc) AS BIGINT) AS n_cur,
+       CAST(round(sum(term), 6) > 0.25 AS INT) AS drifted
+FROM (
+  SELECT (greatest(CAST(nr AS DOUBLE) / sum(nr) OVER (), 1e-6)
+          - greatest(CAST(nc AS DOUBLE) / sum(nc) OVER (), 1e-6))
+         * ln(greatest(CAST(nr AS DOUBLE) / sum(nr) OVER (), 1e-6)
+              / greatest(CAST(nc AS DOUBLE) / sum(nc) OVER (), 1e-6))
+           AS term, nr, nc
+  FROM (
+    SELECT coalesce(rb.bin, cb.bin) AS bin,
+           coalesce(rb.nr, 0) AS nr, coalesce(cb.nc, 0) AS nc
+    FROM (SELECT coalesce(ct.cat, 'OTHER') AS bin, count(*) AS nr
+          FROM (SELECT {c} AS v FROM orders
+                WHERE o_orderkey % 2 = 0 AND {c} IS NOT NULL) r
+          LEFT JOIN (SELECT v AS catv, v AS cat
+                     FROM (SELECT {c} AS v, count(*) AS n FROM orders
+                           WHERE o_orderkey % 2 = 0 AND {c} IS NOT NULL
+                           GROUP BY 1 ORDER BY n DESC, v LIMIT 20)) ct
+            ON r.v = ct.catv
+          GROUP BY 1) rb
+    FULL JOIN
+         (SELECT coalesce(ct.cat, 'OTHER') AS bin, count(*) AS nc
+          FROM (SELECT {c} AS v FROM orders
+                WHERE o_totalprice > 300000 AND {c} IS NOT NULL) u
+          LEFT JOIN (SELECT v AS catv, v AS cat
+                     FROM (SELECT {c} AS v, count(*) AS n FROM orders
+                           WHERE o_orderkey % 2 = 0 AND {c} IS NOT NULL
+                           GROUP BY 1 ORDER BY n DESC, v LIMIT 20)) ct
+            ON u.v = ct.catv
+          GROUP BY 1) cb
+    ON rb.bin = cb.bin))"""
+
+
 @query("q_quality_distribution_drift",
        " UNION ALL ".join(_DRIFT_COL.format(c=c)
-                          for c in ("o_totalprice", "o_custkey")))
+                          for c in ("o_totalprice", "o_custkey"))
+       + " UNION ALL " + _DRIFT_CAT_COL.format(c="o_orderpriority"))
 def q_distribution_drift(spark, sf_dir):
     """PSI drift monitor: reference = even-orderkey orders; current =
     the high-price slice. o_totalprice is drifted by construction
     (mass pushed into the top bins); o_custkey stays stable (the slice
-    is ~random over customers)."""
+    is ~random over customers); o_orderpriority exercises the
+    CATEGORICAL path (top-N reference categories + OTHER bucket)."""
     from beam_spark.operators.quality import DistributionDrift
     from beam_spark.pcollection import PCollection
 
@@ -1652,7 +1689,8 @@ def q_distribution_drift(spark, sf_dir):
     ref = orders.filter("o_orderkey % 2 = 0")
     cur = orders.filter("o_totalprice > 300000")
     return (PCollection(cur)
-            | DistributionDrift(ref, ["o_totalprice", "o_custkey"])).df
+            | DistributionDrift(
+                ref, ["o_totalprice", "o_custkey", "o_orderpriority"])).df
 
 
 @query("q_dedup_ngram_jaccard_pairs", _JACCARD_ORACLE)

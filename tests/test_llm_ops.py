@@ -645,3 +645,24 @@ def test_distribution_drift_psi(spark):
              | DistributionDrift(ref, "v")).df.collect()[0]
     assert drift["psi"] > 0.25 and drift["drifted"] == 1
     assert drift["n_ref"] == 1000 and drift["n_cur"] == 1000
+
+
+def test_distribution_drift_categorical(spark):
+    """String columns take the categorical path: same category mix
+    scores ~0; novel categories land in OTHER and cross the
+    threshold."""
+    from beam_spark.operators.quality import DistributionDrift
+
+    ref = spark.range(900).selectExpr(
+        "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' "
+        "ELSE 'c' END AS cat")
+    same = spark.range(300).selectExpr(
+        "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' "
+        "ELSE 'c' END AS cat")
+    novel = spark.range(300).selectExpr("'zzz' AS cat")
+    stable = (PCollection(same)
+              | DistributionDrift(ref, "cat")).df.collect()[0]
+    assert stable["psi"] < 0.01 and stable["drifted"] == 0
+    drift = (PCollection(novel)
+             | DistributionDrift(ref, "cat")).df.collect()[0]
+    assert drift["drifted"] == 1 and drift["psi"] > 1
