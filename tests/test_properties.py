@@ -254,3 +254,68 @@ def test_avro_zigzag_long_roundtrip(n):
     A.write_long(b, n)
     got, pos = A.read_long(memoryview(b.getvalue()), 0)
     assert got == n and pos == len(b.getvalue())
+
+
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["w1", "w2", "w3", "w4"]),
+             min_size=0, max_size=14),
+    min_size=1, max_size=8),
+    k=st.integers(2, 4))
+@settings(**SETTINGS)
+def test_exact_substr_spans_matches_python(spark, docs, k):
+    """ExactSubstrSpans vs a sequential model: same duplicated-window
+    marking and interval-union coverage for arbitrary tiny corpora."""
+    from beam_spark.operators.dedupe import ExactSubstrSpans
+
+    rows = [{"doc_id": i, "text": " ".join(toks)}
+            for i, toks in enumerate(docs)]
+    got = {r["doc_id"]: (r["dup_windows"], r["dup_token_cov"])
+           for r in (Pipeline(spark) | Create(rows)
+                     | ExactSubstrSpans(k=k, hash_grams=False)).df.collect()}
+
+    grams = Counter()
+    per_doc = {}
+    for i, toks in enumerate(docs):
+        pos_grams = [(p, " ".join(toks[p:p + k]))
+                     for p in range(len(toks) - k + 1)]
+        per_doc[i] = pos_grams
+        grams.update(g for _, g in pos_grams)
+    exp = {}
+    for i, toks in enumerate(docs):
+        marked = sorted(p for p, g in per_doc[i] if grams[g] >= 2)
+        cov, j = 0, 0
+        while j < len(marked):
+            start = marked[j]
+            end = marked[j]
+            while j + 1 < len(marked) and marked[j + 1] - marked[j] <= k:
+                j += 1
+                end = marked[j]
+            cov += end + k - start
+            j += 1
+        exp[i] = (len(marked), cov)
+    assert got == exp
+
+
+@given(ranks=st.lists(
+    st.tuples(st.integers(1, 3), st.integers(10, 15), st.integers(1, 5)),
+    min_size=2, max_size=20))
+@settings(**SETTINGS)
+def test_rrf_matches_python(spark, ranks):
+    """RrfFuse vs sequential RRF over two arbitrary rankings."""
+    from beam_spark.operators.retrieval import RrfFuse
+    from beam_spark.pcollection import PCollection
+
+    half = len(ranks) // 2
+    r1, r2 = ranks[:half] or ranks[:1], ranks[half:] or ranks[-1:]
+    df1 = spark.createDataFrame(r1, "query_id long, doc_id long, rank int")
+    df2 = spark.createDataFrame(r2, "query_id long, doc_id long, rank int")
+    out = (PCollection(df1) | RrfFuse(df1, df2, k=100)).df.collect()
+
+    scores = defaultdict(float)
+    for q, d, r in r1 + r2:
+        scores[(q, d)] += 1.0 / (60 + r)
+    for row in out:
+        assert math.isclose(row["rrf_score"],
+                            round(scores[(row["query_id"], row["doc_id"])], 9),
+                            rel_tol=1e-9)
+    assert len(out) == len(scores)
