@@ -594,8 +594,15 @@ class MatchRecognize(PTransform):
         semantics: absence is unprovable without a WITHIN bound — same
         as Beam's NFA).
 
-        Requires ``ONE_ROW_PER_MATCH`` and a watermarked event-time
-        column as the first ``order_by`` key.
+        Requires a watermarked event-time column as the first
+        ``order_by`` key. Both ONE and ALL ROWS PER MATCH are
+        supported; in ALL mode each matched input row is emitted with
+        its columns, measures (FINAL, or RUNNING prefixes with
+        ``measure_semantics='running'``), ``__classifier`` and
+        ``__match_number``. Divergence note: ``__match_number`` is
+        per-key monotone while the key HOLDS state — if a key's buffer
+        fully drains, numbering restarts at 1 (batch replay numbers
+        globally).
         """
         import pickle
 
@@ -603,9 +610,8 @@ class MatchRecognize(PTransform):
         import pandas as pd
         from pyspark.sql.streaming.state import GroupStateTimeout
 
-        if self.rows_per_match != ONE_ROW_PER_MATCH:
-            raise ValueError("streaming MATCH_RECOGNIZE supports "
-                             "ONE ROW PER MATCH only")
+        all_rows = self.rows_per_match == ALL_ROWS_PER_MATCH
+        running = all_rows and self.measure_semantics == "running"
         for sym, d in self.defines.items():
             if isinstance(d, Define) and d.frontier_sensitive:
                 raise ValueError(
@@ -636,6 +642,10 @@ class MatchRecognize(PTransform):
         schema = self.output_schema
         if isinstance(schema, str):
             schema = T._parse_datatype_string(schema)
+        if all_rows and "__classifier" not in schema.fieldNames():
+            schema = (schema
+                      .add("__classifier", T.StringType())
+                      .add("__match_number", T.LongType()))
         out_cols = [f.name for f in schema.fields]
 
         def masks_for(pdf):
@@ -655,8 +665,13 @@ class MatchRecognize(PTransform):
             return ms
 
         def fn(key, pdfs, state):
-            buf = (pickle.loads(bytes(state.get[0])) if state.exists
-                   else [])
+            if state.exists:
+                saved = pickle.loads(bytes(state.get[0]))
+                # pre-all-rows state pickled the bare buffer list
+                buf, match_no = ((saved, 0) if isinstance(saved, list)
+                                 else (saved["buf"], saved["mn"]))
+            else:
+                buf, match_no = [], 0
             for pdf in pdfs:
                 buf.extend(pdf.to_dict(orient="records"))
             if not buf:
@@ -711,11 +726,21 @@ class MatchRecognize(PTransform):
                         # definitive: window closed, or fully mature
                         # (greedy would have taken phantoms if extension
                         # were possible)
-                        rec = dict(zip(keys, key))
                         match_rows = [(sym, buf[idx]) for sym, idx in m]
-                        for name, fmeas in measures.items():
-                            rec[name] = fmeas(match_rows)
-                        out.append(rec)
+                        meas = {name: fmeas(match_rows)
+                                for name, fmeas in measures.items()}
+                        match_no += 1
+                        if all_rows:
+                            for ridx, (sym, r) in enumerate(match_rows):
+                                meas_r = (meas if not running else
+                                          {name: fmeas(match_rows[:ridx + 1])
+                                           for name, fmeas
+                                           in measures.items()})
+                                out.append({**r, **meas_r,
+                                            "__classifier": sym,
+                                            "__match_number": match_no})
+                        else:
+                            out.append({**dict(zip(keys, key)), **meas})
                         nxt = _next_start(after_match, m, i)
                         consumed = max(consumed, nxt)
                         i = nxt
@@ -723,7 +748,7 @@ class MatchRecognize(PTransform):
                         break  # touches phantoms: hold until decidable
             buf = buf[consumed:]
             if buf:
-                state.update((pickle.dumps(buf),))
+                state.update((pickle.dumps({"buf": buf, "mn": match_no}),))
                 # wake when the watermark passes the earliest held row —
                 # or, with WITHIN, when its window closes (guaranteed
                 # drain even if the key never sees another row)

@@ -663,7 +663,7 @@ def test_streaming_rejects_ctx_defines(spark):
 # ---------------------------------------------------------------------------
 
 def _stream_vs_batch(spark, batches, *, pattern, defines, measures,
-                     schema, within=None, delay="10 seconds"):
+                     schema, within=None, delay="10 seconds", **mr_extra):
     import itertools
 
     from pyspark.sql import functions as F
@@ -674,7 +674,7 @@ def _stream_vs_batch(spark, batches, *, pattern, defines, measures,
 
     mr = dict(partition_by="u", order_by=["t"], pattern=pattern,
               defines=defines, measures=measures, output_schema=schema,
-              within=within)
+              within=within, **mr_extra)
 
     ts = TestStream(spark, "t timestamp, u long, typ string, v long")
     for b in batches:
@@ -875,3 +875,42 @@ def test_sql_after_match_skip_to_symbol(spark):
     out2 = ({"ev": pc2} | SqlTransform(
         sql.replace("SKIP TO FIRST B", "SKIP TO LAST B"))).df
     assert sorted((r["s"], r["e"]) for r in out2.collect()) == [(0, 3)]
+
+
+def test_streaming_all_rows_per_match_equals_batch(spark):
+    """ALL ROWS PER MATCH on a stream: every matched input row emits
+    with its columns, RUNNING measures, CLASSIFIER, and MATCH_NUMBER —
+    equal to the (oracle-verified) batch output. Script has one match
+    per user so match numbering is comparable; the multi-match
+    numbering divergence (per-key restart after a state drain) is
+    documented."""
+    from beam_spark.operators.cep import (ALL_ROWS_PER_MATCH, vectorized)
+
+    cfg = dict(
+        pattern=[("V", "+"), ("P", "1")],
+        defines={"V": vectorized(lambda pdf: pdf["typ"] == "view"),
+                 "P": vectorized(lambda pdf: pdf["typ"] == "purchase")},
+        measures={"n_rows": lambda m: len(m)},
+        schema=("t timestamp, u long, typ string, v long, n_rows long"))
+    batches = [
+        [{"t": "2024-01-01 00:00:10", "u": 1, "typ": "view", "v": 1},
+         {"t": "2024-01-01 00:00:12", "u": 2, "typ": "view", "v": 1}],
+        [{"t": "2024-01-01 00:00:20", "u": 1, "typ": "view", "v": 2},
+         {"t": "2024-01-01 00:00:22", "u": 2, "typ": "purchase", "v": 5}],
+        [{"t": "2024-01-01 00:00:30", "u": 1, "typ": "purchase", "v": 9}],
+        [{"t": "2024-01-01 00:10:00", "u": 1, "typ": "error", "v": 0},
+         {"t": "2024-01-01 00:10:00", "u": 2, "typ": "error", "v": 0}],
+        [{"t": "2024-01-01 00:20:00", "u": 1, "typ": "error", "v": 0}],
+    ]
+    s, b = _stream_vs_batch(spark, batches, **cfg,
+                            rows_per_match=ALL_ROWS_PER_MATCH,
+                            measure_semantics="running")
+    assert s == b
+    # user 1: V V P (3 rows, running n_rows 1,2,3); user 2: V P (2 rows)
+    assert len(b) == 5
+    by_user = {}
+    for r in b:
+        by_user.setdefault(r[1], []).append(r)
+    assert [x[4] for x in sorted(by_user[1])] == [1, 2, 3]  # running
+    assert {x[5] for x in b} == {"V", "P"}                  # classifier
+    assert {x[6] for x in b} == {1}                         # match_number
