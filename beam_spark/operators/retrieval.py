@@ -135,3 +135,58 @@ class RrfFuse(PTransform):
                .filter(F.col("rank") <= self.k)
                .select("query_id", idc, "rank", "rrf_score"))
         return pcoll.with_df(out)
+
+
+class PhraseMatch(PTransform):
+    """Exact token-phrase containment: for each (query_id, phrase) find
+    the documents whose token sequence contains the phrase contiguously,
+    with the occurrence count.
+
+    Implementation is a pure expression: both sides normalize to a
+    space-joined token string with sentinel spaces, so phrase presence
+    is substring containment and the count is a length-difference
+    division — no explode, no join key, zero shuffle beyond the
+    broadcast of the (small) query set. The classic positional-postings
+    index is the alternative when the query set is itself huge; at that
+    point build (term, doc, positions) once and join on the rarest
+    term.
+
+    Output: (query_id, doc_id, n_occurrences) for docs with >= 1
+    occurrence.
+    """
+
+    def __init__(self, queries: DataFrame | PCollection,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 query_id_col: str = "query_id",
+                 phrase_col: str = "phrase", label=None):
+        super().__init__(label)
+        self.queries = queries.df if isinstance(queries, PCollection) else queries
+        self.text_col, self.id_col = text_col, id_col
+        self.query_id_col, self.phrase_col = query_id_col, phrase_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        idc = self.id_col
+        norm_doc = F.concat(F.lit(" "),
+                            F.concat_ws(" ", tokens(self.text_col)),
+                            F.lit(" "))
+        norm_q = F.concat(F.lit(" "),
+                          F.concat_ws(" ", tokens(self.phrase_col)),
+                          F.lit(" "))
+        qs = (self.queries
+              .select(F.col(self.query_id_col).alias("query_id"),
+                      norm_q.alias("__p")))
+        docs = pcoll.df.select(F.col(idc), norm_doc.alias("__t"))
+        # occurrences of " p1 p2 " in " t1 t2 ... ": standard
+        # left-to-right NON-OVERLAPPING replace in both engines — count
+        # = length drop / (phrase length - 1). Adjacent repeats sharing
+        # one boundary space count once per scan (documented; presence
+        # testing is exact).
+        n_occ = ((F.length("__t")
+                  - F.length(F.replace(F.col("__t"), F.col("__p"),
+                                       F.lit(" "))))
+                 / (F.length("__p") - 1)).cast("long")
+        out = (docs.crossJoin(F.broadcast(qs))
+               .withColumn("n_occurrences", n_occ)
+               .filter(F.col("n_occurrences") >= 1)
+               .select("query_id", idc, "n_occurrences"))
+        return pcoll.with_df(out)

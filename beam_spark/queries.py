@@ -1693,6 +1693,39 @@ def q_distribution_drift(spark, sf_dir):
                 ref, ["o_totalprice", "o_custkey", "o_orderpriority"])).df
 
 
+@query("q_retrieval_phrase_match", r"""
+WITH toks AS (
+  SELECT doc_id,
+         ' ' || array_to_string(
+           string_split_regex(lower(trim(text)), '\s+'), ' ') || ' ' AS t
+  FROM documents),
+q AS (SELECT doc_id AS query_id,
+             ' ' || array_to_string(
+               (string_split_regex(lower(trim(text)), '\s+'))[1:2],
+               ' ') || ' ' AS p
+      FROM documents WHERE doc_id < 3)
+SELECT q.query_id, toks.doc_id,
+       CAST((length(t) - length(replace(t, p, ' ')))
+            / (length(p) - 1) AS BIGINT) AS n_occurrences
+FROM toks CROSS JOIN q
+WHERE length(t) - length(replace(t, p, ' ')) >= length(p) - 1
+""")
+def q_phrase_match(spark, sf_dir):
+    """Exact token-phrase containment (the phrase-query leg of the
+    retrieval family): queries are the first 2 tokens of docs 0-2;
+    matching is sentinel-space substring containment — a zero-shuffle
+    expression, no explode, queries broadcast."""
+    from beam_spark.operators.retrieval import PhraseMatch
+    from beam_spark.pcollection import PCollection
+
+    docs = table(spark, sf_dir, "documents").df
+    phrases = docs.filter("doc_id < 3").select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(F.split(F.lower(F.trim("text")), r"\s+"),
+                                 1, 2)).alias("phrase"))
+    return (PCollection(docs) | PhraseMatch(phrases)).df
+
+
 @query("q_dedup_ngram_jaccard_pairs", _JACCARD_ORACLE)
 def q_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram-shingle jaccard near-dup pairs (threshold 0.6):

@@ -666,3 +666,22 @@ def test_distribution_drift_categorical(spark):
     drift = (PCollection(novel)
              | DistributionDrift(ref, "cat")).df.collect()[0]
     assert drift["drifted"] == 1 and drift["psi"] > 1
+
+
+def test_phrase_match_containment(spark):
+    """Contiguity matters: scrambled tokens don't match; counts are
+    non-overlapping occurrences; tokenization is case/whitespace
+    insensitive."""
+    from beam_spark.operators.retrieval import PhraseMatch
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),
+         (2, "brown quick the fox"),              # scrambled: no match
+         (3, "x the quick brown y THE  Quick brown z"),  # two occurrences
+         (4, "nothing here")],
+        "doc_id long, text string")
+    qs = spark.createDataFrame([(7, "The Quick  Brown")],
+                               "query_id long, phrase string")
+    out = (PCollection(docs) | PhraseMatch(qs)).df
+    got = {r["doc_id"]: r["n_occurrences"] for r in out.collect()}
+    assert got == {1: 1, 3: 2}
