@@ -1726,6 +1726,23 @@ def q_phrase_match(spark, sf_dir):
     return (PCollection(docs) | PhraseMatch(phrases)).df
 
 
+@query("q_ml_bpe_tokenize", None)
+def q_bpe_tokenize(spark, sf_dir):
+    """Real BPE tokenization: merges trained on the corpus's own
+    word-frequency table (bounded driver artifact, deterministic
+    lex tie-break), applied distributed. No SQL oracle — BPE's
+    iterative merge loop is not SQL-expressible; correctness is
+    pytest-verified against the Sennrich worked example and a
+    driver-side sequential model (tests/test_ml.py)."""
+    from beam_spark.ml.bpe import BpeEncode, train_bpe
+    from beam_spark.pcollection import PCollection
+
+    docs = table(spark, sf_dir, "documents").df
+    merges = train_bpe(docs, n_merges=100)
+    out = (PCollection(docs) | BpeEncode(merges)).df
+    return out.select("doc_id", "n_bpe_tokens")
+
+
 @query("q_dedup_ngram_jaccard_pairs", _JACCARD_ORACLE)
 def q_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram-shingle jaccard near-dup pairs (threshold 0.6):

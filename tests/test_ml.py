@@ -240,3 +240,46 @@ def test_deduplicate_tensor_per_row(spark):
         schema="id long, v array<long>")
     got = {r["id"]: r["v"] for r in (pc | DeduplicateTensorPerRow("v")).df.collect()}
     assert got[1] == [3, 1, 2] and got[2] == []
+
+
+def test_bpe_train_classic_corpus(spark):
+    """The Sennrich et al. worked example: first merges pick the
+    most-frequent pair; training is deterministic (lex tie-break)."""
+    from beam_spark.ml.bpe import train_bpe
+
+    words = (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(" ".join(words),)], "text string")
+    merges = train_bpe(df, n_merges=5)
+    # 'es' (9) -> 'est' (9) -> 'est</w>' (9) -> 'lo' (7) -> 'low' (7)
+    assert merges[:5] == [("e", "s"), ("es", "t"), ("est", "</w>"),
+                          ("l", "o"), ("lo", "w")]
+    assert merges == train_bpe(df, n_merges=5)  # deterministic
+
+
+def test_bpe_encode_distributed_matches_driver(spark, sf_dir):
+    """Distributed BpeEncode equals the driver-side encode_word model on
+    real corpus text; artifact save/load round-trips."""
+    from beam_spark.ml.bpe import (BpeEncode, encode_word, load_merges,
+                                   save_merges, train_bpe)
+    from beam_spark.pcollection import PCollection
+    import tempfile, os
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    merges = train_bpe(docs, n_merges=60)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "merges.json")
+        save_merges(merges, p)
+        assert load_merges(p) == merges
+
+    out = (PCollection(docs) | BpeEncode(merges)).df
+    rows = out.select("doc_id", "text", "bpe_tokens", "n_bpe_tokens").collect()
+    ranks = {m: i for i, m in enumerate(merges)}
+    for r in rows[:10]:
+        expect = []
+        for w in r["text"].lower().split():
+            expect.extend(encode_word(w, ranks))
+        assert r["bpe_tokens"] == expect
+        assert r["n_bpe_tokens"] == len(expect)
+    # merged pieces reconstruct the original words
+    joined = "".join(rows[0]["bpe_tokens"]).replace("</w>", " ").strip()
+    assert joined == " ".join(rows[0]["text"].lower().split())
