@@ -13,6 +13,7 @@ Supported grammar (the common CEP core):
       PARTITION BY c1 [, c2 ...]
       ORDER BY o1 [, o2 ...]
       MEASURES FIRST(S.col) | LAST(S.col) | COUNT(S.col) | SUM(S.col)
+               | AVG(S.col) | MIN(S.col) | MAX(S.col)
                | CLASSIFIER() AS alias [, ...]
       [AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
        | SKIP TO [FIRST|LAST] <symbol>]
@@ -61,7 +62,8 @@ _COND_RE = re.compile(
     r"|('(?:[^'])*'|-?[0-9.]+))", re.IGNORECASE)
 
 _MEASURE_RE = re.compile(
-    r"(FIRST|LAST|COUNT|SUM)\s*\(\s*(\w+)\.(\w+)\s*\)\s+AS\s+(\w+)"
+    r"(FIRST|LAST|COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(\w+)\.(\w+)\s*\)"
+    r"\s+AS\s+(\w+)"
     r"|(CLASSIFIER)\s*\(\s*\)\s+AS\s+(\w+)",
     re.IGNORECASE)
 
@@ -299,6 +301,12 @@ def _compile_measure(agg: str, sym: str, col: str,
             return len(vals)
         if agg == "SUM":
             return sum(vals) if vals else None
+        if agg == "AVG":
+            return sum(vals) / len(vals) if vals else None
+        if agg == "MIN":
+            return min(vals) if vals else None
+        if agg == "MAX":
+            return max(vals) if vals else None
         raise ValueError(agg)
 
     return fn
@@ -385,6 +393,7 @@ def try_rewrite_match_recognize(sql: str, spark, tables: dict) -> str:
             continue
         measures[out_name] = _compile_measure(agg, sym, col, subsets)
         t = ("bigint" if agg.upper() == "COUNT"
+             else "double" if agg.upper() == "AVG"
              else col_types.get(col, "string"))
         measure_types.append(f"{out_name} {t}")
 

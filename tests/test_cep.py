@@ -914,3 +914,23 @@ def test_streaming_all_rows_per_match_equals_batch(spark):
     assert [x[4] for x in sorted(by_user[1])] == [1, 2, 3]  # running
     assert {x[5] for x in b} == {"V", "P"}                  # classifier
     assert {x[6] for x in b} == {1}                         # match_number
+
+
+def test_sql_measures_avg_min_max(spark):
+    """AVG/MIN/MAX in MEASURES (incl. over a SUBSET union variable)."""
+    from beam_spark.sql import SqlTransform
+
+    rows_in = [{"k": 1, "i": i, "t": t, "v": v} for i, (t, v) in
+               enumerate([("a", 10), ("a", 20), ("b", 6), ("c", 99)])]
+    pc = Pipeline(spark) | Create(rows_in)
+    out = ({"ev": pc} | SqlTransform("""
+        SELECT avg_av, min_av, max_uv FROM ev MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY i
+          MEASURES AVG(A.v) AS avg_av, MIN(A.v) AS min_av,
+                   MAX(U.v) AS max_uv
+          PATTERN (A+ B)
+          SUBSET U = (A, B)
+          DEFINE A AS A.t = 'a', B AS B.t = 'b'
+        )""")).df
+    r = out.collect()[0]
+    assert r["avg_av"] == 15.0 and r["min_av"] == 10 and r["max_uv"] == 20
