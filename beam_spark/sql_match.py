@@ -186,6 +186,38 @@ def parse_pattern(pattern_sql: str) -> list[tuple]:
 
 def _compile_condition(cond_sql: str, symbol: str,
                        subsets: dict | None = None) -> Define:
+    """Disjunction (``OR``) of AND-chains; each AND-chain compiles as
+    below and the branch masks OR together (vectorized). FIRST/LAST
+    match navigation inside an OR is rejected: the matcher evaluates
+    match-state conditions as a conjunct on top of the row mask, which
+    cannot express a per-branch disjunction."""
+    branches = re.split(r"\s+OR\s+", cond_sql.strip(), flags=re.IGNORECASE)
+    if len(branches) == 1:
+        return _compile_and_chain(cond_sql, symbol, subsets)
+    defs = [_compile_and_chain(b, symbol, subsets) for b in branches]
+    if any(d.ctx_fn is not None for d in defs):
+        raise ValueError(
+            "OR with FIRST/LAST match navigation is unsupported in "
+            "DEFINE (match-state conditions evaluate as a conjunct on "
+            "top of the row mask)")
+
+    def mask(pdf):
+        import numpy as np
+        m = np.zeros(len(pdf), dtype=bool)
+        for d in defs:
+            m |= np.asarray(d.mask_fn(pdf), dtype=bool)
+        return m
+
+    row_fns = [d.row_fn for d in defs]
+    row_fn = (None if any(f is None for f in row_fns)
+              else (lambda r: any(f(r) for f in row_fns)))
+    return Define(row_fn=row_fn, mask_fn=mask,
+                  frontier_sensitive=any(d.frontier_sensitive
+                                         for d in defs))
+
+
+def _compile_and_chain(cond_sql: str, symbol: str,
+                       subsets: dict | None = None) -> Define:
     """AND-chain of ``SYM.col op (literal | PREV(SYM.col[,k]) |
     NEXT(SYM.col[,k]) | FIRST(SYM2.col[,k]) | LAST(SYM2.col[,k]))``
     comparisons -> Define with a vectorized whole-column mask (NULL

@@ -934,3 +934,42 @@ def test_sql_measures_avg_min_max(spark):
         )""")).df
     r = out.collect()[0]
     assert r["avg_av"] == 15.0 and r["min_av"] == 10 and r["max_uv"] == 20
+
+
+def test_sql_define_or_conditions(spark):
+    """OR of AND-chains in DEFINE: (t='a' OR t='b') labels both kinds;
+    OR combined with PREV stays vectorized; OR with FIRST/LAST match
+    navigation raises the documented error."""
+    import pytest as _pytest
+    from beam_spark.sql import SqlTransform
+
+    rows_in = [{"k": 1, "i": i, "t": t, "v": v} for i, (t, v) in
+               enumerate([("a", 1), ("b", 2), ("b", 3), ("c", 9)])]
+    pc = Pipeline(spark) | Create(rows_in)
+    out = ({"ev": pc} | SqlTransform("""
+        SELECT n_s FROM ev MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY i
+          MEASURES COUNT(S.v) AS n_s
+          PATTERN (S+ C)
+          DEFINE S AS S.t = 'a' OR S.t = 'b',
+                 C AS C.t = 'c'
+        )""")).df
+    assert out.collect()[0]["n_s"] == 3
+
+    # OR with PREV: rising-or-equal runs
+    rows2 = [{"k": 1, "i": i, "v": v} for i, v in
+             enumerate([1, 2, 2, 5, 1, 9])]
+    pc2 = Pipeline(spark) | Create(rows2)
+    out2 = ({"s": pc2} | SqlTransform("""
+        SELECT n FROM s MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY i
+          MEASURES COUNT(B.v) AS n
+          PATTERN (A B+)
+          DEFINE B AS B.v > PREV(B.v) OR B.v = PREV(B.v)
+        )""")).df
+    got = sorted(r["n"] for r in out2.collect())
+    assert got == [1, 3]  # runs 1,2,2,5 (3 Bs) and 1,9 (1 B)
+
+    from beam_spark.sql_match import _compile_condition
+    with _pytest.raises(ValueError, match="OR with FIRST/LAST"):
+        _compile_condition("A.v > 1 OR A.v > LAST(A.v)", "A")
