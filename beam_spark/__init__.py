@@ -22,7 +22,9 @@ Capability map (SURVEY.md §2):
   Beam SQL           -> sql.SqlTransform (Spark SQL + TUMBLE/HOP/SESSION shim)
   streaming          -> streaming/
   LLM-pipeline ops   -> operators.dedupe, operators.similarity, operators.text,
-                        operators.multimodal, ml/
+                        operators.multimodal, ml/ (incl. ml.bpe tokenizer)
+  retrieval          -> operators.retrieval (BM25, phrase, RRF fusion)
+  data quality       -> operators.quality (profile, constraints, PSI drift)
 """
 
 from beam_spark.pcollection import PCollection, Pipeline, PTransform, ptransform_fn
