@@ -830,6 +830,9 @@ class DedupAgainstCorpus(PTransform):
                        (F.col("dup_of_corpus").isNotNull()
                         | F.col("dup_of_batch").isNotNull())
                        .cast("int").alias("is_dup")))
-        for frame in (sh_b, sh_c, bands_b):
-            frame.unpersist()
+        # sh_b/sh_c/bands_b stay persisted: the result is LAZY, so the
+        # caches materialize during its first action, where each is read
+        # 2-3x (bands + two verifies / cand_cb + cand_bb). Same
+        # session-lifetime caching posture as MinHashLSH; unpersisting
+        # here would drop the registration before anything ran.
         return pcoll.with_df(out)
