@@ -209,3 +209,35 @@ def _all():
     from pyspark.sql import Window
 
     return Window.partitionBy()
+
+
+class SchemaDiff(PTransform):
+    """Schema drift vs a reference frame: one row per column that was
+    ADDED, REMOVED, or TYPE_CHANGED relative to the reference —
+    the pre-flight check before appending a new batch to a lake table.
+    Output: (column, status, ref_type, cur_type); empty means the
+    schemas agree. Pure metadata — no data is read."""
+
+    def __init__(self, reference, label=None):
+        super().__init__(label)
+        self.reference = (reference.df if isinstance(reference, PCollection)
+                          else reference)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        ref = {f.name: f.dataType.simpleString()
+               for f in self.reference.schema.fields}
+        cur = {f.name: f.dataType.simpleString()
+               for f in pcoll.df.schema.fields}
+        rows = []
+        for name in sorted(set(ref) | set(cur)):
+            if name not in cur:
+                rows.append((name, "REMOVED", ref[name], None))
+            elif name not in ref:
+                rows.append((name, "ADDED", None, cur[name]))
+            elif ref[name] != cur[name]:
+                rows.append((name, "TYPE_CHANGED", ref[name], cur[name]))
+        spark = pcoll.df.sparkSession
+        out = spark.createDataFrame(
+            rows, "column string, status string, ref_type string, "
+                  "cur_type string")
+        return pcoll.with_df(out)

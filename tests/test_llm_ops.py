@@ -685,3 +685,15 @@ def test_phrase_match_containment(spark):
     out = (PCollection(docs) | PhraseMatch(qs)).df
     got = {r["doc_id"]: r["n_occurrences"] for r in out.collect()}
     assert got == {1: 1, 3: 2}
+
+
+def test_schema_diff(spark):
+    from beam_spark.operators.quality import SchemaDiff
+
+    ref = spark.createDataFrame([(1, "x", 1.0)], "a long, b string, c double")
+    cur = spark.createDataFrame([(1, 2, True)], "a long, b int, d boolean")
+    out = (PCollection(cur) | SchemaDiff(ref)).df
+    got = {(r["column"], r["status"]) for r in out.collect()}
+    assert got == {("b", "TYPE_CHANGED"), ("c", "REMOVED"), ("d", "ADDED")}
+    same = (PCollection(ref) | SchemaDiff(ref)).df
+    assert same.count() == 0
