@@ -1,0 +1,50 @@
+"""Hybrid search demo: BM25 lexical ranking + exact embedding-cosine
+ranking fused with reciprocal ranks, plus a phrase-containment filter —
+the full retrieval surface on the TESTDATA corpus.
+
+    python examples/hybrid_search.py [sf_dir]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import beam_spark as beam
+from beam_spark import queries as q
+from beam_spark.operators.retrieval import Bm25TopK, PhraseMatch, RrfFuse
+from beam_spark.operators.similarity import BruteForceCosineTopK
+from beam_spark.pcollection import PCollection
+from pyspark.sql import functions as F
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    spark = beam.get_spark("hybrid-search")
+    docs = q.table(spark, sf_dir, "documents").df
+    emb = q.table(spark, sf_dir, "embeddings").df.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        .alias("embedding"))
+
+    queries_df = docs.filter("doc_id < 3").selectExpr(
+        "doc_id AS query_id", "text")
+    bm25 = (PCollection(docs) | Bm25TopK(queries_df, k=10)).df
+    ann = (PCollection(emb)
+           | BruteForceCosineTopK(emb.filter("vec_id < 3"), k=10,
+                                  exclude_self=False)
+           ).df.selectExpr("query_id", "nbr_id AS doc_id", "rank")
+    fused = (PCollection(docs) | RrfFuse(bm25, ann, k=5)).df
+
+    phrases = docs.filter("doc_id < 3").select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(F.split(F.lower(F.trim("text")), r"\s+"),
+                                 1, 2)).alias("phrase"))
+    phrase_hits = (PCollection(docs) | PhraseMatch(phrases)).df
+
+    print("hybrid top-5 per query (BM25 + cosine, RRF k0=60):")
+    fused.orderBy("query_id", "rank").show(15)
+    print(f"phrase containment hits: {phrase_hits.count()}")
+    phrase_hits.orderBy("query_id", "doc_id").show(8)
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
