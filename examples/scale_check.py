@@ -29,6 +29,7 @@ def build(spark, base, out):
         "orders": ("o_orderkey", None),
         "events": ("event_id", "user_id"),
         "documents": ("doc_id", None),
+        "embeddings": ("vec_id", None),
     }
     for tbl, (pk, extra_key) in specs.items():
         path = os.path.join(out, f"{tbl}.parquet")
@@ -113,6 +114,26 @@ def run_suite(spark, sf_dir):
     qdf = docs.df.limit(5).selectExpr("doc_id AS query_id", "text")
     res["bm25"] = timed("  bm25 top-10 (5 queries)", lambda: (
         (docs | Bm25TopK(qdf, k=10)).df.count()))
+
+    from beam_spark.operators.similarity import LshCosineTopK, SemDeDup
+
+    emb = PCollection(spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet"))
+        .selectExpr("vec_id",
+                    "transform(embedding, x -> CAST(x AS DOUBLE))"
+                    " AS embedding"))
+    # K ~ sqrt(N): the SemDeDup scaling rule, so cluster populations
+    # stay constant as the corpus grows
+    import math
+    n_vec = emb.df.count()
+    k_clusters = max(8, int(math.sqrt(n_vec)))
+    res["semdedup"] = timed(
+        f"  semdedup ({n_vec} vecs, K={k_clusters})", lambda: (
+            (emb | SemDeDup(n_clusters=min(k_clusters, 64),
+                            threshold=0.35)).df.count()))
+    qs = emb.df.filter("vec_id < 10")
+    res["ann_lsh"] = timed("  lsh ann top-5 (10 queries)", lambda: (
+        (emb | LshCosineTopK(qs, k=5, n_planes=6)).df.count()))
     return res
 
 
