@@ -620,13 +620,12 @@ class MatchRecognize(PTransform):
                     "more data arrives, so the streaming matcher cannot "
                     "evaluate it safely — use batch mode or rewrite the "
                     "predicate row-locally")
-            if isinstance(d, Define) and d.ctx_fn is not None:
-                raise ValueError(
-                    f"DEFINE {sym} uses a match-state condition "
-                    "(FIRST/LAST symbol reference): the streaming "
-                    "matcher's phantom-row frontier probe cannot "
-                    "evaluate match-state predicates on rows that do "
-                    "not exist yet — use batch mode")
+        # Match-state (FIRST/LAST) ctx defines ARE streaming-safe: they
+        # only read rows already inside the match (all <= current pos),
+        # never the frontier. Phantom positions evaluate as True — the
+        # same all-matching stand-in the masks use.
+        has_ctx = any(isinstance(d, Define) and d.ctx_fn is not None
+                      for d in self.defines.values())
         keys = self.partition_by
         order_by = self.order_by
         ts_col = pcoll.ts_col or order_by[0]
@@ -701,6 +700,16 @@ class MatchRecognize(PTransform):
                 n_ext = n_mature + phantoms
                 ts_arr = np.array([ts_ms(r) for r in buf[:n_mature]],
                                   dtype=np.int64)
+                ctx = None
+                if has_ctx:
+                    cols = {c: mature[c].to_numpy()
+                            for c in mature.columns}
+                    ctx = {sym: (lambda pos, acc, _f=d.ctx_fn:
+                                 pos >= n_mature  # phantom: matches
+                                 or _f(cols, pos, acc))
+                           for sym, d in defines.items()
+                           if isinstance(d, Define)
+                           and d.ctx_fn is not None}
                 i = 0
                 while i < n_mature:
                     closed = False
@@ -712,11 +721,11 @@ class MatchRecognize(PTransform):
                             closed = True
                             j_end = int(np.searchsorted(ts_arr, limit,
                                                         side="right"))
-                            m = _match_at(masks, j_end, i, pattern)
+                            m = _match_at(masks, j_end, i, pattern, ctx)
                         else:
-                            m = _match_at(masks, n_ext, i, pattern)
+                            m = _match_at(masks, n_ext, i, pattern, ctx)
                     else:
-                        m = _match_at(masks, n_ext, i, pattern)
+                        m = _match_at(masks, n_ext, i, pattern, ctx)
                     if m is None:
                         # not even all-matching future rows can complete
                         # a match here: release the row

@@ -633,26 +633,38 @@ def test_sql_last_in_define_self_reference(spark):
     assert {tuple(r) for r in out.collect()} == {(1, 2)}
 
 
-def test_streaming_rejects_ctx_defines(spark):
-    """FIRST/LAST in DEFINE is batch-only: the streaming matcher's
-    phantom-row probe cannot evaluate match-state predicates."""
-    import pytest
+def test_streaming_ctx_defines_equal_batch(spark):
+    """FIRST/LAST match-state defines now run on streams (they only
+    read rows INSIDE the match, never the frontier; phantom positions
+    evaluate as matching). Drawdown pattern A B+ with
+    B AS B.v < LAST(A.v): streaming equals the batch output."""
+    from beam_spark.operators.cep import vectorized
 
-    from beam_spark.operators.cep import MatchRecognize, vectorized
-    from beam_spark.pcollection import PCollection
+    def below_first_a(cols, pos, acc):
+        rows_a = [i for s, i in acc if s == "A"]
+        if not rows_a:
+            return False
+        return cols["v"][pos] < cols["v"][rows_a[0]]
 
-    sdf = (spark.readStream.format("rate").option("rowsPerSecond", 1).load()
-           .selectExpr("CAST(value AS LONG) AS user_id", "timestamp AS ts",
-                       "CAST(value AS DOUBLE) AS value"))
-    pc = PCollection(sdf, ts_col="ts", is_bounded=False)
-    with pytest.raises(ValueError, match="match-state"):
-        (pc | MatchRecognize(
-            partition_by="user_id", order_by=["ts"],
-            pattern=[("A", "+")],
-            defines={"A": vectorized(lambda pdf: pdf["value"] >= 0,
-                                     ctx_fn=lambda c, p, a: True)},
-            measures={"n": lambda m: len(m)},
-            output_schema="user_id long, n long"))
+    cfg = dict(
+        pattern=[("A", "1"), ("B", "+")],
+        defines={"A": vectorized(lambda pdf: pdf["typ"] == "peak"),
+                 "B": vectorized(lambda pdf: pdf["typ"] == "dip",
+                                 ctx_fn=below_first_a)},
+        measures={"peak": lambda m: m[0][1]["v"],
+                  "n_dips": lambda m: len(m) - 1},
+        schema="u long, peak long, n_dips long")
+    batches = [
+        [{"t": "2024-01-01 00:00:10", "u": 1, "typ": "peak", "v": 10}],
+        [{"t": "2024-01-01 00:00:20", "u": 1, "typ": "dip", "v": 7},
+         {"t": "2024-01-01 00:00:25", "u": 1, "typ": "dip", "v": 4}],
+        # dip ABOVE the peak value: cannot extend the B+ run
+        [{"t": "2024-01-01 00:00:30", "u": 1, "typ": "dip", "v": 15}],
+        [{"t": "2024-01-01 00:10:00", "u": 1, "typ": "x", "v": 0}],
+        [{"t": "2024-01-01 00:20:00", "u": 1, "typ": "x", "v": 0}],
+    ]
+    s, b = _stream_vs_batch(spark, batches, **cfg)
+    assert s == b and b == [(1, 10, 2)]
 
 
 # ---------------------------------------------------------------------------
