@@ -112,23 +112,31 @@ class Define:
     match-state predicates on rows that do not exist yet.
     """
 
-    __slots__ = ("row_fn", "mask_fn", "frontier_sensitive", "ctx_fn")
+    __slots__ = ("row_fn", "mask_fn", "frontier_sensitive", "ctx_fn",
+                 "prev_depth")
 
     def __init__(self, row_fn: Callable | None = None,
                  mask_fn: Callable | None = None,
                  frontier_sensitive: bool = False,
-                 ctx_fn: Callable | None = None):
+                 ctx_fn: Callable | None = None,
+                 prev_depth: int = 0):
         if row_fn is None and mask_fn is None:
             raise ValueError("Define needs row_fn or mask_fn")
         self.row_fn = row_fn
         self.mask_fn = mask_fn
         self.frontier_sensitive = frontier_sensitive
         self.ctx_fn = ctx_fn
+        #: largest backward (PREV) shift the mask reads. Backward-only
+        #: masks are streaming-safe when the matcher retains this many
+        #: consumed rows as shift context (set frontier_sensitive for
+        #: FORWARD (NEXT) reads — those genuinely depend on the future).
+        self.prev_depth = int(prev_depth)
 
 
 def vectorized(mask_fn: Callable, row_fn: Callable | None = None,
                frontier_sensitive: bool = False,
-               ctx_fn: Callable | None = None) -> Define:
+               ctx_fn: Callable | None = None,
+               prev_depth: int = 0) -> Define:
     """Vectorized symbol predicate: ``mask_fn`` takes the group's sorted
     pandas DataFrame and returns a boolean array (one bit per row). Set
     ``frontier_sensitive=True`` if the mask reads neighboring rows
@@ -136,7 +144,8 @@ def vectorized(mask_fn: Callable, row_fn: Callable | None = None,
     ``ctx_fn(cols, pos, acc)`` adds a match-state condition (see
     :class:`Define`)."""
     return Define(row_fn=row_fn, mask_fn=mask_fn,
-                  frontier_sensitive=frontier_sensitive, ctx_fn=ctx_fn)
+                  frontier_sensitive=frontier_sensitive, ctx_fn=ctx_fn,
+                  prev_depth=prev_depth)
 
 
 class Permute:
@@ -615,17 +624,23 @@ class MatchRecognize(PTransform):
         for sym, d in self.defines.items():
             if isinstance(d, Define) and d.frontier_sensitive:
                 raise ValueError(
-                    f"DEFINE {sym} reads neighboring rows (PREV/NEXT): "
+                    f"DEFINE {sym} reads FORWARD neighbor rows (NEXT): "
                     "its mask at the buffer frontier would change when "
                     "more data arrives, so the streaming matcher cannot "
                     "evaluate it safely — use batch mode or rewrite the "
-                    "predicate row-locally")
+                    "predicate row-locally (PREV-only masks ARE "
+                    "supported: declare prev_depth)")
         # Match-state (FIRST/LAST) ctx defines ARE streaming-safe: they
         # only read rows already inside the match (all <= current pos),
         # never the frontier. Phantom positions evaluate as True — the
         # same all-matching stand-in the masks use.
         has_ctx = any(isinstance(d, Define) and d.ctx_fn is not None
                       for d in self.defines.values())
+        # PREV-only masks are backward-looking: retain max_prev consumed
+        # rows as shift context so PREV at the buffer head still sees
+        # its (consumed) predecessor, matching the batch sort.
+        max_prev = max((d.prev_depth for d in self.defines.values()
+                        if isinstance(d, Define)), default=0)
         keys = self.partition_by
         order_by = self.order_by
         ts_col = pcoll.ts_col or order_by[0]
@@ -667,10 +682,13 @@ class MatchRecognize(PTransform):
             if state.exists:
                 saved = pickle.loads(bytes(state.get[0]))
                 # pre-all-rows state pickled the bare buffer list
-                buf, match_no = ((saved, 0) if isinstance(saved, list)
-                                 else (saved["buf"], saved["mn"]))
+                if isinstance(saved, list):
+                    buf, match_no, ctx_rows = saved, 0, []
+                else:
+                    buf, match_no = saved["buf"], saved["mn"]
+                    ctx_rows = saved.get("ctx", [])
             else:
-                buf, match_no = [], 0
+                buf, match_no, ctx_rows = [], 0, []
             for pdf in pdfs:
                 buf.extend(pdf.to_dict(orient="records"))
             if not buf:
@@ -693,10 +711,21 @@ class MatchRecognize(PTransform):
             if n_mature > 0:
                 mature = pd.DataFrame(buf[:n_mature])
                 phantoms = max(1, _pattern_min_rows(pattern))
+                if max_prev and ctx_rows:
+                    # evaluate masks over (shift context + mature) and
+                    # slice the context off: PREV at the buffer head
+                    # then reads the retained consumed rows, exactly as
+                    # the batch sort would
+                    n_ctx = len(ctx_rows)
+                    ext = pd.DataFrame(ctx_rows + buf[:n_mature])
+                    raw_masks = {sym: np.asarray(m)[n_ctx:]
+                                 for sym, m in masks_for(ext).items()}
+                else:
+                    raw_masks = masks_for(mature)
                 masks = {
                     sym: np.concatenate(
-                        [mask, np.ones(phantoms, dtype=bool)])
-                    for sym, mask in masks_for(mature).items()}
+                        [np.asarray(mask), np.ones(phantoms, dtype=bool)])
+                    for sym, mask in raw_masks.items()}
                 n_ext = n_mature + phantoms
                 ts_arr = np.array([ts_ms(r) for r in buf[:n_mature]],
                                   dtype=np.int64)
@@ -755,9 +784,12 @@ class MatchRecognize(PTransform):
                         i = nxt
                     else:
                         break  # touches phantoms: hold until decidable
+            if max_prev:
+                ctx_rows = (ctx_rows + buf[:consumed])[-max_prev:]
             buf = buf[consumed:]
             if buf:
-                state.update((pickle.dumps({"buf": buf, "mn": match_no}),))
+                state.update((pickle.dumps(
+                    {"buf": buf, "mn": match_no, "ctx": ctx_rows}),))
                 # wake when the watermark passes the earliest held row —
                 # or, with WITHIN, when its window closes (guaranteed
                 # drain even if the key never sees another row)

@@ -213,7 +213,8 @@ def _compile_condition(cond_sql: str, symbol: str,
               else (lambda r: any(f(r) for f in row_fns)))
     return Define(row_fn=row_fn, mask_fn=mask,
                   frontier_sensitive=any(d.frontier_sensitive
-                                         for d in defs))
+                                         for d in defs),
+                  prev_depth=max(d.prev_depth for d in defs))
 
 
 def _compile_and_chain(cond_sql: str, symbol: str,
@@ -244,6 +245,8 @@ def _compile_and_chain(cond_sql: str, symbol: str,
     tests = []
     ctx_tests = []
     has_nav = False
+    next_used = False
+    prev_k_max = 0
     for part in parts:
         m = _COND_RE.fullmatch(part.strip())
         if not m:
@@ -259,7 +262,12 @@ def _compile_and_chain(cond_sql: str, symbol: str,
         elif nav:
             has_nav = True
             k = int(nav_k) if nav_k else 1
-            shift = k if nav.upper() == "PREV" else -k
+            if nav.upper() == "PREV":
+                shift = k
+                prev_k_max = max(prev_k_max, k)
+            else:
+                shift = -k
+                next_used = True
             tests.append((col, op, ("__nav__", nav_col, shift)))
         else:
             tests.append((col, op, _parse_literal(lit)))
@@ -311,8 +319,11 @@ def _compile_and_chain(cond_sql: str, symbol: str,
                     return False
             return True
 
+    # only FORWARD (NEXT) navigation depends on the frontier; PREV-only
+    # masks are streaming-safe with prev_depth rows of shift context
     return Define(row_fn=None if (has_nav or ctx_tests) else predicate,
-                  mask_fn=mask, frontier_sensitive=has_nav, ctx_fn=ctx_fn)
+                  mask_fn=mask, frontier_sensitive=next_used,
+                  ctx_fn=ctx_fn, prev_depth=prev_k_max)
 
 
 def _compile_measure(agg: str, sym: str, col: str,

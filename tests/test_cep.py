@@ -985,3 +985,36 @@ def test_sql_define_or_conditions(spark):
     from beam_spark.sql_match import _compile_condition
     with _pytest.raises(ValueError, match="OR with FIRST/LAST"):
         _compile_condition("A.v > 1 OR A.v > LAST(A.v)", "A")
+
+
+def test_streaming_prev_mask_equals_batch(spark):
+    """PREV-only masks run on streams: the matcher retains prev_depth
+    consumed rows as shift context, so PREV at the buffer head still
+    reads its true predecessor after a match consumed it — falling
+    runs A B+ with B AS v < PREV(v), split across micro-batches."""
+    from beam_spark.operators.cep import vectorized
+
+    cfg = dict(
+        pattern=[("A", "1"), ("B", "+")],
+        defines={"A": vectorized(lambda pdf: pdf["typ"] == "s"),
+                 "B": vectorized(
+                     lambda pdf: (pdf["typ"] == "s")
+                     & (pdf["v"] < pdf["v"].shift(1)).fillna(False),
+                     prev_depth=1)},
+        measures={"top": lambda m: m[0][1]["v"],
+                  "bottom": lambda m: m[-1][1]["v"]},
+        schema="u long, top long, bottom long")
+    batches = [
+        [{"t": "2024-01-01 00:00:10", "u": 1, "typ": "s", "v": 9},
+         {"t": "2024-01-01 00:00:11", "u": 1, "typ": "s", "v": 7}],
+        [{"t": "2024-01-01 00:00:12", "u": 1, "typ": "s", "v": 5}],
+        # run 1 (9,7,5) gets consumed once mature; row v=8 then needs
+        # PREV = the consumed 5 for its (failing) B mask
+        [{"t": "2024-01-01 00:00:20", "u": 1, "typ": "s", "v": 8},
+         {"t": "2024-01-01 00:00:21", "u": 1, "typ": "s", "v": 6}],
+        [{"t": "2024-01-01 00:00:22", "u": 1, "typ": "s", "v": 4}],
+        [{"t": "2024-01-01 00:10:00", "u": 1, "typ": "x", "v": 0}],
+        [{"t": "2024-01-01 00:20:00", "u": 1, "typ": "x", "v": 0}],
+    ]
+    s, b = _stream_vs_batch(spark, batches, **cfg)
+    assert s == b and sorted(b) == [(1, 8, 4), (1, 9, 5)]
