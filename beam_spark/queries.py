@@ -1099,6 +1099,51 @@ def q_dedup_against_corpus(spark, sf_dir):
     return (PCollection(batch) | DedupAgainstCorpus(corpus)).df
 
 
+_LEAKAGE_ORACLE = f"""
+WITH b AS (SELECT doc_id,
+                  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 8)) AS BIGINT) % 10000 AS bk
+           FROM documents),
+sh AS (SELECT d.doc_id, b.bk, {_SHINGLES} AS shingles
+       FROM documents d JOIN b ON d.doc_id = b.doc_id),
+test AS (SELECT * FROM sh WHERE bk >= 9000),
+train AS (SELECT * FROM sh WHERE bk < 9000),
+hits AS (SELECT t.doc_id AS tid, min(tr.doc_id) AS leak_from
+         FROM test t JOIN train tr
+           ON len(t.shingles) > 0 AND len(tr.shingles) > 0
+          AND CAST(len(list_intersect(t.shingles, tr.shingles)) AS DOUBLE)
+              / (len(t.shingles) + len(tr.shingles)
+                 - len(list_intersect(t.shingles, tr.shingles))) >= 0.6
+         GROUP BY t.doc_id)
+SELECT t.doc_id, hits.leak_from,
+       CAST(CASE WHEN hits.leak_from IS NOT NULL
+             THEN 1 ELSE 0 END AS INT) AS leaked
+FROM (SELECT doc_id FROM b WHERE bk >= 9000) t
+LEFT JOIN hits ON t.doc_id = hits.tid
+"""
+
+
+@query("q_dedup_cross_split_leakage", _LEAKAGE_ORACLE)
+def q_cross_split_leakage(spark, sf_dir):
+    """Train/test leakage audit: after a deterministic 90/10 hash
+    split, flag every TEST doc with a near-dup (jaccard >= 0.6) in
+    TRAIN — the eval-hygiene check a pretraining pipeline runs before
+    publishing a held-out set. Pure composition: SplitByHash +
+    DedupAgainstCorpus(corpus=train, batch=test)."""
+    from beam_spark.operators.combiners import SplitByHash
+    from beam_spark.operators.dedupe import DedupAgainstCorpus
+    from beam_spark.pcollection import PCollection
+
+    docs = (table(spark, sf_dir, "documents")
+            | SplitByHash({"train": 0.9, "test": 0.1}, "doc_id")).df
+    train = docs.filter("split = 'train'")
+    test = docs.filter("split = 'test'")
+    out = (PCollection(test) | DedupAgainstCorpus(train)).df
+    return out.select(
+        "doc_id", F.col("dup_of_corpus").alias("leak_from"),
+        F.col("dup_of_corpus").isNotNull().cast("int").alias("leaked"))
+
+
 _DECON_ORACLE = f"""
 WITH b AS (SELECT DISTINCT g
            FROM (SELECT unnest({_SHINGLES}) AS g
