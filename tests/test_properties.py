@@ -319,3 +319,28 @@ def test_rrf_matches_python(spark, ranks):
                             round(scores[(row["query_id"], row["doc_id"])], 9),
                             rel_tol=1e-9)
     assert len(out) == len(scores)
+
+
+@given(ids=st.lists(st.integers(0, 10_000_000), min_size=1, max_size=40,
+                    unique=True),
+       fracs=st.tuples(st.floats(0.1, 0.8), st.floats(0.1, 0.2)))
+@settings(**SETTINGS)
+def test_split_by_hash_matches_python_md5_model(spark, ids, fracs):
+    """SplitByHash vs the md5-bucket model: every row's label is the
+    pure function of its id the operator documents."""
+    import hashlib
+
+    from beam_spark.operators.combiners import SplitByHash
+    from beam_spark.pcollection import PCollection
+
+    f1, f2 = fracs
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = (PCollection(df)
+           | SplitByHash({"a": f1, "b": f2}, "doc_id")).df
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    b1 = round(f1 * 10000)
+    b2 = b1 + round(f2 * 10000)
+    for i in ids:
+        bucket = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10000
+        exp = "a" if bucket < b1 else "b" if bucket < b2 else None
+        assert got[i] == exp, (i, bucket, got[i], exp)
