@@ -97,19 +97,22 @@ class Define:
 
     ``mask_fn(pdf) -> bool array`` is the fast path (whole-column numpy);
     ``row_fn(row_dict) -> bool`` is the fallback. Either may be None.
-    ``frontier_sensitive`` marks predicates whose mask depends on
-    NEIGHBOR rows (PREV/NEXT shifts): their value at the last buffered
-    row can change when more data arrives, so the streaming matcher must
+    ``frontier_sensitive`` marks predicates whose mask reads FORWARD
+    neighbor rows (NEXT shifts): their value at the last buffered row
+    can change when more data arrives, so the streaming matcher must
     reject them (a frontier evaluation could wrongly release rows).
+    Backward (PREV) shifts are NOT frontier-sensitive — declare their
+    depth in ``prev_depth`` and the streaming matcher retains that many
+    consumed rows as shift context.
 
     ``ctx_fn(cols, pos, acc) -> bool`` is an optional MATCH-STATE
     predicate evaluated on top of the mask during matching — ``cols``
     maps column name -> numpy array for the sorted group, ``acc`` is the
     list of (symbol, row_index) labels already committed in the current
     candidate match. This is what FIRST/LAST symbol references in DEFINE
-    compile to (``B AS B.value < FIRST(A.value)``). Batch-only: the
-    streaming matcher's phantom-row frontier probe cannot evaluate
-    match-state predicates on rows that do not exist yet.
+    compile to (``B AS B.value < FIRST(A.value)``). Streaming-safe:
+    ctx only reads rows inside the match, so phantom frontier positions
+    simply evaluate as matching.
     """
 
     __slots__ = ("row_fn", "mask_fn", "frontier_sensitive", "ctx_fn",
@@ -138,9 +141,11 @@ def vectorized(mask_fn: Callable, row_fn: Callable | None = None,
                ctx_fn: Callable | None = None,
                prev_depth: int = 0) -> Define:
     """Vectorized symbol predicate: ``mask_fn`` takes the group's sorted
-    pandas DataFrame and returns a boolean array (one bit per row). Set
-    ``frontier_sensitive=True`` if the mask reads neighboring rows
-    (e.g. ``pdf[c].shift(...)``) — required for streaming correctness.
+    pandas DataFrame and returns a boolean array (one bit per row). If
+    the mask reads FORWARD neighbor rows (``shift(-k)``), set
+    ``frontier_sensitive=True`` — required for streaming correctness;
+    if it reads only BACKWARD rows (``shift(k)``), declare the max
+    shift in ``prev_depth`` instead and it stays streaming-safe.
     ``ctx_fn(cols, pos, acc)`` adds a match-state condition (see
     :class:`Define`)."""
     return Define(row_fn=row_fn, mask_fn=mask_fn,
