@@ -344,3 +344,32 @@ def test_split_by_hash_matches_python_md5_model(spark, ids, fracs):
         bucket = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10000
         exp = "a" if bucket < b1 else "b" if bucket < b2 else None
         assert got[i] == exp, (i, bucket, got[i], exp)
+
+
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["the", "fox", "ab", "x9", "##", "..."]),
+             min_size=0, max_size=25),
+    min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_gopher_filter_matches_python_model(spark, docs):
+    """GopherQualityFilter's counting columns vs a sequential model on
+    arbitrary token mixes (incl. empty docs)."""
+    from beam_spark.operators.text import GOPHER_STOPWORDS, GopherQualityFilter
+    from beam_spark.pcollection import Pipeline
+    from beam_spark.operators.core import Create
+
+    rows = [{"doc_id": i, "text": " ".join(toks)}
+            for i, toks in enumerate(docs)]
+    out = (Pipeline(spark) | Create(rows) | GopherQualityFilter()).df
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    for i, toks in enumerate(docs):
+        words = [w for w in " ".join(toks).split() if w]
+        assert got[i]["n_words"] == len(words)
+        if words:
+            assert got[i]["mean_word_len"] == round(
+                sum(len(w) for w in words) / len(words), 6)
+            n_alpha = sum(1 for w in words if any(c.isalpha() for c in w))
+            assert got[i]["alpha_word_frac"] == round(
+                n_alpha / len(words), 6)
+        hits = len({w.lower() for w in words} & set(GOPHER_STOPWORDS))
+        assert got[i]["stopword_hits"] == hits
