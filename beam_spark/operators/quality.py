@@ -241,3 +241,75 @@ class SchemaDiff(PTransform):
             rows, "column string, status string, ref_type string, "
                   "cur_type string")
         return pcoll.with_df(out)
+
+
+class FlagOutliers(PTransform):
+    """Tukey-fence outlier flags per numeric column: a row is an
+    outlier in ``c`` when it falls outside
+    [Q1 - k*IQR, Q3 + k*IQR] (k=1.5 default). Appends one int flag
+    column ``<c>_outlier`` per input column plus ``n_outlier_cols``.
+
+    Scale: quartiles come from ONE exact-percentile aggregation pass
+    (Spark's `percentile`, interpolated — cross-engine exact, as the
+    percentile gates prove); flags are a zero-shuffle projection
+    against the broadcast 1-row bounds frame.
+    """
+
+    def __init__(self, columns, k: float = 1.5, label=None):
+        super().__init__(label)
+        self.columns = [columns] if isinstance(columns, str) else list(columns)
+        self.k = float(k)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        k = self.k
+        aggs = []
+        for c in self.columns:
+            aggs += [F.expr(f"percentile({c}, 0.25)").alias(f"{c}__q1"),
+                     F.expr(f"percentile({c}, 0.75)").alias(f"{c}__q3")]
+        bounds = pcoll.df.agg(*aggs)
+        out = pcoll.df.crossJoin(F.broadcast(bounds))
+        flags = []
+        for c in self.columns:
+            iqr = F.col(f"{c}__q3") - F.col(f"{c}__q1")
+            lo = F.col(f"{c}__q1") - k * iqr
+            hi = F.col(f"{c}__q3") + k * iqr
+            flag = ((F.col(c) < lo) | (F.col(c) > hi)).cast("int")
+            out = out.withColumn(f"{c}_outlier", F.coalesce(flag, F.lit(0)))
+            flags.append(F.col(f"{c}_outlier"))
+        total = flags[0]
+        for f in flags[1:]:
+            total = total + f
+        out = out.withColumn("n_outlier_cols", total)
+        return pcoll.with_df(out.drop(
+            *[f"{c}__q1" for c in self.columns],
+            *[f"{c}__q3" for c in self.columns]))
+
+
+class CurriculumBuckets(PTransform):
+    """Curriculum ordering for training: rows ranked by a quality score
+    into ``n_buckets`` equal-size tiers (``ntile``), with a
+    deterministic tie-break on ``id_col`` so the assignment is a pure
+    function of the data. Train easy->hard by consuming buckets in
+    order.
+
+    Scale: one global sort (the inherent cost of a total ordering —
+    same caveat as OrderBy); shard first and rank within shards when a
+    global curriculum is unnecessary.
+    """
+
+    def __init__(self, score_col: str, id_col: str, n_buckets: int = 10,
+                 ascending: bool = False, out_col: str = "bucket",
+                 label=None):
+        super().__init__(label)
+        self.score_col, self.id_col = score_col, id_col
+        self.n_buckets, self.ascending = n_buckets, ascending
+        self.out_col = out_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        order = (F.col(self.score_col).asc() if self.ascending
+                 else F.col(self.score_col).desc())
+        w = Window.orderBy(order, F.col(self.id_col))
+        return pcoll.with_df(pcoll.df.withColumn(
+            self.out_col, F.ntile(self.n_buckets).over(w)))

@@ -1788,6 +1788,33 @@ def q_bpe_tokenize(spark, sf_dir):
     return out.select("doc_id", "n_bpe_tokens")
 
 
+@query("q_quality_outliers_curriculum", """
+WITH b AS (SELECT quantile_cont(value, 0.25) AS q1,
+                  quantile_cont(value, 0.75) AS q3 FROM events),
+f AS (SELECT e.event_id, e.value,
+             CAST(CASE WHEN e.value < b.q1 - 1.5 * (b.q3 - b.q1)
+                         OR e.value > b.q3 + 1.5 * (b.q3 - b.q1)
+                   THEN 1 ELSE 0 END AS INT) AS value_outlier
+      FROM events e CROSS JOIN b)
+SELECT event_id, value_outlier,
+       CAST(ntile(8) OVER (ORDER BY value DESC, event_id) AS INT)
+         AS bucket
+FROM f
+""")
+def q_outliers_curriculum(spark, sf_dir):
+    """Tukey-fence outlier flags (exact interpolated quartiles, one agg
+    pass, zero-shuffle flagging) + curriculum tiers (ntile over score
+    with id tie-break) on events.value."""
+    from beam_spark.operators.quality import (CurriculumBuckets,
+                                              FlagOutliers)
+
+    out = (table(spark, sf_dir, "events")
+           | FlagOutliers("value")
+           | CurriculumBuckets("value", id_col="event_id", n_buckets=8))
+    return out.df.select("event_id", "value_outlier",
+                         F.col("bucket").cast("int").alias("bucket"))
+
+
 @query("q_dedup_ngram_jaccard_pairs", _JACCARD_ORACLE)
 def q_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram-shingle jaccard near-dup pairs (threshold 0.6):

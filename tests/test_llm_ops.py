@@ -697,3 +697,27 @@ def test_schema_diff(spark):
     assert got == {("b", "TYPE_CHANGED"), ("c", "REMOVED"), ("d", "ADDED")}
     same = (PCollection(ref) | SchemaDiff(ref)).df
     assert same.count() == 0
+
+
+def test_outliers_and_curriculum(spark):
+    """FlagOutliers flags exactly the Tukey-fence violators; NULLs are
+    never outliers; CurriculumBuckets tiers by score with deterministic
+    ties."""
+    from beam_spark.operators.quality import (CurriculumBuckets,
+                                              FlagOutliers)
+
+    vals = list(range(1, 13)) + [1000]   # 1000 is the outlier
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)] + [(99, None)],
+        "id long, v double")
+    out = (PCollection(df) | FlagOutliers("v")).df
+    rows = {r["id"]: r["v_outlier"] for r in out.collect()}
+    assert rows[12] == 1                       # the 1000
+    assert sum(rows.values()) == 1 and rows[99] == 0
+    cur = (PCollection(df.where("v IS NOT NULL"))
+           | CurriculumBuckets("v", id_col="id", n_buckets=4)).df
+    by_bucket = {}
+    for r in cur.collect():
+        by_bucket.setdefault(r["bucket"], []).append(r["v"])
+    assert max(by_bucket[1]) == 1000.0         # best scores first
+    assert min(min(v) for v in [by_bucket[4]]) == 1.0
