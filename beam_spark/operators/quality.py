@@ -189,8 +189,14 @@ class DistributionDrift(PTransform):
             joined = (ref.join(cur, on="bin", how="full")
                       .select(F.coalesce("n_ref", F.lit(0)).alias("nr"),
                               F.coalesce("n_cur", F.lit(0)).alias("nc")))
-            p = F.greatest(F.col("nr") / F.sum("nr").over(_all()), F.lit(eps))
-            q = F.greatest(F.col("nc") / F.sum("nc").over(_all()), F.lit(eps))
+            # totals via a broadcast 1-row agg (not a partitionless
+            # window — the bins frame is tiny but the global-window
+            # plan is noisy and single-partition by construction)
+            totals = joined.agg(F.sum("nr").alias("__tr"),
+                                F.sum("nc").alias("__tc"))
+            joined = joined.crossJoin(F.broadcast(totals))
+            p = F.greatest(F.col("nr") / F.col("__tr"), F.lit(eps))
+            q = F.greatest(F.col("nc") / F.col("__tc"), F.lit(eps))
             per_bin = joined.select(
                 ((p - q) * F.log(p / q)).alias("term"), "nr", "nc")
             outs.append(per_bin.agg(
@@ -203,12 +209,6 @@ class DistributionDrift(PTransform):
         for o in outs[1:]:
             out = out.unionByName(o)
         return pcoll.with_df(out)
-
-
-def _all():
-    from pyspark.sql import Window
-
-    return Window.partitionBy()
 
 
 class SchemaDiff(PTransform):
