@@ -373,3 +373,55 @@ def test_gopher_filter_matches_python_model(spark, docs):
                 n_alpha / len(words), 6)
         hits = len({w.lower() for w in words} & set(GOPHER_STOPWORDS))
         assert got[i]["stopword_hits"] == hits
+
+
+@given(texts=st.lists(st.text(
+    alphabet=st.characters(min_codepoint=1, max_codepoint=0x2060),
+    max_size=40), min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_normalize_text_matches_python_model(spark, texts):
+    """NormalizeText vs a python re model over arbitrary unicode
+    (controls, zero-widths, punctuation, whitespace runs)."""
+    import re as _re
+
+    from beam_spark.operators.text import NormalizeText
+    from beam_spark.pcollection import Pipeline
+    from beam_spark.operators.core import Create
+
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    out = (Pipeline(spark) | Create(rows)
+           | NormalizeText(strip_punct=True)).df
+    got = {r["doc_id"]: r["norm_text"] for r in out.collect()}
+    for i, t in enumerate(texts):
+        x = t.lower()
+        x = _re.sub("[\x00-\x08\x0e-\x1f\x7f​‌‍﻿]",
+                    "", x)
+        x = _re.sub(r"[!-/:-@\[-`{-~]", " ", x)
+        # Java regex / RE2 \s is ASCII-only (NBSP etc. are NOT
+        # whitespace there, unlike python's unicode \s)
+        x = _re.sub(r"[ \t\n\x0b\f\r]+", " ", x).strip(" ")
+        assert got[i] == x, (repr(t), repr(got[i]), repr(x))
+
+
+@given(n=st.integers(5, 60), k=st.integers(2, 7))
+@settings(**SETTINGS)
+def test_curriculum_bucket_sizes_balanced(spark, n, k):
+    """ntile property: bucket sizes differ by at most one and tiers are
+    ordered by score."""
+    from beam_spark.operators.quality import CurriculumBuckets
+    from beam_spark.pcollection import PCollection
+
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 101)) for i in range(n)], "id long, s double")
+    out = (PCollection(df)
+           | CurriculumBuckets("s", id_col="id", n_buckets=k)).df
+    rows = out.collect()
+    from collections import Counter
+    sizes = Counter(r["bucket"] for r in rows)
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    worst_of = {b: min(r["s"] for r in rows if r["bucket"] == b)
+                for b in sizes}
+    best_of = {b: max(r["s"] for r in rows if r["bucket"] == b)
+               for b in sizes}
+    for b in range(1, max(sizes)):
+        assert worst_of[b] >= best_of[b + 1]
