@@ -304,3 +304,17 @@ def _register_curation():
 
 
 _register_curation()
+
+
+@register_yaml_transform("BpeEncode")
+def _bpe_encode(t, current, named, pipeline):
+    """{merges_path: <json artifact>} to apply a saved tokenizer, or
+    {n_merges: N} to train on the incoming corpus itself."""
+    from beam_spark.ml.bpe import BpeEncode, load_merges, train_bpe
+
+    if "merges_path" in t:
+        merges = load_merges(t["merges_path"])
+    else:
+        merges = train_bpe(current.df, text_col=t.get("text_col", "text"),
+                           n_merges=t.get("n_merges", 200))
+    return current | BpeEncode(merges, text_col=t.get("text_col", "text"))

@@ -190,3 +190,18 @@ pipeline:
     checks = run_yaml(check_spec, spark)
     got = {r["check"]: r["passed"] for r in checks.df.collect()}
     assert got == {"orderkey_unique": 1, "price_positive": 1}
+
+
+def test_yaml_bpe_encode(spark, sf_dir):
+    from beam_spark.yaml_pipeline import run_yaml
+
+    out = run_yaml(f"""
+pipeline:
+  transforms:
+    - type: ReadFromParquet
+      path: {sf_dir}/documents.parquet
+    - type: BpeEncode
+      n_merges: 40
+""", spark)
+    rows = out.df.select("doc_id", "n_bpe_tokens").limit(5).collect()
+    assert all(r["n_bpe_tokens"] > 0 for r in rows)
