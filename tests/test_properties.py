@@ -425,3 +425,51 @@ def test_curriculum_bucket_sizes_balanced(spark, n, k):
                for b in sizes}
     for b in range(1, max(sizes)):
         assert worst_of[b] >= best_of[b + 1]
+
+
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["red", "blue", "green", "dog", "cat"]),
+             min_size=1, max_size=10),
+    min_size=2, max_size=7))
+@settings(**SETTINGS)
+def test_bm25_matches_python_model(spark, docs):
+    """Bm25TopK vs a sequential BM25 (Lucene idf) model: every scored
+    (query, doc) pair agrees to the rounded score; k1=1.5 exercises the
+    gate's binary-exact constants."""
+    import math
+
+    from beam_spark.operators.retrieval import Bm25TopK
+    from beam_spark.pcollection import PCollection
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    qdf = spark.createDataFrame(rows[:2], "query_id long, text string")
+    out = (PCollection(df) | Bm25TopK(qdf, k=100, k1=1.5)).df
+    got = {(r["query_id"], r["doc_id"]): r["score"] for r in out.collect()}
+
+    N = len(docs)
+    avgdl = sum(len(t) for t in docs) / N
+    dfreq = {}
+    for toks in docs:
+        for term in set(toks):
+            dfreq[term] = dfreq.get(term, 0) + 1
+    exp = {}
+    for qid, qtoks in list(enumerate(docs))[:2]:
+        for did, dtoks in enumerate(docs):
+            s = 0.0
+            hit = False
+            for term in set(qtoks):
+                tf = dtoks.count(term)
+                if tf == 0:
+                    continue
+                hit = True
+                idf = math.log(1 + (N - dfreq[term] + 0.5)
+                               / (dfreq[term] + 0.5))
+                s += idf * ((tf * 2.5)
+                            / (tf + 1.5 * (0.25 + 0.75 * len(dtoks)
+                                           / avgdl)))
+            if hit:
+                exp[(qid, did)] = round(s, 6)
+    assert set(got) == set(exp)
+    for kpair, v in exp.items():
+        assert math.isclose(got[kpair], v, abs_tol=2e-6), (kpair, got[kpair], v)
