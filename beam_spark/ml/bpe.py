@@ -122,6 +122,11 @@ class BpeEncode(PTransform):
             cache: dict = {}
 
             def enc(text):
+                # null text encodes to [] — str(None) would otherwise
+                # tokenize as the literal word 'none' (NaN as 'nan')
+                if text is None or (isinstance(text, float)
+                                    and pd.isna(text)):
+                    return []
                 out = []
                 for w in str(text).lower().split():
                     got = cache.get(w)

@@ -287,29 +287,76 @@ class FlagOutliers(PTransform):
 
 class CurriculumBuckets(PTransform):
     """Curriculum ordering for training: rows ranked by a quality score
-    into ``n_buckets`` equal-size tiers (``ntile``), with a
-    deterministic tie-break on ``id_col`` so the assignment is a pure
-    function of the data. Train easy->hard by consuming buckets in
-    order.
+    into ``n_buckets`` near-equal tiers. Train easy->hard by consuming
+    buckets in order.
 
-    Scale: one global sort (the inherent cost of a total ordering —
-    same caveat as OrderBy); shard first and rank within shards when a
-    global curriculum is unnecessary.
+    Default plan (``exact=False``) — boundaries-then-assign: ONE exact
+    interpolated-percentile aggregation computes the n-1 score cutoffs,
+    then bucket assignment is a zero-shuffle expression against the
+    broadcast 1-row boundaries frame. No window, no global sort, no
+    single-partition stage — the plan is a scan + one 1-row agg +
+    a projection, which survives any scale.
+
+    Divergence vs exact ``ntile`` (documented): rows with EQUAL scores
+    always land in the same bucket (no id tie-break splits a run of
+    ties across a boundary), so tier sizes are equal only up to score
+    ties; with distinct scores sizes differ by at most one (first tier
+    takes the remainder). Rows with NULL score go to the last bucket.
+
+    ``boundary_accuracy``: None (default) computes EXACT interpolated
+    percentiles — the aggregation buffer is a value->count histogram,
+    fine for bounded-granularity scores (quality scores, token counts);
+    for continuous scores at extreme scale pass an int (e.g. 10000) to
+    switch the boundary pass to ``approx_percentile`` with that
+    accuracy — a fixed-size mergeable sketch.
+
+    ``exact=True`` opts into the exact equal-size ``ntile`` with the id
+    tie-break — a PARTITIONLESS window, i.e. the entire input flows
+    through ONE task. Bounded/driver-scale data only; the default
+    refuses nothing but the docstring caveat is the contract.
     """
 
     def __init__(self, score_col: str, id_col: str, n_buckets: int = 10,
                  ascending: bool = False, out_col: str = "bucket",
+                 exact: bool = False, boundary_accuracy: int | None = None,
                  label=None):
         super().__init__(label)
         self.score_col, self.id_col = score_col, id_col
-        self.n_buckets, self.ascending = n_buckets, ascending
-        self.out_col = out_col
+        self.n_buckets, self.ascending = int(n_buckets), ascending
+        self.out_col, self.exact = out_col, exact
+        self.boundary_accuracy = boundary_accuracy
 
     def expand(self, pcoll: PCollection) -> PCollection:
-        from pyspark.sql import Window
+        n = self.n_buckets
+        if self.exact:
+            from pyspark.sql import Window
 
-        order = (F.col(self.score_col).asc() if self.ascending
-                 else F.col(self.score_col).desc())
-        w = Window.orderBy(order, F.col(self.id_col))
-        return pcoll.with_df(pcoll.df.withColumn(
-            self.out_col, F.ntile(self.n_buckets).over(w)))
+            order = (F.col(self.score_col).asc() if self.ascending
+                     else F.col(self.score_col).desc())
+            w = Window.orderBy(order, F.col(self.id_col))
+            return pcoll.with_df(pcoll.df.withColumn(
+                self.out_col, F.ntile(n).over(w)))
+        if n == 1:
+            return pcoll.with_df(
+                pcoll.df.withColumn(self.out_col, F.lit(1)))
+        # rank on s = score (asc) / -score (desc): bucket of a row is
+        # 1 + (number of interior quantile cutoffs strictly below s)
+        s = F.col(self.score_col).cast("double")
+        if not self.ascending:
+            s = -s
+        fracs = ", ".join(repr(i / n) for i in range(1, n))
+        pfn = ("percentile(__s, array({f}))"
+               if self.boundary_accuracy is None else
+               f"approx_percentile(__s, array({{f}}), "
+               f"{int(self.boundary_accuracy)})")
+        bounds = (pcoll.df.select(s.alias("__s"))
+                  .agg(F.expr(pfn.format(f=fracs)).alias("__cb")))
+        out = pcoll.df.crossJoin(F.broadcast(bounds))
+        bucket = F.lit(1)
+        for i in range(1, n):
+            bucket = bucket + F.when(s > F.col("__cb")[i - 1], 1) \
+                               .otherwise(0)
+        bucket = F.when(F.col(self.score_col).isNull(),
+                        F.lit(n)).otherwise(bucket)
+        return pcoll.with_df(
+            out.withColumn(self.out_col, bucket).drop("__cb"))

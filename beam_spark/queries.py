@@ -1295,8 +1295,9 @@ WITH d AS (
 ), m AS (
   SELECT doc_id,
     CAST(len(words) AS INT) AS n_words,
-    round(CAST(list_aggregate(list_transform(words, w -> length(w)),
-                              'sum') AS DOUBLE)
+    round(CAST(coalesce(list_aggregate(
+                 list_transform(words, w -> length(w)), 'sum'),
+               0) AS DOUBLE)
           / greatest(len(words), 1), 6) AS mean_word_len,
     round(CAST(len(regexp_extract_all(text, '#'))
                + len(regexp_extract_all(text, '\.\.\.|…')) AS DOUBLE)
@@ -1790,21 +1791,32 @@ def q_bpe_tokenize(spark, sf_dir):
 
 @query("q_quality_outliers_curriculum", """
 WITH b AS (SELECT quantile_cont(value, 0.25) AS q1,
-                  quantile_cont(value, 0.75) AS q3 FROM events),
-f AS (SELECT e.event_id, e.value,
+                  quantile_cont(value, 0.75) AS q3,
+                  quantile_cont(-value, [0.125, 0.25, 0.375, 0.5,
+                                         0.625, 0.75, 0.875]) AS cb
+           FROM events),
+f AS (SELECT e.event_id, e.value, b.cb,
              CAST(CASE WHEN e.value < b.q1 - 1.5 * (b.q3 - b.q1)
                          OR e.value > b.q3 + 1.5 * (b.q3 - b.q1)
                    THEN 1 ELSE 0 END AS INT) AS value_outlier
       FROM events e CROSS JOIN b)
 SELECT event_id, value_outlier,
-       CAST(ntile(8) OVER (ORDER BY value DESC, event_id) AS INT)
-         AS bucket
+       CAST(CASE WHEN value IS NULL THEN 8 ELSE
+         1 + (CASE WHEN -value > cb[1] THEN 1 ELSE 0 END)
+           + (CASE WHEN -value > cb[2] THEN 1 ELSE 0 END)
+           + (CASE WHEN -value > cb[3] THEN 1 ELSE 0 END)
+           + (CASE WHEN -value > cb[4] THEN 1 ELSE 0 END)
+           + (CASE WHEN -value > cb[5] THEN 1 ELSE 0 END)
+           + (CASE WHEN -value > cb[6] THEN 1 ELSE 0 END)
+           + (CASE WHEN -value > cb[7] THEN 1 ELSE 0 END)
+       END AS INT) AS bucket
 FROM f
 """)
 def q_outliers_curriculum(spark, sf_dir):
     """Tukey-fence outlier flags (exact interpolated quartiles, one agg
-    pass, zero-shuffle flagging) + curriculum tiers (ntile over score
-    with id tie-break) on events.value."""
+    pass, zero-shuffle flagging) + curriculum tiers on events.value —
+    quantile-boundary buckets (one percentile pass + zero-shuffle
+    assignment; no window, no single-partition stage)."""
     from beam_spark.operators.quality import (CurriculumBuckets,
                                               FlagOutliers)
 

@@ -315,13 +315,27 @@ class CompactParquet(PTransform):
     def expand(self, pbegin) -> PCollection:
         spark = getattr(pbegin, "spark", None) or pbegin.df.sparkSession
         df = spark.read.parquet(self.path)
-        if self.partition_filter:
-            df = df.filter(self.partition_filter)
         listing = (spark.read.format("binaryFile")
                    .option("pathGlobFilter", "*.parquet")
                    .option("recursiveFileLookup", "true")
-                   .load(self.path).select("length"))
-        total = listing.agg(F.sum("length")).collect()[0][0] or 0
+                   .load(self.path).select("path", "length"))
+        if self.partition_filter:
+            # Size from the FILTERED data, not the whole dataset: list
+            # the files the pruned scan actually touches (a zero-column
+            # distinct over input_file_name — footer-only work) and
+            # restrict the byte total to those. Sizing from the full
+            # listing would compact one partition into
+            # ceil(whole_dataset/target) near-empty files.
+            df = df.filter(self.partition_filter)
+            # URI spellings differ between sources (file:/ vs file:///)
+            # so join on the scheme-stripped path.
+            norm = lambda c: F.regexp_replace(c, "^[a-z0-9]+:/+", "/")  # noqa: E731
+            touched = df.select(
+                norm(F.input_file_name()).alias("__p")).distinct()
+            listing = (listing.withColumn("__p", norm(F.col("path")))
+                       .join(F.broadcast(touched), on="__p",
+                             how="leftsemi"))
+        total = (listing.agg(F.sum("length")).collect()[0][0]) or 0
         n_files = max(1, -(-int(total) // (self.target_mb * 1024 * 1024)))
         out = df.repartition(n_files)
         return PCollection(out, pipeline=getattr(pbegin, "pipeline", None))

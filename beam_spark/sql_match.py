@@ -184,6 +184,48 @@ def parse_pattern(pattern_sql: str) -> list[tuple]:
     return out
 
 
+def _split_top_level(cond: str, kw: str) -> list[str]:
+    """Split a DEFINE condition on the keyword (OR / AND) only at top
+    level: outside single-quoted string literals ('' is the quote
+    escape) and outside parentheses — so ``status = 'X OR Y'`` and
+    ``(a OR b) AND c`` are never split mid-literal / mid-group."""
+    kw = kw.upper()
+    k = len(kw)
+    parts, buf = [], []
+    depth, in_str, i, n = 0, False, 0, len(cond)
+    while i < n:
+        ch = cond[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < n and cond[i + 1] == "'":
+                    buf.append("''")
+                    i += 2
+                    continue
+                in_str = False
+            buf.append(ch)
+        elif ch == "'":
+            in_str = True
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif (depth == 0 and ch.isspace()
+              and cond[i + 1:i + 1 + k].upper() == kw
+              and i + 1 + k < n and cond[i + 1 + k].isspace()):
+            parts.append("".join(buf))
+            buf = []
+            i += 1 + k
+            continue
+        else:
+            buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
 def _compile_condition(cond_sql: str, symbol: str,
                        subsets: dict | None = None) -> Define:
     """Disjunction (``OR``) of AND-chains; each AND-chain compiles as
@@ -191,7 +233,7 @@ def _compile_condition(cond_sql: str, symbol: str,
     match navigation inside an OR is rejected: the matcher evaluates
     match-state conditions as a conjunct on top of the row mask, which
     cannot express a per-branch disjunction."""
-    branches = re.split(r"\s+OR\s+", cond_sql.strip(), flags=re.IGNORECASE)
+    branches = _split_top_level(cond_sql.strip(), "OR")
     if len(branches) == 1:
         return _compile_and_chain(cond_sql, symbol, subsets)
     defs = [_compile_and_chain(b, symbol, subsets) for b in branches]
@@ -241,7 +283,7 @@ def _compile_and_chain(cond_sql: str, symbol: str,
     A plain row predicate is also provided when no navigation is used
     (API parity)."""
     subsets = subsets or {}
-    parts = re.split(r"\s+AND\s+", cond_sql.strip(), flags=re.IGNORECASE)
+    parts = _split_top_level(cond_sql.strip(), "AND")
     tests = []
     ctx_tests = []
     has_nav = False

@@ -618,3 +618,35 @@ def test_compact_parquet_small_files(spark, tmp_path):
     dst = str(tmp_path / "compacted")
     out.write.mode("overwrite").parquet(dst)
     assert len(glob.glob(f"{dst}/*.parquet")) == 1
+
+
+def test_compact_parquet_partition_filter_sizes_from_partition(
+        spark, tmp_path):
+    """With partition_filter, the target file count comes from the
+    FILTERED partition's bytes, not the whole dataset: a dataset big
+    enough for many target files still compacts one small partition
+    into a single partition-sized output."""
+    import glob
+
+    from beam_spark.pcollection import Pipeline
+    from beam_spark.sources.io import CompactParquet
+
+    src = str(tmp_path / "hive")
+    # partition p=0 is large (incompressible pad), p=1 tiny
+    pad = "concat(%s) AS pad" % ", ".join(
+        f"sha2(CAST(id AS STRING) || '{i}', 512)" for i in range(8))
+    spark.range(20_000).selectExpr(
+        "id", "CAST(id >= 19000 AS INT) AS p", pad) \
+        .repartition(8).write.mode("overwrite") \
+        .partitionBy("p").parquet(src)
+
+    # a ~1 MB target over the FULL dataset would want many files;
+    # the filtered tiny partition must still land in ONE
+    out = (Pipeline(spark)
+           | CompactParquet(src, target_file_mb=1,
+                            partition_filter="p = 1")).df
+    assert out.count() == 1000
+    assert out.rdd.getNumPartitions() <= 2   # ~1 MB of data, 1 MB target
+    # and the unfiltered path still sizes from everything
+    full = (Pipeline(spark) | CompactParquet(src, target_file_mb=1)).df
+    assert full.rdd.getNumPartitions() >= 10

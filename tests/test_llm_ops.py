@@ -721,3 +721,32 @@ def test_outliers_and_curriculum(spark):
         by_bucket.setdefault(r["bucket"], []).append(r["v"])
     assert max(by_bucket[1]) == 1000.0         # best scores first
     assert min(min(v) for v in [by_bucket[4]]) == 1.0
+
+
+def test_curriculum_modes_null_and_exact(spark):
+    """Quantile-mode contract: NULL scores land in the LAST bucket,
+    ties never split across a boundary; exact=True reproduces ntile
+    equal-size tiers; approx boundaries agree with exact on
+    well-separated scores."""
+    from beam_spark.operators.quality import CurriculumBuckets
+    from beam_spark.pcollection import PCollection
+
+    rows = [(i, float(v)) for i, v in enumerate([5, 5, 5, 5, 1, 2, 3, 9])]
+    df = spark.createDataFrame(rows + [(99, None)], "id long, v double")
+    out = (PCollection(df)
+           | CurriculumBuckets("v", id_col="id", n_buckets=4)).df
+    got = {r["id"]: r["bucket"] for r in out.collect()}
+    assert got[99] == 4                      # NULL -> last bucket
+    assert len({got[i] for i in range(4)}) == 1   # the tied 5s agree
+
+    exact = (PCollection(df.where("v IS NOT NULL"))
+             | CurriculumBuckets("v", id_col="id", n_buckets=4,
+                                 exact=True)).df
+    from collections import Counter
+    sizes = Counter(r["bucket"] for r in exact.collect())
+    assert sorted(sizes.values()) == [2, 2, 2, 2]  # ntile exact tiers
+
+    ap = (PCollection(df)
+          | CurriculumBuckets("v", id_col="id", n_buckets=4,
+                              boundary_accuracy=10000)).df
+    assert {r["id"]: r["bucket"] for r in ap.collect()}[99] == 4

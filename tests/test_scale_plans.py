@@ -234,3 +234,25 @@ def test_exact_substr_hashes_before_shuffle(spark, sf_dir):
     import re
     for frag in re.findall(r"Exchange [^\n]*", optimized):
         assert "concat_ws" not in frag
+
+
+def test_curriculum_buckets_no_window_no_data_shuffle(spark, sf_dir):
+    """CurriculumBuckets default plan: NO Window operator anywhere (the
+    round-5 partitionless-ntile collapse is gone) and the data path is
+    scan -> broadcast-nest-loop -> project. The only SinglePartition
+    exchange is the 1-row boundaries aggregate; the full dataset never
+    re-shuffles."""
+    from beam_spark.operators.quality import CurriculumBuckets
+    from beam_spark.pcollection import PCollection
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = (PCollection(df)
+           | CurriculumBuckets("value", id_col="event_id",
+                               n_buckets=8)).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan     # 1-row bounds frame
+    # the lone SinglePartition exchange is the tiny bounds agg
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert plan.count("Exchange rangepartitioning") == 0
