@@ -764,38 +764,107 @@ class DedupAgainstCorpus(PTransform):
     Scale: both sides get MinHash band keys (same machinery as
     MinHashLSH); the only joins are band-bucket equijoins batch x corpus
     and batch x batch, then exact-jaccard verification on candidates.
-    Corpus band keys are a pure function of corpus text, so a real
-    deployment computes them once and persists them as the dedup index;
-    here they are derived inline from the given DataFrame.
+    Corpus band keys are a pure function of corpus text — persist them
+    ONCE with ``save_index(corpus, path)`` and dedup every nightly
+    batch against the saved artifact via ``from_index(path)`` (the
+    corpus is never re-shingled); passing ``corpus`` instead derives
+    the index inline.
+
+    Cache lifetime: inline mode persists the shingle/band frames so the
+    first action doesn't recompute the MinHash lineage 2-3x. They stay
+    registered for the session by default (the result is lazy); call
+    ``release()`` once the result is consumed, or construct with
+    ``materialize=True`` to eagerly localCheckpoint the result and
+    release the intermediates before returning.
     """
 
-    def __init__(self, corpus, text_col: str = "text",
+    def __init__(self, corpus=None, text_col: str = "text",
                  id_col: str = "doc_id", n: int = 3, bands: int = 16,
                  rows_per_band: int = 8, threshold: float = 0.6,
+                 index_path: str | None = None, materialize: bool = False,
                  label=None):
         super().__init__(label)
-        self.corpus = corpus.df if isinstance(corpus, PCollection) else corpus
+        if (corpus is None) == (index_path is None):
+            raise ValueError(
+                "pass exactly one of corpus= (inline index) or "
+                "index_path= (saved index from save_index())")
+        self.corpus = (corpus.df if isinstance(corpus, PCollection)
+                       else corpus)
         self.text_col, self.id_col, self.n = text_col, id_col, n
         self.bands, self.rows = bands, rows_per_band
         self.threshold = threshold
+        self.index_path, self.materialize = index_path, materialize
+        self._persisted: list = []
+
+    def release(self):
+        """Unpersist every frame this transform cached (inline mode).
+        Safe to call once the result has been consumed / checkpointed."""
+        for f in self._persisted:
+            f.unpersist()
+        self._persisted = []
+
+    @classmethod
+    def save_index(cls, corpus, path: str, text_col: str = "text",
+                   id_col: str = "doc_id", n: int = 3, bands: int = 16,
+                   rows_per_band: int = 8):
+        """Compute the corpus side of the dedup index ONCE and persist
+        it as parquet under ``path`` (``shingles/``, ``bands/`` and a
+        1-row ``meta/`` recording the parameters). Incremental batches
+        then dedup against it with ``from_index(path)`` without ever
+        touching corpus text again."""
+        df = corpus.df if isinstance(corpus, PCollection) else corpus
+        inst = cls(df, text_col=text_col, id_col=id_col, n=n,
+                   bands=bands, rows_per_band=rows_per_band)
+        mh = MinHashLSH(text_col=text_col, id_col=id_col, n=n,
+                        bands=bands, rows_per_band=rows_per_band)
+        sh, band_df = inst._prep(df, mh, id_col)
+        sh.write.mode("overwrite").parquet(f"{path}/shingles")
+        band_df.write.mode("overwrite").parquet(f"{path}/bands")
+        df.sparkSession.createDataFrame(
+            [(id_col, text_col, n, bands, rows_per_band)],
+            "id_col string, text_col string, n int, bands int, rows int"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        inst.release()
+
+    @classmethod
+    def from_index(cls, index_path: str, threshold: float = 0.6,
+                   materialize: bool = False, label=None, **kw):
+        """Incremental dedup against an index written by
+        ``save_index``; shingle/band parameters come from the saved
+        meta (constructor overrides are ignored for the corpus side)."""
+        return cls(index_path=index_path, threshold=threshold,
+                   materialize=materialize, label=label, **kw)
 
     def _prep(self, df, mh, idc):
         sh = (df.select(F.col(idc), tokens(self.text_col).alias("__w"))
               .filter(F.size("__w") >= self.n)
               .select(F.col(idc), word_shingles_on("__w", self.n).alias("sh")))
         sh.persist()
+        self._persisted.append(sh)
         bands = _band_keys(mh._with_signature(sh, idc), idc,
                            self.bands, self.rows)
         return sh, bands
 
     def expand(self, pcoll: PCollection) -> PCollection:
         idc, threshold = self.id_col, self.threshold
+        spark = pcoll.df.sparkSession
+        if self.index_path:
+            meta = spark.read.parquet(f"{self.index_path}/meta").collect()[0]
+            self.n, self.bands = int(meta["n"]), int(meta["bands"])
+            self.rows = int(meta["rows"])
+            sh_c = spark.read.parquet(f"{self.index_path}/shingles")
+            bands_c = spark.read.parquet(f"{self.index_path}/bands")
+            if meta["id_col"] != idc:
+                sh_c = sh_c.withColumnRenamed(meta["id_col"], idc)
+                bands_c = bands_c.withColumnRenamed(meta["id_col"], idc)
         mh = MinHashLSH(text_col=self.text_col, id_col=idc, n=self.n,
                         bands=self.bands, rows_per_band=self.rows,
                         threshold=threshold)
         sh_b, bands_b = self._prep(pcoll.df, mh, idc)
-        sh_c, bands_c = self._prep(self.corpus, mh, idc)
+        if not self.index_path:
+            sh_c, bands_c = self._prep(self.corpus, mh, idc)
         bands_b.persist()
+        self._persisted.append(bands_b)
 
         def verify(cand, sh_ref):
             left = sh_b.select(F.col(idc).alias("b"), F.col("sh").alias("sh_b"))
@@ -830,9 +899,11 @@ class DedupAgainstCorpus(PTransform):
                        (F.col("dup_of_corpus").isNotNull()
                         | F.col("dup_of_batch").isNotNull())
                        .cast("int").alias("is_dup")))
-        # sh_b/sh_c/bands_b stay persisted: the result is LAZY, so the
-        # caches materialize during its first action, where each is read
-        # 2-3x (bands + two verifies / cand_cb + cand_bb). Same
-        # session-lifetime caching posture as MinHashLSH; unpersisting
-        # here would drop the registration before anything ran.
+        # Inline mode keeps sh_b/sh_c/bands_b persisted: the result is
+        # LAZY, so the caches materialize during its first action, where
+        # each is read 2-3x (bands + two verifies / cand_cb + cand_bb).
+        # release() or materialize=True hands the lifetime back.
+        if self.materialize:
+            out = out.localCheckpoint(eager=True)
+            self.release()
         return pcoll.with_df(out)

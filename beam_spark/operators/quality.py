@@ -5,9 +5,10 @@ bolt on Deequ or hand-rolled asserts); here both are single-pass
 DataFrame aggregations.
 
 Scale design: ProfileColumns is ONE global aggregation over the input
-(count/null/min/max/sum fold per column; the exact distincts add
-Spark's Expand-based multi-distinct plan), then a constant-size
-unpivot. CheckConstraints is one global aggregation evaluating every
+(count/null/min/max/sum fold per column; distincts default to HLL++
+sketches so the plan stays a single partial+final agg — exact
+multi-distinct is opt-in and goes through the Expand plan), then a
+constant-size unpivot. CheckConstraints is one global aggregation evaluating every
 check expression. Neither grows with column cardinality beyond the
 aggregation state itself.
 
@@ -36,12 +37,24 @@ class ProfileColumns(PTransform):
     ``mean_scale``: decimal scale used for the exact mean sum — inputs
     with more fractional digits than this are profiled approximately
     (documented; the TESTDATA money columns carry <= 2).
+
+    ``approx_distinct`` (default True): n_distinct via
+    ``approx_count_distinct`` (HLL++, relative error ``rsd``) — one
+    mergeable sketch per column, so the plan stays a single
+    partial+final aggregation. ``approx_distinct=False`` opts into
+    EXACT multi-distinct, which plans through Spark's Expand operator:
+    input rows are replicated once per distinct aggregate — a
+    ``len(columns)``-times scan amplification that is the wrong default
+    for wide tables at scale.
     """
 
-    def __init__(self, columns=None, mean_scale: int = 6, label=None):
+    def __init__(self, columns=None, mean_scale: int = 6,
+                 approx_distinct: bool = True, rsd: float = 0.05,
+                 label=None):
         super().__init__(label)
         self.columns = list(columns) if columns else None
         self.mean_scale = mean_scale
+        self.approx_distinct, self.rsd = approx_distinct, rsd
 
     def expand(self, pcoll: PCollection) -> PCollection:
         df = pcoll.df
@@ -50,10 +63,13 @@ class ProfileColumns(PTransform):
         for c in cols:
             dt = df.schema[c].dataType
             is_num = isinstance(dt, _NUMERIC)
+            ndist = (F.approx_count_distinct(F.col(c), self.rsd)
+                     if self.approx_distinct
+                     else F.count_distinct(F.col(c)))
             aggs += [
                 F.count(F.lit(1)).alias(f"{c}__n"),
                 F.count_if(F.col(c).isNull()).alias(f"{c}__nnull"),
-                F.count_distinct(F.col(c)).alias(f"{c}__ndist"),
+                ndist.alias(f"{c}__ndist"),
                 F.min(F.col(c)).cast("string").alias(f"{c}__min"),
                 F.max(F.col(c)).cast("string").alias(f"{c}__max"),
             ]

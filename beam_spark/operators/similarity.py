@@ -280,6 +280,15 @@ class SemDeDup(PTransform):
     deterministic sample (same scheme as IvfCosineTopK) for better
     balance at the cost of oracle reproducibility.
 
+    ``n_clusters=None`` (recommended at scale) sizes K ~= sqrt(N) from
+    one cheap count — the paper's design point, keeping the expected
+    per-cluster population (and so the quadratic pair scan) at ~sqrt(N).
+    ``max_cluster_rows`` is the hot-cluster fail-fast: after assignment,
+    if any single cluster holds more rows, raise with the measured
+    population instead of silently launching a cluster-sized
+    self-join (the EmbeddingNearDupPairs posture — the all-pairs
+    explosion this operator exists to avoid). Set None to disable.
+
     Scale: seeds/centroids are a K x dim closure matrix (bounded);
     assignment is a zero-shuffle projection (JVM expression argmax over
     dot products); the intra-cluster self-join shuffles on cluster_id
@@ -287,25 +296,31 @@ class SemDeDup(PTransform):
     """
 
     MAX_SEED_COLLECT = 4096
+    MAX_CLUSTER_ROWS = 100_000
 
-    def __init__(self, n_clusters: int = 8, threshold: float = 0.35,
+    def __init__(self, n_clusters: int | None = None,
+                 threshold: float = 0.35,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 lloyd_iters: int = 0, fit_sample: int = 2048, label=None):
+                 lloyd_iters: int = 0, fit_sample: int = 2048,
+                 max_cluster_rows: int | None = MAX_CLUSTER_ROWS,
+                 label=None):
         super().__init__(label)
-        if n_clusters > self.MAX_SEED_COLLECT:
+        if n_clusters is not None and n_clusters > self.MAX_SEED_COLLECT:
             raise ValueError(
                 f"n_clusters caps at {self.MAX_SEED_COLLECT} (centroids "
                 "ride in the task closure)")
-        self.n_clusters, self.threshold = int(n_clusters), threshold
+        self.n_clusters = None if n_clusters is None else int(n_clusters)
+        self.threshold = threshold
         self.id_col, self.vec_col = id_col, vec_col
         self.lloyd_iters, self.fit_sample = lloyd_iters, fit_sample
+        self.max_cluster_rows = max_cluster_rows
 
-    def _centroids(self, df):
+    def _centroids(self, df, k):
         """(sids, matrix): seed ids + row-normalized float64 centroids."""
         import numpy as np
 
         rows = (df.select(self.id_col, self.vec_col)
-                .orderBy(self.id_col).limit(self.n_clusters).collect())
+                .orderBy(self.id_col).limit(k).collect())
         sids = [int(r[0]) for r in rows]
         C = np.array([r[1] for r in rows], dtype=np.float64)
         C = C / np.linalg.norm(C, axis=1, keepdims=True)
@@ -317,7 +332,7 @@ class SemDeDup(PTransform):
             X = X / np.linalg.norm(X, axis=1, keepdims=True)
             for _ in range(self.lloyd_iters):
                 assign = (X @ C.T).argmax(axis=1)
-                for c in range(self.n_clusters):
+                for c in range(len(C)):
                     members = X[assign == c]
                     if len(members):
                         m = members.mean(axis=0)
@@ -326,7 +341,14 @@ class SemDeDup(PTransform):
 
     def expand(self, pcoll: PCollection) -> PCollection:
         idc, vc, threshold = self.id_col, self.vec_col, self.threshold
-        sids, C = self._centroids(pcoll.df)
+        k = self.n_clusters
+        if k is None:
+            # the paper's design point: K ~= sqrt(N) keeps expected
+            # per-cluster population (the quadratic scan width) ~sqrt(N)
+            n = pcoll.df.count()
+            k = max(1, min(self.MAX_SEED_COLLECT,
+                           int(math.isqrt(max(n - 1, 0))) + 1))
+        sids, C = self._centroids(pcoll.df, k)
 
         # argmax over dot(vec, normalized-centroid) == argmax cosine
         # (row norm is a positive per-row constant). Centroid literals are
@@ -343,6 +365,21 @@ class SemDeDup(PTransform):
                         sid_arr,
                         F.array_position(dots, F.array_max(dots)).cast("int")))
                     .withColumn("nrm", norm(F.col("vec"))))
+
+        if self.max_cluster_rows is not None:
+            hot = (assigned.groupBy("cluster_id")
+                   .agg(F.count(F.lit(1)).alias("n"))
+                   .agg(F.max("n"), F.sum("n")).collect()[0])
+            biggest, total = int(hot[0] or 0), int(hot[1] or 0)
+            if biggest > self.max_cluster_rows:
+                raise ValueError(
+                    f"SemDeDup hot-cluster guard: largest cluster holds "
+                    f"{biggest} of {total} rows (> max_cluster_rows="
+                    f"{self.max_cluster_rows}); the intra-cluster scan "
+                    f"is quadratic per cluster. Raise n_clusters "
+                    f"(or leave it None for K~=sqrt(N)), add "
+                    f"lloyd_iters>0 for balance, or raise "
+                    f"max_cluster_rows explicitly.")
 
         a = assigned.select(F.col("id").alias("i"), F.col("vec").alias("vi"),
                             F.col("nrm").alias("ni"), "cluster_id")

@@ -1099,6 +1099,26 @@ def q_dedup_against_corpus(spark, sf_dir):
     return (PCollection(batch) | DedupAgainstCorpus(corpus)).df
 
 
+@query("q_dedup_incremental_index", _INCR_DEDUP_ORACLE)
+def q_dedup_incremental_index(spark, sf_dir):
+    """save_index/from_index round-trip: the corpus dedup index (band
+    keys + shingles) is computed once, persisted as parquet, and the
+    batch dedups against the SAVED artifact — the real nightly-crawl
+    deployment shape. Same oracle as the inline q_dedup_against_corpus;
+    materialize=True also exercises the cache-release path."""
+    import os
+
+    from beam_spark.operators.dedupe import DedupAgainstCorpus
+
+    docs = table(spark, sf_dir, "documents").df
+    idx = os.path.join("/tmp", "beam_spark_dedup_index",
+                       os.path.basename(sf_dir.rstrip("/")))
+    DedupAgainstCorpus.save_index(docs.filter("doc_id < 250"), idx)
+    batch = docs.filter("doc_id >= 250")
+    return (PCollection(batch)
+            | DedupAgainstCorpus.from_index(idx, materialize=True)).df
+
+
 _LEAKAGE_ORACLE = f"""
 WITH b AS (SELECT doc_id,
                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
@@ -1589,11 +1609,15 @@ def q_hybrid_rrf(spark, sf_dir):
 _PROFILE_COL = """
 SELECT '{c}' AS "column", '{t}' AS dtype, count(*) AS n,
        CAST(count(*) FILTER ({c} IS NULL) AS BIGINT) AS n_null,
-       count(DISTINCT {c}) AS n_distinct,
+       TRUE AS n_distinct_ok,
        CAST(min({c}) AS VARCHAR) AS min_value,
        CAST(max({c}) AS VARCHAR) AS max_value,
        {mean} AS mean
 FROM orders"""
+
+_PROFILE_COLS = [("o_orderkey", "bigint"), ("o_custkey", "bigint"),
+                 ("o_orderstatus", "string"), ("o_totalprice", "double"),
+                 ("o_orderpriority", "string")]
 
 
 @query("q_quality_profile_columns", " UNION ALL ".join(
@@ -1602,19 +1626,31 @@ FROM orders"""
         mean=(f"CAST(sum(CAST({c} AS DECIMAL(28,6))) AS DOUBLE)"
               f" / count({c})" if t in ("bigint", "double")
               else "CAST(NULL AS DOUBLE)"))
-    for c, t in [("o_orderkey", "bigint"), ("o_custkey", "bigint"),
-                 ("o_orderstatus", "string"), ("o_totalprice", "double"),
-                 ("o_orderpriority", "string")]))
+    for c, t in _PROFILE_COLS))
 def q_profile_columns(spark, sf_dir):
     """Deequ/TFDV-style column profiling: one aggregation pass emits
     count/null/distinct/min/max/mean per column (exact decimal-sum
-    mean — associative, partial-agg-order-immune). Timestamp column
-    excluded from the gate: its string rendering is engine-specific."""
+    mean — associative, partial-agg-order-immune). n_distinct uses the
+    operator's DEFAULT HLL++ sketch (no Expand multi-distinct plan);
+    the gate verifies it as a verdict — within 10%% of the exact count
+    (computed here, gate-side only) — the q_approx_sketches pattern.
+    Timestamp column excluded: string rendering is engine-specific."""
     from beam_spark.operators.quality import ProfileColumns
 
-    return (table(spark, sf_dir, "orders")
-            | ProfileColumns(["o_orderkey", "o_custkey", "o_orderstatus",
-                              "o_totalprice", "o_orderpriority"])).df
+    cols = [c for c, _ in _PROFILE_COLS]
+    df = table(spark, sf_dir, "orders").df
+    prof = (PCollection(df) | ProfileColumns(cols)).df
+    exact_one = df.agg(*[F.count_distinct(F.col(c)).alias(c)
+                         for c in cols])
+    exact = exact_one.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col(c).alias("__exact")) for c in cols])).alias("e")
+    ).select("e.*")
+    return (prof.join(F.broadcast(exact), on="column")
+            .select("column", "dtype", "n", "n_null",
+                    (F.abs(F.col("n_distinct") - F.col("__exact"))
+                     <= 0.1 * F.col("__exact")).alias("n_distinct_ok"),
+                    "min_value", "max_value", "mean"))
 
 
 @query("q_quality_check_constraints", """

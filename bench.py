@@ -38,14 +38,24 @@ def main() -> None:
     # Warm the JVM/python-worker pools once with the flagship query.
     registry["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        df = registry[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"{name}: {timings[name]}s", file=sys.stderr)
+    # This host shows 4-6x per-query noise on single runs (NEXT.md
+    # measurement log) — run the inventory n>=3 times and report
+    # per-query MEDIANS so one noisy run can't become the round's
+    # artifact. Run 1 carries codegen cold-start; the median of 3
+    # usually lands on a warm run.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    runs: dict[str, list[float]] = {n: [] for n in names}
+    for r in range(n_runs):
+        for name in names:
+            t0 = time.perf_counter()
+            df = registry[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            runs[name].append(dt)
+            print(f"run{r + 1} {name}: {dt}s", file=sys.stderr)
 
+    from statistics import median
+    timings = {n: round(median(ts), 3) for n, ts in runs.items()}
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
@@ -69,12 +79,19 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else None,
+        "runs": n_runs,
+        "aggregation": "per-query median",
+        "run_totals": [round(sum(runs[n][r] for n in names), 3)
+                       for r in range(n_runs)],
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_FULL.json"), "w") as f:
         json.dump({**line, "n_events": n_events,
-                   "events_per_sec": events_per_sec, "cpus": int(cpus)}, f,
-                  indent=1)
+                   "events_per_sec": events_per_sec, "cpus": int(cpus),
+                   "per_query_runs": runs,
+                   "per_query_min": {n: min(t) for n, t in runs.items()},
+                   "per_query_max": {n: max(t) for n, t in runs.items()}},
+                  f, indent=1)
     out = json.dumps(line, separators=(",", ":"))
     print(out)
     print(f"[bench] line length: {len(out)} chars", file=sys.stderr)

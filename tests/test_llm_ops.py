@@ -750,3 +750,79 @@ def test_curriculum_modes_null_and_exact(spark):
           | CurriculumBuckets("v", id_col="id", n_buckets=4,
                               boundary_accuracy=10000)).df
     assert {r["id"]: r["bucket"] for r in ap.collect()}[99] == 4
+
+
+def test_semdedup_hot_cluster_guard_and_sqrt_default(spark):
+    """A skewed embedding set (one dominant direction) trips the
+    hot-cluster fail-fast with an actionable message; n_clusters=None
+    sizes K ~= sqrt(N) from a count."""
+    import math
+
+    import pytest
+
+    from beam_spark.operators.similarity import SemDeDup
+    from beam_spark.pcollection import PCollection
+
+    # 300 vectors all pointing ~the same way -> one hot cluster
+    rows = [(i, [1.0, 0.001 * (i % 7), 0.0]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="hot-cluster guard"):
+        (PCollection(df)
+         | SemDeDup(n_clusters=4, threshold=0.99,
+                    max_cluster_rows=100)).df.count()
+
+    # sqrt-N default: spread vectors, K = ceil(sqrt(64)) = 8 clusters max
+    import random
+    rnd = random.Random(3)
+    spread = [(i, [rnd.gauss(0, 1) for _ in range(3)]) for i in range(64)]
+    df2 = spark.createDataFrame(
+        spread, "vec_id long, embedding array<double>")
+    out = (PCollection(df2) | SemDeDup(threshold=0.999)).df
+    n_clusters = out.select("cluster_id").distinct().count()
+    assert n_clusters <= 8
+    assert out.count() == 64
+
+
+def test_dedup_index_roundtrip_release_and_id_rename(spark, tmp_path):
+    """save_index/from_index: saved-artifact dedup equals inline mode;
+    a differing batch id column is renamed from the saved meta;
+    materialize=True leaves no persisted frames behind."""
+    from beam_spark.operators.dedupe import DedupAgainstCorpus
+    from beam_spark.pcollection import PCollection
+
+    texts = ["the quick brown fox jumps over the lazy dog tonight",
+             "pack my box with five dozen liquor jugs right now ok",
+             "sphinx of black quartz judge my vow said the wizard"]
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100, texts[0]),                       # dup of corpus 0
+         (101, "completely different content about spark engines"),
+         (102, texts[0])],                      # dup of corpus 0 AND 100
+        "item_id long, text string")
+
+    idx = str(tmp_path / "index")
+    DedupAgainstCorpus.save_index(corpus, idx)
+
+    t = DedupAgainstCorpus.from_index(idx, id_col="item_id",
+                                      materialize=True)
+    out = (PCollection(batch) | t).df
+    rows = {r["item_id"]: r for r in out.collect()}
+    assert rows[100]["dup_of_corpus"] == 0 and rows[100]["is_dup"] == 1
+    assert rows[101]["is_dup"] == 0
+    assert rows[102]["dup_of_corpus"] == 0
+    assert rows[102]["dup_of_batch"] == 100
+    assert t._persisted == []                   # released
+
+    inline = (PCollection(batch)
+              | DedupAgainstCorpus(
+                  corpus.withColumnRenamed("doc_id", "item_id"),
+                  id_col="item_id")).df
+    assert sorted(map(tuple, inline.collect())) == \
+        sorted(map(tuple, out.collect()))
+
+    import pytest
+    with pytest.raises(ValueError, match="exactly one"):
+        DedupAgainstCorpus()
+    with pytest.raises(ValueError, match="exactly one"):
+        DedupAgainstCorpus(corpus, index_path=idx)

@@ -256,3 +256,22 @@ def test_curriculum_buckets_no_window_no_data_shuffle(spark, sf_dir):
     assert plan.count("Exchange SinglePartition") <= 1
     assert plan.count("Exchange hashpartitioning") == 0
     assert plan.count("Exchange rangepartitioning") == 0
+
+
+def test_profile_columns_default_avoids_expand(spark, sf_dir):
+    """ProfileColumns default (HLL++ distincts) plans as ONE
+    partial+final aggregation — no Expand multi-distinct row
+    replication; exact mode is the opt-in that pays Expand."""
+    from beam_spark.operators.quality import ProfileColumns
+    from beam_spark.pcollection import PCollection
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus"]
+    approx = (PCollection(df) | ProfileColumns(cols)).df
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+
+    exact = (PCollection(df)
+             | ProfileColumns(cols, approx_distinct=False)).df
+    plan = exact._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan  # the documented cost of exactness
