@@ -645,6 +645,12 @@ SELECT doc_id,
 FROM c WHERE ch.n_chunk_tokens > 0
 """
 
+# register the composed oracle on the component registration too, so
+# the registry's audit trail shows the pipeline as oracled (the gate
+# entry below is what the driver actually hash-checks)
+Q._REGISTRY["q_pipeline_llm_dataprep"] = (
+    Q._REGISTRY["q_pipeline_llm_dataprep"][0], _PIPELINE_SQL)
+
 
 def q_ann_exhaustive_suite(spark, sf_dir):
     """LSH and IVF ANN run in full-probe mode — provably exact, so the

@@ -280,14 +280,17 @@ class SimHashNearDupPairs(PTransform):
     """
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
-                 max_distance: int = 3, label=None):
+                 max_distance: int = 3, hash_fn: str = "xxhash64",
+                 label=None):
         super().__init__(label)
         self.text_col, self.id_col = text_col, id_col
         self.max_distance = max_distance
+        self.hash_fn = hash_fn  # see SimHash: 'md5' is the portable form
 
     def expand(self, pcoll: PCollection) -> PCollection:
         idc = self.id_col
-        fp = (pcoll | SimHash(self.text_col, self.id_col)).df
+        fp = (pcoll | SimHash(self.text_col, self.id_col,
+                              hash_fn=self.hash_fn)).df
         fp.persist()
         n_chunks = self.max_distance + 1
         width = 64 // n_chunks

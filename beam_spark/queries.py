@@ -732,48 +732,95 @@ def q_rank(spark, sf_dir):
                      "price_dense_rank", "price_pct_rank", "rn")
 
 
-@query("q_approx_distinct_users", None)
+@query("q_approx_distinct_users", """
+SELECT event_type, CAST(count(DISTINCT user_id) AS DOUBLE) AS expected,
+       TRUE AS ok
+FROM events GROUP BY event_type""")
 def q_approx_distinct(spark, sf_dir):
-    """ApproximateUnique (stats.py:89) -> HLL++. No SQL oracle (sketch
-    internals differ per engine); tolerance-tested vs exact in pytest."""
+    """ApproximateUnique (stats.py:89) -> HLL++. The sketch estimate is
+    not portable SQL, so the oracle is the VERDICT pattern: ``expected``
+    is the exact per-key distinct (both engines compute it) and ``ok``
+    asserts the estimate lands within the rsd contract (5%)."""
     from beam_spark.operators.stats import ApproximateUnique
 
-    return (table(spark, sf_dir, "events")
-            | ApproximateUnique.PerKey("event_type", "user_id", rsd=0.02)).df
+    ev = table(spark, sf_dir, "events")
+    ad = (ev | ApproximateUnique.PerKey("event_type", "user_id",
+                                        rsd=0.02)).df
+    exact = ev.df.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact"))
+    return ad.join(exact, on="event_type").selectExpr(
+        "event_type", "CAST(exact AS DOUBLE) AS expected",
+        "abs(approx_unique - exact) <= greatest(0.05 * exact, 2.0D) AS ok")
 
 
-@query("q_approx_quantiles_value", None)
+@query("q_approx_quantiles_value", "\nUNION ALL\n".join(
+    f"SELECT CAST({p} AS DOUBLE) AS p, "
+    f"CAST(quantile_cont(value, {p}) AS DOUBLE) AS expected, TRUE AS ok "
+    f"FROM events" for p in (0.25, 0.5, 0.75)))
 def q_approx_quantiles(spark, sf_dir):
-    """ApproximateQuantiles (stats.py:283) -> percentile_approx;
-    tolerance-tested vs exact in pytest."""
-    from beam_spark.operators.stats import ApproximateQuantiles
+    """ApproximateQuantiles (stats.py:283) -> percentile_approx. Oracle:
+    verdict rows — exact interpolated quantile per p (both engines) and
+    ``ok`` = estimate within 5% of the value span."""
+    from beam_spark.operators.stats import (ApproximateQuantiles,
+                                            exact_percentile)
 
-    return (table(spark, sf_dir, "events")
-            | ApproximateQuantiles.Globally("value", [0.25, 0.5, 0.75])).df
+    ps = [0.25, 0.5, 0.75]
+    ev = table(spark, sf_dir, "events")
+    aq = (ev | ApproximateQuantiles.Globally("value", ps,
+                                             accuracy=10000)).df
+    exact = ev.df.agg(exact_percentile("value", ps).alias("eq"),
+                      (F.max("value") - F.min("value")).alias("span"))
+    return (aq.crossJoin(F.broadcast(exact))
+            .select(F.posexplode("quantiles").alias("pos", "approx"),
+                    "eq", "span")
+            .select(F.element_at(F.array(*[F.lit(p) for p in ps]),
+                                 F.col("pos") + 1).alias("p"),
+                    F.element_at("eq", F.col("pos") + 1).alias("expected"),
+                    "approx", "span")
+            .selectExpr("p", "CAST(expected AS DOUBLE) AS expected",
+                        "abs(approx - expected) <= 0.05 * span + 1e-9 "
+                        "AS ok"))
 
 
-@query("q_hll_sketch_mergeable", None)
+@query("q_hll_sketch_mergeable", """
+SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS expected, TRUE AS ok
+FROM events""")
 def q_hll_sketch(spark, sf_dir):
     """HllCount-style reusable sketch column (HllCount.java): per-type
     sketches -> union -> estimate. The sketch bytes are mergeable across
-    partitions/queries, which is the point of the operator."""
-    from beam_spark.operators.stats import hll_estimate, hll_sketch, hll_union
+    partitions/queries, which is the point of the operator. Oracle:
+    verdict — the merged estimate must land within 5% of the exact
+    global distinct (both engines compute the exact side)."""
+    from beam_spark.operators.stats import hll_estimate, hll_sketch
 
-    per_type = (table(spark, sf_dir, "events").df
-                .groupBy("event_type")
+    ev = table(spark, sf_dir, "events").df
+    per_type = (ev.groupBy("event_type")
                 .agg(hll_sketch("user_id").alias("sketch")))
     merged = per_type.agg(F.hll_union_agg("sketch").alias("sketch"))
-    return merged.select(hll_estimate("sketch").alias("approx_users"))
+    exact = ev.agg(F.count_distinct("user_id").alias("exact"))
+    return (merged.crossJoin(F.broadcast(exact))
+            .selectExpr("CAST(exact AS DOUBLE) AS expected",
+                        "abs(" + "hll_sketch_estimate(sketch) - exact)"
+                        " <= greatest(0.05 * exact, 2.0D) AS ok"))
 
 
-@query("q_sample_fixed_size", None)
+@query("q_sample_fixed_size", """
+SELECT CAST(least(100, count(*)) AS BIGINT) AS n, TRUE AS members_ok
+FROM events""")
 def q_sample(spark, sf_dir):
     """Sample.FixedSizeGlobally (combiners.py:558): exact-size uniform
-    sample via seeded rand sort-limit; size asserted in pytest."""
+    sample via seeded rand sort-limit. Oracle: verdict — the sample has
+    exactly min(100, N) rows and every sampled event_id is a real
+    event (anti-join count 0)."""
     from beam_spark.operators.combiners import Sample
 
-    return (table(spark, sf_dir, "events")
-            | Sample.FixedSizeGlobally(100)).df
+    ev = table(spark, sf_dir, "events")
+    s = (ev | Sample.FixedSizeGlobally(100)).df
+    foreign = s.join(ev.df.select("event_id"), on="event_id",
+                     how="left_anti")
+    return (s.agg(F.count(F.lit(1)).alias("n"))
+            .crossJoin(F.broadcast(
+                foreign.agg((F.count(F.lit(1)) == 0).alias("members_ok")))))
 
 
 # --------------------------------------------------------------------------
@@ -1097,6 +1144,73 @@ def q_dedup_against_corpus(spark, sf_dir):
     from beam_spark.pcollection import PCollection
 
     return (PCollection(batch) | DedupAgainstCorpus(corpus)).df
+
+
+@query("q_lake_sinks_roundtrip", f"""
+SELECT 'overwrite_dynamic' AS op, event_type AS k,
+       count(*) AS n, {dsum(dec('value', 18, 6), 'v')}
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'compact' AS op, event_type AS k,
+       count(*) AS n, {dsum(dec('value', 18, 6), 'v')}
+FROM events
+WHERE event_type = (SELECT min(event_type) FROM events)
+GROUP BY event_type
+UNION ALL
+SELECT 'bucketed' AS op, 'all' AS k,
+       count(*) AS n, {dsum(dec('value', 18, 6), 'v')}
+FROM events
+""")
+def q_lake_sinks_roundtrip(spark, sf_dir):
+    """Lake-maintenance sinks value-oracled through their READ-BACK:
+    (1) OverwritePartitionsDynamic writes all events hive-partitioned
+    by event_type, then re-overwrites ONE partition with its own data —
+    sibling partitions must survive (dynamic mode), so the read-back
+    per-partition counts/sums equal the source; (2) CompactParquet
+    compacts that single partition (partition_filter sizing) and its
+    frame must carry the partition's exact rows; (3) WriteBucketedTable
+    round-trips through a hash-bucketed managed table."""
+    import os
+    import re
+
+    from beam_spark.sources.io import (CompactParquet,
+                                       OverwritePartitionsDynamic,
+                                       WriteBucketedTable)
+
+    sfname = re.sub(r"[^A-Za-z0-9]", "_",
+                    os.path.basename(sf_dir.rstrip("/")))
+    path = f"/tmp/beam_spark_lake/{sfname}"
+    ev = table(spark, sf_dir, "events")
+    et = ev.df.agg(F.min("event_type")).collect()[0][0]
+
+    ev | OverwritePartitionsDynamic(path, "event_type")
+    # re-overwrite one partition with its own rows: dynamic mode must
+    # leave every sibling partition intact
+    one = PCollection(ev.df.filter(F.col("event_type") == et))
+    one | OverwritePartitionsDynamic(path, "event_type")
+    back = spark.read.parquet(path)
+    dyn = back.groupBy(F.col("event_type").alias("k")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"CAST(SUM({dec('value', 18, 6)}) AS DOUBLE)").alias("v")
+    ).select(F.lit("overwrite_dynamic").alias("op"), "k", "n", "v")
+
+    from beam_spark.pcollection import Pipeline
+    comp = (Pipeline(spark)
+            | CompactParquet(path, target_file_mb=128,
+                             partition_filter=f"event_type = '{et}'")).df
+    cmp_row = comp.groupBy(F.col("event_type").alias("k")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"CAST(SUM({dec('value', 18, 6)}) AS DOUBLE)").alias("v")
+    ).select(F.lit("compact").alias("op"), "k", "n", "v")
+
+    ev | WriteBucketedTable(f"lake_bucketed_{sfname}", "user_id",
+                            n_buckets=8)
+    bt = spark.table(f"lake_bucketed_{sfname}").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"CAST(SUM({dec('value', 18, 6)}) AS DOUBLE)").alias("v")
+    ).select(F.lit("bucketed").alias("op"), F.lit("all").alias("k"),
+             "n", "v")
+    return dyn.unionByName(cmp_row).unionByName(bt)
 
 
 @query("q_dedup_incremental_index", _INCR_DEDUP_ORACLE)
@@ -1896,12 +2010,58 @@ def q_minhash_lsh(spark, sf_dir):
 @query("q_dedup_simhash_pairs", None)
 def q_simhash(spark, sf_dir):
     """SimHash-64 near-dup pairs (hamming <= 3) via chunk-pigeonhole
-    bucketing. xxhash64-based — no SQL oracle; plant-recall asserted in
-    pytest."""
+    bucketing. xxhash64-based (the scale default) — xxhash64 has no
+    DuckDB twin, so no SQL oracle HERE; the identical pair machinery is
+    fully value-oracled by q_dedup_simhash_pairs_md5 below, and
+    plant-recall is asserted in pytest."""
     from beam_spark.operators.dedupe import SimHashNearDupPairs
 
     return (table(spark, sf_dir, "documents")
             | SimHashNearDupPairs(max_distance=3)).df
+
+
+_SIMHASH_FP_CTE = f"""
+tok AS (SELECT doc_id, {_TOK} AS w FROM documents),
+u AS (SELECT doc_id, unnest(list_distinct(w)) AS t, w FROM tok),
+h AS (SELECT doc_id,
+        CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS h1,
+        CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT) AS h2,
+        len(list_filter(w, x -> x = t)) AS wt
+      FROM u),
+bits AS (SELECT doc_id, b.b AS b,
+           SUM(CASE WHEN (CASE WHEN b.b < 32 THEN (h1 >> b.b) & 1
+                          ELSE (h2 >> (b.b - 32)) & 1 END) = 1
+               THEN wt ELSE -wt END) AS vote
+         FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b
+         GROUP BY doc_id, b.b),
+fp AS (SELECT doc_id,
+  CAST(SUM(CASE WHEN vote > 0 AND b < 32 THEN (CAST(1 AS BIGINT) << b)
+      ELSE 0 END) AS BIGINT) AS fp_lo,
+  CAST(SUM(CASE WHEN vote > 0 AND b >= 32
+      THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS fp_hi
+FROM bits GROUP BY doc_id)"""
+
+
+@query("q_dedup_simhash_pairs_md5", f"""
+WITH {_SIMHASH_FP_CTE}
+SELECT a.doc_id AS i, b.doc_id AS j,
+       CAST(bit_count(xor(a.fp_lo, b.fp_lo))
+            + bit_count(xor(a.fp_hi, b.fp_hi)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp_lo, b.fp_lo))
+      + bit_count(xor(a.fp_hi, b.fp_hi)) <= 3
+""")
+def q_simhash_pairs_md5(spark, sf_dir):
+    """SimHash pairs in the portable md5-hash mode: the FULL pipeline
+    (fingerprint votes -> pigeonhole chunks -> candidate join ->
+    bit_count verify) value-oracled end to end — DuckDB recomputes the
+    identical fingerprints from md5 and takes ALL pairs, so candidate
+    generation completeness is verified too (any pair the pigeonhole
+    bucketing missed would hash-mismatch)."""
+    from beam_spark.operators.dedupe import SimHashNearDupPairs
+
+    return (table(spark, sf_dir, "documents")
+            | SimHashNearDupPairs(max_distance=3, hash_fn="md5")).df
 
 
 @query("q_text_quality_scores", f"""
@@ -2008,6 +2168,45 @@ def q_semdedup(spark, sf_dir):
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"))
     return (PCollection(emb)
             | SemDeDup(n_clusters=8, threshold=0.35)).df
+
+
+@query("q_semdedup_lloyd_verdict", """
+SELECT vec_id, TRUE AS ok FROM embeddings""")
+def q_semdedup_lloyd(spark, sf_dir):
+    """SemDeDup in lloyd_iters mode: the refined centroids are a numpy
+    artifact DuckDB cannot replicate, so the oracle is the SPEC as a
+    verdict — for every vector, is_dup=1 iff an earlier same-cluster
+    vector has cosine >= t (both directions re-derived here from the
+    operator's own cluster assignment + raw embeddings). Any
+    correctness drift in the dup scan flips a row to FALSE and
+    hash-mismatches."""
+    from beam_spark.operators.similarity import SemDeDup, cosine, norm
+    from beam_spark.pcollection import PCollection
+
+    emb = table(spark, sf_dir, "embeddings").df.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        .alias("embedding"))
+    res = (PCollection(emb)
+           | SemDeDup(n_clusters=8, threshold=0.35, lloyd_iters=2)).df
+    vec = emb.withColumn("nrm", norm(F.col("embedding")))
+    r = (res.join(vec, on="vec_id")
+         .select("vec_id", "cluster_id", "is_dup",
+                 F.col("embedding").alias("v"), "nrm"))
+    a = r.select(F.col("vec_id").alias("i"), "cluster_id", "is_dup",
+                 F.col("v").alias("vi"), F.col("nrm").alias("ni"))
+    b = r.select(F.col("vec_id").alias("j"), "cluster_id",
+                 F.col("v").alias("vj"), F.col("nrm").alias("nj"))
+    wit = (a.join(b, on="cluster_id")
+           .filter((F.col("j") < F.col("i"))
+                   & (cosine(F.col("vi"), F.col("vj"),
+                             F.col("ni"), F.col("nj")) >= 0.35))
+           .select("i").distinct().withColumn("__w", F.lit(1)))
+    return (a.select("i", "is_dup")
+            .join(wit, on="i", how="left")
+            .select(F.col("i").alias("vec_id"),
+                    ((F.col("is_dup") == 1)
+                     == F.col("__w").isNotNull()).alias("ok")))
 
 
 @query("q_ann_bruteforce_topk", """
