@@ -669,6 +669,9 @@ def q_ann_exhaustive_suite(spark, sf_dir):
            | IvfCosineTopK(queries_df, k=5, n_lists=8, nprobe=8)).df
     bm25 = _component("q_retrieval_bm25_topk")(spark, sf_dir)
     rrf = _component("q_retrieval_hybrid_rrf")(spark, sf_dir)
+    bm25_and = _component("q_retrieval_bm25_and")(spark, sf_dir)
+    bm25_ph = _component("q_retrieval_bm25_phrase")(spark, sf_dir)
+    posph = _component("q_retrieval_phrase_positional")(spark, sf_dir)
     return _union([
         lsh.selectExpr("'lsh' AS method", "query_id", "nbr_id", "rank", "cosine"),
         ivf.selectExpr("'ivf' AS method", "query_id", "nbr_id", "rank", "cosine"),
@@ -676,6 +679,14 @@ def q_ann_exhaustive_suite(spark, sf_dir):
                         "rank", "score AS cosine"),
         rrf.selectExpr("'rrf' AS method", "query_id", "doc_id AS nbr_id",
                        "rank", "rrf_score AS cosine"),
+        bm25_and.selectExpr("'bm25_and' AS method", "query_id",
+                            "doc_id AS nbr_id", "rank", "score AS cosine"),
+        bm25_ph.selectExpr("'bm25_phrase' AS method", "query_id",
+                           "doc_id AS nbr_id", "rank", "score AS cosine"),
+        posph.selectExpr("'phrase_pos' AS method", "query_id",
+                         "doc_id AS nbr_id",
+                         "CAST(n_occurrences AS INT) AS rank",
+                         "CAST(n_occurrences AS DOUBLE) AS cosine"),
     ])
 
 
@@ -690,6 +701,17 @@ UNION ALL
 {_wrap("'rrf' AS method, query_id, doc_id AS nbr_id, rank, "
        "rrf_score AS cosine",
        _component_sql("q_retrieval_hybrid_rrf"))}
+UNION ALL
+{_wrap("'bm25_and' AS method, query_id, doc_id AS nbr_id, rank, "
+       "score AS cosine", _component_sql("q_retrieval_bm25_and"))}
+UNION ALL
+{_wrap("'bm25_phrase' AS method, query_id, doc_id AS nbr_id, rank, "
+       "score AS cosine", _component_sql("q_retrieval_bm25_phrase"))}
+UNION ALL
+{_wrap("'phrase_pos' AS method, query_id, doc_id AS nbr_id, "
+       "CAST(n_occurrences AS INT) AS rank, "
+       "CAST(n_occurrences AS DOUBLE) AS cosine",
+       _component_sql("q_retrieval_phrase_positional"))}
 """
 
 

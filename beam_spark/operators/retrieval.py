@@ -32,18 +32,31 @@ class Bm25TopK(PTransform):
 
     Output: (query_id, doc_id, rank, score) with rank over
     (round(score, 6) DESC, doc_id) — deterministic under ties.
+
+    ``mode``: 'or' (default) scores any document sharing a term with
+    the query; 'and' keeps only documents containing EVERY distinct
+    query term (conjunctive retrieval — the matched-term count per
+    (query, doc) must equal the query's term count, checked against a
+    broadcast per-query count); 'phrase' is 'and' plus a contiguous
+    containment filter — the document's token sequence must contain the
+    whole query text as a phrase (semi-join against PhraseMatch; same
+    small-query-set posture, positional postings are the large-Q path).
     """
 
     def __init__(self, queries: DataFrame | PCollection, k: int = 10,
                  k1: float = 1.2, b: float = 0.75,
                  text_col: str = "text", id_col: str = "doc_id",
                  query_id_col: str = "query_id",
-                 query_text_col: str = "text", label=None):
+                 query_text_col: str = "text", mode: str = "or",
+                 label=None):
         super().__init__(label)
         self.queries = queries.df if isinstance(queries, PCollection) else queries
         self.k, self.k1, self.b = k, k1, b
         self.text_col, self.id_col = text_col, id_col
         self.query_id_col, self.query_text_col = query_id_col, query_text_col
+        if mode not in ("or", "and", "phrase"):
+            raise ValueError(mode)
+        self.mode = mode
 
     def expand(self, pcoll: PCollection) -> PCollection:
         from pyspark.sql import Window
@@ -81,7 +94,24 @@ class Bm25TopK(PTransform):
                   .join(F.broadcast(q_df), on="term")
                   .crossJoin(F.broadcast(stats))
                   .groupBy("query_id", idc)
-                  .agg(F.round(F.sum(idf * tf_part), 6).alias("score")))
+                  .agg(F.round(F.sum(idf * tf_part), 6).alias("score"),
+                       F.count(F.lit(1)).alias("__nm")))
+        if self.mode in ("and", "phrase"):
+            # conjunctive: matched-term count == the query's distinct
+            # term count (postings are one row per (doc, term), so the
+            # group size IS the matched count)
+            qn = qterms.groupBy("query_id").agg(
+                F.count(F.lit(1)).alias("__qn"))
+            scored = (scored.join(F.broadcast(qn), on="query_id")
+                      .filter(F.col("__nm") == F.col("__qn")))
+        if self.mode == "phrase":
+            contained = (pcoll | PhraseMatch(
+                self.queries.select(
+                    F.col(self.query_id_col).alias("query_id"),
+                    F.col(self.query_text_col).alias("phrase")),
+                text_col=self.text_col, id_col=idc)).df
+            scored = scored.join(contained.select("query_id", idc),
+                                 on=["query_id", idc], how="leftsemi")
         w = Window.partitionBy("query_id").orderBy(
             F.col("score").desc(), F.col(idc))
         out = (scored.withColumn("rank", F.row_number().over(w))
@@ -190,3 +220,60 @@ class PhraseMatch(PTransform):
                .filter(F.col("n_occurrences") >= 1)
                .select("query_id", idc, "n_occurrences"))
         return pcoll.with_df(out)
+
+
+class PositionalPhraseMatch(PTransform):
+    """Phrase containment via a POSITIONAL POSTINGS index — the scale
+    path for LARGE query sets, where PhraseMatch's broadcast-and-scan
+    (every doc string scanned once per query) stops being viable.
+
+    Plan: (doc, term, position) postings from one posexplode; query
+    phrases explode to (query, offset, term); the candidate join is
+    KEYED ON THE TERM (distributed equijoin — no query broadcast, no
+    per-query corpus scan); a candidate start position is an occurrence
+    iff every phrase offset matched at start+offset, which is one
+    groupBy counting distinct offsets per (query, doc, start).
+
+    Output: (query_id, doc_id, n_occurrences) for docs with >= 1
+    occurrence. Unlike PhraseMatch's non-overlapping replace count,
+    n_occurrences counts ALL start positions (overlapping included);
+    presence (>= 1) agrees exactly — asserted in pytest.
+
+    Scale: shuffles are keyed on term (posting-list fan-in) then on
+    (query, doc, start); a stop-word-ish phrase term costs its posting
+    list — the classic rarest-term-first optimization is the next step
+    if that bites."""
+
+    def __init__(self, queries: DataFrame | PCollection,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 query_id_col: str = "query_id",
+                 phrase_col: str = "phrase", label=None):
+        super().__init__(label)
+        self.queries = queries.df if isinstance(queries, PCollection) else queries
+        self.text_col, self.id_col = text_col, id_col
+        self.query_id_col, self.phrase_col = query_id_col, phrase_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        idc = self.id_col
+        post = (pcoll.df
+                .select(F.col(idc), tokens(self.text_col).alias("__t"))
+                .select(idc, F.posexplode("__t").alias("pos", "term")))
+        qt = (self.queries
+              .select(F.col(self.query_id_col).alias("query_id"),
+                      tokens(self.phrase_col).alias("__p"))
+              .select("query_id", F.size("__p").alias("plen"),
+                      F.posexplode("__p").alias("off", "term")))
+        starts = (post.join(qt, on="term")
+                  .select("query_id", idc, "plen",
+                          (F.col("pos") - F.col("off")).alias("start"),
+                          "off"))
+        occ = (starts.groupBy("query_id", idc, "plen", "start")
+               # a start is a real occurrence iff every offset 0..plen-1
+               # matched there; offsets are distinct per (query, start)
+               # only if the phrase has no repeated term at equal
+               # alignment — count DISTINCT offsets to be exact
+               .agg(F.count_distinct("off").alias("__hit"))
+               .filter(F.col("__hit") == F.col("plen"))
+               .groupBy("query_id", idc)
+               .agg(F.count(F.lit(1)).alias("n_occurrences")))
+        return pcoll.with_df(occ)

@@ -1922,6 +1922,132 @@ def q_phrase_match(spark, sf_dir):
     return (PCollection(docs) | PhraseMatch(phrases)).df
 
 
+_BM25_BODY = r"""
+toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents),
+post AS (SELECT doc_id, dl, term, count(*) AS tf
+         FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks)
+         GROUP BY doc_id, dl, term),
+stats AS (SELECT count(*) AS N, avg(len(t)) AS avgdl FROM toks),
+dfq AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+qtok AS (SELECT doc_id AS query_id, t[1:4] AS qtoks
+         FROM toks WHERE doc_id < 5),
+qt AS (SELECT query_id, unnest(list_distinct(qtoks)) AS term FROM qtok),
+qn AS (SELECT query_id, count(*) AS qn FROM qt GROUP BY query_id),
+scored AS (
+  SELECT qt.query_id, p.doc_id,
+         round(sum(ln(1 + (s.N - d.df + 0.5) / (d.df + 0.5))
+                   * ((p.tf * 2.5)
+                      / (p.tf + 1.5 * (0.25 + 0.75 * p.dl / s.avgdl)))),
+               6) AS score
+  FROM post p JOIN qt ON p.term = qt.term
+  JOIN dfq d ON p.term = d.term
+  JOIN qn ON qn.query_id = qt.query_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, p.doc_id
+  HAVING count(*) = min(qn.qn))"""
+
+
+@query("q_retrieval_bm25_and", f"""
+WITH {_BM25_BODY},
+r AS (SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scored)
+SELECT query_id, doc_id, rank, score FROM r WHERE rank <= 5
+""")
+def q_bm25_and(spark, sf_dir):
+    """Conjunctive BM25 (mode='and'): only documents containing EVERY
+    distinct query term score — the matched-term count per (query, doc)
+    must equal the query's term count (broadcast per-query counts).
+    Queries are the first 4 tokens of docs 0-4; k1=1.5 (binary-exact
+    literal)."""
+    from beam_spark.operators.retrieval import Bm25TopK
+
+    docs = table(spark, sf_dir, "documents").df
+    queries_df = docs.filter("doc_id < 5").select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(F.split(F.lower(F.trim("text")), r"\s+"),
+                                 1, 4)).alias("text"))
+    return (PCollection(docs)
+            | Bm25TopK(queries_df, k=5, k1=1.5, mode="and")).df
+
+
+@query("q_retrieval_bm25_phrase", f"""
+WITH {_BM25_BODY},
+docsent AS (SELECT doc_id,
+              ' ' || array_to_string(t, ' ') || ' ' AS ts FROM toks),
+qsent AS (SELECT doc_id AS query_id,
+            ' ' || array_to_string(t[1:4], ' ') || ' ' AS ps
+          FROM toks WHERE doc_id < 5),
+cont AS (SELECT q.query_id, d.doc_id
+         FROM docsent d CROSS JOIN qsent q
+         WHERE length(d.ts) - length(replace(d.ts, q.ps, ' '))
+               >= length(q.ps) - 1),
+ph AS (SELECT s.* FROM scored s
+       JOIN cont ON cont.query_id = s.query_id
+                AND cont.doc_id = s.doc_id),
+r AS (SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM ph)
+SELECT query_id, doc_id, rank, score FROM r WHERE rank <= 5
+""")
+def q_bm25_phrase(spark, sf_dir):
+    """Phrase-mode BM25: conjunctive scoring restricted to documents
+    whose token sequence contains the whole query text contiguously
+    (semi-join against the phrase-containment set). Queries are the
+    first 4 tokens of docs 0-4."""
+    from beam_spark.operators.retrieval import Bm25TopK
+
+    docs = table(spark, sf_dir, "documents").df
+    queries_df = docs.filter("doc_id < 5").select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(F.split(F.lower(F.trim("text")), r"\s+"),
+                                 1, 4)).alias("text"))
+    return (PCollection(docs)
+            | Bm25TopK(queries_df, k=5, k1=1.5, mode="phrase")).df
+
+
+@query("q_retrieval_phrase_positional", r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents),
+post AS (SELECT doc_id, unnest(t) AS term,
+                unnest(range(0, len(t))) AS pos
+         FROM toks),
+qre AS (SELECT doc_id AS query_id, t[1:2] AS p
+        FROM toks WHERE doc_id < 3),
+qt AS (SELECT query_id, len(p) AS plen, unnest(p) AS term,
+              unnest(range(0, len(p))) AS off
+       FROM qre),
+starts AS (SELECT qt.query_id, post.doc_id, qt.plen,
+                  post.pos - qt.off AS s, qt.off
+           FROM post JOIN qt USING (term)),
+hits AS (SELECT query_id, doc_id, plen, s,
+                count(DISTINCT off) AS h
+         FROM starts GROUP BY query_id, doc_id, plen, s)
+SELECT query_id, doc_id, count(*) AS n_occurrences
+FROM hits WHERE h = plen GROUP BY query_id, doc_id
+""")
+def q_phrase_positional(spark, sf_dir):
+    """PositionalPhraseMatch — the large-query-set phrase path: a
+    (doc, term, position) postings index joined ON THE TERM (no query
+    broadcast, no per-query corpus scan); a start is an occurrence iff
+    every phrase offset matched there. Counts ALL starts (overlapping
+    included) — presence agrees with the zero-shuffle PhraseMatch,
+    asserted in pytest. Same queries as q_retrieval_phrase_match."""
+    from beam_spark.operators.retrieval import PositionalPhraseMatch
+
+    docs = table(spark, sf_dir, "documents").df
+    phrases = docs.filter("doc_id < 3").select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(F.split(F.lower(F.trim("text")), r"\s+"),
+                                 1, 2)).alias("phrase"))
+    return (PCollection(docs) | PositionalPhraseMatch(phrases)).df
+
+
 @query("q_ml_bpe_tokenize", None)
 def q_bpe_tokenize(spark, sf_dir):
     """Real BPE tokenization: merges trained on the corpus's own

@@ -826,3 +826,42 @@ def test_dedup_index_roundtrip_release_and_id_rename(spark, tmp_path):
         DedupAgainstCorpus()
     with pytest.raises(ValueError, match="exactly one"):
         DedupAgainstCorpus(corpus, index_path=idx)
+
+
+def test_phrase_positional_agrees_with_scan_and_bm25_modes(spark):
+    """PositionalPhraseMatch presence set == PhraseMatch presence set
+    (the zero-shuffle scan); overlapping occurrences only differ in the
+    count, by design. BM25 'and' keeps only all-term docs; 'phrase'
+    further requires contiguity."""
+    from beam_spark.operators.retrieval import (Bm25TopK, PhraseMatch,
+                                                PositionalPhraseMatch)
+    from beam_spark.pcollection import PCollection
+
+    docs = spark.createDataFrame([
+        (0, "red fox red fox red"),          # overlapping 'red fox red'
+        (1, "the quick red fox jumps"),
+        (2, "fox red the quick brown"),      # terms present, not phrase
+        (3, "nothing relevant here at all"),
+    ], "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [(0, "red fox"), (1, "red fox red")],
+        "query_id long, phrase string")
+
+    scan = (PCollection(docs) | PhraseMatch(qs)).df
+    pos = (PCollection(docs) | PositionalPhraseMatch(qs)).df
+    scan_set = {(r["query_id"], r["doc_id"]) for r in scan.collect()}
+    pos_rows = {(r["query_id"], r["doc_id"]): r["n_occurrences"]
+                for r in pos.collect()}
+    assert set(pos_rows) == scan_set
+    assert pos_rows[(1, 0)] == 2      # overlapping starts both counted
+
+    bq = qs.withColumnRenamed("phrase", "text")
+    both = (PCollection(docs) | Bm25TopK(bq, k=10, mode="and")).df
+    and_docs = {(r["query_id"], r["doc_id"]) for r in both.collect()}
+    # doc 2 has 'red' and 'fox' -> in AND result for query 0
+    assert (0, 2) in and_docs
+    ph = (PCollection(docs) | Bm25TopK(bq, k=10, mode="phrase")).df
+    ph_docs = {(r["query_id"], r["doc_id"]) for r in ph.collect()}
+    assert (0, 2) not in ph_docs      # not contiguous
+    assert ph_docs <= and_docs        # phrase is a refinement of AND
+    assert (0, 0) in ph_docs and (0, 1) in ph_docs
