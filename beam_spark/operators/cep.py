@@ -417,7 +417,8 @@ class MatchRecognize(PTransform):
                  after_match: str = SKIP_PAST_LAST_ROW,
                  rows_per_match: str = ONE_ROW_PER_MATCH,
                  within: str | None = None,
-                 measure_semantics: str = "final", label=None):
+                 measure_semantics: str = "final",
+                 drain_state_ttl: str | None = None, label=None):
         """``within``: optional time bound ("10 minutes") — a match must
         complete within this interval of its first row (Flink/Calcite
         ``PATTERN (...) WITHIN``). On streams this BOUNDS STATE: once
@@ -428,7 +429,16 @@ class MatchRecognize(PTransform):
         ``measure_semantics`` (ALL ROWS PER MATCH only): 'final' (each
         output row carries the whole-match measure values) or 'running'
         (the SQL-standard default for that mode — measures evaluate over
-        the match PREFIX up to each row)."""
+        the match PREFIX up to each row).
+
+        ``drain_state_ttl`` (streaming only): when a key's row buffer
+        fully drains, a counter-only state record (match number + PREV
+        shift context, ~bytes) survives so ``__match_number`` stays
+        per-key monotone exactly like the batch replay. None (default)
+        keeps it for the stream's lifetime — the per-key cost is a few
+        bytes but the key cardinality is unbounded; set a duration
+        ("1 hour") to expire idle keys' counters, accepting that a key
+        silent for longer restarts numbering."""
         super().__init__(label)
         self.rows_per_match = rows_per_match
         if measure_semantics not in ("final", "running"):
@@ -440,6 +450,13 @@ class MatchRecognize(PTransform):
             self.within_ms = int(_parse_delay(within).total_seconds() * 1000)
         else:
             self.within_ms = None
+        if drain_state_ttl is not None:
+            from beam_spark.streaming.core import _parse_delay
+
+            self.drain_ttl_ms = int(
+                _parse_delay(drain_state_ttl).total_seconds() * 1000)
+        else:
+            self.drain_ttl_ms = None
         self.partition_by = ([partition_by] if isinstance(partition_by, str)
                              else list(partition_by))
         self.order_by = [order_by] if isinstance(order_by, str) else list(order_by)
@@ -469,6 +486,7 @@ class MatchRecognize(PTransform):
         all_rows = self.rows_per_match == ALL_ROWS_PER_MATCH
         running = all_rows and self.measure_semantics == "running"
         within_ms = self.within_ms
+        drain_ttl_ms = self.drain_ttl_ms
         schema = self.output_schema
         if isinstance(schema, str):
             schema = T._parse_datatype_string(schema)
@@ -613,10 +631,11 @@ class MatchRecognize(PTransform):
         supported; in ALL mode each matched input row is emitted with
         its columns, measures (FINAL, or RUNNING prefixes with
         ``measure_semantics='running'``), ``__classifier`` and
-        ``__match_number``. Divergence note: ``__match_number`` is
-        per-key monotone while the key HOLDS state — if a key's buffer
-        fully drains, numbering restarts at 1 (batch replay numbers
-        globally).
+        ``__match_number``. Numbering is per-key monotone ACROSS full
+        buffer drains: a counter-only state record (match number + PREV
+        shift context) survives the drain, so streaming numbers agree
+        with the batch replay; ``drain_state_ttl`` bounds that record's
+        lifetime for unbounded key cardinalities.
         """
         import pickle
 
@@ -658,6 +677,7 @@ class MatchRecognize(PTransform):
         pattern, defines = self.pattern, self.defines
         measures, after_match = self.measures, self.after_match
         within_ms = self.within_ms
+        drain_ttl_ms = self.drain_ttl_ms
         schema = self.output_schema
         if isinstance(schema, str):
             schema = T._parse_datatype_string(schema)
@@ -697,6 +717,13 @@ class MatchRecognize(PTransform):
             for pdf in pdfs:
                 buf.extend(pdf.to_dict(orient="records"))
             if not buf:
+                # reachable only via a timeout on a counter-only record
+                # (keys with data always repopulate buf). With a TTL
+                # configured the fired timer IS the expiry (we always
+                # overwrite the timer when keeping the record); without
+                # one it is a stale buffer-drain timer — keep the record.
+                if drain_ttl_ms is None and state.exists:
+                    return
                 if state.exists:
                     state.remove()
                 return
@@ -802,6 +829,15 @@ class MatchRecognize(PTransform):
                 if within_ms is not None:
                     target = ts_ms(buf[0]) + within_ms + 1
                 state.setTimeoutTimestamp(max(target, wm + 1))
+            elif match_no or ctx_rows:
+                # full drain: keep the counter-only record so match
+                # numbering (and PREV context at the next row) survives
+                # — the batch-equivalence guarantee. ~bytes per key;
+                # drain_state_ttl expires it for idle keys.
+                state.update((pickle.dumps(
+                    {"buf": [], "mn": match_no, "ctx": ctx_rows}),))
+                if drain_ttl_ms is not None:
+                    state.setTimeoutTimestamp(wm + drain_ttl_ms)
             else:
                 state.remove()
             if out:

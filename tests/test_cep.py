@@ -1018,3 +1018,74 @@ def test_streaming_prev_mask_equals_batch(spark):
     ]
     s, b = _stream_vs_batch(spark, batches, **cfg)
     assert s == b and sorted(b) == [(1, 8, 4), (1, 9, 5)]
+
+
+def _drain_then_match_batches():
+    """Key u=1 fully DRAINS between its two funnels: after the 00:01:00
+    error, only u=2 batches advance the watermark, so u=1's held rows
+    release through timeout-only invocations and its buffer empties
+    (pre-round-6 the counter state died at that point)."""
+    return [
+        # funnel 1 for u1, then one error that will be released
+        [{"t": "2024-01-01 00:00:10", "u": 1, "typ": "view", "v": 1},
+         {"t": "2024-01-01 00:00:20", "u": 1, "typ": "purchase", "v": 5}],
+        [{"t": "2024-01-01 00:01:00", "u": 1, "typ": "error", "v": 0}],
+        # u2-only batches: u1 sees only timeout wakeups -> full drain
+        [{"t": "2024-01-01 00:06:00", "u": 2, "typ": "error", "v": 0}],
+        [{"t": "2024-01-01 00:20:00", "u": 2, "typ": "error", "v": 0}],
+        [{"t": "2024-01-01 00:30:00", "u": 2, "typ": "error", "v": 0}],
+        # second funnel for u1 long after the drain
+        [{"t": "2024-01-01 00:31:00", "u": 1, "typ": "view", "v": 2},
+         {"t": "2024-01-01 00:31:05", "u": 1, "typ": "purchase", "v": 9}],
+        [{"t": "2024-01-01 00:40:00", "u": 1, "typ": "error", "v": 0},
+         {"t": "2024-01-01 00:40:00", "u": 2, "typ": "error", "v": 0}],
+        [{"t": "2024-01-01 00:50:00", "u": 1, "typ": "error", "v": 0}],
+    ]
+
+
+def test_streaming_equals_batch_match_number_across_drain(spark):
+    """Equivalence script #8: a key whose buffer FULLY drains between
+    two matches must keep per-key-monotone __match_number (batch
+    numbers globally per partition) — the counter-only state record
+    survives the drain."""
+    from beam_spark.operators.cep import ALL_ROWS_PER_MATCH, vectorized
+
+    cfg = dict(
+        pattern=[("V", "+"), ("P", "1")],
+        defines={"V": vectorized(lambda pdf: pdf["typ"] == "view"),
+                 "P": vectorized(lambda pdf: pdf["typ"] == "purchase")},
+        measures={},
+        schema="u long, v long",
+        rows_per_match=ALL_ROWS_PER_MATCH)
+    s, b = _stream_vs_batch(spark, _drain_then_match_batches(), **cfg)
+    assert s == b
+    nums = sorted({r[-1] for r in b})
+    assert nums == [1, 2]          # second match really numbered 2
+
+
+def test_streaming_drain_ttl_expires_counter(spark):
+    """drain_state_ttl: after the counter record expires for an idle
+    key, numbering restarts — the documented tradeoff for unbounded
+    key cardinality."""
+    from beam_spark.operators.cep import ALL_ROWS_PER_MATCH, vectorized
+    from beam_spark.streaming import (TestStream, WithWatermark,
+                                      WriteStreamToMemory)
+
+    ts = TestStream(spark, "t timestamp, u long, typ string, v long")
+    for b in _drain_then_match_batches():
+        ts.add_elements(b)
+    rows = (ts.stream() | WithWatermark("t", "10 seconds")
+            | MatchRecognize(
+                partition_by="u", order_by=["t"],
+                pattern=[("V", "+"), ("P", "1")],
+                defines={"V": vectorized(lambda pdf: pdf["typ"] == "view"),
+                         "P": vectorized(lambda pdf: pdf["typ"] == "purchase")},
+                measures={}, output_schema="u long, v long",
+                rows_per_match=ALL_ROWS_PER_MATCH,
+                drain_state_ttl="1 minute")
+            | WriteStreamToMemory(output_mode="append")).collect()
+    by_match = sorted({r["__match_number"] for r in rows})
+    # the 25-minute gap exceeds the 1-minute TTL: counter expired,
+    # second match numbered 1 again
+    assert by_match == [1]
+    assert len(rows) == 4
