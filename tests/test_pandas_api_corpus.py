@@ -17,7 +17,11 @@ variants (outer/right/multi-key/suffixes).
 
 Documented divergences (asserted in tests/test_pandas_api.py, not
 repeated here): Series.round() half-up vs half-even; pivot_table index
-must be a list.
+must be a list. Round-6 sweep additions live in DIVERGENT_RAISES /
+DIVERGENT_VALUES below (rank pct=, datetime+Timedelta, SeriesGroupBy
+.agg(list), merge how='cross', normalize() equality, rolling count
+min_periods) — each asserted so a pyspark upgrade closing a gap
+surfaces as a test failure here.
 """
 
 import numpy as np
@@ -210,7 +214,181 @@ CASES = [
         .drop_duplicates(["o_orderstatus", "o_orderpriority"]),
         on=["o_orderstatus", "o_orderpriority"], how="inner",
         suffixes=("", "_r"))[["o_orderkey", "o_orderkey_r"]]),
+    # ---- round-6 widening: indexing / selection ----
+    ("iloc_slice_sorted", lambda t: t["o"].sort_values("o_orderkey")
+     .iloc[:20][["o_orderkey", "o_totalprice"]]),
+    ("iloc_step_sorted", lambda t: t["o"].sort_values("o_orderkey")
+     .iloc[5:50:5][["o_orderkey"]]),
+    ("loc_boolean_mask", lambda t: t["o"].loc[
+        t["o"].o_totalprice > 250000, ["o_orderkey", "o_totalprice"]]),
+    ("loc_scalar_key", lambda t: t["o"].set_index("o_orderkey")
+     .loc[int(t["o"].o_orderkey.min())]["o_orderstatus"]),
+    ("ser_isin_sum", lambda t: int(
+        t["o"].o_orderstatus.isin(["O", "F"]).sum())),
+    ("ser_duplicated_sum", lambda t: int(
+        t["o"].o_orderstatus.duplicated().sum())),
+    ("frame_dropdup_len", lambda t: len(t["o"].drop_duplicates(
+        subset=["o_orderstatus", "o_orderpriority"]))),
+    ("ser_nlargest", lambda t: t["o"].o_orderkey.nlargest(10)),
+    ("ser_nsmallest", lambda t: t["o"].o_orderkey.nsmallest(10)),
+    ("sort_desc_multi", lambda t: t["o"].sort_values(
+        ["o_orderstatus", "o_totalprice", "o_orderkey"],
+        ascending=[True, False, True]).head(20)[
+            ["o_orderkey", "o_totalprice"]]),
+    ("frame_tail_sorted", lambda t: t["o"].sort_values("o_orderkey")
+     .tail(15)[["o_orderkey"]]),
+    ("frame_shape", lambda t: tuple(t["o"].shape)),
+    ("frame_columns", lambda t: list(t["o"].columns)),
+    # ---- missing data ----
+    ("ser_fillna_scalar", lambda t: t["c"].c_acctbal.fillna(0.0)),
+    ("frame_dropna_len", lambda t: len(t["o"].dropna())),
+    ("ser_ffill_sorted", lambda t: t["o"].sort_values("o_orderkey")
+     .set_index("o_orderkey").o_totalprice.ffill()),
+    ("ser_replace_scalar", lambda t: t["o"].o_orderstatus.replace(
+        "O", "OPEN")),
+    # ---- series / frame methods ----
+    ("frame_abs", lambda t: t["c"][["c_acctbal"]].abs()),
+    ("frame_clip", lambda t: t["o"][["o_totalprice"]].clip(10000, 90000)),
+    ("frame_rename_cols", lambda t: t["o"].rename(
+        columns={"o_totalprice": "price", "o_orderkey": "key"})[
+            ["key", "price"]]),
+    ("frame_assign", lambda t: t["o"].assign(
+        big=t["o"].o_totalprice > 100000)[["o_orderkey", "big"]]),
+    ("ser_astype_int", lambda t: t["o"].o_totalprice.astype("int64")),
+    ("ser_rank_dense", lambda t: t["o"].o_totalprice.rank(method="dense")),
+    ("ser_pct_change_sorted", lambda t: t["o"].sort_values("o_orderkey")
+     .set_index("o_orderkey").o_totalprice.pct_change()),
+    ("ser_shift_neg_sorted", lambda t: t["o"].sort_values("o_orderkey")
+     .set_index("o_orderkey").o_totalprice.shift(-1)),
+    ("ser_diff2_sorted", lambda t: t["o"].sort_values("o_orderkey")
+     .set_index("o_orderkey").o_totalprice.diff(2)),
+    ("frame_corr_matrix", lambda t: t["o"][
+        ["o_totalprice", "o_custkey", "o_orderkey"]].corr()),
+    ("ser_max_min_span", lambda t: float(
+        t["o"].o_totalprice.max() - t["o"].o_totalprice.min())),
+    ("ser_date_max", lambda t: t["o"].o_orderdate.max()),
+    ("ser_cumcount_via_rank", lambda t: t["o"].groupby("o_orderstatus")
+     .o_totalprice.rank(method="min")),
+    # ---- string accessor (widened) ----
+    ("str_upper", lambda t: t["c"].c_mktsegment.str.upper()),
+    ("str_contains_sum", lambda t: int(
+        t["c"].c_name.str.contains("00", regex=False).sum())),
+    ("str_contains_regex_sum", lambda t: int(
+        t["c"].c_name.str.contains("[0-9]{3}$", regex=True).sum())),
+    ("str_pad_left", lambda t: t["o"].o_orderstatus.str.pad(
+        5, side="left", fillchar="_")),
+    ("str_repeat", lambda t: t["o"].o_orderstatus.str.repeat(2)),
+    ("str_swapcase", lambda t: t["c"].c_mktsegment.str.swapcase()),
+    ("str_slice_neg", lambda t: t["c"].c_name.str.slice(-4)),
+    ("str_split_len", lambda t: t["c"].c_name.str.split("#").str.len()),
+    ("str_rfind", lambda t: t["c"].c_name.str.rfind("0")),
+    ("str_match_sum", lambda t: int(
+        t["c"].c_name.str.match("Customer#0*1").sum())),
+    # ---- datetime accessor (widened) ----
+    ("dt_days_in_month", lambda t: t["o"].o_orderdate.dt.days_in_month),
+    ("dt_is_quarter_start_sum", lambda t: int(
+        t["o"].o_orderdate.dt.is_quarter_start.sum())),
+    ("dt_is_year_start_sum", lambda t: int(
+        t["o"].o_orderdate.dt.is_year_start.sum())),
+    ("dt_weekofyear_vals", lambda t: t["o"].o_orderdate.dt.isocalendar()
+     .week.astype("int64")),
+    ("dt_strftime_full", lambda t: t["o"].o_orderdate.dt.strftime(
+        "%Y-%m-%d")),
+    # ---- groupby (widened) ----
+    ("gb_mean", lambda t: t["o"].groupby("o_orderstatus")
+     ["o_totalprice"].mean().reset_index()),
+    ("gb_count", lambda t: t["o"].groupby("o_orderpriority")
+     ["o_orderkey"].count().reset_index()),
+    ("gb_max_date", lambda t: t["o"].groupby("o_orderstatus")
+     ["o_orderdate"].max().reset_index()),
+    ("gb_multi_key_mean", lambda t: t["o"].groupby(
+        ["o_orderstatus", "o_orderpriority"])["o_totalprice"]
+     .mean().reset_index()),
+    ("gb_sem", lambda t: t["o"].groupby("o_orderstatus")
+     ["o_totalprice"].sem().reset_index()),
+    ("gb_filter_len", lambda t: len(t["o"].groupby("o_orderstatus")
+     .filter(lambda g: len(g) > 100))),
+    ("gb_transform_sum", lambda t: t["o"].groupby("o_orderstatus")
+     .o_totalprice.transform(lambda s: s.sum())),
+    ("gb_as_index_false", lambda t: t["o"].groupby(
+        "o_orderpriority", as_index=False)["o_totalprice"].sum()),
+    ("gb_series_value_counts", lambda t: t["o"].groupby(
+        "o_orderstatus")["o_orderpriority"].nunique().reset_index()),
+    # ---- window (widened) ----
+    ("rolling_min", lambda t: t["o"].sort_values("o_orderkey")
+     .set_index("o_orderkey").o_totalprice.rolling(4).min()),
+    ("rolling_max", lambda t: t["o"].sort_values("o_orderkey")
+     .set_index("o_orderkey").o_totalprice.rolling(4).max()),
+    ("rolling_std", lambda t: t["o"].sort_values("o_orderkey")
+     .set_index("o_orderkey").o_totalprice.rolling(6).std()),
+    ("rolling_minp", lambda t: t["o"].sort_values("o_orderkey")
+     .set_index("o_orderkey").o_totalprice.rolling(
+         5, min_periods=2).sum()),
+    ("expanding_mean", lambda t: t["o"].sort_values("o_orderkey")
+     .set_index("o_orderkey").o_totalprice.expanding().mean()),
+    ("expanding_max", lambda t: t["o"].sort_values("o_orderkey")
+     .set_index("o_orderkey").o_totalprice.expanding().max()),
+    ("expanding_count", lambda t: t["o"].sort_values("o_orderkey")
+     .set_index("o_orderkey").o_totalprice.expanding().count()),
+    # ---- reshape (widened) ----
+    ("pivot_table_sum", lambda t: t["o"].pivot_table(
+        values="o_totalprice", index=["o_orderstatus"],
+        columns="o_orderpriority", aggfunc="sum")),
+    ("melt_value_vars", lambda t: t["o"].melt(
+        id_vars=["o_orderkey"],
+        value_vars=["o_orderstatus", "o_orderpriority"])),
+    ("transpose_small", lambda t: t["o"].groupby("o_orderstatus")[
+        ["o_totalprice", "o_custkey"]].sum().T),
+    ("explode_split", lambda t: t["c"][["c_custkey", "c_name"]].assign(
+        parts=t["c"].c_name.str.split("#")).explode("parts")[
+            ["c_custkey", "parts"]]),
+    # ---- merge / join / concat (widened) ----
+    ("join_on_index", lambda t: t["c"].set_index("c_custkey")[
+        ["c_name"]].join(
+        t["o"].set_index("o_custkey")[["o_orderkey"]], how="inner")),
+    ("concat_rows", lambda t: _concat(
+        t, [t["o"][["o_orderkey"]], t["o"][["o_orderkey"]]])),
+    ("merge_left_on_index", lambda t: t["o"].merge(
+        t["c"].set_index("c_custkey")[["c_name"]],
+        left_on="o_custkey", right_index=True, how="left")[
+            ["o_orderkey", "c_name"]]),
 ]
+
+
+# pyspark.pandas divergences found by the sweep — documented, each
+# asserted below so a future pyspark closing the gap flips the test:
+#   ser_rank_pct:        Series.rank() has no pct= kwarg
+#   dt_plus_timedelta:   datetime + Timedelta unsupported (TypeError)
+#   gb_agg_list:         SeriesGroupBy.agg(["min",...]) not implemented
+#   merge_cross:         merge(how="cross") rejected
+#   dt_normalize_eq:     normalize()==orig compares False row-wise on
+#                        Spark timestamps where pandas yields True
+#   rolling_count:       rolling(n).count() defaults min_periods=0
+#                        (pandas emits NaN below the window width)
+DIVERGENT_RAISES = [
+    ("ser_rank_pct", lambda t: t["o"].o_orderkey.rank(pct=True)),
+    ("dt_plus_timedelta", lambda t: (
+        t["o"].o_orderdate + pd.Timedelta(days=30)).dt.month),
+    ("gb_agg_list", lambda t: t["o"].groupby("o_orderstatus")
+     ["o_totalprice"].agg(["min", "max", "count"]).reset_index()),
+    ("merge_cross", lambda t: t["o"][["o_orderstatus"]]
+     .drop_duplicates().merge(
+         t["o"][["o_orderpriority"]].drop_duplicates(), how="cross")),
+]
+
+DIVERGENT_VALUES = [
+    ("dt_normalize_eq", lambda t: int(
+        (t["o"].o_orderdate.dt.normalize() == t["o"].o_orderdate).sum())),
+    ("rolling_count", lambda t: t["o"].sort_values("o_orderkey")
+     .set_index("o_orderkey").o_totalprice.rolling(3).count()),
+]
+
+
+def _concat(t, frames):
+    if hasattr(frames[0], "to_pandas"):   # pandas-on-Spark
+        import pyspark.pandas as pp
+        return pp.concat(frames, ignore_index=True)
+    return pd.concat(frames, ignore_index=True)
 
 
 def _get_dummies(t):
@@ -241,7 +419,27 @@ def test_pandas_api_corpus(ns, name, fn):
     assert _close(got, want), f"{name}: pandas-on-Spark != pandas"
 
 
+@pytest.mark.parametrize("name,fn", DIVERGENT_RAISES,
+                         ids=[c[0] for c in DIVERGENT_RAISES])
+def test_divergent_ops_raise(ns, name, fn):
+    """These op spellings work on real pandas but RAISE on
+    pyspark.pandas — asserted so a pyspark upgrade closing the gap
+    surfaces here (then the case moves into CASES)."""
+    fn(ns["pd"])                                  # pandas accepts
+    with pytest.raises(Exception):
+        _canon(fn(ns["ps"]))                      # ps rejects
+
+
+@pytest.mark.parametrize("name,fn", DIVERGENT_VALUES,
+                         ids=[c[0] for c in DIVERGENT_VALUES])
+def test_divergent_ops_differ(ns, name, fn):
+    """These produce DIFFERENT values on pyspark.pandas (normalize
+    equality on Spark timestamps; rolling-count min_periods default) —
+    documented divergences, asserted as such."""
+    assert not _close(_canon(fn(ns["ps"])), _canon(fn(ns["pd"])))
+
+
 def test_corpus_size():
-    """The widened conformance sweep covers >= 50 additional op
-    families beyond tests/test_pandas_api.py."""
-    assert len(CASES) >= 50
+    """The round-6 widened conformance sweep covers >= 150 op families
+    beyond tests/test_pandas_api.py."""
+    assert len(CASES) + len(DIVERGENT_RAISES) + len(DIVERGENT_VALUES) >= 150
