@@ -91,6 +91,18 @@ _TPCH_AGG_MAP = [
     ("q19", "q19_or_predicate_join", "''", "revenue", None),
     ("q22", "q22_global_sales_opportunity", "CAST(c_nationkey AS STRING)",
      "numcust", "totacctbal"),
+    # round-6 analytics folds: rollup/cube/sets, multi-granularity time
+    # rollup and pivot/unpivot ride in the agg suite for driver-level
+    # hash evidence (each also has its own full component oracle)
+    ("rollup", "q_rollup_cube_suite",
+     "op || '|' || coalesce(l_returnflag, '-') || '|' || "
+     "coalesce(l_linestatus, '-') || '|' || CAST(grouping_id AS STRING)",
+     "n", "sum_qty"),
+    ("trollup", "q_time_rollup_events",
+     "event_type || '|' || granularity || '|' || "
+     "CAST(bucket_start AS STRING)", "n", "sum_value"),
+    ("pivot", "q_pivot_unpivot_suite", "op || '|' || k",
+     "coalesce(v_O, 0) + coalesce(v_F, 0) + coalesce(v_P, 0)", None),
 ]
 
 _TPCH_JOIN_MAP = [

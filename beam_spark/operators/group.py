@@ -312,3 +312,181 @@ class CombineValues(PTransform):
                 yield out
 
         return pcoll.with_df(pcoll.df.mapInPandas(gen, schema=schema))
+
+
+class GroupByRollup(PTransform):
+    """Multi-level aggregation in ONE pass: ``kind='rollup'`` computes
+    the hierarchy prefixes of the keys (a, b), (a), (); ``kind='cube'``
+    every key subset; ``kind='sets'`` explicit grouping sets (list of
+    key-name tuples, SQL GROUPING SETS). Spark plans all of these as a
+    single Expand + HashAggregate — one scan regardless of how many
+    levels, which is the whole point vs a UNION of groupBys re-reading
+    100 TB per level.
+
+    Beam parity: no built-in (Beam users union N GroupByKeys — N scans);
+    Calcite SQL on Beam supports ROLLUP, which this mirrors natively.
+
+    Output: the key columns (NULL for rolled-up levels), one
+    ``grouping_id`` BIGINT disambiguating a real NULL key from a
+    rolled-up level (bit i set = key i aggregated away), plus the
+    aggregates. ``aggs``: {out_name: SQL aggregate expression}.
+    """
+
+    def __init__(self, keys: Sequence[str], aggs: Mapping[str, str],
+                 kind: str = "rollup",
+                 sets: Sequence[Sequence[str]] | None = None, label=None):
+        super().__init__(label)
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        self.aggs = dict(aggs)
+        if kind not in ("rollup", "cube", "sets"):
+            raise ValueError(kind)
+        if (kind == "sets") != (sets is not None):
+            raise ValueError("sets= required iff kind='sets'")
+        self.kind = kind
+        self.sets = [tuple(s) for s in sets] if sets else None
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        df = pcoll.df
+        agg_cols = [F.expr(e).alias(name) for name, e in self.aggs.items()]
+        gid = F.grouping_id(*[F.col(k) for k in self.keys])
+        if self.kind == "rollup":
+            g = df.rollup(*self.keys)
+        elif self.kind == "cube":
+            g = df.cube(*self.keys)
+        else:
+            # GROUPING SETS has no DataFrame API: go through SQL on a
+            # temp view — still one Expand+HashAggregate plan
+            view = f"__gsets_{abs(hash(tuple(self.sets))) % 99999}"
+            df.createOrReplaceTempView(view)
+            sets_sql = ", ".join(
+                "(" + ", ".join(s) + ")" for s in self.sets)
+            cols = ", ".join(self.keys)
+            aggs_sql = ", ".join(f"{e} AS {n}"
+                                 for n, e in self.aggs.items())
+            out = df.sparkSession.sql(
+                f"SELECT {cols}, CAST(grouping_id({cols}) AS BIGINT) "
+                f"AS grouping_id, {aggs_sql} FROM {view} "
+                f"GROUP BY GROUPING SETS ({sets_sql})")
+            return pcoll.with_df(out)
+        out = g.agg(gid.cast("bigint").alias("grouping_id"), *agg_cols)
+        return pcoll.with_df(
+            out.select(*self.keys, "grouping_id",
+                       *[F.col(n) for n in self.aggs]))
+
+
+class TimeRollup(PTransform):
+    """Hypertable-style multi-granularity time rollup: aggregate the
+    SAME scan into hour/day/week/month/... buckets at once via grouping
+    sets over derived epoch buckets — the continuous-aggregate
+    maintenance query of a timeseries store, one Expand+HashAggregate
+    instead of one scan per granularity.
+
+    Buckets are integer epoch-second floors (``floor(unix_time /
+    width) * width``) — engine- and timezone-independent (calendar
+    months use date_trunc semantics via 30.4375-day widths ONLY if
+    requested as '30d'-style fixed widths; true calendar granularities
+    are fixed widths here, documented).
+
+    Output: one row per (granularity, bucket_start, extra keys...) with
+    the aggregates; ``granularity`` is the label string.
+
+    ``grains``: {label: width_seconds}, e.g. {"hour": 3600,
+    "day": 86400}. ``aggs``: {out_name: SQL aggregate expr}.
+    """
+
+    def __init__(self, ts_col: str, grains: Mapping[str, int],
+                 aggs: Mapping[str, str], keys: Sequence[str] = (),
+                 label=None):
+        super().__init__(label)
+        self.ts_col = ts_col
+        self.grains = dict(grains)
+        self.aggs = dict(aggs)
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        df = pcoll.df
+        epoch = F.unix_timestamp(F.col(self.ts_col))
+        bucket_cols = []
+        for label, width in self.grains.items():
+            w = int(width)
+            bucket_cols.append(
+                (F.floor(epoch / w) * w).cast("bigint")
+                .alias(f"__b_{label}"))
+        base = df.select(*self.keys, *bucket_cols,
+                         *[F.col(c) for c in df.columns
+                           if c not in self.keys])
+        labels = list(self.grains)
+        # one grouping set per granularity: (keys..., bucket_label)
+        view = f"__trollup_{abs(hash(tuple(labels))) % 99999}"
+        base.createOrReplaceTempView(view)
+        keys_sql = "".join(f"{k}, " for k in self.keys)
+        sets_sql = ", ".join(
+            "(" + "".join(f"{k}, " for k in self.keys)
+            + f"__b_{lab})" for lab in labels)
+        # label decode: exactly one bucket column is non-grouped-away
+        label_case = "CASE " + " ".join(
+            f"WHEN grouping(__b_{lab}) = 0 THEN '{lab}'"
+            for lab in labels) + " END"
+        bucket_case = "CASE " + " ".join(
+            f"WHEN grouping(__b_{lab}) = 0 THEN __b_{lab}"
+            for lab in labels) + " END"
+        aggs_sql = ", ".join(f"{e} AS {n}" for n, e in self.aggs.items())
+        out = df.sparkSession.sql(
+            f"SELECT {keys_sql}{label_case} AS granularity, "
+            f"CAST({bucket_case} AS BIGINT) AS bucket_start, "
+            f"{aggs_sql} FROM {view} GROUP BY GROUPING SETS ({sets_sql})")
+        return pcoll.with_df(out)
+
+
+class Pivot(PTransform):
+    """Wide-format pivot: ``groupBy(keys).pivot(col, values).agg(expr)``.
+
+    ``values`` is REQUIRED — the scale-safe form: without it Spark runs
+    an extra distinct-values job over the whole input and the output
+    schema becomes data-dependent (unbounded column explosion on a
+    high-cardinality pivot column). Explicit values keep the plan one
+    HashAggregate with len(values) conditional aggregates.
+
+    Output columns: keys + one ``{prefix}{value}`` per pivot value.
+    """
+
+    def __init__(self, keys: Sequence[str], pivot_col: str,
+                 values: Sequence, agg: str, out_prefix: str = "",
+                 label=None):
+        super().__init__(label)
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        self.pivot_col, self.values = pivot_col, list(values)
+        self.agg, self.out_prefix = agg, out_prefix
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        out = (pcoll.df.groupBy(*self.keys)
+               .pivot(self.pivot_col, self.values)
+               .agg(F.expr(self.agg)))
+        if self.out_prefix:
+            for v in self.values:
+                out = out.withColumnRenamed(
+                    str(v), f"{self.out_prefix}{v}")
+        return pcoll.with_df(out)
+
+
+class Unpivot(PTransform):
+    """Long-format melt (Spark-native ``DataFrame.unpivot`` — one
+    Expand projection, zero shuffle): id columns stay, ``value_cols``
+    become (var_col, value_col) rows. NULL cells are kept by default
+    (pass drop_nulls=True to filter them, e.g. after a sparse Pivot)."""
+
+    def __init__(self, ids: Sequence[str], value_cols: Sequence[str],
+                 var_col: str = "name", value_col: str = "value",
+                 drop_nulls: bool = False, label=None):
+        super().__init__(label)
+        self.ids = [ids] if isinstance(ids, str) else list(ids)
+        self.value_cols = list(value_cols)
+        self.var_col, self.value_col = var_col, value_col
+        self.drop_nulls = drop_nulls
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        out = pcoll.df.unpivot(self.ids, self.value_cols,
+                               self.var_col, self.value_col)
+        if self.drop_nulls:
+            out = out.where(F.col(self.value_col).isNotNull())
+        return pcoll.with_df(out)

@@ -433,6 +433,120 @@ def q_cogroup(spark, sf_dir):
 _EVENT_VAL = dec("value", 18, 6)
 
 
+@query("q_pivot_unpivot_suite", f"""
+SELECT 'pivot' AS op, o_orderpriority AS k,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                THEN {dec('o_totalprice', 18, 2)} END) AS DOUBLE) AS v_O,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                THEN {dec('o_totalprice', 18, 2)} END) AS DOUBLE) AS v_F,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                THEN {dec('o_totalprice', 18, 2)} END) AS DOUBLE) AS v_P
+FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT 'roundtrip' AS op, o_orderpriority AS k,
+       CAST(NULL AS DOUBLE) AS v_O, CAST(NULL AS DOUBLE) AS v_F,
+       {dsum(dec('o_totalprice', 18, 2), 'v_P')}
+FROM orders WHERE o_orderstatus = 'O' GROUP BY o_orderpriority
+""")
+def q_pivot_unpivot_suite(spark, sf_dir):
+    """Pivot (explicit values — no distinct-values pre-job, one
+    HashAggregate of conditional aggs) + Unpivot (Spark-native melt,
+    one Expand projection). The roundtrip rows unpivot the pivot back
+    to long form and must equal a plain GROUP BY — value-verifying
+    both directions."""
+    from beam_spark.operators.group import Pivot, Unpivot
+
+    od = table(spark, sf_dir, "orders")
+    agg = f"CAST(SUM({dec('o_totalprice', 18, 2)}) AS DOUBLE)"
+    piv = (od | Pivot(["o_orderpriority"], "o_orderstatus",
+                      ["O", "F", "P"], agg, out_prefix="v_"))
+    wide = piv.df.selectExpr("'pivot' AS op", "o_orderpriority AS k",
+                             "v_O", "v_F", "v_P")
+    back = (piv | Unpivot(["o_orderpriority"], ["v_O", "v_F", "v_P"],
+                          var_col="status", value_col="v",
+                          drop_nulls=True)).df
+    rt = (back.where("status = 'v_O'")
+          .selectExpr("'roundtrip' AS op", "o_orderpriority AS k",
+                      "CAST(NULL AS DOUBLE) AS v_O",
+                      "CAST(NULL AS DOUBLE) AS v_F", "v AS v_P"))
+    return wide.unionByName(rt)
+
+
+_GID = "CAST(2 * grouping(l_returnflag) + grouping(l_linestatus) AS BIGINT)"
+
+
+@query("q_rollup_cube_suite", f"""
+SELECT 'rollup' AS op, l_returnflag, l_linestatus,
+       {_GID} AS grouping_id, count(*) AS n,
+       {dsum(dec('l_quantity'), 'sum_qty')}
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'cube' AS op, l_returnflag, l_linestatus,
+       {_GID} AS grouping_id, count(*) AS n,
+       {dsum(dec('l_quantity'), 'sum_qty')}
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'sets' AS op, l_returnflag, l_linestatus,
+       {_GID} AS grouping_id, count(*) AS n,
+       {dsum(dec('l_quantity'), 'sum_qty')}
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+""")
+def q_rollup_cube_suite(spark, sf_dir):
+    """Multi-level aggregation in one pass: ROLLUP hierarchy prefixes,
+    CUBE all key subsets, explicit GROUPING SETS — each plans as a
+    single Expand+HashAggregate (ONE scan for every level; Beam users
+    union N GroupByKeys = N scans of the fact table). grouping_id
+    disambiguates rolled-up levels from real NULL keys; composed as
+    2*grouping(a)+grouping(b) so both engines agree bit-for-bit."""
+    from beam_spark.operators.group import GroupByRollup
+
+    li = table(spark, sf_dir, "lineitem")
+    aggs = {"n": "count(*)",
+            "sum_qty": f"CAST(SUM({dec('l_quantity')}) AS DOUBLE)"}
+    keys = ["l_returnflag", "l_linestatus"]
+    parts = [
+        (li | GroupByRollup(keys, aggs, kind="rollup")).df
+        .selectExpr("'rollup' AS op", "*"),
+        (li | GroupByRollup(keys, aggs, kind="cube")).df
+        .selectExpr("'cube' AS op", "*"),
+        (li | GroupByRollup(keys, aggs, kind="sets",
+                            sets=[("l_returnflag",), ("l_linestatus",)])).df
+        .selectExpr("'sets' AS op", "*"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query("q_time_rollup_events", f"""
+SELECT event_type, 'hour' AS granularity,
+       CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_start,
+       count(*) AS n, {dsum(dec('value', 18, 6), 'sum_value')}
+FROM events GROUP BY event_type, bucket_start
+UNION ALL
+SELECT event_type, 'day' AS granularity,
+       CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket_start,
+       count(*) AS n, {dsum(dec('value', 18, 6), 'sum_value')}
+FROM events GROUP BY event_type, bucket_start
+""")
+def q_time_rollup_events(spark, sf_dir):
+    """Hypertable-style multi-granularity rollup: hour AND day buckets
+    from ONE scan via grouping sets over integer epoch buckets
+    (timezone-independent — no calendar rendering crosses the engine
+    boundary). The continuous-aggregate maintenance query of a
+    timeseries store."""
+    from beam_spark.operators.group import TimeRollup
+
+    return (table(spark, sf_dir, "events")
+            | TimeRollup("ts", {"hour": 3600, "day": 86400},
+                         {"n": "count(*)",
+                          "sum_value":
+                          f"CAST(SUM({dec('value', 18, 6)}) AS DOUBLE)"},
+                         keys=["event_type"])).df
+
+
 @query("q_window_fixed_hourly", f"""
 SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
        event_type, COUNT(*) AS n, {dsum(_EVENT_VAL, 'total')}

@@ -255,6 +255,21 @@ class WriteBucketedTable(PTransform):
         self.n_buckets, self.mode = n_buckets, mode
 
     def expand(self, pcoll: PCollection) -> PCollection:
+        spark = pcoll.df.sparkSession
+        if self.mode == "overwrite":
+            # a fresh session's catalog doesn't know a previous
+            # session's managed table, but its warehouse LOCATION
+            # survives and saveAsTable refuses to reuse it — drop the
+            # catalog entry and clear an orphaned local location
+            spark.sql(f"DROP TABLE IF EXISTS {self.table_name}")
+            wh = spark.conf.get("spark.sql.warehouse.dir", "")
+            if wh.startswith("file:"):
+                import shutil
+                from urllib.parse import urlparse
+
+                loc = os.path.join(urlparse(wh).path,
+                                   self.table_name.split(".")[-1].lower())
+                shutil.rmtree(loc, ignore_errors=True)
         w = (pcoll.df.write.mode(self.mode)
              .bucketBy(self.n_buckets, *self.bucket_cols))
         if self.sort_cols:

@@ -290,6 +290,12 @@ def _register_curation():
                              "CheckConstraints"),
         "ChunkText": ("beam_spark.ml.chunking", "ChunkText"),
         "PackSequences": ("beam_spark.ml.chunking", "PackSequences"),
+        "CurriculumBuckets": ("beam_spark.operators.quality",
+                              "CurriculumBuckets"),
+        "FlagOutliers": ("beam_spark.operators.quality", "FlagOutliers"),
+        "LineDedup": ("beam_spark.operators.dedupe", "LineDedup"),
+        "GroupByRollup": ("beam_spark.operators.group", "GroupByRollup"),
+        "TimeRollup": ("beam_spark.operators.group", "TimeRollup"),
     }
 
     def make(mod_name, cls_name):

@@ -134,6 +134,32 @@ def run_suite(spark, sf_dir):
     qs = emb.df.filter("vec_id < 10")
     res["ann_lsh"] = timed("  lsh ann top-5 (10 queries)", lambda: (
         (emb | LshCosineTopK(qs, k=5, n_planes=6)).df.count()))
+
+    # round-6 families
+    from beam_spark.operators.quality import (CurriculumBuckets,
+                                              ProfileColumns)
+    from beam_spark.operators.retrieval import PositionalPhraseMatch
+
+    evp = PCollection(ev)
+    res["curriculum"] = timed("  curriculum buckets (events)", lambda: (
+        (evp | CurriculumBuckets("value", id_col="event_id",
+                                 n_buckets=10)).df.count()))
+    res["profile"] = timed("  profile columns (orders, approx)", lambda: (
+        (PCollection(od) | ProfileColumns(
+            ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+             "o_orderpriority"])).df.count()))
+    phrases = docs.df.limit(5).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(F.split(F.lower(F.trim("text")),
+                                         r"\s+"), 1, 3)).alias("phrase"))
+    res["phrase_pos"] = timed("  positional phrase match (5 q)", lambda: (
+        (docs | PositionalPhraseMatch(phrases)).df.count()))
+    bq = docs.df.limit(5).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(F.split(F.lower(F.trim("text")),
+                                         r"\s+"), 1, 4)).alias("text"))
+    res["bm25_phrase"] = timed("  bm25 phrase mode (5 q)", lambda: (
+        (docs | Bm25TopK(bq, k=10, mode="phrase")).df.count()))
     return res
 
 

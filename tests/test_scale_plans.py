@@ -275,3 +275,27 @@ def test_profile_columns_default_avoids_expand(spark, sf_dir):
              | ProfileColumns(cols, approx_distinct=False)).df
     plan = exact._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan  # the documented cost of exactness
+
+
+def test_rollup_and_time_rollup_are_single_scan(spark, sf_dir):
+    """GroupByRollup/TimeRollup plan as ONE scan + Expand +
+    HashAggregate — N aggregation levels never re-read the fact table
+    (the UNION-of-groupBys alternative scans once per level)."""
+    from beam_spark.operators.group import GroupByRollup, TimeRollup
+    from beam_spark.pcollection import PCollection
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = (PCollection(li) | GroupByRollup(
+        ["l_returnflag", "l_linestatus"], {"n": "count(*)"},
+        kind="cube")).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tr = (PCollection(ev) | TimeRollup(
+        "ts", {"hour": 3600, "day": 86400}, {"n": "count(*)"},
+        keys=["event_type"])).df
+    plan = tr._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1

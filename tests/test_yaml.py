@@ -205,3 +205,60 @@ pipeline:
 """, spark)
     rows = out.df.select("doc_id", "n_bpe_tokens").limit(5).collect()
     assert all(r["n_bpe_tokens"] > 0 for r in rows)
+
+
+def test_yaml_curriculum_and_outliers(spark, sf_dir):
+    """Round-6 YAML additions: FlagOutliers + CurriculumBuckets drive
+    declaratively (the quantile-boundary default plan)."""
+    from beam_spark.yaml_pipeline import run_yaml
+
+    out = run_yaml(f"""
+pipeline:
+  transforms:
+    - type: ReadFromParquet
+      path: {sf_dir}/events.parquet
+    - type: FlagOutliers
+      columns: value
+    - type: CurriculumBuckets
+      score_col: value
+      id_col: event_id
+      n_buckets: 4
+""", spark)
+    rows = out.df.select("event_id", "value_outlier", "bucket").collect()
+    assert {r["bucket"] for r in rows} == {1, 2, 3, 4}
+    assert all(r["value_outlier"] in (0, 1) for r in rows)
+
+
+def test_yaml_line_dedup(spark, sf_dir):
+    from beam_spark.yaml_pipeline import run_yaml
+
+    out = run_yaml(f"""
+pipeline:
+  transforms:
+    - type: ReadFromParquet
+      path: {sf_dir}/documents.parquet
+    - type: LineDedup
+""", spark)
+    cols = set(out.df.columns)
+    assert {"text", "n_kept", "n_dropped"} <= cols
+    assert out.df.count() > 0
+
+
+def test_yaml_rollup(spark, sf_dir):
+    from beam_spark.yaml_pipeline import run_yaml
+
+    out = run_yaml(f"""
+pipeline:
+  transforms:
+    - type: ReadFromParquet
+      path: {sf_dir}/lineitem.parquet
+    - type: GroupByRollup
+      keys: [l_returnflag, l_linestatus]
+      aggs: {{n: "count(*)"}}
+""", spark)
+    rows = out.df.collect()
+    gids = {r["grouping_id"] for r in rows}
+    assert gids == {0, 1, 3}          # rollup levels
+    total = [r["n"] for r in rows if r["grouping_id"] == 3]
+    assert total and total[0] == sum(
+        r["n"] for r in rows if r["grouping_id"] == 0)
