@@ -240,18 +240,28 @@ class PositionalPhraseMatch(PTransform):
     presence (>= 1) agrees exactly — asserted in pytest.
 
     Scale: shuffles are keyed on term (posting-list fan-in) then on
-    (query, doc, start); a stop-word-ish phrase term costs its posting
-    list — the classic rarest-term-first optimization is the next step
-    if that bites."""
+    (query, doc, start). ``anchor='all'`` joins EVERY phrase term's
+    posting list — a stop-word phrase term costs its whole list.
+    ``anchor='rarest'`` first measures per-term document frequency
+    (restricted to the phrase terms — a broadcast-bounded frame), joins
+    only the RAREST term's postings to generate candidate starts, then
+    verifies the other offsets with one keyed (term, doc, pos)
+    equijoin: the classic rarest-term-first inverted-index plan, so a
+    stop word in the phrase no longer drags its posting list through
+    the candidate stage."""
 
     def __init__(self, queries: DataFrame | PCollection,
                  text_col: str = "text", id_col: str = "doc_id",
                  query_id_col: str = "query_id",
-                 phrase_col: str = "phrase", label=None):
+                 phrase_col: str = "phrase", anchor: str = "all",
+                 label=None):
         super().__init__(label)
         self.queries = queries.df if isinstance(queries, PCollection) else queries
         self.text_col, self.id_col = text_col, id_col
         self.query_id_col, self.phrase_col = query_id_col, phrase_col
+        if anchor not in ("all", "rarest"):
+            raise ValueError(anchor)
+        self.anchor = anchor
 
     def expand(self, pcoll: PCollection) -> PCollection:
         idc = self.id_col
@@ -263,6 +273,8 @@ class PositionalPhraseMatch(PTransform):
                       tokens(self.phrase_col).alias("__p"))
               .select("query_id", F.size("__p").alias("plen"),
                       F.posexplode("__p").alias("off", "term")))
+        if self.anchor == "rarest":
+            return pcoll.with_df(self._rarest(post, qt, idc))
         starts = (post.join(qt, on="term")
                   .select("query_id", idc, "plen",
                           (F.col("pos") - F.col("off")).alias("start"),
@@ -277,3 +289,36 @@ class PositionalPhraseMatch(PTransform):
                .groupBy("query_id", idc)
                .agg(F.count(F.lit(1)).alias("n_occurrences")))
         return pcoll.with_df(occ)
+
+    def _rarest(self, post, qt, idc):
+        # 1. document frequency of the PHRASE terms only (broadcast-
+        #    bounded: at most |distinct query terms| rows)
+        qdist = qt.select("term").distinct()
+        dfreq = (post.join(F.broadcast(qdist), on="term")
+                 .groupBy("term").agg(F.count(F.lit(1)).alias("__df")))
+        # 2. per query: the offset of its rarest term (ties: lowest
+        #    offset). A term absent from the corpus gets df=0 — it wins
+        #    and correctly yields zero candidates.
+        anch = (qt.join(F.broadcast(dfreq), on="term", how="left")
+                .fillna({"__df": 0})
+                .groupBy("query_id", "plen")
+                .agg(F.min_by(F.struct("off", "term"),
+                              F.struct("__df", "off")).alias("__a"))
+                .select("query_id", "plen", F.col("__a.off").alias("off"),
+                        F.col("__a.term").alias("term")))
+        # 3. candidate starts from ONLY the rarest term's posting list
+        cand = (post.join(F.broadcast(anch), on="term")
+                .select("query_id", idc, "plen",
+                        (F.col("pos") - F.col("off")).alias("start")))
+        # 4. verify every other offset with one keyed equijoin on
+        #    (term, doc, pos) — candidates x plen probe rows
+        need = qt.select("query_id", "off", "term")
+        probes = (cand.join(F.broadcast(need), on="query_id")
+                  .withColumn("pos", F.col("start") + F.col("off")))
+        occ = (probes.join(post, on=["term", idc, "pos"], how="inner")
+               .groupBy("query_id", idc, "plen", "start")
+               .agg(F.count_distinct("off").alias("__hit"))
+               .filter(F.col("__hit") == F.col("plen"))
+               .groupBy("query_id", idc)
+               .agg(F.count(F.lit(1)).alias("n_occurrences")))
+        return occ

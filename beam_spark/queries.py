@@ -2162,6 +2162,26 @@ def q_phrase_positional(spark, sf_dir):
     return (PCollection(docs) | PositionalPhraseMatch(phrases)).df
 
 
+@query("q_retrieval_phrase_rarest",
+       _REGISTRY["q_retrieval_phrase_positional"][1])
+def q_phrase_rarest(spark, sf_dir):
+    """PositionalPhraseMatch with the rarest-term-first plan: candidate
+    starts come from ONLY the lowest-df phrase term's posting list
+    (document frequencies of the phrase terms ride in a broadcast
+    frame), other offsets verified by one keyed (term, doc, pos)
+    equijoin. Same oracle as the all-terms plan — the optimizations
+    must be invisible in the result."""
+    from beam_spark.operators.retrieval import PositionalPhraseMatch
+
+    docs = table(spark, sf_dir, "documents").df
+    phrases = docs.filter("doc_id < 3").select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(F.split(F.lower(F.trim("text")), r"\s+"),
+                                 1, 2)).alias("phrase"))
+    return (PCollection(docs)
+            | PositionalPhraseMatch(phrases, anchor="rarest")).df
+
+
 @query("q_ml_bpe_tokenize", None)
 def q_bpe_tokenize(spark, sf_dir):
     """Real BPE tokenization: merges trained on the corpus's own

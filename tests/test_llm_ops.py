@@ -865,3 +865,34 @@ def test_phrase_positional_agrees_with_scan_and_bm25_modes(spark):
     assert (0, 2) not in ph_docs      # not contiguous
     assert ph_docs <= and_docs        # phrase is a refinement of AND
     assert (0, 0) in ph_docs and (0, 1) in ph_docs
+
+
+def test_phrase_rarest_anchor_equals_all_terms(spark):
+    """anchor='rarest' must produce IDENTICAL results to the all-terms
+    plan, including overlapping counts, repeated-term phrases and a
+    phrase term absent from the corpus (zero candidates)."""
+    from beam_spark.operators.retrieval import PositionalPhraseMatch
+    from beam_spark.pcollection import PCollection
+
+    docs = spark.createDataFrame([
+        (0, "the the fox the the fox the"),
+        (1, "rare fox stop the stop the fox"),
+        (2, "the stop the stop the"),
+    ], "doc_id long, text string")
+    qs = spark.createDataFrame([
+        (0, "the the"),                 # repeated term, overlapping
+        (1, "stop the"),                # common terms
+        (2, "fox missingword"),         # term absent from corpus
+        (3, "rare fox"),                # rare anchor
+    ], "query_id long, phrase string")
+
+    a = (PCollection(docs) | PositionalPhraseMatch(qs)).df
+    r = (PCollection(docs)
+         | PositionalPhraseMatch(qs, anchor="rarest")).df
+    ra = sorted(map(tuple, a.collect()))
+    rr = sorted(map(tuple, r.collect()))
+    assert ra == rr
+    got = {(q_, d): n for q_, d, n in ra}
+    assert got[(0, 0)] == 2            # 'the the' at starts 0 and 3
+    assert (2, 0) not in got and (2, 1) not in got
+    assert got[(3, 1)] == 1
