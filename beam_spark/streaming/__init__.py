@@ -3,7 +3,8 @@ from beam_spark.streaming.trigger_algebra import (AfterAll, AfterAny,
     AfterCount, AfterEach, AfterProcessingTime, OrFinally, Repeatedly,
     Trigger)
 from beam_spark.streaming.state import StatefulDoFn, StatefulParDo, UserState
-from beam_spark.streaming.core import (Deduplicate, GroupIntoBatches,
+from beam_spark.streaming.core import (ContinuousAggregate, Deduplicate,
+                                       GroupIntoBatches,
                                        TriggeredCountPerKey,
                                        ReadFileStream, ReadFromSocket,
                                        ReadRateStream,
@@ -18,6 +19,7 @@ __all__ = [
     "TriggeredCountPerKey",
     "TestStream", "WithWatermark", "WriteStreamToMemory",
     "WriteStreamToFiles", "foreach_batch", "with_late_output",
+    "ContinuousAggregate",
     "StatefulDoFn", "StatefulParDo", "UserState", "AfterWatermarkEarlyCount",
     "Trigger", "AfterCount", "AfterProcessingTime", "Repeatedly",
     "AfterAny", "AfterAll", "AfterEach", "OrFinally",

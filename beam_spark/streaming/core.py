@@ -427,3 +427,97 @@ class TriggeredCountPerKey(PTransform):
                    outputMode="append",
                    timeoutConf=GroupStateTimeout.NoTimeout))
         return pcoll.with_df(out)
+
+
+class ContinuousAggregate(PTransform):
+    """Streaming maintenance of a multi-granularity TimeRollup table —
+    the continuous-aggregate pattern of a timeseries store: each
+    micro-batch computes its own rollup PARTIALS (mergeable aggregates
+    only) and merges them into a hive-partitioned parquet via dynamic
+    partition overwrite of exactly the touched buckets.
+
+    ``aggs``: {name: kind} with kind in {'count', 'sum:<col>',
+    'min:<col>', 'max:<col>'} — restricted to MERGEABLE aggregates by
+    construction (count/sum merge by +, min/max by min/max), so
+    batch-at-a-time maintenance is exact regardless of how rows split
+    across micro-batches. Means are a downstream sum/count division.
+
+    Scale: per batch the work is (batch rollup) + (read of the touched
+    partitions only — partition pruning on granularity/bucket_start) +
+    (dynamic overwrite of those partitions). State lives in the table,
+    not executor memory; a bucket's partition is rewritten only when
+    the batch touches it. Micro-batches run sequentially per query, so
+    read-merge-write is race-free.
+
+    Result table layout: ``path`` partitioned by (granularity,
+    bucket_start); read it back with ``spark.read.parquet(path)``.
+    """
+
+    def __init__(self, path: str, ts_col: str, grains, aggs,
+                 keys=(), checkpoint: str | None = None,
+                 available_now: bool = True, label=None):
+        super().__init__(label)
+        self.path, self.ts_col = path, ts_col
+        self.grains, self.keys = dict(grains), (
+            [keys] if isinstance(keys, str) else list(keys))
+        self.aggs = dict(aggs)
+        self.checkpoint = checkpoint or tempfile.mkdtemp(prefix="bs_ca_")
+        self.available_now = available_now
+        for name, kind in self.aggs.items():
+            k = kind.split(":")[0]
+            if k not in ("count", "sum", "min", "max"):
+                raise ValueError(
+                    f"{name}: {kind!r} is not a mergeable aggregate "
+                    "(count/sum/min/max only — derive means downstream)")
+
+    def _agg_exprs(self):
+        exprs = {}
+        for name, kind in self.aggs.items():
+            if kind == "count":
+                exprs[name] = "CAST(count(*) AS BIGINT)"
+            else:
+                k, col = kind.split(":", 1)
+                exprs[name] = f"{k}({col})"
+        return exprs
+
+    def _merge_exprs(self):
+        out = []
+        for name, kind in self.aggs.items():
+            k = kind.split(":")[0]
+            fn = {"count": "sum", "sum": "sum",
+                  "min": "min", "max": "max"}[k]
+            out.append(F.expr(f"{fn}({name})").alias(name))
+        return out
+
+    def expand(self, pcoll: PCollection):
+        import os
+
+        from beam_spark.operators.group import TimeRollup
+        from beam_spark.pcollection import PCollection as PC
+
+        path, keys = self.path, self.keys
+        ts_col, grains, exprs = self.ts_col, self.grains, self._agg_exprs()
+        merge_exprs = self._merge_exprs()
+        group_cols = [*keys, "granularity", "bucket_start"]
+
+        def upsert(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            spark = batch_df.sparkSession
+            part = (PC(batch_df)
+                    | TimeRollup(ts_col, grains, exprs, keys=keys)).df
+            if os.path.exists(path):
+                touched = [r["bucket_start"] for r in
+                           part.select("bucket_start").distinct().collect()]
+                existing = (spark.read.parquet(path)
+                            .filter(F.col("bucket_start").isin(touched)))
+                part = (part.unionByName(existing)
+                        .groupBy(*group_cols).agg(*merge_exprs))
+            (part.repartition("granularity", "bucket_start")
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("granularity", "bucket_start")
+             .parquet(path))
+
+        return foreach_batch(pcoll, upsert,
+                             available_now=self.available_now)

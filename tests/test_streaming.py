@@ -549,3 +549,52 @@ def test_streaming_curation_ops_compose(spark):
     assert set(got) == {1, 2, 3}
     assert got[1][0] == 1 and got[2][0] == 0 and got[3][0] == 1
     assert all(s in ("train", "val") for _, s in got.values())
+
+
+def test_continuous_aggregate_equals_batch_rollup(spark, tmp_path):
+    """ContinuousAggregate: micro-batch maintenance of the rollup table
+    must equal the one-shot batch TimeRollup over all rows, even when a
+    bucket's rows are SPLIT across micro-batches (the merge path)."""
+    from beam_spark.operators.group import TimeRollup
+    from beam_spark.pcollection import PCollection
+    from beam_spark.streaming import TestStream
+    from beam_spark.streaming.core import ContinuousAggregate
+
+    rows = [
+        # bucket hour 00: rows across BOTH batches (forces merge)
+        [{"t": "2024-01-01 00:10:00", "k": "a", "v": 1.0},
+         {"t": "2024-01-01 00:20:00", "k": "b", "v": 2.0}],
+        [{"t": "2024-01-01 00:40:00", "k": "a", "v": 4.0},
+         {"t": "2024-01-01 01:05:00", "k": "a", "v": 8.0},
+         {"t": "2024-01-02 03:00:00", "k": "b", "v": 16.0}],
+    ]
+    ts = TestStream(spark, "t timestamp, k string, v double")
+    for b in rows:
+        ts.add_elements(b)
+    out = str(tmp_path / "ca")
+    grains = {"hour": 3600, "day": 86400}
+    aggs = {"n": "count", "sum_v": "sum:v", "max_v": "max:v"}
+    (ts.stream() | ContinuousAggregate(out, "t", grains, aggs,
+                                       keys=["k"]))
+
+    import itertools
+
+    allrows = list(itertools.chain.from_iterable(rows))
+    df = spark.createDataFrame(
+        [(r["t"], r["k"], r["v"]) for r in allrows],
+        "t string, k string, v double").selectExpr(
+        "CAST(t AS TIMESTAMP) AS t", "k", "v")
+    want = (PCollection(df) | TimeRollup(
+        "t", grains,
+        {"n": "CAST(count(*) AS BIGINT)", "sum_v": "sum(v)",
+         "max_v": "max(v)"}, keys=["k"])).df
+    got = spark.read.parquet(out).select(*want.columns)
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w
+    # the split bucket really merged: hour-00 'a' has n=2 across batches
+    m = {(r["k"], r["granularity"], r["bucket_start"]): r["n"]
+         for r in got.collect()}
+    import calendar
+    h0 = calendar.timegm((2024, 1, 1, 0, 0, 0))
+    assert m[("a", "hour", h0)] == 2
