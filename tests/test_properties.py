@@ -473,3 +473,81 @@ def test_bm25_matches_python_model(spark, docs):
     assert set(got) == set(exp)
     for kpair, v in exp.items():
         assert math.isclose(got[kpair], v, abs_tol=2e-6), (kpair, got[kpair], v)
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_rollup_cube_vs_sequential_model(spark, rows):
+    """GroupByRollup vs a sequential python model: rollup emits exactly
+    the hierarchy-prefix levels, cube every subset, with per-level sums
+    equal to the model's."""
+    from beam_spark.operators.group import GroupByRollup
+    from beam_spark.pcollection import PCollection
+
+    df = spark.createDataFrame(
+        [(k, v % 2, v) for k, v in rows], "k string, p int, v long")
+
+    def model(levels):
+        out = {}
+        for k, p, v in [(k, v % 2, v) for k, v in rows]:
+            for keep_k, keep_p in levels:
+                key = (k if keep_k else None, p if keep_p else None,
+                       (0 if keep_k else 2) + (0 if keep_p else 1))
+                out[key] = out.get(key, 0) + v
+        return out
+
+    for kind, levels in [
+            ("rollup", [(True, True), (True, False), (False, False)]),
+            ("cube", [(True, True), (True, False), (False, True),
+                      (False, False)])]:
+        got = {(r["k"], r["p"], r["grouping_id"]): r["s"]
+               for r in (PCollection(df) | GroupByRollup(
+                   ["k", "p"], {"s": "sum(v)"}, kind=kind)).df.collect()}
+        assert got == model(levels), kind
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_pivot_unpivot_roundtrip_property(spark, rows):
+    """Pivot -> Unpivot(drop_nulls) recovers exactly the groupBy sums."""
+    from beam_spark.operators.group import Pivot, Unpivot
+    from beam_spark.pcollection import PCollection
+
+    df = spark.createDataFrame(rows, "k string, v long")
+    df2 = df.selectExpr("'g' AS g", "k", "v")
+    piv = (PCollection(df2)
+           | Pivot(["g"], "k", ["a", "b", "c"], "sum(v)", out_prefix="s_"))
+    back = (piv | Unpivot(["g"], ["s_a", "s_b", "s_c"],
+                          var_col="k", value_col="s",
+                          drop_nulls=True)).df
+    got = {r["k"][2:]: r["s"] for r in back.collect()}
+    want = defaultdict(int)
+    for k, v in rows:
+        want[k] += v
+    assert got == dict(want)
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 500_000),
+                               st.sampled_from(["x", "y"])),
+                     min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_time_rollup_vs_sequential_model(spark, rows):
+    """TimeRollup bucket assignment and counts vs a python model over
+    random epoch offsets (two granularities)."""
+    from beam_spark.operators.group import TimeRollup
+    from beam_spark.pcollection import PCollection
+
+    base = 1_700_000_000
+    df = spark.createDataFrame(
+        [(s, k) for s, k in rows], "off long, k string").selectExpr(
+        f"CAST(from_unixtime(off + {base}) AS TIMESTAMP) AS t", "k")
+    out = (PCollection(df) | TimeRollup(
+        "t", {"h": 3600, "d": 86400}, {"n": "count(*)"}, keys=["k"])).df
+    got = {(r["k"], r["granularity"], r["bucket_start"]): r["n"]
+           for r in out.collect()}
+    want = defaultdict(int)
+    for off, k in rows:
+        ts = off + base
+        want[(k, "h", ts // 3600 * 3600)] += 1
+        want[(k, "d", ts // 86400 * 86400)] += 1
+    assert got == dict(want)
