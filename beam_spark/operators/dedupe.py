@@ -830,6 +830,28 @@ class DedupAgainstCorpus(PTransform):
         inst.release()
 
     @classmethod
+    def append_to_index(cls, batch, path: str):
+        """Fold a (deduplicated) batch into an existing saved index so
+        the NEXT batch also dedups against it — the nightly-ingest
+        loop: dedup -> filter survivors -> append_to_index. Parameters
+        come from the saved meta; writes are parquet appends (no
+        rewrite of the existing index)."""
+        df = batch.df if isinstance(batch, PCollection) else batch
+        spark = df.sparkSession
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        idc = meta["id_col"]
+        inst = cls(df, text_col=meta["text_col"], id_col=idc,
+                   n=int(meta["n"]), bands=int(meta["bands"]),
+                   rows_per_band=int(meta["rows"]))
+        mh = MinHashLSH(text_col=meta["text_col"], id_col=idc,
+                        n=int(meta["n"]), bands=int(meta["bands"]),
+                        rows_per_band=int(meta["rows"]))
+        sh, band_df = inst._prep(df, mh, idc)
+        sh.write.mode("append").parquet(f"{path}/shingles")
+        band_df.write.mode("append").parquet(f"{path}/bands")
+        inst.release()
+
+    @classmethod
     def from_index(cls, index_path: str, threshold: float = 0.6,
                    materialize: bool = False, label=None, **kw):
         """Incremental dedup against an index written by

@@ -896,3 +896,36 @@ def test_phrase_rarest_anchor_equals_all_terms(spark):
     assert got[(0, 0)] == 2            # 'the the' at starts 0 and 3
     assert (2, 0) not in got and (2, 1) not in got
     assert got[(3, 1)] == 1
+
+
+def test_dedup_index_append_workflow(spark, tmp_path):
+    """The nightly-ingest loop: dedup batch1 vs index -> append its
+    survivors -> batch2's dup OF BATCH1 is now caught via the index
+    (dup_of_corpus), without ever re-shingling the original corpus."""
+    from beam_spark.operators.dedupe import DedupAgainstCorpus
+    from beam_spark.pcollection import PCollection
+
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta iota")],
+        "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    DedupAgainstCorpus.save_index(corpus, idx)
+
+    b1 = spark.createDataFrame(
+        [(10, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string")
+    out1 = (PCollection(b1)
+            | DedupAgainstCorpus.from_index(idx, materialize=True)).df
+    assert out1.collect()[0]["is_dup"] == 0
+    DedupAgainstCorpus.append_to_index(b1, idx)
+
+    b2 = spark.createDataFrame(
+        [(20, "one two three four five six seven eight nine ten"),
+         (21, "totally novel content unlike anything else before")],
+        "doc_id long, text string")
+    out2 = {r["doc_id"]: r for r in
+            (PCollection(b2)
+             | DedupAgainstCorpus.from_index(idx, materialize=True))
+            .df.collect()}
+    assert out2[20]["is_dup"] == 1 and out2[20]["dup_of_corpus"] == 10
+    assert out2[21]["is_dup"] == 0
