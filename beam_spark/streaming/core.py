@@ -490,8 +490,6 @@ class ContinuousAggregate(PTransform):
         return out
 
     def expand(self, pcoll: PCollection):
-        import os
-
         from beam_spark.operators.group import TimeRollup
         from beam_spark.pcollection import PCollection as PC
 
@@ -506,11 +504,17 @@ class ContinuousAggregate(PTransform):
             spark = batch_df.sparkSession
             part = (PC(batch_df)
                     | TimeRollup(ts_col, grains, exprs, keys=keys)).df
-            if os.path.exists(path):
+            try:
+                # filesystem-agnostic first-batch probe (os.path.exists
+                # would be wrong on hdfs://, s3a://, ...)
+                existing = spark.read.parquet(path)
+            except Exception:
+                existing = None
+            if existing is not None:
                 touched = [r["bucket_start"] for r in
                            part.select("bucket_start").distinct().collect()]
-                existing = (spark.read.parquet(path)
-                            .filter(F.col("bucket_start").isin(touched)))
+                existing = existing.filter(
+                    F.col("bucket_start").isin(touched))
                 part = (part.unionByName(existing)
                         .groupBy(*group_cols).agg(*merge_exprs))
             (part.repartition("granularity", "bucket_start")
