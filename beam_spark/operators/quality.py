@@ -368,10 +368,11 @@ class CurriculumBuckets(PTransform):
         bounds = (pcoll.df.select(s.alias("__s"))
                   .agg(F.expr(pfn.format(f=fracs)).alias("__cb")))
         out = pcoll.df.crossJoin(F.broadcast(bounds))
-        bucket = F.lit(1)
-        for i in range(1, n):
-            bucket = bucket + F.when(s > F.col("__cb")[i - 1], 1) \
-                               .otherwise(0)
+        # bucket = 1 + |cutoffs strictly below s| — one array filter,
+        # O(1) expression size however many buckets (a chain of n
+        # WHENs would blow the expression tree up at large n)
+        bucket = (F.lit(1)
+                  + F.size(F.filter(F.col("__cb"), lambda b: s > b)))
         bucket = F.when(F.col(self.score_col).isNull(),
                         F.lit(n)).otherwise(bucket)
         return pcoll.with_df(
