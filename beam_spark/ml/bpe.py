@@ -119,7 +119,12 @@ class BpeEncode(PTransform):
         ) + ", bpe_tokens array<string>, n_bpe_tokens int"
 
         def gen(batches):
+            # word->pieces cache, CAPPED: natural-language frequency is
+            # Zipfian so the head dominates hits, but a 100 TB corpus's
+            # long tail of junk tokens would grow an unbounded dict to
+            # executor OOM — clear on cap, the head re-enters quickly
             cache: dict = {}
+            cap = 1_000_000
 
             def enc(text):
                 # null text encodes to [] — str(None) would otherwise
@@ -132,6 +137,8 @@ class BpeEncode(PTransform):
                     got = cache.get(w)
                     if got is None:
                         got = encode_word(w, ranks)
+                        if len(cache) >= cap:
+                            cache.clear()
                         cache[w] = got
                     out.extend(got)
                 return out
