@@ -328,6 +328,12 @@ class ComputeAndApplyVocabulary(PTransform):
     serving time with ``VocabularyArtifact.load`` — train/serve skew-free
     because the mapping rides as a broadcast table, not a refit.
     Ranking is deterministic: (-count, token) order.
+
+    Scale: with ``top_k`` (recommended) the vocabulary is truncated by
+    a distributed TakeOrdered BEFORE dense ids are assigned, so the
+    partitionless numbering window only sees the bounded artifact.
+    ``top_k=None`` assigns ids to EVERY distinct token — a full-vocab
+    single-task sort, only sane for bounded vocabularies.
     """
 
     def __init__(self, text_col: str = "text", out_col: str = "token_ids",
@@ -344,10 +350,17 @@ class ComputeAndApplyVocabulary(PTransform):
                  .groupBy("token").agg(F.count("*").alias("cnt")))
         from pyspark.sql import Window
 
+        # TRUNCATE FIRST: orderBy().limit(k) is a distributed
+        # TakeOrdered, so the partitionless numbering window below only
+        # ever sees the bounded top-k artifact — never the full corpus
+        # vocabulary (billions of distinct tokens at web scale; the
+        # old filter-after-numbering shape pushed ALL of them through
+        # one task)
+        if self.top_k:
+            vocab = (vocab.orderBy(F.col("cnt").desc(), F.col("token"))
+                     .limit(self.top_k))
         w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
         vocab = vocab.withColumn("token_id", F.row_number().over(w) - 1)
-        if self.top_k:
-            vocab = vocab.filter(F.col("token_id") < self.top_k)
         return vocab.select("token", "token_id", "cnt")
 
     def expand(self, pcoll: PCollection) -> PCollection:
