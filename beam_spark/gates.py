@@ -101,8 +101,11 @@ _TPCH_AGG_MAP = [
     ("trollup", "q_time_rollup_events",
      "event_type || '|' || granularity || '|' || "
      "CAST(bucket_start AS STRING)", "n", "sum_value"),
+    # position-weighted (binary-exact weights) so a value swapped
+    # between pivot columns changes the hash — a plain sum would be
+    # blind to column transposition
     ("pivot", "q_pivot_unpivot_suite", "op || '|' || k",
-     "coalesce(v_O, 0) + coalesce(v_F, 0) + coalesce(v_P, 0)", None),
+     "coalesce(v_O, 0) + 2.5 * coalesce(v_F, 0)", "coalesce(v_P, 0)"),
 ]
 
 _TPCH_JOIN_MAP = [
@@ -596,72 +599,7 @@ FROM bits GROUP BY doc_id
 
 _SHINGLES = Q._SHINGLES
 
-# Composed oracle for the end-to-end LLM dataprep pipeline: each CTE
-# mirrors one verified stage (QualityScore filter -> ExactDedup keep set
-# -> MinHashLSH near-dup losers [exact-jaccard oracle. The REAL LSH
-# guarantee at 16 bands x 8 rows is probabilistic: measured planted
-# pairs sit at jaccard 0.90-0.99 (min 0.90 at sf0.01), where the
-# per-pair miss probability (1-s^8)^16 is ~1.2e-4 at s=0.90 — NOT
-# negligible over many pairs. The gate is exact anyway because the
-# permutations are seed-deterministic: the realized candidate set is a
-# pure function of the data, re-verified against the exact-jaccard
-# oracle at each SF. Fresh testdata with pairs near s=0.9 could
-# legitimately miss under a different seed — an LSH recall property,
-# not an engine bug] ->
-# ChunkText). The fake embedding is unit-norm by construction, so the
-# scalar probes are deterministic: dim=32, round(sq_norm, 4)=1.0.
-_PIPELINE_SQL = f"""
-WITH q AS (
-  SELECT doc_id, text,
-         len({_TOK}) AS n_tokens,
-         CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
-           / greatest(length(text), 1) AS punct_ratio,
-         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-           / greatest(length(text), 1) AS alpha_ratio
-  FROM documents),
-s AS (
-  SELECT doc_id, text FROM q
-  WHERE least(n_tokens / 100.0, 1.0) * 0.4
-        + (1 - least(punct_ratio * 5, 1.0)) * 0.3
-        + least(alpha_ratio * 1.25, 1.0) * 0.3 > 0.3),
-keep AS (
-  SELECT MIN(doc_id) AS doc_id
-  FROM (SELECT doc_id, md5(array_to_string({_TOK}, ' ')) AS m FROM s)
-  GROUP BY m),
-sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM s),
-losers AS (
-  SELECT DISTINCT b.doc_id AS doc_id
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
-    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        / (len(a.shingles) + len(b.shingles)
-           - len(list_intersect(a.shingles, b.shingles))) >= 0.6),
-clean AS (
-  SELECT s.doc_id, s.text FROM s
-  WHERE s.doc_id IN (SELECT doc_id FROM keep)
-    AND s.doc_id NOT IN (SELECT doc_id FROM losers)),
-t AS (SELECT doc_id, {_TOK} AS w FROM clean),
-c AS (SELECT doc_id,
-             unnest(list_transform(
-               range(0, greatest(CAST(ceil((len(w) - 64) / 56.0) AS BIGINT), 0) + 1),
-               k -> struct_pack(
-                 chunk_index := k,
-                 n_chunk_tokens := len(w[k*56+1 : k*56+64])))) AS ch
-      FROM t)
-SELECT doc_id,
-       doc_id || '#' || (ch.chunk_index) AS chunk_id,
-       ch.chunk_index AS chunk_index,
-       ch.n_chunk_tokens AS n_chunk_tokens,
-       CAST(32 AS INTEGER) AS embedding_dim,
-       CAST(1.0 AS DOUBLE) AS embedding_sq_norm
-FROM c WHERE ch.n_chunk_tokens > 0
-"""
-
-# register the composed oracle on the component registration too, so
-# the registry's audit trail shows the pipeline as oracled (the gate
-# entry below is what the driver actually hash-checks)
-Q._REGISTRY["q_pipeline_llm_dataprep"] = (
-    Q._REGISTRY["q_pipeline_llm_dataprep"][0], _PIPELINE_SQL)
+_PIPELINE_SQL = Q._PIPELINE_SQL
 
 
 def q_ann_exhaustive_suite(spark, sf_dir):

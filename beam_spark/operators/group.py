@@ -355,8 +355,12 @@ class GroupByRollup(PTransform):
             g = df.cube(*self.keys)
         else:
             # GROUPING SETS has no DataFrame API: go through SQL on a
-            # temp view — still one Expand+HashAggregate plan
-            view = f"__gsets_{abs(hash(tuple(self.sets))) % 99999}"
+            # temp view — still one Expand+HashAggregate plan. Unique
+            # per expansion: a content-hashed name would collide (and
+            # race) across concurrent transforms with equal key sets
+            import uuid
+
+            view = f"__gsets_{uuid.uuid4().hex[:12]}"
             df.createOrReplaceTempView(view)
             sets_sql = ", ".join(
                 "(" + ", ".join(s) + ")" for s in self.sets)
@@ -416,8 +420,11 @@ class TimeRollup(PTransform):
                          *[F.col(c) for c in df.columns
                            if c not in self.keys])
         labels = list(self.grains)
-        # one grouping set per granularity: (keys..., bucket_label)
-        view = f"__trollup_{abs(hash(tuple(labels))) % 99999}"
+        # one grouping set per granularity: (keys..., bucket_label);
+        # view name unique per expansion (see GroupByRollup note)
+        import uuid
+
+        view = f"__trollup_{uuid.uuid4().hex[:12]}"
         base.createOrReplaceTempView(view)
         keys_sql = "".join(f"{k}, " for k in self.keys)
         sets_sql = ", ".join(

@@ -367,6 +367,12 @@ class SemDeDup(PTransform):
                     .withColumn("nrm", norm(F.col("vec"))))
 
         if self.max_cluster_rows is not None:
+            # the guard is an EAGER aggregation; persist the assignment
+            # so the guard scan, and the pair join that follows, reuse
+            # one computation of the K-way dot-product argmax instead of
+            # re-running it per consumer (session-lifetime cache, the
+            # MinHashLSH posture)
+            assigned = assigned.persist()
             hot = (assigned.groupBy("cluster_id")
                    .agg(F.count(F.lit(1)).alias("n"))
                    .agg(F.max("n"), F.sum("n")).collect()[0])

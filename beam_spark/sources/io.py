@@ -267,8 +267,16 @@ class WriteBucketedTable(PTransform):
                 import shutil
                 from urllib.parse import urlparse
 
-                loc = os.path.join(urlparse(wh).path,
-                                   self.table_name.split(".")[-1].lower())
+                # managed-table location: <wh>/<table> for the default
+                # db, <wh>/<db>.db/<table> for a qualified name (or the
+                # session's current database when unqualified)
+                parts = self.table_name.lower().split(".")
+                tbl = parts[-1]
+                db = (parts[-2] if len(parts) > 1
+                      else spark.catalog.currentDatabase().lower())
+                base = urlparse(wh).path
+                loc = (os.path.join(base, tbl) if db == "default"
+                       else os.path.join(base, f"{db}.db", tbl))
                 shutil.rmtree(loc, ignore_errors=True)
         w = (pcoll.df.write.mode(self.mode)
              .bucketBy(self.n_buckets, *self.bucket_cols))

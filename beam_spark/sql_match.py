@@ -187,12 +187,28 @@ def parse_pattern(pattern_sql: str) -> list[tuple]:
 def _split_top_level(cond: str, kw: str) -> list[str]:
     """Split a DEFINE condition on the keyword (OR / AND) only at top
     level: outside single-quoted string literals ('' is the quote
-    escape) and outside parentheses — so ``status = 'X OR Y'`` and
-    ``(a OR b) AND c`` are never split mid-literal / mid-group."""
+    escape), outside parentheses — so ``status = 'X OR Y'`` and
+    ``(a OR b) AND c`` are never split mid-literal / mid-group — and
+    never inside ``BETWEEN lo AND hi`` (the AND that follows a
+    top-level BETWEEN binds to it, not to the chain)."""
     kw = kw.upper()
     k = len(kw)
     parts, buf = [], []
     depth, in_str, i, n = 0, False, 0, len(cond)
+    pending_between = 0
+
+    def word_at(j, w):
+        """cond[j:] starts with word w (case-insensitive, word-bounded
+        on both sides)."""
+        if cond[j:j + len(w)].upper() != w:
+            return False
+        before_ok = j == 0 or not (cond[j - 1].isalnum()
+                                   or cond[j - 1] == "_")
+        after = j + len(w)
+        after_ok = after >= n or not (cond[after].isalnum()
+                                      or cond[after] == "_")
+        return before_ok and after_ok
+
     while i < n:
         ch = cond[i]
         if in_str:
@@ -212,6 +228,18 @@ def _split_top_level(cond: str, kw: str) -> list[str]:
         elif ch == ")":
             depth -= 1
             buf.append(ch)
+        elif depth == 0 and word_at(i, "BETWEEN"):
+            pending_between += 1
+            buf.append(cond[i:i + 7])
+            i += 7
+            continue
+        elif (depth == 0 and ch.isspace()
+              and word_at(i + 1, "AND") and pending_between):
+            # this AND closes a BETWEEN — part of the predicate
+            pending_between -= 1
+            buf.append(cond[i:i + 4])
+            i += 4
+            continue
         elif (depth == 0 and ch.isspace()
               and cond[i + 1:i + 1 + k].upper() == kw
               and i + 1 + k < n and cond[i + 1 + k].isspace()):

@@ -29,6 +29,7 @@ import tempfile
 import uuid
 from typing import Callable, Iterable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -241,9 +242,14 @@ class WriteStreamToFiles(PTransform):
 
 
 def foreach_batch(pcoll: PCollection, fn: Callable[[DataFrame, int], None],
-                  available_now: bool = True):
-    """foreachBatch escape hatch (Beam's per-pane custom sink)."""
+                  available_now: bool = True,
+                  checkpoint: str | None = None):
+    """foreachBatch escape hatch (Beam's per-pane custom sink). Pass
+    ``checkpoint`` for restartable sources: without it a crashed query
+    restarts from scratch and re-delivers every batch to ``fn``."""
     w = pcoll.df.writeStream.foreachBatch(fn)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
     if available_now:
         q = w.trigger(availableNow=True).start()
         q.awaitTermination()
@@ -506,9 +512,17 @@ class ContinuousAggregate(PTransform):
                     | TimeRollup(ts_col, grains, exprs, keys=keys)).df
             try:
                 # filesystem-agnostic first-batch probe (os.path.exists
-                # would be wrong on hdfs://, s3a://, ...)
+                # would be wrong on hdfs://, s3a://, ...). ONLY the
+                # path-not-found analysis error means "first batch" —
+                # a transient read failure (S3 throttle, permissions)
+                # must propagate, or the dynamic overwrite below would
+                # replace merged history with this batch's partials.
                 existing = spark.read.parquet(path)
-            except Exception:
+            except AnalysisException as ex:
+                m = str(ex).upper()
+                if ("PATH_NOT_FOUND" not in m
+                        and "PATH DOES NOT EXIST" not in m):
+                    raise
                 existing = None
             if existing is not None:
                 touched = [r["bucket_start"] for r in
@@ -524,4 +538,5 @@ class ContinuousAggregate(PTransform):
              .parquet(path))
 
         return foreach_batch(pcoll, upsert,
-                             available_now=self.available_now)
+                             available_now=self.available_now,
+                             checkpoint=self.checkpoint)
