@@ -519,9 +519,14 @@ class ContinuousAggregate(PTransform):
                 # replace merged history with this batch's partials.
                 existing = spark.read.parquet(path)
             except AnalysisException as ex:
+                # first-batch conditions: path absent, or an existing
+                # but EMPTY directory (no schema to infer — nothing to
+                # lose). Anything else (corrupt files, transient fs
+                # errors) must propagate.
                 m = str(ex).upper()
                 if ("PATH_NOT_FOUND" not in m
-                        and "PATH DOES NOT EXIST" not in m):
+                        and "PATH DOES NOT EXIST" not in m
+                        and "UNABLE_TO_INFER_SCHEMA" not in m):
                     raise
                 existing = None
             if existing is not None:
