@@ -304,21 +304,48 @@ def q_multimodal(spark, sf_dir):
     derives width/height/features from sha256(payload), which DuckDB
     recomputes from the hex digest (payload == utf-8 text bytes).
     Features emitted as recovered uint16 probes (ints — float32 storage
-    roundtrips exactly via round(x * 65535))."""
+    roundtrips exactly via round(x * 65535)). AUDIO rows (round 6) ride
+    the same schema: width=sample_rate, height=n_channels (documented
+    remap), probes from the whole-clip digest featurizer — so decode
+    AND featurize plumbing of both modalities hash-check."""
     df = _component("q_multimodal_image_features")(spark, sf_dir)
 
     def u16(i):
         return F.expr(
             f"CAST(round(element_at(features, {i + 1}) * 65535.0D) AS BIGINT)")
 
-    return df.select(
+    img = df.select(
         "asset_id", "media_type", "width", "height",
         F.size("features").cast("long").alias("n_features"),
         u16(0).alias("f0_u16"), u16(7).alias("f7_u16"), u16(15).alias("f15_u16"))
 
+    from beam_spark.operators.multimodal import (DecodeAudioMetadata,
+                                                 ExtractAudioFeatures,
+                                                 make_assets_from_documents)
+    from beam_spark.pcollection import PCollection
+
+    assets = make_assets_from_documents(
+        table(spark, sf_dir, "documents").df).withColumn(
+        "media_type", F.lit("audio"))
+    dec = (PCollection(assets) | DecodeAudioMetadata()).df
+    feats = (PCollection(dec)
+             | ExtractAudioFeatures(window_ms=None, dim=16)).df
+    aud = (dec.join(feats, on="asset_id")
+           .select("asset_id", "media_type",
+                   F.col("sample_rate").alias("width"),
+                   F.col("n_channels").alias("height"),
+                   F.size("features").cast("long").alias("n_features"),
+                   u16(0).alias("f0_u16"), u16(7).alias("f7_u16"),
+                   u16(15).alias("f15_u16")))
+    return img.unionByName(aud)
+
 
 def _hx(pos):  # duckdb: byte value at 1-based hex position
     return f"CAST(('0x' || substr(h, {pos}, 2)) AS BIGINT)"
+
+
+def _ahx(pos):  # byte at 1-based hex position of the AUDIO digest
+    return f"CAST(('0x' || substr(ah, {pos}, 2)) AS BIGINT)"
 
 
 _MULTIMODAL_SQL = f"""
@@ -332,6 +359,17 @@ SELECT asset_id, media_type,
        {_hx(29)} + 256 * {_hx(31)} AS f7_u16,
        {_hx(61)} + 256 * {_hx(63)} AS f15_u16
 FROM d
+UNION ALL
+SELECT asset_id, 'audio' AS media_type,
+       CAST(([8000, 16000, 22050, 44100, 48000])[{_hx(9)} % 5 + 1]
+            AS INTEGER) AS width,
+       CAST(1 + {_hx(11)} % 2 AS INTEGER) AS height,
+       CAST(16 AS BIGINT) AS n_features,
+       {_ahx(1)} + 256 * {_ahx(3)} AS f0_u16,
+       {_ahx(29)} + 256 * {_ahx(31)} AS f7_u16,
+       {_ahx(61)} + 256 * {_ahx(63)} AS f15_u16
+FROM (SELECT doc_id AS asset_id, sha256(text) AS h,
+             sha256('audio:' || text) AS ah FROM documents)
 """
 
 

@@ -149,3 +149,116 @@ def make_assets_from_documents(docs: DataFrame) -> DataFrame:
         F.lit(None).cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),
         (F.col("n_chars") * 10).cast("long").alias("duration_ms"))
+
+
+def _decode_audio(payload: bytes) -> tuple[int, int, int]:
+    """STUB decode (real impl: soundfile/librosa header read).
+    Deterministic fake: (sample_rate, n_channels, n_samples) from the
+    payload digest so downstream windowing/aggregation is testable."""
+    d = hashlib.sha256(payload).digest()
+    sr = (8000, 16000, 22050, 44100, 48000)[d[4] % 5]
+    ch = 1 + d[5] % 2
+    n_samples = sr + struct.unpack("<I", d[6:10])[0] % (sr * 30)
+    return sr, ch, n_samples
+
+
+class DecodeAudioMetadata(PTransform):
+    """Audio header decode plumbing: appends sample_rate / n_channels
+    and fills duration_ms from the sample count — Arrow-batched like
+    the image path; swap ``_decode_audio`` for a real header reader and
+    nothing else changes."""
+
+    def __init__(self, payload_col: str = "payload", label=None):
+        super().__init__(label)
+        self.payload_col = payload_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        import pandas as pd
+
+        payload_col = self.payload_col
+        out_schema = T.StructType(
+            [f for f in pcoll.df.schema.fields]
+            + [T.StructField("sample_rate", T.IntegerType()),
+               T.StructField("n_channels", T.IntegerType())])
+
+        def gen(batches: Iterator["pd.DataFrame"]):
+            for pdf in batches:
+                meta = [_decode_audio(p if isinstance(p, bytes)
+                                      else bytes(p))
+                        for p in pdf[payload_col]]
+                pdf = pdf.copy()
+                pdf["sample_rate"] = [m[0] for m in meta]
+                pdf["n_channels"] = [m[1] for m in meta]
+                pdf["duration_ms"] = [m[2] * 1000 // m[0] for m in meta]
+                yield pdf
+
+        return pcoll.with_df(pcoll.df.mapInPandas(gen, schema=out_schema))
+
+
+class ExtractAudioFeatures(PTransform):
+    """Windowed audio features (the MFCC-frame shape): one output row
+    per ``window_ms`` window — (id, window_idx, window_ts_ms, features
+    array<float>). Window fan-out is a JVM sequence explode driven by
+    the decoded duration (no Python in the row multiplication); the
+    per-window feature vector is the stub digest featurizer (real impl:
+    per-executor librosa/model reuse inside the same mapInPandas).
+
+    ``window_ms=None`` emits ONE whole-clip vector per asset instead.
+    """
+
+    def __init__(self, window_ms: int | None = 1000, dim: int = 8,
+                 id_col: str = "asset_id", payload_col: str = "payload",
+                 duration_col: str = "duration_ms",
+                 out_col: str = "features", label=None):
+        super().__init__(label)
+        self.window_ms, self.dim = window_ms, dim
+        self.id_col, self.payload_col = id_col, payload_col
+        self.duration_col, self.out_col = duration_col, out_col
+
+    def _featurize(self, pdf, key_cols, salt_col=None):
+        import pandas as pd
+
+        dim, pc = self.dim, self.payload_col
+        feats = []
+        for _, row in pdf.iterrows():
+            b = row[pc]
+            b = b if isinstance(b, bytes) else bytes(b)
+            if salt_col is not None:
+                b = b + str(row[salt_col]).encode()
+            d = hashlib.sha256(b"audio:" + b).digest()
+            feats.append([struct.unpack("<H", d[2 * i:2 * i + 2])[0]
+                          / 65535.0 for i in range(dim)])
+        out = pdf[key_cols].copy()
+        out[self.out_col] = feats
+        return out
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        idc, pc, dc = self.id_col, self.payload_col, self.duration_col
+        if self.window_ms is None:
+            keys = [idc]
+
+            def gen(batches):
+                for pdf in batches:
+                    yield self._featurize(pdf, keys)
+
+            schema = (f"{idc} long, "
+                      f"{self.out_col} array<float>")
+            return pcoll.with_df(
+                pcoll.df.select(idc, pc).mapInPandas(gen, schema=schema))
+        every = self.window_ms
+        n_win = (F.coalesce(F.col(dc), F.lit(0)) / every).cast("long")
+        exploded = (pcoll.df
+                    .select(idc, pc,
+                            F.explode(F.sequence(F.lit(0), F.greatest(
+                                n_win - 1, F.lit(0)))).alias("window_idx"))
+                    .withColumn("window_ts_ms",
+                                F.col("window_idx") * every))
+        keys = [idc, "window_idx", "window_ts_ms"]
+
+        def gen(batches):
+            for pdf in batches:
+                yield self._featurize(pdf, keys, salt_col="window_idx")
+
+        schema = (f"{idc} long, window_idx long, window_ts_ms long, "
+                  f"{self.out_col} array<float>")
+        return pcoll.with_df(exploded.mapInPandas(gen, schema=schema))

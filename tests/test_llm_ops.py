@@ -929,3 +929,51 @@ def test_dedup_index_append_workflow(spark, tmp_path):
             .df.collect()}
     assert out2[20]["is_dup"] == 1 and out2[20]["dup_of_corpus"] == 10
     assert out2[21]["is_dup"] == 0
+
+
+def test_audio_plumbing_windows_and_determinism(spark, sf_dir):
+    """Audio decode/feature plumbing: duration follows the decoded
+    sample count; windowed features emit ceil(duration/window) rows per
+    asset with deterministic per-window vectors distinct across
+    windows; whole-clip mode is one row per asset."""
+    from pyspark.sql import functions as F
+
+    from beam_spark.operators.multimodal import (DecodeAudioMetadata,
+                                                 ExtractAudioFeatures,
+                                                 make_assets_from_documents)
+    from beam_spark.pcollection import PCollection
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .withColumn("n_chars", F.length("text")).limit(25))
+    assets = make_assets_from_documents(docs)
+    dec = (PCollection(assets) | DecodeAudioMetadata()).df
+    rows = dec.select("asset_id", "sample_rate", "n_channels",
+                      "duration_ms").collect()
+    assert all(r["sample_rate"] in (8000, 16000, 22050, 44100, 48000)
+               for r in rows)
+    assert all(r["n_channels"] in (1, 2) for r in rows)
+    assert all(1000 <= r["duration_ms"] <= 31000 for r in rows)
+
+    win = (PCollection(dec) | ExtractAudioFeatures(window_ms=1000,
+                                                   dim=8)).df
+    per_asset = {r["asset_id"]: r["cnt"] for r in
+                 win.groupBy("asset_id").agg(
+                     F.count("*").alias("cnt")).collect()}
+    for r in rows:
+        want = max(1, r["duration_ms"] // 1000)
+        assert per_asset[r["asset_id"]] == want, r
+
+    two = {(r["asset_id"], r["window_idx"]): tuple(r["features"])
+           for r in win.filter("window_idx < 2").collect()}
+    a0 = rows[0]["asset_id"]
+    if (a0, 1) in two:
+        assert two[(a0, 0)] != two[(a0, 1)]   # window salt matters
+
+    clip = (PCollection(dec)
+            | ExtractAudioFeatures(window_ms=None, dim=8)).df
+    assert clip.count() == 25
+    # determinism: rerun equals
+    clip2 = (PCollection(dec)
+             | ExtractAudioFeatures(window_ms=None, dim=8)).df
+    assert sorted(map(repr, clip.collect())) == \
+        sorted(map(repr, clip2.collect()))
