@@ -416,19 +416,28 @@ class IvfCosineTopK(PTransform):
     Assignment/scoring run vectorized per Arrow batch. At 100 TB the
     corpus assignment is one scan; per-query work is nprobe/n_lists of
     the corpus, shuffled only on the list id.
+
+    ``max_list_rows`` (opt-in): after assignment, fail fast if any
+    single inverted list holds more rows — the hot-list failure mode
+    where one dominant direction swallows the corpus and every query
+    probing that list scans most of it (the SemDeDup guard posture;
+    opt-in here because the per-query cost is linear, not quadratic,
+    and the check is an extra eager aggregation).
     """
 
     def __init__(self, queries: DataFrame | PCollection, k: int = 10,
                  n_lists: int = 16, nprobe: int = 4,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  fit_sample: int = 2048, lloyd_iters: int = 5,
-                 exclude_self: bool = True, label=None):
+                 exclude_self: bool = True,
+                 max_list_rows: int | None = None, label=None):
         super().__init__(label)
         self.queries = queries.df if isinstance(queries, PCollection) else queries
         self.k, self.n_lists, self.nprobe = k, n_lists, nprobe
         self.id_col, self.vec_col = id_col, vec_col
         self.fit_sample, self.lloyd_iters = fit_sample, lloyd_iters
         self.exclude_self = exclude_self
+        self.max_list_rows = max_list_rows
 
     def _fit_centroids(self, df):
         import numpy as np
@@ -471,6 +480,21 @@ class IvfCosineTopK(PTransform):
 
         corpus = pcoll.df.select(idc, vc).mapInPandas(
             assign_gen, schema=f"{idc} long, {vc} array<double>, list_id int")
+
+        if self.max_list_rows is not None:
+            corpus = corpus.persist()
+            hot = (corpus.groupBy("list_id")
+                   .agg(F.count(F.lit(1)).alias("n"))
+                   .agg(F.max("n"), F.sum("n")).collect()[0])
+            biggest, total = int(hot[0] or 0), int(hot[1] or 0)
+            if biggest > self.max_list_rows:
+                raise ValueError(
+                    f"IVF hot-list guard: largest inverted list holds "
+                    f"{biggest} of {total} rows (> max_list_rows="
+                    f"{self.max_list_rows}); queries probing it scan "
+                    f"most of the corpus. Raise n_lists, increase "
+                    f"lloyd_iters/fit_sample for balance, or raise "
+                    f"max_list_rows explicitly.")
 
         def probe_gen(batches):
             for pdf in batches:

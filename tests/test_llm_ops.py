@@ -977,3 +977,21 @@ def test_audio_plumbing_windows_and_determinism(spark, sf_dir):
              | ExtractAudioFeatures(window_ms=None, dim=8)).df
     assert sorted(map(repr, clip.collect())) == \
         sorted(map(repr, clip2.collect()))
+
+
+def test_ivf_hot_list_guard(spark):
+    """A degenerate embedding set (one dominant direction) trips IVF's
+    opt-in hot-list fail-fast; without the param the query still runs."""
+    import pytest
+
+    from beam_spark.operators.similarity import IvfCosineTopK
+    from beam_spark.pcollection import PCollection
+
+    rows = [(i, [1.0, 0.0001 * (i % 3), 0.0]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.filter("vec_id < 2")
+    with pytest.raises(ValueError, match="hot-list guard"):
+        (PCollection(df) | IvfCosineTopK(qs, k=3, n_lists=4,
+                                         max_list_rows=50)).df.count()
+    ok = (PCollection(df) | IvfCosineTopK(qs, k=3, n_lists=4)).df
+    assert ok.count() > 0
