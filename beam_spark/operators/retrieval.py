@@ -74,10 +74,22 @@ class Bm25TopK(PTransform):
         dfreq = postings.groupBy("term").agg(
             F.count(F.lit(1)).alias("df"))
 
+        # optional per-term boosts: a 'boost' MAP<string,double> column
+        # on the query frame scales each matching term's contribution
+        # (Lucene query-time boosting); absent terms default to 1.0
+        has_boost = "boost" in self.queries.columns
         qterms = (self.queries
                   .select(F.col(self.query_id_col).alias("query_id"),
+                          *([F.col("boost")] if has_boost else []),
                           F.explode(F.array_distinct(
                               tokens(self.query_text_col))).alias("term")))
+        if has_boost:
+            qterms = qterms.select(
+                "query_id", "term",
+                F.coalesce(F.element_at("boost", F.col("term")),
+                           F.lit(1.0)).alias("__boost"))
+        else:
+            qterms = qterms.withColumn("__boost", F.lit(1.0))
 
         idf = F.log(F.lit(1.0) + (F.col("N") - F.col("df") + 0.5)
                     / (F.col("df") + 0.5))
@@ -94,7 +106,8 @@ class Bm25TopK(PTransform):
                   .join(F.broadcast(q_df), on="term")
                   .crossJoin(F.broadcast(stats))
                   .groupBy("query_id", idc)
-                  .agg(F.round(F.sum(idf * tf_part), 6).alias("score"),
+                  .agg(F.round(F.sum(idf * tf_part * F.col("__boost")),
+                               6).alias("score"),
                        F.count(F.lit(1)).alias("__nm")))
         if self.mode in ("and", "phrase"):
             # conjunctive: matched-term count == the query's distinct

@@ -2124,6 +2124,56 @@ def q_bm25_phrase(spark, sf_dir):
             | Bm25TopK(queries_df, k=5, k1=1.5, mode="phrase")).df
 
 
+@query("q_retrieval_bm25_boosted", r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents),
+post AS (SELECT doc_id, dl, term, count(*) AS tf
+         FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks)
+         GROUP BY doc_id, dl, term),
+stats AS (SELECT count(*) AS N, avg(len(t)) AS avgdl FROM toks),
+dfq AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+qtok AS (SELECT doc_id AS query_id, t[1:4] AS qtoks
+         FROM toks WHERE doc_id < 5),
+qt AS (SELECT query_id, unnest(list_distinct(qtoks)) AS term FROM qtok),
+qb AS (SELECT query_id, qtoks[1] AS bterm FROM qtok),
+scored AS (
+  SELECT qt.query_id, p.doc_id,
+         round(sum(ln(1 + (s.N - d.df + 0.5) / (d.df + 0.5))
+                   * ((p.tf * 2.5)
+                      / (p.tf + 1.5 * (0.25 + 0.75 * p.dl / s.avgdl)))
+                   * (CASE WHEN p.term = qb.bterm
+                      THEN 2.0 ELSE 1.0 END)),
+               6) AS score
+  FROM post p JOIN qt ON p.term = qt.term
+  JOIN dfq d ON p.term = d.term
+  JOIN qb ON qb.query_id = qt.query_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, p.doc_id),
+r AS (SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scored)
+SELECT query_id, doc_id, rank, score FROM r WHERE rank <= 5
+""")
+def q_bm25_boosted(spark, sf_dir):
+    """Query-time term boosting (Lucene boost semantics): the query
+    frame carries a boost MAP<string,double> — each matching term's
+    BM25 contribution scales by its boost (absent terms 1.0). Here the
+    query's FIRST token gets boost 2.0; queries are the first 4 tokens
+    of docs 0-4, k1=1.5."""
+    from beam_spark.operators.retrieval import Bm25TopK
+
+    docs = table(spark, sf_dir, "documents").df
+    split = F.split(F.lower(F.trim("text")), r"\s+")
+    queries_df = docs.filter("doc_id < 5").select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(split, 1, 4)).alias("text"),
+        F.create_map(F.element_at(split, 1),
+                     F.lit(2.0)).alias("boost"))
+    return (PCollection(docs) | Bm25TopK(queries_df, k=5, k1=1.5)).df
+
+
 @query("q_retrieval_phrase_positional", r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t

@@ -551,3 +551,43 @@ def test_time_rollup_vs_sequential_model(spark, rows):
         want[(k, "h", ts // 3600 * 3600)] += 1
         want[(k, "d", ts // 86400 * 86400)] += 1
     assert got == dict(want)
+
+
+@given(docs=st.lists(st.lists(st.sampled_from("abcd"), min_size=1,
+                              max_size=12), min_size=1, max_size=8),
+       phrase=st.lists(st.sampled_from("abcd"), min_size=1, max_size=3))
+@settings(**SETTINGS)
+def test_phrase_matchers_vs_python_model(spark, docs, phrase):
+    """PhraseMatch presence and PositionalPhraseMatch (both anchors)
+    counts vs a sequential python model over random token sequences —
+    overlapping occurrences, repeated tokens, single-token phrases."""
+    from beam_spark.operators.retrieval import (PhraseMatch,
+                                                PositionalPhraseMatch)
+    from beam_spark.pcollection import PCollection
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [(0, " ".join(phrase))], "query_id long, phrase string")
+
+    # python model: ALL start positions (overlapping included)
+    want_counts = {}
+    m = len(phrase)
+    for i, toks in enumerate(docs):
+        c = sum(1 for s in range(len(toks) - m + 1)
+                if toks[s:s + m] == phrase)
+        if c:
+            want_counts[i] = c
+
+    pos = {r["doc_id"]: r["n_occurrences"] for r in
+           (PCollection(df) | PositionalPhraseMatch(qs)).df.collect()}
+    rare = {r["doc_id"]: r["n_occurrences"] for r in
+            (PCollection(df)
+             | PositionalPhraseMatch(qs, anchor="rarest")).df.collect()}
+    assert pos == want_counts
+    assert rare == want_counts
+
+    scan = {r["doc_id"] for r in
+            (PCollection(df) | PhraseMatch(qs)).df.collect()}
+    assert scan == set(want_counts)        # presence agrees exactly
