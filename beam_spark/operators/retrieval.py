@@ -150,27 +150,37 @@ class RrfFuse(PTransform):
     """
 
     def __init__(self, *rankings, k: int = 10, k0: int = 60,
-                 id_col: str = "doc_id", label=None):
+                 id_col: str = "doc_id", weights=None, label=None):
         super().__init__(label)
         if len(rankings) < 2:
             raise ValueError("RrfFuse needs at least two rankings")
         self.rankings = [r.df if isinstance(r, PCollection) else r
                          for r in rankings]
         self.k, self.k0, self.id_col = k, int(k0), id_col
+        #: optional per-ranking weights (weighted RRF: score =
+        #: sum w_r / (k0 + rank_r)) — e.g. lean hybrid search toward
+        #: the lexical or the vector leg. Defaults to all-1.0.
+        if weights is not None and len(weights) != len(self.rankings):
+            raise ValueError("one weight per ranking")
+        self.weights = ([float(w) for w in weights] if weights
+                        else [1.0] * len(self.rankings))
 
     def expand(self, pcoll: PCollection) -> PCollection:
         from functools import reduce
         from pyspark.sql import Window
 
         idc, k0 = self.id_col, self.k0
-        parts = [r.select("query_id", idc, "rank") for r in self.rankings]
+        parts = [r.select("query_id", idc, "rank",
+                          F.lit(w).alias("__w"))
+                 for r, w in zip(self.rankings, self.weights)]
         unioned = reduce(lambda a, b: a.unionByName(b), parts)
-        # integer-exact scoring: sum of 1/(k0+rank) rounded at 9 dp —
+        # integer-exact scoring: sum of w/(k0+rank) rounded at 9 dp —
         # every addend is one of a few hundred exact grid values, so
         # cross-engine float agreement is structural, not lucky
         scored = (unioned
                   .groupBy("query_id", idc)
-                  .agg(F.round(F.sum(F.lit(1.0) / (F.col("rank") + k0)), 9)
+                  .agg(F.round(F.sum(F.col("__w")
+                                     / (F.col("rank") + k0)), 9)
                        .alias("rrf_score")))
         w = Window.partitionBy("query_id").orderBy(
             F.col("rrf_score").desc(), F.col(idc))

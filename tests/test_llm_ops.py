@@ -995,3 +995,27 @@ def test_ivf_hot_list_guard(spark):
                                          max_list_rows=50)).df.count()
     ok = (PCollection(df) | IvfCosineTopK(qs, k=3, n_lists=4)).df
     assert ok.count() > 0
+
+
+def test_rrf_weighted_fusion(spark):
+    """Weighted RRF: a heavier lexical weight flips the fused winner;
+    default weights reproduce the unweighted score exactly."""
+    from beam_spark.operators.retrieval import RrfFuse
+    from beam_spark.pcollection import PCollection
+
+    lex = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2)], "query_id long, doc_id long, rank int")
+    vec = spark.createDataFrame(
+        [(0, 11, 1), (0, 10, 2)], "query_id long, doc_id long, rank int")
+    base = (PCollection(lex) | RrfFuse(lex, vec, k=2)).df.collect()
+    # symmetric ranks -> tie broken by doc_id: 10 first
+    assert [r["doc_id"] for r in sorted(base, key=lambda r: r["rank"])] \
+        == [10, 11]
+    w = (PCollection(lex)
+         | RrfFuse(lex, vec, k=2, weights=[1.0, 3.0])).df.collect()
+    # vector leg weighted 3x: doc 11 (vector rank 1) wins
+    assert [r["doc_id"] for r in sorted(w, key=lambda r: r["rank"])] \
+        == [11, 10]
+    import pytest
+    with pytest.raises(ValueError, match="one weight per ranking"):
+        RrfFuse(lex, vec, weights=[1.0])
