@@ -1089,3 +1089,34 @@ def test_streaming_drain_ttl_expires_counter(spark):
     # second match numbered 1 again
     assert by_match == [1]
     assert len(rows) == 4
+
+
+def test_streaming_equals_batch_permute(spark):
+    """Equivalence script #9: PERMUTE(A, C) P — both orderings of the
+    add-to-cart/coupon pair before a purchase, through the streaming
+    matcher's phantom-frontier rule."""
+    from beam_spark.operators.cep import Permute, vectorized
+
+    cfg = dict(
+        pattern=[(Permute("A", "C"), "1"), ("P", "1")],
+        defines={"A": vectorized(lambda pdf: pdf["typ"] == "cart"),
+                 "C": vectorized(lambda pdf: pdf["typ"] == "coupon"),
+                 "P": vectorized(lambda pdf: pdf["typ"] == "purchase")},
+        measures={"first_t": lambda m: m[0][1]["typ"],
+                  "v": lambda m: m[-1][1]["v"]},
+        schema="u long, first_t string, v long")
+    batches = [
+        # u1: cart -> coupon -> purchase; u2: coupon -> cart -> purchase
+        [{"t": "2024-01-01 00:00:10", "u": 1, "typ": "cart", "v": 1},
+         {"t": "2024-01-01 00:00:11", "u": 2, "typ": "coupon", "v": 1}],
+        [{"t": "2024-01-01 00:00:20", "u": 1, "typ": "coupon", "v": 2},
+         {"t": "2024-01-01 00:00:21", "u": 2, "typ": "cart", "v": 2}],
+        [{"t": "2024-01-01 00:00:30", "u": 1, "typ": "purchase", "v": 9},
+         {"t": "2024-01-01 00:00:31", "u": 2, "typ": "purchase", "v": 8}],
+        [{"t": "2024-01-01 00:10:00", "u": 1, "typ": "error", "v": 0},
+         {"t": "2024-01-01 00:10:00", "u": 2, "typ": "error", "v": 0}],
+        [{"t": "2024-01-01 00:20:00", "u": 1, "typ": "error", "v": 0}],
+    ]
+    s, b = _stream_vs_batch(spark, batches, **cfg)
+    assert s == b
+    assert sorted(b) == [(1, "cart", 9), (2, "coupon", 8)]
