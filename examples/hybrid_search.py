@@ -33,6 +33,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
                                   exclude_self=False)
            ).df.selectExpr("query_id", "nbr_id AS doc_id", "rank")
     fused = (PCollection(docs) | RrfFuse(bm25, ann, k=5)).df
+    # lean the fusion toward the vector leg (weighted RRF, round 6)
+    fused_w = (PCollection(docs)
+               | RrfFuse(bm25, ann, k=5, weights=[1.0, 2.0])).df
 
     phrases = docs.filter("doc_id < 3").select(
         F.col("doc_id").alias("query_id"),
@@ -42,6 +45,18 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
 
     print("hybrid top-5 per query (BM25 + cosine, RRF k0=60):")
     fused.orderBy("query_id", "rank").show(15)
+    print("vector-leaning fusion (weights [1.0, 2.0]):")
+    fused_w.orderBy("query_id", "rank").show(15)
+
+    # conjunctive + boosted lexical retrieval (round 6)
+    boosted = queries_df.withColumn(
+        "boost", F.create_map(
+            F.element_at(F.split(F.lower(F.trim("text")), r"\s+"), 1),
+            F.lit(2.0)))
+    conj = (PCollection(docs)
+            | Bm25TopK(boosted, k=5, mode="and")).df
+    print("conjunctive BM25 with first-term boost 2.0:")
+    conj.orderBy("query_id", "rank").show(15)
     print(f"phrase containment hits: {phrase_hits.count()}")
     phrase_hits.orderBy("query_id", "doc_id").show(8)
 
