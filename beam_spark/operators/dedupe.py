@@ -142,6 +142,15 @@ class MinHashLSH(PTransform):
         self.text_col, self.id_col = text_col, id_col
         self.n, self.bands, self.rows = n, bands, rows_per_band
         self.threshold, self.verify = threshold, verify
+        self._persisted: list = []
+
+    def release(self):
+        """Unpersist the shingle/signature/band caches this transform
+        registered (session-lifetime by default; call once the pairs
+        have been consumed or checkpointed)."""
+        for f in self._persisted:
+            f.unpersist()
+        self._persisted = []
 
     def _with_signature(self, sh_df: DataFrame, idc: str) -> DataFrame:
         """Append the num_perm min-hash signature array.
@@ -188,10 +197,13 @@ class MinHashLSH(PTransform):
               # free-var inlining trap — see NgramJaccardPairs comment)
               .select(F.col(idc), word_shingles_on("__w", self.n).alias("sh")))
         sh.persist()  # reused for candidate verification below
+        self._persisted.append(sh)
         sig = self._with_signature(sh, idc)
         sig.persist()
+        self._persisted.append(sig)
         bands = _band_keys(sig, idc, self.bands, self.rows)
         bands.persist()  # self-joined below: compute the band expr once
+        self._persisted.append(bands)
         cand = (bands.select(F.col(idc).alias("i"), "bk")
                 .join(bands.select(F.col(idc).alias("j"), "bk"), on="bk")
                 .filter(F.col("i") < F.col("j"))
@@ -287,11 +299,20 @@ class SimHashNearDupPairs(PTransform):
         self.max_distance = max_distance
         self.hash_fn = hash_fn  # see SimHash: 'md5' is the portable form
 
+    _persisted: list | None = None
+
+    def release(self):
+        """Unpersist the cached fingerprint frame."""
+        for f in self._persisted or []:
+            f.unpersist()
+        self._persisted = []
+
     def expand(self, pcoll: PCollection) -> PCollection:
         idc = self.id_col
         fp = (pcoll | SimHash(self.text_col, self.id_col,
                               hash_fn=self.hash_fn)).df
         fp.persist()
+        self._persisted = (self._persisted or []) + [fp]
         n_chunks = self.max_distance + 1
         width = 64 // n_chunks
         chunks = fp.select(
