@@ -352,6 +352,21 @@ CASES = [
         t["c"].set_index("c_custkey")[["c_name"]],
         left_on="o_custkey", right_index=True, how="left")[
             ["o_orderkey", "c_name"]]),
+    # ---- round-6 session-2: multiindex / label indexing ----
+    ("multiindex_set_reset", lambda t: t["o"].set_index(
+        ["o_orderstatus", "o_orderpriority"]).reset_index()[
+            ["o_orderstatus", "o_orderpriority", "o_orderkey"]]),
+    ("sort_index_head", lambda t: t["o"].set_index("o_orderkey")
+     .sort_index().head(10)[["o_totalprice"]]),
+    ("sort_index_desc_tail", lambda t: t["o"].set_index("o_orderkey")
+     .sort_index(ascending=False).tail(10)[["o_totalprice"]]),
+    ("frame_nlargest_by_col", lambda t: t["o"].nlargest(
+        7, "o_orderkey")[["o_orderkey", "o_totalprice"]]),
+    ("unstack_gb_size", lambda t: t["o"].groupby(
+        ["o_orderstatus", "o_orderpriority"]).size().unstack()
+     .fillna(0).astype("int64").reset_index()),
+    ("loc_label_slice_sorted", lambda t: t["o"].set_index("o_orderkey")
+     .sort_index().loc[:200][["o_totalprice"]]),
 ]
 
 
@@ -361,6 +376,8 @@ CASES = [
 #   dt_plus_timedelta:   datetime + Timedelta unsupported (TypeError)
 #   gb_agg_list:         SeriesGroupBy.agg(["min",...]) not implemented
 #   merge_cross:         merge(how="cross") rejected
+#   gb_level_kwarg:      groupby(level=...) unsupported
+#   pivot_table_no_cols: pivot_table without columns= rejected
 #   dt_normalize_eq:     normalize()==orig compares False row-wise on
 #                        Spark timestamps where pandas yields True
 #   rolling_count:       rolling(n).count() defaults min_periods=0
@@ -374,6 +391,12 @@ DIVERGENT_RAISES = [
     ("merge_cross", lambda t: t["o"][["o_orderstatus"]]
      .drop_duplicates().merge(
          t["o"][["o_orderpriority"]].drop_duplicates(), how="cross")),
+    ("gb_level_kwarg", lambda t: t["o"].set_index(
+        ["o_orderstatus", "o_orderpriority"])
+     .groupby(level=[0, 1])["o_totalprice"].sum().reset_index()),
+    ("pivot_table_no_columns", lambda t: t["o"].pivot_table(
+        values="o_totalprice", index=["o_orderstatus", "o_orderpriority"],
+        aggfunc="sum").reset_index()),
 ]
 
 DIVERGENT_VALUES = [
