@@ -598,3 +598,38 @@ def test_continuous_aggregate_equals_batch_rollup(spark, tmp_path):
     import calendar
     h0 = calendar.timegm((2024, 1, 1, 0, 0, 0))
     assert m[("a", "hour", h0)] == 2
+
+
+def test_continuous_aggregate_checkpoint_restart_no_double_merge(
+        spark, tmp_path):
+    """With a real checkpoint, re-running the SAME source + checkpoint
+    must be a no-op (offsets already committed) — pre-round-6 the
+    checkpoint param was dead and a restart re-merged every batch,
+    doubling counts."""
+    from beam_spark.streaming import TestStream
+    from beam_spark.streaming.core import ContinuousAggregate
+
+    ts = TestStream(spark, "t timestamp, k string, v double")
+    ts.add_elements([{"t": "2024-01-01 00:10:00", "k": "a", "v": 1.0}])
+    ts.add_elements([{"t": "2024-01-01 00:20:00", "k": "a", "v": 2.0}])
+    out = str(tmp_path / "ca")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        (ts.stream() | ContinuousAggregate(
+            out, "t", {"hour": 3600}, {"n": "count", "s": "sum:v"},
+            keys=["k"], checkpoint=ckpt))
+
+    run()
+    first = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert first
+    run()                                  # restart: nothing new
+    second = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert second == first                 # no double-merge
+
+    # new data after the restart still merges exactly once
+    ts.add_elements([{"t": "2024-01-01 00:40:00", "k": "a", "v": 4.0}])
+    run()
+    rows = {r["k"]: (r["n"], r["s"])
+            for r in spark.read.parquet(out).collect()}
+    assert rows["a"] == (3, 7.0)
