@@ -371,6 +371,10 @@ class GroupByRollup(PTransform):
                 f"SELECT {cols}, CAST(grouping_id({cols}) AS BIGINT) "
                 f"AS grouping_id, {aggs_sql} FROM {view} "
                 f"GROUP BY GROUPING SETS ({sets_sql})")
+            # sql() has resolved the view into the analyzed plan — drop
+            # it so repeated expansions in a long-lived session don't
+            # accumulate catalog entries (and pin DataFrame plans)
+            df.sparkSession.catalog.dropTempView(view)
             return pcoll.with_df(out)
         out = g.agg(gid.cast("bigint").alias("grouping_id"), *agg_cols)
         return pcoll.with_df(
@@ -442,6 +446,9 @@ class TimeRollup(PTransform):
             f"SELECT {keys_sql}{label_case} AS granularity, "
             f"CAST({bucket_case} AS BIGINT) AS bucket_start, "
             f"{aggs_sql} FROM {view} GROUP BY GROUPING SETS ({sets_sql})")
+        # view already resolved into the plan — don't leak the catalog
+        # entry across repeated expansions (see GroupByRollup)
+        df.sparkSession.catalog.dropTempView(view)
         return pcoll.with_df(out)
 
 

@@ -315,9 +315,13 @@ class PositionalPhraseMatch(PTransform):
 
     def _rarest(self, post, qt, idc):
         # 1. document frequency of the PHRASE terms only (broadcast-
-        #    bounded: at most |distinct query terms| rows)
-        qdist = qt.select("term").distinct()
-        dfreq = (post.join(F.broadcast(qdist), on="term")
+        #    bounded: at most |distinct query terms| rows). DOCUMENT
+        #    frequency (distinct docs containing the term), not total
+        #    occurrences — a term repeated many times in few documents
+        #    has a SHORT candidate list and must still win the anchor
+        dfreq = (post.join(F.broadcast(qt.select("term").distinct()),
+                           on="term")
+                 .select("term", idc).distinct()
                  .groupBy("term").agg(F.count(F.lit(1)).alias("__df")))
         # 2. per query: the offset of its rarest term (ties: lowest
         #    offset). A term absent from the corpus gets df=0 — it wins

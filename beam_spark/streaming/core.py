@@ -449,15 +449,32 @@ class ContinuousAggregate(PTransform):
     across micro-batches. Means are a downstream sum/count division.
 
     Scale: per batch the work is (batch rollup) + (read of the touched
-    partitions only — partition pruning on granularity/bucket_start) +
-    (dynamic overwrite of those partitions). State lives in the table,
-    not executor memory; a bucket's partition is rewritten only when
-    the batch touches it. Micro-batches run sequentially per query, so
+    partitions only — partition pruning on the exact (granularity,
+    bucket_start) pairs the batch produced, so a colliding epoch across
+    granularities never drags sibling partitions in) + (dynamic
+    overwrite of those partitions). State lives in the table, not
+    executor memory; a bucket's partition is rewritten only when the
+    batch touches it. Micro-batches run sequentially per query, so
     read-merge-write is race-free.
 
+    Crash-replay idempotency: every write stamps its rows with an
+    internal ``__batch_id`` column. If the query dies AFTER the parquet
+    overwrite but BEFORE the checkpoint commits, Structured Streaming
+    replays the micro-batch — the upsert then sees partitions already
+    carrying this batch_id, drops the batch's contribution to them, and
+    leaves their files untouched, so counts/sums are never applied
+    twice. The guard is per PARTITION (the dynamic-overwrite commit
+    unit): a crash that half-moves files WITHIN one partition directory
+    is indistinguishable from a completed commit on a plain filesystem
+    — sub-partition atomicity needs a transactional table format.
+
     Result table layout: ``path`` partitioned by (granularity,
-    bucket_start); read it back with ``spark.read.parquet(path)``.
+    bucket_start); read it back with ``ContinuousAggregate.read(spark,
+    path)`` (plain ``spark.read.parquet(path)`` works too but exposes
+    the internal ``__batch_id`` column).
     """
+
+    BATCH_COL = "__batch_id"
 
     def __init__(self, path: str, ts_col: str, grains, aggs,
                  keys=(), checkpoint: str | None = None,
@@ -495,53 +512,86 @@ class ContinuousAggregate(PTransform):
             out.append(F.expr(f"{fn}({name})").alias(name))
         return out
 
-    def expand(self, pcoll: PCollection):
+    @staticmethod
+    def read(spark, path: str):
+        """The maintained rollup table without internal columns."""
+        return spark.read.parquet(path).drop(
+            ContinuousAggregate.BATCH_COL)
+
+    @staticmethod
+    def _pair_cond(pairs):
+        """One partition-prunable predicate over exact (granularity,
+        bucket_start) pairs. Both are partition columns, so the OR of
+        equality conjunctions prunes statically — no sibling
+        granularity sharing an epoch is ever read or rewritten."""
+        import functools
+        import operator
+
+        return functools.reduce(operator.or_, [
+            (F.col("granularity") == g) & (F.col("bucket_start") == b)
+            for g, b in pairs])
+
+    def _upsert(self, batch_df, batch_id):
         from beam_spark.operators.group import TimeRollup
         from beam_spark.pcollection import PCollection as PC
 
-        path, keys = self.path, self.keys
-        ts_col, grains, exprs = self.ts_col, self.grains, self._agg_exprs()
-        merge_exprs = self._merge_exprs()
-        group_cols = [*keys, "granularity", "bucket_start"]
+        if batch_df.isEmpty():
+            return
+        path, bcol = self.path, self.BATCH_COL
+        group_cols = [*self.keys, "granularity", "bucket_start"]
+        spark = batch_df.sparkSession
+        part = (PC(batch_df) | TimeRollup(
+            self.ts_col, self.grains, self._agg_exprs(),
+            keys=self.keys)).df
+        try:
+            # filesystem-agnostic first-batch probe (os.path.exists
+            # would be wrong on hdfs://, s3a://, ...). ONLY the
+            # path-not-found analysis error means "first batch" —
+            # a transient read failure (S3 throttle, permissions)
+            # must propagate, or the dynamic overwrite below would
+            # replace merged history with this batch's partials.
+            existing = spark.read.parquet(path)
+        except AnalysisException as ex:
+            # first-batch conditions: path absent, or an existing
+            # but EMPTY directory (no schema to infer — nothing to
+            # lose). Anything else (corrupt files, transient fs
+            # errors) must propagate.
+            m = str(ex).upper()
+            if ("PATH_NOT_FOUND" not in m
+                    and "PATH DOES NOT EXIST" not in m
+                    and "UNABLE_TO_INFER_SCHEMA" not in m):
+                raise
+            existing = None
+        if existing is not None:
+            pairs = [(r["granularity"], r["bucket_start"]) for r in
+                     part.select("granularity", "bucket_start")
+                     .distinct().collect()]
+            touched = existing.filter(self._pair_cond(pairs))
+            # replay guard: a partition whose rows already carry THIS
+            # batch_id absorbed this batch before the crash — drop the
+            # batch's contribution to it and leave its files alone
+            # (dynamic overwrite only replaces partitions present in
+            # the write)
+            applied = {(r["granularity"], r["bucket_start"]) for r in
+                       touched.filter(F.col(bcol) == batch_id)
+                       .select("granularity", "bucket_start")
+                       .distinct().collect()}
+            if applied:
+                todo = [p for p in pairs if p not in applied]
+                if not todo:
+                    return
+                cond = self._pair_cond(todo)
+                part, touched = part.filter(cond), touched.filter(cond)
+            part = (part.unionByName(touched.drop(bcol))
+                    .groupBy(*group_cols).agg(*self._merge_exprs()))
+        (part.withColumn(bcol, F.lit(batch_id).cast("bigint"))
+         .repartition("granularity", "bucket_start")
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("granularity", "bucket_start")
+         .parquet(path))
 
-        def upsert(batch_df, batch_id):
-            if batch_df.isEmpty():
-                return
-            spark = batch_df.sparkSession
-            part = (PC(batch_df)
-                    | TimeRollup(ts_col, grains, exprs, keys=keys)).df
-            try:
-                # filesystem-agnostic first-batch probe (os.path.exists
-                # would be wrong on hdfs://, s3a://, ...). ONLY the
-                # path-not-found analysis error means "first batch" —
-                # a transient read failure (S3 throttle, permissions)
-                # must propagate, or the dynamic overwrite below would
-                # replace merged history with this batch's partials.
-                existing = spark.read.parquet(path)
-            except AnalysisException as ex:
-                # first-batch conditions: path absent, or an existing
-                # but EMPTY directory (no schema to infer — nothing to
-                # lose). Anything else (corrupt files, transient fs
-                # errors) must propagate.
-                m = str(ex).upper()
-                if ("PATH_NOT_FOUND" not in m
-                        and "PATH DOES NOT EXIST" not in m
-                        and "UNABLE_TO_INFER_SCHEMA" not in m):
-                    raise
-                existing = None
-            if existing is not None:
-                touched = [r["bucket_start"] for r in
-                           part.select("bucket_start").distinct().collect()]
-                existing = existing.filter(
-                    F.col("bucket_start").isin(touched))
-                part = (part.unionByName(existing)
-                        .groupBy(*group_cols).agg(*merge_exprs))
-            (part.repartition("granularity", "bucket_start")
-             .write.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .partitionBy("granularity", "bucket_start")
-             .parquet(path))
-
-        return foreach_batch(pcoll, upsert,
+    def expand(self, pcoll: PCollection):
+        return foreach_batch(pcoll, self._upsert,
                              available_now=self.available_now,
                              checkpoint=self.checkpoint)

@@ -299,3 +299,20 @@ def test_rollup_and_time_rollup_are_single_scan(spark, sf_dir):
     plan = tr._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan
     assert plan.count("Scan parquet") == 1
+
+    # the uuid temp views both transforms route through are dropped
+    # once the plan is resolved — long-lived sessions applying these
+    # repeatedly must not accumulate catalog entries
+    leaked = [v.name for v in spark.catalog.listTables()
+              if v.name.startswith(("__gsets_", "__trollup_"))]
+    assert leaked == []
+    # the results still evaluate after the drop (plan holds the data)
+    assert tr.count() > 0
+    (PCollection(li) | GroupByRollup(
+        ["l_returnflag", "l_linestatus"], {"n": "count(*)"},
+        kind="sets",
+        sets=[("l_returnflag", "l_linestatus"),
+              ("l_returnflag",)])).df.count()
+    leaked = [v.name for v in spark.catalog.listTables()
+              if v.name.startswith(("__gsets_", "__trollup_"))]
+    assert leaked == []

@@ -633,3 +633,79 @@ def test_continuous_aggregate_checkpoint_restart_no_double_merge(
     rows = {r["k"]: (r["n"], r["s"])
             for r in spark.read.parquet(out).collect()}
     assert rows["a"] == (3, 7.0)
+
+
+def test_continuous_aggregate_mid_batch_crash_replay_idempotent(
+        spark, tmp_path):
+    """Crash AFTER the parquet overwrite but BEFORE the checkpoint
+    commit replays the same micro-batch with the SAME batch_id. The
+    __batch_id stamp on every written partition lets the upsert detect
+    the partitions that already absorbed this batch and drop the
+    batch's contribution to them — re-applying must be a no-op."""
+    from beam_spark.streaming.core import ContinuousAggregate
+
+    out = str(tmp_path / "ca")
+    ca = ContinuousAggregate(out, "t", {"hour": 3600},
+                             {"n": "count", "s": "sum:v"}, keys=["k"])
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "t string, k string, v double").selectExpr(
+            "CAST(t AS TIMESTAMP) AS t", "k", "v")
+
+    b0 = batch([("2024-01-01 00:10:00", "a", 1.0)])
+    b1 = batch([("2024-01-01 00:20:00", "a", 2.0),
+                ("2024-01-01 01:05:00", "b", 8.0)])
+    ca._upsert(b0, 0)
+    ca._upsert(b1, 1)
+    state = sorted(map(tuple, spark.read.parquet(out).collect()))
+    ca._upsert(b1, 1)              # replay of the committed batch
+    ca._upsert(b1, 1)              # and again — still a no-op
+    assert sorted(map(tuple,
+                      spark.read.parquet(out).collect())) == state
+    rows = {r["k"]: (r["n"], r["s"])
+            for r in ContinuousAggregate.read(spark, out).collect()}
+    assert rows == {"a": (2, 3.0), "b": (1, 8.0)}
+    assert "__batch_id" not in ContinuousAggregate.read(spark,
+                                                       out).columns
+    # a replay with NEW data for an applied bucket (different batch id)
+    # still merges normally
+    ca._upsert(batch([("2024-01-01 00:50:00", "a", 4.0)]), 2)
+    rows = {r["k"]: (r["n"], r["s"])
+            for r in ContinuousAggregate.read(spark, out).collect()}
+    assert rows["a"] == (3, 7.0)
+
+
+def test_continuous_aggregate_pair_filter_skips_colliding_sibling(
+        spark, tmp_path):
+    """Touched partitions are filtered by the exact (granularity,
+    bucket_start) PAIR: when granularity g1 has an existing bucket
+    whose bucket_start equals a g2 bucket the batch touches, the g1
+    sibling's files must not be read-merged-rewritten (pre-fix the
+    filter was on bucket_start alone and rewrote it)."""
+    import os
+
+    from beam_spark.streaming.core import ContinuousAggregate
+
+    out = str(tmp_path / "ca")
+    ca = ContinuousAggregate(out, "t", {"g1": 10, "g2": 20},
+                             {"n": "count", "s": "sum:v"})
+
+    def batch(epochs):
+        return spark.createDataFrame(
+            [(e, 1.0) for e in epochs], "e bigint, v double"
+        ).selectExpr("CAST(e AS TIMESTAMP) AS t", "v")
+
+    # epoch 25 -> (g1, 20) and (g2, 20)
+    ca._upsert(batch([25]), 0)
+    sib = os.path.join(out, "granularity=g1", "bucket_start=20")
+    before = sorted(os.listdir(sib))
+    # epoch 30 -> touches (g1, 30) and (g2, 20) — bucket_start 20
+    # collides with the existing (g1, 20) partition, which this batch
+    # does NOT touch
+    ca._upsert(batch([30]), 1)
+    assert sorted(os.listdir(sib)) == before      # files untouched
+    got = {(r["granularity"], r["bucket_start"]): (r["n"], r["s"])
+           for r in ContinuousAggregate.read(spark, out).collect()}
+    assert got == {("g1", 20): (1, 1.0), ("g1", 30): (1, 1.0),
+                   ("g2", 20): (2, 2.0)}
