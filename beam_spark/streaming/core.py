@@ -471,14 +471,28 @@ class ContinuousAggregate(PTransform):
     Result table layout: ``path`` partitioned by (granularity,
     bucket_start); read it back with ``ContinuousAggregate.read(spark,
     path)`` (plain ``spark.read.parquet(path)`` works too but exposes
-    the internal ``__batch_id`` column).
+    the internal ``__batch_id`` column). Each upsert leaves every
+    touched partition as a SINGLE file (the write hash-repartitions on
+    the partition columns), so files never accumulate per partition;
+    what accumulates over a long stream is partition DIRECTORIES —
+    bound them with ``expire()``, the drop-chunks retention policy of
+    a timeseries store.
+
+    ``on_update`` (update-mode emission for downstream consumers): a
+    ``fn(delta_df, batch_id)`` called once per micro-batch with the
+    POST-merge rows of every partition the batch changed — the exact
+    upsert the table received, i.e. the changelog a downstream cache /
+    dashboard / alerting query needs. Called before the parquet write;
+    replayed batches whose partitions were all already applied emit
+    nothing (matching the table, which also doesn't change).
     """
 
     BATCH_COL = "__batch_id"
 
     def __init__(self, path: str, ts_col: str, grains, aggs,
                  keys=(), checkpoint: str | None = None,
-                 available_now: bool = True, label=None):
+                 available_now: bool = True,
+                 on_update=None, label=None):
         super().__init__(label)
         self.path, self.ts_col = path, ts_col
         self.grains, self.keys = dict(grains), (
@@ -486,6 +500,7 @@ class ContinuousAggregate(PTransform):
         self.aggs = dict(aggs)
         self.checkpoint = checkpoint or tempfile.mkdtemp(prefix="bs_ca_")
         self.available_now = available_now
+        self.on_update = on_update
         for name, kind in self.aggs.items():
             k = kind.split(":")[0]
             if k not in ("count", "sum", "min", "max"):
@@ -584,12 +599,61 @@ class ContinuousAggregate(PTransform):
                 part, touched = part.filter(cond), touched.filter(cond)
             part = (part.unionByName(touched.drop(bcol))
                     .groupBy(*group_cols).agg(*self._merge_exprs()))
-        (part.withColumn(bcol, F.lit(batch_id).cast("bigint"))
+        if self.on_update is not None:
+            # one materialization feeds both the changelog emission and
+            # the table write (otherwise the merge re-reads existing)
+            part = part.persist()
+            try:
+                self.on_update(part, batch_id)
+                self._write(part, batch_id)
+            finally:
+                part.unpersist()
+        else:
+            self._write(part, batch_id)
+
+    def _write(self, part, batch_id):
+        (part.withColumn(self.BATCH_COL,
+                         F.lit(batch_id).cast("bigint"))
          .repartition("granularity", "bucket_start")
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("granularity", "bucket_start")
-         .parquet(path))
+         .parquet(self.path))
+
+    def expire(self, spark, older_than, now: int):
+        """Retention policy — the drop-chunks maintenance job of a
+        timeseries store: delete every bucket partition whose window
+        END predates ``now - older_than[granularity]`` (all epoch
+        seconds; pass the pipeline's notion of current time — wall
+        clock or the max event time seen). Coarser granularities can
+        keep longer horizons than fine ones, which is what bounds the
+        partition-directory count over an unbounded stream.
+
+        Deletes whole partition directories through the Hadoop
+        FileSystem API (filesystem-agnostic: file://, hdfs://, s3a://).
+        Run it from the maintenance schedule, not inside the query —
+        micro-batches run sequentially, so between batches the table
+        has no concurrent writer. Returns the (granularity,
+        bucket_start) pairs dropped."""
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        dropped = []
+        for g, age in dict(older_than).items():
+            width = int(self.grains[g])
+            gdir = jvm.org.apache.hadoop.fs.Path(
+                root, f"granularity={g}")
+            if not fs.exists(gdir):
+                continue
+            for st in fs.listStatus(gdir):
+                name = st.getPath().getName()
+                if not name.startswith("bucket_start="):
+                    continue
+                b = int(name.split("=", 1)[1])
+                if b + width <= int(now) - int(age):
+                    fs.delete(st.getPath(), True)
+                    dropped.append((g, b))
+        return dropped
 
     def expand(self, pcoll: PCollection):
         return foreach_batch(pcoll, self._upsert,

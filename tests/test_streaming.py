@@ -709,3 +709,73 @@ def test_continuous_aggregate_pair_filter_skips_colliding_sibling(
            for r in ContinuousAggregate.read(spark, out).collect()}
     assert got == {("g1", 20): (1, 1.0), ("g1", 30): (1, 1.0),
                    ("g2", 20): (2, 2.0)}
+
+
+def test_continuous_aggregate_on_update_emits_post_merge_deltas(
+        spark, tmp_path):
+    """on_update is the update-mode changelog: per batch it receives
+    the POST-merge rows of exactly the partitions the batch changed —
+    each emission must match the table state for those buckets right
+    after the batch, and a replayed (already-applied) batch must emit
+    nothing."""
+    from beam_spark.streaming.core import ContinuousAggregate
+
+    out = str(tmp_path / "ca")
+    emitted = []
+    ca = ContinuousAggregate(
+        out, "t", {"hour": 3600}, {"n": "count", "s": "sum:v"},
+        keys=["k"],
+        on_update=lambda df, bid: emitted.append(
+            (bid, {(r["k"], r["bucket_start"]): (r["n"], r["s"])
+                   for r in df.collect()})))
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "t string, k string, v double").selectExpr(
+            "CAST(t AS TIMESTAMP) AS t", "k", "v")
+
+    ca._upsert(batch([("2024-01-01 00:10:00", "a", 1.0)]), 0)
+    ca._upsert(batch([("2024-01-01 00:20:00", "a", 2.0),
+                      ("2024-01-01 01:05:00", "b", 8.0)]), 1)
+    h0 = 1704067200
+    assert emitted == [
+        (0, {("a", h0): (1, 1.0)}),
+        # batch 1 emits the MERGED hour-0 row (n=2) plus the new hour-1
+        (1, {("a", h0): (2, 3.0), ("b", h0 + 3600): (1, 8.0)}),
+    ]
+    emitted.clear()
+    ca._upsert(batch([("2024-01-01 00:20:00", "a", 2.0),
+                      ("2024-01-01 01:05:00", "b", 8.0)]), 1)
+    assert emitted == []          # replay: table unchanged, no delta
+
+
+def test_continuous_aggregate_expire_drops_old_buckets(spark, tmp_path):
+    """expire() is the drop-chunks retention policy: partitions whose
+    window END predates now - older_than[granularity] are deleted,
+    per-granularity, leaving the rest byte-identical."""
+    from beam_spark.streaming.core import ContinuousAggregate
+
+    out = str(tmp_path / "ca")
+    ca = ContinuousAggregate(out, "t", {"hour": 3600, "day": 86400},
+                             {"n": "count"})
+    df = spark.createDataFrame(
+        [("2024-01-01 05:00:00",), ("2024-01-03 05:00:00",),
+         ("2024-01-05 05:00:00",)], "t string"
+    ).selectExpr("CAST(t AS TIMESTAMP) AS t")
+    ca._upsert(df, 0)
+    import calendar
+    now = calendar.timegm((2024, 1, 5, 12, 0, 0))
+    # keep hours for 1 day, days for 3 days
+    dropped = ca.expire(spark, {"hour": 86400, "day": 3 * 86400},
+                        now=now)
+    d1 = calendar.timegm((2024, 1, 1, 0, 0, 0))
+    d3 = d1 + 2 * 86400
+    assert sorted(dropped) == [
+        ("day", d1), ("hour", d1 + 5 * 3600), ("hour", d3 + 5 * 3600)]
+    left = {(r["granularity"], r["bucket_start"])
+            for r in ContinuousAggregate.read(spark, out).collect()}
+    assert left == {("hour", calendar.timegm((2024, 1, 5, 5, 0, 0))),
+                    ("day", d3), ("day", d3 + 2 * 86400)}
+    # idempotent: nothing left to drop
+    assert ca.expire(spark, {"hour": 86400, "day": 3 * 86400},
+                     now=now) == []
