@@ -72,10 +72,19 @@ _PAT_TOKEN_RE = re.compile(r"\w+|[()|,+*?]|\{[^}]*\}")
 _ROW_OPS = {"=": lambda a, b: a == b, "<>": lambda a, b: a != b,
             "!=": lambda a, b: a != b, ">=": lambda a, b: a >= b,
             "<=": lambda a, b: a <= b, ">": lambda a, b: a > b,
-            "<": lambda a, b: a < b}
+            "<": lambda a, b: a < b,
+            # NOT BETWEEN is a per-test disjunction, so it can't expand
+            # to two AND-chain comparisons like BETWEEN does
+            "__nb__": lambda a, b: a < b[0] or a > b[1]}
 _VEC_OPS = {"=": operator.eq, "<>": operator.ne, "!=": operator.ne,
             ">=": operator.ge, "<=": operator.le, ">": operator.gt,
-            "<": operator.lt}
+            "<": operator.lt,
+            "__nb__": lambda s, b: (s < b[0]) | (s > b[1])}
+
+_BETWEEN_RE = re.compile(
+    r"(\w+)\.(\w+)\s+(NOT\s+)?BETWEEN\s+"
+    r"('(?:[^'])*'|-?[0-9.]+)\s+AND\s+('(?:[^'])*'|-?[0-9.]+)",
+    re.IGNORECASE)
 
 
 def _parse_literal(lit: str):
@@ -318,6 +327,23 @@ def _compile_and_chain(cond_sql: str, symbol: str,
     next_used = False
     prev_k_max = 0
     for part in parts:
+        bm = _BETWEEN_RE.fullmatch(part.strip())
+        if bm:
+            # SQL-standard inclusive range over literals. BETWEEN
+            # expands to two AND-chain comparisons; NOT BETWEEN is a
+            # single disjunctive test (v < lo OR v > hi) — NULL never
+            # matches either, like every other comparison here.
+            bsym, col, neg, lo, hi = bm.groups()
+            if bsym.upper() != symbol.upper():
+                raise ValueError(
+                    f"DEFINE for {symbol} references {bsym}")
+            lo, hi = _parse_literal(lo), _parse_literal(hi)
+            if neg:
+                tests.append((col, "__nb__", (lo, hi)))
+            else:
+                tests.append((col, ">=", lo))
+                tests.append((col, "<=", hi))
+            continue
         m = _COND_RE.fullmatch(part.strip())
         if not m:
             raise ValueError(f"unsupported DEFINE condition: {part!r}")

@@ -1120,3 +1120,72 @@ def test_streaming_equals_batch_permute(spark):
     s, b = _stream_vs_batch(spark, batches, **cfg)
     assert s == b
     assert sorted(b) == [(1, "cart", 9), (2, "coupon", 8)]
+
+
+def test_sql_define_between(spark):
+    """BETWEEN / NOT BETWEEN as real DEFINE predicates (the splitter
+    already treated BETWEEN..AND as a unit; the condition compiler now
+    compiles it): inclusive range for BETWEEN, disjunctive complement
+    for NOT BETWEEN, composable with AND chains."""
+    from beam_spark.sql import SqlTransform
+
+    rows_in = [{"k": 1, "i": i, "v": v} for i, v in
+               enumerate([3, 4, 20, 1, 5, 11])]
+    pc = Pipeline(spark) | Create(rows_in)
+    out = ({"ev": pc} | SqlTransform("""
+        SELECT n_m FROM ev MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY i
+          MEASURES COUNT(M.v) AS n_m
+          PATTERN (M+ X)
+          DEFINE M AS M.v BETWEEN 2 AND 5,
+                 X AS X.v NOT BETWEEN 0 AND 10
+        )""")).df
+    assert sorted(r["n_m"] for r in out.collect()) == [1, 2]
+
+    # BETWEEN inside an AND chain, string bounds
+    rows2 = [{"k": 1, "i": i, "t": t, "v": v} for i, (t, v) in
+             enumerate([("a", 3), ("b", 3), ("a", 99), ("c", 1)])]
+    pc2 = Pipeline(spark) | Create(rows2)
+    out2 = ({"s": pc2} | SqlTransform("""
+        SELECT n FROM s MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY i
+          MEASURES COUNT(A.v) AS n
+          PATTERN (A+ Z)
+          DEFINE A AS A.t BETWEEN 'a' AND 'b' AND A.v BETWEEN 1 AND 10,
+                 Z AS Z.v > 50
+        )""")).df
+    assert [r["n"] for r in out2.collect()] == [2]
+
+
+def test_streaming_equals_batch_between_and_subset(spark):
+    """Equivalence script #10: BETWEEN defines + a SUBSET union
+    variable in a FIRST() match-navigation define, split across
+    micro-batches — streaming emission must equal the batch
+    (DuckDB-oracled) semantics."""
+    from beam_spark.sql_match import _compile_condition
+
+    subsets = {"U": ("A", "B")}
+    cfg = dict(
+        pattern=[("A", "1"), ("B", "+"), ("C", "1")],
+        defines={
+            "A": _compile_condition("A.v BETWEEN 10 AND 20", "A"),
+            "B": _compile_condition("B.v NOT BETWEEN 0 AND 9", "B"),
+            # C must undercut the first row of the U = (A, B) union
+            "C": _compile_condition("C.v < FIRST(U.v)", "C", subsets),
+        },
+        measures={"sum_u": lambda m: sum(
+            r["v"] for s, r in m if s in ("A", "B")),
+            "c_v": lambda m: m[-1][1]["v"]},
+        schema="u long, sum_u long, c_v long")
+    batches = [
+        [{"t": "2024-01-01 00:00:10", "u": 1, "typ": "x", "v": 15}],
+        [{"t": "2024-01-01 00:00:20", "u": 1, "typ": "x", "v": 25},
+         {"t": "2024-01-01 00:00:22", "u": 1, "typ": "x", "v": 12}],
+        # v=3 is inside [0, 9]: cannot extend B+, but undercuts
+        # FIRST(U.v)=15 so it closes the match as C
+        [{"t": "2024-01-01 00:00:30", "u": 1, "typ": "x", "v": 3}],
+        [{"t": "2024-01-01 00:10:00", "u": 1, "typ": "x", "v": 100}],
+        [{"t": "2024-01-01 00:20:00", "u": 1, "typ": "x", "v": 100}],
+    ]
+    s, b = _stream_vs_batch(spark, batches, **cfg)
+    assert s == b and b == [(1, 52, 3)]
