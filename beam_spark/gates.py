@@ -659,6 +659,7 @@ def q_ann_exhaustive_suite(spark, sf_dir):
     rrf = _component("q_retrieval_hybrid_rrf")(spark, sf_dir)
     bm25_and = _component("q_retrieval_bm25_and")(spark, sf_dir)
     bm25_ph = _component("q_retrieval_bm25_phrase")(spark, sf_dir)
+    bm25f = _component("q_retrieval_bm25f_topk")(spark, sf_dir)
     posph = _component("q_retrieval_phrase_positional")(spark, sf_dir)
     return _union([
         lsh.selectExpr("'lsh' AS method", "query_id", "nbr_id", "rank", "cosine"),
@@ -671,6 +672,8 @@ def q_ann_exhaustive_suite(spark, sf_dir):
                             "doc_id AS nbr_id", "rank", "score AS cosine"),
         bm25_ph.selectExpr("'bm25_phrase' AS method", "query_id",
                            "doc_id AS nbr_id", "rank", "score AS cosine"),
+        bm25f.selectExpr("'bm25f' AS method", "query_id",
+                         "doc_id AS nbr_id", "rank", "score AS cosine"),
         posph.selectExpr("'phrase_pos' AS method", "query_id",
                          "doc_id AS nbr_id",
                          "CAST(n_occurrences AS INT) AS rank",
@@ -695,6 +698,9 @@ UNION ALL
 UNION ALL
 {_wrap("'bm25_phrase' AS method, query_id, doc_id AS nbr_id, rank, "
        "score AS cosine", _component_sql("q_retrieval_bm25_phrase"))}
+UNION ALL
+{_wrap("'bm25f' AS method, query_id, doc_id AS nbr_id, rank, "
+       "score AS cosine", _component_sql("q_retrieval_bm25f_topk"))}
 UNION ALL
 {_wrap("'phrase_pos' AS method, query_id, doc_id AS nbr_id, "
        "CAST(n_occurrences AS INT) AS rank, "

@@ -133,6 +133,111 @@ class Bm25TopK(PTransform):
         return pcoll.with_df(out)
 
 
+class Bm25fTopK(PTransform):
+    """BM25F (Robertson, Zaragoza & Taylor, CIKM 2004 — "Simple BM25
+    extension to multiple weighted fields"): multi-field lexical
+    retrieval where each field gets its own weight and length
+    normalization, and saturation is applied ONCE to the combined
+    weighted term frequency (the whole point vs summing per-field BM25
+    scores, which over-counts a term present in many fields):
+
+        tf~(t, d) = sum over fields f of
+            w_f * tf_tdf / (1 - b_f + b_f * dl_df / avgdl_f)
+        score(q, d) = sum over distinct q terms t of
+            ln(1 + (N - df_t + 0.5) / (df_t + 0.5))    # Lucene idf
+            * tf~(t, d) / (k1 + tf~(t, d))
+
+    ``fields``: {column: (weight, b)}. Document frequency df_t counts
+    documents containing t in ANY field; avgdl is per field.
+
+    Output: (query_id, doc_id, rank, score), rank over (round(score,
+    6) DESC, doc_id) — deterministic under ties.
+
+    Scale: all fields tokenize in ONE scan (array-of-structs explode,
+    one row per field); per-field stats are a |fields|-row broadcast;
+    the scoring join is term-keyed like single-field BM25, with the
+    same query-term restriction before any broadcast.
+    """
+
+    def __init__(self, queries: DataFrame | PCollection, fields,
+                 k: int = 10, k1: float = 1.2,
+                 id_col: str = "doc_id", query_id_col: str = "query_id",
+                 query_text_col: str = "text", label=None):
+        super().__init__(label)
+        self.queries = (queries.df if isinstance(queries, PCollection)
+                        else queries)
+        self.fields = {c: (float(w), float(b))
+                       for c, (w, b) in dict(fields).items()}
+        if not self.fields:
+            raise ValueError("fields must be non-empty")
+        self.k, self.k1 = k, float(k1)
+        self.id_col = id_col
+        self.query_id_col, self.query_text_col = (query_id_col,
+                                                  query_text_col)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        idc, k1 = self.id_col, self.k1
+        df = pcoll.df
+        # every field tokenized in one scan: explode an array of
+        # (field, tokens) structs into long format
+        exploded = (df.select(
+            F.col(idc),
+            F.explode(F.array(*[
+                F.struct(F.lit(c).alias("__f"),
+                         F.coalesce(tokens(c), F.array()).alias("__t"))
+                for c in self.fields])).alias("fx"))
+            .select(idc, F.col("fx.__f").alias("__f"),
+                    F.col("fx.__t").alias("__t")))
+        postf = (exploded
+                 .select(idc, "__f", F.size("__t").alias("dl"),
+                         F.explode("__t").alias("term"))
+                 .groupBy(idc, "__f", "dl", "term")
+                 .agg(F.count(F.lit(1)).alias("tf")))
+        avgdl = exploded.groupBy("__f").agg(
+            F.avg(F.size("__t")).alias("avgdl"))
+        stats = df.agg(F.count(F.lit(1)).alias("N"))
+        # per-field weight / b as expressions over the field label
+        w_expr = F.lit(None).cast("double")
+        b_expr = F.lit(None).cast("double")
+        for c, (w, b) in self.fields.items():
+            w_expr = F.when(F.col("__f") == c, F.lit(w)).otherwise(w_expr)
+            b_expr = F.when(F.col("__f") == c, F.lit(b)).otherwise(b_expr)
+        wtf = (postf.join(F.broadcast(avgdl), on="__f")
+               .withColumn("__wtf", w_expr * F.col("tf")
+                           / (F.lit(1.0) - b_expr
+                              + b_expr * F.col("dl") / F.col("avgdl")))
+               .groupBy(idc, "term")
+               .agg(F.sum("__wtf").alias("wtf")))
+        # df_t at the DOCUMENT level: a doc counts once however many
+        # fields contain the term
+        dfreq = (postf.select("term", idc).distinct()
+                 .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+        qterms = (self.queries
+                  .select(F.col(self.query_id_col).alias("query_id"),
+                          F.explode(F.array_distinct(
+                              tokens(self.query_text_col)))
+                          .alias("term")))
+        q_df = dfreq.join(
+            F.broadcast(qterms.select("term").distinct()), on="term")
+        idf = F.log(F.lit(1.0) + (F.col("N") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5))
+        scored = (wtf.join(F.broadcast(qterms), on="term")
+                  .join(F.broadcast(q_df), on="term")
+                  .crossJoin(F.broadcast(stats))
+                  .groupBy("query_id", idc)
+                  .agg(F.round(F.sum(idf * F.col("wtf")
+                                     / (k1 + F.col("wtf"))), 6)
+                       .alias("score")))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col(idc))
+        out = (scored.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= self.k)
+               .select("query_id", idc, "rank", "score"))
+        return pcoll.with_df(out)
+
+
 class RrfFuse(PTransform):
     """Reciprocal-rank fusion (Cormack et al. 2009) of two or more
     rankings — the standard hybrid-search combiner (lexical BM25 +

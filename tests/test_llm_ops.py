@@ -578,6 +578,31 @@ def test_bm25_ranks_rare_term_doc_first(spark):
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
 
 
+def test_bm25f_field_weighting(spark):
+    """BM25F: with a heavily weighted title field, a doc matching the
+    query term in its TITLE outranks a doc matching only in its body;
+    saturation over the COMBINED weighted tf means a term in both
+    fields scores less than the per-field-BM25 sum would give."""
+    from beam_spark.operators.retrieval import Bm25fTopK
+
+    docs = spark.createDataFrame(
+        [(1, "zyzzyva report", "common words fill this body entirely"),
+         (2, "plain heading here", "body mentions zyzzyva once only"),
+         (3, "another heading", "nothing relevant in this body")],
+        "doc_id long, title string, body string")
+    queries = spark.createDataFrame(
+        [(100, "zyzzyva")], "query_id long, text string")
+    out = (PCollection(docs) | Bm25fTopK(
+        queries, {"title": (5.0, 0.5), "body": (1.0, 0.75)}, k=3)).df
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in rows] == [1, 2]  # title hit wins
+    assert rows[0]["score"] > rows[1]["score"]
+    # empty fields dict rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-empty"):
+        Bm25fTopK(queries, {})
+
+
 def test_rrf_fusion_properties(spark):
     """A doc ranked top in BOTH rankings beats docs top in only one;
     fewer than two rankings is rejected."""
