@@ -367,7 +367,33 @@ CASES = [
      .fillna(0).astype("int64").reset_index()),
     ("loc_label_slice_sorted", lambda t: t["o"].set_index("o_orderkey")
      .sort_index().loc[:200][["o_totalprice"]]),
+    # ---- round-7: setitem / swaplevel / stack families ----
+    ("swaplevel_reset", lambda t: t["o"].set_index(
+        ["o_orderstatus", "o_orderpriority"]).swaplevel()[
+            ["o_orderkey"]].reset_index()),
+    ("stack_gb_sum", lambda t: t["o"].groupby(
+        "o_orderstatus")[["o_totalprice", "o_custkey"]]
+     .sum().stack().reset_index()),
+    ("setitem_scalar_col", lambda t: _setitem_scalar(t)),
+    ("iloc_setitem_col", lambda t: _iloc_setitem(t)),
+    ("assign_bool_col", lambda t: t["o"].assign(
+        big=t["o"].o_totalprice > 100000)[["o_orderkey", "big"]]),
+    ("unstack_gb_sum", lambda t: t["o"].groupby(
+        ["o_orderstatus", "o_orderpriority"]).o_totalprice.sum()
+     .unstack().fillna(0.0).reset_index()),
 ]
+
+
+def _setitem_scalar(t):
+    d = t["o"][["o_orderkey", "o_totalprice"]].copy()
+    d["z"] = 0
+    return d[["o_orderkey", "z"]]
+
+
+def _iloc_setitem(t):
+    d = t["o"][["o_orderkey", "o_totalprice"]].copy()
+    d.iloc[:, 1] = 7.0
+    return d
 
 
 # pyspark.pandas divergences found by the sweep — documented, each
