@@ -543,3 +543,163 @@ class IvfCosineTopK(PTransform):
                .select("query_id", F.col(idc).alias("nbr_id"), "rank",
                        F.round("cosine", 6).alias("cosine")))
         return pcoll.with_df(out)
+
+
+class PqCosineTopK(PTransform):
+    """Product-quantization ANN (Jegou, Douze & Schmid, TPAMI 2011 —
+    "Product Quantization for Nearest Neighbor Search"; the PQ/ADC
+    half of the FAISS IVF-PQ layout). Where LSH/IVF prune WHICH rows a
+    query scores, PQ shrinks WHAT the scan reads: a D-dim float64
+    vector (D*8 bytes) becomes ``m`` one-byte centroid codes, so the
+    exhaustive scan touches ~D*8/m x fewer bytes — the scale lever
+    when the corpus is too big to keep raw vectors hot.
+
+    fit (driver, bounded deterministic sample): normalized vectors
+    split into ``m`` subvectors; per-subspace Lloyd k-means of ``ks``
+    centroids -> an (m, ks, D/m) codebook, broadcast in closures.
+
+    encode (one corpus scan, Arrow-batched): each subvector maps to
+    its nearest centroid id — m small ints per vector.
+
+    scan (asymmetric distance computation): per query, one (m, ks)
+    table of query-subvector x centroid dot products; a code scores as
+    the sum of m table lookups — vectors are never reconstructed. Each
+    batch emits only its top-``rerank_factor * k`` candidate rows per
+    query, so the shuffled intermediate is candidates * queries *
+    batches regardless of corpus size.
+
+    rerank: the global candidate set (a broadcast — it is tiny)
+    semi-joins back to the TRUE vectors and exact JVM-side cosine
+    picks the final top-k — the standard PQ-then-exact-rerank recipe:
+    reported scores are EXACT; only recall is approximate (tunable
+    with m/ks/rerank_factor).
+
+    Output: (query_id, nbr_id, rank, cosine), rank over (cosine DESC,
+    nbr_id) like the other ANN operators.
+    """
+
+    def __init__(self, queries: DataFrame | PCollection, k: int = 10,
+                 m: int = 8, ks: int = 16, rerank_factor: int = 4,
+                 fit_sample: int = 2048, lloyd_iters: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 exclude_self: bool = True, label=None):
+        super().__init__(label)
+        self.queries = (queries.df if isinstance(queries, PCollection)
+                        else queries)
+        self.k, self.m, self.ks = k, int(m), int(ks)
+        self.rerank_factor = int(rerank_factor)
+        self.fit_sample, self.lloyd_iters = fit_sample, lloyd_iters
+        self.id_col, self.vec_col = id_col, vec_col
+        self.exclude_self = exclude_self
+
+    def _fit_codebooks(self, df):
+        import numpy as np
+
+        sample = (df.select(self.vec_col)
+                  .orderBy(F.xxhash64(self.id_col))  # deterministic
+                  .limit(self.fit_sample).collect())
+        X = np.array([r[0] for r in sample], dtype=np.float64)
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        D = X.shape[1]
+        if D % self.m:
+            raise ValueError(
+                f"vector dim {D} not divisible by m={self.m} subspaces")
+        sub = D // self.m
+        books = np.empty((self.m, self.ks, sub), dtype=np.float64)
+        for s in range(self.m):
+            Xs = X[:, s * sub:(s + 1) * sub]
+            C = Xs[: self.ks].copy()
+            if len(C) < self.ks:          # tiny corpus: pad by cycling
+                C = np.resize(C, (self.ks, sub))
+            for _ in range(self.lloyd_iters):
+                d2 = (((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1))
+                a = d2.argmin(axis=1)
+                for c in range(self.ks):
+                    mem = Xs[a == c]
+                    if len(mem):
+                        C[c] = mem.mean(axis=0)
+            books[s] = C
+        return books
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import Window
+
+        idc, vc, k = self.id_col, self.vec_col, self.k
+        m, ks = self.m, self.ks
+        cands = max(self.rerank_factor * k, k)
+        exclude_self = self.exclude_self
+        books = self._fit_codebooks(pcoll.df)
+        sub = books.shape[2]
+
+        def encode_gen(batches):
+            for pdf in batches:
+                mat = np.array(list(pdf[vc]), dtype=np.float64)
+                mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+                codes = np.empty((len(pdf), m), dtype=np.int32)
+                for s in range(m):
+                    Xs = mat[:, s * sub:(s + 1) * sub]
+                    d2 = ((Xs ** 2).sum(1)[:, None]
+                          - 2.0 * Xs @ books[s].T
+                          + (books[s] ** 2).sum(1)[None, :])
+                    codes[:, s] = d2.argmin(axis=1)
+                yield pd.DataFrame({idc: pdf[idc], "codes": list(codes)})
+
+        codes_df = pcoll.df.select(idc, vc).mapInPandas(
+            encode_gen, schema=f"{idc} long, codes array<int>")
+
+        qrows = self.queries.select(idc, vc).collect()
+        q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+        q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
+        q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+        # per-query ADC tables: luts[q, s, code] = dot(q_sub, centroid)
+        luts = np.stack([q_mat[:, s * sub:(s + 1) * sub] @ books[s].T
+                         for s in range(m)], axis=1)
+        nq = len(q_ids)
+
+        def scan_gen(batches):
+            for pdf in batches:
+                codes = np.array(list(pdf["codes"]), dtype=np.int64)
+                ids = pdf[idc].to_numpy(dtype=np.int64)
+                scores = np.zeros((nq, len(pdf)), dtype=np.float64)
+                for s in range(m):
+                    scores += luts[:, s, codes[:, s]]
+                if exclude_self:
+                    scores = np.where(q_ids[:, None] == ids[None, :],
+                                      -np.inf, scores)
+                top = min(cands, scores.shape[1])
+                idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+                out = pd.DataFrame(
+                    {"query_id": np.repeat(q_ids, top),
+                     "nbr_id": ids[idx].ravel(),
+                     "approx": np.take_along_axis(scores, idx, 1).ravel()})
+                yield out[out["approx"] > -np.inf]
+
+        partial = codes_df.mapInPandas(
+            scan_gen, schema="query_id long, nbr_id long, approx double")
+        wc = Window.partitionBy("query_id").orderBy(
+            F.col("approx").desc(), F.col("nbr_id"))
+        cand = (partial.withColumn("r", F.row_number().over(wc))
+                .filter(F.col("r") <= cands)
+                .select("query_id", "nbr_id"))
+        # exact rerank on the candidates only: the candidate set is
+        # queries*cands rows — broadcast it so the corpus side never
+        # shuffles; q vectors ride a tiny broadcast frame too
+        spark = pcoll.df.sparkSession
+        qv = spark.createDataFrame(
+            [(int(i), [float(v) for v in row])
+             for i, row in zip(q_ids, q_mat)],
+            schema="query_id long, q_vec array<double>")
+        joined = (pcoll.df.select(F.col(idc).alias("nbr_id"), vc)
+                  .join(F.broadcast(cand), on="nbr_id")
+                  .join(F.broadcast(qv), on="query_id"))
+        exact = joined.withColumn(
+            "cosine", dot(F.col("q_vec"), F.col(vc)) / norm(F.col(vc)))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("nbr_id"))
+        out = (exact.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= k)
+               .select("query_id", "nbr_id", "rank",
+                       F.round("cosine", 6).alias("cosine")))
+        return pcoll.with_df(out)

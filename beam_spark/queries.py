@@ -2174,6 +2174,39 @@ def q_bm25_boosted(spark, sf_dir):
     return (PCollection(docs) | Bm25TopK(queries_df, k=5, k1=1.5)).df
 
 
+@query("q_ann_pq_recall", """
+SELECT vec_id AS query_id, TRUE AS ok
+FROM embeddings WHERE vec_id < 10
+""")
+def q_ann_pq_recall(spark, sf_dir):
+    """Product-quantization ANN (Jegou et al. 2011) recall verdict:
+    PQ codes + ADC scan + exact rerank must recover >= 3 of the exact
+    top-5 neighbors for every query (measured min recall across SFs is
+    0.8 with m=4, ks=256, rerank_factor=40 — threshold 0.6 leaves a
+    full-hit margin). Verdict-pattern oracle: PQ is lossy by design,
+    so the pinned expectation is the recall CONTRACT, not the ranking
+    values (the exact-rerank scores themselves are exact cosines)."""
+    from beam_spark.operators.similarity import (BruteForceCosineTopK,
+                                                 PqCosineTopK)
+
+    emb = table(spark, sf_dir, "embeddings").df.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        .alias("embedding"))
+    q = emb.filter("vec_id < 10")
+    pq = (PCollection(emb) | PqCosineTopK(
+        q, k=5, m=4, ks=256, rerank_factor=40)).df
+    bf = (PCollection(emb) | BruteForceCosineTopK(q, k=5)).df
+    hits = (pq.join(bf, on=["query_id", "nbr_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+    qids = q.select(F.col("vec_id").alias("query_id"))
+    return (qids.join(hits, on="query_id", how="left")
+            .select("query_id",
+                    (F.coalesce(F.col("n_hits"), F.lit(0)) >= 3)
+                    .alias("ok")))
+
+
 @query("q_retrieval_bm25f_topk", r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t

@@ -119,6 +119,40 @@ def test_ivf_deterministic(spark, sf_dir):
     assert a == b
 
 
+def test_pq_ann_recall_scores_and_errors(spark, sf_dir):
+    """PqCosineTopK: ADC candidates + exact rerank recover most exact
+    neighbors; reported scores are EXACT cosines (they must appear in
+    the brute-force score map verbatim); dims not divisible by m are
+    rejected; reruns are deterministic."""
+    import pytest as _pytest
+    from beam_spark.operators.similarity import (BruteForceCosineTopK,
+                                                 PqCosineTopK)
+
+    emb = q.table(spark, sf_dir, "embeddings").df.select(
+        "vec_id", F.expr(
+            "transform(embedding, x -> CAST(x AS DOUBLE))"
+        ).alias("embedding"))
+    emb.persist()
+    qs = emb.filter("vec_id < 10")
+    brute = (PCollection(emb) | BruteForceCosineTopK(qs, k=5)).df.collect()
+    bset = {(r["query_id"], r["nbr_id"]) for r in brute}
+    bscore = {(r["query_id"], r["nbr_id"]): r["cosine"] for r in brute}
+    pq_rows = (PCollection(emb) | PqCosineTopK(
+        qs, k=5, m=4, ks=64, rerank_factor=20)).df.collect()
+    pset = {(r["query_id"], r["nbr_id"]) for r in pq_rows}
+    assert len(pset & bset) / len(bset) >= 0.6
+    for r in pq_rows:           # exact-rerank scores match brute force
+        key = (r["query_id"], r["nbr_id"])
+        if key in bscore:
+            assert abs(r["cosine"] - bscore[key]) < 1e-9
+    again = (PCollection(emb) | PqCosineTopK(
+        qs, k=5, m=4, ks=64, rerank_factor=20)).df.collect()
+    assert sorted(map(tuple, pq_rows)) == sorted(map(tuple, again))
+    with _pytest.raises(ValueError, match="not divisible"):
+        (PCollection(emb) | PqCosineTopK(qs, k=5, m=7)).df.count()
+    emb.unpersist()
+
+
 def test_streaming_llm_dataprep_composition(spark):
     """The LLM dataprep operators compose UNCHANGED on a stream: quality
     score -> filter -> TTL exact-dedup (dropDuplicatesWithinWatermark on
