@@ -227,6 +227,118 @@ class DistributionDrift(PTransform):
         return pcoll.with_df(out)
 
 
+class KsDrift(PTransform):
+    """Two-sample Kolmogorov–Smirnov drift test between a REFERENCE
+    frame and the current input on one numeric column: D = sup over x
+    of |ECDF_ref(x) - ECDF_cur(x)|, plus the asymptotic two-sided
+    p-value (Smirnov's series, 20 terms). The distribution-free
+    companion to PSI (``DistributionDrift``): no binning choices, a
+    proper significance level — the standard "did this feature shift"
+    test.
+
+    Modes:
+      exact (default): both sides aggregate to (value, n_ref, n_cur)
+      counts first; the cumulative window then runs over the DISTINCT
+      observed values only. Exact, and cheap when the column's
+      distinct cardinality is bounded (discrete features, scores at
+      fixed precision). Because a no-partition cumulative window
+      funnels through one task, the ``max_distinct`` guard (default
+      1e6) counts the aggregated frame first and fails fast with an
+      actionable message when a continuous column would blow it up.
+      bins=B: histogram KS over B fixed-width bins of the combined
+      min/max — every heavy step is a groupBy on the bin id and the
+      window runs over exactly B rows; D_binned is a lower bound of D
+      converging as B grows. The unbounded-cardinality scale path.
+
+    Output: ONE row — (ks_stat, p_value, n_ref, n_cur), both floats
+    rounded to 6 dp (deterministic across engines).
+    """
+
+    def __init__(self, reference, col: str, ref_col: str | None = None,
+                 bins: int | None = None,
+                 max_distinct: int | None = 1_000_000, label=None):
+        super().__init__(label)
+        self.reference = (reference.df
+                          if isinstance(reference, PCollection)
+                          else reference)
+        self.col, self.ref_col = col, ref_col or col
+        self.bins = int(bins) if bins else None
+        self.max_distinct = max_distinct
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        a = (self.reference
+             .select(F.col(self.ref_col).cast("double").alias("__x"))
+             .where(F.col("__x").isNotNull())
+             .withColumn("__s", F.lit(0)))
+        b = (pcoll.df
+             .select(F.col(self.col).cast("double").alias("__x"))
+             .where(F.col("__x").isNotNull())
+             .withColumn("__s", F.lit(1)))
+        u = a.unionByName(b)
+        if self.bins:
+            nb = self.bins
+            stats = u.agg(F.min("__x").alias("__mn"),
+                          F.max("__x").alias("__mx"))
+            width = (F.col("__mx") - F.col("__mn")) / nb
+            raw = F.floor((F.col("__x") - F.col("__mn")) / width)
+            v = F.when(F.col("__mx") == F.col("__mn"), F.lit(0)).otherwise(
+                F.least(F.lit(nb - 1), raw)).cast("bigint")
+            u = u.crossJoin(F.broadcast(stats))
+        else:
+            v = F.col("__x")
+        counts = (u.groupBy(v.alias("__v"))
+                  .agg(F.sum(F.when(F.col("__s") == 0, 1).otherwise(0))
+                       .alias("__n1"),
+                       F.sum(F.when(F.col("__s") == 1, 1).otherwise(0))
+                       .alias("__n2")))
+        if self.bins is None and self.max_distinct is not None:
+            nd = counts.count()
+            if nd > self.max_distinct:
+                raise ValueError(
+                    f"KsDrift exact mode: column has {nd} distinct "
+                    f"values (> max_distinct={self.max_distinct}); the "
+                    "cumulative window would funnel them through one "
+                    "task. Pass bins= for the histogram scale path, or "
+                    "raise max_distinct explicitly.")
+        # cumulative over the AGGREGATED frame only: distinct values in
+        # exact mode (guarded above), exactly `bins` rows in bin mode
+        w = Window.orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)
+        cum = (counts
+               .withColumn("__c1", F.sum("__n1").over(w))
+               .withColumn("__c2", F.sum("__n2").over(w)))
+        tot = u.agg(
+            F.sum(F.when(F.col("__s") == 0, 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).alias("nb"))
+        d = (cum.crossJoin(F.broadcast(tot))
+             .agg(F.max(F.abs(F.col("__c1") / F.col("na")
+                              - F.col("__c2") / F.col("nb")))
+                  .alias("__d"),
+                  F.first("na").alias("n_ref"),
+                  F.first("nb").alias("n_cur")))
+        # asymptotic two-sided p (Smirnov), 20 terms, deterministic
+        # left-to-right accumulation in both engines
+        ne = (F.col("n_ref").cast("double") * F.col("n_cur")
+              / (F.col("n_ref") + F.col("n_cur")))
+        lam = (F.sqrt(ne) + 0.12 + 0.11 / F.sqrt(ne)) * F.col("__d")
+        series = F.aggregate(
+            F.sequence(F.lit(1), F.lit(20)),
+            F.lit(0.0).cast("double"),
+            lambda acc, j: acc + F.when(j % 2 == 1, 1.0).otherwise(-1.0)
+            * F.exp(-2.0 * (j * lam).cast("double") * j * lam))
+        # the alternating series stops decaying as lam -> 0 (the formal
+        # sum at lam=0 is 1-1+1-...): below 0.3 the true Q(lam) is
+        # > 0.9995, so clamp to 1 there (Numerical Recipes posture)
+        p = F.when(lam < 0.3, F.lit(1.0)).otherwise(
+            F.least(F.lit(1.0), F.greatest(F.lit(0.0), 2.0 * series)))
+        out = d.select(F.round("__d", 6).alias("ks_stat"),
+                       F.round(p, 6).alias("p_value"),
+                       "n_ref", "n_cur")
+        return pcoll.with_df(out)
+
+
 class SchemaDiff(PTransform):
     """Schema drift vs a reference frame: one row per column that was
     ADDED, REMOVED, or TYPE_CHANGED relative to the reference —

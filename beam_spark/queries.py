@@ -2174,6 +2174,54 @@ def q_bm25_boosted(spark, sf_dir):
     return (PCollection(docs) | Bm25TopK(queries_df, k=5, k1=1.5)).df
 
 
+@query("q_quality_ks_drift", """
+WITH u AS (
+  SELECT o_totalprice AS x,
+         CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE 1 END AS s
+  FROM orders),
+counts AS (SELECT x,
+                  sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS n1,
+                  sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS n2
+           FROM u GROUP BY x),
+cum AS (SELECT x, sum(n1) OVER (ORDER BY x) AS c1,
+               sum(n2) OVER (ORDER BY x) AS c2 FROM counts),
+tot AS (SELECT sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS na,
+               sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS nb FROM u),
+d AS (SELECT max(abs(CAST(c1 AS DOUBLE) / na - CAST(c2 AS DOUBLE) / nb))
+             AS dd,
+             CAST(max(na) AS BIGINT) AS n_ref,
+             CAST(max(nb) AS BIGINT) AS n_cur
+      FROM cum, tot),
+pv AS (SELECT dd, n_ref, n_cur,
+              (sqrt(CAST(n_ref AS DOUBLE) * n_cur / (n_ref + n_cur))
+               + 0.12
+               + 0.11 / sqrt(CAST(n_ref AS DOUBLE) * n_cur
+                             / (n_ref + n_cur))) * dd AS lam
+       FROM d)
+SELECT round(dd, 6) AS ks_stat,
+       round(CASE WHEN lam < 0.3 THEN CAST(1 AS DOUBLE)
+         ELSE least(CAST(1 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+           2 * (SELECT sum(CASE WHEN j % 2 = 1 THEN 1.0 ELSE -1.0 END
+                           * exp(-2 * (j * lam) * j * lam))
+                FROM range(1, 21) t(j)))) END, 6) AS p_value,
+       n_ref, n_cur
+FROM pv
+""")
+def q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift: even-keyed orders'
+    o_totalprice as reference vs odd-keyed as current, exact mode —
+    the cumulative window runs over the distinct-value AGGREGATE and
+    D/p are recomputed value-exactly by DuckDB (integer cumulative
+    counts make D bit-identical; the Smirnov 20-term series uses the
+    same left-to-right association in both engines)."""
+    from beam_spark.operators.quality import KsDrift
+
+    orders = table(spark, sf_dir, "orders").df
+    ref = orders.filter("o_orderkey % 2 = 0")
+    cur = orders.filter("o_orderkey % 2 = 1")
+    return (PCollection(cur) | KsDrift(ref, "o_totalprice")).df
+
+
 @query("q_ann_pq_recall", """
 SELECT vec_id AS query_id, TRUE AS ok
 FROM embeddings WHERE vec_id < 10

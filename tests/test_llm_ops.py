@@ -119,6 +119,34 @@ def test_ivf_deterministic(spark, sf_dir):
     assert a == b
 
 
+def test_ks_drift_detects_shift_and_binned_mode(spark):
+    """KsDrift: disjoint samples give D=1 / p~0; identical samples give
+    D=0 / p=1; the binned scale path lower-bounds the exact D and
+    converges to it; the exact-mode cardinality guard fails fast."""
+    import pytest as _pytest
+    from beam_spark.operators.quality import KsDrift
+
+    lo = spark.range(0, 300).selectExpr("CAST(id AS DOUBLE) AS v")
+    hi = spark.range(1000, 1300).selectExpr("CAST(id AS DOUBLE) AS v")
+    r = (PCollection(hi) | KsDrift(lo, "v")).df.collect()[0]
+    assert r["ks_stat"] == 1.0 and r["p_value"] < 1e-6
+    assert (r["n_ref"], r["n_cur"]) == (300, 300)
+
+    same = (PCollection(lo) | KsDrift(lo, "v")).df.collect()[0]
+    assert same["ks_stat"] == 0.0 and same["p_value"] == 1.0
+
+    # half-shifted overlap: exact D = 0.5; bins approach it from below
+    sh = spark.range(150, 450).selectExpr("CAST(id AS DOUBLE) AS v")
+    exact = (PCollection(sh) | KsDrift(lo, "v")).df.collect()[0]
+    assert abs(exact["ks_stat"] - 0.5) < 0.01
+    binned = (PCollection(sh) | KsDrift(lo, "v", bins=50)).df.collect()[0]
+    assert binned["ks_stat"] <= exact["ks_stat"] + 1e-9
+    assert exact["ks_stat"] - binned["ks_stat"] < 0.05
+
+    with _pytest.raises(ValueError, match="max_distinct"):
+        (PCollection(sh) | KsDrift(lo, "v", max_distinct=10)).df.count()
+
+
 def test_pq_ann_recall_scores_and_errors(spark, sf_dir):
     """PqCosineTopK: ADC candidates + exact rerank recover most exact
     neighbors; reported scores are EXACT cosines (they must appear in
