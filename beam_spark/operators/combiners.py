@@ -279,6 +279,57 @@ class TemperatureSample(PTransform):
         return pcoll.with_df(out)
 
 
+class StratifiedSample(PTransform):
+    """Exact-size stratified sampling: keep exactly ``n`` rows (or an
+    exact ``fraction``) PER STRATUM, chosen by md5-hash order of the
+    id — fully deterministic (no RNG), reproducible across engines,
+    retries and partitionings, and stable under corpus growth in the
+    sense that the selection is a pure function of the stratum's id
+    set. The exactness rand()-based ``sampleBy`` lacks: per-stratum
+    counts are guaranteed, not expected values.
+
+    ``n``: int (same size for every stratum) or {stratum_value: n}
+    (strata absent from the dict are dropped); or ``fraction``: exact
+    ceil(fraction * stratum_size) rows. Exactly one of the two.
+
+    Scale: one hash-partitioned window per stratum (distributed across
+    strata — the skew unit is the largest stratum, same as any groupBy
+    on the stratum key); no global sort, no collect.
+    """
+
+    def __init__(self, stratum_col: str, id_col: str, n=None,
+                 fraction: float | None = None, label=None):
+        super().__init__(label)
+        if (n is None) == (fraction is None):
+            raise ValueError("pass exactly one of n= / fraction=")
+        self.stratum_col, self.id_col = stratum_col, id_col
+        self.n, self.fraction = n, fraction
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        df = pcoll.df
+        h = F.md5(F.col(self.id_col).cast("string"))
+        part = Window.partitionBy(self.stratum_col)
+        rn = F.row_number().over(part.orderBy(h, F.col(self.id_col)))
+        out = df.withColumn("__rn", rn)
+        if self.fraction is not None:
+            out = out.withColumn(
+                "__cnt", F.count(F.lit(1)).over(part))
+            keep = (F.col("__rn")
+                    <= F.ceil(F.col("__cnt") * float(self.fraction)))
+        elif isinstance(self.n, dict):
+            limit = F.lit(None).cast("bigint")
+            for s, k in self.n.items():
+                limit = F.when(F.col(self.stratum_col) == s,
+                               F.lit(int(k))).otherwise(limit)
+            keep = F.col("__rn") <= limit     # NULL limit drops stratum
+        else:
+            keep = F.col("__rn") <= int(self.n)
+        return pcoll.with_df(
+            out.filter(keep).drop("__rn", "__cnt"))
+
+
 class SplitByHash(PTransform):
     """Deterministic train/val/test split: each row's split label is a
     pure function of its id (the same md5-bucket uniform HashSample

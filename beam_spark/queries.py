@@ -1724,6 +1724,36 @@ def q_split_by_hash(spark, sf_dir):
     return out.df.select("doc_id", "split")
 
 
+@query("q_sample_stratified", """
+WITH r AS (
+  SELECT event_id, event_type, user_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM events)
+SELECT event_id, event_type, user_id, 'n20' AS mode FROM r WHERE rn <= 20
+UNION ALL
+SELECT event_id, event_type, user_id, 'frac' AS mode FROM r
+WHERE rn <= CAST(ceil(cnt * 0.25) AS BIGINT)
+""")
+def q_sample_stratified(spark, sf_dir):
+    """Exact-size stratified sampling, value-exact rows: 20 events per
+    event_type plus an exact 25% per type, both selected by md5 order
+    of event_id — the identical deterministic ranking DuckDB computes,
+    so the SELECTED ROWS (not just counts) oracle-match."""
+    from beam_spark.operators.combiners import StratifiedSample
+
+    ev = table(spark, sf_dir, "events")
+    cols = ["event_id", "event_type", "user_id"]
+    a = (ev | StratifiedSample("event_type", "event_id", n=20)).df \
+        .select(*cols).withColumn("mode", F.lit("n20"))
+    b = (ev | StratifiedSample("event_type", "event_id",
+                               fraction=0.25)).df \
+        .select(*cols).withColumn("mode", F.lit("frac"))
+    return a.unionByName(b)
+
+
 @query("q_retrieval_bm25_topk", r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t

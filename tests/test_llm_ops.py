@@ -356,6 +356,41 @@ def test_repetition_stats_zero_shuffle(spark, sf_dir):
     assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
 
 
+def test_stratified_sample_exact_counts(spark):
+    """StratifiedSample: exact n per stratum (capped at stratum size),
+    per-stratum dict sizes with absent strata dropped, exact
+    ceil(fraction * size), deterministic reruns, arg validation."""
+    import pytest as _pytest
+    from beam_spark.operators.combiners import StratifiedSample
+
+    rows = [(i, "a" if i < 50 else ("b" if i < 80 else "c"))
+            for i in range(90)]          # strata: a=50, b=30, c=10
+    df = spark.createDataFrame(rows, "id long, grp string")
+    got = (PCollection(df)
+           | StratifiedSample("grp", "id", n=20)).df
+    by = {r[0]: r[1] for r in got.groupBy("grp").count().collect()}
+    assert by == {"a": 20, "b": 20, "c": 10}    # c capped at its size
+
+    d = (PCollection(df) | StratifiedSample(
+        "grp", "id", n={"a": 5, "b": 2})).df
+    by = {r[0]: r[1] for r in d.groupBy("grp").count().collect()}
+    assert by == {"a": 5, "b": 2}               # c dropped
+
+    fr = (PCollection(df)
+          | StratifiedSample("grp", "id", fraction=0.25)).df
+    by = {r[0]: r[1] for r in fr.groupBy("grp").count().collect()}
+    assert by == {"a": 13, "b": 8, "c": 3}      # ceil(.25 * size)
+
+    again = (PCollection(df)
+             | StratifiedSample("grp", "id", n=20)).df
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, again.collect()))
+    with _pytest.raises(ValueError, match="exactly one"):
+        StratifiedSample("grp", "id")
+    with _pytest.raises(ValueError, match="exactly one"):
+        StratifiedSample("grp", "id", n=5, fraction=0.5)
+
+
 def test_temperature_sample_flattens_toward_targets(spark):
     """alpha=0.5 rebalancing: kept domain shares approach p_i ~ sqrt(n_i)
     and the total approaches target_frac; decisions are deterministic
