@@ -296,6 +296,9 @@ def _register_curation():
         "LineDedup": ("beam_spark.operators.dedupe", "LineDedup"),
         "GroupByRollup": ("beam_spark.operators.group", "GroupByRollup"),
         "TimeRollup": ("beam_spark.operators.group", "TimeRollup"),
+        "StratifiedSample": ("beam_spark.operators.combiners",
+                             "StratifiedSample"),
+        "Pivot": ("beam_spark.operators.group", "Pivot"),
     }
 
     def make(mod_name, cls_name):
@@ -310,6 +313,43 @@ def _register_curation():
 
 
 _register_curation()
+
+
+@register_yaml_transform("KsDrift")
+def _ks_drift(t, current, named, pipeline):
+    """Two-frame drift test: ``reference:`` names another pipeline
+    step whose output is the reference sample."""
+    from beam_spark.operators.quality import KsDrift
+
+    ref = named[t["reference"]]
+    kwargs = {k: v for k, v in t.items()
+              if k not in ("type", "name", "input", "reference")}
+    return current | KsDrift(ref.df, **kwargs)
+
+
+@register_yaml_transform("Bm25TopK")
+def _bm25_topk(t, current, named, pipeline):
+    """Lexical retrieval: ``queries:`` names the query-frame step."""
+    from beam_spark.operators.retrieval import Bm25TopK
+
+    q = named[t["queries"]]
+    kwargs = {k: v for k, v in t.items()
+              if k not in ("type", "name", "input", "queries")}
+    return current | Bm25TopK(q.df, **kwargs)
+
+
+@register_yaml_transform("Bm25fTopK")
+def _bm25f_topk(t, current, named, pipeline):
+    """Multi-field BM25F: ``queries:`` names the query-frame step;
+    ``fields:`` maps column -> [weight, b]."""
+    from beam_spark.operators.retrieval import Bm25fTopK
+
+    q = named[t["queries"]]
+    fields = {c: (float(w), float(b))
+              for c, (w, b) in dict(t["fields"]).items()}
+    kwargs = {k: v for k, v in t.items()
+              if k not in ("type", "name", "input", "queries", "fields")}
+    return current | Bm25fTopK(q.df, fields, **kwargs)
 
 
 @register_yaml_transform("BpeEncode")

@@ -262,3 +262,86 @@ pipeline:
     total = [r["n"] for r in rows if r["grouping_id"] == 3]
     assert total and total[0] == sum(
         r["n"] for r in rows if r["grouping_id"] == 0)
+
+
+def test_yaml_ks_drift_and_stratified(spark, sf_dir):
+    """Round-7 YAML surface: two-frame KsDrift via a named reference
+    step; StratifiedSample through the generic curation adapter."""
+    from beam_spark.yaml_pipeline import run_yaml
+
+    out = run_yaml(f"""
+pipeline:
+  transforms:
+    - type: ReadFromParquet
+      path: {sf_dir}/orders.parquet
+      name: ref
+    - type: ReadFromParquet
+      path: {sf_dir}/orders.parquet
+    - type: KsDrift
+      reference: ref
+      col: o_totalprice
+""", spark)
+    r = out.df.collect()[0]
+    assert r["ks_stat"] == 0.0 and r["p_value"] == 1.0  # same frame
+
+    out2 = run_yaml(f"""
+pipeline:
+  transforms:
+    - type: ReadFromParquet
+      path: {sf_dir}/events.parquet
+    - type: StratifiedSample
+      stratum_col: event_type
+      id_col: event_id
+      n: 7
+""", spark)
+    by = {r[0]: r[1]
+          for r in out2.df.groupBy("event_type").count().collect()}
+    assert by and all(v <= 7 for v in by.values())
+
+
+def test_yaml_bm25_retrieval(spark, sf_dir):
+    """Bm25TopK / Bm25fTopK as YAML transforms with a named query
+    step; fields as {column: [weight, b]}."""
+    from beam_spark.yaml_pipeline import run_yaml
+
+    out = run_yaml(f"""
+pipeline:
+  transforms:
+    - type: ReadFromParquet
+      path: {sf_dir}/documents.parquet
+    - type: Sql
+      query: "SELECT doc_id AS query_id, text FROM PCOLLECTION WHERE doc_id < 3"
+      name: qs
+    - type: ReadFromParquet
+      path: {sf_dir}/documents.parquet
+    - type: Bm25TopK
+      queries: qs
+      k: 3
+""", spark)
+    rows = out.df.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    assert all(r["rank"] <= 3 for r in rows)
+
+    out2 = run_yaml(f"""
+pipeline:
+  transforms:
+    - type: ReadFromParquet
+      path: {sf_dir}/documents.parquet
+    - type: Sql
+      query: "SELECT doc_id AS query_id, text FROM PCOLLECTION WHERE doc_id < 3"
+      name: qs
+    - type: ReadFromParquet
+      path: {sf_dir}/documents.parquet
+    - type: MapToFields
+      fields:
+        title: "array_join(slice(split(lower(trim(text)), '\\\\s+'), 1, 5), ' ')"
+        body: "text"
+    - type: Bm25fTopK
+      queries: qs
+      k: 3
+      fields:
+        title: [3.0, 0.5]
+        body: [1.0, 0.75]
+""", spark)
+    rows2 = out2.df.collect()
+    assert {r["query_id"] for r in rows2} == {0, 1, 2}
