@@ -259,7 +259,8 @@ def _pattern_min_rows(pattern: list) -> int:
 
 
 def _match_at(masks: Mapping, n_rows: int, start: int,
-              pattern: list, ctx: Mapping | None = None) -> list | None:
+              pattern: list, ctx: Mapping | None = None,
+              require_end: int | None = None) -> list | None:
     """Greedy backtracking matcher over precomputed masks; returns list
     of (symbol, row_index) or None. Pattern items: (alts|Permute, min,
     max). Quantifier counts and PERMUTE orderings backtrack; within a
@@ -372,6 +373,12 @@ def _match_at(masks: Mapping, n_rows: int, start: int,
 
     def rec(pos, pi, acc):
         if pi == len(pattern):
+            # $ anchor: the match must consume through require_end;
+            # returning None here keeps backtracking alive, so the
+            # greedy-preferred match SATISFYING the anchor is found
+            # (not a post-filter on the unanchored greedy match)
+            if require_end is not None and pos != require_end:
+                return None
             return acc
         alts, mn, mx = pattern[pi]
         for acc1, end in expand_item(alts, mn, mx, pos, acc):
@@ -418,7 +425,9 @@ class MatchRecognize(PTransform):
                  rows_per_match: str = ONE_ROW_PER_MATCH,
                  within: str | None = None,
                  measure_semantics: str = "final",
-                 drain_state_ttl: str | None = None, label=None):
+                 drain_state_ttl: str | None = None,
+                 anchor_start: bool = False, anchor_end: bool = False,
+                 label=None):
         """``within``: optional time bound ("10 minutes") — a match must
         complete within this interval of its first row (Flink/Calcite
         ``PATTERN (...) WITHIN``). On streams this BOUNDS STATE: once
@@ -430,6 +439,14 @@ class MatchRecognize(PTransform):
         output row carries the whole-match measure values) or 'running'
         (the SQL-standard default for that mode — measures evaluate over
         the match PREFIX up to each row).
+
+        ``anchor_start`` / ``anchor_end`` (SQL PATTERN ``^`` / ``$``
+        anchors, batch only): the match must begin at the partition's
+        first row / consume through its last row. ``$`` is enforced
+        DURING the backtracking search (the greedy-preferred match
+        satisfying the anchor is found, not a post-filter). Streaming
+        rejects both — a partition's first/last row is undefined on an
+        unbounded input until drain.
 
         ``drain_state_ttl`` (streaming only): when a key's row buffer
         fully drains, a counter-only state record (match number + PREV
@@ -466,6 +483,8 @@ class MatchRecognize(PTransform):
         self.output_schema = (schema_from_dict(output_schema)
                               if isinstance(output_schema, dict) else output_schema)
         self.after_match = after_match
+        self.anchor_start = bool(anchor_start)
+        self.anchor_end = bool(anchor_end)
         needed = {s for alts, _, _ in self.pattern
                   for s in _symbols_of(alts)}
         missing = needed - set(self.defines)
@@ -477,8 +496,14 @@ class MatchRecognize(PTransform):
         import pandas as pd
 
         if not pcoll.is_bounded:
+            if self.anchor_start or self.anchor_end:
+                raise ValueError(
+                    "PATTERN anchors (^ / $) are batch-only: a "
+                    "partition's first/last row is undefined on an "
+                    "unbounded input until drain")
             return self._expand_streaming(pcoll)
 
+        anchor_start, anchor_end = self.anchor_start, self.anchor_end
         keys = self.partition_by
         order_by = self.order_by
         pattern, defines = self.pattern, self.defines
@@ -536,6 +561,11 @@ class MatchRecognize(PTransform):
                 for s in alts:
                     lead |= masks[s]
             starts = np.flatnonzero(lead)
+            if anchor_start:
+                # ^ : the only admissible candidate start is row 0
+                starts = starts[:1] if len(starts) and starts[0] == 0 \
+                    else starts[:0]
+            req_end = n if anchor_end else None
 
             # Lazy row construction for measures: only rows inside a
             # match are ever converted to dicts on the vectorized path.
@@ -577,9 +607,11 @@ class MatchRecognize(PTransform):
                     # start row's time window
                     j_end = int(np.searchsorted(
                         ts_arr, ts_arr[pos] + within_ms, side="right"))
-                    m = _match_at(masks, j_end, pos, pattern, ctx)
+                    m = _match_at(masks, j_end, pos, pattern, ctx,
+                                  require_end=req_end)
                 else:
-                    m = _match_at(masks, n, pos, pattern, ctx)
+                    m = _match_at(masks, n, pos, pattern, ctx,
+                                  require_end=req_end)
                 if m:
                     match_rows = [(sym, row(idx)) for sym, idx in m]
                     meas = {name: fn(match_rows)

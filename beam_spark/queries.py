@@ -2204,6 +2204,38 @@ def q_bm25_boosted(spark, sf_dir):
     return (PCollection(docs) | Bm25TopK(queries_df, k=5, k1=1.5)).df
 
 
+@query("q_stats_tdigest_rank_verdict", """
+SELECT p_pct, TRUE AS ok FROM (VALUES (25), (50), (90), (99)) t(p_pct)
+""")
+def q_tdigest_rank_verdict(spark, sf_dir):
+    """TDigestQuantiles accuracy contract as a verdict oracle: each
+    estimated quantile's EMPIRICAL RANK (fraction of rows <= estimate,
+    computed exactly in Spark) must sit within 0.02 of the target
+    quantile — the t-digest rank-error bound at delta=100 with margin
+    (measured max error ~0.005 mid-quantile, smaller at tails by
+    design). DuckDB pins the contract TRUE per quantile."""
+    from beam_spark.operators.stats import TDigestQuantiles
+
+    li = table(spark, sf_dir, "lineitem").df
+    qs = [0.25, 0.5, 0.9, 0.99]
+    td = (PCollection(li) | TDigestQuantiles(
+        "l_extendedprice", qs)).df
+    ests = td.select(F.explode(F.array(*[
+        F.struct(F.lit(int(q * 100)).alias("p_pct"),
+                 F.col(TDigestQuantiles._qname(q)).alias("est"))
+        for q in qs])).alias("e")).select("e.*")
+    ranks = (li.select(F.col("l_extendedprice").alias("x"))
+             .crossJoin(F.broadcast(ests))
+             .groupBy("p_pct", "est")
+             .agg((F.sum(F.when(F.col("x") <= F.col("est"), 1)
+                         .otherwise(0)) / F.count(F.lit(1)))
+                  .alias("rank")))
+    return ranks.select(
+        "p_pct",
+        (F.abs(F.col("rank") - F.col("p_pct") / 100.0) <= 0.02)
+        .alias("ok"))
+
+
 @query("q_quality_ks_drift", """
 WITH u AS (
   SELECT o_totalprice AS x,

@@ -119,6 +119,13 @@ def parse_pattern(pattern_sql: str) -> list[tuple]:
     """
     from beam_spark.operators.cep import Alt, Permute, Seq
 
+    leftover = _PAT_TOKEN_RE.sub("", pattern_sql).strip()
+    if leftover:
+        # previously unknown characters (e.g. a mid-pattern anchor)
+        # were silently dropped by findall — reject them instead
+        raise ValueError(
+            f"PATTERN: unsupported characters {leftover!r} (anchors "
+            "^ / $ are only valid at the very start / end)")
     toks = _PAT_TOKEN_RE.findall(pattern_sql)
     if not toks:
         raise ValueError("empty PATTERN")
@@ -505,7 +512,17 @@ def try_rewrite_match_recognize(sql: str, spark, tables: dict) -> str:
         skip_to_sym = (mode, skip_sym_m.group(2))
     all_rows = bool(re.search(r"ALL\s+ROWS\s+PER\s+MATCH", body, re.IGNORECASE))
 
-    pattern = parse_pattern(pattern_sql)
+    # SQL:2016 anchors: ^ pins the match to the partition's first row,
+    # $ requires it to consume through the last (batch-only; start/end
+    # position only — the tokenizer rejects them anywhere else)
+    ps = pattern_sql.strip()
+    anchor_start = ps.startswith("^")
+    anchor_end = ps.endswith("$")
+    if anchor_start:
+        ps = ps[1:]
+    if anchor_end:
+        ps = ps[:-1]
+    pattern = parse_pattern(ps)
 
     defines: dict = {}
     for part in re.split(r",\s*(?=\w+\s+AS\s)", define_sql, flags=re.IGNORECASE):
@@ -568,6 +585,7 @@ def try_rewrite_match_recognize(sql: str, spark, tables: dict) -> str:
                   # SQL standard: ALL ROWS PER MATCH measures default to
                   # RUNNING semantics (prefix-evaluated per row)
                   measure_semantics="running" if all_rows else "final",
+                  anchor_start=anchor_start, anchor_end=anchor_end,
                   within=within)).df
     view = f"__mr_{table_name}"
     result.createOrReplaceTempView(view)

@@ -1189,3 +1189,117 @@ def test_streaming_equals_batch_between_and_subset(spark):
     ]
     s, b = _stream_vs_batch(spark, batches, **cfg)
     assert s == b and b == [(1, 52, 3)]
+
+
+def test_sql_pattern_anchors(spark):
+    """SQL:2016 PATTERN anchors: ^ pins the match to the partition's
+    first row, $ requires consuming through the last row (enforced
+    during the backtracking search, not post-filtered); mid-pattern
+    anchors are rejected instead of silently dropped; streaming
+    rejects anchors outright."""
+    import pytest as _pytest
+    from beam_spark.sql import SqlTransform
+
+    # ^ : only partition 1 STARTS with a low value
+    rows_in = ([{"k": 1, "i": i, "v": v} for i, v in
+                enumerate([1, 2, 50])]
+               + [{"k": 2, "i": i, "v": v} for i, v in
+                  enumerate([50, 1, 2])])
+    pc = Pipeline(spark) | Create(rows_in)
+    out = ({"ev": pc} | SqlTransform("""
+        SELECT k, n FROM ev MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY i
+          MEASURES COUNT(A.v) AS n
+          PATTERN (^ A+)
+          DEFINE A AS A.v < 10
+        )""")).df
+    got = {(r["k"], r["n"]) for r in out.collect()}
+    assert got == {(1, 2)}      # k=2's low run is mid-partition
+
+    # $ : the run must reach the partition's end
+    rows2 = ([{"k": 1, "i": i, "v": v} for i, v in
+              enumerate([99, 1, 2])]
+             + [{"k": 2, "i": i, "v": v} for i, v in
+                enumerate([1, 2, 99])])
+    pc2 = Pipeline(spark) | Create(rows2)
+    out2 = ({"s": pc2} | SqlTransform("""
+        SELECT k, n FROM s MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY i
+          MEASURES COUNT(A.v) AS n
+          PATTERN (A+ $)
+          DEFINE A AS A.v < 10
+        )""")).df
+    got2 = {(r["k"], r["n"]) for r in out2.collect()}
+    assert got2 == {(1, 2)}     # k=2's run dies before the last row
+
+    # ^ ... $ : whole-partition match only
+    out3 = ({"t": Pipeline(spark) | Create(
+        [{"k": 1, "i": i, "v": v} for i, v in enumerate([1, 2, 3])]
+        + [{"k": 2, "i": i, "v": v} for i, v in
+           enumerate([1, 99, 2])])} | SqlTransform("""
+        SELECT k, n FROM t MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY i
+          MEASURES COUNT(A.v) AS n
+          PATTERN (^ A+ $)
+          DEFINE A AS A.v < 10
+        )""")).df
+    assert {(r["k"], r["n"]) for r in out3.collect()} == {(1, 3)}
+
+    from beam_spark.sql_match import parse_pattern
+    with _pytest.raises(ValueError, match="unsupported characters"):
+        parse_pattern("A ^ B")
+
+
+def test_anchor_end_backtracks_not_postfilters(spark):
+    """$ must find the greedy-preferred match that SATISFIES the
+    anchor: with PATTERN (A+ B* $) over all-A-matching rows where B
+    also matches the tail, the greedy A+ takes everything and B*
+    zero — which still ends at the partition end, so the match
+    succeeds with all rows labelled A; a post-filter on an unanchored
+    shorter match would have failed."""
+    from beam_spark.operators.cep import MatchRecognize, vectorized
+    from beam_spark.pcollection import PCollection
+
+    df = spark.createDataFrame(
+        [(1, i, float(i)) for i in range(4)], "k long, i long, v double")
+    out = (PCollection(df) | MatchRecognize(
+        partition_by="k", order_by="i",
+        pattern=[("A", "+"), ("B", "*")],
+        defines={"A": vectorized(lambda pdf: pdf["v"] >= 0),
+                 "B": vectorized(lambda pdf: pdf["v"] >= 2)},
+        measures={"n_a": lambda m: sum(1 for s, _ in m if s == "A"),
+                  "n_b": lambda m: sum(1 for s, _ in m if s == "B")},
+        output_schema="k long, n_a long, n_b long",
+        anchor_end=True)).df
+    assert [tuple(r) for r in out.collect()] == [(1, 4, 0)]
+
+    # and when A+ CANNOT reach the end (A dies at v>=2), $ forces the
+    # backtracking search to hand the tail to B*
+    out2 = (PCollection(df) | MatchRecognize(
+        partition_by="k", order_by="i",
+        pattern=[("A", "+"), ("B", "*")],
+        defines={"A": vectorized(lambda pdf: pdf["v"] < 2),
+                 "B": vectorized(lambda pdf: pdf["v"] >= 2)},
+        measures={"n_a": lambda m: sum(1 for s, _ in m if s == "A"),
+                  "n_b": lambda m: sum(1 for s, _ in m if s == "B")},
+        output_schema="k long, n_a long, n_b long",
+        anchor_end=True)).df
+    assert [tuple(r) for r in out2.collect()] == [(1, 2, 2)]
+
+
+def test_streaming_rejects_anchors(spark):
+    from beam_spark.operators.cep import MatchRecognize, vectorized
+    from beam_spark.streaming import TestStream, WithWatermark
+
+    import pytest as _pytest
+
+    ts = TestStream(spark, "t timestamp, u long, v long")
+    ts.add_elements([{"t": "2024-01-01 00:00:10", "u": 1, "v": 1}])
+    with _pytest.raises(ValueError, match="batch-only"):
+        (ts.stream() | WithWatermark("t", "10 seconds")
+         | MatchRecognize(
+             partition_by="u", order_by=["t"],
+             pattern=[("A", "1")],
+             defines={"A": vectorized(lambda pdf: pdf["v"] > 0)},
+             measures={"v": lambda m: m[0][1]["v"]},
+             output_schema="u long, v long", anchor_start=True))
