@@ -462,6 +462,37 @@ def _classifier_measure(match_rows):
     return match_rows[-1][0]
 
 
+_AGG_TERM_RE = re.compile(
+    r"(FIRST|LAST|COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(\w+)\.(\w+)\s*\)",
+    re.IGNORECASE)
+
+
+def _split_commas(s: str) -> list[str]:
+    """Top-level comma split: outside parens and string literals."""
+    parts, buf, depth, in_str = [], [], 0, False
+    for ch in s:
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
 def try_rewrite_match_recognize(sql: str, spark, tables: dict) -> str:
     """If the SQL contains a MATCH_RECOGNIZE clause, execute it via the
     MatchRecognize operator and rewrite the query to select from the
@@ -480,7 +511,8 @@ def try_rewrite_match_recognize(sql: str, spark, tables: dict) -> str:
                     clause("PARTITION BY", "ORDER BY").split(",")]
     order_by = [c.strip() for c in
                 clause("ORDER BY", "MEASURES").split(",")]
-    measures_sql = clause("MEASURES", "AFTER MATCH|PATTERN")
+    measures_sql = clause(
+        "MEASURES", r"ALL\s+ROWS|ONE\s+ROW|AFTER\s+MATCH|PATTERN")
     pattern_sql = re.search(
         r"PATTERN\s*\((.*?)\)\s*(?:WITHIN|SUBSET|DEFINE|AFTER)", body,
         re.IGNORECASE | re.DOTALL).group(1)
@@ -541,17 +573,46 @@ def try_rewrite_match_recognize(sql: str, spark, tables: dict) -> str:
     measures, measure_types = {}, []
     df = tables[table_name] if table_name in tables else spark.table(table_name)
     col_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-    for agg, sym, col, out_name, classifier, cls_name in \
-            _MEASURE_RE.findall(measures_sql):
-        if classifier:
-            measures[cls_name] = _classifier_measure
-            measure_types.append(f"{cls_name} string")
+    for part in _split_commas(measures_sql):
+        mm = re.fullmatch(r"(.*?)\s+AS\s+(\w+)", part,
+                          re.IGNORECASE | re.DOTALL)
+        if not mm:
+            raise ValueError(f"unsupported MEASURES entry: {part!r}")
+        expr, out_name = mm.group(1).strip(), mm.group(2)
+        if re.fullmatch(r"CLASSIFIER\s*\(\s*\)", expr, re.IGNORECASE):
+            measures[out_name] = _classifier_measure
+            measure_types.append(f"{out_name} string")
             continue
-        measures[out_name] = _compile_measure(agg, sym, col, subsets)
-        t = ("bigint" if agg.upper() == "COUNT"
-             else "double" if agg.upper() == "AVG"
-             else col_types.get(col, "string"))
-        measure_types.append(f"{out_name} {t}")
+        single = _AGG_TERM_RE.fullmatch(expr)
+        if single:
+            agg, sym, col = single.groups()
+            measures[out_name] = _compile_measure(agg, sym, col, subsets)
+            t = ("bigint" if agg.upper() == "COUNT"
+                 else "double" if agg.upper() == "AVG"
+                 else col_types.get(col, "string"))
+            measure_types.append(f"{out_name} {t}")
+            continue
+        # arithmetic of two aggregate terms (numeric measures only):
+        # LAST(A.price) - FIRST(A.price) AS spread, SUM/COUNT ratios...
+        pair = re.fullmatch(
+            _AGG_TERM_RE.pattern + r"\s*([-+*/])\s*"
+            + _AGG_TERM_RE.pattern, expr, re.IGNORECASE)
+        if not pair:
+            raise ValueError(f"unsupported MEASURES expression: {expr!r}")
+        a1, s1, c1, op, a2, s2, c2 = pair.groups()
+        f1 = _compile_measure(a1, s1, c1, subsets)
+        f2 = _compile_measure(a2, s2, c2, subsets)
+        o = {"+": operator.add, "-": operator.sub,
+             "*": operator.mul, "/": operator.truediv}[op]
+
+        def fn(match_rows, _f1=f1, _f2=f2, _o=o):
+            v1, v2 = _f1(match_rows), _f2(match_rows)
+            if v1 is None or v2 is None:
+                return None
+            return float(_o(v1, v2))
+
+        measures[out_name] = fn
+        measure_types.append(f"{out_name} double")
 
     from beam_spark.operators.cep import (ALL_ROWS_PER_MATCH,
                                           ONE_ROW_PER_MATCH,

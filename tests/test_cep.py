@@ -1303,3 +1303,36 @@ def test_streaming_rejects_anchors(spark):
              defines={"A": vectorized(lambda pdf: pdf["v"] > 0)},
              measures={"v": lambda m: m[0][1]["v"]},
              output_schema="u long, v long", anchor_start=True))
+
+
+def test_sql_measure_expressions(spark):
+    """Arithmetic of two aggregate terms in MEASURES: the drawdown
+    spread LAST - FIRST, and an AVG-per-COUNT ratio; unsupported
+    expressions raise instead of being silently dropped."""
+    import pytest as _pytest
+    from beam_spark.sql import SqlTransform
+
+    rows_in = [{"k": 1, "i": i, "v": v} for i, v in
+               enumerate([10, 12, 17, 3])]
+    pc = Pipeline(spark) | Create(rows_in)
+    out = ({"ev": pc} | SqlTransform("""
+        SELECT spread, per_row FROM ev MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY i
+          MEASURES LAST(A.v) - FIRST(A.v) AS spread,
+                   SUM(A.v) / COUNT(A.v) AS per_row
+          PATTERN (A+ Z)
+          DEFINE A AS A.v >= 10,
+                 Z AS Z.v < 10
+        )""")).df
+    r = out.collect()[0]
+    assert r["spread"] == 7.0           # 17 - 10
+    assert abs(r["per_row"] - 13.0) < 1e-9
+
+    with _pytest.raises(ValueError, match="unsupported MEASURES"):
+        ({"ev": pc} | SqlTransform("""
+            SELECT x FROM ev MATCH_RECOGNIZE (
+              PARTITION BY k ORDER BY i
+              MEASURES LAST(A.v) - FIRST(A.v) + COUNT(A.v) AS x
+              PATTERN (A+)
+              DEFINE A AS A.v >= 10
+            )"""))
