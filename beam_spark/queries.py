@@ -2204,6 +2204,59 @@ def q_bm25_boosted(spark, sf_dir):
     return (PCollection(docs) | Bm25TopK(queries_df, k=5, k1=1.5)).df
 
 
+def _pagerank_oracle_sql(iters: int = 5) -> str:
+    """Chained-CTE PageRank: the SAME fixed-iteration update the Spark
+    operator runs, one CTE per round. Float association mirrors the
+    operator exactly except the per-node in-edge sum order (error
+    ~1e-19 per round — round(9) leaves a 1e9x margin)."""
+    cte = [
+        "WITH edges AS (SELECT o_custkey AS src, "
+        "l_partkey + 10000000 AS dst FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey),",
+        "nodes AS (SELECT src AS node FROM edges "
+        "UNION SELECT dst FROM edges),",
+        "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),",
+        "r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn),",
+    ]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        cte.append(f"""r{i} AS (
+  SELECT nd.node,
+         (1 - CAST(0.85 AS DOUBLE)) / nn.n
+         + CAST(0.85 AS DOUBLE) * (COALESCE(s.m, 0) + dg.dm / nn.n)
+         AS pr
+  FROM nodes nd CROSS JOIN nn
+  CROSS JOIN (SELECT COALESCE(sum(r.pr), 0) AS dm
+              FROM {p} r LEFT JOIN deg ON r.node = deg.src
+              WHERE deg.src IS NULL) dg
+  LEFT JOIN (SELECT e.dst AS node, sum(r.pr / deg.d) AS m
+             FROM edges e JOIN {p} r ON e.src = r.node
+             JOIN deg ON e.src = deg.src GROUP BY e.dst) s
+    ON nd.node = s.node),""")
+    cte[-1] = cte[-1].rstrip(",")
+    return ("\n".join(cte)
+            + f"\nSELECT node, round(pr, 9) AS pr FROM r{iters}")
+
+
+@query("q_graph_pagerank", _pagerank_oracle_sql())
+def q_graph_pagerank(spark, sf_dir):
+    """Damped PageRank (5 fixed iterations, d=0.85) over the
+    customer -> part purchase graph (lineitem x orders edges, part ids
+    offset to disjoint node space) — the link-quality score of
+    web-corpus curation, value-matched node-by-node against DuckDB's
+    chained-CTE replay of the identical update."""
+    from beam_spark.operators.graph import PageRank
+
+    li = table(spark, sf_dir, "lineitem").df
+    o = table(spark, sf_dir, "orders").df
+    edges = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+             .select(F.col("o_custkey").alias("src"),
+                     (F.col("l_partkey") + 10000000).alias("dst")))
+    pr = (PCollection(edges) | PageRank(iterations=5)).df
+    return pr.select("node", F.round("pr", 9).alias("pr"))
+
+
 @query("q_stats_tdigest_rank_verdict", """
 SELECT p_pct, TRUE AS ok FROM (VALUES (25), (50), (90), (99)) t(p_pct)
 """)

@@ -1141,3 +1141,30 @@ def test_rrf_weighted_fusion(spark):
     import pytest
     with pytest.raises(ValueError, match="one weight per ranking"):
         RrfFuse(lex, vec, weights=[1.0])
+
+
+def test_pagerank_properties(spark):
+    """PageRank: total mass stays 1; a node every other node links to
+    dominates; dangling mass redistributes (no leak); a hand-computed
+    2-node cycle gives the uniform fixed point; arg validation."""
+    import pytest as _pytest
+    from beam_spark.operators.graph import PageRank
+
+    # star: 1,2,3 all link to 0; 0 links nowhere (dangling)
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0)], "src long, dst long")
+    pr = {r["node"]: r["pr"] for r in
+          (PCollection(edges) | PageRank(iterations=20)).df.collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9       # mass conserved
+    assert pr[0] > pr[1] and pr[1] == pr[2] == pr[3]
+
+    # 2-cycle: symmetric -> uniform 0.5 / 0.5 at any iteration count
+    cyc = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    pr2 = {r["node"]: r["pr"] for r in
+           (PCollection(cyc) | PageRank(iterations=7)).df.collect()}
+    assert abs(pr2[0] - 0.5) < 1e-12 and abs(pr2[1] - 0.5) < 1e-12
+
+    with _pytest.raises(ValueError, match="damping"):
+        PageRank(damping=1.5)
+    with _pytest.raises(ValueError, match="iterations"):
+        PageRank(iterations=0)
