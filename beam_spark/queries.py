@@ -2204,6 +2204,44 @@ def q_bm25_boosted(spark, sf_dir):
     return (PCollection(docs) | Bm25TopK(queries_df, k=5, k1=1.5)).df
 
 
+@query("q_scd_type2_apply", """
+WITH dim AS (SELECT c_custkey AS id, c_mktsegment AS seg,
+                    CAST(0 AS BIGINT) AS ts, 0 AS src FROM customer),
+ch AS (SELECT o_custkey AS id, o_orderpriority AS seg,
+              CAST(o_orderkey AS BIGINT) AS ts, 1 AS src FROM orders),
+u AS (SELECT * FROM dim UNION ALL SELECT * FROM ch),
+e AS (SELECT *, lag(seg) OVER (PARTITION BY id ORDER BY ts, src, seg)
+             AS prev FROM u),
+eff AS (SELECT id, seg, ts, src FROM e
+        WHERE prev IS NULL OR seg <> prev),
+v AS (SELECT id, seg, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY id ORDER BY ts, src, seg)
+             AS valid_to
+      FROM eff)
+SELECT id, seg, valid_from, valid_to FROM v
+""")
+def q_scd_apply(spark, sf_dir):
+    """SCD Type-2 dimension maintenance, value-exact: every customer
+    starts as a current row (mktsegment, valid_from 0); the orders
+    stream replays as priority 'changes' keyed by customer with the
+    order key as the version timestamp. No-op changes (same value
+    consecutively) must NOT create versions; each effective change
+    closes its predecessor at its timestamp. DuckDB replays the same
+    window algebra."""
+    from beam_spark.operators.scd import ScdType2Apply
+
+    cust = table(spark, sf_dir, "customer").df.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(0).cast("bigint").alias("valid_from"),
+        F.lit(None).cast("bigint").alias("valid_to"))
+    ch = table(spark, sf_dir, "orders").df.select(
+        F.col("o_custkey").alias("id"),
+        F.col("o_orderpriority").alias("seg"),
+        F.col("o_orderkey").cast("bigint").alias("ts"))
+    return (PCollection(ch) | ScdType2Apply(cust, key="id")).df
+
+
 def _pagerank_oracle_sql(iters: int = 5) -> str:
     """Chained-CTE PageRank: the SAME fixed-iteration update the Spark
     operator runs, one CTE per round. Float association mirrors the

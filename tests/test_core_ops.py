@@ -399,3 +399,43 @@ def test_interval_join_bounds_inclusive(spark):
         & F.unix_micros("r.t").between(
             F.unix_micros("l.t") - 60_000_000, F.unix_micros("l.t"))))
     assert naive.count() == len(got)
+
+
+def test_scd_type2_apply_semantics(spark):
+    """ScdType2Apply: no-op changes collapse (current row keeps its
+    original valid_from), reverts create NEW versions, unknown keys
+    start their history, closed history passes through untouched,
+    missing dimension columns raise."""
+    import pytest as _pytest
+    from beam_spark.operators.scd import ScdType2Apply
+    from beam_spark.pcollection import PCollection
+
+    dim = spark.createDataFrame(
+        [
+            (1, "gold", 0, 5),        # closed history row
+            (1, "silver", 5, None),   # current
+            (2, "bronze", 0, None),   # current, will get a no-op
+        ],
+        "id long, tier string, valid_from long, valid_to long")
+    ch = spark.createDataFrame(
+        [
+            (1, "gold", 10),          # revert: silver -> gold
+            (1, "gold", 12),          # no-op after the revert
+            (2, "bronze", 7),         # pure no-op
+            (3, "new", 4),            # unknown key
+            (3, "newer", 9),
+        ],
+        "id long, tier string, ts long")
+    out = (PCollection(ch) | ScdType2Apply(dim, key="id")).df
+    got = sorted(map(tuple, out.collect()))
+    assert got == sorted([
+        (1, "gold", 0, 5),            # history untouched
+        (1, "silver", 5, 10),         # closed by the revert
+        (1, "gold", 10, None),        # revert IS a new version
+        (2, "bronze", 0, None),       # no-op: original valid_from kept
+        (3, "new", 4, 9),
+        (3, "newer", 9, None),
+    ])
+    with _pytest.raises(ValueError, match="lacks columns"):
+        (PCollection(ch) | ScdType2Apply(
+            dim.drop("valid_to"), key="id")).df.count()
