@@ -60,6 +60,30 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print(f"phrase containment hits: {phrase_hits.count()}")
     phrase_hits.orderBy("query_id", "doc_id").show(8)
 
+    # round 7: multi-field BM25F (title weighted 3x) and
+    # product-quantization ANN (byte codes + ADC scan + exact rerank)
+    from beam_spark.operators.retrieval import Bm25fTopK
+    from beam_spark.operators.similarity import PqCosineTopK
+
+    split = F.split(F.lower(F.trim("text")), r"\s+")
+    fielded = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(split, 1, 5)).alias("title"),
+        F.concat_ws(" ", F.slice(
+            split, 6, F.greatest(F.size(split) - 5, F.lit(0))))
+        .alias("body"))
+    bm25f = (PCollection(fielded) | Bm25fTopK(
+        queries_df, {"title": (3.0, 0.5), "body": (1.0, 0.75)},
+        k=5)).df
+    print("BM25F (title weight 3.0) top-5:")
+    bm25f.orderBy("query_id", "rank").show(15)
+
+    pq = (PCollection(emb) | PqCosineTopK(
+        emb.filter("vec_id < 3"), k=5, m=8, ks=16,
+        rerank_factor=4)).df
+    print("PQ ANN (m=8 byte codes, exact rerank) top-5:")
+    pq.orderBy("query_id", "rank").show(15)
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:])
