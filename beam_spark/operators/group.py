@@ -452,6 +452,88 @@ class TimeRollup(PTransform):
         return pcoll.with_df(out)
 
 
+class GapFill(PTransform):
+    """Time-bucket gap filling — the ``time_bucket_gapfill`` of a
+    timeseries store: aggregate rows into fixed ``width``-second epoch
+    buckets per key, then emit a row for EVERY bucket in the key's
+    [min, max] range (or an explicit [start, end] override), marking
+    generated rows with ``filled = true`` and populating their
+    aggregate columns by ``fill``:
+
+      * 'null' (default) — gaps stay NULL (chart-ready);
+      * 'locf' — last observation carried forward per key (NULLs fill
+        from the nearest earlier bucket; applies to genuine NULL
+        aggregates too, the standard locf caveat);
+      * ('const', v) — coalesce to a constant (e.g. 0 counts).
+
+    ``aggs``: {name: SQL aggregate expr} evaluated per (keys, bucket).
+
+    Scale: the spine is sequence() + explode per key — pure
+    expressions sized by the key's own bucket range, nothing
+    driver-side; locf is one key-partitioned last-value window. With
+    NO keys the locf window is a single partition sized by the global
+    bucket range (range/width rows — bounded by time span, not data).
+    """
+
+    def __init__(self, ts_col: str, width: int,
+                 aggs: Mapping[str, str], keys: Sequence[str] = (),
+                 fill="null", start: int | None = None,
+                 end: int | None = None, label=None):
+        super().__init__(label)
+        self.ts_col, self.width = ts_col, int(width)
+        self.aggs = dict(aggs)
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        if isinstance(fill, list):      # YAML front-end ships lists
+            fill = tuple(fill)
+        if fill not in ("null", "locf") and not (
+                isinstance(fill, tuple) and len(fill) == 2
+                and fill[0] == "const"):
+            raise ValueError(
+                "fill must be 'null', 'locf', or ('const', value)")
+        self.fill = fill
+        self.start, self.end = start, end
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        w, keys = self.width, self.keys
+        bucket = (F.floor(F.unix_timestamp(F.col(self.ts_col)) / w)
+                  * w).cast("bigint")
+        agg_cols = [F.expr(e).alias(n) for n, e in self.aggs.items()]
+        agged = (pcoll.df.groupBy(*keys, bucket.alias("bucket"))
+                 .agg(*agg_cols, F.lit(True).alias("__present")))
+        mn = (F.lit(int(self.start)).cast("bigint") if self.start
+              is not None else F.min("bucket"))
+        mx = (F.lit(int(self.end)).cast("bigint") if self.end
+              is not None else F.max("bucket"))
+        rng = agged.groupBy(*keys).agg(mn.alias("__mn"), mx.alias("__mx"))
+        spine = rng.select(
+            *keys,
+            F.explode(F.sequence("__mn", "__mx", F.lit(w)))
+            .alias("bucket"))
+        j = (spine.join(agged, on=[*keys, "bucket"], how="left")
+             .withColumn("filled", F.col("__present").isNull())
+             .drop("__present"))
+        names = list(self.aggs)
+        if self.fill == "locf":
+            lw = (Window.partitionBy(*keys).orderBy("bucket")
+                  .rowsBetween(Window.unboundedPreceding,
+                               Window.currentRow))
+            j = j.select(
+                *keys, "bucket",
+                *[F.last(n, ignorenulls=True).over(lw).alias(n)
+                  for n in names],
+                "filled")
+        elif isinstance(self.fill, tuple):
+            v = self.fill[1]
+            j = j.select(
+                *keys, "bucket",
+                *[F.coalesce(F.col(n), F.lit(v)).alias(n)
+                  for n in names],
+                "filled")
+        return pcoll.with_df(j)
+
+
 class Pivot(PTransform):
     """Wide-format pivot: ``groupBy(keys).pivot(col, values).agg(expr)``.
 

@@ -2204,6 +2204,46 @@ def q_bm25_boosted(spark, sf_dir):
     return (PCollection(docs) | Bm25TopK(queries_df, k=5, k1=1.5)).df
 
 
+@query("q_ts_gapfill_locf", """
+WITH b AS (SELECT user_id,
+             CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s
+           FROM events GROUP BY 1, 2),
+rng AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+        FROM b GROUP BY 1),
+spine AS (SELECT user_id, unnest(range(mn, mx + 3600, 3600)) AS bucket
+          FROM rng),
+j AS (SELECT sp.user_id, sp.bucket, b.n, b.s,
+             b.bucket IS NULL AS filled
+      FROM spine sp
+      LEFT JOIN b ON sp.user_id = b.user_id AND sp.bucket = b.bucket)
+SELECT user_id, bucket,
+       last_value(n IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
+       last_value(s IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+       filled
+FROM j
+""")
+def q_ts_gapfill(spark, sf_dir):
+    """Hourly gap filling per user over events with locf: every bucket
+    in each user's [min, max] hour range appears exactly once,
+    generated rows are marked filled=true and carry the last earlier
+    observation forward. Value sums use the decimal-cast pattern so
+    both engines agree exactly."""
+    from beam_spark.operators.group import GapFill
+
+    ev = table(spark, sf_dir, "events")
+    return (ev | GapFill(
+        "ts", 3600,
+        {"n": "CAST(count(*) AS BIGINT)",
+         "s": "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"},
+        keys=["user_id"], fill="locf")).df
+
+
 @query("q_scd_type2_apply", """
 WITH dim AS (SELECT c_custkey AS id, c_mktsegment AS seg,
                     CAST(0 AS BIGINT) AS ts, 0 AS src FROM customer),

@@ -299,6 +299,7 @@ def _register_curation():
         "StratifiedSample": ("beam_spark.operators.combiners",
                              "StratifiedSample"),
         "Pivot": ("beam_spark.operators.group", "Pivot"),
+        "GapFill": ("beam_spark.operators.group", "GapFill"),
     }
 
     def make(mod_name, cls_name):

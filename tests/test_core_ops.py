@@ -439,3 +439,52 @@ def test_scd_type2_apply_semantics(spark):
     with _pytest.raises(ValueError, match="lacks columns"):
         (PCollection(ch) | ScdType2Apply(
             dim.drop("valid_to"), key="id")).df.count()
+
+
+def test_gapfill_modes(spark):
+    """GapFill: the spine covers [min, max] per key densely; generated
+    rows mark filled=true; 'null' leaves gaps NULL, ('const', 0)
+    coalesces, 'locf' carries the last observation forward; explicit
+    start/end bounds override the observed range."""
+    import pytest as _pytest
+    from beam_spark.operators.group import GapFill
+    from beam_spark.pcollection import PCollection
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:10:00", "a", 1.0),
+         ("2024-01-01 03:20:00", "a", 5.0),
+         ("2024-01-01 01:00:00", "b", 2.0)],
+        "t string, k string, v double").selectExpr(
+        "CAST(t AS TIMESTAMP) AS t", "k", "v")
+    base = dict(ts_col="t", width=3600,
+                aggs={"s": "sum(v)"}, keys=["k"])
+    h0 = 1704067200
+
+    nul = {(r["k"], r["bucket"]): (r["s"], r["filled"]) for r in
+           (PCollection(df) | GapFill(**base)).df.collect()}
+    assert nul == {
+        ("a", h0): (1.0, False), ("a", h0 + 3600): (None, True),
+        ("a", h0 + 7200): (None, True), ("a", h0 + 10800): (5.0, False),
+        ("b", h0 + 3600): (2.0, False)}
+
+    locf = {(r["k"], r["bucket"]): r["s"] for r in
+            (PCollection(df) | GapFill(**base, fill="locf"))
+            .df.collect()}
+    assert locf[("a", h0 + 3600)] == 1.0      # carried forward
+    assert locf[("a", h0 + 7200)] == 1.0
+    assert locf[("a", h0 + 10800)] == 5.0
+
+    cst = {(r["k"], r["bucket"]): r["s"] for r in
+           (PCollection(df) | GapFill(**base, fill=("const", 0.0)))
+           .df.collect()}
+    assert cst[("a", h0 + 3600)] == 0.0
+
+    # explicit bounds extend the spine beyond the observed range
+    wide = (PCollection(df) | GapFill(
+        **base, start=h0 - 3600, end=h0 + 14400)).df
+    assert wide.filter("k = 'a'").count() == 6    # h-1 .. h+4
+    assert wide.filter(
+        "k = 'a' AND bucket < 1704067200 AND NOT filled").count() == 0
+
+    with _pytest.raises(ValueError, match="fill must be"):
+        GapFill("t", 3600, {"s": "sum(v)"}, fill="bogus")
