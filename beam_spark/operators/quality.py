@@ -227,6 +227,64 @@ class DistributionDrift(PTransform):
         return pcoll.with_df(out)
 
 
+class Histogram(PTransform):
+    """Fixed-width histogram of a numeric column: ``n_bins`` equal
+    intervals over [lo, hi] (observed min/max by default, one extra
+    aggregation pass; pass explicit bounds to skip it — out-of-range
+    values clamp into the edge bins so mass is never dropped).
+
+    Output: one row per NON-EMPTY bin — (bin, bin_lo, bin_hi, n).
+    Dense-spine output (empty bins as zero rows) composes with
+    ``GapFill``-style sequence explode downstream if needed.
+
+    Scale: the bin id is a zero-shuffle expression; the count is one
+    groupBy over at most n_bins keys — the same shape at 1000
+    executors.
+    """
+
+    def __init__(self, col: str, n_bins: int = 20,
+                 lo: float | None = None, hi: float | None = None,
+                 label=None):
+        super().__init__(label)
+        self.col, self.n_bins = col, int(n_bins)
+        if self.n_bins < 1:
+            raise ValueError("n_bins must be >= 1")
+        if (lo is None) != (hi is None):
+            raise ValueError("pass both lo and hi, or neither")
+        self.lo, self.hi = lo, hi
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        nb = self.n_bins
+        x = (pcoll.df.select(F.col(self.col).cast("double").alias("__x"))
+             .where(F.col("__x").isNotNull()))
+        if self.lo is not None:
+            stats = pcoll.df.sparkSession.range(1).select(
+                F.lit(float(self.lo)).alias("__mn"),
+                F.lit(float(self.hi)).alias("__mx"))
+        else:
+            stats = x.agg(F.min("__x").alias("__mn"),
+                          F.max("__x").alias("__mx"))
+        width = (F.col("__mx") - F.col("__mn")) / nb
+        raw = F.floor((F.col("__x") - F.col("__mn")) / width)
+        bin_id = F.when(F.col("__mx") == F.col("__mn"), F.lit(0)) \
+            .otherwise(F.least(F.lit(nb - 1),
+                               F.greatest(F.lit(0), raw))).cast("int")
+        out = (x.crossJoin(F.broadcast(stats))
+               .groupBy(bin_id.alias("bin"))
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.first("__mn").alias("__mn"),
+                    F.first("__mx").alias("__mx"))
+               .select("bin",
+                       (F.col("__mn") + F.col("bin")
+                        * (F.col("__mx") - F.col("__mn")) / nb)
+                       .alias("bin_lo"),
+                       (F.col("__mn") + (F.col("bin") + 1)
+                        * (F.col("__mx") - F.col("__mn")) / nb)
+                       .alias("bin_hi"),
+                       "n"))
+        return pcoll.with_df(out)
+
+
 class KsDrift(PTransform):
     """Two-sample Kolmogorov–Smirnov drift test between a REFERENCE
     frame and the current input on one numeric column: D = sup over x

@@ -260,3 +260,55 @@ class TDigestQuantiles(PTransform):
             out = (partials.withColumn("__g", F.lit(1)).groupBy("__g")
                    .applyInPandas(lambda pdf: merge(pdf), schema=out_schema))
         return pcoll.with_df(out)
+
+
+class Ewma(PTransform):
+    """Per-key exponential moving average in event order:
+    ``y_i = alpha * x_i + (1 - alpha) * y_{i-1}`` (pandas
+    ``ewm(alpha=..., adjust=False).mean()`` semantics; NULL inputs
+    carry the previous smoothed value forward unchanged).
+
+    The recurrence has no shuffle-free Spark-SQL form: the closed-form
+    prefix trick multiplies by ``(1-alpha)^-i``, which overflows for
+    any real partition length, so this runs the recurrence inside an
+    Arrow-batched ``applyInPandas`` per key — the documented
+    Python-for-a-reason posture (same as TDigest's fold). A
+    ``frompyfunc.accumulate`` keeps the loop in C over the whole
+    group. One key shuffle; per-key state is O(1).
+
+    Output: input columns + ``out_col`` (double).
+    """
+
+    def __init__(self, col: str, alpha: float, keys,
+                 order_by, out_col: str = "ewma", label=None):
+        super().__init__(label)
+        if not 0.0 < float(alpha) <= 1.0:
+            raise ValueError(f"alpha {alpha} outside (0, 1]")
+        self.col, self.alpha = col, float(alpha)
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        self.order_by = ([order_by] if isinstance(order_by, str)
+                         else list(order_by))
+        self.out_col = out_col
+
+    def expand(self, pcoll):
+        import numpy as np
+
+        col, a, ob, oc = self.col, self.alpha, self.order_by, self.out_col
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in pcoll.df.schema.fields) + f", {oc} double"
+
+        def fn(pdf):
+            pdf = pdf.sort_values(ob, kind="mergesort")
+            x = pdf[col].to_numpy(dtype=object)
+            step = np.frompyfunc(
+                lambda acc, v: acc if v is None or v != v
+                else (float(v) if acc is None
+                      else a * float(v) + (1.0 - a) * acc), 2, 1)
+            y = step.accumulate(x, dtype=object)
+            pdf[oc] = [None if v is None or v != v else float(v)
+                       for v in y]
+            return pdf
+
+        out = pcoll.df.groupBy(*self.keys).applyInPandas(fn, schema)
+        return pcoll.with_df(out)

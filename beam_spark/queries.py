@@ -2204,6 +2204,65 @@ def q_bm25_boosted(spark, sf_dir):
     return (PCollection(docs) | Bm25TopK(queries_df, k=5, k1=1.5)).df
 
 
+@query("q_ts_ewma", """
+WITH RECURSIVE r AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+e AS (
+  SELECT user_id, event_id, rn,
+         CAST(value AS DOUBLE) AS ewma FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.user_id, r.event_id, r.rn,
+         CASE WHEN r.value IS NULL THEN e.ewma
+              ELSE CAST(0.5 AS DOUBLE) * r.value
+                   + CAST(0.5 AS DOUBLE) * e.ewma END
+  FROM e JOIN r ON r.user_id = e.user_id AND r.rn = e.rn + 1)
+SELECT user_id, event_id, ewma FROM e
+""")
+def q_ewma(spark, sf_dir):
+    """Per-user EWMA of event values (alpha=0.5): the Python
+    recurrence and DuckDB's recursive-CTE replay perform the IDENTICAL
+    IEEE op sequence on identical parquet doubles, so the outputs are
+    bit-identical and compared UNROUNDED (rounding would reintroduce
+    the engines' differing round-half algorithms on non-dyadic
+    decimals)."""
+    from beam_spark.operators.stats import Ewma
+
+    ev = table(spark, sf_dir, "events")
+    out = (ev | Ewma("value", alpha=0.5, keys="user_id",
+                     order_by=["ts", "event_id"])).df
+    return out.select("user_id", "event_id", "ewma")
+
+
+@query("q_quality_histogram", """
+WITH x AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+           WHERE o_totalprice IS NOT NULL),
+st AS (SELECT min(v) AS mn, max(v) AS mx FROM x),
+b AS (SELECT CAST(CASE WHEN st.mx = st.mn THEN 0
+         ELSE least(19, greatest(0, floor((x.v - st.mn)
+                                          / ((st.mx - st.mn) / 20))))
+         END AS INT) AS bin
+      FROM x, st)
+SELECT bin,
+       round(st.mn + bin * (st.mx - st.mn) / 20, 6) AS bin_lo,
+       round(st.mn + (bin + 1) * (st.mx - st.mn) / 20, 6) AS bin_hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM b, st GROUP BY bin, st.mn, st.mx
+""")
+def q_histogram(spark, sf_dir):
+    """20-bin fixed-width histogram of order totals: bin ids and edge
+    arithmetic replayed exactly by DuckDB (edges rounded to 6 dp for
+    the cross-engine compare; counts are exact integers)."""
+    from beam_spark.operators.quality import Histogram
+
+    out = (table(spark, sf_dir, "orders")
+           | Histogram("o_totalprice", n_bins=20)).df
+    return out.select("bin", F.round("bin_lo", 6).alias("bin_lo"),
+                      F.round("bin_hi", 6).alias("bin_hi"), "n")
+
+
 @query("q_ts_gapfill_locf", """
 WITH b AS (SELECT user_id,
              CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket,

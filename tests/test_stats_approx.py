@@ -84,3 +84,40 @@ def test_tdigest_per_key(spark):
     got = {r["k"]: r["q_50"] for r in out.collect()}
     assert abs(got["a"] - 50.0) < 3.0
     assert abs(got["b"] - 500.0) < 30.0
+
+
+def test_ewma_matches_pandas_and_handles_nulls(spark):
+    """Ewma equals pandas ewm(alpha, adjust=False).mean() per key;
+    NULLs carry the previous smoothed value; alpha validated."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from beam_spark.operators.stats import Ewma
+    from beam_spark.pcollection import PCollection
+
+    rows = [("a", i, float(v)) for i, v in
+            enumerate([1, 5, 3, 10, 2, 8])] + \
+           [("b", i, float(v)) for i, v in enumerate([4, 4, 100])]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    out = (PCollection(df) | Ewma("v", alpha=0.3, keys="k",
+                                  order_by="i")).df
+    got = {(r["k"], r["i"]): r["ewma"] for r in out.collect()}
+    for key in ("a", "b"):
+        pdf = pd.DataFrame([r for r in rows if r[0] == key],
+                           columns=["k", "i", "v"])
+        want = pdf["v"].ewm(alpha=0.3, adjust=False).mean()
+        for i, w in zip(pdf["i"], want):
+            assert abs(got[(key, i)] - w) < 1e-12, (key, i)
+
+    # NULL carries the previous smoothed value forward
+    dfn = spark.createDataFrame(
+        [("a", 0, 2.0), ("a", 1, None), ("a", 2, 4.0)],
+        "k string, i long, v double")
+    outn = {r["i"]: r["ewma"] for r in
+            (PCollection(dfn) | Ewma("v", alpha=0.5, keys="k",
+                                     order_by="i")).df.collect()}
+    assert outn[0] == 2.0 and outn[1] == 2.0
+    assert abs(outn[2] - 3.0) < 1e-12      # 0.5*4 + 0.5*2
+
+    with _pytest.raises(ValueError, match="alpha"):
+        Ewma("v", alpha=0.0, keys="k", order_by="i")
