@@ -953,3 +953,89 @@ class DedupAgainstCorpus(PTransform):
             out = out.localCheckpoint(eager=True)
             self.release()
         return pcoll.with_df(out)
+
+
+class EditDistanceJoin(PTransform):
+    """All pairs of strings within Levenshtein distance <= ``k`` —
+    fuzzy-match dedup for names/titles/short fields where token-level
+    Jaccard is too coarse. Output: (i, j, dist) with i < j.
+
+    Candidate pruning (the q-gram COUNT FILTER, Gravano et al. 2001):
+    strings at edit distance <= k share at least
+    ``max(|a|,|b|) - q + 1 - q*k`` q-grams (bag semantics), so the
+    gram-keyed self-join + per-pair bag-intersection count prunes
+    everything below the bound BEFORE any distance evaluation; exact
+    ``levenshtein() <= k`` verifies survivors (JVM builtin, no
+    Python). Strings too short for the bound to prune
+    (max(len) <= q*k + q - 1 — they may share zero grams with a
+    true match) route through a tiny length-windowed cross pass; the
+    two paths partition the pair space by max length, so nothing is
+    missed or duplicated.
+
+    Scale: the heavy join is keyed on the q-gram — fan-in per gram is
+    its posting list (hot grams are the documented skew unit, same as
+    every token-keyed join here); the short-string pass is bounded by
+    the count of strings shorter than ~q(k+1) characters.
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 k: int = 1, q: int = 2, label=None):
+        super().__init__(label)
+        if k < 1 or q < 2:
+            raise ValueError("need k >= 1 and q >= 2")
+        self.text_col, self.id_col = text_col, id_col
+        self.k, self.q = int(k), int(q)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        k, q = self.k, self.q
+        idc, tc = self.id_col, self.text_col
+        thresh = q * k + q - 1     # max-length boundary of the paths
+        s = (pcoll.df.select(F.col(idc).alias("id"),
+                             F.col(tc).alias("s"))
+             .where(F.col("s").isNotNull())
+             .withColumn("len", F.length("s")))
+
+        # ---- gram path: pairs whose LONGER string exceeds thresh ----
+        grams = (s.where(F.col("len") >= q)
+                 .select("id", "len", "s", F.explode(F.expr(
+                     f"transform(sequence(1, length(s) - {q} + 1),"
+                     f" p -> substring(s, p, {q}))")).alias("g"))
+                 .groupBy("id", "len", "s", "g")
+                 .agg(F.count(F.lit(1)).alias("c")))
+        a = grams.select(F.col("id").alias("i"),
+                         F.col("len").alias("la"),
+                         F.col("s").alias("sa"), "g",
+                         F.col("c").alias("ca"))
+        b = grams.select(F.col("id").alias("j"),
+                         F.col("len").alias("lb"),
+                         F.col("s").alias("sb"), "g",
+                         F.col("c").alias("cb"))
+        common = (a.join(b, on="g")
+                  .where((F.col("i") < F.col("j"))
+                         & (F.abs(F.col("la") - F.col("lb")) <= k))
+                  .groupBy("i", "j", "la", "lb", "sa", "sb")
+                  .agg(F.sum(F.least("ca", "cb")).alias("__common")))
+        bound = F.greatest("la", "lb") - q + 1 - q * k
+        long_pairs = (common
+                      .where(F.greatest("la", "lb") > thresh)
+                      .where(F.col("__common") >= bound)
+                      .withColumn("dist", F.levenshtein("sa", "sb"))
+                      .where(F.col("dist") <= k))
+
+        # ---- short path: both strings <= thresh chars (tiny set) ----
+        sh = s.where(F.col("len") <= thresh)
+        sa = sh.select(F.col("id").alias("i"), F.col("s").alias("sa"),
+                       F.col("len").alias("la"))
+        sb = sh.select(F.col("id").alias("j"), F.col("s").alias("sb"),
+                       F.col("len").alias("lb"))
+        short_pairs = (sa.crossJoin(sb)
+                       .where((F.col("i") < F.col("j"))
+                              & (F.abs(F.col("la") - F.col("lb")) <= k))
+                       .withColumn("dist", F.levenshtein("sa", "sb"))
+                       .where(F.col("dist") <= k))
+
+        out = (long_pairs.select("i", "j", F.col("dist").cast("int")
+                                 .alias("dist"))
+               .unionByName(short_pairs.select(
+                   "i", "j", F.col("dist").cast("int").alias("dist"))))
+        return pcoll.with_df(out)

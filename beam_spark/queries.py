@@ -2204,6 +2204,26 @@ def q_bm25_boosted(spark, sf_dir):
     return (PCollection(docs) | Bm25TopK(queries_df, k=5, k1=1.5)).df
 
 
+@query("q_dedup_edit_distance_pairs", """
+WITH s AS (SELECT p_partkey AS id, p_name AS name FROM part
+           WHERE p_partkey < 500)
+SELECT a.id AS i, b.id AS j,
+       CAST(levenshtein(a.name, b.name) AS INT) AS dist
+FROM s a JOIN s b ON a.id < b.id
+WHERE levenshtein(a.name, b.name) <= 2
+""")
+def q_edit_distance_pairs(spark, sf_dir):
+    """Fuzzy-name pair join, k=2 over part names: the Spark side runs
+    the q-gram count-filter candidate path + short-string pass; DuckDB
+    brute-forces every pair — equality proves the PRUNING loses
+    nothing (recall 1.0 by construction) and the distances agree."""
+    from beam_spark.operators.dedupe import EditDistanceJoin
+
+    p = table(spark, sf_dir, "part").df.filter("p_partkey < 500")
+    return (PCollection(p) | EditDistanceJoin(
+        text_col="p_name", id_col="p_partkey", k=2)).df
+
+
 @query("q_ts_ewma", """
 WITH RECURSIVE r AS (
   SELECT user_id, event_id, value,

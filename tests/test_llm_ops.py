@@ -1168,3 +1168,30 @@ def test_pagerank_properties(spark):
         PageRank(damping=1.5)
     with _pytest.raises(ValueError, match="iterations"):
         PageRank(iterations=0)
+
+
+def test_edit_distance_join_planted_and_short_strings(spark):
+    """EditDistanceJoin finds planted typo pairs exactly (count-filter
+    pruning loses nothing), handles strings too short to carry
+    q-grams via the short path, and respects the k bound."""
+    import pytest as _pytest
+    from beam_spark.operators.dedupe import EditDistanceJoin
+
+    rows = [
+        (0, "sparkle"), (1, "sparkel"),      # transposition: dist 2
+        (2, "sparkles"),                      # insert: dist 1 vs 0
+        (3, "completely different phrase"),
+        (4, "a"), (5, "b"), (6, "ab"),        # shorter than q
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["i"], r["j"]): r["dist"] for r in
+           (PCollection(df) | EditDistanceJoin(k=2)).df.collect()}
+    assert out[(0, 1)] == 2
+    assert out[(0, 2)] == 1
+    assert out[(1, 2)] == 2                   # sparkel -> sparkles
+    assert (4, 5) in out and out[(4, 5)] == 1  # short path
+    assert out[(4, 6)] == 1 and out[(5, 6)] == 1
+    assert all(d <= 2 for d in out.values())
+    assert not any(3 in p for p in out)       # far string pairs nothing
+    with _pytest.raises(ValueError, match="k >= 1"):
+        EditDistanceJoin(k=0)
