@@ -43,51 +43,89 @@ class PageRank(PTransform):
 
     def __init__(self, src: str = "src", dst: str = "dst",
                  damping: float = 0.85, iterations: int = 10,
-                 label=None):
+                 weight: str | None = None,
+                 personalization=None, label=None):
+        """``weight``: optional edge-weight column — a node's rank
+        distributes to its out-neighbors proportionally to weight
+        (out-strength normalization) instead of uniformly.
+
+        ``personalization``: optional DataFrame (node, p) of teleport
+        probabilities — the (1-d) restart mass lands on these nodes
+        proportionally to p (p is normalized internally; nodes absent
+        get zero restart mass), and dangling mass redistributes by the
+        same vector: personalized PageRank (the seed-biased variant
+        used for topic/host-local quality scoring)."""
         super().__init__(label)
         self.src, self.dst = src, dst
         self.damping, self.iterations = float(damping), int(iterations)
+        self.weight = weight
+        self.personalization = personalization
         if not 0.0 <= self.damping <= 1.0:
             raise ValueError(f"damping {damping} outside [0, 1]")
         if self.iterations < 1:
             raise ValueError("iterations must be >= 1")
 
     def expand(self, pcoll: PCollection) -> PCollection:
-        d = self.damping
+        d, wc = self.damping, self.weight
         edges = (pcoll.df
                  .select(F.col(self.src).alias("src"),
-                         F.col(self.dst).alias("dst"))
+                         F.col(self.dst).alias("dst"),
+                         *([F.col(wc).cast("double").alias("__w")]
+                           if wc else []))
                  .localCheckpoint(eager=True))
         nodes = (edges.select(F.col("src").alias("node"))
                  .unionByName(edges.select(F.col("dst").alias("node")))
                  .distinct()
                  .localCheckpoint(eager=True))
-        deg = edges.groupBy("src").agg(
-            F.count(F.lit(1)).alias("__deg")).localCheckpoint(eager=True)
+        deg = (edges.groupBy("src")
+               .agg((F.sum("__w") if wc else F.count(F.lit(1)))
+                    .alias("__deg"))
+               .localCheckpoint(eager=True))
         n_nodes = nodes.count()
-        ranks = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
+        # restart vector: uniform 1/N, or the normalized
+        # personalization (absent nodes restart with zero mass)
+        if self.personalization is not None:
+            pers = self.personalization
+            pers = pers.df if isinstance(pers, PCollection) else pers
+            node_c, p_c = pers.columns[:2]
+            tot = pers.agg(F.sum(F.col(p_c).cast("double"))
+                           .alias("__t"))
+            rv = (nodes.join(
+                pers.select(F.col(node_c).alias("node"),
+                            F.col(p_c).cast("double").alias("__p")),
+                on="node", how="left")
+                .crossJoin(F.broadcast(tot))
+                .select("node", F.coalesce(F.col("__p") / F.col("__t"),
+                                           F.lit(0.0)).alias("__r"))
+                .localCheckpoint(eager=True))
+        else:
+            rv = (nodes.withColumn("__r", F.lit(1.0 / n_nodes))
+                  .localCheckpoint(eager=True))
+        ranks = rv.select("node", F.col("__r").alias("pr"))
         for _ in range(self.iterations):
             # mass sitting on dangling nodes this round (1-row frame,
-            # broadcast into the update — no collect in the loop)
+            # broadcast into the update — no collect in the loop);
+            # it redistributes by the restart vector
             dangling = (ranks.join(deg, ranks["node"] == deg["src"],
                                    "left_anti")
                         .agg(F.coalesce(F.sum("pr"), F.lit(0.0))
                              .alias("__dm")))
+            share = (F.col("pr") * F.col("__w") / F.col("__deg")
+                     if wc else F.col("pr") / F.col("__deg"))
             contrib = (edges
                        .join(ranks, edges["src"] == ranks["node"])
                        .join(deg, "src")
                        .groupBy("dst")
-                       .agg(F.sum(F.col("pr") / F.col("__deg"))
-                            .alias("__m")))
-            ranks = (nodes
-                     .join(contrib, nodes["node"] == contrib["dst"],
+                       .agg(F.sum(share).alias("__m")))
+            ranks = (rv
+                     .join(contrib, rv["node"] == contrib["dst"],
                            "left")
                      .crossJoin(F.broadcast(dangling))
                      .select(
-                         "node",
-                         (F.lit((1.0 - d) / n_nodes)
+                         rv["node"],
+                         ((1.0 - d) * F.col("__r")
                           + d * (F.coalesce(F.col("__m"), F.lit(0.0))
-                                 + F.col("__dm") / n_nodes))
+                                 + F.col("__dm") * F.col("__r")))
                          .alias("pr"))
                      .localCheckpoint(eager=True))
         return pcoll.with_df(ranks)

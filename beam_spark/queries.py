@@ -2380,8 +2380,9 @@ def _pagerank_oracle_sql(iters: int = 5) -> str:
         p = f"r{i - 1}"
         cte.append(f"""r{i} AS (
   SELECT nd.node,
-         (1 - CAST(0.85 AS DOUBLE)) / nn.n
-         + CAST(0.85 AS DOUBLE) * (COALESCE(s.m, 0) + dg.dm / nn.n)
+         (1 - CAST(0.85 AS DOUBLE)) * (1.0 / nn.n)
+         + CAST(0.85 AS DOUBLE)
+           * (COALESCE(s.m, 0) + dg.dm * (1.0 / nn.n))
          AS pr
   FROM nodes nd CROSS JOIN nn
   CROSS JOIN (SELECT COALESCE(sum(r.pr), 0) AS dm

@@ -1195,3 +1195,31 @@ def test_edit_distance_join_planted_and_short_strings(spark):
     assert not any(3 in p for p in out)       # far string pairs nothing
     with _pytest.raises(ValueError, match="k >= 1"):
         EditDistanceJoin(k=0)
+
+
+def test_pagerank_weighted_and_personalized(spark):
+    """Weighted edges shift rank toward the heavy neighbor;
+    personalization concentrates restart AND dangling mass on the
+    seed set (zero-seed nodes still earn rank only via links)."""
+    from beam_spark.operators.graph import PageRank
+
+    # 0 links to 1 (weight 9) and 2 (weight 1)
+    we = spark.createDataFrame(
+        [(0, 1, 9.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 1.0)],
+        "src long, dst long, w double")
+    pr = {r["node"]: r["pr"] for r in
+          (PCollection(we) | PageRank(iterations=25, weight="w"))
+          .df.collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+    assert pr[1] > pr[2] * 3          # 9x edge weight dominates
+
+    # personalization: teleport only to node 0
+    seeds = spark.createDataFrame([(0, 1.0)], "node long, p double")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    ppr = {r["node"]: r["pr"] for r in
+           (PCollection(edges) | PageRank(
+               iterations=40, personalization=seeds)).df.collect()}
+    assert abs(sum(ppr.values()) - 1.0) < 1e-9
+    # restart bias: 0 outranks its cycle peers
+    assert ppr[0] > ppr[1] > ppr[2] or ppr[0] > max(ppr[1], ppr[2])
