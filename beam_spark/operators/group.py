@@ -464,6 +464,9 @@ class GapFill(PTransform):
       * 'locf' — last observation carried forward per key (NULLs fill
         from the nearest earlier bucket; applies to genuine NULL
         aggregates too, the standard locf caveat);
+      * 'interp' — linear interpolation between the nearest earlier
+        and later non-NULL observations (time-weighted by bucket
+        distance); buckets outside the observed span stay NULL;
       * ('const', v) — coalesce to a constant (e.g. 0 counts).
 
     ``aggs``: {name: SQL aggregate expr} evaluated per (keys, bucket).
@@ -485,11 +488,11 @@ class GapFill(PTransform):
         self.keys = [keys] if isinstance(keys, str) else list(keys)
         if isinstance(fill, list):      # YAML front-end ships lists
             fill = tuple(fill)
-        if fill not in ("null", "locf") and not (
+        if fill not in ("null", "locf", "interp") and not (
                 isinstance(fill, tuple) and len(fill) == 2
                 and fill[0] == "const"):
-            raise ValueError(
-                "fill must be 'null', 'locf', or ('const', value)")
+            raise ValueError("fill must be 'null', 'locf', 'interp', "
+                             "or ('const', value)")
         self.fill = fill
         self.start, self.end = start, end
 
@@ -515,7 +518,29 @@ class GapFill(PTransform):
              .withColumn("filled", F.col("__present").isNull())
              .drop("__present"))
         names = list(self.aggs)
-        if self.fill == "locf":
+        if self.fill == "interp":
+            back = (Window.partitionBy(*keys).orderBy("bucket")
+                    .rowsBetween(Window.unboundedPreceding,
+                                 Window.currentRow))
+            fwd = (Window.partitionBy(*keys).orderBy("bucket")
+                   .rowsBetween(Window.currentRow,
+                                Window.unboundedFollowing))
+
+            def lerp(n):
+                ob = F.when(F.col(n).isNotNull(), F.col("bucket"))
+                pb = F.last(ob, ignorenulls=True).over(back)
+                nb = F.first(ob, ignorenulls=True).over(fwd)
+                pv = F.last(n, ignorenulls=True).over(back)
+                nv = F.first(n, ignorenulls=True).over(fwd)
+                return F.when(F.col(n).isNotNull(), F.col(n)).otherwise(
+                    F.when(pv.isNotNull() & nv.isNotNull(),
+                           pv + (nv - pv)
+                           * ((F.col("bucket") - pb)
+                              / (nb - pb).cast("double"))))
+
+            j = j.select(*keys, "bucket",
+                         *[lerp(n).alias(n) for n in names], "filled")
+        elif self.fill == "locf":
             lw = (Window.partitionBy(*keys).orderBy("bucket")
                   .rowsBetween(Window.unboundedPreceding,
                                Window.currentRow))

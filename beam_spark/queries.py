@@ -2323,6 +2323,57 @@ def q_ts_gapfill(spark, sf_dir):
         keys=["user_id"], fill="locf")).df
 
 
+@query("q_ts_gapfill_interp", """
+WITH b AS (SELECT user_id,
+             CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s
+           FROM events GROUP BY 1, 2),
+rng AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+        FROM b GROUP BY 1),
+spine AS (SELECT user_id, unnest(range(mn, mx + 3600, 3600)) AS bucket
+          FROM rng),
+j AS (SELECT sp.user_id, sp.bucket, b.s, b.bucket IS NULL AS filled
+      FROM spine sp
+      LEFT JOIN b ON sp.user_id = b.user_id AND sp.bucket = b.bucket),
+w AS (SELECT user_id, bucket, s, filled,
+        last_value(CASE WHEN s IS NOT NULL THEN bucket END
+                   IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+        last_value(s IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        first_value(CASE WHEN s IS NOT NULL THEN bucket END
+                    IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY bucket
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb,
+        first_value(s IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY bucket
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+      FROM j)
+SELECT user_id, bucket,
+       CASE WHEN s IS NOT NULL THEN s
+            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+              pv + (nv - pv)
+                   * ((bucket - pb) / CAST(nb - pb AS DOUBLE))
+       END AS s,
+       filled
+FROM w
+""")
+def q_ts_gapfill_interp(spark, sf_dir):
+    """Gap filling with LINEAR INTERPOLATION (time-weighted between
+    the nearest observations): identical window + lerp op sequence in
+    both engines over exact decimal-cast sums, so the doubles are
+    bit-identical and compared unrounded."""
+    from beam_spark.operators.group import GapFill
+
+    ev = table(spark, sf_dir, "events")
+    return (ev | GapFill(
+        "ts", 3600,
+        {"s": "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"},
+        keys=["user_id"], fill="interp")).df
+
+
 @query("q_scd_type2_apply", """
 WITH dim AS (SELECT c_custkey AS id, c_mktsegment AS seg,
                     CAST(0 AS BIGINT) AS ts, 0 AS src FROM customer),

@@ -486,5 +486,20 @@ def test_gapfill_modes(spark):
     assert wide.filter(
         "k = 'a' AND bucket < 1704067200 AND NOT filled").count() == 0
 
+    # linear interpolation: 1.0 at h0, 5.0 at h0+3h -> gaps lerp
+    itp = {(r["k"], r["bucket"]): r["s"] for r in
+           (PCollection(df) | GapFill(**base, fill="interp"))
+           .df.collect()}
+    assert abs(itp[("a", h0 + 3600)] - (1.0 + 4.0 / 3)) < 1e-12
+    assert abs(itp[("a", h0 + 7200)] - (1.0 + 8.0 / 3)) < 1e-12
+    assert itp[("a", h0)] == 1.0 and itp[("a", h0 + 10800)] == 5.0
+
+    # interp leaves buckets outside the observed span NULL
+    span = (PCollection(df) | GapFill(
+        **base, fill="interp", start=h0 - 3600, end=h0 + 10800)).df
+    lead_row = {r["bucket"]: r["s"]
+                for r in span.filter("k = 'a'").collect()}
+    assert lead_row[h0 - 3600] is None
+
     with _pytest.raises(ValueError, match="fill must be"):
         GapFill("t", 3600, {"s": "sum(v)"}, fill="bogus")
