@@ -979,39 +979,63 @@ class EditDistanceJoin(PTransform):
     """
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
-                 k: int = 1, q: int = 2, label=None):
+                 k: int = 1, q: int = 2, queries=None,
+                 query_text_col: str | None = None,
+                 query_id_col: str | None = None, label=None):
+        """``queries``: optional second frame — output pairs are then
+        (i from queries, j from corpus, dist), the lookup flavor
+        (match incoming names against a reference list) instead of the
+        self-join; candidate pruning is identical."""
         super().__init__(label)
         if k < 1 or q < 2:
             raise ValueError("need k >= 1 and q >= 2")
         self.text_col, self.id_col = text_col, id_col
         self.k, self.q = int(k), int(q)
+        self.queries = (queries.df
+                        if isinstance(queries, PCollection)
+                        else queries)
+        self.query_text_col = query_text_col or text_col
+        self.query_id_col = query_id_col or id_col
 
     def expand(self, pcoll: PCollection) -> PCollection:
         k, q = self.k, self.q
         idc, tc = self.id_col, self.text_col
         thresh = q * k + q - 1     # max-length boundary of the paths
-        s = (pcoll.df.select(F.col(idc).alias("id"),
-                             F.col(tc).alias("s"))
-             .where(F.col("s").isNotNull())
-             .withColumn("len", F.length("s")))
+
+        def prep(df, id_col, t_col):
+            return (df.select(F.col(id_col).alias("id"),
+                              F.col(t_col).alias("s"))
+                    .where(F.col("s").isNotNull())
+                    .withColumn("len", F.length("s")))
+
+        def gramify(frame):
+            return (frame.where(F.col("len") >= q)
+                    .select("id", "len", "s", F.explode(F.expr(
+                        f"transform(sequence(1, length(s) - {q} + 1),"
+                        f" p -> substring(s, p, {q}))")).alias("g"))
+                    .groupBy("id", "len", "s", "g")
+                    .agg(F.count(F.lit(1)).alias("c")))
+
+        s = prep(pcoll.df, idc, tc)
+        two_frame = self.queries is not None
+        sq = (prep(self.queries, self.query_id_col,
+                   self.query_text_col) if two_frame else s)
 
         # ---- gram path: pairs whose LONGER string exceeds thresh ----
-        grams = (s.where(F.col("len") >= q)
-                 .select("id", "len", "s", F.explode(F.expr(
-                     f"transform(sequence(1, length(s) - {q} + 1),"
-                     f" p -> substring(s, p, {q}))")).alias("g"))
-                 .groupBy("id", "len", "s", "g")
-                 .agg(F.count(F.lit(1)).alias("c")))
-        a = grams.select(F.col("id").alias("i"),
-                         F.col("len").alias("la"),
-                         F.col("s").alias("sa"), "g",
-                         F.col("c").alias("ca"))
+        grams = gramify(s)
+        gq = gramify(sq) if two_frame else grams
+        a = gq.select(F.col("id").alias("i"),
+                      F.col("len").alias("la"),
+                      F.col("s").alias("sa"), "g",
+                      F.col("c").alias("ca"))
         b = grams.select(F.col("id").alias("j"),
                          F.col("len").alias("lb"),
                          F.col("s").alias("sb"), "g",
                          F.col("c").alias("cb"))
+        pair_pred = (F.lit(True) if two_frame
+                     else (F.col("i") < F.col("j")))
         common = (a.join(b, on="g")
-                  .where((F.col("i") < F.col("j"))
+                  .where(pair_pred
                          & (F.abs(F.col("la") - F.col("lb")) <= k))
                   .groupBy("i", "j", "la", "lb", "sa", "sb")
                   .agg(F.sum(F.least("ca", "cb")).alias("__common")))
@@ -1023,13 +1047,14 @@ class EditDistanceJoin(PTransform):
                       .where(F.col("dist") <= k))
 
         # ---- short path: both strings <= thresh chars (tiny set) ----
-        sh = s.where(F.col("len") <= thresh)
-        sa = sh.select(F.col("id").alias("i"), F.col("s").alias("sa"),
-                       F.col("len").alias("la"))
-        sb = sh.select(F.col("id").alias("j"), F.col("s").alias("sb"),
-                       F.col("len").alias("lb"))
+        sa = (sq.where(F.col("len") <= thresh)
+              .select(F.col("id").alias("i"), F.col("s").alias("sa"),
+                      F.col("len").alias("la")))
+        sb = (s.where(F.col("len") <= thresh)
+              .select(F.col("id").alias("j"), F.col("s").alias("sb"),
+                      F.col("len").alias("lb")))
         short_pairs = (sa.crossJoin(sb)
-                       .where((F.col("i") < F.col("j"))
+                       .where(pair_pred
                               & (F.abs(F.col("la") - F.col("lb")) <= k))
                        .withColumn("dist", F.levenshtein("sa", "sb"))
                        .where(F.col("dist") <= k))

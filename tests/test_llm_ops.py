@@ -1223,3 +1223,38 @@ def test_pagerank_weighted_and_personalized(spark):
     assert abs(sum(ppr.values()) - 1.0) < 1e-9
     # restart bias: 0 outranks its cycle peers
     assert ppr[0] > ppr[1] > ppr[2] or ppr[0] > max(ppr[1], ppr[2])
+
+
+def test_edit_distance_join_two_frame_lookup(spark):
+    """queries= flavor: incoming names match against a reference
+    corpus — (query_id, corpus_id, dist) pairs, no i<j constraint,
+    same lossless pruning (verified vs brute force in-test)."""
+    from beam_spark.operators.dedupe import EditDistanceJoin
+
+    corpus = spark.createDataFrame(
+        [(10, "alexander"), (11, "alexandra"), (12, "benjamin"),
+         (13, "al")],
+        "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [(0, "alexandre"), (1, "benjamim"), (2, "ax")],
+        "doc_id long, text string")
+    out = {(r["i"], r["j"]): r["dist"] for r in
+           (PCollection(corpus) | EditDistanceJoin(k=2, queries=qs))
+           .df.collect()}
+    # brute force reference
+    import itertools
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+    want = {(qi, ci): lev(qt, ct)
+            for (qi, qt), (ci, ct) in itertools.product(
+                [(0, "alexandre"), (1, "benjamim"), (2, "ax")],
+                [(10, "alexander"), (11, "alexandra"),
+                 (12, "benjamin"), (13, "al")])
+            if lev(qt, ct) <= 2}
+    assert out == want and (0, 10) in out and (2, 13) in out
