@@ -367,9 +367,9 @@ class KsDrift(PTransform):
         cum = (counts
                .withColumn("__c1", F.sum("__n1").over(w))
                .withColumn("__c2", F.sum("__n2").over(w)))
-        tot = u.agg(
-            F.sum(F.when(F.col("__s") == 0, 1).otherwise(0)).alias("na"),
-            F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).alias("nb"))
+        # totals from the AGGREGATED counts, not a raw re-scan
+        tot = counts.agg(F.sum("__n1").alias("na"),
+                         F.sum("__n2").alias("nb"))
         d = (cum.crossJoin(F.broadcast(tot))
              .agg(F.max(F.abs(F.col("__c1") / F.col("na")
                               - F.col("__c2") / F.col("nb")))
