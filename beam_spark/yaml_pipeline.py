@@ -300,6 +300,11 @@ def _register_curation():
                              "StratifiedSample"),
         "Pivot": ("beam_spark.operators.group", "Pivot"),
         "GapFill": ("beam_spark.operators.group", "GapFill"),
+        "Histogram": ("beam_spark.operators.quality", "Histogram"),
+        "Ewma": ("beam_spark.operators.stats", "Ewma"),
+        "EditDistanceJoin": ("beam_spark.operators.dedupe",
+                             "EditDistanceJoin"),
+        "PageRank": ("beam_spark.operators.graph", "PageRank"),
     }
 
     def make(mod_name, cls_name):
@@ -351,6 +356,18 @@ def _bm25f_topk(t, current, named, pipeline):
     kwargs = {k: v for k, v in t.items()
               if k not in ("type", "name", "input", "queries", "fields")}
     return current | Bm25fTopK(q.df, fields, **kwargs)
+
+
+@register_yaml_transform("ScdType2Apply")
+def _scd_apply(t, current, named, pipeline):
+    """Type-2 dimension apply: ``dimension:`` names the step holding
+    the existing dimension table."""
+    from beam_spark.operators.scd import ScdType2Apply
+
+    dim = named[t["dimension"]]
+    kwargs = {k: v for k, v in t.items()
+              if k not in ("type", "name", "input", "dimension")}
+    return current | ScdType2Apply(dim.df, **kwargs)
 
 
 @register_yaml_transform("BpeEncode")

@@ -345,3 +345,58 @@ pipeline:
 """, spark)
     rows2 = out2.df.collect()
     assert {r["query_id"] for r in rows2} == {0, 1, 2}
+
+
+def test_yaml_round7_ops(spark, sf_dir):
+    """Histogram / Ewma via the generic adapter; ScdType2Apply with a
+    named dimension step."""
+    from beam_spark.yaml_pipeline import run_yaml
+
+    out = run_yaml(f"""
+pipeline:
+  transforms:
+    - type: ReadFromParquet
+      path: {sf_dir}/orders.parquet
+    - type: Histogram
+      col: o_totalprice
+      n_bins: 10
+""", spark)
+    rows = out.df.collect()
+    assert sum(r["n"] for r in rows) == \
+        spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+
+    out2 = run_yaml(f"""
+pipeline:
+  transforms:
+    - type: ReadFromParquet
+      path: {sf_dir}/events.parquet
+    - type: Ewma
+      col: value
+      alpha: 0.5
+      keys: user_id
+      order_by: [ts, event_id]
+""", spark)
+    assert "ewma" in out2.df.columns and out2.df.count() > 0
+
+    out3 = run_yaml(f"""
+pipeline:
+  transforms:
+    - type: ReadFromParquet
+      path: {sf_dir}/customer.parquet
+    - type: Sql
+      query: "SELECT c_custkey AS id, c_mktsegment AS seg,
+              CAST(0 AS BIGINT) AS valid_from,
+              CAST(NULL AS BIGINT) AS valid_to FROM PCOLLECTION"
+      name: dim
+    - type: ReadFromParquet
+      path: {sf_dir}/orders.parquet
+    - type: Sql
+      query: "SELECT o_custkey AS id, o_orderpriority AS seg,
+              CAST(o_orderkey AS BIGINT) AS ts FROM PCOLLECTION"
+    - type: ScdType2Apply
+      dimension: dim
+      key: id
+""", spark)
+    df3 = out3.df
+    assert {"id", "seg", "valid_from", "valid_to"} <= set(df3.columns)
+    assert df3.filter("valid_to IS NULL").count() > 0
