@@ -2412,18 +2412,31 @@ def q_scd_apply(spark, sf_dir):
     return (PCollection(ch) | ScdType2Apply(cust, key="id")).df
 
 
-def _pagerank_oracle_sql(iters: int = 5) -> str:
+def _pagerank_oracle_sql(iters: int = 5, weighted: bool = False) -> str:
     """Chained-CTE PageRank: the SAME fixed-iteration update the Spark
     operator runs, one CTE per round. Float association mirrors the
-    operator exactly except the per-node in-edge sum order (error
-    ~1e-19 per round — round(9) leaves a 1e9x margin)."""
+    operator exactly except per-group sum orders (in-edge contribution
+    sums, and out-strength sums in weighted mode — error ~1e-19 per
+    round; round(9) leaves a 1e9x margin)."""
+    if weighted:
+        edges = ("WITH edges AS (SELECT o_custkey AS src, "
+                 "l_partkey + 10000000 AS dst, "
+                 "CAST(l_quantity AS DOUBLE) AS w FROM lineitem "
+                 "JOIN orders ON l_orderkey = o_orderkey),")
+        deg = ("deg AS (SELECT src, sum(w) AS d FROM edges "
+               "GROUP BY src),")
+        share = "sum(r.pr * e.w / deg.d)"
+    else:
+        edges = ("WITH edges AS (SELECT o_custkey AS src, "
+                 "l_partkey + 10000000 AS dst FROM lineitem "
+                 "JOIN orders ON l_orderkey = o_orderkey),")
+        deg = "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),"
+        share = "sum(r.pr / deg.d)"
     cte = [
-        "WITH edges AS (SELECT o_custkey AS src, "
-        "l_partkey + 10000000 AS dst FROM lineitem "
-        "JOIN orders ON l_orderkey = o_orderkey),",
+        edges,
         "nodes AS (SELECT src AS node FROM edges "
         "UNION SELECT dst FROM edges),",
-        "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),",
+        deg,
         "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),",
         "r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn),",
     ]
@@ -2439,7 +2452,7 @@ def _pagerank_oracle_sql(iters: int = 5) -> str:
   CROSS JOIN (SELECT COALESCE(sum(r.pr), 0) AS dm
               FROM {p} r LEFT JOIN deg ON r.node = deg.src
               WHERE deg.src IS NULL) dg
-  LEFT JOIN (SELECT e.dst AS node, sum(r.pr / deg.d) AS m
+  LEFT JOIN (SELECT e.dst AS node, {share} AS m
              FROM edges e JOIN {p} r ON e.src = r.node
              JOIN deg ON e.src = deg.src GROUP BY e.dst) s
     ON nd.node = s.node),""")
@@ -2463,6 +2476,23 @@ def q_graph_pagerank(spark, sf_dir):
              .select(F.col("o_custkey").alias("src"),
                      (F.col("l_partkey") + 10000000).alias("dst")))
     pr = (PCollection(edges) | PageRank(iterations=5)).df
+    return pr.select("node", F.round("pr", 9).alias("pr"))
+
+
+@query("q_graph_pagerank_weighted", _pagerank_oracle_sql(weighted=True))
+def q_graph_pagerank_weighted(spark, sf_dir):
+    """Weighted PageRank (5 iterations, d=0.85): rank distributes by
+    out-strength share (edge weight = line quantity); DuckDB replays
+    the identical update with sum-of-weights normalization."""
+    from beam_spark.operators.graph import PageRank
+
+    li = table(spark, sf_dir, "lineitem").df
+    o = table(spark, sf_dir, "orders").df
+    edges = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+             .select(F.col("o_custkey").alias("src"),
+                     (F.col("l_partkey") + 10000000).alias("dst"),
+                     F.col("l_quantity").cast("double").alias("w")))
+    pr = (PCollection(edges) | PageRank(iterations=5, weight="w")).df
     return pr.select("node", F.round("pr", 9).alias("pr"))
 
 
