@@ -381,7 +381,21 @@ CASES = [
     ("unstack_gb_sum", lambda t: t["o"].groupby(
         ["o_orderstatus", "o_orderpriority"]).o_totalprice.sum()
      .unstack().fillna(0.0).reset_index()),
+    # ---- round-7 session-2 additions ----
+    ("iloc_rowslice_setitem", lambda t: _iloc_rowslice(t)),
+    ("frame_nsmallest", lambda t: t["o"].nsmallest(
+        5, "o_totalprice")[["o_orderkey"]]),
+    ("duplicated_sum", lambda t: int(
+        t["o"][["o_orderstatus"]].duplicated().sum())),
+    ("str_pad", lambda t: t["o"].o_orderpriority.str.pad(
+        20, "left", "_")),
 ]
+
+
+def _iloc_rowslice(t):
+    d = t["o"][["o_orderkey", "o_totalprice"]]         .sort_values("o_orderkey").copy()
+    d.iloc[0:3, 1] = 0.0
+    return d.head(5)
 
 
 def _setitem_scalar(t):
@@ -423,6 +437,10 @@ DIVERGENT_RAISES = [
     ("pivot_table_no_columns", lambda t: t["o"].pivot_table(
         values="o_totalprice", index=["o_orderstatus", "o_orderpriority"],
         aggfunc="sum").reset_index()),
+    # GroupBy.transform("mean"): ps requires a callable, rejects the
+    # string spelling pandas accepts
+    ("gb_transform_str", lambda t: t["o"].groupby("o_orderstatus")
+     ["o_totalprice"].transform("mean")),
 ]
 
 DIVERGENT_VALUES = [
@@ -430,6 +448,10 @@ DIVERGENT_VALUES = [
         (t["o"].o_orderdate.dt.normalize() == t["o"].o_orderdate).sum())),
     ("rolling_count", lambda t: t["o"].sort_values("o_orderkey")
      .set_index("o_orderkey").o_totalprice.rolling(3).count()),
+    # category value_counts: ps indexes the counts by category CODES,
+    # pandas by the category labels
+    ("category_value_counts_index", lambda t: t["o"].o_orderstatus
+     .astype("category").value_counts().reset_index()),
 ]
 
 
