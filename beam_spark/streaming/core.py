@@ -533,6 +533,37 @@ class ContinuousAggregate(PTransform):
         return spark.read.parquet(path).drop(
             ContinuousAggregate.BATCH_COL)
 
+    def read_gapfilled(self, spark, granularity: str, fill="null"):
+        """One granularity of the maintained table as a DENSE series —
+        the gap-filled continuous-aggregate view (TimescaleDB's
+        real-time aggregate + time_bucket_gapfill combo): every bucket
+        between each key's first and last maintained bucket appears,
+        missing ones filled per ``GapFill`` semantics ('null', 'locf',
+        'interp', ('const', v)). Gap rows carry ``filled = true``.
+
+        Partition pruning applies: only the requested granularity's
+        partitions are read."""
+        from beam_spark.operators.group import GapFill
+        from beam_spark.pcollection import PCollection as PC
+
+        if granularity not in self.grains:
+            raise ValueError(
+                f"unknown granularity {granularity!r} "
+                f"(have {sorted(self.grains)})")
+        width = int(self.grains[granularity])
+        df = (self.read(spark, self.path)
+              .filter(F.col("granularity") == granularity))
+        # reuse GapFill's spine/fill machinery by treating the bucket
+        # as the (already-bucketed) timestamp: width-aligned epochs
+        # floor onto themselves
+        agg_exprs = {name: f"first({name})" for name in self.aggs}
+        ts = F.timestamp_seconds(F.col("bucket_start")).alias("__ts")
+        out = (PC(df.select(*self.keys, ts,
+                            *[F.col(n) for n in self.aggs]))
+               | GapFill("__ts", width, agg_exprs,
+                         keys=self.keys, fill=fill)).df
+        return out.withColumnRenamed("bucket", "bucket_start")
+
     @staticmethod
     def _pair_cond(pairs):
         """One partition-prunable predicate over exact (granularity,

@@ -749,6 +749,36 @@ def test_continuous_aggregate_on_update_emits_post_merge_deltas(
     assert emitted == []          # replay: table unchanged, no delta
 
 
+def test_continuous_aggregate_read_gapfilled(spark, tmp_path):
+    """read_gapfilled(): the maintained table surfaces as a DENSE
+    per-key series for one granularity — gaps marked and filled per
+    GapFill semantics; unknown granularities rejected."""
+    import pytest as _pytest
+    from beam_spark.streaming.core import ContinuousAggregate
+
+    out = str(tmp_path / "ca")
+    ca = ContinuousAggregate(out, "t", {"hour": 3600, "day": 86400},
+                             {"n": "count", "s": "sum:v"}, keys=["k"])
+    df = spark.createDataFrame(
+        [("2024-01-01 00:10:00", "a", 1.0),
+         ("2024-01-01 03:20:00", "a", 7.0)],
+        "t string, k string, v double").selectExpr(
+        "CAST(t AS TIMESTAMP) AS t", "k", "v")
+    ca._upsert(df, 0)
+    h0 = 1704067200
+    dense = {r["bucket_start"]: (r["n"], r["s"], r["filled"]) for r in
+             ca.read_gapfilled(spark, "hour", fill="locf").collect()}
+    assert set(dense) == {h0, h0 + 3600, h0 + 7200, h0 + 10800}
+    assert dense[h0] == (1, 1.0, False)
+    assert dense[h0 + 3600] == (1, 1.0, True)      # locf-carried gap
+    assert dense[h0 + 10800] == (1, 7.0, False)
+    # day granularity untouched by the hour spine
+    day = ca.read_gapfilled(spark, "day").collect()
+    assert len(day) == 1 and day[0]["filled"] is False
+    with _pytest.raises(ValueError, match="unknown granularity"):
+        ca.read_gapfilled(spark, "week")
+
+
 def test_continuous_aggregate_expire_drops_old_buckets(spark, tmp_path):
     """expire() is the drop-chunks retention policy: partitions whose
     window END predates now - older_than[granularity] are deleted,
