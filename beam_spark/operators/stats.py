@@ -312,3 +312,78 @@ class Ewma(PTransform):
 
         out = pcoll.df.groupBy(*self.keys).applyInPandas(fn, schema)
         return pcoll.with_df(out)
+
+
+class CusumDetect(PTransform):
+    """Per-key one-sided CUSUM changepoint scores (Page 1954): in
+    event order,
+
+        s_hi_i = max(0, s_hi_{i-1} + (x_i - target) - slack)
+        s_lo_i = max(0, s_lo_{i-1} - (x_i - target) - slack)
+        alarm_i = s_hi_i > threshold OR s_lo_i > threshold
+
+    — the classic mean-shift monitor for pipeline telemetry (did this
+    feed's quality score drift up/down). ``target`` is the in-control
+    mean, ``slack`` the half-band of ignorable drift, ``threshold``
+    the alarm level. NULL inputs carry state unchanged.
+
+    Like ``Ewma``, the max(0, ...) recurrence has no shuffle-free SQL
+    form, so it runs as an Arrow-batched applyInPandas recurrence per
+    key (frompyfunc C-loop). One key shuffle, O(1) per-key state.
+
+    Output: input columns + s_hi, s_lo (double), alarm (boolean).
+    """
+
+    def __init__(self, col: str, target: float, keys, order_by,
+                 slack: float = 0.0, threshold: float = 5.0,
+                 label=None):
+        super().__init__(label)
+        self.col, self.target = col, float(target)
+        self.slack, self.threshold = float(slack), float(threshold)
+        if self.slack < 0 or self.threshold <= 0:
+            raise ValueError("need slack >= 0 and threshold > 0")
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        self.order_by = ([order_by] if isinstance(order_by, str)
+                         else list(order_by))
+
+    def expand(self, pcoll):
+        import numpy as np
+
+        col, ob = self.col, self.order_by
+        tgt, slack, thr = self.target, self.slack, self.threshold
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in pcoll.df.schema.fields) \
+            + ", s_hi double, s_lo double, alarm boolean"
+
+        def fn(pdf):
+            pdf = pdf.sort_values(ob, kind="mergesort")
+            x = pdf[col].to_numpy(dtype=object)
+
+            def step_hi(acc, v):
+                if v is None or v != v:
+                    return acc
+                return max(0.0, acc + (float(v) - tgt) - slack)
+
+            def step_lo(acc, v):
+                if v is None or v != v:
+                    return acc
+                return max(0.0, acc - (float(v) - tgt) - slack)
+
+            if len(x):
+                # seed the in-control 0-state so row 0 runs the step
+                seeded = np.concatenate(([0.0], x))
+                hi = np.frompyfunc(step_hi, 2, 1).accumulate(
+                    seeded, dtype=object)[1:]
+                lo = np.frompyfunc(step_lo, 2, 1).accumulate(
+                    seeded, dtype=object)[1:]
+            else:
+                hi = lo = x
+            pdf["s_hi"] = [float(v) for v in hi]
+            pdf["s_lo"] = [float(v) for v in lo]
+            pdf["alarm"] = [bool(h > thr or l > thr)
+                            for h, l in zip(pdf["s_hi"], pdf["s_lo"])]
+            return pdf
+
+        out = pcoll.df.groupBy(*self.keys).applyInPandas(fn, schema)
+        return pcoll.with_df(out)

@@ -2224,6 +2224,53 @@ def q_edit_distance_pairs(spark, sf_dir):
         text_col="p_name", id_col="p_partkey", k=2)).df
 
 
+@query("q_ts_cusum", """
+WITH RECURSIVE r AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+e AS (
+  SELECT user_id, event_id, rn,
+         CASE WHEN value IS NULL THEN CAST(0 AS DOUBLE)
+              ELSE greatest(CAST(0 AS DOUBLE),
+                   CAST(0 AS DOUBLE) + (value - CAST(50 AS DOUBLE))
+                   - CAST(0.5 AS DOUBLE)) END AS s_hi,
+         CASE WHEN value IS NULL THEN CAST(0 AS DOUBLE)
+              ELSE greatest(CAST(0 AS DOUBLE),
+                   CAST(0 AS DOUBLE) - (value - CAST(50 AS DOUBLE))
+                   - CAST(0.5 AS DOUBLE)) END AS s_lo
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.user_id, r.event_id, r.rn,
+         CASE WHEN r.value IS NULL THEN e.s_hi
+              ELSE greatest(CAST(0 AS DOUBLE),
+                   e.s_hi + (r.value - CAST(50 AS DOUBLE))
+                   - CAST(0.5 AS DOUBLE)) END,
+         CASE WHEN r.value IS NULL THEN e.s_lo
+              ELSE greatest(CAST(0 AS DOUBLE),
+                   e.s_lo - (r.value - CAST(50 AS DOUBLE))
+                   - CAST(0.5 AS DOUBLE)) END
+  FROM e JOIN r ON r.user_id = e.user_id AND r.rn = e.rn + 1)
+SELECT user_id, event_id, s_hi, s_lo,
+       (s_hi > CAST(100 AS DOUBLE) OR s_lo > CAST(100 AS DOUBLE))
+       AS alarm
+FROM e
+""")
+def q_cusum(spark, sf_dir):
+    """Per-user CUSUM mean-shift scores (target 50, slack 0.5,
+    threshold 100 — binary-exact literals): the Python recurrence and
+    DuckDB's recursive-CTE replay run the identical IEEE op sequence,
+    compared unrounded."""
+    from beam_spark.operators.stats import CusumDetect
+
+    ev = table(spark, sf_dir, "events")
+    out = (ev | CusumDetect("value", target=50.0, slack=0.5,
+                            threshold=100.0, keys="user_id",
+                            order_by=["ts", "event_id"])).df
+    return out.select("user_id", "event_id", "s_hi", "s_lo", "alarm")
+
+
 @query("q_ts_ewma", """
 WITH RECURSIVE r AS (
   SELECT user_id, event_id, value,

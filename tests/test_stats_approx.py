@@ -121,3 +121,43 @@ def test_ewma_matches_pandas_and_handles_nulls(spark):
 
     with _pytest.raises(ValueError, match="alpha"):
         Ewma("v", alpha=0.0, keys="k", order_by="i")
+
+
+def test_cusum_detects_mean_shift(spark):
+    """CusumDetect: in-control noise stays near zero; an upward mean
+    shift raises s_hi past the threshold and alarms; a downward shift
+    trips s_lo; NULLs carry state; validation."""
+    import pytest as _pytest
+
+    from beam_spark.operators.stats import CusumDetect
+    from beam_spark.pcollection import PCollection
+
+    vals = [10.0, 10.2, 9.9, 10.1] + [13.0] * 5      # shift up at i=4
+    rows = [("a", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    out = sorted(
+        (PCollection(df) | CusumDetect(
+            "v", target=10.0, slack=0.5, threshold=10.0,
+            keys="k", order_by="i")).df.collect(),
+        key=lambda r: r["i"])
+    assert all(r["s_hi"] < 1.0 for r in out[:4])       # in control
+    assert not any(r["alarm"] for r in out[:4])
+    assert out[-1]["s_hi"] > 10.0 and out[-1]["alarm"]
+    # downward shift trips the LOW side
+    down = [("a", i, 10.0 - (3.0 if i >= 2 else 0.0)) for i in range(8)]
+    d2 = spark.createDataFrame(down, "k string, i long, v double")
+    o2 = sorted((PCollection(d2) | CusumDetect(
+        "v", target=10.0, slack=0.5, threshold=10.0,
+        keys="k", order_by="i")).df.collect(), key=lambda r: r["i"])
+    assert o2[-1]["s_lo"] > 10.0 and o2[-1]["alarm"]
+    # NULL carries state
+    dn = spark.createDataFrame(
+        [("a", 0, 13.0), ("a", 1, None), ("a", 2, 13.0)],
+        "k string, i long, v double")
+    on = sorted((PCollection(dn) | CusumDetect(
+        "v", target=10.0, slack=0.5, threshold=10.0,
+        keys="k", order_by="i")).df.collect(), key=lambda r: r["i"])
+    assert on[1]["s_hi"] == on[0]["s_hi"] == 2.5
+    assert on[2]["s_hi"] == 5.0
+    with _pytest.raises(ValueError, match="slack"):
+        CusumDetect("v", 0.0, keys="k", order_by="i", slack=-1)
