@@ -305,6 +305,7 @@ def _register_curation():
         "EditDistanceJoin": ("beam_spark.operators.dedupe",
                              "EditDistanceJoin"),
         "PageRank": ("beam_spark.operators.graph", "PageRank"),
+        "CusumDetect": ("beam_spark.operators.stats", "CusumDetect"),
     }
 
     def make(mod_name, cls_name):
