@@ -330,6 +330,51 @@ class StratifiedSample(PTransform):
             out.filter(keep).drop("__rn", "__cnt"))
 
 
+class WeightedSample(PTransform):
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis & Spirakis 2006 via the exponential race): each row
+    derives a pseudo-random uniform from the md5 of its id (no RNG
+    state — reproducible across engines, retries, partitionings) and
+    an exponential key ``-ln(u) / weight``; the ``n`` smallest keys
+    win (per stratum when given) — inclusion odds proportional to
+    weight, sample sizes exact. Rows with weight <= 0 or NULL never
+    win (they are excluded, the standard convention).
+
+    Ranking uses the ROUNDED key (6 dp) with id tie-break, the
+    repo-wide pattern that keeps float ranking reproducible across
+    engines.
+
+    Scale: one zero-shuffle key expression + one window per stratum
+    (or one TakeOrdered-shaped global top-n when unstratified).
+    """
+
+    def __init__(self, n: int, weight_col: str, id_col: str,
+                 stratum_col: str | None = None, label=None):
+        super().__init__(label)
+        if n < 1:
+            raise ValueError("n must be >= 1")
+        self.n, self.weight_col, self.id_col = int(n), weight_col, id_col
+        self.stratum_col = stratum_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        idc, wc = self.id_col, self.weight_col
+        u = ((F.expr(
+            f"CAST(conv(substring(md5(CAST({idc} AS STRING)), 1, 8),"
+            f" 16, 10) AS BIGINT)") + 0.5) / 4294967296.0)
+        key = F.round(-F.log(u) / F.col(wc).cast("double"), 6)
+        df = (pcoll.df
+              .where(F.col(wc).isNotNull() & (F.col(wc) > 0))
+              .withColumn("__k", key))
+        part = (Window.partitionBy(self.stratum_col)
+                if self.stratum_col else Window.partitionBy())
+        rn = F.row_number().over(part.orderBy("__k", F.col(idc)))
+        return pcoll.with_df(df.withColumn("__rn", rn)
+                             .filter(F.col("__rn") <= self.n)
+                             .drop("__k", "__rn"))
+
+
 class SplitByHash(PTransform):
     """Deterministic train/val/test split: each row's split label is a
     pure function of its id (the same md5-bucket uniform HashSample

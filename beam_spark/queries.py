@@ -1724,6 +1724,35 @@ def q_split_by_hash(spark, sf_dir):
     return out.df.select("doc_id", "split")
 
 
+@query("q_sample_weighted", """
+WITH s AS (SELECT o_orderkey AS id, o_orderstatus AS st,
+                  CAST(o_totalprice AS DOUBLE) AS w FROM orders
+           WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+k AS (SELECT id, st,
+             round(-ln((CAST(('0x' || substring(
+                        md5(CAST(id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        + 0.5) / 4294967296.0) / w, 6) AS key
+      FROM s),
+r AS (SELECT id, st,
+             row_number() OVER (PARTITION BY st
+                                ORDER BY key, id) AS rn
+      FROM k)
+SELECT id, st FROM r WHERE rn <= 30
+""")
+def q_sample_weighted(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    exponential race), 30 orders per status weighted by total price:
+    the md5-derived uniforms, exponential keys (rounded 6 dp) and the
+    winning ROWS all replay exactly in DuckDB."""
+    from beam_spark.operators.combiners import WeightedSample
+
+    o = table(spark, sf_dir, "orders")
+    out = (o | WeightedSample(30, weight_col="o_totalprice",
+                              id_col="o_orderkey",
+                              stratum_col="o_orderstatus")).df
+    return out.selectExpr("o_orderkey AS id", "o_orderstatus AS st")
+
+
 @query("q_sample_stratified", """
 WITH r AS (
   SELECT event_id, event_type, user_id,

@@ -306,6 +306,8 @@ def _register_curation():
                              "EditDistanceJoin"),
         "PageRank": ("beam_spark.operators.graph", "PageRank"),
         "CusumDetect": ("beam_spark.operators.stats", "CusumDetect"),
+        "WeightedSample": ("beam_spark.operators.combiners",
+                           "WeightedSample"),
     }
 
     def make(mod_name, cls_name):

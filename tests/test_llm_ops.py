@@ -1258,3 +1258,32 @@ def test_edit_distance_join_two_frame_lookup(spark):
                  (12, "benjamin"), (13, "al")])
             if lev(qt, ct) <= 2}
     assert out == want and (0, 10) in out and (2, 13) in out
+
+
+def test_weighted_sample_bias_and_exactness(spark):
+    """WeightedSample: exact n per stratum, heavy-weight rows win far
+    more often than light ones (aggregate bias check over many ids),
+    zero/NULL weights excluded, deterministic reruns."""
+    import pytest as _pytest
+    from beam_spark.operators.combiners import WeightedSample
+
+    # 500 heavy (w=50) + 500 light (w=1) rows in one stratum
+    rows = [(i, "s", 50.0 if i < 500 else 1.0) for i in range(1000)]
+    rows += [(2000, "s", None), (2001, "s", 0.0)]   # excluded
+    df = spark.createDataFrame(rows, "id long, grp string, w double")
+    got = (PCollection(df) | WeightedSample(
+        100, weight_col="w", id_col="id", stratum_col="grp")).df
+    ids = [r["id"] for r in got.collect()]
+    assert len(ids) == 100
+    heavy = sum(1 for i in ids if i < 500)
+    assert heavy > 80                      # ~98 expected at 50:1 odds
+    assert 2000 not in ids and 2001 not in ids
+    again = (PCollection(df) | WeightedSample(
+        100, weight_col="w", id_col="id", stratum_col="grp")).df
+    assert sorted(ids) == sorted(r["id"] for r in again.collect())
+    # global (unstratified) mode returns exactly n
+    g = (PCollection(df) | WeightedSample(
+        7, weight_col="w", id_col="id")).df
+    assert g.count() == 7
+    with _pytest.raises(ValueError, match="n must be"):
+        WeightedSample(0, weight_col="w", id_col="id")
