@@ -320,6 +320,49 @@ class ToString(PTransform):
         return pcoll.with_df(pcoll.df.select(F.concat_ws(self.delimiter, *cols).alias("value")))
 
 
+class MergeIntervals(PTransform):
+    """Merge overlapping (optionally touching) [start, end] intervals
+    per key into maximal islands — the gaps-and-islands primitive that
+    sessionization, exact-substring span coverage and calendar
+    consolidation all reduce to, exposed as a public op.
+
+    Output: key cols + (start, end, n_merged).
+
+    Scale: one key-partitioned sort window (running max of end over
+    PRECEDING rows flags island starts; a running sum numbers them)
+    plus one aggregation — two stages over the same key partitioning,
+    no self-joins.
+    """
+
+    def __init__(self, start_col: str = "start", end_col: str = "end",
+                 keys=(), merge_touching: bool = True, label=None):
+        super().__init__(label)
+        self.start_col, self.end_col = start_col, end_col
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        self.merge_touching = merge_touching
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        sc, ec, keys = self.start_col, self.end_col, self.keys
+        w = (Window.partitionBy(*keys)
+             .orderBy(sc, ec)
+             .rowsBetween(Window.unboundedPreceding, -1))
+        rmax = F.max(ec).over(w)
+        gap = (F.col(sc) > rmax) if self.merge_touching \
+            else (F.col(sc) >= rmax)
+        flag = F.when(rmax.isNull() | gap, 1).otherwise(0)
+        w2 = (Window.partitionBy(*keys).orderBy(sc, ec)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        out = (pcoll.df
+               .withColumn("__isl", F.sum(flag).over(w2))
+               .groupBy(*keys, "__isl")
+               .agg(F.min(sc).alias("start"), F.max(ec).alias("end"),
+                    F.count(F.lit(1)).alias("n_merged"))
+               .drop("__isl"))
+        return pcoll.with_df(out)
+
+
 class Reify(PTransform):
     """Expose element metadata (util.py:2284) — metadata are already
     ordinary columns; this just selects them to the front."""

@@ -1724,6 +1724,45 @@ def q_split_by_hash(spark, sf_dir):
     return out.df.select("doc_id", "split")
 
 
+@query("q_merge_intervals", """
+WITH iv AS (SELECT user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                   CAST(floor(epoch(ts)) AS BIGINT) + 900 AS e
+            FROM events),
+f AS (SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS rmax
+      FROM iv),
+g AS (SELECT user_id, s, e,
+             CASE WHEN rmax IS NULL OR s > rmax THEN 1 ELSE 0 END
+             AS flag
+      FROM f),
+isl AS (SELECT user_id, s, e,
+               sum(flag) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island
+        FROM g)
+SELECT user_id, min(s) AS start, max(e) AS "end",
+       CAST(count(*) AS BIGINT) AS n_merged
+FROM isl GROUP BY user_id, island
+""")
+def q_merge_intervals(spark, sf_dir):
+    """Gaps-and-islands interval merge: each event opens a 15-minute
+    activity interval per user; overlapping/touching intervals merge
+    into maximal islands — identical window algebra replayed by
+    DuckDB, row-exact."""
+    from beam_spark.operators.core import MergeIntervals
+
+    ev = table(spark, sf_dir, "events").df
+    iv = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("start"),
+        (F.floor(F.unix_timestamp("ts")).cast("bigint") + 900)
+        .alias("end"))
+    return (PCollection(iv) | MergeIntervals(keys=["user_id"])).df
+
+
 @query("q_sample_weighted", """
 WITH s AS (SELECT o_orderkey AS id, o_orderstatus AS st,
                   CAST(o_totalprice AS DOUBLE) AS w FROM orders

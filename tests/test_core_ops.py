@@ -503,3 +503,24 @@ def test_gapfill_modes(spark):
 
     with _pytest.raises(ValueError, match="fill must be"):
         GapFill("t", 3600, {"s": "sum(v)"}, fill="bogus")
+
+
+def test_merge_intervals_semantics(spark):
+    """MergeIntervals: overlap merges, touching merges by default but
+    not with merge_touching=False, disjoint stays split, n_merged
+    counts members, per-key isolation."""
+    from beam_spark.operators.core import MergeIntervals
+    from beam_spark.pcollection import PCollection
+
+    df = spark.createDataFrame(
+        [("a", 0, 10), ("a", 5, 12), ("a", 12, 20), ("a", 30, 40),
+         ("b", 0, 1)],
+        "k string, start long, end long")
+    got = {(r["k"], r["start"], r["end"]): r["n_merged"] for r in
+           (PCollection(df) | MergeIntervals(keys="k")).df.collect()}
+    assert got == {("a", 0, 20): 3, ("a", 30, 40): 1, ("b", 0, 1): 1}
+
+    strict = {(r["k"], r["start"], r["end"]) for r in
+              (PCollection(df) | MergeIntervals(
+                  keys="k", merge_touching=False)).df.collect()}
+    assert ("a", 0, 12) in strict and ("a", 12, 20) in strict
