@@ -344,8 +344,10 @@ class WeightedSample(PTransform):
     repo-wide pattern that keeps float ranking reproducible across
     engines.
 
-    Scale: one zero-shuffle key expression + one window per stratum
-    (or one TakeOrdered-shaped global top-n when unstratified).
+    Scale: one zero-shuffle key expression + one window per stratum;
+    unstratified, a genuine two-stage top-n — per-partition prune to n
+    inside mapInPandas (narrow), then one tiny global window over the
+    <= n * num_partitions survivors — never a single-task global sort.
     """
 
     def __init__(self, n: int, weight_col: str, id_col: str,
@@ -367,10 +369,38 @@ class WeightedSample(PTransform):
         df = (pcoll.df
               .where(F.col(wc).isNotNull() & (F.col(wc) > 0))
               .withColumn("__k", key))
-        part = (Window.partitionBy(self.stratum_col)
-                if self.stratum_col else Window.partitionBy())
-        rn = F.row_number().over(part.orderBy("__k", F.col(idc)))
-        return pcoll.with_df(df.withColumn("__rn", rn)
+        if self.stratum_col:
+            part = Window.partitionBy(self.stratum_col)
+            rn = F.row_number().over(part.orderBy("__k", F.col(idc)))
+            return pcoll.with_df(df.withColumn("__rn", rn)
+                                 .filter(F.col("__rn") <= self.n)
+                                 .drop("__k", "__rn"))
+        # Unstratified: a bare Window.partitionBy() funnels every row
+        # through ONE task. Two-stage top-n instead: stage 1 prunes
+        # each input partition to its local top-n inside mapInPandas
+        # (narrow — no shuffle, O(n) state per partition); stage 2
+        # ranks the <= n * num_partitions survivors in a single tiny
+        # window. Global order (__k, id) is total, so the global
+        # top-n is contained in the union of per-partition top-ns.
+        import pandas as pd
+
+        n = self.n
+        schema = df.schema
+
+        def prune(batches):
+            best = None
+            for pdf in batches:
+                cand = pdf if best is None else pd.concat(
+                    [best, pdf], ignore_index=True)
+                best = cand.sort_values(["__k", idc],
+                                        kind="mergesort").head(n)
+            if best is not None:
+                yield best
+
+        pruned = df.mapInPandas(prune, schema)
+        rn = F.row_number().over(
+            Window.partitionBy().orderBy("__k", F.col(idc)))
+        return pcoll.with_df(pruned.withColumn("__rn", rn)
                              .filter(F.col("__rn") <= self.n)
                              .drop("__k", "__rn"))
 

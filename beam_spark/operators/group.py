@@ -494,7 +494,12 @@ class GapFill(PTransform):
             raise ValueError("fill must be 'null', 'locf', 'interp', "
                              "or ('const', value)")
         self.fill = fill
-        self.start, self.end = start, end
+        # buckets are floor(ts/width)*width — always multiples of
+        # width — so a misaligned explicit bound would build a spine
+        # that never meets the data buckets (every row "filled").
+        # Floor-align bounds onto the same grid.
+        self.start = None if start is None else (int(start) // self.width) * self.width
+        self.end = None if end is None else (int(end) // self.width) * self.width
 
     def expand(self, pcoll: PCollection) -> PCollection:
         from pyspark.sql import Window

@@ -65,6 +65,15 @@ class ScdType2Apply(PTransform):
             raise ValueError(
                 f"dimension frame lacks columns {missing} (need key + "
                 "change attributes + valid_from/valid_to)")
+        extra = [c for c in self.dim.columns
+                 if c not in (k, vf, vt) and c not in attrs]
+        if extra:
+            raise ValueError(
+                f"dimension attribute columns {extra} absent from the "
+                "changes frame — they would be silently dropped from "
+                "the returned dimension (closed history included); "
+                "carry them in the changes frame or project them off "
+                "the dimension first")
         hist = self.dim.filter(F.col(vt).isNotNull())
         cur = self.dim.filter(F.col(vt).isNull())
         # engine-portable state fingerprint: attribute values joined on

@@ -301,9 +301,13 @@ class Ewma(PTransform):
         def fn(pdf):
             pdf = pdf.sort_values(ob, kind="mergesort")
             x = pdf[col].to_numpy(dtype=object)
+            # acc != acc catches a NaN seed: accumulate's first output
+            # is the RAW first element (never passed through this fn),
+            # so a leading NULL arrives as NaN and must still count as
+            # "unseeded" — pandas adjust=False seeds at first non-NULL
             step = np.frompyfunc(
                 lambda acc, v: acc if v is None or v != v
-                else (float(v) if acc is None
+                else (float(v) if acc is None or acc != acc
                       else a * float(v) + (1.0 - a) * acc), 2, 1)
             y = step.accumulate(x, dtype=object)
             pdf[oc] = [None if v is None or v != v else float(v)

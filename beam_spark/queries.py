@@ -2351,6 +2351,7 @@ e AS (
   UNION ALL
   SELECT r.user_id, r.event_id, r.rn,
          CASE WHEN r.value IS NULL THEN e.ewma
+              WHEN e.ewma IS NULL THEN CAST(r.value AS DOUBLE)
               ELSE CAST(0.5 AS DOUBLE) * r.value
                    + CAST(0.5 AS DOUBLE) * e.ewma END
   FROM e JOIN r ON r.user_id = e.user_id AND r.rn = e.rn + 1)

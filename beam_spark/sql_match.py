@@ -605,10 +605,12 @@ def try_rewrite_match_recognize(sql: str, spark, tables: dict) -> str:
         o = {"+": operator.add, "-": operator.sub,
              "*": operator.mul, "/": operator.truediv}[op]
 
-        def fn(match_rows, _f1=f1, _f2=f2, _o=o):
+        def fn(match_rows, _f1=f1, _f2=f2, _o=o, _op=op):
             v1, v2 = _f1(match_rows), _f2(match_rows)
             if v1 is None or v2 is None:
                 return None
+            if _op == "/" and v2 == 0:
+                return None      # SQL division: x / 0 -> NULL, not error
             return float(_o(v1, v2))
 
         measures[out_name] = fn

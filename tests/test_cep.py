@@ -1336,3 +1336,17 @@ def test_sql_measure_expressions(spark):
               PATTERN (A+)
               DEFINE A AS A.v >= 10
             )"""))
+
+    # SQL division semantics: a zero denominator yields NULL, never a
+    # ZeroDivisionError aborting the job — COUNT(B.v) is 0 when the
+    # optional B symbol matched no rows
+    out0 = ({"ev": pc} | SqlTransform("""
+        SELECT ratio FROM ev MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY i
+          MEASURES SUM(A.v) / COUNT(B.v) AS ratio
+          PATTERN (A+ B? Z)
+          DEFINE A AS A.v >= 10,
+                 B AS B.v > 1000,
+                 Z AS Z.v < 10
+        )""")).df
+    assert out0.collect()[0]["ratio"] is None

@@ -439,6 +439,12 @@ def test_scd_type2_apply_semantics(spark):
     with _pytest.raises(ValueError, match="lacks columns"):
         (PCollection(ch) | ScdType2Apply(
             dim.drop("valid_to"), key="id")).df.count()
+    # the reverse direction must raise too: a dimension attribute the
+    # changes frame does not carry would be silently dropped from the
+    # returned dimension (closed history included)
+    with _pytest.raises(ValueError, match="absent from the"):
+        (PCollection(ch.drop("tier")) | ScdType2Apply(
+            dim, key="id")).df.count()
 
 
 def test_gapfill_modes(spark):
@@ -503,6 +509,17 @@ def test_gapfill_modes(spark):
 
     with _pytest.raises(ValueError, match="fill must be"):
         GapFill("t", 3600, {"s": "sum(v)"}, fill="bogus")
+
+    # misaligned explicit bounds floor-align onto the bucket grid —
+    # without this the spine would never meet the data buckets and
+    # every row would come out filled=true with NULL aggregates
+    mis = (PCollection(df) | GapFill(
+        **base, start=h0 + 17, end=h0 + 10800 + 17)).df
+    rows = {(r["k"], r["bucket"]): (r["s"], r["filled"])
+            for r in mis.filter("k = 'a'").collect()}
+    assert rows[("a", h0)] == (1.0, False)          # real data matched
+    assert rows[("a", h0 + 10800)] == (5.0, False)
+    assert len(rows) == 4                            # h0 .. h0+3h
 
 
 def test_merge_intervals_semantics(spark):

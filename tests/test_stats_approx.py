@@ -119,6 +119,42 @@ def test_ewma_matches_pandas_and_handles_nulls(spark):
     assert outn[0] == 2.0 and outn[1] == 2.0
     assert abs(outn[2] - 3.0) < 1e-12      # 0.5*4 + 0.5*2
 
+    # LEADING NULLs: output stays NULL until the first non-NULL value
+    # seeds the recurrence — and the q_ts_ewma DuckDB oracle's
+    # recursive CTE agrees (its recursive step seeds on the first
+    # non-NULL instead of propagating the NULL seed forever)
+    dfl = spark.createDataFrame(
+        [("a", 0, None), ("a", 1, None), ("a", 2, 6.0), ("a", 3, 2.0)],
+        "k string, i long, v double")
+    outl = {r["i"]: r["ewma"] for r in
+            (PCollection(dfl) | Ewma("v", alpha=0.5, keys="k",
+                                     order_by="i")).df.collect()}
+    assert outl[0] is None and outl[1] is None
+    assert outl[2] == 6.0 and abs(outl[3] - 4.0) < 1e-12
+
+    import duckdb
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev (k VARCHAR, i BIGINT, v DOUBLE)")
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?)",
+                    [("a", 0, None), ("a", 1, None),
+                     ("a", 2, 6.0), ("a", 3, 2.0)])
+    oracle = con.execute("""
+        WITH RECURSIVE r AS (
+          SELECT k, i, v,
+                 row_number() OVER (PARTITION BY k ORDER BY i) AS rn
+          FROM ev),
+        e AS (
+          SELECT k, i, rn, CAST(v AS DOUBLE) AS ewma FROM r WHERE rn = 1
+          UNION ALL
+          SELECT r.k, r.i, r.rn,
+                 CASE WHEN r.v IS NULL THEN e.ewma
+                      WHEN e.ewma IS NULL THEN CAST(r.v AS DOUBLE)
+                      ELSE 0.5 * r.v + 0.5 * e.ewma END
+          FROM e JOIN r ON r.k = e.k AND r.rn = e.rn + 1)
+        SELECT i, ewma FROM e ORDER BY i""").fetchall()
+    con.close()
+    assert {i: w for i, w in oracle} == outl
+
     with _pytest.raises(ValueError, match="alpha"):
         Ewma("v", alpha=0.0, keys="k", order_by="i")
 
