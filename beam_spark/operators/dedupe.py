@@ -972,16 +972,31 @@ class EditDistanceJoin(PTransform):
     two paths partition the pair space by max length, so nothing is
     missed or duplicated.
 
-    Scale: the heavy join is keyed on the q-gram — fan-in per gram is
-    its posting list (hot grams are the documented skew unit, same as
-    every token-keyed join here); the short-string pass is bounded by
-    the count of strings shorter than ~q(k+1) characters.
+    Positional PREFIX filter (ED-Join, Xiao et al. 2008 — the
+    default): order every gram occurrence globally by (document
+    frequency, gram, occurrence#) and keep only each string's first
+    ``q*k + 1`` occurrences — two strings within distance k must
+    share an occurrence inside both prefixes (the prefix lemma over
+    the count-filter threshold), so the candidate join runs on the
+    RAREST grams only and the hot-gram posting lists ("th", "er")
+    that dominate the all-grams join never enter it. Exact
+    ``levenshtein() <= k`` still verifies every survivor, so pruning
+    stays lossless. ``prefix_filter=False`` falls back to the full
+    gram join + count filter (the round-7 path).
+
+    Scale: prefix mode joins ~q*k+1 rows per string keyed on its
+    rarest grams (skew-proof by construction; the df ranking costs
+    one gram-keyed aggregation); the fallback joins every gram with
+    posting-list fan-in as the documented skew unit; the
+    short-string pass is bounded by the count of strings shorter
+    than ~q(k+1) characters.
     """
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
                  k: int = 1, q: int = 2, queries=None,
                  query_text_col: str | None = None,
-                 query_id_col: str | None = None, label=None):
+                 query_id_col: str | None = None,
+                 prefix_filter: bool = True, label=None):
         """``queries``: optional second frame — output pairs are then
         (i from queries, j from corpus, dist), the lookup flavor
         (match incoming names against a reference list) instead of the
@@ -996,6 +1011,7 @@ class EditDistanceJoin(PTransform):
                         else queries)
         self.query_text_col = query_text_col or text_col
         self.query_id_col = query_id_col or id_col
+        self.prefix_filter = bool(prefix_filter)
 
     def expand(self, pcoll: PCollection) -> PCollection:
         k, q = self.k, self.q
@@ -1024,27 +1040,70 @@ class EditDistanceJoin(PTransform):
         # ---- gram path: pairs whose LONGER string exceeds thresh ----
         grams = gramify(s)
         gq = gramify(sq) if two_frame else grams
-        a = gq.select(F.col("id").alias("i"),
-                      F.col("len").alias("la"),
-                      F.col("s").alias("sa"), "g",
-                      F.col("c").alias("ca"))
-        b = grams.select(F.col("id").alias("j"),
-                         F.col("len").alias("lb"),
-                         F.col("s").alias("sb"), "g",
-                         F.col("c").alias("cb"))
         pair_pred = (F.lit(True) if two_frame
                      else (F.col("i") < F.col("j")))
-        common = (a.join(b, on="g")
-                  .where(pair_pred
-                         & (F.abs(F.col("la") - F.col("lb")) <= k))
-                  .groupBy("i", "j", "la", "lb", "sa", "sb")
-                  .agg(F.sum(F.least("ca", "cb")).alias("__common")))
-        bound = F.greatest("la", "lb") - q + 1 - q * k
-        long_pairs = (common
-                      .where(F.greatest("la", "lb") > thresh)
-                      .where(F.col("__common") >= bound)
-                      .withColumn("dist", F.levenshtein("sa", "sb"))
-                      .where(F.col("dist") <= k))
+        if self.prefix_filter:
+            from pyspark.sql import Window
+
+            # one consistent global occurrence order for BOTH frames:
+            # (corpus document frequency, gram, occurrence#) — grams
+            # the corpus never saw are rarest of all (df 0; they can
+            # only match in two-frame mode anyway)
+            gdf = grams.groupBy("g").agg(
+                F.count(F.lit(1)).alias("__df"))
+            plen = q * k + 1
+
+            def prefix(frame):
+                # plain join: the df table is distinct-gram-sized —
+                # usually broadcastable, but let AQE decide instead of
+                # pinning a broadcast on an unbounded-cardinality side
+                occ = (frame
+                       .join(gdf, on="g", how="left")
+                       .withColumn("__df", F.coalesce("__df",
+                                                      F.lit(0)))
+                       .withColumn("occ", F.explode(F.expr(
+                           "sequence(1, c)"))))
+                w = (Window.partitionBy("id")
+                     .orderBy("__df", "g", "occ"))
+                return (occ.withColumn("__rn", F.row_number().over(w))
+                        .where(F.col("__rn") <= plen)
+                        .select("id", "len", "s", "g", "occ"))
+
+            pa = prefix(gq).select(
+                F.col("id").alias("i"), F.col("len").alias("la"),
+                F.col("s").alias("sa"), "g", "occ")
+            pb = prefix(grams).select(
+                F.col("id").alias("j"), F.col("len").alias("lb"),
+                F.col("s").alias("sb"), "g", "occ")
+            long_pairs = (pa.join(pb, on=["g", "occ"])
+                          .where(pair_pred
+                                 & (F.abs(F.col("la") - F.col("lb"))
+                                    <= k)
+                                 & (F.greatest("la", "lb") > thresh))
+                          .select("i", "j", "la", "lb", "sa", "sb")
+                          .distinct()
+                          .withColumn("dist", F.levenshtein("sa", "sb"))
+                          .where(F.col("dist") <= k))
+        else:
+            a = gq.select(F.col("id").alias("i"),
+                          F.col("len").alias("la"),
+                          F.col("s").alias("sa"), "g",
+                          F.col("c").alias("ca"))
+            b = grams.select(F.col("id").alias("j"),
+                             F.col("len").alias("lb"),
+                             F.col("s").alias("sb"), "g",
+                             F.col("c").alias("cb"))
+            common = (a.join(b, on="g")
+                      .where(pair_pred
+                             & (F.abs(F.col("la") - F.col("lb")) <= k))
+                      .groupBy("i", "j", "la", "lb", "sa", "sb")
+                      .agg(F.sum(F.least("ca", "cb")).alias("__common")))
+            bound = F.greatest("la", "lb") - q + 1 - q * k
+            long_pairs = (common
+                          .where(F.greatest("la", "lb") > thresh)
+                          .where(F.col("__common") >= bound)
+                          .withColumn("dist", F.levenshtein("sa", "sb"))
+                          .where(F.col("dist") <= k))
 
         # ---- short path: both strings <= thresh chars (tiny set) ----
         sa = (sq.where(F.col("len") <= thresh)

@@ -44,7 +44,8 @@ class PageRank(PTransform):
     def __init__(self, src: str = "src", dst: str = "dst",
                  damping: float = 0.85, iterations: int = 10,
                  weight: str | None = None,
-                 personalization=None, label=None):
+                 personalization=None, tol: float | None = None,
+                 label=None):
         """``weight``: optional edge-weight column — a node's rank
         distributes to its out-neighbors proportionally to weight
         (out-strength normalization) instead of uniformly.
@@ -54,16 +55,29 @@ class PageRank(PTransform):
         proportionally to p (p is normalized internally; nodes absent
         get zero restart mass), and dangling mass redistributes by the
         same vector: personalized PageRank (the seed-biased variant
-        used for topic/host-local quality scoring)."""
+        used for topic/host-local quality scoring).
+
+        ``tol``: optional L-inf convergence threshold — when set,
+        ``iterations`` becomes a CAP and the loop exits as soon as
+        max |pr_{t+1} - pr_t| < tol (the delta check rides the same
+        per-round action the eager localCheckpoint already pays, so
+        early exit saves whole rounds, each a join + shuffle).
+        ``rounds_run_`` records the executed round count after
+        expansion. Fixed-iteration mode (tol=None, the default) stays
+        the value-oracle-able posture."""
         super().__init__(label)
         self.src, self.dst = src, dst
         self.damping, self.iterations = float(damping), int(iterations)
         self.weight = weight
         self.personalization = personalization
+        self.tol = None if tol is None else float(tol)
+        self.rounds_run_ = None
         if not 0.0 <= self.damping <= 1.0:
             raise ValueError(f"damping {damping} outside [0, 1]")
         if self.iterations < 1:
             raise ValueError("iterations must be >= 1")
+        if self.tol is not None and self.tol <= 0.0:
+            raise ValueError(f"tol {tol} must be > 0")
 
     def expand(self, pcoll: PCollection) -> PCollection:
         d, wc = self.damping, self.weight
@@ -102,7 +116,9 @@ class PageRank(PTransform):
             rv = (nodes.withColumn("__r", F.lit(1.0 / n_nodes))
                   .localCheckpoint(eager=True))
         ranks = rv.select("node", F.col("__r").alias("pr"))
+        self.rounds_run_ = 0
         for _ in range(self.iterations):
+            prev = ranks
             # mass sitting on dangling nodes this round (1-row frame,
             # broadcast into the update — no collect in the loop);
             # it redistributes by the restart vector
@@ -128,4 +144,18 @@ class PageRank(PTransform):
                                  + F.col("__dm") * F.col("__r")))
                          .alias("pr"))
                      .localCheckpoint(eager=True))
+            self.rounds_run_ += 1
+            if self.tol is not None:
+                # one tiny action over two node-sized checkpointed
+                # frames — both sides already materialized, so the
+                # delta scan is cheap relative to the edge join it
+                # can save by exiting early
+                delta = (ranks.alias("n")
+                         .join(prev.alias("p"), "node")
+                         .agg(F.max(F.abs(F.col("n.pr")
+                                          - F.col("p.pr")))
+                              .alias("__d"))
+                         .first()["__d"])
+                if delta is not None and delta < self.tol:
+                    break
         return pcoll.with_df(ranks)

@@ -1170,6 +1170,37 @@ def test_pagerank_properties(spark):
         PageRank(iterations=0)
 
 
+def test_pagerank_tol_early_exit(spark):
+    """tol= turns iterations into a cap: the loop exits once the
+    L-inf rank delta drops under tol, lands within tol of the
+    fixed-50-round answer, and records rounds_run_; invalid tol
+    raises; tol=None never early-exits."""
+    import pytest as _pytest
+    from beam_spark.operators.graph import PageRank
+    from beam_spark.pcollection import PCollection
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 1), (3, 0)],
+        "src long, dst long")
+    ref = {r["node"]: r["pr"] for r in
+           (PCollection(edges) | PageRank(iterations=50)).df.collect()}
+
+    op = PageRank(iterations=50, tol=1e-7)
+    got = {r["node"]: r["pr"] for r in
+           (PCollection(edges) | op).df.collect()}
+    assert op.rounds_run_ < 50          # genuinely exited early
+    for n, v in ref.items():
+        assert abs(got[n] - v) < 1e-6, n
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    fixed = PageRank(iterations=5)
+    (PCollection(edges) | fixed).df.collect()
+    assert fixed.rounds_run_ == 5       # tol=None: cap == rounds
+
+    with _pytest.raises(ValueError, match="tol"):
+        PageRank(tol=0.0)
+
+
 def test_edit_distance_join_planted_and_short_strings(spark):
     """EditDistanceJoin finds planted typo pairs exactly (count-filter
     pruning loses nothing), handles strings too short to carry
@@ -1193,6 +1224,12 @@ def test_edit_distance_join_planted_and_short_strings(spark):
     assert out[(4, 6)] == 1 and out[(5, 6)] == 1
     assert all(d <= 2 for d in out.values())
     assert not any(3 in p for p in out)       # far string pairs nothing
+    # ED-Join prefix filter (default) and the full count-filter path
+    # must produce the identical pair set — both are lossless
+    full = {(r["i"], r["j"]): r["dist"] for r in
+            (PCollection(df) | EditDistanceJoin(
+                k=2, prefix_filter=False)).df.collect()}
+    assert out == full
     with _pytest.raises(ValueError, match="k >= 1"):
         EditDistanceJoin(k=0)
 
