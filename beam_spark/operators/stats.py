@@ -318,6 +318,88 @@ class Ewma(PTransform):
         return pcoll.with_df(out)
 
 
+class HoltLinear(PTransform):
+    """Per-key Holt linear-trend double exponential smoothing in
+    event order (Holt 1957 — the level+trend extension of Ewma for
+    series that drift):
+
+        l_i = alpha * x_i + (1 - alpha) * (l_{i-1} + b_{i-1})
+        b_i = beta * (l_i - l_{i-1}) + (1 - beta) * b_{i-1}
+
+    Seeding follows the Ewma posture: output stays NULL until the
+    first non-NULL value, which seeds l = x, b = 0; NULL inputs carry
+    both states forward unchanged. The one-step-ahead forecast is
+    ``level + trend`` (left to the caller — it is a pure projection).
+
+    Like Ewma, the recurrence has no shuffle-free Spark-SQL form, so
+    it runs inside an Arrow-batched ``applyInPandas`` per key with a
+    ``frompyfunc.accumulate`` keeping the fold in C over the whole
+    group. One key shuffle; per-key state is O(1). With binary-exact
+    coefficients the op sequence is engine-replayable bit-for-bit
+    (the q_ts_holt recursive-CTE oracle compares UNROUNDED).
+
+    Output: input columns + ``level`` and ``trend`` (double).
+    """
+
+    def __init__(self, col: str, alpha: float, beta: float, keys,
+                 order_by, level_col: str = "level",
+                 trend_col: str = "trend", label=None):
+        super().__init__(label)
+        if not 0.0 < float(alpha) <= 1.0:
+            raise ValueError(f"alpha {alpha} outside (0, 1]")
+        if not 0.0 <= float(beta) <= 1.0:
+            raise ValueError(f"beta {beta} outside [0, 1]")
+        self.col = col
+        self.alpha, self.beta = float(alpha), float(beta)
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        self.order_by = ([order_by] if isinstance(order_by, str)
+                         else list(order_by))
+        self.level_col, self.trend_col = level_col, trend_col
+
+    def expand(self, pcoll):
+        import numpy as np
+
+        col, a, be = self.col, self.alpha, self.beta
+        ob, lc, tc = self.order_by, self.level_col, self.trend_col
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in pcoll.df.schema.fields) + f", {lc} double, {tc} double"
+
+        def fn(pdf):
+            pdf = pdf.sort_values(ob, kind="mergesort")
+            x = pdf[col].to_numpy(dtype=object)
+
+            def step(acc, v):
+                # accumulate's first output is the RAW first element:
+                # normalize a scalar seed (or NULL) into state form
+                if not isinstance(acc, tuple):
+                    acc = (None if acc is None or acc != acc
+                           else (float(acc), 0.0))
+                if v is None or v != v:
+                    return acc                      # carry state
+                if acc is None:
+                    return (float(v), 0.0)           # seed
+                l, b = acc
+                l_new = a * float(v) + (1.0 - a) * (l + b)
+                return (l_new, be * (l_new - l) + (1.0 - be) * b)
+
+            y = np.frompyfunc(step, 2, 1).accumulate(x, dtype=object)
+
+            def unpack(v):
+                if isinstance(v, tuple):
+                    return v
+                return ((None, None) if v is None or v != v
+                        else (float(v), 0.0))
+
+            pairs = [unpack(v) for v in y]
+            pdf[lc] = [p[0] for p in pairs]
+            pdf[tc] = [p[1] for p in pairs]
+            return pdf
+
+        out = pcoll.df.groupBy(*self.keys).applyInPandas(fn, schema)
+        return pcoll.with_df(out)
+
+
 class CusumDetect(PTransform):
     """Per-key one-sided CUSUM changepoint scores (Page 1954): in
     event order,

@@ -538,3 +538,94 @@ class NormalizeText(PTransform):
             x = F.regexp_replace(x, r"[!-/:-@\[-`{-~]", " ")
         x = F.trim(F.regexp_replace(x, r"\s+", " "))
         return pcoll.with_df(pcoll.df.withColumn(self.out_col, x))
+
+
+class UrlNormalize(PTransform):
+    """URL canonicalization + host/registered-domain extraction — the
+    web-crawl curation primitive CCNet/RefinedWeb-style pipelines run
+    before URL dedup and per-domain quality sampling:
+
+      * scheme and host lowercased
+      * default ports stripped (http:80, https:443); others kept
+      * duplicate path slashes collapsed, trailing slash trimmed
+        (root stays "/"); empty path becomes "/"
+      * fragment dropped
+      * query params: tracking params removed (``strip_params`` regex
+        on the param NAME, default utm_*/fbclid/gclid/msclkid/yclid/
+        ref), the rest SORTED bytewise so param order never splits a
+        dedup group; empty query drops the "?"
+      * ``host``: hostname with a leading "www." stripped
+        (``strip_www=False`` keeps it)
+      * ``domain``: registered-domain heuristic — last two labels,
+        or last three when the trailing two are a common two-level
+        public suffix (co.uk, com.au, ...); a full public-suffix-list
+        lookup can replace this per deployment
+
+    Entirely JVM-side: ``try_parse_url`` (java.net.URI) + higher-order
+    array functions — zero shuffle, zero Python. Unparseable URLs
+    yield NULLs (try_parse_url's contract); userinfo is not preserved.
+
+    Output: input columns + ``out_col``, ``host_col``, ``domain_col``.
+    """
+
+    _TWO_LEVEL_SUFFIXES = (
+        "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp",
+        "or.jp", "com.au", "net.au", "org.au", "co.nz", "com.br",
+        "com.mx", "co.in", "co.za", "com.cn", "com.tw", "co.kr",
+        "com.sg", "com.hk", "com.ar", "com.tr")
+
+    def __init__(self, url_col: str = "url", out_col: str = "url_norm",
+                 host_col: str = "host", domain_col: str = "domain",
+                 strip_params: str = (
+                     "^(utm_.*|fbclid|gclid|msclkid|yclid|ref)$"),
+                 strip_www: bool = True, label=None):
+        super().__init__(label)
+        self.url_col, self.out_col = url_col, out_col
+        self.host_col, self.domain_col = host_col, domain_col
+        self.strip_params = strip_params
+        self.strip_www = bool(strip_www)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        u = F.col(self.url_col)
+        proto = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+        rawhost = F.lower(F.try_parse_url(u, F.lit("HOST")))
+        auth = F.try_parse_url(u, F.lit("AUTHORITY"))
+        port = F.regexp_extract(auth, ":([0-9]+)$", 1)
+        p1 = F.regexp_replace(
+            F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit("")),
+            "/{2,}", "/")
+        p2 = F.regexp_replace(p1, "/$", "")
+        path = F.when(p2 == "", F.lit("/")).otherwise(p2)
+        qs = F.coalesce(F.try_parse_url(u, F.lit("QUERY")), F.lit(""))
+        pat = self.strip_params
+        kept = F.filter(
+            F.split(qs, "&"),
+            lambda p: (p != "") & ~F.substring_index(p, "=", 1)
+            .rlike(pat))
+        qnorm = F.array_join(F.array_sort(kept), "&")
+        is_default = (((proto == "http") & (port == "80"))
+                      | ((proto == "https") & (port == "443")))
+        hostport = F.when((port == "") | is_default, rawhost).otherwise(
+            F.concat(rawhost, F.lit(":"), port))
+        url_norm = F.when(
+            proto.isNull() | rawhost.isNull(), F.lit(None)).otherwise(
+            F.concat(proto, F.lit("://"), hostport, path,
+                     F.when(qnorm == "", F.lit("")).otherwise(
+                         F.concat(F.lit("?"), qnorm))))
+        host = (F.regexp_replace(rawhost, r"^www\.", "")
+                if self.strip_www else rawhost)
+        labels = F.split(host, r"\.")
+        n = F.size(labels)
+        two = F.concat_ws(".", F.element_at(labels, -2),
+                          F.element_at(labels, -1))
+        three = F.concat_ws(".", F.element_at(labels, -3),
+                            F.element_at(labels, -2),
+                            F.element_at(labels, -1))
+        sfx = F.array(*[F.lit(s) for s in self._TWO_LEVEL_SUFFIXES])
+        domain = F.when(host.isNull(), F.lit(None)).when(
+            (n >= 3) & F.array_contains(sfx, two), three).when(
+            n >= 2, two).otherwise(host)
+        return pcoll.with_df(
+            pcoll.df.withColumn(self.out_col, url_norm)
+            .withColumn(self.host_col, host)
+            .withColumn(self.domain_col, domain))

@@ -2372,6 +2372,154 @@ def q_ewma(spark, sf_dir):
     return out.select("user_id", "event_id", "ewma")
 
 
+@query("q_ts_holt", """
+WITH RECURSIVE r AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+e AS (
+  SELECT user_id, event_id, rn,
+         CAST(value AS DOUBLE) AS level,
+         CASE WHEN value IS NULL THEN NULL
+              ELSE CAST(0 AS DOUBLE) END AS trend
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.user_id, r.event_id, r.rn,
+         CASE WHEN r.value IS NULL THEN e.level
+              WHEN e.level IS NULL THEN CAST(r.value AS DOUBLE)
+              ELSE CAST(0.5 AS DOUBLE) * r.value
+                   + CAST(0.5 AS DOUBLE) * (e.level + e.trend) END,
+         CASE WHEN r.value IS NULL THEN e.trend
+              WHEN e.level IS NULL THEN CAST(0 AS DOUBLE)
+              ELSE CAST(0.25 AS DOUBLE)
+                   * ((CAST(0.5 AS DOUBLE) * r.value
+                       + CAST(0.5 AS DOUBLE) * (e.level + e.trend))
+                      - e.level)
+                   + CAST(0.75 AS DOUBLE) * e.trend END
+  FROM e JOIN r ON r.user_id = e.user_id AND r.rn = e.rn + 1)
+SELECT user_id, event_id, level, trend FROM e
+""")
+def q_holt(spark, sf_dir):
+    """Per-user Holt linear-trend smoothing (alpha=0.5, beta=0.25 —
+    binary-exact coefficients): the Python recurrence and DuckDB's
+    recursive-CTE replay run the IDENTICAL IEEE op sequence (l_new is
+    recomputed inside the trend expression with the same operand
+    order), so outputs are bit-identical and compared UNROUNDED —
+    the q_ts_ewma posture extended to two coupled states."""
+    from beam_spark.operators.stats import HoltLinear
+
+    ev = table(spark, sf_dir, "events")
+    out = (ev | HoltLinear("value", alpha=0.5, beta=0.25,
+                           keys="user_id",
+                           order_by=["ts", "event_id"])).df
+    return out.select("user_id", "event_id", "level", "trend")
+
+
+@query("q_text_url_normalize", """
+WITH u AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 5 AS INT)
+           WHEN 0 THEN 'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)
+                || '.COM:443/a//b' || CAST(doc_id % 3 AS VARCHAR)
+                || '/?utm_source=x&b=2&a=1#f'
+           WHEN 1 THEN 'http://news' || CAST(doc_id % 7 AS VARCHAR)
+                || '.co.uk:80'
+           WHEN 2 THEN 'https://sub.shop' || CAST(doc_id % 7 AS VARCHAR)
+                || '.com.au/p/?ref=tw&z=9&gclid=abc'
+           WHEN 3 THEN 'http://Host' || CAST(doc_id % 7 AS VARCHAR)
+                || '.io:8080/x/'
+           ELSE 'https://ex' || CAST(doc_id % 7 AS VARCHAR)
+                || '.com/?utm_campaign=a'
+         END AS url
+  FROM documents),
+p AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      AS proto,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)
+      AS auth,
+    regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+    regexp_extract(url, '\\?([^#]*)', 1) AS qs
+  FROM u),
+q AS (
+  SELECT doc_id, proto,
+    lower(regexp_replace(auth, ':[0-9]+$', '')) AS rawhost,
+    regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+    CASE WHEN regexp_replace(regexp_replace(rawpath, '/{2,}', '/',
+                                            'g'), '/$', '') = ''
+         THEN '/'
+         ELSE regexp_replace(regexp_replace(rawpath, '/{2,}', '/',
+                                            'g'), '/$', '') END
+      AS path,
+    COALESCE(array_to_string(list_sort(list_filter(
+      string_split(qs, '&'),
+      x -> x <> '' AND NOT regexp_matches(split_part(x, '=', 1),
+        '^(utm_.*|fbclid|gclid|msclkid|yclid|ref)$'))), '&'), '')
+      AS qnorm
+  FROM p),
+r AS (
+  SELECT doc_id, proto, port, path, qnorm, rawhost,
+    regexp_replace(rawhost, '^www\\.', '') AS host
+  FROM q),
+s AS (
+  SELECT doc_id, proto, port, path, qnorm, rawhost, host,
+    string_split(host, '.') AS labels,
+    len(string_split(host, '.')) AS n
+  FROM r),
+t AS (
+  SELECT doc_id, proto, port, path, qnorm, rawhost, host,
+    labels[n - 1] || '.' || labels[n] AS two,
+    CASE WHEN n >= 3
+         THEN labels[n - 2] || '.' || labels[n - 1] || '.' || labels[n]
+         END AS three, n
+  FROM s)
+SELECT doc_id,
+  proto || '://'
+    || CASE WHEN port = '' OR (proto = 'http' AND port = '80')
+                 OR (proto = 'https' AND port = '443')
+            THEN rawhost ELSE rawhost || ':' || port END
+    || path
+    || CASE WHEN qnorm = '' THEN '' ELSE '?' || qnorm END AS url_norm,
+  host,
+  CASE WHEN n >= 3 AND two IN ('co.uk', 'org.uk', 'ac.uk', 'gov.uk',
+         'co.jp', 'ne.jp', 'or.jp', 'com.au', 'net.au', 'org.au',
+         'co.nz', 'com.br', 'com.mx', 'co.in', 'co.za', 'com.cn',
+         'com.tw', 'co.kr', 'com.sg', 'com.hk', 'com.ar', 'com.tr')
+       THEN three
+       WHEN n >= 2 THEN two ELSE host END AS domain
+FROM t
+""")
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization over synthetic-but-varied URLs derived
+    from doc_id (uppercase scheme+host, default and non-default
+    ports, duplicate/trailing slashes, tracking params, fragments,
+    www, two-level public suffixes): the operator runs
+    try_parse_url + higher-order array expressions JVM-side; the
+    oracle reimplements every step with DuckDB regexes and list
+    lambdas. Value-exact across url_norm, host, and domain."""
+    from beam_spark.operators.text import UrlNormalize
+
+    d = table(spark, sf_dir, "documents").df
+    u = d.selectExpr(
+        "doc_id",
+        "CASE CAST(doc_id % 5 AS INT) "
+        "WHEN 0 THEN 'HTTPS://WWW.Site' || CAST(doc_id % 7 AS STRING)"
+        " || '.COM:443/a//b' || CAST(doc_id % 3 AS STRING)"
+        " || '/?utm_source=x&b=2&a=1#f' "
+        "WHEN 1 THEN 'http://news' || CAST(doc_id % 7 AS STRING)"
+        " || '.co.uk:80' "
+        "WHEN 2 THEN 'https://sub.shop' || CAST(doc_id % 7 AS STRING)"
+        " || '.com.au/p/?ref=tw&z=9&gclid=abc' "
+        "WHEN 3 THEN 'http://Host' || CAST(doc_id % 7 AS STRING)"
+        " || '.io:8080/x/' "
+        "ELSE 'https://ex' || CAST(doc_id % 7 AS STRING)"
+        " || '.com/?utm_campaign=a' END AS url")
+    out = (PCollection(u) | UrlNormalize()).df
+    return out.select("doc_id", "url_norm", "host", "domain")
+
+
 @query("q_quality_histogram", """
 WITH x AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
            WHERE o_totalprice IS NOT NULL),

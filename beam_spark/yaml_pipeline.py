@@ -302,6 +302,8 @@ def _register_curation():
         "GapFill": ("beam_spark.operators.group", "GapFill"),
         "Histogram": ("beam_spark.operators.quality", "Histogram"),
         "Ewma": ("beam_spark.operators.stats", "Ewma"),
+        "HoltLinear": ("beam_spark.operators.stats", "HoltLinear"),
+        "UrlNormalize": ("beam_spark.operators.text", "UrlNormalize"),
         "EditDistanceJoin": ("beam_spark.operators.dedupe",
                              "EditDistanceJoin"),
         "PageRank": ("beam_spark.operators.graph", "PageRank"),

@@ -1324,3 +1324,41 @@ def test_weighted_sample_bias_and_exactness(spark):
     assert g.count() == 7
     with _pytest.raises(ValueError, match="n must be"):
         WeightedSample(0, weight_col="w", id_col="id")
+
+
+def test_url_normalize_rules(spark):
+    """UrlNormalize: case folding, default-port stripping (non-default
+    kept), slash collapsing + trailing-slash trim, fragment drop,
+    tracking-param removal + bytewise param sort, www-stripped host,
+    two-level-public-suffix domain heuristic, NULL/invalid passthrough,
+    and strip_www=False keeps the www host."""
+    from beam_spark.operators.text import UrlNormalize
+    from beam_spark.pcollection import PCollection
+
+    rows = [
+        (0, "HTTPS://WWW.Example.COM:443/a//b/?utm_source=x&b=2&a=1#frag"),
+        (1, "http://news.co.uk:80"),
+        (2, "https://sub.shop.com.au/p/?ref=tw&z=9&gclid=abc"),
+        (3, "http://Host.io:8080/x/"),
+        (4, "not a url"),
+        (5, None),
+        (6, "https://example.com/?utm_campaign=a"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r["id"]: (r["url_norm"], r["host"], r["domain"]) for r in
+           (PCollection(df) | UrlNormalize()).df.collect()}
+    assert got[0] == ("https://www.example.com/a/b?a=1&b=2",
+                      "example.com", "example.com")
+    assert got[1] == ("http://news.co.uk/", "news.co.uk", "news.co.uk")
+    assert got[2] == ("https://sub.shop.com.au/p?z=9",
+                      "sub.shop.com.au", "shop.com.au")
+    assert got[3] == ("http://host.io:8080/x", "host.io", "host.io")
+    assert got[4] == (None, None, None)       # invalid -> NULLs
+    assert got[5] == (None, None, None)
+    assert got[6] == ("https://example.com/", "example.com",
+                      "example.com")
+
+    keep = {r["id"]: r["host"] for r in
+            (PCollection(df) | UrlNormalize(strip_www=False))
+            .df.collect()}
+    assert keep[0] == "www.example.com"

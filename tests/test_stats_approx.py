@@ -159,6 +159,46 @@ def test_ewma_matches_pandas_and_handles_nulls(spark):
         Ewma("v", alpha=0.0, keys="k", order_by="i")
 
 
+def test_holt_linear_trend(spark):
+    """HoltLinear: a perfect linear ramp converges level to the ramp
+    and trend to the slope; leading NULLs stay NULL until the first
+    non-NULL seeds (l=x, b=0); mid-stream NULLs carry both states;
+    validation rejects out-of-range coefficients."""
+    import pytest as _pytest
+
+    from beam_spark.operators.stats import HoltLinear
+    from beam_spark.pcollection import PCollection
+
+    ramp = [("a", i, 10.0 + 2.0 * i) for i in range(40)]
+    df = spark.createDataFrame(ramp, "k string, i long, v double")
+    out = {r["i"]: (r["level"], r["trend"]) for r in
+           (PCollection(df) | HoltLinear(
+               "v", alpha=0.5, beta=0.25, keys="k",
+               order_by="i")).df.collect()}
+    assert out[0] == (10.0, 0.0)                 # seed
+    lvl, tr = out[39]
+    assert abs(tr - 2.0) < 0.05                  # trend -> slope
+    assert abs(lvl - (10.0 + 2.0 * 39)) < 0.5    # level -> ramp
+
+    dfn = spark.createDataFrame(
+        [("a", 0, None), ("a", 1, 4.0), ("a", 2, None), ("a", 3, 8.0)],
+        "k string, i long, v double")
+    outn = {r["i"]: (r["level"], r["trend"]) for r in
+            (PCollection(dfn) | HoltLinear(
+                "v", alpha=0.5, beta=0.25, keys="k",
+                order_by="i")).df.collect()}
+    assert outn[0] == (None, None)               # unseeded
+    assert outn[1] == (4.0, 0.0)                 # seeds at first value
+    assert outn[2] == (4.0, 0.0)                 # NULL carries state
+    l3 = 0.5 * 8.0 + 0.5 * (4.0 + 0.0)
+    assert outn[3] == (l3, 0.25 * (l3 - 4.0) + 0.75 * 0.0)
+
+    with _pytest.raises(ValueError, match="alpha"):
+        HoltLinear("v", alpha=0.0, beta=0.5, keys="k", order_by="i")
+    with _pytest.raises(ValueError, match="beta"):
+        HoltLinear("v", alpha=0.5, beta=1.5, keys="k", order_by="i")
+
+
 def test_cusum_detects_mean_shift(spark):
     """CusumDetect: in-control noise stays near zero; an upward mean
     shift raises s_hi past the threshold and alarms; a downward shift
