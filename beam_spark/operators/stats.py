@@ -473,3 +473,61 @@ class CusumDetect(PTransform):
 
         out = pcoll.df.groupBy(*self.keys).applyInPandas(fn, schema)
         return pcoll.with_df(out)
+
+
+class MisraGries(PTransform):
+    """Distributed Misra-Gries heavy-hitters summary (Misra & Gries
+    1982; mergeable per Agarwal et al. 2012): at most ``k`` counters
+    survive per partition, yet EVERY item with true frequency
+    > n/(k+1) is guaranteed present in the output with an estimate in
+    ``[true - n/(k+1), true]`` — the deterministic counterpart of
+    count-min for "which items are hot" questions at 100 TB, where an
+    exact groupBy-count of a high-cardinality column would shuffle
+    the full key space just to find twenty winners.
+
+    Plan: one ``mapInPandas`` pass folds each partition's batches into
+    a capped counter dict (vectorized value_counts per batch; the cap
+    applies the mergeable-summaries decrement — subtract the (k+1)-th
+    largest count, drop <= 0), emitting <= k rows per partition; one
+    item-keyed sum merges the partial summaries (union without a
+    final decrement only tightens the estimate — total decrement
+    across partitions stays <= n/(k+1)). Shuffle volume is
+    <= k * num_partitions ROWS, independent of data size or key
+    cardinality. NULL items are ignored.
+
+    Output: (``col``, ``est``) — at most k * num_partitions rows,
+    est = lower-bound count.
+    """
+
+    def __init__(self, col: str, k: int = 50, label=None):
+        super().__init__(label)
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.col, self.k = col, int(k)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        col, k = self.col, self.k
+
+        def sketch(batches):
+            import pandas as pd
+
+            cnt = {}
+            for pdf in batches:
+                vc = pdf[col].dropna().value_counts()
+                for item, c in vc.items():
+                    cnt[item] = cnt.get(item, 0) + int(c)
+                if len(cnt) > k:
+                    # mergeable-summaries decrement: removing the
+                    # (k+1)-th largest count from everyone charges
+                    # each survivor at most its share of n/(k+1)
+                    t = sorted(cnt.values(), reverse=True)[k]
+                    cnt = {i: c - t for i, c in cnt.items() if c > t}
+            if cnt:
+                yield pd.DataFrame(
+                    {col: list(cnt), "est": list(cnt.values())})
+
+        field = pcoll.df.schema[col]
+        partials = pcoll.df.select(col).mapInPandas(
+            sketch, f"{col} {field.dataType.simpleString()}, est long")
+        out = partials.groupBy(col).agg(F.sum("est").alias("est"))
+        return pcoll.with_df(out)

@@ -2520,6 +2520,47 @@ def q_url_normalize(spark, sf_dir):
     return out.select("doc_id", "url_norm", "host", "domain")
 
 
+@query("q_stats_heavy_hitters", """
+WITH i AS (
+  SELECT CASE WHEN doc_id % 10 < 3
+              THEN 'hot' || CAST(doc_id % 2 AS VARCHAR)
+              ELSE 'cold' || CAST(doc_id AS VARCHAR) END AS item
+  FROM documents),
+e AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM i GROUP BY item),
+n AS (SELECT COUNT(*) AS total FROM i)
+SELECT item, exact_cnt, TRUE AS found, TRUE AS err_ok
+FROM e, n WHERE exact_cnt > total / 21.0
+""")
+def q_heavy_hitters(spark, sf_dir):
+    """Misra-Gries guarantee as a verdict oracle: over a synthetic
+    skew (two hot items at ~20%/~10%, the rest singletons), every
+    item with true frequency > n/(k+1) MUST appear in the k=20
+    summary with an estimate in [true - n/(k+1), true]. The oracle
+    recomputes the hot set + exact counts and pins found/err_ok
+    TRUE — equality proves the deterministic sketch bound held."""
+    from beam_spark.operators.stats import MisraGries
+
+    d = table(spark, sf_dir, "documents").df
+    items = d.selectExpr(
+        "CASE WHEN doc_id % 10 < 3 THEN 'hot' || CAST(doc_id % 2 AS"
+        " STRING) ELSE 'cold' || CAST(doc_id AS STRING) END AS item")
+    sk = (PCollection(items) | MisraGries("item", k=20)).df
+    exact = items.groupBy("item").agg(
+        F.count(F.lit(1)).alias("exact_cnt"))
+    total = items.agg(F.count(F.lit(1)).alias("__n"))
+    thr = F.col("__n") / F.lit(21.0)
+    return (exact.crossJoin(F.broadcast(total))
+            .where(F.col("exact_cnt") > thr)
+            .join(sk, "item", "left")
+            .select("item", "exact_cnt",
+                    F.col("est").isNotNull().alias("found"),
+                    (F.col("est").isNotNull()
+                     & (F.col("est") <= F.col("exact_cnt"))
+                     & (F.col("est") >= F.col("exact_cnt") - thr))
+                    .alias("err_ok")))
+
+
 @query("q_quality_histogram", """
 WITH x AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
            WHERE o_totalprice IS NOT NULL),

@@ -304,6 +304,7 @@ def _register_curation():
         "Ewma": ("beam_spark.operators.stats", "Ewma"),
         "HoltLinear": ("beam_spark.operators.stats", "HoltLinear"),
         "UrlNormalize": ("beam_spark.operators.text", "UrlNormalize"),
+        "MisraGries": ("beam_spark.operators.stats", "MisraGries"),
         "EditDistanceJoin": ("beam_spark.operators.dedupe",
                              "EditDistanceJoin"),
         "PageRank": ("beam_spark.operators.graph", "PageRank"),

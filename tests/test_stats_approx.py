@@ -237,3 +237,40 @@ def test_cusum_detects_mean_shift(spark):
     assert on[2]["s_hi"] == 5.0
     with _pytest.raises(ValueError, match="slack"):
         CusumDetect("v", 0.0, keys="k", order_by="i", slack=-1)
+
+
+def test_misra_gries_heavy_hitters(spark):
+    """MisraGries: exact when distinct <= k; on skewed multi-partition
+    data every item above n/(k+1) is present with a lower-bound
+    estimate inside [true - n/(k+1), true]; summary size stays
+    <= k * num_partitions; NULLs ignored; k validated."""
+    import pytest as _pytest
+
+    from beam_spark.operators.stats import MisraGries
+    from beam_spark.pcollection import PCollection
+
+    # distinct <= k -> no decrements ever fire: exact counts
+    small = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1, "item string")
+    got = {r["item"]: r["est"] for r in
+           (PCollection(small) | MisraGries("item", k=10))
+           .df.collect()}
+    assert got == {"a": 5, "b": 3, "c": 1}
+
+    # skew: hot items 30%/15%, 5500 cold singletons, 8 partitions
+    rows = ([("hot0",)] * 3000 + [("hot1",)] * 1500
+            + [(f"c{i}",) for i in range(5500)] + [(None,)] * 40)
+    df = spark.createDataFrame(rows, "item string").repartition(8)
+    n = 10000
+    k = 20
+    out = {r["item"]: r["est"] for r in
+           (PCollection(df) | MisraGries("item", k=k)).df.collect()}
+    assert len(out) <= k * 8
+    assert None not in out
+    thr = n / (k + 1)
+    for item, true in (("hot0", 3000), ("hot1", 1500)):
+        assert item in out, item
+        assert true - thr <= out[item] <= true, (item, out[item])
+
+    with _pytest.raises(ValueError, match="k must be"):
+        MisraGries("item", k=0)
