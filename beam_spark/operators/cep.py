@@ -153,18 +153,30 @@ def vectorized(mask_fn: Callable, row_fn: Callable | None = None,
                   prev_depth=prev_depth)
 
 
+def _is_quantifier(q) -> bool:
+    return q in ("1", "?", "+", "*") or (
+        isinstance(q, tuple) and len(q) == 2
+        and all(x is None or isinstance(x, int) for x in q))
+
+
 class Permute:
-    """PERMUTE(A, B, ...) pattern group (Calcite/Beam NFA PERMUTE): one
-    repetition matches ALL the symbols exactly once in ANY order;
-    orderings are tried in lexicographic order of the symbol list (the
-    SQL-standard expansion order) with full backtracking."""
+    """PERMUTE(e1, e2, ...) pattern group (Calcite/Beam NFA PERMUTE):
+    one repetition matches ALL the elements once each in ANY order;
+    orderings are tried in lexicographic order of the element list
+    (the SQL-standard expansion order) with full backtracking. Each
+    element may itself be QUANTIFIED or a group — pass ``"A"`` for a
+    bare symbol or ``(node, quant)`` pairs like the top-level pattern:
+    ``Permute("A", ("B", "+"), (Seq(("C", "1")), "?"))``."""
 
-    __slots__ = ("symbols",)
+    __slots__ = ("items",)
 
-    def __init__(self, *symbols: str):
-        if len(symbols) < 2:
-            raise ValueError("PERMUTE needs at least two symbols")
-        self.symbols = tuple(symbols)
+    def __init__(self, *elements):
+        if len(elements) < 2:
+            raise ValueError("PERMUTE needs at least two elements")
+        pairs = [e if (isinstance(e, tuple) and len(e) == 2
+                       and _is_quantifier(e[1])) else (e, "1")
+                 for e in elements]
+        self.items = _normalize_pattern(pairs)
 
 
 class Seq:
@@ -197,7 +209,10 @@ def _symbols_of(node):
     """All symbols reachable from a pattern node (for DEFINE checks and
     the lead-mask superset)."""
     if isinstance(node, Permute):
-        return set(node.symbols)
+        out = set()
+        for sub, _, _ in node.items:
+            out |= _symbols_of(sub)
+        return out
     if isinstance(node, Seq):
         out = set()
         for sub, _, _ in node.items:
@@ -243,7 +258,7 @@ def _normalize_pattern(pattern: Sequence[tuple]) -> list[tuple]:
 
 def _node_min_rows(node) -> int:
     if isinstance(node, Permute):
-        return len(node.symbols)
+        return _pattern_min_rows(node.items)
     if isinstance(node, Seq):
         return _pattern_min_rows(node.items)
     if isinstance(node, Alt):
@@ -315,17 +330,11 @@ def _match_at(masks: Mapping, n_rows: int, start: int,
                         if s is not None:
                             yield acc + [(s, p)], p + 1
         elif isinstance(node, Permute):
-            syms = node.symbols
-            k = len(syms)
-            if p + k <= n_rows:
-                for perm in itertools.permutations(syms):
-                    acc1 = acc
-                    for i, s in enumerate(perm):
-                        if not ok(s, p + i, acc1):
-                            break
-                        acc1 = acc1 + [(s, p + i)]
-                    else:
-                        yield acc1, p + k
+            # each ordering of the (possibly quantified / grouped)
+            # elements is just a sequence — full backtracking within
+            # and across orderings via seq_matches
+            for perm in itertools.permutations(node.items):
+                yield from seq_matches(list(perm), p, acc)
 
     def expand_item(alts, mn, mx, pos, acc):
         """Yield (acc', end_pos) candidates in preference order

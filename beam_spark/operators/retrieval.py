@@ -147,8 +147,15 @@ class Bm25fTopK(PTransform):
             ln(1 + (N - df_t + 0.5) / (df_t + 0.5))    # Lucene idf
             * tf~(t, d) / (k1 + tf~(t, d))
 
-    ``fields``: {column: (weight, b)}. Document frequency df_t counts
-    documents containing t in ANY field; avgdl is per field.
+    ``fields``: {column: (weight, b)} or {column: (weight, b,
+    analyzer)} — analyzer is ``None``/"whitespace" (default),
+    "alnum" (punctuation-robust: lowercase, split on non-alphanumeric
+    runs), or a callable ``col -> array<string> Column``; fields with
+    different analyzers still share one term space, so the combined
+    weighted tf stays a single per-(doc, term) sum.
+    ``query_analyzer`` tokenizes the query text (same options).
+    Document frequency df_t counts documents containing t in ANY
+    field; avgdl is per field.
 
     Output: (query_id, doc_id, rank, score), rank over (round(score,
     6) DESC, doc_id) — deterministic under ties.
@@ -159,21 +166,40 @@ class Bm25fTopK(PTransform):
     same query-term restriction before any broadcast.
     """
 
+    @staticmethod
+    def _analyzer(a):
+        from beam_spark.operators.text import tokens_alnum
+
+        if a is None or a == "whitespace":
+            return tokens
+        if a == "alnum":
+            return tokens_alnum
+        if callable(a):
+            return a
+        raise ValueError(f"unknown analyzer {a!r} (use 'whitespace', "
+                         "'alnum', or a col -> Column callable)")
+
     def __init__(self, queries: DataFrame | PCollection, fields,
                  k: int = 10, k1: float = 1.2,
                  id_col: str = "doc_id", query_id_col: str = "query_id",
-                 query_text_col: str = "text", label=None):
+                 query_text_col: str = "text", query_analyzer=None,
+                 label=None):
         super().__init__(label)
         self.queries = (queries.df if isinstance(queries, PCollection)
                         else queries)
-        self.fields = {c: (float(w), float(b))
-                       for c, (w, b) in dict(fields).items()}
+        self.fields = {}
+        for c, spec in dict(fields).items():
+            spec = tuple(spec)
+            self.fields[c] = (float(spec[0]), float(spec[1]),
+                              self._analyzer(spec[2] if len(spec) > 2
+                                             else None))
         if not self.fields:
             raise ValueError("fields must be non-empty")
         self.k, self.k1 = k, float(k1)
         self.id_col = id_col
         self.query_id_col, self.query_text_col = (query_id_col,
                                                   query_text_col)
+        self.query_tokens = self._analyzer(query_analyzer)
 
     def expand(self, pcoll: PCollection) -> PCollection:
         from pyspark.sql import Window
@@ -186,8 +212,9 @@ class Bm25fTopK(PTransform):
             F.col(idc),
             F.explode(F.array(*[
                 F.struct(F.lit(c).alias("__f"),
-                         F.coalesce(tokens(c), F.array()).alias("__t"))
-                for c in self.fields])).alias("fx"))
+                         F.coalesce(an(c), F.array()).alias("__t"))
+                for c, (_w, _b, an) in self.fields.items()]))
+            .alias("fx"))
             .select(idc, F.col("fx.__f").alias("__f"),
                     F.col("fx.__t").alias("__t")))
         postf = (exploded
@@ -201,7 +228,7 @@ class Bm25fTopK(PTransform):
         # per-field weight / b as expressions over the field label
         w_expr = F.lit(None).cast("double")
         b_expr = F.lit(None).cast("double")
-        for c, (w, b) in self.fields.items():
+        for c, (w, b, _an) in self.fields.items():
             w_expr = F.when(F.col("__f") == c, F.lit(w)).otherwise(w_expr)
             b_expr = F.when(F.col("__f") == c, F.lit(b)).otherwise(b_expr)
         wtf = (postf.join(F.broadcast(avgdl), on="__f")
@@ -217,7 +244,7 @@ class Bm25fTopK(PTransform):
         qterms = (self.queries
                   .select(F.col(self.query_id_col).alias("query_id"),
                           F.explode(F.array_distinct(
-                              tokens(self.query_text_col)))
+                              self.query_tokens(self.query_text_col)))
                           .alias("term")))
         q_df = dfreq.join(
             F.broadcast(qterms.select("term").distinct()), on="term")

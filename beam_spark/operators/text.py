@@ -39,6 +39,16 @@ def tokens(col: str | Column) -> Column:
     return F.split(F.lower(F.trim(c)), r"\s+")
 
 
+def tokens_alnum(col: str | Column) -> Column:
+    """Alphanumeric tokens: lowercase, split on any run of
+    non-alphanumeric characters, empties dropped — the
+    punctuation-robust analyzer (``"foo,Bar!"`` -> ["foo", "bar"]).
+    ASCII class on purpose: portable across engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), "[^a-z0-9]+"),
+                    lambda x: x != "")
+
+
 def token_count_whitespace(col: str | Column) -> Column:
     return F.size(tokens(col))
 

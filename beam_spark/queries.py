@@ -2974,6 +2974,71 @@ def q_bm25f_topk(spark, sf_dir):
         k=5, k1=1.5)).df
 
 
+@query("q_retrieval_bm25f_analyzers", r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents),
+fld AS (
+  SELECT doc_id, 'title' AS f,
+         list_filter(string_split_regex(
+             lower(upper(array_to_string(t[1:5], ','))), '[^a-z0-9]+'),
+           x -> x <> '') AS ft,
+         CAST(3.0 AS DOUBLE) AS w, CAST(0.5 AS DOUBLE) AS b FROM toks
+  UNION ALL
+  SELECT doc_id, 'body', t[6:len(t)],
+         CAST(1.0 AS DOUBLE), CAST(0.75 AS DOUBLE) FROM toks),
+post AS (SELECT doc_id, f, w, b, len(ft) AS dl, term, count(*) AS tf
+         FROM (SELECT doc_id, f, w, b, ft, unnest(ft) AS term FROM fld)
+         GROUP BY doc_id, f, w, b, dl, term),
+avgdl AS (SELECT f, avg(len(ft)) AS avgdl FROM fld GROUP BY f),
+wtf AS (SELECT doc_id, term,
+               sum(p.w * p.tf / (1 - p.b + p.b * p.dl / a.avgdl)) AS wtf
+        FROM post p JOIN avgdl a USING (f)
+        GROUP BY doc_id, term),
+stats AS (SELECT count(*) AS N FROM toks),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM post
+        GROUP BY term),
+qt AS (SELECT doc_id AS query_id, unnest(list_distinct(t)) AS term
+       FROM toks WHERE doc_id < 5),
+scored AS (
+  SELECT qt.query_id, w2.doc_id,
+         round(sum(ln(1 + (s.N - d.df + 0.5) / (d.df + 0.5))
+                   * (w2.wtf / (1.5 + w2.wtf))), 6) AS score
+  FROM wtf w2 JOIN qt ON w2.term = qt.term
+  JOIN dfq d ON w2.term = d.term CROSS JOIN stats s
+  GROUP BY qt.query_id, w2.doc_id),
+r AS (SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scored)
+SELECT query_id, doc_id, rank, score FROM r WHERE rank <= 5
+""")
+def q_bm25f_analyzers(spark, sf_dir):
+    """BM25F with PER-FIELD ANALYZERS: the title field is synthesized
+    as an UPPERCASED comma-joined string and analyzed with the
+    punctuation-robust 'alnum' analyzer (lowercase + split on
+    non-alphanumeric runs), while the body keeps the whitespace
+    analyzer — whitespace tokenization of the title would produce
+    joined junk tokens and zero title contribution, so a value-exact
+    match proves the per-field analyzer path end to end."""
+    from beam_spark.operators.retrieval import Bm25fTopK
+
+    docs = table(spark, sf_dir, "documents").df
+    split = F.split(F.lower(F.trim("text")), r"\s+")
+    fielded = docs.select(
+        "doc_id",
+        F.upper(F.concat_ws(",", F.slice(split, 1, 5))).alias("title"),
+        F.concat_ws(" ", F.slice(
+            split, 6, F.greatest(F.size(split) - 5, F.lit(0))))
+        .alias("body"))
+    queries_df = docs.filter("doc_id < 5").selectExpr(
+        "doc_id AS query_id", "text")
+    return (PCollection(fielded) | Bm25fTopK(
+        queries_df, {"title": (3.0, 0.5, "alnum"),
+                     "body": (1.0, 0.75)},
+        k=5, k1=1.5)).df
+
+
 @query("q_retrieval_phrase_positional", r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t

@@ -156,12 +156,14 @@ def parse_pattern(pattern_sql: str) -> list[tuple]:
             raise ValueError("PATTERN: unexpected end")
         if t.upper() == "PERMUTE" and peek() == "(":
             take()
-            syms = [take()]
+            # each element is a full pattern primary with an optional
+            # quantifier: PERMUTE(A+, B, (C D){2})
+            elems = [(parse_primary(), parse_quant_opt())]
             while peek() == ",":
                 take()
-                syms.append(take())
+                elems.append((parse_primary(), parse_quant_opt()))
             expect(")")
-            return Permute(*syms)
+            return Permute(*elems)
         if t == "(":
             branches = [parse_seq()]
             while peek() == "|":
@@ -466,6 +468,103 @@ _AGG_TERM_RE = re.compile(
     r"(FIRST|LAST|COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(\w+)\.(\w+)\s*\)",
     re.IGNORECASE)
 
+_NUM_RE = re.compile(r"\d+(?:\.\d+)?(?:[eE][-+]?\d+)?")
+
+
+def _compile_measure_arith(expr: str, subsets: dict | None):
+    """Arithmetic MEASURES expression -> fn(match_rows) -> float|None.
+
+    Grammar (standard precedence, parens, unary minus):
+        expr   := term (('+'|'-') term)*
+        term   := factor (('*'|'/') factor)*
+        factor := NUMBER | AGG '(' SYM '.' COL ')' | '(' expr ')'
+                  | '-' factor
+    SQL semantics: any NULL operand yields NULL; x / 0 yields NULL.
+    Raises ValueError on anything outside the grammar.
+    """
+    tokens = []
+    i = 0
+    while i < len(expr):
+        if expr[i].isspace():
+            i += 1
+            continue
+        m = _AGG_TERM_RE.match(expr, i)
+        if m:
+            tokens.append(("agg", _compile_measure(*m.groups(), subsets)))
+            i = m.end()
+            continue
+        m = _NUM_RE.match(expr, i)
+        if m:
+            v = float(m.group(0))
+            tokens.append(("num", lambda _mr, _v=v: _v))
+            i = m.end()
+            continue
+        if expr[i] in "+-*/()":
+            tokens.append((expr[i], None))
+            i += 1
+            continue
+        raise ValueError(f"unsupported MEASURES expression: {expr!r}")
+
+    pos = [0]
+
+    def peek():
+        return tokens[pos[0]][0] if pos[0] < len(tokens) else None
+
+    def take():
+        t = tokens[pos[0]]
+        pos[0] += 1
+        return t
+
+    def binop(op, f1, f2):
+        def fn(mr, _f1=f1, _f2=f2, _op=op):
+            v1, v2 = _f1(mr), _f2(mr)
+            if v1 is None or v2 is None:
+                return None
+            if _op == "+":
+                return float(v1 + v2)
+            if _op == "-":
+                return float(v1 - v2)
+            if _op == "*":
+                return float(v1 * v2)
+            return None if v2 == 0 else float(v1 / v2)
+        return fn
+
+    def parse_factor():
+        k = peek()
+        if k == "-":
+            take()
+            f = parse_factor()
+            return lambda mr, _f=f: (None if _f(mr) is None
+                                     else -float(_f(mr)))
+        if k == "(":
+            take()
+            e = parse_expr()
+            if peek() != ")":
+                raise ValueError(
+                    f"unsupported MEASURES expression: {expr!r}")
+            take()
+            return e
+        if k in ("agg", "num"):
+            return take()[1]
+        raise ValueError(f"unsupported MEASURES expression: {expr!r}")
+
+    def parse_term():
+        f = parse_factor()
+        while peek() in ("*", "/"):
+            f = binop(take()[0], f, parse_factor())
+        return f
+
+    def parse_expr():
+        f = parse_term()
+        while peek() in ("+", "-"):
+            f = binop(take()[0], f, parse_term())
+        return f
+
+    out = parse_expr()
+    if pos[0] != len(tokens):
+        raise ValueError(f"unsupported MEASURES expression: {expr!r}")
+    return out
+
 
 def _split_commas(s: str) -> list[str]:
     """Top-level comma split: outside parens and string literals."""
@@ -592,28 +691,10 @@ def try_rewrite_match_recognize(sql: str, spark, tables: dict) -> str:
                  else col_types.get(col, "string"))
             measure_types.append(f"{out_name} {t}")
             continue
-        # arithmetic of two aggregate terms (numeric measures only):
-        # LAST(A.price) - FIRST(A.price) AS spread, SUM/COUNT ratios...
-        pair = re.fullmatch(
-            _AGG_TERM_RE.pattern + r"\s*([-+*/])\s*"
-            + _AGG_TERM_RE.pattern, expr, re.IGNORECASE)
-        if not pair:
-            raise ValueError(f"unsupported MEASURES expression: {expr!r}")
-        a1, s1, c1, op, a2, s2, c2 = pair.groups()
-        f1 = _compile_measure(a1, s1, c1, subsets)
-        f2 = _compile_measure(a2, s2, c2, subsets)
-        o = {"+": operator.add, "-": operator.sub,
-             "*": operator.mul, "/": operator.truediv}[op]
-
-        def fn(match_rows, _f1=f1, _f2=f2, _o=o, _op=op):
-            v1, v2 = _f1(match_rows), _f2(match_rows)
-            if v1 is None or v2 is None:
-                return None
-            if _op == "/" and v2 == 0:
-                return None      # SQL division: x / 0 -> NULL, not error
-            return float(_o(v1, v2))
-
-        measures[out_name] = fn
+        # arithmetic over aggregate terms and numeric literals (any
+        # arity, standard precedence, parens, unary minus): spreads,
+        # SUM/COUNT ratios, 100 * (LAST-FIRST) / FIRST, ...
+        measures[out_name] = _compile_measure_arith(expr, subsets)
         measure_types.append(f"{out_name} double")
 
     from beam_spark.operators.cep import (ALL_ROWS_PER_MATCH,

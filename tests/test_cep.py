@@ -115,6 +115,23 @@ def test_matcher_permute():
     m = match(rows("x", "x"), 0, [(Permute("A", "B"), "1")], AMBIG)
     assert [(s, i) for s, i in m] == [("A", 0), ("B", 1)]
 
+    # QUANTIFIED elements inside PERMUTE: A+ absorbs a run in either
+    # position
+    m = match(rows("a", "a", "b"), 0,
+              [(Permute(("A", "+"), "B"), "1")])
+    assert [(s, i) for s, i in m] == [("A", 0), ("A", 1), ("B", 2)]
+    m = match(rows("b", "a", "a"), 0,
+              [(Permute(("A", "+"), "B"), "1")])
+    assert [(s, i) for s, i in m] == [("B", 0), ("A", 1), ("A", 2)]
+    # optional element: B? may be absent entirely
+    m = match(rows("a",), 0, [(Permute("A", ("B", "?")), "1")])
+    assert [(s, i) for s, i in m] == [("A", 0)]
+    # quantifier backtracks against the NEXT item: A+ must stop early
+    # so the trailing C still matches
+    m = match(rows("a", "a", "c"), 0,
+              [(Permute(("A", "+"), ("B", "?")), "1"), ("C", "1")])
+    assert [(s, i) for s, i in m] == [("A", 0), ("A", 1), ("C", 2)]
+
 
 def test_sql_permute_end_to_end(spark):
     """PERMUTE through the SQL front-end: signup and view in either
@@ -151,6 +168,40 @@ def test_sql_permute_end_to_end(spark):
            out.sparkSession.table("__mr_ev").select("u", "s_i", "v_i")
            .collect()}
     assert got == {(1, 1, 2), (2, 2, 1)}
+
+
+def test_sql_permute_with_quantifiers(spark):
+    """PERMUTE(V+, S) through the SQL front-end: a RUN of views and
+    one signup in either order, then a purchase — the SQL:2016 form
+    where PERMUTE elements are themselves quantified patterns."""
+    from beam_spark.sql import SqlTransform
+
+    rows_in = [
+        # user 1: view view signup purchase -> match (V+ first)
+        {"u": 1, "i": 1, "t": "view"}, {"u": 1, "i": 2, "t": "view"},
+        {"u": 1, "i": 3, "t": "signup"},
+        {"u": 1, "i": 4, "t": "purchase"},
+        # user 2: signup view purchase -> match (S first)
+        {"u": 2, "i": 1, "t": "signup"}, {"u": 2, "i": 2, "t": "view"},
+        {"u": 2, "i": 3, "t": "purchase"},
+        # user 3: signup purchase (no view) -> no match
+        {"u": 3, "i": 1, "t": "signup"},
+        {"u": 3, "i": 2, "t": "purchase"},
+    ]
+    pc = Pipeline(spark) | Create(rows_in)
+    out = ({"ev": pc} | SqlTransform("""
+        SELECT u, n_views FROM ev MATCH_RECOGNIZE (
+          PARTITION BY u
+          ORDER BY i
+          MEASURES COUNT(V.i) AS n_views
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (PERMUTE(V+, S) P)
+          DEFINE V AS V.t = 'view',
+                 S AS S.t = 'signup',
+                 P AS P.t = 'purchase'
+        )""")).df
+    got = {(r["u"], r["n_views"]) for r in out.collect()}
+    assert got == {(1, 2), (2, 1)}
 
 
 def test_sql_prev_navigation_falling_runs(spark):
@@ -257,7 +308,8 @@ def test_sql_parse_pattern_shapes():
     assert p[0] == ("V", "+")
     assert p[1] == (("C", "P"), "1")
     assert p[2] == ("A", (2, 4))
-    assert isinstance(p[3][0], Permute) and p[3][0].symbols == ("X", "Y")
+    assert isinstance(p[3][0], Permute)
+    assert p[3][0].items == [(("X",), 1, 1), (("Y",), 1, 1)]
     assert isinstance(p[4][0], Alt) and p[4][1] == "+"
     br = p[4][0].branches
     assert isinstance(br[0], Seq) and br[1] == "C"
@@ -1328,11 +1380,27 @@ def test_sql_measure_expressions(spark):
     assert r["spread"] == 7.0           # 17 - 10
     assert abs(r["per_row"] - 13.0) < 1e-9
 
+    # general arithmetic: 3+ terms, literals, parens, precedence,
+    # unary minus
+    g = ({"ev": pc} | SqlTransform("""
+        SELECT x, pct, neg FROM ev MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY i
+          MEASURES LAST(A.v) - FIRST(A.v) + COUNT(A.v) AS x,
+                   100 * (LAST(A.v) - FIRST(A.v)) / FIRST(A.v) AS pct,
+                   -FIRST(A.v) + 2 * 5 + 10 AS neg
+          PATTERN (A+ Z)
+          DEFINE A AS A.v >= 10,
+                 Z AS Z.v < 10
+        )""")).df.collect()[0]
+    assert g["x"] == 10.0                # (17-10) + 3
+    assert abs(g["pct"] - 70.0) < 1e-9   # 100*7/10
+    assert g["neg"] == 10.0              # -10 + 10 + 10
+
     with _pytest.raises(ValueError, match="unsupported MEASURES"):
         ({"ev": pc} | SqlTransform("""
             SELECT x FROM ev MATCH_RECOGNIZE (
               PARTITION BY k ORDER BY i
-              MEASURES LAST(A.v) - FIRST(A.v) + COUNT(A.v) AS x
+              MEASURES LAST(A.v) % COUNT(A.v) AS x
               PATTERN (A+)
               DEFINE A AS A.v >= 10
             )"""))
