@@ -492,7 +492,16 @@ class ContinuousAggregate(PTransform):
     def __init__(self, path: str, ts_col: str, grains, aggs,
                  keys=(), checkpoint: str | None = None,
                  available_now: bool = True,
-                 on_update=None, label=None):
+                 on_update=None, retention=None,
+                 retention_every: int = 10, label=None):
+        """``retention``: optional {granularity: age_seconds} — when
+        set, ``expire()`` runs INSIDE the query loop every
+        ``retention_every``-th micro-batch (micro-batches are
+        sequential, so there is never a concurrent writer), with
+        ``now`` = the max event time seen so far by this query —
+        event-time-driven retention, deterministic under replay
+        (a replayed batch sees an equal-or-smaller ``now``, and
+        deleting fewer partitions is always safe)."""
         super().__init__(label)
         self.path, self.ts_col = path, ts_col
         self.grains, self.keys = dict(grains), (
@@ -501,6 +510,16 @@ class ContinuousAggregate(PTransform):
         self.checkpoint = checkpoint or tempfile.mkdtemp(prefix="bs_ca_")
         self.available_now = available_now
         self.on_update = on_update
+        self.retention = dict(retention) if retention else None
+        self.retention_every = int(retention_every)
+        if self.retention_every < 1:
+            raise ValueError("retention_every must be >= 1")
+        if self.retention:
+            unknown = set(self.retention) - set(self.grains)
+            if unknown:
+                raise ValueError(
+                    f"retention names unknown granularities {sorted(unknown)}")
+        self._max_event_ts = None
         for name, kind in self.aggs.items():
             k = kind.split(":")[0]
             if k not in ("count", "sum", "min", "max"):
@@ -641,6 +660,22 @@ class ContinuousAggregate(PTransform):
                 part.unpersist()
         else:
             self._write(part, batch_id)
+        if self.retention:
+            # event-time clock: the finest granularity's bucket end is
+            # the tightest lower bound on the max event time this
+            # batch carries (exact enough for retention horizons,
+            # which are orders of magnitude above bucket widths)
+            fine = min(self.grains, key=lambda g: int(self.grains[g]))
+            w = int(self.grains[fine])
+            hi = (part.filter(F.col("granularity") == fine)
+                  .agg(F.max(F.col("bucket_start") + w).alias("m"))
+                  .first()["m"])
+            if hi is not None:
+                self._max_event_ts = max(self._max_event_ts or 0, hi)
+            if (self._max_event_ts is not None
+                    and batch_id % self.retention_every == 0):
+                self.expire(spark, self.retention,
+                            now=self._max_event_ts)
 
     def _write(self, part, batch_id):
         (part.withColumn(self.BATCH_COL,
@@ -662,10 +697,12 @@ class ContinuousAggregate(PTransform):
 
         Deletes whole partition directories through the Hadoop
         FileSystem API (filesystem-agnostic: file://, hdfs://, s3a://).
-        Run it from the maintenance schedule, not inside the query —
-        micro-batches run sequentially, so between batches the table
-        has no concurrent writer. Returns the (granularity,
-        bucket_start) pairs dropped."""
+        Safe to run from an external maintenance schedule OR inside
+        the query loop (micro-batches run sequentially, so between
+        batches the table has no concurrent writer) — the
+        ``retention=`` constructor arg automates the in-loop variant
+        every ``retention_every`` batches with an event-time ``now``.
+        Returns the (granularity, bucket_start) pairs dropped."""
         jvm = spark._jvm
         root = jvm.org.apache.hadoop.fs.Path(self.path)
         fs = root.getFileSystem(spark._jsc.hadoopConfiguration())

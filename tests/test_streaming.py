@@ -809,3 +809,50 @@ def test_continuous_aggregate_expire_drops_old_buckets(spark, tmp_path):
     # idempotent: nothing left to drop
     assert ca.expire(spark, {"hour": 86400, "day": 3 * 86400},
                      now=now) == []
+
+
+def test_continuous_aggregate_scheduled_retention(spark, tmp_path):
+    """retention= runs expire() inside the upsert loop every
+    retention_every batches with an EVENT-TIME now (max bucket end
+    seen): old fine-granularity partitions disappear as the stream's
+    event clock advances, without any external maintenance call;
+    validation rejects unknown granularities and a bad cadence."""
+    import calendar
+
+    import pytest as _pytest
+
+    from beam_spark.streaming.core import ContinuousAggregate
+
+    out = str(tmp_path / "ca_ret")
+    ca = ContinuousAggregate(
+        out, "t", {"hour": 3600, "day": 86400}, {"n": "count"},
+        retention={"hour": 86400}, retention_every=1)
+
+    def batch(*ts):
+        return spark.createDataFrame(
+            [(t,) for t in ts], "t string").selectExpr(
+            "CAST(t AS TIMESTAMP) AS t")
+
+    ca._upsert(batch("2024-01-01 05:00:00"), 0)
+    # batch 0: nothing old enough yet
+    left = {(r["granularity"], r["bucket_start"])
+            for r in ContinuousAggregate.read(spark, out).collect()}
+    d1 = calendar.timegm((2024, 1, 1, 0, 0, 0))
+    assert ("hour", d1 + 5 * 3600) in left
+
+    # batch 1 advances the event clock 3 days: the day-1 hour bucket
+    # now predates now - 1 day and is dropped in-loop; day
+    # granularity has no retention entry and keeps everything
+    ca._upsert(batch("2024-01-04 07:00:00"), 1)
+    left = {(r["granularity"], r["bucket_start"])
+            for r in ContinuousAggregate.read(spark, out).collect()}
+    assert ("hour", d1 + 5 * 3600) not in left
+    assert ("hour", d1 + 3 * 86400 + 7 * 3600) in left
+    assert ("day", d1) in left and ("day", d1 + 3 * 86400) in left
+
+    with _pytest.raises(ValueError, match="unknown granularities"):
+        ContinuousAggregate(out, "t", {"hour": 3600}, {"n": "count"},
+                            retention={"week": 1})
+    with _pytest.raises(ValueError, match="retention_every"):
+        ContinuousAggregate(out, "t", {"hour": 3600}, {"n": "count"},
+                            retention={"hour": 1}, retention_every=0)
