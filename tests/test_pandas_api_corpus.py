@@ -389,7 +389,55 @@ CASES = [
         t["o"][["o_orderstatus"]].duplicated().sum())),
     ("str_pad", lambda t: t["o"].o_orderpriority.str.pad(
         20, "left", "_")),
+    # ---- round-8: unstack(level=), categorical dtype, misc ----
+    ("unstack_level0", lambda t: t["o"].groupby(
+        ["o_orderstatus", "o_orderpriority"]).o_totalprice.sum()
+     .unstack(level=0).fillna(0.0).reset_index()),
+    ("cat_codes", lambda t: t["o"].o_orderstatus
+     .astype("category").cat.codes),
+    ("cat_astype_str_back", lambda t: t["o"].o_orderstatus
+     .astype("category").astype(str).value_counts().reset_index()),
+    ("cat_groupby", lambda t: t["o"].assign(
+        cs=t["o"].o_orderstatus.astype("category"))
+     .groupby("cs").o_totalprice.sum().reset_index()),
+    ("ser_mode", lambda t: t["o"].o_orderstatus.mode()),
+    ("ser_between", lambda t: int(
+        t["o"].o_totalprice.between(1000.0, 50000.0).sum())),
+    ("value_counts_normalize", lambda t: t["o"].o_orderstatus
+     .value_counts(normalize=True)),
+    ("str_zfill", lambda t: t["o"].o_orderkey.astype(str)
+     .str.zfill(10)),
+    ("str_slice_replace", lambda t: t["o"].o_orderpriority
+     .str.slice_replace(0, 1, "Z")),
+    ("where_scalar_other", lambda t: t["o"].o_totalprice.where(
+        t["o"].o_totalprice > 10000.0, 0.0)),
+    ("mask_scalar_other", lambda t: t["o"].o_totalprice.mask(
+        t["o"].o_totalprice > 10000.0, -1.0)),
+    ("droplevel0", lambda t: t["o"].set_index(
+        ["o_orderstatus", "o_orderpriority"]).droplevel(0)
+     [["o_totalprice"]].reset_index()),
+    ("gb_idxmax", lambda t: t["o"].groupby("o_orderstatus")
+     .o_totalprice.idxmax()),
+    ("gb_nunique", lambda t: t["o"].groupby("o_orderstatus")
+     .o_custkey.nunique().reset_index()),
+    ("dt_isocalendar_week", lambda t: t["o"].o_orderdate
+     .dt.isocalendar().week.astype("int64")),
+    ("rename_axis_reset", lambda t: t["o"].groupby("o_orderstatus")
+     .size().rename_axis("st").reset_index(name="n")),
+    ("round_neg_digits", lambda t: t["o"].o_totalprice.round(-2)),
+    ("diff_abs_sum", lambda t: t["o"].sort_values("o_orderkey")
+     .o_totalprice.reset_index(drop=True).diff().abs().sum()),
+    ("ser_truncate", lambda t: t["o"].set_index("o_orderkey")
+     .sort_index().o_totalprice.truncate(before=10, after=200)),
 ]
+
+
+def _cut_bins(t):
+    frame = t["o"].o_totalprice
+    if hasattr(frame, "to_pandas"):       # pandas-on-Spark
+        import pyspark.pandas as pp
+        return pp.cut(frame, bins=[0, 1000, 100000, 1e9])
+    return pd.cut(frame, bins=[0, 1000, 100000, 1e9])
 
 
 def _iloc_rowslice(t):
@@ -441,6 +489,11 @@ DIVERGENT_RAISES = [
     # string spelling pandas accepts
     ("gb_transform_str", lambda t: t["o"].groupby("o_orderstatus")
      ["o_totalprice"].transform("mean")),
+    # round-8 sweep: reorder_levels and pd.cut are unimplemented in ps
+    ("reorder_levels", lambda t: t["o"].set_index(
+        ["o_orderstatus", "o_orderpriority"]).reorder_levels([1, 0])
+     [["o_orderkey"]].reset_index()),
+    ("cut_bins", _cut_bins),
 ]
 
 DIVERGENT_VALUES = [
