@@ -154,6 +154,11 @@ class Bm25fTopK(PTransform):
     different analyzers still share one term space, so the combined
     weighted tf stays a single per-(doc, term) sum.
     ``query_analyzer`` tokenizes the query text (same options).
+    ``mode``: 'or' (default); 'and' keeps only docs containing every
+    distinct query term in at least one field; 'phrase' additionally
+    requires the query text to occur CONTIGUOUSLY in at least one
+    field (per-field positional postings via PositionalPhraseMatch,
+    each field tokenized by its own analyzer).
     Document frequency df_t counts documents containing t in ANY
     field; avgdl is per field.
 
@@ -183,10 +188,13 @@ class Bm25fTopK(PTransform):
                  k: int = 10, k1: float = 1.2,
                  id_col: str = "doc_id", query_id_col: str = "query_id",
                  query_text_col: str = "text", query_analyzer=None,
-                 label=None):
+                 mode: str = "or", label=None):
         super().__init__(label)
         self.queries = (queries.df if isinstance(queries, PCollection)
                         else queries)
+        if mode not in ("or", "and", "phrase"):
+            raise ValueError(mode)
+        self.mode = mode
         self.fields = {}
         for c, spec in dict(fields).items():
             spec = tuple(spec)
@@ -256,7 +264,31 @@ class Bm25fTopK(PTransform):
                   .groupBy("query_id", idc)
                   .agg(F.round(F.sum(idf * F.col("wtf")
                                      / (k1 + F.col("wtf"))), 6)
-                       .alias("score")))
+                       .alias("score"),
+                       F.count(F.lit(1)).alias("__nm")))
+        if self.mode in ("and", "phrase"):
+            # conjunctive across fields: the doc must contain EVERY
+            # distinct query term in at least one field (wtf is one
+            # row per (doc, term) whatever field carried it)
+            qn = qterms.groupBy("query_id").agg(
+                F.count(F.lit(1)).alias("__qn"))
+            scored = (scored.join(F.broadcast(qn), on="query_id")
+                      .filter(F.col("__nm") == F.col("__qn")))
+        if self.mode == "phrase":
+            # the whole query text must occur CONTIGUOUSLY in at least
+            # ONE field, tokenized by that field's own analyzer —
+            # per-field positional postings, union of the matches
+            phrases = self.queries.select(
+                F.col(self.query_id_col).alias("query_id"),
+                F.col(self.query_text_col).alias("phrase"))
+            hits = None
+            for c, (_w, _b, an) in self.fields.items():
+                m = (pcoll | PositionalPhraseMatch(
+                    phrases, text_col=c, id_col=idc,
+                    analyzer=an)).df.select("query_id", idc)
+                hits = m if hits is None else hits.unionByName(m)
+            scored = scored.join(hits.distinct(),
+                                 on=["query_id", idc], how="leftsemi")
         w = Window.partitionBy("query_id").orderBy(
             F.col("score").desc(), F.col(idc))
         out = (scored.withColumn("rank", F.row_number().over(w))
@@ -409,7 +441,7 @@ class PositionalPhraseMatch(PTransform):
                  text_col: str = "text", id_col: str = "doc_id",
                  query_id_col: str = "query_id",
                  phrase_col: str = "phrase", anchor: str = "all",
-                 label=None):
+                 analyzer=None, label=None):
         super().__init__(label)
         self.queries = queries.df if isinstance(queries, PCollection) else queries
         self.text_col, self.id_col = text_col, id_col
@@ -417,15 +449,19 @@ class PositionalPhraseMatch(PTransform):
         if anchor not in ("all", "rarest"):
             raise ValueError(anchor)
         self.anchor = anchor
+        # same analyzer options as Bm25fTopK; applied to BOTH the doc
+        # text and the phrase so positions live in one token space
+        self.tokens = Bm25fTopK._analyzer(analyzer)
 
     def expand(self, pcoll: PCollection) -> PCollection:
         idc = self.id_col
         post = (pcoll.df
-                .select(F.col(idc), tokens(self.text_col).alias("__t"))
+                .select(F.col(idc),
+                        self.tokens(self.text_col).alias("__t"))
                 .select(idc, F.posexplode("__t").alias("pos", "term")))
         qt = (self.queries
               .select(F.col(self.query_id_col).alias("query_id"),
-                      tokens(self.phrase_col).alias("__p"))
+                      self.tokens(self.phrase_col).alias("__p"))
               .select("query_id", F.size("__p").alias("plen"),
                       F.posexplode("__p").alias("off", "term")))
         if self.anchor == "rarest":

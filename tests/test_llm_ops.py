@@ -700,6 +700,44 @@ def test_bm25f_field_weighting(spark):
         Bm25fTopK(queries, {})
 
 
+def test_bm25f_and_phrase_modes(spark):
+    """Bm25fTopK mode='and' keeps only docs containing EVERY query
+    term (in any field); mode='phrase' further requires the query to
+    occur contiguously in at least one field, each field tokenized by
+    its own analyzer (the title here needs the alnum analyzer to see
+    its comma-joined phrase); invalid mode rejected."""
+    import pytest as _pytest
+
+    from beam_spark.operators.retrieval import Bm25fTopK
+
+    docs = spark.createDataFrame(
+        [(1, "ALPHA,BRAVO,INTRO", "tail words here"),
+         (2, "unrelated heading", "has alpha then xx then bravo"),
+         (3, "another heading", "only alpha appears here"),
+         (4, "misc title", "bravo alpha reversed order words")],
+        "doc_id long, title string, body string")
+    queries = spark.createDataFrame(
+        [(100, "alpha bravo")], "query_id long, text string")
+    fields = {"title": (3.0, 0.5, "alnum"), "body": (1.0, 0.75)}
+
+    got_or = {r["doc_id"] for r in (PCollection(docs) | Bm25fTopK(
+        queries, fields, k=10)).df.collect()}
+    assert got_or == {1, 2, 3, 4}
+
+    got_and = {r["doc_id"] for r in (PCollection(docs) | Bm25fTopK(
+        queries, fields, k=10, mode="and")).df.collect()}
+    assert got_and == {1, 2, 4}             # doc 3 lacks 'bravo'
+
+    got_ph = {r["doc_id"] for r in (PCollection(docs) | Bm25fTopK(
+        queries, fields, k=10, mode="phrase")).df.collect()}
+    # doc 1: phrase contiguous in the alnum-tokenized title;
+    # doc 2: terms separated in body; doc 4: wrong order
+    assert got_ph == {1}
+
+    with _pytest.raises(ValueError, match="bogus"):
+        Bm25fTopK(queries, fields, mode="bogus")
+
+
 def test_rrf_fusion_properties(spark):
     """A doc ranked top in BOTH rankings beats docs top in only one;
     fewer than two rankings is rejected."""
