@@ -1123,3 +1123,76 @@ class EditDistanceJoin(PTransform):
                .unionByName(short_pairs.select(
                    "i", "j", F.col("dist").cast("int").alias("dist"))))
         return pcoll.with_df(out)
+
+
+class SortedNeighborhoodPairs(PTransform):
+    """Sorted-neighborhood dedup blocking (Hernandez & Stolfo 1995):
+    sort the corpus by a blocking key and emit every pair of rows
+    within ``window`` positions of each other — the classic
+    linear-candidate-count alternative to LSH banding when a decent
+    sort key exists (name, address, normalized title). Output:
+    (i, j, d) with i the earlier row in sort order and d the rank
+    distance (1 <= d < window); feed the pairs to a verifier
+    (EditDistanceJoin semantics, jaccard, a scorer) downstream.
+
+    Scale: the global sort position is computed WITHOUT a
+    single-partition window — repartitionByRange(key, id) +
+    sortWithinPartitions gives contiguous sorted ranges, per-partition
+    local indexes come from one partition-keyed window, and partition
+    offsets (one count per partition, collected — num_partitions
+    rows) lift local to global rank. Candidates are then one
+    EQUIJOIN on rank+d after a (window-1)-way fan-out — fully
+    distributed, shuffle keyed on the rank. The ranked frame is
+    localCheckpointed so the sampled range boundaries cannot drift
+    between the offset count and the join (repartitionByRange samples
+    are otherwise recomputation-unstable).
+    """
+
+    def __init__(self, key_col: str, id_col: str = "doc_id",
+                 window: int = 3, num_partitions: int | None = None,
+                 label=None):
+        super().__init__(label)
+        if window < 2:
+            raise ValueError("window must be >= 2")
+        self.key_col, self.id_col = key_col, id_col
+        self.window = int(window)
+        self.num_partitions = num_partitions
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        kc, idc, w = self.key_col, self.id_col, self.window
+        df = pcoll.df
+        parts = (df.repartitionByRange(self.num_partitions, kc, idc)
+                 if self.num_partitions
+                 else df.repartitionByRange(kc, idc))
+        local = (parts.sortWithinPartitions(kc, idc)
+                 .withColumn("__pid", F.spark_partition_id())
+                 .localCheckpoint(eager=True))
+        sizes = {r["__pid"]: r["cnt"] for r in
+                 local.groupBy("__pid")
+                 .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        offsets, acc = {}, 0
+        for pid in sorted(sizes):
+            offsets[pid] = acc
+            acc += sizes[pid]
+        off_expr = F.lit(0).cast("long")
+        for pid, off in offsets.items():
+            off_expr = (F.when(F.col("__pid") == pid, F.lit(off))
+                        .otherwise(off_expr))
+        lw = Window.partitionBy("__pid").orderBy(kc, idc)
+        ranked = (local
+                  .withColumn("__rn", off_expr
+                              + F.row_number().over(lw).cast("long"))
+                  .select(F.col(idc), F.col(kc), "__rn")
+                  .localCheckpoint(eager=True))
+        a = (ranked.select(F.col(idc).alias("i"),
+                           F.col("__rn").alias("__ra"))
+             .withColumn("d", F.explode(F.expr(
+                 f"sequence(1, {w - 1})")))
+             .withColumn("__rb", F.col("__ra") + F.col("d")))
+        b = ranked.select(F.col(idc).alias("j"),
+                          F.col("__rn").alias("__rb"))
+        out = (a.join(b, on="__rb")
+               .select("i", "j", F.col("d").cast("int").alias("d")))
+        return pcoll.with_df(out)

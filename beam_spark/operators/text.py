@@ -111,6 +111,26 @@ def char_ngrams(col: str | Column, n: int = 3) -> Column:
         F.array().cast("array<string>"))
 
 
+def char_entropy(col: str | Column) -> Column:
+    """Shannon entropy (bits) of the document's character
+    distribution — the classic gibberish / compressibility signal a
+    pretraining filter thresholds (natural English prose sits ~4-4.5
+    bits; keyboard mash and base64 blobs sit far higher, repeated-char
+    spam far lower). Pure JVM expression chain: per distinct char,
+    one ``filter`` count over the char array — O(distinct_chars x
+    len) per doc with ~dozens of distinct chars, zero shuffle, zero
+    Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    arr = F.split(c, "")
+    n = F.size(arr)
+    p = lambda ch: (F.size(F.filter(arr, lambda x: x == ch))  # noqa: E731
+                    / n)
+    ent = -F.aggregate(
+        F.array_distinct(arr), F.lit(0.0),
+        lambda acc, ch: acc + p(ch) * F.log2(p(ch)))
+    return F.when(n > 0, ent).otherwise(F.lit(None).cast("double"))
+
+
 def punct_ratio(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     total = F.greatest(F.length(c), F.lit(1))

@@ -2292,6 +2292,28 @@ def q_edit_distance_pairs(spark, sf_dir):
         text_col="p_name", id_col="p_partkey", k=2)).df
 
 
+@query("q_dedup_sorted_neighborhood", """
+WITH s AS (SELECT p_partkey AS id, p_name AS k FROM part
+           WHERE p_partkey < 1000),
+r AS (SELECT id, k, row_number() OVER (ORDER BY k, id) AS rn FROM s)
+SELECT a.id AS i, b.id AS j, CAST(b.rn - a.rn AS INT) AS d
+FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
+""")
+def q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking over part names (window=4): the
+    Spark side computes the global sort position WITHOUT a
+    single-partition window (range partitions + per-partition local
+    index + collected offsets) and generates candidates via a rank
+    equijoin; the oracle is the textbook single row_number self-join.
+    Row-exact equality proves the distributed rank composition is the
+    true global rank."""
+    from beam_spark.operators.dedupe import SortedNeighborhoodPairs
+
+    p = table(spark, sf_dir, "part").df.filter("p_partkey < 1000")
+    return (PCollection(p) | SortedNeighborhoodPairs(
+        key_col="p_name", id_col="p_partkey", window=4)).df
+
+
 @query("q_ts_cusum", """
 WITH RECURSIVE r AS (
   SELECT user_id, event_id, value,
@@ -2559,6 +2581,35 @@ def q_heavy_hitters(spark, sf_dir):
                      & (F.col("est") <= F.col("exact_cnt"))
                      & (F.col("est") >= F.col("exact_cnt") - thr))
                     .alias("err_ok")))
+
+
+@query("q_text_char_entropy", """
+WITH c AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch,
+         len(string_split(text, '')) AS n
+  FROM documents WHERE length(text) > 0),
+g AS (SELECT doc_id, ch, n, count(*) AS k FROM c GROUP BY doc_id, ch, n)
+SELECT doc_id,
+       round(-sum((CAST(k AS DOUBLE) / n)
+                  * log2(CAST(k AS DOUBLE) / n)), 6) AS entropy,
+       CAST(count(*) AS INT) AS n_distinct_chars
+FROM g GROUP BY doc_id
+""")
+def q_char_entropy(spark, sf_dir):
+    """Per-document character Shannon entropy (bits) + distinct-char
+    count: the Spark side is a zero-shuffle JVM expression chain
+    (array_distinct + filter-count per char); the oracle recomputes
+    via unnest + GROUP BY. Both round to 6 dp — the summation orders
+    differ (array order vs hash-group order), the repo-wide
+    float-score pattern."""
+    from beam_spark.operators.text import char_entropy
+
+    d = table(spark, sf_dir, "documents").df
+    return (d.filter(F.length("text") > 0)
+            .select("doc_id",
+                    F.round(char_entropy("text"), 6).alias("entropy"),
+                    F.size(F.array_distinct(F.split("text", "")))
+                    .alias("n_distinct_chars")))
 
 
 @query("q_quality_histogram", """

@@ -305,6 +305,8 @@ def _register_curation():
         "HoltLinear": ("beam_spark.operators.stats", "HoltLinear"),
         "UrlNormalize": ("beam_spark.operators.text", "UrlNormalize"),
         "MisraGries": ("beam_spark.operators.stats", "MisraGries"),
+        "SortedNeighborhoodPairs": ("beam_spark.operators.dedupe",
+                                    "SortedNeighborhoodPairs"),
         "EditDistanceJoin": ("beam_spark.operators.dedupe",
                              "EditDistanceJoin"),
         "PageRank": ("beam_spark.operators.graph", "PageRank"),

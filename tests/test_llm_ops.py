@@ -1400,3 +1400,38 @@ def test_url_normalize_rules(spark):
             (PCollection(df) | UrlNormalize(strip_www=False))
             .df.collect()}
     assert keep[0] == "www.example.com"
+
+
+def test_sorted_neighborhood_pairs(spark):
+    """SortedNeighborhoodPairs equals the textbook row_number
+    self-join on adversarial input: duplicate keys (tie-broken by
+    id), pathological input partitioning, explicit num_partitions
+    exceeding distinct keys (empty range partitions), window
+    validation."""
+    import pytest as _pytest
+
+    from beam_spark.operators.dedupe import SortedNeighborhoodPairs
+    from beam_spark.pcollection import PCollection
+
+    rows = [(i, f"k{i % 7:02d}") for i in range(40)]   # dup keys
+    df = spark.createDataFrame(
+        rows, "doc_id long, name string").repartition(13)
+
+    def want(w):
+        ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+        out = set()
+        for a in range(len(ordered)):
+            for d in range(1, w):
+                if a + d < len(ordered):
+                    out.add((ordered[a][0], ordered[a + d][0], d))
+        return out
+
+    for w, nparts in ((3, None), (5, 11)):
+        got = {(r["i"], r["j"], r["d"]) for r in
+               (PCollection(df) | SortedNeighborhoodPairs(
+                   key_col="name", window=w,
+                   num_partitions=nparts)).df.collect()}
+        assert got == want(w), (w, nparts)
+
+    with _pytest.raises(ValueError, match="window"):
+        SortedNeighborhoodPairs(key_col="name", window=1)
