@@ -316,3 +316,66 @@ def test_rollup_and_time_rollup_are_single_scan(spark, sf_dir):
     leaked = [v.name for v in spark.catalog.listTables()
               if v.name.startswith(("__gsets_", "__trollup_"))]
     assert leaked == []
+
+
+def test_url_normalize_zero_shuffle(spark, sf_dir):
+    """UrlNormalize is a pure projection (try_parse_url + array
+    functions): no Exchange anywhere in the plan."""
+    from beam_spark.operators.text import UrlNormalize
+    from beam_spark.pcollection import PCollection
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id", "'https://ex' || CAST(doc_id % 7 AS STRING)"
+        " || '.com/a?b=1' AS url")
+    out = (PCollection(df) | UrlNormalize()).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_char_entropy_zero_shuffle(spark, sf_dir):
+    """char_entropy is a JVM expression chain: no Exchange, no
+    Python (BatchEvalPython/ArrowEval) in the plan."""
+    from pyspark.sql import functions as F
+
+    from beam_spark.operators.text import char_entropy
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = df.select("doc_id", char_entropy("text").alias("e"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_misra_gries_shuffle_is_summary_sized(spark, sf_dir):
+    """MisraGries: the only Exchange in the plan sits ABOVE the
+    mapInPandas prune — what shuffles is the <= k-per-partition
+    summary, never the raw rows."""
+    from beam_spark.operators.stats import MisraGries
+    from beam_spark.pcollection import PCollection
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "CAST(doc_id % 50 AS STRING) AS item")
+    out = (PCollection(df) | MisraGries("item", k=10)).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exactly one aggregation exchange, and the python stage is below it
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.index("MapInPandas") > plan.index(
+        "Exchange hashpartitioning")  # physical plans print top-down:
+    # a LARGER index means the MapInPandas is DEEPER (executes first)
+
+
+def test_edit_distance_prefix_filter_no_cartesian(spark, sf_dir):
+    """EditDistanceJoin's default prefix path plans the candidate
+    stage as an equijoin on (gram, occ) — no CartesianProduct or
+    BroadcastNestedLoopJoin outside the bounded short-string pass."""
+    from beam_spark.operators.dedupe import EditDistanceJoin
+    from beam_spark.pcollection import PCollection
+
+    df = spark.read.parquet(f"{sf_dir}/part.parquet").selectExpr(
+        "p_partkey AS doc_id", "p_name AS text")
+    out = (PCollection(df) | EditDistanceJoin(k=2)).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the short path's length-windowed cross pass is the ONLY
+    # nested-loop member; the gram path must contribute none
+    assert plan.count("CartesianProduct") + plan.count(
+        "BroadcastNestedLoopJoin") <= 1
