@@ -1196,3 +1196,75 @@ class SortedNeighborhoodPairs(PTransform):
         out = (a.join(b, on="__rb")
                .select("i", "j", F.col("d").cast("int").alias("d")))
         return pcoll.with_df(out)
+
+
+class JaccardPrefixJoin(PTransform):
+    """EXACT jaccard similarity join via prefix filtering (AllPairs /
+    PPJoin, Bayardo et al. 2007 / Xiao et al. 2008) — the third point
+    on the dedup cost spectrum: NgramJaccardPairs is exact but joins
+    EVERY shingle (sum of df^2 — quadratic in hot shingles),
+    MinHashLSH is subquadratic but approximate; this is exact AND
+    subquadratic. Output: (i, j, jaccard) with jaccard >= threshold,
+    identical contract to NgramJaccardPairs.
+
+    Prefix principle: order each doc's shingle set by (corpus df,
+    shingle) and keep the first ``s - floor(t*s) + 1`` entries — two
+    sets with jaccard >= t must share a prefix entry (overlap >=
+    ceil(t * max(|A|,|B|)); floor instead of ceil only lengthens the
+    prefix, which is the SAFE direction under float t). Candidates
+    also pass the length filter min >= t * max before the exact
+    array_intersect verification, so pruning is provably lossless.
+
+    Scale: the candidate join is keyed on each doc's RAREST shingles
+    only — hot shingles never enter it (the same skew kill as
+    EditDistanceJoin's prefix path); the verify stage carries the two
+    shingle arrays through doc-keyed joins, bounded by the candidate
+    count, not the corpus square.
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 n: int = 3, threshold: float = 0.6, label=None):
+        super().__init__(label)
+        if not 0.0 < float(threshold) <= 1.0:
+            raise ValueError(f"threshold {threshold} outside (0, 1]")
+        self.text_col, self.id_col = text_col, id_col
+        self.n, self.threshold = int(n), float(threshold)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        idc, t = self.id_col, self.threshold
+        sh = (pcoll.df
+              .select(F.col(idc).alias("id"),
+                      word_shingles(self.text_col, self.n).alias("sh"))
+              .filter(F.size("sh") > 0)
+              .withColumn("s", F.size("sh")))
+        ex = sh.select("id", "s", F.explode("sh").alias("tok"))
+        dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+        plen = (F.col("s")
+                - F.floor(F.lit(t) * F.col("s")).cast("int") + 1)
+        w = Window.partitionBy("id").orderBy("__df", "tok")
+        prefix = (ex.join(dfreq, on="tok")
+                  .withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") <= plen)
+                  .select("id", "s", "tok"))
+        pa = prefix.select(F.col("id").alias("i"),
+                           F.col("s").alias("si"), "tok")
+        pb = prefix.select(F.col("id").alias("j"),
+                           F.col("s").alias("sj"), "tok")
+        cand = (pa.join(pb, on="tok")
+                .where((F.col("i") < F.col("j"))
+                       & (F.least("si", "sj")
+                          >= t * F.greatest("si", "sj") - 1e-9))
+                .select("i", "j").distinct())
+        ai = sh.select(F.col("id").alias("i"), F.col("sh").alias("__a"),
+                       F.col("s").alias("si"))
+        bj = sh.select(F.col("id").alias("j"), F.col("sh").alias("__b"),
+                       F.col("s").alias("sj"))
+        c = F.size(F.array_intersect("__a", "__b"))
+        out = (cand.join(ai, on="i").join(bj, on="j")
+               .withColumn("jaccard",
+                           c / (F.col("si") + F.col("sj") - c))
+               .filter(F.col("jaccard") >= t)
+               .select(F.col("i"), F.col("j"), "jaccard"))
+        return pcoll.with_df(out)

@@ -3214,6 +3214,19 @@ def q_ngram_jaccard(spark, sf_dir):
             | NgramJaccardPairs(threshold=0.6)).df
 
 
+@query("q_dedup_jaccard_prefix_join", _JACCARD_ORACLE)
+def q_jaccard_prefix(spark, sf_dir):
+    """EXACT jaccard pairs via AllPairs/PPJoin prefix filtering —
+    candidates only from each doc's rarest shingles + length filter,
+    exact array_intersect verify. Same brute-force oracle as the
+    quadratic path: equality proves the prefix pruning loses no pair
+    (recall 1.0 by construction, unlike LSH)."""
+    from beam_spark.operators.dedupe import JaccardPrefixJoin
+
+    return (table(spark, sf_dir, "documents")
+            | JaccardPrefixJoin(threshold=0.6)).df
+
+
 @query("q_dedup_minhash_lsh_pairs", _JACCARD_ORACLE)
 def q_minhash_lsh(spark, sf_dir):
     """MinHash(128 perms)+LSH(16 bands x 8 rows) candidates, exact-jaccard

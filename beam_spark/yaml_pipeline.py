@@ -307,6 +307,8 @@ def _register_curation():
         "MisraGries": ("beam_spark.operators.stats", "MisraGries"),
         "SortedNeighborhoodPairs": ("beam_spark.operators.dedupe",
                                     "SortedNeighborhoodPairs"),
+        "JaccardPrefixJoin": ("beam_spark.operators.dedupe",
+                              "JaccardPrefixJoin"),
         "EditDistanceJoin": ("beam_spark.operators.dedupe",
                              "EditDistanceJoin"),
         "PageRank": ("beam_spark.operators.graph", "PageRank"),

@@ -1435,3 +1435,37 @@ def test_sorted_neighborhood_pairs(spark):
 
     with _pytest.raises(ValueError, match="window"):
         SortedNeighborhoodPairs(key_col="name", window=1)
+
+
+def test_jaccard_prefix_join_equals_quadratic(spark):
+    """JaccardPrefixJoin returns the identical (i, j, jaccard) set as
+    the quadratic NgramJaccardPairs on planted near-dups (lossless
+    pruning), including a pair sitting exactly at the threshold;
+    threshold validated."""
+    import pytest as _pytest
+
+    from beam_spark.operators.dedupe import (JaccardPrefixJoin,
+                                             NgramJaccardPairs)
+    from beam_spark.pcollection import PCollection
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    rows = [
+        (0, base),
+        (1, base + " juliet"),                     # near-dup of 0
+        (2, "totally different words in this one entirely now yes"),
+        (3, base.replace("echo", "zulu")),         # moderate overlap
+        (4, "alpha bravo charlie delta echo foxtrot golf hotel kilo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.5, 0.6, 0.8):
+        fast = {(r["i"], r["j"]): round(r["jaccard"], 9) for r in
+                (PCollection(df) | JaccardPrefixJoin(threshold=t))
+                .df.collect()}
+        slow = {(r["i"], r["j"]): round(r["jaccard"], 9) for r in
+                (PCollection(df) | NgramJaccardPairs(threshold=t))
+                .df.collect()}
+        assert fast == slow, t
+        assert (0, 1) in fast                      # planted pair found
+
+    with _pytest.raises(ValueError, match="threshold"):
+        JaccardPrefixJoin(threshold=0.0)
