@@ -159,3 +159,80 @@ class PageRank(PTransform):
                 if delta is not None and delta < self.tol:
                     break
         return pcoll.with_df(ranks)
+
+
+class ShortestPaths(PTransform):
+    """Single/multi-source shortest paths by iterated edge relaxation
+    (distributed Bellman-Ford): per round, every known distance
+    relaxes across out-edges and each node keeps the MIN — after r
+    rounds dist(v) is exact over all <= r-hop paths, and a fixpoint
+    is the true shortest-path table. Non-negative weights assumed
+    (the useful case; negative cycles would diverge).
+
+    Deterministic BY CONSTRUCTION, hence value-oracle-able: every
+    candidate distance is the same per-hop left-to-right float sum in
+    any engine, and min() is order-insensitive — unlike sum-based
+    iterative scores there is no accumulation-order noise at all, so
+    the oracle compares UNROUNDED.
+
+    Scale: per round one join of the dist table (nodes-sized) against
+    edges keyed on src, one dst-keyed min-aggregation; each round
+    localCheckpoints (eager) so the plan stays one round deep —
+    the PageRank/ConnectedComponents posture. Early exit when a round
+    changes nothing (one tiny count action per round over two
+    checkpointed node-sized frames); ``rounds_run_`` records the
+    executed count.
+
+    Output: (node, dist) for every REACHED node; unreachable nodes
+    are absent (no infinities to carry).
+    """
+
+    def __init__(self, sources, src: str = "src", dst: str = "dst",
+                 weight: str | None = None, iterations: int = 10,
+                 label=None):
+        """``sources``: iterable of node ids (dist 0 each).
+        ``weight``: optional edge-weight column; hop count when
+        None."""
+        super().__init__(label)
+        self.sources = list(sources)
+        if not self.sources:
+            raise ValueError("need at least one source node")
+        self.src, self.dst, self.weight = src, dst, weight
+        self.iterations = int(iterations)
+        self.rounds_run_ = None
+        if self.iterations < 1:
+            raise ValueError("iterations must be >= 1")
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        wc = self.weight
+        edges = (pcoll.df
+                 .select(F.col(self.src).alias("src"),
+                         F.col(self.dst).alias("dst"),
+                         (F.col(wc).cast("double") if wc
+                          else F.lit(1.0)).alias("__w"))
+                 .localCheckpoint(eager=True))
+        spark = pcoll.df.sparkSession
+        node_t = edges.schema["src"].dataType.simpleString()
+        dist = (spark.createDataFrame(
+            [(s,) for s in self.sources], f"node {node_t}")
+            .withColumn("dist", F.lit(0.0))
+            .localCheckpoint(eager=True))
+        self.rounds_run_ = 0
+        for _ in range(self.iterations):
+            relax = (edges.join(dist, edges["src"] == dist["node"])
+                     .select(F.col("dst").alias("node"),
+                             (F.col("dist") + F.col("__w"))
+                             .alias("dist")))
+            new = (dist.unionByName(relax)
+                   .groupBy("node").agg(F.min("dist").alias("dist"))
+                   .localCheckpoint(eager=True))
+            self.rounds_run_ += 1
+            changed = (new.alias("n")
+                       .join(dist.alias("p"), "node", "left")
+                       .where(F.col("p.dist").isNull()
+                              | (F.col("n.dist") != F.col("p.dist")))
+                       .count())
+            dist = new
+            if changed == 0:
+                break
+        return pcoll.with_df(dist)

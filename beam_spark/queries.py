@@ -2817,6 +2817,54 @@ def _pagerank_oracle_sql(iters: int = 5, weighted: bool = False) -> str:
             + f"\nSELECT node, round(pr, 9) AS pr FROM r{iters}")
 
 
+def _sssp_oracle_sql(rounds: int = 8) -> str:
+    """Chained-CTE Bellman-Ford: one relaxation round per CTE — the
+    identical recurrence the Spark operator runs. No rounding: every
+    candidate distance is the same per-hop float sum in both engines
+    and min() is order-insensitive, so the doubles are bit-equal."""
+    cte = ["""WITH e0 AS (SELECT o_custkey AS src,
+       l_partkey + 10000000 AS dst,
+       CAST(l_quantity AS DOUBLE) AS w
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (SELECT src, dst, w FROM e0
+          UNION ALL SELECT dst, src, w FROM e0),
+d0 AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS DOUBLE) AS dist),"""]
+    for i in range(1, rounds + 1):
+        p = f"d{i - 1}"
+        cte.append(f"""d{i} AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM {p}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM {p} d JOIN edges e ON e.src = d.node) GROUP BY node),""")
+    cte[-1] = cte[-1].rstrip(",")
+    return "\n".join(cte) + f"\nSELECT node, dist FROM d{rounds}"
+
+
+@query("q_graph_shortest_paths", _sssp_oracle_sql())
+def q_graph_shortest_paths(spark, sf_dir):
+    """Weighted single-source shortest paths from customer 1 over the
+    BIDIRECTIONAL customer <-> part purchase graph (edge weight =
+    line quantity): distributed Bellman-Ford relaxation with early
+    exit, value-matched UNROUNDED against DuckDB's chained-CTE replay
+    (8 rounds; a fixpoint reached earlier equals the deeper CTE by
+    definition, so early exit cannot diverge)."""
+    from beam_spark.operators.graph import ShortestPaths
+
+    li = table(spark, sf_dir, "lineitem").df
+    o = table(spark, sf_dir, "orders").df
+    e0 = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+          .select(F.col("o_custkey").alias("src"),
+                  (F.col("l_partkey") + 10000000).alias("dst"),
+                  F.col("l_quantity").cast("double").alias("w")))
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                  "w"))
+    out = (PCollection(edges) | ShortestPaths(
+        [1], weight="w", iterations=8)).df
+    return out.select("node", "dist")
+
+
 @query("q_graph_pagerank", _pagerank_oracle_sql())
 def q_graph_pagerank(spark, sf_dir):
     """Damped PageRank (5 fixed iterations, d=0.85) over the

@@ -1469,3 +1469,41 @@ def test_jaccard_prefix_join_equals_quadratic(spark):
 
     with _pytest.raises(ValueError, match="threshold"):
         JaccardPrefixJoin(threshold=0.0)
+
+
+def test_shortest_paths_semantics(spark):
+    """ShortestPaths: hop-count mode (no weight), weighted mode picks
+    the cheaper 2-hop route over the expensive direct edge,
+    multi-source min, unreachable nodes absent, early exit records
+    rounds_run_, validation."""
+    import pytest as _pytest
+
+    from beam_spark.operators.graph import ShortestPaths
+    from beam_spark.pcollection import PCollection
+
+    # 0 -> 1 (10.0) direct, but 0 -> 2 (1.0) -> 1 (2.0) is cheaper;
+    # 3 -> 4 is a separate component; 5 is isolated (never appears)
+    edges = spark.createDataFrame(
+        [(0, 1, 10.0), (0, 2, 1.0), (2, 1, 2.0), (3, 4, 7.0)],
+        "src long, dst long, w double")
+
+    op = ShortestPaths([0], weight="w", iterations=10)
+    got = {r["node"]: r["dist"] for r in
+           (PCollection(edges) | op).df.collect()}
+    assert got == {0: 0.0, 2: 1.0, 1: 3.0}      # cheaper 2-hop wins
+    assert op.rounds_run_ < 10                   # early exit fired
+
+    hops = {r["node"]: r["dist"] for r in
+            (PCollection(edges) | ShortestPaths([0], iterations=10))
+            .df.collect()}
+    assert hops == {0: 0.0, 1: 1.0, 2: 1.0}      # hop count: direct
+
+    multi = {r["node"]: r["dist"] for r in
+             (PCollection(edges) | ShortestPaths(
+                 [0, 3], weight="w", iterations=10)).df.collect()}
+    assert multi[3] == 0.0 and multi[4] == 7.0 and multi[1] == 3.0
+
+    with _pytest.raises(ValueError, match="source"):
+        ShortestPaths([])
+    with _pytest.raises(ValueError, match="iterations"):
+        ShortestPaths([0], iterations=0)
