@@ -1268,3 +1268,82 @@ class JaccardPrefixJoin(PTransform):
                .filter(F.col("jaccard") >= t)
                .select(F.col("i"), F.col("j"), "jaccard"))
         return pcoll.with_df(out)
+
+
+class RecordLinkageScore(PTransform):
+    """Fellegi-Sunter record-linkage match weights (Fellegi & Sunter
+    1969) over CANDIDATE PAIRS — the probabilistic scoring stage that
+    follows a blocking stage (SortedNeighborhoodPairs,
+    EditDistanceJoin, JaccardPrefixJoin):
+
+        weight(i, j) = sum over compared fields f of
+            log2(m_f / u_f)             if the values agree
+            log2((1-m_f) / (1-u_f))     if they disagree
+            0                           if either side is NULL
+
+    ``fields``: {column: (m, u)} — m = P(agree | match), u =
+    P(agree | non-match), the standard EM-estimated or hand-set
+    parameters. Agreement is exact equality; pre-normalize columns
+    (NormalizeText, UrlNormalize) for fuzzy fields, or feed an edit
+    distance as its own agreement column upstream. NULL on either
+    side contributes nothing (the standard missing-data convention).
+
+    Input: a pair frame with ``i``/``j`` id columns. ``records``: the
+    attribute frame (id_col + field columns); ``right`` optionally a
+    second frame for two-corpus linkage (j ids resolve there).
+    Output: pairs + ``weight`` (round 6) + ``n_agree``.
+
+    Scale: two id-keyed joins carrying only the compared columns plus
+    a pure expression chain — no shuffle beyond the joins, no Python.
+    """
+
+    def __init__(self, records, fields, id_col: str = "doc_id",
+                 right=None, i_col: str = "i", j_col: str = "j",
+                 label=None):
+        super().__init__(label)
+        self.records = (records.df if isinstance(records, PCollection)
+                        else records)
+        self.right = (right.df if isinstance(right, PCollection)
+                      else right)
+        self.fields = {c: (float(m), float(u))
+                       for c, (m, u) in dict(fields).items()}
+        if not self.fields:
+            raise ValueError("fields must be non-empty")
+        for c, (m, u) in self.fields.items():
+            if not (0.0 < u < m < 1.0):
+                raise ValueError(
+                    f"{c}: need 0 < u < m < 1, got m={m} u={u}")
+        self.id_col, self.i_col, self.j_col = id_col, i_col, j_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        import math
+
+        idc = self.id_col
+        cols = list(self.fields)
+        left = self.records.select(
+            F.col(idc).alias(self.i_col),
+            *[F.col(c).alias(f"__l_{c}") for c in cols])
+        rsrc = self.right if self.right is not None else self.records
+        right = rsrc.select(
+            F.col(idc).alias(self.j_col),
+            *[F.col(c).alias(f"__r_{c}") for c in cols])
+        df = (pcoll.df.join(left, on=self.i_col)
+              .join(right, on=self.j_col))
+        weight = F.lit(0.0)
+        agree_n = F.lit(0)
+        for c, (m, u) in self.fields.items():
+            lc, rc = F.col(f"__l_{c}"), F.col(f"__r_{c}")
+            agree = lc == rc
+            w_a = math.log2(m / u)
+            w_d = math.log2((1.0 - m) / (1.0 - u))
+            weight = weight + (
+                F.when(lc.isNull() | rc.isNull(), F.lit(0.0))
+                .when(agree, F.lit(w_a)).otherwise(F.lit(w_d)))
+            agree_n = agree_n + F.when(
+                lc.isNotNull() & rc.isNotNull() & agree,
+                F.lit(1)).otherwise(F.lit(0))
+        out = (df.withColumn("weight", F.round(weight, 6))
+               .withColumn("n_agree", agree_n)
+               .drop(*[f"__l_{c}" for c in cols],
+                     *[f"__r_{c}" for c in cols]))
+        return pcoll.with_df(out)

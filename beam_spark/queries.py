@@ -3275,6 +3275,42 @@ def q_jaccard_prefix(spark, sf_dir):
             | JaccardPrefixJoin(threshold=0.6)).df
 
 
+@query("q_dedup_record_linkage_score", """
+WITH p AS (SELECT c_custkey AS i, c_custkey + 1 AS j FROM customer
+           WHERE c_custkey + 1 IN (SELECT c_custkey FROM customer))
+SELECT p.i, p.j,
+  round(
+    CASE WHEN a.c_nationkey IS NULL OR b.c_nationkey IS NULL THEN 0
+         WHEN a.c_nationkey = b.c_nationkey THEN log2(0.9 / 0.04)
+         ELSE log2(0.1 / 0.96) END
+    + CASE WHEN a.c_mktsegment IS NULL OR b.c_mktsegment IS NULL
+           THEN 0
+           WHEN a.c_mktsegment = b.c_mktsegment THEN log2(0.75 / 0.2)
+           ELSE log2(0.25 / 0.8) END, 6) AS weight,
+  CAST((CASE WHEN a.c_nationkey = b.c_nationkey THEN 1 ELSE 0 END)
+     + (CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END)
+     AS INT) AS n_agree
+FROM p JOIN customer a ON a.c_custkey = p.i
+       JOIN customer b ON b.c_custkey = p.j
+""")
+def q_record_linkage_score(spark, sf_dir):
+    """Fellegi-Sunter match weights over consecutive-custkey candidate
+    pairs, compared on nation (m=0.9, u=0.04) and market segment
+    (m=0.75, u=0.2): the operator injects driver-computed log2 weight
+    literals, the oracle recomputes them with DuckDB's log2 — the
+    <= 1-ulp libm divergence is absorbed by the repo-wide round(6)."""
+    from beam_spark.operators.dedupe import RecordLinkageScore
+
+    c = table(spark, sf_dir, "customer").df
+    pairs = (c.selectExpr("c_custkey AS i", "c_custkey + 1 AS j")
+             .join(c.selectExpr("c_custkey AS j"), on="j",
+                   how="leftsemi"))
+    out = (PCollection(pairs) | RecordLinkageScore(
+        c, {"c_nationkey": (0.9, 0.04), "c_mktsegment": (0.75, 0.2)},
+        id_col="c_custkey")).df
+    return out.select("i", "j", "weight", "n_agree")
+
+
 @query("q_dedup_minhash_lsh_pairs", _JACCARD_ORACLE)
 def q_minhash_lsh(spark, sf_dir):
     """MinHash(128 perms)+LSH(16 bands x 8 rows) candidates, exact-jaccard

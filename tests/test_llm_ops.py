@@ -1507,3 +1507,46 @@ def test_shortest_paths_semantics(spark):
         ShortestPaths([])
     with _pytest.raises(ValueError, match="iterations"):
         ShortestPaths([0], iterations=0)
+
+
+def test_record_linkage_score(spark):
+    """RecordLinkageScore: agreement adds log2(m/u), disagreement adds
+    log2((1-m)/(1-u)), NULL on either side contributes nothing;
+    two-corpus mode resolves j in the right frame; parameter
+    validation enforces 0 < u < m < 1."""
+    import math
+
+    import pytest as _pytest
+
+    from beam_spark.operators.dedupe import RecordLinkageScore
+    from beam_spark.pcollection import PCollection
+
+    recs = spark.createDataFrame(
+        [(1, "smith", "nyc"), (2, "smith", "la"),
+         (3, "jones", None), (4, "smith", "nyc")],
+        "doc_id long, name string, city string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "i long, j long")
+    fields = {"name": (0.9, 0.1), "city": (0.8, 0.2)}
+    out = {(r["i"], r["j"]): (r["weight"], r["n_agree"]) for r in
+           (PCollection(pairs) | RecordLinkageScore(
+               recs, fields)).df.collect()}
+    wn_a, wn_d = math.log2(9.0), math.log2(0.1 / 0.9)
+    wc_a, wc_d = math.log2(4.0), math.log2(0.2 / 0.8)
+    assert out[(1, 2)] == (round(wn_a + wc_d, 6), 1)
+    assert out[(1, 3)] == (round(wn_d, 6), 0)     # NULL city: no term
+    assert out[(1, 4)] == (round(wn_a + wc_a, 6), 2)
+
+    # two-corpus linkage: j ids live in the right frame
+    right = spark.createDataFrame(
+        [(2, "smith", "nyc")], "doc_id long, name string, city string")
+    two = {(r["i"], r["j"]) : r["n_agree"] for r in
+           (PCollection(spark.createDataFrame([(1, 2)], "i long, j long"))
+            | RecordLinkageScore(recs, fields, right=right))
+           .df.collect()}
+    assert two[(1, 2)] == 2
+
+    with _pytest.raises(ValueError, match="0 < u < m < 1"):
+        RecordLinkageScore(recs, {"name": (0.1, 0.9)})
+    with _pytest.raises(ValueError, match="non-empty"):
+        RecordLinkageScore(recs, {})
