@@ -96,3 +96,49 @@ class ScdType2Apply(PTransform):
         out = (eff.withColumn(vt, F.lead(ts).over(w2))
                .select(k, *attrs, F.col(ts).alias(vf), vt))
         return pcoll.with_df(out.unionByName(hist.select(*out.columns)))
+
+
+class CdcApply(PTransform):
+    """Apply a CDC changelog to produce the CURRENT SNAPSHOT — the
+    merge step of a change-data-capture ingest (Debezium-style op
+    column): per key, the latest change in ``order_by`` order wins;
+    a terminal delete removes the key entirely.
+
+    ``op_col`` values: upper-cased first letter decides — I(nsert) /
+    U(pdate) / R(ead, snapshot) keep the row, D(elete) drops the key.
+    An unrecognized op is data, not configuration, so it fails at
+    RUNTIME through a raise_error guard — a bad feed dies loudly
+    instead of silently surviving into the snapshot.
+
+    Scale: ONE key-partitioned window (row_number over the descending
+    change order) + a filter — the changelog shuffles once on the
+    key; the snapshot is never joined against history.
+
+    Output: one row per surviving key, changelog columns minus
+    ``op_col``.
+    """
+
+    def __init__(self, key: str = "id", order_by="ts",
+                 op_col: str = "op", label=None):
+        super().__init__(label)
+        self.key = key
+        self.order_by = ([order_by] if isinstance(order_by, str)
+                         else list(order_by))
+        self.op_col = op_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        df = pcoll.df
+        op = F.upper(F.substring(F.col(self.op_col), 1, 1))
+        guard = F.when(op.isin("I", "U", "R", "D"), op).otherwise(
+            F.raise_error(F.concat(
+                F.lit("CdcApply: unrecognized op "),
+                F.col(self.op_col).cast("string"))))
+        w = (Window.partitionBy(self.key)
+             .orderBy(*[F.col(c).desc() for c in self.order_by]))
+        out = (df.withColumn("__op", guard)
+               .withColumn("__rn", F.row_number().over(w))
+               .filter((F.col("__rn") == 1) & (F.col("__op") != "D"))
+               .drop("__rn", "__op", self.op_col))
+        return pcoll.with_df(out)

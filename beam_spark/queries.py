@@ -2314,6 +2314,37 @@ def q_sorted_neighborhood(spark, sf_dir):
         key_col="p_name", id_col="p_partkey", window=4)).df
 
 
+@query("q_lake_cdc_apply", """
+WITH ch AS (
+  SELECT o_custkey AS id, o_orderdate AS ts, o_orderkey AS seq,
+         CASE WHEN o_orderkey % 11 = 0 THEN 'D'
+              WHEN o_orderkey % 11 < 4 THEN 'I' ELSE 'U' END AS op,
+         o_totalprice AS price, o_orderpriority AS prio
+  FROM orders),
+r AS (SELECT *, row_number() OVER (PARTITION BY id
+                                   ORDER BY ts DESC, seq DESC) AS rn
+      FROM ch)
+SELECT id, ts, seq, price, prio FROM r WHERE rn = 1 AND op <> 'D'
+""")
+def q_cdc_apply(spark, sf_dir):
+    """CDC changelog -> current snapshot: a Debezium-shaped feed
+    synthesized from orders (op by key modulus, change order =
+    (orderdate, orderkey)); latest change per customer wins, terminal
+    deletes drop the key. One key-partitioned window on both sides —
+    row-exact."""
+    from beam_spark.operators.scd import CdcApply
+
+    o = table(spark, sf_dir, "orders").df
+    ch = o.selectExpr(
+        "o_custkey AS id", "o_orderdate AS ts", "o_orderkey AS seq",
+        "CASE WHEN o_orderkey % 11 = 0 THEN 'D' "
+        "WHEN o_orderkey % 11 < 4 THEN 'I' ELSE 'U' END AS op",
+        "o_totalprice AS price", "o_orderpriority AS prio")
+    out = (PCollection(ch) | CdcApply(
+        key="id", order_by=["ts", "seq"])).df
+    return out.select("id", "ts", "seq", "price", "prio")
+
+
 @query("q_ts_cusum", """
 WITH RECURSIVE r AS (
   SELECT user_id, event_id, value,

@@ -309,6 +309,7 @@ def _register_curation():
                                     "SortedNeighborhoodPairs"),
         "JaccardPrefixJoin": ("beam_spark.operators.dedupe",
                               "JaccardPrefixJoin"),
+        "CdcApply": ("beam_spark.operators.scd", "CdcApply"),
         "EditDistanceJoin": ("beam_spark.operators.dedupe",
                              "EditDistanceJoin"),
         "PageRank": ("beam_spark.operators.graph", "PageRank"),

@@ -541,3 +541,34 @@ def test_merge_intervals_semantics(spark):
               (PCollection(df) | MergeIntervals(
                   keys="k", merge_touching=False)).df.collect()}
     assert ("a", 0, 12) in strict and ("a", 12, 20) in strict
+
+
+def test_cdc_apply_semantics(spark):
+    """CdcApply: latest change per key wins (multi-column change
+    order), terminal D removes the key, non-terminal D is overridden
+    by a later upsert, lowercase/word ops accepted via first-letter
+    match, unrecognized op fails the job at runtime."""
+    import pytest as _pytest
+
+    from beam_spark.operators.scd import CdcApply
+    from beam_spark.pcollection import PCollection
+
+    ch = spark.createDataFrame(
+        [(1, 1, 1, "insert", 10.0), (1, 1, 2, "u", 11.0),
+         (1, 2, 1, "U", 12.0),                  # latest for key 1
+         (2, 1, 1, "I", 20.0), (2, 2, 1, "D", 0.0),   # deleted
+         (3, 1, 1, "I", 30.0), (3, 1, 2, "d", 0.0),
+         (3, 2, 1, "U", 31.0)],                 # delete then revive
+        "id long, ts long, seq long, op string, v double")
+    out = {r["id"]: (r["ts"], r["seq"], r["v"]) for r in
+           (PCollection(ch) | CdcApply(
+               key="id", order_by=["ts", "seq"])).df.collect()}
+    assert out == {1: (2, 1, 12.0), 3: (2, 1, 31.0)}
+    assert 2 not in out
+
+    bad = spark.createDataFrame([(1, 1, 1, "X", 0.0)],
+                                "id long, ts long, seq long, op string,"
+                                " v double")
+    with _pytest.raises(Exception, match="unrecognized op"):
+        (PCollection(bad) | CdcApply(
+            key="id", order_by=["ts", "seq"])).df.collect()
