@@ -118,3 +118,38 @@ def test_unbounded_unbounded_join_without_time_bound_rejected(spark):
                  condition=F.col("k") == F.col("k2")))
     with pytest.raises(Exception, match="[Ww]atermark|outer join"):
         pc | WriteStreamToMemory(output_mode="append")
+
+
+def test_stream_stream_left_outer_time_bounded(spark):
+    """LEFT OUTER stream-stream join WITH watermarks + event-time range
+    (the shape Spark accepts): matched impressions pair immediately;
+    an unmatched impression emits with NULL click once the watermark
+    passes its attribution window — the positive counterpart of the
+    fail-fast test above."""
+    imps = TestStream(spark, "imp_t timestamp, ad string, imp_id long")
+    imps.add_elements([
+        {"imp_t": "2024-01-01 00:00:05", "ad": "x", "imp_id": 1},
+        {"imp_t": "2024-01-01 00:00:10", "ad": "y", "imp_id": 2}])
+
+    clicks = TestStream(spark, "clk_t timestamp, ad string, clk_id long")
+    clicks.add_elements([{"clk_t": "2024-01-01 00:00:30", "ad": "x",
+                          "clk_id": 10}])
+    # a far-future batch on BOTH sides pushes the watermark beyond
+    # imp 2's attribution window so its NULL row can emit
+    imps.add_elements([{"imp_t": "2024-01-01 01:00:00", "ad": "zz",
+                        "imp_id": 99}])
+    clicks.add_elements([{"clk_t": "2024-01-01 01:00:00", "ad": "zz",
+                          "clk_id": 98}])
+
+    left = imps.stream() | WithWatermark("imp_t", "10 seconds")
+    right = clicks.stream() | WithWatermark("clk_t", "10 seconds")
+    joined = (left
+              | Join(right, how="left", condition=(
+                  (F.col("imp_t") <= F.col("clk_t"))
+                  & (F.col("clk_t") <= F.col("imp_t")
+                     + F.expr("INTERVAL 1 MINUTE"))
+                  & (left.df["ad"] == right.df["ad"])))
+              | WriteStreamToMemory(output_mode="append"))
+    got = {(r["imp_id"], r["clk_id"]) for r in joined.collect()}
+    assert (1, 10) in got                 # matched pair
+    assert (2, None) in got               # outer NULL after watermark
