@@ -531,3 +531,82 @@ class MisraGries(PTransform):
             sketch, f"{col} {field.dataType.simpleString()}, est long")
         out = partials.groupBy(col).agg(F.sum("est").alias("est"))
         return pcoll.with_df(out)
+
+
+class SeasonalDecompose(PTransform):
+    """Classical additive seasonal decomposition per key (the
+    moving-average method underlying STL, Cleveland et al. 1990 —
+    statsmodels ``seasonal_decompose(model='additive')`` semantics):
+
+        trend_t    = centered moving average of width ``period``
+                     (the 2xMA with half-weight endpoints when the
+                     period is even — the standard correction)
+        seasonal_p = mean of (x - trend) at phase p = t mod period,
+                     centered so the seasonal component sums to ~0
+        remainder  = x - trend - seasonal
+
+    Rows whose centered window is incomplete (the first/last
+    period/2 rows per key) get NULL trend and remainder — exactly
+    statsmodels' edge behavior. Phases are positional (row number in
+    event order mod period), so the series should be gap-free at the
+    period's cadence (run GapFill first for sparse series).
+
+    Scale: one key-partitioned frame window for the trend, one
+    (key, phase) aggregation + one key aggregation for the seasonal
+    means, joined back — all JVM-side, shuffles keyed on the key.
+    Outputs round to 6 dp (group-mean accumulation order is
+    engine-dependent; the repo-wide float-score pattern).
+
+    Output: input columns + trend, seasonal, remainder (double).
+    """
+
+    def __init__(self, col: str, period: int, keys,
+                 order_by, label=None):
+        super().__init__(label)
+        if period < 2:
+            raise ValueError("period must be >= 2")
+        self.col, self.period = col, int(period)
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        self.order_by = ([order_by] if isinstance(order_by, str)
+                         else list(order_by))
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        p, keys, ob = self.period, self.keys, self.order_by
+        v = F.col(self.col).cast("double")
+        w = Window.partitionBy(*keys).orderBy(*ob)
+        half = p // 2
+        frame = w.rowsBetween(-half, half)
+        if p % 2 == 0:
+            # 2xMA: half-weight endpoints
+            trend = F.when(
+                F.count(v).over(frame) == p + 1,
+                (F.sum(v).over(frame)
+                 - 0.5 * F.lag(v, half).over(w)
+                 - 0.5 * F.lead(v, half).over(w)) / p)
+        else:
+            trend = F.when(F.count(v).over(frame) == p,
+                           F.sum(v).over(frame) / p)
+        df = (pcoll.df
+              .withColumn("__phase",
+                          (F.row_number().over(w) - 1) % p)
+              .withColumn("__trend", trend)
+              .withColumn("__detr", v - F.col("__trend")))
+        ph = (df.groupBy(*keys, "__phase")
+              .agg(F.avg("__detr").alias("__s_raw")))
+        ctr = (ph.groupBy(*keys)
+               .agg(F.avg("__s_raw").alias("__s_mean")))
+        out = (df.join(ph, on=[*keys, "__phase"])
+               .join(ctr, on=keys)
+               .withColumn("seasonal",
+                           F.round(F.col("__s_raw")
+                                   - F.col("__s_mean"), 6))
+               .withColumn("trend", F.round("__trend", 6))
+               .withColumn("remainder",
+                           F.round(v - F.col("__trend")
+                                   - (F.col("__s_raw")
+                                      - F.col("__s_mean")), 6))
+               .drop("__phase", "__trend", "__detr", "__s_raw",
+                     "__s_mean"))
+        return pcoll.with_df(out)

@@ -310,6 +310,8 @@ def _register_curation():
         "JaccardPrefixJoin": ("beam_spark.operators.dedupe",
                               "JaccardPrefixJoin"),
         "CdcApply": ("beam_spark.operators.scd", "CdcApply"),
+        "SeasonalDecompose": ("beam_spark.operators.stats",
+                              "SeasonalDecompose"),
         "EditDistanceJoin": ("beam_spark.operators.dedupe",
                              "EditDistanceJoin"),
         "PageRank": ("beam_spark.operators.graph", "PageRank"),

@@ -274,3 +274,34 @@ def test_misra_gries_heavy_hitters(spark):
 
     with _pytest.raises(ValueError, match="k must be"):
         MisraGries("item", k=0)
+
+
+def test_seasonal_decompose_recovers_components(spark):
+    """SeasonalDecompose on a constructed trend+seasonal signal:
+    recovers the linear trend (2xMA is exact on a linear ramp), the
+    seasonal offsets (zero-centered), and a ~zero remainder; even
+    period exercises the half-weight-endpoint 2xMA; edge rows get
+    NULL trend/remainder; period validated."""
+    import pytest as _pytest
+
+    from beam_spark.operators.stats import SeasonalDecompose
+    from beam_spark.pcollection import PCollection
+
+    season = [3.0, -1.0, -2.0, 0.0]                 # sums to 0
+    rows = [("a", i, 10.0 + 0.5 * i + season[i % 4])
+            for i in range(32)]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    out = {r["i"]: (r["trend"], r["seasonal"], r["remainder"])
+           for r in (PCollection(df) | SeasonalDecompose(
+               "v", period=4, keys="k", order_by="i")).df.collect()}
+    # edges: first/last period/2 rows have NULL trend
+    assert out[0][0] is None and out[1][0] is None
+    assert out[31][0] is None and out[30][0] is None
+    for i in range(2, 30):
+        tr, se, rem = out[i]
+        assert abs(tr - (10.0 + 0.5 * i)) < 1e-6, i   # 2xMA exact
+        assert abs(se - season[i % 4]) < 0.2, i
+        assert abs(rem) < 0.2, i
+
+    with _pytest.raises(ValueError, match="period"):
+        SeasonalDecompose("v", period=1, keys="k", order_by="i")
