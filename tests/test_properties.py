@@ -423,8 +423,15 @@ def test_curriculum_bucket_sizes_balanced(spark, n, k):
                 for b in sizes}
     best_of = {b: max(r["s"] for r in rows if r["bucket"] == b)
                for b in sizes}
-    for b in range(1, max(sizes)):
-        assert worst_of[b] >= best_of[b + 1]
+    # tiers are score-ordered across the buckets that EXIST — with
+    # fewer rows than buckets the boundaries-then-assign plan
+    # legitimately leaves middle tiers empty (documented divergence),
+    # so iterate adjacent present labels, not 1..max
+    present = sorted(sizes)
+    for a, b in zip(present, present[1:]):
+        assert worst_of[a] >= best_of[b]
+    if n >= k:
+        assert set(sizes) == set(range(1, k + 1))  # all tiers filled
 
 
 @given(docs=st.lists(
