@@ -516,16 +516,17 @@ def q_text_suite(spark, sf_dir):
         "doc_id", "n_bigrams", "nll")
     norm = _component("q_text_normalize")(spark, sf_dir).select(
         "doc_id", F.length("norm_text").alias("n_chars_norm"))
+    ent = _component("q_text_char_entropy")(spark, sf_dir)
     return (a.join(b, on="doc_id").join(c, on="doc_id").join(fp, on="doc_id")
             .join(groups, on="content_md5").join(pii, on="doc_id")
             .join(gopher, on="doc_id").join(ppl, on="doc_id")
-            .join(norm, on="doc_id")
+            .join(norm, on="doc_id").join(ent, on="doc_id")
             .select("doc_id", "n_tokens_ws", "n_tokens_bpe", "n_chars_calc",
                     "mean_token_len", "n_tokens", "punct_ratio", "alpha_ratio",
                     "stopword_ratio", "lang_pred", "content_md5", "keep_id",
                     "dup_count", "pii_count", "n_words", "alpha_word_frac",
                     "stopword_hits", "gopher_keep", "n_bigrams", "nll",
-                    "n_chars_norm"))
+                    "n_chars_norm", "entropy", "n_distinct_chars"))
 
 
 _TEXT_SUITE_SQL = f"""
@@ -538,13 +539,15 @@ g AS ({_component_sql("q_text_fingerprint_exact_dedup")}),
 pii AS ({_component_sql("q_text_pii_redaction")}),
 go AS ({_component_sql("q_text_gopher_filter")}),
 ppl AS ({_component_sql("q_text_bigram_perplexity")}),
-nrm AS ({_component_sql("q_text_normalize")})
+nrm AS ({_component_sql("q_text_normalize")}),
+ent AS ({_component_sql("q_text_char_entropy")})
 SELECT a.doc_id, a.n_tokens_ws, a.n_tokens_bpe, a.n_chars_calc,
        a.mean_token_len, b.n_tokens, b.punct_ratio, b.alpha_ratio,
        b.stopword_ratio, c.lang_pred, fp.content_md5, g.keep_id, g.dup_count,
        pii.pii_count, go.n_words, go.alpha_word_frac, go.stopword_hits,
        go.keep AS gopher_keep, ppl.n_bigrams, ppl.nll,
-       CAST(length(nrm.norm_text) AS INT) AS n_chars_norm
+       CAST(length(nrm.norm_text) AS INT) AS n_chars_norm,
+       ent.entropy, ent.n_distinct_chars
 FROM a
 JOIN b ON a.doc_id = b.doc_id
 JOIN c ON a.doc_id = c.doc_id
@@ -554,21 +557,25 @@ JOIN pii ON a.doc_id = pii.doc_id
 JOIN go ON a.doc_id = go.doc_id
 JOIN ppl ON a.doc_id = ppl.doc_id
 JOIN nrm ON a.doc_id = nrm.doc_id
+JOIN ent ON a.doc_id = ent.doc_id
 """
 
 
 def q_dedup_pairs_suite(spark, sf_dir):
     """Near-dup pair family: exact n-gram jaccard (the verifier),
-    MinHash+LSH (the scale path, same oracle), embedding cosine — one
-    tagged union of (method, i, j, sim)."""
+    MinHash+LSH (the scale path, same oracle), AllPairs/PPJoin prefix
+    join (exact subquadratic — must equal the quadratic pair set),
+    embedding cosine — one tagged union of (method, i, j, sim)."""
     ngram = _component("q_dedup_ngram_jaccard_pairs")(spark, sf_dir)
     minhash = _component("q_dedup_minhash_lsh_pairs")(spark, sf_dir)
+    ppjoin = _component("q_dedup_jaccard_prefix_join")(spark, sf_dir)
     emb = _component("q_embedding_neardup_pairs")(spark, sf_dir)
     cc = _component("q_dedup_connected_components")(spark, sf_dir)
     spans = _component("q_dedup_exact_substr_spans")(spark, sf_dir)
     return _union([
         ngram.selectExpr("'ngram' AS method", "i", "j", "jaccard AS sim"),
         minhash.selectExpr("'minhash_lsh' AS method", "i", "j", "jaccard AS sim"),
+        ppjoin.selectExpr("'ppjoin' AS method", "i", "j", "jaccard AS sim"),
         emb.selectExpr("'embedding' AS method", "i", "j", "cosine AS sim"),
         cc.selectExpr("'cc' AS method", "node AS i", "comp AS j",
                       "CAST(0 AS DOUBLE) AS sim"),
@@ -584,6 +591,8 @@ WITH jp AS MATERIALIZED ({_component_sql("q_dedup_ngram_jaccard_pairs")})
 SELECT 'ngram' AS method, i, j, jaccard AS sim FROM jp
 UNION ALL
 SELECT 'minhash_lsh' AS method, i, j, jaccard AS sim FROM jp
+UNION ALL
+SELECT 'ppjoin' AS method, i, j, jaccard AS sim FROM jp
 UNION ALL
 {_wrap("'embedding' AS method, i, j, cosine AS sim",
        _component_sql("q_embedding_neardup_pairs"))}
