@@ -379,3 +379,19 @@ def test_edit_distance_prefix_filter_no_cartesian(spark, sf_dir):
     # nested-loop member; the gram path must contribute none
     assert plan.count("CartesianProduct") + plan.count(
         "BroadcastNestedLoopJoin") <= 1
+
+
+def test_cdc_apply_single_exchange(spark, sf_dir):
+    """CdcApply is one key-partitioned window + filter: exactly one
+    Exchange, no join against history anywhere."""
+    from beam_spark.operators.scd import CdcApply
+    from beam_spark.pcollection import PCollection
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "o_custkey AS id", "o_orderdate AS ts", "o_orderkey AS seq",
+        "'U' AS op", "o_totalprice AS price")
+    out = (PCollection(df) | CdcApply(key="id",
+                                      order_by=["ts", "seq"])).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
