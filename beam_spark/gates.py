@@ -563,19 +563,20 @@ JOIN ent ON a.doc_id = ent.doc_id
 
 def q_dedup_pairs_suite(spark, sf_dir):
     """Near-dup pair family: exact n-gram jaccard (the verifier),
-    MinHash+LSH (the scale path, same oracle), AllPairs/PPJoin prefix
-    join (exact subquadratic — must equal the quadratic pair set),
-    embedding cosine — one tagged union of (method, i, j, sim)."""
+    MinHash+LSH (the scale path, same oracle), embedding cosine — one
+    tagged union of (method, i, j, sim). The AllPairs/PPJoin prefix
+    join stays a COMPONENT (q_dedup_jaccard_prefix_join, same
+    brute-force oracle): its shingle-cache + verify cost at sf0.1
+    would dominate this gate's bench line for zero extra semantic
+    coverage (the pair set is identical to 'ngram' by construction)."""
     ngram = _component("q_dedup_ngram_jaccard_pairs")(spark, sf_dir)
     minhash = _component("q_dedup_minhash_lsh_pairs")(spark, sf_dir)
-    ppjoin = _component("q_dedup_jaccard_prefix_join")(spark, sf_dir)
     emb = _component("q_embedding_neardup_pairs")(spark, sf_dir)
     cc = _component("q_dedup_connected_components")(spark, sf_dir)
     spans = _component("q_dedup_exact_substr_spans")(spark, sf_dir)
     return _union([
         ngram.selectExpr("'ngram' AS method", "i", "j", "jaccard AS sim"),
         minhash.selectExpr("'minhash_lsh' AS method", "i", "j", "jaccard AS sim"),
-        ppjoin.selectExpr("'ppjoin' AS method", "i", "j", "jaccard AS sim"),
         emb.selectExpr("'embedding' AS method", "i", "j", "cosine AS sim"),
         cc.selectExpr("'cc' AS method", "node AS i", "comp AS j",
                       "CAST(0 AS DOUBLE) AS sim"),
@@ -591,8 +592,6 @@ WITH jp AS MATERIALIZED ({_component_sql("q_dedup_ngram_jaccard_pairs")})
 SELECT 'ngram' AS method, i, j, jaccard AS sim FROM jp
 UNION ALL
 SELECT 'minhash_lsh' AS method, i, j, jaccard AS sim FROM jp
-UNION ALL
-SELECT 'ppjoin' AS method, i, j, jaccard AS sim FROM jp
 UNION ALL
 {_wrap("'embedding' AS method, i, j, cosine AS sim",
        _component_sql("q_embedding_neardup_pairs"))}

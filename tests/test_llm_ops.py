@@ -1458,17 +1458,20 @@ def test_jaccard_prefix_join_equals_quadratic(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     for t in (0.5, 0.6, 0.8):
-        fast = {(r["i"], r["j"]): round(r["jaccard"], 9) for r in
-                (PCollection(df) | JaccardPrefixJoin(threshold=t))
-                .df.collect()}
         slow = {(r["i"], r["j"]): round(r["jaccard"], 9) for r in
                 (PCollection(df) | NgramJaccardPairs(threshold=t))
                 .df.collect()}
-        assert fast == slow, t
-        assert (0, 1) in fast                      # planted pair found
+        for order in ("lex", "df"):
+            fast = {(r["i"], r["j"]): round(r["jaccard"], 9) for r in
+                    (PCollection(df) | JaccardPrefixJoin(
+                        threshold=t, order=order)).df.collect()}
+            assert fast == slow, (t, order)
+            assert (0, 1) in fast                  # planted pair found
 
     with _pytest.raises(ValueError, match="threshold"):
         JaccardPrefixJoin(threshold=0.0)
+    with _pytest.raises(ValueError, match="order"):
+        JaccardPrefixJoin(order="rarest")
 
 
 def test_shortest_paths_semantics(spark):
