@@ -1174,6 +1174,45 @@ def test_streaming_equals_batch_permute(spark):
     assert sorted(b) == [(1, "cart", 9), (2, "coupon", 8)]
 
 
+def test_streaming_equals_batch_permute_quantified(spark):
+    """Equivalence script #11: PERMUTE(V+, C) P — a RUN of views and
+    one coupon in either order before a purchase; the quantified
+    PERMUTE element must behave identically under the streaming
+    matcher's phantom-frontier rule (a V-run at the frontier is
+    inconclusive until the next batch proves its extent)."""
+    from beam_spark.operators.cep import Permute, vectorized
+
+    cfg = dict(
+        pattern=[(Permute(("V", "+"), "C"), "1"), ("P", "1")],
+        defines={"V": vectorized(lambda pdf: pdf["typ"] == "view"),
+                 "C": vectorized(lambda pdf: pdf["typ"] == "coupon"),
+                 "P": vectorized(lambda pdf: pdf["typ"] == "purchase")},
+        measures={"n_v": lambda m: sum(1 for s, _ in m if s == "V"),
+                  "v": lambda m: m[-1][1]["v"]},
+        schema="u long, n_v long, v long")
+    batches = [
+        # u1: view view coupon purchase (V-run split across batches);
+        # u2: coupon view purchase; u3: coupon purchase (no view — no
+        # match)
+        [{"t": "2024-01-01 00:00:10", "u": 1, "typ": "view", "v": 1},
+         {"t": "2024-01-01 00:00:11", "u": 2, "typ": "coupon", "v": 1},
+         {"t": "2024-01-01 00:00:12", "u": 3, "typ": "coupon", "v": 1}],
+        [{"t": "2024-01-01 00:00:20", "u": 1, "typ": "view", "v": 2},
+         {"t": "2024-01-01 00:00:21", "u": 2, "typ": "view", "v": 2}],
+        [{"t": "2024-01-01 00:00:30", "u": 1, "typ": "coupon", "v": 3},
+         {"t": "2024-01-01 00:00:31", "u": 2, "typ": "purchase", "v": 8},
+         {"t": "2024-01-01 00:00:32", "u": 3, "typ": "purchase", "v": 7}],
+        [{"t": "2024-01-01 00:00:40", "u": 1, "typ": "purchase", "v": 9}],
+        [{"t": "2024-01-01 00:10:00", "u": 1, "typ": "error", "v": 0},
+         {"t": "2024-01-01 00:10:00", "u": 2, "typ": "error", "v": 0},
+         {"t": "2024-01-01 00:10:00", "u": 3, "typ": "error", "v": 0}],
+        [{"t": "2024-01-01 00:20:00", "u": 1, "typ": "error", "v": 0}],
+    ]
+    s, b = _stream_vs_batch(spark, batches, **cfg)
+    assert s == b
+    assert sorted(b) == [(1, 2, 9), (2, 1, 8)]
+
+
 def test_sql_define_between(spark):
     """BETWEEN / NOT BETWEEN as real DEFINE predicates (the splitter
     already treated BETWEEN..AND as a unit; the condition compiler now
