@@ -574,6 +574,7 @@ def q_dedup_pairs_suite(spark, sf_dir):
     emb = _component("q_embedding_neardup_pairs")(spark, sf_dir)
     cc = _component("q_dedup_connected_components")(spark, sf_dir)
     spans = _component("q_dedup_exact_substr_spans")(spark, sf_dir)
+    snm = _component("q_dedup_sorted_neighborhood")(spark, sf_dir)
     return _union([
         ngram.selectExpr("'ngram' AS method", "i", "j", "jaccard AS sim"),
         minhash.selectExpr("'minhash_lsh' AS method", "i", "j", "jaccard AS sim"),
@@ -582,6 +583,8 @@ def q_dedup_pairs_suite(spark, sf_dir):
                       "CAST(0 AS DOUBLE) AS sim"),
         spans.selectExpr("'substr_spans' AS method", "doc_id AS i",
                          "dup_windows AS j", "dup_frac AS sim"),
+        snm.selectExpr("'snm' AS method", "i", "j",
+                       "CAST(d AS DOUBLE) AS sim"),
     ])
 
 
@@ -602,6 +605,9 @@ UNION ALL
 {_wrap("'substr_spans' AS method, doc_id AS i, dup_windows AS j, "
        "dup_frac AS sim",
        _component_sql("q_dedup_exact_substr_spans"))}
+UNION ALL
+{_wrap("'snm' AS method, i, j, CAST(d AS DOUBLE) AS sim",
+       _component_sql("q_dedup_sorted_neighborhood"))}
 """
 
 

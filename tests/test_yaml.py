@@ -400,3 +400,98 @@ pipeline:
     df3 = out3.df
     assert {"id", "seg", "valid_from", "valid_to"} <= set(df3.columns)
     assert df3.filter("valid_to IS NULL").count() > 0
+
+
+def test_yaml_round8_ops(spark, sf_dir):
+    """Round-8 scalar-kwarg ops through the generic YAML adapter:
+    HoltLinear, SeasonalDecompose, UrlNormalize, MisraGries,
+    SortedNeighborhoodPairs, CdcApply."""
+    from beam_spark.yaml_pipeline import run_yaml
+
+    out = run_yaml(f"""
+pipeline:
+  transforms:
+    - type: ReadFromParquet
+      path: {sf_dir}/events.parquet
+    - type: HoltLinear
+      col: value
+      alpha: 0.5
+      beta: 0.25
+      keys: user_id
+      order_by: [ts, event_id]
+""", spark)
+    assert {"level", "trend"} <= set(out.df.columns)
+    assert out.df.count() > 0
+
+    out2 = run_yaml(f"""
+pipeline:
+  transforms:
+    - type: ReadFromParquet
+      path: {sf_dir}/events.parquet
+    - type: SeasonalDecompose
+      col: value
+      period: 7
+      keys: user_id
+      order_by: [ts, event_id]
+""", spark)
+    assert {"trend", "seasonal", "remainder"} <= set(out2.df.columns)
+
+    out3 = run_yaml(f"""
+pipeline:
+  transforms:
+    - type: ReadFromParquet
+      path: {sf_dir}/documents.parquet
+    - type: MapToFields
+      fields:
+        url: "'https://ex' || CAST(doc_id % 7 AS STRING) || '.com/a?b=1'"
+    - type: UrlNormalize
+""", spark)
+    assert {"url_norm", "host", "domain"} <= set(out3.df.columns)
+
+    out4 = run_yaml(f"""
+pipeline:
+  transforms:
+    - type: ReadFromParquet
+      path: {sf_dir}/orders.parquet
+    - type: MapToFields
+      append: false
+      fields:
+        item: "o_orderpriority"
+    - type: MisraGries
+      col: item
+      k: 10
+""", spark)
+    assert {"item", "est"} == set(out4.df.columns)
+    assert 0 < out4.df.count() <= 10 * 64
+
+    out5 = run_yaml(f"""
+pipeline:
+  transforms:
+    - type: ReadFromParquet
+      path: {sf_dir}/part.parquet
+    - type: SortedNeighborhoodPairs
+      key_col: p_name
+      id_col: p_partkey
+      window: 3
+""", spark)
+    assert {"i", "j", "d"} == set(out5.df.columns)
+
+    out6 = run_yaml(f"""
+pipeline:
+  transforms:
+    - type: ReadFromParquet
+      path: {sf_dir}/orders.parquet
+    - type: MapToFields
+      append: false
+      fields:
+        id: "o_custkey"
+        ts: "o_orderdate"
+        seq: "o_orderkey"
+        op: "'U'"
+        price: "o_totalprice"
+    - type: CdcApply
+      key: id
+      order_by: [ts, seq]
+""", spark)
+    assert "op" not in out6.df.columns
+    assert out6.df.count() == out6.df.select("id").distinct().count()
