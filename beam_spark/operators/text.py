@@ -116,10 +116,9 @@ def char_entropy(col: str | Column) -> Column:
     distribution — the classic gibberish / compressibility signal a
     pretraining filter thresholds (natural English prose sits ~4-4.5
     bits; keyboard mash and base64 blobs sit far higher, repeated-char
-    spam far lower). Pure JVM expression chain: per distinct char,
-    one ``filter`` count over the char array — O(distinct_chars x
-    len) per doc with ~dozens of distinct chars, zero shuffle, zero
-    Python."""
+    spam far lower). Pure JVM expression chain: one run-length fold
+    over the sorted char array — O(len log len) per doc, zero
+    shuffle, zero Python."""
     c = F.col(col) if isinstance(col, str) else col
     arr = F.split(c, "")
     n = F.size(arr)
@@ -679,3 +678,54 @@ class UrlNormalize(PTransform):
             pcoll.df.withColumn(self.out_col, url_norm)
             .withColumn(self.host_col, host)
             .withColumn(self.domain_col, domain))
+
+
+class ReadabilityScore(PTransform):
+    """Flesch reading ease + Flesch-Kincaid grade level — the classic
+    readability features a pretraining quality filter thresholds
+    alongside Gopher rules:
+
+        ease  = 206.835 - 1.015 * (words/sentences)
+                        - 84.6 * (syllables/words)
+        grade = 0.39 * (words/sentences)
+                + 11.8 * (syllables/words) - 15.59
+
+    Heuristics (documented, engine-portable): sentences = runs of
+    [.!?] (min 1); syllables per word = vowel-group count
+    ([aeiouy]+ runs, min 1 — the standard approximation without a
+    silent-e dictionary). Zero-shuffle expression chain; the syllable
+    fold's lambda touches only its own element (the higher-order
+    free-variable trap documented in SCALE.md round 8).
+
+    Output: input columns + n_words, n_sentences, n_syllables,
+    flesch (round 6), fk_grade (round 6).
+    """
+
+    def __init__(self, text_col: str = "text", label=None):
+        super().__init__(label)
+        self.text_col = text_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        c = F.col(self.text_col)
+        toks = tokens(self.text_col)
+        n_words = F.greatest(F.size(toks), F.lit(1))
+        n_sent = F.greatest(F.regexp_count(c, F.lit("[.!?]+")),
+                            F.lit(1))
+        n_syl = F.aggregate(
+            toks, F.lit(0).cast("long"),
+            lambda acc, w: acc + F.greatest(
+                F.regexp_count(w, F.lit("[aeiouy]+")),
+                F.lit(1)).cast("long"))
+        wps = n_words.cast("double") / n_sent
+        spw = n_syl.cast("double") / n_words
+        df = (pcoll.df
+              .withColumn("n_words", F.size(toks))
+              .withColumn("n_sentences", n_sent)
+              .withColumn("n_syllables", n_syl)
+              .withColumn("flesch", F.round(
+                  F.lit(206.835) - F.lit(1.015) * wps
+                  - F.lit(84.6) * spw, 6))
+              .withColumn("fk_grade", F.round(
+                  F.lit(0.39) * wps + F.lit(11.8) * spw
+                  - F.lit(15.59), 6)))
+        return pcoll.with_df(df)

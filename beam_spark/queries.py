@@ -2680,6 +2680,50 @@ def q_char_entropy(spark, sf_dir):
                     .alias("n_distinct_chars")))
 
 
+@query("q_text_readability", r"""
+WITH d AS (SELECT doc_id, replace(text, ' data ', '. ') AS t
+           FROM documents),
+s AS (SELECT doc_id,
+        string_split_regex(lower(trim(t)), '\s+') AS toks,
+        greatest(len(regexp_extract_all(t, '[.!?]+')), 1) AS n_sent
+      FROM d),
+y AS (SELECT doc_id,
+        CAST(len(toks) AS INT) AS n_words_raw,
+        greatest(len(toks), 1) AS n_words, n_sent,
+        CAST(list_aggregate(list_transform(toks,
+          w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)),
+          'sum') AS BIGINT) AS n_syl
+      FROM s)
+SELECT doc_id, n_words_raw AS n_words,
+       CAST(n_sent AS INT) AS n_sentences, n_syl AS n_syllables,
+       round(CAST(206.835 AS DOUBLE)
+             - CAST(1.015 AS DOUBLE)
+               * (CAST(n_words AS DOUBLE) / n_sent)
+             - CAST(84.6 AS DOUBLE)
+               * (CAST(n_syl AS DOUBLE) / n_words), 6) AS flesch,
+       round(CAST(0.39 AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sent)
+             + CAST(11.8 AS DOUBLE) * (CAST(n_syl AS DOUBLE) / n_words)
+             - CAST(15.59 AS DOUBLE), 6) AS fk_grade
+FROM y
+""")
+def q_readability(spark, sf_dir):
+    """Flesch / Flesch-Kincaid readability over documents with
+    deterministic sentence boundaries injected (' data ' -> '. ' —
+    replace() has identical non-overlapping left-to-right semantics
+    in both engines): whitespace words, [.!?]+ sentence runs,
+    vowel-group syllables — every heuristic recomputed in DuckDB
+    list/regex functions, value-exact at round 6."""
+    from beam_spark.operators.text import ReadabilityScore
+
+    d = table(spark, sf_dir, "documents").df
+    t2 = d.select("doc_id",
+                  F.replace(F.col("text"), F.lit(" data "),
+                            F.lit(". ")).alias("t"))
+    out = (PCollection(t2) | ReadabilityScore(text_col="t")).df
+    return out.select("doc_id", "n_words", "n_sentences",
+                      "n_syllables", "flesch", "fk_grade")
+
+
 @query("q_quality_histogram", """
 WITH x AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
            WHERE o_totalprice IS NOT NULL),

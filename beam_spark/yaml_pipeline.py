@@ -312,6 +312,8 @@ def _register_curation():
         "CdcApply": ("beam_spark.operators.scd", "CdcApply"),
         "SeasonalDecompose": ("beam_spark.operators.stats",
                               "SeasonalDecompose"),
+        "ReadabilityScore": ("beam_spark.operators.text",
+                             "ReadabilityScore"),
         "EditDistanceJoin": ("beam_spark.operators.dedupe",
                              "EditDistanceJoin"),
         "PageRank": ("beam_spark.operators.graph", "PageRank"),

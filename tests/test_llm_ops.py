@@ -1553,3 +1553,29 @@ def test_record_linkage_score(spark):
         RecordLinkageScore(recs, {"name": (0.1, 0.9)})
     with _pytest.raises(ValueError, match="non-empty"):
         RecordLinkageScore(recs, {})
+
+
+def test_readability_score_known_values(spark):
+    """ReadabilityScore on a hand-computable sentence: word, sentence
+    and vowel-group syllable counts match manual Flesch arithmetic;
+    punctuation-free text falls back to one sentence."""
+    from beam_spark.operators.text import ReadabilityScore
+    from beam_spark.pcollection import PCollection
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran away!"),
+         (2, "no punctuation here at all")],
+        "id long, text string")
+    out = {r["id"]: r for r in
+           (PCollection(df) | ReadabilityScore()).df.collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 7 and r1["n_sentences"] == 2
+    # syllables: the(1) cat(1) sat.(1) the(1) dog(1) ran(1) away!(2)
+    assert r1["n_syllables"] == 8
+    wps, spw = 7 / 2, 8 / 7
+    assert abs(r1["flesch"] - round(206.835 - 1.015 * wps
+                                    - 84.6 * spw, 6)) < 1e-9
+    assert abs(r1["fk_grade"] - round(0.39 * wps + 11.8 * spw
+                                      - 15.59, 6)) < 1e-9
+    r2 = out[2]
+    assert r2["n_sentences"] == 1 and r2["n_words"] == 5
