@@ -439,3 +439,44 @@ class SplitByHash(PTransform):
         for name, b in reversed(bounds):
             expr = F.when(bucket < b, F.lit(name)).otherwise(expr)
         return pcoll.with_df(pcoll.df.withColumn(self.out_col, expr))
+
+
+class RepeatByWeight(PTransform):
+    """Epoch-style corpus mixing by UP-sampling — the repetition
+    counterpart of TemperatureSample's down-sampling: a row with
+    weight w appears floor(w) times plus one more with probability
+    frac(w), so expected multiplicity is exactly w ("0.4 epochs of
+    source A, 2.5 epochs of source B" — the published-mixture recipe
+    of LLM training runs). The fractional coin is the md5-uniform of
+    the id (the HashSample bucket), so multiplicities are
+    deterministic across engines, retries, and partitionings, and a
+    row's repeat count never changes when the corpus grows.
+
+    Rows with NULL or <= 0 effective count disappear (w < 1 rows keep
+    a frac(w) chance of one copy). Output: input columns + ``out_col``
+    (1..k, the epoch index). Zero-shuffle: one expression + explode.
+    """
+
+    def __init__(self, weight_col: str, id_col: str,
+                 out_col: str = "epoch", label=None):
+        super().__init__(label)
+        self.weight_col, self.id_col = weight_col, id_col
+        self.out_col = out_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        w = F.col(self.weight_col).cast("double")
+        bucket = F.expr(
+            f"CAST(conv(substring(md5(CAST({self.id_col} AS STRING)),"
+            f" 1, 8), 16, 10) AS BIGINT) % 10000")
+        frac = w - F.floor(w)
+        # round() before the cast — same binary-float boundary fix as
+        # HashSample (0.15 * 10000 = 1499.999...)
+        k = (F.floor(w).cast("int")
+             + (bucket < F.round(frac * 10000).cast("bigint"))
+             .cast("int"))
+        out = (pcoll.df.withColumn("__k", k)
+               .filter(F.col("__k") >= 1)
+               .withColumn(self.out_col,
+                           F.explode(F.expr("sequence(1, __k)")))
+               .drop("__k"))
+        return pcoll.with_df(out)

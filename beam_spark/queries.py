@@ -2724,6 +2724,40 @@ def q_readability(spark, sf_dir):
                       "n_syllables", "flesch", "fk_grade")
 
 
+@query("q_sample_repeat_by_weight", """
+WITH w AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 0.5 WHEN 1 THEN 1.0
+              WHEN 2 THEN 2.5 ELSE 0.25 END AS wt
+  FROM documents),
+k AS (
+  SELECT doc_id,
+         CAST(floor(wt) AS INT)
+         + CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS
+                  VARCHAR)), 1, 8)) AS BIGINT) % 10000
+                < CAST(round((wt - floor(wt)) * 10000) AS BIGINT)
+                THEN 1 ELSE 0 END AS reps
+  FROM w)
+SELECT doc_id, CAST(unnest(generate_series(1, reps)) AS INT) AS epoch
+FROM k WHERE reps >= 1
+""")
+def q_repeat_by_weight(spark, sf_dir):
+    """Epoch-style mixture up-sampling (weights 0.5/1.0/2.5/0.25 by
+    doc_id class — binary-exact so the fractional coin threshold is
+    identical in both engines): floor(w) copies plus an md5-decided
+    extra. Row-exact incl. the epoch index."""
+    from beam_spark.operators.combiners import RepeatByWeight
+
+    d = table(spark, sf_dir, "documents").df
+    wdf = d.selectExpr(
+        "doc_id",
+        "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 0.5 WHEN 1 THEN 1.0"
+        " WHEN 2 THEN 2.5 ELSE 0.25 END AS wt")
+    out = (PCollection(wdf) | RepeatByWeight(
+        weight_col="wt", id_col="doc_id")).df
+    return out.select("doc_id", "epoch")
+
+
 @query("q_quality_histogram", """
 WITH x AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
            WHERE o_totalprice IS NOT NULL),

@@ -314,6 +314,8 @@ def _register_curation():
                               "SeasonalDecompose"),
         "ReadabilityScore": ("beam_spark.operators.text",
                              "ReadabilityScore"),
+        "RepeatByWeight": ("beam_spark.operators.combiners",
+                           "RepeatByWeight"),
         "EditDistanceJoin": ("beam_spark.operators.dedupe",
                              "EditDistanceJoin"),
         "PageRank": ("beam_spark.operators.graph", "PageRank"),

@@ -1579,3 +1579,32 @@ def test_readability_score_known_values(spark):
                                       - 15.59, 6)) < 1e-9
     r2 = out[2]
     assert r2["n_sentences"] == 1 and r2["n_words"] == 5
+
+
+def test_repeat_by_weight_multiplicities(spark):
+    """RepeatByWeight: integer weights repeat exactly; fractional
+    weights add the md5-decided extra copy at ~frac rate in aggregate;
+    epoch indexes run 1..k; zero/NULL weights vanish; determinism
+    across invocations."""
+    from beam_spark.operators.combiners import RepeatByWeight
+    from beam_spark.pcollection import PCollection
+
+    rows = [(i, 2.0) for i in range(50)] + \
+           [(100 + i, 0.5) for i in range(400)] + \
+           [(1000, 0.0), (1001, None)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    out = (PCollection(df) | RepeatByWeight("w", "id")).df
+    got = out.groupBy("id").count().collect()
+    by_id = {r["id"]: r["count"] for r in got}
+    for i in range(50):
+        assert by_id[i] == 2                      # exact integer reps
+    n_half = sum(1 for i in range(400) if 100 + i in by_id)
+    assert 130 <= n_half <= 270                   # ~200 expected
+    assert all(by_id.get(100 + i, 0) <= 1 for i in range(400))
+    assert 1000 not in by_id and 1001 not in by_id
+    epochs = {(r["id"], r["epoch"]) for r in out.collect()}
+    assert (0, 1) in epochs and (0, 2) in epochs and (0, 3) not in epochs
+
+    again = {(r["id"], r["epoch"]) for r in
+             (PCollection(df) | RepeatByWeight("w", "id")).df.collect()}
+    assert epochs == again                        # deterministic
