@@ -630,7 +630,9 @@ class MatchRecognize(PTransform):
                                     if out else 0) + 1
                         for ridx, (sym, r) in enumerate(match_rows):
                             meas_r = (meas if not running else
-                                      {name: fn(match_rows[:ridx + 1])
+                                      {name: (meas[name] if getattr(
+                                          fn, "final_semantics", False)
+                                          else fn(match_rows[:ridx + 1]))
                                        for name, fn in measures.items()})
                             out.append({**r, **meas_r, "__classifier": sym,
                                         "__match_number": match_no})
@@ -844,7 +846,11 @@ class MatchRecognize(PTransform):
                         if all_rows:
                             for ridx, (sym, r) in enumerate(match_rows):
                                 meas_r = (meas if not running else
-                                          {name: fmeas(match_rows[:ridx + 1])
+                                          {name: (meas[name] if getattr(
+                                              fmeas, "final_semantics",
+                                              False)
+                                              else fmeas(
+                                                  match_rows[:ridx + 1]))
                                            for name, fmeas
                                            in measures.items()})
                                 out.append({**r, **meas_r,

@@ -678,14 +678,32 @@ def try_rewrite_match_recognize(sql: str, spark, tables: dict) -> str:
         if not mm:
             raise ValueError(f"unsupported MEASURES entry: {part!r}")
         expr, out_name = mm.group(1).strip(), mm.group(2)
+        # SQL:2016 per-measure semantics keywords: RUNNING is the
+        # default in ALL ROWS PER MATCH (and coincides with FINAL in
+        # ONE ROW mode, where measures see the whole match anyway);
+        # an explicit FINAL pins the whole-match value per emitted row
+        kw = re.match(r"(RUNNING|FINAL)\s+", expr, re.IGNORECASE)
+        final_kw = False
+        if kw:
+            final_kw = kw.group(1).upper() == "FINAL"
+            expr = expr[kw.end():]
+
+        def _finalize(fn):
+            if final_kw:
+                wrapped = (lambda mr, _f=fn: _f(mr))
+                wrapped.final_semantics = True
+                return wrapped
+            return fn
+
         if re.fullmatch(r"CLASSIFIER\s*\(\s*\)", expr, re.IGNORECASE):
-            measures[out_name] = _classifier_measure
+            measures[out_name] = _finalize(_classifier_measure)
             measure_types.append(f"{out_name} string")
             continue
         single = _AGG_TERM_RE.fullmatch(expr)
         if single:
             agg, sym, col = single.groups()
-            measures[out_name] = _compile_measure(agg, sym, col, subsets)
+            measures[out_name] = _finalize(
+                _compile_measure(agg, sym, col, subsets))
             t = ("bigint" if agg.upper() == "COUNT"
                  else "double" if agg.upper() == "AVG"
                  else col_types.get(col, "string"))
@@ -694,7 +712,8 @@ def try_rewrite_match_recognize(sql: str, spark, tables: dict) -> str:
         # arithmetic over aggregate terms and numeric literals (any
         # arity, standard precedence, parens, unary minus): spreads,
         # SUM/COUNT ratios, 100 * (LAST-FIRST) / FIRST, ...
-        measures[out_name] = _compile_measure_arith(expr, subsets)
+        measures[out_name] = _finalize(
+            _compile_measure_arith(expr, subsets))
         measure_types.append(f"{out_name} double")
 
     from beam_spark.operators.cep import (ALL_ROWS_PER_MATCH,

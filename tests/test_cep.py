@@ -565,6 +565,41 @@ def test_all_rows_running_measures(spark):
     assert got_sql == [(0, 1), (1, 2), (2, 2)]
 
 
+def test_sql_running_final_measure_keywords(spark):
+    """SQL:2016 per-measure semantics keywords: in ALL ROWS PER MATCH
+    an explicit FINAL pins the whole-match value on every emitted row
+    while the default (and explicit RUNNING) evaluates the prefix;
+    in ONE ROW PER MATCH both keywords are accepted no-ops."""
+    from beam_spark.sql import SqlTransform
+
+    data = rows("a", "a", "b")
+    pc = Pipeline(spark) | Create(data)
+    out = ({"s": pc} | SqlTransform("""
+        SELECT i, n_run, n_fin, c_fin FROM s MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY i
+          MEASURES RUNNING COUNT(A.i) AS n_run,
+                   FINAL COUNT(A.i) AS n_fin,
+                   FINAL CLASSIFIER() AS c_fin
+          ALL ROWS PER MATCH
+          PATTERN (A+ B)
+          DEFINE A AS A.t = 'a', B AS B.t = 'b'
+        )""")).df
+    got = sorted((r["i"], r["n_run"], r["n_fin"], r["c_fin"])
+                 for r in out.collect())
+    assert got == [(0, 1, 2, "B"), (1, 2, 2, "B"), (2, 2, 2, "B")]
+
+    one = ({"s": pc} | SqlTransform("""
+        SELECT n FROM s MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY i
+          MEASURES FINAL COUNT(A.i) AS n
+          PATTERN (A+ B)
+          DEFINE A AS A.t = 'a', B AS B.t = 'b'
+        )""")).df
+    assert one.collect()[0]["n"] == 2
+
+
 def test_matcher_empty_group_matches_zero_width():
     """SQL-standard empty-group matching: a mandatory group whose body
     is entirely optional — PATTERN ((A?) B) — matches zero-width, so a
