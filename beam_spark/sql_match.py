@@ -12,9 +12,11 @@ Supported grammar (the common CEP core):
     FROM <table> MATCH_RECOGNIZE (
       PARTITION BY c1 [, c2 ...]
       ORDER BY o1 [, o2 ...]
-      MEASURES FIRST(S.col) | LAST(S.col) | COUNT(S.col) | SUM(S.col)
-               | AVG(S.col) | MIN(S.col) | MAX(S.col)
-               | CLASSIFIER() AS alias [, ...]
+      MEASURES [RUNNING|FINAL] FIRST(S.col) | LAST(S.col)
+               | COUNT(S.col) | SUM(S.col) | AVG(S.col) | MIN(S.col)
+               | MAX(S.col) | CLASSIFIER()
+               | <arithmetic of the above + numeric literals>
+               AS alias [, ...]
       [AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
        | SKIP TO [FIRST|LAST] <symbol>]
       PATTERN (ITEM ITEM ...)
