@@ -40,10 +40,38 @@ class ModelHandler:
     def load_model(self) -> Any:
         raise NotImplementedError
 
+    def load_model_from(self, path: str) -> Any:
+        """Load a SPECIFIC artifact — required only when RunInference
+        runs with ``watch_model_pattern`` (automatic model refresh)."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not implement load_model_from"
+            "(path); watch_model_pattern needs it")
+
     def run_inference(self, batch: Sequence, model: Any) -> Sequence:
         """batch: list of input values; returns list of predictions
         (same length/order)."""
         raise NotImplementedError
+
+
+def _resolve_model_path(spark, pattern: str) -> tuple[str, int]:
+    """Newest artifact matching a glob — (path, mtime), ties broken by
+    name. Hadoop FileSystem API: file://, hdfs://, s3a:// all work."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(pattern)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(p)
+    if not statuses:
+        raise FileNotFoundError(
+            f"watch_model_pattern matched nothing: {pattern}")
+    best = max(statuses,
+               key=lambda st: (st.getModificationTime(),
+                               st.getPath().getName()))
+    path_str = str(best.getPath())
+    if path_str.startswith("file:"):
+        # plain local path for open()-based loaders; remote schemes
+        # keep the full URI (their loaders speak the scheme)
+        path_str = best.getPath().toUri().getPath()
+    return path_str, best.getModificationTime()
 
 
 class DeterministicFakeHandler(ModelHandler):
@@ -79,11 +107,22 @@ class RunInference(PTransform):
     def __init__(self, handler: ModelHandler, input_col: str,
                  output_col: str = "prediction",
                  output_type: str | T.DataType = "double",
-                 batch_size: int = 256, label=None):
+                 batch_size: int = 256,
+                 watch_model_pattern: str | None = None, label=None):
+        """``watch_model_pattern``: optional artifact glob — Beam's
+        WatchFilePattern model refresh. At every plan expansion the
+        NEWEST matching file (mtime, then name) becomes the model
+        version; workers cache per (share_token, path, mtime), so a
+        new artifact is picked up without restarting anything. In a
+        foreachBatch streaming pipeline each micro-batch re-expands,
+        giving per-batch refresh cadence — the Spark-native analog of
+        Beam's side-input refresh interval. The handler must
+        implement ``load_model_from(path)``."""
         super().__init__(label)
         self.handler, self.input_col = handler, input_col
         self.output_col, self.output_type = output_col, output_type
         self.batch_size = batch_size
+        self.watch_model_pattern = watch_model_pattern
         self._dlq = False
 
     def with_exception_handling(self) -> "RunInference":
@@ -105,11 +144,19 @@ class RunInference(PTransform):
             fields.append(T.StructField("__error", T.StringType()))
         schema = T.StructType(fields)
 
+        if self.watch_model_pattern:
+            path, mtime = _resolve_model_path(
+                pcoll.df.sparkSession, self.watch_model_pattern)
+            cache_key = f"{handler.share_token}@{path}@{mtime}"
+        else:
+            path, cache_key = None, handler.share_token
+
         def gen(batches: Iterator["pd.DataFrame"]):
-            model = _MODEL_CACHE.get(handler.share_token)
+            model = _MODEL_CACHE.get(cache_key)
             if model is None:
-                model = handler.load_model()
-                _MODEL_CACHE[handler.share_token] = model
+                model = (handler.load_model_from(path) if path
+                         else handler.load_model())
+                _MODEL_CACHE[cache_key] = model
             for pdf in batches:
                 for start in range(0, len(pdf), bs):
                     chunk = pdf.iloc[start:start + bs].copy()

@@ -283,3 +283,56 @@ def test_bpe_encode_distributed_matches_driver(spark, sf_dir):
     # merged pieces reconstruct the original words
     joined = "".join(rows[0]["bpe_tokens"]).replace("</w>", " ").strip()
     assert joined == " ".join(rows[0]["text"].lower().split())
+
+
+def test_run_inference_watch_model_pattern_refresh(spark, tmp_path):
+    """WatchFilePattern parity: watch_model_pattern resolves the
+    newest matching artifact at every expansion, workers cache per
+    (token, path, mtime) — dropping a new artifact changes the
+    predictions WITHOUT restarting anything; (mtime, name) tie-break
+    picks the lexicographically later file on equal mtimes; an empty
+    glob fails fast; handlers without load_model_from raise."""
+    import json
+
+    import pytest as _pytest
+
+    from beam_spark.ml.inference import (DeterministicFakeHandler,
+                                         ModelHandler, RunInference)
+    from beam_spark.pcollection import PCollection
+
+    class FileWeightHandler(ModelHandler):
+        share_token = "file-weight"
+
+        def load_model_from(self, path):
+            with open(path) as f:
+                return json.load(f)["w"]
+
+        def run_inference(self, batch, model):
+            return [x * model for x in batch]
+
+    mdir = tmp_path / "models"
+    mdir.mkdir()
+    (mdir / "m_v1.json").write_text(json.dumps({"w": 2.0}))
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)],
+                               "id long, x double")
+    pattern = str(mdir / "m_*.json")
+
+    def score():
+        return {r["id"]: r["prediction"] for r in
+                (PCollection(df) | RunInference(
+                    FileWeightHandler(), "x",
+                    watch_model_pattern=pattern)).df.collect()}
+
+    assert score() == {1: 20.0, 2: 40.0}          # v1: w=2
+    (mdir / "m_v2.json").write_text(json.dumps({"w": 5.0}))
+    assert score() == {1: 50.0, 2: 100.0}         # refreshed to v2
+
+    with _pytest.raises(Exception, match="matched nothing"):
+        (PCollection(df) | RunInference(
+            FileWeightHandler(), "x",
+            watch_model_pattern=str(mdir / "nope_*.json"))).df.collect()
+
+    with _pytest.raises(Exception, match="load_model_from"):
+        (PCollection(df) | RunInference(
+            DeterministicFakeHandler(), "x",
+            watch_model_pattern=pattern)).df.collect()
