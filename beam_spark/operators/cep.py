@@ -436,7 +436,7 @@ class MatchRecognize(PTransform):
                  measure_semantics: str = "final",
                  drain_state_ttl: str | None = None,
                  anchor_start: bool = False, anchor_end: bool = False,
-                 label=None):
+                 exclude_symbols=(), label=None):
         """``within``: optional time bound ("10 minutes") — a match must
         complete within this interval of its first row (Flink/Calcite
         ``PATTERN (...) WITHIN``). On streams this BOUNDS STATE: once
@@ -494,8 +494,16 @@ class MatchRecognize(PTransform):
         self.after_match = after_match
         self.anchor_start = bool(anchor_start)
         self.anchor_end = bool(anchor_end)
+        #: SQL:2016 pattern exclusion {- ... -}: these symbols' rows
+        #: participate in matching AND in measures, but are omitted
+        #: from ALL ROWS PER MATCH output (no effect in ONE ROW mode)
+        self.exclude_symbols = frozenset(exclude_symbols)
         needed = {s for alts, _, _ in self.pattern
                   for s in _symbols_of(alts)}
+        stray = self.exclude_symbols - needed
+        if stray:
+            raise ValueError(
+                f"exclude_symbols not in the pattern: {sorted(stray)}")
         missing = needed - set(self.defines)
         if missing:
             raise ValueError(f"pattern symbols without DEFINE: {sorted(missing)}")
@@ -519,6 +527,7 @@ class MatchRecognize(PTransform):
         measures, after_match = self.measures, self.after_match
         all_rows = self.rows_per_match == ALL_ROWS_PER_MATCH
         running = all_rows and self.measure_semantics == "running"
+        excluded = self.exclude_symbols
         within_ms = self.within_ms
         drain_ttl_ms = self.drain_ttl_ms
         schema = self.output_schema
@@ -629,6 +638,8 @@ class MatchRecognize(PTransform):
                         match_no = (out[-1]["__match_number"]
                                     if out else 0) + 1
                         for ridx, (sym, r) in enumerate(match_rows):
+                            if sym in excluded:
+                                continue
                             meas_r = (meas if not running else
                                       {name: (meas[name] if getattr(
                                           fn, "final_semantics", False)
@@ -688,6 +699,7 @@ class MatchRecognize(PTransform):
 
         all_rows = self.rows_per_match == ALL_ROWS_PER_MATCH
         running = all_rows and self.measure_semantics == "running"
+        excluded = self.exclude_symbols
         for sym, d in self.defines.items():
             if isinstance(d, Define) and d.frontier_sensitive:
                 raise ValueError(
@@ -845,6 +857,8 @@ class MatchRecognize(PTransform):
                         match_no += 1
                         if all_rows:
                             for ridx, (sym, r) in enumerate(match_rows):
+                                if sym in excluded:
+                                    continue
                                 meas_r = (meas if not running else
                                           {name: (meas[name] if getattr(
                                               fmeas, "final_semantics",

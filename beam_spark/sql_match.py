@@ -69,7 +69,7 @@ _MEASURE_RE = re.compile(
     r"|(CLASSIFIER)\s*\(\s*\)\s+AS\s+(\w+)",
     re.IGNORECASE)
 
-_PAT_TOKEN_RE = re.compile(r"\w+|[()|,+*?]|\{[^}]*\}")
+_PAT_TOKEN_RE = re.compile(r"\{-|-\}|\w+|[()|,+*?]|\{[^}]*\}")
 
 _ROW_OPS = {"=": lambda a, b: a == b, "<>": lambda a, b: a != b,
             "!=": lambda a, b: a != b, ">=": lambda a, b: a >= b,
@@ -109,7 +109,13 @@ def _parse_quantifier(q: str | None):
 
 
 def parse_pattern(pattern_sql: str) -> list[tuple]:
-    """Recursive-descent PATTERN parser.
+    """parse_pattern_ex without the exclusion set (test/back-compat
+    shim)."""
+    return parse_pattern_ex(pattern_sql)[0]
+
+
+def parse_pattern_ex(pattern_sql: str):
+    """Recursive-descent PATTERN parser -> (pattern, excluded_syms).
 
     'V+ (C|P) A{2,4} PERMUTE(X, Y) ((A B)|C)+' ->
     [('V','+'), (('C','P'),'1'), ('A',(2,4)), (Permute('X','Y'),'1'),
@@ -117,9 +123,19 @@ def parse_pattern(pattern_sql: str) -> list[tuple]:
 
     Grouping rules: a parenthesized single sequence is a Seq group; an
     alternation whose branches are ALL bare symbols stays a symbol
-    tuple (row-level alternation); otherwise it is a sequence-level Alt.
+    tuple (row-level alternation); otherwise it is a sequence-level
+    Alt. SQL:2016 exclusions ``{- ... -}`` parse as ordinary groups
+    whose symbols are returned in ``excluded_syms`` (ALL ROWS output
+    suppression); a symbol used both inside and outside an exclusion
+    is rejected — exclusion is positional in the standard, and the
+    symbol-level approximation is only exact when the sets are
+    disjoint.
     """
-    from beam_spark.operators.cep import Alt, Permute, Seq
+    from beam_spark.operators.cep import Alt, Permute, Seq, _symbols_of
+
+    excluded: set = set()
+    outside: set = set()
+    excl_depth = [0]
 
     leftover = _PAT_TOKEN_RE.sub("", pattern_sql).strip()
     if leftover:
@@ -148,7 +164,8 @@ def parse_pattern(pattern_sql: str) -> list[tuple]:
 
     def parse_quant_opt():
         t = peek()
-        if t in ("+", "*", "?") or (t and t.startswith("{")):
+        if t in ("+", "*", "?") or (t and t.startswith("{")
+                                     and t != "{-"):
             return _parse_quantifier(take())
         return "1"
 
@@ -156,6 +173,17 @@ def parse_pattern(pattern_sql: str) -> list[tuple]:
         t = take()
         if t is None:
             raise ValueError("PATTERN: unexpected end")
+        if t == "{-":
+            excl_depth[0] += 1
+            items = parse_seq()
+            excl_depth[0] -= 1
+            expect("-}")
+            for node, _q in items:
+                excluded.update(_symbols_of(
+                    node if not isinstance(node, str) else node))
+            if len(items) == 1 and items[0][1] == "1":
+                return items[0][0]
+            return Seq(*items)
         if t.upper() == "PERMUTE" and peek() == "(":
             take()
             # each element is a full pattern primary with an optional
@@ -186,12 +214,14 @@ def parse_pattern(pattern_sql: str) -> list[tuple]:
                 return tuple(nodes)  # row-level alternation fast path
             return Alt(*nodes)
         if re.fullmatch(r"\w+", t):
+            if excl_depth[0] == 0:
+                outside.add(t)
             return t
         raise ValueError(f"PATTERN: unexpected token {t!r}")
 
     def parse_seq():
         items = []
-        while peek() is not None and peek() not in (")", "|"):
+        while peek() is not None and peek() not in (")", "|", "-}"):
             node = parse_primary()
             items.append((node, parse_quant_opt()))
         if not items:
@@ -201,7 +231,13 @@ def parse_pattern(pattern_sql: str) -> list[tuple]:
     out = parse_seq()
     if peek() is not None:
         raise ValueError(f"PATTERN: trailing tokens from {peek()!r}")
-    return out
+    both = excluded & outside
+    if both:
+        raise ValueError(
+            f"PATTERN exclusion: symbols {sorted(both)} appear both "
+            "inside and outside {- -} — unsupported (exclusion is "
+            "positional; keep excluded symbols exclusive)")
+    return out, frozenset(excluded)
 
 
 def _split_top_level(cond: str, kw: str) -> list[str]:
@@ -655,7 +691,7 @@ def try_rewrite_match_recognize(sql: str, spark, tables: dict) -> str:
         ps = ps[1:]
     if anchor_end:
         ps = ps[:-1]
-    pattern = parse_pattern(ps)
+    pattern, excluded_syms = parse_pattern_ex(ps)
 
     defines: dict = {}
     for part in re.split(r",\s*(?=\w+\s+AS\s)", define_sql, flags=re.IGNORECASE):
@@ -751,6 +787,7 @@ def try_rewrite_match_recognize(sql: str, spark, tables: dict) -> str:
                   # RUNNING semantics (prefix-evaluated per row)
                   measure_semantics="running" if all_rows else "final",
                   anchor_start=anchor_start, anchor_end=anchor_end,
+                  exclude_symbols=excluded_syms,
                   within=within)).df
     view = f"__mr_{table_name}"
     result.createOrReplaceTempView(view)

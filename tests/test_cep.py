@@ -1492,3 +1492,50 @@ def test_sql_measure_expressions(spark):
                  Z AS Z.v < 10
         )""")).df
     assert out0.collect()[0]["ratio"] is None
+
+
+def test_sql_pattern_exclusion(spark):
+    """SQL:2016 pattern exclusion {- ... -}: excluded rows still
+    participate in matching and in measures, but vanish from ALL ROWS
+    PER MATCH output; ONE ROW mode is unaffected; a symbol used both
+    inside and outside an exclusion is rejected."""
+    import pytest as _pytest
+
+    from beam_spark.sql import SqlTransform
+
+    rows_in = [{"k": 1, "i": i, "t": t} for i, t in
+               enumerate(["a", "x", "x", "b"])]
+    pc = Pipeline(spark) | Create(rows_in)
+    out = ({"s": pc} | SqlTransform("""
+        SELECT i, t, n_x FROM s MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY i
+          MEASURES FINAL COUNT(X.i) AS n_x
+          ALL ROWS PER MATCH
+          PATTERN (A {- X+ -} B)
+          DEFINE A AS A.t = 'a', X AS X.t = 'x', B AS B.t = 'b'
+        )""")).df
+    got = sorted((r["i"], r["t"], r["n_x"]) for r in out.collect())
+    # rows 1 and 2 (the X run) matched — COUNT sees them — but are
+    # suppressed from the emitted rows
+    assert got == [(0, "a", 2), (3, "b", 2)]
+
+    one = ({"s": pc} | SqlTransform("""
+        SELECT n_x FROM s MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY i
+          MEASURES COUNT(X.i) AS n_x
+          PATTERN (A {- X+ -} B)
+          DEFINE A AS A.t = 'a', X AS X.t = 'x', B AS B.t = 'b'
+        )""")).df
+    assert one.collect()[0]["n_x"] == 2
+
+    with _pytest.raises(ValueError, match="inside and outside"):
+        ({"s": pc} | SqlTransform("""
+            SELECT n FROM s MATCH_RECOGNIZE (
+              PARTITION BY k
+              ORDER BY i
+              MEASURES COUNT(A.i) AS n
+              PATTERN (A {- A -} B)
+              DEFINE A AS A.t = 'a', B AS B.t = 'b'
+            )"""))
