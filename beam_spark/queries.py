@@ -4455,6 +4455,33 @@ def q_gib(spark, sf_dir):
                       F.col("b.batch").alias("batch"))
 
 
+@query("q_group_into_batches_bytes", """
+WITH r AS (SELECT user_id, ts, event_id,
+                  COALESCE(event_type, '') AS v FROM events),
+c AS (SELECT user_id, v, ts, event_id,
+        sum(strlen(v)) OVER w - strlen(v) AS ce
+      FROM r WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT user_id, CAST(ce // 64 AS INT) AS batch_index,
+       list(v ORDER BY ts, event_id) AS batch
+FROM c GROUP BY user_id, CAST(ce // 64 AS INT)
+""")
+def q_gib_bytes(spark, sf_dir):
+    """GroupIntoBatches by BYTE budget (ofByteSize parity, 64-byte
+    cap over event types per user in event order): the
+    exclusive-cumulative floor rule replayed as a DuckDB window —
+    batch ids AND batch contents row-exact."""
+    from beam_spark.streaming.core import GroupIntoBatches
+
+    ev = table(spark, sf_dir, "events").df.selectExpr(
+        "user_id", "ts", "event_id",
+        "COALESCE(event_type, '') AS v")
+    out = (PCollection(ev) | GroupIntoBatches(
+        "user_id", None, "v", max_bytes=64,
+        order_by=["ts", "event_id"])).df
+    return out.select("user_id", "batch_index", "batch")
+
+
 @query("q_partition_split_union", """
 SELECT 0 AS part, event_id FROM events WHERE event_id % 3 = 0
 UNION ALL SELECT 1 AS part, event_id FROM events WHERE event_id % 3 = 1

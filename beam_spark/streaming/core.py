@@ -129,32 +129,70 @@ class Deduplicate(PTransform):
 
 class GroupIntoBatches(PTransform):
     """util.py:1936 / GroupIntoBatches.java: batch values per key with a
-    max count.
+    max count — or a max BYTE budget (GroupIntoBatches.ofByteSize).
 
-    Batch mode: collect per key then slice into chunks JVM-side (one
-    shuffle; per-group memory bounded by the group, as in Beam's batch
-    expansion). Streaming mode: applyInPandasWithState accumulating a
-    list per key, emitting when the count cap is reached (timeout flush
-    on watermark progress).
+    Batch mode: count caps collect per key then slice into chunks
+    JVM-side (one shuffle; per-group memory bounded by the group, as
+    in Beam's batch expansion); byte caps assign each value the batch
+    ``floor(preceding_cumulative_bytes / max_bytes)`` over a
+    deterministic ``order_by`` window — a batch may exceed the budget
+    by its last element, Beam's own ofByteSize contract. Streaming
+    mode: applyInPandasWithState accumulating per key; the byte
+    variant carries the key's cumulative byte count in state so
+    streaming batch boundaries equal the batch-mode rule regardless
+    of micro-batch splits. Byte size = octet_length of the value's
+    string form (document/payload columns; pass binary as base64
+    upstream if exact wire bytes matter).
     """
 
-    def __init__(self, key_cols, batch_size: int, value_col: str, label=None):
+    def __init__(self, key_cols, batch_size: int | None, value_col: str,
+                 max_bytes: int | None = None, order_by=None, label=None):
         super().__init__(label)
         self.key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
         self.batch_size, self.value_col = batch_size, value_col
+        self.max_bytes = None if max_bytes is None else int(max_bytes)
+        self.order_by = ([order_by] if isinstance(order_by, str)
+                         else list(order_by) if order_by else None)
+        if (self.batch_size is None) == (self.max_bytes is None):
+            raise ValueError(
+                "exactly one of batch_size / max_bytes must be set")
 
     def expand(self, pcoll: PCollection) -> PCollection:
         n = self.batch_size
-        if pcoll.is_bounded:
-            grouped = (pcoll.df.groupBy(*self.key_cols)
-                       .agg(F.collect_list(self.value_col).alias("__all")))
-            batches = grouped.select(
-                *self.key_cols,
-                F.explode(F.expr(
-                    f"transform(sequence(0, (size(__all) - 1) div {n}), "
-                    f"i -> slice(__all, i * {n} + 1, {n}))")).alias("batch"))
-            return pcoll.with_df(batches)
-        return self._expand_streaming(pcoll)
+        if not pcoll.is_bounded:
+            return self._expand_streaming(pcoll)
+        if self.max_bytes is not None:
+            from pyspark.sql import Window
+
+            if not self.order_by:
+                raise ValueError(
+                    "max_bytes batching needs order_by for "
+                    "deterministic batch boundaries")
+            keys, vcol, b = self.key_cols, self.value_col, self.max_bytes
+            w = Window.partitionBy(*keys).orderBy(*self.order_by)
+            size = F.octet_length(F.col(vcol).cast("string"))
+            cum_excl = (F.sum(size).over(
+                w.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow)) - size)
+            ocols = ", ".join(self.order_by)
+            out = (pcoll.df
+                   .withColumn("__bid",
+                               F.floor(cum_excl / F.lit(b)).cast("int"))
+                   .groupBy(*keys, "__bid")
+                   .agg(F.expr(
+                       f"transform(sort_array(collect_list("
+                       f"struct({ocols}, {vcol}))), x -> x.{vcol})")
+                       .alias("batch"))
+                   .withColumnRenamed("__bid", "batch_index"))
+            return pcoll.with_df(out)
+        grouped = (pcoll.df.groupBy(*self.key_cols)
+                   .agg(F.collect_list(self.value_col).alias("__all")))
+        batches = grouped.select(
+            *self.key_cols,
+            F.explode(F.expr(
+                f"transform(sequence(0, (size(__all) - 1) div {n}), "
+                f"i -> slice(__all, i * {n} + 1, {n}))")).alias("batch"))
+        return pcoll.with_df(batches)
 
     def _expand_streaming(self, pcoll: PCollection) -> PCollection:
         import pandas as pd
@@ -166,6 +204,8 @@ class GroupIntoBatches(PTransform):
         sample_field = pcoll.df.schema[vcol]
         out_schema = (f"{', '.join(f'{k} {pcoll.df.schema[k].dataType.simpleString()}' for k in keys)}, "
                       f"batch array<{sample_field.dataType.simpleString()}>")
+        if self.max_bytes is not None:
+            return self._expand_streaming_bytes(pcoll, out_schema)
         state_schema = f"buf array<{sample_field.dataType.simpleString()}>"
 
         def fn(key, pdfs: Iterable["pd.DataFrame"], state):
@@ -186,6 +226,52 @@ class GroupIntoBatches(PTransform):
             if out:
                 yield pd.DataFrame(
                     [{**dict(zip(keys, key)), "batch": b} for b in out])
+
+        out = (pcoll.df.groupBy(*keys)
+               .applyInPandasWithState(fn, outputStructType=out_schema,
+                                       stateStructType=state_schema,
+                                       outputMode="append",
+                                       timeoutConf=GroupStateTimeout.NoTimeout))
+        return pcoll.with_df(out)
+
+    def _expand_streaming_bytes(self, pcoll: PCollection,
+                                out_schema: str) -> PCollection:
+        """Byte-budget streaming batching: state carries (buffer,
+        cumulative bytes ever seen for the key), so batch boundaries
+        are the SAME floor(preceding_cum / max_bytes) rule as batch
+        mode — independent of how rows split across micro-batches."""
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        b = self.max_bytes
+        vcol = self.value_col
+        keys = self.key_cols
+        sample_field = pcoll.df.schema[vcol]
+        state_schema = (f"buf array<{sample_field.dataType.simpleString()}>,"
+                        f" cum bigint")
+
+        def fn(key, pdfs: Iterable["pd.DataFrame"], state):
+            if state.exists:
+                buf, cum = list(state.get[0]), int(state.get[1])
+            else:
+                buf, cum = [], 0
+            open_bytes = sum(len(str(v).encode()) for v in buf)
+            bid_open = (cum - open_bytes) // b if buf else None
+            out = []
+            for pdf in pdfs:
+                for v in pdf[vcol]:
+                    bid = cum // b
+                    if buf and bid != bid_open:
+                        out.append(buf)
+                        buf = []
+                    if not buf:
+                        bid_open = bid
+                    buf.append(v)
+                    cum += len(str(v).encode())
+            state.update((buf, cum))
+            if out:
+                yield pd.DataFrame(
+                    [{**dict(zip(keys, key)), "batch": bt} for bt in out])
 
         out = (pcoll.df.groupBy(*keys)
                .applyInPandasWithState(fn, outputStructType=out_schema,

@@ -856,3 +856,37 @@ def test_continuous_aggregate_scheduled_retention(spark, tmp_path):
     with _pytest.raises(ValueError, match="retention_every"):
         ContinuousAggregate(out, "t", {"hour": 3600}, {"n": "count"},
                             retention={"hour": 1}, retention_every=0)
+
+
+def test_group_into_batches_bytes_streaming_equals_batch_rule(spark):
+    """Byte-budget batching on a STREAM: the state-carried cumulative
+    byte count makes batch boundaries equal the batch-mode
+    floor(preceding_cum/B) rule regardless of micro-batch splits —
+    the residual buffer stays in state (same as count mode);
+    validation: exactly one of batch_size/max_bytes."""
+    import pytest as _pytest
+
+    from beam_spark.streaming.core import (GroupIntoBatches, TestStream,
+                                           WriteStreamToMemory)
+    from beam_spark.pcollection import PCollection
+
+    # values sized 6,6,6,6,3 bytes; B=10 -> bids 0,0,1,1,2:
+    # batches [v1,v2], [v3,v4]; v5 (bid 2) stays buffered
+    vals = ["aaaaaa", "bbbbbb", "cccccc", "dddddd", "eee"]
+    ts = TestStream(spark, "t timestamp, k string, v string")
+    # adversarial split: batch boundary mid-batch
+    ts.add_elements([{"t": "2024-01-01 00:00:01", "k": "u", "v": vals[0]}])
+    ts.add_elements([{"t": "2024-01-01 00:00:02", "k": "u", "v": vals[1]},
+                     {"t": "2024-01-01 00:00:03", "k": "u", "v": vals[2]}])
+    ts.add_elements([{"t": "2024-01-01 00:00:04", "k": "u", "v": vals[3]},
+                     {"t": "2024-01-01 00:00:05", "k": "u", "v": vals[4]}])
+    out = (ts.stream()
+           | GroupIntoBatches("k", None, "v", max_bytes=10)
+           | WriteStreamToMemory(output_mode="append"))
+    got = sorted([list(r["batch"]) for r in out.collect()])
+    assert got == [["aaaaaa", "bbbbbb"], ["cccccc", "dddddd"]]
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        GroupIntoBatches("k", 10, "v", max_bytes=10)
+    with _pytest.raises(ValueError, match="exactly one"):
+        GroupIntoBatches("k", None, "v")
