@@ -189,16 +189,21 @@ class ShortestPaths(PTransform):
 
     def __init__(self, sources, src: str = "src", dst: str = "dst",
                  weight: str | None = None, iterations: int = 10,
-                 label=None):
+                 predecessors: bool = False, label=None):
         """``sources``: iterable of node ids (dist 0 each).
         ``weight``: optional edge-weight column; hop count when
-        None."""
+        None. ``predecessors=True`` adds a ``pred`` column (the
+        previous node on a shortest path; a source is its own pred) —
+        ties on distance pick the SMALLEST predecessor via a
+        lexicographic struct min, so path reconstruction is
+        deterministic and engine-replayable."""
         super().__init__(label)
         self.sources = list(sources)
         if not self.sources:
             raise ValueError("need at least one source node")
         self.src, self.dst, self.weight = src, dst, weight
         self.iterations = int(iterations)
+        self.predecessors = bool(predecessors)
         self.rounds_run_ = None
         if self.iterations < 1:
             raise ValueError("iterations must be >= 1")
@@ -213,24 +218,48 @@ class ShortestPaths(PTransform):
                  .localCheckpoint(eager=True))
         spark = pcoll.df.sparkSession
         node_t = edges.schema["src"].dataType.simpleString()
+        preds = self.predecessors
         dist = (spark.createDataFrame(
             [(s,) for s in self.sources], f"node {node_t}")
-            .withColumn("dist", F.lit(0.0))
-            .localCheckpoint(eager=True))
+            .withColumn("dist", F.lit(0.0)))
+        if preds:
+            # a source is its own predecessor (never NULL: engines
+            # disagree on NULL ordering inside struct comparisons)
+            dist = dist.withColumn("pred", F.col("node"))
+        dist = dist.localCheckpoint(eager=True)
         self.rounds_run_ = 0
         for _ in range(self.iterations):
-            relax = (edges.join(dist, edges["src"] == dist["node"])
-                     .select(F.col("dst").alias("node"),
-                             (F.col("dist") + F.col("__w"))
-                             .alias("dist")))
-            new = (dist.unionByName(relax)
-                   .groupBy("node").agg(F.min("dist").alias("dist"))
-                   .localCheckpoint(eager=True))
+            if preds:
+                relax = (edges.join(dist, edges["src"] == dist["node"])
+                         .select(F.col("dst").alias("node"),
+                                 F.struct(
+                                     (F.col("dist") + F.col("__w"))
+                                     .alias("dist"),
+                                     F.col("src").alias("pred"))
+                                 .alias("sp")))
+                base = dist.select(
+                    "node", F.struct("dist", "pred").alias("sp"))
+                new = (base.unionByName(relax)
+                       .groupBy("node").agg(F.min("sp").alias("sp"))
+                       .select("node",
+                               F.col("sp.dist").alias("dist"),
+                               F.col("sp.pred").alias("pred"))
+                       .localCheckpoint(eager=True))
+                diff = (F.col("n.dist") != F.col("p.dist")) | (
+                    F.col("n.pred") != F.col("p.pred"))
+            else:
+                relax = (edges.join(dist, edges["src"] == dist["node"])
+                         .select(F.col("dst").alias("node"),
+                                 (F.col("dist") + F.col("__w"))
+                                 .alias("dist")))
+                new = (dist.unionByName(relax)
+                       .groupBy("node").agg(F.min("dist").alias("dist"))
+                       .localCheckpoint(eager=True))
+                diff = F.col("n.dist") != F.col("p.dist")
             self.rounds_run_ += 1
             changed = (new.alias("n")
                        .join(dist.alias("p"), "node", "left")
-                       .where(F.col("p.dist").isNull()
-                              | (F.col("n.dist") != F.col("p.dist")))
+                       .where(F.col("p.dist").isNull() | diff)
                        .count())
             dist = new
             if changed == 0:

@@ -3011,6 +3011,57 @@ def q_graph_shortest_paths(spark, sf_dir):
     return out.select("node", "dist")
 
 
+def _sssp_pred_oracle_sql(rounds: int = 8) -> str:
+    """Predecessor-carrying Bellman-Ford: the same chained-CTE replay
+    with min over struct_pack(dist, pred) — lexicographic struct min
+    is the identical tie rule in both engines, so dist AND pred are
+    exact."""
+    cte = ["""WITH e0 AS (SELECT o_custkey AS src,
+       l_partkey + 10000000 AS dst,
+       CAST(l_quantity AS DOUBLE) AS w
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (SELECT src, dst, w FROM e0
+          UNION ALL SELECT dst, src, w FROM e0),
+d0 AS (SELECT CAST(1 AS BIGINT) AS node,
+       struct_pack(dist := CAST(0 AS DOUBLE),
+                   pred := CAST(1 AS BIGINT)) AS sp),"""]
+    for i in range(1, rounds + 1):
+        p = f"d{i - 1}"
+        cte.append(f"""d{i} AS (
+  SELECT node, min(sp) AS sp FROM (
+    SELECT node, sp FROM {p}
+    UNION ALL
+    SELECT e.dst AS node,
+           struct_pack(dist := d.sp.dist + e.w, pred := e.src) AS sp
+    FROM {p} d JOIN edges e ON e.src = d.node) GROUP BY node),""")
+    cte[-1] = cte[-1].rstrip(",")
+    return ("\n".join(cte)
+            + f"\nSELECT node, sp.dist AS dist, sp.pred AS pred"
+            f" FROM d{rounds}")
+
+
+@query("q_graph_shortest_paths_pred", _sssp_pred_oracle_sql())
+def q_graph_shortest_paths_pred(spark, sf_dir):
+    """Shortest paths WITH predecessors (path reconstruction): the
+    struct-min tie rule (smallest distance, then smallest previous
+    node) is lexicographic in both engines, so the predecessor tree —
+    not just the distances — matches UNROUNDED."""
+    from beam_spark.operators.graph import ShortestPaths
+
+    li = table(spark, sf_dir, "lineitem").df
+    o = table(spark, sf_dir, "orders").df
+    e0 = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+          .select(F.col("o_custkey").alias("src"),
+                  (F.col("l_partkey") + 10000000).alias("dst"),
+                  F.col("l_quantity").cast("double").alias("w")))
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                  "w"))
+    out = (PCollection(edges) | ShortestPaths(
+        [1], weight="w", iterations=8, predecessors=True)).df
+    return out.select("node", "dist", "pred")
+
+
 @query("q_graph_pagerank", _pagerank_oracle_sql())
 def q_graph_pagerank(spark, sf_dir):
     """Damped PageRank (5 fixed iterations, d=0.85) over the

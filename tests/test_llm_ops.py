@@ -1506,6 +1506,25 @@ def test_shortest_paths_semantics(spark):
                  [0, 3], weight="w", iterations=10)).df.collect()}
     assert multi[3] == 0.0 and multi[4] == 7.0 and multi[1] == 3.0
 
+    # predecessors: the pred chain walks back to the source; ties on
+    # distance pick the smallest predecessor
+    predrun = (PCollection(edges) | ShortestPaths(
+        [0], weight="w", iterations=10, predecessors=True)).df
+    pr = {r["node"]: (r["dist"], r["pred"]) for r in predrun.collect()}
+    assert pr[0] == (0.0, 0)            # source is its own pred
+    assert pr[2] == (1.0, 0)
+    assert pr[1] == (3.0, 2)            # via the cheap 2-hop route
+
+    # tie case: two equal-cost paths to 3 -> smallest pred wins
+    tie = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0)],
+        "src long, dst long, w double")
+    tp = {r["node"]: r["pred"] for r in
+          (PCollection(tie) | ShortestPaths(
+              [0], weight="w", iterations=10, predecessors=True))
+          .df.collect()}
+    assert tp[3] == 1                   # min pred on the 2.0 tie
+
     with _pytest.raises(ValueError, match="source"):
         ShortestPaths([])
     with _pytest.raises(ValueError, match="iterations"):
