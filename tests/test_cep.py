@@ -1539,3 +1539,40 @@ def test_sql_pattern_exclusion(spark):
               PATTERN (A {- A -} B)
               DEFINE A AS A.t = 'a', B AS B.t = 'b'
             )"""))
+
+
+def test_streaming_equals_batch_exclusion_final(spark):
+    """Equivalence script #12: ALL ROWS PER MATCH with a pattern
+    EXCLUSION (X-run suppressed from output) and a FINAL measure (the
+    whole-match count pinned per emitted row) — both must survive the
+    streaming matcher's phantom-frontier rule with the X-run split
+    across micro-batches."""
+    from beam_spark.operators.cep import ALL_ROWS_PER_MATCH, vectorized
+
+    def n_x(m):
+        return sum(1 for s, _ in m if s == "X")
+    n_x.final_semantics = True
+
+    cfg = dict(
+        pattern=[("A", "1"), ("X", "+"), ("B", "1")],
+        defines={"A": vectorized(lambda pdf: pdf["typ"] == "a"),
+                 "X": vectorized(lambda pdf: pdf["typ"] == "x"),
+                 "B": vectorized(lambda pdf: pdf["typ"] == "b")},
+        measures={"n_x": n_x},
+        schema="t timestamp, u long, typ string, v long, n_x long",
+        rows_per_match=ALL_ROWS_PER_MATCH,
+        measure_semantics="running",
+        exclude_symbols={"X"})
+    batches = [
+        [{"t": "2024-01-01 00:00:10", "u": 1, "typ": "a", "v": 1}],
+        [{"t": "2024-01-01 00:00:20", "u": 1, "typ": "x", "v": 2}],
+        [{"t": "2024-01-01 00:00:30", "u": 1, "typ": "x", "v": 3},
+         {"t": "2024-01-01 00:00:40", "u": 1, "typ": "b", "v": 4}],
+        [{"t": "2024-01-01 00:10:00", "u": 1, "typ": "z", "v": 0}],
+        [{"t": "2024-01-01 00:20:00", "u": 1, "typ": "z", "v": 0}],
+    ]
+    s, b = _stream_vs_batch(spark, batches, **cfg)
+    assert s == b
+    # only the a and b rows emitted, both carrying the FINAL count 2
+    typs = sorted((r[2], r[4]) for r in b)
+    assert typs == [("a", 2), ("b", 2)]
