@@ -517,16 +517,20 @@ def q_text_suite(spark, sf_dir):
     norm = _component("q_text_normalize")(spark, sf_dir).select(
         "doc_id", F.length("norm_text").alias("n_chars_norm"))
     ent = _component("q_text_char_entropy")(spark, sf_dir)
+    read = _component("q_text_readability")(spark, sf_dir).select(
+        "doc_id", "n_syllables", "flesch")
     return (a.join(b, on="doc_id").join(c, on="doc_id").join(fp, on="doc_id")
             .join(groups, on="content_md5").join(pii, on="doc_id")
             .join(gopher, on="doc_id").join(ppl, on="doc_id")
             .join(norm, on="doc_id").join(ent, on="doc_id")
+            .join(read, on="doc_id")
             .select("doc_id", "n_tokens_ws", "n_tokens_bpe", "n_chars_calc",
                     "mean_token_len", "n_tokens", "punct_ratio", "alpha_ratio",
                     "stopword_ratio", "lang_pred", "content_md5", "keep_id",
                     "dup_count", "pii_count", "n_words", "alpha_word_frac",
                     "stopword_hits", "gopher_keep", "n_bigrams", "nll",
-                    "n_chars_norm", "entropy", "n_distinct_chars"))
+                    "n_chars_norm", "entropy", "n_distinct_chars",
+                    "n_syllables", "flesch"))
 
 
 _TEXT_SUITE_SQL = f"""
@@ -540,14 +544,16 @@ pii AS ({_component_sql("q_text_pii_redaction")}),
 go AS ({_component_sql("q_text_gopher_filter")}),
 ppl AS ({_component_sql("q_text_bigram_perplexity")}),
 nrm AS ({_component_sql("q_text_normalize")}),
-ent AS ({_component_sql("q_text_char_entropy")})
+ent AS ({_component_sql("q_text_char_entropy")}),
+rd AS ({_component_sql("q_text_readability")})
 SELECT a.doc_id, a.n_tokens_ws, a.n_tokens_bpe, a.n_chars_calc,
        a.mean_token_len, b.n_tokens, b.punct_ratio, b.alpha_ratio,
        b.stopword_ratio, c.lang_pred, fp.content_md5, g.keep_id, g.dup_count,
        pii.pii_count, go.n_words, go.alpha_word_frac, go.stopword_hits,
        go.keep AS gopher_keep, ppl.n_bigrams, ppl.nll,
        CAST(length(nrm.norm_text) AS INT) AS n_chars_norm,
-       ent.entropy, ent.n_distinct_chars
+       ent.entropy, ent.n_distinct_chars,
+       rd.n_syllables, rd.flesch
 FROM a
 JOIN b ON a.doc_id = b.doc_id
 JOIN c ON a.doc_id = c.doc_id
@@ -558,6 +564,7 @@ JOIN go ON a.doc_id = go.doc_id
 JOIN ppl ON a.doc_id = ppl.doc_id
 JOIN nrm ON a.doc_id = nrm.doc_id
 JOIN ent ON a.doc_id = ent.doc_id
+JOIN rd ON a.doc_id = rd.doc_id
 """
 
 
