@@ -610,3 +610,93 @@ class SeasonalDecompose(PTransform):
                .drop("__phase", "__trend", "__detr", "__s_raw",
                      "__s_mean"))
         return pcoll.with_df(out)
+
+
+class HoltWinters(PTransform):
+    """Per-key additive Holt-Winters TRIPLE exponential smoothing
+    (level + trend + seasonal; Winters 1960) in event order:
+
+        l_t = alpha * (x_t - s_{t-m}) + (1-alpha) * (l_{t-1} + b_{t-1})
+        b_t = beta  * (l_t - l_{t-1}) + (1-beta)  * b_{t-1}
+        s_t = gamma * (x_t - l_t)     + (1-gamma) * s_{t-m}
+
+    Deterministic initialization (documented; the first ``period``
+    rows emit NULL and seed the state): l = running mean of the first
+    period's values (accumulated left-to-right), b = 0,
+    s_i = x_i - l for each phase i. Keys with fewer than ``period``
+    rows emit all NULLs. NULL inputs are REJECTED (ValueError) —
+    run GapFill/filters first; a seasonal recurrence cannot carry a
+    hole without corrupting the phase alignment.
+
+    Like Ewma/HoltLinear the recurrence runs in an Arrow-batched
+    ``applyInPandas`` per key; with binary-exact coefficients every
+    arithmetic step is engine-replayable — the q_ts_holt_winters
+    oracle replays it in a DuckDB recursive CTE carrying the seasonal
+    RING BUFFER as a list column, compared UNROUNDED.
+
+    Output: input columns + level, trend, season (all double; NULL
+    for the first period rows).
+    """
+
+    def __init__(self, col: str, alpha: float, beta: float,
+                 gamma: float, period: int, keys, order_by,
+                 label=None):
+        super().__init__(label)
+        if not 0.0 < float(alpha) <= 1.0:
+            raise ValueError(f"alpha {alpha} outside (0, 1]")
+        if not 0.0 <= float(beta) <= 1.0:
+            raise ValueError(f"beta {beta} outside [0, 1]")
+        if not 0.0 <= float(gamma) <= 1.0:
+            raise ValueError(f"gamma {gamma} outside [0, 1]")
+        if int(period) < 2:
+            raise ValueError("period must be >= 2")
+        self.col = col
+        self.alpha, self.beta, self.gamma = (float(alpha), float(beta),
+                                             float(gamma))
+        self.period = int(period)
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        self.order_by = ([order_by] if isinstance(order_by, str)
+                         else list(order_by))
+
+    def expand(self, pcoll):
+        col, m = self.col, self.period
+        a, be, g = self.alpha, self.beta, self.gamma
+        ob = self.order_by
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in pcoll.df.schema.fields) \
+            + ", level double, trend double, season double"
+
+        def fn(pdf):
+            pdf = pdf.sort_values(ob, kind="mergesort")
+            if pdf[col].isna().any():
+                raise ValueError(
+                    "HoltWinters: NULL input values — gap-fill or "
+                    "filter upstream (seasonal phase cannot skip)")
+            x = pdf[col].astype(float).to_list()
+            n = len(x)
+            out_l = [None] * n
+            out_b = [None] * n
+            out_s = [None] * n
+            if n >= m:
+                tot = 0.0
+                for i in range(m):
+                    tot += x[i]
+                lv = tot / m
+                s = [x[i] - lv for i in range(m)]
+                bb = 0.0
+                for t in range(m, n):
+                    j = t % m
+                    l_new = a * (x[t] - s[j]) + (1.0 - a) * (lv + bb)
+                    b_new = be * (l_new - lv) + (1.0 - be) * bb
+                    s_new = g * (x[t] - l_new) + (1.0 - g) * s[j]
+                    s[j] = s_new
+                    lv, bb = l_new, b_new
+                    out_l[t], out_b[t], out_s[t] = lv, bb, s_new
+            pdf["level"] = out_l
+            pdf["trend"] = out_b
+            pdf["season"] = out_s
+            return pdf
+
+        out = pcoll.df.groupBy(*self.keys).applyInPandas(fn, schema)
+        return pcoll.with_df(out)

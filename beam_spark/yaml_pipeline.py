@@ -303,6 +303,7 @@ def _register_curation():
         "Histogram": ("beam_spark.operators.quality", "Histogram"),
         "Ewma": ("beam_spark.operators.stats", "Ewma"),
         "HoltLinear": ("beam_spark.operators.stats", "HoltLinear"),
+        "HoltWinters": ("beam_spark.operators.stats", "HoltWinters"),
         "UrlNormalize": ("beam_spark.operators.text", "UrlNormalize"),
         "MisraGries": ("beam_spark.operators.stats", "MisraGries"),
         "SortedNeighborhoodPairs": ("beam_spark.operators.dedupe",

@@ -305,3 +305,44 @@ def test_seasonal_decompose_recovers_components(spark):
 
     with _pytest.raises(ValueError, match="period"):
         SeasonalDecompose("v", period=1, keys="k", order_by="i")
+
+
+def test_holt_winters_seasonal_recovery(spark):
+    """HoltWinters on a trend+seasonal signal: level tracks the ramp,
+    trend approaches the slope, the seasonal state converges to the
+    planted per-phase offsets; first `period` rows are NULL; keys
+    with < period rows emit all NULLs; NULL inputs rejected;
+    coefficient/period validation."""
+    import pytest as _pytest
+
+    from beam_spark.operators.stats import HoltWinters
+    from beam_spark.pcollection import PCollection
+
+    season = [2.0, -1.0, 0.0, -1.0]
+    rows = [("a", i, 10.0 + 0.5 * i + season[i % 4])
+            for i in range(48)] + [("tiny", 0, 1.0), ("tiny", 1, 2.0)]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    out = {(r["k"], r["i"]): (r["level"], r["trend"], r["season"])
+           for r in (PCollection(df) | HoltWinters(
+               "v", alpha=0.5, beta=0.25, gamma=0.25, period=4,
+               keys="k", order_by="i")).df.collect()}
+    for i in range(4):
+        assert out[("a", i)] == (None, None, None)
+    lvl, tr, se = out[("a", 47)]
+    assert abs(tr - 0.5) < 0.05                  # slope recovered
+    assert abs(lvl - (10.0 + 0.5 * 47)) < 0.6    # level tracks ramp
+    assert abs(se - season[47 % 4]) < 0.4        # seasonal offset
+    assert out[("tiny", 0)] == (None, None, None)
+    assert out[("tiny", 1)] == (None, None, None)
+
+    dfn = spark.createDataFrame([("a", 0, None)] + rows[:6],
+                                "k string, i long, v double")
+    with _pytest.raises(Exception, match="NULL input"):
+        (PCollection(dfn) | HoltWinters(
+            "v", alpha=0.5, beta=0.25, gamma=0.25, period=4,
+            keys="k", order_by="i")).df.collect()
+
+    with _pytest.raises(ValueError, match="gamma"):
+        HoltWinters("v", 0.5, 0.25, 1.5, 4, "k", "i")
+    with _pytest.raises(ValueError, match="period"):
+        HoltWinters("v", 0.5, 0.25, 0.25, 1, "k", "i")
