@@ -29,6 +29,12 @@ from beam_spark.pcollection import PCollection, PTransform
 #: per-python-worker model cache: share_token -> loaded model
 _MODEL_CACHE: dict[str, Any] = {}
 
+#: driver-side last successful glob resolution per pattern — the
+#: fallback when a refresh catches the glob transiently empty (e.g.
+#: mid atomic artifact replace); Beam's WatchFilePattern likewise
+#: keeps serving the previous model rather than failing the pipeline
+_LAST_RESOLVED: dict[str, tuple[str, int]] = {}
+
 
 class ModelHandler:
     """Beam ModelHandler (ml/inference/base.py:171) reduced to the two
@@ -53,6 +59,22 @@ class ModelHandler:
         raise NotImplementedError
 
 
+def _cache_model(share_token: str, cache_key: str, model: Any,
+                 watched: bool) -> None:
+    """Insert a loaded model into the worker cache. For watched
+    handlers (keys are ``share_token@path@mtime``) evict this
+    handler's superseded versions first, so a long-lived streaming
+    worker holds ONE model per share_token, not one per artifact
+    generation (the refresh use case would otherwise leak a model
+    per drop per python worker)."""
+    if watched:
+        prefix = f"{share_token}@"
+        for stale in [k for k in _MODEL_CACHE
+                      if k.startswith(prefix) and k != cache_key]:
+            del _MODEL_CACHE[stale]
+    _MODEL_CACHE[cache_key] = model
+
+
 def _resolve_model_path(spark, pattern: str) -> tuple[str, int]:
     """Newest artifact matching a glob — (path, mtime), ties broken by
     name. Hadoop FileSystem API: file://, hdfs://, s3a:// all work."""
@@ -61,6 +83,10 @@ def _resolve_model_path(spark, pattern: str) -> tuple[str, int]:
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     statuses = fs.globStatus(p)
     if not statuses:
+        # transiently empty (atomic replace in flight): keep serving
+        # the last artifact this driver resolved for the pattern
+        if pattern in _LAST_RESOLVED:
+            return _LAST_RESOLVED[pattern]
         raise FileNotFoundError(
             f"watch_model_pattern matched nothing: {pattern}")
     best = max(statuses,
@@ -71,7 +97,8 @@ def _resolve_model_path(spark, pattern: str) -> tuple[str, int]:
         # plain local path for open()-based loaders; remote schemes
         # keep the full URI (their loaders speak the scheme)
         path_str = best.getPath().toUri().getPath()
-    return path_str, best.getModificationTime()
+    _LAST_RESOLVED[pattern] = (path_str, best.getModificationTime())
+    return _LAST_RESOLVED[pattern]
 
 
 class DeterministicFakeHandler(ModelHandler):
@@ -156,7 +183,8 @@ class RunInference(PTransform):
             if model is None:
                 model = (handler.load_model_from(path) if path
                          else handler.load_model())
-                _MODEL_CACHE[cache_key] = model
+                _cache_model(handler.share_token, cache_key, model,
+                             watched=path is not None)
             for pdf in batches:
                 for start in range(0, len(pdf), bs):
                     chunk = pdf.iloc[start:start + bs].copy()

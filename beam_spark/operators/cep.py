@@ -615,6 +615,12 @@ class MatchRecognize(PTransform):
             i = 0
             si = 0
             n_starts = len(starts)
+            # SQL:2016 MATCH_NUMBER is sequential per MATCH, not per
+            # emitted row: a match whose rows are all excluded via
+            # {- -} still advances it (deriving from out[-1] would
+            # reuse the number — and diverge from the streaming path,
+            # which increments a persisted counter per match).
+            match_counter = 0
             while si < n_starts:
                 pos = starts[si]
                 if pos < i:
@@ -635,8 +641,8 @@ class MatchRecognize(PTransform):
                     meas = {name: fn(match_rows)
                             for name, fn in measures.items()}
                     if all_rows:
-                        match_no = (out[-1]["__match_number"]
-                                    if out else 0) + 1
+                        match_counter += 1
+                        match_no = match_counter
                         for ridx, (sym, r) in enumerate(match_rows):
                             if sym in excluded:
                                 continue

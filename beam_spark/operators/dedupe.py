@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from beam_spark.pcollection import PCollection, PTransform
+from beam_spark.pcollection import PCollection, PTransform, track_cache
 from beam_spark.operators.text import tokens, word_shingles, word_shingles_on
 
 # Deterministic MinHash permutation parameters (public Carter-Wegman
@@ -93,6 +93,7 @@ class NgramJaccardPairs(PTransform):
               .filter(F.size("__w") >= self.n)
               .select(F.col(idc), word_shingles_on("__w", self.n).alias("sh")))
         sh.persist()
+        track_cache(pcoll, sh)
         sh = sh.withColumn("n_sh", F.size("sh"))
         ex = sh.select(idc, "n_sh", F.explode("sh").alias("shingle"))
         a = ex.select(F.col(idc).alias("i"), F.col("n_sh").alias("ni"), "shingle")
@@ -197,13 +198,13 @@ class MinHashLSH(PTransform):
               # free-var inlining trap — see NgramJaccardPairs comment)
               .select(F.col(idc), word_shingles_on("__w", self.n).alias("sh")))
         sh.persist()  # reused for candidate verification below
-        self._persisted.append(sh)
         sig = self._with_signature(sh, idc)
         sig.persist()
-        self._persisted.append(sig)
         bands = _band_keys(sig, idc, self.bands, self.rows)
         bands.persist()  # self-joined below: compute the band expr once
-        self._persisted.append(bands)
+        for f in (sh, sig, bands):
+            self._persisted.append(f)
+            track_cache(pcoll, f)
         cand = (bands.select(F.col(idc).alias("i"), "bk")
                 .join(bands.select(F.col(idc).alias("j"), "bk"), on="bk")
                 .filter(F.col("i") < F.col("j"))
@@ -312,6 +313,7 @@ class SimHashNearDupPairs(PTransform):
         fp = (pcoll | SimHash(self.text_col, self.id_col,
                               hash_fn=self.hash_fn)).df
         fp.persist()
+        track_cache(pcoll, fp)
         self._persisted = (self._persisted or []) + [fp]
         n_chunks = self.max_distance + 1
         width = 64 // n_chunks
@@ -911,6 +913,8 @@ class DedupAgainstCorpus(PTransform):
             sh_c, bands_c = self._prep(self.corpus, mh, idc)
         bands_b.persist()
         self._persisted.append(bands_b)
+        for f in self._persisted:
+            track_cache(pcoll, f)  # pipeline-scoped release path
 
         def verify(cand, sh_ref):
             left = sh_b.select(F.col(idc).alias("b"), F.col("sh").alias("sh_b"))
@@ -1262,6 +1266,7 @@ class JaccardPrefixJoin(PTransform):
         # 3x — measured 5x end-to-end slowdown at sf0.1
         sh.persist()
         self._persisted.append(sh)
+        track_cache(pcoll, sh)
         plen = (F.col("s")
                 - F.floor(F.lit(t) * F.col("s")).cast("int") + 1)
         if self.order == "lex":

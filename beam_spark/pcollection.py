@@ -41,6 +41,23 @@ class Pipeline:
 
             spark = get_spark()
         self.spark = spark
+        #: frames persisted by transforms applied under this pipeline
+        #: (MinHashLSH/JaccardPrefixJoin/... caches) — released in one
+        #: shot by release_caches() / context-manager exit, so callers
+        #: need not track each transform's release() individually
+        self._persisted: list = []
+
+    def register_cache(self, frame) -> None:
+        """Track a persisted DataFrame for pipeline-scoped release."""
+        self._persisted.append(frame)
+
+    def release_caches(self) -> None:
+        """Unpersist every frame transforms cached under this pipeline.
+        Call once results are materialized (unpersist is a no-op on
+        already-released frames, so double-release is safe)."""
+        for f in self._persisted:
+            f.unpersist()
+        self._persisted = []
 
     def __or__(self, transform: "PTransform") -> "PCollection":
         return transform.expand(PBegin(self))
@@ -53,6 +70,7 @@ class Pipeline:
         return self
 
     def __exit__(self, *exc) -> None:
+        self.release_caches()
         return None
 
 
@@ -193,3 +211,11 @@ def as_pcollection(obj: PCollection | DataFrame, pipeline: Pipeline | None = Non
     if isinstance(obj, PCollection):
         return obj
     return PCollection(obj, pipeline=pipeline)
+
+
+def track_cache(pcoll: PCollection, frame) -> None:
+    """Register a frame a transform just persisted with the owning
+    pipeline's cache registry (no-op for pipeline-less PCollections) —
+    the pipeline-scoped complement to each transform's release()."""
+    if pcoll.pipeline is not None:
+        pcoll.pipeline.register_cache(frame)

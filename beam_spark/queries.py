@@ -2665,11 +2665,14 @@ FROM g GROUP BY doc_id
 """)
 def q_char_entropy(spark, sf_dir):
     """Per-document character Shannon entropy (bits) + distinct-char
-    count: the Spark side is a zero-shuffle JVM expression chain
-    (array_distinct + filter-count per char); the oracle recomputes
-    via unnest + GROUP BY. Both round to 6 dp — the summation orders
-    differ (array order vs hash-group order), the repo-wide
-    float-score pattern."""
+    count: the Spark side is a zero-shuffle JVM expression chain — a
+    single-pass run-length fold over the SORTED char array (one
+    aggregate accumulating sum(k*log2 k) over equal-char runs, then
+    the identity H = log2(n) - sum(k*log2 k)/n; no per-char rescans —
+    the O(n^2) lambda free-variable trap, SCALE.md round 8); the
+    oracle recomputes via unnest + GROUP BY. Both round to 6 dp — the
+    summation orders differ (run order vs hash-group order), the
+    repo-wide float-score pattern."""
     from beam_spark.operators.text import char_entropy
 
     d = table(spark, sf_dir, "documents").df

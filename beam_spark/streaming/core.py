@@ -141,8 +141,9 @@ class GroupIntoBatches(PTransform):
     variant carries the key's cumulative byte count in state so
     streaming batch boundaries equal the batch-mode rule regardless
     of micro-batch splits. Byte size = octet_length of the value's
-    string form (document/payload columns; pass binary as base64
-    upstream if exact wire bytes matter).
+    string form, NULL = 0 bytes and stays in sequence (document/
+    payload columns; pass binary as base64 upstream if exact wire
+    bytes matter). Both modes emit ``batch_index``.
     """
 
     def __init__(self, key_cols, batch_size: int | None, value_col: str,
@@ -170,7 +171,14 @@ class GroupIntoBatches(PTransform):
                     "deterministic batch boundaries")
             keys, vcol, b = self.key_cols, self.value_col, self.max_bytes
             w = Window.partitionBy(*keys).orderBy(*self.order_by)
-            size = F.octet_length(F.col(vcol).cast("string"))
+            # NULL rule (both modes): a NULL value contributes 0 bytes
+            # and stays in sequence — without the coalesce, NULL's
+            # octet_length is NULL, poisoning the cumsum and collapsing
+            # all NULL rows into a separate NULL-bid group (while the
+            # streaming path counted len("None")=4); normalized so
+            # batch and streaming boundaries agree on NULL-bearing data
+            size = F.octet_length(F.coalesce(
+                F.col(vcol).cast("string"), F.lit("")))
             cum_excl = (F.sum(size).over(
                 w.rowsBetween(Window.unboundedPreceding,
                               Window.currentRow)) - size)
@@ -202,10 +210,17 @@ class GroupIntoBatches(PTransform):
         vcol = self.value_col
         keys = self.key_cols
         sample_field = pcoll.df.schema[vcol]
-        out_schema = (f"{', '.join(f'{k} {pcoll.df.schema[k].dataType.simpleString()}' for k in keys)}, "
+        key_ddl = ", ".join(
+            f"{k} {pcoll.df.schema[k].dataType.simpleString()}"
+            for k in keys)
+        out_schema = (f"{key_ddl}, "
                       f"batch array<{sample_field.dataType.simpleString()}>")
         if self.max_bytes is not None:
-            return self._expand_streaming_bytes(pcoll, out_schema)
+            # byte mode emits batch_index (same columns as batch mode)
+            return self._expand_streaming_bytes(
+                pcoll,
+                f"{key_ddl}, batch_index int, "
+                f"batch array<{sample_field.dataType.simpleString()}>")
         state_schema = f"buf array<{sample_field.dataType.simpleString()}>"
 
         def fn(key, pdfs: Iterable["pd.DataFrame"], state):
@@ -250,28 +265,34 @@ class GroupIntoBatches(PTransform):
         state_schema = (f"buf array<{sample_field.dataType.simpleString()}>,"
                         f" cum bigint")
 
+        def vbytes(v):
+            # NULL = 0 bytes (same rule as batch mode's
+            # octet_length(coalesce(cast(v as string), '')))
+            return 0 if v is None or v != v else len(str(v).encode())
+
         def fn(key, pdfs: Iterable["pd.DataFrame"], state):
             if state.exists:
                 buf, cum = list(state.get[0]), int(state.get[1])
             else:
                 buf, cum = [], 0
-            open_bytes = sum(len(str(v).encode()) for v in buf)
+            open_bytes = sum(vbytes(v) for v in buf)
             bid_open = (cum - open_bytes) // b if buf else None
             out = []
             for pdf in pdfs:
                 for v in pdf[vcol]:
                     bid = cum // b
                     if buf and bid != bid_open:
-                        out.append(buf)
+                        out.append((bid_open, buf))
                         buf = []
                     if not buf:
                         bid_open = bid
                     buf.append(v)
-                    cum += len(str(v).encode())
+                    cum += vbytes(v)
             state.update((buf, cum))
             if out:
                 yield pd.DataFrame(
-                    [{**dict(zip(keys, key)), "batch": bt} for bt in out])
+                    [{**dict(zip(keys, key)), "batch_index": bi,
+                      "batch": bt} for bi, bt in out])
 
         out = (pcoll.df.groupBy(*keys)
                .applyInPandasWithState(fn, outputStructType=out_schema,

@@ -1576,3 +1576,35 @@ def test_streaming_equals_batch_exclusion_final(spark):
     # only the a and b rows emitted, both carrying the FINAL count 2
     typs = sorted((r[2], r[4]) for r in b)
     assert typs == [("a", 2), ("b", 2)]
+
+
+def test_streaming_equals_batch_fully_excluded_match(spark):
+    """Equivalence script #13: a match whose EVERY row is excluded via
+    {- -} emits nothing but still advances MATCH_NUMBER (SQL:2016
+    numbers matches, not emitted rows). Pattern ({- A -} B?) on
+    a,a,b: match #1 is [A@0] (B? empty — next row fails B) with zero
+    output rows; match #2 is [A@1 B@2] and its b row must carry
+    __match_number 2 in BOTH engines."""
+    from beam_spark.operators.cep import ALL_ROWS_PER_MATCH, vectorized
+
+    cfg = dict(
+        pattern=[("A", "1"), ("B", "?")],
+        defines={"A": vectorized(lambda pdf: pdf["typ"] == "a"),
+                 "B": vectorized(lambda pdf: pdf["typ"] == "b")},
+        measures={"n_rows": lambda m: len(m)},
+        schema="t timestamp, u long, typ string, v long, n_rows long",
+        rows_per_match=ALL_ROWS_PER_MATCH,
+        exclude_symbols={"A"})
+    batches = [
+        [{"t": "2024-01-01 00:00:10", "u": 1, "typ": "a", "v": 1}],
+        [{"t": "2024-01-01 00:00:20", "u": 1, "typ": "a", "v": 2},
+         {"t": "2024-01-01 00:00:30", "u": 1, "typ": "b", "v": 3}],
+        [{"t": "2024-01-01 00:10:00", "u": 1, "typ": "z", "v": 0}],
+        [{"t": "2024-01-01 00:20:00", "u": 1, "typ": "z", "v": 0}],
+    ]
+    s, b = _stream_vs_batch(spark, batches, **cfg)
+    assert s == b
+    # one emitted row: the b of match #2, numbered 2 (not 1)
+    assert len(b) == 1
+    (row,) = b
+    assert row[2] == "b" and row[-1] == 2

@@ -1474,6 +1474,39 @@ def test_jaccard_prefix_join_equals_quadratic(spark):
         JaccardPrefixJoin(order="rarest")
 
 
+def test_pipeline_scoped_cache_release(spark):
+    """Persisting transforms (JaccardPrefixJoin, MinHashLSH, ...)
+    register their caches with the owning Pipeline: release_caches()
+    (or exiting the `with Pipeline()` block) unpersists everything in
+    one shot — repeated use in yaml pipelines / sweeps no longer
+    accumulates executor storage without each caller knowing to call
+    the per-transform release()."""
+    from beam_spark.operators.dedupe import JaccardPrefixJoin, MinHashLSH
+    from beam_spark.pcollection import PCollection, Pipeline
+
+    df = spark.createDataFrame(
+        [(0, "alpha bravo charlie delta echo"),
+         (1, "alpha bravo charlie delta foxtrot")],
+        "doc_id long, text string")
+    with Pipeline(spark) as p:
+        pc = PCollection(df, pipeline=p)
+        (pc | JaccardPrefixJoin(threshold=0.5)).df.collect()
+        (pc | MinHashLSH(threshold=0.5)).df.collect()
+        cached = list(p._persisted)
+        assert cached  # both transforms registered their frames
+        assert any(f.storageLevel.useMemory for f in cached)
+    # context exit released every registered cache
+    assert not p._persisted
+    assert all(not f.storageLevel.useMemory for f in cached)
+
+    # pipeline-less PCollections keep the explicit release() contract
+    op = JaccardPrefixJoin(threshold=0.5)
+    (PCollection(df) | op).df.collect()
+    assert op._persisted and op._persisted[0].storageLevel.useMemory
+    op.release()
+    assert not op._persisted
+
+
 def test_shortest_paths_semantics(spark):
     """ShortestPaths: hop-count mode (no weight), weighted mode picks
     the cheaper 2-hop route over the expensive direct edge,

@@ -327,6 +327,31 @@ def test_run_inference_watch_model_pattern_refresh(spark, tmp_path):
     (mdir / "m_v2.json").write_text(json.dumps({"w": 5.0}))
     assert score() == {1: 50.0, 2: 100.0}         # refreshed to v2
 
+    # transiently-empty glob during a refresh keeps resolving to the
+    # last seen artifact (Beam WatchFilePattern behavior) instead of
+    # killing the pipeline with FileNotFoundError; a NEVER-resolved
+    # pattern still fails fast (no stale state to serve)
+    import beam_spark.ml.inference as inf_mod
+    last = inf_mod._resolve_model_path(spark, pattern)
+    assert last[0].endswith("m_v2.json")
+    kept = {p.name: p.read_text() for p in mdir.glob("m_*.json")}
+    for p in mdir.glob("m_*.json"):
+        p.unlink()
+    assert inf_mod._resolve_model_path(spark, pattern) == last
+    for name, text in kept.items():
+        (mdir / name).write_text(text)
+
+    # worker cache eviction: a watched refresh evicts the handler's
+    # superseded versions; unwatched tokens and other tokens survive
+    inf_mod._cache_model("tok", "tok@a@1", "m1", watched=True)
+    inf_mod._cache_model("other", "other", "mo", watched=False)
+    inf_mod._cache_model("tok", "tok@a@2", "m2", watched=True)
+    assert "tok@a@1" not in inf_mod._MODEL_CACHE
+    assert inf_mod._MODEL_CACHE["tok@a@2"] == "m2"
+    assert inf_mod._MODEL_CACHE["other"] == "mo"
+    for k in ("tok@a@2", "other"):
+        del inf_mod._MODEL_CACHE[k]
+
     with _pytest.raises(Exception, match="matched nothing"):
         (PCollection(df) | RunInference(
             FileWeightHandler(), "x",

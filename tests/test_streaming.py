@@ -870,21 +870,38 @@ def test_group_into_batches_bytes_streaming_equals_batch_rule(spark):
                                            WriteStreamToMemory)
     from beam_spark.pcollection import PCollection
 
-    # values sized 6,6,6,6,3 bytes; B=10 -> bids 0,0,1,1,2:
-    # batches [v1,v2], [v3,v4]; v5 (bid 2) stays buffered
-    vals = ["aaaaaa", "bbbbbb", "cccccc", "dddddd", "eee"]
+    # values sized 6,6,0(NULL),6,6,3 bytes; B=10 -> bids 0,0,1,1,1,2:
+    # batches [v1,v2], [NULL,v3,v4]; v5 (bid 2) stays buffered.
+    # NULL rule on both sides: 0 bytes, stays in sequence.
+    vals = ["aaaaaa", "bbbbbb", None, "cccccc", "dddddd", "eee"]
     ts = TestStream(spark, "t timestamp, k string, v string")
     # adversarial split: batch boundary mid-batch
     ts.add_elements([{"t": "2024-01-01 00:00:01", "k": "u", "v": vals[0]}])
     ts.add_elements([{"t": "2024-01-01 00:00:02", "k": "u", "v": vals[1]},
-                     {"t": "2024-01-01 00:00:03", "k": "u", "v": vals[2]}])
-    ts.add_elements([{"t": "2024-01-01 00:00:04", "k": "u", "v": vals[3]},
-                     {"t": "2024-01-01 00:00:05", "k": "u", "v": vals[4]}])
+                     {"t": "2024-01-01 00:00:03", "k": "u", "v": vals[2]},
+                     {"t": "2024-01-01 00:00:04", "k": "u", "v": vals[3]}])
+    ts.add_elements([{"t": "2024-01-01 00:00:05", "k": "u", "v": vals[4]},
+                     {"t": "2024-01-01 00:00:06", "k": "u", "v": vals[5]}])
     out = (ts.stream()
            | GroupIntoBatches("k", None, "v", max_bytes=10)
            | WriteStreamToMemory(output_mode="append"))
-    got = sorted([list(r["batch"]) for r in out.collect()])
-    assert got == [["aaaaaa", "bbbbbb"], ["cccccc", "dddddd"]]
+    s_rows = sorted((r["batch_index"], list(r["batch"]))
+                    for r in out.collect())
+    assert s_rows == [(0, ["aaaaaa", "bbbbbb"]),
+                      (1, [None, "cccccc", "dddddd"])]
+
+    # batch-mode parity on the same rows: identical batch_index AND
+    # contents for every batch the stream has released (the stream's
+    # residual bid-2 buffer is the only difference)
+    bdf = spark.createDataFrame(
+        [(f"2024-01-01 00:00:0{i+1}", "u", v) for i, v in enumerate(vals)],
+        "t string, k string, v string").selectExpr(
+        "CAST(t AS TIMESTAMP) AS t", "k", "v")
+    b_out = (PCollection(bdf) | GroupIntoBatches(
+        "k", None, "v", max_bytes=10, order_by=["t"])).df
+    b_rows = sorted((r["batch_index"], list(r["batch"]))
+                    for r in b_out.collect())
+    assert b_rows == s_rows + [(2, ["eee"])]
 
     with _pytest.raises(ValueError, match="exactly one"):
         GroupIntoBatches("k", 10, "v", max_bytes=10)
