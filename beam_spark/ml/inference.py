@@ -29,11 +29,20 @@ from beam_spark.pcollection import PCollection, PTransform
 #: per-python-worker model cache: share_token -> loaded model
 _MODEL_CACHE: dict[str, Any] = {}
 
-#: driver-side last successful glob resolution per pattern — the
-#: fallback when a refresh catches the glob transiently empty (e.g.
-#: mid atomic artifact replace); Beam's WatchFilePattern likewise
-#: keeps serving the previous model rather than failing the pipeline
-_LAST_RESOLVED: dict[str, tuple[str, int]] = {}
+#: driver-side last successful glob resolution, keyed by
+#: (applicationId, pattern) so a resolution from one session/filesystem
+#: never leaks into another — the fallback when a refresh catches the
+#: glob transiently empty (e.g. mid atomic artifact replace); Beam's
+#: WatchFilePattern likewise keeps serving the previous model rather
+#: than failing the pipeline. Value: (path, mtime, consecutive_misses).
+_LAST_RESOLVED: dict[tuple[str, str], tuple[str, int, int]] = {}
+
+#: a transient replace clears within a refresh or two; after this many
+#: CONSECUTIVE empty resolutions the artifact is treated as genuinely
+#: deleted — the stale entry is dropped and resolution fails fast
+#: ("matched nothing") instead of silently serving a decommissioned
+#: model forever
+_MAX_EMPTY_RESOLUTIONS = 3
 
 
 class ModelHandler:
@@ -59,18 +68,20 @@ class ModelHandler:
         raise NotImplementedError
 
 
-def _cache_model(share_token: str, cache_key: str, model: Any,
+def _cache_model(evict_prefix: str, cache_key: str, model: Any,
                  watched: bool) -> None:
     """Insert a loaded model into the worker cache. For watched
-    handlers (keys are ``share_token@path@mtime``) evict this
-    handler's superseded versions first, so a long-lived streaming
-    worker holds ONE model per share_token, not one per artifact
-    generation (the refresh use case would otherwise leak a model
-    per drop per python worker)."""
+    handlers (keys are ``share_token@pattern@path@mtime``) evict this
+    handler's superseded versions of the SAME artifact lineage first
+    (prefix ``share_token@pattern@``), so a long-lived streaming
+    worker holds ONE model per watched lineage, not one per artifact
+    generation. Scoping eviction to the pattern — not the bare
+    share_token — lets two RunInference stages share a token while
+    watching different patterns without evicting (thrashing) each
+    other's model every expansion."""
     if watched:
-        prefix = f"{share_token}@"
         for stale in [k for k in _MODEL_CACHE
-                      if k.startswith(prefix) and k != cache_key]:
+                      if k.startswith(evict_prefix) and k != cache_key]:
             del _MODEL_CACHE[stale]
     _MODEL_CACHE[cache_key] = model
 
@@ -82,11 +93,18 @@ def _resolve_model_path(spark, pattern: str) -> tuple[str, int]:
     p = jvm.org.apache.hadoop.fs.Path(pattern)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     statuses = fs.globStatus(p)
+    key = (spark.sparkContext.applicationId, pattern)
     if not statuses:
         # transiently empty (atomic replace in flight): keep serving
-        # the last artifact this driver resolved for the pattern
-        if pattern in _LAST_RESOLVED:
-            return _LAST_RESOLVED[pattern]
+        # the last artifact this session resolved for the pattern —
+        # but only for a bounded number of consecutive misses, after
+        # which the artifact is considered deleted for real
+        if key in _LAST_RESOLVED:
+            path, mtime, misses = _LAST_RESOLVED[key]
+            if misses + 1 < _MAX_EMPTY_RESOLUTIONS:
+                _LAST_RESOLVED[key] = (path, mtime, misses + 1)
+                return path, mtime
+            del _LAST_RESOLVED[key]
         raise FileNotFoundError(
             f"watch_model_pattern matched nothing: {pattern}")
     best = max(statuses,
@@ -97,8 +115,8 @@ def _resolve_model_path(spark, pattern: str) -> tuple[str, int]:
         # plain local path for open()-based loaders; remote schemes
         # keep the full URI (their loaders speak the scheme)
         path_str = best.getPath().toUri().getPath()
-    _LAST_RESOLVED[pattern] = (path_str, best.getModificationTime())
-    return _LAST_RESOLVED[pattern]
+    _LAST_RESOLVED[key] = (path_str, best.getModificationTime(), 0)
+    return path_str, best.getModificationTime()
 
 
 class DeterministicFakeHandler(ModelHandler):
@@ -174,16 +192,19 @@ class RunInference(PTransform):
         if self.watch_model_pattern:
             path, mtime = _resolve_model_path(
                 pcoll.df.sparkSession, self.watch_model_pattern)
-            cache_key = f"{handler.share_token}@{path}@{mtime}"
+            evict_prefix = (f"{handler.share_token}@"
+                            f"{self.watch_model_pattern}@")
+            cache_key = f"{evict_prefix}{path}@{mtime}"
         else:
             path, cache_key = None, handler.share_token
+            evict_prefix = cache_key
 
         def gen(batches: Iterator["pd.DataFrame"]):
             model = _MODEL_CACHE.get(cache_key)
             if model is None:
                 model = (handler.load_model_from(path) if path
                          else handler.load_model())
-                _cache_model(handler.share_token, cache_key, model,
+                _cache_model(evict_prefix, cache_key, model,
                              watched=path is not None)
             for pdf in batches:
                 for start in range(0, len(pdf), bs):

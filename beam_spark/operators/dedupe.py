@@ -970,11 +970,19 @@ class EditDistanceJoin(PTransform):
     gram-keyed self-join + per-pair bag-intersection count prunes
     everything below the bound BEFORE any distance evaluation; exact
     ``levenshtein() <= k`` verifies survivors (JVM builtin, no
-    Python). Strings too short for the bound to prune
-    (max(len) <= q*k + q - 1 — they may share zero grams with a
-    true match) route through a tiny length-windowed cross pass; the
-    two paths partition the pair space by max length, so nothing is
-    missed or duplicated.
+    Python). Strings too short for the q-gram bound to prune
+    (max(len) <= q*k + q - 1 — they may share zero q-grams with a
+    true match) route through a q=1 count-filter band instead: the
+    CHARACTER bags of strings at distance <= k share at least
+    ``max(|a|,|b|) - k`` entries (each edit disturbs at most one bag
+    entry), a bound valid at ANY length, so the short band is a
+    character-keyed join, never a cross. Only pairs with BOTH
+    lengths <= k are unfilterable in principle — lev(a,b) <=
+    max(|a|,|b|) <= k means every such pair is a match and the
+    OUTPUT itself is quadratic in their count; that residual band is
+    a guarded cross (``short_cross_max``, fail-fast with an
+    actionable error). The three bands partition the pair space by
+    max length, so nothing is missed or duplicated.
 
     Positional PREFIX filter (ED-Join, Xiao et al. 2008 — the
     default): order every gram occurrence globally by (document
@@ -991,16 +999,21 @@ class EditDistanceJoin(PTransform):
     Scale: prefix mode joins ~q*k+1 rows per string keyed on its
     rarest grams (skew-proof by construction; the df ranking costs
     one gram-keyed aggregation); the fallback joins every gram with
-    posting-list fan-in as the documented skew unit; the
-    short-string pass is bounded by the count of strings shorter
-    than ~q(k+1) characters.
+    posting-list fan-in as the documented skew unit; the short band
+    joins <= thresh 1-gram rows per string (character-keyed fan-in);
+    the tiny both-lengths<=k band is a cross whose size is checked
+    up front against ``short_cross_max`` — on a real corpus (names,
+    codes) that set can be millions of rows and the quadratic
+    OUTPUT, not the plan, is the problem, so the operator refuses
+    with instructions rather than silently exploding.
     """
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
                  k: int = 1, q: int = 2, queries=None,
                  query_text_col: str | None = None,
                  query_id_col: str | None = None,
-                 prefix_filter: bool = True, label=None):
+                 prefix_filter: bool = True,
+                 short_cross_max: int = 10_000_000, label=None):
         """``queries``: optional second frame — output pairs are then
         (i from queries, j from corpus, dist), the lookup flavor
         (match incoming names against a reference list) instead of the
@@ -1016,6 +1029,7 @@ class EditDistanceJoin(PTransform):
         self.query_text_col = query_text_col or text_col
         self.query_id_col = query_id_col or id_col
         self.prefix_filter = bool(prefix_filter)
+        self.short_cross_max = int(short_cross_max)
 
     def expand(self, pcoll: PCollection) -> PCollection:
         k, q = self.k, self.q
@@ -1109,22 +1123,68 @@ class EditDistanceJoin(PTransform):
                           .withColumn("dist", F.levenshtein("sa", "sb"))
                           .where(F.col("dist") <= k))
 
-        # ---- short path: both strings <= thresh chars (tiny set) ----
-        sa = (sq.where(F.col("len") <= thresh)
-              .select(F.col("id").alias("i"), F.col("s").alias("sa"),
-                      F.col("len").alias("la")))
-        sb = (s.where(F.col("len") <= thresh)
-              .select(F.col("id").alias("j"), F.col("s").alias("sb"),
-                      F.col("len").alias("lb")))
-        short_pairs = (sa.crossJoin(sb)
+        # ---- short band: k < max(len) <= thresh ----
+        # The q-gram bound is vacuous at these lengths, but the q=1
+        # count filter holds at ANY length: ed(a,b) <= k implies the
+        # CHARACTER bags share >= max(|a|,|b|) - k entries (each edit
+        # disturbs at most one bag entry), and that bound is >= 1
+        # whenever max(len) > k — so this band is a character-keyed
+        # join, never a cross.
+        def onegramify(frame):
+            return (frame
+                    .where((F.col("len") <= thresh) & (F.col("len") >= 1))
+                    .select("id", "len", "s", F.explode(F.expr(
+                        "transform(sequence(1, length(s)),"
+                        " p -> substring(s, p, 1))")).alias("g"))
+                    .groupBy("id", "len", "s", "g")
+                    .agg(F.count(F.lit(1)).alias("c")))
+
+        oa = onegramify(sq).select(
+            F.col("id").alias("i"), F.col("len").alias("la"),
+            F.col("s").alias("sa"), "g", F.col("c").alias("ca"))
+        ob = onegramify(s).select(
+            F.col("id").alias("j"), F.col("len").alias("lb"),
+            F.col("s").alias("sb"), "g", F.col("c").alias("cb"))
+        short_pairs = (oa.join(ob, on="g")
                        .where(pair_pred
-                              & (F.abs(F.col("la") - F.col("lb")) <= k))
+                              & (F.abs(F.col("la") - F.col("lb")) <= k)
+                              & (F.greatest("la", "lb") > k))
+                       .groupBy("i", "j", "la", "lb", "sa", "sb")
+                       .agg(F.sum(F.least("ca", "cb")).alias("__common"))
+                       .where(F.col("__common")
+                              >= F.greatest("la", "lb") - k)
                        .withColumn("dist", F.levenshtein("sa", "sb"))
                        .where(F.col("dist") <= k))
+
+        # ---- residual band: BOTH lengths <= k ----
+        # lev(a, b) <= max(|a|, |b|) <= k: every pair is a match, so
+        # the output itself is quadratic in this set's size — no
+        # filter can help. Guarded cross with a fail-fast count.
+        ta = (sq.where(F.col("len") <= k)
+              .select(F.col("id").alias("i"), F.col("s").alias("sa")))
+        tb = (s.where(F.col("len") <= k)
+              .select(F.col("id").alias("j"), F.col("s").alias("sb")))
+        nb = tb.count()
+        na = ta.count() if two_frame else nb
+        n_pairs = na * nb if two_frame else nb * (nb - 1) // 2
+        if n_pairs > self.short_cross_max:
+            raise ValueError(
+                f"EditDistanceJoin: {nb if not two_frame else (na, nb)}"
+                f" strings have length <= k={k}; every such pair is "
+                f"within distance k (lev <= max(len)), so the output "
+                f"alone is {n_pairs:,} pairs (> short_cross_max="
+                f"{self.short_cross_max:,}). Filter length <= {k} "
+                f"strings upstream, dedup identical values first, or "
+                f"raise short_cross_max deliberately.")
+        tiny_pairs = (ta.crossJoin(tb)
+                      .where(pair_pred)
+                      .withColumn("dist", F.levenshtein("sa", "sb")))
 
         out = (long_pairs.select("i", "j", F.col("dist").cast("int")
                                  .alias("dist"))
                .unionByName(short_pairs.select(
+                   "i", "j", F.col("dist").cast("int").alias("dist")))
+               .unionByName(tiny_pairs.select(
                    "i", "j", F.col("dist").cast("int").alias("dist"))))
         return pcoll.with_df(out)
 

@@ -29,6 +29,29 @@ from pyspark.sql import functions as F
 from beam_spark.pcollection import PCollection, PTransform
 
 
+#: default ceiling on how many query vectors the TopK operators will
+#: collect to the driver (the query matrix rides in every task closure)
+QUERY_MAX_ROWS = 1_000_000
+
+
+def _collect_queries(df: DataFrame, cols: list[str], max_rows: int,
+                     op_name: str) -> list:
+    """Driver-side query materialization with a fail-fast cap: the
+    TopK operators are designed for a BOUNDED query set scored against
+    an unbounded corpus; pointing a corpus-sized frame at ``queries=``
+    should be an actionable error, not a driver OOM. Same posture as
+    EmbeddingNearDupPairs' brute_max_rows guard."""
+    rows = df.select(*cols).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"{op_name}: the query set exceeds query_max_rows="
+            f"{max_rows:,} vectors (it is collected to the driver and "
+            "shipped in task closures). Score fewer queries per call, "
+            "raise query_max_rows deliberately, or keep both sides "
+            "distributed with LshCosineTopK / IvfCosineTopK.")
+    return rows
+
+
 def dot(a: Column, b: Column) -> Column:
     """Deterministic dot product of two array columns (double result)."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -76,12 +99,13 @@ class BruteForceCosineTopK(PTransform):
     def __init__(self, queries: DataFrame | PCollection, k: int = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  query_id_col: str | None = None, exclude_self: bool = True,
-                 label=None):
+                 query_max_rows: int | None = None, label=None):
         super().__init__(label)
         self.queries = queries.df if isinstance(queries, PCollection) else queries
         self.k, self.id_col, self.vec_col = k, id_col, vec_col
         self.query_id_col = query_id_col or id_col
         self.exclude_self = exclude_self
+        self.query_max_rows = query_max_rows or QUERY_MAX_ROWS
 
     def expand(self, pcoll: PCollection) -> PCollection:
         import numpy as np
@@ -90,8 +114,9 @@ class BruteForceCosineTopK(PTransform):
 
         k, idc, vc = self.k, self.id_col, self.vec_col
         exclude_self = self.exclude_self
-        qrows = (self.queries
-                 .select(F.col(self.query_id_col), F.col(vc)).collect())
+        qrows = _collect_queries(
+            self.queries, [self.query_id_col, vc],
+            self.query_max_rows, "BruteForceCosineTopK")
         q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
         q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
         q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -582,10 +607,12 @@ class PqCosineTopK(PTransform):
                  m: int = 8, ks: int = 16, rerank_factor: int = 4,
                  fit_sample: int = 2048, lloyd_iters: int = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 exclude_self: bool = True, label=None):
+                 exclude_self: bool = True,
+                 query_max_rows: int | None = None, label=None):
         super().__init__(label)
         self.queries = (queries.df if isinstance(queries, PCollection)
                         else queries)
+        self.query_max_rows = query_max_rows or QUERY_MAX_ROWS
         self.k, self.m, self.ks = k, int(m), int(ks)
         self.rerank_factor = int(rerank_factor)
         self.fit_sample, self.lloyd_iters = fit_sample, lloyd_iters
@@ -649,7 +676,8 @@ class PqCosineTopK(PTransform):
         codes_df = pcoll.df.select(idc, vc).mapInPandas(
             encode_gen, schema=f"{idc} long, codes array<int>")
 
-        qrows = self.queries.select(idc, vc).collect()
+        qrows = _collect_queries(self.queries, [idc, vc],
+                                 self.query_max_rows, "PqCosineTopK")
         q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
         q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
         q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)

@@ -613,20 +613,32 @@ class SeasonalDecompose(PTransform):
 
 
 class HoltWinters(PTransform):
-    """Per-key additive Holt-Winters TRIPLE exponential smoothing
-    (level + trend + seasonal; Winters 1960) in event order:
+    """Per-key Holt-Winters TRIPLE exponential smoothing
+    (level + trend + seasonal; Winters 1960) in event order.
+
+    ``mode='additive'`` (default):
 
         l_t = alpha * (x_t - s_{t-m}) + (1-alpha) * (l_{t-1} + b_{t-1})
         b_t = beta  * (l_t - l_{t-1}) + (1-beta)  * b_{t-1}
         s_t = gamma * (x_t - l_t)     + (1-gamma) * s_{t-m}
 
+    ``mode='multiplicative'`` (seasonal swing proportional to level —
+    the right model when amplitude grows with the series):
+
+        l_t = alpha * (x_t / s_{t-m}) + (1-alpha) * (l_{t-1} + b_{t-1})
+        b_t = beta  * (l_t - l_{t-1}) + (1-beta)  * b_{t-1}
+        s_t = gamma * (x_t / l_t)     + (1-gamma) * s_{t-m}
+
     Deterministic initialization (documented; the first ``period``
     rows emit NULL and seed the state): l = running mean of the first
     period's values (accumulated left-to-right), b = 0,
-    s_i = x_i - l for each phase i. Keys with fewer than ``period``
-    rows emit all NULLs. NULL inputs are REJECTED (ValueError) —
-    run GapFill/filters first; a seasonal recurrence cannot carry a
-    hole without corrupting the phase alignment.
+    s_i = x_i - l (additive) or x_i / l (multiplicative) for each
+    phase i. Keys with fewer than ``period`` rows emit all NULLs.
+    NULL inputs are REJECTED (ValueError) — run GapFill/filters
+    first; a seasonal recurrence cannot carry a hole without
+    corrupting the phase alignment. Multiplicative mode additionally
+    REJECTS values <= 0 (the ratios divide by level and season;
+    classical Winters is defined for strictly positive series).
 
     Like Ewma/HoltLinear the recurrence runs in an Arrow-batched
     ``applyInPandas`` per key; with binary-exact coefficients every
@@ -640,7 +652,7 @@ class HoltWinters(PTransform):
 
     def __init__(self, col: str, alpha: float, beta: float,
                  gamma: float, period: int, keys, order_by,
-                 label=None):
+                 mode: str = "additive", label=None):
         super().__init__(label)
         if not 0.0 < float(alpha) <= 1.0:
             raise ValueError(f"alpha {alpha} outside (0, 1]")
@@ -650,6 +662,9 @@ class HoltWinters(PTransform):
             raise ValueError(f"gamma {gamma} outside [0, 1]")
         if int(period) < 2:
             raise ValueError("period must be >= 2")
+        if mode not in ("additive", "multiplicative"):
+            raise ValueError(
+                f"mode {mode!r}: 'additive' or 'multiplicative'")
         self.col = col
         self.alpha, self.beta, self.gamma = (float(alpha), float(beta),
                                              float(gamma))
@@ -657,6 +672,7 @@ class HoltWinters(PTransform):
         self.keys = [keys] if isinstance(keys, str) else list(keys)
         self.order_by = ([order_by] if isinstance(order_by, str)
                          else list(order_by))
+        self.mode = mode
 
     def expand(self, pcoll):
         col, m = self.col, self.period
@@ -667,6 +683,8 @@ class HoltWinters(PTransform):
             for f in pcoll.df.schema.fields) \
             + ", level double, trend double, season double"
 
+        mul = self.mode == "multiplicative"
+
         def fn(pdf):
             pdf = pdf.sort_values(ob, kind="mergesort")
             if pdf[col].isna().any():
@@ -674,6 +692,11 @@ class HoltWinters(PTransform):
                     "HoltWinters: NULL input values — gap-fill or "
                     "filter upstream (seasonal phase cannot skip)")
             x = pdf[col].astype(float).to_list()
+            if mul and any(v <= 0.0 for v in x):
+                raise ValueError(
+                    "HoltWinters(mode='multiplicative'): values must "
+                    "be > 0 (the seasonal ratio divides by level and "
+                    "season) — filter or shift upstream")
             n = len(x)
             out_l = [None] * n
             out_b = [None] * n
@@ -683,13 +706,21 @@ class HoltWinters(PTransform):
                 for i in range(m):
                     tot += x[i]
                 lv = tot / m
-                s = [x[i] - lv for i in range(m)]
+                s = ([x[i] / lv for i in range(m)] if mul
+                     else [x[i] - lv for i in range(m)])
                 bb = 0.0
                 for t in range(m, n):
                     j = t % m
-                    l_new = a * (x[t] - s[j]) + (1.0 - a) * (lv + bb)
-                    b_new = be * (l_new - lv) + (1.0 - be) * bb
-                    s_new = g * (x[t] - l_new) + (1.0 - g) * s[j]
+                    if mul:
+                        l_new = (a * (x[t] / s[j])
+                                 + (1.0 - a) * (lv + bb))
+                        b_new = be * (l_new - lv) + (1.0 - be) * bb
+                        s_new = g * (x[t] / l_new) + (1.0 - g) * s[j]
+                    else:
+                        l_new = (a * (x[t] - s[j])
+                                 + (1.0 - a) * (lv + bb))
+                        b_new = be * (l_new - lv) + (1.0 - be) * bb
+                        s_new = g * (x[t] - l_new) + (1.0 - g) * s[j]
                     s[j] = s_new
                     lv, bb = l_new, b_new
                     out_l[t], out_b[t], out_s[t] = lv, bb, s_new

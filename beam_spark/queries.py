@@ -2841,6 +2841,88 @@ def q_holt_winters(spark, sf_dir):
                       F.col("season"))
 
 
+@query("q_ts_holt_winters_mul", """
+WITH RECURSIVE r AS (
+  SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL AND value > 0),
+e AS (
+  SELECT user_id, event_id, rn,
+         [v] AS xs, v AS tot,
+         CAST(NULL AS DOUBLE) AS l, CAST(NULL AS DOUBLE) AS b,
+         CAST(NULL AS DOUBLE[]) AS s,
+         CAST(NULL AS DOUBLE) AS outl, CAST(NULL AS DOUBLE) AS outb,
+         CAST(NULL AS DOUBLE) AS outs
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.user_id, r.event_id, r.rn,
+    CASE WHEN r.rn < 4 THEN list_concat(e.xs, [r.v]) ELSE e.xs END,
+    CASE WHEN r.rn < 4 THEN e.tot + r.v ELSE e.tot END,
+    CASE WHEN r.rn < 4 THEN CAST(NULL AS DOUBLE)
+         WHEN r.rn = 4 THEN (e.tot + r.v) / 4
+         ELSE CAST(0.5 AS DOUBLE) * (r.v / e.s[(r.rn - 1) % 4 + 1])
+              + CAST(0.5 AS DOUBLE) * (e.l + e.b) END,
+    CASE WHEN r.rn < 4 THEN CAST(NULL AS DOUBLE)
+         WHEN r.rn = 4 THEN CAST(0 AS DOUBLE)
+         ELSE CAST(0.25 AS DOUBLE)
+              * ((CAST(0.5 AS DOUBLE)
+                  * (r.v / e.s[(r.rn - 1) % 4 + 1])
+                  + CAST(0.5 AS DOUBLE) * (e.l + e.b)) - e.l)
+              + CAST(0.75 AS DOUBLE) * e.b END,
+    CASE WHEN r.rn < 4 THEN CAST(NULL AS DOUBLE[])
+         WHEN r.rn = 4 THEN list_transform(
+             list_concat(e.xs, [r.v]),
+             xi -> xi / ((e.tot + r.v) / 4))
+         ELSE list_concat(list_concat(
+             e.s[:(r.rn - 1) % 4],
+             [CAST(0.25 AS DOUBLE)
+              * (r.v / (CAST(0.5 AS DOUBLE)
+                        * (r.v / e.s[(r.rn - 1) % 4 + 1])
+                        + CAST(0.5 AS DOUBLE) * (e.l + e.b)))
+              + CAST(0.75 AS DOUBLE) * e.s[(r.rn - 1) % 4 + 1]]),
+             e.s[(r.rn - 1) % 4 + 2:]) END,
+    CASE WHEN r.rn <= 4 THEN CAST(NULL AS DOUBLE)
+         ELSE CAST(0.5 AS DOUBLE) * (r.v / e.s[(r.rn - 1) % 4 + 1])
+              + CAST(0.5 AS DOUBLE) * (e.l + e.b) END,
+    CASE WHEN r.rn <= 4 THEN CAST(NULL AS DOUBLE)
+         ELSE CAST(0.25 AS DOUBLE)
+              * ((CAST(0.5 AS DOUBLE)
+                  * (r.v / e.s[(r.rn - 1) % 4 + 1])
+                  + CAST(0.5 AS DOUBLE) * (e.l + e.b)) - e.l)
+              + CAST(0.75 AS DOUBLE) * e.b END,
+    CASE WHEN r.rn <= 4 THEN CAST(NULL AS DOUBLE)
+         ELSE CAST(0.25 AS DOUBLE)
+              * (r.v / (CAST(0.5 AS DOUBLE)
+                        * (r.v / e.s[(r.rn - 1) % 4 + 1])
+                        + CAST(0.5 AS DOUBLE) * (e.l + e.b)))
+              + CAST(0.75 AS DOUBLE) * e.s[(r.rn - 1) % 4 + 1] END
+  FROM e JOIN r ON r.user_id = e.user_id AND r.rn = e.rn + 1)
+SELECT user_id, event_id, outl AS level, outb AS trend,
+       outs AS season
+FROM e
+""")
+def q_holt_winters_mul(spark, sf_dir):
+    """MULTIPLICATIVE Holt-Winters (alpha=0.5, beta=0.25, gamma=0.25,
+    period 4) over each user's strictly-positive event values: the
+    seasonal state is a RATIO ring buffer (s_i = x_i / l at init;
+    s_t = gamma*(x_t/l_t) + (1-gamma)*s_{t-m}) and the level update
+    divides by the season — otherwise the identical recursive-CTE
+    replay as the additive oracle, compared UNROUNDED (division is
+    IEEE-deterministic, so the op sequences still match bit-exactly)."""
+    from beam_spark.operators.stats import HoltWinters
+
+    ev = table(spark, sf_dir, "events").df.filter(
+        "value IS NOT NULL AND value > 0")
+    out = (PCollection(ev) | HoltWinters(
+        "value", alpha=0.5, beta=0.25, gamma=0.25, period=4,
+        keys="user_id", order_by=["ts", "event_id"],
+        mode="multiplicative")).df
+    return out.select("user_id", "event_id",
+                      F.col("level"), F.col("trend"),
+                      F.col("season"))
+
+
 @query("q_quality_histogram", """
 WITH x AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
            WHERE o_totalprice IS NOT NULL),

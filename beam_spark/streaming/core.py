@@ -143,7 +143,9 @@ class GroupIntoBatches(PTransform):
     of micro-batch splits. Byte size = octet_length of the value's
     string form, NULL = 0 bytes and stays in sequence (document/
     payload columns; pass binary as base64 upstream if exact wire
-    bytes matter). Both modes emit ``batch_index``.
+    bytes matter). Both the batch and streaming BYTE modes emit
+    ``batch_index``; count-cap batching (``batch_size``) emits no
+    batch_index in either mode.
     """
 
     def __init__(self, key_cols, batch_size: int | None, value_col: str,
@@ -252,9 +254,14 @@ class GroupIntoBatches(PTransform):
     def _expand_streaming_bytes(self, pcoll: PCollection,
                                 out_schema: str) -> PCollection:
         """Byte-budget streaming batching: state carries (buffer,
-        cumulative bytes ever seen for the key), so batch boundaries
-        are the SAME floor(preceding_cum / max_bytes) rule as batch
-        mode — independent of how rows split across micro-batches."""
+        cumulative bytes ever seen for the key, cum at buffer start),
+        so batch boundaries are the SAME floor(preceding_cum /
+        max_bytes) rule as batch mode — independent of how rows split
+        across micro-batches. Per-value byte sizes are computed
+        JVM-side with the IDENTICAL expression batch mode uses
+        (octet_length(coalesce(cast(v as string), ''))), so the two
+        modes cannot diverge on NaN / NULL / array-typed values —
+        Spark's cast, not Python's str(), decides the byte count."""
         import pandas as pd
         from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -263,38 +270,39 @@ class GroupIntoBatches(PTransform):
         keys = self.key_cols
         sample_field = pcoll.df.schema[vcol]
         state_schema = (f"buf array<{sample_field.dataType.simpleString()}>,"
-                        f" cum bigint")
-
-        def vbytes(v):
-            # NULL = 0 bytes (same rule as batch mode's
-            # octet_length(coalesce(cast(v as string), '')))
-            return 0 if v is None or v != v else len(str(v).encode())
+                        f" cum bigint, open_cum bigint")
+        sized = pcoll.df.withColumn(
+            "__vb", F.octet_length(F.coalesce(
+                F.col(vcol).cast("string"), F.lit(""))).cast("long"))
 
         def fn(key, pdfs: Iterable["pd.DataFrame"], state):
             if state.exists:
-                buf, cum = list(state.get[0]), int(state.get[1])
+                buf = list(state.get[0])
+                cum, open_cum = int(state.get[1]), int(state.get[2])
             else:
-                buf, cum = [], 0
-            open_bytes = sum(vbytes(v) for v in buf)
-            bid_open = (cum - open_bytes) // b if buf else None
+                buf, cum, open_cum = [], 0, 0
+            bid_open = open_cum // b if buf else None
             out = []
             for pdf in pdfs:
-                for v in pdf[vcol]:
+                for v, vb in zip(pdf[vcol], pdf["__vb"]):
                     bid = cum // b
                     if buf and bid != bid_open:
                         out.append((bid_open, buf))
                         buf = []
                     if not buf:
                         bid_open = bid
-                    buf.append(v)
-                    cum += vbytes(v)
-            state.update((buf, cum))
+                        open_cum = cum
+                    # numpy values (array<> columns arrive as ndarray)
+                    # don't survive the state row's pickle round-trip
+                    buf.append(v.tolist() if hasattr(v, "tolist") else v)
+                    cum += int(vb)
+            state.update((buf, cum, open_cum))
             if out:
                 yield pd.DataFrame(
                     [{**dict(zip(keys, key)), "batch_index": bi,
                       "batch": bt} for bi, bt in out])
 
-        out = (pcoll.df.groupBy(*keys)
+        out = (sized.groupBy(*keys)
                .applyInPandasWithState(fn, outputStructType=out_schema,
                                        stateStructType=state_schema,
                                        outputMode="append",

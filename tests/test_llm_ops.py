@@ -1660,3 +1660,77 @@ def test_repeat_by_weight_multiplicities(spark):
     again = {(r["id"], r["epoch"]) for r in
              (PCollection(df) | RepeatByWeight("w", "id")).df.collect()}
     assert epochs == again                        # deterministic
+
+
+def test_edit_distance_join_short_band_gram_filtered_and_guarded(spark):
+    """Round-10 VERDICT item: the short-string pass must not be an
+    unguarded crossJoin. Strings with k < len <= q*k+q-1 now route
+    through a q=1-gram COUNT FILTER join (char bags of strings at
+    ed <= k share >= max(len)-k entries — valid at any length) and
+    only the both-lengths<=k residue (where EVERY pair matches, so
+    the output itself is quadratic) crosses — behind a fail-fast
+    short_cross_max guard."""
+    import itertools
+
+    import pytest as _pytest
+
+    from beam_spark.operators.dedupe import EditDistanceJoin
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    # short-string-heavy corpus: every length band at k=2, q=2
+    # (thresh=5): len<=k residue, the 3..5 band, and long strings
+    texts = ["", "a", "b", "ab", "abc", "abd", "xyz", "abcd", "abcde",
+             "abcdf", "qrstu", "vwxyz", "sparkle", "sparkel"]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    want = {(i, j): lev(a, b)
+            for (i, a), (j, b) in itertools.combinations(
+                enumerate(texts), 2) if lev(a, b) <= 2}
+    got = {(r["i"], r["j"]): r["dist"] for r in
+           (PCollection(df) | EditDistanceJoin(k=2)).df.collect()}
+    assert got == want
+
+    # the guard: a len<=k-heavy corpus fails fast with instructions,
+    # and raising short_cross_max deliberately lets it through
+    many_short = spark.createDataFrame(
+        [(i, "ab") for i in range(40)], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="short_cross_max"):
+        # the count guard trips at plan-construction (expand) time
+        PCollection(many_short) | EditDistanceJoin(
+            k=2, short_cross_max=100)
+    allowed = (PCollection(many_short)
+               | EditDistanceJoin(k=2, short_cross_max=1000)).df
+    assert allowed.count() == 40 * 39 // 2
+
+
+def test_ann_query_collect_capped(spark):
+    """Round-10 VERDICT item: BruteForceCosineTopK / PqCosineTopK
+    collect the query frame to the driver — a corpus-sized queries=
+    now raises an actionable error naming the distributed
+    alternatives instead of OOMing the driver."""
+    import pytest as _pytest
+
+    from beam_spark.operators.similarity import (BruteForceCosineTopK,
+                                                 PqCosineTopK)
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, 0.25]) for i in range(50)],
+        "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="LshCosineTopK"):
+        (PCollection(emb) | BruteForceCosineTopK(
+            emb, k=3, query_max_rows=10)).df.count()
+    with _pytest.raises(ValueError, match="query_max_rows"):
+        (PCollection(emb) | PqCosineTopK(
+            emb, k=3, m=2, ks=4, query_max_rows=10)).df.count()
+    # under the cap both still work
+    ok = (PCollection(emb) | BruteForceCosineTopK(
+        emb.limit(5), k=3, query_max_rows=10)).df
+    assert ok.where("rank = 1").count() == 5

@@ -338,18 +338,34 @@ def test_run_inference_watch_model_pattern_refresh(spark, tmp_path):
     for p in mdir.glob("m_*.json"):
         p.unlink()
     assert inf_mod._resolve_model_path(spark, pattern) == last
+    # ...but only for a bounded number of CONSECUTIVE misses: once
+    # the artifact looks genuinely deleted (not a transient replace)
+    # the stale entry is dropped and resolution fails fast instead of
+    # serving a decommissioned model forever
+    for _ in range(inf_mod._MAX_EMPTY_RESOLUTIONS - 2):
+        assert inf_mod._resolve_model_path(spark, pattern) == last
+    with _pytest.raises(FileNotFoundError, match="matched nothing"):
+        inf_mod._resolve_model_path(spark, pattern)
     for name, text in kept.items():
         (mdir / name).write_text(text)
+    # a successful resolve resets the miss counter and re-primes
+    # (rewritten file -> same path, fresh mtime)
+    fresh = inf_mod._resolve_model_path(spark, pattern)
+    assert fresh[0] == last[0]
 
     # worker cache eviction: a watched refresh evicts the handler's
-    # superseded versions; unwatched tokens and other tokens survive
-    inf_mod._cache_model("tok", "tok@a@1", "m1", watched=True)
+    # superseded versions OF THE SAME watched lineage; unwatched
+    # tokens, other tokens, and the same token under a DIFFERENT
+    # pattern all survive (no cross-stage thrash)
+    inf_mod._cache_model("tok@p1@", "tok@p1@a@1", "m1", watched=True)
+    inf_mod._cache_model("tok@p2@", "tok@p2@x@7", "mx", watched=True)
     inf_mod._cache_model("other", "other", "mo", watched=False)
-    inf_mod._cache_model("tok", "tok@a@2", "m2", watched=True)
-    assert "tok@a@1" not in inf_mod._MODEL_CACHE
-    assert inf_mod._MODEL_CACHE["tok@a@2"] == "m2"
+    inf_mod._cache_model("tok@p1@", "tok@p1@a@2", "m2", watched=True)
+    assert "tok@p1@a@1" not in inf_mod._MODEL_CACHE
+    assert inf_mod._MODEL_CACHE["tok@p1@a@2"] == "m2"
+    assert inf_mod._MODEL_CACHE["tok@p2@x@7"] == "mx"
     assert inf_mod._MODEL_CACHE["other"] == "mo"
-    for k in ("tok@a@2", "other"):
+    for k in ("tok@p1@a@2", "tok@p2@x@7", "other"):
         del inf_mod._MODEL_CACHE[k]
 
     with _pytest.raises(Exception, match="matched nothing"):

@@ -346,3 +346,42 @@ def test_holt_winters_seasonal_recovery(spark):
         HoltWinters("v", 0.5, 0.25, 1.5, 4, "k", "i")
     with _pytest.raises(ValueError, match="period"):
         HoltWinters("v", 0.5, 0.25, 0.25, 1, "k", "i")
+
+
+def test_holt_winters_multiplicative(spark):
+    """mode='multiplicative': on a signal whose seasonal swing is
+    PROPORTIONAL to a growing level (x = base_t * factor[phase]),
+    the seasonal ratios converge to the planted factors and level
+    tracks the base — exactly what additive mode cannot model.
+    Values <= 0 rejected; bad mode rejected."""
+    import pytest as _pytest
+
+    from beam_spark.operators.stats import HoltWinters
+    from beam_spark.pcollection import PCollection
+
+    factor = [1.2, 0.8, 1.0, 1.0]
+    rows = [("a", i, (10.0 + 0.5 * i) * factor[i % 4])
+            for i in range(48)]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    out = {(r["k"], r["i"]): (r["level"], r["trend"], r["season"])
+           for r in (PCollection(df) | HoltWinters(
+               "v", alpha=0.5, beta=0.25, gamma=0.25, period=4,
+               keys="k", order_by="i", mode="multiplicative"))
+           .df.collect()}
+    for i in range(4):
+        assert out[("a", i)] == (None, None, None)
+    lvl, tr, se = out[("a", 47)]
+    assert abs(lvl - (10.0 + 0.5 * 47)) < 1.2    # level tracks base
+    assert abs(tr - 0.5) < 0.12                  # slope recovered
+    assert abs(se - factor[47 % 4]) < 0.08       # ratio recovered
+
+    neg = spark.createDataFrame(
+        [("a", i, float(i) - 2.0) for i in range(8)],
+        "k string, i long, v double")
+    with _pytest.raises(Exception, match="must be > 0"):
+        (PCollection(neg) | HoltWinters(
+            "v", alpha=0.5, beta=0.25, gamma=0.25, period=4,
+            keys="k", order_by="i",
+            mode="multiplicative")).df.collect()
+    with _pytest.raises(ValueError, match="mode"):
+        HoltWinters("v", 0.5, 0.25, 0.25, 4, "k", "i", mode="loglog")
