@@ -436,7 +436,7 @@ class MatchRecognize(PTransform):
                  measure_semantics: str = "final",
                  drain_state_ttl: str | None = None,
                  anchor_start: bool = False, anchor_end: bool = False,
-                 exclude_symbols=(), label=None):
+                 exclude_symbols=(), symbol_aliases=None, label=None):
         """``within``: optional time bound ("10 minutes") — a match must
         complete within this interval of its first row (Flink/Calcite
         ``PATTERN (...) WITHIN``). On streams this BOUNDS STATE: once
@@ -498,6 +498,23 @@ class MatchRecognize(PTransform):
         #: participate in matching AND in measures, but are omitted
         #: from ALL ROWS PER MATCH output (no effect in ONE ROW mode)
         self.exclude_symbols = frozenset(exclude_symbols)
+        #: POSITIONAL exclusion support: {alias: original}. An alias
+        #: is a private pattern symbol sharing the original's DEFINE
+        #: (bound here); the matcher labels rows with the alias, and
+        #: matches un-alias immediately after being found — measures,
+        #: CLASSIFIER, and AFTER MATCH SKIP all see the original name,
+        #: while the alias's membership in exclude_symbols marks that
+        #: OCCURRENCE's rows for ALL-ROWS suppression. This is how
+        #: ``A {- A -} A`` excludes only the middle occurrence
+        #: (NFA.java:795 tracks the same thing as per-state emit
+        #: flags).
+        self.symbol_aliases = dict(symbol_aliases or {})
+        for alias, orig in self.symbol_aliases.items():
+            if orig not in self.defines:
+                raise ValueError(
+                    f"symbol_aliases: alias {alias!r} points at "
+                    f"{orig!r}, which has no DEFINE")
+            self.defines.setdefault(alias, self.defines[orig])
         needed = {s for alts, _, _ in self.pattern
                   for s in _symbols_of(alts)}
         stray = self.exclude_symbols - needed
@@ -528,6 +545,7 @@ class MatchRecognize(PTransform):
         all_rows = self.rows_per_match == ALL_ROWS_PER_MATCH
         running = all_rows and self.measure_semantics == "running"
         excluded = self.exclude_symbols
+        unalias = self.symbol_aliases
         within_ms = self.within_ms
         drain_ttl_ms = self.drain_ttl_ms
         schema = self.output_schema
@@ -592,7 +610,10 @@ class MatchRecognize(PTransform):
             # match-state predicates (FIRST/LAST refs in DEFINE): bind
             # the group's column arrays once; the matcher calls
             # ctx[sym](pos, acc) on top of the mask bit
-            ctx = {sym: (lambda pos, acc, _f=d.ctx_fn: _f(cols, pos, acc))
+            ctx = {sym: (lambda pos, acc, _f=d.ctx_fn:
+                         _f(cols, pos,
+                            [(unalias.get(s, s), i) for s, i in acc]
+                            if unalias else acc))
                    for sym, d in defines.items()
                    if isinstance(d, Define) and d.ctx_fn is not None} or None
 
@@ -637,6 +658,14 @@ class MatchRecognize(PTransform):
                     m = _match_at(masks, n, pos, pattern, ctx,
                                   require_end=req_end)
                 if m:
+                    # suppression is POSITIONAL: mark the excluded
+                    # occurrences' rows BEFORE un-aliasing, then give
+                    # measures / skip / classifier the original names
+                    excl_rows = {idx for sym, idx in m
+                                 if sym in excluded}
+                    if unalias:
+                        m = [(unalias.get(sym, sym), idx)
+                             for sym, idx in m]
                     match_rows = [(sym, row(idx)) for sym, idx in m]
                     meas = {name: fn(match_rows)
                             for name, fn in measures.items()}
@@ -644,7 +673,7 @@ class MatchRecognize(PTransform):
                         match_counter += 1
                         match_no = match_counter
                         for ridx, (sym, r) in enumerate(match_rows):
-                            if sym in excluded:
+                            if m[ridx][1] in excl_rows:
                                 continue
                             meas_r = (meas if not running else
                                       {name: (meas[name] if getattr(
@@ -706,6 +735,7 @@ class MatchRecognize(PTransform):
         all_rows = self.rows_per_match == ALL_ROWS_PER_MATCH
         running = all_rows and self.measure_semantics == "running"
         excluded = self.exclude_symbols
+        unalias = self.symbol_aliases
         for sym, d in self.defines.items():
             if isinstance(d, Define) and d.frontier_sensitive:
                 raise ValueError(
@@ -828,7 +858,10 @@ class MatchRecognize(PTransform):
                             for c in mature.columns}
                     ctx = {sym: (lambda pos, acc, _f=d.ctx_fn:
                                  pos >= n_mature  # phantom: matches
-                                 or _f(cols, pos, acc))
+                                 or _f(cols, pos,
+                                       [(unalias.get(s, s), i)
+                                        for s, i in acc]
+                                       if unalias else acc))
                            for sym, d in defines.items()
                            if isinstance(d, Define)
                            and d.ctx_fn is not None}
@@ -857,13 +890,18 @@ class MatchRecognize(PTransform):
                         # definitive: window closed, or fully mature
                         # (greedy would have taken phantoms if extension
                         # were possible)
+                        excl_rows = {idx for sym, idx in m
+                                     if sym in excluded}
+                        if unalias:
+                            m = [(unalias.get(sym, sym), idx)
+                                 for sym, idx in m]
                         match_rows = [(sym, buf[idx]) for sym, idx in m]
                         meas = {name: fmeas(match_rows)
                                 for name, fmeas in measures.items()}
                         match_no += 1
                         if all_rows:
                             for ridx, (sym, r) in enumerate(match_rows):
-                                if sym in excluded:
+                                if m[ridx][1] in excl_rows:
                                     continue
                                 meas_r = (meas if not running else
                                           {name: (meas[name] if getattr(

@@ -1443,3 +1443,151 @@ class RecordLinkageScore(PTransform):
                .drop(*[f"__l_{c}" for c in cols],
                      *[f"__r_{c}" for c in cols]))
         return pcoll.with_df(out)
+
+
+class FellegiSunterEM(PTransform):
+    """EM estimation of the Fellegi-Sunter m/u parameters from
+    UNLABELED candidate pairs (Winkler 1988's EM formulation of
+    Fellegi & Sunter 1969, under conditional independence) — the
+    companion to RecordLinkageScore, which CONSUMES hand-set or
+    estimated (m, u); this operator produces them from the data.
+
+    Input: a candidate-pair frame (``i_col``/``j_col``) from a
+    blocking stage. The pairs join to ``records`` and reduce to
+    per-field agreement values (1 agree / 0 disagree / NULL missing),
+    then aggregate to agreement-PATTERN counts — at most 3^F rows for
+    F fields, INDEPENDENT of corpus size, so the distributed part is
+    one keyed aggregation and the fixed-iteration EM runs on the
+    driver over the tiny pattern table (the same driver-scale
+    argument as PQ codebook fitting). NULL fields drop out of the
+    likelihood product for that pair (missing-at-random convention,
+    matching RecordLinkageScore's zero-weight rule).
+
+    Per iteration (binary-exact replayable; every sum over patterns
+    runs in sorted-pattern order):
+
+        P(g|M) = p * prod_f m_f^g_f (1-m_f)^(1-g_f)   [non-null f]
+        P(g|U) = (1-p) * prod_f u_f^g_f (1-u_f)^(1-g_f)
+        w_g    = P(g|M) / (P(g|M) + P(g|U))
+        p      = sum n_g w_g / sum n_g
+        m_f    = sum_{g_f=1} n_g w_g / sum_{g_f != NULL} n_g w_g
+        u_f    = likewise with (1-w_g)
+
+    m/u clamp to [2^-20, 1 - 2^-20] each step (degenerate EM
+    fixpoints otherwise produce infinite log-weights; the bounds are
+    BINARY-EXACT so the SQL replay clamps to bit-identical values);
+    a field with zero non-null observations keeps its previous
+    estimate.
+
+    Output: one row per field — (field, m, u, p, w_agree,
+    w_disagree), weights = log2(m/u) and log2((1-m)/(1-u)), rounded
+    to 6 dp. Feed straight into RecordLinkageScore(fields=...).
+    """
+
+    MAX_FIELDS = 8   # 3^8 = 6561 driver-side pattern rows, still tiny
+
+    def __init__(self, records, fields, id_col: str = "doc_id",
+                 right=None, i_col: str = "i", j_col: str = "j",
+                 iterations: int = 5, init_m: float = 0.875,
+                 init_u: float = 0.125, init_p: float = 0.125,
+                 label=None):
+        super().__init__(label)
+        self.records = (records.df if isinstance(records, PCollection)
+                        else records)
+        self.right = (right.df if isinstance(right, PCollection)
+                      else right)
+        self.fields = list(fields)
+        if not self.fields:
+            raise ValueError("fields must be non-empty")
+        if len(self.fields) > self.MAX_FIELDS:
+            raise ValueError(
+                f"{len(self.fields)} fields: the pattern table is "
+                f"3^F rows; cap is {self.MAX_FIELDS}")
+        if not 0.0 < init_u < init_m < 1.0:
+            raise ValueError("need 0 < init_u < init_m < 1")
+        if not 0.0 < init_p < 1.0:
+            raise ValueError("need 0 < init_p < 1")
+        if int(iterations) < 1:
+            raise ValueError("iterations must be >= 1")
+        self.id_col, self.i_col, self.j_col = id_col, i_col, j_col
+        self.iterations = int(iterations)
+        self.init_m, self.init_u = float(init_m), float(init_u)
+        self.init_p = float(init_p)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        import math
+
+        idc, cols = self.id_col, self.fields
+        left = self.records.select(
+            F.col(idc).alias(self.i_col),
+            *[F.col(c).alias(f"__l_{c}") for c in cols])
+        rsrc = self.right if self.right is not None else self.records
+        right = rsrc.select(
+            F.col(idc).alias(self.j_col),
+            *[F.col(c).alias(f"__r_{c}") for c in cols])
+        gexprs = []
+        for c in cols:
+            lc, rc = F.col(f"__l_{c}"), F.col(f"__r_{c}")
+            gexprs.append(
+                F.when(lc.isNull() | rc.isNull(),
+                       F.lit(None).cast("int"))
+                .when(lc == rc, F.lit(1)).otherwise(F.lit(0))
+                .alias(f"__g_{c}"))
+        pat_rows = (pcoll.df.join(left, on=self.i_col)
+                    .join(right, on=self.j_col)
+                    .select(*gexprs)
+                    .groupBy(*[f"__g_{c}" for c in cols])
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .collect())
+        # sorted-pattern order makes every EM sum deterministic
+        pats = sorted(
+            ((tuple(r[f"__g_{c}"] for c in cols), float(r["__n"]))
+             for r in pat_rows),
+            key=lambda t: tuple(-1 if g is None else g for g in t[0]))
+        if not pats:
+            raise ValueError("FellegiSunterEM: no candidate pairs")
+
+        lo, hi = 2.0 ** -20, 1.0 - 2.0 ** -20
+        m = {c: self.init_m for c in cols}
+        u = {c: self.init_u for c in cols}
+        p = self.init_p
+        for _ in range(self.iterations):
+            tot_w, tot_n = 0.0, 0.0
+            num_m = {c: 0.0 for c in cols}
+            den_m = {c: 0.0 for c in cols}
+            num_u = {c: 0.0 for c in cols}
+            den_u = {c: 0.0 for c in cols}
+            for gamma, n in pats:
+                pm, pu = p, 1.0 - p
+                for c, g in zip(cols, gamma):
+                    if g is None:
+                        continue
+                    pm = pm * (m[c] if g == 1 else 1.0 - m[c])
+                    pu = pu * (u[c] if g == 1 else 1.0 - u[c])
+                w = pm / (pm + pu)
+                tot_w += n * w
+                tot_n += n
+                for c, g in zip(cols, gamma):
+                    if g is None:
+                        continue
+                    den_m[c] += n * w
+                    den_u[c] += n * (1.0 - w)
+                    if g == 1:
+                        num_m[c] += n * w
+                        num_u[c] += n * (1.0 - w)
+            p = tot_w / tot_n
+            for c in cols:
+                if den_m[c] > 0.0:
+                    m[c] = min(max(num_m[c] / den_m[c], lo), hi)
+                if den_u[c] > 0.0:
+                    u[c] = min(max(num_u[c] / den_u[c], lo), hi)
+
+        spark = pcoll.df.sparkSession
+        rows = [(c, round(m[c], 6), round(u[c], 6), round(p, 6),
+                 round(math.log2(m[c] / u[c]), 6),
+                 round(math.log2((1.0 - m[c]) / (1.0 - u[c])), 6))
+                for c in cols]
+        out = spark.createDataFrame(
+            rows, "field string, m double, u double, p double, "
+                  "w_agree double, w_disagree double")
+        return pcoll.with_df(out)

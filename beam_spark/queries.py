@@ -2923,6 +2923,120 @@ def q_holt_winters_mul(spark, sf_dir):
                       F.col("season"))
 
 
+def _fs_em_oracle_sql(iters: int = 5) -> str:
+    """Chained-CTE Fellegi-Sunter EM: the SAME fixed-iteration update
+    the operator runs on its driver-side pattern table, one
+    (E-step, M-step) CTE pair per round. Clamp bounds are the
+    binary-exact 2^-20 / 1-2^-20; per-pattern likelihood products
+    multiply in field order exactly like the operator (a NULL field
+    multiplies by exactly 1.0 — bit-preserving); only the sums over
+    the <= 27 patterns are order-free (ULP drift, absorbed by the
+    round-6 output like the PageRank oracle's round-9)."""
+    nf = 3
+    head = """WITH recs AS (
+  SELECT c_custkey AS id, c_nationkey AS nk, c_mktsegment AS f1,
+         NULLIF(CAST(floor(c_acctbal / 1000) AS INT), 5) AS f2,
+         CAST(length(c_name) % 3 AS INT) AS f3
+  FROM customer),
+pairs AS (
+  SELECT a.id AS i, b.id AS j
+  FROM recs a JOIN recs b
+    ON a.nk = b.nk AND a.id < b.id AND b.id - a.id <= 5),
+pg AS (
+  SELECT
+    CASE WHEN a.f1 IS NULL OR b.f1 IS NULL THEN NULL
+         WHEN a.f1 = b.f1 THEN 1 ELSE 0 END AS g1,
+    CASE WHEN a.f2 IS NULL OR b.f2 IS NULL THEN NULL
+         WHEN a.f2 = b.f2 THEN 1 ELSE 0 END AS g2,
+    CASE WHEN a.f3 IS NULL OR b.f3 IS NULL THEN NULL
+         WHEN a.f3 = b.f3 THEN 1 ELSE 0 END AS g3
+  FROM pairs p JOIN recs a ON p.i = a.id JOIN recs b ON p.j = b.id),
+pat AS (SELECT g1, g2, g3, CAST(count(*) AS DOUBLE) AS n
+        FROM pg GROUP BY g1, g2, g3),
+it0 AS (SELECT CAST(0.875 AS DOUBLE) AS m1, CAST(0.875 AS DOUBLE) AS m2,
+               CAST(0.875 AS DOUBLE) AS m3, CAST(0.125 AS DOUBLE) AS u1,
+               CAST(0.125 AS DOUBLE) AS u2, CAST(0.125 AS DOUBLE) AS u3,
+               CAST(0.125 AS DOUBLE) AS p),"""
+    lo = "pow(CAST(2 AS DOUBLE), -20)"
+    hi = "(1 - pow(CAST(2 AS DOUBLE), -20))"
+    cte = [head]
+    for k in range(1, iters + 1):
+        mprod = " * ".join(
+            f"(CASE WHEN g{i} IS NULL THEN CAST(1 AS DOUBLE) "
+            f"WHEN g{i} = 1 THEN it.m{i} ELSE 1 - it.m{i} END)"
+            for i in range(1, nf + 1))
+        uprod = " * ".join(
+            f"(CASE WHEN g{i} IS NULL THEN CAST(1 AS DOUBLE) "
+            f"WHEN g{i} = 1 THEN it.u{i} ELSE 1 - it.u{i} END)"
+            for i in range(1, nf + 1))
+        cte.append(f"""e{k} AS (
+  SELECT g1, g2, g3, n, pm / (pm + pu) AS w FROM (
+    SELECT pat.g1, pat.g2, pat.g3, pat.n,
+           it.p * {mprod} AS pm,
+           (1 - it.p) * {uprod} AS pu
+    FROM pat CROSS JOIN it{k - 1} it) x),""")
+        sums = ["sum(n * w) AS tw", "sum(n) AS tn"]
+        for i in range(1, nf + 1):
+            sums += [
+                f"coalesce(sum(CASE WHEN g{i} = 1 THEN n * w END), 0)"
+                f" AS nm{i}",
+                f"coalesce(sum(CASE WHEN g{i} IS NOT NULL "
+                f"THEN n * w END), 0) AS dm{i}",
+                f"coalesce(sum(CASE WHEN g{i} = 1 THEN n * (1 - w) "
+                f"END), 0) AS nu{i}",
+                f"coalesce(sum(CASE WHEN g{i} IS NOT NULL "
+                f"THEN n * (1 - w) END), 0) AS du{i}"]
+        params = ["s.tw / s.tn AS p"]
+        for i in range(1, nf + 1):
+            params += [
+                f"CASE WHEN s.dm{i} > 0 THEN least(greatest("
+                f"s.nm{i} / s.dm{i}, {lo}), {hi}) "
+                f"ELSE prev.m{i} END AS m{i}",
+                f"CASE WHEN s.du{i} > 0 THEN least(greatest("
+                f"s.nu{i} / s.du{i}, {lo}), {hi}) "
+                f"ELSE prev.u{i} END AS u{i}"]
+        cte.append(f"""it{k} AS (
+  SELECT {", ".join(params)}
+  FROM (SELECT {", ".join(sums)} FROM e{k}) s
+  CROSS JOIN it{k - 1} prev),""")
+    cte[-1] = cte[-1].rstrip(",")
+    tails = []
+    for i, f in enumerate(["f1", "f2", "f3"], 1):
+        tails.append(
+            f"SELECT '{f}' AS field, round(m{i}, 6) AS m, "
+            f"round(u{i}, 6) AS u, round(p, 6) AS p, "
+            f"round(log2(m{i} / u{i}), 6) AS w_agree, "
+            f"round(log2((1 - m{i}) / (1 - u{i})), 6) AS w_disagree "
+            f"FROM it{iters}")
+    return "\n".join(cte) + "\n" + "\nUNION ALL\n".join(tails)
+
+
+@query("q_dedup_fs_em", _fs_em_oracle_sql())
+def q_fs_em(spark, sf_dir):
+    """Fellegi-Sunter EM from UNLABELED candidate pairs (Winkler
+    1988): customers blocked by nation + key proximity, three
+    agreement fields (mktsegment; an acctbal bucket with a planted
+    NULL class via NULLIF; a name-length class) — m/u/p and the
+    resulting log2 match weights replayed per EM round by DuckDB's
+    chained-CTE oracle, compared at 6 dp."""
+    from beam_spark.operators.dedupe import FellegiSunterEM
+
+    c = table(spark, sf_dir, "customer").df
+    recs = c.selectExpr(
+        "c_custkey AS id", "c_nationkey AS nk", "c_mktsegment AS f1",
+        "NULLIF(CAST(floor(c_acctbal / 1000) AS INT), 5) AS f2",
+        "CAST(length(c_name) % 3 AS INT) AS f3")
+    a = recs.selectExpr("id AS i", "nk AS nka")
+    b = recs.selectExpr("id AS j", "nk AS nkb")
+    pairs = (a.join(b, (F.col("nka") == F.col("nkb"))
+                    & (F.col("i") < F.col("j"))
+                    & (F.col("j") - F.col("i") <= 5))
+             .select("i", "j"))
+    out = (PCollection(pairs) | FellegiSunterEM(
+        recs, ["f1", "f2", "f3"], id_col="id", iterations=5)).df
+    return out.select("field", "m", "u", "p", "w_agree", "w_disagree")
+
+
 @query("q_quality_histogram", """
 WITH x AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
            WHERE o_totalprice IS NOT NULL),

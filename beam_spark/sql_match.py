@@ -115,7 +115,8 @@ def parse_pattern(pattern_sql: str) -> list[tuple]:
 
 
 def parse_pattern_ex(pattern_sql: str):
-    """Recursive-descent PATTERN parser -> (pattern, excluded_syms).
+    """Recursive-descent PATTERN parser -> (pattern, excluded_syms,
+    symbol_aliases).
 
     'V+ (C|P) A{2,4} PERMUTE(X, Y) ((A B)|C)+' ->
     [('V','+'), (('C','P'),'1'), ('A',(2,4)), (Permute('X','Y'),'1'),
@@ -124,17 +125,21 @@ def parse_pattern_ex(pattern_sql: str):
     Grouping rules: a parenthesized single sequence is a Seq group; an
     alternation whose branches are ALL bare symbols stays a symbol
     tuple (row-level alternation); otherwise it is a sequence-level
-    Alt. SQL:2016 exclusions ``{- ... -}`` parse as ordinary groups
-    whose symbols are returned in ``excluded_syms`` (ALL ROWS output
-    suppression); a symbol used both inside and outside an exclusion
-    is rejected — exclusion is positional in the standard, and the
-    symbol-level approximation is only exact when the sets are
-    disjoint.
+    Alt. SQL:2016 exclusions ``{- ... -}`` parse as ordinary groups.
+    Exclusion is POSITIONAL (per pattern occurrence, SQL:2016
+    <row pattern exclusion>): every symbol occurrence inside
+    ``{- -}`` is rewritten to a private alias ``__excl__<sym>``
+    sharing the original's DEFINE (the MatchRecognize
+    ``symbol_aliases`` contract), so ``A {- A -} A`` suppresses only
+    the middle occurrence's rows while measures, CLASSIFIER and
+    AFTER MATCH SKIP still see the original symbol name. The aliases
+    are returned in ``excluded_syms``; rows they label are omitted
+    from ALL ROWS PER MATCH output (no effect in ONE ROW mode).
     """
     from beam_spark.operators.cep import Alt, Permute, Seq, _symbols_of
 
     excluded: set = set()
-    outside: set = set()
+    aliases: dict = {}
     excl_depth = [0]
 
     leftover = _PAT_TOKEN_RE.sub("", pattern_sql).strip()
@@ -214,8 +219,13 @@ def parse_pattern_ex(pattern_sql: str):
                 return tuple(nodes)  # row-level alternation fast path
             return Alt(*nodes)
         if re.fullmatch(r"\w+", t):
-            if excl_depth[0] == 0:
-                outside.add(t)
+            if excl_depth[0] > 0:
+                # positional exclusion: this OCCURRENCE is excluded;
+                # other occurrences of the same symbol outside {- -}
+                # stay visible (alias shares the original's DEFINE)
+                alias = f"__excl__{t}"
+                aliases[alias] = t
+                return alias
             return t
         raise ValueError(f"PATTERN: unexpected token {t!r}")
 
@@ -231,13 +241,7 @@ def parse_pattern_ex(pattern_sql: str):
     out = parse_seq()
     if peek() is not None:
         raise ValueError(f"PATTERN: trailing tokens from {peek()!r}")
-    both = excluded & outside
-    if both:
-        raise ValueError(
-            f"PATTERN exclusion: symbols {sorted(both)} appear both "
-            "inside and outside {- -} — unsupported (exclusion is "
-            "positional; keep excluded symbols exclusive)")
-    return out, frozenset(excluded)
+    return out, frozenset(excluded), aliases
 
 
 def _split_top_level(cond: str, kw: str) -> list[str]:
@@ -691,7 +695,7 @@ def try_rewrite_match_recognize(sql: str, spark, tables: dict) -> str:
         ps = ps[1:]
     if anchor_end:
         ps = ps[:-1]
-    pattern, excluded_syms = parse_pattern_ex(ps)
+    pattern, excluded_syms, sym_aliases = parse_pattern_ex(ps)
 
     defines: dict = {}
     for part in re.split(r",\s*(?=\w+\s+AS\s)", define_sql, flags=re.IGNORECASE):
@@ -703,6 +707,11 @@ def try_rewrite_match_recognize(sql: str, spark, tables: dict) -> str:
 
     for sym, _ in pattern:  # undefined symbols match any row
         for s in _symbols_of(sym):
+            # an exclusion alias resolves through its ORIGINAL symbol
+            # (MatchRecognize binds the alias's DEFINE); default the
+            # original, never the alias, or the binding would be
+            # shadowed by a match-anything stub
+            s = sym_aliases.get(s, s)
             defines.setdefault(s, Define(
                 row_fn=lambda r: True,
                 mask_fn=lambda pdf: __import__("numpy").ones(len(pdf), bool)))
@@ -788,6 +797,7 @@ def try_rewrite_match_recognize(sql: str, spark, tables: dict) -> str:
                   measure_semantics="running" if all_rows else "final",
                   anchor_start=anchor_start, anchor_end=anchor_end,
                   exclude_symbols=excluded_syms,
+                  symbol_aliases=sym_aliases,
                   within=within)).df
     view = f"__mr_{table_name}"
     result.createOrReplaceTempView(view)

@@ -146,10 +146,29 @@ class GroupIntoBatches(PTransform):
     bytes matter). Both the batch and streaming BYTE modes emit
     ``batch_index``; count-cap batching (``batch_size``) emits no
     batch_index in either mode.
+
+    ``max_buffering_duration`` (seconds; Beam's
+    withMaxBufferingDuration, util.py:1936-2149 /
+    beam_runner_api.proto:834-845): on STREAMS, a partial batch stops
+    waiting for more input once the watermark passes
+    first-buffered-element-time + duration — an EVENT-TIME timeout
+    (Beam uses a processing-time buffering timer; with availableNow
+    triggers processing-time timers block termination, the documented
+    AfterProcessingTime divergence, so the flush clock here is the
+    watermark). Needs an event-time column: ``ts_col=`` or a
+    watermarked input (WithWatermark threads ``pcoll.ts_col``).
+    Full batches keep the exact batch-mode boundary rule; a timeout
+    flush emits the open partial batch as-is, and in byte mode
+    advances the byte cursor to the next budget boundary so the next
+    element opens a FRESH batch_index (two rows never share one).
+    Bounded inputs ignore the knob — batch mode always flushes every
+    residue at the end, which is Beam's batch-runner behavior too.
     """
 
     def __init__(self, key_cols, batch_size: int | None, value_col: str,
-                 max_bytes: int | None = None, order_by=None, label=None):
+                 max_bytes: int | None = None, order_by=None,
+                 max_buffering_duration: float | None = None,
+                 ts_col: str | None = None, label=None):
         super().__init__(label)
         self.key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
         self.batch_size, self.value_col = batch_size, value_col
@@ -159,6 +178,13 @@ class GroupIntoBatches(PTransform):
         if (self.batch_size is None) == (self.max_bytes is None):
             raise ValueError(
                 "exactly one of batch_size / max_bytes must be set")
+        if (max_buffering_duration is not None
+                and float(max_buffering_duration) <= 0):
+            raise ValueError("max_buffering_duration must be > 0 seconds")
+        self.max_buffering_duration = (
+            None if max_buffering_duration is None
+            else float(max_buffering_duration))
+        self.ts_col = ts_col
 
     def expand(self, pcoll: PCollection) -> PCollection:
         n = self.batch_size
@@ -223,33 +249,75 @@ class GroupIntoBatches(PTransform):
                 pcoll,
                 f"{key_ddl}, batch_index int, "
                 f"batch array<{sample_field.dataType.simpleString()}>")
-        state_schema = f"buf array<{sample_field.dataType.simpleString()}>"
+        state_schema = (f"buf array<{sample_field.dataType.simpleString()}>,"
+                        f" first_ts bigint")
+        dur_ms, tsc = self._buffering_clock(pcoll)
 
         def fn(key, pdfs: Iterable["pd.DataFrame"], state):
-            buf = list(state.get[0]) if state.exists else []
+            if state.hasTimedOut:
+                # max_buffering_duration expired: flush the partial
+                # batch instead of waiting for batch_size elements
+                buf = list(state.get[0]) if state.exists else []
+                state.remove()
+                if buf:
+                    yield pd.DataFrame(
+                        [{**dict(zip(keys, key)), "batch": buf}])
+                return
+            if state.exists:
+                buf, first_ts = list(state.get[0]), int(state.get[1])
+            else:
+                buf, first_ts = [], 0
             out = []
             for pdf in pdfs:
-                for v in pdf[vcol]:
-                    buf.append(v)
+                ts_ms = ((pdf[tsc].astype("int64")
+                          // 1_000_000).tolist() if tsc
+                         else [0] * len(pdf))
+                for v, t in zip(pdf[vcol], ts_ms):
+                    if not buf:
+                        first_ts = t
+                    buf.append(v.tolist() if hasattr(v, "tolist")
+                               else v)
                     if len(buf) >= n:
                         out.append(buf)
                         buf = []
             # Count-cap semantics: full batches emit immediately; the
-            # remainder waits in state for more input (Beam's
-            # max_buffering_duration flush would need a timeout — with
-            # availableNow triggers processing-time timeouts block
-            # termination, so partial batches deliberately stay buffered).
-            state.update((buf,))
+            # remainder waits in state for more input, or — with
+            # max_buffering_duration — until the watermark passes
+            # first-element-time + duration.
+            if buf:
+                state.update((buf, first_ts))
+                if dur_ms is not None:
+                    wm = state.getCurrentWatermarkMs()
+                    state.setTimeoutTimestamp(
+                        max(first_ts + dur_ms, wm + 1))
+            else:
+                state.remove()
             if out:
                 yield pd.DataFrame(
                     [{**dict(zip(keys, key)), "batch": b} for b in out])
 
         out = (pcoll.df.groupBy(*keys)
-               .applyInPandasWithState(fn, outputStructType=out_schema,
-                                       stateStructType=state_schema,
-                                       outputMode="append",
-                                       timeoutConf=GroupStateTimeout.NoTimeout))
+               .applyInPandasWithState(
+                   fn, outputStructType=out_schema,
+                   stateStructType=state_schema,
+                   outputMode="append",
+                   timeoutConf=(GroupStateTimeout.EventTimeTimeout
+                                if dur_ms is not None
+                                else GroupStateTimeout.NoTimeout)))
         return pcoll.with_df(out)
+
+    def _buffering_clock(self, pcoll: PCollection):
+        """(duration_ms, ts_col) for max_buffering_duration, or
+        (None, None) when the knob is off."""
+        if self.max_buffering_duration is None:
+            return None, None
+        tsc = self.ts_col or pcoll.ts_col
+        if not tsc:
+            raise ValueError(
+                "max_buffering_duration needs an event-time column: "
+                "pass ts_col= or apply WithWatermark upstream (which "
+                "threads it)")
+        return int(self.max_buffering_duration * 1000), tsc
 
     def _expand_streaming_bytes(self, pcoll: PCollection,
                                 out_schema: str) -> PCollection:
@@ -261,7 +329,12 @@ class GroupIntoBatches(PTransform):
         JVM-side with the IDENTICAL expression batch mode uses
         (octet_length(coalesce(cast(v as string), ''))), so the two
         modes cannot diverge on NaN / NULL / array-typed values —
-        Spark's cast, not Python's str(), decides the byte count."""
+        Spark's cast, not Python's str(), decides the byte count.
+
+        With ``max_buffering_duration``, a timeout flush emits the
+        open partial batch and advances the byte cursor to the next
+        budget boundary, so the next element opens a FRESH
+        batch_index — two output rows never share an index."""
         import pandas as pd
         from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -270,21 +343,38 @@ class GroupIntoBatches(PTransform):
         keys = self.key_cols
         sample_field = pcoll.df.schema[vcol]
         state_schema = (f"buf array<{sample_field.dataType.simpleString()}>,"
-                        f" cum bigint, open_cum bigint")
+                        f" cum bigint, open_cum bigint, first_ts bigint")
         sized = pcoll.df.withColumn(
             "__vb", F.octet_length(F.coalesce(
                 F.col(vcol).cast("string"), F.lit(""))).cast("long"))
+        dur_ms, tsc = self._buffering_clock(pcoll)
 
         def fn(key, pdfs: Iterable["pd.DataFrame"], state):
+            if state.hasTimedOut:
+                buf = list(state.get[0]) if state.exists else []
+                cum, open_cum = int(state.get[1]), int(state.get[2])
+                if buf:
+                    # close the open batch early; round the cursor up
+                    # so the next element starts a new batch_index
+                    cum = cum if cum % b == 0 else (cum // b + 1) * b
+                    state.update(([], cum, cum, 0))
+                    yield pd.DataFrame(
+                        [{**dict(zip(keys, key)),
+                          "batch_index": open_cum // b, "batch": buf}])
+                return
             if state.exists:
                 buf = list(state.get[0])
                 cum, open_cum = int(state.get[1]), int(state.get[2])
+                first_ts = int(state.get[3])
             else:
-                buf, cum, open_cum = [], 0, 0
+                buf, cum, open_cum, first_ts = [], 0, 0, 0
             bid_open = open_cum // b if buf else None
             out = []
             for pdf in pdfs:
-                for v, vb in zip(pdf[vcol], pdf["__vb"]):
+                ts_ms = ((pdf[tsc].astype("int64")
+                          // 1_000_000).tolist() if tsc
+                         else [0] * len(pdf))
+                for v, vb, t in zip(pdf[vcol], pdf["__vb"], ts_ms):
                     bid = cum // b
                     if buf and bid != bid_open:
                         out.append((bid_open, buf))
@@ -292,21 +382,28 @@ class GroupIntoBatches(PTransform):
                     if not buf:
                         bid_open = bid
                         open_cum = cum
+                        first_ts = t
                     # numpy values (array<> columns arrive as ndarray)
                     # don't survive the state row's pickle round-trip
                     buf.append(v.tolist() if hasattr(v, "tolist") else v)
                     cum += int(vb)
-            state.update((buf, cum, open_cum))
+            state.update((buf, cum, open_cum, first_ts))
+            if buf and dur_ms is not None:
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(first_ts + dur_ms, wm + 1))
             if out:
                 yield pd.DataFrame(
                     [{**dict(zip(keys, key)), "batch_index": bi,
                       "batch": bt} for bi, bt in out])
 
         out = (sized.groupBy(*keys)
-               .applyInPandasWithState(fn, outputStructType=out_schema,
-                                       stateStructType=state_schema,
-                                       outputMode="append",
-                                       timeoutConf=GroupStateTimeout.NoTimeout))
+               .applyInPandasWithState(
+                   fn, outputStructType=out_schema,
+                   stateStructType=state_schema,
+                   outputMode="append",
+                   timeoutConf=(GroupStateTimeout.EventTimeTimeout
+                                if dur_ms is not None
+                                else GroupStateTimeout.NoTimeout)))
         return pcoll.with_df(out)
 
 

@@ -1530,15 +1530,26 @@ def test_sql_pattern_exclusion(spark):
         )""")).df
     assert one.collect()[0]["n_x"] == 2
 
-    with _pytest.raises(ValueError, match="inside and outside"):
-        ({"s": pc} | SqlTransform("""
-            SELECT n FROM s MATCH_RECOGNIZE (
-              PARTITION BY k
-              ORDER BY i
-              MEASURES COUNT(A.i) AS n
-              PATTERN (A {- A -} B)
-              DEFINE A AS A.t = 'a', B AS B.t = 'b'
-            )"""))
+    # POSITIONAL exclusion (round 10): the same symbol inside AND
+    # outside {- -} no longer rejects — only the excluded OCCURRENCE's
+    # rows are suppressed; measures and CLASSIFIER see every A
+    _ = _pytest  # rejection case removed; keep the import used
+    rows2 = [{"k": 1, "i": i, "t": t} for i, t in
+             enumerate(["a", "a", "b"])]
+    pc2 = Pipeline(spark) | Create(rows2)
+    pos = ({"s": pc2} | SqlTransform("""
+        SELECT i, t, n_a FROM s MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY i
+          MEASURES FINAL COUNT(A.i) AS n_a
+          ALL ROWS PER MATCH
+          PATTERN (A {- A -} B)
+          DEFINE A AS A.t = 'a', B AS B.t = 'b'
+        )""")).df
+    got2 = sorted((r["i"], r["t"], r["n_a"]) for r in pos.collect())
+    # row 1 (the second A occurrence) matched — COUNT(A) = 2 — but
+    # only that occurrence's row is suppressed from output
+    assert got2 == [(0, "a", 2), (2, "b", 2)]
 
 
 def test_streaming_equals_batch_exclusion_final(spark):
@@ -1608,3 +1619,51 @@ def test_streaming_equals_batch_fully_excluded_match(spark):
     assert len(b) == 1
     (row,) = b
     assert row[2] == "b" and row[-1] == 2
+
+
+def test_streaming_equals_batch_positional_exclusion_quantified(spark):
+    """Equivalence script #14: POSITIONAL exclusion composing with
+    PERMUTE and a quantified group — PATTERN
+    ``PERMUTE(A, {- B -}) ({- C -} E){1,2} D``. The B ordering-element
+    and every C occurrence inside the quantified group are excluded
+    (per-occurrence aliases), measures still see B and C by their
+    ORIGINAL names, and the streaming phantom-frontier matcher must
+    agree with batch with the group split across micro-batches."""
+    from beam_spark.operators.cep import ALL_ROWS_PER_MATCH, vectorized
+    from beam_spark.sql_match import parse_pattern_ex
+
+    pattern, excluded, aliases = parse_pattern_ex(
+        "PERMUTE(A, {- B -}) ({- C -} E){1,2} D")
+    assert aliases == {"__excl__B": "B", "__excl__C": "C"}
+
+    cfg = dict(
+        pattern=pattern,
+        defines={s: vectorized(lambda pdf, _t=t: pdf["typ"] == _t)
+                 for s, t in [("A", "a"), ("B", "b"), ("C", "c"),
+                              ("E", "e"), ("D", "d")]},
+        measures={"n_rows": lambda m: len(m),
+                  "n_c": lambda m: sum(1 for s, _ in m if s == "C"),
+                  "n_b": lambda m: sum(1 for s, _ in m if s == "B")},
+        schema="t timestamp, u long, typ string, v long, "
+               "n_rows long, n_c long, n_b long",
+        rows_per_match=ALL_ROWS_PER_MATCH,
+        exclude_symbols=excluded,
+        symbol_aliases=aliases)
+    batches = [
+        [{"t": "2024-01-01 00:00:10", "u": 1, "typ": "b", "v": 0},
+         {"t": "2024-01-01 00:00:20", "u": 1, "typ": "a", "v": 1}],
+        [{"t": "2024-01-01 00:00:30", "u": 1, "typ": "c", "v": 2},
+         {"t": "2024-01-01 00:00:40", "u": 1, "typ": "e", "v": 3}],
+        [{"t": "2024-01-01 00:00:50", "u": 1, "typ": "c", "v": 4},
+         {"t": "2024-01-01 00:01:00", "u": 1, "typ": "e", "v": 5}],
+        [{"t": "2024-01-01 00:01:10", "u": 1, "typ": "d", "v": 6}],
+        [{"t": "2024-01-01 00:10:00", "u": 1, "typ": "z", "v": 0}],
+        [{"t": "2024-01-01 00:20:00", "u": 1, "typ": "z", "v": 0}],
+    ]
+    s, b = _stream_vs_batch(spark, batches, **cfg)
+    assert s == b
+    # match = B@0 A@1 C@2 E@3 C@4 E@5 D@6 (7 rows, 2 C's, 1 B);
+    # emitted: only the non-excluded occurrences, original names
+    emitted = sorted((r[2], r[4], r[5], r[6], r[7]) for r in b)
+    assert emitted == [("a", 7, 2, 1, "A"), ("d", 7, 2, 1, "D"),
+                       ("e", 7, 2, 1, "E"), ("e", 7, 2, 1, "E")]

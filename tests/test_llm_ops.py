@@ -1734,3 +1734,48 @@ def test_ann_query_collect_capped(spark):
     ok = (PCollection(emb) | BruteForceCosineTopK(
         emb.limit(5), k=3, query_max_rows=10)).df
     assert ok.where("rank = 1").count() == 5
+
+
+def test_fellegi_sunter_em_recovers_params(spark):
+    """EM on pairs with planted structure: 200 true-match pairs agree
+    on both fields ~90% of the time, 800 non-match pairs ~15% — the
+    estimated m must exceed u decisively, p must sit near the true
+    match fraction (0.2), and the weights must feed straight into
+    RecordLinkageScore. Validation errors covered."""
+    import pytest as _pytest
+
+    from beam_spark.operators.dedupe import FellegiSunterEM
+
+    # deterministic synthetic: id-hash decides agreement, no RNG
+    rows, pairs = [], []
+    rid = 0
+    for pidx in range(1000):
+        match = pidx < 200
+        h1, h2 = (pidx * 7919) % 100, (pidx * 104729) % 100
+        agree1 = h1 < (90 if match else 15)
+        agree2 = h2 < (90 if match else 15)
+        a, b = rid, rid + 1
+        rid += 2
+        rows += [(a, f"x{pidx}", f"y{pidx}"),
+                 (b, f"x{pidx}" if agree1 else f"X{pidx}",
+                  f"y{pidx}" if agree2 else f"Y{pidx}")]
+        pairs.append((a, b))
+    recs = spark.createDataFrame(rows, "doc_id long, fa string, fb string")
+    pdf = spark.createDataFrame(pairs, "i long, j long")
+
+    out = {r["field"]: r for r in
+           (PCollection(pdf) | FellegiSunterEM(
+               recs, ["fa", "fb"], iterations=20)).df.collect()}
+    for f in ("fa", "fb"):
+        assert out[f]["m"] > 0.7 > 0.3 > out[f]["u"], out[f]
+        assert out[f]["w_agree"] > 0 > out[f]["w_disagree"]
+    assert abs(out["fa"]["p"] - 0.2) < 0.08, out["fa"]["p"]
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        FellegiSunterEM(recs, [])
+    with _pytest.raises(ValueError, match="cap"):
+        FellegiSunterEM(recs, [f"c{i}" for i in range(9)])
+    with _pytest.raises(ValueError, match="init_u"):
+        FellegiSunterEM(recs, ["fa"], init_m=0.1, init_u=0.9)
+    with _pytest.raises(ValueError, match="iterations"):
+        FellegiSunterEM(recs, ["fa"], iterations=0)

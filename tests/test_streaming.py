@@ -986,3 +986,70 @@ def test_group_into_batches_bytes_nan_and_arrays_match_batch(spark, tmp_path):
     # the stream's trailing partial batch stays in state
     assert s2 == b2_full[:len(s2)]
     assert len(s2) >= 1
+
+
+def test_group_into_batches_max_buffering_duration_count(spark):
+    """Beam's withMaxBufferingDuration (util.py:1936-2149): a partial
+    batch flushes once the watermark passes first-buffered-element
+    time + duration, instead of waiting forever for batch_size
+    elements. Full batches keep the batch-mode boundary rule."""
+    import pytest as _pytest
+
+    from beam_spark.pcollection import PCollection
+    from beam_spark.streaming.core import (GroupIntoBatches, TestStream,
+                                           WithWatermark,
+                                           WriteStreamToMemory)
+
+    ts = TestStream(spark, "t timestamp, k string, v string")
+    # batch 1: 4 elements for u -> one full batch of 3 + 1 buffered
+    # (timeout armed at 00:00:04 + 5s = 00:00:09)
+    ts.add_elements([{"t": f"2024-01-01 00:00:0{i}", "k": "u",
+                      "v": f"v{i}"} for i in (1, 2, 3, 4)])
+    # batch 2 advances the watermark to 00:00:59 (delay 1s)...
+    ts.add_elements([{"t": "2024-01-01 00:01:00", "k": "w", "v": "x"}])
+    # ...batch 3 runs WITH that watermark -> u's timeout fires
+    ts.add_elements([{"t": "2024-01-01 00:02:00", "k": "w2", "v": "y"}])
+    out = (ts.stream()
+           | WithWatermark("t", "1 seconds")
+           | GroupIntoBatches("k", 3, "v", max_buffering_duration=5.0)
+           | WriteStreamToMemory(output_mode="append"))
+    u_rows = sorted(list(r["batch"]) for r in out.collect()
+                    if r["k"] == "u")
+    assert u_rows == [["v1", "v2", "v3"], ["v4"]]
+
+    # knob validation: needs an event-time column, positive duration
+    with _pytest.raises(ValueError, match="event-time"):
+        (ts.stream() | GroupIntoBatches(
+            "k", 3, "v", max_buffering_duration=5.0))
+    with _pytest.raises(ValueError, match="> 0"):
+        GroupIntoBatches("k", 3, "v", max_buffering_duration=0)
+
+
+def test_group_into_batches_max_buffering_duration_bytes(spark):
+    """Byte mode + max_buffering_duration: the timeout flush closes
+    the open batch_index early and advances the byte cursor to the
+    next budget boundary, so the next element opens a FRESH
+    batch_index — no two output rows share one."""
+    from beam_spark.pcollection import PCollection
+    from beam_spark.streaming.core import (GroupIntoBatches, TestStream,
+                                           WithWatermark,
+                                           WriteStreamToMemory)
+
+    ts = TestStream(spark, "t timestamp, k string, v string")
+    ts.add_elements([{"t": "2024-01-01 00:00:01", "k": "u",
+                      "v": "aaaaaa"}])                       # 6 bytes, bid 0
+    ts.add_elements([{"t": "2024-01-01 00:01:00", "k": "w", "v": "x"}])
+    ts.add_elements([{"t": "2024-01-01 00:02:00", "k": "w2", "v": "y"}])
+    # after u's flush the cursor rounds 6 -> 10; this opens bid 1
+    ts.add_elements([{"t": "2024-01-01 00:03:00", "k": "u",
+                      "v": "dddddd"}])
+    ts.add_elements([{"t": "2024-01-01 00:04:00", "k": "w3", "v": "z"}])
+    ts.add_elements([{"t": "2024-01-01 00:05:00", "k": "w4", "v": "q"}])
+    out = (ts.stream()
+           | WithWatermark("t", "1 seconds")
+           | GroupIntoBatches("k", None, "v", max_bytes=10,
+                              max_buffering_duration=5.0)
+           | WriteStreamToMemory(output_mode="append"))
+    u_rows = sorted((r["batch_index"], list(r["batch"]))
+                    for r in out.collect() if r["k"] == "u")
+    assert u_rows == [(0, ["aaaaaa"]), (1, ["dddddd"])]
