@@ -551,6 +551,18 @@ class SeasonalDecompose(PTransform):
     event order mod period), so the series should be gap-free at the
     period's cadence (run GapFill first for sparse series).
 
+    ``robust=True`` (the STL robustness goal without LOESS,
+    Cleveland et al. 1990 §3's outlier concern): the trend becomes a
+    centered RUNNING MEDIAN over the same window (which is always
+    ODD width — period, or period+1 when even — so the median is an
+    exact order statistic, no interpolation) and the per-phase
+    seasonal effect becomes the MEDIAN of the detrended values at
+    that phase; centering (so seasonal sums to ~0) stays a mean. A
+    single spike then perturbs neither the trend near it nor its
+    phase's seasonal — the breakdown-point argument that LOESS-with-
+    robustness-weights buys, at one window pass instead of iterated
+    local regressions.
+
     Scale: one key-partitioned frame window for the trend, one
     (key, phase) aggregation + one key aggregation for the seasonal
     means, joined back — all JVM-side, shuffles keyed on the key.
@@ -561,7 +573,7 @@ class SeasonalDecompose(PTransform):
     """
 
     def __init__(self, col: str, period: int, keys,
-                 order_by, label=None):
+                 order_by, robust: bool = False, label=None):
         super().__init__(label)
         if period < 2:
             raise ValueError("period must be >= 2")
@@ -569,6 +581,7 @@ class SeasonalDecompose(PTransform):
         self.keys = [keys] if isinstance(keys, str) else list(keys)
         self.order_by = ([order_by] if isinstance(order_by, str)
                          else list(order_by))
+        self.robust = bool(robust)
 
     def expand(self, pcoll: PCollection) -> PCollection:
         from pyspark.sql import Window
@@ -578,7 +591,17 @@ class SeasonalDecompose(PTransform):
         w = Window.partitionBy(*keys).orderBy(*ob)
         half = p // 2
         frame = w.rowsBetween(-half, half)
-        if p % 2 == 0:
+        need = p + 1 if p % 2 == 0 else p   # window width (always odd)
+        if self.robust:
+            # running median over the same centered window — exact
+            # middle order statistic (odd width), no interpolation.
+            # percentile(0.5), not median(): Spark rejects median
+            # over a framed window spec
+            trend = F.when(
+                F.count(v).over(frame) == need,
+                F.expr(f"percentile(CAST({self.col} AS DOUBLE), 0.5)")
+                .over(frame))
+        elif p % 2 == 0:
             # 2xMA: half-weight endpoints
             trend = F.when(
                 F.count(v).over(frame) == p + 1,
@@ -593,8 +616,10 @@ class SeasonalDecompose(PTransform):
                           (F.row_number().over(w) - 1) % p)
               .withColumn("__trend", trend)
               .withColumn("__detr", v - F.col("__trend")))
+        ph_stat = (F.median("__detr") if self.robust
+                   else F.avg("__detr"))
         ph = (df.groupBy(*keys, "__phase")
-              .agg(F.avg("__detr").alias("__s_raw")))
+              .agg(ph_stat.alias("__s_raw")))
         ctr = (ph.groupBy(*keys)
                .agg(F.avg("__s_raw").alias("__s_mean")))
         out = (df.join(ph, on=[*keys, "__phase"])

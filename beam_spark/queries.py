@@ -2382,6 +2382,44 @@ def q_seasonal_decompose(spark, sf_dir):
                       "remainder")
 
 
+@query("q_ts_seasonal_robust", """
+WITH r AS (
+  SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) - 1 AS rn
+  FROM events),
+t AS (
+  SELECT user_id, event_id, v, rn % 7 AS phase,
+         CASE WHEN count(v) OVER w = 7
+              THEN median(v) OVER w END AS trend
+  FROM r WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+s AS (SELECT user_id, phase, median(v - trend) AS s_raw
+      FROM t GROUP BY user_id, phase),
+m AS (SELECT user_id, avg(s_raw) AS s_mean FROM s GROUP BY user_id)
+SELECT t.user_id, t.event_id,
+       round(t.trend, 6) AS trend,
+       round(s.s_raw - m.s_mean, 6) AS seasonal,
+       round(t.v - t.trend - (s.s_raw - m.s_mean), 6) AS remainder
+FROM t JOIN s ON t.user_id = s.user_id AND t.phase = s.phase
+       JOIN m ON t.user_id = m.user_id
+""")
+def q_seasonal_decompose_robust(spark, sf_dir):
+    """ROBUST decomposition (period 7): running-MEDIAN trend over the
+    same odd-width centered window (exact order statistic — count 7,
+    no interpolation) and phase-MEDIAN seasonal, mean-centered —
+    DuckDB replays both medians; round 6 absorbs the even-group
+    median interpolation and group-mean order differences."""
+    from beam_spark.operators.stats import SeasonalDecompose
+
+    ev = table(spark, sf_dir, "events")
+    out = (ev | SeasonalDecompose("value", period=7, keys="user_id",
+                                  order_by=["ts", "event_id"],
+                                  robust=True)).df
+    return out.select("user_id", "event_id", "trend", "seasonal",
+                      "remainder")
+
+
 @query("q_ts_cusum", """
 WITH RECURSIVE r AS (
   SELECT user_id, event_id, value,

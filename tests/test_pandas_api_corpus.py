@@ -470,6 +470,66 @@ def _iloc_setitem(t):
 #                        Spark timestamps where pandas yields True
 #   rolling_count:       rolling(n).count() defaults min_periods=0
 #                        (pandas emits NaN below the window width)
+CASES += [
+    # ---- round-10 widening: element-wise combine, categorical
+    # reorder/rename, ewm, dedup/top-n frames, misc series ----
+    ("cat_codes", lambda t: t["c"].c_mktsegment
+     .astype("category").cat.codes),
+    ("cat_reorder_codes", lambda t: t["c"].c_mktsegment
+     .astype("category").cat.reorder_categories(
+         sorted(["BUILDING", "AUTOMOBILE", "MACHINERY",
+                 "HOUSEHOLD", "FURNITURE"], reverse=True)).cat.codes),
+    ("cat_add_remove_codes", lambda t: t["c"].c_mktsegment
+     .astype("category").cat.add_categories(["ZZ"])
+     .cat.remove_categories(["ZZ"]).cat.codes),
+    ("cat_rename_codes", lambda t: t["c"].c_mktsegment
+     .astype("category").cat.rename_categories(
+         lambda c: c[:2]).astype("string")),
+    ("ewm_mean_sorted", lambda t: t["c"].sort_values("c_custkey")
+     .set_index("c_custkey").c_acctbal.ewm(alpha=0.5).mean()),
+    ("clip_lower_only", lambda t: t["c"].c_acctbal.clip(lower=0)),
+    ("ser_duplicated_sum", lambda t: int(
+        t["c"].c_mktsegment.duplicated().sum())),
+    ("frame_dedup_keep_last_sorted", lambda t: t["c"]
+     .sort_values("c_custkey").drop_duplicates(
+         subset=["c_mktsegment"], keep="last")
+     [["c_mktsegment", "c_custkey"]]),
+    ("frame_nlargest_unique_key", lambda t: t["o"]
+     .nlargest(7, "o_orderkey")[["o_orderkey", "o_totalprice"]]),
+    ("frame_nsmallest_unique_key", lambda t: t["o"]
+     .nsmallest(7, "o_orderkey")[["o_orderkey", "o_totalprice"]]),
+    ("ser_mode", lambda t: t["o"].o_orderstatus.mode()),
+    ("value_counts_normalized", lambda t: t["c"].c_mktsegment
+     .value_counts(normalize=True)),
+    ("ser_truncate_sorted", lambda t: t["c"].sort_values("c_custkey")
+     .set_index("c_custkey").c_acctbal.truncate(before=10, after=20)),
+    ("pct_change_sorted", lambda t: t["c"].sort_values("c_custkey")
+     .set_index("c_custkey").c_acctbal.pct_change()),
+    ("ser_autocorr", lambda t: float(
+        t["c"].sort_values("c_custkey").c_acctbal.autocorr())),
+    # factorize returns ndarray (pd) vs Series (ps) — canonicalize to
+    # a sorted code tuple via to_numpy(); sort=True pins the label
+    # order on both
+    ("ser_factorize_sorted", lambda t: tuple(sorted(
+        int(x) for x in t["c"].sort_values("c_custkey")
+        .c_mktsegment.factorize(sort=True)[0].to_numpy()))
+     if hasattr(t["c"], "to_pandas") else tuple(sorted(
+         int(x) for x in t["c"].sort_values("c_custkey")
+         .c_mktsegment.factorize(sort=True)[0]))),
+]
+
+
+def _interval_mid_after_cut(t):
+    frame = t["c"]
+    if hasattr(frame, "to_pandas"):       # pandas-on-Spark
+        import pyspark.pandas as pp
+        ivs = pp.cut(frame.c_acctbal, [-10000, 0, 10000])
+    else:
+        ivs = pd.cut(frame.c_acctbal, [-10000, 0, 10000])
+    # interval accessor use: the dtype itself is the divergence
+    return ivs.apply(lambda iv: iv.mid)
+
+
 DIVERGENT_RAISES = [
     ("ser_rank_pct", lambda t: t["o"].o_orderkey.rank(pct=True)),
     ("dt_plus_timedelta", lambda t: (
@@ -494,6 +554,12 @@ DIVERGENT_RAISES = [
         ["o_orderstatus", "o_orderpriority"]).reorder_levels([1, 0])
      [["o_orderkey"]].reset_index()),
     ("cut_bins", _cut_bins),
+    # round-10: Series.combine (element-wise with a python reducer)
+    # and INTERVAL dtypes (pd.cut output accessors) are unimplemented
+    # in ps — interval columns stay a pandas-only dtype
+    ("ser_combine_reducer", lambda t: t["c"].c_acctbal.combine(
+        t["c"].c_custkey.astype("float64"), max)),
+    ("interval_mid_after_cut", _interval_mid_after_cut),
 ]
 
 DIVERGENT_VALUES = [
@@ -505,6 +571,12 @@ DIVERGENT_VALUES = [
     # pandas by the category labels
     ("category_value_counts_index", lambda t: t["o"].o_orderstatus
      .astype("category").value_counts().reset_index()),
+    # round-10: ps combine_first never fills the calling series' NaNs
+    # when both operands derive from the same anchor frame — the
+    # masked slots stay null where pandas takes the other's value
+    ("ser_combine_first_same_anchor", lambda t: t["c"].c_acctbal
+     .where(t["c"].c_acctbal > 0)
+     .combine_first(t["c"].c_acctbal * 0.0)),
 ]
 
 
@@ -564,6 +636,6 @@ def test_divergent_ops_differ(ns, name, fn):
 
 
 def test_corpus_size():
-    """The round-6 widened conformance sweep covers >= 150 op families
-    beyond tests/test_pandas_api.py."""
-    assert len(CASES) + len(DIVERGENT_RAISES) + len(DIVERGENT_VALUES) >= 150
+    """The round-10 widened conformance sweep covers >= 200 op
+    families beyond tests/test_pandas_api.py."""
+    assert len(CASES) + len(DIVERGENT_RAISES) + len(DIVERGENT_VALUES) >= 200

@@ -385,3 +385,44 @@ def test_holt_winters_multiplicative(spark):
             mode="multiplicative")).df.collect()
     with _pytest.raises(ValueError, match="mode"):
         HoltWinters("v", 0.5, 0.25, 0.25, 4, "k", "i", mode="loglog")
+
+
+def test_seasonal_decompose_robust_ignores_spike(spark):
+    """robust=True: a single 1000x spike leaves the median trend and
+    the phase-median seasonal untouched at every row whose window /
+    phase group doesn't have the spike as its middle statistic —
+    whereas classical mode smears the spike across a full period of
+    trend values. This is the STL robustness property delivered via
+    running medians instead of LOESS weight iterations."""
+    from beam_spark.operators.stats import SeasonalDecompose
+    from beam_spark.pcollection import PCollection
+
+    season = [3.0, -1.0, -2.0]
+    base = [(i, 10.0 + season[i % 3]) for i in range(30)]
+    spiked = [(i, v if i != 15 else 1000.0) for i, v in base]
+
+    def run(rows, robust):
+        df = spark.createDataFrame([("k", i, v) for i, v in rows],
+                                   "k string, i long, v double")
+        out = (PCollection(df) | SeasonalDecompose(
+            "v", period=3, keys="k", order_by="i", robust=robust)).df
+        return {r["i"]: (r["trend"], r["seasonal"]) for r in out.collect()}
+
+    clean = run(base, robust=True)
+    dirty = run(spiked, robust=True)
+    # median trend: every window NOT containing the spike (only
+    # i=14..16 contain row 15) is bit-identical to the clean run
+    for i in range(1, 29):
+        if i not in (14, 15, 16):
+            assert dirty[i][0] == clean[i][0], i
+    # even in the spike windows the median stays inside the signal's
+    # order statistics (another clean value), never near 1000
+    for i in (14, 15, 16):
+        assert dirty[i][0] is not None and abs(dirty[i][0]) < 20
+    # phase medians: one outlier among ~10 phase values moves the
+    # median at most to a neighboring order statistic
+    for i in range(30):
+        assert abs(dirty[i][1] - clean[i][1]) < 2.0, i
+    # classical mode, by contrast, drags the MA trend by ~spike/period
+    dirty_cls = run(spiked, robust=False)
+    assert abs(dirty_cls[15][0] - 10.0) > 100
