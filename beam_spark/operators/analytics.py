@@ -65,3 +65,96 @@ ANALYTIC_FUNCTIONS = {
     "last_value": F.last,
     "nth_value": F.nth_value,
 }
+
+
+class Funnel(PTransform):
+    """Ordered-step funnel analysis over an event stream — the
+    conversion report (view -> click -> purchase) of product/event
+    analytics, built as chained earliest-completion joins.
+
+    Per key, step 1 completes at the key's MINIMUM matching
+    timestamp; step i completes at the minimum matching timestamp
+    STRICTLY AFTER step i-1's completion; with ``within`` (seconds),
+    every later step must also land inside the window anchored at
+    the key's step-1 time (the standard "conversion window"
+    definition). Ties at the same timestamp do NOT advance the
+    funnel (strict >), so one event can never complete two steps.
+
+    Output: one row per step — (step int, step_name, users,
+    conv_from_first = users / step1_users, conv_from_prev), rounded
+    to 6 dp. Keys with no step-1 event simply don't count.
+
+    Scale: one filtered min-aggregation per step plus a key-equi-join
+    against the previous step's completions — k-1 joins for k steps,
+    each shuffled on the key, no Python, no windows over the full
+    stream. The per-step frames are completion times only (one row
+    per key), so every join's build side shrinks monotonically down
+    the funnel.
+    """
+
+    def __init__(self, steps, event_col: str = "event_type",
+                 ts_col: str = "ts", keys="user_id",
+                 within: float | None = None, label=None):
+        super().__init__(label)
+        self.steps = list(steps)
+        if len(self.steps) < 2:
+            raise ValueError("a funnel needs >= 2 steps")
+        if len(set(self.steps)) != len(self.steps):
+            raise ValueError("funnel steps must be distinct")
+        self.event_col, self.ts_col = event_col, ts_col
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        self.within = None if within is None else float(within)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        ec, tc, keys = self.event_col, self.ts_col, self.keys
+        df = pcoll.df
+
+        cur = (df.where(F.col(ec) == self.steps[0])
+               .groupBy(*keys).agg(F.min(tc).alias("__t1")))
+        if self.within is not None:
+            cur = cur.withColumn(
+                "__limit",
+                F.col("__t1") + F.expr(
+                    f"INTERVAL {self.within} SECONDS"))
+        prev_col = "__t1"
+
+        def count_frame(frame, i, name):
+            return frame.agg(
+                F.lit(i).cast("int").alias("step"),
+                F.lit(name).alias("step_name"),
+                F.count(F.lit(1)).alias("users"))
+
+        stats = count_frame(cur, 1, self.steps[0])
+        for i, step in enumerate(self.steps[1:], start=2):
+            ev = (df.where(F.col(ec) == step)
+                  .select(*keys, F.col(tc).alias("__ts")))
+            j = ev.join(cur, on=keys).where(
+                F.col("__ts") > F.col(prev_col))
+            if self.within is not None:
+                j = j.where(F.col("__ts") <= F.col("__limit"))
+            agg_cols = [F.min("__ts").alias(f"__t{i}"),
+                        F.first("__t1").alias("__t1")]
+            if self.within is not None:
+                agg_cols.append(F.first("__limit").alias("__limit"))
+            cur = j.groupBy(*keys).agg(*agg_cols)
+            stats = stats.unionByName(count_frame(cur, i, step))
+            prev_col = f"__t{i}"
+
+        # the stats frame is k rows — a single-partition window over
+        # it is free, and keeps the whole report lazy (one job)
+        w = Window.orderBy("step").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)
+        out = (stats
+               .withColumn("__base", F.first("users").over(w))
+               .withColumn("__prev", F.coalesce(
+                   F.lag("users").over(Window.orderBy("step")),
+                   F.col("users")))
+               .select("step", "step_name",
+                       F.col("users").cast("long").alias("users"),
+                       F.round(F.col("users") / F.col("__base"), 6)
+                       .alias("conv_from_first"),
+                       F.round(F.col("users") / F.col("__prev"), 6)
+                       .alias("conv_from_prev")))
+        return pcoll.with_df(out)

@@ -265,3 +265,96 @@ class ShortestPaths(PTransform):
             if changed == 0:
                 break
         return pcoll.with_df(dist)
+
+
+class TriangleCount(PTransform):
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected edge list (src, dst) — the density/cohesion signal of
+    link-graph curation (spam farms and boilerplate link rings show
+    extreme clustering; social/web analytics' standard motif).
+
+    Algorithm (the degree-ordered orientation of Schank & Wagner 2005
+    / Suri & Vassilvitskii's MapReduce formulation): normalize to
+    canonical undirected edges, orient each edge from its
+    lower-(degree, node) endpoint to the higher one, then one
+    self-join of the oriented list on the source produces each
+    wedge (u -> v, u -> w) EXACTLY once per potential triangle apex,
+    and a semi-join against the oriented edges confirms (v, w).
+    Every triangle is found exactly once.
+
+    Scale: orientation bounds each node's out-degree by O(sqrt(m)) on
+    any graph (a node of degree d only keeps edges to HIGHER-degree
+    neighbors, and there can be at most ~2m/d of those), so the wedge
+    join is sum(out_deg^2) <= O(m^1.5) instead of sum(deg^2) — the
+    hub-killer that makes triangle counting feasible on power-law web
+    graphs. Joins are all equi-joins on node keys; no Python.
+
+    Output: (node, triangles, degree, clustering) for every node with
+    degree >= 1, clustering = 2*T / (deg*(deg-1)) (0 when deg < 2).
+    """
+
+    def __init__(self, src: str = "src", dst: str = "dst", label=None):
+        super().__init__(label)
+        self.src, self.dst = src, dst
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        s, d = self.src, self.dst
+        # canonical undirected simple edges: no self-loops, one row
+        # per unordered pair
+        und = (pcoll.df
+               .select(F.least(F.col(s), F.col(d)).alias("a"),
+                       F.greatest(F.col(s), F.col(d)).alias("b"))
+               .where(F.col("a") != F.col("b"))
+               .distinct())
+        deg = (und.select(F.col("a").alias("node"))
+               .unionAll(und.select(F.col("b").alias("node")))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+        da = deg.select(F.col("node").alias("a"),
+                        F.col("deg").alias("da"))
+        db = deg.select(F.col("node").alias("b"),
+                        F.col("deg").alias("db"))
+        # orient low (degree, node) -> high: out-degree O(sqrt(m))
+        oriented = (und.join(da, "a").join(db, "b")
+                    .select(
+                        F.when((F.col("da") < F.col("db"))
+                               | ((F.col("da") == F.col("db"))
+                                  & (F.col("a") < F.col("b"))),
+                               F.col("a")).otherwise(F.col("b"))
+                        .alias("u"),
+                        F.when((F.col("da") < F.col("db"))
+                               | ((F.col("da") == F.col("db"))
+                                  & (F.col("a") < F.col("b"))),
+                               F.col("b")).otherwise(F.col("a"))
+                        .alias("v")))
+        e1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+        e2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+        wedges = (e1.join(e2, "u").where(F.col("x") < F.col("y")))
+        closer = oriented.select(F.col("u").alias("x"),
+                                 F.col("v").alias("y"))
+        # a wedge (u; x, y) closes iff oriented edge (x, y) exists —
+        # x < y and orientation is a total order, so one direction
+        # suffices... except orientation orders by (degree, node),
+        # not by node id: check BOTH oriented directions
+        closer2 = oriented.select(F.col("v").alias("x"),
+                                  F.col("u").alias("y"))
+        tri = (wedges.join(closer.unionAll(closer2).distinct(),
+                           ["x", "y"], "inner")
+               .select("u", "x", "y"))
+        per_node = (tri.select(F.col("u").alias("node"))
+                    .unionAll(tri.select(F.col("x").alias("node")))
+                    .unionAll(tri.select(F.col("y").alias("node")))
+                    .groupBy("node")
+                    .agg(F.count(F.lit(1)).alias("triangles")))
+        out = (deg.join(per_node, "node", "left")
+               .select(
+                   "node",
+                   F.coalesce("triangles", F.lit(0)).cast("long")
+                   .alias("triangles"),
+                   F.col("deg").cast("long").alias("degree"),
+                   F.round(
+                       F.when(F.col("deg") >= 2,
+                              2.0 * F.coalesce("triangles", F.lit(0))
+                              / (F.col("deg")
+                                 * (F.col("deg") - F.lit(1))))
+                       .otherwise(F.lit(0.0)), 6).alias("clustering")))
+        return pcoll.with_df(out)

@@ -547,3 +547,63 @@ class CurriculumBuckets(PTransform):
                         F.lit(n)).otherwise(bucket)
         return pcoll.with_df(
             out.withColumn(self.out_col, bucket).drop("__cb"))
+
+
+class BenfordProfile(PTransform):
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated-/synthetic-data smell test for financial or
+    naturally-scaled columns (Nigrini 2012). Real multi-magnitude
+    data follows P(d) = log10(1 + 1/d); generator artifacts (uniform
+    sampling, truncation, copy-paste) show up as flat or spiked digit
+    histograms.
+
+    The first digit is taken from the DECIMAL string form of |x|
+    (first [1-9] character) — not from floor(x / 10^floor(log10 x)),
+    whose log10 lands on 2.999... at exact powers of ten and yields
+    digit 10. Zero/NULL rows are excluded (no first significant
+    digit).
+
+    Output: one row per digit 1..9 — (digit, n, freq, expected,
+    chi2_term) with chi2_term = n_total * (freq - expected)^2 /
+    expected (sum the column for the Pearson statistic; > ~20 on 8
+    degrees of freedom is a strong deviation). Digits with zero rows
+    still appear (n = 0).
+
+    Scale: one scan + one 9-group aggregation; pure expressions.
+    """
+
+    def __init__(self, col: str, label=None):
+        super().__init__(label)
+        self.col = col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        import math
+
+        c = self.col
+        spark = pcoll.df.sparkSession
+        digit = F.regexp_extract(
+            F.abs(F.col(c).cast("decimal(28, 6)")).cast("string"),
+            "[1-9]", 0)
+        counted = (pcoll.df
+                   .where(F.col(c).isNotNull())
+                   .select(digit.alias("d"))
+                   .where(F.col("d") != "")
+                   .groupBy("d")
+                   .agg(F.count(F.lit(1)).alias("n")))
+        digits = spark.range(1, 10).select(
+            F.col("id").cast("string").alias("d"))
+        full = (digits.join(counted, "d", "left")
+                .select(F.col("d").cast("int").alias("digit"),
+                        F.coalesce("n", F.lit(0)).alias("n")))
+        tot = full.agg(F.sum("n").alias("__t"))
+        exp_expr = F.log10(1.0 + 1.0 / F.col("digit"))
+        out = (full.crossJoin(F.broadcast(tot))
+               .select(
+                   "digit",
+                   F.col("n").cast("long").alias("n"),
+                   F.round(F.col("n") / F.col("__t"), 6).alias("freq"),
+                   F.round(exp_expr, 6).alias("expected"),
+                   F.round(F.col("__t")
+                           * F.pow(F.col("n") / F.col("__t") - exp_expr, 2)
+                           / exp_expr, 6).alias("chi2_term")))
+        return pcoll.with_df(out)

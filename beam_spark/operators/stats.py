@@ -756,3 +756,60 @@ class HoltWinters(PTransform):
 
         out = pcoll.df.groupBy(*self.keys).applyInPandas(fn, schema)
         return pcoll.with_df(out)
+
+
+class Acf(PTransform):
+    """Per-key sample autocorrelation function at lags 1..``lags``
+    (the standard biased estimator, Box & Jenkins):
+
+        r_l = sum_{t>l} (x_t - mean)(x_{t-l} - mean)
+              / sum_t (x_t - mean)^2
+
+    — seasonality/memory detection for event-value series (pick the
+    Holt-Winters / SeasonalDecompose period from the ACF peaks).
+    NULL values are dropped before ordering (the series should be
+    gap-free at its cadence; GapFill first for strict-lag semantics).
+    Constant series (zero denominator) yield NULL acf.
+
+    Scale: one per-key mean aggregation joined back, one window pass
+    producing all ``lags`` shifted columns, one aggregation computing
+    the denominator and every numerator together — two shuffles total
+    regardless of the lag count, all JVM expressions.
+
+    Output: one row per (key, lag): keys + (lag int, acf double
+    rounded 6).
+    """
+
+    def __init__(self, col: str, lags: int, keys, order_by, label=None):
+        super().__init__(label)
+        if int(lags) < 1:
+            raise ValueError("lags must be >= 1")
+        self.col, self.lags = col, int(lags)
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        self.order_by = ([order_by] if isinstance(order_by, str)
+                         else list(order_by))
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        keys, ob, L = self.keys, self.order_by, self.lags
+        v = F.col(self.col).cast("double")
+        base = pcoll.df.where(F.col(self.col).isNotNull())
+        mu = base.groupBy(*keys).agg(F.avg(v).alias("__mu"))
+        w = Window.partitionBy(*keys).orderBy(*ob)
+        d = base.join(mu, on=keys)
+        for lag in range(1, L + 1):
+            d = d.withColumn(f"__l{lag}", F.lag(v, lag).over(w))
+        aggs = [F.sum((v - F.col("__mu")) * (v - F.col("__mu")))
+                .alias("__den")]
+        for lag in range(1, L + 1):
+            aggs.append(F.sum((v - F.col("__mu"))
+                              * (F.col(f"__l{lag}") - F.col("__mu")))
+                        .alias(f"__n{lag}"))
+        g = d.groupBy(*keys).agg(*aggs)
+        pairs = ", ".join(
+            f"{lag}, CASE WHEN __den <> 0 THEN round(__n{lag} / __den, 6)"
+            f" END" for lag in range(1, L + 1))
+        out = (g.select(*keys, F.expr(
+            f"stack({L}, {pairs}) AS (lag, acf)")))
+        return pcoll.with_df(out)

@@ -2382,6 +2382,88 @@ def q_seasonal_decompose(spark, sf_dir):
                       "remainder")
 
 
+@query("q_funnel_view_click_purchase", """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM events e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM events e JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t
+       GROUP BY e.user_id),
+u AS (SELECT 1 AS step, 'view' AS step_name,
+             CAST(count(*) AS BIGINT) AS users FROM s1
+      UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+      UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3)
+SELECT step, step_name, users,
+       round(CAST(users AS DOUBLE)
+             / first_value(users) OVER (ORDER BY step), 6)
+       AS conv_from_first,
+       round(CAST(users AS DOUBLE)
+             / coalesce(lag(users) OVER (ORDER BY step), users), 6)
+       AS conv_from_prev
+FROM u
+""")
+def q_funnel(spark, sf_dir):
+    """view -> click -> purchase funnel per user: each step completes
+    at the earliest matching event STRICTLY AFTER the previous step's
+    completion; DuckDB replays the chained earliest-completion joins
+    and the conversion ratios (counts exact; ratios round 6)."""
+    from beam_spark.operators.analytics import Funnel
+
+    ev = table(spark, sf_dir, "events")
+    out = (ev | Funnel(["view", "click", "purchase"])).df
+    return out.select("step", "step_name", "users",
+                      "conv_from_first", "conv_from_prev")
+
+
+@query("q_ts_acf", """
+WITH x AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL),
+m AS (SELECT user_id, avg(v) AS mu FROM x GROUP BY user_id),
+l AS (
+  SELECT x.user_id, v, mu,
+         lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+         lag(v, 3) OVER w AS l3, lag(v, 4) OVER w AS l4,
+         lag(v, 5) OVER w AS l5
+  FROM x JOIN m ON x.user_id = m.user_id
+  WINDOW w AS (PARTITION BY x.user_id ORDER BY rn)),
+a AS (
+  SELECT user_id, sum((v - mu) * (v - mu)) AS den,
+         sum((v - mu) * (l1 - mu)) AS n1,
+         sum((v - mu) * (l2 - mu)) AS n2,
+         sum((v - mu) * (l3 - mu)) AS n3,
+         sum((v - mu) * (l4 - mu)) AS n4,
+         sum((v - mu) * (l5 - mu)) AS n5
+  FROM l GROUP BY user_id)
+SELECT user_id, lag,
+       CASE WHEN den <> 0 THEN round(n / den, 6) END AS acf
+FROM (SELECT user_id, 1 AS lag, n1 AS n, den FROM a
+      UNION ALL SELECT user_id, 2, n2, den FROM a
+      UNION ALL SELECT user_id, 3, n3, den FROM a
+      UNION ALL SELECT user_id, 4, n4, den FROM a
+      UNION ALL SELECT user_id, 5, n5, den FROM a) u
+""")
+def q_acf(spark, sf_dir):
+    """Per-user sample ACF at lags 1..5 (Box-Jenkins biased
+    estimator) over non-NULL event values — the period-detection
+    companion to HoltWinters/SeasonalDecompose; DuckDB replays the
+    mean-center, the five window shifts, and the numerator/
+    denominator sums (round 6 absorbs group-sum order)."""
+    from beam_spark.operators.stats import Acf
+
+    ev = table(spark, sf_dir, "events").df
+    out = (PCollection(ev) | Acf("value", lags=5, keys="user_id",
+                                 order_by=["ts", "event_id"])).df
+    return out.select("user_id", F.col("lag").cast("int").alias("lag"),
+                      "acf")
+
+
 @query("q_ts_seasonal_robust", """
 WITH r AS (
   SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
@@ -3075,6 +3157,39 @@ def q_fs_em(spark, sf_dir):
     return out.select("field", "m", "u", "p", "w_agree", "w_disagree")
 
 
+@query("q_quality_benford", """
+WITH v AS (
+  SELECT regexp_extract(CAST(abs(CAST(o_totalprice AS DECIMAL(28, 6)))
+                             AS VARCHAR), '[1-9]') AS d
+  FROM orders WHERE o_totalprice IS NOT NULL),
+c AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM v
+      WHERE d <> '' GROUP BY d),
+f AS (SELECT CAST(g AS INT) AS digit,
+             coalesce(n, 0) AS n
+      FROM generate_series(1, 9) s(g)
+      LEFT JOIN c ON CAST(g AS VARCHAR) = c.d),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM f)
+SELECT digit, n,
+       round(CAST(n AS DOUBLE) / tot, 6) AS freq,
+       round(log10(1 + CAST(1 AS DOUBLE) / digit), 6) AS expected,
+       round(tot * pow(CAST(n AS DOUBLE) / tot
+                       - log10(1 + CAST(1 AS DOUBLE) / digit), 2)
+             / log10(1 + CAST(1 AS DOUBLE) / digit), 6) AS chi2_term
+FROM f CROSS JOIN t
+""")
+def q_benford(spark, sf_dir):
+    """Benford first-digit profile of order totals: digit counts from
+    the decimal string form (dodging the log10(10^k) = 2.999...
+    floor trap), Benford expectations, and per-digit Pearson chi2
+    terms — DuckDB recomputes the digit extraction and every term
+    (round 6)."""
+    from beam_spark.operators.quality import BenfordProfile
+
+    o = table(spark, sf_dir, "orders")
+    out = (o | BenfordProfile("o_totalprice")).df
+    return out.select("digit", "n", "freq", "expected", "chi2_term")
+
+
 @query("q_quality_histogram", """
 WITH x AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
            WHERE o_totalprice IS NOT NULL),
@@ -3302,6 +3417,44 @@ d0 AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS DOUBLE) AS dist),"""]
     FROM {p} d JOIN edges e ON e.src = d.node) GROUP BY node),""")
     cte[-1] = cte[-1].rstrip(",")
     return "\n".join(cte) + f"\nSELECT node, dist FROM d{rounds}"
+
+
+@query("q_graph_triangles", """
+WITH raw AS (SELECT o_custkey AS s, o_orderkey % 200 AS d FROM orders),
+und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        FROM raw WHERE s <> d),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT a AS node FROM und
+              UNION ALL SELECT b FROM und) n GROUP BY node),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+pn AS (SELECT node, CAST(count(*) AS BIGINT) AS t
+       FROM (SELECT x AS node FROM tri
+             UNION ALL SELECT y FROM tri
+             UNION ALL SELECT z FROM tri) v GROUP BY node)
+SELECT deg.node, coalesce(pn.t, 0) AS triangles, deg.deg AS degree,
+       round(CASE WHEN deg.deg >= 2
+                  THEN (CAST(2 AS DOUBLE) * coalesce(pn.t, 0))
+                       / (deg.deg * (deg.deg - 1))
+                  ELSE CAST(0 AS DOUBLE) END, 6) AS clustering
+FROM deg LEFT JOIN pn ON deg.node = pn.node
+""")
+def q_graph_triangles(spark, sf_dir):
+    """Per-node triangle counts + local clustering coefficient
+    (degree-ordered orientation, Schank & Wagner 2005) over the
+    customer/order-hash link graph — DuckDB enumerates x<y<z
+    triangles by brute three-way join; the operator's oriented wedge
+    join must produce the identical per-node counts, degrees, and
+    coefficients (exact integers; coefficient at round 6)."""
+    from beam_spark.operators.graph import TriangleCount
+
+    o = table(spark, sf_dir, "orders").df
+    edges = o.selectExpr("o_custkey AS src",
+                         "o_orderkey % 200 AS dst")
+    out = (PCollection(edges) | TriangleCount()).df
+    return out.select("node", "triangles", "degree", "clustering")
 
 
 @query("q_graph_shortest_paths", _sssp_oracle_sql())

@@ -1779,3 +1779,82 @@ def test_fellegi_sunter_em_recovers_params(spark):
         FellegiSunterEM(recs, ["fa"], init_m=0.1, init_u=0.9)
     with _pytest.raises(ValueError, match="iterations"):
         FellegiSunterEM(recs, ["fa"], iterations=0)
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4: every node sits in C(3,2)=3 triangles with clustering 1.0;
+    adding a pendant vertex gives it 0 triangles and drops its
+    neighbor's coefficient; a pure path has no triangles. Input
+    direction/duplicates/self-loops are normalized away."""
+    from beam_spark.operators.graph import TriangleCount
+    from beam_spark.pcollection import PCollection
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    # noise: reversed duplicates + a self-loop + pendant 4-0
+    edges = k4 + [(b, a) for a, b in k4] + [(2, 2), (4, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: (r["triangles"], r["degree"], r["clustering"])
+           for r in (PCollection(df) | TriangleCount()).df.collect()}
+    assert out[1] == (3, 3, 1.0)
+    assert out[2] == (3, 3, 1.0)
+    assert out[3] == (3, 3, 1.0)
+    assert out[0] == (3, 4, 0.5)     # 3 of C(4,2)=6 neighbor pairs
+    assert out[4] == (0, 1, 0.0)     # pendant
+
+    path = spark.createDataFrame([(i, i + 1) for i in range(5)],
+                                 "src long, dst long")
+    pout = (PCollection(path) | TriangleCount()).df
+    assert pout.agg({"triangles": "sum"}).collect()[0][0] == 0
+
+
+def test_funnel_within_window_and_strict_order(spark):
+    """Funnel semantics on a planted sequence: strict-after ordering
+    (a same-timestamp event can't complete two steps), the within=
+    window anchored at step 1, and monotone step counts. Also the
+    Benford profile on a planted Benford-perfect sample."""
+    import pytest as _pytest
+
+    from beam_spark.operators.analytics import Funnel
+    from beam_spark.pcollection import PCollection
+
+    def t(sec):
+        return f"2024-01-01 00:00:{sec:02d}"
+
+    rows = [
+        # u1 full conversion inside 30s
+        ("u1", "view", t(1)), ("u1", "click", t(5)),
+        ("u1", "purchase", t(10)),
+        # u2: click BEFORE view -> stalls at view
+        ("u2", "click", t(1)), ("u2", "view", t(5)),
+        # u3: same-timestamp view+click -> strict > rejects the click
+        ("u3", "view", t(7)), ("u3", "click", t(7)),
+        # u4: converts but outside the 30s window
+        ("u4", "view", t(1)), ("u4", "click", t(50)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, ts_s string") \
+        .selectExpr("user_id", "event_type", "CAST(ts_s AS TIMESTAMP) AS ts")
+    out = {r["step_name"]: (r["users"], r["conv_from_first"],
+                            r["conv_from_prev"]) for r in
+           (PCollection(df) | Funnel(["view", "click", "purchase"],
+                                     within=30.0)).df.collect()}
+    assert out["view"] == (4, 1.0, 1.0)
+    assert out["click"] == (1, 0.25, 0.25)     # only u1
+    assert out["purchase"] == (1, 0.25, 1.0)
+
+    with _pytest.raises(ValueError, match=">= 2"):
+        Funnel(["view"])
+    with _pytest.raises(ValueError, match="distinct"):
+        Funnel(["view", "view"])
+
+    from beam_spark.operators.quality import BenfordProfile
+
+    # Benford-perfect sample: 10^(k/100) for k=0..99 spans one decade
+    # with first-digit frequencies matching log10(1+1/d) near-exactly
+    bdf = spark.createDataFrame(
+        [(float(10 ** (k / 100.0)),) for k in range(100)], "x double")
+    prof = {r["digit"]: r for r in
+            (PCollection(bdf) | BenfordProfile("x")).df.collect()}
+    assert sum(r["n"] for r in prof.values()) == 100
+    chi2 = sum(r["chi2_term"] for r in prof.values())
+    assert chi2 < 1.0, chi2                 # near-perfect fit
+    assert prof[1]["expected"] == 0.30103   # log10(2) at 6dp

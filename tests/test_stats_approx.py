@@ -426,3 +426,28 @@ def test_seasonal_decompose_robust_ignores_spike(spark):
     # classical mode, by contrast, drags the MA trend by ~spike/period
     dirty_cls = run(spiked, robust=False)
     assert abs(dirty_cls[15][0] - 10.0) > 100
+
+
+def test_acf_detects_period(spark):
+    """ACF on a pure period-4 signal peaks at lag 4 (r4 ~ +1) and dips
+    at lag 2 (anti-phase, r2 ~ -1); a constant series yields NULL
+    (zero denominator); lags validation."""
+    import pytest as _pytest
+
+    from beam_spark.operators.stats import Acf
+    from beam_spark.pcollection import PCollection
+
+    season = [2.0, 0.0, -2.0, 0.0]
+    rows = ([("s", i, season[i % 4]) for i in range(64)]
+            + [("const", i, 5.0) for i in range(16)])
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    out = {(r["k"], r["lag"]): r["acf"] for r in
+           (PCollection(df) | Acf("v", lags=4, keys="k",
+                                  order_by="i")).df.collect()}
+    assert out[("s", 4)] > 0.9
+    assert out[("s", 2)] < -0.9
+    assert abs(out[("s", 1)]) < 0.1       # quarter-phase ~ 0
+    for lag in range(1, 5):
+        assert out[("const", lag)] is None
+    with _pytest.raises(ValueError, match="lags"):
+        Acf("v", lags=0, keys="k", order_by="i")
