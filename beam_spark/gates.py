@@ -397,9 +397,14 @@ _STATS_MOMENTS_SQL = "\nUNION ALL\n".join([
 
 
 def q_analytics_suite(spark, sf_dir):
-    """OVER-clause analytics: running ROWS-frame sum + rank family."""
+    """OVER-clause analytics (running ROWS-frame sum + rank family)
+    + the round-10 event-analytics report family (funnel, monthly
+    cohort retention, Markov transition matrix) as tagged rows."""
     run = _component("q_running_total_per_customer")(spark, sf_dir)
     rnk = _component("q_rank_orders_in_priority")(spark, sf_dir)
+    fun = _component("q_funnel_view_click_purchase")(spark, sf_dir)
+    coh = _component("q_cohort_retention_monthly")(spark, sf_dir)
+    trn = _component("q_event_transition_matrix")(spark, sf_dir)
     return _union([
         run.selectExpr("'run' AS op", "o_orderkey AS k1",
                        "CAST(o_custkey AS STRING) AS k2",
@@ -410,6 +415,18 @@ def q_analytics_suite(spark, sf_dir):
                        "CAST(price_rank AS DOUBLE) AS v1",
                        "CAST(price_dense_rank AS DOUBLE) AS v2",
                        "price_pct_rank AS v3", "CAST(rn AS DOUBLE) AS v4"),
+        fun.selectExpr("'funnel' AS op", "CAST(step AS BIGINT) AS k1",
+                       "step_name AS k2", "CAST(users AS DOUBLE) AS v1",
+                       "conv_from_first AS v2", "conv_from_prev AS v3",
+                       f"{_ZERO} AS v4"),
+        coh.selectExpr("'cohort' AS op", "CAST(offset AS BIGINT) AS k1",
+                       "cohort AS k2", "CAST(users AS DOUBLE) AS v1",
+                       "retention AS v2", f"{_ZERO} AS v3",
+                       f"{_ZERO} AS v4"),
+        trn.selectExpr("'trans' AS op", "CAST(0 AS BIGINT) AS k1",
+                       "src_event || '>' || dst_event AS k2",
+                       "CAST(n AS DOUBLE) AS v1", "p AS v2",
+                       f"{_ZERO} AS v3", f"{_ZERO} AS v4"),
     ])
 
 
@@ -422,6 +439,18 @@ _ANALYTICS_SQL = "\nUNION ALL\n".join([
           "CAST(price_dense_rank AS DOUBLE) AS v2, price_pct_rank AS v3, "
           "CAST(rn AS DOUBLE) AS v4",
           _component_sql("q_rank_orders_in_priority")),
+    _wrap("'funnel' AS op, CAST(step AS BIGINT) AS k1, step_name AS k2, "
+          f"CAST(users AS DOUBLE) AS v1, conv_from_first AS v2, "
+          f"conv_from_prev AS v3, {_ZERO} AS v4",
+          _component_sql("q_funnel_view_click_purchase")),
+    _wrap("'cohort' AS op, CAST(\"offset\" AS BIGINT) AS k1, cohort AS k2, "
+          f"CAST(users AS DOUBLE) AS v1, retention AS v2, {_ZERO} AS v3, "
+          f"{_ZERO} AS v4",
+          _component_sql("q_cohort_retention_monthly")),
+    _wrap("'trans' AS op, CAST(0 AS BIGINT) AS k1, "
+          "src_event || '>' || dst_event AS k2, CAST(n AS DOUBLE) AS v1, "
+          f"p AS v2, {_ZERO} AS v3, {_ZERO} AS v4",
+          _component_sql("q_event_transition_matrix")),
 ])
 
 

@@ -158,3 +158,109 @@ class Funnel(PTransform):
                        F.round(F.col("users") / F.col("__prev"), 6)
                        .alias("conv_from_prev")))
         return pcoll.with_df(out)
+
+
+class CohortRetention(PTransform):
+    """Cohort retention matrix — the standard activity-retention
+    report: users are cohorted by the period of their FIRST event,
+    and each (cohort, period-offset) cell counts the distinct users
+    active in that later period. ``granularity``: 'month' (default),
+    'week', or 'day'.
+
+    Output: (cohort string, offset int, users bigint, retention
+    double) — retention = users / the cohort's offset-0 count,
+    rounded 6. Cohort renders as 'yyyy-MM' / 'yyyy-MM-dd' strings so
+    the report is engine-portable (no timestamp rendering drift).
+
+    Scale: one per-user min aggregation, one distinct over (user,
+    period) — both shuffled on the user key — then a (cohort,
+    offset) count-distinct and a broadcast-sized join against the
+    offset-0 row per cohort. No Python, no windows over the stream.
+    """
+
+    _FMT = {"month": "yyyy-MM", "week": "yyyy-MM-dd",
+            "day": "yyyy-MM-dd"}
+
+    def __init__(self, ts_col: str = "ts", keys="user_id",
+                 granularity: str = "month", label=None):
+        super().__init__(label)
+        if granularity not in self._FMT:
+            raise ValueError(
+                f"granularity {granularity!r}: month / week / day")
+        self.ts_col = ts_col
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        self.granularity = granularity
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        tc, keys, g = self.ts_col, self.keys, self.granularity
+        df = pcoll.df.where(F.col(tc).isNotNull())
+        trunc = lambda c: F.date_trunc(g, c)  # noqa: E731
+        first = (df.groupBy(*keys)
+                 .agg(trunc(F.min(tc)).alias("__cohort")))
+        act = (df.select(*keys, trunc(F.col(tc)).alias("__bucket"))
+               .distinct())
+        j = act.join(first, on=keys)
+        if g == "month":
+            off = F.months_between("__bucket", "__cohort").cast("int")
+        elif g == "week":
+            off = (F.datediff("__bucket", "__cohort") / 7).cast("int")
+        else:
+            off = F.datediff("__bucket", "__cohort").cast("int")
+        cells = (j.withColumn("__off", off)
+                 .groupBy("__cohort", "__off")
+                 .agg(F.count_distinct(*[F.col(k) for k in keys])
+                      .alias("users")))
+        base = (cells.where(F.col("__off") == 0)
+                .select(F.col("__cohort"),
+                        F.col("users").alias("__base")))
+        out = (cells.join(F.broadcast(base), on="__cohort")
+               .select(
+                   F.date_format("__cohort", self._FMT[g])
+                   .alias("cohort"),
+                   F.col("__off").alias("offset"),
+                   F.col("users").cast("long").alias("users"),
+                   F.round(F.col("users") / F.col("__base"), 6)
+                   .alias("retention")))
+        return pcoll.with_df(out)
+
+
+class TransitionCounts(PTransform):
+    """Per-key event-to-event transition counts and probabilities —
+    the empirical Markov chain of a clickstream / event log (the
+    input statistic for sequence anomaly scoring and next-event
+    models).
+
+    Per key, ordered by ``order_by``, each adjacent pair
+    (event_t, event_{t+1}) is one transition; counts aggregate over
+    all keys. Output: (src_event, dst_event, n, p) where p = n /
+    total transitions out of src_event, rounded 6.
+
+    Scale: one window lead per key + one (src, dst) aggregation; the
+    per-src totals come from a window over the (src, dst) aggregate
+    (cardinality = distinct event pairs, tiny), not a second scan.
+    """
+
+    def __init__(self, event_col: str = "event_type", keys="user_id",
+                 order_by="ts", label=None):
+        super().__init__(label)
+        self.event_col = event_col
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        self.order_by = ([order_by] if isinstance(order_by, str)
+                         else list(order_by))
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        ec, keys, ob = self.event_col, self.keys, self.order_by
+        w = Window.partitionBy(*keys).orderBy(*ob)
+        pairs = (pcoll.df
+                 .withColumn("__nxt", F.lead(ec).over(w))
+                 .where(F.col("__nxt").isNotNull())
+                 .groupBy(F.col(ec).alias("src_event"),
+                          F.col("__nxt").alias("dst_event"))
+                 .agg(F.count(F.lit(1)).alias("n")))
+        tot = Window.partitionBy("src_event")
+        out = pairs.select(
+            "src_event", "dst_event", F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"))
+        return pcoll.with_df(out)

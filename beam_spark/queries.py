@@ -2382,6 +2382,60 @@ def q_seasonal_decompose(spark, sf_dir):
                       "remainder")
 
 
+@query("q_cohort_retention_monthly", """
+WITH f AS (SELECT user_id, date_trunc('month', min(ts)) AS cohort
+           FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, date_trunc('month', ts) AS bucket
+      FROM events WHERE ts IS NOT NULL),
+c AS (SELECT cohort, date_diff('month', cohort, bucket) AS off,
+             CAST(count(DISTINCT a.user_id) AS BIGINT) AS users
+      FROM a JOIN f ON a.user_id = f.user_id GROUP BY cohort, off),
+b AS (SELECT cohort, users AS base FROM c WHERE off = 0)
+SELECT strftime(c.cohort, '%Y-%m') AS cohort,
+       CAST(c.off AS INT) AS offset, c.users,
+       round(CAST(c.users AS DOUBLE) / b.base, 6) AS retention
+FROM c JOIN b ON c.cohort = b.cohort
+""")
+def q_cohort_retention(spark, sf_dir):
+    """Monthly cohort retention over events: users cohorted by
+    first-event month, per-(cohort, month-offset) distinct-active
+    counts, retention vs the cohort's month 0 — DuckDB replays the
+    truncations, offsets, and distinct counts exactly (ratios round
+    6); cohorts render as 'yyyy-MM' strings to dodge timestamp
+    rendering drift."""
+    from beam_spark.operators.analytics import CohortRetention
+
+    ev = table(spark, sf_dir, "events")
+    out = (ev | CohortRetention(granularity="month")).df
+    return out.select("cohort", "offset", "users", "retention")
+
+
+@query("q_event_transition_matrix", """
+WITH p AS (
+  SELECT event_type AS src_event,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst_event
+  FROM events),
+c AS (SELECT src_event, dst_event, CAST(count(*) AS BIGINT) AS n
+      FROM p WHERE dst_event IS NOT NULL GROUP BY 1, 2)
+SELECT src_event, dst_event, n,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY src_event), 6) AS p
+FROM c
+""")
+def q_event_transitions(spark, sf_dir):
+    """Empirical Markov transition matrix of the event stream:
+    per-user adjacent (event, next-event) pairs in (ts, event_id)
+    order, counted globally, with per-source probabilities — DuckDB
+    replays the lead window and both aggregations (counts exact,
+    probabilities round 6)."""
+    from beam_spark.operators.analytics import TransitionCounts
+
+    ev = table(spark, sf_dir, "events")
+    out = (ev | TransitionCounts(order_by=["ts", "event_id"])).df
+    return out.select("src_event", "dst_event", "n", "p")
+
+
 @query("q_funnel_view_click_purchase", """
 WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
             WHERE event_type = 'view' GROUP BY user_id),

@@ -1858,3 +1858,44 @@ def test_funnel_within_window_and_strict_order(spark):
     chi2 = sum(r["chi2_term"] for r in prof.values())
     assert chi2 < 1.0, chi2                 # near-perfect fit
     assert prof[1]["expected"] == 0.30103   # log10(2) at 6dp
+
+
+def test_cohort_retention_and_transitions_known(spark):
+    """Cohort retention on a planted two-cohort dataset (known
+    matrix) and transition probabilities on a planted chain."""
+    import pytest as _pytest
+
+    from beam_spark.operators.analytics import (CohortRetention,
+                                                TransitionCounts)
+    from beam_spark.pcollection import PCollection
+
+    rows = [
+        # cohort 2024-01: u1 active Jan+Feb+Mar, u2 active Jan only
+        ("u1", "2024-01-05"), ("u1", "2024-02-10"), ("u1", "2024-03-02"),
+        ("u2", "2024-01-20"),
+        # cohort 2024-02: u3 active Feb+Mar
+        ("u3", "2024-02-01"), ("u3", "2024-03-30"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, d string") \
+        .selectExpr("user_id", "CAST(d AS TIMESTAMP) AS ts")
+    got = {(r["cohort"], r["offset"]): (r["users"], r["retention"])
+           for r in (PCollection(df) | CohortRetention()).df.collect()}
+    assert got[("2024-01", 0)] == (2, 1.0)
+    assert got[("2024-01", 1)] == (1, 0.5)
+    assert got[("2024-01", 2)] == (1, 0.5)
+    assert got[("2024-02", 0)] == (1, 1.0)
+    assert got[("2024-02", 1)] == (1, 1.0)
+    assert len(got) == 5
+    with _pytest.raises(ValueError, match="granularity"):
+        CohortRetention(granularity="quarter")
+
+    ev = [("u", i, e) for i, e in enumerate(
+        ["a", "b", "a", "b", "a", "c"])] + [("v", 0, "a"), ("v", 1, "b")]
+    edf = spark.createDataFrame(ev, "user_id string, i long, event_type string")
+    tr = {(r["src_event"], r["dst_event"]): (r["n"], r["p"]) for r in
+          (PCollection(edf) | TransitionCounts(order_by="i")).df.collect()}
+    # a -> b x3, a -> c x1, b -> a x2 (u only; v's trailing b has no next)
+    assert tr[("a", "b")] == (3, 0.75)
+    assert tr[("a", "c")] == (1, 0.25)
+    assert tr[("b", "a")] == (2, 1.0)
+    assert len(tr) == 3
