@@ -813,3 +813,164 @@ class Acf(PTransform):
         out = (g.select(*keys, F.expr(
             f"stack({L}, {pairs}) AS (lag, acf)")))
         return pcoll.with_df(out)
+
+
+class Pacf(PTransform):
+    """Per-key PARTIAL autocorrelation at lags 1..``lags`` via the
+    Durbin-Levinson recursion over the sample ACF (Box & Jenkins) —
+    the AR-order identification companion to :class:`Acf`: pacf[k]
+    is the lag-k coefficient of the best AR(k) fit, so it cuts off
+    sharply at the true AR order where the ACF only decays.
+
+    Scale: the heavy part is identical to Acf (mean join + one
+    multi-lag aggregation -> ONE ROW PER KEY of moment sums); the
+    recursion then runs VECTORIZED across all keys at once in an
+    Arrow-batched mapInPandas (numpy arrays shaped (lags, batch) —
+    no per-key Python loop). Keys with a zero denominator (constant
+    series) are dropped; a degenerate step (innovation variance hits
+    0, i.e. the series is perfectly predictable at order k) yields
+    NULL from that lag on.
+
+    Output: keys + (lag int, pacf double, UNROUNDED — apply the
+    engine's round() downstream; numpy's half-even rule differs from
+    Spark/DuckDB at half boundaries).
+    """
+
+    def __init__(self, col: str, lags: int, keys, order_by, label=None):
+        super().__init__(label)
+        if int(lags) < 1:
+            raise ValueError("lags must be >= 1")
+        self.col, self.lags = col, int(lags)
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        self.order_by = ([order_by] if isinstance(order_by, str)
+                         else list(order_by))
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        keys, ob, L = self.keys, self.order_by, self.lags
+        v = F.col(self.col).cast("double")
+        base = pcoll.df.where(F.col(self.col).isNotNull())
+        mu = base.groupBy(*keys).agg(F.avg(v).alias("__mu"))
+        w = Window.partitionBy(*keys).orderBy(*ob)
+        d = base.join(mu, on=keys)
+        for lag in range(1, L + 1):
+            d = d.withColumn(f"__l{lag}", F.lag(v, lag).over(w))
+        aggs = [F.sum((v - F.col("__mu")) * (v - F.col("__mu")))
+                .alias("__den")]
+        for lag in range(1, L + 1):
+            aggs.append(F.sum((v - F.col("__mu"))
+                              * (F.col(f"__l{lag}") - F.col("__mu")))
+                        .alias(f"__n{lag}"))
+        g = (d.groupBy(*keys).agg(*aggs)
+             .where(F.col("__den") != 0))
+        for lag in range(1, L + 1):
+            g = g.withColumn(f"__n{lag}",
+                             F.coalesce(f"__n{lag}", F.lit(0.0)))
+
+        key_fields = [(k, pcoll.df.schema[k].dataType.simpleString())
+                      for k in keys]
+        out_schema = (", ".join(f"{k} {t}" for k, t in key_fields)
+                      + ", lag int, pacf double")
+
+        def gen(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                den = pdf["__den"].to_numpy(dtype=np.float64)
+                r = np.stack([pdf[f"__n{lag}"].to_numpy(np.float64) / den
+                              for lag in range(1, L + 1)])
+                pacf = np.full((L, n), np.nan)
+                phi = np.zeros((L, n))
+                pacf[0] = r[0]
+                phi[0] = r[0]
+                var = 1.0 - r[0] * r[0]
+                for k in range(2, L + 1):
+                    num = r[k - 1].copy()
+                    for j in range(1, k):        # fixed order, like SQL
+                        num = num - phi[j - 1] * r[k - 1 - j]
+                    ok = var > 0
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        phik = np.where(ok, num / np.where(ok, var, 1.0),
+                                        np.nan)
+                    newphi = phi.copy()
+                    for j in range(1, k):
+                        newphi[j - 1] = phi[j - 1] - phik * phi[k - 1 - j]
+                    newphi[k - 1] = phik
+                    phi = newphi
+                    pacf[k - 1] = phik
+                    var = var * (1.0 - phik * phik)
+                rows = {k: np.repeat(pdf[k].to_numpy(), L)
+                        for k, _ in key_fields}
+                rows["lag"] = np.tile(np.arange(1, L + 1), n)
+                # raw doubles out — consumers round (numpy's banker
+                # rounding differs from Spark/DuckDB round() at the
+                # half boundary, the repo-wide rounding gotcha)
+                rows["pacf"] = pacf.T.reshape(-1)
+                out = pd.DataFrame(rows)
+                out["pacf"] = out["pacf"].where(~np.isnan(out["pacf"]),
+                                                None)
+                yield out
+
+        return pcoll.with_df(g.mapInPandas(gen, schema=out_schema))
+
+
+class RollingCorr(PTransform):
+    """Rolling Pearson correlation of two columns over a fixed
+    ``window`` of rows per key (current row + window-1 preceding) —
+    co-movement drift between two signals (price/quantity,
+    value/latency) as a per-row column.
+
+    Computed EXPLICITLY from window moment sums,
+    (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2)),
+    not the engine's corr() aggregate — native corr differs across
+    engines in its zero-variance result (Spark NaN vs SQL NULL) and
+    its incremental update order; the explicit form is
+    expression-identical everywhere. Rows whose window is not yet
+    full, whose window contains a NULL in either column (sum() would
+    silently skip it and the fixed-n formula would miscount), or
+    where either column has zero variance in the window, yield NULL.
+
+    Scale: one window pass, five frame sums, pure JVM expressions.
+
+    Output: input columns + ``corr_col`` (double, rounded 6).
+    """
+
+    def __init__(self, x_col: str, y_col: str, window: int, keys,
+                 order_by, corr_col: str = "rolling_corr", label=None):
+        super().__init__(label)
+        if int(window) < 2:
+            raise ValueError("window must be >= 2")
+        self.x_col, self.y_col = x_col, y_col
+        self.window = int(window)
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        self.order_by = ([order_by] if isinstance(order_by, str)
+                         else list(order_by))
+        self.corr_col = corr_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        W = self.window
+        x = F.col(self.x_col).cast("double")
+        y = F.col(self.y_col).cast("double")
+        w = (Window.partitionBy(*self.keys).orderBy(*self.order_by)
+             .rowsBetween(-(W - 1), 0))
+        n = F.count(F.lit(1)).over(w)
+        # count of rows where BOTH are non-null: x+y is null if either
+        n_pair = F.count(x + y).over(w)
+        sx, sy = F.sum(x).over(w), F.sum(y).over(w)
+        sxx = F.sum(x * x).over(w)
+        syy = F.sum(y * y).over(w)
+        sxy = F.sum(x * y).over(w)
+        vx = W * sxx - sx * sx
+        vy = W * syy - sy * sy
+        corr = F.when(
+            (n == W) & (n_pair == W) & (vx > 0) & (vy > 0),
+            F.round((W * sxy - sx * sy) / F.sqrt(vx * vy), 6))
+        out = pcoll.df.withColumn(self.corr_col, corr)
+        return pcoll.with_df(out)

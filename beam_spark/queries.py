@@ -2518,6 +2518,114 @@ def q_acf(spark, sf_dir):
                       "acf")
 
 
+@query("q_ts_rolling_corr", """
+WITH b AS (
+  SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
+         CAST(event_id % 97 AS DOUBLE) AS y,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+s AS (
+  SELECT user_id, event_id,
+         count(*) OVER w AS n, count(x + y) OVER w AS np,
+         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+         sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+         sum(x * y) OVER w AS sxy
+  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+SELECT user_id, event_id,
+       CASE WHEN n = 8 AND np = 8 AND (8 * sxx - sx * sx) > 0
+                 AND (8 * syy - sy * sy) > 0
+            THEN round((8 * sxy - sx * sy)
+                       / sqrt((8 * sxx - sx * sx)
+                              * (8 * syy - sy * sy)), 6)
+       END AS rolling_corr
+FROM s
+""")
+def q_rolling_corr(spark, sf_dir):
+    """Rolling Pearson correlation (window 8) between each user's
+    event values and a deterministic companion signal (event_id mod
+    97), from explicit window moment sums — NULL until the window is
+    full and non-null; DuckDB replays the identical five frame sums
+    and the closed-form correlation (round 6)."""
+    from beam_spark.operators.stats import RollingCorr
+
+    ev = table(spark, sf_dir, "events").df.withColumn(
+        "__y", (F.col("event_id") % 97).cast("double"))
+    out = (PCollection(ev) | RollingCorr(
+        "value", "__y", window=8, keys="user_id",
+        order_by=["ts", "event_id"])).df
+    return out.select("user_id", "event_id", "rolling_corr")
+
+
+def _pacf_oracle_sql(L: int = 5) -> str:
+    """Chained-CTE Durbin-Levinson: one (phik, state-update) CTE pair
+    per lag order, phi carried as a list column — the HoltWinters
+    ring-buffer pattern applied to the PACF recursion. The numerator
+    mirrors the operator's NESTED subtraction order
+    ((r_k - t1) - t2)..., and the v=0 guard maps the operator's NaN
+    to SQL NULL; only the moment sums feeding r are order-free
+    (round-6 output)."""
+    head = """WITH x AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL),
+m AS (SELECT user_id, avg(v) AS mu FROM x GROUP BY user_id),
+l AS (
+  SELECT x.user_id, v, mu,
+         """ + ",\n         ".join(
+        f"lag(v, {k}) OVER w AS l{k}" for k in range(1, L + 1)) + """
+  FROM x JOIN m ON x.user_id = m.user_id
+  WINDOW w AS (PARTITION BY x.user_id ORDER BY rn)),
+a AS (
+  SELECT user_id, sum((v - mu) * (v - mu)) AS den,
+         """ + ",\n         ".join(
+        f"coalesce(sum((v - mu) * (l{k} - mu)), 0) AS n{k}"
+        for k in range(1, L + 1)) + """
+  FROM l GROUP BY user_id),
+rl AS (SELECT user_id, [""" + ", ".join(
+        f"n{k} / den" for k in range(1, L + 1)) + """] AS r
+       FROM a WHERE den <> 0),
+it1 AS (SELECT user_id, r, [r[1]] AS phi,
+               1 - r[1] * r[1] AS v, r[1] AS p1 FROM rl),"""
+    cte = [head]
+    for k in range(2, L + 1):
+        num = f"r[{k}]"
+        for j in range(1, k):
+            num = f"({num} - phi[{j}] * r[{k - j}])"
+        carry = ", ".join(f"p{i}" for i in range(1, k))
+        cte.append(f"""e{k} AS (
+  SELECT user_id, r, phi, v, {carry},
+         CASE WHEN v > 0 THEN {num} / v END AS pk
+  FROM it{k - 1}),""")
+        upd = ", ".join(f"phi[{j}] - pk * phi[{k - j}]"
+                        for j in range(1, k))
+        cte.append(f"""it{k} AS (
+  SELECT user_id, r, [{upd}, pk] AS phi,
+         v * (1 - pk * pk) AS v, {carry}, pk AS p{k}
+  FROM e{k}),""")
+    cte[-1] = cte[-1].rstrip(",")
+    tails = [f"SELECT user_id, {k} AS lag, round(p{k}, 6) AS pacf "
+             f"FROM it{L}" for k in range(1, L + 1)]
+    return "\n".join(cte) + "\n" + "\nUNION ALL\n".join(tails)
+
+
+@query("q_ts_pacf", _pacf_oracle_sql())
+def q_pacf(spark, sf_dir):
+    """Per-user PACF at lags 1..5 (Durbin-Levinson over the sample
+    ACF) — the AR-order identification statistic; DuckDB replays the
+    recursion per lag order with phi as a list column, mirroring the
+    operator's exact subtraction nesting (round 6)."""
+    from beam_spark.operators.stats import Pacf
+
+    ev = table(spark, sf_dir, "events").df
+    out = (PCollection(ev) | Pacf("value", lags=5, keys="user_id",
+                                  order_by=["ts", "event_id"])).df
+    return out.select("user_id", F.col("lag").cast("int").alias("lag"),
+                      F.round("pacf", 6).alias("pacf"))
+
+
 @query("q_ts_seasonal_robust", """
 WITH r AS (
   SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,

@@ -451,3 +451,81 @@ def test_acf_detects_period(spark):
         assert out[("const", lag)] is None
     with _pytest.raises(ValueError, match="lags"):
         Acf("v", lags=0, keys="k", order_by="i")
+
+
+def test_pacf_cuts_off_at_ar_order(spark):
+    """PACF on a seeded AR(2) series: lags 1-2 carry structure, lags
+    3-5 collapse toward 0 (the AR-order cutoff the statistic exists
+    for); agrees with a direct numpy Durbin-Levinson replay."""
+    import numpy as np
+    import pytest as _pytest
+
+    from beam_spark.operators.stats import Pacf
+    from beam_spark.pcollection import PCollection
+
+    rng = np.random.default_rng(11)
+    eps = rng.normal(0, 1, 600)
+    x = np.zeros(600)
+    for t in range(2, 600):
+        x[t] = 0.6 * x[t - 1] - 0.3 * x[t - 2] + eps[t]
+    df = spark.createDataFrame(
+        [("k", i, float(v)) for i, v in enumerate(x)],
+        "k string, i long, v double")
+    got = {r["lag"]: r["pacf"] for r in
+           (PCollection(df) | Pacf("v", lags=5, keys="k",
+                                   order_by="i")).df.collect()}
+    # direct replay
+    mu = x.mean()
+    c = x - mu
+    den = float((c * c).sum())
+    r = [float((c[k:] * c[:-k]).sum()) / den for k in range(1, 6)]
+    phi = [r[0]]
+    v = 1 - r[0] ** 2
+    want = [r[0]]
+    for k in range(2, 6):
+        num = r[k - 1]
+        for j in range(1, k):
+            num = num - phi[j - 1] * r[k - 1 - j]
+        pk = num / v
+        phi = [phi[j - 1] - pk * phi[k - 1 - j]
+               for j in range(1, k)] + [pk]
+        v = v * (1 - pk * pk)
+        want.append(pk)
+    for lag in range(1, 6):
+        assert abs(got[lag] - want[lag - 1]) < 1e-9, lag
+    assert abs(got[2] - (-0.3)) < 0.12          # AR(2) coefficient
+    for lag in (3, 4, 5):
+        assert abs(got[lag]) < 0.12             # cutoff
+    with _pytest.raises(ValueError, match="lags"):
+        Pacf("v", lags=0, keys="k", order_by="i")
+
+
+def test_rolling_corr_known_signals(spark):
+    """RollingCorr: perfectly co-moving signals give +1, anti-moving
+    give -1; incomplete windows, NULL-bearing windows, and
+    zero-variance windows give NULL."""
+    import pytest as _pytest
+
+    from beam_spark.operators.stats import RollingCorr
+    from beam_spark.pcollection import PCollection
+
+    rows = ([("pos", i, float(i), 2.0 * i + 5) for i in range(8)]
+            + [("neg", i, float(i), -3.0 * i) for i in range(8)]
+            + [("flat", i, float(i), 7.0) for i in range(8)]
+            + [("gap", i, None if i == 2 else float(i), float(i * i))
+               for i in range(8)])
+    df = spark.createDataFrame(rows, "k string, i long, x double, y double")
+    out = {(r["k"], r["i"]): r["rolling_corr"] for r in
+           (PCollection(df) | RollingCorr(
+               "x", "y", window=4, keys="k", order_by="i")).df.collect()}
+    for i in range(3):                       # window not yet full
+        assert out[("pos", i)] is None
+    for i in range(3, 8):
+        assert out[("pos", i)] == 1.0
+        assert out[("neg", i)] == -1.0
+        assert out[("flat", i)] is None      # zero variance in y
+    assert out[("gap", 3)] is None and out[("gap", 4)] is None
+    assert out[("gap", 5)] is None           # NULL still in window
+    assert out[("gap", 6)] is not None       # window clear again
+    with _pytest.raises(ValueError, match="window"):
+        RollingCorr("x", "y", window=1, keys="k", order_by="i")
