@@ -1591,3 +1591,116 @@ class FellegiSunterEM(PTransform):
             rows, "field string, m double, u double, p double, "
                   "w_agree double, w_disagree double")
         return pcoll.with_df(out)
+
+
+def _jaro_winkler(a: str, b: str) -> tuple:
+    """Standard Jaro + Winkler boost (Winkler 1990; the common C
+    parameterization DuckDB's jaro_winkler_similarity ships:
+    boost only when jaro > 0.7, prefix capped at 4, scale 0.1).
+    Returns (jaro, jaro_winkler) as raw doubles."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0, 0.0
+    if a == b:
+        return 1.0, 1.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    matched_b = [False] * lb
+    ma = []
+    for i in range(la):
+        lo, hi = max(0, i - window), min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not matched_b[j] and a[i] == b[j]:
+                matched_b[j] = True
+                ma.append(a[i])
+                break
+    m = len(ma)
+    if m == 0:
+        return 0.0, 0.0
+    mb = [b[j] for j in range(lb) if matched_b[j]]
+    t = sum(1 for x, y in zip(ma, mb) if x != y) / 2.0
+    j = (m / la + m / lb + (m - t) / m) / 3.0
+    if j > 0.7:
+        p = 0
+        for x, y in zip(a, b):
+            if x != y or p == 4:
+                break
+            p += 1
+        jw = j + p * 0.1 * (1.0 - j)
+    else:
+        jw = j
+    return j, jw
+
+
+class JaroWinklerScore(PTransform):
+    """Jaro / Jaro-Winkler similarity for CANDIDATE PAIRS — the name-
+    matching scorer record linkage traditionally pairs with
+    Fellegi-Sunter (agreement = jw >= threshold feeds m/u scoring):
+    short-field fuzzy similarity where edit distance over-penalizes
+    transpositions and Jaccard shingles are too coarse.
+
+    Input: a pair frame (``i_col``/``j_col``); ``records`` maps ids
+    to the string column (``right`` for two-corpus linkage). Output:
+    pairs + ``jaro`` + ``jaro_winkler`` (raw doubles — round
+    downstream). NULL on either side scores NULL.
+
+    Parameterization matches the common C implementation (and DuckDB's
+    jaro_winkler_similarity, which oracles it): match window
+    max(len)/2 - 1, half-transpositions, Winkler boost only when
+    jaro > 0.7, prefix capped at 4, scale 0.1. Case-sensitive —
+    NormalizeText upstream for case-insensitive matching.
+
+    Scale: two id-keyed joins carrying one string column each, then an
+    Arrow-batched mapInPandas scoring pass — Python per pair, but only
+    over POST-BLOCKING candidates (the same posture as the CEP NFA:
+    no vectorizable equivalent exists), never the corpus cross.
+    """
+
+    def __init__(self, records, text_col: str = "text",
+                 id_col: str = "doc_id", right=None,
+                 i_col: str = "i", j_col: str = "j", label=None):
+        super().__init__(label)
+        self.records = (records.df if isinstance(records, PCollection)
+                        else records)
+        self.right = (right.df if isinstance(right, PCollection)
+                      else right)
+        self.text_col, self.id_col = text_col, id_col
+        self.i_col, self.j_col = i_col, j_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        idc, tc = self.id_col, self.text_col
+        left = self.records.select(F.col(idc).alias(self.i_col),
+                                   F.col(tc).alias("__sa"))
+        rsrc = self.right if self.right is not None else self.records
+        right = rsrc.select(F.col(idc).alias(self.j_col),
+                            F.col(tc).alias("__sb"))
+        df = (pcoll.df.join(left, on=self.i_col)
+              .join(right, on=self.j_col))
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if f.name not in ("__sa", "__sb")) \
+            + ", jaro double, jaro_winkler double"
+        keep = [f.name for f in df.schema.fields
+                if f.name not in ("__sa", "__sb")]
+
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                js, jws = [], []
+                for a, b in zip(pdf["__sa"], pdf["__sb"]):
+                    if a is None or b is None or pd.isna(a) or pd.isna(b):
+                        js.append(None)
+                        jws.append(None)
+                    else:
+                        j, jw = _jaro_winkler(str(a), str(b))
+                        js.append(j)
+                        jws.append(jw)
+                out = pdf[keep].copy()
+                out["jaro"] = pd.array(js, dtype="float64")
+                out["jaro_winkler"] = pd.array(jws, dtype="float64")
+                yield out
+
+        return pcoll.with_df(df.mapInPandas(gen, schema=schema))

@@ -358,3 +358,83 @@ class TriangleCount(PTransform):
                                  * (F.col("deg") - F.lit(1))))
                        .otherwise(F.lit(0.0)), 6).alias("clustering")))
         return pcoll.with_df(out)
+
+
+class KCore(PTransform):
+    """The k-core of an undirected graph — the maximal subgraph where
+    every node keeps degree >= k — by iterative peeling (Seidman
+    1983): drop nodes with degree < k, recompute degrees over the
+    induced subgraph, repeat to fixpoint. The standard
+    dense-subgraph / spam-ring / community-seed filter of link-graph
+    curation (a node's SURVIVAL at high k is a far stronger cohesion
+    signal than raw degree).
+
+    ``fixed_rounds``: run EXACTLY that many peels with no convergence
+    check — the deterministic-replay mode the DuckDB oracle uses
+    (peeling is idempotent after convergence, so equality holds round
+    for round); default (None) peels to fixpoint with a per-round
+    convergence count, capped at ``max_rounds``.
+
+    Scale: each round is one edge semi-join against the (shrinking)
+    survivor set + one degree aggregation, localCheckpointed to cut
+    lineage — the ConnectedComponents posture. Peeling converges in
+    at most O(peeled nodes) rounds but in practice a handful: each
+    round removes every currently-underdegree node at once.
+
+    Output: (node, degree) for k-core members, degree measured INSIDE
+    the core.
+    """
+
+    def __init__(self, k: int, src: str = "src", dst: str = "dst",
+                 max_rounds: int = 50, fixed_rounds: int | None = None,
+                 label=None):
+        super().__init__(label)
+        if int(k) < 1:
+            raise ValueError("k must be >= 1")
+        self.k = int(k)
+        self.src, self.dst = src, dst
+        self.max_rounds = int(max_rounds)
+        self.fixed_rounds = (None if fixed_rounds is None
+                             else int(fixed_rounds))
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        k, s, d = self.k, self.src, self.dst
+        und = (pcoll.df
+               .select(F.least(F.col(s), F.col(d)).alias("a"),
+                       F.greatest(F.col(s), F.col(d)).alias("b"))
+               .where(F.col("a") != F.col("b"))
+               .distinct()
+               .localCheckpoint(eager=True))
+
+        def degrees(edges):
+            return (edges.select(F.col("a").alias("node"))
+                    .unionAll(edges.select(F.col("b").alias("node")))
+                    .groupBy("node")
+                    .agg(F.count(F.lit(1)).alias("degree")))
+
+        edges = und
+        survivors = None
+        rounds = (self.fixed_rounds if self.fixed_rounds is not None
+                  else self.max_rounds)
+        prev_n = None
+        for _ in range(rounds):
+            deg = degrees(edges)
+            survivors = (deg.where(F.col("degree") >= k)
+                         .select("node")
+                         .localCheckpoint(eager=True))
+            if self.fixed_rounds is None:
+                n = survivors.count()
+                if n == prev_n:
+                    break
+                prev_n = n
+                if n == 0:
+                    break
+            sa = survivors.select(F.col("node").alias("a"))
+            sb = survivors.select(F.col("node").alias("b"))
+            edges = (und.join(sa, "a", "left_semi")
+                     .join(sb, "b", "left_semi")
+                     .localCheckpoint(eager=True))
+        out = (degrees(edges).where(F.col("degree") >= k)
+               .select("node", F.col("degree").cast("long")
+                       .alias("degree")))
+        return pcoll.with_df(out)

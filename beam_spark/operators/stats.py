@@ -672,12 +672,18 @@ class HoltWinters(PTransform):
     RING BUFFER as a list column, compared UNROUNDED.
 
     Output: input columns + level, trend, season (all double; NULL
-    for the first period rows).
+    for the first period rows). ``emit_forecast=True`` adds
+    ``forecast_next`` — the one-step-ahead in-sample prediction
+    x̂_{t+1|t} = l_t + b_t + s_{t+1-m} (multiplicative:
+    (l_t + b_t) * s_{t+1-m}) — the backtest column: join it against
+    the NEXT row's actual for residual diagnostics, or read the last
+    row's value as the 1-step operational forecast.
     """
 
     def __init__(self, col: str, alpha: float, beta: float,
                  gamma: float, period: int, keys, order_by,
-                 mode: str = "additive", label=None):
+                 mode: str = "additive", emit_forecast: bool = False,
+                 label=None):
         super().__init__(label)
         if not 0.0 < float(alpha) <= 1.0:
             raise ValueError(f"alpha {alpha} outside (0, 1]")
@@ -698,6 +704,7 @@ class HoltWinters(PTransform):
         self.order_by = ([order_by] if isinstance(order_by, str)
                          else list(order_by))
         self.mode = mode
+        self.emit_forecast = bool(emit_forecast)
 
     def expand(self, pcoll):
         col, m = self.col, self.period
@@ -707,6 +714,9 @@ class HoltWinters(PTransform):
             f"{f.name} {f.dataType.simpleString()}"
             for f in pcoll.df.schema.fields) \
             + ", level double, trend double, season double"
+        emit_fc = self.emit_forecast
+        if emit_fc:
+            schema += ", forecast_next double"
 
         mul = self.mode == "multiplicative"
 
@@ -726,6 +736,7 @@ class HoltWinters(PTransform):
             out_l = [None] * n
             out_b = [None] * n
             out_s = [None] * n
+            out_f = [None] * n
             if n >= m:
                 tot = 0.0
                 for i in range(m):
@@ -749,9 +760,16 @@ class HoltWinters(PTransform):
                     s[j] = s_new
                     lv, bb = l_new, b_new
                     out_l[t], out_b[t], out_s[t] = lv, bb, s_new
+                    if emit_fc:
+                        # s[(t+1) % m] was last written at t+1-m: the
+                        # seasonal the NEXT step consumes
+                        out_f[t] = ((lv + bb) * s[(t + 1) % m] if mul
+                                    else lv + bb + s[(t + 1) % m])
             pdf["level"] = out_l
             pdf["trend"] = out_b
             pdf["season"] = out_s
+            if emit_fc:
+                pdf["forecast_next"] = out_f
             return pdf
 
         out = pcoll.df.groupBy(*self.keys).applyInPandas(fn, schema)

@@ -3123,6 +3123,85 @@ def q_holt_winters(spark, sf_dir):
                       F.col("season"))
 
 
+@query("q_ts_holt_winters_fc", """
+WITH RECURSIVE r AS (
+  SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL),
+e AS (
+  SELECT user_id, event_id, rn,
+         [v] AS xs, v AS tot,
+         CAST(NULL AS DOUBLE) AS l, CAST(NULL AS DOUBLE) AS b,
+         CAST(NULL AS DOUBLE[]) AS s,
+         CAST(NULL AS DOUBLE) AS outl, CAST(NULL AS DOUBLE) AS outb,
+         CAST(NULL AS DOUBLE) AS outs
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.user_id, r.event_id, r.rn,
+    CASE WHEN r.rn < 4 THEN list_concat(e.xs, [r.v]) ELSE e.xs END,
+    CASE WHEN r.rn < 4 THEN e.tot + r.v ELSE e.tot END,
+    CASE WHEN r.rn < 4 THEN CAST(NULL AS DOUBLE)
+         WHEN r.rn = 4 THEN (e.tot + r.v) / 4
+         ELSE CAST(0.5 AS DOUBLE) * (r.v - e.s[(r.rn - 1) % 4 + 1])
+              + CAST(0.5 AS DOUBLE) * (e.l + e.b) END,
+    CASE WHEN r.rn < 4 THEN CAST(NULL AS DOUBLE)
+         WHEN r.rn = 4 THEN CAST(0 AS DOUBLE)
+         ELSE CAST(0.25 AS DOUBLE)
+              * ((CAST(0.5 AS DOUBLE)
+                  * (r.v - e.s[(r.rn - 1) % 4 + 1])
+                  + CAST(0.5 AS DOUBLE) * (e.l + e.b)) - e.l)
+              + CAST(0.75 AS DOUBLE) * e.b END,
+    CASE WHEN r.rn < 4 THEN CAST(NULL AS DOUBLE[])
+         WHEN r.rn = 4 THEN list_transform(
+             list_concat(e.xs, [r.v]),
+             xi -> xi - (e.tot + r.v) / 4)
+         ELSE list_concat(list_concat(
+             e.s[:(r.rn - 1) % 4],
+             [CAST(0.25 AS DOUBLE)
+              * (r.v - (CAST(0.5 AS DOUBLE)
+                        * (r.v - e.s[(r.rn - 1) % 4 + 1])
+                        + CAST(0.5 AS DOUBLE) * (e.l + e.b)))
+              + CAST(0.75 AS DOUBLE) * e.s[(r.rn - 1) % 4 + 1]]),
+             e.s[(r.rn - 1) % 4 + 2:]) END,
+    CASE WHEN r.rn <= 4 THEN CAST(NULL AS DOUBLE)
+         ELSE CAST(0.5 AS DOUBLE) * (r.v - e.s[(r.rn - 1) % 4 + 1])
+              + CAST(0.5 AS DOUBLE) * (e.l + e.b) END,
+    CASE WHEN r.rn <= 4 THEN CAST(NULL AS DOUBLE)
+         ELSE CAST(0.25 AS DOUBLE)
+              * ((CAST(0.5 AS DOUBLE)
+                  * (r.v - e.s[(r.rn - 1) % 4 + 1])
+                  + CAST(0.5 AS DOUBLE) * (e.l + e.b)) - e.l)
+              + CAST(0.75 AS DOUBLE) * e.b END,
+    CASE WHEN r.rn <= 4 THEN CAST(NULL AS DOUBLE)
+         ELSE CAST(0.25 AS DOUBLE)
+              * (r.v - (CAST(0.5 AS DOUBLE)
+                        * (r.v - e.s[(r.rn - 1) % 4 + 1])
+                        + CAST(0.5 AS DOUBLE) * (e.l + e.b)))
+              + CAST(0.75 AS DOUBLE) * e.s[(r.rn - 1) % 4 + 1] END
+  FROM e JOIN r ON r.user_id = e.user_id AND r.rn = e.rn + 1)
+SELECT user_id, event_id, outl AS level, outb AS trend,
+       outs AS season,
+       outl + outb + s[(rn % 4) + 1] AS forecast_next
+FROM e
+""")
+def q_holt_winters_fc(spark, sf_dir):
+    """Additive Holt-Winters with the one-step-ahead FORECAST column:
+    x-hat_{t+1|t} = l_t + b_t + s_{t+1-m} — derived in the oracle\'s
+    final SELECT from the recursive CTE\'s updated ring buffer (slot
+    (rn % 4) + 1 is exactly the seasonal the next step consumes), so
+    the forecast is compared UNROUNDED like its parent states."""
+    from beam_spark.operators.stats import HoltWinters
+
+    ev = table(spark, sf_dir, "events").df.filter("value IS NOT NULL")
+    out = (PCollection(ev) | HoltWinters(
+        "value", alpha=0.5, beta=0.25, gamma=0.25, period=4,
+        keys="user_id", order_by=["ts", "event_id"],
+        emit_forecast=True)).df
+    return out.select("user_id", "event_id", "level", "trend",
+                      "season", "forecast_next")
+
+
 @query("q_ts_holt_winters_mul", """
 WITH RECURSIVE r AS (
   SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
@@ -3203,6 +3282,38 @@ def q_holt_winters_mul(spark, sf_dir):
     return out.select("user_id", "event_id",
                       F.col("level"), F.col("trend"),
                       F.col("season"))
+
+
+@query("q_dedup_jaro_winkler", """
+WITH recs AS (SELECT c_custkey AS id, c_nationkey AS nk, c_name AS s
+              FROM customer),
+pairs AS (SELECT a.id AS i, b.id AS j, a.s AS sa, b.s AS sb
+          FROM recs a JOIN recs b
+            ON a.nk = b.nk AND a.id < b.id AND b.id - a.id <= 3)
+SELECT i, j, round(jaro_similarity(sa, sb), 6) AS jaro,
+       round(jaro_winkler_similarity(sa, sb), 6) AS jaro_winkler
+FROM pairs
+""")
+def q_jaro_winkler(spark, sf_dir):
+    """Jaro/Jaro-Winkler over nation-blocked customer-name pairs —
+    the operator's from-scratch scorer value-matched against DuckDB's
+    NATIVE jaro_similarity / jaro_winkler_similarity (independent C++
+    implementation of the same 1990 parameterization; round 6)."""
+    from beam_spark.operators.dedupe import JaroWinklerScore
+
+    c = table(spark, sf_dir, "customer").df
+    recs = c.selectExpr("c_custkey AS id", "c_nationkey AS nk",
+                        "c_name AS s")
+    a = recs.selectExpr("id AS i", "nk AS nka")
+    b = recs.selectExpr("id AS j", "nk AS nkb")
+    pairs = (a.join(b, (F.col("nka") == F.col("nkb"))
+                    & (F.col("i") < F.col("j"))
+                    & (F.col("j") - F.col("i") <= 3))
+             .select("i", "j"))
+    out = (PCollection(pairs) | JaroWinklerScore(
+        recs, text_col="s", id_col="id")).df
+    return out.select("i", "j", F.round("jaro", 6).alias("jaro"),
+                      F.round("jaro_winkler", 6).alias("jaro_winkler"))
 
 
 def _fs_em_oracle_sql(iters: int = 5) -> str:
@@ -3579,6 +3690,51 @@ d0 AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS DOUBLE) AS dist),"""]
     FROM {p} d JOIN edges e ON e.src = d.node) GROUP BY node),""")
     cte[-1] = cte[-1].rstrip(",")
     return "\n".join(cte) + f"\nSELECT node, dist FROM d{rounds}"
+
+
+def _kcore_oracle_sql(k: int = 5, rounds: int = 10) -> str:
+    """Chained-CTE k-core peel: round r induces the edge set on round
+    r-1's survivors and keeps nodes with degree >= k — exactly the
+    operator's fixed_rounds mode (peeling is idempotent after
+    convergence, so a fixed round count replays deterministically at
+    any SF). Integer degrees: exact, no rounding."""
+    # AS MATERIALIZED: without it DuckDB inlines `und` into every
+    # round's joins and re-opens the parquet per reference — ~24
+    # scans trips "Too many open files" inside a Spark-heavy process
+    cte = ["""WITH raw AS (SELECT o_custkey AS s, o_orderkey % 200 AS d
+             FROM orders),
+und AS MATERIALIZED (SELECT DISTINCT least(s, d) AS a,
+                            greatest(s, d) AS b
+        FROM raw WHERE s <> d),
+s0 AS (SELECT a AS node FROM und UNION SELECT b FROM und),"""]
+    for r in range(1, rounds + 1):
+        cte.append(f"""e{r} AS MATERIALIZED (SELECT e.a, e.b FROM und e
+  JOIN s{r - 1} x ON e.a = x.node JOIN s{r - 1} y ON e.b = y.node),
+s{r} AS (SELECT node FROM (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM e{r} UNION ALL SELECT b FROM e{r}) v
+  GROUP BY node) g WHERE d >= {k}),""")
+    cte.append(f"""fin AS (SELECT e.a, e.b FROM und e
+  JOIN s{rounds} x ON e.a = x.node JOIN s{rounds} y ON e.b = y.node)""")
+    return ("\n".join(cte)
+            + f"""
+SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+  SELECT a AS node FROM fin UNION ALL SELECT b FROM fin) v
+GROUP BY node HAVING count(*) >= {k}""")
+
+
+@query("q_graph_kcore", _kcore_oracle_sql())
+def q_kcore(spark, sf_dir):
+    """5-core of the customer/order-hash link graph via 10 fixed
+    peeling rounds (the operator's deterministic-replay mode; DuckDB
+    chains the identical induce-and-filter per round) — node set and
+    in-core degrees exact."""
+    from beam_spark.operators.graph import KCore
+
+    o = table(spark, sf_dir, "orders").df
+    edges = o.selectExpr("o_custkey AS src", "o_orderkey % 200 AS dst")
+    out = (PCollection(edges) | KCore(5, fixed_rounds=10)).df
+    return out.select("node", "degree")
 
 
 @query("q_graph_triangles", """

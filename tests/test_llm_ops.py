@@ -1899,3 +1899,54 @@ def test_cohort_retention_and_transitions_known(spark):
     assert tr[("a", "c")] == (1, 0.25)
     assert tr[("b", "a")] == (2, 1.0)
     assert len(tr) == 3
+
+
+def test_jaro_winkler_textbook_values(spark):
+    """JaroWinklerScore reproduces the textbook values (MARTHA/MARHTA,
+    DIXON/DICKSONX), applies the Winkler boost only above jaro 0.7,
+    caps the prefix at 4, and scores NULL on NULL."""
+    from beam_spark.operators.dedupe import JaroWinklerScore, _jaro_winkler
+    from beam_spark.pcollection import PCollection
+
+    assert _jaro_winkler("MARTHA", "MARHTA") == (
+        0.9444444444444445, 0.9611111111111111)
+    j, jw = _jaro_winkler("DIXON", "DICKSONX")
+    assert abs(j - 0.7666666666666666) < 1e-12
+    assert abs(jw - 0.8133333333333332) < 1e-12
+    # below the 0.7 threshold the boost never applies despite prefix 2
+    j, jw = _jaro_winkler("abcdefgh", "abzzzzzz")
+    assert j == jw == 0.5
+    assert _jaro_winkler("a", "b") == (0.0, 0.0)
+    assert _jaro_winkler("", "abc") == (0.0, 0.0)
+
+    recs = spark.createDataFrame(
+        [(0, "MARTHA"), (1, "MARHTA"), (2, None)],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 1), (0, 2)], "i long, j long")
+    out = {(r["i"], r["j"]): (r["jaro"], r["jaro_winkler"]) for r in
+           (PCollection(pairs) | JaroWinklerScore(recs)).df.collect()}
+    assert out[(0, 1)] == (0.9444444444444445, 0.9611111111111111)
+    assert out[(0, 2)] == (None, None)
+
+
+def test_kcore_known_graph_and_fixpoint(spark):
+    """KCore fixpoint mode on a known graph: K5 plus a pendant chain —
+    the 3-core is exactly the K5 (cascading peel: removing the chain
+    tail drops its parent below 3 next round... chain peels fully),
+    each member at in-core degree 4; k above the max degree empties."""
+    from beam_spark.operators.graph import KCore
+    from beam_spark.pcollection import PCollection
+
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    chain = [(4, 5), (5, 6), (6, 7)]     # peels under k=3
+    df = spark.createDataFrame(k5 + chain, "src long, dst long")
+    out = {r["node"]: r["degree"] for r in
+           (PCollection(df) | KCore(3)).df.collect()}
+    assert out == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}
+
+    assert (PCollection(df) | KCore(5)).df.count() == 0
+
+    # fixed_rounds >= convergence rounds equals fixpoint mode
+    fixed = {r["node"]: r["degree"] for r in
+             (PCollection(df) | KCore(3, fixed_rounds=6)).df.collect()}
+    assert fixed == out

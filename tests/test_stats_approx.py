@@ -529,3 +529,39 @@ def test_rolling_corr_known_signals(spark):
     assert out[("gap", 6)] is not None       # window clear again
     with _pytest.raises(ValueError, match="window"):
         RollingCorr("x", "y", window=1, keys="k", order_by="i")
+
+
+def test_holt_winters_forecast_next_tracks_actuals(spark):
+    """emit_forecast: after burn-in on a clean trend+seasonal signal,
+    forecast_next at row t predicts row t+1's actual closely — in
+    BOTH modes; seed rows stay NULL."""
+    from beam_spark.operators.stats import HoltWinters
+    from beam_spark.pcollection import PCollection
+
+    season = [2.0, -1.0, 0.0, -1.0]
+    vals = [10.0 + 0.5 * i + season[i % 4] for i in range(48)]
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(vals)],
+        "k string, i long, v double")
+    out = {r["i"]: r["forecast_next"] for r in
+           (PCollection(df) | HoltWinters(
+               "v", alpha=0.5, beta=0.25, gamma=0.25, period=4,
+               keys="k", order_by="i", emit_forecast=True)).df.collect()}
+    for i in range(4):
+        assert out[i] is None
+    for t in range(40, 47):
+        assert abs(out[t] - vals[t + 1]) < 0.35, (t, out[t], vals[t + 1])
+
+    factor = [1.2, 0.8, 1.0, 1.0]
+    mvals = [(10.0 + 0.5 * i) * factor[i % 4] for i in range(48)]
+    mdf = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(mvals)],
+        "k string, i long, v double")
+    mout = {r["i"]: r["forecast_next"] for r in
+            (PCollection(mdf) | HoltWinters(
+                "v", alpha=0.5, beta=0.25, gamma=0.25, period=4,
+                keys="k", order_by="i", mode="multiplicative",
+                emit_forecast=True)).df.collect()}
+    for t in range(40, 47):
+        rel = abs(mout[t] - mvals[t + 1]) / mvals[t + 1]
+        assert rel < 0.05, (t, mout[t], mvals[t + 1])
