@@ -1704,3 +1704,76 @@ class JaroWinklerScore(PTransform):
                 yield out
 
         return pcoll.with_df(df.mapInPandas(gen, schema=schema))
+
+
+class BlockingQuality(PTransform):
+    """Blocking-stage evaluation metrics (Christen 2012): given the
+    CANDIDATE pairs a blocking scheme produced and a TRUTH pair set
+    (labeled matches, or a gold rule over a sample):
+
+      reduction_ratio   = 1 - |candidates| / |all possible pairs|
+      pair_completeness = |candidates ∩ truth| / |truth|   (recall)
+      pair_quality      = |candidates ∩ truth| / |candidates|
+
+    — the standard trade-off report for choosing between
+    SortedNeighborhood / LSH banding / q-gram blocking before the
+    expensive scoring stage. Pairs are normalized to unordered
+    (least, greatest) before intersecting, so candidate and truth
+    orientation conventions don't matter.
+
+    ``total_records``: record count for the all-pairs denominator
+    (self-dedup n*(n-1)/2); pass ``total_right`` for two-corpus
+    linkage (denominator n*m). Output: ONE row — (candidates, truth,
+    matched, reduction_ratio, pair_completeness, pair_quality),
+    ratios rounded 6; NULL where a denominator is 0.
+
+    Scale: one distinct + one join on the normalized pair key; the
+    truth set is typically a labeled sample (small) — the join
+    broadcasts under the threshold.
+    """
+
+    def __init__(self, truth, total_records: int,
+                 total_right: int | None = None,
+                 i_col: str = "i", j_col: str = "j", label=None):
+        super().__init__(label)
+        self.truth = (truth.df if isinstance(truth, PCollection)
+                      else truth)
+        if int(total_records) < 2 and total_right is None:
+            raise ValueError("total_records must be >= 2")
+        self.total_records = int(total_records)
+        self.total_right = (None if total_right is None
+                            else int(total_right))
+        self.i_col, self.j_col = i_col, j_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        ic, jc = self.i_col, self.j_col
+
+        def norm(df):
+            return (df.select(
+                F.least(F.col(ic), F.col(jc)).alias("a"),
+                F.greatest(F.col(ic), F.col(jc)).alias("b"))
+                .where(F.col("a") != F.col("b"))
+                .distinct())
+
+        cand = norm(pcoll.df)
+        truth = norm(self.truth)
+        n = self.total_records
+        total_pairs = (n * self.total_right if self.total_right
+                       else n * (n - 1) // 2)
+        stats = (cand.agg(F.count(F.lit(1)).alias("candidates"))
+                 .crossJoin(truth.agg(F.count(F.lit(1)).alias("truth")))
+                 .crossJoin(cand.join(truth, ["a", "b"])
+                            .agg(F.count(F.lit(1)).alias("matched"))))
+        out = stats.select(
+            F.col("candidates").cast("long").alias("candidates"),
+            F.col("truth").cast("long").alias("truth"),
+            F.col("matched").cast("long").alias("matched"),
+            F.round(1.0 - F.col("candidates") / F.lit(float(total_pairs)),
+                    6).alias("reduction_ratio"),
+            F.round(F.when(F.col("truth") > 0,
+                           F.col("matched") / F.col("truth")), 6)
+            .alias("pair_completeness"),
+            F.round(F.when(F.col("candidates") > 0,
+                           F.col("matched") / F.col("candidates")), 6)
+            .alias("pair_quality"))
+        return pcoll.with_df(out)

@@ -992,3 +992,108 @@ class RollingCorr(PTransform):
             F.round((W * sxy - sx * sy) / F.sqrt(vx * vy), 6))
         out = pcoll.df.withColumn(self.corr_col, corr)
         return pcoll.with_df(out)
+
+
+class ChangepointMeanShift(PTransform):
+    """Mean-shift changepoint detection per key by BINARY SEGMENTATION
+    (Scott & Knott 1974 lineage; the fixed-depth cousin of PELT) —
+    level-change discovery for monitoring/series-segmentation: split
+    a segment where the SSE reduction
+
+        gain(s) = SSE(a, b) - (SSE(a, s) + SSE(s, b))
+
+    is maximal (SSE from prefix sums: (C2 - C1^2/len)); accept when
+    gain > ``penalty``; recurse ``levels`` times over every accepted
+    segment. Fixed levels (not to-convergence) keep the procedure
+    deterministic-replayable — the DuckDB oracle chains one
+    (candidate, argmax, accept) CTE trio per level with the identical
+    prefix sums and tie-break (max gain, then smallest split).
+
+    NULL values are dropped before ordering. ``min_segment`` bounds
+    both sides of any split.
+
+    Scale: the moment work is one sort+cumsum per key inside an
+    Arrow-batched applyInPandas; candidate gains per segment are
+    vectorized numpy over the split range (no per-row Python), and
+    segment count is <= 2^levels. The per-key sequential posture is
+    the Ewma/HoltWinters one.
+
+    Output: one row per detected changepoint — keys + (cp_pos bigint:
+    0-based row index where the new segment STARTS, level int, gain
+    double UNROUNDED — round downstream).
+    """
+
+    def __init__(self, col: str, keys, order_by, penalty: float,
+                 levels: int = 3, min_segment: int = 5, label=None):
+        super().__init__(label)
+        if float(penalty) < 0:
+            raise ValueError("penalty must be >= 0")
+        if int(levels) < 1:
+            raise ValueError("levels must be >= 1")
+        if int(min_segment) < 1:
+            raise ValueError("min_segment must be >= 1")
+        self.col = col
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        self.order_by = ([order_by] if isinstance(order_by, str)
+                         else list(order_by))
+        self.penalty = float(penalty)
+        self.levels = int(levels)
+        self.min_segment = int(min_segment)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        col, ob = self.col, self.order_by
+        pen, L, ms = self.penalty, self.levels, self.min_segment
+        keys = self.keys
+        key_ddl = ", ".join(
+            f"{k} {pcoll.df.schema[k].dataType.simpleString()}"
+            for k in keys)
+        schema = f"{key_ddl}, cp_pos bigint, level int, gain double"
+
+        def fn(pdf):
+            import numpy as np
+            import pandas as pd
+
+            pdf = pdf.sort_values(ob, kind="mergesort")
+            x = pdf[col].astype(float).to_numpy()
+            n = len(x)
+            p1 = np.concatenate(([0.0], np.cumsum(x)))
+            p2 = np.concatenate(([0.0], np.cumsum(x * x)))
+
+            def sse(a, b):
+                if b <= a:
+                    return 0.0
+                c1 = p1[b] - p1[a]
+                return (p2[b] - p2[a]) - c1 * c1 / (b - a)
+
+            segs = [(0, n)]
+            out = []
+            for level in range(1, L + 1):
+                nxt = []
+                for a, b in segs:
+                    lo, hi = a + ms, b - ms
+                    if hi < lo:
+                        nxt.append((a, b))
+                        continue
+                    s = np.arange(lo, hi + 1)
+                    c1l = p1[s] - p1[a]
+                    c1r = p1[b] - p1[s]
+                    ssl = (p2[s] - p2[a]) - c1l * c1l / (s - a)
+                    ssr = (p2[b] - p2[s]) - c1r * c1r / (b - s)
+                    gains = sse(a, b) - (ssl + ssr)
+                    i = int(np.argmax(gains))   # first max: ties -> smallest s
+                    if gains[i] > pen:
+                        sp = int(s[i])
+                        out.append((sp, level, float(gains[i])))
+                        nxt.extend([(a, sp), (sp, b)])
+                    else:
+                        nxt.append((a, b))
+                segs = nxt
+            kv = {k: pdf[k].iloc[0] for k in keys}
+            return pd.DataFrame(
+                [{**kv, "cp_pos": sp, "level": lv, "gain": g}
+                 for sp, lv, g in out],
+                columns=[*keys, "cp_pos", "level", "gain"])
+
+        base = pcoll.df.where(F.col(col).isNotNull())
+        out = base.groupBy(*keys).applyInPandas(fn, schema)
+        return pcoll.with_df(out)

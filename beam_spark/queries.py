@@ -2518,6 +2518,113 @@ def q_acf(spark, sf_dir):
                       "acf")
 
 
+def _changepoint_oracle_sql(levels: int = 2, ms: int = 5,
+                            pen: float = 100.0) -> str:
+    """Chained-CTE binary segmentation: per level, segments derive
+    from the accepted-changepoint set, every in-range split's SSE
+    gain computes from the SAME left-to-right prefix sums (window
+    running sums = numpy cumsum, bit-identical on the exact-integer
+    signal), the per-segment argmax tie-breaks (gain DESC, s ASC)
+    exactly like np.argmax's first-max, and gain > penalty accepts.
+    AS MATERIALIZED keeps DuckDB from re-opening the parquet for
+    every self-join."""
+    head = """WITH b0 AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) - 1 AS rn
+  FROM events),
+base AS MATERIALIZED (
+  SELECT user_id, rn,
+         CAST(event_id % 7 AS DOUBLE)
+         + CASE WHEN rn >= 8 THEN CAST(50 AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END
+         + CASE WHEN rn >= 16 THEN CAST(-70 AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END AS v
+  FROM b0),
+n_tab AS MATERIALIZED (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+                       FROM base GROUP BY user_id),
+p AS (
+  SELECT user_id, rn, v,
+         sum(v) OVER w AS c1, sum(v * v) OVER w AS c2
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY rn
+               ROWS UNBOUNDED PRECEDING)),
+pidx AS MATERIALIZED (
+  SELECT user_id, rn + 1 AS idx, c1, c2 FROM p
+  UNION ALL
+  SELECT user_id, 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE) FROM n_tab),
+cp0 AS (SELECT user_id, CAST(NULL AS BIGINT) AS pos, 0 AS level,
+               CAST(NULL AS DOUBLE) AS gain
+        FROM n_tab WHERE 1 = 0),"""
+    cte = [head]
+    for lv in range(1, levels + 1):
+        cte.append(f"""bnd{lv} AS (
+  SELECT user_id, pos FROM cp{lv - 1}
+  UNION ALL SELECT user_id, 0 FROM n_tab
+  UNION ALL SELECT user_id, n FROM n_tab),
+seg{lv} AS (
+  SELECT user_id, a, b FROM (
+    SELECT user_id, pos AS a,
+           lead(pos) OVER (PARTITION BY user_id ORDER BY pos) AS b
+    FROM bnd{lv}) z WHERE b IS NOT NULL),
+cand{lv} AS MATERIALIZED (
+  SELECT g.user_id, g.a, g.b, g.s,
+    ((pb.c2 - pa.c2)
+     - (pb.c1 - pa.c1) * (pb.c1 - pa.c1) / (g.b - g.a))
+    - (((ps.c2 - pa.c2)
+        - (ps.c1 - pa.c1) * (ps.c1 - pa.c1) / (g.s - g.a))
+       + ((pb.c2 - ps.c2)
+          - (pb.c1 - ps.c1) * (pb.c1 - ps.c1) / (g.b - g.s)))
+    AS gain
+  FROM (SELECT seg.user_id, seg.a, seg.b, r.rn AS s
+        FROM seg{lv} seg JOIN base r ON r.user_id = seg.user_id
+          AND r.rn >= seg.a + {ms} AND r.rn <= seg.b - {ms}) g
+  JOIN pidx pa ON pa.user_id = g.user_id AND pa.idx = g.a
+  JOIN pidx ps ON ps.user_id = g.user_id AND ps.idx = g.s
+  JOIN pidx pb ON pb.user_id = g.user_id AND pb.idx = g.b),
+pick{lv} AS (
+  SELECT user_id, s AS pos, {lv} AS level, gain FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, a
+                                 ORDER BY gain DESC, s) AS rk
+    FROM cand{lv}) z WHERE rk = 1 AND gain > CAST({pen} AS DOUBLE)),
+cp{lv} AS (SELECT user_id, pos, level, gain FROM cp{lv - 1}
+           UNION ALL
+           SELECT user_id, pos, level, gain FROM pick{lv}),""")
+    cte[-1] = cte[-1].rstrip(",")
+    return ("\n".join(cte)
+            + f"""
+SELECT user_id, pos AS cp_pos, CAST(level AS INT) AS level,
+       round(gain, 6) AS gain
+FROM cp{levels}""")
+
+
+@query("q_ts_changepoints", _changepoint_oracle_sql())
+def q_changepoints(spark, sf_dir):
+    """Binary-segmentation changepoints (2 levels, min_segment 5,
+    penalty 100) on a planted two-shift signal (+50 at position 8,
+    -70 at 16, deterministic mod-7 wiggle) per user — the full
+    segment/argmax/accept procedure replayed level by level in
+    DuckDB (round 6)."""
+    from pyspark.sql import Window
+
+    from beam_spark.operators.stats import ChangepointMeanShift
+
+    ev = table(spark, sf_dir, "events").df
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = (ev.withColumn("__rn", F.row_number().over(w) - 1)
+         .withColumn("__x",
+                     (F.col("event_id") % 7).cast("double")
+                     + F.when(F.col("__rn") >= 8, F.lit(50.0))
+                     .otherwise(F.lit(0.0))
+                     + F.when(F.col("__rn") >= 16, F.lit(-70.0))
+                     .otherwise(F.lit(0.0))))
+    out = (PCollection(x) | ChangepointMeanShift(
+        "__x", keys="user_id", order_by=["ts", "event_id"],
+        penalty=100.0, levels=2, min_segment=5)).df
+    return out.select("user_id", "cp_pos", "level",
+                      F.round("gain", 6).alias("gain"))
+
+
 @query("q_ts_rolling_corr", """
 WITH b AS (
   SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
@@ -3282,6 +3389,62 @@ def q_holt_winters_mul(spark, sf_dir):
     return out.select("user_id", "event_id",
                       F.col("level"), F.col("trend"),
                       F.col("season"))
+
+
+@query("q_dedup_blocking_quality", """
+WITH recs AS (SELECT c_custkey AS id, c_nationkey AS nk,
+                     c_mktsegment AS seg FROM customer),
+cand AS (SELECT a.id AS i, b.id AS j FROM recs a JOIN recs b
+         ON a.nk = b.nk AND a.id < b.id AND b.id - a.id <= 3),
+truth AS (SELECT a.id AS i, b.id AS j FROM recs a JOIN recs b
+          ON a.nk = b.nk AND a.seg = b.seg
+             AND a.id < b.id AND b.id - a.id <= 6),
+s AS (SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS candidates,
+  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS truth,
+  (SELECT CAST(count(*) AS BIGINT)
+   FROM cand JOIN truth ON cand.i = truth.i AND cand.j = truth.j)
+  AS matched,
+  (SELECT CAST(count(*) AS BIGINT) FROM recs) AS n)
+SELECT candidates, truth, matched,
+       round(1 - CAST(candidates AS DOUBLE)
+             / CAST((n * (n - 1)) // 2 AS DOUBLE), 6)
+       AS reduction_ratio,
+       round(CASE WHEN truth > 0
+             THEN CAST(matched AS DOUBLE) / truth END, 6)
+       AS pair_completeness,
+       round(CASE WHEN candidates > 0
+             THEN CAST(matched AS DOUBLE) / candidates END, 6)
+       AS pair_quality
+FROM s
+""")
+def q_blocking_quality(spark, sf_dir):
+    """Blocking evaluation: the nation+key-proximity candidate set
+    scored against a same-(nation, segment) gold rule — reduction
+    ratio vs all C(n,2) pairs, pair completeness (blocking recall),
+    pair quality (precision) — every count and ratio replayed by
+    DuckDB (round 6)."""
+    from beam_spark.operators.dedupe import BlockingQuality
+
+    c = table(spark, sf_dir, "customer").df
+    recs = c.selectExpr("c_custkey AS id", "c_nationkey AS nk",
+                        "c_mktsegment AS seg")
+    a = recs.selectExpr("id AS i", "nk AS nka", "seg AS sga")
+    b = recs.selectExpr("id AS j", "nk AS nkb", "seg AS sgb")
+    cand = (a.join(b, (F.col("nka") == F.col("nkb"))
+                   & (F.col("i") < F.col("j"))
+                   & (F.col("j") - F.col("i") <= 3))
+            .select("i", "j"))
+    truth = (a.join(b, (F.col("nka") == F.col("nkb"))
+                    & (F.col("sga") == F.col("sgb"))
+                    & (F.col("i") < F.col("j"))
+                    & (F.col("j") - F.col("i") <= 6))
+             .select("i", "j"))
+    out = (PCollection(cand) | BlockingQuality(
+        truth, total_records=recs.count())).df
+    return out.select("candidates", "truth", "matched",
+                      "reduction_ratio", "pair_completeness",
+                      "pair_quality")
 
 
 @query("q_dedup_jaro_winkler", """

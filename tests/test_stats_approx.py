@@ -565,3 +565,33 @@ def test_holt_winters_forecast_next_tracks_actuals(spark):
     for t in range(40, 47):
         rel = abs(mout[t] - mvals[t + 1]) / mvals[t + 1]
         assert rel < 0.05, (t, mout[t], mvals[t + 1])
+
+
+def test_changepoint_binary_segmentation_recovers_shifts(spark):
+    """Two planted mean shifts recovered at their exact positions in
+    level order (biggest SSE reduction first); a shift-free series
+    yields no changepoints; validation errors."""
+    import pytest as _pytest
+
+    from beam_spark.operators.stats import ChangepointMeanShift
+    from beam_spark.pcollection import PCollection
+
+    wiggle = [0.0, 1.0, -1.0, 0.5, -0.5]
+    vals = [wiggle[i % 5] + (80.0 if i >= 40 else 0.0)
+            + (-50.0 if i >= 70 else 0.0) for i in range(100)]
+    rows = ([("a", i, v) for i, v in enumerate(vals)]
+            + [("flat", i, wiggle[i % 5]) for i in range(60)])
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    out = [(r["k"], r["cp_pos"], r["level"]) for r in
+           (PCollection(df) | ChangepointMeanShift(
+               "v", keys="k", order_by="i", penalty=50.0,
+               levels=3, min_segment=5)).df.collect()]
+    a_cps = sorted((p, lv) for k, p, lv in out if k == "a")
+    assert (40, 1) in a_cps and (70, 2) in a_cps
+    assert all(p in (40, 70) for p, _ in a_cps)   # no spurious splits
+    assert not any(k == "flat" for k, _, _ in out)
+    with _pytest.raises(ValueError, match="penalty"):
+        ChangepointMeanShift("v", keys="k", order_by="i", penalty=-1)
+    with _pytest.raises(ValueError, match="levels"):
+        ChangepointMeanShift("v", keys="k", order_by="i",
+                             penalty=1, levels=0)
