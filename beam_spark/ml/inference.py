@@ -41,7 +41,9 @@ _LAST_RESOLVED: dict[tuple[str, str], tuple[str, int, int]] = {}
 #: CONSECUTIVE empty resolutions the artifact is treated as genuinely
 #: deleted — the stale entry is dropped and resolution fails fast
 #: ("matched nothing") instead of silently serving a decommissioned
-#: model forever
+#: model forever. Per-transform override: RunInference(...,
+#: max_empty_resolutions=None) opts into Beam's WatchFilePattern
+#: keep-serving-forever behavior for flaky remote filesystems.
 _MAX_EMPTY_RESOLUTIONS = 3
 
 
@@ -86,9 +88,15 @@ def _cache_model(evict_prefix: str, cache_key: str, model: Any,
     _MODEL_CACHE[cache_key] = model
 
 
-def _resolve_model_path(spark, pattern: str) -> tuple[str, int]:
+def _resolve_model_path(spark, pattern: str,
+                        max_empty_resolutions: int | None =
+                        _MAX_EMPTY_RESOLUTIONS) -> tuple[str, int]:
     """Newest artifact matching a glob — (path, mtime), ties broken by
-    name. Hadoop FileSystem API: file://, hdfs://, s3a:// all work."""
+    name. Hadoop FileSystem API: file://, hdfs://, s3a:// all work.
+    ``max_empty_resolutions=None`` keeps serving the last resolved
+    artifact through ANY number of consecutive empty globs (Beam
+    WatchFilePattern parity); an int bounds the misses before
+    failing fast."""
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(pattern)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -97,11 +105,13 @@ def _resolve_model_path(spark, pattern: str) -> tuple[str, int]:
     if not statuses:
         # transiently empty (atomic replace in flight): keep serving
         # the last artifact this session resolved for the pattern —
-        # but only for a bounded number of consecutive misses, after
-        # which the artifact is considered deleted for real
+        # bounded by max_empty_resolutions consecutive misses
+        # (unbounded when None), after which the artifact is
+        # considered deleted for real
         if key in _LAST_RESOLVED:
             path, mtime, misses = _LAST_RESOLVED[key]
-            if misses + 1 < _MAX_EMPTY_RESOLUTIONS:
+            if (max_empty_resolutions is None
+                    or misses + 1 < max_empty_resolutions):
                 _LAST_RESOLVED[key] = (path, mtime, misses + 1)
                 return path, mtime
             del _LAST_RESOLVED[key]
@@ -153,7 +163,9 @@ class RunInference(PTransform):
                  output_col: str = "prediction",
                  output_type: str | T.DataType = "double",
                  batch_size: int = 256,
-                 watch_model_pattern: str | None = None, label=None):
+                 watch_model_pattern: str | None = None,
+                 max_empty_resolutions: int | None =
+                 _MAX_EMPTY_RESOLUTIONS, label=None):
         """``watch_model_pattern``: optional artifact glob — Beam's
         WatchFilePattern model refresh. At every plan expansion the
         NEWEST matching file (mtime, then name) becomes the model
@@ -162,12 +174,18 @@ class RunInference(PTransform):
         foreachBatch streaming pipeline each micro-batch re-expands,
         giving per-batch refresh cadence — the Spark-native analog of
         Beam's side-input refresh interval. The handler must
-        implement ``load_model_from(path)``."""
+        implement ``load_model_from(path)``.
+
+        ``max_empty_resolutions``: consecutive empty glob resolutions
+        tolerated (serving the last-seen artifact) before failing
+        fast; ``None`` = keep serving indefinitely, matching Beam's
+        WatchFilePattern on flaky remote filesystems."""
         super().__init__(label)
         self.handler, self.input_col = handler, input_col
         self.output_col, self.output_type = output_col, output_type
         self.batch_size = batch_size
         self.watch_model_pattern = watch_model_pattern
+        self.max_empty_resolutions = max_empty_resolutions
         self._dlq = False
 
     def with_exception_handling(self) -> "RunInference":
@@ -191,7 +209,8 @@ class RunInference(PTransform):
 
         if self.watch_model_pattern:
             path, mtime = _resolve_model_path(
-                pcoll.df.sparkSession, self.watch_model_pattern)
+                pcoll.df.sparkSession, self.watch_model_pattern,
+                self.max_empty_resolutions)
             evict_prefix = (f"{handler.share_token}@"
                             f"{self.watch_model_pattern}@")
             cache_key = f"{evict_prefix}{path}@{mtime}"

@@ -1738,11 +1738,17 @@ class BlockingQuality(PTransform):
         super().__init__(label)
         self.truth = (truth.df if isinstance(truth, PCollection)
                       else truth)
-        if int(total_records) < 2 and total_right is None:
-            raise ValueError("total_records must be >= 2")
         self.total_records = int(total_records)
         self.total_right = (None if total_right is None
                             else int(total_right))
+        if self.total_right is None:
+            if self.total_records < 2:
+                raise ValueError("total_records must be >= 2")
+        else:
+            if self.total_records < 1:
+                raise ValueError("total_records must be >= 1")
+            if self.total_right < 1:
+                raise ValueError("total_right must be >= 1")
         self.i_col, self.j_col = i_col, j_col
 
     def expand(self, pcoll: PCollection) -> PCollection:
@@ -1758,7 +1764,8 @@ class BlockingQuality(PTransform):
         cand = norm(pcoll.df)
         truth = norm(self.truth)
         n = self.total_records
-        total_pairs = (n * self.total_right if self.total_right
+        total_pairs = (n * self.total_right
+                       if self.total_right is not None
                        else n * (n - 1) // 2)
         stats = (cand.agg(F.count(F.lit(1)).alias("candidates"))
                  .crossJoin(truth.agg(F.count(F.lit(1)).alias("truth")))

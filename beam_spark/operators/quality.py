@@ -557,11 +557,15 @@ class BenfordProfile(PTransform):
     sampling, truncation, copy-paste) show up as flat or spiked digit
     histograms.
 
-    The first digit is taken from the DECIMAL string form of |x|
-    (first [1-9] character) — not from floor(x / 10^floor(log10 x)),
+    The first digit is the first [1-9] character of the DOUBLE's
+    round-trip string form of |x| — not floor(x / 10^floor(log10 x)),
     whose log10 lands on 2.999... at exact powers of ten and yields
-    digit 10. Zero/NULL rows are excluded (no first significant
-    digit).
+    digit 10. The shortest round-trip representation covers the full
+    double range (scientific notation for tiny/huge magnitudes —
+    no decimal-cast overflow to NULL at |x| >= 1e22, no rounding of
+    |x| < 5e-7 to zero, no half-up carry shifting the leading digit
+    at the 6th decimal). Zero/NULL/NaN/Infinity rows are excluded
+    (no first significant digit).
 
     Output: one row per digit 1..9 — (digit, n, freq, expected,
     chi2_term) with chi2_term = n_total * (freq - expected)^2 /
@@ -582,7 +586,7 @@ class BenfordProfile(PTransform):
         c = self.col
         spark = pcoll.df.sparkSession
         digit = F.regexp_extract(
-            F.abs(F.col(c).cast("decimal(28, 6)")).cast("string"),
+            F.abs(F.col(c).cast("double")).cast("string"),
             "[1-9]", 0)
         counted = (pcoll.df
                    .where(F.col(c).isNotNull())

@@ -3595,7 +3595,7 @@ def q_fs_em(spark, sf_dir):
 
 @query("q_quality_benford", """
 WITH v AS (
-  SELECT regexp_extract(CAST(abs(CAST(o_totalprice AS DECIMAL(28, 6)))
+  SELECT regexp_extract(CAST(abs(CAST(o_totalprice AS DOUBLE))
                              AS VARCHAR), '[1-9]') AS d
   FROM orders WHERE o_totalprice IS NOT NULL),
 c AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM v
@@ -3615,10 +3615,10 @@ FROM f CROSS JOIN t
 """)
 def q_benford(spark, sf_dir):
     """Benford first-digit profile of order totals: digit counts from
-    the decimal string form (dodging the log10(10^k) = 2.999...
-    floor trap), Benford expectations, and per-digit Pearson chi2
-    terms — DuckDB recomputes the digit extraction and every term
-    (round 6)."""
+    the double's round-trip string form (dodging the log10(10^k) =
+    2.999... floor trap and covering the full double range), Benford
+    expectations, and per-digit Pearson chi2 terms — DuckDB
+    recomputes the digit extraction and every term (round 6)."""
     from beam_spark.operators.quality import BenfordProfile
 
     o = table(spark, sf_dir, "orders")

@@ -354,9 +354,12 @@ class GroupIntoBatches(PTransform):
                 buf = list(state.get[0]) if state.exists else []
                 cum, open_cum = int(state.get[1]), int(state.get[2])
                 if buf:
-                    # close the open batch early; round the cursor up
-                    # so the next element starts a new batch_index
-                    cum = cum if cum % b == 0 else (cum // b + 1) * b
+                    # close the open batch early; advance the cursor
+                    # UNCONDITIONALLY to the next budget boundary so
+                    # the next element starts a new batch_index even
+                    # when the flushed batch held only zero-byte
+                    # values with the cursor already on a boundary
+                    cum = (cum // b + 1) * b
                     state.update(([], cum, cum, 0))
                     yield pd.DataFrame(
                         [{**dict(zip(keys, key)),

@@ -1859,6 +1859,20 @@ def test_funnel_within_window_and_strict_order(spark):
     assert chi2 < 1.0, chi2                 # near-perfect fit
     assert prof[1]["expected"] == 0.30103   # log10(2) at 6dp
 
+    # full double range: the round-trip string form keeps the first
+    # significant digit for magnitudes a decimal(28,6) cast would
+    # NULL-overflow (>=1e22), round to zero (<5e-7), or half-up-carry
+    # across a digit boundary (0.0999999 -> 1); zero/NaN/inf excluded
+    xdf = spark.createDataFrame(
+        [(3.7e25,), (9.1e30,), (2.3e-9,), (4.0e-7,), (0.0999999,),
+         (0.0,), (float("nan",),), (float("inf"),), (None,)],
+        "x double")
+    xprof = {r["digit"]: r["n"] for r in
+             (PCollection(xdf) | BenfordProfile("x")).df.collect()}
+    assert sum(xprof.values()) == 5
+    assert xprof[3] == 1 and xprof[9] == 2 and xprof[2] == 1
+    assert xprof[4] == 1 and xprof[1] == 0
+
 
 def test_cohort_retention_and_transitions_known(spark):
     """Cohort retention on a planted two-cohort dataset (known

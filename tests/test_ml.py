@@ -353,6 +353,17 @@ def test_run_inference_watch_model_pattern_refresh(spark, tmp_path):
     fresh = inf_mod._resolve_model_path(spark, pattern)
     assert fresh[0] == last[0]
 
+    # max_empty_resolutions=None: Beam WatchFilePattern parity —
+    # keep serving the last artifact through ANY number of misses
+    for p in mdir.glob("m_*.json"):
+        p.unlink()
+    for _ in range(inf_mod._MAX_EMPTY_RESOLUTIONS + 2):
+        assert inf_mod._resolve_model_path(
+            spark, pattern, max_empty_resolutions=None)[0] == fresh[0]
+    for name, text in kept.items():
+        (mdir / name).write_text(text)
+    assert inf_mod._resolve_model_path(spark, pattern)[0] == fresh[0]
+
     # worker cache eviction: a watched refresh evicts the handler's
     # superseded versions OF THE SAME watched lineage; unwatched
     # tokens, other tokens, and the same token under a DIFFERENT
