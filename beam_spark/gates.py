@@ -399,12 +399,33 @@ _STATS_MOMENTS_SQL = "\nUNION ALL\n".join([
 def q_analytics_suite(spark, sf_dir):
     """OVER-clause analytics (running ROWS-frame sum + rank family)
     + the round-10 event-analytics report family (funnel, monthly
-    cohort retention, Markov transition matrix) as tagged rows."""
+    cohort retention, Markov transition matrix) + the graph family
+    (round 11: PageRank top-20, SSSP distances, per-node triangle/
+    clustering, k-core survivors) as tagged rows. PageRank/SSSP fold
+    their compact link-graph variants (q_graph_pagerank_links /
+    q_graph_sssp_links — the heavy lineitem purchase-graph versions
+    stay component-oracled); PageRank folds only the top-20 nodes
+    ordered by (pr DESC, node) — both engines agree on the round-9
+    pr values node-by-node (the component oracle proves it), so the
+    selection is deterministic."""
     run = _component("q_running_total_per_customer")(spark, sf_dir)
     rnk = _component("q_rank_orders_in_priority")(spark, sf_dir)
     fun = _component("q_funnel_view_click_purchase")(spark, sf_dir)
     coh = _component("q_cohort_retention_monthly")(spark, sf_dir)
     trn = _component("q_event_transition_matrix")(spark, sf_dir)
+    prt = (_component("q_graph_pagerank_links")(spark, sf_dir)
+           .orderBy(F.desc("pr"), "node").limit(20))
+    sssp = _component("q_graph_sssp_links")(spark, sf_dir)
+    tri = _component("q_graph_triangles")(spark, sf_dir)
+    # gate k-core runs 5 fixed peeling rounds (deterministic replay
+    # hash-matches at any depth; the 10-round component keeps the
+    # converged evidence)
+    from beam_spark.operators.graph import KCore
+    from beam_spark.pcollection import PCollection as _PC
+    kc_edges = table(spark, sf_dir, "orders").df.selectExpr(
+        "o_custkey AS src", "o_orderkey % 200 AS dst")
+    kc = (_PC(kc_edges) | KCore(5, fixed_rounds=5)).df.select(
+        "node", "degree")
     return _union([
         run.selectExpr("'run' AS op", "o_orderkey AS k1",
                        "CAST(o_custkey AS STRING) AS k2",
@@ -427,6 +448,20 @@ def q_analytics_suite(spark, sf_dir):
                        "src_event || '>' || dst_event AS k2",
                        "CAST(n AS DOUBLE) AS v1", "p AS v2",
                        f"{_ZERO} AS v3", f"{_ZERO} AS v4"),
+        prt.selectExpr("'pagerank' AS op", "CAST(node AS BIGINT) AS k1",
+                       "'' AS k2", "pr AS v1", f"{_ZERO} AS v2",
+                       f"{_ZERO} AS v3", f"{_ZERO} AS v4"),
+        sssp.selectExpr("'sssp' AS op", "CAST(node AS BIGINT) AS k1",
+                        "'' AS k2", "dist AS v1", f"{_ZERO} AS v2",
+                        f"{_ZERO} AS v3", f"{_ZERO} AS v4"),
+        tri.selectExpr("'tri' AS op", "CAST(node AS BIGINT) AS k1",
+                       "'' AS k2", "CAST(triangles AS DOUBLE) AS v1",
+                       "CAST(degree AS DOUBLE) AS v2", "clustering AS v3",
+                       f"{_ZERO} AS v4"),
+        kc.selectExpr("'kcore' AS op", "CAST(node AS BIGINT) AS k1",
+                      "'' AS k2", "CAST(degree AS DOUBLE) AS v1",
+                      f"{_ZERO} AS v2", f"{_ZERO} AS v3",
+                      f"{_ZERO} AS v4"),
     ])
 
 
@@ -451,6 +486,21 @@ _ANALYTICS_SQL = "\nUNION ALL\n".join([
           "src_event || '>' || dst_event AS k2, CAST(n AS DOUBLE) AS v1, "
           f"p AS v2, {_ZERO} AS v3, {_ZERO} AS v4",
           _component_sql("q_event_transition_matrix")),
+    _wrap(f"'pagerank' AS op, CAST(node AS BIGINT) AS k1, '' AS k2, "
+          f"pr AS v1, {_ZERO} AS v2, {_ZERO} AS v3, {_ZERO} AS v4",
+          f"SELECT * FROM ({_component_sql('q_graph_pagerank_links')}\n) "
+          f"ORDER BY pr DESC, node LIMIT 20"),
+    _wrap(f"'sssp' AS op, CAST(node AS BIGINT) AS k1, '' AS k2, "
+          f"dist AS v1, {_ZERO} AS v2, {_ZERO} AS v3, {_ZERO} AS v4",
+          _component_sql("q_graph_sssp_links")),
+    _wrap(f"'tri' AS op, CAST(node AS BIGINT) AS k1, '' AS k2, "
+          f"CAST(triangles AS DOUBLE) AS v1, CAST(degree AS DOUBLE) AS v2, "
+          f"clustering AS v3, {_ZERO} AS v4",
+          _component_sql("q_graph_triangles")),
+    _wrap(f"'kcore' AS op, CAST(node AS BIGINT) AS k1, '' AS k2, "
+          f"CAST(degree AS DOUBLE) AS v1, {_ZERO} AS v2, {_ZERO} AS v3, "
+          f"{_ZERO} AS v4",
+          Q._kcore_oracle_sql(k=5, rounds=5)),
 ])
 
 

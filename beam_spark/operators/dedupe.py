@@ -1633,6 +1633,82 @@ def _jaro_winkler(a: str, b: str) -> tuple:
     return j, jw
 
 
+def _jaro_winkler_batch(pa, pb):
+    """Vectorized Jaro/Jaro-Winkler over parallel string lists.
+
+    Buckets pairs by (len_a, len_b) — fixed shapes per bucket — and
+    runs the greedy match sweep as numpy boolean ops across ALL pairs
+    in the bucket at once (O(len_a * window) vector ops instead of
+    O(pairs * len_a * window) scalar ones). Every float operation
+    mirrors :func:`_jaro_winkler`'s order exactly, so the doubles are
+    bit-equal to the scalar path (the component oracle vs DuckDB's
+    native jaro_winkler_similarity proves it). Buckets smaller than 16
+    pairs fall back to the scalar loop — numpy setup would dominate.
+    Caller handles None/NaN rows."""
+    import numpy as np
+
+    n = len(pa)
+    js = np.empty(n, np.float64)
+    jws = np.empty(n, np.float64)
+    buckets = {}
+    for ix in range(n):
+        buckets.setdefault((len(pa[ix]), len(pb[ix])), []).append(ix)
+    for (la, lb), ixs in buckets.items():
+        if la == 0 or lb == 0:
+            for ix in ixs:
+                js[ix] = 0.0
+                jws[ix] = 0.0
+            continue
+        if len(ixs) < 16:
+            for ix in ixs:
+                j, jw = _jaro_winkler(pa[ix], pb[ix])
+                js[ix] = j
+                jws[ix] = jw
+            continue
+        cnt = len(ixs)
+        # one concat+encode per bucket: 4-byte codepoint matrices
+        mat_a = np.frombuffer(
+            "".join(pa[ix] for ix in ixs).encode("utf-32-le"),
+            np.uint32).reshape(cnt, la)
+        mat_b = np.frombuffer(
+            "".join(pb[ix] for ix in ixs).encode("utf-32-le"),
+            np.uint32).reshape(cnt, lb)
+        window = max(la, lb) // 2 - 1
+        if window < 0:
+            window = 0
+        matched_a = np.zeros((cnt, la), bool)
+        matched_b = np.zeros((cnt, lb), bool)
+        for i in range(la):
+            lo, hi = max(0, i - window), min(lb, i + window + 1)
+            found = np.zeros(cnt, bool)
+            for jj in range(lo, hi):
+                cand = (~found & ~matched_b[:, jj]
+                        & (mat_a[:, i] == mat_b[:, jj]))
+                matched_b[:, jj] |= cand
+                found |= cand
+            matched_a[:, i] = found
+        m = matched_a.sum(1)
+        mf = m.astype(np.float64)
+        # stable argsort on ~matched compacts matched chars to the
+        # front IN ORDER — the ma/mb alignment of the scalar path
+        ca = np.take_along_axis(
+            mat_a, np.argsort(~matched_a, axis=1, kind="stable"), 1)
+        cb = np.take_along_axis(
+            mat_b, np.argsort(~matched_b, axis=1, kind="stable"), 1)
+        k = min(la, lb)
+        valid = np.arange(k)[None, :] < m[:, None]
+        t = ((ca[:, :k] != cb[:, :k]) & valid).sum(1) / 2.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            j = (mf / la + mf / lb + (mf - t) / mf) / 3.0
+        j = np.where(m == 0, 0.0, j)
+        pl = min(4, la, lb)
+        p = np.cumprod(mat_a[:, :pl] == mat_b[:, :pl], axis=1).sum(1)
+        jw = np.where(j > 0.7, j + (p * 0.1) * (1.0 - j), j)
+        js[ixs] = j
+        jws[ixs] = jw
+    return js, jws
+
+
 class JaroWinklerScore(PTransform):
     """Jaro / Jaro-Winkler similarity for CANDIDATE PAIRS — the name-
     matching scorer record linkage traditionally pairs with
@@ -1652,9 +1728,12 @@ class JaroWinklerScore(PTransform):
     NormalizeText upstream for case-insensitive matching.
 
     Scale: two id-keyed joins carrying one string column each, then an
-    Arrow-batched mapInPandas scoring pass — Python per pair, but only
-    over POST-BLOCKING candidates (the same posture as the CEP NFA:
-    no vectorizable equivalent exists), never the corpus cross.
+    Arrow-batched mapInPandas scoring pass over POST-BLOCKING
+    candidates (never the corpus cross). Scoring is numpy-vectorized
+    per (len_a, len_b) bucket (:func:`_jaro_winkler_batch`) — the
+    greedy match sweep runs as boolean ops across the whole bucket,
+    bit-equal to the scalar reference path which remains the
+    small-bucket fallback.
     """
 
     def __init__(self, records, text_col: str = "text",
@@ -1689,15 +1768,20 @@ class JaroWinklerScore(PTransform):
             import pandas as pd
 
             for pdf in batches:
-                js, jws = [], []
-                for a, b in zip(pdf["__sa"], pdf["__sb"]):
-                    if a is None or b is None or pd.isna(a) or pd.isna(b):
-                        js.append(None)
-                        jws.append(None)
-                    else:
-                        j, jw = _jaro_winkler(str(a), str(b))
-                        js.append(j)
-                        jws.append(jw)
+                sa, sb = list(pdf["__sa"]), list(pdf["__sb"])
+                ok, pa, pb = [], [], []
+                for ix, (a, b) in enumerate(zip(sa, sb)):
+                    if not (a is None or b is None
+                            or pd.isna(a) or pd.isna(b)):
+                        ok.append(ix)
+                        pa.append(str(a))
+                        pb.append(str(b))
+                bj, bjw = _jaro_winkler_batch(pa, pb)
+                js = [None] * len(sa)
+                jws = [None] * len(sa)
+                for pos, ix in enumerate(ok):
+                    js[ix] = bj[pos]
+                    jws[ix] = bjw[pos]
                 out = pdf[keep].copy()
                 out["jaro"] = pd.array(js, dtype="float64")
                 out["jaro_winkler"] = pd.array(jws, dtype="float64")

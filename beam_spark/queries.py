@@ -3782,24 +3782,28 @@ def q_scd_apply(spark, sf_dir):
     return (PCollection(ch) | ScdType2Apply(cust, key="id")).df
 
 
-def _pagerank_oracle_sql(iters: int = 5, weighted: bool = False) -> str:
+def _pagerank_oracle_sql(iters: int = 5, weighted: bool = False,
+                         edges_sql: str | None = None) -> str:
     """Chained-CTE PageRank: the SAME fixed-iteration update the Spark
     operator runs, one CTE per round. Float association mirrors the
     operator exactly except per-group sum orders (in-edge contribution
     sums, and out-strength sums in weighted mode — error ~1e-19 per
-    round; round(9) leaves a 1e9x margin)."""
+    round; round(9) leaves a 1e9x margin). ``edges_sql``: override
+    the edge-list SELECT (must yield src, dst [, w])."""
     if weighted:
-        edges = ("WITH edges AS (SELECT o_custkey AS src, "
-                 "l_partkey + 10000000 AS dst, "
-                 "CAST(l_quantity AS DOUBLE) AS w FROM lineitem "
-                 "JOIN orders ON l_orderkey = o_orderkey),")
+        body = edges_sql or (
+            "SELECT o_custkey AS src, l_partkey + 10000000 AS dst, "
+            "CAST(l_quantity AS DOUBLE) AS w FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey")
+        edges = f"WITH edges AS ({body}),"
         deg = ("deg AS (SELECT src, sum(w) AS d FROM edges "
                "GROUP BY src),")
         share = "sum(r.pr * e.w / deg.d)"
     else:
-        edges = ("WITH edges AS (SELECT o_custkey AS src, "
-                 "l_partkey + 10000000 AS dst FROM lineitem "
-                 "JOIN orders ON l_orderkey = o_orderkey),")
+        body = edges_sql or (
+            "SELECT o_custkey AS src, l_partkey + 10000000 AS dst "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+        edges = f"WITH edges AS ({body}),"
         deg = "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),"
         share = "sum(r.pr / deg.d)"
     cte = [
@@ -3831,15 +3835,20 @@ def _pagerank_oracle_sql(iters: int = 5, weighted: bool = False) -> str:
             + f"\nSELECT node, round(pr, 9) AS pr FROM r{iters}")
 
 
-def _sssp_oracle_sql(rounds: int = 8) -> str:
+def _sssp_oracle_sql(rounds: int = 8,
+                     e0_sql: str | None = None) -> str:
     """Chained-CTE Bellman-Ford: one relaxation round per CTE — the
     identical recurrence the Spark operator runs. No rounding: every
     candidate distance is the same per-hop float sum in both engines
-    and min() is order-insensitive, so the doubles are bit-equal."""
-    cte = ["""WITH e0 AS (SELECT o_custkey AS src,
-       l_partkey + 10000000 AS dst,
-       CAST(l_quantity AS DOUBLE) AS w
-       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    and min() is order-insensitive, so the doubles are bit-equal.
+    ``e0_sql``: override the directed edge SELECT (src, dst, w) —
+    the bidirectional union wraps it either way."""
+    body = e0_sql or (
+        "SELECT o_custkey AS src,\n"
+        "       l_partkey + 10000000 AS dst,\n"
+        "       CAST(l_quantity AS DOUBLE) AS w\n"
+        "       FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+    cte = [f"""WITH e0 AS ({body}),
 edges AS (SELECT src, dst, w FROM e0
           UNION ALL SELECT dst, src, w FROM e0),
 d0 AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS DOUBLE) AS dist),"""]
@@ -4046,6 +4055,53 @@ def q_graph_pagerank_weighted(spark, sf_dir):
                      F.col("l_quantity").cast("double").alias("w")))
     pr = (PCollection(edges) | PageRank(iterations=5, weight="w")).df
     return pr.select("node", F.round("pr", 9).alias("pr"))
+
+
+_LINKS_EDGES_SQL = ("SELECT o_custkey AS src, "
+                    "o_orderkey % 200 + 1000000 AS dst FROM orders")
+_LINKS_E0_SQL = ("SELECT o_custkey AS src, "
+                 "o_orderkey % 200 + 1000000 AS dst, "
+                 "CAST(o_orderkey % 7 + 1 AS DOUBLE) AS w FROM orders")
+
+
+@query("q_graph_pagerank_links",
+       _pagerank_oracle_sql(iters=3, edges_sql=_LINKS_EDGES_SQL))
+def q_graph_pagerank_links(spark, sf_dir):
+    """PageRank (3 iterations, d=0.85) on the compact customer ->
+    order-hash link graph (the triangle/k-core graph, dst offset to a
+    disjoint node space) — the cheap gate-folded variant of
+    q_graph_pagerank: ~8x fewer edges than the lineitem purchase
+    graph, same operator, same chained-CTE oracle."""
+    from beam_spark.operators.graph import PageRank
+
+    o = table(spark, sf_dir, "orders").df
+    edges = o.selectExpr("o_custkey AS src",
+                         "o_orderkey % 200 + 1000000 AS dst")
+    pr = (PCollection(edges) | PageRank(iterations=3)).df
+    return pr.select("node", F.round("pr", 9).alias("pr"))
+
+
+@query("q_graph_sssp_links",
+       _sssp_oracle_sql(rounds=4, e0_sql=_LINKS_E0_SQL))
+def q_graph_sssp_links(spark, sf_dir):
+    """Weighted SSSP from customer 1 on the bidirectional compact
+    link graph (weight = o_orderkey % 7 + 1 — integral doubles, so
+    per-hop sums are exactly representable and min() is bit-equal in
+    both engines); 4 relaxation rounds — fixed-round replay matches
+    at any depth, and the dense bipartite graph is fully reached by
+    round 3. The cheap gate-folded variant of
+    q_graph_shortest_paths."""
+    from beam_spark.operators.graph import ShortestPaths
+
+    o = table(spark, sf_dir, "orders").df
+    e0 = o.selectExpr("o_custkey AS src",
+                      "o_orderkey % 200 + 1000000 AS dst",
+                      "CAST(o_orderkey % 7 + 1 AS DOUBLE) AS w")
+    edges = e0.unionByName(
+        e0.selectExpr("dst AS src", "src AS dst", "w"))
+    out = (PCollection(edges) | ShortestPaths(
+        [1], weight="w", iterations=4)).df
+    return out.select("node", "dist")
 
 
 @query("q_stats_tdigest_rank_verdict", """
