@@ -678,12 +678,22 @@ class HoltWinters(PTransform):
     (l_t + b_t) * s_{t+1-m}) — the backtest column: join it against
     the NEXT row's actual for residual diagnostics, or read the last
     row's value as the 1-step operational forecast.
+
+    ``forecast_horizons=[h1, h2, ...]`` adds a ``forecast_h{h}``
+    column per horizon — the classical h-step-ahead prediction from
+    the state at t: x̂_{t+h|t} = l_t + h*b_t + s[(t+h) mod m]
+    (multiplicative: (l_t + h*b_t) * s[(t+h) mod m]); the seasonal
+    is the ring buffer's LATEST estimate for the target phase, which
+    for any h — including h > period — is exactly the
+    s_{t+h-m(⌊(h-1)/m⌋+1)} of the textbook formula. ``forecast_h1``
+    is bit-equal to ``forecast_next`` (1*b == b in IEEE). Horizons
+    add columns, not passes: the recurrence runs once.
     """
 
     def __init__(self, col: str, alpha: float, beta: float,
                  gamma: float, period: int, keys, order_by,
                  mode: str = "additive", emit_forecast: bool = False,
-                 label=None):
+                 forecast_horizons=None, label=None):
         super().__init__(label)
         if not 0.0 < float(alpha) <= 1.0:
             raise ValueError(f"alpha {alpha} outside (0, 1]")
@@ -705,6 +715,14 @@ class HoltWinters(PTransform):
                          else list(order_by))
         self.mode = mode
         self.emit_forecast = bool(emit_forecast)
+        self.forecast_horizons = None
+        if forecast_horizons is not None:
+            hs = sorted({int(h) for h in forecast_horizons})
+            if not hs or hs[0] < 1:
+                raise ValueError(
+                    f"forecast_horizons {forecast_horizons!r}: "
+                    "need >= 1 integer horizons")
+            self.forecast_horizons = hs
 
     def expand(self, pcoll):
         col, m = self.col, self.period
@@ -717,6 +735,9 @@ class HoltWinters(PTransform):
         emit_fc = self.emit_forecast
         if emit_fc:
             schema += ", forecast_next double"
+        horizons = self.forecast_horizons or []
+        for h in horizons:
+            schema += f", forecast_h{h} double"
 
         mul = self.mode == "multiplicative"
 
@@ -737,6 +758,7 @@ class HoltWinters(PTransform):
             out_b = [None] * n
             out_s = [None] * n
             out_f = [None] * n
+            out_h = {h: [None] * n for h in horizons}
             if n >= m:
                 tot = 0.0
                 for i in range(m):
@@ -765,11 +787,17 @@ class HoltWinters(PTransform):
                         # seasonal the NEXT step consumes
                         out_f[t] = ((lv + bb) * s[(t + 1) % m] if mul
                                     else lv + bb + s[(t + 1) % m])
+                    for h in horizons:
+                        out_h[h][t] = (
+                            (lv + h * bb) * s[(t + h) % m] if mul
+                            else lv + h * bb + s[(t + h) % m])
             pdf["level"] = out_l
             pdf["trend"] = out_b
             pdf["season"] = out_s
             if emit_fc:
                 pdf["forecast_next"] = out_f
+            for h in horizons:
+                pdf[f"forecast_h{h}"] = out_h[h]
             return pdf
 
         out = pcoll.df.groupBy(*self.keys).applyInPandas(fn, schema)

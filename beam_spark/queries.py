@@ -3391,6 +3391,108 @@ def q_holt_winters_mul(spark, sf_dir):
                       F.col("season"))
 
 
+def _hw_cte(rn_name: str, e_name: str, mul: bool) -> str:
+    """The Holt-Winters recursive-CTE replay (alpha=0.5, beta=0.25,
+    gamma=0.25, period 4) parameterized by CTE names and mode — the
+    IDENTICAL float expressions as the q_ts_holt_winters{,_mul}
+    oracles (additive: x - s / x - l deltas; multiplicative: x / s,
+    x / l ratios), so two modes can share one WITH RECURSIVE."""
+    op = "/" if mul else "-"
+    init_s = ("xi -> xi / ((e.tot + r.v) / 4)" if mul
+              else "xi -> xi - (e.tot + r.v) / 4")
+    flt = ("value IS NOT NULL AND value > 0" if mul
+           else "value IS NOT NULL")
+    r, e = rn_name, e_name
+    lnew = (f"CAST(0.5 AS DOUBLE) * (r.v {op} e.s[(r.rn - 1) % 4 + 1])"
+            f"\n              + CAST(0.5 AS DOUBLE) * (e.l + e.b)")
+    return f"""{r} AS (
+  SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE {flt}),
+{e} AS (
+  SELECT user_id, event_id, rn,
+         [v] AS xs, v AS tot,
+         CAST(NULL AS DOUBLE) AS l, CAST(NULL AS DOUBLE) AS b,
+         CAST(NULL AS DOUBLE[]) AS s,
+         CAST(NULL AS DOUBLE) AS outl, CAST(NULL AS DOUBLE) AS outb,
+         CAST(NULL AS DOUBLE) AS outs
+  FROM {r} WHERE rn = 1
+  UNION ALL
+  SELECT r.user_id, r.event_id, r.rn,
+    CASE WHEN r.rn < 4 THEN list_concat(e.xs, [r.v]) ELSE e.xs END,
+    CASE WHEN r.rn < 4 THEN e.tot + r.v ELSE e.tot END,
+    CASE WHEN r.rn < 4 THEN CAST(NULL AS DOUBLE)
+         WHEN r.rn = 4 THEN (e.tot + r.v) / 4
+         ELSE {lnew} END,
+    CASE WHEN r.rn < 4 THEN CAST(NULL AS DOUBLE)
+         WHEN r.rn = 4 THEN CAST(0 AS DOUBLE)
+         ELSE CAST(0.25 AS DOUBLE)
+              * (({lnew}) - e.l)
+              + CAST(0.75 AS DOUBLE) * e.b END,
+    CASE WHEN r.rn < 4 THEN CAST(NULL AS DOUBLE[])
+         WHEN r.rn = 4 THEN list_transform(
+             list_concat(e.xs, [r.v]),
+             {init_s})
+         ELSE list_concat(list_concat(
+             e.s[:(r.rn - 1) % 4],
+             [CAST(0.25 AS DOUBLE)
+              * (r.v {op} ({lnew}))
+              + CAST(0.75 AS DOUBLE) * e.s[(r.rn - 1) % 4 + 1]]),
+             e.s[(r.rn - 1) % 4 + 2:]) END,
+    CASE WHEN r.rn <= 4 THEN CAST(NULL AS DOUBLE)
+         ELSE {lnew} END,
+    CASE WHEN r.rn <= 4 THEN CAST(NULL AS DOUBLE)
+         ELSE CAST(0.25 AS DOUBLE)
+              * (({lnew}) - e.l)
+              + CAST(0.75 AS DOUBLE) * e.b END,
+    CASE WHEN r.rn <= 4 THEN CAST(NULL AS DOUBLE)
+         ELSE CAST(0.25 AS DOUBLE)
+              * (r.v {op} ({lnew}))
+              + CAST(0.75 AS DOUBLE) * e.s[(r.rn - 1) % 4 + 1] END
+  FROM {e} e JOIN {r} r ON r.user_id = e.user_id AND r.rn = e.rn + 1)"""
+
+
+_HW_FC_H_SQL = f"""WITH RECURSIVE
+{_hw_cte("ra", "ea", mul=False)},
+{_hw_cte("rm", "em", mul=True)}
+SELECT 'add' AS mode, user_id, event_id,
+       outl + 2 * outb + s[((rn + 1) % 4) + 1] AS fc_h2,
+       outl + 5 * outb + s[(rn % 4) + 1] AS fc_h5
+FROM ea
+UNION ALL
+SELECT 'mul' AS mode, user_id, event_id,
+       (outl + 2 * outb) * s[((rn + 1) % 4) + 1] AS fc_h2,
+       (outl + 5 * outb) * s[(rn % 4) + 1] AS fc_h5
+FROM em"""
+
+
+@query("q_ts_hw_forecast_h", _HW_FC_H_SQL)
+def q_hw_forecast_h(spark, sf_dir):
+    """h-step Holt-Winters forecasts (h=2 within the period, h=5
+    wrapping past it — slot (rn%4)+1, the same seasonal h=1 consumes)
+    for BOTH modes as tagged rows: x̂_{t+h|t} = l + h*b + s[(t+h)%m]
+    (multiplicative: (l + h*b) * s[(t+h)%m]), derived in the oracle's
+    final SELECT from the recursive ring buffer — compared UNROUNDED
+    (int*double then adds: identical IEEE sequence both engines)."""
+    from beam_spark.operators.stats import HoltWinters
+
+    ev = table(spark, sf_dir, "events").df.filter("value IS NOT NULL")
+    add = (PCollection(ev) | HoltWinters(
+        "value", alpha=0.5, beta=0.25, gamma=0.25, period=4,
+        keys="user_id", order_by=["ts", "event_id"],
+        forecast_horizons=[2, 5])).df
+    mul = (PCollection(ev.filter("value > 0")) | HoltWinters(
+        "value", alpha=0.5, beta=0.25, gamma=0.25, period=4,
+        keys="user_id", order_by=["ts", "event_id"],
+        mode="multiplicative", forecast_horizons=[2, 5])).df
+    return add.selectExpr(
+        "'add' AS mode", "user_id", "event_id",
+        "forecast_h2 AS fc_h2", "forecast_h5 AS fc_h5").unionByName(
+        mul.selectExpr("'mul' AS mode", "user_id", "event_id",
+                       "forecast_h2 AS fc_h2", "forecast_h5 AS fc_h5"))
+
+
 @query("q_dedup_blocking_quality", """
 WITH recs AS (SELECT c_custkey AS id, c_nationkey AS nk,
                      c_mktsegment AS seg FROM customer),
