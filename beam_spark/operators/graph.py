@@ -438,3 +438,94 @@ class KCore(PTransform):
                .select("node", F.col("degree").cast("long")
                        .alias("degree")))
         return pcoll.with_df(out)
+
+
+class LabelPropagation(PTransform):
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) made DETERMINISTIC: every node starts labeled with
+    its own id; each round every node adopts the label that is most
+    frequent among its NEIGHBORS' labels, ties broken by the SMALLEST
+    label — no randomized visit order, so a fixed round count replays
+    identically in any engine (the classic async-LPA coin flips are
+    what make vanilla implementations non-reproducible). The standard
+    cheap community pass of link-graph curation, next to
+    ConnectedComponents (coarser: ignores density) and KCore (keeps
+    only the dense part): near-duplicate site clusters, mutual-link
+    spam rings, topical hubs.
+
+    ``fixed_rounds``: run EXACTLY that many synchronous updates — the
+    deterministic-replay mode the DuckDB oracle chains one CTE per
+    round (synchronous LPA can 2-cycle on bipartite structures, so
+    fixpoint is not guaranteed; fixed-round replay sidesteps that and
+    is the value-oracle-able posture). Default (None): run until no
+    label changes, capped at ``max_rounds`` (the change count rides
+    the per-round action the eager localCheckpoint already pays).
+
+    Scale: per round, ONE join of the (node, neighbor) adjacency
+    against the nodes-sized label frame, one (node, label) count
+    aggregation, one per-node arg-max — all keyed shuffles of
+    edge-bound volume, localCheckpointed per round to cut lineage
+    (the ConnectedComponents posture). Tiebreak is an order-free
+    ``min(struct(-cnt, lbl))`` aggregate: no window sort over the
+    full corpus.
+
+    Output: (node, community) — community ids are node ids (label
+    ancestors), stable across runs.
+    """
+
+    def __init__(self, src: str = "src", dst: str = "dst",
+                 max_rounds: int = 20, fixed_rounds: int | None = None,
+                 label=None):
+        super().__init__(label)
+        self.src, self.dst = src, dst
+        self.max_rounds = int(max_rounds)
+        self.fixed_rounds = (None if fixed_rounds is None
+                             else int(fixed_rounds))
+        if self.max_rounds < 1:
+            raise ValueError("max_rounds must be >= 1")
+        if self.fixed_rounds is not None and self.fixed_rounds < 1:
+            raise ValueError("fixed_rounds must be >= 1")
+        self.rounds_run_ = None
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        s, d = self.src, self.dst
+        und = (pcoll.df
+               .select(F.least(F.col(s), F.col(d)).alias("a"),
+                       F.greatest(F.col(s), F.col(d)).alias("b"))
+               .where(F.col("a") != F.col("b"))
+               .distinct()
+               .localCheckpoint(eager=True))
+        adj = (und.select(F.col("a").alias("node"),
+                          F.col("b").alias("nb"))
+               .unionAll(und.select(F.col("b").alias("node"),
+                                    F.col("a").alias("nb"))))
+        labels = (adj.select("node").distinct()
+                  .withColumn("lbl", F.col("node"))
+                  .localCheckpoint(eager=True))
+        rounds = (self.fixed_rounds if self.fixed_rounds is not None
+                  else self.max_rounds)
+        self.rounds_run_ = 0
+        for _ in range(rounds):
+            prev = labels
+            cnt = (adj
+                   .join(labels.select(F.col("node").alias("nb"),
+                                       "lbl"), "nb")
+                   .groupBy("node", "lbl")
+                   .agg(F.count(F.lit(1)).alias("__c")))
+            labels = (cnt
+                      .groupBy("node")
+                      .agg(F.min(F.struct(
+                          (-F.col("__c")).alias("__nc"),
+                          F.col("lbl"))).alias("__m"))
+                      .select("node", F.col("__m.lbl").alias("lbl"))
+                      .localCheckpoint(eager=True))
+            self.rounds_run_ += 1
+            if self.fixed_rounds is None:
+                changed = (labels.alias("n")
+                           .join(prev.alias("p"), "node")
+                           .where(F.col("n.lbl") != F.col("p.lbl"))
+                           .count())
+                if changed == 0:
+                    break
+        out = labels.select("node", F.col("lbl").alias("community"))
+        return pcoll.with_df(out)

@@ -1125,3 +1125,101 @@ class ChangepointMeanShift(PTransform):
         base = pcoll.df.where(F.col(col).isNotNull())
         out = base.groupBy(*keys).applyInPandas(fn, schema)
         return pcoll.with_df(out)
+
+
+class ThetaForecast(PTransform):
+    """Per-key Theta-method h-step forecast (Assimakopoulos &
+    Nikolopoulos 2000 — the M3-competition winner and the standard
+    strong-baseline next to Holt): decompose the series into the
+    theta=0 line (the OLS linear trend) and the theta=2 line
+    (2*x_t - trend_t, doubled curvature), extrapolate the first
+    linearly and the second by simple exponential smoothing (flat at
+    its final level), and average them:
+
+        ŷ_{n+h} = 0.5 * (a + b*(n+h)) + 0.5 * l_n
+
+    where (a, b) is the least-squares line over (t, x_t), t = 1..n in
+    event order, and l is SES over z_t = 2*x_t - (a + b*t) seeded
+    l_1 = z_1.
+
+    Deterministic and engine-replayable BY CONSTRUCTION: the OLS
+    moment sums accumulate LEFT-TO-RIGHT inside the per-key pass
+    (not via a distributed agg whose partial order floats), so a
+    recursive-CTE oracle chains the identical IEEE sequence — sums,
+    slope/intercept, SES recurrence, forecast — and compares
+    UNROUNDED. ``alpha`` defaults to the binary-exact 0.5.
+
+    Keys with fewer than 2 rows are dropped (no line to fit); NULL
+    inputs are rejected (ValueError) — filter or gap-fill upstream.
+
+    Scale: the same per-key applyInPandas posture as Ewma/Holt —
+    linear per key, one shuffle on the grouping keys; the recurrence
+    is inherently sequential per key but keys process in parallel.
+
+    Output: one row per (key, h): keys + (h int, slope, intercept,
+    level, forecast — raw doubles).
+    """
+
+    def __init__(self, col: str, keys, order_by, alpha: float = 0.5,
+                 horizons=(1,), label=None):
+        super().__init__(label)
+        if not 0.0 < float(alpha) <= 1.0:
+            raise ValueError(f"alpha {alpha} outside (0, 1]")
+        hs = sorted({int(h) for h in horizons})
+        if not hs or hs[0] < 1:
+            raise ValueError(
+                f"horizons {horizons!r}: need >= 1 integer horizons")
+        self.col, self.alpha, self.horizons = col, float(alpha), hs
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        self.order_by = ([order_by] if isinstance(order_by, str)
+                         else list(order_by))
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        col, al, hs, ob = self.col, self.alpha, self.horizons, self.order_by
+        kf = [f for f in pcoll.df.schema.fields if f.name in self.keys]
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in kf) \
+            + (", h int, slope double, intercept double, "
+               "level double, forecast double")
+
+        def fn(pdf):
+            import pandas as pd
+
+            pdf = pdf.sort_values(ob, kind="mergesort")
+            if pdf[col].isna().any():
+                raise ValueError(
+                    "ThetaForecast: NULL input values — filter or "
+                    "gap-fill upstream")
+            x = pdf[col].astype(float).to_list()
+            n = len(x)
+            head = pdf.iloc[:1]
+            if n < 2:
+                return pd.DataFrame(
+                    {**{f.name: [] for f in kf}, "h": [],
+                     "slope": [], "intercept": [], "level": [],
+                     "forecast": []})
+            st = sy = stt = sty = 0.0
+            for t in range(1, n + 1):
+                tf = float(t)
+                st += tf
+                sy += x[t - 1]
+                stt += tf * tf
+                sty += tf * x[t - 1]
+            nn = float(n)
+            b = (nn * sty - st * sy) / (nn * stt - st * st)
+            ic = (sy - b * st) / nn
+            lv = 2.0 * x[0] - (ic + b * 1.0)
+            for t in range(2, n + 1):
+                z = 2.0 * x[t - 1] - (ic + b * float(t))
+                lv = al * z + (1.0 - al) * lv
+            rows = []
+            for h in hs:
+                fc = 0.5 * (ic + b * (nn + float(h))) + 0.5 * lv
+                rows.append({**{f.name: head.iloc[0][f.name]
+                                for f in kf},
+                             "h": h, "slope": b, "intercept": ic,
+                             "level": lv, "forecast": fc})
+            return pd.DataFrame(rows)
+
+        out = pcoll.df.groupBy(*self.keys).applyInPandas(fn, schema)
+        return pcoll.with_df(out)

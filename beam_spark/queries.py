@@ -3391,6 +3391,75 @@ def q_holt_winters_mul(spark, sf_dir):
                       F.col("season"))
 
 
+_THETA_SQL = """
+WITH RECURSIVE r AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL),
+acc AS (
+  SELECT user_id, rn, CAST(1 AS DOUBLE) AS st, v AS sy,
+         CAST(1 AS DOUBLE) AS stt, CAST(1 AS DOUBLE) * v AS sty
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.user_id, r.rn,
+         acc.st + CAST(r.rn AS DOUBLE),
+         acc.sy + r.v,
+         acc.stt + CAST(r.rn AS DOUBLE) * CAST(r.rn AS DOUBLE),
+         acc.sty + CAST(r.rn AS DOUBLE) * r.v
+  FROM acc JOIN r ON r.user_id = acc.user_id AND r.rn = acc.rn + 1),
+fin AS (SELECT user_id, max(rn) AS n FROM r GROUP BY user_id
+        HAVING max(rn) >= 2),
+ols AS (
+  SELECT f.user_id, f.n, a.sy, a.st,
+         (CAST(f.n AS DOUBLE) * a.sty - a.st * a.sy)
+           / (CAST(f.n AS DOUBLE) * a.stt - a.st * a.st) AS b
+  FROM fin f JOIN acc a ON a.user_id = f.user_id AND a.rn = f.n),
+ols2 AS (
+  SELECT user_id, n, b,
+         (sy - b * st) / CAST(n AS DOUBLE) AS ic
+  FROM ols),
+ses AS (
+  SELECT r.user_id, r.rn,
+         CAST(2 AS DOUBLE) * r.v - (o.ic + o.b * CAST(1 AS DOUBLE))
+           AS l
+  FROM r JOIN ols2 o ON o.user_id = r.user_id WHERE r.rn = 1
+  UNION ALL
+  SELECT r.user_id, r.rn,
+         CAST(0.5 AS DOUBLE)
+           * (CAST(2 AS DOUBLE) * r.v
+              - (o.ic + o.b * CAST(r.rn AS DOUBLE)))
+         + CAST(0.5 AS DOUBLE) * ses.l
+  FROM ses JOIN r ON r.user_id = ses.user_id AND r.rn = ses.rn + 1
+  JOIN ols2 o ON o.user_id = r.user_id),
+last AS (
+  SELECT s.user_id, s.l, o.n, o.b, o.ic
+  FROM ses s JOIN ols2 o ON o.user_id = s.user_id AND s.rn = o.n)
+SELECT user_id, h, b AS slope, ic AS intercept, l AS level,
+       CAST(0.5 AS DOUBLE)
+         * (ic + b * (CAST(n AS DOUBLE) + CAST(h AS DOUBLE)))
+       + CAST(0.5 AS DOUBLE) * l AS forecast
+FROM last CROSS JOIN (VALUES (CAST(1 AS INT)), (CAST(3 AS INT))) t(h)
+"""
+
+
+@query("q_ts_theta_forecast", _THETA_SQL)
+def q_theta_forecast(spark, sf_dir):
+    """Theta-method forecasts (h=1 and h=3, alpha=0.5) per user over
+    non-NULL event values: the oracle chains TWO recursive CTEs — the
+    left-to-right OLS moment accumulation, then the SES recurrence on
+    the theta=2 line — replaying the operator's exact IEEE sequence,
+    so slope/intercept/level/forecast all compare UNROUNDED."""
+    from beam_spark.operators.stats import ThetaForecast
+
+    ev = table(spark, sf_dir, "events").df.filter("value IS NOT NULL")
+    out = (PCollection(ev) | ThetaForecast(
+        "value", keys="user_id", order_by=["ts", "event_id"],
+        alpha=0.5, horizons=[1, 3])).df
+    return out.select("user_id", "h", "slope", "intercept",
+                      "level", "forecast")
+
+
 def _hw_cte(rn_name: str, e_name: str, mul: bool) -> str:
     """The Holt-Winters recursive-CTE replay (alpha=0.5, beta=0.25,
     gamma=0.25, period 4) parameterized by CTE names and mode — the
@@ -4009,6 +4078,49 @@ def q_kcore(spark, sf_dir):
     edges = o.selectExpr("o_custkey AS src", "o_orderkey % 200 AS dst")
     out = (PCollection(edges) | KCore(5, fixed_rounds=10)).df
     return out.select("node", "degree")
+
+
+def _label_prop_oracle_sql(rounds: int = 4) -> str:
+    """Chained-CTE synchronous label propagation: one CTE pair per
+    round (neighbor-label counts, then per-node arg-max with the
+    cnt DESC, lbl ASC tiebreak — the exact order-free
+    min(struct(-cnt, lbl)) the Spark operator aggregates).
+    Integer counts and bigint labels: exact, no rounding."""
+    cte = ["""WITH raw AS (SELECT o_custkey AS s, o_orderkey % 200 AS d
+             FROM orders),
+und AS MATERIALIZED (SELECT DISTINCT least(s, d) AS a,
+                            greatest(s, d) AS b
+        FROM raw WHERE s <> d),
+adj AS MATERIALIZED (SELECT a AS node, b AS nb FROM und
+                     UNION ALL SELECT b, a FROM und),
+l0 AS (SELECT DISTINCT node, node AS lbl FROM adj),"""]
+    for r in range(1, rounds + 1):
+        cte.append(f"""c{r} AS (SELECT adj.node, l.lbl,
+         count(*) AS cnt
+  FROM adj JOIN l{r - 1} l ON l.node = adj.nb
+  GROUP BY adj.node, l.lbl),
+l{r} AS (SELECT node, lbl FROM (
+  SELECT node, lbl, row_number() OVER (
+    PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+  FROM c{r}) t WHERE rn = 1),""")
+    cte[-1] = cte[-1].rstrip(",")
+    return ("\n".join(cte)
+            + f"\nSELECT node, lbl AS community FROM l{rounds}")
+
+
+@query("q_graph_label_prop", _label_prop_oracle_sql(rounds=4))
+def q_label_prop(spark, sf_dir):
+    """Deterministic synchronous label-propagation communities (4
+    fixed rounds, min-label tiebreak) on the customer/order-hash link
+    graph — fixed-round replay, so DuckDB chains the identical
+    count-then-argmax per round and the (node, community) assignment
+    is exact."""
+    from beam_spark.operators.graph import LabelPropagation
+
+    o = table(spark, sf_dir, "orders").df
+    edges = o.selectExpr("o_custkey AS src", "o_orderkey % 200 AS dst")
+    out = (PCollection(edges) | LabelPropagation(fixed_rounds=4)).df
+    return out.select("node", "community")
 
 
 @query("q_graph_triangles", """

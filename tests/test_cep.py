@@ -1719,3 +1719,84 @@ def test_streaming_equals_batch_skip_to_first_positional_exclusion(spark):
     assert len([e for e in emitted if e[3] == 1]) == 3
     assert len(match2) == 3
     assert all(nb == 2 for _, _, nb, _ in emitted)
+
+
+def test_streaming_equals_batch_skip_to_last_positional_exclusion(spark):
+    """Equivalence script #16: AFTER MATCH SKIP TO LAST B where B
+    occurs both as an excluded occurrence ({- B -}) and plain — the
+    skip must resolve on the UN-ALIASED symbol across both
+    occurrences, so the resume point is the PLAIN (second) B row,
+    one later than script #15's SKIP TO FIRST resume; that row
+    re-qualifies as the next match's A, producing a different
+    overlap than #15."""
+    from beam_spark.operators.cep import (ALL_ROWS_PER_MATCH,
+                                          skip_to_last, vectorized)
+    from beam_spark.sql_match import parse_pattern_ex
+
+    pattern, excluded, aliases = parse_pattern_ex("A {- B -} B C")
+    assert aliases == {"__excl__B": "B"}
+
+    cfg = dict(
+        pattern=pattern,
+        defines={"A": vectorized(lambda pdf: pdf["v"] > 0),
+                 "B": vectorized(lambda pdf: pdf["typ"] == "b"),
+                 "C": vectorized(lambda pdf: pdf["typ"] == "c")},
+        measures={"n_b": lambda m: sum(1 for s, _ in m if s == "B")},
+        schema="t timestamp, u long, typ string, v long, n_b long",
+        rows_per_match=ALL_ROWS_PER_MATCH,
+        after_match=skip_to_last("B"),
+        exclude_symbols=excluded,
+        symbol_aliases=aliases)
+    batches = [
+        [{"t": "2024-01-01 00:00:10", "u": 1, "typ": "x", "v": 1},
+         {"t": "2024-01-01 00:00:20", "u": 1, "typ": "b", "v": 2}],
+        [{"t": "2024-01-01 00:00:30", "u": 1, "typ": "b", "v": 3},
+         {"t": "2024-01-01 00:00:40", "u": 1, "typ": "c", "v": 4}],
+        [{"t": "2024-01-01 00:00:50", "u": 1, "typ": "b", "v": 5},
+         {"t": "2024-01-01 00:01:00", "u": 1, "typ": "b", "v": 6},
+         {"t": "2024-01-01 00:01:10", "u": 1, "typ": "c", "v": 7}],
+        [{"t": "2024-01-01 00:10:00", "u": 1, "typ": "z", "v": 8}],
+        [{"t": "2024-01-01 00:20:00", "u": 1, "typ": "z", "v": 9}],
+    ]
+    s, b = _stream_vs_batch(spark, batches, **cfg)
+    assert s == b
+    # match 1 = rows 0..3 (A@x, {-B-}@b20, B@b30, C@c40): emits 3 rows
+    # (the excluded b20 is not emitted). SKIP TO LAST B resumes AT
+    # row 2 (b30, the PLAIN occurrence — #15's FIRST resumed at row 1)
+    # which re-matches as A (v=3>0): match 2 = rows 2..6 with
+    # {-B-}@b50, B@b60, C@c70 -> emits A@b30, B@b60, C@c70.
+    m1 = sorted((r[2], r[3]) for r in b if r[-1] == 1)
+    m2 = sorted((r[2], r[3]) for r in b if r[-1] == 2)
+    assert m1 == [("b", 3), ("c", 4), ("x", 1)]
+    assert m2 == [("b", 3), ("b", 6), ("c", 7)]
+    assert all(r[4] == 2 for r in b)    # both B occurrences counted
+
+
+def test_one_row_per_match_running_equals_final(spark, sf_dir):
+    """SQL:2016 6.10: under ONE ROW PER MATCH the RUNNING and FINAL
+    per-measure keywords COINCIDE (the 'current row' is the final row
+    of the match) — an explicit RUNNING prefix must parse and yield
+    exactly the FINAL value, not error and not a prefix value."""
+    import beam_spark.queries as q
+    from beam_spark.sql import SqlTransform
+
+    events = q.table(spark, sf_dir, "events")
+    out = ({"events": events} | SqlTransform("""
+        SELECT user_id, r_cnt, f_cnt, r_last, f_last
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES RUNNING COUNT(V.event_id) AS r_cnt,
+                   FINAL COUNT(V.event_id) AS f_cnt,
+                   RUNNING LAST(P.value) AS r_last,
+                   FINAL LAST(P.value) AS f_last
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (V+ P)
+          DEFINE V AS V.event_type = 'view',
+                 P AS P.event_type = 'purchase'
+        )"""))
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["r_cnt"] == r["f_cnt"]
+        assert r["r_last"] == r["f_last"]

@@ -1988,3 +1988,111 @@ def test_blocking_quality_known_counts(spark):
     assert row["pair_quality"] == 0.5
     with _pytest.raises(ValueError, match="total_records"):
         BlockingQuality(truth, total_records=1)
+
+
+def test_label_propagation_known_graphs(spark):
+    """LabelPropagation on two known topologies: (1) two disjoint
+    triangles — every node converges to its component's min id
+    (community = CC here, since each triangle is its own majority);
+    (2) a 4-star — synchronous LPA 2-cycles between center/leaf
+    labels, so fixed_rounds replay is checked round-for-round
+    (round 1: center adopts min leaf, leaves adopt center; round 2:
+    center adopts the round-1 leaf label = its OWN original id)."""
+    from beam_spark.operators.graph import LabelPropagation
+    from beam_spark.pcollection import PCollection
+
+    tri2 = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+        "src long, dst long")
+    out = {(r["node"], r["community"]) for r in
+           (PCollection(tri2) | LabelPropagation(max_rounds=10))
+           .df.collect()}
+    assert out == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10)}
+
+    star = spark.createDataFrame(
+        [(5, 1), (5, 2), (5, 3), (5, 4)], "src long, dst long")
+    r1 = {(r["node"], r["community"]) for r in
+          (PCollection(star) | LabelPropagation(fixed_rounds=1))
+          .df.collect()}
+    # round 1: center 5 sees leaf labels {1,2,3,4} all count 1 ->
+    # min = 1; each leaf sees only {5}
+    assert r1 == {(5, 1), (1, 5), (2, 5), (3, 5), (4, 5)}
+    r2 = {(r["node"], r["community"]) for r in
+          (PCollection(star) | LabelPropagation(fixed_rounds=2))
+          .df.collect()}
+    # round 2: center sees leaves all labeled 5 -> 5; leaves see
+    # center labeled 1 -> the 2-cycle
+    assert r2 == {(5, 5), (1, 1), (2, 1), (3, 1), (4, 1)}
+
+
+def test_label_propagation_tiebreak_and_selfloops(spark):
+    """Min-label tiebreak: node 3 adjacent to communities {1} and {2}
+    with equal neighbor counts adopts 1, never 2 — and self-loops /
+    duplicate / reversed edges are dropped by the undirected dedupe."""
+    from beam_spark.operators.graph import LabelPropagation
+    from beam_spark.pcollection import PCollection
+
+    df = spark.createDataFrame(
+        [(1, 3), (3, 1), (2, 3), (3, 3), (1, 3)],
+        "src long, dst long")
+    r1 = {(r["node"], r["community"]) for r in
+          (PCollection(df) | LabelPropagation(fixed_rounds=1))
+          .df.collect()}
+    assert r1 == {(3, 1), (1, 3), (2, 3)}
+
+
+def test_theta_forecast_closed_form(spark):
+    """ThetaForecast on an exactly-linear series: the OLS line is the
+    series itself, the theta=2 line z_t = 2x_t - x_t = x_t, SES of a
+    line lags it, and the forecast is the average of the exact line
+    extrapolation and the SES level — checked against an independent
+    scalar replay; keys with < 2 rows are dropped."""
+    from beam_spark.operators.stats import ThetaForecast
+    from beam_spark.pcollection import PCollection
+
+    rows = [(1, t, 2.0 * t + 1.0) for t in range(1, 9)]
+    rows += [(2, 1, 42.0)]                      # single row: dropped
+    df = spark.createDataFrame(rows, "user_id long, seq long, v double")
+    out = {(r["user_id"], r["h"]):
+           (r["slope"], r["intercept"], r["level"], r["forecast"])
+           for r in (PCollection(df) | ThetaForecast(
+               "v", keys="user_id", order_by=["seq"],
+               horizons=[1, 4])).df.collect()}
+    assert set(out) == {(1, 1), (1, 4)}
+
+    # scalar replay (same op order as the operator)
+    x = [2.0 * t + 1.0 for t in range(1, 9)]
+    st = sy = stt = sty = 0.0
+    for t in range(1, 9):
+        tf = float(t)
+        st += tf
+        sy += x[t - 1]
+        stt += tf * tf
+        sty += tf * x[t - 1]
+    nn = 8.0
+    b = (nn * sty - st * sy) / (nn * stt - st * st)
+    ic = (sy - b * st) / nn
+    lv = 2.0 * x[0] - (ic + b * 1.0)
+    for t in range(2, 9):
+        lv = 0.5 * (2.0 * x[t - 1] - (ic + b * float(t))) + 0.5 * lv
+    for h in (1, 4):
+        fc = 0.5 * (ic + b * (nn + float(h))) + 0.5 * lv
+        assert out[(1, h)] == (b, ic, lv, fc)
+    assert abs(b - 2.0) < 1e-12 and abs(ic - 1.0) < 1e-12
+
+
+def test_theta_forecast_rejects_nulls_and_bad_args(spark):
+    import pytest
+
+    from beam_spark.operators.stats import ThetaForecast
+    from beam_spark.pcollection import PCollection
+
+    with pytest.raises(ValueError, match="alpha"):
+        ThetaForecast("v", keys="k", order_by="t", alpha=0.0)
+    with pytest.raises(ValueError, match="horizons"):
+        ThetaForecast("v", keys="k", order_by="t", horizons=[0])
+    df = spark.createDataFrame(
+        [(1, 1, 1.0), (1, 2, None)], "user_id long, seq long, v double")
+    with pytest.raises(Exception, match="NULL"):
+        (PCollection(df) | ThetaForecast(
+            "v", keys="user_id", order_by=["seq"])).df.collect()
