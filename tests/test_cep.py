@@ -1725,10 +1725,11 @@ def test_streaming_equals_batch_skip_to_last_positional_exclusion(spark):
     """Equivalence script #16: AFTER MATCH SKIP TO LAST B where B
     occurs both as an excluded occurrence ({- B -}) and plain — the
     skip must resolve on the UN-ALIASED symbol across both
-    occurrences, so the resume point is the PLAIN (second) B row,
-    one later than script #15's SKIP TO FIRST resume; that row
-    re-qualifies as the next match's A, producing a different
-    overlap than #15."""
+    occurrences (resume at the PLAIN second B, row 2 — script #15's
+    SKIP TO FIRST resumed one earlier at the excluded occurrence),
+    and the matcher must then honor contiguity: no match can START
+    at row 2 (its successor is a C, not the required B), so scanning
+    advances and the overlapping second match starts at row 3."""
     from beam_spark.operators.cep import (ALL_ROWS_PER_MATCH,
                                           skip_to_last, vectorized)
     from beam_spark.sql_match import parse_pattern_ex
@@ -1762,13 +1763,14 @@ def test_streaming_equals_batch_skip_to_last_positional_exclusion(spark):
     assert s == b
     # match 1 = rows 0..3 (A@x, {-B-}@b20, B@b30, C@c40): emits 3 rows
     # (the excluded b20 is not emitted). SKIP TO LAST B resumes AT
-    # row 2 (b30, the PLAIN occurrence — #15's FIRST resumed at row 1)
-    # which re-matches as A (v=3>0): match 2 = rows 2..6 with
-    # {-B-}@b50, B@b60, C@c70 -> emits A@b30, B@b60, C@c70.
+    # row 2 (b30, the PLAIN occurrence — #15's FIRST resumed at row
+    # 1). No match STARTS there (A@b30 would need a B at row 3, which
+    # is the c40) — scanning advances one row and match 2 = rows 3..6:
+    # A@c40(v=4>0), {-B-}@b50, B@b60, C@c70 -> emits c40, b60, c70.
     m1 = sorted((r[2], r[3]) for r in b if r[-1] == 1)
     m2 = sorted((r[2], r[3]) for r in b if r[-1] == 2)
     assert m1 == [("b", 3), ("c", 4), ("x", 1)]
-    assert m2 == [("b", 3), ("b", 6), ("c", 7)]
+    assert m2 == [("b", 6), ("c", 4), ("c", 7)]
     assert all(r[4] == 2 for r in b)    # both B occurrences counted
 
 
