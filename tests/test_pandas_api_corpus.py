@@ -12,8 +12,12 @@ arithmetic/comparison/clipping, ranking, positional ops over a sorted
 index (shift/diff/cumsum family), string accessor ops, datetime
 accessor ops, frame-wide reductions and moments, correlation, boolean
 reductions, query/filtering, reshaping (melt/get_dummies/pivot),
-groupby aggregate variants, rolling/expanding windows, and merge
-variants (outer/right/multi-key/suffixes).
+groupby aggregate variants, rolling/expanding windows, merge
+variants (outer/right/multi-key/suffixes), and the round-11 widening:
+groupby transform (callable spelling), per-group rank/cumcount/
+agg-dict/filter, rolling/expanding min_periods variants, the string
+split/rsplit/slice_replace/pad/repeat/wrap family, and calendar-edge
+datetime accessors.
 
 Documented divergences (asserted in tests/test_pandas_api.py, not
 repeated here): Series.round() half-up vs half-even; pivot_table index
@@ -516,6 +520,55 @@ CASES += [
      if hasattr(t["c"], "to_pandas") else tuple(sorted(
          int(x) for x in t["c"].sort_values("c_custkey")
          .c_mktsegment.factorize(sort=True)[0]))),
+    # ---- round-11: groupby transform / window min_periods /
+    # string split-family expansions (the VERDICT-10 backlog) ----
+    ("gb_transform_mean_fn", lambda t: t["o"].groupby("o_orderstatus")
+     .o_totalprice.transform(lambda s: s.mean())),
+    ("gb_transform_demean", lambda t: t["o"].groupby("o_orderstatus")
+     .o_totalprice.transform(lambda s: s - s.mean())),
+    ("gb_rank_in_group", lambda t: t["o"].groupby("o_orderstatus")
+     .o_totalprice.rank(method="min")),
+    ("gb_cumcount", lambda t: t["o"].sort_values("o_orderkey")
+     .groupby("o_orderstatus").cumcount()),
+    ("gb_agg_dict", lambda t: t["o"].groupby("o_orderstatus")
+     .agg({"o_totalprice": "sum", "o_custkey": "max"})),
+    ("gb_filter_size", lambda t: t["o"].groupby("o_orderpriority")
+     .filter(lambda g: len(g) > 50)[["o_orderkey"]]),
+    ("gb_nunique_frame", lambda t: t["o"].groupby("o_orderstatus")
+     .nunique()),
+    ("roll_sum_minp", lambda t: t["o"].sort_values("o_orderkey")
+     .set_index("o_orderkey").o_totalprice
+     .rolling(5, min_periods=2).sum()),
+    ("roll_mean_minp1", lambda t: t["o"].sort_values("o_orderkey")
+     .set_index("o_orderkey").o_totalprice
+     .rolling(4, min_periods=1).mean()),
+    ("roll_std_minp", lambda t: t["o"].sort_values("o_orderkey")
+     .set_index("o_orderkey").o_totalprice
+     .rolling(6, min_periods=3).std()),
+    ("roll_min_minp", lambda t: t["o"].sort_values("o_orderkey")
+     .set_index("o_orderkey").o_totalprice
+     .rolling(3, min_periods=1).min()),
+    ("expanding_minp", lambda t: t["o"].sort_values("o_orderkey")
+     .set_index("o_orderkey").o_totalprice
+     .expanding(min_periods=4).mean()),
+    ("str_rsplit_get", lambda t: t["c"].c_name.str.rsplit("0", n=1)
+     .str.get(0)),
+    ("str_split_len", lambda t: t["c"].c_name.str.split("#").str.len()),
+    ("str_slice_replace", lambda t: t["c"].c_name
+     .str.slice_replace(0, 2, "XX")),
+    ("str_pad_right", lambda t: t["c"].c_name
+     .str.pad(25, side="right", fillchar="_")),
+    ("str_repeat", lambda t: t["o"].o_orderstatus.str.repeat(3)),
+    ("str_wrap", lambda t: t["c"].c_name.str.wrap(8)),
+    ("dt_days_in_month", lambda t: t["o"].o_orderdate.dt.days_in_month),
+    ("dt_is_month_end", lambda t: int(
+        t["o"].o_orderdate.dt.is_month_end.sum())),
+    ("dt_is_quarter_start", lambda t: int(
+        t["o"].o_orderdate.dt.is_quarter_start.sum())),
+    ("ser_nlargest", lambda t: t["o"].o_totalprice.nlargest(15)),
+    ("frame_nsmallest", lambda t: t["o"]
+     .nsmallest(10, ["o_totalprice", "o_orderkey"])
+     [["o_orderkey", "o_totalprice"]]),
 ]
 
 
@@ -554,6 +607,16 @@ DIVERGENT_RAISES = [
         ["o_orderstatus", "o_orderpriority"]).reorder_levels([1, 0])
      [["o_orderkey"]].reset_index()),
     ("cut_bins", _cut_bins),
+    # round-11 sweep: the split-family gaps — StringMethods is not
+    # subscriptable (.str[0] works in pandas, .str.get(0) is the ps
+    # spelling), str.extract / str.partition are unimplemented, and
+    # split(expand=True) demands an explicit n
+    ("str_subscript", lambda t: t["c"].c_name.str.split("#").str[0]),
+    ("str_extract", lambda t: t["c"].c_name.str.extract(
+        r"(\d+)", expand=False)),
+    ("str_partition", lambda t: t["c"].c_name.str.partition("#")),
+    ("str_split_expand_no_n", lambda t: t["c"].c_name.str.split(
+        "#", expand=True)),
     # round-10: Series.combine (element-wise with a python reducer)
     # and INTERVAL dtypes (pd.cut output accessors) are unimplemented
     # in ps — interval columns stay a pandas-only dtype
@@ -636,6 +699,6 @@ def test_divergent_ops_differ(ns, name, fn):
 
 
 def test_corpus_size():
-    """The round-10 widened conformance sweep covers >= 200 op
+    """The round-11 widened conformance sweep covers >= 230 op
     families beyond tests/test_pandas_api.py."""
-    assert len(CASES) + len(DIVERGENT_RAISES) + len(DIVERGENT_VALUES) >= 200
+    assert len(CASES) + len(DIVERGENT_RAISES) + len(DIVERGENT_VALUES) >= 230
