@@ -143,7 +143,17 @@ class DistributionDrift(PTransform):
     an OTHER bucket — so novel categories in the current frame surface
     as OTHER-bucket drift.
 
-    Output: one row per column — (column, psi, n_ref, n_cur, drifted).
+    ``metric='jsd'`` swaps the per-bin term for the Jensen-Shannon
+    divergence (base-2: JSD = 0.5*sum p*log2(2p/(p+q)) + 0.5*sum
+    q*log2(2q/(p+q))) — symmetric, BOUNDED in [0, 1], and finite for
+    empty bins without any eps clamping (a 0-count bin's own term is
+    exactly 0), which makes it the better score when novel categories
+    or out-of-range mass would saturate PSI's unbounded log-ratio.
+    Conventional reading: < 0.05 stable, > 0.1 drifted (default
+    threshold 0.1 in jsd mode).
+
+    Output: one row per column — (column, <metric>, n_ref, n_cur,
+    drifted), the divergence column named 'psi' or 'jsd'.
 
     Scale: per column, one aggregation over each frame (bin counts) and
     a bins-sized (constant) join; the reference min/max (or top-N
@@ -152,13 +162,18 @@ class DistributionDrift(PTransform):
     """
 
     def __init__(self, reference, columns, n_bins: int = 10,
-                 max_categories: int = 20, threshold: float = 0.25,
-                 eps: float = 1e-6, label=None):
+                 max_categories: int = 20, threshold: float | None = None,
+                 eps: float = 1e-6, metric: str = "psi", label=None):
         super().__init__(label)
+        if metric not in ("psi", "jsd"):
+            raise ValueError(f"metric {metric!r}: 'psi' or 'jsd'")
         self.reference = (reference.df if isinstance(reference, PCollection)
                           else reference)
         self.columns = [columns] if isinstance(columns, str) else list(columns)
-        self.n_bins, self.threshold, self.eps = n_bins, threshold, eps
+        self.n_bins, self.eps = n_bins, eps
+        self.metric = metric
+        self.threshold = (threshold if threshold is not None
+                          else (0.25 if metric == "psi" else 0.1))
         self.max_categories = max_categories
 
     def _bin_counts(self, df, c, stats, tag):
@@ -211,16 +226,29 @@ class DistributionDrift(PTransform):
             totals = joined.agg(F.sum("nr").alias("__tr"),
                                 F.sum("nc").alias("__tc"))
             joined = joined.crossJoin(F.broadcast(totals))
-            p = F.greatest(F.col("nr") / F.col("__tr"), F.lit(eps))
-            q = F.greatest(F.col("nc") / F.col("__tc"), F.lit(eps))
-            per_bin = joined.select(
-                ((p - q) * F.log(p / q)).alias("term"), "nr", "nc")
+            if self.metric == "jsd":
+                p = F.col("nr") / F.col("__tr")
+                q = F.col("nc") / F.col("__tc")
+                two = F.lit(2.0)
+                term = (
+                    F.when(F.col("nr") > 0,
+                           F.lit(0.5) * p * F.log2(two * p / (p + q)))
+                    .otherwise(F.lit(0.0))
+                    + F.when(F.col("nc") > 0,
+                             F.lit(0.5) * q * F.log2(two * q / (p + q)))
+                    .otherwise(F.lit(0.0)))
+            else:
+                p = F.greatest(F.col("nr") / F.col("__tr"), F.lit(eps))
+                q = F.greatest(F.col("nc") / F.col("__tc"), F.lit(eps))
+                term = (p - q) * F.log(p / q)
+            per_bin = joined.select(term.alias("term"), "nr", "nc")
             outs.append(per_bin.agg(
                 F.lit(c).alias("column"),
-                F.round(F.sum("term"), 6).alias("psi"),
+                F.round(F.sum("term"), 6).alias(self.metric),
                 F.sum("nr").alias("n_ref"), F.sum("nc").alias("n_cur"))
                 .withColumn("drifted",
-                            (F.col("psi") > self.threshold).cast("int")))
+                            (F.col(self.metric) > self.threshold)
+                            .cast("int")))
         out = outs[0]
         for o in outs[1:]:
             out = out.unionByName(o)

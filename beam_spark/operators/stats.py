@@ -1223,3 +1223,92 @@ class ThetaForecast(PTransform):
 
         out = pcoll.df.groupBy(*self.keys).applyInPandas(fn, schema)
         return pcoll.with_df(out)
+
+
+class CrostonForecast(PTransform):
+    """Per-key Croston's method (Croston 1972) for INTERMITTENT
+    series — sparse demand among many zero periods, where SES/Holt on
+    the raw series decays toward zero between demands. Two coupled
+    SES recurrences over the DEMAND events only:
+
+        z_t = alpha * d_t + (1-alpha) * z     (nonzero demand size)
+        p_t = alpha * q_t + (1-alpha) * p     (inter-demand interval)
+
+    seeded z = first demand, p = the first demand's 1-based position;
+    forecast = z / p (demand rate per period) and the Syntetos-Boylan
+    approximation sba = (1 - alpha/2) * (z / p), the bias-corrected
+    variant that won the follow-up literature.
+
+    A period's demand is ``col`` where ``demand_if`` holds, else 0
+    (e.g. purchase events among views) — the zero periods advance the
+    interval counter only. Keys with no demand are dropped; keys with
+    one demand emit the seeds. ``alpha`` defaults to the binary-exact
+    0.5, so a recursive-CTE oracle replays the recurrences bit-exactly
+    (compared UNROUNDED, the Ewma/Holt convention).
+
+    Scale: the Ewma per-key applyInPandas posture — one shuffle on the
+    keys, linear per key, keys parallel.
+
+    Output: keys + (demands bigint, z, p, forecast, sba — raw
+    doubles).
+    """
+
+    def __init__(self, col: str, keys, order_by, demand_if=None,
+                 alpha: float = 0.5, label=None):
+        super().__init__(label)
+        if not 0.0 < float(alpha) <= 1.0:
+            raise ValueError(f"alpha {alpha} outside (0, 1]")
+        self.col, self.alpha = col, float(alpha)
+        self.demand_if = demand_if
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        self.order_by = ([order_by] if isinstance(order_by, str)
+                         else list(order_by))
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        col, al, ob = self.col, self.alpha, self.order_by
+        kf = [f for f in pcoll.df.schema.fields if f.name in self.keys]
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in kf) \
+            + (", demands bigint, z double, p double, "
+               "forecast double, sba double")
+        df = pcoll.df
+        if self.demand_if is not None:
+            cond = (F.expr(self.demand_if)
+                    if isinstance(self.demand_if, str) else self.demand_if)
+            df = df.withColumn(
+                "__d", F.when(cond, F.col(col).cast("double"))
+                .otherwise(F.lit(0.0)))
+        else:
+            df = df.withColumn("__d", F.col(col).cast("double"))
+
+        def fn(pdf):
+            import pandas as pd
+
+            pdf = pdf.sort_values(ob, kind="mergesort")
+            d = pdf["__d"].fillna(0.0).astype(float).to_list()
+            z = p = None
+            last_idx = 0
+            n_dem = 0
+            for i, v in enumerate(d, 1):
+                if v == 0.0:
+                    continue
+                n_dem += 1
+                if z is None:
+                    z, p = v, float(i)
+                else:
+                    z = al * v + (1.0 - al) * z
+                    p = al * float(i - last_idx) + (1.0 - al) * p
+                last_idx = i
+            if z is None:
+                return pd.DataFrame(
+                    {**{f.name: [] for f in kf}, "demands": [],
+                     "z": [], "p": [], "forecast": [], "sba": []})
+            rate = z / p
+            head = pdf.iloc[0]
+            return pd.DataFrame([{
+                **{f.name: head[f.name] for f in kf},
+                "demands": n_dem, "z": z, "p": p, "forecast": rate,
+                "sba": (1.0 - al / 2.0) * rate}])
+
+        out = df.groupBy(*self.keys).applyInPandas(fn, schema)
+        return pcoll.with_df(out)

@@ -3460,6 +3460,114 @@ def q_theta_forecast(spark, sf_dir):
                       "level", "forecast")
 
 
+_JSD_SQL = """
+SELECT 'value' AS "column", round(sum(term), 6) AS jsd,
+       CAST(sum(nr) AS BIGINT) AS n_ref, CAST(sum(nc) AS BIGINT) AS n_cur,
+       CAST(round(sum(term), 6) > CAST(0.1 AS DOUBLE) AS INT) AS drifted
+FROM (
+  SELECT (CASE WHEN nr > 0 THEN
+            CAST(0.5 AS DOUBLE) * (CAST(nr AS DOUBLE) / sum(nr) OVER ())
+            * log2(CAST(2 AS DOUBLE)
+                   * (CAST(nr AS DOUBLE) / sum(nr) OVER ())
+                   / ((CAST(nr AS DOUBLE) / sum(nr) OVER ())
+                      + (CAST(nc AS DOUBLE) / sum(nc) OVER ())))
+          ELSE CAST(0 AS DOUBLE) END)
+         + (CASE WHEN nc > 0 THEN
+              CAST(0.5 AS DOUBLE) * (CAST(nc AS DOUBLE) / sum(nc) OVER ())
+              * log2(CAST(2 AS DOUBLE)
+                     * (CAST(nc AS DOUBLE) / sum(nc) OVER ())
+                     / ((CAST(nr AS DOUBLE) / sum(nr) OVER ())
+                        + (CAST(nc AS DOUBLE) / sum(nc) OVER ())))
+            ELSE CAST(0 AS DOUBLE) END) AS term, nr, nc
+  FROM (
+    SELECT coalesce(rb.bin, cb.bin) AS bin,
+           coalesce(rb.nr, 0) AS nr, coalesce(cb.nc, 0) AS nc
+    FROM (SELECT CASE WHEN st.mx = st.mn THEN 0
+                 ELSE CAST(least(9, greatest(0,
+                      floor((x - st.mn) / ((st.mx - st.mn) / 10)))) AS INT)
+                 END AS bin, count(*) AS nr
+          FROM (SELECT CAST(value AS DOUBLE) AS x FROM events
+                WHERE event_type = 'view' AND value IS NOT NULL) r,
+               (SELECT min(CAST(value AS DOUBLE)) AS mn,
+                       max(CAST(value AS DOUBLE)) AS mx FROM events
+                WHERE event_type = 'view' AND value IS NOT NULL) st
+          GROUP BY 1) rb
+    FULL JOIN
+         (SELECT CASE WHEN st.mx = st.mn THEN 0
+                 ELSE CAST(least(9, greatest(0,
+                      floor((x - st.mn) / ((st.mx - st.mn) / 10)))) AS INT)
+                 END AS bin, count(*) AS nc
+          FROM (SELECT CAST(value AS DOUBLE) AS x FROM events
+                WHERE event_type = 'purchase' AND value IS NOT NULL) u,
+               (SELECT min(CAST(value AS DOUBLE)) AS mn,
+                       max(CAST(value AS DOUBLE)) AS mx FROM events
+                WHERE event_type = 'view' AND value IS NOT NULL) st
+          GROUP BY 1) cb
+    ON rb.bin = cb.bin))"""
+
+
+@query("q_quality_jsd_drift", _JSD_SQL)
+def q_jsd_drift(spark, sf_dir):
+    """Jensen-Shannon drift (base-2, bounded [0,1], zero-bin-safe
+    without eps clamping): reference = view-event values, current =
+    purchase-event values, 10 reference-range bins — the DuckDB
+    oracle replays the identical binning and per-bin JSD terms,
+    rounded 6 (the per-bin sum is <= 20 terms)."""
+    from beam_spark.operators.quality import DistributionDrift
+
+    ev = table(spark, sf_dir, "events").df.filter("value IS NOT NULL")
+    ref = ev.filter("event_type = 'view'")
+    cur = ev.filter("event_type = 'purchase'")
+    return (PCollection(cur)
+            | DistributionDrift(ref, "value", metric="jsd")).df
+
+
+_CROSTON_SQL = """
+WITH RECURSIVE ev AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(coalesce(value, 0) AS DOUBLE)
+              ELSE CAST(0 AS DOUBLE) END AS d,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS idx
+  FROM events),
+dem AS (
+  SELECT user_id, d, idx,
+         row_number() OVER (PARTITION BY user_id ORDER BY idx) AS rn
+  FROM ev WHERE d <> 0),
+s AS (
+  SELECT user_id, rn, idx, d AS z, CAST(idx AS DOUBLE) AS p
+  FROM dem WHERE rn = 1
+  UNION ALL
+  SELECT dem.user_id, dem.rn, dem.idx,
+         CAST(0.5 AS DOUBLE) * dem.d + CAST(0.5 AS DOUBLE) * s.z,
+         CAST(0.5 AS DOUBLE) * CAST(dem.idx - s.idx AS DOUBLE)
+           + CAST(0.5 AS DOUBLE) * s.p
+  FROM s JOIN dem ON dem.user_id = s.user_id AND dem.rn = s.rn + 1),
+fin AS (SELECT user_id, max(rn) AS demands FROM dem GROUP BY user_id)
+SELECT f.user_id, CAST(f.demands AS BIGINT) AS demands, s.z, s.p,
+       s.z / s.p AS forecast,
+       CAST(0.75 AS DOUBLE) * (s.z / s.p) AS sba
+FROM fin f JOIN s ON s.user_id = f.user_id AND s.rn = f.demands"""
+
+
+@query("q_ts_croston", _CROSTON_SQL)
+def q_croston(spark, sf_dir):
+    """Croston intermittent-demand forecast (alpha=0.5) per user:
+    demand = purchase-event value, every other event a zero period
+    advancing the interval counter — the oracle replays the coupled
+    size/interval SES recurrences over DEMAND rows only in one
+    recursive CTE carrying (z, p, idx), compared UNROUNDED."""
+    from beam_spark.operators.stats import CrostonForecast
+
+    ev = table(spark, sf_dir, "events").df
+    out = (PCollection(ev) | CrostonForecast(
+        "value", keys="user_id", order_by=["ts", "event_id"],
+        demand_if="event_type = 'purchase'", alpha=0.5)).df
+    return out.select("user_id", "demands", "z", "p",
+                      "forecast", "sba")
+
+
 def _hw_cte(rn_name: str, e_name: str, mul: bool) -> str:
     """The Holt-Winters recursive-CTE replay (alpha=0.5, beta=0.25,
     gamma=0.25, period 4) parameterized by CTE names and mode — the

@@ -2096,3 +2096,54 @@ def test_theta_forecast_rejects_nulls_and_bad_args(spark):
     with pytest.raises(Exception, match="NULL"):
         (PCollection(df) | ThetaForecast(
             "v", keys="user_id", order_by=["seq"])).df.collect()
+
+
+def test_croston_known_series(spark):
+    """Croston on a hand-replayable intermittent series: demands 4 at
+    t=2, 6 at t=5 (gap 3), 2 at t=9 (gap 4), zeros elsewhere —
+    z and p follow the coupled SES by hand; a no-demand key drops."""
+    from beam_spark.operators.stats import CrostonForecast
+    from beam_spark.pcollection import PCollection
+
+    rows = [(1, t, {2: 4.0, 5: 6.0, 9: 2.0}.get(t, 0.0))
+            for t in range(1, 11)]
+    rows += [(2, 1, 0.0), (2, 2, 0.0)]
+    df = spark.createDataFrame(rows, "k long, seq long, v double")
+    out = {r["k"]: r for r in (PCollection(df) | CrostonForecast(
+        "v", keys="k", order_by=["seq"])).df.collect()}
+    assert set(out) == {1}
+    r = out[1]
+    z = 4.0
+    p = 2.0
+    z = 0.5 * 6.0 + 0.5 * z          # 5.0
+    p = 0.5 * 3.0 + 0.5 * p          # 2.5
+    z = 0.5 * 2.0 + 0.5 * z          # 3.5
+    p = 0.5 * 4.0 + 0.5 * p          # 3.25
+    assert (r["demands"], r["z"], r["p"]) == (3, z, p)
+    assert r["forecast"] == z / p
+    assert r["sba"] == 0.75 * (z / p)
+
+
+def test_jsd_drift_bounds_and_identity(spark):
+    """JSD mode: identical distributions score 0; disjoint
+    distributions score exactly 1 bit (the JSD upper bound) — the
+    case that saturates PSI's eps-clamped log-ratio."""
+    from beam_spark.operators.quality import DistributionDrift
+    from beam_spark.pcollection import PCollection
+
+    ref = spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
+    same = spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
+    r0 = (PCollection(same) | DistributionDrift(ref, "v", metric="jsd")
+          ).df.collect()[0]
+    assert r0["jsd"] == 0.0 and r0["drifted"] == 0
+    # current mass entirely in the top reference bin's clamp region
+    far = spark.range(500).selectExpr("CAST(1e6 AS DOUBLE) AS v")
+    r1 = (PCollection(far) | DistributionDrift(ref, "v", metric="jsd")
+          ).df.collect()[0]
+    # ref has mass in bin 9 too (clamped overlap), so < 1; but the
+    # divergence is near the bound and flags
+    assert 0.5 < r1["jsd"] <= 1.0 and r1["drifted"] == 1
+
+    import pytest
+    with pytest.raises(ValueError, match="metric"):
+        DistributionDrift(ref, "v", metric="kl")
