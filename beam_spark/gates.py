@@ -377,22 +377,71 @@ FROM (SELECT doc_id AS asset_id, sha256(text) AS h,
 # Stats / analytics merges
 # --------------------------------------------------------------------------
 def q_stats_moments(spark, sf_dir):
-    """Moments-based VAR/STDDEV + COVAR in one tagged union."""
+    """Moments-based VAR/STDDEV + COVAR, plus the round-11 forecast
+    family as tagged rows: Theta-method and Croston on the user_id%10
+    slice (identical recursions, 10x fewer keys — the heavy full-key
+    versions stay component-oracled, the q_graph_*_links pattern) and
+    the full Jensen-Shannon drift report. Forecast doubles ride
+    UNROUNDED — both engines replay the same IEEE sequence."""
+    from beam_spark.operators.quality import DistributionDrift
+    from beam_spark.operators.stats import CrostonForecast, ThetaForecast
+    from beam_spark.pcollection import PCollection as _PC
+
     var = _component("q_variance_moments_per_type")(spark, sf_dir)
     cov = _component("q_covar_price_quantity")(spark, sf_dir)
+    ev = table(spark, sf_dir, "events").df
+    sl = ev.filter("user_id % 10 = 0")
+    theta = (_PC(sl.filter("value IS NOT NULL")) | ThetaForecast(
+        "value", keys="user_id", order_by=["ts", "event_id"],
+        alpha=0.5, horizons=[1, 3])).df
+    cro = (_PC(sl) | CrostonForecast(
+        "value", keys="user_id", order_by=["ts", "event_id"],
+        demand_if="event_type = 'purchase'", alpha=0.5)).df
+    evv = ev.filter("value IS NOT NULL")
+    jsd = (_PC(evv.filter("event_type = 'purchase'"))
+           | DistributionDrift(evv.filter("event_type = 'view'"),
+                               "value", metric="jsd")).df
     return _union([
         var.selectExpr("'var' AS op", "event_type AS k", "var_value AS v1",
-                       "stddev_value AS v2"),
-        cov.selectExpr("'covar' AS op", "l_returnflag AS k", "covar_pq AS v1",
-                       f"{_ZERO} AS v2"),
+                       "stddev_value AS v2", f"{_ZERO} AS v3",
+                       f"{_ZERO} AS v4"),
+        cov.selectExpr("'covar' AS op", "l_returnflag AS k",
+                       "covar_pq AS v1", f"{_ZERO} AS v2",
+                       f"{_ZERO} AS v3", f"{_ZERO} AS v4"),
+        theta.selectExpr("'theta' AS op",
+                         "CAST(user_id AS STRING) || ':' || "
+                         "CAST(h AS STRING) AS k",
+                         "slope AS v1", "intercept AS v2", "level AS v3",
+                         "forecast AS v4"),
+        cro.selectExpr("'croston' AS op", "CAST(user_id AS STRING) AS k",
+                       "CAST(demands AS DOUBLE) AS v1", "z AS v2",
+                       "p AS v3", "forecast AS v4"),
+        jsd.selectExpr("'jsd' AS op", "column AS k", "jsd AS v1",
+                       "CAST(n_ref AS DOUBLE) AS v2",
+                       "CAST(n_cur AS DOUBLE) AS v3",
+                       "CAST(drifted AS DOUBLE) AS v4"),
     ])
 
 
 _STATS_MOMENTS_SQL = "\nUNION ALL\n".join([
-    _wrap("'var' AS op, event_type AS k, var_value AS v1, stddev_value AS v2",
+    _wrap("'var' AS op, event_type AS k, var_value AS v1, "
+          f"stddev_value AS v2, {_ZERO} AS v3, {_ZERO} AS v4",
           _component_sql("q_variance_moments_per_type")),
-    _wrap(f"'covar' AS op, l_returnflag AS k, covar_pq AS v1, {_ZERO} AS v2",
+    _wrap(f"'covar' AS op, l_returnflag AS k, covar_pq AS v1, "
+          f"{_ZERO} AS v2, {_ZERO} AS v3, {_ZERO} AS v4",
           _component_sql("q_covar_price_quantity")),
+    _wrap("'theta' AS op, CAST(user_id AS VARCHAR) || ':' || "
+          "CAST(h AS VARCHAR) AS k, slope AS v1, intercept AS v2, "
+          "level AS v3, forecast AS v4",
+          Q._theta_sql(" AND user_id % 10 = 0")),
+    _wrap("'croston' AS op, CAST(user_id AS VARCHAR) AS k, "
+          "CAST(demands AS DOUBLE) AS v1, z AS v2, p AS v3, "
+          "forecast AS v4",
+          Q._croston_sql("user_id % 10 = 0")),
+    _wrap('\'jsd\' AS op, "column" AS k, jsd AS v1, '
+          "CAST(n_ref AS DOUBLE) AS v2, CAST(n_cur AS DOUBLE) AS v3, "
+          "CAST(drifted AS DOUBLE) AS v4",
+          _component_sql("q_quality_jsd_drift")),
 ])
 
 

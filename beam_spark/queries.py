@@ -3391,12 +3391,19 @@ def q_holt_winters_mul(spark, sf_dir):
                       F.col("season"))
 
 
-_THETA_SQL = """
+def _theta_sql(extra_where: str = "") -> str:
+    """Theta-method replay oracle; ``extra_where`` appends an AND
+    clause to the event filter (the gate folds a user_id%10 slice —
+    the same recursion, 10x fewer keys)."""
+    return _THETA_SQL_TPL.format(extra=extra_where)
+
+
+_THETA_SQL_TPL = """
 WITH RECURSIVE r AS (
   SELECT user_id, CAST(value AS DOUBLE) AS v,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY ts, event_id) AS rn
-  FROM events WHERE value IS NOT NULL),
+  FROM events WHERE value IS NOT NULL{extra}),
 acc AS (
   SELECT user_id, rn, CAST(1 AS DOUBLE) AS st, v AS sy,
          CAST(1 AS DOUBLE) AS stt, CAST(1 AS DOUBLE) * v AS sty
@@ -3443,7 +3450,7 @@ FROM last CROSS JOIN (VALUES (CAST(1 AS INT)), (CAST(3 AS INT))) t(h)
 """
 
 
-@query("q_ts_theta_forecast", _THETA_SQL)
+@query("q_ts_theta_forecast", _theta_sql())
 def q_theta_forecast(spark, sf_dir):
     """Theta-method forecasts (h=1 and h=3, alpha=0.5) per user over
     non-NULL event values: the oracle chains TWO recursive CTEs — the
@@ -3522,7 +3529,13 @@ def q_jsd_drift(spark, sf_dir):
             | DistributionDrift(ref, "value", metric="jsd")).df
 
 
-_CROSTON_SQL = """
+def _croston_sql(where: str = "TRUE") -> str:
+    """Croston replay oracle; ``where`` filters the event base (the
+    gate folds a user_id%10 slice)."""
+    return _CROSTON_SQL_TPL.format(where=where)
+
+
+_CROSTON_SQL_TPL = """
 WITH RECURSIVE ev AS (
   SELECT user_id,
          CASE WHEN event_type = 'purchase'
@@ -3530,7 +3543,7 @@ WITH RECURSIVE ev AS (
               ELSE CAST(0 AS DOUBLE) END AS d,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY ts, event_id) AS idx
-  FROM events),
+  FROM events WHERE {where}),
 dem AS (
   SELECT user_id, d, idx,
          row_number() OVER (PARTITION BY user_id ORDER BY idx) AS rn
@@ -3551,7 +3564,7 @@ SELECT f.user_id, CAST(f.demands AS BIGINT) AS demands, s.z, s.p,
 FROM fin f JOIN s ON s.user_id = f.user_id AND s.rn = f.demands"""
 
 
-@query("q_ts_croston", _CROSTON_SQL)
+@query("q_ts_croston", _croston_sql())
 def q_croston(spark, sf_dir):
     """Croston intermittent-demand forecast (alpha=0.5) per user:
     demand = purchase-event value, every other event a zero period
