@@ -829,6 +829,7 @@ def q_ann_exhaustive_suite(spark, sf_dir):
     bm25_ph = _component("q_retrieval_bm25_phrase")(spark, sf_dir)
     bm25f = _component("q_retrieval_bm25f_topk")(spark, sf_dir)
     posph = _component("q_retrieval_phrase_positional")(spark, sf_dir)
+    mmr = _component("q_ann_mmr_rerank")(spark, sf_dir)
     return _union([
         lsh.selectExpr("'lsh' AS method", "query_id", "nbr_id", "rank", "cosine"),
         ivf.selectExpr("'ivf' AS method", "query_id", "nbr_id", "rank", "cosine"),
@@ -846,6 +847,8 @@ def q_ann_exhaustive_suite(spark, sf_dir):
                          "doc_id AS nbr_id",
                          "CAST(n_occurrences AS INT) AS rank",
                          "CAST(n_occurrences AS DOUBLE) AS cosine"),
+        mmr.selectExpr("'mmr' AS method", "query_id",
+                       "doc_id AS nbr_id", "rank", "mmr AS cosine"),
     ])
 
 
@@ -874,6 +877,9 @@ UNION ALL
        "CAST(n_occurrences AS INT) AS rank, "
        "CAST(n_occurrences AS DOUBLE) AS cosine",
        _component_sql("q_retrieval_phrase_positional"))}
+UNION ALL
+{_wrap("'mmr' AS method, query_id, doc_id AS nbr_id, rank, "
+       "mmr AS cosine", _component_sql("q_ann_mmr_rerank"))}
 """
 
 

@@ -517,3 +517,100 @@ class PositionalPhraseMatch(PTransform):
                .groupBy("query_id", idc)
                .agg(F.count(F.lit(1)).alias("n_occurrences")))
         return occ
+
+
+class MmrRerank(PTransform):
+    """Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein
+    1998) — the standard diversity pass between retrieval and a RAG
+    prompt: greedily pick k results maximizing
+
+        mmr(d) = lam * score(d) - (1-lam) * max_{s in S} cos(d, s)
+
+    (S = already-selected set; the first pick has no diversity term,
+    so it is the plain top-score hit). Deduplicates near-identical
+    passages a plain top-k would stack.
+
+    Input: a candidate frame (query_col, doc_col, score_col) — the
+    bounded per-query output of any retriever (Bm25TopK, ANN top-k,
+    RrfFuse); ``vectors`` maps doc ids to embeddings. Determinism
+    convention (the ANN-suite pattern): scores are consumed rounded
+    to 6, pairwise cosines round to 6 before the max, the greedy
+    argmax ranks on round(mmr, 6) with a doc-id tie-break, and
+    ``lam`` defaults to the binary-exact 0.75, and the objective
+    itself stays UNROUNDED (identical IEEE ops on identical round-6
+    inputs) — so a recursive-CTE oracle replays the selection
+    exactly.
+
+    Scale: one id-keyed join ships each candidate's vector, then one
+    shuffle on query_id into applyInPandas; the greedy loop is
+    O(k * n_cand) numpy per query over the RETRIEVER-BOUNDED
+    candidate set (tens to hundreds of rows), never the corpus.
+
+    Output: (query_col, doc_col, rank 1..k, mmr RAW double — with
+    round-6 inputs it is bit-identical across engines; rounding it
+    would land on exact half-boundaries where half-case rules
+    differ).
+    """
+
+    def __init__(self, vectors, k: int = 10, lam: float = 0.75,
+                 query_col: str = "query_id", doc_col: str = "doc_id",
+                 score_col: str = "score", id_col: str = "vec_id",
+                 vec_col: str = "embedding", label=None):
+        super().__init__(label)
+        if not 0.0 <= float(lam) <= 1.0:
+            raise ValueError(f"lam {lam} outside [0, 1]")
+        self.vectors = (vectors.df if isinstance(vectors, PCollection)
+                        else vectors)
+        self.k, self.lam = int(k), float(lam)
+        self.query_col, self.doc_col = query_col, doc_col
+        self.score_col = score_col
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        import numpy as np
+        import pandas as pd
+
+        qc, dc, sc = self.query_col, self.doc_col, self.score_col
+        k, lam = self.k, self.lam
+        vec = self.vectors.select(
+            F.col(self.id_col).alias(dc),
+            F.col(self.vec_col).alias("__v"))
+        df = pcoll.df.select(qc, dc, sc).join(vec, on=dc)
+        qt = dict((f.name, f.dataType.simpleString())
+                  for f in df.schema.fields)
+        schema = (f"{qc} {qt[qc]}, {dc} {qt[dc]}, rank int, mmr double")
+
+        def fn(pdf):
+            pdf = pdf.sort_values([sc, dc], ascending=[False, True],
+                                  kind="mergesort")
+            ids = pdf[dc].to_numpy()
+            scores = np.round(pdf[sc].to_numpy(dtype=np.float64), 6)
+            mat = np.array(list(pdf["__v"]), dtype=np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = np.round(mat @ mat.T, 6)
+            n = len(ids)
+            taken = np.zeros(n, bool)
+            ms = None        # max cos to selected — can be NEGATIVE,
+            out = []         # so no zero-clamped accumulator
+            for r in range(1, min(k, n) + 1):
+                # NO rounding on the objective: with round-6 inputs
+                # the mmr arithmetic is the same IEEE sequence in any
+                # engine (bit-identical doubles), while rounding it
+                # would hit exact .5 boundaries (0.75 * a 6dp value)
+                # where engines' half-case rules differ
+                if ms is None:
+                    mmr = lam * scores
+                else:
+                    mmr = lam * scores - (1.0 - lam) * ms
+                mmr_masked = np.where(taken, -np.inf, mmr)
+                best = mmr_masked.max()
+                cand = np.where((mmr_masked == best) & ~taken)[0]
+                pick = cand[np.argmin(ids[cand])]
+                taken[pick] = True
+                ms = (sims[:, pick].copy() if ms is None
+                      else np.maximum(ms, sims[:, pick]))
+                out.append((pdf[qc].iloc[0], ids[pick], r, mmr[pick]))
+            return pd.DataFrame(out, columns=[qc, dc, "rank", "mmr"])
+
+        out = df.groupBy(qc).applyInPandas(fn, schema)
+        return pcoll.with_df(out)

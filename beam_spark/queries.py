@@ -3581,6 +3581,94 @@ def q_croston(spark, sf_dir):
                       "forecast", "sba")
 
 
+_MMR_SQL = """
+WITH RECURSIVE emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cand AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+         round(list_cosine_similarity(q.v, e.v), 6) AS score, e.v AS v
+  FROM emb q JOIN emb e
+    ON e.vec_id % 20 = q.vec_id AND e.vec_id <> q.vec_id
+  WHERE q.vec_id < 5),
+sel AS (
+  SELECT query_id, 1 AS rank, doc_id,
+         CAST(0.75 AS DOUBLE) * score AS mmr,
+         [doc_id] AS sel_ids, [v] AS sel_vecs
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY CAST(0.75 AS DOUBLE) * score DESC,
+                   doc_id) AS rn
+        FROM cand) t WHERE rn = 1
+  UNION ALL
+  SELECT query_id, rank + 1, doc_id, mmr,
+         list_append(sel_ids, doc_id), list_append(sel_vecs, v)
+  FROM (
+    SELECT s.query_id, s.rank, c.doc_id,
+           CAST(0.75 AS DOUBLE) * c.score
+                 - CAST(0.25 AS DOUBLE) * list_max(list_transform(
+                     s.sel_vecs,
+                     sv -> round(list_cosine_similarity(c.v, sv), 6)))
+             AS mmr,
+           s.sel_ids, s.sel_vecs, c.v,
+           row_number() OVER (
+             PARTITION BY s.query_id
+             ORDER BY CAST(0.75 AS DOUBLE) * c.score
+                 - CAST(0.25 AS DOUBLE) * list_max(list_transform(
+                     s.sel_vecs,
+                     sv -> round(list_cosine_similarity(c.v, sv), 6)))
+                 DESC, c.doc_id) AS rn
+    FROM sel s JOIN cand c
+      ON c.query_id = s.query_id
+     AND NOT list_contains(s.sel_ids, c.doc_id)
+    WHERE s.rank < 8) t
+  WHERE rn = 1)
+SELECT query_id, doc_id, CAST(rank AS INT) AS rank, mmr FROM sel"""
+
+
+@query("q_ann_mmr_rerank", _MMR_SQL)
+def q_mmr_rerank(spark, sf_dir):
+    """MMR diversity re-ranking (k=8, lam=0.75) over deterministic
+    per-query candidate buckets (vec_id % 20, 25 candidates each for
+    queries 0..4): the DuckDB oracle replays the greedy selection in
+    a recursive CTE carrying the selected-vector list — per-pair
+    cosines rounded 6, the mmr objective UNROUNDED (identical IEEE
+    ops on identical round-6 inputs — rounding it would hit exact
+    half-boundaries), doc-id tie-breaks at every step, so the
+    (rank, doc, mmr) sequence is bit-exact."""
+    from beam_spark.operators.retrieval import MmrRerank
+
+    emb = table(spark, sf_dir, "embeddings").df
+    q = emb.filter("vec_id < 5").selectExpr("vec_id AS qid",
+                                            "embedding AS qv")
+    cand = (emb.join(q, F.expr("vec_id % 20") == F.col("qid"))
+            .filter("vec_id <> qid")
+            .selectExpr("qid AS query_id", "vec_id AS doc_id",
+                        "qv", "embedding"))
+
+    # score with the same numpy path the ANN operators use (round 6
+    # matches DuckDB's list_cosine_similarity, the established gate
+    # precedent)
+    import numpy as np
+    import pandas as pd
+
+    def score(batches):
+        for pdf in batches:
+            a = np.array(list(pdf["qv"]), dtype=np.float64)
+            b = np.array(list(pdf["embedding"]), dtype=np.float64)
+            a = a / np.linalg.norm(a, axis=1, keepdims=True)
+            b = b / np.linalg.norm(b, axis=1, keepdims=True)
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"], "doc_id": pdf["doc_id"],
+                "score": np.round((a * b).sum(axis=1), 6)})
+
+    scored = cand.mapInPandas(
+        score, schema="query_id long, doc_id long, score double")
+    out = (PCollection(scored) | MmrRerank(
+        emb, k=8, lam=0.75, query_col="query_id", doc_col="doc_id",
+        score_col="score")).df
+    return out.select("query_id", "doc_id", "rank", "mmr")
+
+
 def _hw_cte(rn_name: str, e_name: str, mul: bool) -> str:
     """The Holt-Winters recursive-CTE replay (alpha=0.5, beta=0.25,
     gamma=0.25, period 4) parameterized by CTE names and mode — the

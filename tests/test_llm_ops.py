@@ -2147,3 +2147,43 @@ def test_jsd_drift_bounds_and_identity(spark):
     import pytest
     with pytest.raises(ValueError, match="metric"):
         DistributionDrift(ref, "v", metric="kl")
+
+
+def test_mmr_rerank_demotes_redundant(spark):
+    """MMR with lam=0.5: two near-identical top candidates — plain
+    top-k would rank them 1-2; MMR picks the diverse third doc at
+    rank 2 because the twin's similarity penalty outweighs its score
+    edge. First pick is always the plain top-score hit."""
+    from beam_spark.operators.retrieval import MmrRerank
+    from beam_spark.pcollection import PCollection
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]),
+         (2, [0.999, 0.04, 0.0]),     # near-twin of doc 1
+         (3, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    cand = spark.createDataFrame(
+        [(7, 1, 0.95), (7, 2, 0.94), (7, 3, 0.80)],
+        "query_id long, doc_id long, score double")
+    out = sorted((r["rank"], r["doc_id"]) for r in
+                 (PCollection(cand) | MmrRerank(vecs, k=3, lam=0.5))
+                 .df.collect())
+    assert out == [(1, 1), (2, 3), (3, 2)]
+
+
+def test_mmr_rerank_tiebreak_and_k_cap(spark):
+    """Equal scores and orthogonal vectors: selection follows the
+    doc-id tie-break; k caps at the candidate count."""
+    from beam_spark.operators.retrieval import MmrRerank
+    from beam_spark.pcollection import PCollection
+
+    vecs = spark.createDataFrame(
+        [(5, [1.0, 0.0]), (6, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    cand = spark.createDataFrame(
+        [(1, 6, 0.5), (1, 5, 0.5)],
+        "query_id long, doc_id long, score double")
+    out = sorted((r["rank"], r["doc_id"]) for r in
+                 (PCollection(cand) | MmrRerank(vecs, k=10, lam=0.75))
+                 .df.collect())
+    assert out == [(1, 5), (2, 6)]
