@@ -4488,9 +4488,9 @@ _LINKS_E0_SQL = ("SELECT o_custkey AS src, "
 
 
 @query("q_graph_pagerank_links",
-       _pagerank_oracle_sql(iters=3, edges_sql=_LINKS_EDGES_SQL))
+       _pagerank_oracle_sql(iters=2, edges_sql=_LINKS_EDGES_SQL))
 def q_graph_pagerank_links(spark, sf_dir):
-    """PageRank (3 iterations, d=0.85) on the compact customer ->
+    """PageRank (2 iterations, d=0.85) on the compact customer ->
     order-hash link graph (the triangle/k-core graph, dst offset to a
     disjoint node space) — the cheap gate-folded variant of
     q_graph_pagerank: ~8x fewer edges than the lineitem purchase
@@ -4500,17 +4500,17 @@ def q_graph_pagerank_links(spark, sf_dir):
     o = table(spark, sf_dir, "orders").df
     edges = o.selectExpr("o_custkey AS src",
                          "o_orderkey % 200 + 1000000 AS dst")
-    pr = (PCollection(edges) | PageRank(iterations=3)).df
+    pr = (PCollection(edges) | PageRank(iterations=2)).df
     return pr.select("node", F.round("pr", 9).alias("pr"))
 
 
 @query("q_graph_sssp_links",
-       _sssp_oracle_sql(rounds=4, e0_sql=_LINKS_E0_SQL))
+       _sssp_oracle_sql(rounds=3, e0_sql=_LINKS_E0_SQL))
 def q_graph_sssp_links(spark, sf_dir):
     """Weighted SSSP from customer 1 on the bidirectional compact
     link graph (weight = o_orderkey % 7 + 1 — integral doubles, so
     per-hop sums are exactly representable and min() is bit-equal in
-    both engines); 4 relaxation rounds — fixed-round replay matches
+    both engines); 3 relaxation rounds — fixed-round replay matches
     at any depth, and the dense bipartite graph is fully reached by
     round 3. The cheap gate-folded variant of
     q_graph_shortest_paths."""
@@ -4523,7 +4523,7 @@ def q_graph_sssp_links(spark, sf_dir):
     edges = e0.unionByName(
         e0.selectExpr("dst AS src", "src AS dst", "w"))
     out = (PCollection(edges) | ShortestPaths(
-        [1], weight="w", iterations=4)).df
+        [1], weight="w", iterations=3)).df
     return out.select("node", "dist")
 
 
