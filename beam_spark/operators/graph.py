@@ -529,3 +529,91 @@ class LabelPropagation(PTransform):
                     break
         out = labels.select("node", F.col("lbl").alias("community"))
         return pcoll.with_df(out)
+
+
+class Modularity(PTransform):
+    """Newman modularity report for a community assignment: per
+    community c over the undirected deduped edge set,
+
+        contribution(c) = e_c / m - (d_c / (2m))^2
+
+    (e_c = intra-community edges, d_c = summed degree of c's nodes,
+    m = total edges) — sum over communities = the familiar Q in
+    [-1/2, 1]. The standard "was this partition better than chance"
+    score for choosing between LabelPropagation /
+    ConnectedComponents / KCore-seeded groupings of a link graph.
+
+    ``communities``: (node, community) frame — LabelPropagation's
+    output, or any assignment. Nodes missing from it contribute to
+    m and degree but to no community (their edges are
+    inter-community by definition).
+
+    Per-community contributions are EXACT doubles (integer counts
+    through identical division/square expressions — no accumulation
+    order anywhere), so the report oracles without rounding; only a
+    grand-total Q would need rounding (sum order), which is why the
+    output is the per-community frame — sum it downstream.
+
+    Scale: two node-keyed joins tagging each edge's endpoint
+    communities, one edge-keyed aggregation, one degree aggregation
+    — all edge-bound shuffles, no iteration.
+
+    Output: (community, n_nodes, intra_edges, degree_sum,
+    contribution) for every community, ordered by community.
+    """
+
+    def __init__(self, communities, src: str = "src", dst: str = "dst",
+                 node_col: str = "node", community_col: str = "community",
+                 label=None):
+        super().__init__(label)
+        self.communities = (communities.df
+                            if isinstance(communities, PCollection)
+                            else communities)
+        self.src, self.dst = src, dst
+        self.node_col, self.community_col = node_col, community_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        s, d = self.src, self.dst
+        com = self.communities.select(
+            F.col(self.node_col).alias("node"),
+            F.col(self.community_col).alias("c"))
+        und = (pcoll.df
+               .select(F.least(F.col(s), F.col(d)).alias("a"),
+                       F.greatest(F.col(s), F.col(d)).alias("b"))
+               .where(F.col("a") != F.col("b"))
+               .distinct())
+        tagged = (und
+                  .join(com.select(F.col("node").alias("a"),
+                                   F.col("c").alias("ca")), "a", "left")
+                  .join(com.select(F.col("node").alias("b"),
+                                   F.col("c").alias("cb")), "b", "left"))
+        m_df = und.agg(F.count(F.lit(1)).alias("__m"))
+        intra = (tagged
+                 .where(F.col("ca").isNotNull()
+                        & (F.col("ca") == F.col("cb")))
+                 .groupBy(F.col("ca").alias("c"))
+                 .agg(F.count(F.lit(1)).alias("intra_edges")))
+        deg = (und.select(F.col("a").alias("node"))
+               .unionAll(und.select(F.col("b").alias("node")))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("__deg")))
+        per_c = (com.join(deg, "node", "left")
+                 .groupBy("c")
+                 .agg(F.count(F.lit(1)).alias("n_nodes"),
+                      F.sum(F.coalesce("__deg", F.lit(0)))
+                      .alias("degree_sum")))
+        out = (per_c.join(intra, "c", "left")
+               .crossJoin(F.broadcast(m_df))
+               .select(
+                   F.col("c").alias("community"),
+                   "n_nodes",
+                   F.coalesce("intra_edges", F.lit(0)).cast("long")
+                   .alias("intra_edges"),
+                   F.col("degree_sum").cast("long").alias("degree_sum"),
+                   (F.coalesce("intra_edges", F.lit(0)).cast("double")
+                    / F.col("__m")
+                    - (F.col("degree_sum").cast("double")
+                       / (2.0 * F.col("__m")))
+                    * (F.col("degree_sum").cast("double")
+                       / (2.0 * F.col("__m"))))
+                   .alias("contribution")))
+        return pcoll.with_df(out)

@@ -1312,3 +1312,84 @@ class CrostonForecast(PTransform):
 
         out = df.groupBy(*self.keys).applyInPandas(fn, schema)
         return pcoll.with_df(out)
+
+
+class TsbForecast(PTransform):
+    """Per-key TSB (Teunter-Syntetos-Babai 2011) intermittent-demand
+    forecast — the Croston successor that updates the demand
+    PROBABILITY every period (so the forecast decays during long
+    zero runs and handles obsolescence, Croston's blind spot):
+
+        p_t = beta * 1{d_t > 0} + (1-beta) * p      (every period)
+        z_t = alpha * d_t + (1-alpha) * z           (demand periods)
+        forecast = p * z
+
+    seeded p = first period's indicator, z = first nonzero demand.
+    Keys with no demand are dropped. ``alpha``/``beta`` default to
+    the binary-exact 0.5 / 0.25, so the recursive-CTE oracle replays
+    every period's update bit-exactly (compared UNROUNDED).
+
+    Same demand convention and scale posture as
+    :class:`CrostonForecast` (``demand_if`` + Ewma-style per-key
+    applyInPandas).
+
+    Output: keys + (periods bigint, demands bigint, z, p, forecast —
+    raw doubles).
+    """
+
+    def __init__(self, col: str, keys, order_by, demand_if=None,
+                 alpha: float = 0.5, beta: float = 0.25, label=None):
+        super().__init__(label)
+        if not 0.0 < float(alpha) <= 1.0:
+            raise ValueError(f"alpha {alpha} outside (0, 1]")
+        if not 0.0 < float(beta) <= 1.0:
+            raise ValueError(f"beta {beta} outside (0, 1]")
+        self.col = col
+        self.alpha, self.beta = float(alpha), float(beta)
+        self.demand_if = demand_if
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        self.order_by = ([order_by] if isinstance(order_by, str)
+                         else list(order_by))
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        col, al, be, ob = self.col, self.alpha, self.beta, self.order_by
+        kf = [f for f in pcoll.df.schema.fields if f.name in self.keys]
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in kf) \
+            + (", periods bigint, demands bigint, z double, p double, "
+               "forecast double")
+        df = pcoll.df
+        if self.demand_if is not None:
+            cond = (F.expr(self.demand_if)
+                    if isinstance(self.demand_if, str) else self.demand_if)
+            df = df.withColumn(
+                "__d", F.when(cond, F.col(col).cast("double"))
+                .otherwise(F.lit(0.0)))
+        else:
+            df = df.withColumn("__d", F.col(col).cast("double"))
+
+        def fn(pdf):
+            import pandas as pd
+
+            pdf = pdf.sort_values(ob, kind="mergesort")
+            d = pdf["__d"].fillna(0.0).astype(float).to_list()
+            z = p = None
+            n_dem = 0
+            for v in d:
+                ind = 1.0 if v != 0.0 else 0.0
+                p = ind if p is None else be * ind + (1.0 - be) * p
+                if v != 0.0:
+                    n_dem += 1
+                    z = v if z is None else al * v + (1.0 - al) * z
+            if z is None:
+                return pd.DataFrame(
+                    {**{f.name: [] for f in kf}, "periods": [],
+                     "demands": [], "z": [], "p": [], "forecast": []})
+            head = pdf.iloc[0]
+            return pd.DataFrame([{
+                **{f.name: head[f.name] for f in kf},
+                "periods": len(d), "demands": n_dem,
+                "z": z, "p": p, "forecast": p * z}])
+
+        out = df.groupBy(*self.keys).applyInPandas(fn, schema)
+        return pcoll.with_df(out)

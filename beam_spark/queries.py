@@ -3669,6 +3669,59 @@ def q_mmr_rerank(spark, sf_dir):
     return out.select("query_id", "doc_id", "rank", "mmr")
 
 
+_TSB_SQL = """
+WITH RECURSIVE ev AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(coalesce(value, 0) AS DOUBLE)
+              ELSE CAST(0 AS DOUBLE) END AS d,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS idx
+  FROM events),
+s AS (
+  SELECT user_id, idx,
+         CASE WHEN d <> 0 THEN CAST(1 AS DOUBLE)
+              ELSE CAST(0 AS DOUBLE) END AS p,
+         CASE WHEN d <> 0 THEN d ELSE CAST(NULL AS DOUBLE) END AS z
+  FROM ev WHERE idx = 1
+  UNION ALL
+  SELECT ev.user_id, ev.idx,
+         CAST(0.25 AS DOUBLE) * (CASE WHEN ev.d <> 0
+                                      THEN CAST(1 AS DOUBLE)
+                                      ELSE CAST(0 AS DOUBLE) END)
+           + CAST(0.75 AS DOUBLE) * s.p,
+         CASE WHEN ev.d <> 0 THEN
+           CASE WHEN s.z IS NULL THEN ev.d
+                ELSE CAST(0.5 AS DOUBLE) * ev.d
+                     + CAST(0.5 AS DOUBLE) * s.z END
+         ELSE s.z END
+  FROM s JOIN ev ON ev.user_id = s.user_id AND ev.idx = s.idx + 1),
+fin AS (SELECT user_id, max(idx) AS n FROM ev GROUP BY user_id),
+dems AS (SELECT user_id, count(*) AS demands FROM ev
+         WHERE d <> 0 GROUP BY user_id)
+SELECT f.user_id, CAST(f.n AS BIGINT) AS periods,
+       CAST(dm.demands AS BIGINT) AS demands,
+       s.z, s.p, s.p * s.z AS forecast
+FROM fin f JOIN s ON s.user_id = f.user_id AND s.idx = f.n
+JOIN dems dm ON dm.user_id = f.user_id"""
+
+
+@query("q_ts_tsb", _TSB_SQL)
+def q_tsb(spark, sf_dir):
+    """TSB intermittent-demand forecast (alpha=0.5, beta=0.25) per
+    user — probability updated EVERY period, size on demand periods —
+    the oracle replays both recurrences over every event row in one
+    recursive CTE, compared UNROUNDED."""
+    from beam_spark.operators.stats import TsbForecast
+
+    ev = table(spark, sf_dir, "events").df
+    out = (PCollection(ev) | TsbForecast(
+        "value", keys="user_id", order_by=["ts", "event_id"],
+        demand_if="event_type = 'purchase'")).df
+    return out.select("user_id", "periods", "demands", "z", "p",
+                      "forecast")
+
+
 def _hw_cte(rn_name: str, e_name: str, mul: bool) -> str:
     """The Holt-Winters recursive-CTE replay (alpha=0.5, beta=0.25,
     gamma=0.25, period 4) parameterized by CTE names and mode — the
@@ -4289,12 +4342,12 @@ def q_kcore(spark, sf_dir):
     return out.select("node", "degree")
 
 
-def _label_prop_oracle_sql(rounds: int = 4) -> str:
-    """Chained-CTE synchronous label propagation: one CTE pair per
-    round (neighbor-label counts, then per-node arg-max with the
-    cnt DESC, lbl ASC tiebreak — the exact order-free
-    min(struct(-cnt, lbl)) the Spark operator aggregates).
-    Integer counts and bigint labels: exact, no rounding."""
+def _label_prop_ctes(rounds: int = 4) -> str:
+    """The synchronous-LPA CTE chain (shared by the label-prop and
+    modularity oracles): one CTE pair per round (neighbor-label
+    counts, then per-node arg-max with the cnt DESC, lbl ASC
+    tiebreak — the exact order-free min(struct(-cnt, lbl)) the Spark
+    operator aggregates). Integer counts and bigint labels: exact."""
     cte = ["""WITH raw AS (SELECT o_custkey AS s, o_orderkey % 200 AS d
              FROM orders),
 und AS MATERIALIZED (SELECT DISTINCT least(s, d) AS a,
@@ -4313,8 +4366,54 @@ l{r} AS (SELECT node, lbl FROM (
     PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
   FROM c{r}) t WHERE rn = 1),""")
     cte[-1] = cte[-1].rstrip(",")
-    return ("\n".join(cte)
+    return "\n".join(cte)
+
+
+def _label_prop_oracle_sql(rounds: int = 4) -> str:
+    return (_label_prop_ctes(rounds)
             + f"\nSELECT node, lbl AS community FROM l{rounds}")
+
+
+_MODULARITY_SQL = _label_prop_ctes(4) + """,
+lp AS (SELECT node, lbl AS c FROM l4),
+mm AS (SELECT count(*) AS m FROM und),
+degs AS (SELECT node, count(*) AS deg FROM (
+  SELECT a AS node FROM und UNION ALL SELECT b FROM und) v
+  GROUP BY node),
+intra AS (SELECT la.c AS c, count(*) AS intra_edges
+  FROM und e JOIN lp la ON la.node = e.a
+             JOIN lp lb ON lb.node = e.b
+  WHERE la.c = lb.c GROUP BY la.c),
+per_c AS (SELECT lp.c, count(*) AS n_nodes,
+                 sum(coalesce(degs.deg, 0)) AS degree_sum
+  FROM lp LEFT JOIN degs ON degs.node = lp.node GROUP BY lp.c)
+SELECT per_c.c AS community, CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(coalesce(intra.intra_edges, 0) AS BIGINT) AS intra_edges,
+       CAST(degree_sum AS BIGINT) AS degree_sum,
+       CAST(coalesce(intra.intra_edges, 0) AS DOUBLE) / mm.m
+         - (CAST(degree_sum AS DOUBLE) / (CAST(2 AS DOUBLE) * mm.m))
+           * (CAST(degree_sum AS DOUBLE) / (CAST(2 AS DOUBLE) * mm.m))
+         AS contribution
+FROM per_c LEFT JOIN intra ON intra.c = per_c.c CROSS JOIN mm"""
+
+
+@query("q_graph_modularity", _MODULARITY_SQL)
+def q_graph_modularity(spark, sf_dir):
+    """Modularity report of the 4-round LPA partition of the link
+    graph: per-community (n_nodes, intra_edges, degree_sum,
+    contribution) — contributions are EXACT doubles (integer counts
+    through identical division/square expressions, no accumulation
+    order), so the report compares unrounded; the oracle chains the
+    LPA replay CTEs and the modularity aggregation in one query."""
+    from beam_spark.operators.graph import LabelPropagation, Modularity
+
+    o = table(spark, sf_dir, "orders").df
+    edges = o.selectExpr("o_custkey AS src", "o_orderkey % 200 AS dst")
+    pc = PCollection(edges)
+    com = (pc | LabelPropagation(fixed_rounds=4)).df
+    out = (pc | Modularity(com)).df
+    return out.select("community", "n_nodes", "intra_edges",
+                      "degree_sum", "contribution")
 
 
 @query("q_graph_label_prop", _label_prop_oracle_sql(rounds=4))

@@ -2187,3 +2187,53 @@ def test_mmr_rerank_tiebreak_and_k_cap(spark):
                  (PCollection(cand) | MmrRerank(vecs, k=10, lam=0.75))
                  .df.collect())
     assert out == [(1, 5), (2, 6)]
+
+
+def test_modularity_known_partition(spark):
+    """Modularity on two triangles joined by one bridge edge, with
+    the natural 2-community split: m=7, each community has 3 intra
+    edges and degree sum 7, so contribution = 3/7 - (7/14)^2 = 0.25
+    exactly half-representable arithmetic — Q = 0.5 - 2*(0.25) ...
+    checked per community; an unassigned-node edge counts toward m
+    and degree but no community."""
+    from beam_spark.operators.graph import Modularity
+    from beam_spark.pcollection import PCollection
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long")
+    com = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)],
+        "node long, community long")
+    out = {r["community"]: r for r in
+           (PCollection(edges) | Modularity(com)).df.collect()}
+    for c in (1, 4):
+        r = out[c]
+        assert (r["n_nodes"], r["intra_edges"], r["degree_sum"]) \
+            == (3, 3, 7)
+        assert r["contribution"] == 3.0 / 7 - (7.0 / 14) * (7.0 / 14)
+    q = sum(r["contribution"] for r in out.values())
+    assert 0.35 < q < 0.36        # 2*(3/7 - 1/4) = 6/7 - 1/2
+
+
+def test_tsb_known_series_and_decay(spark):
+    """TSB on a hand-replayable series: demand 4 at t=1, zero at
+    t=2-3, demand 2 at t=4 — p decays through the zero run (the
+    Croston blind spot TSB fixes); a no-demand key drops."""
+    from beam_spark.operators.stats import TsbForecast
+    from beam_spark.pcollection import PCollection
+
+    rows = [(1, 1, 4.0), (1, 2, 0.0), (1, 3, 0.0), (1, 4, 2.0),
+            (2, 1, 0.0)]
+    df = spark.createDataFrame(rows, "k long, seq long, v double")
+    out = {r["k"]: r for r in (PCollection(df) | TsbForecast(
+        "v", keys="k", order_by=["seq"])).df.collect()}
+    assert set(out) == {1}
+    r = out[1]
+    p = 1.0
+    p = 0.25 * 0.0 + 0.75 * p     # 0.75
+    p = 0.25 * 0.0 + 0.75 * p     # 0.5625
+    p = 0.25 * 1.0 + 0.75 * p     # 0.671875
+    z = 0.5 * 2.0 + 0.5 * 4.0     # 3.0
+    assert (r["periods"], r["demands"], r["p"], r["z"]) == (4, 2, p, z)
+    assert r["forecast"] == p * z
