@@ -469,15 +469,24 @@ class LabelPropagation(PTransform):
     ``min(struct(-cnt, lbl))`` aggregate: no window sort over the
     full corpus.
 
+    ``weight``: optional edge-weight column — a neighbor's label
+    counts by summed edge weight instead of multiplicity (parallel
+    edges aggregate their weights per undirected pair first). With
+    INTEGRAL weights the sums are exact doubles in any accumulation
+    order, so the oracle posture is unchanged; fractional weights
+    make the arg-max sensitive to 1-ulp sum differences — prefer
+    scaled-integer weights for replayable runs.
+
     Output: (node, community) — community ids are node ids (label
     ancestors), stable across runs.
     """
 
     def __init__(self, src: str = "src", dst: str = "dst",
                  max_rounds: int = 20, fixed_rounds: int | None = None,
-                 label=None):
+                 weight: str | None = None, label=None):
         super().__init__(label)
         self.src, self.dst = src, dst
+        self.weight = weight
         self.max_rounds = int(max_rounds)
         self.fixed_rounds = (None if fixed_rounds is None
                              else int(fixed_rounds))
@@ -488,17 +497,24 @@ class LabelPropagation(PTransform):
         self.rounds_run_ = None
 
     def expand(self, pcoll: PCollection) -> PCollection:
-        s, d = self.src, self.dst
-        und = (pcoll.df
-               .select(F.least(F.col(s), F.col(d)).alias("a"),
-                       F.greatest(F.col(s), F.col(d)).alias("b"))
-               .where(F.col("a") != F.col("b"))
-               .distinct()
-               .localCheckpoint(eager=True))
+        s, d, wc = self.src, self.dst, self.weight
+        base = (pcoll.df
+                .select(F.least(F.col(s), F.col(d)).alias("a"),
+                        F.greatest(F.col(s), F.col(d)).alias("b"),
+                        *([F.col(wc).cast("double").alias("__w")]
+                          if wc else []))
+                .where(F.col("a") != F.col("b")))
+        if wc:
+            und = (base.groupBy("a", "b")
+                   .agg(F.sum("__w").alias("__w"))
+                   .localCheckpoint(eager=True))
+        else:
+            und = base.distinct().localCheckpoint(eager=True)
+        wcols = [F.col("__w")] if wc else []
         adj = (und.select(F.col("a").alias("node"),
-                          F.col("b").alias("nb"))
+                          F.col("b").alias("nb"), *wcols)
                .unionAll(und.select(F.col("b").alias("node"),
-                                    F.col("a").alias("nb"))))
+                                    F.col("a").alias("nb"), *wcols)))
         labels = (adj.select("node").distinct()
                   .withColumn("lbl", F.col("node"))
                   .localCheckpoint(eager=True))
@@ -511,7 +527,8 @@ class LabelPropagation(PTransform):
                    .join(labels.select(F.col("node").alias("nb"),
                                        "lbl"), "nb")
                    .groupBy("node", "lbl")
-                   .agg(F.count(F.lit(1)).alias("__c")))
+                   .agg((F.sum("__w") if wc else F.count(F.lit(1)))
+                        .alias("__c")))
             labels = (cnt
                       .groupBy("node")
                       .agg(F.min(F.struct(

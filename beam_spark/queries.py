@@ -4342,13 +4342,27 @@ def q_kcore(spark, sf_dir):
     return out.select("node", "degree")
 
 
-def _label_prop_ctes(rounds: int = 4) -> str:
+def _label_prop_ctes(rounds: int = 4, weighted: bool = False) -> str:
     """The synchronous-LPA CTE chain (shared by the label-prop and
     modularity oracles): one CTE pair per round (neighbor-label
     counts, then per-node arg-max with the cnt DESC, lbl ASC
     tiebreak — the exact order-free min(struct(-cnt, lbl)) the Spark
-    operator aggregates). Integer counts and bigint labels: exact."""
-    cte = ["""WITH raw AS (SELECT o_custkey AS s, o_orderkey % 200 AS d
+    operator aggregates). Integer counts and bigint labels: exact.
+    ``weighted`` sums INTEGRAL edge weights (o_orderkey % 7 + 1,
+    parallel edges pre-summed per undirected pair) — integral-double
+    sums are exact in any accumulation order, so still no rounding."""
+    if weighted:
+        cte = ["""WITH raw AS (SELECT o_custkey AS s, o_orderkey % 200 AS d,
+             CAST(o_orderkey % 7 + 1 AS DOUBLE) AS w FROM orders),
+und AS MATERIALIZED (SELECT least(s, d) AS a, greatest(s, d) AS b,
+                            sum(w) AS w
+        FROM raw WHERE s <> d GROUP BY 1, 2),
+adj AS MATERIALIZED (SELECT a AS node, b AS nb, w FROM und
+                     UNION ALL SELECT b, a, w FROM und),
+l0 AS (SELECT DISTINCT node, node AS lbl FROM adj),"""]
+        agg = "sum(adj.w)"
+    else:
+        cte = ["""WITH raw AS (SELECT o_custkey AS s, o_orderkey % 200 AS d
              FROM orders),
 und AS MATERIALIZED (SELECT DISTINCT least(s, d) AS a,
                             greatest(s, d) AS b
@@ -4356,9 +4370,10 @@ und AS MATERIALIZED (SELECT DISTINCT least(s, d) AS a,
 adj AS MATERIALIZED (SELECT a AS node, b AS nb FROM und
                      UNION ALL SELECT b, a FROM und),
 l0 AS (SELECT DISTINCT node, node AS lbl FROM adj),"""]
+        agg = "count(*)"
     for r in range(1, rounds + 1):
         cte.append(f"""c{r} AS (SELECT adj.node, l.lbl,
-         count(*) AS cnt
+         {agg} AS cnt
   FROM adj JOIN l{r - 1} l ON l.node = adj.nb
   GROUP BY adj.node, l.lbl),
 l{r} AS (SELECT node, lbl FROM (
@@ -4369,9 +4384,28 @@ l{r} AS (SELECT node, lbl FROM (
     return "\n".join(cte)
 
 
-def _label_prop_oracle_sql(rounds: int = 4) -> str:
-    return (_label_prop_ctes(rounds)
+def _label_prop_oracle_sql(rounds: int = 4,
+                           weighted: bool = False) -> str:
+    return (_label_prop_ctes(rounds, weighted)
             + f"\nSELECT node, lbl AS community FROM l{rounds}")
+
+
+@query("q_graph_label_prop_weighted",
+       _label_prop_oracle_sql(rounds=4, weighted=True))
+def q_label_prop_weighted(spark, sf_dir):
+    """WEIGHTED synchronous label propagation (4 fixed rounds):
+    neighbor labels vote by summed edge weight (o_orderkey % 7 + 1 —
+    integral doubles, parallel edges pre-summed per pair, so every
+    sum is exact in any accumulation order and the chained-CTE
+    replay stays rounding-free)."""
+    from beam_spark.operators.graph import LabelPropagation
+
+    o = table(spark, sf_dir, "orders").df
+    edges = o.selectExpr("o_custkey AS src", "o_orderkey % 200 AS dst",
+                         "CAST(o_orderkey % 7 + 1 AS DOUBLE) AS w")
+    out = (PCollection(edges)
+           | LabelPropagation(fixed_rounds=4, weight="w")).df
+    return out.select("node", "community")
 
 
 _MODULARITY_SQL = _label_prop_ctes(4) + """,

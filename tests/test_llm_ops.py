@@ -2237,3 +2237,22 @@ def test_tsb_known_series_and_decay(spark):
     z = 0.5 * 2.0 + 0.5 * 4.0     # 3.0
     assert (r["periods"], r["demands"], r["p"], r["z"]) == (4, 2, p, z)
     assert r["forecast"] == p * z
+
+
+def test_label_propagation_weighted_vote(spark):
+    """Weighted LPA: node 3 has one heavy edge to 1 (w=5) and two
+    unit edges to {2, 4} — unweighted it would adopt the min of the
+    majority; weighted, the single heavy neighbor wins. Parallel
+    edges pre-sum per pair."""
+    from beam_spark.operators.graph import LabelPropagation
+    from beam_spark.pcollection import PCollection
+
+    df = spark.createDataFrame(
+        [(1, 3, 3.0), (3, 1, 2.0), (2, 3, 1.0), (3, 4, 1.0)],
+        "src long, dst long, w double")
+    r1 = {(r["node"], r["community"]) for r in
+          (PCollection(df) | LabelPropagation(fixed_rounds=1,
+                                              weight="w")).df.collect()}
+    # node 3's votes: lbl 1 weight 5 (3+2 parallel), lbl 2 and 4
+    # weight 1 each -> adopts 1; leaves all adopt 3
+    assert r1 == {(3, 1), (1, 3), (2, 3), (4, 3)}
