@@ -1393,3 +1393,65 @@ class TsbForecast(PTransform):
 
         out = df.groupBy(*self.keys).applyInPandas(fn, schema)
         return pcoll.with_df(out)
+
+
+class ForecastEval(PTransform):
+    """Per-key forecast-accuracy report — the backtest companion to
+    the HoltWinters/Theta/Croston emitters: rows carry an actual and
+    a forecast for the same period (shift upstream if the forecast
+    column is one-step-ahead), and the output is one row per key:
+
+        n     scored rows (both columns non-NULL)
+        mae   mean |err|            rmse  sqrt(mean err^2)
+        mape  mean |err/actual| over actual != 0 rows
+        bias  mean err (signed — systematic over/under-forecast)
+        mase  mae / naive_mae, naive_mae = mean |actual_t -
+              actual_{t-1}| over the key's ordered actual series
+              (Hyndman & Koehler 2006 — scale-free, the M-competition
+              standard; NULL when the naive denominator is 0)
+
+    All ratios rounded 6 (per-key averages accumulate in engine-
+    specific order; the quantities are O(1e2-1e6) so 6 dp absorbs
+    the 1e-13 noise).
+
+    Scale: one lag window + one aggregation per key — a single
+    shuffle on the grouping keys, all JVM expressions.
+    """
+
+    def __init__(self, actual_col: str, forecast_col: str, keys,
+                 order_by, label=None):
+        super().__init__(label)
+        self.actual_col, self.forecast_col = actual_col, forecast_col
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        self.order_by = ([order_by] if isinstance(order_by, str)
+                         else list(order_by))
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        a = F.col(self.actual_col).cast("double")
+        f = F.col(self.forecast_col).cast("double")
+        w = Window.partitionBy(*self.keys).orderBy(*self.order_by)
+        err = F.when(a.isNotNull() & f.isNotNull(), a - f)
+        d = (pcoll.df
+             .withColumn("__e", err)
+             .withColumn("__ne", a - F.lag(a).over(w)))
+        out = (d.groupBy(*self.keys)
+               .agg(F.count("__e").alias("n"),
+                    F.avg(F.abs(F.col("__e"))).alias("__mae"),
+                    F.sqrt(F.avg(F.col("__e") * F.col("__e")))
+                    .alias("__rmse"),
+                    F.avg(F.when(a != 0.0,
+                                 F.abs(F.col("__e") / a)))
+                    .alias("__mape"),
+                    F.avg(F.col("__e")).alias("__bias"),
+                    F.avg(F.abs(F.col("__ne"))).alias("__nmae"))
+               .select(*self.keys, "n",
+                       F.round("__mae", 6).alias("mae"),
+                       F.round("__rmse", 6).alias("rmse"),
+                       F.round("__mape", 6).alias("mape"),
+                       F.round("__bias", 6).alias("bias"),
+                       F.round(F.when(F.col("__nmae") != 0.0,
+                                      F.col("__mae") / F.col("__nmae")),
+                               6).alias("mase")))
+        return pcoll.with_df(out)

@@ -3824,6 +3824,58 @@ def q_hw_forecast_h(spark, sf_dir):
                        "forecast_h2 AS fc_h2", "forecast_h5 AS fc_h5"))
 
 
+def _forecast_eval_sql() -> str:
+    return f"""WITH RECURSIVE
+{_hw_cte("r", "e", mul=False)},
+fc AS (SELECT e.user_id, e.rn,
+              e.outl + e.outb + e.s[(e.rn % 4) + 1] AS fnext FROM e),
+av AS (SELECT r.user_id, r.rn, r.v,
+              lead(r.v) OVER (PARTITION BY r.user_id
+                              ORDER BY r.rn) AS an FROM r),
+j AS (SELECT av.user_id, av.an,
+             CASE WHEN av.an IS NOT NULL AND fc.fnext IS NOT NULL
+                  THEN av.an - fc.fnext END AS e2,
+             av.an - lag(av.an) OVER (PARTITION BY av.user_id
+                                      ORDER BY av.rn) AS ne
+      FROM av JOIN fc ON fc.user_id = av.user_id AND fc.rn = av.rn)
+SELECT user_id, count(e2) AS n,
+       round(avg(abs(e2)), 6) AS mae,
+       round(sqrt(avg(e2 * e2)), 6) AS rmse,
+       round(avg(CASE WHEN an <> 0 THEN abs(e2 / an) END), 6) AS mape,
+       round(avg(e2), 6) AS bias,
+       round(CASE WHEN avg(abs(ne)) <> 0
+                  THEN avg(abs(e2)) / avg(abs(ne)) END, 6) AS mase
+FROM j GROUP BY user_id"""
+
+
+@query("q_ts_forecast_eval", _forecast_eval_sql())
+def q_forecast_eval(spark, sf_dir):
+    """Backtest report for the Holt-Winters one-step forecast: pair
+    forecast_next with the NEXT row's actual per user, then per-key
+    MAE / RMSE / MAPE / bias / MASE (naive denominator = mean
+    |consecutive diff| of the shifted actual series). The oracle
+    chains the HW recursive replay, the lead/lag pairing, and the
+    metric aggregation — ratios rounded 6."""
+    from pyspark.sql import Window
+
+    from beam_spark.operators.stats import ForecastEval, HoltWinters
+
+    ev = table(spark, sf_dir, "events").df.filter("value IS NOT NULL")
+    hw = (PCollection(ev) | HoltWinters(
+        "value", alpha=0.5, beta=0.25, gamma=0.25, period=4,
+        keys="user_id", order_by=["ts", "event_id"],
+        emit_forecast=True)).df
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = hw.withColumn("actual_next",
+                      F.lead(F.col("value").cast("double")).over(w))
+    out = (PCollection(d) | ForecastEval(
+        "actual_next", "forecast_next", keys="user_id",
+        order_by=["ts", "event_id"])).df
+    return out.select("user_id", "n", "mae", "rmse", "mape",
+                      "bias", "mase")
+
+
+
 @query("q_dedup_blocking_quality", """
 WITH recs AS (SELECT c_custkey AS id, c_nationkey AS nk,
                      c_mktsegment AS seg FROM customer),

@@ -2256,3 +2256,34 @@ def test_label_propagation_weighted_vote(spark):
     # node 3's votes: lbl 1 weight 5 (3+2 parallel), lbl 2 and 4
     # weight 1 each -> adopts 1; leaves all adopt 3
     assert r1 == {(3, 1), (1, 3), (2, 3), (4, 3)}
+
+
+def test_forecast_eval_known_values(spark):
+    """ForecastEval on a hand-computed frame: actuals [10,12,11,13],
+    forecasts [9,13,11,12] -> errs [1,-1,0,1]; naive diffs
+    [2,-1,2] -> naive_mae = 5/3; mase = 0.75/(5/3) = 0.45. A zero
+    actual is excluded from MAPE only."""
+    from beam_spark.operators.stats import ForecastEval
+    from beam_spark.pcollection import PCollection
+
+    rows = [(1, 1, 10.0, 9.0), (1, 2, 12.0, 13.0),
+            (1, 3, 11.0, 11.0), (1, 4, 13.0, 12.0)]
+    df = spark.createDataFrame(
+        rows, "k long, seq long, actual double, fc double")
+    r = (PCollection(df) | ForecastEval(
+        "actual", "fc", keys="k", order_by=["seq"])).df.collect()[0]
+    assert r["n"] == 4
+    assert r["mae"] == 0.75
+    assert r["bias"] == 0.25
+    assert r["rmse"] == round((3.0 / 4) ** 0.5, 6)
+    assert r["mase"] == round(0.75 / (5.0 / 3.0), 6)
+    mape = (1 / 10 + 1 / 12 + 0.0 + 1 / 13) / 4
+    assert r["mape"] == round(mape, 6)
+
+    z = spark.createDataFrame(
+        [(2, 1, 0.0, 1.0), (2, 2, 4.0, 2.0)],
+        "k long, seq long, actual double, fc double")
+    rz = (PCollection(z) | ForecastEval(
+        "actual", "fc", keys="k", order_by=["seq"])).df.collect()[0]
+    assert rz["n"] == 2               # zero actual still scored...
+    assert rz["mape"] == 0.5          # ...but only row 2 in MAPE
