@@ -639,3 +639,57 @@ class BenfordProfile(PTransform):
                            * F.pow(F.col("n") / F.col("__t") - exp_expr, 2)
                            / exp_expr, 6).alias("chi2_term")))
         return pcoll.with_df(out)
+
+
+class Winsorize(PTransform):
+    """Clip a numeric column at exact global percentiles — the
+    standard heavy-tail guard before scaling/aggregating training
+    features (a 1e9 outlier in a price column otherwise dominates
+    any mean-based normalizer). Bounds use Spark's EXACT interpolated
+    ``percentile`` (the oracle-able counterpart of percentile_approx;
+    swap ``approx=True`` for the sketch path on huge columns where a
+    1-ulp-exact bound is not worth a full sort).
+
+    Output: the input frame + ``<col>_wins`` (clipped value, rounded
+    6 — the interpolated bound itself differs at 1 ulp between
+    engines' interpolation formulas) + ``<col>_clipped`` (-1 low
+    clip, 1 high clip, 0 untouched).
+
+    Scale: exact mode costs one percentile aggregation (a sort-based
+    agg — the documented price of exactness); the bounds ride a
+    broadcast 1-row frame into a zero-shuffle projection.
+    """
+
+    def __init__(self, col: str, lower: float = 0.01,
+                 upper: float = 0.99, approx: bool = False,
+                 accuracy: int = 10000, label=None):
+        super().__init__(label)
+        if not 0.0 <= float(lower) < float(upper) <= 1.0:
+            raise ValueError(
+                f"need 0 <= lower < upper <= 1, got {lower}, {upper}")
+        self.col, self.lower, self.upper = col, float(lower), float(upper)
+        self.approx, self.accuracy = bool(approx), int(accuracy)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        c = F.col(self.col).cast("double")
+        if self.approx:
+            bounds = pcoll.df.agg(
+                F.percentile_approx(
+                    c, F.array(F.lit(self.lower), F.lit(self.upper)),
+                    self.accuracy).alias("__b"))
+        else:
+            bounds = pcoll.df.agg(F.expr(
+                f"percentile(CAST({self.col} AS DOUBLE), "
+                f"array({self.lower}, {self.upper}))").alias("__b"))
+        bounds = bounds.select(F.col("__b")[0].alias("__lo"),
+                               F.col("__b")[1].alias("__hi"))
+        out = (pcoll.df.crossJoin(F.broadcast(bounds))
+               .withColumn(f"{self.col}_wins",
+                           F.round(F.least(F.greatest(c, F.col("__lo")),
+                                           F.col("__hi")), 6))
+               .withColumn(f"{self.col}_clipped",
+                           F.when(c < F.col("__lo"), F.lit(-1))
+                           .when(c > F.col("__hi"), F.lit(1))
+                           .otherwise(F.lit(0)).cast("int"))
+               .drop("__lo", "__hi"))
+        return pcoll.with_df(out)

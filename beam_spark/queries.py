@@ -3876,6 +3876,35 @@ def q_forecast_eval(spark, sf_dir):
 
 
 
+@query("q_quality_winsorize", """
+WITH b AS (SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25)
+                    AS lo,
+                  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75)
+                    AS hi
+           FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       round(least(greatest(CAST(l_extendedprice AS DOUBLE), b.lo),
+                   b.hi), 6) AS l_extendedprice_wins,
+       CAST(CASE WHEN CAST(l_extendedprice AS DOUBLE) < b.lo THEN -1
+                 WHEN CAST(l_extendedprice AS DOUBLE) > b.hi THEN 1
+                 ELSE 0 END AS INT) AS l_extendedprice_clipped
+FROM lineitem, b
+""")
+def q_winsorize(spark, sf_dir):
+    """Winsorize l_extendedprice at the exact [p25, p75] (binary-
+    exact fractions; the aggressive band makes both tails clip on
+    every SF): Spark's exact interpolated percentile vs DuckDB's
+    quantile_cont, clipped values rounded 6 (interpolation formulas
+    differ at 1 ulp), clip flags exact."""
+    from beam_spark.operators.quality import Winsorize
+
+    li = table(spark, sf_dir, "lineitem").df
+    out = (PCollection(li)
+           | Winsorize("l_extendedprice", lower=0.25, upper=0.75)).df
+    return out.select("l_orderkey", "l_linenumber",
+                      "l_extendedprice_wins", "l_extendedprice_clipped")
+
+
 @query("q_dedup_blocking_quality", """
 WITH recs AS (SELECT c_custkey AS id, c_nationkey AS nk,
                      c_mktsegment AS seg FROM customer),

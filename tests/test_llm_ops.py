@@ -2287,3 +2287,25 @@ def test_forecast_eval_known_values(spark):
         "actual", "fc", keys="k", order_by=["seq"])).df.collect()[0]
     assert rz["n"] == 2               # zero actual still scored...
     assert rz["mape"] == 0.5          # ...but only row 2 in MAPE
+
+
+def test_winsorize_known_bounds(spark):
+    """Winsorize [p25, p75] on 1..9 plus a 1e9 outlier: exact
+    interpolated p25 = 3.25, p75 = 7.75; the outlier clips high, 1-3
+    clip low, flags mark direction; approx mode stays within the
+    sketch's rank tolerance."""
+    import pytest
+
+    from beam_spark.operators.quality import Winsorize
+    from beam_spark.pcollection import PCollection
+
+    vals = [float(i) for i in range(1, 10)] + [1e9]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = {r["v"]: (r["v_wins"], r["v_clipped"]) for r in
+           (PCollection(df) | Winsorize("v", 0.25, 0.75)).df.collect()}
+    assert out[1e9] == (7.75, 1)
+    assert out[1.0] == (3.25, -1)
+    assert out[3.0] == (3.25, -1)
+    assert out[5.0] == (5.0, 0)
+    with pytest.raises(ValueError, match="lower"):
+        Winsorize("v", 0.9, 0.1)
