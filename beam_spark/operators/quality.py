@@ -693,3 +693,52 @@ class Winsorize(PTransform):
                            .otherwise(F.lit(0)).cast("int"))
                .drop("__lo", "__hi"))
         return pcoll.with_df(out)
+
+
+class RobustScale(PTransform):
+    """Median/IQR standardization (sklearn RobustScaler semantics):
+    ``(x - median) / (p_upper - p_lower)`` — the outlier-immune
+    alternative to z-scoring for heavy-tailed feature columns (mean
+    and stddev are both dominated by the tail Winsorize clips; median
+    and IQR are not). NULL where the IQR is 0 (constant column).
+
+    Exact interpolated percentiles by default (``approx=True`` for
+    the sketch path). Output: input + ``<col>_scaled`` rounded 6.
+
+    Scale: one percentile aggregation, bounds broadcast into a
+    zero-shuffle projection — the Winsorize shape.
+    """
+
+    def __init__(self, col: str, lower: float = 0.25,
+                 upper: float = 0.75, approx: bool = False,
+                 accuracy: int = 10000, label=None):
+        super().__init__(label)
+        if not 0.0 <= float(lower) < float(upper) <= 1.0:
+            raise ValueError(
+                f"need 0 <= lower < upper <= 1, got {lower}, {upper}")
+        self.col, self.lower, self.upper = col, float(lower), float(upper)
+        self.approx, self.accuracy = bool(approx), int(accuracy)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        c = F.col(self.col).cast("double")
+        fr = f"array({self.lower}, 0.5, {self.upper})"
+        if self.approx:
+            bounds = pcoll.df.agg(F.percentile_approx(
+                c, F.array(F.lit(self.lower), F.lit(0.5),
+                           F.lit(self.upper)),
+                self.accuracy).alias("__b"))
+        else:
+            bounds = pcoll.df.agg(F.expr(
+                f"percentile(CAST({self.col} AS DOUBLE), {fr})")
+                .alias("__b"))
+        bounds = bounds.select(F.col("__b")[0].alias("__lo"),
+                               F.col("__b")[1].alias("__med"),
+                               F.col("__b")[2].alias("__hi"))
+        iqr = F.col("__hi") - F.col("__lo")
+        out = (pcoll.df.crossJoin(F.broadcast(bounds))
+               .withColumn(f"{self.col}_scaled",
+                           F.round(F.when(iqr != 0.0,
+                                          (c - F.col("__med")) / iqr),
+                                   6))
+               .drop("__lo", "__med", "__hi"))
+        return pcoll.with_df(out)

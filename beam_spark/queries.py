@@ -3905,6 +3905,33 @@ def q_winsorize(spark, sf_dir):
                       "l_extendedprice_wins", "l_extendedprice_clipped")
 
 
+@query("q_quality_robust_scale", """
+WITH b AS (SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25)
+                    AS lo,
+                  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5)
+                    AS med,
+                  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75)
+                    AS hi
+           FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       round(CASE WHEN b.hi - b.lo <> 0 THEN
+               (CAST(l_extendedprice AS DOUBLE) - b.med)
+                 / (b.hi - b.lo) END, 6) AS l_extendedprice_scaled
+FROM lineitem, b
+""")
+def q_robust_scale(spark, sf_dir):
+    """Median/IQR robust scaling of l_extendedprice: exact
+    interpolated [p25, p50, p75] vs DuckDB quantile_cont, the scaled
+    value rounded 6 (identical (x - med) / (hi - lo) expression on
+    1-ulp-close bounds)."""
+    from beam_spark.operators.quality import RobustScale
+
+    li = table(spark, sf_dir, "lineitem").df
+    out = (PCollection(li) | RobustScale("l_extendedprice")).df
+    return out.select("l_orderkey", "l_linenumber",
+                      "l_extendedprice_scaled")
+
+
 @query("q_dedup_blocking_quality", """
 WITH recs AS (SELECT c_custkey AS id, c_nationkey AS nk,
                      c_mktsegment AS seg FROM customer),

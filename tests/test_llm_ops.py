@@ -2309,3 +2309,20 @@ def test_winsorize_known_bounds(spark):
     assert out[5.0] == (5.0, 0)
     with pytest.raises(ValueError, match="lower"):
         Winsorize("v", 0.9, 0.1)
+
+
+def test_robust_scale_known_and_constant(spark):
+    """RobustScale on 1..9: med=5, IQR=4.5 -> x=1 scales to -8/9;
+    a constant column yields NULL (zero IQR guard)."""
+    from beam_spark.operators.quality import RobustScale
+    from beam_spark.pcollection import PCollection
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 10)], "v double")
+    out = {r["v"]: r["v_scaled"] for r in
+           (PCollection(df) | RobustScale("v")).df.collect()}
+    assert out[5.0] == 0.0
+    assert out[1.0] == round((1.0 - 5.0) / 4.5, 6)
+    const = spark.createDataFrame([(2.0,)] * 5, "v double")
+    rows = (PCollection(const) | RobustScale("v")).df.collect()
+    assert all(r["v_scaled"] is None for r in rows)
