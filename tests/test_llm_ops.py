@@ -2312,7 +2312,8 @@ def test_winsorize_known_bounds(spark):
 
 
 def test_robust_scale_known_and_constant(spark):
-    """RobustScale on 1..9: med=5, IQR=4.5 -> x=1 scales to -8/9;
+    """RobustScale on 1..9: exact interpolation puts p25/p50/p75 at
+    positions 2/4/6 -> values 3/5/7, IQR=4, so x=1 scales to -1;
     a constant column yields NULL (zero IQR guard)."""
     from beam_spark.operators.quality import RobustScale
     from beam_spark.pcollection import PCollection
@@ -2322,7 +2323,8 @@ def test_robust_scale_known_and_constant(spark):
     out = {r["v"]: r["v_scaled"] for r in
            (PCollection(df) | RobustScale("v")).df.collect()}
     assert out[5.0] == 0.0
-    assert out[1.0] == round((1.0 - 5.0) / 4.5, 6)
+    assert out[1.0] == -1.0
+    assert out[9.0] == 1.0
     const = spark.createDataFrame([(2.0,)] * 5, "v double")
     rows = (PCollection(const) | RobustScale("v")).df.collect()
     assert all(r["v_scaled"] is None for r in rows)
