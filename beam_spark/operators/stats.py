@@ -1152,6 +1152,19 @@ class ThetaForecast(PTransform):
     Keys with fewer than 2 rows are dropped (no line to fit); NULL
     inputs are rejected (ValueError) — filter or gap-fill upstream.
 
+    ``damping`` (phi in (0, 1]) enables the DRIFT-DAMPED variant
+    (the "optimized theta" family, Fiorucci et al. 2016): the linear
+    term extrapolates by the damped step sum S_h = phi*(1-phi^h)/
+    (1-phi) instead of h, so long-horizon forecasts flatten toward
+    ic + b*(n + phi/(1-phi)) rather than growing without bound:
+
+        ŷ_{n+h} = 0.5 * (a + b*(n + S_h)) + 0.5 * l_n
+
+    phi = 1 (the default) recovers the classic theta method exactly
+    (S_h = h). With a binary-exact phi (0.5, 0.75) S_h is a dyadic
+    closed form, so the damped forecast still compares UNROUNDED
+    against a SQL replay.
+
     Scale: the same per-key applyInPandas posture as Ewma/Holt —
     linear per key, one shuffle on the grouping keys; the recurrence
     is inherently sequential per key but keys process in parallel.
@@ -1161,21 +1174,25 @@ class ThetaForecast(PTransform):
     """
 
     def __init__(self, col: str, keys, order_by, alpha: float = 0.5,
-                 horizons=(1,), label=None):
+                 horizons=(1,), damping: float = 1.0, label=None):
         super().__init__(label)
         if not 0.0 < float(alpha) <= 1.0:
             raise ValueError(f"alpha {alpha} outside (0, 1]")
+        if not 0.0 < float(damping) <= 1.0:
+            raise ValueError(f"damping {damping} outside (0, 1]")
         hs = sorted({int(h) for h in horizons})
         if not hs or hs[0] < 1:
             raise ValueError(
                 f"horizons {horizons!r}: need >= 1 integer horizons")
         self.col, self.alpha, self.horizons = col, float(alpha), hs
+        self.damping = float(damping)
         self.keys = [keys] if isinstance(keys, str) else list(keys)
         self.order_by = ([order_by] if isinstance(order_by, str)
                          else list(order_by))
 
     def expand(self, pcoll: PCollection) -> PCollection:
         col, al, hs, ob = self.col, self.alpha, self.horizons, self.order_by
+        phi = self.damping
         kf = [f for f in pcoll.df.schema.fields if f.name in self.keys]
         schema = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in kf) \
@@ -1214,7 +1231,11 @@ class ThetaForecast(PTransform):
                 lv = al * z + (1.0 - al) * lv
             rows = []
             for h in hs:
-                fc = 0.5 * (ic + b * (nn + float(h))) + 0.5 * lv
+                if phi == 1.0:
+                    step = float(h)
+                else:
+                    step = phi * (1.0 - phi ** h) / (1.0 - phi)
+                fc = 0.5 * (ic + b * (nn + step)) + 0.5 * lv
                 rows.append({**{f.name: head.iloc[0][f.name]
                                 for f in kf},
                              "h": h, "slope": b, "intercept": ic,

@@ -3467,6 +3467,34 @@ def q_theta_forecast(spark, sf_dir):
                       "level", "forecast")
 
 
+# Drift-damped ("optimized") theta: identical OLS + SES replay, but the
+# linear term extrapolates by the damped step sum S_h = phi*(1-phi^h)/
+# (1-phi). phi=0.5 keeps every power dyadic-exact, so the forecast still
+# compares UNROUNDED.
+_THETA_DAMPED_SQL = _theta_sql().replace(
+    "CAST(h AS DOUBLE)",
+    "(CAST(0.5 AS DOUBLE)"
+    " * (CAST(1 AS DOUBLE) - power(CAST(0.5 AS DOUBLE),"
+    " CAST(h AS DOUBLE)))"
+    " / (CAST(1 AS DOUBLE) - CAST(0.5 AS DOUBLE)))")
+
+
+@query("q_ts_theta_damped", _THETA_DAMPED_SQL)
+def q_theta_damped(spark, sf_dir):
+    """Drift-damped theta forecasts (phi=0.5, h=1 and h=3): the same
+    two chained recursive CTEs as q_ts_theta_forecast, with the final
+    extrapolation's step h replaced by the dyadic-exact geometric sum
+    0.5*(1-0.5^h)/(1-0.5) — compared UNROUNDED."""
+    from beam_spark.operators.stats import ThetaForecast
+
+    ev = table(spark, sf_dir, "events").df.filter("value IS NOT NULL")
+    out = (PCollection(ev) | ThetaForecast(
+        "value", keys="user_id", order_by=["ts", "event_id"],
+        alpha=0.5, horizons=[1, 3], damping=0.5)).df
+    return out.select("user_id", "h", "slope", "intercept",
+                      "level", "forecast")
+
+
 _JSD_SQL = """
 SELECT 'value' AS "column", round(sum(term), 6) AS jsd,
        CAST(sum(nr) AS BIGINT) AS n_ref, CAST(sum(nc) AS BIGINT) AS n_cur,

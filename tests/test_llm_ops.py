@@ -2081,6 +2081,35 @@ def test_theta_forecast_closed_form(spark):
     assert abs(b - 2.0) < 1e-12 and abs(ic - 1.0) < 1e-12
 
 
+def test_theta_forecast_damped(spark):
+    """Drift-damped theta: phi=1 is bit-identical to the classic
+    method; phi=0.5 replaces the step h with the geometric sum
+    0.5*(1-0.5^h)/0.5, which shrinks a positive-slope forecast and
+    leaves slope/intercept/level untouched."""
+    from beam_spark.operators.stats import ThetaForecast
+    from beam_spark.pcollection import PCollection
+
+    rows = [(1, t, 3.0 * t + 0.25 * (t % 3)) for t in range(1, 10)]
+    df = spark.createDataFrame(rows, "user_id long, seq long, v double")
+
+    def run(**kw):
+        return {(r["user_id"], r["h"]):
+                (r["slope"], r["intercept"], r["level"], r["forecast"])
+                for r in (PCollection(df) | ThetaForecast(
+                    "v", keys="user_id", order_by=["seq"],
+                    horizons=[1, 4], **kw)).df.collect()}
+
+    base, phi1, damped = run(), run(damping=1.0), run(damping=0.5)
+    assert phi1 == base
+    for h in (1, 4):
+        b, ic, lv, fc = base[(1, h)]
+        db, dic, dlv, dfc = damped[(1, h)]
+        assert (db, dic, dlv) == (b, ic, lv)
+        step = 0.5 * (1.0 - 0.5 ** h) / 0.5
+        assert dfc == 0.5 * (ic + b * (9.0 + step)) + 0.5 * lv
+        assert dfc < fc  # positive slope -> damping shrinks
+
+
 def test_theta_forecast_rejects_nulls_and_bad_args(spark):
     import pytest
 
@@ -2091,6 +2120,8 @@ def test_theta_forecast_rejects_nulls_and_bad_args(spark):
         ThetaForecast("v", keys="k", order_by="t", alpha=0.0)
     with pytest.raises(ValueError, match="horizons"):
         ThetaForecast("v", keys="k", order_by="t", horizons=[0])
+    with pytest.raises(ValueError, match="damping"):
+        ThetaForecast("v", keys="k", order_by="t", damping=0.0)
     df = spark.createDataFrame(
         [(1, 1, 1.0), (1, 2, None)], "user_id long, seq long, v double")
     with pytest.raises(Exception, match="NULL"):
