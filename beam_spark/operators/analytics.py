@@ -264,3 +264,93 @@ class TransitionCounts(PTransform):
             "src_event", "dst_event", F.col("n").cast("long").alias("n"),
             F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"))
         return pcoll.with_df(out)
+
+
+class AssociationRules(PTransform):
+    """Market-basket pair rules (a-priori, size-2 itemsets): for every
+    directional pair of items that co-occur in >= ``min_support``
+    baskets, emit support, confidence and lift — the batch analogue of
+    the reference's per-key combiner pipelines for co-occurrence
+    statistics (cf. the reference SDK's transforms/stats.py posture of
+    distributed counting + a tiny report frame).
+
+    Semantics: a basket is the set of DISTINCT items grouped by
+    ``basket_keys`` (presence, not multiplicity — the classic
+    formulation). For each unordered frequent pair {a, b} both rules
+    a=>b and b=>a are emitted with
+        support    = pair_n / n_baskets
+        confidence = pair_n / ante_n
+        lift       = (pair_n * n_baskets) / (ante_n * cons_n)
+    where every count is an exact integer and every ratio is ONE
+    double division of exactly-represented values — so results compare
+    bit-exactly across engines (no accumulation-order drift).
+
+    Scale: the a-priori prefilter drops infrequent items BEFORE the
+    basket self-join, so the join's per-basket fan-out is k'^2 over
+    frequent items only; the pair aggregation is partial (map-side
+    combine), and the item-count and n_baskets frames joined at the
+    end are item-cardinality / 1-row (broadcast). Shuffles: distinct
+    on (basket, item), the basket-keyed self-join, the pair groupBy —
+    all keyed, AQE-skew-safe. n_baskets is computed as a 1-row
+    aggregate cross-joined in (no driver collect).
+
+    Output: (antecedent, consequent, pair_n, ante_n, cons_n,
+    n_baskets, support, confidence, lift).
+    """
+
+    def __init__(self, item_col: str, basket_keys, min_support: int = 2,
+                 min_confidence: float = 0.0, label=None):
+        super().__init__(label)
+        if int(min_support) < 1:
+            raise ValueError(f"min_support {min_support}: need >= 1")
+        if not 0.0 <= float(min_confidence) <= 1.0:
+            raise ValueError(
+                f"min_confidence {min_confidence} outside [0, 1]")
+        self.item_col = item_col
+        self.basket_keys = ([basket_keys] if isinstance(basket_keys, str)
+                            else list(basket_keys))
+        self.min_support = int(min_support)
+        self.min_confidence = float(min_confidence)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        it, bk, ms = self.item_col, self.basket_keys, self.min_support
+        b = pcoll.df.select(*bk, it).where(F.col(it).isNotNull()).distinct()
+        nb = b.select(*bk).distinct().agg(
+            F.count(F.lit(1)).cast("long").alias("n_baskets"))
+        ic = (b.groupBy(it).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+              .where(F.col("cnt") >= ms))
+        freq = b.join(ic.select(it), on=it, how="left_semi")
+        lhs = freq.select(*bk, F.col(it).alias("__a"))
+        rhs = freq.select(*bk, F.col(it).alias("__b"))
+        pair = (lhs.join(rhs, on=bk)
+                .where(F.col("__a") < F.col("__b"))
+                .groupBy("__a", "__b")
+                .agg(F.count(F.lit(1)).cast("long").alias("pair_n"))
+                .where(F.col("pair_n") >= ms))
+        dirs = pair.select(
+            F.col("__a").alias("antecedent"),
+            F.col("__b").alias("consequent"), "pair_n").unionAll(
+            pair.select(
+                F.col("__b").alias("antecedent"),
+                F.col("__a").alias("consequent"), "pair_n"))
+        ante = ic.select(F.col(it).alias("antecedent"),
+                         F.col("cnt").alias("ante_n"))
+        cons = ic.select(F.col(it).alias("consequent"),
+                         F.col("cnt").alias("cons_n"))
+        out = (dirs.join(F.broadcast(ante), "antecedent")
+               .join(F.broadcast(cons), "consequent")
+               .crossJoin(F.broadcast(nb))
+               .select(
+                   "antecedent", "consequent", "pair_n", "ante_n",
+                   "cons_n", "n_baskets",
+                   (F.col("pair_n").cast("double")
+                    / F.col("n_baskets").cast("double")).alias("support"),
+                   (F.col("pair_n").cast("double")
+                    / F.col("ante_n").cast("double")).alias("confidence"),
+                   ((F.col("pair_n").cast("double")
+                     * F.col("n_baskets").cast("double"))
+                    / (F.col("ante_n").cast("double")
+                       * F.col("cons_n").cast("double"))).alias("lift")))
+        if self.min_confidence > 0.0:
+            out = out.where(F.col("confidence") >= self.min_confidence)
+        return pcoll.with_df(out)

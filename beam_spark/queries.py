@@ -2436,6 +2436,50 @@ def q_event_transitions(spark, sf_dir):
     return out.select("src_event", "dst_event", "n", "p")
 
 
+@query("q_assoc_rules_lineitem", """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey % 40 AS item
+           FROM lineitem),
+nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM b),
+ic AS (SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM b
+       GROUP BY item HAVING count(*) >= 5),
+fr AS (SELECT b.l_orderkey, b.item FROM b
+       JOIN ic ON ic.item = b.item),
+pair AS (
+  SELECT l.item AS a, r.item AS bb, CAST(count(*) AS BIGINT) AS pair_n
+  FROM fr l JOIN fr r
+    ON l.l_orderkey = r.l_orderkey AND l.item < r.item
+  GROUP BY 1, 2 HAVING count(*) >= 5),
+dirs AS (SELECT a AS antecedent, bb AS consequent, pair_n FROM pair
+         UNION ALL
+         SELECT bb AS antecedent, a AS consequent, pair_n FROM pair)
+SELECT d.antecedent, d.consequent, d.pair_n,
+       ia.cnt AS ante_n, co.cnt AS cons_n, nb.n AS n_baskets,
+       CAST(d.pair_n AS DOUBLE) / CAST(nb.n AS DOUBLE) AS support,
+       CAST(d.pair_n AS DOUBLE) / CAST(ia.cnt AS DOUBLE) AS confidence,
+       (CAST(d.pair_n AS DOUBLE) * CAST(nb.n AS DOUBLE))
+         / (CAST(ia.cnt AS DOUBLE) * CAST(co.cnt AS DOUBLE)) AS lift
+FROM dirs d
+JOIN ic ia ON ia.item = d.antecedent
+JOIN ic co ON co.item = d.consequent
+CROSS JOIN nb
+""")
+def q_assoc_rules(spark, sf_dir):
+    """A-priori size-2 association rules over lineitem baskets
+    (basket = l_orderkey, item = l_partkey % 40, min_support 5):
+    every count is an exact integer and every ratio a single double
+    division of exactly-represented values, so support / confidence /
+    lift compare UNROUNDED against the DuckDB replay."""
+    from beam_spark.operators.analytics import AssociationRules
+
+    li = table(spark, sf_dir, "lineitem").df.select(
+        "l_orderkey", (F.col("l_partkey") % 40).alias("item"))
+    out = (PCollection(li) | AssociationRules(
+        "item", basket_keys="l_orderkey", min_support=5)).df
+    return out.select("antecedent", "consequent", "pair_n", "ante_n",
+                      "cons_n", "n_baskets", "support", "confidence",
+                      "lift")
+
+
 @query("q_funnel_view_click_purchase", """
 WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
             WHERE event_type = 'view' GROUP BY user_id),

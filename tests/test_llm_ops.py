@@ -2359,3 +2359,42 @@ def test_robust_scale_known_and_constant(spark):
     const = spark.createDataFrame([(2.0,)] * 5, "v double")
     rows = (PCollection(const) | RobustScale("v")).df.collect()
     assert all(r["v_scaled"] is None for r in rows)
+
+
+def test_association_rules_known_baskets(spark):
+    """Hand-computed baskets: 4 baskets over items x/y/z where x,y
+    co-occur in 3, x,z in 1 (pruned by min_support=2); duplicate rows
+    within a basket collapse (presence semantics); min_confidence
+    filters directionally."""
+    from beam_spark.operators.analytics import AssociationRules
+    from beam_spark.pcollection import PCollection
+
+    rows = [(1, "x"), (1, "x"), (1, "y"), (1, "z"),
+            (2, "x"), (2, "y"),
+            (3, "x"), (3, "y"),
+            (4, "x")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = {(r["antecedent"], r["consequent"]): r for r in (
+        PCollection(df) | AssociationRules(
+            "item", basket_keys="basket", min_support=2)).df.collect()}
+    assert set(out) == {("x", "y"), ("y", "x")}
+    xy = out[("x", "y")]
+    assert (xy["pair_n"], xy["ante_n"], xy["cons_n"],
+            xy["n_baskets"]) == (3, 4, 3, 4)
+    assert xy["support"] == 0.75
+    assert xy["confidence"] == 0.75
+    assert xy["lift"] == (3.0 * 4.0) / (4.0 * 3.0)
+    yx = out[("y", "x")]
+    assert yx["confidence"] == 1.0
+
+    conf = (PCollection(df) | AssociationRules(
+        "item", basket_keys="basket", min_support=2,
+        min_confidence=0.9)).df.collect()
+    assert [(r["antecedent"], r["consequent"]) for r in conf] == [("y", "x")]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="min_support"):
+        AssociationRules("item", basket_keys="b", min_support=0)
+    with pytest.raises(ValueError, match="min_confidence"):
+        AssociationRules("item", basket_keys="b", min_confidence=1.5)
