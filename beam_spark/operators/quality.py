@@ -742,3 +742,112 @@ class RobustScale(PTransform):
                                    6))
                .drop("__lo", "__med", "__hi"))
         return pcoll.with_df(out)
+
+
+class BinaryClassifierMetrics(PTransform):
+    """Evaluation report for a binary classifier's scores — the gate a
+    training-data pipeline runs on its quality/toxicity/langid filter
+    model before trusting it to prune a corpus. One compact row:
+    ranking quality (AUC), probabilistic calibration (log-loss, Brier),
+    and thresholded confusion counts with precision/recall/F1.
+
+    AUC is the Mann-Whitney statistic with midrank tie correction,
+    computed ENTIRELY in integers until one final division:
+    per distinct score, 2*midrank = 2*(count below) + count(eq) + 1,
+    rank-sum doubled = sum(pos * that), and
+
+        AUC = (rs2 - n_pos*(n_pos+1)) / (2 * n_pos * n_neg)
+
+    so the result is bit-exact across engines. Log-loss and Brier go
+    through the repo's exact-decimal-sum pattern (associative, immune
+    to partial-agg order) and are rounded to 6 dp; scores are clipped
+    to [eps, 1-eps] for the logarithm. Precision/recall/F1 are single
+    divisions of exact counts (F1 = 2tp / (2tp + fp + fn)).
+
+    Scale: one groupBy(score) aggregation (partial agg), then a
+    cumulative count over the DISTINCT-SCORE frame — cardinality is
+    the number of distinct scores, not rows, but the running sum is a
+    single-partition window: for continuous scores at extreme
+    cardinality, quantize upstream (e.g. round(score, 6)) to bound it.
+    The confusion counts are one more global aggregation; everything
+    meets in a 1-row report.
+
+    Output: (n, n_pos, n_neg, auc, logloss, brier, tp, fp, tn, fn,
+    precision, recall, f1). AUC/precision/recall/f1 are NULL when a
+    denominator class is empty.
+    """
+
+    def __init__(self, score_col: str, label_col: str,
+                 threshold: float = 0.5, eps: float = 1e-15,
+                 label=None):
+        super().__init__(label)
+        if not 0.0 < float(eps) < 0.5:
+            raise ValueError(f"eps {eps} outside (0, 0.5)")
+        self.score_col, self.label_col = score_col, label_col
+        self.threshold, self.eps = float(threshold), float(eps)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        s, y = self.score_col, self.label_col
+        th, eps = self.threshold, self.eps
+        base = pcoll.df.select(
+            F.col(s).cast("double").alias("__s"),
+            F.col(y).cast("long").alias("__y"))
+        per = base.groupBy("__s").agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.sum("__y").alias("__pos"))
+        w = (Window.orderBy("__s")
+             .rowsBetween(Window.unboundedPreceding, -1))
+        ranked = per.withColumn(
+            "__below", F.coalesce(F.sum("__cnt").over(w), F.lit(0)))
+        rs2 = ranked.agg(
+            F.sum(F.col("__pos")
+                  * (2 * F.col("__below") + F.col("__cnt") + 1))
+            .alias("__rs2"))
+        p = F.least(F.greatest(F.col("__s"), F.lit(eps)),
+                    F.lit(1.0 - eps))
+        ll_term = F.when(F.col("__y") == 1, -F.log(p)) \
+                   .otherwise(-F.log(1.0 - p))
+        d = p - F.col("__y").cast("double")
+        br_term = d * d
+        tot = base.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__y").alias("n_pos"),
+            F.sum(ll_term.cast("decimal(28,12)")).alias("__ll"),
+            F.sum(br_term.cast("decimal(28,12)")).alias("__br"),
+            F.sum(F.when((F.col("__s") >= th) & (F.col("__y") == 1), 1)
+                  .otherwise(0)).alias("tp"),
+            F.sum(F.when((F.col("__s") >= th) & (F.col("__y") == 0), 1)
+                  .otherwise(0)).alias("fp"),
+            F.sum(F.when((F.col("__s") < th) & (F.col("__y") == 0), 1)
+                  .otherwise(0)).alias("tn"),
+            F.sum(F.when((F.col("__s") < th) & (F.col("__y") == 1), 1)
+                  .otherwise(0)).alias("fn"))
+        npos, nneg = F.col("n_pos"), F.col("n") - F.col("n_pos")
+        out = (tot.crossJoin(F.broadcast(rs2)).select(
+            F.col("n").cast("long").alias("n"),
+            npos.cast("long").alias("n_pos"),
+            nneg.cast("long").alias("n_neg"),
+            F.when((npos > 0) & (nneg > 0),
+                   (F.col("__rs2") - npos * (npos + 1)).cast("double")
+                   / (2 * npos * nneg).cast("double")).alias("auc"),
+            F.round(F.col("__ll").cast("double") / F.col("n"), 6)
+            .alias("logloss"),
+            F.round(F.col("__br").cast("double") / F.col("n"), 6)
+            .alias("brier"),
+            F.col("tp").cast("long").alias("tp"),
+            F.col("fp").cast("long").alias("fp"),
+            F.col("tn").cast("long").alias("tn"),
+            F.col("fn").cast("long").alias("fn"),
+            F.when(F.col("tp") + F.col("fp") > 0,
+                   F.col("tp").cast("double")
+                   / (F.col("tp") + F.col("fp")).cast("double"))
+            .alias("precision"),
+            F.when(npos > 0, F.col("tp").cast("double")
+                   / npos.cast("double")).alias("recall"),
+            F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+                   (2 * F.col("tp")).cast("double")
+                   / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+                   .cast("double")).alias("f1")))
+        return pcoll.with_df(out)

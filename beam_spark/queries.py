@@ -2480,6 +2480,75 @@ def q_assoc_rules(spark, sf_dir):
                       "lift")
 
 
+@query("q_classifier_metrics", """
+WITH base AS (
+  SELECT CAST(n_chars % 100 + 1 AS DOUBLE) / CAST(102 AS DOUBLE) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+per AS (SELECT s, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM base GROUP BY s),
+rk AS (SELECT s, cnt, pos,
+         coalesce(sum(cnt) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND 1 PRECEDING), 0) AS below
+       FROM per),
+rs AS (SELECT CAST(sum(pos * (2 * below + cnt + 1)) AS BIGINT) AS rs2
+       FROM rk),
+cl AS (SELECT least(greatest(s, CAST(1e-15 AS DOUBLE)),
+                    CAST(1 AS DOUBLE) - CAST(1e-15 AS DOUBLE)) AS p,
+              s, y
+       FROM base),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+         sum(CAST(CASE WHEN y = 1 THEN -ln(p) ELSE -ln(CAST(1 AS DOUBLE) - p)
+                  END AS DECIMAL(28,12))) AS ll,
+         sum(CAST((p - CAST(y AS DOUBLE)) * (p - CAST(y AS DOUBLE))
+                  AS DECIMAL(28,12))) AS br,
+         CAST(sum(CASE WHEN s >= CAST(0.5 AS DOUBLE) AND y = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN s >= CAST(0.5 AS DOUBLE) AND y = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN s < CAST(0.5 AS DOUBLE) AND y = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         CAST(sum(CASE WHEN s < CAST(0.5 AS DOUBLE) AND y = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM cl)
+SELECT n, n_pos, n - n_pos AS n_neg,
+       CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN
+         CAST(rs2 - n_pos * (n_pos + 1) AS DOUBLE)
+           / CAST(2 * n_pos * (n - n_pos) AS DOUBLE) END AS auc,
+       round(CAST(ll AS DOUBLE) / n, 6) AS logloss,
+       round(CAST(br AS DOUBLE) / n, 6) AS brier,
+       tp, fp, tn, fn,
+       CASE WHEN tp + fp > 0 THEN
+         CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+       CASE WHEN n_pos > 0 THEN
+         CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE) END AS recall,
+       CASE WHEN 2 * tp + fp + fn > 0 THEN
+         CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+       END AS f1
+FROM tot CROSS JOIN rs
+""")
+def q_classifier_metrics(spark, sf_dir):
+    """Binary-classifier evaluation over documents (score = a
+    quantized n_chars proxy in (0,1), label = lang='en'): AUC is
+    integer-exact Mann-Whitney with midrank ties (one final division,
+    compared UNROUNDED); log-loss and Brier go through the exact
+    decimal-sum pattern rounded 6; confusion counts and P/R/F1 are
+    exact integers and single divisions."""
+    from beam_spark.operators.quality import BinaryClassifierMetrics
+
+    docs = table(spark, sf_dir, "documents").df.select(
+        ((F.col("n_chars") % 100 + 1).cast("double")
+         / F.lit(102.0)).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"))
+    out = (PCollection(docs) | BinaryClassifierMetrics(
+        "score", "label", threshold=0.5)).df
+    return out.select("n", "n_pos", "n_neg", "auc", "logloss", "brier",
+                      "tp", "fp", "tn", "fn", "precision", "recall",
+                      "f1")
+
+
 @query("q_funnel_view_click_purchase", """
 WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
             WHERE event_type = 'view' GROUP BY user_id),

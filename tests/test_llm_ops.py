@@ -2398,3 +2398,38 @@ def test_association_rules_known_baskets(spark):
         AssociationRules("item", basket_keys="b", min_support=0)
     with pytest.raises(ValueError, match="min_confidence"):
         AssociationRules("item", basket_keys="b", min_confidence=1.5)
+
+
+def test_binary_classifier_metrics_known(spark):
+    """Hand-computed 4-row example with a score tie: midrank AUC =
+    (6.5 - 3)/4 = 0.875; confusion at 0.5 gives P=1, R=0.5, F1=2/3;
+    Brier = 0.57/4 exactly; single-class input yields NULL AUC."""
+    import math
+
+    import pytest as pt
+
+    from beam_spark.operators.quality import BinaryClassifierMetrics
+    from beam_spark.pcollection import PCollection
+
+    rows = [(0.1, 0), (0.4, 0), (0.4, 1), (0.8, 1)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    r = (PCollection(df) | BinaryClassifierMetrics(
+        "score", "label")).df.collect()[0]
+    assert (r["n"], r["n_pos"], r["n_neg"]) == (4, 2, 2)
+    assert r["auc"] == 0.875
+    assert (r["tp"], r["fp"], r["tn"], r["fn"]) == (1, 0, 2, 1)
+    assert r["precision"] == 1.0 and r["recall"] == 0.5
+    assert r["f1"] == 2.0 / 3.0
+    assert r["brier"] == round(0.57 / 4, 6)
+    ll = -(math.log(0.9) + math.log(0.6) + math.log(0.4)
+           + math.log(0.8)) / 4
+    assert r["logloss"] == pt.approx(ll, abs=1e-5)
+
+    one = spark.createDataFrame([(0.9, 1), (0.2, 1)],
+                                "score double, label int")
+    r1 = (PCollection(one) | BinaryClassifierMetrics(
+        "score", "label")).df.collect()[0]
+    assert r1["auc"] is None and r1["recall"] == 0.5
+
+    with pt.raises(ValueError, match="eps"):
+        BinaryClassifierMetrics("s", "y", eps=0.7)

@@ -346,10 +346,16 @@ def test_run_inference_watch_model_pattern_refresh(spark, tmp_path):
         assert inf_mod._resolve_model_path(spark, pattern) == last
     with _pytest.raises(FileNotFoundError, match="matched nothing"):
         inf_mod._resolve_model_path(spark, pattern)
+    import os as _os
+
     for name, text in kept.items():
         (mdir / name).write_text(text)
+    # pin EQUAL mtimes so resolution exercises the deterministic
+    # (mtime, name) tie-break (rewrite order would otherwise decide
+    # which file carries the later mtime — a flake)
+    for p in mdir.glob("m_*.json"):
+        _os.utime(p, (1_700_000_000, 1_700_000_000))
     # a successful resolve resets the miss counter and re-primes
-    # (rewritten file -> same path, fresh mtime)
     fresh = inf_mod._resolve_model_path(spark, pattern)
     assert fresh[0] == last[0]
 
@@ -362,6 +368,8 @@ def test_run_inference_watch_model_pattern_refresh(spark, tmp_path):
             spark, pattern, max_empty_resolutions=None)[0] == fresh[0]
     for name, text in kept.items():
         (mdir / name).write_text(text)
+    for p in mdir.glob("m_*.json"):
+        _os.utime(p, (1_700_000_100, 1_700_000_100))
     assert inf_mod._resolve_model_path(spark, pattern)[0] == fresh[0]
 
     # worker cache eviction: a watched refresh evicts the handler's
