@@ -729,3 +729,72 @@ class ReadabilityScore(PTransform):
                   F.lit(0.39) * wps + F.lit(11.8) * spw
                   - F.lit(15.59), 6)))
         return pcoll.with_df(df)
+
+
+class PmiCollocations(PTransform):
+    """Corpus-level collocation mining: pointwise mutual information of
+    adjacent token bigrams — the statistic tokenizer-training and
+    phrase-merging pipelines use to decide which word pairs behave as
+    one unit (cf. word2vec's phrase pass). For every bigram occurring
+    >= ``min_count`` times,
+
+        pmi = ln( P(w1 w2) / (P(w1) P(w2)) )
+            = ln( (c_12 * n_uni * n_uni) / (n_big * c_1 * c_2) )
+
+    with all counts exact integers and the ratio evaluated in ONE
+    fixed multiply/divide order in both engines, rounded 6.
+
+    Tokenization is the repo-standard whitespace+lowercase analyzer
+    (``tokens``) with empties dropped; bigrams are zip_with over two
+    array slices — a pure Catalyst expression, no Python.
+
+    Scale: two explode->groupBy counts (partial agg, one shuffle
+    each); the min_count filter prunes the bigram frame BEFORE its two
+    unigram-count joins (word-keyed, AQE-skew-safe); the two grand
+    totals are 1-row broadcast cross joins. Output cardinality is the
+    frequent-bigram vocabulary, not the corpus.
+
+    Output: (w1, w2, pair_n, w1_n, w2_n, pmi) — pmi > 0 means the
+    pair co-occurs more than independence predicts.
+    """
+
+    def __init__(self, text_col: str = "text", min_count: int = 2,
+                 label=None):
+        super().__init__(label)
+        if int(min_count) < 1:
+            raise ValueError(f"min_count {min_count}: need >= 1")
+        self.text_col, self.min_count = text_col, int(min_count)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        tc, mc = self.text_col, self.min_count
+        toks = F.filter(tokens(tc), lambda x: x != "")
+        base = (pcoll.df.where(F.col(tc).isNotNull())
+                .select(toks.alias("__toks")))
+        n = F.size(F.col("__toks"))
+        pairs = F.when(n > 1, F.zip_with(
+            F.slice(F.col("__toks"), 1, n - 1),
+            F.slice(F.col("__toks"), 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        uni = base.select(F.explode("__toks").alias("w"))
+        big = base.select(F.explode(pairs).alias("p")) \
+                  .select("p.w1", "p.w2")
+        uc = uni.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+        nu = uni.agg(F.count(F.lit(1)).cast("long").alias("__nu"))
+        nb = big.agg(F.count(F.lit(1)).cast("long").alias("__nb"))
+        bc = (big.groupBy("w1", "w2")
+              .agg(F.count(F.lit(1)).cast("long").alias("pair_n"))
+              .where(F.col("pair_n") >= mc))
+        u1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("w1_n"))
+        u2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("w2_n"))
+        num = (F.col("pair_n").cast("double")
+               * F.col("__nu").cast("double")
+               * F.col("__nu").cast("double"))
+        den = (F.col("__nb").cast("double")
+               * F.col("w1_n").cast("double")
+               * F.col("w2_n").cast("double"))
+        out = (bc.join(u1, "w1").join(u2, "w2")
+               .crossJoin(F.broadcast(nu)).crossJoin(F.broadcast(nb))
+               .select("w1", "w2", "pair_n", "w1_n", "w2_n",
+                       F.round(F.log(num / den), 6).alias("pmi")))
+        return pcoll.with_df(out)

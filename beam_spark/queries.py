@@ -2549,6 +2549,37 @@ def q_classifier_metrics(spark, sf_dir):
                       "f1")
 
 
+@query("q_text_pmi_collocations", """
+WITH t AS (SELECT list_filter({_TOK}, x -> x <> '') AS toks
+           FROM documents WHERE text IS NOT NULL),
+ug AS (SELECT unnest(toks) AS w FROM t),
+bg AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+       FROM t, unnest(range(1, len(toks))) AS u(i)),
+uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM ug GROUP BY w),
+nu AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ug),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bg),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_n FROM bg
+       GROUP BY w1, w2 HAVING count(*) >= 5)
+SELECT b.w1, b.w2, b.pair_n, u1.c AS w1_n, u2.c AS w2_n,
+       round(ln((CAST(b.pair_n AS DOUBLE) * CAST(nu.n AS DOUBLE)
+                 * CAST(nu.n AS DOUBLE))
+                / (CAST(nb.n AS DOUBLE) * CAST(u1.c AS DOUBLE)
+                   * CAST(u2.c AS DOUBLE))), 6) AS pmi
+FROM bc b JOIN uc u1 ON u1.w = b.w1 JOIN uc u2 ON u2.w = b.w2
+CROSS JOIN nu CROSS JOIN nb
+""".replace("{_TOK}", _TOK))
+def q_text_pmi(spark, sf_dir):
+    """Adjacent-bigram PMI collocations over documents (min_count 5):
+    unigram/bigram counts exact, the PMI ratio evaluated in one fixed
+    multiply/divide order, ln rounded 6 — DuckDB replays the identical
+    whitespace tokenization and zipped bigram construction."""
+    from beam_spark.operators.text import PmiCollocations
+
+    docs = table(spark, sf_dir, "documents")
+    out = (docs | PmiCollocations("text", min_count=5)).df
+    return out.select("w1", "w2", "pair_n", "w1_n", "w2_n", "pmi")
+
+
 @query("q_funnel_view_click_purchase", """
 WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
             WHERE event_type = 'view' GROUP BY user_id),

@@ -2433,3 +2433,33 @@ def test_binary_classifier_metrics_known(spark):
 
     with pt.raises(ValueError, match="eps"):
         BinaryClassifierMetrics("s", "y", eps=0.7)
+
+
+def test_pmi_collocations_known(spark):
+    """Tiny corpus where "new york" always co-occurs: PMI is exactly
+    ln(c12 * n_uni^2 / (n_big * c1 * c2)); single-token and NULL docs
+    contribute no bigrams; min_count prunes."""
+    import math
+
+    from beam_spark.operators.text import PmiCollocations
+    from beam_spark.pcollection import PCollection
+
+    rows = [("New York is big",), ("new york wins",),
+            ("york",), (None,), ("is is",)]
+    df = spark.createDataFrame(rows, "text string")
+    out = {(r["w1"], r["w2"]): r for r in (
+        PCollection(df) | PmiCollocations("text", min_count=2)).df
+        .collect()}
+    # tokens: [new york is big], [new york wins], [york], [is is]
+    # n_uni = 10; bigrams: (new,york)x2 (york,is) (is,big) (york,wins)
+    # (is,is) -> n_big = 6; only (new,york) reaches min_count=2
+    assert set(out) == {("new", "york")}
+    r = out[("new", "york")]
+    assert (r["pair_n"], r["w1_n"], r["w2_n"]) == (2, 2, 3)
+    assert r["pmi"] == round(
+        math.log((2.0 * 10.0 * 10.0) / (6.0 * 2.0 * 3.0)), 6)
+
+    import pytest as pt
+
+    with pt.raises(ValueError, match="min_count"):
+        PmiCollocations("text", min_count=0)
