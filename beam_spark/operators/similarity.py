@@ -731,3 +731,104 @@ class PqCosineTopK(PTransform):
                .select("query_id", "nbr_id", "rank",
                        F.round("cosine", 6).alias("cosine")))
         return pcoll.with_df(out)
+
+
+class KMeansLloyd(PTransform):
+    """Distributed spherical k-means (Lloyd's algorithm, fixed-round):
+    the embedding-space partitioner a curation pipeline runs before
+    per-cluster work — SemDeDup-style dedup, cluster-balanced
+    sampling, IVF index building. Unlike SemDeDup's one-shot seed
+    assignment, this iterates the full corpus: each round assigns
+    every vector to its max-cosine centroid (a zero-shuffle Catalyst
+    argmax over k dot products), then recomputes centroids as the
+    L2-normalized per-cluster mean via posexplode -> groupBy(cluster,
+    dim) partial aggregation (ONE keyed shuffle of k*dim cells per
+    round; the k x dim summary — not the data — is collected,
+    updated in numpy, and re-broadcast as literals).
+
+    Determinism & oracle replay (the PageRank convention): seeds are
+    the k smallest-id vectors; centroid coordinates are rounded to
+    9 dp after each normalize (per-group float-sum order is the only
+    cross-engine difference, ~1e-15 relative — round 9 absorbs it);
+    assignment similarities are rounded to 6 dp with first-max
+    (smallest cluster index) tie-break. An empty cluster keeps its
+    previous centroid. Input rows with NULL vectors are dropped.
+
+    Scale: per round, one scan + one (cluster, dim)-keyed shuffle
+    whose reduced size is k*dim cells regardless of corpus size; the
+    driver holds only k*dim doubles (k caps at MAX_SEED_COLLECT, the
+    SemDeDup posture). Assignment cost is O(k*dim) per row — the k
+    norm recomputations add at most ~2x over the unavoidable k dot
+    products. rounds is bounded (each round is a Spark job).
+
+    Output: one row per vector — (id_col, cluster int in [0, k),
+    sim double round-6 cosine to its final centroid).
+    """
+
+    MAX_SEED_COLLECT = 4096
+    MAX_ROUNDS = 50
+
+    def __init__(self, k: int, rounds: int = 2, id_col: str = "vec_id",
+                 vec_col: str = "embedding", label=None):
+        super().__init__(label)
+        if not 1 <= int(k) <= self.MAX_SEED_COLLECT:
+            raise ValueError(
+                f"k {k} outside [1, {self.MAX_SEED_COLLECT}] (centroids "
+                "ride in the task closure)")
+        if not 0 <= int(rounds) <= self.MAX_ROUNDS:
+            raise ValueError(
+                f"rounds {rounds} outside [0, {self.MAX_ROUNDS}]")
+        self.k, self.rounds = int(k), int(rounds)
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        import numpy as np
+
+        idc, vc, k = self.id_col, self.vec_col, self.k
+        base = (pcoll.df.where(F.col(vc).isNotNull())
+                .select(F.col(idc).alias("__id"),
+                        F.col(vc).cast("array<double>").alias("__v")))
+        seed_rows = base.orderBy("__id").limit(k).collect()
+        if len(seed_rows) < k:
+            raise ValueError(
+                f"KMeansLloyd: k={k} but only {len(seed_rows)} non-NULL "
+                "vectors")
+        C = np.array([r["__v"] for r in seed_rows], dtype=np.float64)
+        C = np.round(C / np.linalg.norm(C, axis=1, keepdims=True), 9)
+        dim = C.shape[1]
+
+        def assign(cent):
+            nrm = norm(F.col("__v"))
+            sims = F.array(*[
+                F.round(dot(F.col("__v"),
+                            F.array(*[F.lit(float(x)) for x in row]))
+                        / nrm, 6)
+                for row in cent])
+            return (base
+                    .withColumn("__sims", sims)
+                    .withColumn("__c", (F.array_position(
+                        "__sims", F.array_max("__sims")) - 1).cast("int"))
+                    .withColumn("__s", F.array_max("__sims")))
+
+        for _ in range(self.rounds):
+            stats = (assign(C)
+                     .select("__c", F.posexplode("__v")
+                             .alias("__d", "__x"))
+                     .groupBy("__c", "__d")
+                     .agg(F.sum("__x").alias("s"),
+                          F.count(F.lit(1)).alias("n"))
+                     .collect())
+            S = np.zeros((k, dim))
+            N = np.zeros(k)
+            for r in stats:
+                S[r["__c"], r["__d"]] = r["s"]
+                N[r["__c"]] = r["n"]
+            for c in range(k):
+                if N[c] > 0:
+                    m = S[c] / N[c]
+                    C[c] = np.round(m / np.linalg.norm(m), 9)
+        self.centroids_ = C.tolist()
+        out = assign(C).select(F.col("__id").alias(idc),
+                               F.col("__c").alias("cluster"),
+                               F.col("__s").alias("sim"))
+        return pcoll.with_df(out)

@@ -2580,6 +2580,67 @@ def q_text_pmi(spark, sf_dir):
     return out.select("w1", "w2", "pair_n", "w1_n", "w2_n", "pmi")
 
 
+@query("q_kmeans_embeddings", """
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings
+           WHERE embedding IS NOT NULL),
+ed AS (SELECT vec_id, CAST(u.i - 1 AS INT) AS dim,
+              CAST(v[u.i] AS DOUBLE) AS x
+       FROM e, unnest(range(1, len(v) + 1)) AS u(i)),
+en AS (SELECT vec_id, sqrt(sum(x * x)) AS nr FROM ed GROUP BY vec_id),
+sid AS (SELECT vec_id,
+               CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                 AS cidx
+        FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 4)),
+c0 AS (SELECT s.cidx, ed.dim, round(ed.x / en.nr, 9) AS c
+       FROM sid s JOIN ed ON ed.vec_id = s.vec_id
+       JOIN en ON en.vec_id = s.vec_id),
+d1 AS (SELECT ed.vec_id, c.cidx, sum(ed.x * c.c) AS dp
+       FROM ed JOIN c0 c ON c.dim = ed.dim GROUP BY 1, 2),
+a1 AS (SELECT d.vec_id, d.cidx
+       FROM d1 d JOIN en ON en.vec_id = d.vec_id
+       QUALIFY row_number() OVER (PARTITION BY d.vec_id
+         ORDER BY round(d.dp / en.nr, 6) DESC, d.cidx) = 1),
+m1 AS (SELECT a.cidx, ed.dim, sum(ed.x) / count(*) AS m
+       FROM a1 a JOIN ed ON ed.vec_id = a.vec_id GROUP BY 1, 2),
+mn1 AS (SELECT cidx, sqrt(sum(m * m)) AS nr FROM m1 GROUP BY cidx),
+c1 AS (SELECT p.cidx, p.dim, coalesce(round(m.m / mn.nr, 9), p.c) AS c
+       FROM c0 p
+       LEFT JOIN m1 m ON m.cidx = p.cidx AND m.dim = p.dim
+       LEFT JOIN mn1 mn ON mn.cidx = p.cidx),
+d2 AS (SELECT ed.vec_id, c.cidx, sum(ed.x * c.c) AS dp
+       FROM ed JOIN c1 c ON c.dim = ed.dim GROUP BY 1, 2),
+a2 AS (SELECT d.vec_id, d.cidx
+       FROM d2 d JOIN en ON en.vec_id = d.vec_id
+       QUALIFY row_number() OVER (PARTITION BY d.vec_id
+         ORDER BY round(d.dp / en.nr, 6) DESC, d.cidx) = 1),
+m2 AS (SELECT a.cidx, ed.dim, sum(ed.x) / count(*) AS m
+       FROM a2 a JOIN ed ON ed.vec_id = a.vec_id GROUP BY 1, 2),
+mn2 AS (SELECT cidx, sqrt(sum(m * m)) AS nr FROM m2 GROUP BY cidx),
+c2 AS (SELECT p.cidx, p.dim, coalesce(round(m.m / mn.nr, 9), p.c) AS c
+       FROM c1 p
+       LEFT JOIN m2 m ON m.cidx = p.cidx AND m.dim = p.dim
+       LEFT JOIN mn2 mn ON mn.cidx = p.cidx),
+d3 AS (SELECT ed.vec_id, c.cidx, sum(ed.x * c.c) AS dp
+       FROM ed JOIN c2 c ON c.dim = ed.dim GROUP BY 1, 2)
+SELECT d.vec_id, d.cidx AS cluster, round(d.dp / en.nr, 6) AS sim
+FROM d3 d JOIN en ON en.vec_id = d.vec_id
+QUALIFY row_number() OVER (PARTITION BY d.vec_id
+  ORDER BY round(d.dp / en.nr, 6) DESC, d.cidx) = 1
+""")
+def q_kmeans(spark, sf_dir):
+    """Distributed spherical k-means (k=4, 2 Lloyd rounds) over the
+    embeddings table: the oracle chains seed-normalize -> assign ->
+    mean-update -> normalize -> assign ... as CTEs, with centroid
+    coordinates rounded 9 per round (the PageRank float-iteration
+    convention) and assignment cosines rounded 6 with the smallest-
+    cluster-index tie-break."""
+    from beam_spark.operators.similarity import KMeansLloyd
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = (emb | KMeansLloyd(k=4, rounds=2)).df
+    return out.select("vec_id", "cluster", "sim")
+
+
 @query("q_funnel_view_click_purchase", """
 WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
             WHERE event_type = 'view' GROUP BY user_id),

@@ -2463,3 +2463,49 @@ def test_pmi_collocations_known(spark):
 
     with pt.raises(ValueError, match="min_count"):
         PmiCollocations("text", min_count=0)
+
+
+def test_kmeans_lloyd_known_2d(spark):
+    """2-D spherical k-means: axis-aligned seeds separate the two
+    bundles; centroids_ converge to the normalized bundle means;
+    duplicate seeds leave one cluster empty, which keeps its previous
+    centroid (tie -> smallest cluster index wins assignment)."""
+    import math
+
+    from beam_spark.operators.similarity import KMeansLloyd
+    from beam_spark.pcollection import PCollection
+
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0]),
+            (3, [0.9, 0.1]), (4, [0.1, 0.9]), (5, [0.8, 0.2])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    km = KMeansLloyd(k=2, rounds=2)
+    out = {r["vec_id"]: r["cluster"]
+           for r in (PCollection(df) | km).df.collect()}
+    assert out == {1: 0, 3: 0, 5: 0, 2: 1, 4: 1}
+    # cluster-0 centroid ~ normalize(mean([1,0],[.9,.1],[.8,.2]))
+    m = [0.9, 0.1]
+    n = math.hypot(*m)
+    assert km.centroids_[0][0] == round(m[0] / n, 9)
+    assert km.centroids_[0][1] == round(m[1] / n, 9)
+
+    # duplicate seeds: round-1 sims tie at both centroids -> everything
+    # to cluster 0, so empty cluster 1 keeps its (seed) centroid; the
+    # FINAL assignment then pulls the exact-match rows back to that
+    # stationary centroid (sim 1.0 beats the moved mean)
+    dup = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.6, 0.8])],
+        "vec_id long, embedding array<double>")
+    km2 = KMeansLloyd(k=2, rounds=1)
+    out2 = {r["vec_id"]: r["cluster"]
+            for r in (PCollection(dup) | km2).df.collect()}
+    assert out2 == {1: 1, 2: 1, 3: 0}
+    assert km2.centroids_[1] == [1.0, 0.0]
+
+    import pytest as pt
+
+    with pt.raises(ValueError, match="only 2 non-NULL"):
+        (PCollection(dup.limit(2)) | KMeansLloyd(k=3)).df
+    with pt.raises(ValueError, match="k"):
+        KMeansLloyd(k=0)
+    with pt.raises(ValueError, match="rounds"):
+        KMeansLloyd(k=2, rounds=-1)
