@@ -851,3 +851,66 @@ class BinaryClassifierMetrics(PTransform):
                    / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
                    .cast("double")).alias("f1")))
         return pcoll.with_df(out)
+
+
+class CohensKappa(PTransform):
+    """Inter-rater agreement (Cohen's kappa) between two categorical
+    label columns — the accept/reject statistic for LLM-judge or
+    human-annotation pipelines (how much two labelers agree beyond
+    chance). With N double-labeled rows, ``agree`` exact matches, and
+    per-category marginal counts a_k / b_k:
+
+        p_o   = agree / N
+        p_e   = sum_k(a_k * b_k) / N^2
+        kappa = (agree*N - sum_k a_k b_k) / (N^2 - sum_k a_k b_k)
+
+    Every quantity is an exact integer until ONE double division, so
+    all three statistics compare bit-exactly across engines (no
+    float-accumulation rounding at all). kappa is NULL when p_e = 1
+    (a single shared category — chance explains everything).
+
+    Rows with NULL in either label are dropped (label what you can
+    score). Scale: two category-keyed counts plus one global
+    aggregate; the marginal join is category-cardinality (tiny) and
+    broadcast; nothing grows with N beyond the scans.
+
+    Output: one row — (n, agree, n_categories, p_o, p_e, kappa).
+    """
+
+    def __init__(self, col_a: str, col_b: str, label=None):
+        super().__init__(label)
+        self.col_a, self.col_b = col_a, col_b
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        a, b = F.col(self.col_a), F.col(self.col_b)
+        base = (pcoll.df.where(a.isNotNull() & b.isNotNull())
+                .select(a.alias("__a"), b.alias("__b")))
+        tot = base.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("__a") == F.col("__b"), 1).otherwise(0))
+            .cast("long").alias("agree"))
+        ca = base.groupBy(F.col("__a").alias("cat")).agg(
+            F.count(F.lit(1)).cast("long").alias("ca"))
+        cb = base.groupBy(F.col("__b").alias("cat")).agg(
+            F.count(F.lit(1)).cast("long").alias("cb"))
+        pe = (ca.join(cb, "cat")
+              .agg(F.coalesce(F.sum(F.col("ca") * F.col("cb")),
+                              F.lit(0)).cast("long").alias("__s")))
+        ncat = (ca.select("cat").unionAll(cb.select("cat")).distinct()
+                .agg(F.count(F.lit(1)).cast("long")
+                     .alias("n_categories")))
+        nn = F.col("n") * F.col("n")
+        out = (tot.crossJoin(F.broadcast(pe))
+               .crossJoin(F.broadcast(ncat))
+               .select(
+                   "n", "agree", "n_categories",
+                   (F.col("agree").cast("double")
+                    / F.col("n").cast("double")).alias("p_o"),
+                   (F.col("__s").cast("double")
+                    / nn.cast("double")).alias("p_e"),
+                   F.when(nn != F.col("__s"),
+                          (F.col("agree") * F.col("n")
+                           - F.col("__s")).cast("double")
+                          / (nn - F.col("__s")).cast("double"))
+                   .alias("kappa")))
+        return pcoll.with_df(out)

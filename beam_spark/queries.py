@@ -2641,6 +2641,51 @@ def q_kmeans(spark, sf_dir):
     return out.select("vec_id", "cluster", "sim")
 
 
+@query("q_cohens_kappa_langs", """
+WITH base AS (
+  SELECT lang AS a,
+         (['en', 'de', 'fr', 'es', 'zh'])[CAST(n_chars % 5 AS INT) + 1]
+           AS b
+  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+                 AS agree
+        FROM base),
+ca AS (SELECT a AS cat, CAST(count(*) AS BIGINT) AS ca FROM base
+       GROUP BY a),
+cb AS (SELECT b AS cat, CAST(count(*) AS BIGINT) AS cb FROM base
+       GROUP BY b),
+pe AS (SELECT CAST(coalesce(sum(ca.ca * cb.cb), 0) AS BIGINT) AS s
+       FROM ca JOIN cb ON cb.cat = ca.cat),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_categories
+       FROM (SELECT cat FROM ca UNION SELECT cat FROM cb))
+SELECT n, agree, n_categories,
+       CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS p_o,
+       CAST(s AS DOUBLE) / CAST(n * n AS DOUBLE) AS p_e,
+       CASE WHEN n * n <> s THEN
+         CAST(agree * n - s AS DOUBLE) / CAST(n * n - s AS DOUBLE)
+       END AS kappa
+FROM tot CROSS JOIN pe CROSS JOIN nc
+""")
+def q_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa between the documents lang label and a
+    deterministic n_chars-derived pseudo-rater over the same category
+    space: agree/marginal counts are exact integers and p_o / p_e /
+    kappa are each ONE double division — compared UNROUNDED."""
+    from beam_spark.operators.quality import CohensKappa
+
+    docs = table(spark, sf_dir, "documents").df.where(
+        "lang IS NOT NULL AND n_chars IS NOT NULL").select(
+        F.col("lang").alias("rater_a"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in
+                      ("en", "de", "fr", "es", "zh")]),
+            (F.col("n_chars") % 5).cast("int") + 1).alias("rater_b"))
+    out = (PCollection(docs) | CohensKappa("rater_a", "rater_b")).df
+    return out.select("n", "agree", "n_categories", "p_o", "p_e",
+                      "kappa")
+
+
 @query("q_funnel_view_click_purchase", """
 WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
             WHERE event_type = 'view' GROUP BY user_id),

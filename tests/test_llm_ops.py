@@ -2509,3 +2509,32 @@ def test_kmeans_lloyd_known_2d(spark):
         KMeansLloyd(k=0)
     with pt.raises(ValueError, match="rounds"):
         KMeansLloyd(k=2, rounds=-1)
+
+
+def test_cohens_kappa_known(spark):
+    """Textbook 2x2 example: 20 items, raters agree on 15
+    (10 yes-yes, 5 no-no), marginals a=(12,8), b=(13,7):
+    p_o=0.75, p_e=(12*13+8*7)/400=0.53, kappa=(15*20-212)/(400-212);
+    perfect agreement gives kappa=1; a single shared category makes
+    kappa NULL; NULL labels are dropped."""
+    from beam_spark.operators.quality import CohensKappa
+    from beam_spark.pcollection import PCollection
+
+    rows = ([("y", "y")] * 10 + [("n", "n")] * 5
+            + [("y", "n")] * 2 + [("n", "y")] * 3
+            + [(None, "y"), ("y", None)])
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = (PCollection(df) | CohensKappa("a", "b")).df.collect()[0]
+    assert (r["n"], r["agree"], r["n_categories"]) == (20, 15, 2)
+    assert r["p_o"] == 0.75
+    assert r["p_e"] == (12 * 13 + 8 * 7) / 400
+    assert r["kappa"] == (15 * 20 - 212) / (400 - 212)
+
+    perfect = spark.createDataFrame(
+        [("a", "a"), ("b", "b"), ("c", "c")], "a string, b string")
+    rp = (PCollection(perfect) | CohensKappa("a", "b")).df.collect()[0]
+    assert rp["kappa"] == 1.0
+
+    degen = spark.createDataFrame([("a", "a")] * 4, "a string, b string")
+    rd = (PCollection(degen) | CohensKappa("a", "b")).df.collect()[0]
+    assert rd["kappa"] is None and rd["p_e"] == 1.0
