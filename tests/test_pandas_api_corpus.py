@@ -569,6 +569,14 @@ CASES += [
     ("frame_nsmallest", lambda t: t["o"]
      .nsmallest(10, ["o_totalprice", "o_orderkey"])
      [["o_orderkey", "o_totalprice"]]),
+    # ---- covariance / correlation (round-11 sweep) ----
+    ("ser_cov", lambda t: float(t["o"].o_totalprice.cov(
+        t["o"].o_custkey.astype("float64")))),
+    ("ser_corr", lambda t: float(t["o"].o_totalprice.corr(
+        t["o"].o_custkey.astype("float64")))),
+    ("df_cov", lambda t: t["o"][["o_totalprice", "o_custkey"]].cov()),
+    ("df_corrwith", lambda t: t["o"][["o_totalprice", "o_custkey"]]
+     .corrwith(t["o"].o_orderkey.astype("float64"))),
 ]
 
 
@@ -623,6 +631,25 @@ DIVERGENT_RAISES = [
     ("ser_combine_reducer", lambda t: t["c"].c_acctbal.combine(
         t["c"].c_custkey.astype("float64"), max)),
     ("interval_mid_after_cut", _interval_mid_after_cut),
+    # round-11 sweep: windowed covariance/correlation — all four are
+    # PandasNotImplementedError in ps (plain Series.cov/corr work,
+    # see ser_cov/ser_corr in CASES)
+    ("rolling_cov", lambda t: t["o"].sort_values("o_orderkey")
+     .set_index("o_orderkey").o_totalprice.rolling(5)
+     .cov(t["o"].sort_values("o_orderkey").set_index("o_orderkey")
+          .o_custkey.astype("float64"))),
+    ("rolling_corr", lambda t: t["o"].sort_values("o_orderkey")
+     .set_index("o_orderkey").o_totalprice.rolling(5)
+     .corr(t["o"].sort_values("o_orderkey").set_index("o_orderkey")
+           .o_custkey.astype("float64"))),
+    ("expanding_cov", lambda t: t["o"].sort_values("o_orderkey")
+     .set_index("o_orderkey").o_totalprice.expanding()
+     .cov(t["o"].sort_values("o_orderkey").set_index("o_orderkey")
+          .o_custkey.astype("float64"))),
+    ("expanding_corr", lambda t: t["o"].sort_values("o_orderkey")
+     .set_index("o_orderkey").o_totalprice.expanding()
+     .corr(t["o"].sort_values("o_orderkey").set_index("o_orderkey")
+           .o_custkey.astype("float64"))),
 ]
 
 DIVERGENT_VALUES = [
