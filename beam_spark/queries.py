@@ -1864,6 +1864,88 @@ def q_bm25_topk(spark, sf_dir):
     return (PCollection(docs) | Bm25TopK(queries_df, k=5, k1=1.5)).df
 
 
+@query("q_retrieval_bm25_mmr", r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents),
+post AS (SELECT doc_id, dl, term, count(*) AS tf
+         FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks)
+         GROUP BY doc_id, dl, term),
+stats AS (SELECT count(*) AS N, avg(len(t)) AS avgdl FROM toks),
+dfq AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+qt AS (SELECT doc_id AS query_id, unnest(list_distinct(t)) AS term
+       FROM toks WHERE doc_id < 5),
+scored AS (
+  SELECT qt.query_id, p.doc_id,
+         round(sum(ln(1 + (s.N - d.df + 0.5) / (d.df + 0.5))
+                   * ((p.tf * 2.5)
+                      / (p.tf + 1.5 * (0.25 + 0.75 * p.dl / s.avgdl)))),
+               6) AS score
+  FROM post p JOIN qt ON p.term = qt.term
+  JOIN dfq d ON p.term = d.term CROSS JOIN stats s
+  GROUP BY qt.query_id, p.doc_id),
+cand AS (
+  SELECT sr.query_id, sr.doc_id, sr.score, e.embedding::DOUBLE[] AS v
+  FROM (SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM scored) sr
+  JOIN embeddings e ON e.vec_id = sr.doc_id
+  WHERE sr.rank <= 20),
+sel AS (
+  SELECT query_id, 1 AS rank, doc_id,
+         CAST(0.75 AS DOUBLE) * score AS mmr,
+         [doc_id] AS sel_ids, [v] AS sel_vecs
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY CAST(0.75 AS DOUBLE) * score DESC,
+                   doc_id) AS rn
+        FROM cand) t WHERE rn = 1
+  UNION ALL
+  SELECT query_id, rank + 1, doc_id, mmr,
+         list_append(sel_ids, doc_id), list_append(sel_vecs, v)
+  FROM (
+    SELECT s.query_id, s.rank, c.doc_id,
+           CAST(0.75 AS DOUBLE) * c.score
+                 - CAST(0.25 AS DOUBLE) * list_max(list_transform(
+                     s.sel_vecs,
+                     sv -> round(list_cosine_similarity(c.v, sv), 6)))
+             AS mmr,
+           s.sel_ids, s.sel_vecs, c.v,
+           row_number() OVER (
+             PARTITION BY s.query_id
+             ORDER BY CAST(0.75 AS DOUBLE) * c.score
+                 - CAST(0.25 AS DOUBLE) * list_max(list_transform(
+                     s.sel_vecs,
+                     sv -> round(list_cosine_similarity(c.v, sv), 6)))
+                 DESC, c.doc_id) AS rn
+    FROM sel s JOIN cand c
+      ON c.query_id = s.query_id
+     AND NOT list_contains(s.sel_ids, c.doc_id)
+    WHERE s.rank < 6) t
+  WHERE rn = 1)
+SELECT query_id, doc_id, CAST(rank AS INT) AS rank, mmr FROM sel
+""")
+def q_bm25_mmr(spark, sf_dir):
+    """End-to-end retrieve-then-diversify: BM25 top-20 candidates per
+    query (docs 0-4, k1=1.5 — the q_retrieval_bm25_topk leg) feed
+    MmrRerank (k=6, lam=0.75) with vectors joined from the embeddings
+    table — the full RAG retrieval stack in one pipeline. The oracle
+    chains the BM25 scoring CTEs into the recursive MMR selection
+    replay (round-6 scores/cosines, UNROUNDED objective, doc-id
+    tie-breaks)."""
+    from beam_spark.operators.retrieval import Bm25TopK, MmrRerank
+
+    docs = table(spark, sf_dir, "documents").df
+    queries_df = docs.filter("doc_id < 5").selectExpr(
+        "doc_id AS query_id", "text")
+    bm = (PCollection(docs) | Bm25TopK(queries_df, k=20, k1=1.5)).df
+    emb = table(spark, sf_dir, "embeddings").df
+    out = (PCollection(bm.select("query_id", "doc_id", "score"))
+           | MmrRerank(emb, k=6, lam=0.75)).df
+    return out.select("query_id", "doc_id", "rank", "mmr")
+
+
 @query("q_retrieval_hybrid_rrf", r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t

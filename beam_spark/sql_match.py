@@ -378,6 +378,19 @@ def _compile_and_chain(cond_sql: str, symbol: str,
     next_used = False
     prev_k_max = 0
     for part in parts:
+        # SQL:2016 <running or final>: DEFINE evaluates with RUNNING
+        # semantics; an explicit RUNNING keyword is the legal no-op
+        # spelling, while FINAL shall appear only in MEASURES
+        # (reference: BeamMatchRel enforces the same in its DEFINE
+        # validation).
+        if re.search(r"\bFINAL\s+(FIRST|LAST|PREV|NEXT)\s*\(",
+                     part, re.IGNORECASE):
+            raise ValueError(
+                f"FINAL navigation is not allowed in DEFINE — SQL:2016 "
+                f"gives DEFINE RUNNING semantics; use FINAL only in "
+                f"MEASURES: {part!r}")
+        part = re.sub(r"\bRUNNING\s+(?=(?:FIRST|LAST|PREV|NEXT)\s*\()",
+                      "", part, flags=re.IGNORECASE)
         bm = _BETWEEN_RE.fullmatch(part.strip())
         if bm:
             # SQL-standard inclusive range over literals. BETWEEN

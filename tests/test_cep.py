@@ -1802,3 +1802,37 @@ def test_one_row_per_match_running_equals_final(spark, sf_dir):
     for r in rows:
         assert r["r_cnt"] == r["f_cnt"]
         assert r["r_last"] == r["f_last"]
+
+
+def test_sql_running_final_in_define(spark):
+    """SQL:2016 <running or final> in DEFINE: an explicit RUNNING
+    keyword is the legal no-op spelling (same matches as the bare
+    navigation); FINAL is rejected with a standard-citing error —
+    DEFINE always evaluates with RUNNING semantics."""
+    import pytest
+
+    from beam_spark.sql import SqlTransform
+
+    vals = [5, 4, 3, 6, 2]
+    rows_in = [{"k": 1, "i": i, "v": v} for i, v in enumerate(vals)]
+
+    def run(define):
+        pc = Pipeline(spark) | Create(rows_in)
+        out = ({"s": pc} | SqlTransform(f"""
+            SELECT k, first_v, last_v
+            FROM s MATCH_RECOGNIZE (
+              PARTITION BY k
+              ORDER BY i
+              MEASURES FIRST(A.v) AS first_v, LAST(B.v) AS last_v
+              AFTER MATCH SKIP PAST LAST ROW
+              PATTERN (A B+)
+              DEFINE B AS {define}
+            )""")).df
+        return sorted((r["first_v"], r["last_v"]) for r in out.collect())
+
+    bare = run("B.v < LAST(A.v)")
+    assert bare == run("B.v < RUNNING LAST(A.v)")
+    assert bare  # the pattern does match something
+
+    with pytest.raises(ValueError, match="FINAL.*MEASURES"):
+        run("B.v < FINAL LAST(A.v)")
