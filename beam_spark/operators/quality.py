@@ -914,3 +914,158 @@ class CohensKappa(PTransform):
                           / (nn - F.col("__s")).cast("double"))
                    .alias("kappa")))
         return pcoll.with_df(out)
+
+
+class RankingMetrics(PTransform):
+    """Per-query ranked-retrieval evaluation: DCG@k / IDCG@k / NDCG@k,
+    MRR and precision@k — the offline gate for a retrieval or rerank
+    stack (BM25, ANN, MMR) against graded relevance labels.
+
+    The predicted order ranks on round-6 score descending with a
+    doc-id tie-break (the ANN-suite determinism convention); the ideal
+    order ranks on relevance descending with the same tie-break.
+    DCG uses the standard exponential gain (2^rel - 1) / log2(rank+1);
+    per-term doubles go through the exact-decimal-sum pattern
+    (associative — partial-agg-order-immune), so dcg/idcg/ndcg are
+    reproducible across engines; MRR (1 / first relevant predicted
+    rank, 0.0 when nothing relevant) and precision@k are exact
+    integers with one division.
+
+    Scale: two window ranks over (query)-partitioned frames plus one
+    groupBy(query) aggregation — all partial-agg, one shuffle each on
+    the query key; output is one row per query.
+
+    Output: (query_col, n_docs, dcg, idcg, ndcg, mrr,
+    precision_at_k) — ndcg NULL when idcg = 0 (no relevant docs).
+    """
+
+    def __init__(self, k: int = 10, query_col: str = "query_id",
+                 doc_col: str = "doc_id", score_col: str = "score",
+                 rel_col: str = "rel", label=None):
+        super().__init__(label)
+        if int(k) < 1:
+            raise ValueError(f"k {k}: need >= 1")
+        self.k = int(k)
+        self.query_col, self.doc_col = query_col, doc_col
+        self.score_col, self.rel_col = score_col, rel_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        qc, dc = self.query_col, self.doc_col
+        sc, rc, k = self.score_col, self.rel_col, self.k
+        base = pcoll.df.select(
+            qc, dc,
+            F.round(F.col(sc).cast("double"), 6).alias("__s"),
+            F.col(rc).cast("double").alias("__r"))
+        wp = Window.partitionBy(qc).orderBy(F.col("__s").desc(),
+                                            F.col(dc))
+        wi = Window.partitionBy(qc).orderBy(F.col("__r").desc(),
+                                            F.col(dc))
+        ranked = (base
+                  .withColumn("__pr", F.row_number().over(wp))
+                  .withColumn("__ir", F.row_number().over(wi)))
+        gain = F.pow(F.lit(2.0), F.col("__r")) - F.lit(1.0)
+        dterm = F.when(F.col("__pr") <= k,
+                       gain / F.log2(F.col("__pr") + 1)) \
+                 .otherwise(F.lit(0.0))
+        iterm = F.when(F.col("__ir") <= k,
+                       gain / F.log2(F.col("__ir") + 1)) \
+                 .otherwise(F.lit(0.0))
+        agg = (ranked.groupBy(qc).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(dterm.cast("decimal(28,12)")).alias("__dcg"),
+            F.sum(iterm.cast("decimal(28,12)")).alias("__idcg"),
+            F.min(F.when(F.col("__r") > 0, F.col("__pr")))
+            .alias("__frel"),
+            F.sum(F.when((F.col("__r") > 0) & (F.col("__pr") <= k), 1)
+                  .otherwise(0)).cast("long").alias("__hits")))
+        out = agg.select(
+            qc, "n_docs",
+            F.round(F.col("__dcg").cast("double"), 6).alias("dcg"),
+            F.round(F.col("__idcg").cast("double"), 6).alias("idcg"),
+            F.when(F.col("__idcg") > 0,
+                   F.round(F.col("__dcg").cast("double")
+                           / F.col("__idcg").cast("double"), 6))
+            .alias("ndcg"),
+            F.coalesce(F.lit(1.0) / F.col("__frel").cast("double"),
+                       F.lit(0.0)).alias("mrr"),
+            (F.col("__hits").cast("double")
+             / F.lit(float(k))).alias("precision_at_k"))
+        return pcoll.with_df(out)
+
+
+class FleissKappa(PTransform):
+    """Multi-rater chance-corrected agreement (Fleiss 1971): each input
+    row is one rating (item, category); every item must carry exactly
+    ``n_ratings`` ratings — items with any other count are dropped
+    (rate-complete items only; mirror the filter upstream if you need
+    to know which). The LLM-labeling use case: k judge models each
+    label the same corpus sample, how far beyond chance do they agree?
+
+    With N complete items, n = n_ratings, n_ij the item x category
+    counts, c_j the category totals, S2 = sum n_ij^2, T = sum c_j^2,
+    M = (N*n)^2 and D1 = N*n*(n-1):
+
+        P_bar  = (S2 - N*n) / D1
+        P_e    = T / M
+        kappa  = (M*(S2 - N*n) - D1*T) / (D1 * (M - T))
+
+    — every operand an exact integer, each statistic ONE double
+    division, so all three compare bit-exactly across engines. kappa
+    is NULL when chance explains everything (T = M: a single used
+    category) or n_ratings = 1 (D1 = 0). Integer magnitudes: exact
+    while N*n < ~3e9 ((N*n)^2 must fit a BIGINT) — beyond that,
+    aggregate per stratum and average.
+
+    Scale: one (item, category) count, two tiny reaggregations
+    (item-cardinality and category-cardinality), 1-row report.
+
+    Output: (n_items, n_ratings, n_categories, p_bar, p_e, kappa).
+    """
+
+    def __init__(self, item_col: str, label_col: str, n_ratings: int,
+                 label=None):
+        super().__init__(label)
+        if int(n_ratings) < 1:
+            raise ValueError(f"n_ratings {n_ratings}: need >= 1")
+        self.item_col, self.label_col = item_col, label_col
+        self.n_ratings = int(n_ratings)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        it, lc, n = self.item_col, self.label_col, self.n_ratings
+        base = (pcoll.df
+                .where(F.col(it).isNotNull() & F.col(lc).isNotNull())
+                .select(F.col(it).alias("__i"), F.col(lc).alias("__l")))
+        complete = (base.groupBy("__i")
+                    .agg(F.count(F.lit(1)).alias("__cnt"))
+                    .where(F.col("__cnt") == n).select("__i"))
+        bb = base.join(complete, "__i", "left_semi")
+        nij = bb.groupBy("__i", "__l").agg(
+            F.count(F.lit(1)).cast("long").alias("c"))
+        s2 = nij.agg(
+            F.coalesce(F.sum(F.col("c") * F.col("c")), F.lit(0))
+            .cast("long").alias("__s2"),
+            F.count_distinct(F.col("__i")).cast("long")
+            .alias("n_items"))
+        cj = nij.groupBy("__l").agg(F.sum("c").cast("long").alias("cj"))
+        tt = cj.agg(
+            F.coalesce(F.sum(F.col("cj") * F.col("cj")), F.lit(0))
+            .cast("long").alias("__t"),
+            F.count(F.lit(1)).cast("long").alias("n_categories"))
+        Nn = F.col("n_items") * n
+        M = Nn * Nn
+        D1 = F.col("n_items") * n * (n - 1)
+        out = (s2.crossJoin(F.broadcast(tt)).select(
+            "n_items", F.lit(n).cast("long").alias("n_ratings"),
+            "n_categories",
+            F.when(D1 > 0, (F.col("__s2") - Nn).cast("double")
+                   / D1.cast("double")).alias("p_bar"),
+            F.when(M > 0, F.col("__t").cast("double")
+                   / M.cast("double")).alias("p_e"),
+            F.when((D1 > 0) & (M != F.col("__t")),
+                   (M * (F.col("__s2") - Nn)
+                    - D1 * F.col("__t")).cast("double")
+                   / (D1 * (M - F.col("__t"))).cast("double"))
+            .alias("kappa")))
+        return pcoll.with_df(out)

@@ -2768,6 +2768,121 @@ def q_cohens_kappa(spark, sf_dir):
                       "kappa")
 
 
+@query("q_ranking_metrics_ndcg", """
+WITH base AS (
+  SELECT doc_id % 5 AS query_id, doc_id,
+         round(CAST(n_chars % 97 AS DOUBLE), 6) AS s,
+         CAST(doc_id % 4 AS DOUBLE) AS r
+  FROM documents),
+rk AS (SELECT *,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, doc_id) AS pr,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY r DESC, doc_id) AS ir
+       FROM base),
+t AS (SELECT query_id, r, pr,
+        CAST(CASE WHEN pr <= 10
+             THEN (power(2, r) - 1) / log2(pr + 1)
+             ELSE CAST(0 AS DOUBLE) END AS DECIMAL(28,12)) AS dt,
+        CAST(CASE WHEN ir <= 10
+             THEN (power(2, r) - 1) / log2(ir + 1)
+             ELSE CAST(0 AS DOUBLE) END AS DECIMAL(28,12)) AS it
+      FROM rk),
+a AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_docs,
+             sum(dt) AS dcg0, sum(it) AS idcg0,
+             min(CASE WHEN r > 0 THEN pr END) AS frel,
+             CAST(sum(CASE WHEN r > 0 AND pr <= 10 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits
+      FROM t GROUP BY query_id)
+SELECT query_id, n_docs,
+       round(CAST(dcg0 AS DOUBLE), 6) AS dcg,
+       round(CAST(idcg0 AS DOUBLE), 6) AS idcg,
+       CASE WHEN idcg0 > 0 THEN
+         round(CAST(dcg0 AS DOUBLE) / CAST(idcg0 AS DOUBLE), 6)
+       END AS ndcg,
+       coalesce(CAST(1 AS DOUBLE) / CAST(frel AS DOUBLE),
+                CAST(0 AS DOUBLE)) AS mrr,
+       CAST(hits AS DOUBLE) / CAST(10 AS DOUBLE) AS precision_at_k
+FROM a
+""")
+def q_ranking_metrics(spark, sf_dir):
+    """NDCG@10 / MRR / precision@10 per query over a deterministic
+    documents-derived ranking task (query = doc_id%5, score = a
+    quantized n_chars proxy with heavy ties, graded rel = doc_id%4):
+    both rank orders use round-6 score / rel with doc-id tie-breaks,
+    DCG terms go through the exact decimal sum, MRR and P@k are
+    integer-exact."""
+    from beam_spark.operators.quality import RankingMetrics
+
+    docs = table(spark, sf_dir, "documents").df.select(
+        (F.col("doc_id") % 5).alias("query_id"),
+        "doc_id",
+        (F.col("n_chars") % 97).cast("double").alias("score"),
+        (F.col("doc_id") % 4).cast("double").alias("rel"))
+    out = (PCollection(docs) | RankingMetrics(
+        k=10, query_col="query_id", doc_col="doc_id",
+        score_col="score", rel_col="rel")).df
+    return out.select("query_id", "n_docs", "dcg", "idcg", "ndcg",
+                      "mrr", "precision_at_k")
+
+
+@query("q_fleiss_kappa_events", """
+WITH r AS (SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+b AS (SELECT user_id, event_type FROM r WHERE rn <= 6),
+ok AS (SELECT user_id FROM b GROUP BY user_id HAVING count(*) = 6),
+bb AS (SELECT b.user_id, b.event_type FROM b
+       JOIN ok ON ok.user_id = b.user_id),
+nij AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        FROM bb GROUP BY 1, 2),
+s2 AS (SELECT CAST(coalesce(sum(c * c), 0) AS BIGINT) AS s2,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_items
+       FROM nij),
+cj AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS cj FROM nij
+       GROUP BY 1),
+tt AS (SELECT CAST(coalesce(sum(cj * cj), 0) AS BIGINT) AS t,
+              CAST(count(*) AS BIGINT) AS n_categories
+       FROM cj)
+SELECT n_items, CAST(6 AS BIGINT) AS n_ratings, n_categories,
+       CASE WHEN n_items * 6 * 5 > 0 THEN
+         CAST(s2 - n_items * 6 AS DOUBLE)
+           / CAST(n_items * 6 * 5 AS DOUBLE) END AS p_bar,
+       CASE WHEN (n_items * 6) * (n_items * 6) > 0 THEN
+         CAST(t AS DOUBLE)
+           / CAST((n_items * 6) * (n_items * 6) AS DOUBLE)
+       END AS p_e,
+       CASE WHEN n_items * 6 * 5 > 0
+             AND (n_items * 6) * (n_items * 6) <> t THEN
+         CAST((n_items * 6) * (n_items * 6) * (s2 - n_items * 6)
+              - n_items * 6 * 5 * t AS DOUBLE)
+           / CAST(n_items * 6 * 5
+                  * ((n_items * 6) * (n_items * 6) - t) AS DOUBLE)
+       END AS kappa
+FROM s2 CROSS JOIN tt
+""")
+def q_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa over the first 6 events per user (item = user,
+    category = event_type, n = 6 ratings): S2 / T / marginals are
+    exact integers and p_bar / p_e / kappa each ONE double division —
+    compared UNROUNDED."""
+    from pyspark.sql import Window
+
+    from beam_spark.operators.quality import FleissKappa
+
+    ev = table(spark, sf_dir, "events").df.where(
+        "user_id IS NOT NULL AND event_type IS NOT NULL")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first6 = (ev.withColumn("__rn", F.row_number().over(w))
+              .where("__rn <= 6").select("user_id", "event_type"))
+    out = (PCollection(first6) | FleissKappa(
+        "user_id", "event_type", n_ratings=6)).df
+    return out.select("n_items", "n_ratings", "n_categories", "p_bar",
+                      "p_e", "kappa")
+
+
 @query("q_funnel_view_click_purchase", """
 WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
             WHERE event_type = 'view' GROUP BY user_id),

@@ -2538,3 +2538,70 @@ def test_cohens_kappa_known(spark):
     degen = spark.createDataFrame([("a", "a")] * 4, "a string, b string")
     rd = (PCollection(degen) | CohensKappa("a", "b")).df.collect()[0]
     assert rd["kappa"] is None and rd["p_e"] == 1.0
+
+
+def test_ranking_metrics_known(spark):
+    """Hand-computed NDCG@2: 3 docs with rel (3, 0, 1), prediction
+    puts the rel-0 doc first -> DCG@2 = 0 + 7/log2(3), IDCG@2 =
+    7/1 + 1/log2(3); MRR = 1/2 (first relevant at predicted rank 2);
+    P@2 = 0.5; a query with no relevant docs gets ndcg NULL, mrr 0."""
+    import math
+
+    from beam_spark.operators.quality import RankingMetrics
+    from beam_spark.pcollection import PCollection
+
+    rows = [
+        (1, 10, 0.9, 0.0), (1, 11, 0.8, 3.0), (1, 12, 0.1, 1.0),
+        (2, 20, 0.5, 0.0), (2, 21, 0.4, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, doc_id long, score double, rel double")
+    out = {r["query_id"]: r for r in (PCollection(df) | RankingMetrics(
+        k=2)).df.collect()}
+    r1 = out[1]
+    dcg = 0.0 + 7.0 / math.log2(3)
+    idcg = 7.0 / 1.0 + 1.0 / math.log2(3)
+    assert r1["dcg"] == round(dcg, 6)
+    assert r1["idcg"] == round(idcg, 6)
+    assert abs(r1["ndcg"] - dcg / idcg) < 2e-6
+    assert r1["mrr"] == 0.5
+    assert r1["precision_at_k"] == 0.5
+    r2 = out[2]
+    assert r2["ndcg"] is None and r2["mrr"] == 0.0
+    assert r2["dcg"] == 0.0 and r2["precision_at_k"] == 0.0
+
+    import pytest as pt
+
+    with pt.raises(ValueError, match="k"):
+        RankingMetrics(k=0)
+
+
+def test_fleiss_kappa_known(spark):
+    """Textbook 3-item, 4-rater example: counts per item over {a,b}:
+    (4,0), (2,2), (0,4). S2 = 16+8+16 = 40, N=3, n=4, c=(6,6),
+    T=72, M=144, D1=36: p_bar=(40-12)/36, p_e=0.5,
+    kappa=(144*28-36*72)/(36*72). Incomplete items are dropped;
+    unanimous single-category input -> kappa NULL."""
+    from beam_spark.operators.quality import FleissKappa
+    from beam_spark.pcollection import PCollection
+
+    rows = ([(1, "a")] * 4 + [(2, "a")] * 2 + [(2, "b")] * 2
+            + [(3, "b")] * 4 + [(4, "a")] * 3)   # item 4: only 3 -> drop
+    df = spark.createDataFrame(rows, "item long, cat string")
+    r = (PCollection(df) | FleissKappa("item", "cat",
+                                       n_ratings=4)).df.collect()[0]
+    assert (r["n_items"], r["n_ratings"], r["n_categories"]) == (3, 4, 2)
+    assert r["p_bar"] == 28 / 36
+    assert r["p_e"] == 0.5
+    assert r["kappa"] == (144 * 28 - 36 * 72) / (36 * 72)
+
+    unan = spark.createDataFrame([(1, "a")] * 2 + [(2, "a")] * 2,
+                                 "item long, cat string")
+    ru = (PCollection(unan) | FleissKappa("item", "cat",
+                                          n_ratings=2)).df.collect()[0]
+    assert ru["kappa"] is None and ru["p_bar"] == 1.0 and ru["p_e"] == 1.0
+
+    import pytest as pt
+
+    with pt.raises(ValueError, match="n_ratings"):
+        FleissKappa("i", "c", n_ratings=0)
