@@ -142,3 +142,75 @@ class CdcApply(PTransform):
                .filter((F.col("__rn") == 1) & (F.col("__op") != "D"))
                .drop("__rn", "__op", self.op_col))
         return pcoll.with_df(out)
+
+
+class ZOrderKey(PTransform):
+    """Morton (Z-order) clustering key over 2+ integer columns — the
+    data-layout primitive behind Delta's OPTIMIZE ZORDER BY / Iceberg
+    sort orders: writing files sorted by the interleaved key gives
+    every participating column locality, so min/max file statistics
+    prune scans on ANY of them (not just the leading sort column).
+
+    Each column is first scaled onto [0, 2^bits) with pure INTEGER
+    arithmetic — (v - min) * (2^bits - 1) DIV (max - min), min/max
+    from one global aggregate broadcast back — then the scaled words
+    are bit-interleaved (column 0 owns bit positions 0, d, 2d, ...).
+    Every step is integer shift/mask/or, so the key is bit-exact
+    across engines by construction. Constant columns scale to 0. NULL
+    in any participating column yields a NULL key (sort them last).
+
+    Overflow bound: (max - min) * (2^bits - 1) must fit a BIGINT —
+    with the default 16 bits that allows value ranges up to ~1.4e14;
+    d * bits must be <= 63 (d = number of columns).
+
+    Scale: ONE aggregation for the min/max frame (broadcast cross
+    join), then a zero-shuffle expression — the expensive part of
+    z-order layout is the final ORDER BY / repartitionByRange on the
+    key, which is exactly the exchange the write needs anyway.
+
+    Output: the input plus ``output_col`` (bigint).
+    """
+
+    def __init__(self, cols, bits: int = 16,
+                 output_col: str = "zorder_key", label=None):
+        super().__init__(label)
+        cols = [cols] if isinstance(cols, str) else list(cols)
+        if len(cols) < 2:
+            raise ValueError("ZOrderKey needs >= 2 columns")
+        if not 1 <= int(bits) * len(cols) <= 63:
+            raise ValueError(
+                f"bits * n_cols = {int(bits) * len(cols)} outside "
+                "[1, 63] (key must fit a BIGINT)")
+        self.cols, self.bits = cols, int(bits)
+        self.output_col = output_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        b, d = self.bits, len(self.cols)
+        top = (1 << b) - 1
+        aggs = []
+        for i, c in enumerate(self.cols):
+            aggs += [F.min(F.col(c).cast("long")).alias(f"__mn{i}"),
+                     F.max(F.col(c).cast("long")).alias(f"__mx{i}")]
+        mm = pcoll.df.agg(*aggs)
+        df = pcoll.df.crossJoin(F.broadcast(mm))
+        # integer scale: (v - min) * top DIV range — floor division
+        # keeps every step integer-exact in both engines
+        words = []
+        for i, c in enumerate(self.cols):
+            rng = F.col(f"__mx{i}") - F.col(f"__mn{i}")
+            words.append(F.when(rng > 0,
+                                F.expr(f"CAST((({c} - __mn{i}) * {top}) "
+                                       f"DIV (__mx{i} - __mn{i}) "
+                                       f"AS BIGINT)")
+                                ).otherwise(F.lit(0).cast("long")))
+        key = F.lit(0).cast("long")
+        for i, w in enumerate(words):
+            for bit in range(b):
+                key = key.bitwiseOR(
+                    F.shiftleft(F.shiftright(w, bit)
+                                .bitwiseAND(F.lit(1)),
+                                bit * d + i))
+        out = (df.withColumn(self.output_col, key.cast("long"))
+               .drop(*[f"__mn{i}" for i in range(d)],
+                     *[f"__mx{i}" for i in range(d)]))
+        return pcoll.with_df(out)

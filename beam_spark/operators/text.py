@@ -798,3 +798,89 @@ class PmiCollocations(PTransform):
                .select("w1", "w2", "pair_n", "w1_n", "w2_n",
                        F.round(F.log(num / den), 6).alias("pmi")))
         return pcoll.with_df(out)
+
+
+class ZipfFit(PTransform):
+    """Zipf's-law fit of the corpus term-frequency distribution: OLS of
+    ln(count) on ln(rank) over the ranked vocabulary — the exponent
+    (slope ~ -1 for natural language) and fit quality (r2) are the
+    standard corpus-health statistic for spotting boilerplate-heavy or
+    machine-generated text (which flattens or breaks the power law).
+
+    Ranks are deterministic: count descending with a term tie-break.
+    ``min_count`` drops the hapax tail; ``max_rank`` (optional) fits
+    the head only. Cross-engine determinism: each per-term ln goes
+    through the exact-decimal-sum pattern (round-12 terms, associative
+    sums), the OLS closed form then runs on identical doubles; slope /
+    intercept / r2 round 6.
+
+    Scale: one explode -> groupBy(term) count (partial agg), then a
+    row_number over the VOCABULARY frame — a single-partition sort of
+    distinct terms, not the corpus (the AUC-cumsum posture; cap with
+    max_rank for billion-term vocabularies), and one global
+    aggregation of the moments.
+
+    Output: one row — (n_terms, slope, intercept, r2); r2 NULL when
+    either variance is 0 (fewer than 2 ranks, or all counts equal).
+    """
+
+    def __init__(self, text_col: str = "text", min_count: int = 1,
+                 max_rank: int | None = None, label=None):
+        super().__init__(label)
+        if int(min_count) < 1:
+            raise ValueError(f"min_count {min_count}: need >= 1")
+        if max_rank is not None and int(max_rank) < 2:
+            raise ValueError(f"max_rank {max_rank}: need >= 2")
+        self.text_col, self.min_count = text_col, int(min_count)
+        self.max_rank = None if max_rank is None else int(max_rank)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        tc = self.text_col
+        toks = F.filter(tokens(tc), lambda x: x != "")
+        terms = (pcoll.df.where(F.col(tc).isNotNull())
+                 .select(F.explode(toks).alias("__w"))
+                 .groupBy("__w")
+                 .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+                 .where(F.col("__c") >= self.min_count))
+        w = Window.orderBy(F.col("__c").desc(), F.col("__w"))
+        ranked = terms.withColumn("__r", F.row_number().over(w))
+        if self.max_rank is not None:
+            ranked = ranked.where(F.col("__r") <= self.max_rank)
+        x = F.log(F.col("__r").cast("double"))
+        y = F.log(F.col("__c").cast("double"))
+        d = "decimal(28,12)"
+        m = ranked.agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.count_distinct(F.col("__c")).cast("long").alias("__dc"),
+            F.sum(x.cast(d)).alias("__sx"),
+            F.sum(y.cast(d)).alias("__sy"),
+            F.sum((x * x).cast(d)).alias("__sxx"),
+            F.sum((x * y).cast(d)).alias("__sxy"),
+            F.sum((y * y).cast(d)).alias("__syy"))
+        n = F.col("n_terms").cast("double")
+        sx = F.col("__sx").cast("double")
+        sy = F.col("__sy").cast("double")
+        sxx = F.col("__sxx").cast("double")
+        sxy = F.col("__sxy").cast("double")
+        syy = F.col("__syy").cast("double")
+        covn = n * sxy - sx * sy
+        varx = n * sxx - sx * sx
+        vary = n * syy - sy * sy
+        slope = covn / varx
+        # zero-variance guards use EXACT integer conditions, not the
+        # float moments (decimal-12 term rounding leaves a tiny
+        # residue where the true variance is 0): x varies iff there
+        # are >= 2 ranks, y varies iff counts are not all equal
+        has_x = F.col("n_terms") >= 2
+        has_y = F.col("__dc") >= 2
+        out = m.select(
+            "n_terms",
+            F.when(has_x, F.round(slope, 6)).alias("slope"),
+            F.when(has_x,
+                   F.round((sy - slope * sx) / n, 6)).alias("intercept"),
+            F.when(has_x & has_y,
+                   F.round((covn * covn) / (varx * vary), 6))
+            .alias("r2"))
+        return pcoll.with_df(out)

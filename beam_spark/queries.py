@@ -2883,6 +2883,102 @@ def q_fleiss_kappa(spark, sf_dir):
                       "p_e", "kappa")
 
 
+def _morton_sql(words: list, bits: int) -> str:
+    """OR-chain of interleaved bit extractions (column i owns bit
+    positions i, i+d, i+2d, ... — the ZOrderKey layout)."""
+    d = len(words)
+    # DuckDB (PostgreSQL precedence) treats << >> & | as ONE left-
+    # associative level — every term must be fully parenthesized or
+    # the OR-chain re-shifts accumulated values
+    return " | ".join(
+        f"(((({w}) >> {bit}) & 1) << {bit * d + i})"
+        for i, w in enumerate(words) for bit in range(bits))
+
+
+@query("q_lake_zorder_key", """
+WITH mm AS (SELECT min(l_partkey) AS mn0, max(l_partkey) AS mx0,
+                   min(l_suppkey) AS mn1, max(l_suppkey) AS mx1
+            FROM lineitem),
+s AS (SELECT l_orderkey, l_linenumber,
+             CASE WHEN mx0 > mn0
+               THEN ((l_partkey - mn0) * 255) // (mx0 - mn0)
+               ELSE 0 END AS w0,
+             CASE WHEN mx1 > mn1
+               THEN ((l_suppkey - mn1) * 255) // (mx1 - mn1)
+               ELSE 0 END AS w1
+      FROM lineitem CROSS JOIN mm)
+SELECT l_orderkey, l_linenumber,
+       CAST(""" + _morton_sql(["w0", "w1"], 8) + """ AS BIGINT)
+         AS zorder_key
+FROM s
+""")
+def q_zorder_key(spark, sf_dir):
+    """Morton (Z-order) clustering key over (l_partkey, l_suppkey) at
+    8 bits per column: integer min/max scaling (floor division) and
+    bit interleaving are exact in both engines, so every key is
+    bit-identical — the layout primitive behind OPTIMIZE ZORDER-style
+    file clustering."""
+    from beam_spark.operators.scd import ZOrderKey
+
+    li = table(spark, sf_dir, "lineitem")
+    out = (li | ZOrderKey(["l_partkey", "l_suppkey"], bits=8)).df
+    return out.select("l_orderkey", "l_linenumber", "zorder_key")
+
+
+@query("q_text_zipf_fit", """
+WITH t AS (SELECT list_filter({_TOK}, x -> x <> '') AS toks
+           FROM documents WHERE text IS NOT NULL),
+tc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+       FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+       HAVING count(*) >= 2),
+rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r FROM tc),
+xy AS (SELECT c,
+              CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(28,12)) AS dx,
+              CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(28,12)) AS dy,
+              CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))
+                   AS DECIMAL(28,12)) AS dxx,
+              CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE))
+                   AS DECIMAL(28,12)) AS dxy,
+              CAST(ln(CAST(c AS DOUBLE)) * ln(CAST(c AS DOUBLE))
+                   AS DECIMAL(28,12)) AS dyy
+       FROM rk),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(count(DISTINCT c) AS BIGINT) AS dc,
+             CAST(sum(dx) AS DOUBLE) AS sx, CAST(sum(dy) AS DOUBLE) AS sy,
+             CAST(sum(dxx) AS DOUBLE) AS sxx,
+             CAST(sum(dxy) AS DOUBLE) AS sxy,
+             CAST(sum(dyy) AS DOUBLE) AS syy
+      FROM xy)
+SELECT n_terms,
+       CASE WHEN n_terms >= 2 THEN
+         round((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 6)
+       END AS slope,
+       CASE WHEN n_terms >= 2 THEN
+         round((sy - ((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                      / (CAST(n_terms AS DOUBLE) * sxx - sx * sx)) * sx)
+               / CAST(n_terms AS DOUBLE), 6)
+       END AS intercept,
+       CASE WHEN n_terms >= 2 AND dc >= 2 THEN
+         round(((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                * (CAST(n_terms AS DOUBLE) * sxy - sx * sy))
+               / ((CAST(n_terms AS DOUBLE) * sxx - sx * sx)
+                  * (CAST(n_terms AS DOUBLE) * syy - sy * sy)), 6)
+       END AS r2
+FROM m
+""".replace("{_TOK}", _TOK))
+def q_zipf_fit(spark, sf_dir):
+    """Zipf exponent fit over the documents vocabulary (min_count 2):
+    deterministic count-desc/term ranks, per-term ln moments through
+    the exact decimal sum, OLS closed form on identical doubles,
+    slope/intercept/r2 rounded 6."""
+    from beam_spark.operators.text import ZipfFit
+
+    docs = table(spark, sf_dir, "documents")
+    out = (docs | ZipfFit("text", min_count=2)).df
+    return out.select("n_terms", "slope", "intercept", "r2")
+
+
 @query("q_funnel_view_click_purchase", """
 WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
             WHERE event_type = 'view' GROUP BY user_id),

@@ -2605,3 +2605,77 @@ def test_fleiss_kappa_known(spark):
 
     with pt.raises(ValueError, match="n_ratings"):
         FleissKappa("i", "c", n_ratings=0)
+
+
+def test_zorder_key_known(spark):
+    """2-bit Morton interleave over x in [0,3], y in [0,3]: the key
+    equals the textbook Morton table (x owns even bits, y odd bits);
+    NULL input -> NULL key; constant column scales to word 0; locality
+    holds (sorting by key groups quadrants together)."""
+    from beam_spark.operators.scd import ZOrderKey
+    from beam_spark.pcollection import PCollection
+
+    rows = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = {(r["x"], r["y"]): r["zorder_key"] for r in (
+        PCollection(df) | ZOrderKey(["x", "y"], bits=2)).df.collect()}
+
+    def morton(x, y):
+        k = 0
+        for b in range(2):
+            k |= ((x >> b) & 1) << (2 * b)
+            k |= ((y >> b) & 1) << (2 * b + 1)
+        return k
+
+    # min=0, max=3 -> scaling maps v -> v exactly (v * 3 // 3)
+    assert out == {(x, y): morton(x, y) for x, y in rows}
+
+    with_null = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None)], "x long, y long")
+    kn = [(r["x"], r["y"], r["zorder_key"]) for r in (
+        PCollection(with_null) | ZOrderKey(["x", "y"], bits=4))
+        .df.collect()]
+    assert all(k is None for x, y, k in kn if x is None or y is None)
+
+    const = spark.createDataFrame([(7, 1), (7, 2)], "x long, y long")
+    kc = {r["y"]: r["zorder_key"] for r in (
+        PCollection(const) | ZOrderKey(["x", "y"], bits=3))
+        .df.collect()}
+    assert kc[1] == 0  # both words 0 at the min
+
+    import pytest as pt
+
+    with pt.raises(ValueError, match=">= 2 columns"):
+        ZOrderKey(["x"])
+    with pt.raises(ValueError, match="BIGINT"):
+        ZOrderKey(["x", "y"], bits=32)
+
+
+def test_zipf_fit_known(spark):
+    """Exact power law count = 48 / rank (counts 48,24,16,12):
+    ln(count) = ln(48) - 1*ln(rank), so slope = -1, intercept = ln(48),
+    r2 = 1 (up to the decimal-12 moment rounding); constant counts
+    give r2 NULL (zero y-variance) but a defined slope of 0."""
+    import math
+
+    from beam_spark.operators.text import ZipfFit
+    from beam_spark.pcollection import PCollection
+
+    docs = [" ".join(["a"] * 48 + ["b"] * 24 + ["c"] * 16 + ["d"] * 12)]
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    r = (PCollection(df) | ZipfFit("text")).df.collect()[0]
+    assert r["n_terms"] == 4
+    assert abs(r["slope"] - (-1.0)) < 1e-6
+    assert abs(r["intercept"] - math.log(48)) < 1e-6
+    assert abs(r["r2"] - 1.0) < 1e-6
+
+    flat = spark.createDataFrame([("x y z x y z",)], "text string")
+    rf = (PCollection(flat) | ZipfFit("text")).df.collect()[0]
+    assert rf["r2"] is None and rf["slope"] == 0.0
+
+    import pytest as pt
+
+    with pt.raises(ValueError, match="min_count"):
+        ZipfFit("text", min_count=0)
+    with pt.raises(ValueError, match="max_rank"):
+        ZipfFit("text", max_rank=1)
