@@ -5292,6 +5292,71 @@ def q_graph_pagerank_weighted(spark, sf_dir):
     return pr.select("node", F.round("pr", 9).alias("pr"))
 
 
+def _ppr_oracle_sql(iters: int = 4) -> str:
+    """Chained-CTE PERSONALIZED PageRank: restart mass (and dangling
+    mass) land on the seed set proportionally to the normalized
+    personalization vector instead of 1/N, and r0 IS the restart
+    vector — exactly the operator's personalization branch. Same
+    round(9) float posture as the generic oracle."""
+    cte = ["""WITH edges AS (
+  SELECT o_custkey AS src, l_partkey + 10000000 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+pers AS (SELECT DISTINCT o_custkey AS node, CAST(1 AS DOUBLE) AS p
+         FROM orders WHERE o_custkey % 37 = 0),
+pt AS (SELECT CAST(sum(p) AS DOUBLE) AS t FROM pers),
+rv AS (SELECT nd.node,
+              COALESCE(pe.p / pt.t, CAST(0 AS DOUBLE)) AS r
+       FROM nodes nd CROSS JOIN pt
+       LEFT JOIN pers pe ON pe.node = nd.node),
+r0 AS (SELECT node, r AS pr FROM rv),"""]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        cte.append(f"""r{i} AS (
+  SELECT rv.node,
+         (1 - CAST(0.85 AS DOUBLE)) * rv.r
+         + CAST(0.85 AS DOUBLE)
+           * (COALESCE(s.m, 0) + dg.dm * rv.r)
+         AS pr
+  FROM rv
+  CROSS JOIN (SELECT COALESCE(sum(r.pr), 0) AS dm
+              FROM {p} r LEFT JOIN deg ON r.node = deg.src
+              WHERE deg.src IS NULL) dg
+  LEFT JOIN (SELECT e.dst AS node, sum(r.pr / deg.d) AS m
+             FROM edges e JOIN {p} r ON e.src = r.node
+             JOIN deg ON e.src = deg.src GROUP BY e.dst) s
+    ON rv.node = s.node),""")
+    cte[-1] = cte[-1].rstrip(",")
+    return ("\n".join(cte)
+            + f"\nSELECT node, round(pr, 9) AS pr FROM r{iters}"
+            + "\nWHERE round(pr, 9) > 0")
+
+
+@query("q_graph_pagerank_personalized", _ppr_oracle_sql())
+def q_graph_ppr(spark, sf_dir):
+    """Personalized PageRank (4 iterations, d=0.85, seeds = customers
+    with custkey % 37 = 0) over the customer -> part purchase graph:
+    restart AND dangling mass land on the seed vector, r0 is the
+    restart vector, and nodes unreachable from the seeds (rank
+    rounding to 0 at 9 dp) are filtered in BOTH engines — the
+    topic-local authority score of host-biased corpus curation."""
+    from beam_spark.operators.graph import PageRank
+
+    li = table(spark, sf_dir, "lineitem").df
+    o = table(spark, sf_dir, "orders").df
+    edges = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+             .select(F.col("o_custkey").alias("src"),
+                     (F.col("l_partkey") + 10000000).alias("dst")))
+    seeds = (o.select(F.col("o_custkey").alias("node"))
+             .where("o_custkey % 37 = 0").distinct()
+             .withColumn("p", F.lit(1.0)))
+    pr = (PCollection(edges) | PageRank(iterations=4,
+                                        personalization=seeds)).df
+    return (pr.select("node", F.round("pr", 9).alias("pr"))
+            .where("round(pr, 9) > 0"))
+
+
 _LINKS_EDGES_SQL = ("SELECT o_custkey AS src, "
                     "o_orderkey % 200 + 1000000 AS dst FROM orders")
 _LINKS_E0_SQL = ("SELECT o_custkey AS src, "
