@@ -420,6 +420,25 @@ def q_stats_moments(spark, sf_dir):
                        "CAST(n_ref AS DOUBLE) AS v2",
                        "CAST(n_cur AS DOUBLE) AS v3",
                        "CAST(drifted AS DOUBLE) AS v4"),
+        # round-11 session-2 evaluation family, as tagged projections
+        # (full rows stay component-oracled — the reduced-variant
+        # gate-fold pattern)
+        _component("q_cohens_kappa_langs")(spark, sf_dir).selectExpr(
+            "'kappa' AS op", "'cohen' AS k", "p_o AS v1", "p_e AS v2",
+            "kappa AS v3", "CAST(n_categories AS DOUBLE) AS v4"),
+        _component("q_fleiss_kappa_events")(spark, sf_dir).selectExpr(
+            "'kappa' AS op", "'fleiss' AS k", "p_bar AS v1",
+            "p_e AS v2", "kappa AS v3", "CAST(n_items AS DOUBLE) AS v4"),
+        _component("q_classifier_metrics")(spark, sf_dir).selectExpr(
+            "'clsf' AS op", "'docs' AS k", "auc AS v1", "logloss AS v2",
+            "brier AS v3", "f1 AS v4"),
+        _component("q_ranking_metrics_ndcg")(spark, sf_dir).selectExpr(
+            "'ndcg' AS op", "CAST(query_id AS STRING) AS k", "dcg AS v1",
+            "idcg AS v2", "ndcg AS v3", "mrr AS v4"),
+        _component("q_text_zipf_fit")(spark, sf_dir).selectExpr(
+            "'zipf' AS op", "'docs' AS k", "slope AS v1",
+            "intercept AS v2", "r2 AS v3",
+            "CAST(n_terms AS DOUBLE) AS v4"),
     ])
 
 
@@ -442,6 +461,21 @@ _STATS_MOMENTS_SQL = "\nUNION ALL\n".join([
           "CAST(n_ref AS DOUBLE) AS v2, CAST(n_cur AS DOUBLE) AS v3, "
           "CAST(drifted AS DOUBLE) AS v4",
           _component_sql("q_quality_jsd_drift")),
+    _wrap("'kappa' AS op, 'cohen' AS k, p_o AS v1, p_e AS v2, "
+          "kappa AS v3, CAST(n_categories AS DOUBLE) AS v4",
+          _component_sql("q_cohens_kappa_langs")),
+    _wrap("'kappa' AS op, 'fleiss' AS k, p_bar AS v1, p_e AS v2, "
+          "kappa AS v3, CAST(n_items AS DOUBLE) AS v4",
+          _component_sql("q_fleiss_kappa_events")),
+    _wrap("'clsf' AS op, 'docs' AS k, auc AS v1, logloss AS v2, "
+          "brier AS v3, f1 AS v4",
+          _component_sql("q_classifier_metrics")),
+    _wrap("'ndcg' AS op, CAST(query_id AS VARCHAR) AS k, dcg AS v1, "
+          "idcg AS v2, ndcg AS v3, mrr AS v4",
+          _component_sql("q_ranking_metrics_ndcg")),
+    _wrap("'zipf' AS op, 'docs' AS k, slope AS v1, intercept AS v2, "
+          "r2 AS v3, CAST(n_terms AS DOUBLE) AS v4",
+          _component_sql("q_text_zipf_fit")),
 ])
 
 
