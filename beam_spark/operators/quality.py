@@ -1069,3 +1069,160 @@ class FleissKappa(PTransform):
                    / (D1 * (M - F.col("__t"))).cast("double"))
             .alias("kappa")))
         return pcoll.with_df(out)
+
+
+class SkewProfile(PTransform):
+    """Key-distribution diagnostics for a prospective join/groupBy key
+    — the pre-flight check that decides whether a 100 TB shuffle needs
+    salting or AQE skew handling BEFORE it runs. One row:
+
+      n_rows, n_keys, max_key_n   exact counts
+      top1_share / top10_share    heaviest-key / top-10 mass fraction
+      skew_ratio                  max key count / mean key count
+      gini                        Gini coefficient of key counts
+      cv                          coefficient of variation of counts
+
+    Everything is computed from exact integers: with counts c_i sorted
+    ascending (count, then key-string tie-break), rank i = 1..K,
+
+        gini = (2*sum(i*c_i) - (K+1)*n) / (K*n)
+        cv   = sqrt(K*sum(c^2) - n^2) / n      (population std / mean)
+
+    — each statistic ONE double division (cv one sqrt of an exact
+    integer expression), so all compare bit-exactly across engines.
+    Reading: gini ~0 / skew_ratio ~1 = uniform; top1_share near 1 or
+    skew_ratio >> 10 = salt this key.
+
+    Scale: one groupBy(key) count (partial agg), then windows over
+    the DISTINCT-KEY frame (cardinality-bounded, the AUC-cumsum
+    posture) and a 1-row report. NULL key components participate as
+    the string 'NULL' bucket (NULLs hash together in a real shuffle —
+    that is exactly the hot key you want to see).
+
+    Output: (n_rows, n_keys, max_key_n, top1_share, top10_share,
+    skew_ratio, gini, cv).
+    """
+
+    def __init__(self, keys, top_k: int = 10, label=None):
+        super().__init__(label)
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        if int(top_k) < 1:
+            raise ValueError(f"top_k {top_k}: need >= 1")
+        self.top_k = int(top_k)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        k = self.top_k
+        keyexpr = F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
+                      for c in self.keys])
+        counts = (pcoll.df.select(keyexpr.alias("__k"))
+                  .groupBy("__k")
+                  .agg(F.count(F.lit(1)).cast("long").alias("c")))
+        wa = Window.orderBy(F.col("c").asc(), F.col("__k"))
+        wd = Window.orderBy(F.col("c").desc(), F.col("__k"))
+        ranked = (counts
+                  .withColumn("__ra", F.row_number().over(wa))
+                  .withColumn("__rd", F.row_number().over(wd)))
+        agg = ranked.agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("c").cast("long").alias("max_key_n"),
+            F.sum(F.col("__ra") * F.col("c")).cast("long").alias("__ic"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("__c2"),
+            F.sum(F.when(F.col("__rd") <= k, F.col("c")).otherwise(0))
+            .cast("long").alias("__topk"))
+        n, K = F.col("n_rows"), F.col("n_keys")
+        out = agg.select(
+            "n_rows", "n_keys", "max_key_n",
+            (F.col("max_key_n").cast("double") / n.cast("double"))
+            .alias("top1_share"),
+            (F.col("__topk").cast("double") / n.cast("double"))
+            .alias("top10_share"),
+            ((F.col("max_key_n") * K).cast("double") / n.cast("double"))
+            .alias("skew_ratio"),
+            ((2 * F.col("__ic") - (K + 1) * n).cast("double")
+             / (K * n).cast("double")).alias("gini"),
+            (F.sqrt((K * F.col("__c2") - n * n).cast("double"))
+             / n.cast("double")).alias("cv"))
+        return pcoll.with_df(out)
+
+
+class GroupFairnessMetrics(PTransform):
+    """Per-group classifier fairness report — demographic-parity and
+    equalized-odds inputs for auditing a quality/toxicity filter
+    before it prunes a corpus: does the threshold remove one slice
+    (language, source) disproportionately?
+
+    Per group g at ``threshold``: exact confusion counts, then
+        tpr = tp / n_pos          (recall within the group)
+        fpr = fp / n_neg
+        ppr = (tp + fp) / n       (predicted-positive rate)
+    and each rate's RATIO to the all-data rate (tpr_ratio etc. — the
+    "80% rule" reads ppr_ratio < 0.8 as disparate impact). Rates are
+    single divisions of exact integers; ratios one further division
+    of those identical doubles — bit-exact cross-engine. NULL where a
+    denominator class is empty.
+
+    Scale: one groupBy(group) aggregation + a broadcast 1-row global;
+    output is group-cardinality rows.
+
+    Output: (group, n, n_pos, tp, fp, tn, fn, tpr, fpr, ppr,
+    tpr_ratio, fpr_ratio, ppr_ratio).
+    """
+
+    def __init__(self, score_col: str, label_col: str, group_col: str,
+                 threshold: float = 0.5, label=None):
+        super().__init__(label)
+        self.score_col, self.label_col = score_col, label_col
+        self.group_col, self.threshold = group_col, float(threshold)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        s = F.col(self.score_col).cast("double")
+        y = F.col(self.label_col).cast("long")
+        th = self.threshold
+        base = (pcoll.df
+                .where(s.isNotNull() & y.isNotNull()
+                       & F.col(self.group_col).isNotNull())
+                .select(F.col(self.group_col).alias("group"),
+                        s.alias("__s"), y.alias("__y")))
+
+        def conf(df, grouped):
+            g = df.groupBy("group") if grouped else df.groupBy()
+            return g.agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("__y").cast("long").alias("n_pos"),
+                F.sum(F.when((F.col("__s") >= th) & (F.col("__y") == 1),
+                             1).otherwise(0)).cast("long").alias("tp"),
+                F.sum(F.when((F.col("__s") >= th) & (F.col("__y") == 0),
+                             1).otherwise(0)).cast("long").alias("fp"),
+                F.sum(F.when((F.col("__s") < th) & (F.col("__y") == 0),
+                             1).otherwise(0)).cast("long").alias("tn"),
+                F.sum(F.when((F.col("__s") < th) & (F.col("__y") == 1),
+                             1).otherwise(0)).cast("long").alias("fn"))
+
+        def rates(prefix=""):
+            npos, nneg = F.col("n_pos"), F.col("n") - F.col("n_pos")
+            return [
+                F.when(npos > 0, F.col("tp").cast("double")
+                       / npos.cast("double")).alias(f"{prefix}tpr"),
+                F.when(nneg > 0, F.col("fp").cast("double")
+                       / nneg.cast("double")).alias(f"{prefix}fpr"),
+                (((F.col("tp") + F.col("fp")).cast("double"))
+                 / F.col("n").cast("double")).alias(f"{prefix}ppr"),
+            ]
+
+        per = conf(base, True).select("group", "n", "n_pos", "tp",
+                                      "fp", "tn", "fn", *rates())
+        glob = conf(base, False).select(*rates("g_"))
+        out = per.crossJoin(F.broadcast(glob)).select(
+            "group", "n", "n_pos", "tp", "fp", "tn", "fn",
+            "tpr", "fpr", "ppr",
+            F.when(F.col("g_tpr") > 0, F.col("tpr") / F.col("g_tpr"))
+            .alias("tpr_ratio"),
+            F.when(F.col("g_fpr") > 0, F.col("fpr") / F.col("g_fpr"))
+            .alias("fpr_ratio"),
+            F.when(F.col("g_ppr") > 0, F.col("ppr") / F.col("g_ppr"))
+            .alias("ppr_ratio"))
+        return pcoll.with_df(out)

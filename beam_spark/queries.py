@@ -2979,6 +2979,106 @@ def q_zipf_fit(spark, sf_dir):
     return out.select("n_terms", "slope", "intercept", "r2")
 
 
+@query("q_skew_profile_custkey", """
+WITH counts AS (
+  SELECT coalesce(CAST(o_custkey AS VARCHAR), 'NULL') AS k,
+         CAST(count(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1),
+rk AS (SELECT c,
+              row_number() OVER (ORDER BY c ASC, k) AS ra,
+              row_number() OVER (ORDER BY c DESC, k) AS rd
+       FROM counts),
+a AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS kk,
+             CAST(max(c) AS BIGINT) AS mx,
+             CAST(sum(ra * c) AS BIGINT) AS ic,
+             CAST(sum(c * c) AS BIGINT) AS c2,
+             CAST(sum(CASE WHEN rd <= 10 THEN c ELSE 0 END) AS BIGINT)
+               AS topk
+      FROM rk)
+SELECT n AS n_rows, kk AS n_keys, mx AS max_key_n,
+       CAST(mx AS DOUBLE) / CAST(n AS DOUBLE) AS top1_share,
+       CAST(topk AS DOUBLE) / CAST(n AS DOUBLE) AS top10_share,
+       CAST(mx * kk AS DOUBLE) / CAST(n AS DOUBLE) AS skew_ratio,
+       CAST(2 * ic - (kk + 1) * n AS DOUBLE)
+         / CAST(kk * n AS DOUBLE) AS gini,
+       sqrt(CAST(kk * c2 - n * n AS DOUBLE)) / CAST(n AS DOUBLE) AS cv
+FROM a
+""")
+def q_skew_profile(spark, sf_dir):
+    """Join-key skew diagnostics for orders.o_custkey: integer-exact
+    rank-weighted Gini, top-1/top-10 mass shares, max/mean skew ratio
+    and count CV — every statistic one double division (cv one sqrt)
+    of exact integers, compared UNROUNDED."""
+    from beam_spark.operators.quality import SkewProfile
+
+    o = table(spark, sf_dir, "orders")
+    out = (o | SkewProfile("o_custkey")).df
+    return out.select("n_rows", "n_keys", "max_key_n", "top1_share",
+                      "top10_share", "skew_ratio", "gini", "cv")
+
+
+@query("q_group_fairness_langs", """
+WITH base AS (
+  SELECT lang AS "group",
+         CAST(n_chars % 100 + 1 AS DOUBLE) / CAST(102 AS DOUBLE) AS s,
+         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+  FROM documents
+  WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+cf AS (SELECT "group", CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(y) AS BIGINT) AS n_pos,
+              CAST(sum(CASE WHEN s >= CAST(0.5 AS DOUBLE) AND y = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+              CAST(sum(CASE WHEN s >= CAST(0.5 AS DOUBLE) AND y = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+              CAST(sum(CASE WHEN s < CAST(0.5 AS DOUBLE) AND y = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+              CAST(sum(CASE WHEN s < CAST(0.5 AS DOUBLE) AND y = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       FROM base GROUP BY 1),
+r AS (SELECT cf.*,
+             CASE WHEN n_pos > 0 THEN CAST(tp AS DOUBLE)
+               / CAST(n_pos AS DOUBLE) END AS tpr,
+             CASE WHEN n - n_pos > 0 THEN CAST(fp AS DOUBLE)
+               / CAST(n - n_pos AS DOUBLE) END AS fpr,
+             CAST(tp + fp AS DOUBLE) / CAST(n AS DOUBLE) AS ppr
+      FROM cf),
+g AS (SELECT CASE WHEN sum(n_pos) > 0 THEN CAST(sum(tp) AS DOUBLE)
+               / CAST(sum(n_pos) AS DOUBLE) END AS g_tpr,
+             CASE WHEN sum(n) - sum(n_pos) > 0 THEN
+               CAST(sum(fp) AS DOUBLE)
+               / CAST(sum(n) - sum(n_pos) AS DOUBLE) END AS g_fpr,
+             CAST(sum(tp) + sum(fp) AS DOUBLE)
+               / CAST(sum(n) AS DOUBLE) AS g_ppr
+      FROM cf)
+SELECT r."group", r.n, r.n_pos, r.tp, r.fp, r.tn, r.fn,
+       r.tpr, r.fpr, r.ppr,
+       CASE WHEN g.g_tpr > 0 THEN r.tpr / g.g_tpr END AS tpr_ratio,
+       CASE WHEN g.g_fpr > 0 THEN r.fpr / g.g_fpr END AS fpr_ratio,
+       CASE WHEN g.g_ppr > 0 THEN r.ppr / g.g_ppr END AS ppr_ratio
+FROM r CROSS JOIN g
+""")
+def q_group_fairness(spark, sf_dir):
+    """Per-language fairness report of the synthetic quality filter
+    (score = quantized n_chars proxy, label = doc_id%3=0, threshold
+    0.5): exact per-group confusion counts, single-division TPR / FPR
+    / predicted-positive rates and their ratios to the all-data rates
+    (the 80%-rule disparate-impact inputs) — compared UNROUNDED."""
+    from beam_spark.operators.quality import GroupFairnessMetrics
+
+    docs = table(spark, sf_dir, "documents").df.where(
+        "lang IS NOT NULL AND n_chars IS NOT NULL").select(
+        "lang",
+        ((F.col("n_chars") % 100 + 1).cast("double")
+         / F.lit(102.0)).alias("score"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("label"))
+    out = (PCollection(docs) | GroupFairnessMetrics(
+        "score", "label", "lang", threshold=0.5)).df
+    return out.select("group", "n", "n_pos", "tp", "fp", "tn", "fn",
+                      "tpr", "fpr", "ppr", "tpr_ratio", "fpr_ratio",
+                      "ppr_ratio")
+
+
 @query("q_funnel_view_click_purchase", """
 WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
             WHERE event_type = 'view' GROUP BY user_id),

@@ -2679,3 +2679,53 @@ def test_zipf_fit_known(spark):
         ZipfFit("text", min_count=0)
     with pt.raises(ValueError, match="max_rank"):
         ZipfFit("text", max_rank=1)
+
+
+def test_skew_profile_known(spark):
+    """Hand-computed key distribution {a:6, b:2, c:1, d:1}: n=10, K=4,
+    ascending ranks (c,d,b,a) -> gini = (2*(1*1+2*1+3*2+4*6)-5*10)/40
+    = 0.4; skew_ratio = 6*4/10; cv = sqrt(4*42-100)/10; NULL keys
+    bucket together as 'NULL'."""
+    import math
+
+    from beam_spark.operators.quality import SkewProfile
+    from beam_spark.pcollection import PCollection
+
+    rows = (["a"] * 6 + ["b"] * 2 + ["c"] + ["d"])
+    df = spark.createDataFrame([(k,) for k in rows], "k string")
+    r = (PCollection(df) | SkewProfile("k", top_k=2)).df.collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_key_n"]) == (10, 4, 6)
+    assert r["top1_share"] == 0.6
+    assert r["top10_share"] == 0.8          # top_k=2 -> a+b = 8/10
+    assert r["skew_ratio"] == 2.4
+    assert r["gini"] == (2 * (1 * 1 + 2 * 1 + 3 * 2 + 4 * 6) - 5 * 10) / 40
+    assert r["cv"] == math.sqrt(4 * 42 - 100) / 10
+
+    withnull = spark.createDataFrame(
+        [(None,), (None,), ("x",)], "k string")
+    rn = (PCollection(withnull) | SkewProfile("k")).df.collect()[0]
+    assert (rn["n_keys"], rn["max_key_n"]) == (2, 2)  # NULLs bucket
+
+
+def test_group_fairness_known(spark):
+    """Two groups: g1 has perfect recall at the threshold, g2 zero;
+    ratios compare to the pooled rates; empty-denominator rates are
+    NULL."""
+    from beam_spark.operators.quality import GroupFairnessMetrics
+    from beam_spark.pcollection import PCollection
+
+    rows = [
+        ("g1", 0.9, 1), ("g1", 0.8, 1), ("g1", 0.2, 0),
+        ("g2", 0.1, 1), ("g2", 0.7, 0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, score double, y int")
+    out = {r["group"]: r for r in (PCollection(df) | GroupFairnessMetrics(
+        "score", "y", "grp")).df.collect()}
+    g1, g2 = out["g1"], out["g2"]
+    assert (g1["tp"], g1["fp"], g1["tn"], g1["fn"]) == (2, 0, 1, 0)
+    assert g1["tpr"] == 1.0 and g1["fpr"] == 0.0
+    assert g2["tpr"] == 0.0 and g2["fpr"] == 1.0
+    # pooled: tpr = 2/3, fpr = 1/2, ppr = 3/5
+    assert g1["tpr_ratio"] == 1.0 / (2 / 3)
+    assert g2["fpr_ratio"] == 1.0 / 0.5
+    assert g1["ppr_ratio"] == (2 / 3) / (3 / 5)
