@@ -1226,3 +1226,63 @@ class GroupFairnessMetrics(PTransform):
             F.when(F.col("g_ppr") > 0, F.col("ppr") / F.col("g_ppr"))
             .alias("ppr_ratio"))
         return pcoll.with_df(out)
+
+
+class CalibrationReport(PTransform):
+    """Reliability diagram + expected calibration error (ECE) for a
+    probabilistic classifier: scores bucket into ``n_bins`` equal-width
+    bins over [0, 1]; each bin reports its mean predicted confidence
+    against its empirical positive rate, and
+
+        ECE = sum_b (n_b / N) * |frac_pos_b - mean_conf_b|
+
+    The decision input for "can I trust this filter's probabilities
+    as sampling weights" (vs needing a recalibration pass).
+
+    Determinism: bin = min(floor(s * n_bins), n_bins - 1) (identical
+    float multiply + floor in both engines); mean_conf goes through
+    the exact decimal sum and rounds 6; frac_pos is an exact single
+    division; the gap and ECE terms then run on identical doubles,
+    ECE summing over <= n_bins values (rounded 6).
+
+    Scale: one groupBy(bin) aggregation (partial agg); the ECE is a
+    window sum over the BINS frame (constant size). Empty bins are
+    simply absent (they contribute 0 to ECE either way).
+
+    Output: one row per non-empty bin — (bin, n, mean_conf, frac_pos,
+    abs_gap, ece) with ece repeated on every row.
+    """
+
+    def __init__(self, score_col: str, label_col: str,
+                 n_bins: int = 10, label=None):
+        super().__init__(label)
+        if int(n_bins) < 1:
+            raise ValueError(f"n_bins {n_bins}: need >= 1")
+        self.score_col, self.label_col = score_col, label_col
+        self.n_bins = int(n_bins)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        b = self.n_bins
+        s = F.col(self.score_col).cast("double")
+        y = F.col(self.label_col).cast("long")
+        base = (pcoll.df.where(s.isNotNull() & y.isNotNull())
+                .select(F.least(F.floor(s * b), F.lit(b - 1))
+                        .cast("int").alias("bin"),
+                        s.alias("__s"), y.alias("__y")))
+        per = base.groupBy("bin").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum(F.col("__s").cast("decimal(28,12)"))
+                    .cast("double") / F.count(F.lit(1)), 6)
+            .alias("mean_conf"),
+            (F.sum("__y").cast("double")
+             / F.count(F.lit(1)).cast("double")).alias("frac_pos"))
+        gap = F.abs(F.col("frac_pos") - F.col("mean_conf"))
+        w = Window.partitionBy()
+        out = (per.withColumn("abs_gap", gap)
+               .withColumn("ece", F.round(
+                   F.sum(F.col("n").cast("double") * gap).over(w)
+                   / F.sum(F.col("n").cast("double")).over(w), 6)))
+        return pcoll.with_df(out.select("bin", "n", "mean_conf",
+                                        "frac_pos", "abs_gap", "ece"))

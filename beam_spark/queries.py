@@ -3079,6 +3079,43 @@ def q_group_fairness(spark, sf_dir):
                       "ppr_ratio")
 
 
+@query("q_calibration_ece", """
+WITH base AS (
+  SELECT CAST(n_chars % 100 + 1 AS DOUBLE) / CAST(102 AS DOUBLE) AS s,
+         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+  FROM documents WHERE n_chars IS NOT NULL),
+per AS (
+  SELECT least(CAST(floor(s * 10) AS INT), 9) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         round(CAST(sum(CAST(s AS DECIMAL(28,12))) AS DOUBLE)
+               / count(*), 6) AS mean_conf,
+         CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS frac_pos
+  FROM base GROUP BY 1)
+SELECT bin, n, mean_conf, frac_pos,
+       abs(frac_pos - mean_conf) AS abs_gap,
+       round(sum(CAST(n AS DOUBLE) * abs(frac_pos - mean_conf))
+               OVER ()
+             / sum(CAST(n AS DOUBLE)) OVER (), 6) AS ece
+FROM per
+""")
+def q_calibration_ece(spark, sf_dir):
+    """Reliability diagram + ECE for the synthetic documents filter
+    (10 equal-width bins): per-bin mean confidence via the exact
+    decimal sum (round 6), empirical positive rate exact, ECE a
+    constant-size weighted window sum over the bins frame (round 6)."""
+    from beam_spark.operators.quality import CalibrationReport
+
+    docs = table(spark, sf_dir, "documents").df.where(
+        "n_chars IS NOT NULL").select(
+        ((F.col("n_chars") % 100 + 1).cast("double")
+         / F.lit(102.0)).alias("score"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("label"))
+    out = (PCollection(docs) | CalibrationReport(
+        "score", "label", n_bins=10)).df
+    return out.select("bin", "n", "mean_conf", "frac_pos", "abs_gap",
+                      "ece")
+
+
 @query("q_funnel_view_click_purchase", """
 WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
             WHERE event_type = 'view' GROUP BY user_id),

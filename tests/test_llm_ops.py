@@ -2729,3 +2729,30 @@ def test_group_fairness_known(spark):
     assert g1["tpr_ratio"] == 1.0 / (2 / 3)
     assert g2["fpr_ratio"] == 1.0 / 0.5
     assert g1["ppr_ratio"] == (2 / 3) / (3 / 5)
+
+
+def test_calibration_report_known(spark):
+    """Two bins: scores 0.1/0.15 (bin 1, mean 0.125, 1 of 2 positive)
+    and 0.95/0.95 (bin 9, both positive): per-bin gaps |0.5 - 0.125|
+    and |1 - 0.95|, ECE = (2*0.375 + 2*0.05)/4; a score of exactly
+    1.0 clamps into the last bin."""
+    from beam_spark.operators.quality import CalibrationReport
+    from beam_spark.pcollection import PCollection
+
+    rows = [(0.1, 0), (0.15, 1), (0.95, 1), (0.95, 1), (1.0, 1)]
+    df = spark.createDataFrame(rows, "score double, y int")
+    out = {r["bin"]: r for r in (PCollection(df) | CalibrationReport(
+        "score", "y", n_bins=10)).df.collect()}
+    assert set(out) == {1, 9}
+    b1 = out[1]
+    assert b1["n"] == 2 and b1["mean_conf"] == 0.125
+    assert b1["frac_pos"] == 0.5 and b1["abs_gap"] == 0.375
+    b9 = out[9]          # 0.95, 0.95 and the clamped 1.0
+    assert b9["n"] == 3 and b9["frac_pos"] == 1.0
+    exp_ece = round((2 * 0.375 + 3 * abs(1.0 - b9["mean_conf"])) / 5, 6)
+    assert b1["ece"] == exp_ece and b9["ece"] == exp_ece
+
+    import pytest as pt
+
+    with pt.raises(ValueError, match="n_bins"):
+        CalibrationReport("s", "y", n_bins=0)
