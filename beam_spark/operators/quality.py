@@ -774,7 +774,8 @@ class BinaryClassifierMetrics(PTransform):
 
     Output: (n, n_pos, n_neg, auc, logloss, brier, tp, fp, tn, fn,
     precision, recall, f1). AUC/precision/recall/f1 are NULL when a
-    denominator class is empty.
+    denominator class is empty. Rows with NULL score or label are
+    dropped.
     """
 
     def __init__(self, score_col: str, label_col: str,
@@ -791,7 +792,8 @@ class BinaryClassifierMetrics(PTransform):
 
         s, y = self.score_col, self.label_col
         th, eps = self.threshold, self.eps
-        base = pcoll.df.select(
+        base = pcoll.df.where(
+            F.col(s).isNotNull() & F.col(y).isNotNull()).select(
             F.col(s).cast("double").alias("__s"),
             F.col(y).cast("long").alias("__y"))
         per = base.groupBy("__s").agg(
@@ -937,6 +939,7 @@ class RankingMetrics(PTransform):
 
     Output: (query_col, n_docs, dcg, idcg, ndcg, mrr,
     precision_at_k) — ndcg NULL when idcg = 0 (no relevant docs).
+    Rows with NULL score or relevance are dropped.
     """
 
     def __init__(self, k: int = 10, query_col: str = "query_id",
@@ -954,7 +957,8 @@ class RankingMetrics(PTransform):
 
         qc, dc = self.query_col, self.doc_col
         sc, rc, k = self.score_col, self.rel_col, self.k
-        base = pcoll.df.select(
+        base = pcoll.df.where(
+            F.col(sc).isNotNull() & F.col(rc).isNotNull()).select(
             qc, dc,
             F.round(F.col(sc).cast("double"), 6).alias("__s"),
             F.col(rc).cast("double").alias("__r"))

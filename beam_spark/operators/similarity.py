@@ -788,6 +788,14 @@ class KMeansLloyd(PTransform):
         base = (pcoll.df.where(F.col(vc).isNotNull())
                 .select(F.col(idc).alias("__id"),
                         F.col(vc).cast("array<double>").alias("__v")))
+        # zero-norm vectors have no cosine direction — their sims are
+        # NaN and the argmax is undefined; fail fast with the count
+        # instead of emitting garbage assignments
+        n_zero = base.where(norm(F.col("__v")) == 0.0).count()
+        if n_zero:
+            raise ValueError(
+                f"KMeansLloyd: {n_zero} zero-norm vector(s) — cosine "
+                "assignment is undefined; filter them upstream")
         seed_rows = base.orderBy("__id").limit(k).collect()
         if len(seed_rows) < k:
             raise ValueError(

@@ -2756,3 +2756,35 @@ def test_calibration_report_known(spark):
 
     with pt.raises(ValueError, match="n_bins"):
         CalibrationReport("s", "y", n_bins=0)
+
+
+def test_eval_metrics_null_and_zero_norm_guards(spark):
+    """Hardening: NULL score/label rows are dropped by
+    BinaryClassifierMetrics and RankingMetrics instead of polluting
+    rank windows; KMeansLloyd fails fast (with the count) on
+    zero-norm vectors whose cosine direction is undefined."""
+    import pytest as pt
+
+    from beam_spark.operators.quality import (BinaryClassifierMetrics,
+                                              RankingMetrics)
+    from beam_spark.operators.similarity import KMeansLloyd
+    from beam_spark.pcollection import PCollection
+
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.2, 0), (None, 1), (0.5, None)],
+        "score double, label int")
+    r = (PCollection(df) | BinaryClassifierMetrics(
+        "score", "label")).df.collect()[0]
+    assert r["n"] == 2 and r["auc"] == 1.0
+
+    rdf = spark.createDataFrame(
+        [(1, 10, 0.9, 1.0), (1, 11, None, 1.0), (1, 12, 0.3, None)],
+        "query_id long, doc_id long, score double, rel double")
+    rr = (PCollection(rdf) | RankingMetrics(k=3)).df.collect()[0]
+    assert rr["n_docs"] == 1 and rr["mrr"] == 1.0
+
+    z = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    with pt.raises(ValueError, match="1 zero-norm"):
+        (PCollection(z) | KMeansLloyd(k=2)).df
