@@ -1290,3 +1290,85 @@ class CalibrationReport(PTransform):
                    / F.sum(F.col("n").cast("double")).over(w), 6)))
         return pcoll.with_df(out.select("bin", "n", "mean_conf",
                                         "frac_pos", "abs_gap", "ece"))
+
+
+class RboOverlap(PTransform):
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010) between two
+    per-query rankings of the same documents — the A/B statistic for
+    retrieval-stack changes ("how much did the reranker actually move
+    the top?"), top-weighted unlike Kendall's tau:
+
+        RBO@k = (1-p) * sum_{d=1..k} p^(d-1) * |L_d intersect R_d| / d
+
+    Both rankings are derived from the two score columns with the
+    repo's determinism convention (round-6 score desc, doc-id
+    tie-break). A doc pair enters every depth d >= max(l_rank,
+    r_rank), so the overlap series is one sequence-explode +
+    count, no per-depth scan. With the binary-exact default p = 0.5,
+    p^(d-1) is dyadic, |overlap|/d is a single division of exact
+    integers, the depth sum goes through the exact decimal pattern,
+    and RBO rounds 6.
+
+    Scale: two query-partitioned window ranks, one bounded explode
+    (<= k rows per matched doc), one (query, depth) count, one
+    groupBy(query) — all partial-agg; queries with zero overlap
+    report rbo = 0 via a left join from the distinct-query frame.
+
+    Output: (query_col, overlap_at_k, rbo).
+    """
+
+    def __init__(self, k: int = 10, p: float = 0.5,
+                 query_col: str = "query_id", doc_col: str = "doc_id",
+                 left_score: str = "score_left",
+                 right_score: str = "score_right", label=None):
+        super().__init__(label)
+        if int(k) < 1:
+            raise ValueError(f"k {k}: need >= 1")
+        if not 0.0 < float(p) < 1.0:
+            raise ValueError(f"p {p} outside (0, 1)")
+        self.k, self.p = int(k), float(p)
+        self.query_col, self.doc_col = query_col, doc_col
+        self.left_score, self.right_score = left_score, right_score
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        qc, dc, k, p = self.query_col, self.doc_col, self.k, self.p
+        base = pcoll.df.where(
+            F.col(self.left_score).isNotNull()
+            & F.col(self.right_score).isNotNull()).select(
+            qc, dc,
+            F.round(F.col(self.left_score).cast("double"), 6)
+            .alias("__sl"),
+            F.round(F.col(self.right_score).cast("double"), 6)
+            .alias("__sr"))
+        wl = Window.partitionBy(qc).orderBy(F.col("__sl").desc(),
+                                            F.col(dc))
+        wr = Window.partitionBy(qc).orderBy(F.col("__sr").desc(),
+                                            F.col(dc))
+        ranked = (base
+                  .withColumn("__lr", F.row_number().over(wl))
+                  .withColumn("__rr", F.row_number().over(wr))
+                  .withColumn("__m", F.greatest("__lr", "__rr"))
+                  .where(F.col("__m") <= k))
+        depths = (ranked
+                  .select(qc, F.explode(
+                      F.sequence(F.col("__m"), F.lit(k))).alias("__d"))
+                  .groupBy(qc, "__d")
+                  .agg(F.count(F.lit(1)).cast("long").alias("__a")))
+        term = (F.pow(F.lit(p), F.col("__d") - 1)
+                * (F.col("__a").cast("double")
+                   / F.col("__d").cast("double")))
+        per = depths.groupBy(qc).agg(
+            F.round(F.lit(1.0 - p)
+                    * F.sum(term.cast("decimal(28,12)")).cast("double"),
+                    6).alias("rbo"),
+            F.max(F.when(F.col("__d") == k, F.col("__a")))
+            .cast("long").alias("overlap_at_k"))
+        qs = base.select(qc).distinct()
+        out = (qs.join(per, qc, "left")
+               .select(qc,
+                       F.coalesce("overlap_at_k", F.lit(0))
+                       .cast("long").alias("overlap_at_k"),
+                       F.coalesce("rbo", F.lit(0.0)).alias("rbo")))
+        return pcoll.with_df(out)

@@ -3116,6 +3116,53 @@ def q_calibration_ece(spark, sf_dir):
                       "ece")
 
 
+@query("q_rbo_rankings", """
+WITH base AS (
+  SELECT doc_id % 5 AS query_id, doc_id,
+         round(CAST(n_chars % 97 AS DOUBLE), 6) AS sl,
+         round(CAST(n_chars % 89 AS DOUBLE), 6) AS sr
+  FROM documents WHERE n_chars IS NOT NULL),
+rk AS (SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sl DESC, doc_id) AS lr,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sr DESC, doc_id) AS rr
+       FROM base),
+pr AS (SELECT query_id, greatest(lr, rr) AS m FROM rk
+       WHERE greatest(lr, rr) <= 10),
+dep AS (SELECT query_id, CAST(u.d AS INT) AS d,
+               CAST(count(*) AS BIGINT) AS a
+        FROM pr, unnest(range(m, 11)) AS u(d) GROUP BY 1, 2),
+per AS (SELECT query_id,
+          round(CAST(0.5 AS DOUBLE)
+                * CAST(sum(CAST(power(CAST(0.5 AS DOUBLE), d - 1)
+                           * (CAST(a AS DOUBLE) / CAST(d AS DOUBLE))
+                           AS DECIMAL(28,12))) AS DOUBLE), 6) AS rbo,
+          CAST(max(CASE WHEN d = 10 THEN a END) AS BIGINT)
+            AS overlap_at_k
+        FROM dep GROUP BY query_id),
+qs AS (SELECT DISTINCT query_id FROM base)
+SELECT qs.query_id,
+       coalesce(per.overlap_at_k, 0) AS overlap_at_k,
+       coalesce(per.rbo, CAST(0 AS DOUBLE)) AS rbo
+FROM qs LEFT JOIN per ON per.query_id = qs.query_id
+""")
+def q_rbo_rankings(spark, sf_dir):
+    """Rank-biased overlap (k=10, p=0.5) between two documents
+    rankings (n_chars%97 vs n_chars%89 scores per query bucket):
+    depth-overlap counts exact via the sequence-explode trick, dyadic
+    p powers, decimal depth sum, rounded 6."""
+    from beam_spark.operators.quality import RboOverlap
+
+    docs = table(spark, sf_dir, "documents").df.where(
+        "n_chars IS NOT NULL").select(
+        (F.col("doc_id") % 5).alias("query_id"), "doc_id",
+        (F.col("n_chars") % 97).cast("double").alias("score_left"),
+        (F.col("n_chars") % 89).cast("double").alias("score_right"))
+    out = (PCollection(docs) | RboOverlap(k=10, p=0.5)).df
+    return out.select("query_id", "overlap_at_k", "rbo")
+
+
 @query("q_funnel_view_click_purchase", """
 WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
             WHERE event_type = 'view' GROUP BY user_id),

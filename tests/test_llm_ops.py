@@ -2788,3 +2788,38 @@ def test_eval_metrics_null_and_zero_norm_guards(spark):
         "vec_id long, embedding array<double>")
     with pt.raises(ValueError, match="1 zero-norm"):
         (PCollection(z) | KMeansLloyd(k=2)).df
+
+
+def test_rbo_overlap_known(spark):
+    """Hand-computed RBO@3 (p=0.5): identical rankings give
+    RBO = 0.5*(1*1/1 + 0.5*2/2 + 0.25*3/3) = 0.875 (the @k ceiling);
+    a reversed 3-doc ranking overlaps only at depth 3 -> RBO =
+    0.5*0.25*1 = 0.125 with overlap 3 at depth 3... (reversal of 3:
+    depth 3 holds all 3) = 0.5*(0.25*3/3)=0.125; disjoint top-k gives
+    0."""
+    from beam_spark.operators.quality import RboOverlap
+    from beam_spark.pcollection import PCollection
+
+    # q1: identical rankings; q2: exactly reversed
+    rows = [
+        (1, 10, 3.0, 3.0), (1, 11, 2.0, 2.0), (1, 12, 1.0, 1.0),
+        (2, 20, 3.0, 1.0), (2, 21, 2.0, 2.0), (2, 22, 1.0, 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, doc_id long, score_left double, "
+              "score_right double")
+    out = {r["query_id"]: r for r in (PCollection(df) | RboOverlap(
+        k=3, p=0.5)).df.collect()}
+    r1 = out[1]
+    assert r1["overlap_at_k"] == 3
+    assert r1["rbo"] == 0.5 * (1.0 + 0.5 * 1.0 + 0.25 * 1.0)
+    r2 = out[2]
+    # reversed: depth1 {20}x{22} = 0; depth2 {20,21}x{22,21} = 1;
+    # depth3 = 3
+    assert r2["overlap_at_k"] == 3
+    assert r2["rbo"] == round(0.5 * (0.5 * 0.5 + 0.25 * 1.0), 6)
+
+    import pytest as pt
+
+    with pt.raises(ValueError, match="p"):
+        RboOverlap(p=1.0)
