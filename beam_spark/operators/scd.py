@@ -214,3 +214,79 @@ class ZOrderKey(PTransform):
                .drop(*[f"__mn{i}" for i in range(d)],
                      *[f"__mx{i}" for i in range(d)]))
         return pcoll.with_df(out)
+
+
+class ReconcileTables(PTransform):
+    """Row- and column-level diff between two versions of a keyed
+    table — the post-backfill / post-migration reconciliation report
+    ("what did the rewrite actually change?"). The piped collection is
+    the BEFORE frame; ``other`` is the AFTER frame.
+
+    One full-outer join on ``keys`` classifies every key as added
+    (only in after), removed (only in before), changed (present in
+    both, any compared column differs — NULL-SAFE: NULL vs value
+    counts as a change, NULL vs NULL does not) or unchanged; among
+    present-in-both rows each compared column reports its own differ
+    count. Every output is an exact integer.
+
+    ``columns``: compared columns (default: all shared non-key
+    columns, in before-frame order).
+
+    Scale: ONE key-keyed full-outer join (AQE-skew-safe) + one global
+    aggregation; the report is (4 + n_columns) rows regardless of
+    table size.
+
+    Output: (kind, name, n) — ('rows', added/removed/changed/
+    unchanged, count) and ('column', <col>, differ-count).
+    """
+
+    def __init__(self, other, keys, columns=None, label=None):
+        super().__init__(label)
+        self.other = other.df if isinstance(other, PCollection) else other
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        self.columns = list(columns) if columns else None
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        left, right, ks = pcoll.df, self.other, self.keys
+        cols = self.columns or [
+            c for c in left.columns
+            if c not in ks and c in right.columns]
+        missing = [c for c in cols + ks
+                   if c not in left.columns or c not in right.columns]
+        if missing:
+            raise ValueError(
+                f"ReconcileTables: columns {missing} absent from one "
+                "side")
+        l = left.select(*ks, *[F.col(c).alias(f"__l_{c}") for c in cols],
+                        F.lit(1).alias("__lp"))
+        r = right.select(*ks,
+                         *[F.col(c).alias(f"__r_{c}") for c in cols],
+                         F.lit(1).alias("__rp"))
+        j = l.join(r, on=ks, how="full_outer")
+        diff = [~F.col(f"__l_{c}").eqNullSafe(F.col(f"__r_{c}"))
+                for c in cols]
+        any_diff = diff[0]
+        for d in diff[1:]:
+            any_diff = any_diff | d
+        both = F.col("__lp").isNotNull() & F.col("__rp").isNotNull()
+        agg = j.agg(
+            F.sum(F.when(F.col("__lp").isNull(), 1).otherwise(0))
+            .cast("long").alias("__added"),
+            F.sum(F.when(F.col("__rp").isNull(), 1).otherwise(0))
+            .cast("long").alias("__removed"),
+            F.sum(F.when(both & any_diff, 1).otherwise(0))
+            .cast("long").alias("__changed"),
+            F.sum(F.when(both & ~any_diff, 1).otherwise(0))
+            .cast("long").alias("__unchanged"),
+            *[F.sum(F.when(both & d, 1).otherwise(0)).cast("long")
+              .alias(f"__c_{c}") for c, d in zip(cols, diff)])
+        rows = [F.struct(F.lit("rows").alias("kind"),
+                         F.lit(nm).alias("name"),
+                         F.col(f"__{nm}").alias("n"))
+                for nm in ("added", "removed", "changed", "unchanged")]
+        rows += [F.struct(F.lit("column").alias("kind"),
+                          F.lit(c).alias("name"),
+                          F.col(f"__c_{c}").alias("n")) for c in cols]
+        out = (agg.select(F.explode(F.array(*rows)).alias("x"))
+               .select("x.*"))
+        return pcoll.with_df(out)

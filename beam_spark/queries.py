@@ -3163,6 +3163,71 @@ def q_rbo_rankings(spark, sf_dir):
     return out.select("query_id", "overlap_at_k", "rbo")
 
 
+@query("q_lake_reconcile_orders", """
+WITH bef AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+             FROM orders),
+aft AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0
+           THEN o_totalprice + CAST(1.5 AS DOUBLE)
+           ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 11 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 13 = 0),
+j AS (SELECT CASE WHEN b.o_orderkey IS NULL THEN 0 ELSE 1 END AS lp,
+             CASE WHEN a.o_orderkey IS NULL THEN 0 ELSE 1 END AS rp,
+             CASE WHEN b.o_totalprice IS DISTINCT FROM a.o_totalprice
+               THEN 1 ELSE 0 END AS d1,
+             CASE WHEN b.o_orderstatus IS DISTINCT FROM a.o_orderstatus
+               THEN 1 ELSE 0 END AS d2
+      FROM bef b FULL OUTER JOIN aft a
+        ON a.o_orderkey = b.o_orderkey),
+s AS (SELECT
+        CAST(sum(CASE WHEN lp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS added,
+        CAST(sum(CASE WHEN rp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS removed,
+        CAST(sum(CASE WHEN lp = 1 AND rp = 1 AND (d1 = 1 OR d2 = 1)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+        CAST(sum(CASE WHEN lp = 1 AND rp = 1 AND d1 = 0 AND d2 = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS unchanged,
+        CAST(sum(CASE WHEN lp = 1 AND rp = 1 AND d1 = 1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        CAST(sum(CASE WHEN lp = 1 AND rp = 1 AND d2 = 1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM j)
+SELECT 'rows' AS kind, 'added' AS name, added AS n FROM s
+UNION ALL SELECT 'rows', 'removed', removed FROM s
+UNION ALL SELECT 'rows', 'changed', changed FROM s
+UNION ALL SELECT 'rows', 'unchanged', unchanged FROM s
+UNION ALL SELECT 'column', 'o_totalprice', c1 FROM s
+UNION ALL SELECT 'column', 'o_orderstatus', c2 FROM s
+""")
+def q_lake_reconcile(spark, sf_dir):
+    """Post-backfill reconciliation of a deterministically perturbed
+    orders copy (every 11th key removed, every 7th price bumped 1.5,
+    every 13th re-added under an offset key): one full-outer key join
+    classifies added/removed/changed/unchanged and per-column differ
+    counts — all exact integers, NULL-safe comparison semantics."""
+    from beam_spark.operators.scd import ReconcileTables
+
+    o = table(spark, sf_dir, "orders").df.select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    after = (o.where("o_orderkey % 11 != 0")
+             .withColumn("o_totalprice",
+                         F.when(F.expr("o_orderkey % 7 = 0"),
+                                F.col("o_totalprice") + F.lit(1.5))
+                         .otherwise(F.col("o_totalprice"))))
+    added = (o.where("o_orderkey % 13 = 0")
+             .withColumn("o_orderkey",
+                         F.col("o_orderkey") + 100000000))
+    out = (PCollection(o) | ReconcileTables(
+        after.unionByName(added), keys="o_orderkey")).df
+    return out.select("kind", "name", "n")
+
+
 @query("q_funnel_view_click_purchase", """
 WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
             WHERE event_type = 'view' GROUP BY user_id),

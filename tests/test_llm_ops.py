@@ -2823,3 +2823,39 @@ def test_rbo_overlap_known(spark):
 
     with pt.raises(ValueError, match="p"):
         RboOverlap(p=1.0)
+
+
+def test_reconcile_tables_known(spark):
+    """Hand-built diff: key 1 unchanged, key 2 value-changed, key 3
+    NULL->value change (NULL-safe), key 4 removed, key 5 added;
+    per-column counts attribute the changes; missing columns raise."""
+    from beam_spark.operators.scd import ReconcileTables
+    from beam_spark.pcollection import PCollection
+
+    before = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, None, "c"), (4, 40.0, "d")],
+        "id long, v double, s string")
+    after = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 21.0, "b"), (3, 30.0, "c"), (5, 50.0, "e")],
+        "id long, v double, s string")
+    out = {(r["kind"], r["name"]): r["n"] for r in (
+        PCollection(before) | ReconcileTables(after, keys="id")).df
+        .collect()}
+    assert out[("rows", "added")] == 1
+    assert out[("rows", "removed")] == 1
+    assert out[("rows", "changed")] == 2      # keys 2 and 3
+    assert out[("rows", "unchanged")] == 1
+    assert out[("column", "v")] == 2
+    assert out[("column", "s")] == 0
+
+    import pytest as pt
+
+    # default columns = SHARED non-key columns (a dropped column is
+    # silently excluded); naming it explicitly raises
+    shared = {(r["kind"], r["name"]) for r in (
+        PCollection(before) | ReconcileTables(
+            after.drop("s"), keys="id")).df.collect()}
+    assert ("column", "s") not in shared and ("column", "v") in shared
+    with pt.raises(ValueError, match="absent"):
+        (PCollection(before) | ReconcileTables(
+            after.drop("s"), keys="id", columns=["v", "s"])).df
