@@ -425,3 +425,80 @@ class VocabularyArtifact:
     @staticmethod
     def load(spark, path: str):
         return spark.read.parquet(path)
+
+
+class QuantileTransform(PTransform):
+    """Quantile mapping onto a REFERENCE distribution (the sklearn
+    QuantileTransformer / quantile-normalization idea): each value's
+    percent rank within the input is looked up in the reference's
+    empirical quantile function with linear interpolation —
+    train/serve distribution matching, batch-effect correction, or
+    mapping a new corpus's quality scores onto last month's scale.
+
+        r    = percent_rank(v)            (exact (rank-1)/(n-1))
+        pos  = r * (m - 1)                (m = reference row count)
+        out  = ref[floor(pos)] + (pos - floor(pos))
+               * (ref[floor(pos) + 1] - ref[floor(pos)])
+
+    Deterministic BY CONSTRUCTION: the rank is an exact rational, and
+    every float op after it is the same IEEE sequence in any engine —
+    results compare UNROUNDED. Ties share a percent rank (rank
+    semantics, matching SQL PERCENT_RANK). NULLs pass through as
+    NULL. Single-row input maps to the reference minimum (percent
+    rank 0); a single-row reference maps everything to that value.
+
+    Scale: the reference is reduced to an indexed order-statistics
+    frame with its lead value (one sort of the REFERENCE only —
+    quantile-compress a huge reference upstream if needed); the input
+    needs one value-ordered window for the rank (single-partition
+    over the input: for unbounded inputs rank against a sampled or
+    pre-aggregated distinct-value frame) and one broadcast-ready join
+    on the floor index.
+
+    Output: the input plus ``output_col`` (default ``{col}_q``).
+    """
+
+    def __init__(self, reference, col: str, ref_col: str | None = None,
+                 output_col: str | None = None, label=None):
+        super().__init__(label)
+        self.reference = (reference.df
+                          if isinstance(reference, PCollection)
+                          else reference)
+        self.col = col
+        self.ref_col = ref_col or col
+        self.output_col = output_col or f"{col}_q"
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        c, rc, oc = self.col, self.ref_col, self.output_col
+        ref = (self.reference
+               .where(F.col(rc).isNotNull())
+               .select(F.col(rc).cast("double").alias("__rv")))
+        wr = Window.orderBy("__rv")
+        ref_ix = (ref.withColumn("__i", F.row_number().over(wr) - 1)
+                  .withColumn("__nxt", F.lead("__rv").over(wr)))
+        m = ref_ix.agg(F.count(F.lit(1)).cast("long").alias("__m"))
+        wv = Window.orderBy(F.col(c).cast("double"))
+        # percent_rank only over non-NULL values; NULLs re-attach
+        nn = pcoll.df.where(F.col(c).isNotNull())
+        nulls = pcoll.df.where(F.col(c).isNull())
+        ranked = (nn.withColumn("__r", F.percent_rank().over(wv))
+                  .crossJoin(F.broadcast(m))
+                  .withColumn("__pos",
+                              F.col("__r") * (F.col("__m") - 1)
+                              .cast("double"))
+                  .withColumn("__lo", F.floor("__pos").cast("long")))
+        joined = (ranked.join(F.broadcast(ref_ix),
+                              ranked["__lo"] == ref_ix["__i"], "left")
+                  .withColumn(
+                      oc,
+                      F.when(F.col("__nxt").isNull(), F.col("__rv"))
+                      .otherwise(F.col("__rv")
+                                 + (F.col("__pos") - F.col("__lo"))
+                                 * (F.col("__nxt") - F.col("__rv"))))
+                  .drop("__r", "__m", "__pos", "__lo", "__i", "__rv",
+                        "__nxt"))
+        out = joined.unionByName(
+            nulls.withColumn(oc, F.lit(None).cast("double")))
+        return pcoll.with_df(out)

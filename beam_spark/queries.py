@@ -3228,6 +3228,43 @@ def q_lake_reconcile(spark, sf_dir):
     return out.select("kind", "name", "n")
 
 
+@query("q_ml_quantile_transform", """
+WITH ref AS (SELECT CAST(value AS DOUBLE) AS rv FROM events
+             WHERE event_type = 'view' AND value IS NOT NULL),
+ri AS (SELECT rv, row_number() OVER (ORDER BY rv) - 1 AS i,
+              lead(rv) OVER (ORDER BY rv) AS nxt
+       FROM ref),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ref),
+inp AS (SELECT event_id, CAST(value AS DOUBLE) AS v FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL),
+rk AS (SELECT event_id, v, percent_rank() OVER (ORDER BY v) AS r
+       FROM inp),
+p AS (SELECT event_id, v, r * CAST(m.m - 1 AS DOUBLE) AS pos
+      FROM rk CROSS JOIN m),
+f AS (SELECT event_id, v, pos, CAST(floor(pos) AS BIGINT) AS lo
+      FROM p)
+SELECT f.event_id, f.v AS value,
+       CASE WHEN ri.nxt IS NULL THEN ri.rv
+            ELSE ri.rv + (f.pos - f.lo) * (ri.nxt - ri.rv)
+       END AS value_q
+FROM f LEFT JOIN ri ON ri.i = f.lo
+""")
+def q_quantile_transform(spark, sf_dir):
+    """Quantile mapping of purchase-event values onto the view-event
+    value distribution: exact rational percent ranks, then one
+    identical IEEE interpolation into the reference's indexed order
+    statistics — compared UNROUNDED."""
+    from beam_spark.ml.transforms import QuantileTransform
+
+    ev = table(spark, sf_dir, "events").df
+    ref = ev.where("event_type = 'view'").select("value")
+    inp = ev.where("event_type = 'purchase' AND value IS NOT NULL") \
+            .select("event_id", "value")
+    out = (PCollection(inp) | QuantileTransform(
+        ref, "value", output_col="value_q")).df
+    return out.select("event_id", "value", "value_q")
+
+
 @query("q_funnel_view_click_purchase", """
 WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
             WHERE event_type = 'view' GROUP BY user_id),

@@ -2859,3 +2859,32 @@ def test_reconcile_tables_known(spark):
     with pt.raises(ValueError, match="absent"):
         (PCollection(before) | ReconcileTables(
             after.drop("s"), keys="id", columns=["v", "s"])).df
+
+
+def test_quantile_transform_known(spark):
+    """Mapping onto reference [10, 20, 40]: input min -> 10 (rank 0),
+    median -> 20 (pos 1), max -> 40; a mid value with percent rank
+    0.25 interpolates 10 + 0.5*(20-10) = 15; NULLs pass through;
+    single-row reference maps everything to it."""
+    from beam_spark.ml.transforms import QuantileTransform
+    from beam_spark.pcollection import PCollection
+
+    ref = spark.createDataFrame([(10.0,), (20.0,), (40.0,)], "value double")
+    inp = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0), (5, 5.0), (6, None)],
+        "id long, value double")
+    out = {r["id"]: r["value_q"] for r in (
+        PCollection(inp) | QuantileTransform(ref, "value")).df.collect()}
+    # ranks over 5 non-null values: 0, .25, .5, .75, 1 -> pos 0,.5,1,1.5,2
+    assert out[1] == 10.0
+    assert out[2] == 15.0
+    assert out[3] == 20.0
+    assert out[4] == 30.0
+    assert out[5] == 40.0
+    assert out[6] is None
+
+    one = spark.createDataFrame([(7.0,)], "value double")
+    o2 = {r["id"]: r["value_q"] for r in (
+        PCollection(inp.where("value IS NOT NULL"))
+        | QuantileTransform(one, "value")).df.collect()}
+    assert set(o2.values()) == {7.0}
