@@ -323,6 +323,33 @@ def _register_curation():
         "CusumDetect": ("beam_spark.operators.stats", "CusumDetect"),
         "WeightedSample": ("beam_spark.operators.combiners",
                            "WeightedSample"),
+        # round-11 session-2 families (single-frame ops only; the
+        # two-frame ones — QuantileTransform, ReconcileTables — get
+        # dedicated adapters below, the KsDrift pattern)
+        "AssociationRules": ("beam_spark.operators.analytics",
+                             "AssociationRules"),
+        "BinaryClassifierMetrics": ("beam_spark.operators.quality",
+                                    "BinaryClassifierMetrics"),
+        "RankingMetrics": ("beam_spark.operators.quality",
+                           "RankingMetrics"),
+        "CohensKappa": ("beam_spark.operators.quality", "CohensKappa"),
+        "FleissKappa": ("beam_spark.operators.quality", "FleissKappa"),
+        "CalibrationReport": ("beam_spark.operators.quality",
+                              "CalibrationReport"),
+        "GroupFairnessMetrics": ("beam_spark.operators.quality",
+                                 "GroupFairnessMetrics"),
+        "RboOverlap": ("beam_spark.operators.quality", "RboOverlap"),
+        "SkewProfile": ("beam_spark.operators.quality", "SkewProfile"),
+        "PmiCollocations": ("beam_spark.operators.text",
+                            "PmiCollocations"),
+        "ZipfFit": ("beam_spark.operators.text", "ZipfFit"),
+        "ZOrderKey": ("beam_spark.operators.scd", "ZOrderKey"),
+        "KMeansLloyd": ("beam_spark.operators.similarity",
+                        "KMeansLloyd"),
+        "ThetaForecast": ("beam_spark.operators.stats",
+                          "ThetaForecast"),
+        "CrostonForecast": ("beam_spark.operators.stats",
+                            "CrostonForecast"),
     }
 
     def make(mod_name, cls_name):
@@ -400,3 +427,26 @@ def _bpe_encode(t, current, named, pipeline):
         merges = train_bpe(current.df, text_col=t.get("text_col", "text"),
                            n_merges=t.get("n_merges", 200))
     return current | BpeEncode(merges, text_col=t.get("text_col", "text"))
+
+
+@register_yaml_transform("QuantileTransform")
+def _quantile_transform(t, current, named, pipeline):
+    """Distribution mapping: ``reference:`` names the step whose
+    output provides the target quantile function."""
+    from beam_spark.ml.transforms import QuantileTransform
+
+    ref = named[t["reference"]]
+    kwargs = {k: v for k, v in t.items()
+              if k not in ("type", "name", "input", "reference")}
+    return current | QuantileTransform(ref.df, **kwargs)
+
+
+@register_yaml_transform("ReconcileTables")
+def _reconcile_tables(t, current, named, pipeline):
+    """Table diff: ``other:`` names the AFTER-version step."""
+    from beam_spark.operators.scd import ReconcileTables
+
+    other = named[t["other"]]
+    kwargs = {k: v for k, v in t.items()
+              if k not in ("type", "name", "input", "other")}
+    return current | ReconcileTables(other.df, **kwargs)

@@ -495,3 +495,44 @@ pipeline:
 """, spark)
     assert "op" not in out6.df.columns
     assert out6.df.count() == out6.df.select("id").distinct().count()
+
+
+def test_yaml_round11_eval_ops(spark, sf_dir):
+    """Round-11 session-2 YAML surface: single-frame ops (SkewProfile,
+    CohensKappa) through the generic adapter; two-frame
+    ReconcileTables and QuantileTransform via named-step references."""
+    from beam_spark.yaml_pipeline import run_yaml
+
+    skew = run_yaml({
+        "pipeline": {"transforms": [
+            {"type": "ReadFromParquet",
+             "path": f"{sf_dir}/orders.parquet"},
+            {"type": "SkewProfile", "keys": "o_custkey"},
+        ]}}, spark)
+    r = skew.df.collect()[0]
+    assert r["n_rows"] > 0 and 0.0 <= r["gini"] < 1.0
+
+    rec = run_yaml({
+        "pipeline": {"transforms": [
+            {"type": "ReadFromParquet", "name": "after",
+             "path": f"{sf_dir}/orders.parquet"},
+            {"type": "ReadFromParquet",
+             "path": f"{sf_dir}/orders.parquet"},
+            {"type": "ReconcileTables", "other": "after",
+             "keys": "o_orderkey"},
+        ]}}, spark)
+    out = {(x["kind"], x["name"]): x["n"] for x in rec.df.collect()}
+    assert out[("rows", "changed")] == 0 and out[("rows", "added")] == 0
+
+    qt = run_yaml({
+        "pipeline": {"transforms": [
+            {"type": "ReadFromParquet", "name": "ref",
+             "path": f"{sf_dir}/events.parquet"},
+            {"type": "Filter", "keep": "value IS NOT NULL"},
+            {"type": "ReadFromParquet",
+             "path": f"{sf_dir}/events.parquet"},
+            {"type": "Filter", "keep": "value IS NOT NULL"},
+            {"type": "QuantileTransform", "reference": "ref",
+             "col": "value"},
+        ]}}, spark)
+    assert "value_q" in qt.df.columns and qt.df.count() > 0
