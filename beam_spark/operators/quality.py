@@ -931,15 +931,18 @@ class RankingMetrics(PTransform):
     (associative — partial-agg-order-immune), so dcg/idcg/ndcg are
     reproducible across engines; MRR (1 / first relevant predicted
     rank, 0.0 when nothing relevant) and precision@k are exact
-    integers with one division.
+    integers with one division. AP@k (the MAP numerator) is the mean
+    over relevant hits in the top k of precision@hit-rank —
+    cumulative-relevant counts are exact integers, each precision one
+    division, the sum decimal-exact, normalized by min(n_rel, k).
 
     Scale: two window ranks over (query)-partitioned frames plus one
     groupBy(query) aggregation — all partial-agg, one shuffle each on
     the query key; output is one row per query.
 
     Output: (query_col, n_docs, dcg, idcg, ndcg, mrr,
-    precision_at_k) — ndcg NULL when idcg = 0 (no relevant docs).
-    Rows with NULL score or relevance are dropped.
+    precision_at_k, ap) — ndcg and ap NULL when the query has no
+    relevant docs. Rows with NULL score or relevance are dropped.
     """
 
     def __init__(self, k: int = 10, query_col: str = "query_id",
@@ -966,9 +969,12 @@ class RankingMetrics(PTransform):
                                             F.col(dc))
         wi = Window.partitionBy(qc).orderBy(F.col("__r").desc(),
                                             F.col(dc))
+        wc = wp.rowsBetween(Window.unboundedPreceding, 0)
+        rel = F.when(F.col("__r") > 0, 1).otherwise(0)
         ranked = (base
                   .withColumn("__pr", F.row_number().over(wp))
-                  .withColumn("__ir", F.row_number().over(wi)))
+                  .withColumn("__ir", F.row_number().over(wi))
+                  .withColumn("__cum", F.sum(rel).over(wc)))
         gain = F.pow(F.lit(2.0), F.col("__r")) - F.lit(1.0)
         dterm = F.when(F.col("__pr") <= k,
                        gain / F.log2(F.col("__pr") + 1)) \
@@ -983,7 +989,15 @@ class RankingMetrics(PTransform):
             F.min(F.when(F.col("__r") > 0, F.col("__pr")))
             .alias("__frel"),
             F.sum(F.when((F.col("__r") > 0) & (F.col("__pr") <= k), 1)
-                  .otherwise(0)).cast("long").alias("__hits")))
+                  .otherwise(0)).cast("long").alias("__hits"),
+            F.sum(F.when((F.col("__r") > 0) & (F.col("__pr") <= k),
+                         (F.col("__cum").cast("double")
+                          / F.col("__pr").cast("double"))
+                         .cast("decimal(28,12)"))
+                  .otherwise(F.lit(0).cast("decimal(28,12)")))
+            .alias("__apsum"),
+            F.sum(F.when(F.col("__r") > 0, 1).otherwise(0))
+            .cast("long").alias("__nrel")))
         out = agg.select(
             qc, "n_docs",
             F.round(F.col("__dcg").cast("double"), 6).alias("dcg"),
@@ -995,7 +1009,11 @@ class RankingMetrics(PTransform):
             F.coalesce(F.lit(1.0) / F.col("__frel").cast("double"),
                        F.lit(0.0)).alias("mrr"),
             (F.col("__hits").cast("double")
-             / F.lit(float(k))).alias("precision_at_k"))
+             / F.lit(float(k))).alias("precision_at_k"),
+            F.when(F.col("__nrel") > 0,
+                   F.round(F.col("__apsum").cast("double")
+                           / F.least(F.col("__nrel"), F.lit(k))
+                           .cast("double"), 6)).alias("ap"))
         return pcoll.with_df(out)
 
 

@@ -2778,9 +2778,12 @@ rk AS (SELECT *,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY s DESC, doc_id) AS pr,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY r DESC, doc_id) AS ir
+                            ORDER BY r DESC, doc_id) AS ir,
+         sum(CASE WHEN r > 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY query_id ORDER BY s DESC, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
        FROM base),
-t AS (SELECT query_id, r, pr,
+t AS (SELECT query_id, r, pr, cum,
         CAST(CASE WHEN pr <= 10
              THEN (power(2, r) - 1) / log2(pr + 1)
              ELSE CAST(0 AS DOUBLE) END AS DECIMAL(28,12)) AS dt,
@@ -2792,7 +2795,13 @@ a AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_docs,
              sum(dt) AS dcg0, sum(it) AS idcg0,
              min(CASE WHEN r > 0 THEN pr END) AS frel,
              CAST(sum(CASE WHEN r > 0 AND pr <= 10 THEN 1 ELSE 0 END)
-                  AS BIGINT) AS hits
+                  AS BIGINT) AS hits,
+             sum(CASE WHEN r > 0 AND pr <= 10 THEN
+                   CAST(CAST(cum AS DOUBLE) / CAST(pr AS DOUBLE)
+                        AS DECIMAL(28,12))
+                 ELSE CAST(0 AS DECIMAL(28,12)) END) AS apsum,
+             CAST(sum(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nrel
       FROM t GROUP BY query_id)
 SELECT query_id, n_docs,
        round(CAST(dcg0 AS DOUBLE), 6) AS dcg,
@@ -2802,7 +2811,11 @@ SELECT query_id, n_docs,
        END AS ndcg,
        coalesce(CAST(1 AS DOUBLE) / CAST(frel AS DOUBLE),
                 CAST(0 AS DOUBLE)) AS mrr,
-       CAST(hits AS DOUBLE) / CAST(10 AS DOUBLE) AS precision_at_k
+       CAST(hits AS DOUBLE) / CAST(10 AS DOUBLE) AS precision_at_k,
+       CASE WHEN nrel > 0 THEN
+         round(CAST(apsum AS DOUBLE)
+               / CAST(least(nrel, 10) AS DOUBLE), 6)
+       END AS ap
 FROM a
 """)
 def q_ranking_metrics(spark, sf_dir):
@@ -2823,7 +2836,7 @@ def q_ranking_metrics(spark, sf_dir):
         k=10, query_col="query_id", doc_col="doc_id",
         score_col="score", rel_col="rel")).df
     return out.select("query_id", "n_docs", "dcg", "idcg", "ndcg",
-                      "mrr", "precision_at_k")
+                      "mrr", "precision_at_k", "ap")
 
 
 @query("q_fleiss_kappa_events", """

@@ -2566,9 +2566,13 @@ def test_ranking_metrics_known(spark):
     assert abs(r1["ndcg"] - dcg / idcg) < 2e-6
     assert r1["mrr"] == 0.5
     assert r1["precision_at_k"] == 0.5
+    # AP@2: relevant hits in top-2 at predicted rank 2 (cum_rel 1)
+    # -> precision 1/2; normalized by min(n_rel=2, k=2) -> 0.25
+    assert r1["ap"] == 0.25
     r2 = out[2]
     assert r2["ndcg"] is None and r2["mrr"] == 0.0
     assert r2["dcg"] == 0.0 and r2["precision_at_k"] == 0.0
+    assert r2["ap"] is None
 
     import pytest as pt
 
