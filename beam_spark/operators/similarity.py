@@ -763,13 +763,20 @@ class KMeansLloyd(PTransform):
 
     Output: one row per vector — (id_col, cluster int in [0, k),
     sim double round-6 cosine to its final centroid).
+    ``with_silhouette=True`` appends ``sim_2nd`` (the second-highest
+    round-6 centroid cosine) and a simplified SILHOUETTE in cosine
+    distance, s = (sim - sim_2nd) / max(1-sim, 1-sim_2nd) — the O(n*k)
+    clustering-quality score (vs the O(n^2) exact silhouette), NULL
+    when k = 1 or both distances are 0; identical IEEE ops on round-6
+    inputs, so it stays UNROUNDED (the MMR convention).
     """
 
     MAX_SEED_COLLECT = 4096
     MAX_ROUNDS = 50
 
     def __init__(self, k: int, rounds: int = 2, id_col: str = "vec_id",
-                 vec_col: str = "embedding", label=None):
+                 vec_col: str = "embedding",
+                 with_silhouette: bool = False, label=None):
         super().__init__(label)
         if not 1 <= int(k) <= self.MAX_SEED_COLLECT:
             raise ValueError(
@@ -780,6 +787,7 @@ class KMeansLloyd(PTransform):
                 f"rounds {rounds} outside [0, {self.MAX_ROUNDS}]")
         self.k, self.rounds = int(k), int(rounds)
         self.id_col, self.vec_col = id_col, vec_col
+        self.with_silhouette = bool(with_silhouette)
 
     def expand(self, pcoll: PCollection) -> PCollection:
         import numpy as np
@@ -836,7 +844,14 @@ class KMeansLloyd(PTransform):
                     m = S[c] / N[c]
                     C[c] = np.round(m / np.linalg.norm(m), 9)
         self.centroids_ = C.tolist()
-        out = assign(C).select(F.col("__id").alias(idc),
-                               F.col("__c").alias("cluster"),
-                               F.col("__s").alias("sim"))
-        return pcoll.with_df(out)
+        fin = assign(C)
+        cols = [F.col("__id").alias(idc),
+                F.col("__c").alias("cluster"),
+                F.col("__s").alias("sim")]
+        if self.with_silhouette:
+            s1 = F.col("__s")
+            s2 = F.element_at(F.array_sort("__sims"), -2)
+            den = F.greatest(F.lit(1.0) - s1, F.lit(1.0) - s2)
+            cols += [s2.alias("sim_2nd"),
+                     F.when(den > 0, (s1 - s2) / den).alias("silhouette")]
+        return pcoll.with_df(fin.select(*cols))

@@ -2723,6 +2723,50 @@ def q_kmeans(spark, sf_dir):
     return out.select("vec_id", "cluster", "sim")
 
 
+@query("q_kmeans_silhouette", """
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings
+           WHERE embedding IS NOT NULL),
+ed AS (SELECT vec_id, CAST(u.i - 1 AS INT) AS dim,
+              CAST(v[u.i] AS DOUBLE) AS x
+       FROM e, unnest(range(1, len(v) + 1)) AS u(i)),
+en AS (SELECT vec_id, sqrt(sum(x * x)) AS nr FROM ed GROUP BY vec_id),
+sid AS (SELECT vec_id,
+               CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                 AS cidx
+        FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 4)),
+c0 AS (SELECT s.cidx, ed.dim, round(ed.x / en.nr, 9) AS c
+       FROM sid s JOIN ed ON ed.vec_id = s.vec_id
+       JOIN en ON en.vec_id = s.vec_id),
+d1 AS (SELECT ed.vec_id, c.cidx, sum(ed.x * c.c) AS dp
+       FROM ed JOIN c0 c ON c.dim = ed.dim GROUP BY 1, 2),
+sims AS (SELECT d.vec_id, d.cidx, round(d.dp / en.nr, 6) AS s
+         FROM d1 d JOIN en ON en.vec_id = d.vec_id),
+rnk AS (SELECT vec_id, cidx, s,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cidx) AS rn
+        FROM sims)
+SELECT a.vec_id, a.cidx AS cluster, a.s AS sim, b.s AS sim_2nd,
+       CASE WHEN greatest(1 - a.s, 1 - b.s) > 0
+            THEN (a.s - b.s) / greatest(1 - a.s, 1 - b.s)
+       END AS silhouette
+FROM rnk a JOIN rnk b ON b.vec_id = a.vec_id AND b.rn = 2
+WHERE a.rn = 1
+""")
+def q_kmeans_silhouette(spark, sf_dir):
+    """Simplified silhouette (cosine-distance form) of the k=4 SEED
+    assignment over embeddings: per vector, best and second-best
+    round-6 centroid cosines, s = (sim - sim_2nd)/max(1-sim,
+    1-sim_2nd) — second-best by VALUE (multiset semantics mirror
+    array_sort vs the (s DESC, cidx) rn=2 row); the Lloyd-iteration
+    chain itself is oracled by q_kmeans_embeddings."""
+    from beam_spark.operators.similarity import KMeansLloyd
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = (emb | KMeansLloyd(k=4, rounds=0, with_silhouette=True)).df
+    return out.select("vec_id", "cluster", "sim", "sim_2nd",
+                      "silhouette")
+
+
 @query("q_cohens_kappa_langs", """
 WITH base AS (
   SELECT lang AS a,

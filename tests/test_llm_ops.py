@@ -2892,3 +2892,27 @@ def test_quantile_transform_known(spark):
         PCollection(inp.where("value IS NOT NULL"))
         | QuantileTransform(one, "value")).df.collect()}
     assert set(o2.values()) == {7.0}
+
+
+def test_kmeans_silhouette_known(spark):
+    """2-D silhouette: with unit seeds e_x/e_y, a point at 45 degrees
+    has sim = sim_2nd -> silhouette 0; a point ON a seed has sim 1,
+    den = 1 - sim_2nd > 0 -> silhouette 1; duplicate seeds give
+    sim == sim_2nd == 1 -> denominator 0 -> NULL."""
+    from beam_spark.operators.similarity import KMeansLloyd
+    from beam_spark.pcollection import PCollection
+
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in (PCollection(df) | KMeansLloyd(
+        k=2, rounds=0, with_silhouette=True)).df.collect()}
+    assert out[1]["sim"] == 1.0 and out[1]["silhouette"] == 1.0
+    assert out[3]["sim"] == out[3]["sim_2nd"]
+    assert out[3]["silhouette"] == 0.0
+
+    dup = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    od = (PCollection(dup) | KMeansLloyd(
+        k=2, rounds=0, with_silhouette=True)).df.collect()
+    assert all(r["silhouette"] is None for r in od)
