@@ -198,11 +198,15 @@ class ZOrderKey(PTransform):
         words = []
         for i, c in enumerate(self.cols):
             rng = F.col(f"__mx{i}") - F.col(f"__mn{i}")
-            words.append(F.when(rng > 0,
-                                F.expr(f"CAST((({c} - __mn{i}) * {top}) "
-                                       f"DIV (__mx{i} - __mn{i}) "
-                                       f"AS BIGINT)")
-                                ).otherwise(F.lit(0).cast("long")))
+            # NULL guard FIRST: the constant-column otherwise(0) branch
+            # must not swallow NULL inputs (NULL in -> NULL key)
+            words.append(F.when(F.col(c).isNull(),
+                                F.lit(None).cast("long"))
+                         .when(rng > 0,
+                               F.expr(f"CAST((({c} - __mn{i}) * {top}) "
+                                      f"DIV (__mx{i} - __mn{i}) "
+                                      f"AS BIGINT)"))
+                         .otherwise(F.lit(0).cast("long")))
         key = F.lit(0).cast("long")
         for i, w in enumerate(words):
             for bit in range(b):
@@ -290,3 +294,99 @@ class ReconcileTables(PTransform):
         out = (agg.select(F.explode(F.array(*rows)).alias("x"))
                .select("x.*"))
         return pcoll.with_df(out)
+
+
+class HilbertKey(PTransform):
+    """Hilbert-curve clustering key over exactly TWO integer columns —
+    the better-locality alternative to ZOrderKey's Morton order (a
+    Hilbert walk never jumps: consecutive keys are always grid
+    neighbors, so range scans touch fewer files; Morton's quadrant
+    seams cost ~10-30% extra I/O on range-heavy workloads).
+
+    Columns scale onto [0, 2^bits) with the same integer floor-
+    division scaling as ZOrderKey, then the classic xy2d walk (rotate
+    + reflect per bit plane) computes the curve index. The per-bit
+    rotation is DATA-DEPENDENT state, which rules out a flat Catalyst
+    expression (unrolling doubles the tree per bit plane — projection
+    collapse re-inlines it to 2^bits nodes); instead the walk runs as
+    ``bits`` vectorized numpy passes per Arrow batch inside
+    mapInPandas — integer ops only, so the key is still bit-exact
+    across engines, and the Python cost is O(bits) ARRAY ops per
+    batch, not per row.
+
+    NULL in either column yields a NULL key. Same overflow bound as
+    ZOrderKey; 2*bits <= 62.
+
+    Scale: one min/max aggregate broadcast + one mapInPandas
+    projection (zero shuffles); the write-side ORDER BY on the key is
+    the exchange the layout needs anyway.
+
+    Output: the input plus ``output_col`` (bigint in
+    [0, 4^bits)).
+    """
+
+    def __init__(self, cols, bits: int = 16,
+                 output_col: str = "hilbert_key", label=None):
+        super().__init__(label)
+        cols = [cols] if isinstance(cols, str) else list(cols)
+        if len(cols) != 2:
+            raise ValueError("HilbertKey needs exactly 2 columns")
+        if not 1 <= int(bits) <= 31:
+            raise ValueError(f"bits {bits} outside [1, 31]")
+        self.cols, self.bits = cols, int(bits)
+        self.output_col = output_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        b = self.bits
+        top = (1 << b) - 1
+        aggs = []
+        for i, c in enumerate(self.cols):
+            aggs += [F.min(F.col(c).cast("long")).alias(f"__mn{i}"),
+                     F.max(F.col(c).cast("long")).alias(f"__mx{i}")]
+        mm = pcoll.df.agg(*aggs)
+        df = pcoll.df.crossJoin(F.broadcast(mm))
+        for i, c in enumerate(self.cols):
+            rng = F.col(f"__mx{i}") - F.col(f"__mn{i}")
+            df = df.withColumn(
+                f"__w{i}",
+                F.when(F.col(c).isNull(), F.lit(None).cast("long"))
+                .when(rng > 0,
+                      F.expr(f"CAST((({c} - __mn{i}) * {top}) "
+                             f"DIV (__mx{i} - __mn{i}) AS BIGINT)"))
+                .otherwise(F.lit(0).cast("long")))
+        df = df.drop(*[f"__mn{i}" for i in range(2)],
+                     *[f"__mx{i}" for i in range(2)])
+        in_fields = [f for f in df.schema.fields
+                     if f.name not in ("__w0", "__w1")]
+        schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in in_fields
+        ) + f", {self.output_col} bigint"
+        oc = self.output_col
+        keep = [f.name for f in in_fields]
+
+        def fn(batches):
+            import numpy as np
+
+            for pdf in batches:
+                ok = pdf["__w0"].notna() & pdf["__w1"].notna()
+                x = pdf["__w0"].fillna(0).to_numpy(dtype=np.int64)
+                y = pdf["__w1"].fillna(0).to_numpy(dtype=np.int64)
+                d = np.zeros(len(pdf), dtype=np.int64)
+                s = np.int64(1) << (b - 1)
+                while s > 0:
+                    rx = ((x & s) > 0).astype(np.int64)
+                    ry = ((y & s) > 0).astype(np.int64)
+                    d += s * s * ((3 * rx) ^ ry)
+                    swap = ry == 0
+                    flip = swap & (rx == 1)
+                    xf = np.where(flip, s - 1 - x, x)
+                    yf = np.where(flip, s - 1 - y, y)
+                    x, y = (np.where(swap, yf, xf),
+                            np.where(swap, xf, yf))
+                    s >>= 1
+                out = pdf[keep].copy()
+                out[oc] = d
+                out.loc[~ok, oc] = None
+                yield out
+
+        return pcoll.with_df(df.mapInPandas(fn, schema))

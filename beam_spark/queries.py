@@ -2982,6 +2982,60 @@ def q_zorder_key(spark, sf_dir):
     return out.select("l_orderkey", "l_linenumber", "zorder_key")
 
 
+def _hilbert_sql(bits: int = 8) -> str:
+    """Chained-CTE xy2d walk: one CTE per bit plane replaying the
+    operator's rotate/reflect recurrence on the SAME integer-scaled
+    words — pure integer ops, bit-exact by construction."""
+    cte = [f"""WITH mm AS (SELECT min(l_partkey) AS mn0,
+                  max(l_partkey) AS mx0,
+                  min(l_suppkey) AS mn1, max(l_suppkey) AS mx1
+           FROM lineitem),
+h0 AS (SELECT l_orderkey, l_linenumber,
+              CASE WHEN mx0 > mn0
+                THEN ((l_partkey - mn0) * {(1 << bits) - 1})
+                     // (mx0 - mn0)
+                ELSE 0 END AS x,
+              CASE WHEN mx1 > mn1
+                THEN ((l_suppkey - mn1) * {(1 << bits) - 1})
+                     // (mx1 - mn1)
+                ELSE 0 END AS y,
+              CAST(0 AS BIGINT) AS d
+       FROM lineitem CROSS JOIN mm),"""]
+    prev = "h0"
+    for idx, shift in enumerate(range(bits - 1, -1, -1), start=1):
+        s = 1 << shift
+        cte.append(f"""h{idx} AS (
+  SELECT l_orderkey, l_linenumber,
+         d + {s * s} * xor(3 * rx, ry) AS d,
+         CASE WHEN ry = 0 THEN
+           (CASE WHEN rx = 1 THEN {s - 1} - y ELSE y END)
+         ELSE x END AS x,
+         CASE WHEN ry = 0 THEN
+           (CASE WHEN rx = 1 THEN {s - 1} - x ELSE x END)
+         ELSE y END AS y
+  FROM (SELECT l_orderkey, l_linenumber, d, x, y,
+               CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+               CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry
+        FROM {prev})),""")
+        prev = f"h{idx}"
+    cte[-1] = cte[-1].rstrip(",")
+    return ("\n".join(cte)
+            + f"\nSELECT l_orderkey, l_linenumber, "
+              f"CAST(d AS BIGINT) AS hilbert_key FROM {prev}")
+
+
+@query("q_lake_hilbert_key", _hilbert_sql())
+def q_hilbert_key(spark, sf_dir):
+    """Hilbert-curve clustering key over (l_partkey, l_suppkey) at 8
+    bits per axis: the oracle replays the rotate/reflect walk one CTE
+    per bit plane on identically-scaled integer words — bit-exact."""
+    from beam_spark.operators.scd import HilbertKey
+
+    li = table(spark, sf_dir, "lineitem")
+    out = (li | HilbertKey(["l_partkey", "l_suppkey"], bits=8)).df
+    return out.select("l_orderkey", "l_linenumber", "hilbert_key")
+
+
 @query("q_text_zipf_fit", """
 WITH t AS (SELECT list_filter({_TOK}, x -> x <> '') AS toks
            FROM documents WHERE text IS NOT NULL),

@@ -2916,3 +2916,33 @@ def test_kmeans_silhouette_known(spark):
     od = (PCollection(dup) | KMeansLloyd(
         k=2, rounds=0, with_silhouette=True)).df.collect()
     assert all(r["silhouette"] is None for r in od)
+
+
+def test_hilbert_key_known(spark):
+    """4x4 grid at bits=2: the Hilbert walk visits all 16 cells with
+    key 0..15 and EVERY consecutive pair is a grid neighbor (Manhattan
+    distance 1) — the locality property Morton lacks; d=0 starts at
+    (0,0); NULLs yield NULL keys."""
+    from beam_spark.operators.scd import HilbertKey
+    from beam_spark.pcollection import PCollection
+
+    rows = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = {r["hilbert_key"]: (r["x"], r["y"]) for r in (
+        PCollection(df) | HilbertKey(["x", "y"], bits=2)).df.collect()}
+    assert sorted(out) == list(range(16))
+    assert out[0] == (0, 0)
+    for d in range(15):
+        (x1, y1), (x2, y2) = out[d], out[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+    withnull = spark.createDataFrame([(1, None), (2, 3)], "x long, y long")
+    kn = {r["x"]: r["hilbert_key"] for r in (
+        PCollection(withnull) | HilbertKey(["x", "y"], bits=4))
+        .df.collect()}
+    assert kn[1] is None
+
+    import pytest as pt
+
+    with pt.raises(ValueError, match="exactly 2"):
+        HilbertKey(["x", "y", "z"])
