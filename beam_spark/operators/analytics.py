@@ -354,3 +354,83 @@ class AssociationRules(PTransform):
         if self.min_confidence > 0.0:
             out = out.where(F.col("confidence") >= self.min_confidence)
         return pcoll.with_df(out)
+
+
+class FrequentItemsets(PTransform):
+    """A-priori frequent itemsets up to size ``max_size`` (<= 3): the
+    support-counting core of market-basket mining, one level deeper
+    than AssociationRules' pairs. Presence semantics (distinct items
+    per basket).
+
+    Level pruning (the a-priori bound, applied as semi-joins BEFORE
+    each self-join): L2 enumerates pairs only over L1-frequent items;
+    L3 enumerates triples only over items that appear in at least one
+    L2-frequent pair — per-basket fan-out is k'^2 / k''^3 over the
+    PRUNED alphabets, never the raw one. All counts are exact
+    integers; output compares exactly.
+
+    Scale: one distinct + one count per level plus basket-keyed
+    self-joins (partial-agg counts, AQE-skew-safe); the item
+    alphabets joined for pruning are item-cardinality (semi-joins).
+    The triple join is the honest cost center — bound the alphabet
+    (bucket items upstream) for k''^3-heavy corpora.
+
+    Output: (items array — ascending, size int, support_n long).
+    """
+
+    def __init__(self, item_col: str, basket_keys,
+                 min_support: int = 2, max_size: int = 3, label=None):
+        super().__init__(label)
+        if int(min_support) < 1:
+            raise ValueError(f"min_support {min_support}: need >= 1")
+        if not 1 <= int(max_size) <= 3:
+            raise ValueError(f"max_size {max_size} outside [1, 3]")
+        self.item_col = item_col
+        self.basket_keys = ([basket_keys] if isinstance(basket_keys, str)
+                            else list(basket_keys))
+        self.min_support = int(min_support)
+        self.max_size = int(max_size)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        it, bk, ms = self.item_col, self.basket_keys, self.min_support
+        b = (pcoll.df.select(*bk, it)
+             .where(F.col(it).isNotNull()).distinct())
+        l1 = (b.groupBy(it)
+              .agg(F.count(F.lit(1)).cast("long").alias("c"))
+              .where(F.col("c") >= ms))
+        levels = [l1.select(F.array(F.col(it)).alias("items"),
+                            F.lit(1).cast("int").alias("size"),
+                            F.col("c").alias("support_n"))]
+        fb = b.join(l1.select(it), on=it, how="left_semi")
+        if self.max_size >= 2:
+            x = fb.select(*bk, F.col(it).alias("__a"))
+            y = fb.select(*bk, F.col(it).alias("__b"))
+            l2 = (x.join(y, on=bk).where(F.col("__b") > F.col("__a"))
+                  .groupBy("__a", "__b")
+                  .agg(F.count(F.lit(1)).cast("long").alias("c"))
+                  .where(F.col("c") >= ms))
+            levels.append(l2.select(
+                F.array("__a", "__b").alias("items"),
+                F.lit(2).cast("int").alias("size"),
+                F.col("c").alias("support_n")))
+        if self.max_size >= 3:
+            it2 = (l2.select(F.col("__a").alias(it))
+                   .unionAll(l2.select(F.col("__b").alias(it)))
+                   .distinct())
+            fb2 = fb.join(it2, on=it, how="left_semi")
+            x = fb2.select(*bk, F.col(it).alias("__a"))
+            y = fb2.select(*bk, F.col(it).alias("__b"))
+            z = fb2.select(*bk, F.col(it).alias("__c"))
+            l3 = (x.join(y, on=bk).where(F.col("__b") > F.col("__a"))
+                  .join(z, on=bk).where(F.col("__c") > F.col("__b"))
+                  .groupBy("__a", "__b", "__c")
+                  .agg(F.count(F.lit(1)).cast("long").alias("c"))
+                  .where(F.col("c") >= ms))
+            levels.append(l3.select(
+                F.array("__a", "__b", "__c").alias("items"),
+                F.lit(3).cast("int").alias("size"),
+                F.col("c").alias("support_n")))
+        out = levels[0]
+        for lv in levels[1:]:
+            out = out.unionByName(lv)
+        return pcoll.with_df(out)

@@ -2562,6 +2562,42 @@ def q_assoc_rules(spark, sf_dir):
                       "lift")
 
 
+@query("q_frequent_itemsets_lineitem", """
+WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey % 20 AS it
+           FROM lineitem),
+l1 AS (SELECT it, CAST(count(*) AS BIGINT) AS c FROM b
+       GROUP BY it HAVING count(*) >= 3),
+fb AS (SELECT b.bk, b.it FROM b JOIN l1 ON l1.it = b.it),
+l2 AS (SELECT x.it AS a, y.it AS bb, CAST(count(*) AS BIGINT) AS c
+       FROM fb x JOIN fb y ON y.bk = x.bk AND y.it > x.it
+       GROUP BY 1, 2 HAVING count(*) >= 3),
+it2 AS (SELECT a AS it FROM l2 UNION SELECT bb FROM l2),
+fb2 AS (SELECT fb.bk, fb.it FROM fb JOIN it2 ON it2.it = fb.it),
+l3 AS (SELECT x.it AS a, y.it AS bb, z.it AS c3,
+              CAST(count(*) AS BIGINT) AS c
+       FROM fb2 x JOIN fb2 y ON y.bk = x.bk AND y.it > x.it
+       JOIN fb2 z ON z.bk = x.bk AND z.it > y.it
+       GROUP BY 1, 2, 3 HAVING count(*) >= 3)
+SELECT [it] AS items, CAST(1 AS INT) AS size, c AS support_n FROM l1
+UNION ALL
+SELECT [a, bb], CAST(2 AS INT), c FROM l2
+UNION ALL
+SELECT [a, bb, c3], CAST(3 AS INT), c FROM l3
+""")
+def q_frequent_itemsets(spark, sf_dir):
+    """A-priori frequent itemsets up to size 3 over lineitem baskets
+    (item = l_partkey % 20, min_support 3): each level's self-join is
+    pruned to the previous level's frequent alphabet, counts exact."""
+    from beam_spark.operators.analytics import FrequentItemsets
+
+    li = table(spark, sf_dir, "lineitem").df.select(
+        "l_orderkey", (F.col("l_partkey") % 20).alias("item"))
+    out = (PCollection(li) | FrequentItemsets(
+        "item", basket_keys="l_orderkey", min_support=3,
+        max_size=3)).df
+    return out.select("items", "size", "support_n")
+
+
 @query("q_classifier_metrics", """
 WITH base AS (
   SELECT CAST(n_chars % 100 + 1 AS DOUBLE) / CAST(102 AS DOUBLE) AS s,

@@ -2946,3 +2946,37 @@ def test_hilbert_key_known(spark):
 
     with pt.raises(ValueError, match="exactly 2"):
         HilbertKey(["x", "y", "z"])
+
+
+def test_frequent_itemsets_known(spark):
+    """Four baskets over {x,y,z,w}: {x,y,z} appears 3 times, w only
+    once (pruned at L1 so it never enters L2/L3 joins); supports are
+    exact and items ascending."""
+    from beam_spark.operators.analytics import FrequentItemsets
+    from beam_spark.pcollection import PCollection
+
+    baskets = [(1, ["x", "y", "z", "w"]), (2, ["x", "y", "z"]),
+               (3, ["x", "y", "z"]), (4, ["x", "y"])]
+    rows = [(b, i) for b, items in baskets for i in items]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = {(tuple(r["items"]), r["size"]): r["support_n"] for r in (
+        PCollection(df) | FrequentItemsets(
+            "item", basket_keys="basket", min_support=3)).df.collect()}
+    assert out[(("x",), 1)] == 4
+    assert out[(("y",), 1)] == 4
+    assert out[(("z",), 1)] == 3
+    assert (("w",), 1) not in out
+    assert out[(("x", "y"), 2)] == 4
+    assert out[(("x", "z"), 2)] == 3
+    assert out[(("x", "y", "z"), 3)] == 3
+    assert not [k for k in out if k[1] == 3 and k != (("x", "y", "z"), 3)]
+
+    only2 = (PCollection(df) | FrequentItemsets(
+        "item", basket_keys="basket", min_support=3,
+        max_size=2)).df.collect()
+    assert max(r["size"] for r in only2) == 2
+
+    import pytest as pt
+
+    with pt.raises(ValueError, match="max_size"):
+        FrequentItemsets("item", basket_keys="b", max_size=4)
