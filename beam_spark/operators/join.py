@@ -114,6 +114,32 @@ def salted_join(big: DataFrame, small: DataFrame, on: str, how: str = "inner",
     return out.drop("__salt")
 
 
+def recommended_salt(df: DataFrame, on, target_skew: float = 4.0,
+                     cap: int = 64) -> int:
+    """Skew advisor for ``salted_join``: profile the key distribution
+    (quality.SkewProfile) and return the salt factor that brings the
+    heaviest key's max/mean ratio down to about ``target_skew``:
+
+        salt = ceil(skew_ratio / target_skew), clamped to [1, cap]
+
+    1 means the key is balanced enough — use a plain join (AQE's
+    runtime skew split handles residual imbalance). This is ONE
+    aggregation over the key column (an eager action — run it on a
+    sample or a stats table when profiling the full input is itself
+    expensive).
+    """
+    import math
+
+    from beam_spark.operators.quality import SkewProfile
+    from beam_spark.pcollection import PCollection
+
+    if not float(target_skew) >= 1.0:
+        raise ValueError(f"target_skew {target_skew}: need >= 1")
+    row = (PCollection(df) | SkewProfile(on)).df.collect()[0]
+    return max(1, min(int(cap),
+                      math.ceil(row["skew_ratio"] / float(target_skew))))
+
+
 class Enrichment(PTransform):
     """Keyed enrichment against an external handler with caching and
     batched calls (transforms/enrichment.py:103 + RequestResponseIO

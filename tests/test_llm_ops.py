@@ -2980,3 +2980,25 @@ def test_frequent_itemsets_known(spark):
 
     with pt.raises(ValueError, match="max_size"):
         FrequentItemsets("item", basket_keys="b", max_size=4)
+
+
+def test_recommended_salt(spark):
+    """Advisor: a uniform key recommends 1 (plain join + AQE); a key
+    where one value holds half the rows recommends ~skew/target; the
+    cap clamps pathological skew."""
+    from beam_spark.operators.join import recommended_salt
+
+    uniform = spark.createDataFrame(
+        [(i % 10,) for i in range(100)], "k long")
+    assert recommended_salt(uniform, "k") == 1
+
+    # one key holds 91 of 100 rows over 10 keys: skew = 9.1x mean
+    skewed = spark.createDataFrame(
+        [(0,)] * 91 + [(i,) for i in range(1, 10)], "k long")
+    assert recommended_salt(skewed, "k", target_skew=4.0) == 3
+    assert recommended_salt(skewed, "k", target_skew=4.0, cap=2) == 2
+
+    import pytest as pt
+
+    with pt.raises(ValueError, match="target_skew"):
+        recommended_salt(uniform, "k", target_skew=0.5)
