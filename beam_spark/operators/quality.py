@@ -1261,8 +1261,9 @@ class CalibrationReport(PTransform):
     The decision input for "can I trust this filter's probabilities
     as sampling weights" (vs needing a recalibration pass).
 
-    Determinism: bin = min(floor(s * n_bins), n_bins - 1) (identical
-    float multiply + floor in both engines); mean_conf goes through
+    Determinism: bin = clamp(floor(s * n_bins), 0, n_bins - 1)
+    (identical float multiply + floor in both engines; out-of-[0,1]
+    scores clamp into the edge bins); mean_conf goes through
     the exact decimal sum and rounds 6; frac_pos is an exact single
     division; the gap and ECE terms then run on identical doubles,
     ECE summing over <= n_bins values (rounded 6).
@@ -1290,8 +1291,9 @@ class CalibrationReport(PTransform):
         s = F.col(self.score_col).cast("double")
         y = F.col(self.label_col).cast("long")
         base = (pcoll.df.where(s.isNotNull() & y.isNotNull())
-                .select(F.least(F.floor(s * b), F.lit(b - 1))
-                        .cast("int").alias("bin"),
+                .select(F.greatest(
+                    F.least(F.floor(s * b), F.lit(b - 1)),
+                    F.lit(0)).cast("int").alias("bin"),
                         s.alias("__s"), y.alias("__y")))
         per = base.groupBy("bin").agg(
             F.count(F.lit(1)).cast("long").alias("n"),

@@ -3232,7 +3232,7 @@ WITH base AS (
          CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
   FROM documents WHERE n_chars IS NOT NULL),
 per AS (
-  SELECT least(CAST(floor(s * 10) AS INT), 9) AS bin,
+  SELECT greatest(least(CAST(floor(s * 10) AS INT), 9), 0) AS bin,
          CAST(count(*) AS BIGINT) AS n,
          round(CAST(sum(CAST(s AS DECIMAL(28,12))) AS DOUBLE)
                / count(*), 6) AS mean_conf,
