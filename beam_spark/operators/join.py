@@ -136,6 +136,8 @@ def recommended_salt(df: DataFrame, on, target_skew: float = 4.0,
     if not float(target_skew) >= 1.0:
         raise ValueError(f"target_skew {target_skew}: need >= 1")
     row = (PCollection(df) | SkewProfile(on)).df.collect()[0]
+    if row["skew_ratio"] is None:       # empty input: nothing to salt
+        return 1
     return max(1, min(int(cap),
                       math.ceil(row["skew_ratio"] / float(target_skew))))
 

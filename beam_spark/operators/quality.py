@@ -1099,7 +1099,7 @@ class SkewProfile(PTransform):
     salting or AQE skew handling BEFORE it runs. One row:
 
       n_rows, n_keys, max_key_n   exact counts
-      top1_share / top10_share    heaviest-key / top-10 mass fraction
+      top1_share / topk_share     heaviest-key / top-``top_k`` mass
       skew_ratio                  max key count / mean key count
       gini                        Gini coefficient of key counts
       cv                          coefficient of variation of counts
@@ -1121,7 +1121,7 @@ class SkewProfile(PTransform):
     the string 'NULL' bucket (NULLs hash together in a real shuffle —
     that is exactly the hot key you want to see).
 
-    Output: (n_rows, n_keys, max_key_n, top1_share, top10_share,
+    Output: (n_rows, n_keys, max_key_n, top1_share, topk_share,
     skew_ratio, gini, cv).
     """
 
@@ -1161,7 +1161,7 @@ class SkewProfile(PTransform):
             (F.col("max_key_n").cast("double") / n.cast("double"))
             .alias("top1_share"),
             (F.col("__topk").cast("double") / n.cast("double"))
-            .alias("top10_share"),
+            .alias("topk_share"),
             ((F.col("max_key_n") * K).cast("double") / n.cast("double"))
             .alias("skew_ratio"),
             ((2 * F.col("__ic") - (K + 1) * n).cast("double")

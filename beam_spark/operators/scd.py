@@ -234,7 +234,9 @@ class ReconcileTables(PTransform):
     count. Every output is an exact integer.
 
     ``columns``: compared columns (default: all shared non-key
-    columns, in before-frame order).
+    columns, in before-frame order). Keys are assumed UNIQUE per side
+    (a keyed table's invariant) — duplicate keys fan out through the
+    join and inflate the counts.
 
     Scale: ONE key-keyed full-outer join (AQE-skew-safe) + one global
     aggregation; the report is (4 + n_columns) rows regardless of

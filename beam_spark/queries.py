@@ -3145,7 +3145,7 @@ a AS (SELECT CAST(sum(c) AS BIGINT) AS n,
       FROM rk)
 SELECT n AS n_rows, kk AS n_keys, mx AS max_key_n,
        CAST(mx AS DOUBLE) / CAST(n AS DOUBLE) AS top1_share,
-       CAST(topk AS DOUBLE) / CAST(n AS DOUBLE) AS top10_share,
+       CAST(topk AS DOUBLE) / CAST(n AS DOUBLE) AS topk_share,
        CAST(mx * kk AS DOUBLE) / CAST(n AS DOUBLE) AS skew_ratio,
        CAST(2 * ic - (kk + 1) * n AS DOUBLE)
          / CAST(kk * n AS DOUBLE) AS gini,
@@ -3162,7 +3162,7 @@ def q_skew_profile(spark, sf_dir):
     o = table(spark, sf_dir, "orders")
     out = (o | SkewProfile("o_custkey")).df
     return out.select("n_rows", "n_keys", "max_key_n", "top1_share",
-                      "top10_share", "skew_ratio", "gini", "cv")
+                      "topk_share", "skew_ratio", "gini", "cv")
 
 
 @query("q_group_fairness_langs", """

@@ -2700,7 +2700,7 @@ def test_skew_profile_known(spark):
     r = (PCollection(df) | SkewProfile("k", top_k=2)).df.collect()[0]
     assert (r["n_rows"], r["n_keys"], r["max_key_n"]) == (10, 4, 6)
     assert r["top1_share"] == 0.6
-    assert r["top10_share"] == 0.8          # top_k=2 -> a+b = 8/10
+    assert r["topk_share"] == 0.8           # top_k=2 -> a+b = 8/10
     assert r["skew_ratio"] == 2.4
     assert r["gini"] == (2 * (1 * 1 + 2 * 1 + 3 * 2 + 4 * 6) - 5 * 10) / 40
     assert r["cv"] == math.sqrt(4 * 42 - 100) / 10
@@ -2991,6 +2991,7 @@ def test_recommended_salt(spark):
     uniform = spark.createDataFrame(
         [(i % 10,) for i in range(100)], "k long")
     assert recommended_salt(uniform, "k") == 1
+    assert recommended_salt(uniform.where("k > 99"), "k") == 1  # empty
 
     # one key holds 91 of 100 rows over 10 keys: skew = 9.1x mean
     skewed = spark.createDataFrame(
