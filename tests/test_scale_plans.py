@@ -395,3 +395,48 @@ def test_cdc_apply_single_exchange(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_association_rules_broadcast_marginals(spark, sf_dir):
+    """AssociationRules' marginal joins broadcast (explicit hints —
+    more may auto-broadcast at tiny SF, so assert AT LEAST the hinted
+    ones), the 1-row n_baskets total is the ONLY nested-loop join,
+    and the pair aggregation runs as HashAggregates."""
+    from beam_spark.operators.analytics import AssociationRules
+    from beam_spark.pcollection import PCollection
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        "l_orderkey", "l_partkey % 40 AS item")
+    out = (PCollection(li) | AssociationRules(
+        "item", basket_keys="l_orderkey", min_support=5)).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastExchange") >= 3, plan[:1200]
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row total
+    assert "HashAggregate" in plan
+
+
+def test_zorder_key_zero_shuffle_after_broadcast_stats(spark, sf_dir):
+    """ZOrderKey is one broadcast min/max aggregate + a pure
+    projection: no hash-partitioned exchange anywhere in the plan (the
+    write-side range partition is the caller's move)."""
+    from beam_spark.operators.scd import ZOrderKey
+    from beam_spark.pcollection import PCollection
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = (PCollection(li) | ZOrderKey(
+        ["l_partkey", "l_suppkey"], bits=8)).df.select("zorder_key")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_pmi_totals_are_broadcast(spark, sf_dir):
+    """PmiCollocations' two grand totals ride broadcast cross joins;
+    the unigram-count joins stay keyed (no corpus-sized broadcast)."""
+    from beam_spark.operators.text import PmiCollocations
+    from beam_spark.pcollection import PCollection
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = (PCollection(docs) | PmiCollocations("text", min_count=5)).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastNestedLoopJoin") == 2  # the 1-row totals
