@@ -747,7 +747,11 @@ class KMeansLloyd(PTransform):
     updated in numpy, and re-broadcast as literals).
 
     Determinism & oracle replay (the PageRank convention): seeds are
-    the k smallest-id vectors; centroid coordinates are rounded to
+    the k smallest-id vectors, or with ``seeding='farthest'`` the
+    deterministic Gonzalez/k-means++-style spread — seed 0 is the
+    smallest id, each next seed the vector MINIMIZING its max round-6
+    cosine to the chosen set (i.e. the farthest point), ties to the
+    smallest id; k-1 driver-argmin scans, no RNG, fully replayable; centroid coordinates are rounded to
     9 dp after each normalize (per-group float-sum order is the only
     cross-engine difference, ~1e-15 relative — round 9 absorbs it);
     assignment similarities are rounded to 6 dp with first-max
@@ -776,7 +780,8 @@ class KMeansLloyd(PTransform):
 
     def __init__(self, k: int, rounds: int = 2, id_col: str = "vec_id",
                  vec_col: str = "embedding",
-                 with_silhouette: bool = False, label=None):
+                 with_silhouette: bool = False,
+                 seeding: str = "first_ids", label=None):
         super().__init__(label)
         if not 1 <= int(k) <= self.MAX_SEED_COLLECT:
             raise ValueError(
@@ -785,9 +790,13 @@ class KMeansLloyd(PTransform):
         if not 0 <= int(rounds) <= self.MAX_ROUNDS:
             raise ValueError(
                 f"rounds {rounds} outside [0, {self.MAX_ROUNDS}]")
+        if seeding not in ("first_ids", "farthest"):
+            raise ValueError(
+                f"seeding {seeding!r}: 'first_ids' or 'farthest'")
         self.k, self.rounds = int(k), int(rounds)
         self.id_col, self.vec_col = id_col, vec_col
         self.with_silhouette = bool(with_silhouette)
+        self.seeding = seeding
 
     def expand(self, pcoll: PCollection) -> PCollection:
         import numpy as np
@@ -804,13 +813,37 @@ class KMeansLloyd(PTransform):
             raise ValueError(
                 f"KMeansLloyd: {n_zero} zero-norm vector(s) — cosine "
                 "assignment is undefined; filter them upstream")
-        seed_rows = base.orderBy("__id").limit(k).collect()
-        if len(seed_rows) < k:
-            raise ValueError(
-                f"KMeansLloyd: k={k} but only {len(seed_rows)} non-NULL "
-                "vectors")
-        C = np.array([r["__v"] for r in seed_rows], dtype=np.float64)
-        C = np.round(C / np.linalg.norm(C, axis=1, keepdims=True), 9)
+        def _unit9(v):
+            v = np.asarray(v, dtype=np.float64)
+            return np.round(v / np.linalg.norm(v), 9)
+
+        if self.seeding == "farthest":
+            first = base.orderBy("__id").limit(1).collect()
+            if not first:
+                raise ValueError("KMeansLloyd: no non-NULL vectors")
+            chosen = [_unit9(first[0]["__v"])]
+            nrm = norm(F.col("__v"))
+            for _ in range(1, k):
+                sims = F.array(*[
+                    F.round(dot(F.col("__v"),
+                                F.array(*[F.lit(float(x)) for x in c]))
+                            / nrm, 6)
+                    for c in chosen])
+                pick = (base.withColumn("__mc", F.array_max(sims))
+                        .orderBy(F.col("__mc").asc(), F.col("__id"))
+                        .limit(1).collect()[0])
+                chosen.append(_unit9(pick["__v"]))
+            C = np.array(chosen)
+        else:
+            seed_rows = base.orderBy("__id").limit(k).collect()
+            if len(seed_rows) < k:
+                raise ValueError(
+                    f"KMeansLloyd: k={k} but only {len(seed_rows)} "
+                    "non-NULL vectors")
+            C = np.array([r["__v"] for r in seed_rows],
+                         dtype=np.float64)
+            C = np.round(C / np.linalg.norm(C, axis=1, keepdims=True),
+                         9)
         dim = C.shape[1]
 
         def assign(cent):

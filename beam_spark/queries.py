@@ -2759,6 +2759,72 @@ def q_kmeans(spark, sf_dir):
     return out.select("vec_id", "cluster", "sim")
 
 
+@query("q_kmeans_farthest_seeds", """
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings
+           WHERE embedding IS NOT NULL),
+ed AS (SELECT vec_id, CAST(u.i - 1 AS INT) AS dim,
+              CAST(v[u.i] AS DOUBLE) AS x
+       FROM e, unnest(range(1, len(v) + 1)) AS u(i)),
+en AS (SELECT vec_id, sqrt(sum(x * x)) AS nr FROM ed GROUP BY vec_id),
+s0 AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT 1),
+c0 AS (SELECT CAST(0 AS INT) AS cidx, ed.dim,
+              round(ed.x / en.nr, 9) AS c
+       FROM s0 JOIN ed ON ed.vec_id = s0.vec_id
+       JOIN en ON en.vec_id = s0.vec_id),
+p1d AS (SELECT ed.vec_id, sum(ed.x * c.c) AS dp
+        FROM ed JOIN c0 c ON c.dim = ed.dim GROUP BY 1),
+p1 AS (SELECT d.vec_id, round(d.dp / en.nr, 6) AS mc
+       FROM p1d d JOIN en ON en.vec_id = d.vec_id),
+s1 AS (SELECT vec_id FROM p1 ORDER BY mc, vec_id LIMIT 1),
+c1 AS (SELECT CAST(1 AS INT) AS cidx, ed.dim,
+              round(ed.x / en.nr, 9) AS c
+       FROM s1 JOIN ed ON ed.vec_id = s1.vec_id
+       JOIN en ON en.vec_id = s1.vec_id),
+c01 AS (SELECT * FROM c0 UNION ALL SELECT * FROM c1),
+p2d AS (SELECT ed.vec_id, c.cidx, sum(ed.x * c.c) AS dp
+        FROM ed JOIN c01 c ON c.dim = ed.dim GROUP BY 1, 2),
+p2 AS (SELECT d.vec_id, max(round(d.dp / en.nr, 6)) AS mc
+       FROM p2d d JOIN en ON en.vec_id = d.vec_id
+       GROUP BY d.vec_id),
+s2 AS (SELECT vec_id FROM p2 ORDER BY mc, vec_id LIMIT 1),
+c2 AS (SELECT CAST(2 AS INT) AS cidx, ed.dim,
+              round(ed.x / en.nr, 9) AS c
+       FROM s2 JOIN ed ON ed.vec_id = s2.vec_id
+       JOIN en ON en.vec_id = s2.vec_id),
+cs AS (SELECT * FROM c01 UNION ALL SELECT * FROM c2),
+da AS (SELECT ed.vec_id, c.cidx, sum(ed.x * c.c) AS dp
+       FROM ed JOIN cs c ON c.dim = ed.dim GROUP BY 1, 2),
+a1 AS (SELECT d.vec_id, d.cidx
+       FROM da d JOIN en ON en.vec_id = d.vec_id
+       QUALIFY row_number() OVER (PARTITION BY d.vec_id
+         ORDER BY round(d.dp / en.nr, 6) DESC, d.cidx) = 1),
+m1 AS (SELECT a.cidx, ed.dim, sum(ed.x) / count(*) AS m
+       FROM a1 a JOIN ed ON ed.vec_id = a.vec_id GROUP BY 1, 2),
+mn1 AS (SELECT cidx, sqrt(sum(m * m)) AS nr FROM m1 GROUP BY cidx),
+cf AS (SELECT p.cidx, p.dim, coalesce(round(m.m / mn.nr, 9), p.c) AS c
+       FROM cs p
+       LEFT JOIN m1 m ON m.cidx = p.cidx AND m.dim = p.dim
+       LEFT JOIN mn1 mn ON mn.cidx = p.cidx),
+df2 AS (SELECT ed.vec_id, c.cidx, sum(ed.x * c.c) AS dp
+        FROM ed JOIN cf c ON c.dim = ed.dim GROUP BY 1, 2)
+SELECT d.vec_id, d.cidx AS cluster, round(d.dp / en.nr, 6) AS sim
+FROM df2 d JOIN en ON en.vec_id = d.vec_id
+QUALIFY row_number() OVER (PARTITION BY d.vec_id
+  ORDER BY round(d.dp / en.nr, 6) DESC, d.cidx) = 1
+""")
+def q_kmeans_farthest(spark, sf_dir):
+    """Spherical k-means (k=3, 1 Lloyd round) with DETERMINISTIC
+    farthest-point seeding: seed 0 = smallest vec_id; each next seed
+    minimizes its max round-6 cosine to the chosen set (ties to the
+    smallest id) — the oracle chains the two argmin-pick stages into
+    the assign/update/assign replay."""
+    from beam_spark.operators.similarity import KMeansLloyd
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = (emb | KMeansLloyd(k=3, rounds=1, seeding="farthest")).df
+    return out.select("vec_id", "cluster", "sim")
+
+
 @query("q_kmeans_silhouette", """
 WITH e AS (SELECT vec_id, embedding AS v FROM embeddings
            WHERE embedding IS NOT NULL),

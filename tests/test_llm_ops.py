@@ -3003,3 +3003,34 @@ def test_recommended_salt(spark):
 
     with pt.raises(ValueError, match="target_skew"):
         recommended_salt(uniform, "k", target_skew=0.5)
+
+
+def test_kmeans_farthest_seeding(spark):
+    """Deterministic farthest-point seeds: seed 0 is the smallest id
+    ([1,0]); the farthest vector by cosine is [-1,0] (seed 1); then
+    [0,1] (cos 0 to both) beats the near-duplicates (cos ~0.9+) for
+    seed 2 — so the three centroids are the three true directions,
+    which first_ids seeding would NOT find (ids 1,2,3 are two
+    near-duplicates plus [1,0])."""
+    from beam_spark.operators.similarity import KMeansLloyd
+    from beam_spark.pcollection import PCollection
+
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.95, 0.05]),
+            (4, [-1.0, 0.0]), (5, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    km = KMeansLloyd(k=3, rounds=0, seeding="farthest")
+    out = {r["vec_id"]: r["cluster"]
+           for r in (PCollection(df) | km).df.collect()}
+    import numpy as np
+
+    cents = np.round(np.array(km.centroids_), 3).tolist()
+    assert [1.0, 0.0] in cents and [-1.0, 0.0] in cents \
+        and [0.0, 1.0] in cents
+    # the x-axis bundle maps together; [-1,0] and [0,1] are alone
+    assert out[1] == out[2] == out[3]
+    assert len({out[1], out[4], out[5]}) == 3
+
+    import pytest as pt
+
+    with pt.raises(ValueError, match="seeding"):
+        KMeansLloyd(k=2, seeding="random")
