@@ -434,3 +434,75 @@ class FrequentItemsets(PTransform):
         for lv in levels[1:]:
             out = out.unionByName(lv)
         return pcoll.with_df(out)
+
+
+class Attribution(PTransform):
+    """First/last-touch conversion attribution over an event stream:
+    for every conversion event, find the first or last qualifying
+    touch event by the same key that happened STRICTLY BEFORE it (and
+    within ``lookback`` seconds when set) — the marketing-analytics
+    join behind "which channel gets credit", and the same shape as
+    span-linking a label event back to its provenance event in a
+    training-data log.
+
+    ``model='last_touch'`` (default) credits the most recent touch,
+    'first_touch' the earliest in the window. Ties at the same
+    timestamp break on the order column (event id). Conversions with
+    no qualifying touch emit NULL touch columns (report them as
+    'direct').
+
+    Scale: ONE key-partitioned ordered window (running first/last of
+    the touch struct over preceding rows) — no self-join, no
+    per-conversion scan; with lookback, an (ts - touch_ts) filter on
+    the single candidate. Everything stays native.
+
+    Output: one row per conversion — (keys, conv_<order>, conv_ts,
+    touch_<order>, touch_event, touch_ts).
+    """
+
+    def __init__(self, conversion_if: str, touch_if: str,
+                 model: str = "last_touch", keys="user_id",
+                 event_col: str = "event_type", ts_col: str = "ts",
+                 order_col: str = "event_id",
+                 lookback: float | None = None, label=None):
+        super().__init__(label)
+        if model not in ("first_touch", "last_touch"):
+            raise ValueError(
+                f"model {model!r}: 'first_touch' or 'last_touch'")
+        self.conversion_if, self.touch_if = conversion_if, touch_if
+        self.model = model
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        self.event_col, self.ts_col = event_col, ts_col
+        self.order_col = order_col
+        self.lookback = None if lookback is None else float(lookback)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        ec, tc, oc = self.event_col, self.ts_col, self.order_col
+        w = (Window.partitionBy(*self.keys).orderBy(tc, oc)
+             .rowsBetween(Window.unboundedPreceding, -1))
+        touch = F.when(F.expr(self.touch_if),
+                       F.struct(F.col(tc).alias("t"),
+                                F.col(oc).alias("o"),
+                                F.col(ec).alias("e")))
+        pick = (F.first(touch, ignorenulls=True)
+                if self.model == "first_touch"
+                else F.last(touch, ignorenulls=True))
+        df = (pcoll.df
+              .withColumn("__touch", pick.over(w))
+              .where(F.expr(self.conversion_if)))
+        if self.lookback is not None:
+            df = df.withColumn(
+                "__touch",
+                F.when(F.col(tc).cast("double")
+                       - F.col("__touch.t").cast("double")
+                       <= self.lookback, F.col("__touch")))
+        out = df.select(
+            *self.keys,
+            F.col(oc).alias(f"conv_{oc}"),
+            F.col(tc).alias("conv_ts"),
+            F.col("__touch.o").alias(f"touch_{oc}"),
+            F.col("__touch.e").alias("touch_event"),
+            F.col("__touch.t").alias("touch_ts"))
+        return pcoll.with_df(out)

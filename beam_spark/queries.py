@@ -2562,6 +2562,46 @@ def q_assoc_rules(spark, sf_dir):
                       "lift")
 
 
+@query("q_attribution_last_touch", """
+WITH ev AS (SELECT user_id, event_id, event_type, ts FROM events
+            WHERE user_id IS NOT NULL),
+w AS (SELECT *,
+        last_value(CASE WHEN event_type IN ('view', 'click') THEN
+                     {'t': ts, 'o': event_id, 'e': event_type}
+                   END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS touch
+      FROM ev),
+c AS (SELECT user_id, event_id AS conv_event_id, ts AS conv_ts,
+             CASE WHEN epoch_us(ts) / CAST(1000000 AS DOUBLE)
+                       - epoch_us(touch.t) / CAST(1000000 AS DOUBLE)
+                       <= CAST(86400 AS DOUBLE)
+                  THEN touch END AS touch
+      FROM w WHERE event_type = 'purchase')
+SELECT user_id, conv_event_id, conv_ts,
+       touch.o AS touch_event_id, touch.e AS touch_event,
+       touch.t AS touch_ts
+FROM c
+""")
+def q_attribution(spark, sf_dir):
+    """Last-touch attribution of purchases to the most recent
+    view/click by the same user within a 1-day lookback: one
+    key-partitioned ignore-nulls window (no self-join), the lookback
+    compared in the SAME micros/1e6 double arithmetic in both
+    engines; conversions with no touch keep NULLs."""
+    from beam_spark.operators.analytics import Attribution
+
+    ev = table(spark, sf_dir, "events").df.where("user_id IS NOT NULL")
+    out = (PCollection(ev) | Attribution(
+        conversion_if="event_type = 'purchase'",
+        touch_if="event_type IN ('view', 'click')",
+        model="last_touch", lookback=86400.0)).df
+    return out.select(
+        "user_id", F.col("conv_event_id"), "conv_ts",
+        "touch_event_id", "touch_event", "touch_ts")
+
+
 @query("q_frequent_itemsets_lineitem", """
 WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey % 20 AS it
            FROM lineitem),

@@ -3034,3 +3034,46 @@ def test_kmeans_farthest_seeding(spark):
 
     with pt.raises(ValueError, match="seeding"):
         KMeansLloyd(k=2, seeding="random")
+
+
+def test_attribution_known(spark):
+    """Hand-built stream: purchase at t=100 credits the click at t=90
+    (last touch) or the view at t=10 (first touch); lookback=50 drops
+    the t=10 view for first-touch (NULL = direct); a purchase with no
+    preceding touch is direct; same-row never self-attributes."""
+    import datetime as dt
+
+    from beam_spark.operators.analytics import Attribution
+    from beam_spark.pcollection import PCollection
+
+    def t(s):
+        return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+
+    rows = [
+        (1, 1, "view", t(10)), (1, 2, "click", t(90)),
+        (1, 3, "purchase", t(100)),
+        (2, 4, "purchase", t(5)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp")
+
+    def run(**kw):
+        return {r["conv_event_id"]: r for r in (
+            PCollection(df) | Attribution(
+                conversion_if="event_type = 'purchase'",
+                touch_if="event_type IN ('view', 'click')",
+                **kw)).df.collect()}
+
+    last = run(model="last_touch")
+    assert last[3]["touch_event_id"] == 2
+    assert last[3]["touch_event"] == "click"
+    assert last[4]["touch_event_id"] is None       # direct
+    first = run(model="first_touch")
+    assert first[3]["touch_event_id"] == 1
+    lb = run(model="first_touch", lookback=50.0)
+    assert lb[3]["touch_event_id"] is None         # view too old
+
+    import pytest as pt
+
+    with pt.raises(ValueError, match="model"):
+        Attribution("c", "t", model="linear")
