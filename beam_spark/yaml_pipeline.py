@@ -350,6 +350,11 @@ def _register_curation():
                           "ThetaForecast"),
         "CrostonForecast": ("beam_spark.operators.stats",
                             "CrostonForecast"),
+        "FrequentItemsets": ("beam_spark.operators.analytics",
+                             "FrequentItemsets"),
+        "Attribution": ("beam_spark.operators.analytics",
+                        "Attribution"),
+        "HilbertKey": ("beam_spark.operators.scd", "HilbertKey"),
     }
 
     def make(mod_name, cls_name):
