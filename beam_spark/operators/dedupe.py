@@ -125,6 +125,30 @@ def _band_keys(sig_df: DataFrame, idc: str, bands: int, rows: int) -> DataFrame:
         ).alias("bk"))
 
 
+def suggest_bands(threshold: float, num_perm: int = 128
+                  ) -> tuple[int, int]:
+    """LSH parameter advisor: choose (bands, rows) with bands*rows <=
+    num_perm whose S-curve midpoint (1/bands)^(1/rows) sits closest
+    to the target Jaccard ``threshold`` (ties prefer MORE bands =
+    higher recall at the threshold). The standard datasketch-style
+    planner, deterministic and driver-only — feed the result to
+    MinHashLSH(num_perm=bands*rows, bands=bands)."""
+    if not 0.0 < float(threshold) < 1.0:
+        raise ValueError(f"threshold {threshold} outside (0, 1)")
+    if int(num_perm) < 2:
+        raise ValueError(f"num_perm {num_perm}: need >= 2")
+    best = None
+    for b in range(1, int(num_perm) + 1):
+        r = int(num_perm) // b
+        if r < 1:
+            break
+        mid = (1.0 / b) ** (1.0 / r)
+        key = (abs(mid - float(threshold)), -b)
+        if best is None or key < best[0]:
+            best = (key, (b, r))
+    return best[1]
+
+
 class MinHashLSH(PTransform):
     """MinHash signature + banded LSH candidate generation + exact-jaccard
     verification.

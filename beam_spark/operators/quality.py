@@ -1334,7 +1334,10 @@ class RboOverlap(PTransform):
     groupBy(query) — all partial-agg; queries with zero overlap
     report rbo = 0 via a left join from the distinct-query frame.
 
-    Output: (query_col, overlap_at_k, rbo).
+    Output: (query_col, overlap_at_k, rbo, rbo_ext) — rbo_ext is
+    Webber's point extrapolation RBO@k + (A_k / k) * p^k (assumes the
+    depth-k agreement persists), an upper-anchor next to the
+    truncated rbo.
     """
 
     def __init__(self, k: int = 10, p: float = 0.5,
@@ -1379,16 +1382,20 @@ class RboOverlap(PTransform):
         term = (F.pow(F.lit(p), F.col("__d") - 1)
                 * (F.col("__a").cast("double")
                    / F.col("__d").cast("double")))
+        ssum = F.sum(term.cast("decimal(28,12)")).cast("double")
+        ak = F.max(F.when(F.col("__d") == k, F.col("__a")))
         per = depths.groupBy(qc).agg(
-            F.round(F.lit(1.0 - p)
-                    * F.sum(term.cast("decimal(28,12)")).cast("double"),
-                    6).alias("rbo"),
-            F.max(F.when(F.col("__d") == k, F.col("__a")))
-            .cast("long").alias("overlap_at_k"))
+            F.round(F.lit(1.0 - p) * ssum, 6).alias("rbo"),
+            F.round(F.lit(1.0 - p) * ssum
+                    + (ak.cast("double") / F.lit(float(k)))
+                    * F.lit(float(p) ** k), 6).alias("rbo_ext"),
+            ak.cast("long").alias("overlap_at_k"))
         qs = base.select(qc).distinct()
         out = (qs.join(per, qc, "left")
                .select(qc,
                        F.coalesce("overlap_at_k", F.lit(0))
                        .cast("long").alias("overlap_at_k"),
-                       F.coalesce("rbo", F.lit(0.0)).alias("rbo")))
+                       F.coalesce("rbo", F.lit(0.0)).alias("rbo"),
+                       F.coalesce("rbo_ext", F.lit(0.0))
+                       .alias("rbo_ext")))
         return pcoll.with_df(out)

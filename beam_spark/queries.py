@@ -3391,13 +3391,21 @@ per AS (SELECT query_id,
                 * CAST(sum(CAST(power(CAST(0.5 AS DOUBLE), d - 1)
                            * (CAST(a AS DOUBLE) / CAST(d AS DOUBLE))
                            AS DECIMAL(28,12))) AS DOUBLE), 6) AS rbo,
+          round(CAST(0.5 AS DOUBLE)
+                * CAST(sum(CAST(power(CAST(0.5 AS DOUBLE), d - 1)
+                           * (CAST(a AS DOUBLE) / CAST(d AS DOUBLE))
+                           AS DECIMAL(28,12))) AS DOUBLE)
+                + (CAST(max(CASE WHEN d = 10 THEN a END) AS DOUBLE)
+                   / CAST(10 AS DOUBLE))
+                  * CAST(0.0009765625 AS DOUBLE), 6) AS rbo_ext,
           CAST(max(CASE WHEN d = 10 THEN a END) AS BIGINT)
             AS overlap_at_k
         FROM dep GROUP BY query_id),
 qs AS (SELECT DISTINCT query_id FROM base)
 SELECT qs.query_id,
        coalesce(per.overlap_at_k, 0) AS overlap_at_k,
-       coalesce(per.rbo, CAST(0 AS DOUBLE)) AS rbo
+       coalesce(per.rbo, CAST(0 AS DOUBLE)) AS rbo,
+       coalesce(per.rbo_ext, CAST(0 AS DOUBLE)) AS rbo_ext
 FROM qs LEFT JOIN per ON per.query_id = qs.query_id
 """)
 def q_rbo_rankings(spark, sf_dir):
@@ -3413,7 +3421,7 @@ def q_rbo_rankings(spark, sf_dir):
         (F.col("n_chars") % 97).cast("double").alias("score_left"),
         (F.col("n_chars") % 89).cast("double").alias("score_right"))
     out = (PCollection(docs) | RboOverlap(k=10, p=0.5)).df
-    return out.select("query_id", "overlap_at_k", "rbo")
+    return out.select("query_id", "overlap_at_k", "rbo", "rbo_ext")
 
 
 @query("q_lake_reconcile_orders", """

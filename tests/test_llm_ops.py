@@ -2817,6 +2817,8 @@ def test_rbo_overlap_known(spark):
     r1 = out[1]
     assert r1["overlap_at_k"] == 3
     assert r1["rbo"] == 0.5 * (1.0 + 0.5 * 1.0 + 0.25 * 1.0)
+    # extrapolation: + (A_k/k) * p^k = + 1 * 0.125
+    assert r1["rbo_ext"] == round(r1["rbo"] + 1.0 * 0.5 ** 3, 6)
     r2 = out[2]
     # reversed: depth1 {20}x{22} = 0; depth2 {20,21}x{22,21} = 1;
     # depth3 = 3
@@ -3077,3 +3079,26 @@ def test_attribution_known(spark):
 
     with pt.raises(ValueError, match="model"):
         Attribution("c", "t", model="linear")
+
+
+def test_suggest_bands(spark):
+    """LSH planner: the returned (b, r) multiply to <= num_perm and
+    the S-curve midpoint is within one neighbor step of the target;
+    low thresholds pick many bands (recall), high pick long rows
+    (precision)."""
+    from beam_spark.operators.dedupe import suggest_bands
+
+    lo_b, lo_r = suggest_bands(0.3, 128)
+    hi_b, hi_r = suggest_bands(0.9, 128)
+    assert lo_b * lo_r <= 128 and hi_b * hi_r <= 128
+    assert lo_b > hi_b and hi_r > lo_r
+    for th, (b, r) in ((0.3, (lo_b, lo_r)), (0.9, (hi_b, hi_r))):
+        mid = (1.0 / b) ** (1.0 / r)
+        assert abs(mid - th) < 0.15
+
+    import pytest as pt
+
+    with pt.raises(ValueError, match="threshold"):
+        suggest_bands(1.0)
+    with pt.raises(ValueError, match="num_perm"):
+        suggest_bands(0.5, 1)
