@@ -349,3 +349,59 @@ class IntervalJoin(PTransform):
         cols += [F.col("__rp")[c].alias(
             c + (self.suffix if c in lcols else "")) for c in rpay]
         return pcoll.with_df(joined.select(*cols))
+
+
+class JoinCardinality(PTransform):
+    """Pre-flight EXACT join-size report WITHOUT running the join: the
+    equi-join output row count is sum over shared keys of
+    c_left(k) * c_right(k) — computable from the two key-count frames
+    (distinct-key cardinality, tiny next to the data). Pair with
+    SkewProfile / recommended_salt before committing a 100 TB shuffle:
+    an unexpected blow-up shows here for the cost of two counts.
+
+    Output: one row — (left_rows, right_rows, left_keys, right_keys,
+    shared_keys, join_rows, max_key_rows) where max_key_rows is the
+    largest single-key contribution (the skew hot spot). All exact
+    integers. Integer bound: per-key products and their sum must fit
+    BIGINT.
+
+    Scale: one groupBy(key) count per side + one key-keyed join of the
+    COUNT frames + a 1-row aggregation.
+    """
+
+    def __init__(self, right, on, label=None):
+        super().__init__(label)
+        self.right = right.df if isinstance(right, PCollection) else right
+        self.on = [on] if isinstance(on, str) else list(on)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        ks = self.on
+
+        def counts(df, alias):
+            return (df.where(
+                F.lit(True) if not ks else
+                F.expr(" AND ".join(f"{k} IS NOT NULL" for k in ks)))
+                .groupBy(*ks)
+                .agg(F.count(F.lit(1)).cast("long").alias(alias)))
+
+        lc = counts(pcoll.df, "__lc")
+        rc = counts(self.right, "__rc")
+        lt = lc.agg(F.coalesce(F.sum("__lc"), F.lit(0)).cast("long")
+                    .alias("left_rows"),
+                    F.count(F.lit(1)).cast("long").alias("left_keys"))
+        rt = rc.agg(F.coalesce(F.sum("__rc"), F.lit(0)).cast("long")
+                    .alias("right_rows"),
+                    F.count(F.lit(1)).cast("long").alias("right_keys"))
+        j = lc.join(rc, on=ks)
+        shared = j.agg(
+            F.count(F.lit(1)).cast("long").alias("shared_keys"),
+            F.coalesce(F.sum(F.col("__lc") * F.col("__rc")),
+                       F.lit(0)).cast("long").alias("join_rows"),
+            F.coalesce(F.max(F.col("__lc") * F.col("__rc")),
+                       F.lit(0)).cast("long").alias("max_key_rows"))
+        out = (lt.crossJoin(F.broadcast(rt))
+               .crossJoin(F.broadcast(shared))
+               .select("left_rows", "right_rows", "left_keys",
+                       "right_keys", "shared_keys", "join_rows",
+                       "max_key_rows"))
+        return pcoll.with_df(out)

@@ -1399,3 +1399,55 @@ class RboOverlap(PTransform):
                        F.coalesce("rbo_ext", F.lit(0.0))
                        .alias("rbo_ext")))
         return pcoll.with_df(out)
+
+
+class CategoryEntropy(PTransform):
+    """Shannon entropy of a categorical column's distribution, per key
+    (or globally with ``keys=None``) — the mixture-diversity statistic
+    a corpus pipeline tracks per shard/source/user ("did this slice
+    collapse to one category?"):
+
+        H = -sum_i (c_i/n) * log2(c_i/n)        [bits]
+        entropy_norm = H / log2(n_categories)   [0..1, NULL when k=1]
+
+    Counts and the c/n ratios are exact; each per-category term goes
+    through the exact-decimal-sum pattern (round-12 terms, associative
+    sum), H and the normalized form round 6.
+
+    Scale: one (keys, category) count + one keys reaggregation — two
+    partial-agg shuffles, report one row per key.
+
+    Output: keys + (n, n_categories, entropy, entropy_norm).
+    """
+
+    def __init__(self, col: str, keys=None, label=None):
+        super().__init__(label)
+        self.col = col
+        self.keys = ([keys] if isinstance(keys, str)
+                     else list(keys) if keys else [])
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        c, ks = self.col, self.keys
+        base = pcoll.df.where(F.col(c).isNotNull())
+        cnt = (base.groupBy(*ks, c)
+               .agg(F.count(F.lit(1)).cast("long").alias("__c")))
+        w = (Window.partitionBy(*ks) if ks
+             else Window.partitionBy())
+        cnt = cnt.withColumn("__n", F.sum("__c").over(w))
+        p = F.col("__c").cast("double") / F.col("__n").cast("double")
+        term = (-(p * F.log2(p))).cast("decimal(28,12)")
+        agg = (cnt.groupBy(*ks).agg(
+            F.max("__n").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_categories"),
+            F.sum(term).alias("__h")))
+        h = F.col("__h").cast("double")
+        out = agg.select(
+            *ks, "n", "n_categories",
+            F.round(h, 6).alias("entropy"),
+            F.when(F.col("n_categories") >= 2,
+                   F.round(h / F.log2(F.col("n_categories")
+                                      .cast("double")), 6))
+            .alias("entropy_norm"))
+        return pcoll.with_df(out)

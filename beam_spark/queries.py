@@ -2562,6 +2562,81 @@ def q_assoc_rules(spark, sf_dir):
                       "lift")
 
 
+@query("q_category_entropy_users", """
+WITH cnt AS (SELECT user_id, event_type,
+                    CAST(count(*) AS BIGINT) AS c
+             FROM events
+             WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             GROUP BY 1, 2),
+wn AS (SELECT user_id, event_type, c,
+              sum(c) OVER (PARTITION BY user_id) AS n
+       FROM cnt),
+t AS (SELECT user_id, n,
+        CAST(-((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               * log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+             AS DECIMAL(28,12)) AS term
+      FROM wn),
+a AS (SELECT user_id, CAST(max(n) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_categories,
+             sum(term) AS h
+      FROM t GROUP BY user_id)
+SELECT user_id, n, n_categories,
+       round(CAST(h AS DOUBLE), 6) AS entropy,
+       CASE WHEN n_categories >= 2 THEN
+         round(CAST(h AS DOUBLE)
+               / log2(CAST(n_categories AS DOUBLE)), 6)
+       END AS entropy_norm
+FROM a
+""")
+def q_category_entropy(spark, sf_dir):
+    """Per-user Shannon entropy of the event-type mixture: exact
+    counts and ratios, per-category -p*log2(p) terms through the
+    exact decimal sum, H and the normalized form rounded 6."""
+    from beam_spark.operators.quality import CategoryEntropy
+
+    ev = table(spark, sf_dir, "events").df.where(
+        "user_id IS NOT NULL")
+    out = (PCollection(ev) | CategoryEntropy(
+        "event_type", keys="user_id")).df
+    return out.select("user_id", "n", "n_categories", "entropy",
+                      "entropy_norm")
+
+
+@query("q_join_cardinality_orders", """
+WITH lc AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS lc
+            FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+rc AS (SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS rc
+       FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1),
+lt AS (SELECT CAST(coalesce(sum(lc), 0) AS BIGINT) AS left_rows,
+              CAST(count(*) AS BIGINT) AS left_keys FROM lc),
+rt AS (SELECT CAST(coalesce(sum(rc), 0) AS BIGINT) AS right_rows,
+              CAST(count(*) AS BIGINT) AS right_keys FROM rc),
+j AS (SELECT CAST(count(*) AS BIGINT) AS shared_keys,
+             CAST(coalesce(sum(lc.lc * rc.rc), 0) AS BIGINT)
+               AS join_rows,
+             CAST(coalesce(max(lc.lc * rc.rc), 0) AS BIGINT)
+               AS max_key_rows
+      FROM lc JOIN rc ON rc.k = lc.k)
+SELECT left_rows, right_rows, left_keys, right_keys, shared_keys,
+       join_rows, max_key_rows
+FROM lt CROSS JOIN rt CROSS JOIN j
+""")
+def q_join_cardinality(spark, sf_dir):
+    """Exact pre-flight size of orders x customer on custkey from the
+    two key-count frames alone (never running the join): every output
+    an exact integer."""
+    from beam_spark.operators.join import JoinCardinality
+
+    o = table(spark, sf_dir, "orders").df.selectExpr(
+        "o_custkey AS custkey")
+    c = table(spark, sf_dir, "customer").df.selectExpr(
+        "c_custkey AS custkey")
+    out = (PCollection(o) | JoinCardinality(c, on="custkey")).df
+    return out.select("left_rows", "right_rows", "left_keys",
+                      "right_keys", "shared_keys", "join_rows",
+                      "max_key_rows")
+
+
 @query("q_attribution_last_touch", """
 WITH ev AS (SELECT user_id, event_id, event_type, ts FROM events
             WHERE user_id IS NOT NULL),

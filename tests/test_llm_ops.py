@@ -3102,3 +3102,42 @@ def test_suggest_bands(spark):
         suggest_bands(1.0)
     with pt.raises(ValueError, match="num_perm"):
         suggest_bands(0.5, 1)
+
+
+def test_category_entropy_known(spark):
+    """Uniform 4 categories -> H = 2 bits, norm 1; single category ->
+    H = 0, norm NULL; global mode (keys=None) works; a (2,1,1)
+    distribution gives H = 1.5 exactly."""
+    from beam_spark.operators.quality import CategoryEntropy
+    from beam_spark.pcollection import PCollection
+
+    rows = ([(1, c) for c in "abcd"] + [(2, "a")] * 3
+            + [(3, "a"), (3, "a"), (3, "b"), (3, "c")])
+    df = spark.createDataFrame(rows, "k long, cat string")
+    out = {r["k"]: r for r in (PCollection(df) | CategoryEntropy(
+        "cat", keys="k")).df.collect()}
+    assert out[1]["entropy"] == 2.0 and out[1]["entropy_norm"] == 1.0
+    assert out[2]["entropy"] == 0.0 and out[2]["entropy_norm"] is None
+    assert out[3]["entropy"] == 1.5   # -(1/2*-1 + 2*(1/4*-2))
+    g = (PCollection(df) | CategoryEntropy("cat")).df.collect()
+    assert len(g) == 1 and g[0]["n"] == 11
+
+
+def test_join_cardinality_known(spark):
+    """Exact pre-flight: left counts (a:2, b:1, c:1), right (a:3,
+    b:1, d:5): shared keys a,b -> join_rows = 2*3 + 1*1 = 7,
+    max_key_rows = 6; NULL keys excluded (they never equi-match)."""
+    from beam_spark.operators.join import JoinCardinality
+    from beam_spark.pcollection import PCollection
+
+    left = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("c",), (None,)], "k string")
+    right = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] + [("d",)] * 5, "k string")
+    r = (PCollection(left) | JoinCardinality(right, on="k")) \
+        .df.collect()[0]
+    assert (r["left_rows"], r["right_rows"]) == (4, 9)
+    assert (r["left_keys"], r["right_keys"], r["shared_keys"]) == (3, 3, 2)
+    assert r["join_rows"] == 7 and r["max_key_rows"] == 6
+    # ground truth: the actual join emits exactly join_rows rows
+    assert left.join(right, on="k").count() == r["join_rows"]
