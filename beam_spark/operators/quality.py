@@ -1451,3 +1451,71 @@ class CategoryEntropy(PTransform):
                                       .cast("double")), 6))
             .alias("entropy_norm"))
         return pcoll.with_df(out)
+
+
+class ColumnDependence(PTransform):
+    """Dependence report between two categorical columns — mutual
+    information and Theil's uncertainty coefficients, the leakage /
+    redundancy check a feature or metadata pipeline runs ("does
+    source already determine lang?"):
+
+        H(X), H(Y), H(X,Y)  from exact counts (decimal term sums)
+        MI  = H(X) + H(Y) - H(X,Y)            [bits]
+        U(X|Y) = MI / H(X),  U(Y|X) = MI / H(Y)   [0..1]
+
+    U = 1 means the other column fully determines this one; NULL when
+    the column is constant (H = 0, exact >= 2-distinct guard). Rows
+    with NULL in either column are dropped.
+
+    Scale: ONE (x, y) joint count (partial agg); marginals reaggregate
+    from the joint frame (category-cardinality), report is 1 row.
+
+    Output: (n, nx, ny, h_x, h_y, h_xy, mi, u_x_given_y, u_y_given_x).
+    """
+
+    def __init__(self, col_x: str, col_y: str, label=None):
+        super().__init__(label)
+        self.col_x, self.col_y = col_x, col_y
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        x, y = F.col(self.col_x), F.col(self.col_y)
+        base = (pcoll.df.where(x.isNotNull() & y.isNotNull())
+                .select(x.alias("__x"), y.alias("__y")))
+        joint = base.groupBy("__x", "__y").agg(
+            F.count(F.lit(1)).cast("long").alias("c"))
+
+        def ent(df, keys, alias):
+            cnt = df.groupBy(*keys).agg(F.sum("c").cast("long")
+                                        .alias("cc"))
+            tot = cnt.agg(F.sum("cc").cast("long").alias("n"),
+                          F.count(F.lit(1)).cast("long")
+                          .alias(f"k_{alias}"))
+            p = F.col("cc").cast("double") / F.col("n").cast("double")
+            term = (-(p * F.log2(p))).cast("decimal(28,12)")
+            return (cnt.crossJoin(F.broadcast(tot))
+                    .agg(F.max("n").cast("long").alias(f"n_{alias}"),
+                         F.max(f"k_{alias}").cast("long")
+                         .alias(f"k_{alias}"),
+                         F.sum(term).cast("double").alias(alias)))
+
+        hx = ent(joint, ["__x"], "h_x")
+        hy = ent(joint, ["__y"], "h_y")
+        hxy = ent(joint, ["__x", "__y"], "h_xy")
+        mi = F.col("h_x") + F.col("h_y") - F.col("h_xy")
+        out = (hx.crossJoin(F.broadcast(hy))
+               .crossJoin(F.broadcast(hxy))
+               .select(
+                   F.col("n_h_x").alias("n"),
+                   F.col("k_h_x").alias("nx"),
+                   F.col("k_h_y").alias("ny"),
+                   F.round("h_x", 6).alias("h_x"),
+                   F.round("h_y", 6).alias("h_y"),
+                   F.round("h_xy", 6).alias("h_xy"),
+                   F.round(mi, 6).alias("mi"),
+                   F.when(F.col("k_h_x") >= 2,
+                          F.round(mi / F.col("h_x"), 6))
+                   .alias("u_x_given_y"),
+                   F.when(F.col("k_h_y") >= 2,
+                          F.round(mi / F.col("h_y"), 6))
+                   .alias("u_y_given_x")))
+        return pcoll.with_df(out)

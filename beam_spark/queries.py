@@ -2602,6 +2602,60 @@ def q_category_entropy(spark, sf_dir):
                       "entropy_norm")
 
 
+@query("q_column_dependence_docs", """
+WITH base AS (SELECT lang AS x, source AS y FROM documents
+              WHERE lang IS NOT NULL AND source IS NOT NULL),
+joint AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM base
+          GROUP BY 1, 2),
+hx AS (SELECT CAST(max(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT)
+                AS k, CAST(sum(term) AS DOUBLE) AS h
+       FROM (SELECT cc, sum(cc) OVER () AS n,
+               CAST(-((CAST(cc AS DOUBLE) / CAST(sum(cc) OVER ()
+                       AS DOUBLE))
+                     * log2(CAST(cc AS DOUBLE) / CAST(sum(cc) OVER ()
+                            AS DOUBLE))) AS DECIMAL(28,12)) AS term
+             FROM (SELECT x, CAST(sum(c) AS BIGINT) AS cc FROM joint
+                   GROUP BY x))),
+hy AS (SELECT CAST(max(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT)
+                AS k, CAST(sum(term) AS DOUBLE) AS h
+       FROM (SELECT cc, sum(cc) OVER () AS n,
+               CAST(-((CAST(cc AS DOUBLE) / CAST(sum(cc) OVER ()
+                       AS DOUBLE))
+                     * log2(CAST(cc AS DOUBLE) / CAST(sum(cc) OVER ()
+                            AS DOUBLE))) AS DECIMAL(28,12)) AS term
+             FROM (SELECT y, CAST(sum(c) AS BIGINT) AS cc FROM joint
+                   GROUP BY y))),
+hxy AS (SELECT CAST(max(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT)
+                 AS k, CAST(sum(term) AS DOUBLE) AS h
+        FROM (SELECT cc, sum(cc) OVER () AS n,
+                CAST(-((CAST(cc AS DOUBLE) / CAST(sum(cc) OVER ()
+                        AS DOUBLE))
+                      * log2(CAST(cc AS DOUBLE) / CAST(sum(cc) OVER ()
+                             AS DOUBLE))) AS DECIMAL(28,12)) AS term
+              FROM (SELECT c AS cc FROM joint)))
+SELECT hx.n AS n, hx.k AS nx, hy.k AS ny,
+       round(hx.h, 6) AS h_x, round(hy.h, 6) AS h_y,
+       round(hxy.h, 6) AS h_xy,
+       round(hx.h + hy.h - hxy.h, 6) AS mi,
+       CASE WHEN hx.k >= 2 THEN
+         round((hx.h + hy.h - hxy.h) / hx.h, 6) END AS u_x_given_y,
+       CASE WHEN hy.k >= 2 THEN
+         round((hx.h + hy.h - hxy.h) / hy.h, 6) END AS u_y_given_x
+FROM hx CROSS JOIN hy CROSS JOIN hxy
+""")
+def q_column_dependence(spark, sf_dir):
+    """Mutual information + Theil's U between documents.lang and
+    documents.source: all three entropies from exact counts with
+    decimal term sums, MI and the uncertainty coefficients as
+    identical double arithmetic on those sums, rounded 6."""
+    from beam_spark.operators.quality import ColumnDependence
+
+    docs = table(spark, sf_dir, "documents")
+    out = (docs | ColumnDependence("lang", "source")).df
+    return out.select("n", "nx", "ny", "h_x", "h_y", "h_xy", "mi",
+                      "u_x_given_y", "u_y_given_x")
+
+
 @query("q_join_cardinality_orders", """
 WITH lc AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS lc
             FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),

@@ -3141,3 +3141,29 @@ def test_join_cardinality_known(spark):
     assert r["join_rows"] == 7 and r["max_key_rows"] == 6
     # ground truth: the actual join emits exactly join_rows rows
     assert left.join(right, on="k").count() == r["join_rows"]
+
+
+def test_column_dependence_known(spark):
+    """Hand-computed: x fully determines y (y = f(x)) -> MI = H(Y),
+    U(Y|X) = 1; independent uniform pair -> MI = 0; constant y ->
+    u_y_given_x NULL."""
+    from beam_spark.operators.quality import ColumnDependence
+    from beam_spark.pcollection import PCollection
+
+    det = spark.createDataFrame(
+        [("a", "p"), ("a", "p"), ("b", "q"), ("b", "q"),
+         ("c", "p"), ("c", "p")], "x string, y string")
+    r = (PCollection(det) | ColumnDependence("x", "y")).df.collect()[0]
+    assert r["u_y_given_x"] == 1.0
+    assert r["mi"] == r["h_y"]
+
+    # 2x2 independent uniform: joint = product of marginals
+    ind = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "pq"], "x string, y string")
+    ri = (PCollection(ind) | ColumnDependence("x", "y")).df.collect()[0]
+    assert ri["mi"] == 0.0 and ri["h_xy"] == 2.0
+
+    const = spark.createDataFrame(
+        [("a", "z"), ("b", "z")], "x string, y string")
+    rc = (PCollection(const) | ColumnDependence("x", "y")).df.collect()[0]
+    assert rc["u_y_given_x"] is None and rc["u_x_given_y"] == 0.0
