@@ -884,3 +884,80 @@ class ZipfFit(PTransform):
                    F.round((covn * covn) / (varx * vary), 6))
             .alias("r2"))
         return pcoll.with_df(out)
+
+
+class LogOddsTerms(PTransform):
+    """Distinctive terms per class by smoothed log-odds z-score
+    (Monroe, Colaresi & Quinn 2008, uninformative Dirichlet prior) —
+    the corpus-audit answer to "which words make this source/language
+    slice different?", more robust than raw TF-IDF deltas because the
+    prior shrinks rare-term noise:
+
+        d_kw = ln((c_kw + a) / (n_k + a*V - c_kw - a))
+             - ln((r_w + a) / (N - n_k + a*V - r_w - a))
+        var  = 1/(c_kw + a) + 1/(r_w + a)      r_w = c_w - c_kw
+        z    = d_kw / sqrt(var)
+
+    with a the prior mass (default the binary-exact 0.5) and V the
+    vocabulary size. Ranking is deterministic: per class by round-6 z
+    descending, term tie-break; the top ``top_n`` per class emit.
+
+    Scale: one explode -> (class, term) count (partial agg), term- and
+    class-keyed window sums for the marginals, broadcast 1-row N/V;
+    the rank window partitions by class over the (class, term) frame.
+
+    Output: (class_col, term, n_class_term, n_term, z) — z rounded 6.
+    """
+
+    def __init__(self, text_col: str = "text", class_col: str = "lang",
+                 alpha: float = 0.5, top_n: int = 10,
+                 min_count: int = 1, label=None):
+        super().__init__(label)
+        if not float(alpha) > 0:
+            raise ValueError(f"alpha {alpha}: need > 0")
+        if int(top_n) < 1:
+            raise ValueError(f"top_n {top_n}: need >= 1")
+        if int(min_count) < 1:
+            raise ValueError(f"min_count {min_count}: need >= 1")
+        self.text_col, self.class_col = text_col, class_col
+        self.alpha, self.top_n = float(alpha), int(top_n)
+        self.min_count = int(min_count)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        tc, cc, a = self.text_col, self.class_col, self.alpha
+        toks = F.filter(tokens(tc), lambda w: w != "")
+        base = (pcoll.df
+                .where(F.col(tc).isNotNull() & F.col(cc).isNotNull())
+                .select(F.col(cc).alias("__k"),
+                        F.explode(toks).alias("__w")))
+        ckw = base.groupBy("__k", "__w").agg(
+            F.count(F.lit(1)).cast("long").alias("ckw"))
+        wt = Window.partitionBy("__w")
+        wk = Window.partitionBy("__k")
+        tot = (ckw
+               .withColumn("cw", F.sum("ckw").over(wt))
+               .withColumn("nk", F.sum("ckw").over(wk)))
+        nv = ckw.agg(F.sum("ckw").cast("long").alias("N"),
+                     F.count_distinct("__w").cast("long").alias("V"))
+        d = (tot.crossJoin(F.broadcast(nv))
+             .where(F.col("cw") >= self.min_count))
+        ck, cw = F.col("ckw").cast("double"), F.col("cw").cast("double")
+        nk, N = F.col("nk").cast("double"), F.col("N").cast("double")
+        V = F.col("V").cast("double")
+        rw = cw - ck
+        delta = (F.log((ck + a) / (nk + a * V - ck - a))
+                 - F.log((rw + a) / (N - nk + a * V - rw - a)))
+        var = 1.0 / (ck + a) + 1.0 / (rw + a)
+        scored = d.withColumn("__z", F.round(delta / F.sqrt(var), 6))
+        wr = Window.partitionBy("__k").orderBy(F.col("__z").desc(),
+                                               F.col("__w"))
+        out = (scored.withColumn("__r", F.row_number().over(wr))
+               .where(F.col("__r") <= self.top_n)
+               .select(F.col("__k").alias(cc),
+                       F.col("__w").alias("term"),
+                       F.col("ckw").alias("n_class_term"),
+                       F.col("cw").alias("n_term"),
+                       F.col("__z").alias("z")))
+        return pcoll.with_df(out)

@@ -2562,6 +2562,57 @@ def q_assoc_rules(spark, sf_dir):
                       "lift")
 
 
+@query("q_text_log_odds_terms", """
+WITH base AS (SELECT lang AS k,
+                     unnest(list_filter({_TOK}, w -> w <> '')) AS w
+              FROM documents
+              WHERE text IS NOT NULL AND lang IS NOT NULL),
+ckw AS (SELECT k, w, CAST(count(*) AS BIGINT) AS ckw FROM base
+        GROUP BY 1, 2),
+tot AS (SELECT *, sum(ckw) OVER (PARTITION BY w) AS cw,
+               sum(ckw) OVER (PARTITION BY k) AS nk
+        FROM ckw),
+nv AS (SELECT CAST(sum(ckw) AS BIGINT) AS N,
+              CAST(count(DISTINCT w) AS BIGINT) AS V FROM ckw),
+sc AS (SELECT t.k, t.w, t.ckw, t.cw,
+         round((ln((CAST(t.ckw AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                   / (CAST(t.nk AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE) * CAST(nv.V AS DOUBLE)
+                      - CAST(t.ckw AS DOUBLE) - CAST(0.5 AS DOUBLE)))
+                - ln(((CAST(t.cw AS DOUBLE) - CAST(t.ckw AS DOUBLE))
+                      + CAST(0.5 AS DOUBLE))
+                     / (CAST(nv.N AS DOUBLE) - CAST(t.nk AS DOUBLE)
+                        + CAST(0.5 AS DOUBLE) * CAST(nv.V AS DOUBLE)
+                        - (CAST(t.cw AS DOUBLE)
+                           - CAST(t.ckw AS DOUBLE))
+                        - CAST(0.5 AS DOUBLE))))
+               / sqrt(CAST(1 AS DOUBLE)
+                      / (CAST(t.ckw AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                      + CAST(1 AS DOUBLE)
+                      / ((CAST(t.cw AS DOUBLE)
+                          - CAST(t.ckw AS DOUBLE))
+                         + CAST(0.5 AS DOUBLE))), 6) AS z
+       FROM tot t CROSS JOIN nv)
+SELECT k AS lang, w AS term, ckw AS n_class_term,
+       CAST(cw AS BIGINT) AS n_term, z
+FROM (SELECT *, row_number() OVER (PARTITION BY k
+                                   ORDER BY z DESC, w) AS r
+      FROM sc)
+WHERE r <= 10
+""".replace("{_TOK}", _TOK))
+def q_log_odds_terms(spark, sf_dir):
+    """Top-10 distinctive terms per language by smoothed log-odds
+    z-score (Monroe et al., alpha=0.5): counts exact, the z
+    expression one identical IEEE sequence, ranking on round-6 z with
+    term tie-breaks."""
+    from beam_spark.operators.text import LogOddsTerms
+
+    docs = table(spark, sf_dir, "documents")
+    out = (docs | LogOddsTerms("text", class_col="lang",
+                               alpha=0.5, top_n=10)).df
+    return out.select("lang", "term", "n_class_term", "n_term", "z")
+
+
 @query("q_category_entropy_users", """
 WITH cnt AS (SELECT user_id, event_type,
                     CAST(count(*) AS BIGINT) AS c

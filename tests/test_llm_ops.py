@@ -3167,3 +3167,35 @@ def test_column_dependence_known(spark):
         [("a", "z"), ("b", "z")], "x string, y string")
     rc = (PCollection(const) | ColumnDependence("x", "y")).df.collect()[0]
     assert rc["u_y_given_x"] is None and rc["u_x_given_y"] == 0.0
+
+
+def test_log_odds_terms_known(spark):
+    """Class-exclusive words surface with the largest positive z in
+    their class: 'alpha' only in class A, 'beta' only in B; a word
+    uniform across classes scores near zero and below the exclusives;
+    top_n caps rows per class."""
+    from beam_spark.operators.text import LogOddsTerms
+    from beam_spark.pcollection import PCollection
+
+    rows = [("A", "alpha alpha common common"),
+            ("A", "alpha common"),
+            ("B", "beta beta common common"),
+            ("B", "beta common")]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    out = [(r["lang"], r["term"], r["z"]) for r in (
+        PCollection(df) | LogOddsTerms(
+            "text", class_col="lang", top_n=2)).df.collect()]
+    by_class = {}
+    for l, t, z in out:
+        by_class.setdefault(l, []).append((t, z))
+    a_terms = dict(by_class["A"])
+    b_terms = dict(by_class["B"])
+    assert max(a_terms, key=a_terms.get) == "alpha"
+    assert max(b_terms, key=b_terms.get) == "beta"
+    assert a_terms["alpha"] > a_terms.get("common", -99)
+    assert all(len(v) <= 2 for v in by_class.values())
+
+    import pytest as pt
+
+    with pt.raises(ValueError, match="alpha"):
+        LogOddsTerms("text", alpha=0.0)
