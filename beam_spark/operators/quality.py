@@ -1462,6 +1462,10 @@ class ColumnDependence(PTransform):
         H(X), H(Y), H(X,Y)  from exact counts (decimal term sums)
         MI  = H(X) + H(Y) - H(X,Y)            [bits]
         U(X|Y) = MI / H(X),  U(Y|X) = MI / H(Y)   [0..1]
+        chi2 = sum_cells (o - e)^2 / e,  e = c_x*c_y/n
+             (zero cells contribute e: computed as the observed-cell
+              sum plus n - sum_obs e — no dense cell expansion)
+        cramers_v = sqrt(chi2 / (n * (min(kx, ky) - 1)))
 
     U = 1 means the other column fully determines this one; NULL when
     the column is constant (H = 0, exact >= 2-distinct guard). Rows
@@ -1470,7 +1474,9 @@ class ColumnDependence(PTransform):
     Scale: ONE (x, y) joint count (partial agg); marginals reaggregate
     from the joint frame (category-cardinality), report is 1 row.
 
-    Output: (n, nx, ny, h_x, h_y, h_xy, mi, u_x_given_y, u_y_given_x).
+    Output: (n, nx, ny, h_x, h_y, h_xy, mi, u_x_given_y,
+    u_y_given_x, chi2, cramers_v) — cramers_v NULL when either column
+    is constant.
     """
 
     def __init__(self, col_x: str, col_y: str, label=None):
@@ -1501,9 +1507,31 @@ class ColumnDependence(PTransform):
         hx = ent(joint, ["__x"], "h_x")
         hy = ent(joint, ["__y"], "h_y")
         hxy = ent(joint, ["__x", "__y"], "h_xy")
+        from pyspark.sql import Window
+
+        wx = Window.partitionBy("__x")
+        wy = Window.partitionBy("__y")
+        wall = Window.partitionBy()
+        marg = (joint
+                .withColumn("__cx", F.sum("c").over(wx))
+                .withColumn("__cy", F.sum("c").over(wy))
+                .withColumn("__n", F.sum("c").over(wall)))
+        e = (F.col("__cx").cast("double") * F.col("__cy").cast("double")
+             / F.col("__n").cast("double"))
+        o = F.col("c").cast("double")
+        chi = marg.agg(
+            F.sum(((o - e) * (o - e) / e).cast("decimal(28,12)"))
+            .cast("double").alias("__obs"),
+            F.sum(e.cast("decimal(28,12)")).cast("double")
+            .alias("__esum"),
+            F.max("__n").cast("double").alias("__nn"))
+        chi2 = (F.col("__obs")
+                + (F.col("__nn") - F.col("__esum")))
         mi = F.col("h_x") + F.col("h_y") - F.col("h_xy")
+        kmin = F.least(F.col("k_h_x"), F.col("k_h_y"))
         out = (hx.crossJoin(F.broadcast(hy))
                .crossJoin(F.broadcast(hxy))
+               .crossJoin(F.broadcast(chi))
                .select(
                    F.col("n_h_x").alias("n"),
                    F.col("k_h_x").alias("nx"),
@@ -1517,5 +1545,11 @@ class ColumnDependence(PTransform):
                    .alias("u_x_given_y"),
                    F.when(F.col("k_h_y") >= 2,
                           F.round(mi / F.col("h_y"), 6))
-                   .alias("u_y_given_x")))
+                   .alias("u_y_given_x"),
+                   F.round(chi2, 6).alias("chi2"),
+                   F.when(kmin >= 2,
+                          F.round(F.sqrt(
+                              chi2 / (F.col("__nn")
+                                      * (kmin - 1).cast("double"))),
+                              6)).alias("cramers_v")))
         return pcoll.with_df(out)

@@ -2683,7 +2683,18 @@ hxy AS (SELECT CAST(max(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT)
                         AS DOUBLE))
                       * log2(CAST(cc AS DOUBLE) / CAST(sum(cc) OVER ()
                              AS DOUBLE))) AS DECIMAL(28,12)) AS term
-              FROM (SELECT c AS cc FROM joint)))
+              FROM (SELECT c AS cc FROM joint))),
+chi AS (SELECT
+          CAST(sum(CAST((o - e) * (o - e) / e AS DECIMAL(28,12)))
+               AS DOUBLE) AS obs,
+          CAST(sum(CAST(e AS DECIMAL(28,12))) AS DOUBLE) AS esum,
+          CAST(max(n) AS DOUBLE) AS nn
+        FROM (SELECT CAST(c AS DOUBLE) AS o,
+                     CAST(sum(c) OVER (PARTITION BY x) AS DOUBLE)
+                     * CAST(sum(c) OVER (PARTITION BY y) AS DOUBLE)
+                     / CAST(sum(c) OVER () AS DOUBLE) AS e,
+                     sum(c) OVER () AS n
+              FROM joint))
 SELECT hx.n AS n, hx.k AS nx, hy.k AS ny,
        round(hx.h, 6) AS h_x, round(hy.h, 6) AS h_y,
        round(hxy.h, 6) AS h_xy,
@@ -2691,8 +2702,14 @@ SELECT hx.n AS n, hx.k AS nx, hy.k AS ny,
        CASE WHEN hx.k >= 2 THEN
          round((hx.h + hy.h - hxy.h) / hx.h, 6) END AS u_x_given_y,
        CASE WHEN hy.k >= 2 THEN
-         round((hx.h + hy.h - hxy.h) / hy.h, 6) END AS u_y_given_x
-FROM hx CROSS JOIN hy CROSS JOIN hxy
+         round((hx.h + hy.h - hxy.h) / hy.h, 6) END AS u_y_given_x,
+       round(chi.obs + (chi.nn - chi.esum), 6) AS chi2,
+       CASE WHEN least(hx.k, hy.k) >= 2 THEN
+         round(sqrt((chi.obs + (chi.nn - chi.esum))
+                    / (chi.nn
+                       * CAST(least(hx.k, hy.k) - 1 AS DOUBLE))), 6)
+       END AS cramers_v
+FROM hx CROSS JOIN hy CROSS JOIN hxy CROSS JOIN chi
 """)
 def q_column_dependence(spark, sf_dir):
     """Mutual information + Theil's U between documents.lang and
@@ -2704,7 +2721,8 @@ def q_column_dependence(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     out = (docs | ColumnDependence("lang", "source")).df
     return out.select("n", "nx", "ny", "h_x", "h_y", "h_xy", "mi",
-                      "u_x_given_y", "u_y_given_x")
+                      "u_x_given_y", "u_y_given_x", "chi2",
+                      "cramers_v")
 
 
 @query("q_join_cardinality_orders", """

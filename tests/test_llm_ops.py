@@ -3156,17 +3156,20 @@ def test_column_dependence_known(spark):
     r = (PCollection(det) | ColumnDependence("x", "y")).df.collect()[0]
     assert r["u_y_given_x"] == 1.0
     assert r["mi"] == r["h_y"]
+    assert r["cramers_v"] == 1.0   # y = f(x): perfect association
 
     # 2x2 independent uniform: joint = product of marginals
     ind = spark.createDataFrame(
         [(x, y) for x in "ab" for y in "pq"], "x string, y string")
     ri = (PCollection(ind) | ColumnDependence("x", "y")).df.collect()[0]
     assert ri["mi"] == 0.0 and ri["h_xy"] == 2.0
+    assert ri["chi2"] == 0.0 and ri["cramers_v"] == 0.0
 
     const = spark.createDataFrame(
         [("a", "z"), ("b", "z")], "x string, y string")
     rc = (PCollection(const) | ColumnDependence("x", "y")).df.collect()[0]
     assert rc["u_y_given_x"] is None and rc["u_x_given_y"] == 0.0
+    assert rc["cramers_v"] is None
 
 
 def test_log_odds_terms_known(spark):
