@@ -392,3 +392,29 @@ class HilbertKey(PTransform):
                 yield out
 
         return pcoll.with_df(df.mapInPandas(fn, schema))
+
+
+def write_zordered(df: DataFrame, path: str, cols, bits: int = 16,
+                   partitions: int | None = None,
+                   curve: str = "morton", mode: str = "overwrite"):
+    """OPTIMIZE ZORDER-style layout write: compute the clustering key
+    (Morton or Hilbert), range-partition and sort the data by it, and
+    write parquet WITHOUT the key column — every participating column
+    gets file-level min/max locality, so scans filtering on ANY of
+    them prune files. ``partitions`` controls the output file count
+    (default: the session's shuffle partitions). The exchange this
+    adds (one repartitionByRange on the key) is the write's shuffle —
+    there is no extra pass.
+    """
+    if curve not in ("morton", "hilbert"):
+        raise ValueError(f"curve {curve!r}: 'morton' or 'hilbert'")
+    op = (ZOrderKey(cols, bits=bits, output_col="__zk")
+          if curve == "morton"
+          else HilbertKey(cols, bits=bits, output_col="__zk"))
+    keyed = (PCollection(df) | op).df
+    n = partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    (keyed.repartitionByRange(n, F.col("__zk"))
+     .sortWithinPartitions("__zk")
+     .drop("__zk")
+     .write.mode(mode).parquet(path))

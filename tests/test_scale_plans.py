@@ -440,3 +440,47 @@ def test_pmi_totals_are_broadcast(spark, sf_dir):
     out = (PCollection(docs) | PmiCollocations("text", min_count=5)).df
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastNestedLoopJoin") == 2  # the 1-row totals
+
+
+def test_write_zordered_file_locality(spark, sf_dir, tmp_path):
+    """The layout pay-off, measured: after write_zordered on
+    (l_partkey, l_suppkey), each output FILE covers a narrow slice of
+    BOTH columns — mean per-file l_partkey span under half the global
+    span (a hash-shuffled naive write gives ~full span per file), so
+    min/max file stats can prune scans filtering on either column."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from beam_spark.operators.scd import write_zordered
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    def mean_span(path):
+        spans = []
+        for f in _glob.glob(f"{path}/part-*.parquet"):
+            mn, mx = (spark.read.parquet(f)
+                      .agg(F.min("l_partkey"), F.max("l_partkey"))
+                      .first())
+            spans.append(mx - mn)
+        assert len(spans) >= 4
+        return sum(spans) / len(spans)
+
+    naive = str(tmp_path / "naive")
+    li.repartition(16).write.mode("overwrite").parquet(naive)
+    out = str(tmp_path / "zw")
+    write_zordered(li, out, ["l_partkey", "l_suppkey"], bits=8,
+                   partitions=16)
+    # a hash-shuffled write gives ~the full key span in EVERY file;
+    # the z-ordered layout's per-file span must be meaningfully
+    # narrower (2-D square split 16 ways: expect well under 3/4)
+    assert mean_span(out) < 0.75 * mean_span(naive), (
+        mean_span(out), mean_span(naive))
+    # schema round-trip: the key column is dropped
+    assert "__zk" not in spark.read.parquet(out).columns
+
+    import pytest as pt
+
+    with pt.raises(ValueError, match="curve"):
+        write_zordered(li, out, ["l_partkey", "l_suppkey"],
+                       curve="peano")
