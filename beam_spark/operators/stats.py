@@ -1476,3 +1476,88 @@ class ForecastEval(PTransform):
                                       F.col("__mae") / F.col("__nmae")),
                                6).alias("mase")))
         return pcoll.with_df(out)
+
+
+class KaplanMeier(PTransform):
+    """Kaplan-Meier survival estimator with right censoring — the
+    retention/churn curve ("what fraction survives past t") computed
+    from (duration, event) pairs where event=1 is an observed event
+    (churn, conversion) and event=0 a censored subject (still active
+    at last observation):
+
+        S(t) = prod over event times t_i <= t of (1 - d_i / n_i)
+
+    d_i = events at t_i, n_i = subjects at risk just before t_i
+    (N minus everything that left earlier; ties leave AFTER t_i per
+    the standard convention — censored-at-t_i subjects still count at
+    risk for t_i's factor).
+
+    Determinism: d_i / n_i are exact integer ratios; the cumulative
+    product runs as exp of a TIME-ORDERED cumulative sum of round-12
+    decimal ln factors — decimal addition is exact, so both engines
+    exponentiate the identical double; survival rounds 6.
+
+    Scale: one groupBy(duration) count + ordered windows over the
+    DISTINCT-DURATION frame (cardinality-bounded, the AUC-cumsum
+    posture — quantize durations upstream if they are continuous).
+
+    Output: one row per distinct EVENT time — (t, n_risk, d_events,
+    c_censored, survival), ascending t.
+    """
+
+    def __init__(self, duration_col: str, event_col: str, label=None):
+        super().__init__(label)
+        self.duration_col, self.event_col = duration_col, event_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        dc, ec = self.duration_col, self.event_col
+        base = pcoll.df.where(
+            F.col(dc).isNotNull() & F.col(ec).isNotNull()).select(
+            F.col(dc).cast("double").alias("t"),
+            F.col(ec).cast("int").alias("__e"))
+        per = base.groupBy("t").agg(
+            F.sum("__e").cast("long").alias("d_events"),
+            F.sum(1 - F.col("__e")).cast("long").alias("c_censored"))
+        w_all = Window.partitionBy()
+        w_prev = (Window.orderBy("t")
+                  .rowsBetween(Window.unboundedPreceding, -1))
+        at_risk = (per
+                   .withColumn("__N", F.sum(F.col("d_events")
+                                            + F.col("c_censored"))
+                               .over(w_all))
+                   .withColumn("__left", F.coalesce(
+                       F.sum(F.col("d_events") + F.col("c_censored"))
+                       .over(w_prev), F.lit(0)))
+                   .withColumn("n_risk",
+                               (F.col("__N") - F.col("__left"))
+                               .cast("long")))
+        lnf = F.log(F.lit(1.0)
+                    - F.col("d_events").cast("double")
+                    / F.col("n_risk").cast("double"))
+        w_cum = (Window.orderBy("t")
+                 .rowsBetween(Window.unboundedPreceding, 0))
+        # a time where EVERYONE at risk dies has factor 0 (ln = -inf,
+        # which a decimal cast would swallow): track it as a
+        # cumulative flag and pin survival to exactly 0 from there on
+        out = (at_risk
+               .withColumn("__lnS",
+                           F.sum(F.when((F.col("d_events") > 0)
+                                        & (F.col("d_events")
+                                           < F.col("n_risk")),
+                                        lnf.cast("decimal(28,12)"))
+                                 .otherwise(F.lit(0)
+                                            .cast("decimal(28,12)")))
+                           .over(w_cum))
+               .withColumn("__dead",
+                           F.max(F.when(F.col("d_events")
+                                        == F.col("n_risk"), 1)
+                                 .otherwise(0)).over(w_cum))
+               .where(F.col("d_events") > 0)
+               .select("t", "n_risk", "d_events", "c_censored",
+                       F.when(F.col("__dead") == 1, F.lit(0.0))
+                       .otherwise(F.round(
+                           F.exp(F.col("__lnS").cast("double")), 6))
+                       .alias("survival")))
+        return pcoll.with_df(out)

@@ -2562,6 +2562,67 @@ def q_assoc_rules(spark, sf_dir):
                       "lift")
 
 
+@query("q_survival_kaplan_meier", """
+WITH pu AS (SELECT user_id,
+              epoch_us(min(ts)) / CAST(1000000 AS DOUBLE) AS t0,
+              epoch_us(coalesce(min(CASE WHEN event_type = 'purchase'
+                                    THEN ts END), max(ts)))
+                / CAST(1000000 AS DOUBLE) AS t1,
+              CASE WHEN min(CASE WHEN event_type = 'purchase'
+                            THEN ts END) IS NOT NULL
+                   THEN 1 ELSE 0 END AS e
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY user_id),
+base AS (SELECT t1 - t0 AS t, e FROM pu),
+per AS (SELECT t, CAST(sum(e) AS BIGINT) AS d_events,
+               CAST(sum(1 - e) AS BIGINT) AS c_censored
+        FROM base GROUP BY t),
+ar AS (SELECT *, sum(d_events + c_censored) OVER () AS N,
+              coalesce(sum(d_events + c_censored)
+                       OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND 1 PRECEDING), 0) AS lft
+       FROM per),
+s AS (SELECT t, CAST(N - lft AS BIGINT) AS n_risk, d_events,
+             c_censored,
+        sum(CASE WHEN d_events > 0 AND d_events < N - lft THEN
+              CAST(ln(CAST(1 AS DOUBLE)
+                      - CAST(d_events AS DOUBLE)
+                        / CAST(N - lft AS DOUBLE))
+                   AS DECIMAL(28,12))
+            ELSE CAST(0 AS DECIMAL(28,12)) END)
+          OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS lnS,
+        max(CASE WHEN d_events = N - lft THEN 1 ELSE 0 END)
+          OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS dead
+      FROM ar)
+SELECT t, n_risk, d_events, c_censored,
+       CASE WHEN dead = 1 THEN CAST(0 AS DOUBLE)
+            ELSE round(exp(CAST(lnS AS DOUBLE)), 6) END AS survival
+FROM s WHERE d_events > 0
+""")
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier time-to-first-purchase curve per user (censored
+    at the last observed event): exact at-risk/death counts, the
+    cumulative product as a time-ordered decimal ln-sum (identical
+    exp input both engines), full-death times pinned to exactly 0."""
+    from beam_spark.operators.stats import KaplanMeier
+
+    ev = table(spark, sf_dir, "events").df.where("user_id IS NOT NULL")
+    pu = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__t0"),
+        F.max("ts").alias("__tl"),
+        F.min(F.when(F.col("event_type") == "purchase",
+                     F.col("ts"))).alias("__tp"))
+    base = pu.select(
+        (F.coalesce(F.col("__tp"), F.col("__tl")).cast("double")
+         - F.col("__t0").cast("double")).alias("duration"),
+        F.col("__tp").isNotNull().cast("int").alias("event"))
+    out = (PCollection(base) | KaplanMeier("duration", "event")).df
+    return out.select("t", "n_risk", "d_events", "c_censored",
+                      "survival")
+
+
 @query("q_text_log_odds_terms", """
 WITH base AS (SELECT lang AS k,
                      unnest(list_filter({_TOK}, w -> w <> '')) AS w

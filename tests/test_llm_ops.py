@@ -3202,3 +3202,26 @@ def test_log_odds_terms_known(spark):
 
     with pt.raises(ValueError, match="alpha"):
         LogOddsTerms("text", alpha=0.0)
+
+
+def test_kaplan_meier_known(spark):
+    """Textbook KM: durations (1e, 2c, 3e, 3e, 4c, 5e) — S(1) = 5/6,
+    S(3) = 5/6 * (1 - 2/4) = 5/12, S(5) = 5/12 * (1 - 1/1) = 0 (the
+    full-death pin); censored times emit no row; n_risk honors the
+    ties-leave-after convention."""
+    import pytest as pt
+
+    from beam_spark.operators.stats import KaplanMeier
+    from beam_spark.pcollection import PCollection
+
+    rows = [(1.0, 1), (2.0, 0), (3.0, 1), (3.0, 1), (4.0, 0), (5.0, 1)]
+    df = spark.createDataFrame(rows, "duration double, event int")
+    out = {r["t"]: r for r in (PCollection(df) | KaplanMeier(
+        "duration", "event")).df.collect()}
+    assert sorted(out) == [1.0, 3.0, 5.0]     # event times only
+    assert (out[1.0]["n_risk"], out[1.0]["d_events"]) == (6, 1)
+    assert out[1.0]["survival"] == pt.approx(5 / 6, abs=1e-6)
+    assert (out[3.0]["n_risk"], out[3.0]["d_events"]) == (4, 2)
+    assert out[3.0]["survival"] == pt.approx(5 / 12, abs=1e-6)
+    assert (out[5.0]["n_risk"], out[5.0]["d_events"]) == (1, 1)
+    assert out[5.0]["survival"] == 0.0
