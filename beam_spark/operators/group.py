@@ -527,16 +527,22 @@ class GapFill(PTransform):
             back = (Window.partitionBy(*keys).orderBy("bucket")
                     .rowsBetween(Window.unboundedPreceding,
                                  Window.currentRow))
-            fwd = (Window.partitionBy(*keys).orderBy("bucket")
-                   .rowsBetween(Window.currentRow,
-                                Window.unboundedFollowing))
+            # Forward lookup as a RUNNING last() over a DESC order:
+            # same values as first(ignorenulls) over
+            # currentRow->unboundedFollowing, but Spark's running
+            # unboundedPreceding->currentRow frame is O(n) per
+            # partition while the unbounded-following frame re-scans
+            # the partition tail per row (O(n^2)).
+            fwd = (Window.partitionBy(*keys).orderBy(F.desc("bucket"))
+                   .rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow))
 
             def lerp(n):
                 ob = F.when(F.col(n).isNotNull(), F.col("bucket"))
                 pb = F.last(ob, ignorenulls=True).over(back)
-                nb = F.first(ob, ignorenulls=True).over(fwd)
+                nb = F.last(ob, ignorenulls=True).over(fwd)
                 pv = F.last(n, ignorenulls=True).over(back)
-                nv = F.first(n, ignorenulls=True).over(fwd)
+                nv = F.last(n, ignorenulls=True).over(fwd)
                 return F.when(F.col(n).isNotNull(), F.col(n)).otherwise(
                     F.when(pv.isNotNull() & nv.isNotNull(),
                            pv + (nv - pv)

@@ -586,7 +586,14 @@ class MmrRerank(PTransform):
             ids = pdf[dc].to_numpy()
             scores = np.round(pdf[sc].to_numpy(dtype=np.float64), 6)
             mat = np.array(list(pdf["__v"]), dtype=np.float64)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            if (norms == 0).any():
+                bad = ids[norms[:, 0] == 0][:5].tolist()
+                raise ValueError(
+                    "MmrRerank: zero-norm embedding(s) for doc "
+                    f"id(s) {bad} — cosine similarity undefined; "
+                    "filter them out before reranking")
+            mat = mat / norms
             sims = np.round(mat @ mat.T, 6)
             n = len(ids)
             taken = np.zeros(n, bool)

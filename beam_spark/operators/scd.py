@@ -271,9 +271,14 @@ class ReconcileTables(PTransform):
         j = l.join(r, on=ks, how="full_outer")
         diff = [~F.col(f"__l_{c}").eqNullSafe(F.col(f"__r_{c}"))
                 for c in cols]
-        any_diff = diff[0]
-        for d in diff[1:]:
-            any_diff = any_diff | d
+        if diff:
+            any_diff = diff[0]
+            for d in diff[1:]:
+                any_diff = any_diff | d
+        else:
+            # only keys overlap: key-presence classification only —
+            # matched rows count as unchanged, no per-column rows
+            any_diff = F.lit(False)
         both = F.col("__lp").isNotNull() & F.col("__rp").isNotNull()
         agg = j.agg(
             F.sum(F.when(F.col("__lp").isNull(), 1).otherwise(0))
@@ -368,6 +373,7 @@ class HilbertKey(PTransform):
 
         def fn(batches):
             import numpy as np
+            import pandas as pd
 
             for pdf in batches:
                 ok = pdf["__w0"].notna() & pdf["__w1"].notna()
@@ -387,8 +393,12 @@ class HilbertKey(PTransform):
                             np.where(swap, xf, yf))
                     s >>= 1
                 out = pdf[keep].copy()
-                out[oc] = d
-                out.loc[~ok, oc] = None
+                # Nullable Int64, NOT .loc[...] = None into int64:
+                # that coerces the column to float64 and corrupts
+                # every key with bits >= 27 (2^53 mantissa) in any
+                # batch containing one NULL-input row.
+                out[oc] = pd.arrays.IntegerArray(
+                    d, mask=(~ok).to_numpy())
                 yield out
 
         return pcoll.with_df(df.mapInPandas(fn, schema))

@@ -883,7 +883,10 @@ class KMeansLloyd(PTransform):
                 F.col("__s").alias("sim")]
         if self.with_silhouette:
             s1 = F.col("__s")
-            s2 = F.element_at(F.array_sort("__sims"), -2)
+            # size guard so k=1 yields NULL under ANSI mode too
+            # (bare element_at(-2) on a size-1 array throws there)
+            s2 = F.when(F.size("__sims") >= 2,
+                        F.element_at(F.array_sort("__sims"), -2))
             den = F.greatest(F.lit(1.0) - s1, F.lit(1.0) - s2)
             cols += [s2.alias("sim_2nd"),
                      F.when(den > 0, (s1 - s2) / den).alias("silhouette")]

@@ -3225,3 +3225,88 @@ def test_kaplan_meier_known(spark):
     assert out[3.0]["survival"] == pt.approx(5 / 12, abs=1e-6)
     assert (out[5.0]["n_risk"], out[5.0]["d_events"]) == (1, 1)
     assert out[5.0]["survival"] == 0.0
+
+
+def test_hilbert_key_highbits_null_batch(spark):
+    """Regression (round-12 advice): a NULL-input row in the same
+    Arrow batch must NOT corrupt high-magnitude keys via an int64 ->
+    float64 coercion. At bits=28 the max key is 4^28-1 ~ 7.2e16 >
+    2^53, so any float round-trip loses low bits; keys computed with
+    and without a NULL row in the batch must be identical."""
+    from beam_spark.operators.scd import HilbertKey
+    from beam_spark.pcollection import PCollection
+
+    big = (1 << 28) - 1
+    coords = [(big, big), (big - 1, big), (123456789, 987654321)]
+    clean = spark.createDataFrame(coords, "x long, y long").coalesce(1)
+    # NULL row INSIDE the existing min/max of both columns so the
+    # data-dependent scaling is identical across the two frames
+    mixed = spark.createDataFrame(
+        coords + [(None, big)], "x long, y long").coalesce(1)
+    kc = {(r["x"], r["y"]): r["hilbert_key"] for r in (
+        PCollection(clean) | HilbertKey(["x", "y"], bits=28)).df.collect()}
+    km = {(r["x"], r["y"]): r["hilbert_key"] for r in (
+        PCollection(mixed) | HilbertKey(["x", "y"], bits=28)).df.collect()}
+    assert km[(None, big)] is None
+    for xy in coords:
+        assert km[xy] == kc[xy]
+        assert km[xy] > (1 << 53)          # the regression regime
+
+
+def test_mmr_rerank_zero_norm_raises(spark):
+    """Regression (round-12 advice): a zero-norm candidate embedding
+    must fail fast with a doc-id-naming ValueError, not an opaque
+    IndexError from an all-NaN greedy loop."""
+    from beam_spark.operators.retrieval import MmrRerank
+    from beam_spark.pcollection import PCollection
+    import pytest as pt
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    cand = spark.createDataFrame(
+        [(7, 1, 0.9), (7, 2, 0.8)],
+        "query_id long, doc_id long, score double")
+    with pt.raises(Exception, match="zero-norm"):
+        (PCollection(cand) | MmrRerank(vecs, k=2, lam=0.5)).df.collect()
+
+
+def test_reconcile_tables_keys_only(spark):
+    """Regression (round-12 advice): frames sharing ONLY the key
+    column produce a rows-only presence report (changed always 0)
+    instead of an IndexError at plan build."""
+    from beam_spark.operators.scd import ReconcileTables
+    from beam_spark.pcollection import PCollection
+
+    before = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    after = spark.createDataFrame([(2,), (3,), (4,)], "id long")
+    out = {(r["kind"], r["name"]): r["n"] for r in (
+        PCollection(before) | ReconcileTables(after, keys="id")).df
+        .collect()}
+    assert out[("rows", "added")] == 1
+    assert out[("rows", "removed")] == 1
+    assert out[("rows", "changed")] == 0
+    assert out[("rows", "unchanged")] == 2
+    assert not [k for k in out if k[0] == "column"]
+
+
+def test_kmeans_silhouette_k1_ansi(spark):
+    """Regression (round-12 advice): k=1 silhouette must yield NULL
+    sim_2nd/silhouette under spark.sql.ansi.enabled=true too (bare
+    element_at(-2) on a size-1 array throws there)."""
+    from beam_spark.operators.similarity import KMeansLloyd
+    from beam_spark.pcollection import PCollection
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    old = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        out = (PCollection(df) | KMeansLloyd(
+            k=1, rounds=0, with_silhouette=True)).df.collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+    assert len(out) == 2
+    assert all(r["sim_2nd"] is None and r["silhouette"] is None
+               for r in out)
