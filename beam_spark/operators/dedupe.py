@@ -1305,15 +1305,17 @@ class JaccardPrefixJoin(PTransform):
     under EITHER order.
 
     ``order``: 'lex' (default) slices the array_sort-ed shingle array
-    directly — ZERO extra shuffles (no df table, no ranking window;
-    measured ~10x faster end-to-end on the near-unique-shingle
-    corpus); 'df' orders by (corpus document frequency, shingle) so
-    each doc's RAREST shingles form the prefix — hot shingles never
-    enter the candidate join (the EditDistanceJoin skew kill), worth
-    its one extra aggregation + window when the corpus has heavy
-    shingles. The verify stage carries the two shingle arrays through
-    doc-keyed joins, bounded by the candidate count, not the corpus
-    square.
+    directly — ZERO extra shuffles (no df table, no ranking window);
+    'df' orders by (corpus document frequency, shingle) so each doc's
+    RAREST shingles form the prefix — hot shingles never enter the
+    candidate join (the EditDistanceJoin skew kill), worth its one
+    extra aggregation + window whenever the corpus has repeated
+    shingles: on the TESTDATA documents corpus at sf0.1, df-order
+    emits ~8x fewer candidates and runs 2.3x faster one-shot (3.5s vs
+    8.1s) despite the extra shuffle — prefer 'df' unless shingles are
+    known near-unique. The verify stage carries the two shingle
+    arrays through doc-keyed joins, bounded by the candidate count,
+    not the corpus square.
     """
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
@@ -1340,10 +1342,17 @@ class JaccardPrefixJoin(PTransform):
         from pyspark.sql import Window
 
         idc, t = self.id_col, self.threshold
+        # Pre-project the token array, THEN shingle over it (the
+        # word_shingles_on pattern every other dedup operator uses):
+        # shingling the raw text column re-splits the whole text once
+        # per lambda element inside the higher-order transform —
+        # measured 19.8s -> 1.3s for the sf0.1 shingle materialization.
+        # tokens >= n  <=>  size(sh) > 0, so the filter is unchanged.
         sh = (pcoll.df
               .select(F.col(idc).alias("id"),
-                      word_shingles(self.text_col, self.n).alias("sh"))
-              .filter(F.size("sh") > 0)
+                      tokens(self.text_col).alias("__w"))
+              .filter(F.size("__w") >= self.n)
+              .select("id", word_shingles_on("__w", self.n).alias("sh"))
               .withColumn("s", F.size("sh")))
         # sh feeds the prefix AND both verify sides: without a persist
         # the shingle transform (the dominant expression cost) runs

@@ -6578,11 +6578,14 @@ def q_jaccard_prefix(spark, sf_dir):
     candidates only from each doc's rarest shingles + length filter,
     exact array_intersect verify. Same brute-force oracle as the
     quadratic path: equality proves the prefix pruning loses no pair
-    (recall 1.0 by construction, unlike LSH)."""
+    (recall 1.0 by construction, unlike LSH). order='df' (rarest
+    shingles first): on this corpus the df-ordered prefix emits ~8x
+    fewer candidates than lex order (hot shingles never join),
+    measured 3.5s vs 8.1s one-shot at sf0.1."""
     from beam_spark.operators.dedupe import JaccardPrefixJoin
 
     return (table(spark, sf_dir, "documents")
-            | JaccardPrefixJoin(threshold=0.6)).df
+            | JaccardPrefixJoin(threshold=0.6, order="df")).df
 
 
 @query("q_dedup_record_linkage_score", """

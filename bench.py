@@ -101,9 +101,15 @@ def main() -> None:
 def bench_components() -> None:
     """Optional: per-component timings (the pre-consolidation query
     names, for cross-round comparability) -> BENCH_COMPONENTS.json.
-    Run: SPARK_GRAFT_BENCH_COMPONENTS=1 python bench.py"""
+    Median of N runs per component (default 3 — this host shows 4-6x
+    single-run noise, so single-run numbers mis-rank the slow tail).
+    Run: SPARK_GRAFT_BENCH_COMPONENTS=1 python bench.py
+    (SPARK_GRAFT_COMPONENT_RUNS overrides the run count.)"""
+    import statistics
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_runs = int(os.environ.get("SPARK_GRAFT_COMPONENT_RUNS", "3"))
 
     from beam_spark.session import get_spark
     from beam_spark import queries as q
@@ -112,17 +118,23 @@ def bench_components() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = q.queries()
     registry["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    timings = {}
-    for name in sorted(registry):
-        t0 = time.perf_counter()
-        registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"{name}: {timings[name]}s", file=sys.stderr)
+    runs: dict[str, list[float]] = {n: [] for n in registry}
+    # round-robin over components per pass (not N back-to-back runs of
+    # the same component) so a host-load spike hits one PASS, not every
+    # sample of one component
+    for r in range(n_runs):
+        for name in sorted(registry):
+            t0 = time.perf_counter()
+            registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs[name].append(round(time.perf_counter() - t0, 3))
+        print(f"[components] pass {r + 1}/{n_runs} done", file=sys.stderr)
+    timings = {n: round(statistics.median(t), 3) for n, t in runs.items()}
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_COMPONENTS.json"), "w") as f:
-        json.dump({"sf_dir": sf_dir, "cpus": int(cpus),
+        json.dump({"sf_dir": sf_dir, "cpus": int(cpus), "runs": n_runs,
                    "total_sec": round(sum(timings.values()), 3),
-                   "components": timings}, f, indent=1)
+                   "components": timings,
+                   "per_component_runs": runs}, f, indent=1)
     spark.stop()
 
 
