@@ -439,6 +439,26 @@ def q_stats_moments(spark, sf_dir):
             "'zipf' AS op", "'docs' AS k", "slope AS v1",
             "intercept AS v2", "r2 AS v3",
             "CAST(n_terms AS DOUBLE) AS v4"),
+        # round-12 folds: survival curve + column dependence (full
+        # rows stay component-oracled). k carries the event time as
+        # EXACT integer micros (CAST(double AS STRING) formats
+        # differently across engines; bigint strings don't).
+        _component("q_survival_kaplan_meier")(spark, sf_dir).selectExpr(
+            "'km' AS op",
+            "CAST(CAST(ROUND(t * 1000000, 0) AS BIGINT) AS STRING) AS k",
+            "CAST(n_risk AS DOUBLE) AS v1",
+            "CAST(d_events AS DOUBLE) AS v2",
+            "CAST(c_censored AS DOUBLE) AS v3", "survival AS v4"),
+        _component("q_column_dependence_docs")(spark, sf_dir).selectExpr(
+            "'coldep' AS op", "'mi' AS k", "mi AS v1",
+            "u_x_given_y AS v2", "u_y_given_x AS v3", "cramers_v AS v4"),
+        _component("q_column_dependence_docs")(spark, sf_dir).selectExpr(
+            "'coldep' AS op", "'h' AS k", "h_x AS v1", "h_y AS v2",
+            "h_xy AS v3", "chi2 AS v4"),
+        _component("q_column_dependence_docs")(spark, sf_dir).selectExpr(
+            "'coldep' AS op", "'n' AS k", "CAST(n AS DOUBLE) AS v1",
+            "CAST(nx AS DOUBLE) AS v2", "CAST(ny AS DOUBLE) AS v3",
+            f"{_ZERO} AS v4"),
     ])
 
 
@@ -476,7 +496,62 @@ _STATS_MOMENTS_SQL = "\nUNION ALL\n".join([
     _wrap("'zipf' AS op, 'docs' AS k, slope AS v1, intercept AS v2, "
           "r2 AS v3, CAST(n_terms AS DOUBLE) AS v4",
           _component_sql("q_text_zipf_fit")),
+    _wrap("'km' AS op, "
+          "CAST(CAST(ROUND(t * 1000000, 0) AS BIGINT) AS VARCHAR) AS k, "
+          "CAST(n_risk AS DOUBLE) AS v1, CAST(d_events AS DOUBLE) AS v2, "
+          "CAST(c_censored AS DOUBLE) AS v3, survival AS v4",
+          _component_sql("q_survival_kaplan_meier")),
+    _wrap("'coldep' AS op, 'mi' AS k, mi AS v1, u_x_given_y AS v2, "
+          "u_y_given_x AS v3, cramers_v AS v4",
+          _component_sql("q_column_dependence_docs")),
+    _wrap("'coldep' AS op, 'h' AS k, h_x AS v1, h_y AS v2, h_xy AS v3, "
+          "chi2 AS v4",
+          _component_sql("q_column_dependence_docs")),
+    _wrap("'coldep' AS op, 'n' AS k, CAST(n AS DOUBLE) AS v1, "
+          "CAST(nx AS DOUBLE) AS v2, CAST(ny AS DOUBLE) AS v3, "
+          f"{_ZERO} AS v4",
+          _component_sql("q_column_dependence_docs")),
 ])
+
+
+def _itemsets_slice(spark, sf_dir):
+    """Reduced FrequentItemsets gate variant: a-priori up to size 3
+    on the l_orderkey % 5 = 0 basket slice (5x fewer baskets in every
+    level self-join — the q_graph_*_links reduced-variant pattern;
+    the full-basket version stays component-oracled)."""
+    from beam_spark.operators.analytics import FrequentItemsets
+    from beam_spark.pcollection import PCollection as _PC
+
+    li = table(spark, sf_dir, "lineitem").df.filter(
+        "l_orderkey % 5 = 0").select(
+        "l_orderkey", (F.col("l_partkey") % 20).alias("item"))
+    return (_PC(li) | FrequentItemsets(
+        "item", basket_keys="l_orderkey", min_support=3,
+        max_size=3)).df.select("items", "size", "support_n")
+
+
+_ITEMSETS_SLICE_SQL = """
+WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey % 20 AS it
+           FROM lineitem WHERE l_orderkey % 5 = 0),
+l1 AS (SELECT it, CAST(count(*) AS BIGINT) AS c FROM b
+       GROUP BY it HAVING count(*) >= 3),
+fb AS (SELECT b.bk, b.it FROM b JOIN l1 ON l1.it = b.it),
+l2 AS (SELECT x.it AS a, y.it AS bb, CAST(count(*) AS BIGINT) AS c
+       FROM fb x JOIN fb y ON y.bk = x.bk AND y.it > x.it
+       GROUP BY 1, 2 HAVING count(*) >= 3),
+it2 AS (SELECT a AS it FROM l2 UNION SELECT bb FROM l2),
+fb2 AS (SELECT fb.bk, fb.it FROM fb JOIN it2 ON it2.it = fb.it),
+l3 AS (SELECT x.it AS a, y.it AS bb, z.it AS c3,
+              CAST(count(*) AS BIGINT) AS c
+       FROM fb2 x JOIN fb2 y ON y.bk = x.bk AND y.it > x.it
+       JOIN fb2 z ON z.bk = x.bk AND z.it > y.it
+       GROUP BY 1, 2, 3 HAVING count(*) >= 3)
+SELECT [it] AS items, CAST(1 AS INT) AS size, c AS support_n FROM l1
+UNION ALL
+SELECT [a, bb], CAST(2 AS INT), c FROM l2
+UNION ALL
+SELECT [a, bb, c3], CAST(3 AS INT), c FROM l3
+"""
 
 
 def q_analytics_suite(spark, sf_dir):
@@ -564,6 +639,26 @@ def q_analytics_suite(spark, sf_dir):
                       "'' AS k2", "CAST(degree AS DOUBLE) AS v1",
                       f"{_ZERO} AS v2", f"{_ZERO} AS v3",
                       f"{_ZERO} AS v4"),
+        # round-12 folds: attribution credit, a-priori itemsets,
+        # Monroe log-odds terms (full rows stay component-oracled)
+        _component("q_attribution_last_touch")(spark, sf_dir).selectExpr(
+            "'attrib' AS op", "conv_event_id AS k1",
+            "CAST(user_id AS STRING) || '|' || "
+            "COALESCE(touch_event, '') AS k2",
+            "CAST(touch_event_id AS DOUBLE) AS v1", f"{_ZERO} AS v2",
+            f"{_ZERO} AS v3", f"{_ZERO} AS v4"),
+        _itemsets_slice(spark, sf_dir).selectExpr(
+            "'itemsets' AS op", "CAST(size AS BIGINT) AS k1",
+            "array_join(transform(items, x -> CAST(x AS STRING)), ',')"
+            " AS k2",
+            "CAST(support_n AS DOUBLE) AS v1", f"{_ZERO} AS v2",
+            f"{_ZERO} AS v3", f"{_ZERO} AS v4"),
+        _component("q_text_log_odds_terms")(spark, sf_dir).selectExpr(
+            "'logodds' AS op", "CAST(0 AS BIGINT) AS k1",
+            "lang || '|' || term AS k2",
+            "CAST(n_class_term AS DOUBLE) AS v1",
+            "CAST(n_term AS DOUBLE) AS v2", "z AS v3",
+            f"{_ZERO} AS v4"),
     ])
 
 
@@ -603,6 +698,22 @@ _ANALYTICS_SQL = "\nUNION ALL\n".join([
           f"CAST(degree AS DOUBLE) AS v1, {_ZERO} AS v2, {_ZERO} AS v3, "
           f"{_ZERO} AS v4",
           Q._kcore_oracle_sql(k=5, rounds=5)),
+    _wrap("'attrib' AS op, conv_event_id AS k1, "
+          "CAST(user_id AS VARCHAR) || '|' || "
+          "COALESCE(touch_event, '') AS k2, "
+          f"CAST(touch_event_id AS DOUBLE) AS v1, {_ZERO} AS v2, "
+          f"{_ZERO} AS v3, {_ZERO} AS v4",
+          _component_sql("q_attribution_last_touch")),
+    _wrap("'itemsets' AS op, CAST(size AS BIGINT) AS k1, "
+          "array_to_string(items, ',') AS k2, "
+          f"CAST(support_n AS DOUBLE) AS v1, {_ZERO} AS v2, "
+          f"{_ZERO} AS v3, {_ZERO} AS v4",
+          _ITEMSETS_SLICE_SQL),
+    _wrap("'logodds' AS op, CAST(0 AS BIGINT) AS k1, "
+          "lang || '|' || term AS k2, "
+          "CAST(n_class_term AS DOUBLE) AS v1, "
+          f"CAST(n_term AS DOUBLE) AS v2, z AS v3, {_ZERO} AS v4",
+          _component_sql("q_text_log_odds_terms")),
 ])
 
 
@@ -864,6 +975,7 @@ def q_ann_exhaustive_suite(spark, sf_dir):
     bm25f = _component("q_retrieval_bm25f_topk")(spark, sf_dir)
     posph = _component("q_retrieval_phrase_positional")(spark, sf_dir)
     mmr = _component("q_ann_mmr_rerank")(spark, sf_dir)
+    km = _component("q_kmeans_embeddings")(spark, sf_dir)
     return _union([
         lsh.selectExpr("'lsh' AS method", "query_id", "nbr_id", "rank", "cosine"),
         ivf.selectExpr("'ivf' AS method", "query_id", "nbr_id", "rank", "cosine"),
@@ -883,6 +995,11 @@ def q_ann_exhaustive_suite(spark, sf_dir):
                          "CAST(n_occurrences AS DOUBLE) AS cosine"),
         mmr.selectExpr("'mmr' AS method", "query_id",
                        "doc_id AS nbr_id", "rank", "mmr AS cosine"),
+        # round-12 fold: distributed k-means assignment (vec -> cluster
+        # with its round-9 centroid cosine) as a 10th tagged method
+        km.selectExpr("'kmeans' AS method", "vec_id AS query_id",
+                      "CAST(cluster AS BIGINT) AS nbr_id",
+                      "CAST(0 AS INT) AS rank", "sim AS cosine"),
     ])
 
 
@@ -914,6 +1031,10 @@ UNION ALL
 UNION ALL
 {_wrap("'mmr' AS method, query_id, doc_id AS nbr_id, rank, "
        "mmr AS cosine", _component_sql("q_ann_mmr_rerank"))}
+UNION ALL
+{_wrap("'kmeans' AS method, vec_id AS query_id, "
+       "CAST(cluster AS BIGINT) AS nbr_id, CAST(0 AS INT) AS rank, "
+       "sim AS cosine", _component_sql("q_kmeans_embeddings"))}
 """
 
 
