@@ -1312,6 +1312,98 @@ class CalibrationReport(PTransform):
                                         "frac_pos", "abs_gap", "ece"))
 
 
+class IsotonicCalibration(PTransform):
+    """Isotonic-regression calibration map (pool-adjacent-violators,
+    Barlow et al. 1972 / Zadrozny & Elkan KDD'02) for a probabilistic
+    classifier — the non-parametric recalibration pass CalibrationReport
+    motivates: fit the monotone-non-decreasing step function mapping
+    raw score -> P(y=1) that minimizes squared error.
+
+    Plan shape: ONE groupBy(score) aggregation reduces the input to the
+    distinct-score reliability frame (cardinality-bounded — raw scores
+    from a real model are quantized by the feature space; cap checked
+    via ``max_distinct``), then PAVA runs per key group in
+    applyInPandas over that frame, NOT over the raw rows. The merge
+    loop is integer-exact: blocks pool on a cross-multiplied violation
+    test (pos_a * n_b > pos_b * n_a — no float compare), and the
+    calibrated value is ONE division of exact integer sums, so the
+    output is bit-reproducible across engines and partial-agg orders.
+
+    Monotone-ties note: equal adjacent means are NOT pooled (strict
+    violation test) — fitted values are identical either way and block
+    boundaries stay deterministic.
+
+    Oracle (used by q_isotonic_calibration): the minimax
+    characterization fitted[k] = max_{i<=k} min_{j>=k} mean(y[i..j]).
+    Correctly-rounded division makes equal rationals equal doubles, so
+    the SQL replay is bit-equal to PAVA's pooled block value.
+
+    Scale: the applyInPandas frame has one row per (keys, distinct
+    score) — the groupBy crushes N rows to that frame map-side; PAVA
+    itself is O(m) per key. ``max_distinct`` fails fast when a
+    continuous un-quantized score column would make the per-key frame
+    unbounded (round the score upstream instead).
+
+    Output: (keys..., score, n, n_pos, calibrated) — the step
+    function's knots; join-apply it to new scores with a range lookup.
+    """
+
+    def __init__(self, score_col: str, label_col: str,
+                 keys=(), max_distinct: int = 100_000, label=None):
+        super().__init__(label)
+        self.score_col, self.label_col = score_col, label_col
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        self.max_distinct = int(max_distinct)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        import pandas as pd
+
+        ks = self.keys
+        s = F.col(self.score_col).cast("double")
+        y = F.col(self.label_col).cast("long")
+        agg = (pcoll.df.where(s.isNotNull() & y.isNotNull())
+               .groupBy(*ks, s.alias("score"))
+               .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum(y).cast("long").alias("n_pos")))
+        md = self.max_distinct
+        key_fields = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in agg.schema.fields if f.name in ks)
+        schema = ((key_fields + ", ") if key_fields else "") + \
+            "score double, n bigint, n_pos bigint, calibrated double"
+
+        def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) > md:
+                raise ValueError(
+                    f"IsotonicCalibration: {len(pdf)} distinct scores "
+                    f"in one group exceeds max_distinct={md} — round "
+                    "the score upstream or raise the cap deliberately")
+            pdf = pdf.sort_values("score", kind="mergesort")
+            blocks: list[list[int]] = []   # [pos_sum, n_sum, rows]
+            for pos, n in zip(pdf["n_pos"].astype(int),
+                              pdf["n"].astype(int)):
+                blocks.append([int(pos), int(n), 1])
+                while (len(blocks) >= 2
+                       and blocks[-2][0] * blocks[-1][1]
+                       > blocks[-1][0] * blocks[-2][1]):
+                    b = blocks.pop()
+                    blocks[-1][0] += b[0]
+                    blocks[-1][1] += b[1]
+                    blocks[-1][2] += b[2]
+            fitted = []
+            for pos, n, rows in blocks:
+                fitted.extend([pos / n] * rows)
+            out = pdf.copy()
+            out["calibrated"] = fitted
+            return out
+
+        if ks:
+            out = agg.groupBy(*ks).applyInPandas(fit, schema)
+        else:
+            out = agg.groupBy().applyInPandas(fit, schema)
+        return pcoll.with_df(out)
+
+
 class RboOverlap(PTransform):
     """Rank-biased overlap (Webber, Moffat & Zobel 2010) between two
     per-query rankings of the same documents — the A/B statistic for

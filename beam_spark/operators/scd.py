@@ -144,12 +144,68 @@ class CdcApply(PTransform):
         return pcoll.with_df(out)
 
 
+def _rank_scaled_words(df, cols, bits: int):
+    """Equi-depth rank scaling of arbitrary orderable numeric columns
+    (doubles included) onto [0, 2^bits), as ``__w{i}`` bigint columns.
+
+    Per column: the DISTINCT-value count frame gets a cumulative
+    row-rank (window over the cardinality-bounded distinct frame, NOT
+    the data), then word = (rank_before * (2^bits - 1)) DIV (n - 1) —
+    pure integer arithmetic on exact counts, so words are bit-equal
+    across engines even though the inputs are doubles. Equi-depth by
+    construction: each word covers ~equal data mass, which is what
+    file-level min/max pruning wants under skew (min-max scaling
+    collapses under outliers). NULL input -> NULL word (left-join
+    miss). NaN is rejected up-front: Spark orders NaN largest while
+    other engines vary, so a NaN would make the key engine-dependent.
+
+    Cost: one groupBy + one value-keyed left join per column — unlike
+    min-max's zero-shuffle expression. That is the honest price of
+    rank scaling; for write_zordered it is amortized against the
+    range exchange the write performs anyway.
+    """
+    from pyspark.sql import Window
+
+    top = (1 << int(bits)) - 1
+    out = df
+    for i, c in enumerate(cols):
+        cnt = (df.where(F.col(c).isNotNull())
+               .groupBy(F.col(c).alias("__v"))
+               .agg(F.count(F.lit(1)).alias("__c")))
+        wcum = (Window.orderBy("__v")
+                .rowsBetween(Window.unboundedPreceding,
+                             Window.currentRow))
+        wall = Window.partitionBy()
+        ranked = cnt.select(
+            "__v",
+            (F.sum("__c").over(wcum) - F.col("__c")).alias("__r"),
+            F.sum("__c").over(wall).alias("__n"))
+        word = (F.when(F.isnan(F.col("__v").cast("double")),
+                       F.raise_error(F.lit(
+                           f"rank scaling: NaN in column {c!r} — "
+                           "NaN order is engine-dependent; filter or "
+                           "impute first")).cast("long"))
+                .when(F.col("__n") > 1,
+                      F.expr(f"CAST((__r * {top}) DIV (__n - 1) "
+                             "AS BIGINT)"))
+                .otherwise(F.lit(0).cast("long")))
+        ranked = ranked.select("__v", word.alias(f"__w{i}"))
+        out = (out.join(ranked, on=out[c] == ranked["__v"], how="left")
+               .drop("__v"))
+    return out
+
+
 class ZOrderKey(PTransform):
     """Morton (Z-order) clustering key over 2+ integer columns — the
     data-layout primitive behind Delta's OPTIMIZE ZORDER BY / Iceberg
     sort orders: writing files sorted by the interleaved key gives
     every participating column locality, so min/max file statistics
     prune scans on ANY of them (not just the leading sort column).
+
+    ``scale='rank'`` extends the key to DOUBLE (any orderable numeric)
+    columns via equi-depth rank scaling — see
+    :func:`_rank_scaled_words` for the exactness and cost story; the
+    default ``'minmax'`` stays the zero-shuffle integer path.
 
     Each column is first scaled onto [0, 2^bits) with pure INTEGER
     arithmetic — (v - min) * (2^bits - 1) DIV (max - min), min/max
@@ -172,7 +228,8 @@ class ZOrderKey(PTransform):
     """
 
     def __init__(self, cols, bits: int = 16,
-                 output_col: str = "zorder_key", label=None):
+                 output_col: str = "zorder_key", scale: str = "minmax",
+                 label=None):
         super().__init__(label)
         cols = [cols] if isinstance(cols, str) else list(cols)
         if len(cols) < 2:
@@ -181,32 +238,41 @@ class ZOrderKey(PTransform):
             raise ValueError(
                 f"bits * n_cols = {int(bits) * len(cols)} outside "
                 "[1, 63] (key must fit a BIGINT)")
+        if scale not in ("minmax", "rank"):
+            raise ValueError(f"scale must be 'minmax' or 'rank', "
+                             f"got {scale!r}")
         self.cols, self.bits = cols, int(bits)
-        self.output_col = output_col
+        self.output_col, self.scale = output_col, scale
 
     def expand(self, pcoll: PCollection) -> PCollection:
         b, d = self.bits, len(self.cols)
         top = (1 << b) - 1
-        aggs = []
-        for i, c in enumerate(self.cols):
-            aggs += [F.min(F.col(c).cast("long")).alias(f"__mn{i}"),
-                     F.max(F.col(c).cast("long")).alias(f"__mx{i}")]
-        mm = pcoll.df.agg(*aggs)
-        df = pcoll.df.crossJoin(F.broadcast(mm))
-        # integer scale: (v - min) * top DIV range — floor division
-        # keeps every step integer-exact in both engines
-        words = []
-        for i, c in enumerate(self.cols):
-            rng = F.col(f"__mx{i}") - F.col(f"__mn{i}")
-            # NULL guard FIRST: the constant-column otherwise(0) branch
-            # must not swallow NULL inputs (NULL in -> NULL key)
-            words.append(F.when(F.col(c).isNull(),
-                                F.lit(None).cast("long"))
-                         .when(rng > 0,
-                               F.expr(f"CAST((({c} - __mn{i}) * {top}) "
-                                      f"DIV (__mx{i} - __mn{i}) "
-                                      f"AS BIGINT)"))
-                         .otherwise(F.lit(0).cast("long")))
+        if self.scale == "rank":
+            df = _rank_scaled_words(pcoll.df, self.cols, b)
+            words = [F.col(f"__w{i}") for i in range(d)]
+        else:
+            aggs = []
+            for i, c in enumerate(self.cols):
+                aggs += [F.min(F.col(c).cast("long")).alias(f"__mn{i}"),
+                         F.max(F.col(c).cast("long")).alias(f"__mx{i}")]
+            mm = pcoll.df.agg(*aggs)
+            df = pcoll.df.crossJoin(F.broadcast(mm))
+            # integer scale: (v - min) * top DIV range — floor division
+            # keeps every step integer-exact in both engines
+            words = []
+            for i, c in enumerate(self.cols):
+                rng = F.col(f"__mx{i}") - F.col(f"__mn{i}")
+                # NULL guard FIRST: the constant-column otherwise(0)
+                # branch must not swallow NULL inputs (NULL in ->
+                # NULL key)
+                words.append(F.when(F.col(c).isNull(),
+                                    F.lit(None).cast("long"))
+                             .when(rng > 0,
+                                   F.expr(f"CAST((({c} - __mn{i}) "
+                                          f"* {top}) "
+                                          f"DIV (__mx{i} - __mn{i}) "
+                                          f"AS BIGINT)"))
+                             .otherwise(F.lit(0).cast("long")))
         key = F.lit(0).cast("long")
         for i, w in enumerate(words):
             for bit in range(b):
@@ -214,9 +280,11 @@ class ZOrderKey(PTransform):
                     F.shiftleft(F.shiftright(w, bit)
                                 .bitwiseAND(F.lit(1)),
                                 bit * d + i))
+        drop = ([f"__w{i}" for i in range(d)] if self.scale == "rank"
+                else [f"__mn{i}" for i in range(d)]
+                + [f"__mx{i}" for i in range(d)])
         out = (df.withColumn(self.output_col, key.cast("long"))
-               .drop(*[f"__mn{i}" for i in range(d)],
-                     *[f"__mx{i}" for i in range(d)]))
+               .drop(*drop))
         return pcoll.with_df(out)
 
 
@@ -333,36 +401,46 @@ class HilbertKey(PTransform):
     """
 
     def __init__(self, cols, bits: int = 16,
-                 output_col: str = "hilbert_key", label=None):
+                 output_col: str = "hilbert_key", scale: str = "minmax",
+                 label=None):
         super().__init__(label)
         cols = [cols] if isinstance(cols, str) else list(cols)
         if len(cols) != 2:
             raise ValueError("HilbertKey needs exactly 2 columns")
         if not 1 <= int(bits) <= 31:
             raise ValueError(f"bits {bits} outside [1, 31]")
+        if scale not in ("minmax", "rank"):
+            raise ValueError(f"scale must be 'minmax' or 'rank', "
+                             f"got {scale!r}")
         self.cols, self.bits = cols, int(bits)
-        self.output_col = output_col
+        self.output_col, self.scale = output_col, scale
 
     def expand(self, pcoll: PCollection) -> PCollection:
         b = self.bits
         top = (1 << b) - 1
-        aggs = []
-        for i, c in enumerate(self.cols):
-            aggs += [F.min(F.col(c).cast("long")).alias(f"__mn{i}"),
-                     F.max(F.col(c).cast("long")).alias(f"__mx{i}")]
-        mm = pcoll.df.agg(*aggs)
-        df = pcoll.df.crossJoin(F.broadcast(mm))
-        for i, c in enumerate(self.cols):
-            rng = F.col(f"__mx{i}") - F.col(f"__mn{i}")
-            df = df.withColumn(
-                f"__w{i}",
-                F.when(F.col(c).isNull(), F.lit(None).cast("long"))
-                .when(rng > 0,
-                      F.expr(f"CAST((({c} - __mn{i}) * {top}) "
-                             f"DIV (__mx{i} - __mn{i}) AS BIGINT)"))
-                .otherwise(F.lit(0).cast("long")))
-        df = df.drop(*[f"__mn{i}" for i in range(2)],
-                     *[f"__mx{i}" for i in range(2)])
+        if self.scale == "rank":
+            # equi-depth rank scaling — double-column support, same
+            # exactness/cost story as ZOrderKey (see
+            # _rank_scaled_words)
+            df = _rank_scaled_words(pcoll.df, self.cols, b)
+        else:
+            aggs = []
+            for i, c in enumerate(self.cols):
+                aggs += [F.min(F.col(c).cast("long")).alias(f"__mn{i}"),
+                         F.max(F.col(c).cast("long")).alias(f"__mx{i}")]
+            mm = pcoll.df.agg(*aggs)
+            df = pcoll.df.crossJoin(F.broadcast(mm))
+            for i, c in enumerate(self.cols):
+                rng = F.col(f"__mx{i}") - F.col(f"__mn{i}")
+                df = df.withColumn(
+                    f"__w{i}",
+                    F.when(F.col(c).isNull(), F.lit(None).cast("long"))
+                    .when(rng > 0,
+                          F.expr(f"CAST((({c} - __mn{i}) * {top}) "
+                                 f"DIV (__mx{i} - __mn{i}) AS BIGINT)"))
+                    .otherwise(F.lit(0).cast("long")))
+            df = df.drop(*[f"__mn{i}" for i in range(2)],
+                         *[f"__mx{i}" for i in range(2)])
         in_fields = [f for f in df.schema.fields
                      if f.name not in ("__w0", "__w1")]
         schema = ", ".join(
@@ -406,7 +484,8 @@ class HilbertKey(PTransform):
 
 def write_zordered(df: DataFrame, path: str, cols, bits: int = 16,
                    partitions: int | None = None,
-                   curve: str = "morton", mode: str = "overwrite"):
+                   curve: str = "morton", mode: str = "overwrite",
+                   scale: str = "minmax"):
     """OPTIMIZE ZORDER-style layout write: compute the clustering key
     (Morton or Hilbert), range-partition and sort the data by it, and
     write parquet WITHOUT the key column — every participating column
@@ -414,13 +493,16 @@ def write_zordered(df: DataFrame, path: str, cols, bits: int = 16,
     them prune files. ``partitions`` controls the output file count
     (default: the session's shuffle partitions). The exchange this
     adds (one repartitionByRange on the key) is the write's shuffle —
-    there is no extra pass.
+    there is no extra pass. ``scale='rank'`` clusters DOUBLE (any
+    orderable numeric) columns via equi-depth rank scaling — see
+    :func:`_rank_scaled_words`.
     """
     if curve not in ("morton", "hilbert"):
         raise ValueError(f"curve {curve!r}: 'morton' or 'hilbert'")
-    op = (ZOrderKey(cols, bits=bits, output_col="__zk")
+    op = (ZOrderKey(cols, bits=bits, output_col="__zk", scale=scale)
           if curve == "morton"
-          else HilbertKey(cols, bits=bits, output_col="__zk"))
+          else HilbertKey(cols, bits=bits, output_col="__zk",
+                          scale=scale))
     keyed = (PCollection(df) | op).df
     n = partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions"))

@@ -2786,6 +2786,50 @@ def q_column_dependence(spark, sf_dir):
                       "cramers_v")
 
 
+@query("q_isotonic_calibration", """
+WITH base AS (
+  SELECT CAST(n_chars % 100 + 1 AS DOUBLE) / CAST(102 AS DOUBLE) AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+g AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos
+      FROM base GROUP BY score),
+ord AS (SELECT *, row_number() OVER (ORDER BY score) AS rn FROM g),
+cum AS (SELECT rn, score, n, n_pos,
+          CAST(sum(n) OVER (ORDER BY rn) AS BIGINT) AS cn,
+          CAST(sum(n_pos) OVER (ORDER BY rn) AS BIGINT) AS cp
+        FROM ord),
+seg AS (SELECT i.rn AS ri, j.rn AS rj,
+          CAST(j.cp - i.cp + i.n_pos AS DOUBLE)
+            / CAST(j.cn - i.cn + i.n AS DOUBLE) AS m
+        FROM cum i JOIN cum j ON j.rn >= i.rn),
+inn AS (SELECT k.rn AS rn, s.ri AS ri, min(s.m) AS im
+        FROM cum k JOIN seg s ON s.ri <= k.rn AND s.rj >= k.rn
+        GROUP BY k.rn, s.ri),
+fit AS (SELECT rn, max(im) AS calibrated FROM inn GROUP BY rn)
+SELECT c.score, c.n, c.n_pos, f.calibrated
+FROM cum c JOIN fit f ON f.rn = c.rn
+""")
+def q_isotonic_calibration(spark, sf_dir):
+    """Isotonic (PAVA) calibration map of the synthetic length-score
+    against the en-label, over the distinct-score reliability frame.
+    The oracle replays the fit through the MINIMAX characterization
+    fitted[k] = max_{i<=k} min_{j>=k} mean(y[i..j]) — equal rationals
+    are equal doubles under correctly-rounded division, so the
+    O(m^3)-in-SQL replay is bit-equal to PAVA's pooled block value
+    (compared UNROUNDED; m = distinct scores <= 100 here)."""
+    from beam_spark.operators.quality import IsotonicCalibration
+
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.df.select(
+        ((F.col("n_chars") % 100 + 1).cast("double")
+         / F.lit(102).cast("double")).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"))
+    out = (PCollection(scored)
+           | IsotonicCalibration("score", "y")).df
+    return out.select("score", "n", "n_pos", "calibrated")
+
+
 @query("q_join_cardinality_orders", """
 WITH lc AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS lc
             FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
@@ -3380,6 +3424,46 @@ def q_zorder_key(spark, sf_dir):
 
     li = table(spark, sf_dir, "lineitem")
     out = (li | ZOrderKey(["l_partkey", "l_suppkey"], bits=8)).df
+    return out.select("l_orderkey", "l_linenumber", "zorder_key")
+
+
+@query("q_lake_zorder_rank_double", """
+WITH c0 AS (SELECT l_extendedprice AS v, CAST(count(*) AS BIGINT) AS c
+            FROM lineitem WHERE l_extendedprice IS NOT NULL
+            GROUP BY 1),
+r0 AS (SELECT v,
+         CAST(sum(c) OVER (ORDER BY v) - c AS BIGINT) AS r,
+         CAST(sum(c) OVER () AS BIGINT) AS n FROM c0),
+w0t AS (SELECT v, CASE WHEN n > 1 THEN (r * 255) // (n - 1)
+                  ELSE CAST(0 AS BIGINT) END AS w FROM r0),
+c1 AS (SELECT l_discount AS v, CAST(count(*) AS BIGINT) AS c
+       FROM lineitem WHERE l_discount IS NOT NULL GROUP BY 1),
+r1 AS (SELECT v,
+         CAST(sum(c) OVER (ORDER BY v) - c AS BIGINT) AS r,
+         CAST(sum(c) OVER () AS BIGINT) AS n FROM c1),
+w1t AS (SELECT v, CASE WHEN n > 1 THEN (r * 255) // (n - 1)
+                  ELSE CAST(0 AS BIGINT) END AS w FROM r1),
+s AS (SELECT l_orderkey, l_linenumber, a.w AS w0, b.w AS w1
+      FROM lineitem
+      LEFT JOIN w0t a ON a.v = l_extendedprice
+      LEFT JOIN w1t b ON b.v = l_discount)
+SELECT l_orderkey, l_linenumber,
+       CAST(""" + _morton_sql(["w0", "w1"], 8) + """ AS BIGINT)
+         AS zorder_key
+FROM s
+""")
+def q_zorder_rank_double(spark, sf_dir):
+    """Rank-scaled (equi-depth) Morton key over the DOUBLE columns
+    (l_extendedprice, l_discount) at 8 bits: the distinct-value count
+    frame's cumulative rank scales each double onto [0, 256) with
+    pure integer arithmetic — bit-exact across engines even though
+    the inputs are doubles, and skew-robust where min-max scaling
+    collapses under outliers."""
+    from beam_spark.operators.scd import ZOrderKey
+
+    li = table(spark, sf_dir, "lineitem")
+    out = (li | ZOrderKey(["l_extendedprice", "l_discount"], bits=8,
+                          scale="rank")).df
     return out.select("l_orderkey", "l_linenumber", "zorder_key")
 
 

@@ -355,6 +355,8 @@ def _register_curation():
         "Attribution": ("beam_spark.operators.analytics",
                         "Attribution"),
         "HilbertKey": ("beam_spark.operators.scd", "HilbertKey"),
+        "IsotonicCalibration": ("beam_spark.operators.quality",
+                                "IsotonicCalibration"),
     }
 
     def make(mod_name, cls_name):

@@ -3310,3 +3310,85 @@ def test_kmeans_silhouette_k1_ansi(spark):
     assert len(out) == 2
     assert all(r["sim_2nd"] is None and r["silhouette"] is None
                for r in out)
+
+
+def test_isotonic_calibration_known(spark):
+    """Hand-checkable PAVA: scores 0.1..0.5 with positive rates
+    [1/2, 0/2, 1/1, 1/3, 1/1] — the 0.5 vs 0.0 violation pools to
+    1/4; then 1/1 vs 1/3 pools with the middle to (1+1)/(1+3)=0.5,
+    final fit [0.25, 0.25, 0.5, 0.5, 1.0] nondecreasing; n/n_pos are
+    the per-score exact counts."""
+    from beam_spark.operators.quality import IsotonicCalibration
+    from beam_spark.pcollection import PCollection
+
+    rows = ([(0.1, 1), (0.1, 0), (0.2, 0), (0.2, 0), (0.3, 1),
+             (0.4, 0), (0.4, 0), (0.4, 1), (0.5, 1)])
+    df = spark.createDataFrame(rows, "score double, y int")
+    out = {r["score"]: r for r in (
+        PCollection(df) | IsotonicCalibration("score", "y")).df.collect()}
+    assert [out[s]["calibrated"] for s in (0.1, 0.2, 0.3, 0.4, 0.5)] \
+        == [0.25, 0.25, 0.5, 0.5, 1.0]
+    assert (out[0.1]["n"], out[0.1]["n_pos"]) == (2, 1)
+    assert (out[0.4]["n"], out[0.4]["n_pos"]) == (3, 1)
+
+
+def test_isotonic_calibration_keyed_and_guard(spark):
+    """Per-key fits are independent (one key perfectly calibrated,
+    one anti-monotone pooling to its global rate); the max_distinct
+    cap fails fast with an actionable message."""
+    from beam_spark.operators.quality import IsotonicCalibration
+    from beam_spark.pcollection import PCollection
+    import pytest as pt
+
+    rows = [("a", 0.1, 0), ("a", 0.9, 1),
+            ("b", 0.1, 1), ("b", 0.9, 0)]
+    df = spark.createDataFrame(rows, "grp string, score double, y int")
+    out = {(r["grp"], r["score"]): r["calibrated"] for r in (
+        PCollection(df) | IsotonicCalibration("score", "y", keys="grp"))
+        .df.collect()}
+    assert out[("a", 0.1)] == 0.0 and out[("a", 0.9)] == 1.0
+    assert out[("b", 0.1)] == 0.5 and out[("b", 0.9)] == 0.5
+
+    with pt.raises(Exception, match="max_distinct"):
+        (PCollection(df) | IsotonicCalibration(
+            "score", "y", max_distinct=1)).df.collect()
+
+
+def test_zorder_rank_scale_double(spark):
+    """Equi-depth rank scaling on doubles: a wild outlier (1e9) no
+    longer collapses the other values into word 0 (min-max would);
+    words follow data mass, keys are NULL for NULL inputs, and NaN
+    fails fast."""
+    from beam_spark.operators.scd import ZOrderKey, HilbertKey
+    from beam_spark.pcollection import PCollection
+    import pytest as pt
+
+    rows = [(1, 0.1, 5.0), (2, 0.2, 5.0), (3, 0.3, 5.0),
+            (4, 0.4, 5.0), (5, 1e9, 5.0), (6, None, 5.0)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    out = {r["id"]: r["zorder_key"] for r in (
+        PCollection(df) | ZOrderKey(["x", "y"], bits=4, scale="rank"))
+        .df.collect()}
+    assert out[6] is None
+    # y constant -> word 0; key = interleave(word_x, 0): rank words
+    # for x = (r * 15) // 4 over ranks 0..4 -> 0, 3, 7, 11, 15
+    def interleave(w):
+        return sum(((w >> b) & 1) << (2 * b) for b in range(4))
+    assert [out[i] for i in (1, 2, 3, 4, 5)] == [
+        interleave(w) for w in (0, 3, 7, 11, 15)]
+    # (min-max mode rejects doubles at plan time — integer scaling
+    # can't floor-divide a DOUBLE; rank mode exists for exactly this)
+
+    hk = {r["id"]: r["hilbert_key"] for r in (
+        PCollection(df) | HilbertKey(["x", "y"], bits=4, scale="rank"))
+        .df.collect()}
+    assert hk[6] is None and len({hk[i] for i in (1, 2, 3, 4, 5)}) == 5
+
+    nan = spark.createDataFrame(
+        [(1, float("nan"), 1.0), (2, 0.5, 2.0)],
+        "id long, x double, y double")
+    with pt.raises(Exception, match="NaN"):
+        (PCollection(nan) | ZOrderKey(["x", "y"], bits=4,
+                                      scale="rank")).df.collect()
+    with pt.raises(ValueError, match="scale"):
+        ZOrderKey(["x", "y"], scale="quantile")
