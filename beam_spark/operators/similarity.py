@@ -891,3 +891,133 @@ class KMeansLloyd(PTransform):
             cols += [s2.alias("sim_2nd"),
                      F.when(den > 0, (s1 - s2) / den).alias("silhouette")]
         return pcoll.with_df(fin.select(*cols))
+
+
+class SilhouetteScore(PTransform):
+    """EXACT per-point silhouette (Rousseeuw 1987) in cosine distance
+    over an assigned clustering — the clustering-quality score
+    KMeansLloyd's ``with_silhouette`` only approximates (that one uses
+    centroid distances; this one uses mean MEMBER distances), WITHOUT
+    the O(n^2) pairwise scan: with L2-normalized vectors the mean
+    cosine distance from point i to cluster c's members is
+
+        1 - (v_i . S_c - [i in c]) / (N_c - [i in c]),
+        S_c = sum of c's normalized member vectors
+
+    so ONE (cluster, dim)-keyed aggregation (k*dim cells, the
+    KMeansLloyd update shape) + a driver broadcast of the k*dim sum
+    matrix computes a(i) (own cluster) and b(i) (min mean distance to
+    any other cluster); s = (b - a) / max(a, b), s = 0 for singleton
+    clusters, NULL when there is only one cluster.
+
+    Determinism (the KMeansLloyd oracle convention): unit coordinates
+    round 9, cluster sums round 9 after aggregation (absorbs
+    partial-agg order), a/b round 6 (absorbs the dot product's
+    engine sum-order at ~1e-15), final ratio UNROUNDED on the round-6
+    inputs — identical IEEE sequence in any engine.
+
+    ``clusters``: optional (id, cluster) assignment frame joined on
+    ``id_col`` — e.g. KMeansLloyd's output; omit it if the piped
+    frame already carries ``cluster_col``. Zero-norm vectors are
+    rejected (no cosine direction), NULL vectors dropped.
+
+    Scale: one inner join on id (skipped when the frame carries the
+    cluster), one k*dim-cell aggregation, then a zero-shuffle scoring
+    projection with k dot products per row — identical cost shape to
+    one KMeansLloyd round. The driver holds k*dim doubles
+    (``max_clusters`` guards the closure size).
+
+    Output: (id_col, cluster, a_mean_dist, b_mean_dist, silhouette).
+    """
+
+    MAX_CLUSTERS = 1024
+
+    def __init__(self, clusters=None, id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 cluster_col: str = "cluster",
+                 max_clusters: int = MAX_CLUSTERS, label=None):
+        super().__init__(label)
+        self.clusters = (clusters.df if isinstance(clusters, PCollection)
+                         else clusters)
+        self.id_col, self.vec_col = id_col, vec_col
+        self.cluster_col = cluster_col
+        self.max_clusters = int(max_clusters)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        import numpy as np
+
+        idc, vc, cc = self.id_col, self.vec_col, self.cluster_col
+        df = pcoll.df
+        if self.clusters is not None:
+            df = df.join(
+                self.clusters.select(F.col(idc), F.col(cc)), on=idc)
+        base = (df.where(F.col(vc).isNotNull())
+                .select(F.col(idc).alias("__id"),
+                        F.col(cc).cast("long").alias("__cl"),
+                        F.col(vc).cast("array<double>").alias("__v")))
+        n_zero = base.where(norm(F.col("__v")) == 0.0).count()
+        if n_zero:
+            raise ValueError(
+                f"SilhouetteScore: {n_zero} zero-norm vector(s) — "
+                "cosine distance is undefined; filter them upstream")
+        # pre-project the norm: an aggregate expression as a lambda
+        # free variable re-evaluates PER ELEMENT inside transform
+        # (O(dim^2) per row) — a plain column reference doesn't
+        unit = (base.select("__id", "__cl", "__v",
+                            norm(F.col("__v")).alias("__nr"))
+                .select("__id", "__cl",
+                        F.transform(
+                            "__v",
+                            lambda x: F.round(x / F.col("__nr"), 9))
+                        .alias("__u")))
+        stats = (unit.select("__cl", F.posexplode("__u")
+                             .alias("__d", "__x"))
+                 .groupBy("__cl", "__d")
+                 .agg(F.round(F.sum("__x"), 9).alias("s"),
+                      F.count(F.lit(1)).alias("n"))
+                 .collect())
+        cids = sorted({r["__cl"] for r in stats})
+        if len(cids) > self.max_clusters:
+            raise ValueError(
+                f"SilhouetteScore: {len(cids)} clusters exceeds "
+                f"max_clusters={self.max_clusters} (the sum matrix "
+                "rides in the task closure)")
+        if not cids:
+            raise ValueError("SilhouetteScore: no non-NULL vectors")
+        cpos = {c: i for i, c in enumerate(cids)}
+        dim = 1 + max(r["__d"] for r in stats)
+        S = np.zeros((len(cids), dim))
+        N = np.zeros(len(cids), dtype=np.int64)
+        for r in stats:
+            S[cpos[r["__cl"]], r["__d"]] = r["s"]
+            N[cpos[r["__cl"]]] = r["n"]
+
+        def s_lit(i):
+            return F.array(*[F.lit(float(x)) for x in S[i]])
+
+        dots = [dot(F.col("__u"), s_lit(i)) for i in range(len(cids))]
+        own_dot = None
+        own_n = None
+        for i, c in enumerate(cids):
+            cond = F.col("__cl") == c
+            own_dot = (F.when(cond, dots[i]) if own_dot is None
+                       else own_dot.when(cond, dots[i]))
+            own_n = (F.when(cond, F.lit(int(N[i]))) if own_n is None
+                     else own_n.when(cond, F.lit(int(N[i]))))
+        a = F.round(F.lit(1.0) - (own_dot - 1.0)
+                    / (own_n - 1.0).cast("double"), 6)
+        others = [F.when(F.col("__cl") == c, F.lit(None).cast("double"))
+                  .otherwise(F.round(
+                      F.lit(1.0) - dots[i] / F.lit(float(N[i])), 6))
+                  for i, c in enumerate(cids)]
+        b = others[0] if len(others) == 1 else F.least(*others)
+        sil = (F.when(own_n == 1, F.lit(0.0))
+               .when(b.isNull(), F.lit(None).cast("double"))
+               .when(F.greatest(a, b) > 0,
+                     (b - a) / F.greatest(a, b))
+               .otherwise(F.lit(0.0)))
+        out = unit.select(
+            F.col("__id").alias(idc), F.col("__cl").alias(cc),
+            F.when(own_n > 1, a).alias("a_mean_dist"),
+            b.alias("b_mean_dist"), sil.alias("silhouette"))
+        return pcoll.with_df(out)

@@ -3041,6 +3041,54 @@ def q_text_pmi(spark, sf_dir):
     return out.select("w1", "w2", "pair_n", "w1_n", "w2_n", "pmi")
 
 
+@query("q_silhouette_embeddings", """
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings
+           WHERE embedding IS NOT NULL),
+ed AS (SELECT vec_id, CAST(u.i - 1 AS INT) AS dim,
+              CAST(v[u.i] AS DOUBLE) AS x
+       FROM e, unnest(range(1, len(v) + 1)) AS u(i)),
+en AS (SELECT vec_id, sqrt(sum(x * x)) AS nr FROM ed GROUP BY vec_id),
+u AS (SELECT ed.vec_id, ed.vec_id % 4 AS own, ed.dim,
+             round(ed.x / en.nr, 9) AS ux
+      FROM ed JOIN en ON en.vec_id = ed.vec_id),
+s AS (SELECT own AS cl, dim, round(sum(ux), 9) AS s
+      FROM u GROUP BY 1, 2),
+n AS (SELECT own AS cl, CAST(count(DISTINCT vec_id) AS BIGINT) AS n
+      FROM u GROUP BY 1),
+d AS (SELECT u.vec_id, u.own, s.cl, sum(u.ux * s.s) AS dp
+      FROM u JOIN s ON s.dim = u.dim GROUP BY 1, 2, 3),
+dn AS (SELECT d.*, n.n FROM d JOIN n ON n.cl = d.cl),
+a AS (SELECT vec_id, own,
+             round(1 - (dp - 1) / CAST(n - 1 AS DOUBLE), 6) AS a
+      FROM dn WHERE cl = own),
+b AS (SELECT vec_id,
+             min(round(1 - dp / CAST(n AS DOUBLE), 6)) AS b
+      FROM dn WHERE cl <> own GROUP BY vec_id)
+SELECT a.vec_id, a.own AS cluster, a.a AS a_mean_dist,
+       b.b AS b_mean_dist,
+       CASE WHEN greatest(a.a, b.b) > 0
+            THEN (b.b - a.a) / greatest(a.a, b.b)
+            ELSE CAST(0 AS DOUBLE) END AS silhouette
+FROM a JOIN b ON b.vec_id = a.vec_id
+""")
+def q_silhouette_embeddings(spark, sf_dir):
+    """EXACT full silhouette (mean member distances via the cluster-
+    sum trick, no pairwise scan) over the deterministic vec_id % 4
+    partition of the embeddings table. The oracle replays unit
+    coordinates (round 9), cluster sums (round 9), per-(vec, cluster)
+    dot products and the round-6 a/b distances; the final ratio is
+    UNROUNDED on those round-6 inputs (the MMR convention)."""
+    from beam_spark.operators.similarity import SilhouetteScore
+
+    emb = table(spark, sf_dir, "embeddings").df.where(
+        "embedding IS NOT NULL").select(
+        "vec_id", "embedding",
+        (F.col("vec_id") % 4).alias("cluster"))
+    out = (PCollection(emb) | SilhouetteScore()).df
+    return out.select("vec_id", "cluster", "a_mean_dist",
+                      "b_mean_dist", "silhouette")
+
+
 @query("q_kmeans_embeddings", """
 WITH e AS (SELECT vec_id, embedding AS v FROM embeddings
            WHERE embedding IS NOT NULL),

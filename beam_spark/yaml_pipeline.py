@@ -357,6 +357,10 @@ def _register_curation():
         "HilbertKey": ("beam_spark.operators.scd", "HilbertKey"),
         "IsotonicCalibration": ("beam_spark.operators.quality",
                                 "IsotonicCalibration"),
+        # single-frame usage (cluster column inline); the two-frame
+        # clusters= form is API-only
+        "SilhouetteScore": ("beam_spark.operators.similarity",
+                            "SilhouetteScore"),
     }
 
     def make(mod_name, cls_name):

@@ -3392,3 +3392,45 @@ def test_zorder_rank_scale_double(spark):
                                       scale="rank")).df.collect()
     with pt.raises(ValueError, match="scale"):
         ZOrderKey(["x", "y"], scale="quantile")
+
+
+def test_silhouette_score_known(spark):
+    """Hand-checkable exact silhouette: two tight orthogonal pairs —
+    every point's own-cluster mean distance is ~0, cross-cluster ~1,
+    so silhouette ~1; a singleton third cluster scores exactly 0 by
+    convention; zero-norm vectors fail fast; with the assignment on a
+    separate frame the join path gives identical results."""
+    from beam_spark.operators.similarity import SilhouetteScore
+    from beam_spark.pcollection import PCollection
+    import pytest as pt
+
+    rows = [(1, [1.0, 0.0, 0.0], 0), (2, [0.999, 0.01, 0.0], 0),
+            (3, [0.0, 1.0, 0.0], 1), (4, [0.01, 0.999, 0.0], 1),
+            (5, [0.0, 0.0, 1.0], 2)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cluster int")
+    out = {r["vec_id"]: r for r in (
+        PCollection(df) | SilhouetteScore()).df.collect()}
+    for i in (1, 2, 3, 4):
+        assert out[i]["silhouette"] > 0.95
+        assert out[i]["a_mean_dist"] < 0.01
+    assert out[5]["silhouette"] == 0.0
+    assert out[5]["a_mean_dist"] is None        # singleton: no a
+
+    # join path: same data, assignment on a second frame
+    vecs = df.select("vec_id", "embedding")
+    asg = df.select("vec_id", "cluster")
+    out2 = {r["vec_id"]: r["silhouette"] for r in (
+        PCollection(vecs) | SilhouetteScore(asg)).df.collect()}
+    assert out2 == {i: out[i]["silhouette"] for i in out}
+
+    # single cluster -> b undefined -> NULL silhouette
+    one = df.withColumn("cluster", df.cluster * 0)
+    o1 = (PCollection(one) | SilhouetteScore()).df.collect()
+    assert all(r["silhouette"] is None for r in o1)
+
+    zn = spark.createDataFrame(
+        [(1, [0.0, 0.0], 0), (2, [1.0, 0.0], 1)],
+        "vec_id long, embedding array<double>, cluster int")
+    with pt.raises(ValueError, match="zero-norm"):
+        (PCollection(zn) | SilhouetteScore()).df.collect()
