@@ -650,6 +650,51 @@ DIVERGENT_RAISES = [
      .set_index("o_orderkey").o_totalprice.expanding()
      .corr(t["o"].sort_values("o_orderkey").set_index("o_orderkey")
            .o_custkey.astype("float64"))),
+    # round-12 sweep: groupby order-dependent transforms (shift /
+    # diff / cum* / head / tail / first / last) — ps groupby
+    # pct_change and to_period raise (see DIVERGENT_RAISES), median /
+    # quantile and ffill-after-sort diverge in VALUES (below)
+    ("gb_pct_change", lambda t: t["o"].sort_values("o_orderkey")
+     .groupby("o_orderstatus").o_totalprice.pct_change()),
+    ("dt_to_period_m", lambda t: t["o"].o_orderdate.dt
+     .to_period("M").astype(str)),
+]
+
+CASES += [
+    # round-12: groupby order-dependent transforms — all follow the
+    # sorted-anchor convention (o_orderkey is unique, so the order is
+    # total and both backends replay it)
+    ("gb_shift", lambda t: t["o"].sort_values("o_orderkey")
+     .groupby("o_orderstatus").o_totalprice.shift(1)),
+    ("gb_diff", lambda t: t["o"].sort_values("o_orderkey")
+     .groupby("o_orderstatus").o_totalprice.diff()),
+    ("gb_cumsum", lambda t: t["o"].sort_values("o_orderkey")
+     .groupby("o_orderstatus").o_totalprice.cumsum()),
+    ("gb_cummax", lambda t: t["o"].sort_values("o_orderkey")
+     .groupby("o_orderstatus").o_totalprice.cummax()),
+    # prod/cumprod: ps computes exp(sum(ln)) — ~1e-13 relative noise,
+    # inside the corpus's 9-significant-digit canon
+    ("gb_cumprod", lambda t: t["o"]
+     .assign(r=t["o"].o_totalprice / 100000)
+     .sort_values("o_orderkey").groupby("o_orderstatus").r.cumprod()),
+    ("gb_prod", lambda t: t["o"]
+     .assign(r=t["o"].o_totalprice / 100000)
+     .groupby("o_orderstatus").r.prod()),
+    ("gb_head", lambda t: t["o"].sort_values("o_orderkey")
+     .groupby("o_orderstatus").head(2)),
+    ("gb_tail", lambda t: t["o"].sort_values("o_orderkey")
+     .groupby("o_orderstatus").tail(2)),
+    ("gb_first", lambda t: t["o"].sort_values("o_orderkey")
+     .groupby("o_orderstatus").o_totalprice.first()),
+    ("gb_last", lambda t: t["o"].sort_values("o_orderkey")
+     .groupby("o_orderstatus").o_totalprice.last()),
+    ("gb_any", lambda t: t["o"]
+     .assign(b=t["o"].o_totalprice > 150000)
+     .groupby("o_orderstatus").b.any()),
+    ("gb_idxmin", lambda t: t["o"].set_index("o_orderkey")
+     .groupby("o_orderstatus").o_totalprice.idxmin()),
+    ("ser_searchsorted", lambda t: int(
+        t["o"].o_totalprice.sort_values().searchsorted(100000.0))),
 ]
 
 DIVERGENT_VALUES = [
@@ -667,6 +712,19 @@ DIVERGENT_VALUES = [
     ("ser_combine_first_same_anchor", lambda t: t["c"].c_acctbal
      .where(t["c"].c_acctbal > 0)
      .combine_first(t["c"].c_acctbal * 0.0)),
+    # round-12: ps groupby.median/quantile use percentile_approx —
+    # even-sized groups get an exact DATA POINT where pandas
+    # interpolates the midpoint
+    ("gb_median_even_interp", lambda t: t["o"]
+     .groupby("o_orderstatus").o_totalprice.median()),
+    ("gb_quantile_even_interp", lambda t: t["o"]
+     .groupby("o_orderstatus").o_totalprice.quantile(0.5)),
+    # round-12: ps GroupBy.ffill fills in the frame's NATURAL row
+    # order, ignoring a preceding sort_values — leading-NaN rows that
+    # pandas fills stay null in ps
+    ("gb_ffill_sorted_order", lambda t: t["o"]
+     .assign(x=t["o"].o_totalprice.where(t["o"].o_totalprice > 100000))
+     .sort_values("o_orderkey").groupby("o_orderstatus").x.ffill()),
 ]
 
 
@@ -726,6 +784,6 @@ def test_divergent_ops_differ(ns, name, fn):
 
 
 def test_corpus_size():
-    """The round-11 widened conformance sweep covers >= 230 op
+    """The round-12 widened conformance sweep covers >= 260 op
     families beyond tests/test_pandas_api.py."""
-    assert len(CASES) + len(DIVERGENT_RAISES) + len(DIVERGENT_VALUES) >= 230
+    assert len(CASES) + len(DIVERGENT_RAISES) + len(DIVERGENT_VALUES) >= 260
