@@ -1901,3 +1901,68 @@ class BlockingQuality(PTransform):
                            F.col("matched") / F.col("candidates")), 6)
             .alias("pair_quality"))
         return pcoll.with_df(out)
+
+
+class CanonicalizeClusters(PTransform):
+    """Entity-resolution canonicalization: turn a cluster assignment
+    (ConnectedComponents / ExactDedup group output) into a canonical-
+    record mapping — the step after dedup clustering that every
+    curation pipeline needs ("which row do we KEEP, and what maps to
+    it?").
+
+    ``assignment``: (node, comp) frame — e.g. ConnectedComponents
+    output. Records absent from it are singleton clusters of
+    themselves. ``prefer`` picks the representative per cluster:
+
+      * 'min_id' — smallest id (the CC label convention);
+      * 'longest_text' — longest ``text_col``, ties to smallest id
+        (keep the fullest record, the classic survivorship rule).
+
+    Scale: one id-keyed left join against the assignment + ONE
+    cluster-keyed min_by aggregation (partial agg; the struct
+    ordering (-len, id) makes survivorship a single pass) + one
+    broadcast-or-shuffle join of the cluster->representative table
+    (clusters-sized) back onto the records.
+
+    Output: input id column + (cluster, canonical_id, is_canonical,
+    cluster_size).
+    """
+
+    def __init__(self, assignment, id_col: str = "doc_id",
+                 node_col: str = "node", comp_col: str = "comp",
+                 prefer: str = "min_id", text_col: str = "text",
+                 label=None):
+        super().__init__(label)
+        self.assignment = (assignment.df
+                           if isinstance(assignment, PCollection)
+                           else assignment)
+        self.id_col = id_col
+        self.node_col, self.comp_col = node_col, comp_col
+        if prefer not in ("min_id", "longest_text"):
+            raise ValueError(
+                f"prefer {prefer!r}: 'min_id' or 'longest_text'")
+        self.prefer, self.text_col = prefer, text_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        idc = self.id_col
+        asg = self.assignment.select(
+            F.col(self.node_col).alias(idc),
+            F.col(self.comp_col).alias("__comp"))
+        base = pcoll.df.join(asg, on=idc, how="left").withColumn(
+            "cluster", F.coalesce(F.col("__comp"),
+                                  F.col(idc).cast("long")))
+        if self.prefer == "longest_text":
+            order = F.struct(
+                (-F.coalesce(F.length(self.text_col), F.lit(-1)))
+                .alias("nl"),
+                F.col(idc).alias("id"))
+        else:
+            order = F.struct(F.col(idc).alias("id"))
+        rep = (base.groupBy("cluster")
+               .agg(F.min_by(F.col(idc), order).alias("canonical_id"),
+                    F.count(F.lit(1)).alias("cluster_size")))
+        out = (base.join(rep, on="cluster")
+               .select(idc, "cluster", "canonical_id",
+                       (F.col(idc) == F.col("canonical_id"))
+                       .alias("is_canonical"), "cluster_size"))
+        return pcoll.with_df(out)

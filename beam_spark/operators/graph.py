@@ -634,3 +634,79 @@ class Modularity(PTransform):
                        / (2.0 * F.col("__m"))))
                    .alias("contribution")))
         return pcoll.with_df(out)
+
+
+class Hits(PTransform):
+    """HITS hubs & authorities (Kleinberg, JACM 1999) over an edge
+    list (src, dst) with a FIXED iteration count and L1 normalization
+    each half-step — the deterministic, value-oracle-able posture
+    every iterative operator here uses (PageRank's convention):
+
+        auth'(v) = sum over edges (u, v) of hub(u),   then sum-to-1
+        hub'(u)  = sum over edges (u, v) of auth'(v), then sum-to-1
+
+    L1 (not the textbook L2) normalization keeps every step a linear
+    sum — scores are the principal-eigenvector directions either way,
+    just scaled to sum 1 (a probability-style reading). Parallel
+    edges count; dedupe upstream if multiplicity should not weight
+    the link. Initial hub = 1/N on every node.
+
+    Scale: per round, TWO node-keyed joins of the score table
+    (nodes-sized) against the edge list + one dst-keyed and one
+    src-keyed aggregation; the normalizer is a 1-row broadcast. Each
+    half-step localCheckpoints (eager) so the plan stays one round
+    deep — the PageRank/ConnectedComponents posture.
+
+    Output: (node, hub, authority), each rounded 9 (per-group float
+    sum order is the only cross-engine difference; round 9 absorbs it
+    at these magnitudes), every node present (zero scores for nodes
+    with no out-/in-edges).
+    """
+
+    def __init__(self, src: str = "src", dst: str = "dst",
+                 iterations: int = 5, label=None):
+        super().__init__(label)
+        self.src, self.dst = src, dst
+        self.iterations = int(iterations)
+        if self.iterations < 1:
+            raise ValueError("iterations must be >= 1")
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        edges = (pcoll.df
+                 .select(F.col(self.src).alias("src"),
+                         F.col(self.dst).alias("dst"))
+                 .localCheckpoint(eager=True))
+        nodes = (edges.select(F.col("src").alias("node"))
+                 .unionByName(edges.select(F.col("dst").alias("node")))
+                 .distinct()
+                 .localCheckpoint(eager=True))
+        n_nodes = nodes.count()
+        if n_nodes == 0:
+            raise ValueError("Hits: empty edge list")
+        hub = nodes.withColumn("h", F.lit(1.0 / n_nodes))
+        auth = None
+        for _ in range(self.iterations):
+            araw = (edges.join(hub, edges["src"] == hub["node"])
+                    .groupBy("dst").agg(F.sum("h").alias("__a")))
+            anorm = araw.agg(F.sum("__a").alias("__s"))
+            auth = (nodes
+                    .join(araw, nodes["node"] == araw["dst"], "left")
+                    .crossJoin(F.broadcast(anorm))
+                    .select(nodes["node"],
+                            (F.coalesce(F.col("__a"), F.lit(0.0))
+                             / F.col("__s")).alias("a"))
+                    .localCheckpoint(eager=True))
+            hraw = (edges.join(auth, edges["dst"] == auth["node"])
+                    .groupBy("src").agg(F.sum("a").alias("__h")))
+            hnorm = hraw.agg(F.sum("__h").alias("__s"))
+            hub = (nodes
+                   .join(hraw, nodes["node"] == hraw["src"], "left")
+                   .crossJoin(F.broadcast(hnorm))
+                   .select(nodes["node"],
+                           (F.coalesce(F.col("__h"), F.lit(0.0))
+                            / F.col("__s")).alias("h"))
+                   .localCheckpoint(eager=True))
+        out = (hub.join(auth, on="node")
+               .select("node", F.round("h", 9).alias("hub"),
+                       F.round("a", 9).alias("authority")))
+        return pcoll.with_df(out)

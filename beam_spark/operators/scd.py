@@ -510,3 +510,118 @@ def write_zordered(df: DataFrame, path: str, cols, bits: int = 16,
      .sortWithinPartitions("__zk")
      .drop("__zk")
      .write.mode(mode).parquet(path))
+
+
+class MergeInto(PTransform):
+    """Engine-level MERGE INTO (Delta/Iceberg upsert semantics) as a
+    pure DataFrame transform: the piped collection is the TARGET
+    table, ``source`` the change set; the output is the post-merge
+    table. Reference point: Spark's own MERGE requires a transactional
+    table format — this gives the identical row-level semantics on
+    plain frames/parquet:
+
+      * matched (key in both, ``match_condition`` true):
+        'update' -> source values for ``update_cols`` (default: all
+        shared non-key columns), 'delete' -> row dropped,
+        None -> target row kept unchanged
+      * matched but condition false: target row kept unchanged
+      * target-only: kept
+      * source-only: 'insert' -> source row (when_not_matched),
+        None -> ignored
+
+    Ambiguous matches: like Delta, a target row matching MULTIPLE
+    source rows is an error — ``validate=True`` (default) runs a
+    fail-fast duplicate-source-key pre-flight (one aggregation);
+    disable only when the source is known key-unique.
+
+    ``match_condition``: optional SQL boolean over ``t.<col>`` /
+    ``s.<col>`` prefixed columns (e.g. "s.ts > t.ts" — the
+    late-arrival guard), evaluated only on key-matched pairs.
+
+    Scale: ONE key-keyed full-outer join (AQE skew handling applies)
+    + a projection; the validate pre-flight is one groupBy(keys) agg
+    over the source. Output column order = target column order.
+    """
+
+    def __init__(self, source, keys, when_matched: str | None = "update",
+                 when_not_matched: str | None = "insert",
+                 update_cols=None, match_condition: str | None = None,
+                 validate: bool = True, label=None):
+        super().__init__(label)
+        self.source = (source.df if isinstance(source, PCollection)
+                       else source)
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        if when_matched not in ("update", "delete", None):
+            raise ValueError(f"when_matched {when_matched!r}: "
+                             "'update', 'delete' or None")
+        if when_not_matched not in ("insert", None):
+            raise ValueError(f"when_not_matched {when_not_matched!r}: "
+                             "'insert' or None")
+        self.when_matched = when_matched
+        self.when_not_matched = when_not_matched
+        self.update_cols = list(update_cols) if update_cols else None
+        self.match_condition = match_condition
+        self.validate = bool(validate)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        t, s, ks = pcoll.df, self.source, self.keys
+        out_cols = t.columns
+        upd = self.update_cols or [
+            c for c in t.columns if c not in ks and c in s.columns]
+        missing = [c for c in upd + ks if c not in s.columns]
+        if missing and self.when_matched == "update":
+            raise ValueError(
+                f"MergeInto: update columns {missing} absent from the "
+                "source")
+        # inserted rows carry NULL for target-only columns — standard
+        # MERGE behavior, nothing to validate on the insert side
+        if self.validate:
+            dup = (s.groupBy(*ks).agg(F.count(F.lit(1)).alias("__c"))
+                   .where(F.col("__c") > 1).limit(1).collect())
+            if dup:
+                key = {k: dup[0][k] for k in ks}
+                raise ValueError(
+                    "MergeInto: source has multiple rows for key "
+                    f"{key} — MERGE requires a key-unique source "
+                    "(Delta raises the same); pre-aggregate or pass "
+                    "validate=False at your own risk")
+        # presence flags via key NULL-ness would be wrong when keys
+        # can be NULL — a literal marker column per side is not;
+        # the marker goes on BEFORE .alias() (withColumn would strip
+        # the subquery alias)
+        ta = t.withColumn("__tp", F.lit(1)).alias("t")
+        sa = s.withColumn("__sp", F.lit(1)).alias("s")
+        j = ta.join(
+            sa,
+            on=[F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+                for k in ks],
+            how="full_outer")
+        matched = F.col("__tp").isNotNull() & F.col("__sp").isNotNull()
+        if self.match_condition:
+            matched = matched & F.expr(self.match_condition)
+        t_only = F.col("__tp").isNotNull() & F.col("__sp").isNull()
+        s_only = F.col("__tp").isNull() & F.col("__sp").isNotNull()
+        keep = t_only | (F.col("__tp").isNotNull() & ~matched)
+        if self.when_matched == "update":
+            keep = keep | matched
+        elif self.when_matched is None:
+            keep = keep | (F.col("__tp").isNotNull())
+        if self.when_not_matched == "insert":
+            keep = keep | s_only
+        proj = []
+        for c in out_cols:
+            src_c = (F.col(f"s.{c}") if c in s.columns
+                     else F.lit(None))
+            if c in ks:
+                proj.append(F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}"))
+                            .alias(c))
+            elif self.when_matched == "update" and c in upd:
+                proj.append(
+                    F.when(matched | s_only, src_c)
+                    .otherwise(F.col(f"t.{c}")).alias(c))
+            else:
+                proj.append(
+                    F.when(s_only, src_c)
+                    .otherwise(F.col(f"t.{c}")).alias(c))
+        out = j.where(keep).select(*proj)
+        return pcoll.with_df(out)

@@ -1561,3 +1561,97 @@ class KaplanMeier(PTransform):
                            F.exp(F.col("__lnS").cast("double")), 6))
                        .alias("survival")))
         return pcoll.with_df(out)
+
+
+class KmvOverlap(PTransform):
+    """Set-overlap estimation between two frames via K-minimum-values
+    sketches (Bar-Yossef et al. RANDOM'02; Beyer et al. SIGMOD'07) —
+    the scale answer to "how much do these two corpora overlap?"
+    (train/eval contamination, source dedup) when the exact distinct
+    intersection would shuffle both full sets: each side keeps only
+    its k smallest 60-bit hashes.
+
+      est(|S|)  = (k - 1) / h_(k)            (h in (0,1); exact |S|
+                                              when fewer than k)
+      est(|A∩B|) = (|both among union's k smallest| / k) * est(|A∪B|)
+
+    Engine-portable determinism: the hash is the first 60 bits of
+    md5(CAST(value AS STRING)) — bit-identical in any engine (the
+    SimHash md5 convention), so every output is a pure function of
+    the value set: k-th minima are exact integers, estimates are one
+    or two double divisions in fixed order. No RNG, no sampling
+    nondeterminism — fully value-oracle-able.
+
+    Scale: per side, one DISTINCT on the hash (the only shuffle) and
+    a TakeOrderedAndProject (orderBy h LIMIT k — top-k merge, never a
+    global sort); the union sketch reuses the two distinct frames.
+    Driver holds three 1-row aggregates.
+
+    Output (ONE row): k, ku_a/ku_b/ku_u (k_used per sketch),
+    est_a, est_b, est_union, est_intersection, jaccard_est —
+    intersection/jaccard clamp at >= 0; all exact when both sides
+    fit inside k.
+    """
+
+    def __init__(self, other, col: str, other_col: str | None = None,
+                 k: int = 256, label=None):
+        super().__init__(label)
+        from beam_spark.pcollection import PCollection as _PC
+
+        self.other = other.df if isinstance(other, _PC) else other
+        self.col, self.other_col = col, other_col or col
+        if int(k) < 2:
+            raise ValueError(f"k {k}: need >= 2")
+        self.k = int(k)
+
+    @staticmethod
+    def _hashes(df, col):
+        return (df.where(F.col(col).isNotNull())
+                .select(F.expr(
+                    f"CAST(conv(substring(md5(CAST({col} AS STRING)), "
+                    "1, 15), 16, 10) AS BIGINT)").alias("h"))
+                .distinct())
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        k = self.k
+        scale = float(1 << 60)
+        ha = self._hashes(pcoll.df, self.col)
+        hb = self._hashes(self.other, self.other_col)
+
+        def est(ku, hk):
+            return (F.when(ku < k, ku.cast("double"))
+                    .otherwise((ku - 1).cast("double")
+                               / (hk.cast("double") / scale)))
+
+        def sk(dfh, tag):
+            top = dfh.orderBy("h").limit(k)
+            return top.agg(
+                F.count(F.lit(1)).alias(f"ku_{tag}"),
+                F.max("h").alias(f"hk_{tag}"))
+
+        u = (ha.withColumn("ia", F.lit(1)).withColumn("ib", F.lit(0))
+             .unionByName(hb.withColumn("ia", F.lit(0))
+                          .withColumn("ib", F.lit(1)))
+             .groupBy("h")
+             .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib")))
+        tu = (u.orderBy("h").limit(k)
+              .agg(F.count(F.lit(1)).alias("ku_u"),
+                   F.max("h").alias("hk_u"),
+                   F.sum(F.when((F.col("ia") == 1) & (F.col("ib") == 1),
+                                1).otherwise(0)).alias("nb")))
+        row = (sk(ha, "a").crossJoin(sk(hb, "b")).crossJoin(tu))
+        ea = est(F.col("ku_a"), F.col("hk_a"))
+        eb = est(F.col("ku_b"), F.col("hk_b"))
+        eu = est(F.col("ku_u"), F.col("hk_u"))
+        ei = (F.when(F.col("ku_u") < k, F.col("nb").cast("double"))
+              .otherwise(F.col("nb").cast("double")
+                         / F.col("ku_u").cast("double") * eu))
+        out = row.select(
+            F.lit(k).alias("k"), "ku_a", "ku_b", "ku_u",
+            F.round(ea, 6).alias("est_a"),
+            F.round(eb, 6).alias("est_b"),
+            F.round(eu, 6).alias("est_union"),
+            F.round(ei, 6).alias("est_intersection"),
+            F.round(F.when(eu > 0, ei / eu).otherwise(F.lit(0.0)), 6)
+            .alias("jaccard_est"))
+        return pcoll.with_df(out)

@@ -2830,6 +2830,130 @@ def q_isotonic_calibration(spark, sf_dir):
     return out.select("score", "n", "n_pos", "calibrated")
 
 
+@query("q_merge_into_customer", """
+WITH s AS (SELECT c_custkey * 2 AS c_custkey, upper(c_name) AS c_name,
+                  c_nationkey, c_acctbal + 100 AS c_acctbal,
+                  c_mktsegment FROM customer)
+SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name
+            ELSE t.c_name END AS c_name,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey
+            ELSE t.c_nationkey END AS c_nationkey,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+            ELSE t.c_acctbal END AS c_acctbal,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment
+            ELSE t.c_mktsegment END AS c_mktsegment
+FROM customer t FULL OUTER JOIN s ON s.c_custkey = t.c_custkey
+""")
+def q_merge_into(spark, sf_dir):
+    """MERGE INTO semantics on plain frames: the doubled-key change
+    set updates every even-keyed customer in place (upper-cased name,
+    acctbal + 100) and inserts the out-of-range keys as new rows —
+    one NULL-safe full-outer join + projection, validated against a
+    CASE-per-column full-outer replay."""
+    from beam_spark.operators.scd import MergeInto
+
+    cust = table(spark, sf_dir, "customer").df
+    src = cust.selectExpr(
+        "c_custkey * 2 AS c_custkey", "upper(c_name) AS c_name",
+        "c_nationkey", "c_acctbal + 100 AS c_acctbal", "c_mktsegment")
+    out = (PCollection(cust) | MergeInto(src, keys="c_custkey")).df
+    return out.select("c_custkey", "c_name", "c_nationkey",
+                      "c_acctbal", "c_mktsegment")
+
+
+@query("q_kmv_overlap_users", """
+WITH a AS (SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS
+             VARCHAR)), 1, 15)) AS BIGINT) AS h
+           FROM events WHERE event_type = 'view'
+             AND user_id IS NOT NULL AND user_id % 3 <> 0),
+b AS (SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS
+        VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events WHERE event_type = 'purchase'
+        AND user_id IS NOT NULL AND user_id % 2 <> 0),
+ta AS (SELECT CAST(count(*) AS BIGINT) AS ku_a, max(h) AS hk_a
+       FROM (SELECT h FROM a ORDER BY h LIMIT 64)),
+tb AS (SELECT CAST(count(*) AS BIGINT) AS ku_b, max(h) AS hk_b
+       FROM (SELECT h FROM b ORDER BY h LIMIT 64)),
+u AS (SELECT h, max(ia) AS ia, max(ib) AS ib
+      FROM (SELECT h, 1 AS ia, 0 AS ib FROM a
+            UNION ALL SELECT h, 0, 1 FROM b)
+      GROUP BY h),
+tu AS (SELECT CAST(count(*) AS BIGINT) AS ku_u, max(h) AS hk_u,
+              CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nb
+       FROM (SELECT * FROM u ORDER BY h LIMIT 64)),
+s AS (SELECT *,
+        CASE WHEN ku_a < 64 THEN CAST(ku_a AS DOUBLE)
+             ELSE CAST(ku_a - 1 AS DOUBLE)
+                  / (CAST(hk_a AS DOUBLE)
+                     / CAST(1152921504606846976 AS DOUBLE)) END AS ea,
+        CASE WHEN ku_b < 64 THEN CAST(ku_b AS DOUBLE)
+             ELSE CAST(ku_b - 1 AS DOUBLE)
+                  / (CAST(hk_b AS DOUBLE)
+                     / CAST(1152921504606846976 AS DOUBLE)) END AS eb,
+        CASE WHEN ku_u < 64 THEN CAST(ku_u AS DOUBLE)
+             ELSE CAST(ku_u - 1 AS DOUBLE)
+                  / (CAST(hk_u AS DOUBLE)
+                     / CAST(1152921504606846976 AS DOUBLE)) END AS eu
+      FROM ta CROSS JOIN tb CROSS JOIN tu),
+f AS (SELECT *,
+        CASE WHEN ku_u < 64 THEN CAST(nb AS DOUBLE)
+             ELSE CAST(nb AS DOUBLE) / CAST(ku_u AS DOUBLE) * eu
+        END AS ei
+      FROM s)
+SELECT CAST(64 AS INT) AS k, ku_a, ku_b, ku_u,
+       round(ea, 6) AS est_a, round(eb, 6) AS est_b,
+       round(eu, 6) AS est_union, round(ei, 6) AS est_intersection,
+       round(CASE WHEN eu > 0 THEN ei / eu
+             ELSE CAST(0 AS DOUBLE) END, 6) AS jaccard_est
+FROM f
+""")
+def q_kmv_overlap(spark, sf_dir):
+    """KMV set-overlap estimate between two PARTIALLY overlapping
+    user sets (view users with id % 3 != 0 vs purchase users with
+    id % 2 != 0; k=64): exact below k (sf0.001), estimate path above
+    it (sf0.01) — the md5-60-bit hash makes every number a pure
+    function of the value sets, so the oracle replays the sketch
+    verbatim in SQL."""
+    from beam_spark.operators.stats import KmvOverlap
+
+    ev = table(spark, sf_dir, "events").df
+    a = ev.filter("event_type = 'view' AND user_id % 3 <> 0")
+    b = ev.filter("event_type = 'purchase' AND user_id % 2 <> 0")
+    return (PCollection(a) | KmvOverlap(b, "user_id", k=64)).df
+
+
+@query("q_canonicalize_docs", """
+WITH asg AS (SELECT doc_id, n_chars % 50 AS cluster FROM documents),
+rep AS (SELECT d.doc_id, a.cluster,
+          row_number() OVER (PARTITION BY a.cluster
+            ORDER BY length(d.text) DESC, d.doc_id) AS rn,
+          count(*) OVER (PARTITION BY a.cluster) AS cluster_size
+        FROM documents d JOIN asg a ON a.doc_id = d.doc_id),
+canon AS (SELECT cluster, doc_id AS canonical_id FROM rep
+          WHERE rn = 1)
+SELECT r.doc_id, CAST(r.cluster AS BIGINT) AS cluster,
+       c.canonical_id, r.doc_id = c.canonical_id AS is_canonical,
+       CAST(r.cluster_size AS BIGINT) AS cluster_size
+FROM rep r JOIN canon c ON c.cluster = r.cluster
+""")
+def q_canonicalize(spark, sf_dir):
+    """Cluster canonicalization with the longest-text survivorship
+    rule over a deterministic 50-way partition of documents: per
+    cluster the longest (tie: smallest-id) document is the canonical
+    record; the oracle replays survivorship as a rank window."""
+    from beam_spark.operators.dedupe import CanonicalizeClusters
+
+    docs = table(spark, sf_dir, "documents")
+    asg = docs.df.selectExpr("doc_id AS node",
+                             "CAST(n_chars % 50 AS BIGINT) AS comp")
+    out = (docs | CanonicalizeClusters(
+        asg, prefer="longest_text")).df
+    return out.select("doc_id", "cluster", "canonical_id",
+                      "is_canonical", "cluster_size")
+
+
 @query("q_join_cardinality_orders", """
 WITH lc AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS lc
             FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
@@ -6300,6 +6424,57 @@ _LINKS_EDGES_SQL = ("SELECT o_custkey AS src, "
 _LINKS_E0_SQL = ("SELECT o_custkey AS src, "
                  "o_orderkey % 200 + 1000000 AS dst, "
                  "CAST(o_orderkey % 7 + 1 AS DOUBLE) AS w FROM orders")
+
+
+def _hits_oracle_sql(iters: int, edges_sql: str) -> str:
+    """Chained-CTE HITS replay: one (auth, hub) CTE pair per round,
+    L1-normalized half-steps — the same fixed-round update the Spark
+    operator runs; per-group float-sum order is the only cross-engine
+    difference (round-9 output absorbs it, the PageRank margin)."""
+    cte = [
+        f"WITH e AS ({edges_sql}),",
+        "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        "h0 AS (SELECT node, 1.0 / (SELECT CAST(count(*) AS DOUBLE) "
+        "FROM n) AS h FROM n),",
+    ]
+    for i in range(1, iters + 1):
+        p = f"h{i - 1}"
+        cte.append(
+            f"a{i}r AS (SELECT e.dst AS node, sum({p}.h) AS a "
+            f"FROM e JOIN {p} ON {p}.node = e.src GROUP BY 1),")
+        cte.append(f"a{i}n AS (SELECT sum(a) AS s FROM a{i}r),")
+        cte.append(
+            f"a{i} AS (SELECT n.node, COALESCE(r.a, 0) / a{i}n.s AS a "
+            f"FROM n LEFT JOIN a{i}r r ON r.node = n.node "
+            f"CROSS JOIN a{i}n),")
+        cte.append(
+            f"h{i}r AS (SELECT e.src AS node, sum(a{i}.a) AS h "
+            f"FROM e JOIN a{i} ON a{i}.node = e.dst GROUP BY 1),")
+        cte.append(f"h{i}n AS (SELECT sum(h) AS s FROM h{i}r),")
+        cte.append(
+            f"h{i} AS (SELECT n.node, COALESCE(r.h, 0) / h{i}n.s AS h "
+            f"FROM n LEFT JOIN h{i}r r ON r.node = n.node "
+            f"CROSS JOIN h{i}n),")
+    body = "\n".join(cte).rstrip().rstrip(",")
+    return (body
+            + f"\nSELECT n.node, round(h{iters}.h, 9) AS hub, "
+            f"round(a{iters}.a, 9) AS authority "
+            f"FROM n JOIN h{iters} ON h{iters}.node = n.node "
+            f"JOIN a{iters} ON a{iters}.node = n.node")
+
+
+@query("q_graph_hits_links", _hits_oracle_sql(2, _LINKS_EDGES_SQL))
+def q_graph_hits(spark, sf_dir):
+    """HITS hubs/authorities (2 iterations, L1-normalized half-steps)
+    on the compact customer -> order-hash link graph — same graph as
+    q_graph_pagerank_links, chained-CTE oracle, round-9 outputs."""
+    from beam_spark.operators.graph import Hits
+
+    o = table(spark, sf_dir, "orders").df
+    edges = o.selectExpr("o_custkey AS src",
+                         "o_orderkey % 200 + 1000000 AS dst")
+    return (PCollection(edges) | Hits(iterations=2)).df.select(
+        "node", "hub", "authority")
 
 
 @query("q_graph_pagerank_links",

