@@ -565,7 +565,9 @@ def q_analytics_suite(spark, sf_dir):
     stay component-oracled); PageRank folds only the top-20 nodes
     ordered by (pr DESC, node) — both engines agree on the round-9
     pr values node-by-node (the component oracle proves it), so the
-    selection is deterministic."""
+    selection is deterministic. Round 12 adds HITS (5th thread-pool
+    member, same link graph), Attribution, the l_orderkey%5
+    FrequentItemsets slice and LogOddsTerms as tagged rows."""
     run = _component("q_running_total_per_customer")(spark, sf_dir)
     rnk = _component("q_rank_orders_in_priority")(spark, sf_dir)
     fun = _component("q_funnel_view_click_purchase")(spark, sf_dir)
@@ -599,10 +601,14 @@ def q_analytics_suite(spark, sf_dir):
         return (_PC(kc_edges) | KCore(5, fixed_rounds=5)).df.select(
             "node", "degree")
 
+    def _hits():
+        return _component("q_graph_hits_links")(spark, sf_dir)
+
     from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(4) as _ex:
-        futs = [_ex.submit(f) for f in (_pagerank, _sssp, _tri, _kcore)]
-        prt, sssp, tri, kc = [f.result() for f in futs]
+    with ThreadPoolExecutor(5) as _ex:
+        futs = [_ex.submit(f) for f in (_pagerank, _sssp, _tri, _kcore,
+                                        _hits)]
+        prt, sssp, tri, kc, hits = [f.result() for f in futs]
     return _union([
         run.selectExpr("'run' AS op", "o_orderkey AS k1",
                        "CAST(o_custkey AS STRING) AS k2",
@@ -639,6 +645,9 @@ def q_analytics_suite(spark, sf_dir):
                       "'' AS k2", "CAST(degree AS DOUBLE) AS v1",
                       f"{_ZERO} AS v2", f"{_ZERO} AS v3",
                       f"{_ZERO} AS v4"),
+        hits.selectExpr("'hits' AS op", "CAST(node AS BIGINT) AS k1",
+                        "'' AS k2", "hub AS v1", "authority AS v2",
+                        f"{_ZERO} AS v3", f"{_ZERO} AS v4"),
         # round-12 folds: attribution credit, a-priori itemsets,
         # Monroe log-odds terms (full rows stay component-oracled)
         _component("q_attribution_last_touch")(spark, sf_dir).selectExpr(
@@ -698,6 +707,9 @@ _ANALYTICS_SQL = "\nUNION ALL\n".join([
           f"CAST(degree AS DOUBLE) AS v1, {_ZERO} AS v2, {_ZERO} AS v3, "
           f"{_ZERO} AS v4",
           Q._kcore_oracle_sql(k=5, rounds=5)),
+    _wrap(f"'hits' AS op, CAST(node AS BIGINT) AS k1, '' AS k2, "
+          f"hub AS v1, authority AS v2, {_ZERO} AS v3, {_ZERO} AS v4",
+          Q._hits_oracle_sql(2, Q._LINKS_EDGES_SQL)),
     _wrap("'attrib' AS op, conv_event_id AS k1, "
           "CAST(user_id AS VARCHAR) || '|' || "
           "COALESCE(touch_event, '') AS k2, "

@@ -525,7 +525,10 @@ class MergeInto(PTransform):
         shared non-key columns), 'delete' -> row dropped,
         None -> target row kept unchanged
       * matched but condition false: target row kept unchanged
-      * target-only: kept
+      * target-only: kept — unless ``when_not_matched_by_source=
+        'delete'`` (Delta's third clause: full-mirror sync drops
+        target keys absent from the source; KEY-level, so a
+        key-matched row failing ``match_condition`` still survives)
       * source-only: 'insert' -> source row (when_not_matched),
         None -> ignored
 
@@ -546,6 +549,7 @@ class MergeInto(PTransform):
     def __init__(self, source, keys, when_matched: str | None = "update",
                  when_not_matched: str | None = "insert",
                  update_cols=None, match_condition: str | None = None,
+                 when_not_matched_by_source: str | None = None,
                  validate: bool = True, label=None):
         super().__init__(label)
         self.source = (source.df if isinstance(source, PCollection)
@@ -557,6 +561,14 @@ class MergeInto(PTransform):
         if when_not_matched not in ("insert", None):
             raise ValueError(f"when_not_matched {when_not_matched!r}: "
                              "'insert' or None")
+        # Delta's third clause: target rows whose KEY has no source
+        # row at all ('delete' = sync-style full mirror). Key-level:
+        # a key-matched row failing match_condition is still MATCHED.
+        if when_not_matched_by_source not in ("delete", None):
+            raise ValueError(
+                f"when_not_matched_by_source "
+                f"{when_not_matched_by_source!r}: 'delete' or None")
+        self.when_not_matched_by_source = when_not_matched_by_source
         self.when_matched = when_matched
         self.when_not_matched = when_not_matched
         self.update_cols = list(update_cols) if update_cols else None
@@ -601,11 +613,14 @@ class MergeInto(PTransform):
             matched = matched & F.expr(self.match_condition)
         t_only = F.col("__tp").isNotNull() & F.col("__sp").isNull()
         s_only = F.col("__tp").isNull() & F.col("__sp").isNotNull()
-        keep = t_only | (F.col("__tp").isNotNull() & ~matched)
-        if self.when_matched == "update":
+        key_matched = (F.col("__tp").isNotNull()
+                       & F.col("__sp").isNotNull())
+        # condition-failed key matches are always kept unchanged
+        keep = key_matched & ~matched
+        if self.when_not_matched_by_source is None:
+            keep = keep | t_only            # else: by-source delete
+        if self.when_matched in ("update", None):
             keep = keep | matched
-        elif self.when_matched is None:
-            keep = keep | (F.col("__tp").isNotNull())
         if self.when_not_matched == "insert":
             keep = keep | s_only
         proj = []

@@ -3300,7 +3300,12 @@ def test_kmeans_silhouette_k1_ansi(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
         "vec_id long, embedding array<double>")
-    old = spark.conf.get("spark.sql.ansi.enabled", "false")
+    # conf.get(key, default) returns the DEFAULT when the key is
+    # merely unset — ignoring Spark's own built-in default (true in
+    # Spark 4) — so restoring that would flip ANSI off for every
+    # later test (it broke the corpus dt_normalize_eq divergence
+    # pin). Read the EFFECTIVE value instead.
+    old = spark.conf.get("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try:
         out = (PCollection(df) | KMeansLloyd(
@@ -3578,3 +3583,28 @@ def test_canonicalize_clusters_known(spark):
 
     with pt.raises(ValueError, match="prefer"):
         CanonicalizeClusters(asg, prefer="newest")
+
+
+def test_merge_into_not_matched_by_source(spark):
+    """Delta's third clause: when_not_matched_by_source='delete'
+    drops target keys absent from the source (full-mirror sync),
+    while condition-failed key matches survive — key-level semantics,
+    exactly Delta's."""
+    from beam_spark.operators.scd import MergeInto
+    from beam_spark.pcollection import PCollection
+
+    t = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (4, 40.0)], "id long, v double")
+    s = spark.createDataFrame(
+        [(1, 11.0), (2, 5.0), (9, 90.0)], "id long, v double")
+    out = {r["id"]: r["v"] for r in (PCollection(t) | MergeInto(
+        s, keys="id", match_condition="s.v > t.v",
+        when_not_matched_by_source="delete")).df.collect()}
+    assert out == {1: 11.0,    # matched, condition true -> updated
+                   2: 20.0,    # key-matched, condition false -> kept
+                   9: 90.0}    # inserted; key 4 mirror-deleted
+
+    import pytest as pt
+
+    with pt.raises(ValueError, match="by_source"):
+        MergeInto(s, keys="id", when_not_matched_by_source="insert")
