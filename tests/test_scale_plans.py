@@ -520,3 +520,57 @@ def test_write_zordered_rank_double_locality(spark, sf_dir, tmp_path):
     assert mean_span(out) < 0.75 * mean_span(naive), (
         mean_span(out), mean_span(naive))
     assert "__zk" not in spark.read.parquet(out).columns
+
+
+def test_merge_into_single_join(spark, sf_dir):
+    """MergeInto compiles to exactly ONE join (the NULL-safe full
+    outer) — no per-clause re-joins; the clause logic is pure
+    projection."""
+    from beam_spark.operators.scd import MergeInto
+    from beam_spark.pcollection import PCollection
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    src = cust.selectExpr("c_custkey * 2 AS c_custkey",
+                          "c_acctbal + 100 AS c_acctbal")
+    out = (PCollection(cust) | MergeInto(
+        src, keys="c_custkey", validate=False)).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") \
+        + plan.count("BroadcastHashJoin") == 1
+
+
+def test_kmv_overlap_take_ordered_not_global_sort(spark, sf_dir):
+    """KmvOverlap's k-minima come from TakeOrderedAndProject (top-k
+    merge), never a global Sort+Exchange over the distinct-hash
+    frame."""
+    from beam_spark.operators.stats import KmvOverlap
+    from beam_spark.pcollection import PCollection
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = (PCollection(ev.filter("event_type = 'view'"))
+           | KmvOverlap(ev.filter("event_type = 'purchase'"),
+                        "user_id", k=64)).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # the only Sorts allowed are inside SMJ (none expected here);
+    # no global (singlePartition) sort-exchange for the minima
+    assert plan.count("TakeOrderedAndProject") == 3
+
+
+def test_silhouette_no_pairwise_join(spark, sf_dir):
+    """SilhouetteScore never builds a pairwise join: no cartesian /
+    nested-loop product of the vector frame with itself — the only
+    aggregation is the (cluster, dim)-keyed cell reduction."""
+    from beam_spark.operators.similarity import SilhouetteScore
+    from beam_spark.pcollection import PCollection
+    from pyspark.sql import functions as F
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .where("embedding IS NOT NULL")
+           .select("vec_id", "embedding",
+                   (F.col("vec_id") % 4).alias("cluster")))
+    out = (PCollection(emb) | SilhouetteScore()).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan       # scoring is projection-only
