@@ -7249,6 +7249,31 @@ def q_pardo_json(spark, sf_dir):
 # dialect rewritten to native window().
 # --------------------------------------------------------------------------
 
+@query("q_sql_qualify_topn", """
+SELECT o_orderpriority, o_orderkey, o_totalprice,
+       row_number() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+FROM orders
+QUALIFY rn <= 3
+""")
+def q_sql_qualify(spark, sf_dir):
+    """QUALIFY clause through SqlTransform: Spark has no QUALIFY, so
+    the dialect pre-pass rewrites it into the subquery+flag form
+    (SELECT * EXCEPT(__qualify) ... WHERE __qualify); the oracle runs
+    DuckDB's NATIVE QUALIFY on the identical query text — a genuine
+    cross-dialect conformance check, not a replay."""
+    from beam_spark.sql import SqlTransform
+
+    orders = table(spark, sf_dir, "orders")
+    out = ({"orders": orders} | SqlTransform("""
+SELECT o_orderpriority, o_orderkey, o_totalprice,
+       row_number() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+FROM orders
+QUALIFY rn <= 3"""))
+    return out.df
+
+
 @query("q_sql_tumble_hourly", f"""
 SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
        COUNT(*) AS n, {dsum(_EVENT_VAL, 'total')}

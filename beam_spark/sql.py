@@ -98,6 +98,96 @@ def _rewrite_tvf(sql: str) -> str:
     return sql
 
 
+def _rewrite_qualify(sql: str) -> str:
+    """Rewrite the SQL:2023 / Teradata-style ``QUALIFY <pred>`` clause
+    (filter evaluated AFTER window functions — DuckDB/Snowflake/
+    BigQuery all ship it; Spark does not) into the standard subquery
+    form:
+
+        SELECT <list> FROM ... QUALIFY <pred> [ORDER BY ...] [LIMIT n]
+        ->
+        SELECT * EXCEPT (__qualify) FROM (
+            SELECT <list>, (<pred>) AS __qualify FROM ...
+        ) WHERE __qualify [ORDER BY ...] [LIMIT n]
+
+    Window aliases from the select list are visible inside the
+    predicate (it is evaluated in the subquery's projection).
+    Scans at paren depth 0 outside string literals, so QUALIFY in a
+    subquery or a string is untouched (nested QUALIFY raises — run
+    the inner query through its own SqlTransform)."""
+    upper = sql.upper()
+    if "QUALIFY" not in upper:
+        return sql
+
+    def _spans(kw: str, max_depth: int = 0):
+        """Start offsets of keyword ``kw`` outside string literals at
+        paren depth <= max_depth (max_depth=None: any depth)."""
+        spans, depth, i, in_str = [], 0, 0, None
+        n = len(sql)
+        while i < n:
+            c = sql[i]
+            if in_str:
+                if c == in_str:
+                    in_str = None
+            elif c in ("'", '"'):
+                in_str = c
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif ((max_depth is None or depth <= max_depth)
+                  and upper.startswith(kw, i)
+                  and (i == 0 or not (sql[i - 1].isalnum()
+                                      or sql[i - 1] == "_"))
+                  and (i + len(kw) == n
+                       or not (sql[i + len(kw)].isalnum()
+                               or sql[i + len(kw)] == "_"))):
+                spans.append(i)
+            i += 1
+        return spans
+
+    _top_level_spans = _spans
+    tops = _spans("QUALIFY")
+    if not tops:
+        if _spans("QUALIFY", max_depth=None):
+            raise ValueError(
+                "QUALIFY inside a subquery is not supported by the "
+                "rewrite — lift the inner query into its own "
+                "SqlTransform")
+        return sql  # only inside string literals — not a clause
+    if len(tops) > 1:
+        raise ValueError("multiple top-level QUALIFY clauses")
+    q = tops[0]
+    # the predicate runs to the next top-level ORDER BY / LIMIT / end
+    tail_starts = [p for kw in ("ORDER", "LIMIT")
+                   for p in _top_level_spans(kw) if p > q]
+    cut = min(tail_starts) if tail_starts else len(sql)
+    pred = sql[q + len("QUALIFY"):cut].strip().rstrip(";")
+    tail = sql[cut:].strip().rstrip(";")
+    head = sql[:q].rstrip()
+    if not pred:
+        raise ValueError("empty QUALIFY predicate")
+    # inject the predicate as a projected flag right after the
+    # select list (i.e. extend the SELECT list), then wrap
+    m = re.match(r"(?is)^\s*SELECT\s+(DISTINCT\s+)?", head)
+    if not m:
+        raise ValueError("QUALIFY requires a plain SELECT query")
+    if m.group(1):
+        # the injected flag would join the DISTINCT key set and
+        # change dedup semantics — refuse instead of corrupting
+        raise ValueError(
+            "QUALIFY with SELECT DISTINCT is not supported by the "
+            "rewrite — deduplicate in an outer query")
+    from_pos = _top_level_spans("FROM")
+    if not from_pos:
+        raise ValueError("QUALIFY requires a FROM clause")
+    f = from_pos[0]
+    inner = (head[:f].rstrip().rstrip(",")
+             + f", ({pred}) AS __qualify " + head[f:])
+    return (f"SELECT * EXCEPT (__qualify) FROM ({inner}) "
+            f"WHERE __qualify {tail}").strip()
+
+
 class SqlTransform(PTransform):
     """Run SQL over named PCollections (SqlTransform.java:112).
 
@@ -114,6 +204,7 @@ class SqlTransform(PTransform):
         for name, df in tables.items():
             df.createOrReplaceTempView(name)
         sql = _rewrite_tvf(self.sql)
+        sql = _rewrite_qualify(sql)
         if "MATCH_RECOGNIZE" in sql.upper():
             from beam_spark.sql_match import try_rewrite_match_recognize
 

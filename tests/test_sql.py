@@ -163,3 +163,45 @@ def test_ddl_tblproperties_reach_reader(spark, tmp_path):
         TYPE csv LOCATION '{p}' TBLPROPERTIES '{{"sep": ";"}}'
     """)
     assert spark.sql("SELECT SUM(v) AS s FROM csv_t").first()["s"] == 6
+
+
+def test_qualify_rewrite(spark):
+    """QUALIFY dialect rewrite: alias-referencing and direct-window
+    predicates, ORDER BY/LIMIT tails preserved, window columns kept in
+    the output; subquery QUALIFY and SELECT DISTINCT refuse loudly;
+    QUALIFY inside a string literal is untouched."""
+    import pytest
+
+    from beam_spark.pcollection import PCollection
+    from beam_spark.sql import SqlTransform, _rewrite_qualify
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 9.0), (3, "b", 7.0), (4, "b", 2.0)],
+        "id long, g string, v double")
+    top = (PCollection(df) | SqlTransform(
+        "SELECT g, id, row_number() OVER (PARTITION BY g ORDER BY v "
+        "DESC) AS rn FROM PCOLLECTION QUALIFY rn = 1 ORDER BY g")).df
+    assert [(r["g"], r["id"], r["rn"]) for r in top.collect()] == [
+        ("a", 2, 1), ("b", 3, 1)]
+
+    direct = (PCollection(df) | SqlTransform(
+        "SELECT g, id FROM PCOLLECTION QUALIFY row_number() OVER "
+        "(PARTITION BY g ORDER BY v DESC) = 1")).df
+    assert sorted((r["g"], r["id"]) for r in direct.collect()) == [
+        ("a", 2), ("b", 3)]
+
+    lim = (PCollection(df) | SqlTransform(
+        "SELECT id, rank() OVER (ORDER BY v DESC) AS rk "
+        "FROM PCOLLECTION QUALIFY rk <= 3 ORDER BY rk LIMIT 2")).df
+    assert [r["id"] for r in lim.collect()] == [2, 3]
+
+    with pytest.raises(ValueError, match="subquery"):
+        _rewrite_qualify("SELECT * FROM (SELECT g FROM t QUALIFY x)")
+    with pytest.raises(ValueError, match="DISTINCT"):
+        _rewrite_qualify(
+            "SELECT DISTINCT g FROM t QUALIFY row_number() "
+            "OVER (ORDER BY g) = 1")
+    # a string literal containing the word is not a clause
+    assert _rewrite_qualify(
+        "SELECT 'no QUALIFY here' AS s FROM t") \
+        == "SELECT 'no QUALIFY here' AS s FROM t"
