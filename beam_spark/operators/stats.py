@@ -1580,7 +1580,10 @@ class KmvOverlap(PTransform):
     SimHash md5 convention), so every output is a pure function of
     the value set: k-th minima are exact integers, estimates are one
     or two double divisions in fixed order. No RNG, no sampling
-    nondeterminism — fully value-oracle-able.
+    nondeterminism — fully value-oracle-able. Caveat: for FLOAT
+    columns the CAST-to-string rendering is engine-specific, so
+    cross-engine oracles should stick to integer/string/date keys
+    (within Spark the sketch is deterministic for any type).
 
     Scale: per side, one DISTINCT on the hash (the only shuffle) and
     a TakeOrderedAndProject (orderBy h LIMIT k — top-k merge, never a

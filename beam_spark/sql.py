@@ -112,25 +112,48 @@ def _rewrite_qualify(sql: str) -> str:
 
     Window aliases from the select list are visible inside the
     predicate (it is evaluated in the subquery's projection).
-    Scans at paren depth 0 outside string literals, so QUALIFY in a
-    subquery or a string is untouched (nested QUALIFY raises — run
-    the inner query through its own SqlTransform)."""
+
+    The keyword scan is paren-depth-, string-, comment- (``--`` and
+    ``/* */``) and backtick-identifier-aware with backslash escapes
+    inside literals, so QUALIFY in any of those contexts is not a
+    clause. A top-level QUALIFY BEFORE the first top-level FROM is a
+    plain identifier (QUALIFY is not reserved in Spark) and the query
+    passes through. Refused loudly (ValueError): QUALIFY in a
+    subquery, with SELECT DISTINCT (the injected flag would join the
+    dedup key set), or over a top-level set operation (the flag
+    would land in one branch only).
+    """
     upper = sql.upper()
     if "QUALIFY" not in upper:
         return sql
 
     def _spans(kw: str, max_depth: int = 0):
-        """Start offsets of keyword ``kw`` outside string literals at
-        paren depth <= max_depth (max_depth=None: any depth)."""
-        spans, depth, i, in_str = [], 0, 0, None
+        """Start offsets of keyword ``kw`` at paren depth <=
+        max_depth (None: any), outside '…'/"…" literals (backslash
+        escapes honored), `…` identifiers and both comment styles."""
+        spans, depth, i = [], 0, 0
         n = len(sql)
         while i < n:
             c = sql[i]
-            if in_str:
-                if c == in_str:
-                    in_str = None
-            elif c in ("'", '"'):
-                in_str = c
+            if c in ("'", '"'):
+                quote, i = c, i + 1
+                while i < n:
+                    if sql[i] == "\\":
+                        i += 2
+                        continue
+                    if sql[i] == quote:
+                        break
+                    i += 1
+            elif c == "`":
+                i += 1
+                while i < n and sql[i] != "`":
+                    i += 1
+            elif c == "-" and sql.startswith("--", i):
+                while i < n and sql[i] != "\n":
+                    i += 1
+            elif c == "/" and sql.startswith("/*", i):
+                j = sql.find("*/", i + 2)
+                i = n if j < 0 else j + 1
             elif c == "(":
                 depth += 1
             elif c == ")":
@@ -146,42 +169,53 @@ def _rewrite_qualify(sql: str) -> str:
             i += 1
         return spans
 
-    _top_level_spans = _spans
-    tops = _spans("QUALIFY")
+    from_pos = _spans("FROM")
+    tops = [p for p in _spans("QUALIFY")
+            if from_pos and p > from_pos[0]]
     if not tops:
-        if _spans("QUALIFY", max_depth=None):
+        nested = [p for p in _spans("QUALIFY", max_depth=None)
+                  if not (from_pos and p <= from_pos[0])
+                  and p not in _spans("QUALIFY")]
+        if nested:
             raise ValueError(
                 "QUALIFY inside a subquery is not supported by the "
                 "rewrite — lift the inner query into its own "
                 "SqlTransform")
-        return sql  # only inside string literals — not a clause
+        # only in strings/comments/backticks, or an identifier
+        # before FROM — not a clause
+        return sql
     if len(tops) > 1:
         raise ValueError("multiple top-level QUALIFY clauses")
     q = tops[0]
-    # the predicate runs to the next top-level ORDER BY / LIMIT / end
-    tail_starts = [p for kw in ("ORDER", "LIMIT")
-                   for p in _top_level_spans(kw) if p > q]
+    f = from_pos[0]
+    # set operations: the injected flag would land in ONE branch only
+    setops = [p for kw in ("UNION", "INTERSECT", "EXCEPT")
+              for p in _spans(kw) if f < p < q]
+    if setops:
+        raise ValueError(
+            "QUALIFY over a top-level set operation is not supported "
+            "by the rewrite — wrap the set operation in a subquery")
+    # the predicate runs to the next top-level ORDER BY / LIMIT /
+    # OFFSET / end
+    tail_starts = [p for kw in ("ORDER", "LIMIT", "OFFSET")
+                   for p in _spans(kw) if p > q]
     cut = min(tail_starts) if tail_starts else len(sql)
     pred = sql[q + len("QUALIFY"):cut].strip().rstrip(";")
     tail = sql[cut:].strip().rstrip(";")
     head = sql[:q].rstrip()
     if not pred:
         raise ValueError("empty QUALIFY predicate")
-    # inject the predicate as a projected flag right after the
-    # select list (i.e. extend the SELECT list), then wrap
-    m = re.match(r"(?is)^\s*SELECT\s+(DISTINCT\s+)?", head)
-    if not m:
+    sel = _spans("SELECT")
+    if not sel or sel[0] > f:
         raise ValueError("QUALIFY requires a plain SELECT query")
-    if m.group(1):
-        # the injected flag would join the DISTINCT key set and
-        # change dedup semantics — refuse instead of corrupting
+    # DISTINCT guard via the scanner (comment/hint-proof): any
+    # top-level DISTINCT between SELECT and FROM joins the dedup key
+    # set once the flag is injected — refuse instead of corrupting.
+    # (A top-level DISTINCT inside an aggregate is depth >= 1.)
+    if any(sel[0] < p < f for p in _spans("DISTINCT")):
         raise ValueError(
             "QUALIFY with SELECT DISTINCT is not supported by the "
             "rewrite — deduplicate in an outer query")
-    from_pos = _top_level_spans("FROM")
-    if not from_pos:
-        raise ValueError("QUALIFY requires a FROM clause")
-    f = from_pos[0]
     inner = (head[:f].rstrip().rstrip(",")
              + f", ({pred}) AS __qualify " + head[f:])
     return (f"SELECT * EXCEPT (__qualify) FROM ({inner}) "

@@ -205,3 +205,42 @@ def test_qualify_rewrite(spark):
     assert _rewrite_qualify(
         "SELECT 'no QUALIFY here' AS s FROM t") \
         == "SELECT 'no QUALIFY here' AS s FROM t"
+
+
+def test_qualify_rewrite_adversarial(spark):
+    """Scanner robustness (round-12 review findings, all reproduced
+    then fixed): comments, backtick identifiers, backslash-escaped
+    quotes and a bare qualify COLUMN pass through untouched; hints
+    don't defeat the DISTINCT guard; set operations and OFFSET tails
+    handled."""
+    import pytest
+
+    from beam_spark.sql import _rewrite_qualify as rq
+
+    untouched = [
+        "SELECT x FROM t -- TODO: use QUALIFY later",
+        "SELECT x FROM (SELECT x FROM t) /* QUALIFY would be nicer */",
+        r"SELECT 'it\'s a QUALIFY' AS s FROM t",
+        "SELECT a, qualify FROM t",          # non-reserved identifier
+        "SELECT 'no QUALIFY here' AS s FROM t",
+    ]
+    for q in untouched:
+        assert rq(q) == q, q
+
+    # backtick identifier named `from` must not confuse clause anchors
+    bt = ("SELECT `from`, row_number() OVER (ORDER BY v) AS rn "
+          "FROM t QUALIFY rn = 1")
+    out = rq(bt)
+    assert out.startswith("SELECT * EXCEPT (__qualify)")
+    assert "`from`, row_number()" in out
+
+    # OFFSET-only tail preserved outside the subquery
+    off = rq("SELECT g, rn FROM t QUALIFY rn <= 3 OFFSET 2")
+    assert off.endswith("OFFSET 2") and "(rn <= 3) AS __qualify" in off
+
+    with pytest.raises(ValueError, match="set operation"):
+        rq("SELECT a, row_number() OVER (ORDER BY a) AS rn FROM t "
+           "UNION ALL SELECT b, 1 FROM u QUALIFY rn = 1")
+    with pytest.raises(ValueError, match="DISTINCT"):
+        rq("SELECT /*+ REPARTITION(4) */ DISTINCT g FROM t "
+           "QUALIFY row_number() OVER (ORDER BY g) = 1")
