@@ -7249,6 +7249,44 @@ def q_pardo_json(spark, sf_dir):
 # dialect rewritten to native window().
 # --------------------------------------------------------------------------
 
+@query("q_sql_asof_join", """
+WITH v AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'view' AND user_id IS NOT NULL),
+p AS (SELECT user_id, ts AS pts,
+             CAST(max(event_id) AS BIGINT) AS p_event,
+             max(value) AS p_value
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+        AND user_id IS NOT NULL
+      GROUP BY user_id, ts)
+SELECT v1.user_id, v1.event_id, v1.ts, p1.p_event, p1.p_value
+FROM v v1 ASOF LEFT JOIN p p1
+ON v1.user_id = p1.user_id AND v1.ts >= p1.pts
+""")
+def q_sql_asof_join(spark, sf_dir):
+    """ASOF LEFT JOIN through SqlTransform: the dialect pre-pass
+    executes the AsOfJoin operator (union + last-value window — no
+    pairwise range join) and flattens the alias-qualified references;
+    the oracle runs DuckDB's NATIVE ASOF JOIN on the same join spec.
+    The right side is deduped per (user_id, ts) so the latest-match
+    winner is engine-independent."""
+    from beam_spark.sql import SqlTransform
+
+    ev = table(spark, sf_dir, "events").df
+    v = ev.filter("event_type = 'view' AND user_id IS NOT NULL") \
+        .select("user_id", "ts", "event_id")
+    p = (ev.filter("event_type = 'purchase' AND value IS NOT NULL "
+                   "AND user_id IS NOT NULL")
+         .groupBy("user_id", F.col("ts").alias("pts"))
+         .agg(F.max("event_id").cast("long").alias("p_event"),
+              F.max("value").alias("p_value")))
+    out = ({"v": PCollection(v), "p": PCollection(p)} | SqlTransform(
+        "SELECT v1.user_id, v1.event_id, v1.ts, p1.p_event, "
+        "p1.p_value FROM v v1 ASOF LEFT JOIN p p1 "
+        "ON v1.user_id = p1.user_id AND v1.ts >= p1.pts"))
+    return out.df
+
+
 @query("q_sql_qualify_topn", """
 SELECT o_orderpriority, o_orderkey, o_totalprice,
        row_number() OVER (PARTITION BY o_orderpriority

@@ -222,6 +222,128 @@ def _rewrite_qualify(sql: str) -> str:
             f"WHERE __qualify {tail}").strip()
 
 
+_ASOF_RE = re.compile(
+    r"FROM\s+(\w+)(?:\s+(?:AS\s+)?(?!ASOF\b)(\w+))?\s+"
+    r"ASOF\s+(LEFT\s+)?JOIN\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+"
+    r"ON\s+(.*?)(?=\s+WHERE\s|\s+GROUP\s|\s+ORDER\s|\s+LIMIT\s|\s*$)",
+    re.IGNORECASE | re.DOTALL)
+
+
+def _rewrite_asof_join(sql: str, spark, tables: dict) -> str:
+    """Execute a DuckDB-style ``ASOF [LEFT] JOIN`` via the AsOfJoin
+    operator (operators/join.py — the union + last-value window
+    plan, no pairwise range join) and rewrite the query to read the
+    result view. Constrained grammar, the MATCH_RECOGNIZE pattern:
+
+        FROM l [la] ASOF [LEFT] JOIN r [ra]
+        ON la.k = ra.k [AND ...] AND la.ts >= ra.ts
+
+    The ON clause takes any number of equi-key conditions plus
+    EXACTLY ONE inequality: ``left_ts >= right_ts`` (backward match,
+    the common case) or ``left_ts <= right_ts`` (forward). Strict
+    ``>``/``<`` are refused (the operator's tie semantics are
+    inclusive, matching DuckB's default ``>=``). Plain ASOF JOIN is
+    INNER (unmatched left rows dropped); ASOF LEFT JOIN keeps them.
+    Alias-qualified references elsewhere in the query are flattened
+    to the joined view's column names (right-side collisions carry
+    the ``_r`` suffix, the operator's convention).
+    """
+    m = _ASOF_RE.search(sql)
+    if not m:
+        return sql
+    lt, la, left_kw, rt, ra, on = m.groups()
+    la, ra = la or lt, ra or rt
+    if lt not in tables or rt not in tables:
+        raise ValueError(
+            f"ASOF JOIN: unknown table(s) {lt!r}/{rt!r} — register "
+            "both as named inputs")
+    left_df, right_df = tables[lt], tables[rt]
+
+    def _side(tok: str):
+        tok = tok.strip()
+        mm = re.match(r"(\w+)\.(\w+)$", tok)
+        if not mm or mm.group(1) not in (la, ra):
+            raise ValueError(
+                f"ASOF JOIN ON term {tok!r}: need alias.column with "
+                f"alias in ({la!r}, {ra!r})")
+        return ("L" if mm.group(1) == la else "R"), mm.group(2)
+
+    eq_pairs, ineq = [], None
+    for cond in re.split(r"\s+AND\s+", on.strip(),
+                         flags=re.IGNORECASE):
+        im = re.match(r"^\s*([\w.]+)\s*(>=|<=|>|<|=)\s*([\w.]+)\s*$",
+                      cond)
+        if not im:
+            raise ValueError(f"ASOF JOIN: unsupported ON term {cond!r}")
+        a, op, b = im.groups()
+        (sa, ca), (sb, cb) = _side(a), _side(b)
+        if sa == sb:
+            raise ValueError(
+                f"ASOF JOIN ON term {cond!r} references one side only")
+        if op == "=":
+            eq_pairs.append((ca, cb) if sa == "L" else (cb, ca))
+            continue
+        if ineq is not None:
+            raise ValueError("ASOF JOIN: exactly one inequality "
+                             "condition is required")
+        if op in (">", "<"):
+            raise ValueError(
+                "ASOF JOIN: strict inequality is not supported (the "
+                "operator matches ties inclusively) — use >= / <=")
+        # normalize to left-side-first
+        if sa == "R":
+            a_c, b_c = cb, ca
+            op = ">=" if op == "<=" else "<="
+        else:
+            a_c, b_c = ca, cb
+        ineq = (a_c, b_c, "backward" if op == ">=" else "forward")
+    if ineq is None:
+        raise ValueError("ASOF JOIN: missing the inequality condition")
+    lts, rts, direction = ineq
+
+    from pyspark.sql import functions as F
+
+    from beam_spark.operators.join import AsOfJoin
+
+    # align right key names onto the left's (the operator joins on
+    # shared key columns); track the right ts through the rename
+    r_aligned, rts_aligned = right_df, rts
+    for lk, rk in eq_pairs:
+        if rk != lk:
+            r_aligned = r_aligned.withColumnRenamed(rk, lk)
+            if rts == rk:
+                rts_aligned = lk
+    joined = (PCollection(left_df) | AsOfJoin(
+        r_aligned, on=[lk for lk, _ in eq_pairs], left_ts=lts,
+        right_ts=rts_aligned, direction=direction)).df
+    # resolve output names: right payload collides -> suffix "_r"
+    keys = [lk for lk, _ in eq_pairs]
+    lcols = set(left_df.columns)
+    rmap = {c: (c if c in keys
+                else c + "_r" if c in lcols else c)
+            for c in r_aligned.columns}
+    if not left_kw:
+        # INNER: drop left rows with no match (right ts NULL)
+        joined = joined.where(F.col(rmap[rts_aligned]).isNotNull())
+    view = "__asof_result"
+    joined.createOrReplaceTempView(view)
+    # flatten alias-qualified references in the rest of the query
+    rest = sql[:m.start()] + f"FROM {view}" + sql[m.end():]
+
+    def flatten(mm):
+        alias, col = mm.group(1), mm.group(2)
+        if alias == la:
+            return col
+        orig_renamed = col
+        for lk, rk in eq_pairs:
+            if col == rk:
+                orig_renamed = lk
+        return rmap.get(orig_renamed, orig_renamed)
+
+    rest = re.sub(rf"\b({la}|{ra})\.(\w+)", flatten, rest)
+    return rest
+
+
 class SqlTransform(PTransform):
     """Run SQL over named PCollections (SqlTransform.java:112).
 
@@ -239,6 +361,8 @@ class SqlTransform(PTransform):
             df.createOrReplaceTempView(name)
         sql = _rewrite_tvf(self.sql)
         sql = _rewrite_qualify(sql)
+        if "ASOF" in sql.upper():
+            sql = _rewrite_asof_join(sql, spark, tables)
         if "MATCH_RECOGNIZE" in sql.upper():
             from beam_spark.sql_match import try_rewrite_match_recognize
 

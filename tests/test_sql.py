@@ -244,3 +244,52 @@ def test_qualify_rewrite_adversarial(spark):
     with pytest.raises(ValueError, match="DISTINCT"):
         rq("SELECT /*+ REPARTITION(4) */ DISTINCT g FROM t "
            "QUALIFY row_number() OVER (ORDER BY g) = 1")
+
+
+def test_asof_join_sql_rewrite(spark):
+    """ASOF [LEFT] JOIN dialect: inner drops unmatched left rows,
+    LEFT keeps them with NULLs, ties match inclusively, key renames
+    resolve, and malformed specs refuse loudly (strict inequality,
+    one-sided terms, zero/two inequalities, unknown tables)."""
+    import pytest
+
+    from beam_spark.pcollection import PCollection
+    from beam_spark.sql import SqlTransform
+
+    trades = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:05", 100.0),
+         (1, "2024-01-01 10:00:10", 101.0),     # exact tie with quote
+         (2, "2024-01-01 09:00:00", 50.0)],
+        "sym long, t string, px double").selectExpr(
+        "sym", "CAST(t AS TIMESTAMP) AS t", "px")
+    quotes = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 99.5),
+         (1, "2024-01-01 10:00:10", 100.5)],
+        "qsym long, qt string, bid double").selectExpr(
+        "qsym", "CAST(qt AS TIMESTAMP) AS qt", "bid")
+    tabs = {"trades": PCollection(trades), "quotes": PCollection(quotes)}
+
+    inner = (tabs | SqlTransform(
+        "SELECT a.sym, a.px, b.bid FROM trades a ASOF JOIN quotes b "
+        "ON a.sym = b.qsym AND a.t >= b.qt ORDER BY a.px")).df.collect()
+    assert [(r["sym"], r["px"], r["bid"]) for r in inner] == [
+        (1, 100.0, 99.5), (1, 101.0, 100.5)]   # tie matched, sym 2 out
+
+    left = (tabs | SqlTransform(
+        "SELECT a.sym, a.px, b.bid FROM trades a ASOF LEFT JOIN "
+        "quotes b ON a.sym = b.qsym AND a.t >= b.qt")).df.collect()
+    assert sorted((r["sym"], r["bid"]) for r in left) == [
+        (1, 99.5), (1, 100.5), (2, None)]
+
+    for bad, msg in [
+        ("SELECT a.sym FROM trades a ASOF JOIN quotes b "
+         "ON a.sym = b.qsym AND a.t > b.qt", "strict"),
+        ("SELECT a.sym FROM trades a ASOF JOIN quotes b "
+         "ON a.sym = b.qsym", "inequality"),
+        ("SELECT a.sym FROM trades a ASOF JOIN quotes b "
+         "ON a.sym = a.sym AND a.t >= b.qt", "one side"),
+        ("SELECT a.sym FROM trades a ASOF JOIN missing b "
+         "ON a.sym = b.qsym AND a.t >= b.qt", "unknown table"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            (tabs | SqlTransform(bad)).df
