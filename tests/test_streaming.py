@@ -1053,3 +1053,62 @@ def test_group_into_batches_max_buffering_duration_bytes(spark):
     u_rows = sorted((r["batch_index"], list(r["batch"]))
                     for r in out.collect() if r["k"] == "u")
     assert u_rows == [(0, ["aaaaaa"]), (1, ["dddddd"])]
+
+
+def test_streaming_upsert_sink(spark, tmp_path):
+    """Keyed snapshot maintenance from a changelog stream: three
+    micro-batches (insert, update+insert with two same-key versions,
+    delete) leave exactly the expected snapshot; old generations are
+    pruned; and the marker records (batch_id, prev) so a foreachBatch
+    REPLAY of the last batch — re-merged onto the predecessor
+    generation, which is what the sink does when marker.batch_id
+    matches — reproduces the identical snapshot (idempotent)."""
+    import glob
+    import json
+    import os
+
+    from beam_spark.operators.scd import MergeInto
+    from beam_spark.pcollection import PCollection
+    from beam_spark.streaming.core import (TestStream,
+                                           read_upsert_snapshot,
+                                           write_stream_upsert)
+
+    path = str(tmp_path / "upsert")
+    ts = TestStream(spark, "ts timestamp, k long, v double, op string")
+    ts.add_elements([
+        {"ts": "2024-01-01 00:00:01", "k": 1, "v": 10.0, "op": "U"},
+        {"ts": "2024-01-01 00:00:02", "k": 2, "v": 20.0, "op": "U"}])
+    ts.add_elements([
+        # two versions of k=1 in ONE batch: the later ts wins
+        {"ts": "2024-01-01 00:01:00", "k": 1, "v": 11.0, "op": "U"},
+        {"ts": "2024-01-01 00:01:30", "k": 1, "v": 12.0, "op": "U"},
+        {"ts": "2024-01-01 00:01:10", "k": 3, "v": 30.0, "op": "U"}])
+    ts.add_elements([
+        {"ts": "2024-01-01 00:02:00", "k": 2, "v": 0.0, "op": "D"}])
+
+    write_stream_upsert(ts.stream(), path, keys="k", order_by="ts",
+                        delete_where="op = 'D'")
+    snap = {r["k"]: r["v"]
+            for r in read_upsert_snapshot(spark, path).collect()}
+    assert snap == {1: 12.0, 3: 30.0}          # k=2 deleted, k=1 updated
+
+    # pruning: at most the current + predecessor generations remain
+    gens = sorted(os.path.basename(d)
+                  for d in glob.glob(path + "/gen=*"))
+    assert len(gens) <= 2 and gens[-1] == "gen=00000002"
+
+    # replay idempotency: the marker points the replayed batch at its
+    # PREDECESSOR generation; re-merging batch 2 onto it must yield
+    # the same snapshot
+    with open(path + "/_CURRENT") as f:
+        cur = json.load(f)
+    assert cur["batch_id"] == 2 and cur["prev"] == "gen=00000001"
+    prev = spark.read.parquet(os.path.join(path, cur["prev"]))
+    batch2 = spark.createDataFrame(
+        [("2024-01-01 00:02:00", 2, 0.0, "D")],
+        "ts string, k long, v double, op string").selectExpr(
+        "CAST(ts AS TIMESTAMP) AS ts", "k", "v", "op")
+    replay = (PCollection(prev) | MergeInto(
+        batch2.where("op = 'D'"), keys="k", when_matched="delete",
+        when_not_matched=None, validate=False)).df
+    assert {r["k"]: r["v"] for r in replay.collect()} == snap
