@@ -9099,3 +9099,57 @@ def q_conditionals(spark, sf_dir):
          .alias("status_label"),
         F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
          .alias("is_urgent"))
+
+
+# ---------------------------------------------------------------------------
+# round 12 session 3: link prediction / privacy / regression / rank tests
+# ---------------------------------------------------------------------------
+
+@query("q_graph_link_prediction", """
+WITH raw AS (SELECT o_custkey AS s, o_orderkey % 500 + 1000000 AS d
+             FROM orders),
+und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        FROM raw WHERE s <> d),
+adj AS (SELECT a AS node, b AS nbr FROM und
+        UNION ALL SELECT b, a FROM und),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        FROM adj GROUP BY node),
+ctr AS (SELECT adj.node AS w, adj.nbr, deg.deg AS wdeg
+        FROM adj JOIN deg ON deg.node = adj.node),
+pairs AS (SELECT w1.nbr AS a, w2.nbr AS b,
+                 CAST(count(*) AS BIGINT) AS cn,
+                 sum(1.0 / ln(w1.wdeg)) AS aa,
+                 sum(1.0 / w1.wdeg) AS ra
+          FROM ctr w1 JOIN ctr w2 ON w2.w = w1.w
+            AND w1.nbr < w2.nbr
+          GROUP BY 1, 2),
+cand AS (SELECT p.* FROM pairs p
+         WHERE NOT EXISTS (SELECT 1 FROM und
+                           WHERE und.a = p.a AND und.b = p.b)
+           AND p.cn >= 2)
+SELECT c.a, c.b, c.cn AS common_neighbors,
+       round(CAST(c.cn AS DOUBLE) / (da.deg + db.deg - c.cn), 9)
+         AS jaccard,
+       round(c.aa, 9) AS adamic_adar,
+       round(c.ra, 9) AS resource_alloc,
+       CAST(da.deg * db.deg AS BIGINT) AS pref_attachment
+FROM cand c
+JOIN deg da ON da.node = c.a
+JOIN deg db ON db.node = c.b
+""")
+def q_graph_link_prediction(spark, sf_dir):
+    """Link-prediction battery (common-neighbors / Jaccard /
+    Adamic-Adar / resource-allocation / preferential-attachment,
+    Liben-Nowell & Kleinberg 2003) over the sparse customer <->
+    order-hash link graph, pruned to pairs with >= 2 shared
+    neighbors — DuckDB replays the wedge join + anti-join verbatim;
+    integer scores exact, float sums at round 9."""
+    from beam_spark.operators.graph import LinkPrediction
+
+    o = table(spark, sf_dir, "orders").df
+    edges = o.selectExpr("o_custkey AS src",
+                         "o_orderkey % 500 + 1000000 AS dst")
+    out = (PCollection(edges) | LinkPrediction(min_common=2)).df
+    return out.select("a", "b", "common_neighbors", "jaccard",
+                      "adamic_adar", "resource_alloc",
+                      "pref_attachment")

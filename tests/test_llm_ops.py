@@ -3608,3 +3608,51 @@ def test_merge_into_not_matched_by_source(spark):
 
     with pt.raises(ValueError, match="by_source"):
         MergeInto(s, keys="id", when_not_matched_by_source="insert")
+
+
+def test_link_prediction_known_graph(spark):
+    """Hand-checked square-with-diagonal: nodes 1-2-3-4 in a cycle plus
+    edge (1, 3). Non-adjacent distance-2 pair is only (2, 4) — deg 2
+    each, shared neighbors {1, 3} of deg 3: cn=2, jaccard=2/(2+2-2)=1,
+    AA=2/ln(3), RA=2/3, PA=4."""
+    import math
+
+    from beam_spark.operators.graph import LinkPrediction
+    from beam_spark.pcollection import PCollection
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], "src int, dst int")
+    rows = (PCollection(df) | LinkPrediction()).df.collect()
+    by_pair = {(r.a, r.b): r for r in rows}
+    assert (2, 4) in by_pair
+    r = by_pair[(2, 4)]
+    assert r.common_neighbors == 2
+    assert r.jaccard == 1.0
+    assert abs(r.adamic_adar - 2 / math.log(3)) < 1e-8
+    assert abs(r.resource_alloc - 2 / 3) < 1e-8
+    assert r.pref_attachment == 4
+    # no existing edge ever appears as a candidate
+    edges = {(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)}
+    assert all((a, b) not in edges for (a, b) in by_pair)
+
+
+def test_link_prediction_degree_cap_and_validation(spark):
+    """A star hub (degree 5) mediates all C(5,2)=10 leaf pairs;
+    max_neighbor_degree=4 drops the hub as a wedge center so no pair
+    survives. Constructor validation fails fast."""
+    import pytest
+
+    from beam_spark.operators.graph import LinkPrediction
+    from beam_spark.pcollection import PCollection
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src int, dst int")
+    full = (PCollection(star) | LinkPrediction()).df
+    assert full.count() == 10
+    capped = (PCollection(star)
+              | LinkPrediction(max_neighbor_degree=4)).df
+    assert capped.count() == 0
+    with pytest.raises(ValueError):
+        LinkPrediction(min_common=0)
+    with pytest.raises(ValueError):
+        LinkPrediction(max_neighbor_degree=1)
