@@ -1645,3 +1645,80 @@ class ColumnDependence(PTransform):
                                       * (kmin - 1).cast("double"))),
                               6)).alias("cramers_v")))
         return pcoll.with_df(out)
+
+
+class KAnonymity(PTransform):
+    """Privacy-risk report for a release candidate: k-anonymity and
+    distinct l-diversity over a set of quasi-identifier columns
+    (Sweeney 2002; Machanavajjhala et al. 2007) — the re-identification
+    audit a training-data pipeline runs before shipping a slice that
+    carries user attributes.
+
+    Every row's equivalence class is its exact quasi-identifier value
+    combination (NULLs group together, the standard audit posture).
+
+    ``mode='groups'``: one row per equivalence class —
+        quasi cols + (class_size, distinct_sensitive*, meets_k)
+    ``mode='report'``: one global row —
+        (n_rows, n_classes, k_anonymity, classes_below_k,
+         rows_below_k, pct_rows_below_k, l_diversity*)
+    (*sensitive columns only when ``sensitive`` is given; l-diversity
+    is the min over classes of the count of distinct non-NULL
+    sensitive values).
+
+    Scale: one partial-agg groupBy on the quasi columns, then (report
+    mode) one 1-row reaggregation — no joins, no windows; class count
+    is bounded by the quasi-identifier domain, not by n.
+
+    Output floats: pct_rows_below_k is an exact-integer ratio cast to
+    double (order-free), round 9.
+    """
+
+    def __init__(self, quasi, sensitive: str | None = None,
+                 k: int = 5, mode: str = "report", label=None):
+        super().__init__(label)
+        self.quasi = [quasi] if isinstance(quasi, str) else list(quasi)
+        if not self.quasi:
+            raise ValueError("KAnonymity: need >= 1 quasi column")
+        self.sensitive = sensitive
+        self.k = int(k)
+        if self.k < 1:
+            raise ValueError("k must be >= 1")
+        if mode not in ("report", "groups"):
+            raise ValueError("mode must be 'report' or 'groups'")
+        self.mode = mode
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        qs, s, k = self.quasi, self.sensitive, self.k
+        aggs = [F.count(F.lit(1)).cast("long").alias("class_size")]
+        if s is not None:
+            aggs.append(F.countDistinct(F.col(s)).cast("long")
+                        .alias("distinct_sensitive"))
+        classes = pcoll.df.groupBy(*qs).agg(*aggs)
+        if self.mode == "groups":
+            out = classes.withColumn(
+                "meets_k", F.col("class_size") >= F.lit(k))
+            return pcoll.with_df(out)
+        below = F.when(F.col("class_size") < k, F.col("class_size"))
+        aggs2 = [
+            F.sum("class_size").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("class_size").cast("long").alias("k_anonymity"),
+            F.count(below).cast("long").alias("classes_below_k"),
+            F.coalesce(F.sum(below), F.lit(0)).cast("long")
+            .alias("rows_below_k"),
+        ]
+        if s is not None:
+            aggs2.append(F.min("distinct_sensitive").cast("long")
+                         .alias("l_diversity"))
+        rep = (classes.agg(*aggs2)
+               .withColumn("k_threshold", F.lit(k).cast("int"))
+               .withColumn(
+                   "pct_rows_below_k",
+                   F.round(F.col("rows_below_k").cast("double")
+                           / F.col("n_rows").cast("double"), 9)))
+        cols = ["k_threshold", "n_rows", "n_classes", "k_anonymity",
+                "classes_below_k", "rows_below_k", "pct_rows_below_k"]
+        if s is not None:
+            cols.append("l_diversity")
+        return pcoll.with_df(rep.select(*cols))

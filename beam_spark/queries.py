@@ -9153,3 +9153,35 @@ def q_graph_link_prediction(spark, sf_dir):
     return out.select("a", "b", "common_neighbors", "jaccard",
                       "adamic_adar", "resource_alloc",
                       "pref_attachment")
+
+
+@query("q_privacy_k_anonymity", """
+WITH cls AS (SELECT c_nationkey, c_mktsegment,
+                    CAST(count(*) AS BIGINT) AS class_size,
+                    CAST(count(DISTINCT c_acctbal) AS BIGINT) AS ds
+             FROM customer GROUP BY 1, 2)
+SELECT CAST(10 AS INT) AS k_threshold,
+       CAST(sum(class_size) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       min(class_size) AS k_anonymity,
+       CAST(count(CASE WHEN class_size < 10 THEN 1 END) AS BIGINT)
+         AS classes_below_k,
+       CAST(coalesce(sum(CASE WHEN class_size < 10
+                              THEN class_size END), 0) AS BIGINT)
+         AS rows_below_k,
+       round(CAST(coalesce(sum(CASE WHEN class_size < 10
+                                    THEN class_size END), 0) AS DOUBLE)
+             / CAST(sum(class_size) AS DOUBLE), 9) AS pct_rows_below_k,
+       min(ds) AS l_diversity
+FROM cls
+""")
+def q_privacy_k_anonymity(spark, sf_dir):
+    """k-anonymity + distinct l-diversity audit of customer with
+    quasi-identifiers (nationkey, mktsegment) and sensitive acctbal —
+    exact class-size reaggregation, one report row; DuckDB replays
+    the two-level aggregation verbatim."""
+    from beam_spark.operators.quality import KAnonymity
+
+    c = table(spark, sf_dir, "customer")
+    return (c | KAnonymity(["c_nationkey", "c_mktsegment"],
+                           sensitive="c_acctbal", k=10)).df

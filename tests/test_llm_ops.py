@@ -3656,3 +3656,37 @@ def test_link_prediction_degree_cap_and_validation(spark):
         LinkPrediction(min_common=0)
     with pytest.raises(ValueError):
         LinkPrediction(max_neighbor_degree=1)
+
+
+def test_k_anonymity_groups_and_report(spark):
+    """Hand-checked: classes (a: 3 rows, 2 sensitive), (b: 1 row).
+    k=2 report: k_anonymity=1, 1 class / 1 row below k, l_diversity=1.
+    groups mode flags b; NULL sensitive values don't count toward l."""
+    import pytest
+
+    from beam_spark.operators.quality import KAnonymity
+    from beam_spark.pcollection import PCollection
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("a", None), ("b", "z")],
+        "q string, s string")
+    rep = (PCollection(df)
+           | KAnonymity("q", sensitive="s", k=2)).df.collect()[0]
+    assert (rep.n_rows, rep.n_classes, rep.k_anonymity) == (4, 2, 1)
+    assert (rep.classes_below_k, rep.rows_below_k) == (1, 1)
+    assert rep.pct_rows_below_k == 0.25
+    assert rep.l_diversity == 1
+    groups = {r.q: r for r in
+              (PCollection(df)
+               | KAnonymity("q", sensitive="s", k=2,
+                            mode="groups")).df.collect()}
+    assert groups["a"].class_size == 3
+    assert groups["a"].distinct_sensitive == 2
+    assert groups["a"].meets_k is True
+    assert groups["b"].meets_k is False
+    with pytest.raises(ValueError):
+        KAnonymity([])
+    with pytest.raises(ValueError):
+        KAnonymity("q", k=0)
+    with pytest.raises(ValueError):
+        KAnonymity("q", mode="bogus")
