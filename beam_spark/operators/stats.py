@@ -1658,3 +1658,70 @@ class KmvOverlap(PTransform):
             F.round(F.when(eu > 0, ei / eu).otherwise(F.lit(0.0)), 6)
             .alias("jaccard_est"))
         return pcoll.with_df(out)
+
+
+class LinearFit(PTransform):
+    """Per-key simple linear regression y = a*x + b by one partial-agg
+    pass — the per-entity trend extractor (spend vs quantity, value
+    vs time) that at warehouse scale must be a single groupBy, never
+    a per-key model loop:
+
+        slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+        intercept = (Sy - slope*Sx) / n
+        r2 = (n*Sxy - Sx*Sy)^2 / ((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+
+    The five moment sums accumulate as EXACT decimals (inputs cast to
+    ``cast_to``, default decimal(18,6) — exact for decimal/int inputs;
+    pre-quantize double columns upstream if bit-stable output matters),
+    so the sums are order-free; the closed forms are then evaluated in
+    double in a fixed operation order. slope/intercept NULL when x is
+    constant; r2 NULL when either variable is constant. Rows where x
+    or y IS NULL are excluded (SQL regr_* convention).
+
+    Scale: one map-side-combinable groupBy — five sums and a count;
+    output is one row per key. No joins, no windows, no Python.
+
+    Output: keys + (n, slope, intercept, r2), floats rounded 9.
+    """
+
+    def __init__(self, x: str, y: str, keys=None,
+                 cast_to: str = "decimal(18,6)", label=None):
+        super().__init__(label)
+        self.x, self.y = x, y
+        self.keys = ([keys] if isinstance(keys, str)
+                     else list(keys) if keys else [])
+        self.cast_to = cast_to
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        ks = self.keys
+        xv = F.col(self.x).cast(self.cast_to)
+        yv = F.col(self.y).cast(self.cast_to)
+        base = (pcoll.df
+                .where(F.col(self.x).isNotNull()
+                       & F.col(self.y).isNotNull())
+                .select(*ks, xv.alias("__x"), yv.alias("__y")))
+        agg = base.groupBy(*ks).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__x").alias("__sx"),
+            F.sum("__y").alias("__sy"),
+            F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+            F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+            F.sum(F.col("__y") * F.col("__y")).alias("__syy"))
+        n = F.col("n").cast("double")
+        sx = F.col("__sx").cast("double")
+        sy = F.col("__sy").cast("double")
+        sxx = F.col("__sxx").cast("double")
+        sxy = F.col("__sxy").cast("double")
+        syy = F.col("__syy").cast("double")
+        num = n * sxy - sx * sy
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        slope = F.when(dx != 0.0, num / dx)
+        out = agg.select(
+            *ks, "n",
+            F.round(slope, 9).alias("slope"),
+            F.round(F.when(dx != 0.0, (sy - slope * sx) / n), 9)
+            .alias("intercept"),
+            F.round(F.when((dx != 0.0) & (dy != 0.0),
+                           (num * num) / (dx * dy)), 9).alias("r2"))
+        return pcoll.with_df(out)

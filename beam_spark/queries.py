@@ -9185,3 +9185,44 @@ def q_privacy_k_anonymity(spark, sf_dir):
     c = table(spark, sf_dir, "customer")
     return (c | KAnonymity(["c_nationkey", "c_mktsegment"],
                            sensitive="c_acctbal", k=10)).df
+
+
+@query("q_stats_linear_fit", """
+WITH b AS (SELECT l_returnflag,
+                  CAST(l_quantity AS DECIMAL(19,6)) AS x,
+                  CAST(l_extendedprice AS DECIMAL(19,6)) AS y
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL
+             AND l_extendedprice IS NOT NULL),
+a AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM b GROUP BY 1)
+SELECT l_returnflag, n,
+       round(CASE WHEN n*sxx - sx*sx <> 0
+                  THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END, 9)
+         AS slope,
+       round(CASE WHEN n*sxx - sx*sx <> 0
+                  THEN (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx)
+                       / n END, 9) AS intercept,
+       round(CASE WHEN n*sxx - sx*sx <> 0 AND n*syy - sy*sy <> 0
+                  THEN ((n*sxy - sx*sy) * (n*sxy - sx*sy))
+                       / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 9)
+         AS r2
+FROM a
+""")
+def q_stats_linear_fit(spark, sf_dir):
+    """Per-returnflag OLS fit of extendedprice on quantity — exact
+    decimal moment sums (order-free), closed forms evaluated in
+    double with identical operation order in both engines, round 9.
+    (DuckDB casts to DECIMAL(19,6) — hugeint storage — because its
+    18-digit decimals multiply in int64 and overflow; Spark stays at
+    18,6 whose product is exact at 37,12. Same rationals either way.)"""
+    from beam_spark.operators.stats import LinearFit
+
+    li = table(spark, sf_dir, "lineitem")
+    return (li | LinearFit("l_quantity", "l_extendedprice",
+                           keys="l_returnflag")).df

@@ -3690,3 +3690,28 @@ def test_k_anonymity_groups_and_report(spark):
         KAnonymity("q", k=0)
     with pytest.raises(ValueError):
         KAnonymity("q", mode="bogus")
+
+
+def test_linear_fit_known_values_and_degenerate(spark):
+    """Exact line y = 2x + 1 recovers slope 2 / intercept 1 / r2 1;
+    constant-x key yields NULL slope/intercept/r2; constant-y key
+    yields slope 0 and NULL r2; NULL rows are excluded from n."""
+    from beam_spark.operators.stats import LinearFit
+    from beam_spark.pcollection import PCollection
+
+    rows = ([("line", float(x), 2.0 * x + 1.0) for x in range(1, 6)]
+            + [("constx", 3.0, 1.0), ("constx", 3.0, 5.0)]
+            + [("consty", 1.0, 7.0), ("consty", 2.0, 7.0)]
+            + [("line", None, 9.0), ("line", 4.0, None)])
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    out = {r.k: r for r in
+           (PCollection(df)
+            | LinearFit("x", "y", keys="k")).df.collect()}
+    line = out["line"]
+    assert line.n == 5
+    assert line.slope == 2.0 and line.intercept == 1.0
+    assert line.r2 == 1.0
+    cx = out["constx"]
+    assert cx.slope is None and cx.intercept is None and cx.r2 is None
+    cy = out["consty"]
+    assert cy.slope == 0.0 and cy.intercept == 7.0 and cy.r2 is None
