@@ -1722,3 +1722,97 @@ class KAnonymity(PTransform):
         if s is not None:
             cols.append("l_diversity")
         return pcoll.with_df(rep.select(*cols))
+
+
+class MannWhitneyU(PTransform):
+    """Mann-Whitney U (Wilcoxon rank-sum) two-sample test per key —
+    the nonparametric A/B location test a metrics pipeline runs when
+    values are skewed or heavy-tailed (latency, spend, token counts)
+    and a t-test's normality assumption is indefensible.
+
+    Integer-exact construction over the DISTINCT-VALUE frame (the
+    BinaryClassifierMetrics midrank trick): with t(v) total ties at
+    value v and cum(v) the count of strictly smaller values, doubled
+    midrank r2(v) = 2*cum(v) + t(v) + 1 is an exact integer, so
+
+        2*Ra = sum_v ca(v) * r2(v)        (exact integer)
+        2*Ua = 2*Ra - na*(na+1)           (exact integer)
+        Ub   = na*nb - Ua
+
+    Normal approximation with the tie correction (no continuity
+    correction — document the convention, don't hide it):
+
+        mu = na*nb/2
+        sigma^2 = na*nb/12 * ((n+1) - sum_v(t^3 - t)/(n*(n-1)))
+        z = (Ua - mu) / sigma       (NULL when sigma = 0)
+
+    plus the common-language effect size auc = Ua/(na*nb) (the
+    probability a random A value exceeds a random B value, ties
+    counting half — identical to ROC-AUC of the group indicator).
+
+    Values are only COMPARED, never summed, so float inputs stay
+    exact; all sums are over integers. z/auc computed in double from
+    exact integer parts, fixed operation order, round 9.
+
+    Scale: one (keys, value) count + one cardinality-bounded window
+    over distinct values per key + one reaggregation — the
+    distinct-value frame is bounded by value cardinality, not n.
+
+    Output: keys + (na, nb, u_a, u_b, auc_a, z).
+    """
+
+    def __init__(self, value: str, group: str, group_a,
+                 group_b=None, keys=None, label=None):
+        super().__init__(label)
+        self.value, self.group = value, group
+        self.group_a, self.group_b = group_a, group_b
+        self.keys = ([keys] if isinstance(keys, str)
+                     else list(keys) if keys else [])
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        v, g, ks = self.value, self.group, self.keys
+        df = pcoll.df.where(F.col(v).isNotNull())
+        if self.group_b is None:
+            df = df.where(F.col(g).isNotNull())
+        else:
+            df = df.where(F.col(g).isin([self.group_a, self.group_b]))
+        is_a = (F.col(g) == F.lit(self.group_a)).cast("long")
+        cnt = (df.groupBy(*ks, F.col(v).alias("__v"))
+               .agg(F.sum(is_a).alias("__ca"),
+                    F.sum(F.lit(1) - is_a).alias("__cb")))
+        t = F.col("__ca") + F.col("__cb")
+        w = (Window.partitionBy(*ks) if ks else Window.partitionBy())
+        w = w.orderBy("__v").rowsBetween(Window.unboundedPreceding,
+                                         Window.currentRow)
+        cnt = (cnt.withColumn("__t", t)
+               .withColumn("__cum", F.sum("__t").over(w) - F.col("__t")))
+        r2 = 2 * F.col("__cum") + F.col("__t") + 1
+        agg = cnt.groupBy(*ks).agg(
+            F.sum("__ca").cast("long").alias("na"),
+            F.sum("__cb").cast("long").alias("nb"),
+            F.sum(F.col("__ca") * r2).cast("long").alias("__ra2"),
+            F.sum(F.col("__t") * F.col("__t") * F.col("__t")
+                  - F.col("__t")).cast("long").alias("__ties"))
+        na = F.col("na").cast("double")
+        nb = F.col("nb").cast("double")
+        n = na + nb
+        ua = (F.col("__ra2").cast("double")
+              - F.col("na").cast("double")
+              * (F.col("na") + F.lit(1)).cast("double")) / 2.0
+        mu = na * nb / 2.0
+        sig2 = (F.when(n >= 2.0,
+                       na * nb / 12.0
+                       * ((n + 1.0) - F.col("__ties").cast("double")
+                          / (n * (n - 1.0))))
+                .otherwise(F.lit(0.0)))
+        out = agg.select(
+            *ks, "na", "nb",
+            F.round(ua, 9).alias("u_a"),
+            F.round(na * nb - ua, 9).alias("u_b"),
+            F.round(F.when((F.col("na") > 0) & (F.col("nb") > 0),
+                           ua / (na * nb)), 9).alias("auc_a"),
+            F.round(F.when(sig2 > 0.0,
+                           (ua - mu) / F.sqrt(sig2)), 9).alias("z"))
+        return pcoll.with_df(out)

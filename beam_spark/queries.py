@@ -9226,3 +9226,59 @@ def q_stats_linear_fit(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     return (li | LinearFit("l_quantity", "l_extendedprice",
                            keys="l_returnflag")).df
+
+
+@query("q_stats_mannwhitney_u", """
+WITH f AS (SELECT value AS v,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                    AS ia
+           FROM events
+           WHERE value IS NOT NULL
+             AND event_type IN ('purchase', 'view')),
+cnt AS (SELECT v, CAST(sum(ia) AS BIGINT) AS ca,
+               CAST(sum(1 - ia) AS BIGINT) AS cb
+        FROM f GROUP BY v),
+rk AS (SELECT *, ca + cb AS t,
+              CAST(coalesce(sum(ca + cb) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS cum
+       FROM cnt),
+a AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+             CAST(sum(cb) AS BIGINT) AS nb,
+             CAST(sum(ca * (2*cum + t + 1)) AS BIGINT) AS ra2,
+             CAST(sum(t*t*t - t) AS BIGINT) AS ties
+      FROM rk),
+d AS (SELECT na, nb,
+             (CAST(ra2 AS DOUBLE)
+              - CAST(na AS DOUBLE) * CAST(na + 1 AS DOUBLE)) / 2.0
+               AS ua,
+             CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+             CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) AS n,
+             CAST(ties AS DOUBLE) AS tiesd
+      FROM a),
+s AS (SELECT *,
+             nad * nbd / 2.0 AS mu,
+             CASE WHEN n >= 2.0
+                  THEN nad * nbd / 12.0
+                       * ((n + 1.0) - tiesd / (n * (n - 1.0)))
+                  ELSE CAST(0 AS DOUBLE) END AS sig2
+      FROM d)
+SELECT na, nb, round(ua, 9) AS u_a,
+       round(nad * nbd - ua, 9) AS u_b,
+       round(CASE WHEN na > 0 AND nb > 0
+                  THEN ua / (nad * nbd) END, 9) AS auc_a,
+       round(CASE WHEN sig2 > 0.0
+                  THEN (ua - mu) / sqrt(sig2) END, 9) AS z
+FROM s
+""")
+def q_stats_mannwhitney_u(spark, sf_dir):
+    """Mann-Whitney U with tie correction: purchase vs view event
+    values — integer-exact doubled midranks over the distinct-value
+    frame; the oracle replays rank construction and the z/auc double
+    arithmetic in identical order."""
+    from beam_spark.operators.quality import MannWhitneyU
+
+    ev = table(spark, sf_dir, "events").df.where(
+        F.col("event_type").isin(["purchase", "view"]))
+    return (PCollection(ev)
+            | MannWhitneyU("value", "event_type", "purchase")).df

@@ -3715,3 +3715,33 @@ def test_linear_fit_known_values_and_degenerate(spark):
     assert cx.slope is None and cx.intercept is None and cx.r2 is None
     cy = out["consty"]
     assert cy.slope == 0.0 and cy.intercept == 7.0 and cy.r2 is None
+
+
+def test_mannwhitney_u_against_scipy_formulas(spark):
+    """Hand-checked vs the textbook example (ties included): A =
+    [1, 2, 2, 5], B = [2, 3, 4]. Midranks: 1->1; 2->3 (ties 2,2,2);
+    5->7; 3->5; 4->6. Ra = 1+3+3+7 = 14, Ua = 14 - 4*5/2 = 4,
+    Ub = 12 - 4 = 8, auc = 4/12. Tie term: t=3 -> 24.
+    sigma2 = 12/12 * (8 - 24/42) = 7.428571..., z = (4-6)/sqrt(...).
+    Also: per-key mode + all-tied key gives NULL z."""
+    import math
+
+    from beam_spark.operators.quality import MannWhitneyU
+    from beam_spark.pcollection import PCollection
+
+    rows = ([("k1", "A", x) for x in (1.0, 2.0, 2.0, 5.0)]
+            + [("k1", "B", x) for x in (2.0, 3.0, 4.0)]
+            + [("k2", "A", 7.0), ("k2", "B", 7.0)])
+    df = spark.createDataFrame(rows, "k string, g string, v double")
+    out = {r.k: r for r in
+           (PCollection(df)
+            | MannWhitneyU("v", "g", "A", keys="k")).df.collect()}
+    r = out["k1"]
+    assert (r.na, r.nb) == (4, 3)
+    assert r.u_a == 4.0 and r.u_b == 8.0
+    assert abs(r.auc_a - 4.0 / 12.0) < 1e-9
+    sig2 = 12.0 / 12.0 * (8.0 - 24.0 / 42.0)
+    assert abs(r.z - (4.0 - 6.0) / math.sqrt(sig2)) < 1e-9
+    tied = out["k2"]
+    assert tied.z is None            # zero variance: both values tied
+    assert tied.u_a == 0.5 and tied.auc_a == 0.5
