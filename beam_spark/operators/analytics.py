@@ -506,3 +506,120 @@ class Attribution(PTransform):
             F.col("__touch.e").alias("touch_event"),
             F.col("__touch.t").alias("touch_ts"))
         return pcoll.with_df(out)
+
+
+class RfmSegmentation(PTransform):
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the standard behavioral-scoring pass of marketing/engagement
+    analytics (Hughes 1994), built from a transaction log:
+
+        recency_days = days from the entity's last event to ``as_of``
+        frequency    = event count
+        monetary     = exact decimal sum of ``amount``
+
+    Each metric is scored 1..n_bins by ntile over the ENTITY frame
+    (one row per entity — already aggregated, orders of magnitude
+    smaller than the log). Orderings are made total with the entity
+    id as tie-break, so scores are deterministic and replayable:
+    recency DESC (most recent -> highest score), frequency ASC,
+    monetary ASC. rfm_cell = 100*r + 10*f + m, plus the conventional
+    named segments (champions / loyal / new / at_risk / hibernating /
+    regular).
+
+    Scale: one partial-agg groupBy over the log, then three ntile
+    windows over the entity frame. ntile with no partition key is a
+    single-partition sort of that frame: exact and fine up to ~10^7
+    entities; past that pass ``exact=False`` to score against
+    approx_percentile cutpoints instead (broadcast 1-row frame, no
+    global window, boundary ties may differ from ntile — that is the
+    documented tradeoff, not a bug).
+
+    Output: entity + (recency_days, frequency, monetary, r_score,
+    f_score, m_score, rfm_cell, segment).
+    """
+
+    def __init__(self, entity: str, ts: str, amount: str,
+                 as_of: str | None = None, n_bins: int = 5,
+                 exact: bool = True,
+                 amount_dec: str = "decimal(18,2)", label=None):
+        super().__init__(label)
+        self.entity, self.ts, self.amount = entity, ts, amount
+        self.as_of = as_of
+        self.n_bins = int(n_bins)
+        if self.n_bins < 2:
+            raise ValueError("n_bins must be >= 2")
+        self.exact = exact
+        self.amount_dec = amount_dec
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        e, ts, am = self.entity, self.ts, self.amount
+        df = pcoll.df.where(F.col(e).isNotNull()
+                            & F.col(ts).isNotNull())
+        if self.as_of is not None:
+            asof = F.lit(self.as_of).cast("date")
+        else:
+            asof = F.max(F.col(ts).cast("date")).over(
+                Window.partitionBy())
+        ent = (df.groupBy(F.col(e).alias("entity"))
+               .agg(F.max(F.col(ts).cast("date")).alias("__last"),
+                    F.count(F.lit(1)).cast("long").alias("frequency"),
+                    F.sum(F.col(am).cast(self.amount_dec))
+                    .alias("monetary")))
+        ent = ent.withColumn(
+            "recency_days",
+            F.datediff(asof, F.col("__last")).cast("long"))
+        nb = self.n_bins
+        if self.exact:
+            ent = (ent
+                   .withColumn("r_score", F.ntile(nb).over(
+                       Window.orderBy(F.desc("recency_days"),
+                                      F.col("entity"))))
+                   .withColumn("f_score", F.ntile(nb).over(
+                       Window.orderBy(F.asc("frequency"),
+                                      F.col("entity"))))
+                   .withColumn("m_score", F.ntile(nb).over(
+                       Window.orderBy(F.asc("monetary"),
+                                      F.col("entity")))))
+        else:
+            qs = [i / nb for i in range(1, nb)]
+            cuts = ent.agg(*[
+                F.expr(f"approx_percentile({c}, array"
+                       f"({', '.join(str(x) for x in qs)}), 10000)")
+                .alias(f"__cut_{c}")
+                for c in ("recency_days", "frequency", "monetary")])
+            ent = ent.crossJoin(F.broadcast(cuts))
+            # score = 1 + number of cutpoints strictly below the value
+            def _score(c, invert):
+                arr = F.col(f"__cut_{c}")
+                val = F.col(c)
+                s = (F.lit(1) + F.aggregate(
+                    arr, F.lit(0),
+                    lambda acc, cut: acc + F.when(val > cut, 1)
+                    .otherwise(0))).cast("int")
+                return (F.lit(nb + 1) - s).cast("int") if invert else s
+            ent = (ent
+                   .withColumn("r_score",
+                               _score("recency_days", invert=True))
+                   .withColumn("f_score", _score("frequency", False))
+                   .withColumn("m_score", _score("monetary", False))
+                   .drop("__cut_recency_days", "__cut_frequency",
+                         "__cut_monetary"))
+        r, f = F.col("r_score"), F.col("f_score")
+        hi, lo = self.n_bins - 1, 2        # >= hi is "high", <= 2 "low"
+        expr = (F.when((r >= hi) & (f >= hi), "champions")
+                .when((r >= hi - 1) & (f >= hi - 1), "loyal")
+                .when((r >= hi) & (f <= lo), "new")
+                .when((r <= lo) & (f >= hi - 1), "at_risk")
+                .when((r <= lo) & (f <= lo), "hibernating")
+                .otherwise("regular"))
+        out = (ent.withColumn(
+                   "rfm_cell",
+                   (100 * F.col("r_score") + 10 * F.col("f_score")
+                    + F.col("m_score")).cast("int"))
+               .withColumn("segment", expr)
+               .select("entity", "recency_days", "frequency",
+                       "monetary", "r_score", "f_score", "m_score",
+                       "rfm_cell", "segment"))
+        return pcoll.with_df(out)

@@ -9282,3 +9282,48 @@ def q_stats_mannwhitney_u(spark, sf_dir):
         F.col("event_type").isin(["purchase", "view"]))
     return (PCollection(ev)
             | MannWhitneyU("value", "event_type", "purchase")).df
+
+
+@query("q_rfm_segmentation", """
+WITH ent AS (SELECT o_custkey AS entity,
+                    max(CAST(o_orderdate AS DATE)) AS last_d,
+                    CAST(count(*) AS BIGINT) AS frequency,
+                    sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS monetary
+             FROM orders
+             WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+             GROUP BY 1),
+sc AS (SELECT entity,
+              CAST(date_diff('day', last_d, DATE '1999-01-01')
+                   AS BIGINT) AS recency_days,
+              frequency, monetary,
+              CAST(ntile(5) OVER (ORDER BY
+                date_diff('day', last_d, DATE '1999-01-01') DESC,
+                entity) AS INT) AS r_score,
+              CAST(ntile(5) OVER (ORDER BY frequency ASC, entity)
+                   AS INT) AS f_score,
+              CAST(ntile(5) OVER (ORDER BY monetary ASC, entity)
+                   AS INT) AS m_score
+       FROM ent)
+SELECT entity, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       CAST(100*r_score + 10*f_score + m_score AS INT) AS rfm_cell,
+       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champions'
+            WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+            WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+            WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+            ELSE 'regular' END AS segment
+FROM sc
+""")
+def q_rfm_segmentation(spark, sf_dir):
+    """RFM scoring of customers from the orders log (as_of 1999-01-01,
+    5 bins, entity-id tie-broken ntile orderings) — DuckDB replays the
+    aggregation + the three deterministic ntile windows + the segment
+    CASE verbatim; monetary is an exact decimal sum."""
+    from beam_spark.operators.analytics import RfmSegmentation
+
+    o = table(spark, sf_dir, "orders")
+    return (o | RfmSegmentation("o_custkey", "o_orderdate",
+                                "o_totalprice",
+                                as_of="1999-01-01")).df

@@ -3745,3 +3745,45 @@ def test_mannwhitney_u_against_scipy_formulas(spark):
     tied = out["k2"]
     assert tied.z is None            # zero variance: both values tied
     assert tied.u_a == 0.5 and tied.auc_a == 0.5
+
+
+def test_rfm_segmentation_modes(spark):
+    """10 entities with monotone recency/frequency/monetary: entity i
+    has i events, most recent at day i (as_of day 11), amount 10*i.
+    Exact mode: all three scores agree (2 entities per quintile);
+    entity 10 is champions, entity 1 hibernating. Approx mode returns
+    scores in 1..5 with the same monotone ordering."""
+    import datetime
+
+    from beam_spark.operators.analytics import RfmSegmentation
+    from beam_spark.pcollection import PCollection
+
+    rows = []
+    for i in range(1, 11):
+        for j in range(i):
+            rows.append((i, datetime.datetime(2024, 1, min(i, 28),
+                                              12, 0, 0)
+                         - datetime.timedelta(hours=j), 10.0 * i))
+    df = spark.createDataFrame(rows, "e long, t timestamp, a double")
+    out = {r.entity: r for r in
+           (PCollection(df)
+            | RfmSegmentation("e", "t", "a", as_of="2024-02-01")
+            ).df.collect()}
+    assert len(out) == 10
+    assert out[10].r_score == 5 and out[10].f_score == 5
+    assert out[10].m_score == 5 and out[10].segment == "champions"
+    assert out[10].rfm_cell == 555
+    assert out[1].segment == "hibernating"
+    assert out[1].frequency == 1 and float(out[1].monetary) == 10.0
+    assert out[10].recency_days == (datetime.date(2024, 2, 1)
+                                    - datetime.date(2024, 1, 10)).days
+    approx = {r.entity: r for r in
+              (PCollection(df)
+               | RfmSegmentation("e", "t", "a", as_of="2024-02-01",
+                                 exact=False)).df.collect()}
+    scores = [approx[i].f_score for i in range(1, 11)]
+    assert all(1 <= s <= 5 for s in scores)
+    assert scores == sorted(scores)
+    import pytest
+    with pytest.raises(ValueError):
+        RfmSegmentation("e", "t", "a", n_bins=1)
