@@ -1725,3 +1725,109 @@ class LinearFit(PTransform):
             F.round(F.when((dx != 0.0) & (dy != 0.0),
                            (num * num) / (dx * dy)), 9).alias("r2"))
         return pcoll.with_df(out)
+
+
+class KmvOverlapMatrix(PTransform):
+    """Pairwise set-overlap matrix across the GROUPS of one frame via
+    K-minimum-values sketches — "how much vocabulary / how many users
+    do every two sources share?" as one job instead of g^2 KmvOverlap
+    runs. Same md5-60-bit determinism, estimators, and exact-below-k
+    behavior as KmvOverlap (see its docstring for the math and the
+    float-column caveat).
+
+    Construction: one (group, hash) DISTINCT, a rank-window per group
+    keeps each group's k smallest hashes (the sketch frame: at most
+    g*k rows), then a hash-equijoin of the sketch frame with itself
+    builds every unordered group pair's union sketch — merge, re-rank,
+    keep k smallest, count hashes present in both sides.
+
+    Scale: the only full-data shuffle is the (group, hash) DISTINCT;
+    everything after runs on the g*k-row sketch frame (broadcast-sized
+    for any reasonable group count). The pair blow-up is g^2 * k rows
+    of SKETCH data, never raw data.
+
+    Output: one row per unordered pair (group_a < group_b): k, ku_a,
+    ku_b, ku_u, est_a, est_b, est_union, est_intersection,
+    jaccard_est — same column conventions as KmvOverlap.
+    """
+
+    def __init__(self, col: str, group: str, k: int = 256,
+                 label=None):
+        super().__init__(label)
+        self.col, self.group = col, group
+        if int(k) < 2:
+            raise ValueError(f"k {k}: need >= 2")
+        self.k = int(k)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        c, g, k = self.col, self.group, self.k
+        scale = float(1 << 60)
+        dh = (pcoll.df
+              .where(F.col(c).isNotNull() & F.col(g).isNotNull())
+              .select(F.col(g).alias("g"),
+                      F.expr(f"CAST(conv(substring(md5(CAST({c} AS "
+                             "STRING)), 1, 15), 16, 10) AS BIGINT)")
+                      .alias("h"))
+              .distinct())
+        w = Window.partitionBy("g").orderBy("h")
+        sk = (dh.withColumn("__r", F.row_number().over(w))
+              .where(F.col("__r") <= k).drop("__r"))
+        per_g = sk.groupBy("g").agg(
+            F.count(F.lit(1)).alias("ku"), F.max("h").alias("hk"))
+        a = sk.select(F.col("g").alias("ga"), "h")
+        b = sk.select(F.col("g").alias("gb"), "h")
+        # union sketch per pair: full outer on h within each pair via
+        # a grouped merge — tag membership, merge duplicates
+        pairs_g = (per_g.select(F.col("g").alias("ga"))
+                   .crossJoin(per_g.select(F.col("g").alias("gb")))
+                   .where(F.col("ga") < F.col("gb")))
+        merged = (pairs_g
+                  .join(a.withColumn("ia", F.lit(1))
+                        .withColumn("ib", F.lit(0)), "ga")
+                  .unionByName(
+                      pairs_g.join(b.withColumn("ia", F.lit(0))
+                                   .withColumn("ib", F.lit(1)), "gb")
+                      .select("ga", "gb", "h", "ia", "ib"))
+                  .groupBy("ga", "gb", "h")
+                  .agg(F.max("ia").alias("ia"),
+                       F.max("ib").alias("ib")))
+        wp = Window.partitionBy("ga", "gb").orderBy("h")
+        tu = (merged.withColumn("__r", F.row_number().over(wp))
+              .where(F.col("__r") <= k)
+              .groupBy("ga", "gb")
+              .agg(F.count(F.lit(1)).alias("ku_u"),
+                   F.max("h").alias("hk_u"),
+                   F.sum(F.when((F.col("ia") == 1)
+                                & (F.col("ib") == 1), 1)
+                         .otherwise(0)).alias("nb")))
+        pa = per_g.select(F.col("g").alias("ga"),
+                          F.col("ku").alias("ku_a"),
+                          F.col("hk").alias("hk_a"))
+        pb = per_g.select(F.col("g").alias("gb"),
+                          F.col("ku").alias("ku_b"),
+                          F.col("hk").alias("hk_b"))
+        row = tu.join(pa, "ga").join(pb, "gb")
+
+        def est(ku, hk):
+            return (F.when(ku < k, ku.cast("double"))
+                    .otherwise((ku - 1).cast("double")
+                               / (hk.cast("double") / scale)))
+
+        ea = est(F.col("ku_a"), F.col("hk_a"))
+        eb = est(F.col("ku_b"), F.col("hk_b"))
+        eu = est(F.col("ku_u"), F.col("hk_u"))
+        ei = (F.when(F.col("ku_u") < k, F.col("nb").cast("double"))
+              .otherwise(F.col("nb").cast("double")
+                         / F.col("ku_u").cast("double") * eu))
+        out = row.select(
+            F.col("ga").alias("group_a"), F.col("gb").alias("group_b"),
+            F.lit(k).alias("k"), "ku_a", "ku_b", "ku_u",
+            F.round(ea, 6).alias("est_a"),
+            F.round(eb, 6).alias("est_b"),
+            F.round(eu, 6).alias("est_union"),
+            F.round(ei, 6).alias("est_intersection"),
+            F.round(F.when(eu > 0, ei / eu).otherwise(F.lit(0.0)), 6)
+            .alias("jaccard_est"))
+        return pcoll.with_df(out)

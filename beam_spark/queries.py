@@ -9327,3 +9327,70 @@ def q_rfm_segmentation(spark, sf_dir):
     return (o | RfmSegmentation("o_custkey", "o_orderdate",
                                 "o_totalprice",
                                 as_of="1999-01-01")).df
+
+
+@query("q_kmv_overlap_matrix", """
+WITH dh AS (SELECT DISTINCT o_orderpriority AS g,
+                   CAST(('0x' || substr(md5(CAST(o_custkey AS
+                     VARCHAR)), 1, 15)) AS BIGINT) AS h
+            FROM orders
+            WHERE o_custkey IS NOT NULL
+              AND o_orderpriority IS NOT NULL),
+sk AS (SELECT g, h FROM (
+         SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h)
+           AS r FROM dh) WHERE r <= 256),
+pg AS (SELECT g, CAST(count(*) AS BIGINT) AS ku, max(h) AS hk
+       FROM sk GROUP BY g),
+prs AS (SELECT a.g AS ga, b.g AS gb FROM pg a JOIN pg b ON a.g < b.g),
+mg AS (SELECT ga, gb, h, max(ia) AS ia, max(ib) AS ib FROM (
+         SELECT p.ga, p.gb, s.h, 1 AS ia, 0 AS ib
+         FROM prs p JOIN sk s ON s.g = p.ga
+         UNION ALL
+         SELECT p.ga, p.gb, s.h, 0, 1
+         FROM prs p JOIN sk s ON s.g = p.gb)
+       GROUP BY 1, 2, 3),
+tu AS (SELECT ga, gb, CAST(count(*) AS BIGINT) AS ku_u,
+              max(h) AS hk_u,
+              CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nb
+       FROM (SELECT *, row_number() OVER (PARTITION BY ga, gb
+               ORDER BY h) AS r FROM mg) WHERE r <= 256
+       GROUP BY 1, 2),
+row1 AS (SELECT tu.*, pa.ku AS ku_a, pa.hk AS hk_a,
+                pb.ku AS ku_b, pb.hk AS hk_b
+         FROM tu JOIN pg pa ON pa.g = tu.ga
+                 JOIN pg pb ON pb.g = tu.gb),
+s AS (SELECT *,
+        CASE WHEN ku_a < 256 THEN CAST(ku_a AS DOUBLE)
+             ELSE CAST(ku_a - 1 AS DOUBLE) / (CAST(hk_a AS DOUBLE)
+                  / CAST(1152921504606846976 AS DOUBLE)) END AS ea,
+        CASE WHEN ku_b < 256 THEN CAST(ku_b AS DOUBLE)
+             ELSE CAST(ku_b - 1 AS DOUBLE) / (CAST(hk_b AS DOUBLE)
+                  / CAST(1152921504606846976 AS DOUBLE)) END AS eb,
+        CASE WHEN ku_u < 256 THEN CAST(ku_u AS DOUBLE)
+             ELSE CAST(ku_u - 1 AS DOUBLE) / (CAST(hk_u AS DOUBLE)
+                  / CAST(1152921504606846976 AS DOUBLE)) END AS eu
+      FROM row1),
+f AS (SELECT *,
+        CASE WHEN ku_u < 256 THEN CAST(nb AS DOUBLE)
+             ELSE CAST(nb AS DOUBLE) / CAST(ku_u AS DOUBLE) * eu
+        END AS ei
+      FROM s)
+SELECT ga AS group_a, gb AS group_b, CAST(256 AS INT) AS k,
+       ku_a, ku_b, ku_u,
+       round(ea, 6) AS est_a, round(eb, 6) AS est_b,
+       round(eu, 6) AS est_union, round(ei, 6) AS est_intersection,
+       round(CASE WHEN eu > 0 THEN ei / eu
+             ELSE CAST(0 AS DOUBLE) END, 6) AS jaccard_est
+FROM f
+""")
+def q_kmv_overlap_matrix(spark, sf_dir):
+    """Pairwise KMV overlap matrix of customer sets across the five
+    order priorities (k=256: exact at sf0.001, estimator path at
+    sf0.01) — 10 unordered pairs, oracle replays sketch construction,
+    pair merge, and estimators verbatim."""
+    from beam_spark.operators.stats import KmvOverlapMatrix
+
+    o = table(spark, sf_dir, "orders")
+    return (o | KmvOverlapMatrix("o_custkey", "o_orderpriority",
+                                 k=256)).df

@@ -3787,3 +3787,31 @@ def test_rfm_segmentation_modes(spark):
     import pytest
     with pytest.raises(ValueError):
         RfmSegmentation("e", "t", "a", n_bins=1)
+
+
+def test_kmv_overlap_matrix_exact_below_k(spark):
+    """Three groups with known sets: A = 1..10, B = 6..15 (|A&B| = 5),
+    C = 100..104 (disjoint). Below k everything is exact: est_* equal
+    true cardinalities, jaccard exact; pair count = C(3,2) = 3 and
+    group_a < group_b holds."""
+    from beam_spark.operators.stats import KmvOverlapMatrix
+    from beam_spark.pcollection import PCollection
+
+    rows = ([("A", i) for i in range(1, 11)]
+            + [("B", i) for i in range(6, 16)]
+            + [("C", i) for i in range(100, 105)]
+            + [("A", 1), ("B", 6)])          # dupes are deduped
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {(r.group_a, r.group_b): r for r in
+           (PCollection(df) | KmvOverlapMatrix("v", "g", k=64))
+           .df.collect()}
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = out[("A", "B")]
+    assert (ab.est_a, ab.est_b) == (10.0, 10.0)
+    assert ab.est_union == 15.0 and ab.est_intersection == 5.0
+    assert abs(ab.jaccard_est - 5.0 / 15.0) < 1e-6
+    ac = out[("A", "C")]
+    assert ac.est_intersection == 0.0 and ac.jaccard_est == 0.0
+    import pytest
+    with pytest.raises(ValueError):
+        KmvOverlapMatrix("v", "g", k=1)
