@@ -1021,3 +1021,184 @@ class SilhouetteScore(PTransform):
             F.when(own_n > 1, a).alias("a_mean_dist"),
             b.alias("b_mean_dist"), sil.alias("silhouette"))
         return pcoll.with_df(out)
+
+
+class CovarianceMatrix(PTransform):
+    """Exact d x d sample covariance of a vector column by one
+    distributed partial-Gram pass — the statistics PCA/whitening/
+    Mahalanobis flows need, computed the way it must be at corpus
+    scale: each Arrow batch contributes ONE row (count, column sums,
+    flattened X'X from a numpy matmul), then a d^2-cell keyed
+    aggregation combines batches. No per-row explode of d^2 cells,
+    no driver-side data collection.
+
+        cov(i, j) = (G_ij - S_i * S_j / n) / (n - 1)
+
+    Scale: the shuffle after the scan carries (#batches) * d^2 cells
+    (thousands of rows, not billions); per-batch work is one
+    (batch x d)'(batch x d) BLAS call. Rows with NULL vectors are
+    dropped; rows with a deviating vector length fail the numpy
+    stack loudly rather than silently truncating.
+
+    Output: (i, j, cov) for all d^2 ordered pairs (symmetric — both
+    triangles emitted so downstream joins need no case logic), i/j
+    0-based ints, cov double (unrounded; round at the comparison
+    boundary — batch-vs-row float sum order differs across engines
+    at ~1e-15 relative).
+    """
+
+    def __init__(self, vec_col: str = "embedding", label=None):
+        super().__init__(label)
+        self.vec_col = vec_col
+
+    @staticmethod
+    def _partial_gram(vec_col):
+        def gen(it):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in it:
+                vs = pdf[vec_col].dropna()
+                if not len(vs):
+                    continue
+                X = np.stack([np.asarray(v, dtype=np.float64)
+                              for v in vs])
+                yield pd.DataFrame({
+                    "n": [int(len(X))],
+                    "s": [X.sum(axis=0).tolist()],
+                    "g": [(X.T @ X).ravel().tolist()]})
+        return gen
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        vc = self.vec_col
+        src = pcoll.df.where(F.col(vc).isNotNull())
+        first = src.select(F.size(vc).alias("d")).first()
+        if first is None:
+            raise ValueError("CovarianceMatrix: empty input")
+        d = int(first["d"])
+        parts = src.select(vc).mapInPandas(
+            self._partial_gram(vc),
+            schema="n long, s array<double>, g array<double>")
+        tot = (parts.select(F.posexplode("g").alias("idx", "gv"))
+               .groupBy("idx").agg(F.sum("gv").alias("g")))
+        n_s = (parts.select("n", F.posexplode("s").alias("i", "sv"))
+               .groupBy("i").agg(F.sum("sv").alias("s"),
+                                 F.sum("n").alias("n")))
+        si = n_s.select(F.col("i").alias("i"),
+                        F.col("s").alias("s_i"), "n")
+        sj = n_s.select(F.col("i").alias("j"),
+                        F.col("s").alias("s_j"))
+        cells = tot.select(
+            (F.col("idx") / d).cast("int").alias("i"),
+            (F.col("idx") % d).cast("int").alias("j"),
+            F.col("g"))
+        out = (cells.join(si, "i").join(sj, "j")
+               .where(F.col("n") >= 2)
+               .select(
+                   "i", "j",
+                   ((F.col("g") - F.col("s_i") * F.col("s_j")
+                     / F.col("n").cast("double"))
+                    / (F.col("n") - F.lit(1)).cast("double"))
+                   .alias("cov")))
+        return pcoll.with_df(out)
+
+
+class PcaProject(PTransform):
+    """PCA projection / whitening of an embedding column — the
+    dimensionality-reduction and decorrelation step an embedding
+    pipeline runs before ANN indexing, SemDeDup, or duplicate-aware
+    sampling (whitening famously sharpens cosine retrieval on
+    anisotropic encoder outputs).
+
+    Fit: CovarianceMatrix's partial-Gram batches are combined on the
+    driver (d x d doubles — independent of corpus size), then a numpy
+    ``eigh`` gives the top-k eigenpairs. Determinism: eigh on an
+    identical matrix is deterministic, and each component's sign is
+    normalized so its largest-|.|-coordinate is positive (ties: the
+    lowest index wins), the sklearn convention — so outputs don't
+    flip sign run to run. Projection: one Arrow-batched pass
+    computing (X - mean) @ V [* 1/sqrt(eigval + eps) if whitened] —
+    numpy matmul per batch, no Python per row.
+
+    Scale: fit = one scan emitting a d^2 summary per batch; transform
+    = one scan; driver memory d^2 doubles. The k x d component matrix
+    rides in the task closure (fails fast above MAX_DIM).
+
+    After expand, ``explained_variance_`` / ``explained_variance_ratio_``
+    hold the fitted spectra (driver-side floats).
+
+    Output: (id_col, pca array<double> of length k).
+    """
+
+    MAX_DIM = 2048
+
+    def __init__(self, k: int, id_col: str = "vec_id",
+                 vec_col: str = "embedding", whiten: bool = False,
+                 eps: float = 1e-9, label=None):
+        super().__init__(label)
+        self.k = int(k)
+        if self.k < 1:
+            raise ValueError("k must be >= 1")
+        self.id_col, self.vec_col = id_col, vec_col
+        self.whiten, self.eps = bool(whiten), float(eps)
+        self.explained_variance_ = None
+        self.explained_variance_ratio_ = None
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        import numpy as np
+
+        idc, vc = self.id_col, self.vec_col
+        src = pcoll.df.where(F.col(vc).isNotNull())
+        parts = src.select(vc).mapInPandas(
+            CovarianceMatrix._partial_gram(vc),
+            schema="n long, s array<double>, g array<double>").collect()
+        if not parts:
+            raise ValueError("PcaProject: empty input")
+        d = len(parts[0]["s"])
+        if d > self.MAX_DIM:
+            raise ValueError(f"dim {d} > MAX_DIM {self.MAX_DIM}")
+        if self.k > d:
+            raise ValueError(f"k {self.k} > dim {d}")
+        n = sum(r["n"] for r in parts)
+        if n < 2:
+            raise ValueError("PcaProject: need >= 2 vectors")
+        s = np.sum([r["s"] for r in parts], axis=0)
+        g = np.sum([np.asarray(r["g"]).reshape(d, d) for r in parts],
+                   axis=0)
+        mean = s / n
+        cov = (g - np.outer(s, s) / n) / (n - 1)
+        evals, evecs = np.linalg.eigh(cov)     # ascending
+        order = np.argsort(evals)[::-1][:self.k]
+        lam = np.maximum(evals[order], 0.0)
+        V = evecs[:, order]
+        for c in range(V.shape[1]):            # sign convention
+            jmax = int(np.argmax(np.abs(V[:, c])))
+            if V[jmax, c] < 0:
+                V[:, c] = -V[:, c]
+        if self.whiten:
+            V = V / np.sqrt(lam + self.eps)
+        self.explained_variance_ = lam.tolist()
+        total = float(np.trace(cov))
+        self.explained_variance_ratio_ = (
+            (lam / total).tolist() if total > 0 else [0.0] * self.k)
+        mean_b, V_b = mean, V
+
+        def project(it):
+            import pandas as pd
+
+            for pdf in it:
+                ok = pdf[vc].notna()
+                pdf = pdf[ok]
+                if not len(pdf):
+                    continue
+                X = np.stack([np.asarray(v, dtype=np.float64)
+                              for v in pdf[vc]])
+                Y = (X - mean_b) @ V_b
+                yield pd.DataFrame({
+                    idc: pdf[idc].values,
+                    "pca": [row.tolist() for row in Y]})
+
+        id_type = dict(src.dtypes)[idc]
+        out = src.select(idc, vc).mapInPandas(
+            project, schema=f"{idc} {id_type}, pca array<double>")
+        return pcoll.with_df(out)

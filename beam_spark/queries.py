@@ -9394,3 +9394,34 @@ def q_kmv_overlap_matrix(spark, sf_dir):
     o = table(spark, sf_dir, "orders")
     return (o | KmvOverlapMatrix("o_custkey", "o_orderpriority",
                                  k=256)).df
+
+
+@query("q_embedding_covariance", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           FROM embeddings WHERE vec_id % 5 = 0),
+idx AS (SELECT i FROM generate_series(1, 64) t(i)),
+x AS (SELECT e.vec_id, idx.i - 1 AS i, e.v[idx.i] AS xi FROM e, idx),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+s AS (SELECT i, sum(xi) AS s FROM x GROUP BY i),
+g AS (SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS g
+      FROM x a JOIN x b ON b.vec_id = a.vec_id
+      GROUP BY 1, 2)
+SELECT CAST(g.i AS INT) AS i, CAST(g.j AS INT) AS j,
+       round((g.g - sa.s * sb.s / n.n) / (n.n - 1), 6) AS cov
+FROM g CROSS JOIN n
+JOIN s sa ON sa.i = g.i
+JOIN s sb ON sb.i = g.j
+""")
+def q_embedding_covariance(spark, sf_dir):
+    """Full 64x64 sample covariance of a deterministic embedding
+    subsample (vec_id % 5 = 0) via the partial-Gram batch pass —
+    DuckDB replays it as a row-level explode + self-join; batch-vs-row
+    float-sum order is the only difference, absorbed at round 6."""
+    from beam_spark.operators.similarity import CovarianceMatrix
+
+    emb = table(spark, sf_dir, "embeddings").df.where(
+        "vec_id % 5 = 0").select(
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        .alias("embedding"))
+    out = (PCollection(emb) | CovarianceMatrix()).df
+    return out.select("i", "j", F.round("cov", 6).alias("cov"))

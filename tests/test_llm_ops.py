@@ -3815,3 +3815,65 @@ def test_kmv_overlap_matrix_exact_below_k(spark):
     import pytest
     with pytest.raises(ValueError):
         KmvOverlapMatrix("v", "g", k=1)
+
+
+def test_pca_project_known_plane_and_whiten(spark):
+    """Data on a known 2D plane in 4D: x = a*u + b*v with u, v
+    orthonormal axes e0, e1 and var(a) >> var(b). PCA(k=2) must
+    recover components ±e0, ±e1 (sign-normalized positive), explained
+    variance ratios summing to 1, and projections equal to the
+    centered (a, b). Whitened output has unit sample variance per
+    coordinate. k > dim and empty input fail fast."""
+    import numpy as np
+    import pytest
+
+    from beam_spark.operators.similarity import PcaProject
+    from beam_spark.pcollection import PCollection
+
+    # a and b chosen zero-mean AND uncorrelated (sum a_i*b_i = 0) so
+    # the principal axes are exactly e0, e1
+    rng = [(-3.0, 1.0), (-1.0, -1.0), (1.0, -1.0), (3.0, 1.0),
+           (2.0, 0.0), (-2.0, 0.0)]
+    rows = [(i, [a, b, 0.0, 0.0]) for i, (a, b) in enumerate(rng)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    t = PcaProject(k=2)
+    out = (PCollection(df) | t).df.collect()
+    got = {r.vec_id: np.array(r.pca) for r in out}
+    a_mean = np.mean([a for a, _ in rng])
+    b_mean = np.mean([b for _, b in rng])
+    for i, (a, b) in enumerate(rng):
+        assert np.allclose(got[i], [a - a_mean, b - b_mean], atol=1e-9), i
+    assert abs(sum(t.explained_variance_ratio_) - 1.0) < 1e-9
+    assert t.explained_variance_[0] > t.explained_variance_[1]
+    # whiten: unit variance per output coordinate
+    tw = PcaProject(k=2, whiten=True)
+    outw = (PCollection(df) | tw).df.collect()
+    Y = np.stack([np.array(r.pca) for r in outw])
+    assert np.allclose(Y.var(axis=0, ddof=1), 1.0, atol=1e-6)
+    with pytest.raises(ValueError):
+        (PCollection(df) | PcaProject(k=5)).df.collect()
+    with pytest.raises(ValueError):
+        PcaProject(k=0)
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        (PCollection(empty) | PcaProject(k=1)).df.collect()
+
+
+def test_covariance_matrix_exact_small(spark):
+    """2D hand-checked covariance: x = [1,2,3], y = [2,4,7] ->
+    var(x) = 1, var(y) = 6.333..., cov(x,y) = 2.5, symmetric, and a
+    NULL vector row is dropped."""
+    from beam_spark.operators.similarity import CovarianceMatrix
+    from beam_spark.pcollection import PCollection
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0],), ([2.0, 4.0],), ([3.0, 7.0],), (None,)],
+        "embedding array<double>")
+    cells = {(r.i, r.j): r.cov for r in
+             (PCollection(df) | CovarianceMatrix()).df.collect()}
+    assert abs(cells[(0, 0)] - 1.0) < 1e-12
+    assert abs(cells[(1, 1)] - 19.0 / 3.0) < 1e-12
+    assert abs(cells[(0, 1)] - 2.5) < 1e-12
+    assert cells[(0, 1)] == cells[(1, 0)]
+    assert len(cells) == 4
