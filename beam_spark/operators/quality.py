@@ -1816,3 +1816,99 @@ class MannWhitneyU(PTransform):
             F.round(F.when(sig2 > 0.0,
                            (ua - mu) / F.sqrt(sig2)), 9).alias("z"))
         return pcoll.with_df(out)
+
+
+class MultipleTestCorrection(PTransform):
+    """Multiple-hypothesis correction over a frame of p-values — the
+    mandatory follow-up when MannWhitneyU / KsDrift / chi-square runs
+    once per key and someone is about to act on "significant" slices
+    (m tests at alpha produce ~m*alpha false flags uncorrected).
+
+    Methods (any subset, each adds a column; statsmodels semantics,
+    all clipped to <= 1):
+
+        bonferroni   p_bonf = m * p
+        holm         p_holm_(i) = running MAX of (m - i + 1) * p_(i)
+                     over ascending p-rank (step-down)
+        bh           p_bh_(i) = running MIN of m * p_(i) / i over
+                     DESCENDING p-rank (Benjamini-Hochberg step-up)
+
+    Ranks come from row_number over (p, tie-break columns) — the
+    tie-break changes nothing about tied p-values' adjusted value
+    (running min/max equalizes them) but makes the plan fully
+    deterministic and replayable. ``keys`` scopes the family (m and
+    the ranks) per key instead of globally.
+
+    Scale: one or two cardinality-bounded windows over the TEST frame
+    (one row per hypothesis — already aggregated), never over raw
+    data; m joins in via a 1-row-per-key broadcastable count frame.
+
+    Output: input columns + requested p_* columns (round 9) +
+    reject_<method> booleans at ``alpha``.
+    """
+
+    METHODS = ("bonferroni", "holm", "bh")
+
+    def __init__(self, p_col: str, methods=("bh",), alpha: float = 0.05,
+                 keys=None, tie_break=None, label=None):
+        super().__init__(label)
+        self.p_col = p_col
+        self.methods = ([methods] if isinstance(methods, str)
+                        else list(methods))
+        bad = [m for m in self.methods if m not in self.METHODS]
+        if bad or not self.methods:
+            raise ValueError(f"methods {self.methods}: "
+                             f"choose from {self.METHODS}")
+        self.alpha = float(alpha)
+        if not 0.0 < self.alpha < 1.0:
+            raise ValueError("alpha must be in (0, 1)")
+        self.keys = ([keys] if isinstance(keys, str)
+                     else list(keys) if keys else [])
+        self.tie_break = ([tie_break] if isinstance(tie_break, str)
+                          else list(tie_break) if tie_break else [])
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        p, ks = self.p_col, self.keys
+        in_cols = pcoll.df.columns
+        df = pcoll.df.where(F.col(p).isNotNull())
+        order = [F.col(p)] + [F.col(c) for c in self.tie_break]
+        wkey = Window.partitionBy(*ks) if ks else Window.partitionBy()
+        df = (df.withColumn("__m", F.count(F.lit(1)).over(wkey))
+              .withColumn("__r", F.row_number().over(
+                  wkey.orderBy(*order))))
+        m = F.col("__m").cast("double")
+        r = F.col("__r").cast("double")
+        pv = F.col(p).cast("double")
+        out = df
+        if "bonferroni" in self.methods:
+            out = out.withColumn(
+                "__raw_bonferroni", F.least(m * pv, F.lit(1.0)))
+        if "holm" in self.methods:
+            wup = (wkey.orderBy(F.col("__r"))
+                   .rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow))
+            out = out.withColumn(
+                "__raw_holm",
+                F.least(F.max((m - r + 1.0) * pv).over(wup),
+                        F.lit(1.0)))
+        if "bh" in self.methods:
+            wdn = (wkey.orderBy(F.desc("__r"))
+                   .rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow))
+            out = out.withColumn(
+                "__raw_bh",
+                F.least(F.min(m * pv / r).over(wdn), F.lit(1.0)))
+        # reject compares the UNROUNDED adjusted p; round 9 is only
+        # the reported column
+        for meth in self.methods:
+            out = (out.withColumn(
+                       f"p_{meth}", F.round(F.col(f"__raw_{meth}"), 9))
+                   .withColumn(
+                       f"reject_{meth}",
+                       F.col(f"__raw_{meth}") <= F.lit(self.alpha)))
+        keep = in_cols + [c for c in out.columns
+                          if c.startswith(("p_", "reject_"))
+                          and c not in in_cols]
+        return pcoll.with_df(out.select(*keep))

@@ -9425,3 +9425,53 @@ def q_embedding_covariance(spark, sf_dir):
         .alias("embedding"))
     out = (PCollection(emb) | CovarianceMatrix()).df
     return out.select("i", "j", F.round("cov", 6).alias("cov"))
+
+
+@query("q_multiple_test_correction", """
+WITH t AS (SELECT DISTINCT user_id,
+                  CAST((user_id * 37) % 1009 + 1 AS DOUBLE) / 1009.0
+                    AS p
+           FROM events WHERE user_id IS NOT NULL),
+r AS (SELECT *, CAST(count(*) OVER () AS DOUBLE) AS m,
+             CAST(row_number() OVER (ORDER BY p, user_id) AS DOUBLE)
+               AS rk
+      FROM t),
+adj AS (SELECT user_id, p,
+               least(m * p, CAST(1 AS DOUBLE)) AS pbonf,
+               least(max((m - rk + 1.0) * p) OVER (ORDER BY rk
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 CAST(1 AS DOUBLE)) AS pholm,
+               least(min(m * p / rk) OVER (ORDER BY rk DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 CAST(1 AS DOUBLE)) AS pbh
+        FROM r)
+SELECT user_id, p,
+       round(pbonf, 9) AS p_bonferroni,
+       round(pholm, 9) AS p_holm,
+       round(pbh, 9) AS p_bh,
+       pbonf <= 0.05 AS reject_bonferroni,
+       pholm <= 0.05 AS reject_holm,
+       pbh <= 0.05 AS reject_bh
+FROM adj
+""")
+def q_multiple_test_correction(spark, sf_dir):
+    """Bonferroni / Holm / Benjamini-Hochberg corrections over one
+    deterministic p-value per user (integer-derived, so both engines
+    see identical doubles) — the oracle replays the rank windows and
+    running min/max verbatim; reject flags at alpha = 0.05.
+
+    Note the rounding asymmetry: reject flags compare the UNROUNDED
+    adjusted p in both engines (the operator does too — round 9 is
+    only the display column)."""
+    from beam_spark.operators.quality import MultipleTestCorrection
+
+    ev = table(spark, sf_dir, "events").df
+    t = (ev.where("user_id IS NOT NULL")
+         .select("user_id").distinct()
+         .withColumn("p", ((F.col("user_id") * 37) % 1009 + 1)
+                     .cast("double") / 1009.0))
+    out = (PCollection(t)
+           | MultipleTestCorrection(
+               "p", methods=("bonferroni", "holm", "bh"),
+               tie_break="user_id")).df
+    return out

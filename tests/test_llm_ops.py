@@ -3877,3 +3877,48 @@ def test_covariance_matrix_exact_small(spark):
     assert abs(cells[(0, 1)] - 2.5) < 1e-12
     assert cells[(0, 1)] == cells[(1, 0)]
     assert len(cells) == 4
+
+
+def test_multiple_test_correction_statsmodels_example(spark):
+    """Textbook example p = [0.01, 0.04, 0.03, 0.005] (m=4), verified
+    against statsmodels.multipletests by hand:
+    bonferroni [0.04, 0.16, 0.12, 0.02];
+    holm {0.005: 0.02, 0.01: 0.03, 0.03: 0.06, 0.04: 0.06};
+    bh {0.005: 0.02, 0.01: 0.02, 0.03: 0.04, 0.04: 0.04}.
+    Keys scope the family per group; invalid args fail fast."""
+    import pytest
+
+    from beam_spark.operators.quality import MultipleTestCorrection
+    from beam_spark.pcollection import PCollection
+
+    df = spark.createDataFrame(
+        [(1, 0.01), (2, 0.04), (3, 0.03), (4, 0.005)],
+        "test_id int, p double")
+    out = {r.test_id: r for r in
+           (PCollection(df)
+            | MultipleTestCorrection(
+                "p", methods=("bonferroni", "holm", "bh"),
+                tie_break="test_id")).df.collect()}
+    assert [out[i].p_bonferroni for i in (1, 2, 3, 4)] \
+        == [0.04, 0.16, 0.12, 0.02]
+    assert [out[i].p_holm for i in (1, 2, 3, 4)] \
+        == [0.03, 0.06, 0.06, 0.02]
+    assert [out[i].p_bh for i in (1, 2, 3, 4)] \
+        == [0.02, 0.04, 0.04, 0.02]
+    assert all(out[i].reject_bh for i in (1, 2, 3, 4))  # all q <= 0.05
+    assert not out[2].reject_bonferroni                 # 0.16 > 0.05
+    assert not out[3].reject_holm                       # 0.06 > 0.05
+    with pytest.raises(ValueError):
+        MultipleTestCorrection("p", methods=("bogus",))
+    with pytest.raises(ValueError):
+        MultipleTestCorrection("p", alpha=0.0)
+    # per-key families: each key of size 2 has m=2
+    df2 = spark.createDataFrame(
+        [("a", 1, 0.01), ("a", 2, 0.03), ("b", 3, 0.02)],
+        "k string, test_id int, p double")
+    per = {r.test_id: r for r in
+           (PCollection(df2)
+            | MultipleTestCorrection("p", methods="bonferroni",
+                                     keys="k")).df.collect()}
+    assert per[1].p_bonferroni == 0.02
+    assert per[3].p_bonferroni == 0.02
