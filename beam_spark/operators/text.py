@@ -961,3 +961,73 @@ class LogOddsTerms(PTransform):
                        F.col("cw").alias("n_term"),
                        F.col("__z").alias("z")))
         return pcoll.with_df(out)
+
+
+class TextRank(PTransform):
+    """TextRank keyword scoring (Mihalcea & Tarau, EMNLP 2004) over a
+    corpus: terms are nodes, adjacent-token co-occurrence counts are
+    symmetric edge weights, and weighted PageRank ranks the terms —
+    the unsupervised keyword extractor for corpus labeling / topic
+    seeding, here run corpus-wide (per-document TextRank is the same
+    graph built per doc; corpus-wide is the variant that needs a
+    cluster).
+
+    Construction: whitespace-lowercase tokens (the corpus-wide `tokens`
+    convention), zipped adjacent pairs, canonical (least, greatest)
+    pair counts with ``min_count`` support pruning, then BOTH
+    directions emitted with the combined count as weight — the
+    undirected-graph convention of the paper expressed on a directed
+    PageRank. Scoring delegates to the fixed-iteration weighted
+    PageRank operator (deterministic, value-oracle-able; see its
+    docstring for the per-round scale posture).
+
+    ``min_token_len`` drops short function-word tokens cheaply (the
+    paper uses POS filters; a length floor is the language-agnostic
+    stand-in and keeps the graph vocabulary-bounded).
+
+    Output: (node, pr) — the term and its TextRank score (round 9).
+    """
+
+    def __init__(self, text_col: str = "text", min_count: int = 2,
+                 min_token_len: int = 2, iterations: int = 5,
+                 damping: float = 0.85, label=None):
+        super().__init__(label)
+        if int(min_count) < 1:
+            raise ValueError(f"min_count {min_count}: need >= 1")
+        self.text_col = text_col
+        self.min_count = int(min_count)
+        self.min_token_len = int(min_token_len)
+        self.iterations = int(iterations)
+        self.damping = float(damping)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from beam_spark.operators.graph import PageRank
+
+        tc = self.text_col
+        toks = F.filter(
+            tokens(tc),
+            lambda x: F.length(x) >= F.lit(self.min_token_len))
+        base = (pcoll.df.where(F.col(tc).isNotNull())
+                .select(toks.alias("__toks")))
+        n = F.size(F.col("__toks"))
+        pairs = F.when(n > 1, F.zip_with(
+            F.slice(F.col("__toks"), 1, n - 1),
+            F.slice(F.col("__toks"), 2, n - 1),
+            lambda a, b: F.struct(F.least(a, b).alias("a"),
+                                  F.greatest(a, b).alias("b"))))
+        und = (base.select(F.explode(pairs).alias("p"))
+               .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+               .where(F.col("a") != F.col("b"))
+               .groupBy("a", "b")
+               .agg(F.count(F.lit(1)).cast("long").alias("c"))
+               .where(F.col("c") >= self.min_count))
+        edges = (und.select(F.col("a").alias("src"),
+                            F.col("b").alias("dst"),
+                            F.col("c").cast("double").alias("w"))
+                 .unionByName(
+                     und.select(F.col("b").alias("src"),
+                                F.col("a").alias("dst"),
+                                F.col("c").cast("double").alias("w"))))
+        return (PCollection(edges)
+                | PageRank(weight="w", damping=self.damping,
+                           iterations=self.iterations))

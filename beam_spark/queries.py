@@ -9475,3 +9475,34 @@ def q_multiple_test_correction(spark, sf_dir):
                "p", methods=("bonferroni", "holm", "bh"),
                tie_break="user_id")).df
     return out
+
+
+_TEXTRANK_EDGES_SQL = """
+WITH tt AS (SELECT list_filter({_TOK}, x -> len(x) >= 2) AS toks
+            FROM documents WHERE text IS NOT NULL),
+bp AS (SELECT least(toks[i], toks[i+1]) AS a,
+              greatest(toks[i], toks[i+1]) AS b
+       FROM tt, unnest(range(1, len(toks))) AS u(i)
+       WHERE toks[i] <> toks[i+1]),
+pc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM bp
+       GROUP BY a, b HAVING count(*) >= 5)
+SELECT a AS src, b AS dst, CAST(c AS DOUBLE) AS w FROM pc
+UNION ALL
+SELECT b, a, CAST(c AS DOUBLE) FROM pc
+""".replace("{_TOK}", _TOK)
+
+
+@query("q_textrank_terms",
+       _pagerank_oracle_sql(iters=2, weighted=True,
+                            edges_sql=_TEXTRANK_EDGES_SQL))
+def q_textrank_terms(spark, sf_dir):
+    """TextRank keyword scores over documents (min pair count 5,
+    min token length 2, weighted PageRank, 2 iterations) — the
+    co-occurrence graph builds identically in both engines and the
+    chained-CTE weighted-pagerank oracle replays the recurrence."""
+    from beam_spark.operators.text import TextRank
+
+    docs = table(spark, sf_dir, "documents")
+    out = (docs | TextRank("text", min_count=5, min_token_len=2,
+                           iterations=2)).df
+    return out.select("node", "pr")

@@ -3922,3 +3922,22 @@ def test_multiple_test_correction_statsmodels_example(spark):
                                      keys="k")).df.collect()}
     assert per[1].p_bonferroni == 0.02
     assert per[3].p_bonferroni == 0.02
+
+
+def test_textrank_hub_wins_and_mass_sums_to_one(spark):
+    """Corpus where 'spark' co-occurs with everything (hub) and other
+    terms only with 'spark': the hub gets the top score; scores sum
+    to ~1; min_token_len drops 1-char tokens."""
+    from beam_spark.operators.text import TextRank
+    from beam_spark.pcollection import PCollection
+
+    docs = [("spark engine",), ("spark shuffle",), ("spark join",),
+            ("spark engine",), ("spark shuffle",), ("spark join",),
+            ("a spark b",)]
+    df = spark.createDataFrame(docs, "text string")
+    out = (PCollection(df)
+           | TextRank("text", min_count=2, iterations=3)).df.collect()
+    scores = {r.node: r.pr for r in out}
+    assert set(scores) == {"spark", "engine", "shuffle", "join"}
+    assert max(scores, key=scores.get) == "spark"
+    assert abs(sum(scores.values()) - 1.0) < 1e-6
