@@ -1912,3 +1912,87 @@ class MultipleTestCorrection(PTransform):
                           if c.startswith(("p_", "reject_"))
                           and c not in in_cols]
         return pcoll.with_df(out.select(*keep))
+
+
+class TwoSampleTTest(PTransform):
+    """Welch's two-sample t-test per key — the parametric companion
+    to MannWhitneyU for A/B mean comparison, one partial-agg pass:
+
+        t  = (mean_a - mean_b) / sqrt(va/na + vb/nb)
+        df = (va/na + vb/nb)^2
+             / ((va/na)^2/(na-1) + (vb/nb)^2/(nb-1))   (Welch 1947)
+        cohens_d = (mean_a - mean_b) / s_pooled          (effect size)
+
+    Count / sum / sum-of-squares accumulate per group as EXACT
+    decimals (``cast_to`` as in LinearFit — exact for decimal/int
+    inputs), so the only floats are the closed forms, evaluated in a
+    fixed operation order. t/df are NULL when either group has < 2
+    rows or both variances are 0. p-values are deliberately not
+    emitted (no closed-form t CDF in either engine); feed |t| with
+    large df to a normal approximation downstream, or the t/df pair
+    to scipy at the edge.
+
+    Scale: one conditional-aggregation groupBy — six sums and two
+    counts per key; no joins, no windows.
+
+    Output: keys + (na, nb, mean_a, mean_b, mean_diff, t, df,
+    cohens_d), floats round 9.
+    """
+
+    def __init__(self, value: str, group: str, group_a, group_b=None,
+                 keys=None, cast_to: str = "decimal(18,6)",
+                 label=None):
+        super().__init__(label)
+        self.value, self.group = value, group
+        self.group_a, self.group_b = group_a, group_b
+        self.keys = ([keys] if isinstance(keys, str)
+                     else list(keys) if keys else [])
+        self.cast_to = cast_to
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        v, g, ks = self.value, self.group, self.keys
+        df = pcoll.df.where(F.col(v).isNotNull())
+        if self.group_b is None:
+            df = df.where(F.col(g).isNotNull())
+        else:
+            df = df.where(F.col(g).isin([self.group_a, self.group_b]))
+        xa = F.when(F.col(g) == F.lit(self.group_a),
+                    F.col(v).cast(self.cast_to))
+        xb = F.when(F.col(g) != F.lit(self.group_a),
+                    F.col(v).cast(self.cast_to))
+        agg = df.groupBy(*ks).agg(
+            F.count(xa).cast("long").alias("na"),
+            F.count(xb).cast("long").alias("nb"),
+            F.sum(xa).alias("__sa"),
+            F.sum(xb).alias("__sb"),
+            F.sum(xa * xa).alias("__ssa"),
+            F.sum(xb * xb).alias("__ssb"))
+        na = F.col("na").cast("double")
+        nb = F.col("nb").cast("double")
+        sa = F.col("__sa").cast("double")
+        sb = F.col("__sb").cast("double")
+        ssa = F.col("__ssa").cast("double")
+        ssb = F.col("__ssb").cast("double")
+        ma, mb = sa / na, sb / nb
+        va = F.when(F.col("na") >= 2,
+                    (ssa - sa * sa / na) / (na - 1.0))
+        vb = F.when(F.col("nb") >= 2,
+                    (ssb - sb * sb / nb) / (nb - 1.0))
+        se2 = va / na + vb / nb
+        t = F.when(se2 > 0.0, (ma - mb) / F.sqrt(se2))
+        dfree = F.when(se2 > 0.0,
+                       (se2 * se2)
+                       / ((va / na) * (va / na) / (na - 1.0)
+                          + (vb / nb) * (vb / nb) / (nb - 1.0)))
+        sp2 = ((na - 1.0) * va + (nb - 1.0) * vb) / (na + nb - 2.0)
+        d = F.when(sp2 > 0.0, (ma - mb) / F.sqrt(sp2))
+        out = agg.select(
+            *ks, "na", "nb",
+            F.round(F.when(F.col("na") >= 1, ma), 9).alias("mean_a"),
+            F.round(F.when(F.col("nb") >= 1, mb), 9).alias("mean_b"),
+            F.round(F.when((F.col("na") >= 1) & (F.col("nb") >= 1),
+                           ma - mb), 9).alias("mean_diff"),
+            F.round(t, 9).alias("t"),
+            F.round(dfree, 9).alias("df"),
+            F.round(d, 9).alias("cohens_d"))
+        return pcoll.with_df(out)

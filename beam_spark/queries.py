@@ -9506,3 +9506,62 @@ def q_textrank_terms(spark, sf_dir):
     out = (docs | TextRank("text", min_count=5, min_token_len=2,
                            iterations=2)).df
     return out.select("node", "pr")
+
+
+@query("q_stats_welch_ttest", """
+WITH b AS (SELECT l_linestatus,
+                  CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS ia,
+                  CAST(l_extendedprice AS DECIMAL(19,6)) AS x
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL
+             AND l_returnflag IN ('A', 'R')),
+a AS (SELECT l_linestatus,
+             CAST(sum(ia) AS BIGINT) AS na,
+             CAST(sum(1 - ia) AS BIGINT) AS nb,
+             CAST(sum(CASE WHEN ia = 1 THEN x END) AS DOUBLE) AS sa,
+             CAST(sum(CASE WHEN ia = 0 THEN x END) AS DOUBLE) AS sb,
+             CAST(sum(CASE WHEN ia = 1 THEN x * x END) AS DOUBLE)
+               AS ssa,
+             CAST(sum(CASE WHEN ia = 0 THEN x * x END) AS DOUBLE)
+               AS ssb
+      FROM b GROUP BY 1),
+m AS (SELECT l_linestatus, na, nb,
+             sa / na AS ma, sb / nb AS mb,
+             CASE WHEN na >= 2
+                  THEN (ssa - sa * sa / na) / (na - 1.0) END AS va,
+             CASE WHEN nb >= 2
+                  THEN (ssb - sb * sb / nb) / (nb - 1.0) END AS vb,
+             CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd
+      FROM a),
+s AS (SELECT *, va / nad + vb / nbd AS se2,
+             ((nad - 1.0) * va + (nbd - 1.0) * vb)
+               / (nad + nbd - 2.0) AS sp2
+      FROM m)
+SELECT l_linestatus, na, nb,
+       round(CASE WHEN na >= 1 THEN ma END, 9) AS mean_a,
+       round(CASE WHEN nb >= 1 THEN mb END, 9) AS mean_b,
+       round(CASE WHEN na >= 1 AND nb >= 1 THEN ma - mb END, 9)
+         AS mean_diff,
+       round(CASE WHEN se2 > 0.0
+                  THEN (ma - mb) / sqrt(se2) END, 9) AS t,
+       round(CASE WHEN se2 > 0.0
+                  THEN (se2 * se2)
+                       / ((va / nad) * (va / nad) / (nad - 1.0)
+                          + (vb / nbd) * (vb / nbd) / (nbd - 1.0))
+             END, 9) AS df,
+       round(CASE WHEN sp2 > 0.0
+                  THEN (ma - mb) / sqrt(sp2) END, 9) AS cohens_d
+FROM s
+""")
+def q_stats_welch_ttest(spark, sf_dir):
+    """Welch t-test of extendedprice, returnflag A vs R per
+    linestatus — exact decimal conditional sums; t/df/cohens_d double
+    closed forms replayed in identical order (DuckDB decimals widened
+    to 19,6 for hugeint products, the LinearFit convention)."""
+    from beam_spark.operators.quality import TwoSampleTTest
+
+    li = table(spark, sf_dir, "lineitem").df.where(
+        F.col("l_returnflag").isin(["A", "R"]))
+    return (PCollection(li)
+            | TwoSampleTTest("l_extendedprice", "l_returnflag", "A",
+                             keys="l_linestatus")).df

@@ -3941,3 +3941,37 @@ def test_textrank_hub_wins_and_mass_sums_to_one(spark):
     assert set(scores) == {"spark", "engine", "shuffle", "join"}
     assert max(scores, key=scores.get) == "spark"
     assert abs(sum(scores.values()) - 1.0) < 1e-6
+
+
+def test_welch_ttest_vs_scipy_values(spark):
+    """Hand-verified vs scipy.stats.ttest_ind(equal_var=False) on
+    A = [1, 2, 3, 4], B = [2, 4, 6]: means 2.5 / 4, va = 5/3, vb = 4,
+    se2 = 5/12 + 4/3 = 1.75, t = -1.5/sqrt(1.75) = -1.13389...,
+    df = 1.75^2 / ((5/12)^2/3 + (4/3)^2/2) = 3.2414...; singleton
+    group and constant-both-groups give NULL t."""
+    import math
+
+    from beam_spark.operators.quality import TwoSampleTTest
+    from beam_spark.pcollection import PCollection
+
+    rows = ([("k", "A", float(x)) for x in (1, 2, 3, 4)]
+            + [("k", "B", float(x)) for x in (2, 4, 6)]
+            + [("one", "A", 1.0), ("one", "B", 2.0), ("one", "B", 3.0)]
+            + [("const", "A", 5.0), ("const", "A", 5.0),
+               ("const", "B", 5.0), ("const", "B", 5.0)])
+    df = spark.createDataFrame(rows, "k string, g string, v double")
+    out = {r.k: r for r in
+           (PCollection(df)
+            | TwoSampleTTest("v", "g", "A", keys="k")).df.collect()}
+    r = out["k"]
+    assert (r.na, r.nb) == (4, 3)
+    assert r.mean_a == 2.5 and r.mean_b == 4.0 and r.mean_diff == -1.5
+    se2 = 5.0 / 12.0 + 4.0 / 3.0
+    assert abs(r.t - (-1.5 / math.sqrt(se2))) < 1e-9
+    dff = se2 ** 2 / ((5.0 / 12.0) ** 2 / 3.0 + (4.0 / 3.0) ** 2 / 2.0)
+    assert abs(r.df - dff) < 1e-8
+    sp2 = (3 * 5.0 / 3.0 + 2 * 4.0) / 5.0
+    assert abs(r.cohens_d - (-1.5 / math.sqrt(sp2))) < 1e-9
+    assert out["one"].t is None          # na = 1: no variance
+    assert out["const"].t is None        # zero variance both sides
+    assert out["const"].mean_diff == 0.0
