@@ -1996,3 +1996,99 @@ class TwoSampleTTest(PTransform):
             F.round(dfree, 9).alias("df"),
             F.round(d, 9).alias("cohens_d"))
         return pcoll.with_df(out)
+
+
+class MahalanobisOutliers(PTransform):
+    """Multivariate outlier scoring by squared Mahalanobis distance
+    over a vector column — FlagOutliers' multivariate sibling, the
+    embedding/feature-space anomaly score that respects correlations
+    (a point 2 sigma out along a correlated direction is much rarer
+    than its per-coordinate z-scores suggest):
+
+        d^2(x) = (x - mean)' Sigma^-1 (x - mean)
+
+    Fit: one partial-Gram scan (the CovarianceMatrix batch pass);
+    the driver inverts the d x d covariance (ridge-regularized by
+    ``eps`` * I so near-singular fits fail soft, and a genuinely
+    singular matrix raises with the offending condition number).
+    Score: one Arrow-batched pass — numpy quadratic form per batch.
+    Under a multivariate-normal null d^2 ~ chi-square(d); pass the
+    chi-square quantile as ``threshold`` to get the flag column.
+
+    Scale: fit shuffles (#batches) * d^2 summary cells; score is a
+    single scan; driver memory is d^2 doubles.
+
+    Output: (id_col, mahalanobis_sq) + is_outlier when ``threshold``
+    is set. mahalanobis_sq round 6 (driver-inverse path differs from
+    any replay's inverse by float-factorization noise ~1e-12).
+    """
+
+    MAX_COND = 1e12
+
+    def __init__(self, id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 threshold: float | None = None, eps: float = 0.0,
+                 label=None):
+        super().__init__(label)
+        self.id_col, self.vec_col = id_col, vec_col
+        self.threshold = (None if threshold is None
+                          else float(threshold))
+        self.eps = float(eps)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        import numpy as np
+
+        from beam_spark.operators.similarity import CovarianceMatrix
+
+        idc, vc = self.id_col, self.vec_col
+        src = pcoll.df.where(F.col(vc).isNotNull())
+        parts = src.select(vc).mapInPandas(
+            CovarianceMatrix._partial_gram(vc),
+            schema="n long, s array<double>, g array<double>").collect()
+        if not parts:
+            raise ValueError("MahalanobisOutliers: empty input")
+        d = len(parts[0]["s"])
+        n = sum(r["n"] for r in parts)
+        if n < d + 1:
+            raise ValueError(
+                f"MahalanobisOutliers: n {n} <= dim {d} — covariance "
+                "is singular by construction")
+        s = np.sum([r["s"] for r in parts], axis=0)
+        g = np.sum([np.asarray(r["g"]).reshape(d, d) for r in parts],
+                   axis=0)
+        mean = s / n
+        cov = (g - np.outer(s, s) / n) / (n - 1)
+        if self.eps:
+            cov = cov + self.eps * np.eye(d)
+        cond = float(np.linalg.cond(cov))
+        if not np.isfinite(cond) or cond > self.MAX_COND:
+            raise ValueError(
+                f"covariance condition number {cond:.3g} > "
+                f"{self.MAX_COND:.0e}: regularize with eps or reduce "
+                "dimensions (PcaProject)")
+        prec = np.linalg.inv(cov)
+        mean_b, prec_b = mean, prec
+        thr = self.threshold
+
+        def score(it):
+            import pandas as pd
+
+            for pdf in it:
+                pdf = pdf[pdf[vc].notna()]
+                if not len(pdf):
+                    continue
+                X = np.stack([np.asarray(v, dtype=np.float64)
+                              for v in pdf[vc]]) - mean_b
+                d2 = np.einsum("ij,jk,ik->i", X, prec_b, X)
+                out = {idc: pdf[idc].values,
+                       "mahalanobis_sq": np.round(d2, 6)}
+                if thr is not None:
+                    out["is_outlier"] = d2 > thr
+                yield pd.DataFrame(out)
+
+        id_type = dict(src.dtypes)[idc]
+        schema = f"{idc} {id_type}, mahalanobis_sq double"
+        if thr is not None:
+            schema += ", is_outlier boolean"
+        out = src.select(idc, vc).mapInPandas(score, schema=schema)
+        return pcoll.with_df(out)

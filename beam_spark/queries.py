@@ -9565,3 +9565,38 @@ def q_stats_welch_ttest(spark, sf_dir):
     return (PCollection(li)
             | TwoSampleTTest("l_extendedprice", "l_returnflag", "A",
                              keys="l_linestatus")).df
+
+
+@query("q_mahalanobis_outliers_2d", """
+WITH e AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x0,
+                  CAST(embedding[2] AS DOUBLE) AS x1
+           FROM embeddings WHERE embedding IS NOT NULL),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(x0) AS s0, sum(x1) AS s1,
+             sum(x0 * x0) AS g00, sum(x0 * x1) AS g01,
+             sum(x1 * x1) AS g11 FROM e),
+c AS (SELECT n, s0 / n AS m0, s1 / n AS m1,
+             (g00 - s0 * s0 / n) / (n - 1) AS c00,
+             (g01 - s0 * s1 / n) / (n - 1) AS c01,
+             (g11 - s1 * s1 / n) / (n - 1) AS c11 FROM a),
+p AS (SELECT *, c00 * c11 - c01 * c01 AS det FROM c)
+SELECT e.vec_id,
+       round((c11 * (x0 - m0) * (x0 - m0)
+              - 2 * c01 * (x0 - m0) * (x1 - m1)
+              + c00 * (x1 - m1) * (x1 - m1)) / det, 6)
+         AS mahalanobis_sq
+FROM e CROSS JOIN p
+""")
+def q_mahalanobis_outliers_2d(spark, sf_dir):
+    """Squared Mahalanobis distance on the first two embedding dims —
+    at d=2 the covariance inverse has a closed form, so DuckDB can
+    replay the whole operator path (fit + score) exactly; the numpy
+    LU inverse differs from the adjugate formula only at float noise,
+    absorbed at round 6."""
+    from beam_spark.operators.quality import MahalanobisOutliers
+
+    emb = table(spark, sf_dir, "embeddings").df.select(
+        "vec_id",
+        F.expr("slice(transform(embedding, x -> CAST(x AS DOUBLE)), "
+               "1, 2)").alias("embedding"))
+    return (PCollection(emb) | MahalanobisOutliers()).df

@@ -3975,3 +3975,39 @@ def test_welch_ttest_vs_scipy_values(spark):
     assert out["one"].t is None          # na = 1: no variance
     assert out["const"].t is None        # zero variance both sides
     assert out["const"].mean_diff == 0.0
+
+
+def test_mahalanobis_outliers_correlated_cloud(spark):
+    """Correlated 2D cloud (x, ~x) plus one anti-correlated point:
+    the anti-correlated point has the (by far) largest Mahalanobis
+    distance even though its coordinates are in range; threshold
+    flags exactly it; n <= d and singular covariance fail fast."""
+    import pytest
+
+    from beam_spark.operators.quality import MahalanobisOutliers
+    from beam_spark.pcollection import PCollection
+
+    pts = [(i, [float(x), float(x) + dx]) for i, (x, dx) in enumerate(
+        [(-2, 0.1), (-1, -0.1), (0, 0.05), (1, -0.05), (2, 0.1),
+         (-1.5, -0.02), (1.5, 0.02), (0.5, 0.08), (-0.5, -0.08)])]
+    pts.append((99, [1.5, -1.5]))      # breaks the correlation
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.mahalanobis_sq for r in
+           (PCollection(df) | MahalanobisOutliers()).df.collect()}
+    assert max(out, key=out.get) == 99
+    assert out[99] > 3 * max(v for k, v in out.items() if k != 99)
+    flagged = {r.vec_id: r.is_outlier for r in
+               (PCollection(df)
+                | MahalanobisOutliers(threshold=out[99] - 1.0))
+               .df.collect()}
+    assert flagged[99] is True
+    assert sum(flagged.values()) == 1
+    few = spark.createDataFrame(pts[:2], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        (PCollection(few) | MahalanobisOutliers()).df.collect()
+    # rank-deficient: second coord == first -> singular
+    sing = spark.createDataFrame(
+        [(i, [float(i), float(i)]) for i in range(10)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        (PCollection(sing) | MahalanobisOutliers()).df.collect()
