@@ -1831,3 +1831,72 @@ class KmvOverlapMatrix(PTransform):
             F.round(F.when(eu > 0, ei / eu).otherwise(F.lit(0.0)), 6)
             .alias("jaccard_est"))
         return pcoll.with_df(out)
+
+
+class LagFeatures(PTransform):
+    """Supervised-learning feature block for a keyed, ordered series —
+    the lag/rolling matrix every forecasting or uplift pipeline
+    materializes before model training:
+
+        lag_1..lag_L           previous values (NULL-padded starts)
+        roll_mean_W/roll_std_W trailing-window mean / sample std over
+                               the PREVIOUS W rows (excludes the
+                               current row — no target leakage)
+        delta                  value - lag_1
+        pct_change             delta / lag_1 (NULL when lag_1 = 0)
+
+    Rolling sums and sums-of-squares accumulate as exact decimals
+    (``cast_to``, the LinearFit convention) so window results are
+    order-free; mean/std/pct go to double in a fixed operation order.
+
+    Scale: everything is ROWS-frame window functions over
+    (key, order) — one shuffle on the key, one sort per partition,
+    no joins, no Python. Leakage posture: every feature is strictly
+    historical (frames end at 1 PRECEDING except the lags' offsets).
+
+    Output: input columns + the feature columns (floats round 9).
+    """
+
+    def __init__(self, value: str, order_by: str, keys=None,
+                 lags: int = 3, window: int = 7,
+                 cast_to: str = "decimal(18,6)", label=None):
+        super().__init__(label)
+        self.value, self.order_by = value, order_by
+        self.keys = ([keys] if isinstance(keys, str)
+                     else list(keys) if keys else [])
+        self.lags, self.window = int(lags), int(window)
+        if self.lags < 1 or self.window < 2:
+            raise ValueError("need lags >= 1 and window >= 2")
+        self.cast_to = cast_to
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        v, ks, L, W = self.value, self.keys, self.lags, self.window
+        base = (Window.partitionBy(*ks) if ks else Window.partitionBy())
+        w = base.orderBy(self.order_by)
+        trail = w.rowsBetween(-W, -1)
+        xd = F.col(v).cast(self.cast_to)
+        out = pcoll.df.withColumn("__xd", xd)
+        for i in range(1, L + 1):
+            out = out.withColumn(
+                f"lag_{i}",
+                F.lag(F.col(v).cast("double"), i).over(w))
+        cnt = F.count("__xd").over(trail).cast("double")
+        s = F.sum("__xd").over(trail).cast("double")
+        ss = F.sum(F.col("__xd") * F.col("__xd")).over(trail) \
+            .cast("double")
+        mean = F.when(cnt >= 1.0, s / cnt)
+        std = F.when(cnt >= 2.0,
+                     F.sqrt((ss - s * s / cnt) / (cnt - 1.0)))
+        vdbl = F.col(v).cast("double")
+        l1 = F.col("lag_1")
+        out = (out
+               .withColumn(f"roll_mean_{W}", F.round(mean, 9))
+               .withColumn(f"roll_std_{W}", F.round(std, 9))
+               .withColumn("delta", F.round(vdbl - l1, 9))
+               .withColumn("pct_change",
+                           F.round(F.when(l1 != 0.0,
+                                          (vdbl - l1) / l1), 9))
+               .drop("__xd"))
+        return pcoll.with_df(out)

@@ -9600,3 +9600,58 @@ def q_mahalanobis_outliers_2d(spark, sf_dir):
         F.expr("slice(transform(embedding, x -> CAST(x AS DOUBLE)), "
                "1, 2)").alias("embedding"))
     return (PCollection(emb) | MahalanobisOutliers()).df
+
+
+@query("q_ts_lag_features", """
+WITH pre AS (SELECT l_suppkey % 20 AS k, l_orderkey AS ord,
+                    sum(CAST(l_quantity AS DECIMAL(9,2))) AS sv
+             FROM lineitem GROUP BY 1, 2),
+b AS (SELECT k, ord, CAST(sv AS DOUBLE) AS v,
+             CAST(sv AS DECIMAL(9,2)) AS xd FROM pre),
+w AS (SELECT k, ord, v,
+             lag(v, 1) OVER pk AS lag_1,
+             lag(v, 2) OVER pk AS lag_2,
+             lag(v, 3) OVER pk AS lag_3,
+             CAST(count(xd) OVER tr AS DOUBLE) AS cnt,
+             CAST(sum(xd) OVER tr AS DOUBLE) AS s,
+             CAST(sum(xd * xd) OVER tr AS DOUBLE) AS ss
+      FROM b
+      WINDOW pk AS (PARTITION BY k ORDER BY ord),
+             tr AS (PARTITION BY k ORDER BY ord
+                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+SELECT k, ord, v, lag_1, lag_2, lag_3,
+       round(CASE WHEN cnt >= 1.0 THEN s / cnt END, 9)
+         AS roll_mean_7,
+       round(CASE WHEN cnt >= 2.0
+                  THEN sqrt((ss - s * s / cnt) / (cnt - 1.0)) END, 9)
+         AS roll_std_7,
+       round(v - lag_1, 9) AS delta,
+       round(CASE WHEN lag_1 <> 0.0
+                  THEN (v - lag_1) / lag_1 END, 9) AS pct_change
+FROM w
+""")
+def q_ts_lag_features(spark, sf_dir):
+    """Leakage-safe lag/rolling feature block (lags 1-3, trailing-7
+    mean/std excluding the current row) per supplier-hash series of
+    per-order QUANTITY — the series pre-aggregates on (key, orderkey)
+    so the window ordering is total (raw lineitem has duplicate
+    (orderkey, linenumber) pairs, which make ROWS frames
+    order-ambiguous across engines), and it uses scale-2 quantities
+    so every decimal sum's unscaled integer stays under 2^53: the
+    decimal -> double cast is then a SINGLE correctly-rounded step in
+    both engines (at scale 12 / 1e10 magnitude the int128 double-
+    rounds differently in DuckDB than Spark's BigDecimal — found the
+    hard way); closed forms in double, replayed verbatim."""
+    from beam_spark.operators.stats import LagFeatures
+
+    li = (table(spark, sf_dir, "lineitem").df
+          .selectExpr("l_suppkey % 20 AS k", "l_orderkey AS ord",
+                      "CAST(l_quantity AS DECIMAL(9,2)) AS xd")
+          .groupBy("k", "ord")
+          .agg(F.sum("xd").cast("decimal(9,2)").alias("v")))
+    out = (PCollection(li)
+           | LagFeatures("v", "ord", keys="k", lags=3, window=7,
+                         cast_to="decimal(9,2)")).df
+    return out.select("k", "ord", F.col("v").cast("double").alias("v"),
+                      "lag_1", "lag_2", "lag_3", "roll_mean_7",
+                      "roll_std_7", "delta", "pct_change")

@@ -4011,3 +4011,33 @@ def test_mahalanobis_outliers_correlated_cloud(spark):
         "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         (PCollection(sing) | MahalanobisOutliers()).df.collect()
+
+
+def test_lag_features_known_series(spark):
+    """Series 1..6 on one key: lag columns shift, trailing window
+    (W=3) excludes the current row (no leakage): at t=4 roll_mean_3 =
+    mean(1,2,3) = 2, roll_std_3 = 1; first row has NULL lags/rolls;
+    pct_change = (v - lag1)/lag1; validation fails fast."""
+    import pytest
+
+    from beam_spark.operators.stats import LagFeatures
+    from beam_spark.pcollection import PCollection
+
+    df = spark.createDataFrame(
+        [("a", t, float(t)) for t in range(1, 7)],
+        "k string, t int, v double")
+    out = {r.t: r for r in
+           (PCollection(df)
+            | LagFeatures("v", "t", keys="k", lags=2, window=3)
+            ).df.collect()}
+    assert out[1].lag_1 is None and out[1].roll_mean_3 is None
+    assert out[4].lag_1 == 3.0 and out[4].lag_2 == 2.0
+    assert out[4].roll_mean_3 == 2.0          # mean(1,2,3), not incl 4
+    assert out[4].roll_std_3 == 1.0
+    assert out[2].roll_mean_3 == 1.0 and out[2].roll_std_3 is None
+    assert out[5].delta == 1.0
+    assert abs(out[5].pct_change - 0.25) < 1e-12
+    with pytest.raises(ValueError):
+        LagFeatures("v", "t", lags=0)
+    with pytest.raises(ValueError):
+        LagFeatures("v", "t", window=1)
