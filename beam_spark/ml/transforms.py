@@ -502,3 +502,72 @@ class QuantileTransform(PTransform):
         out = joined.unionByName(
             nulls.withColumn(oc, F.lit(None).cast("double")))
         return pcoll.with_df(out)
+
+
+class TargetEncode(PTransform):
+    """Smoothed target (mean) encoding of a categorical column — the
+    tabular-ML feature transform (Micci-Barreca, SIGKDD Expl. 2001)
+    that replaces a high-cardinality category with a shrunk estimate
+    of the per-category target mean:
+
+        enc(c) = (sum_c(y) + m * global_mean) / (n_c + m)
+
+    ``loo=True`` switches to the leave-one-out variant (each row's own
+    target is excluded — the standard leakage guard when the encoding
+    feeds a model trained on the same rows):
+
+        enc_loo = (sum_c(y) - y + m * global_mean) / (n_c - 1 + m)
+        (NULL when the category is a singleton and m = 0)
+
+    Target sums accumulate as exact decimals (``cast_to``); the final
+    expression is double in fixed order. Unseen-category handling at
+    serve time is the caller's join problem — this transform encodes
+    the frame it is given.
+
+    Scale: one partial-agg groupBy on the category (the per-category
+    frame is vocabulary-bounded and broadcast back), one 1-row global
+    aggregate; no windows, no Python.
+
+    Output: input columns + ``<out_col>`` (round 9).
+    """
+
+    def __init__(self, cat_col: str, target: str, m: float = 10.0,
+                 loo: bool = False, out_col: str | None = None,
+                 cast_to: str = "decimal(18,6)", label=None):
+        super().__init__(label)
+        self.cat_col, self.target = cat_col, target
+        self.m = float(m)
+        if self.m < 0:
+            raise ValueError("m must be >= 0")
+        self.loo = bool(loo)
+        self.out_col = out_col or f"{cat_col}_enc"
+        self.cast_to = cast_to
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        c, y, m = self.cat_col, self.target, self.m
+        df = pcoll.df
+        yd = F.col(y).cast(self.cast_to)
+        per = (df.where(F.col(y).isNotNull())
+               .groupBy(F.col(c).alias("__cat"))
+               .agg(F.sum(yd).alias("__s"),
+                    F.count(yd).cast("long").alias("__n")))
+        glob = (df.where(F.col(y).isNotNull())
+                .agg(F.sum(yd).alias("__gs"),
+                     F.count(yd).cast("long").alias("__gn")))
+        gm = F.col("__gs").cast("double") / F.col("__gn").cast("double")
+        joined = (df.join(F.broadcast(per), df[c] == F.col("__cat"),
+                          "left")
+                  .crossJoin(F.broadcast(glob)))
+        s = F.col("__s").cast("double")
+        n = F.col("__n").cast("double")
+        if self.loo:
+            yv = F.col(y).cast("double")
+            denom = n - 1.0 + F.lit(m)
+            enc = F.when(F.col(y).isNotNull() & (denom > 0.0),
+                         (s - yv + F.lit(m) * gm) / denom)
+        else:
+            enc = F.when(F.col("__n").isNotNull(),
+                         (s + F.lit(m) * gm) / (n + F.lit(m)))
+        out = (joined.withColumn(self.out_col, F.round(enc, 9))
+               .drop("__cat", "__s", "__n", "__gs", "__gn"))
+        return pcoll.with_df(out)

@@ -9655,3 +9655,47 @@ def q_ts_lag_features(spark, sf_dir):
     return out.select("k", "ord", F.col("v").cast("double").alias("v"),
                       "lag_1", "lag_2", "lag_3", "roll_mean_7",
                       "roll_std_7", "delta", "pct_change")
+
+
+@query("q_ml_target_encode", """
+WITH base AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+                     CAST(l_quantity AS DECIMAL(9,2)) AS yd,
+                     CAST(l_quantity AS DOUBLE) AS y
+              FROM lineitem),
+per AS (SELECT l_returnflag AS cat,
+               CAST(sum(yd) AS DOUBLE) AS s,
+               CAST(count(yd) AS BIGINT) AS n
+        FROM base WHERE yd IS NOT NULL GROUP BY 1),
+g AS (SELECT CAST(sum(yd) AS DOUBLE)
+             / CAST(count(yd) AS DOUBLE) AS gm
+      FROM base WHERE yd IS NOT NULL)
+SELECT b.l_orderkey, b.l_linenumber, b.l_returnflag, b.y AS l_quantity,
+       round((p.s + 10.0 * g.gm) / (CAST(p.n AS DOUBLE) + 10.0), 9)
+         AS flag_enc,
+       round(CASE WHEN b.y IS NOT NULL
+                    AND CAST(p.n AS DOUBLE) - 1.0 + 10.0 > 0.0
+                  THEN (p.s - b.y + 10.0 * g.gm)
+                       / (CAST(p.n AS DOUBLE) - 1.0 + 10.0) END, 9)
+         AS flag_enc_loo
+FROM base b
+JOIN per p ON p.cat = b.l_returnflag
+CROSS JOIN g
+""")
+def q_ml_target_encode(spark, sf_dir):
+    """Smoothed target encoding (m=10) of returnflag against quantity,
+    plain and leave-one-out — scale-2 decimal sums (unscaled ints
+    < 2^53, single-rounded double casts), fixed-order doubles,
+    round 9."""
+    from beam_spark.ml.transforms import TargetEncode
+
+    li = table(spark, sf_dir, "lineitem").df.selectExpr(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        "CAST(l_quantity AS DOUBLE) AS l_quantity")
+    enc = (PCollection(li)
+           | TargetEncode("l_returnflag", "l_quantity", m=10.0,
+                          out_col="flag_enc", cast_to="decimal(9,2)"))
+    out = (enc | TargetEncode("l_returnflag", "l_quantity", m=10.0,
+                              loo=True, out_col="flag_enc_loo",
+                              cast_to="decimal(9,2)")).df
+    return out.select("l_orderkey", "l_linenumber", "l_returnflag",
+                      "l_quantity", "flag_enc", "flag_enc_loo")

@@ -396,3 +396,32 @@ def test_run_inference_watch_model_pattern_refresh(spark, tmp_path):
         (PCollection(df) | RunInference(
             DeterministicFakeHandler(), "x",
             watch_model_pattern=pattern)).df.collect()
+
+
+def test_target_encode_plain_and_loo(spark):
+    """Hand-checked: cats a = [1, 2, 3], b = [10]; global mean = 4.
+    m=0 plain: enc(a) = 2, enc(b) = 10; LOO with m=0: row (a, 1) ->
+    (2+3)/2 = 2.5, singleton b -> NULL. m=2 plain: enc(a) =
+    (6 + 8)/5 = 2.8. NULL target rows get NULL LOO encoding but keep
+    the category's plain encoding from non-null rows."""
+    import pytest
+
+    from beam_spark.ml.transforms import TargetEncode
+    from beam_spark.pcollection import PCollection
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0)],
+        "c string, y double")
+    plain = {(r.c, r.y): r.c_enc for r in
+             (PCollection(df) | TargetEncode("c", "y", m=0.0)).df.collect()}
+    assert plain[("a", 1.0)] == 2.0 and plain[("b", 10.0)] == 10.0
+    loo = {(r.c, r.y): r.c_enc for r in
+           (PCollection(df)
+            | TargetEncode("c", "y", m=0.0, loo=True)).df.collect()}
+    assert loo[("a", 1.0)] == 2.5
+    assert loo[("b", 10.0)] is None        # singleton, m = 0
+    sm = {(r.c, r.y): r.c_enc for r in
+          (PCollection(df) | TargetEncode("c", "y", m=2.0)).df.collect()}
+    assert abs(sm[("a", 1.0)] - (6.0 + 2.0 * 4.0) / 5.0) < 1e-9
+    with pytest.raises(ValueError):
+        TargetEncode("c", "y", m=-1.0)
