@@ -2092,3 +2092,83 @@ class MahalanobisOutliers(PTransform):
             schema += ", is_outlier boolean"
         out = src.select(idc, vc).mapInPandas(score, schema=schema)
         return pcoll.with_df(out)
+
+
+class ConcentrationReport(PTransform):
+    """Concentration / inequality report over non-negative
+    contributions (one row per unit: a supplier's volume, a source's
+    token count, a user's event count) — the data-mixture diagnostic
+    that answers "is this corpus slice dominated by a few
+    contributors?":
+
+        gini       (2*sum(i*x_(i)) - (n+1)*sum(x)) / (n*sum(x))
+                   over ascending-sorted x with 1-based rank i
+        hhi        sum((x/total)^2)    (Herfindahl-Hirschman, 1/n..1)
+        top_share  max(x) / total
+
+    Ranks come from row_number over (value, input order) — tied
+    values make sum(i * x_i) invariant under tie order, so the output
+    is value-deterministic without a tie-break column. x sums
+    accumulate as exact decimals (``cast_to``; keep unscaled ints
+    under 2^53 for cross-engine replay); ratios are double in fixed
+    order. Rows with x < 0 (meaningless for concentration) are
+    excluded from the statistics but counted in ``n_negative`` so the
+    exclusion is visible, not silent.
+
+    Scale: one rank window + one agg over the UNIT frame (one row per
+    contributor — already aggregated upstream), never over raw data.
+
+    Output: keys + (n, n_negative, total, gini, hhi, top_share);
+    gini/hhi/top_share NULL when total = 0; floats round 9.
+    """
+
+    def __init__(self, value: str, keys=None,
+                 cast_to: str = "decimal(18,6)", label=None):
+        super().__init__(label)
+        self.value = value
+        self.keys = ([keys] if isinstance(keys, str)
+                     else list(keys) if keys else [])
+        self.cast_to = cast_to
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        v, ks = self.value, self.keys
+        df = pcoll.df.where(F.col(v).isNotNull())
+        neg = (df.groupBy(*ks)
+               .agg(F.sum(F.when(F.col(v) < 0, 1).otherwise(0))
+                    .cast("long").alias("n_negative")))
+        pos = df.where(F.col(v) >= 0)
+        xd = F.col(v).cast(self.cast_to)
+        wkey = Window.partitionBy(*ks) if ks else Window.partitionBy()
+        ranked = pos.select(
+            *ks, xd.alias("__x"),
+            F.row_number().over(wkey.orderBy(F.col(v))).alias("__i"))
+        agg = ranked.groupBy(*ks).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__x").alias("__sx"),
+            F.sum(F.col("__i") * F.col("__x")).alias("__six"),
+            F.max("__x").alias("__mx"),
+            F.sum(F.col("__x").cast("double")
+                  * F.col("__x").cast("double")).alias("__sxx"))
+        n = F.col("n").cast("double")
+        sx = F.col("__sx").cast("double")
+        six = F.col("__six").cast("double")
+        mx = F.col("__mx").cast("double")
+        nz = sx > 0.0
+        out = agg.select(
+            *ks, "n",
+            F.round(F.when(nz, (2.0 * six - (n + 1.0) * sx)
+                           / (n * sx)), 9).alias("gini"),
+            F.round(F.when(nz, F.col("__sxx") / (sx * sx)), 9)
+            .alias("hhi"),
+            F.round(F.when(nz, mx / sx), 9).alias("top_share"),
+            F.col("__sx").cast("double").alias("total"))
+        out = (out.join(F.broadcast(neg), ks, "left") if ks
+               else out.crossJoin(F.broadcast(neg)))
+        out = out.withColumn(
+            "n_negative",
+            F.coalesce(F.col("n_negative"), F.lit(0)).cast("long"))
+        return pcoll.with_df(out.select(
+            *ks, "n", "n_negative", "total", "gini", "hhi",
+            "top_share"))

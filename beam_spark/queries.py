@@ -9699,3 +9699,45 @@ def q_ml_target_encode(spark, sf_dir):
                               cast_to="decimal(9,2)")).df
     return out.select("l_orderkey", "l_linenumber", "l_returnflag",
                       "l_quantity", "flag_enc", "flag_enc_loo")
+
+
+@query("q_concentration_supplier_volume", """
+WITH unit AS (SELECT l_returnflag AS flag, l_suppkey,
+                     sum(CAST(l_quantity AS DECIMAL(9,2))) AS x
+              FROM lineitem GROUP BY 1, 2),
+rk AS (SELECT flag, CAST(x AS DECIMAL(18,6)) AS x,
+              row_number() OVER (PARTITION BY flag ORDER BY x) AS i
+       FROM unit WHERE x >= 0),
+a AS (SELECT flag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(i * x) AS DOUBLE) AS six,
+             CAST(max(x) AS DOUBLE) AS mx,
+             sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sxx
+      FROM rk GROUP BY 1),
+ng AS (SELECT flag,
+              CAST(sum(CASE WHEN x < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_negative
+       FROM unit GROUP BY 1)
+SELECT a.flag, a.n, ng.n_negative, a.sx AS total,
+       round(CASE WHEN a.sx > 0.0
+                  THEN (2.0 * six - (CAST(n AS DOUBLE) + 1.0) * sx)
+                       / (CAST(n AS DOUBLE) * sx) END, 9) AS gini,
+       round(CASE WHEN a.sx > 0.0 THEN sxx / (sx * sx) END, 9) AS hhi,
+       round(CASE WHEN a.sx > 0.0 THEN mx / sx END, 9) AS top_share
+FROM a JOIN ng ON ng.flag = a.flag
+""")
+def q_concentration_supplier_volume(spark, sf_dir):
+    """Gini / HHI / top-share concentration of per-supplier quantity
+    volume within each returnflag — tied volumes make sum(i*x)
+    rank-order-invariant, so row_number needs no tie-break; scale-2
+    decimal sums, fixed-order double ratios, round 9."""
+    from beam_spark.operators.quality import ConcentrationReport
+
+    unit = (table(spark, sf_dir, "lineitem").df
+            .groupBy(F.col("l_returnflag").alias("flag"), "l_suppkey")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(9,2)"))
+                 .alias("x")))
+    out = (PCollection(unit)
+           | ConcentrationReport("x", keys="flag",
+                                 cast_to="decimal(18,6)")).df
+    return out

@@ -4041,3 +4041,23 @@ def test_lag_features_known_series(spark):
         LagFeatures("v", "t", lags=0)
     with pytest.raises(ValueError):
         LagFeatures("v", "t", window=1)
+
+
+def test_concentration_report_known_distributions(spark):
+    """Uniform [5,5,5,5] -> gini 0, hhi 0.25, top 0.25; one-holder
+    [0,0,0,12] -> gini 0.75 ((n-1)/n), hhi 1, top 1; negative rows
+    are excluded but counted."""
+    from beam_spark.operators.quality import ConcentrationReport
+    from beam_spark.pcollection import PCollection
+
+    rows = ([("u", 5.0)] * 4 + [("o", 0.0)] * 3 + [("o", 12.0)]
+            + [("u", -1.0)])
+    df = spark.createDataFrame(rows, "k string, x double")
+    out = {r.k: r for r in
+           (PCollection(df)
+            | ConcentrationReport("x", keys="k")).df.collect()}
+    u = out["u"]
+    assert (u.n, u.n_negative, u.total) == (4, 1, 20.0)
+    assert u.gini == 0.0 and u.hhi == 0.25 and u.top_share == 0.25
+    o = out["o"]
+    assert o.gini == 0.75 and o.hhi == 1.0 and o.top_share == 1.0
