@@ -574,3 +574,94 @@ def test_silhouette_no_pairwise_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan       # scoring is projection-only
+
+
+def test_linear_fit_single_partial_agg_pair(spark, sf_dir):
+    """LinearFit is one map-side-combinable aggregation: exactly one
+    shuffle (the keyed exchange between partial and final
+    HashAggregate) and no join/window in the plan."""
+    from beam_spark.operators.stats import LinearFit
+    from beam_spark.pcollection import PCollection
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = (PCollection(li)
+           | LinearFit("l_quantity", "l_extendedprice",
+                       keys="l_returnflag")).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan[:1200]
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_ttest_and_kanonymity_single_pass(spark, sf_dir):
+    """TwoSampleTTest and KAnonymity(report) are pure aggregation
+    trees: no joins, no windows; t-test has exactly one keyed
+    exchange, k-anonymity two (class agg -> global 1-row agg)."""
+    from beam_spark.operators.quality import KAnonymity, TwoSampleTTest
+    from beam_spark.pcollection import PCollection
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        "l_returnflag IN ('A', 'R')")
+    t = (PCollection(li)
+         | TwoSampleTTest("l_extendedprice", "l_returnflag", "A",
+                          keys="l_linestatus")).df
+    tplan = t._jdf.queryExecution().executedPlan().toString()
+    assert tplan.count("Exchange") == 1 and "Join" not in tplan
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = (PCollection(c)
+         | KAnonymity(["c_nationkey", "c_mktsegment"],
+                      sensitive="c_acctbal", k=10)).df
+    kplan = k._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in kplan and "Window" not in kplan
+
+
+def test_target_encode_broadcasts_category_frame(spark, sf_dir):
+    """TargetEncode joins the vocabulary-bounded per-category frame
+    back by BROADCAST — the raw frame is never shuffled."""
+    from beam_spark.ml.transforms import TargetEncode
+    from beam_spark.pcollection import PCollection
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = (PCollection(li)
+           | TargetEncode("l_returnflag", "l_quantity",
+                          cast_to="decimal(9,2)")).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mannwhitney_windows_distinct_value_frame_only(spark, sf_dir):
+    """MannWhitneyU's rank window runs over the distinct-value count
+    frame (post-aggregation), never the raw rows: the Window's child
+    contains the (keys, value) HashAggregate."""
+    from beam_spark.operators.quality import MannWhitneyU
+    from beam_spark.pcollection import PCollection
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        "event_type IN ('purchase', 'view')")
+    out = (PCollection(ev)
+           | MannWhitneyU("value", "event_type", "purchase")).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    w = plan.find("Window")
+    assert w != -1
+    assert "HashAggregate" in plan[w:], "window must sit above the " \
+        "distinct-value aggregation, not the raw scan"
+
+
+def test_covariance_shuffles_summary_cells_not_rows(spark, sf_dir):
+    """CovarianceMatrix's only exchanges carry per-batch summary rows
+    (posexploded d^2 cells), not data rows: the plan has no join of
+    the raw frame with itself and no window."""
+    from beam_spark.operators.similarity import CovarianceMatrix
+    from beam_spark.pcollection import PCollection
+    from pyspark.sql import functions as F
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select(F.expr("transform(embedding, x -> CAST(x AS "
+                          "DOUBLE))").alias("embedding")))
+    out = (PCollection(emb) | CovarianceMatrix()).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan       # cell joins are tiny -> broadcast
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan or \
+        "mapInPandas" in plan.lower()
