@@ -2172,3 +2172,139 @@ class ConcentrationReport(PTransform):
         return pcoll.with_df(out.select(
             *ks, "n", "n_negative", "total", "gini", "hhi",
             "top_share"))
+
+
+class OneWayAnova(PTransform):
+    """One-way ANOVA per key — the k-group generalization of
+    TwoSampleTTest ("does ANY of these cohorts differ in mean?"),
+    one conditional-aggregation pass:
+
+        SSB = sum_g n_g * (mean_g - grand_mean)^2
+            = sum_g S_g^2 / n_g - S^2 / n      (computed this way)
+        SSW = SS_total - S^2/n - SSB
+        F   = (SSB / (k-1)) / (SSW / (n-k))
+        eta_sq = SSB / (SSB + SSW)             (effect size)
+
+    Group sums / sums-of-squares accumulate as exact decimals
+    (``cast_to``); the sum-of-squares identities are evaluated in
+    double with a fixed order of the per-group terms (groups are
+    reduced with sum() over the per-group frame — per-key group
+    counts are vocabulary-bounded, so the float-sum order across
+    groups is the only cross-engine wiggle; round 9 absorbs it).
+    F is NULL when k < 2, n <= k, or SSW = 0.
+
+    Scale: one (keys, group) partial-agg groupBy + one keys reagg —
+    the same two-level shape as KAnonymity; no joins, no windows.
+
+    Output: keys + (n, k, f_stat, df_between, df_within, eta_sq),
+    floats round 9.
+    """
+
+    def __init__(self, value: str, group: str, keys=None,
+                 cast_to: str = "decimal(18,6)", label=None):
+        super().__init__(label)
+        self.value, self.group = value, group
+        self.keys = ([keys] if isinstance(keys, str)
+                     else list(keys) if keys else [])
+        self.cast_to = cast_to
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        v, g, ks = self.value, self.group, self.keys
+        xd = F.col(v).cast(self.cast_to)
+        per = (pcoll.df
+               .where(F.col(v).isNotNull() & F.col(g).isNotNull())
+               .groupBy(*ks, g)
+               .agg(F.count(F.lit(1)).cast("long").alias("__n"),
+                    F.sum(xd).alias("__s"),
+                    F.sum(xd * xd).alias("__ss")))
+        sd = F.col("__s").cast("double")
+        nd = F.col("__n").cast("double")
+        agg = per.groupBy(*ks).agg(
+            F.sum("__n").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum(sd * sd / nd).alias("__sgs"),
+            F.sum("__s").alias("__stot"),
+            F.sum("__ss").alias("__sstot"))
+        n = F.col("n").cast("double")
+        k = F.col("k").cast("double")
+        corr = (F.col("__stot").cast("double")
+                * F.col("__stot").cast("double") / n)
+        ssb = F.col("__sgs") - corr
+        ssw = F.col("__sstot").cast("double") - corr - ssb
+        ok = (F.col("k") >= 2) & (n > k) & (ssw > 0.0)
+        fstat = F.when(ok, (ssb / (k - 1.0)) / (ssw / (n - k)))
+        out = agg.select(
+            *ks, "n", "k",
+            F.round(fstat, 9).alias("f_stat"),
+            (F.col("k") - 1).cast("long").alias("df_between"),
+            (F.col("n") - F.col("k")).cast("long").alias("df_within"),
+            F.round(F.when((ssb + ssw) > 0.0, ssb / (ssb + ssw)), 9)
+            .alias("eta_sq"))
+        return pcoll.with_df(out)
+
+
+class ProportionsZTest(PTransform):
+    """Two-sample proportion z-test per key (pooled standard error) +
+    the sample-ratio-mismatch (SRM) chi-square every experimentation
+    platform runs before trusting a split:
+
+        z   = (p_a - p_b) / sqrt(p*(1-p) * (1/n_a + 1/n_b))
+              (p = pooled rate; NULL when p is 0 or 1, or a group
+               is empty)
+        srm_chi2 = (n_a - e)^2/e + (n_b - e')^2/e'  against the
+              expected split ``ratio_a`` (default 0.5), df = 1
+
+    Everything before the closed forms is exact integer counting; the
+    z / chi-square are fixed-order double expressions, round 9.
+
+    Scale: one conditional-count groupBy per key; no joins/windows.
+
+    Output: keys + (n_a, n_b, pos_a, pos_b, p_a, p_b, z, srm_chi2).
+    """
+
+    def __init__(self, success: str, group: str, group_a,
+                 keys=None, ratio_a: float = 0.5, label=None):
+        super().__init__(label)
+        self.success, self.group, self.group_a = success, group, group_a
+        self.keys = ([keys] if isinstance(keys, str)
+                     else list(keys) if keys else [])
+        self.ratio_a = float(ratio_a)
+        if not 0.0 < self.ratio_a < 1.0:
+            raise ValueError("ratio_a must be in (0, 1)")
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        s, g, ks = self.success, self.group, self.keys
+        df = pcoll.df.where(F.col(g).isNotNull()
+                            & F.col(s).isNotNull())
+        is_a = (F.col(g) == F.lit(self.group_a))
+        suc = F.col(s).cast("boolean").cast("long")
+        agg = df.groupBy(*ks).agg(
+            F.sum(F.when(is_a, 1).otherwise(0)).cast("long")
+            .alias("n_a"),
+            F.sum(F.when(~is_a, 1).otherwise(0)).cast("long")
+            .alias("n_b"),
+            F.sum(F.when(is_a, suc).otherwise(0)).cast("long")
+            .alias("pos_a"),
+            F.sum(F.when(~is_a, suc).otherwise(0)).cast("long")
+            .alias("pos_b"))
+        na = F.col("n_a").cast("double")
+        nb = F.col("n_b").cast("double")
+        pa = F.col("pos_a").cast("double") / na
+        pb = F.col("pos_b").cast("double") / nb
+        pool = ((F.col("pos_a") + F.col("pos_b")).cast("double")
+                / (na + nb))
+        se2 = pool * (1.0 - pool) * (1.0 / na + 1.0 / nb)
+        nonempty = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+        ra = F.lit(self.ratio_a)
+        ea = (na + nb) * ra
+        eb = (na + nb) * (1.0 - ra)
+        srm = ((na - ea) * (na - ea) / ea
+               + (nb - eb) * (nb - eb) / eb)
+        out = agg.select(
+            *ks, "n_a", "n_b", "pos_a", "pos_b",
+            F.round(F.when(F.col("n_a") > 0, pa), 9).alias("p_a"),
+            F.round(F.when(F.col("n_b") > 0, pb), 9).alias("p_b"),
+            F.round(F.when(nonempty & (se2 > 0.0),
+                           (pa - pb) / F.sqrt(se2)), 9).alias("z"),
+            F.round(F.when(nonempty, srm), 9).alias("srm_chi2"))
+        return pcoll.with_df(out)

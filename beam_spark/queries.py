@@ -9741,3 +9741,102 @@ def q_concentration_supplier_volume(spark, sf_dir):
            | ConcentrationReport("x", keys="flag",
                                  cast_to="decimal(18,6)")).df
     return out
+
+
+@query("q_stats_anova_quantity", """
+WITH per AS (SELECT l_linestatus, l_returnflag,
+                    CAST(count(*) AS BIGINT) AS n,
+                    sum(CAST(l_quantity AS DECIMAL(9,2))) AS s,
+                    sum(CAST(l_quantity AS DECIMAL(9,2))
+                        * CAST(l_quantity AS DECIMAL(9,2))) AS ss
+             FROM lineitem
+             WHERE l_quantity IS NOT NULL
+               AND l_returnflag IS NOT NULL
+             GROUP BY 1, 2),
+a AS (SELECT l_linestatus,
+             CAST(sum(n) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                 / CAST(n AS DOUBLE)) AS sgs,
+             CAST(sum(s) AS DOUBLE) AS stot,
+             CAST(sum(ss) AS DOUBLE) AS sstot
+      FROM per GROUP BY 1),
+d AS (SELECT *, CAST(n AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd,
+             stot * stot / CAST(n AS DOUBLE) AS corr
+      FROM a),
+e AS (SELECT *, sgs - corr AS ssb, sstot - corr - (sgs - corr) AS ssw
+      FROM d)
+SELECT l_linestatus, n, k,
+       round(CASE WHEN k >= 2 AND nd > kd AND ssw > 0.0
+                  THEN (ssb / (kd - 1.0)) / (ssw / (nd - kd)) END, 9)
+         AS f_stat,
+       CAST(k - 1 AS BIGINT) AS df_between,
+       CAST(n - k AS BIGINT) AS df_within,
+       round(CASE WHEN ssb + ssw > 0.0
+                  THEN ssb / (ssb + ssw) END, 9) AS eta_sq
+FROM e
+""")
+def q_stats_anova_quantity(spark, sf_dir):
+    """One-way ANOVA of quantity across returnflags per linestatus —
+    decimal-exact group moments, sum-of-squares identities in double
+    (cross-group float-sum order absorbed at round 9)."""
+    from beam_spark.operators.quality import OneWayAnova
+
+    li = table(spark, sf_dir, "lineitem")
+    return (li | OneWayAnova("l_quantity", "l_returnflag",
+                             keys="l_linestatus",
+                             cast_to="decimal(9,2)")).df
+
+
+@query("q_stats_proportions_srm", """
+WITH f AS (SELECT user_id % 4 AS slice,
+                  event_type = 'purchase' AS ia,
+                  CAST(value > 1.0 AS BIGINT) AS suc
+           FROM events
+           WHERE event_type IN ('purchase', 'view')
+             AND value IS NOT NULL AND user_id IS NOT NULL),
+a AS (SELECT slice,
+             CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN ia THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_b,
+             CAST(sum(CASE WHEN ia THEN suc ELSE 0 END) AS BIGINT)
+               AS pos_a,
+             CAST(sum(CASE WHEN ia THEN 0 ELSE suc END) AS BIGINT)
+               AS pos_b
+      FROM f GROUP BY 1),
+d AS (SELECT *, CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+             CAST(pos_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+             CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+             CAST(pos_a + pos_b AS DOUBLE)
+               / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pool
+      FROM a),
+e AS (SELECT *,
+             pool * (1.0 - pool) * (1.0 / na + 1.0 / nb) AS se2,
+             (na + nb) * 0.5 AS ea, (na + nb) * 0.5 AS eb
+      FROM d)
+SELECT slice, n_a, n_b, pos_a, pos_b,
+       round(CASE WHEN n_a > 0 THEN pa END, 9) AS p_a,
+       round(CASE WHEN n_b > 0 THEN pb END, 9) AS p_b,
+       round(CASE WHEN n_a > 0 AND n_b > 0 AND se2 > 0.0
+                  THEN (pa - pb) / sqrt(se2) END, 9) AS z,
+       round(CASE WHEN n_a > 0 AND n_b > 0
+                  THEN (na - ea) * (na - ea) / ea
+                       + (nb - eb) * (nb - eb) / eb END, 9)
+         AS srm_chi2
+FROM e
+""")
+def q_stats_proportions_srm(spark, sf_dir):
+    """Two-proportion z (pooled SE) + sample-ratio-mismatch chi-square
+    per user slice: purchase-vs-view conversion (value > 1) — exact
+    integer counts, fixed-order double closed forms."""
+    from beam_spark.operators.quality import ProportionsZTest
+
+    ev = (table(spark, sf_dir, "events").df
+          .where(F.col("event_type").isin(["purchase", "view"])
+                 & F.col("user_id").isNotNull())
+          .selectExpr("user_id % 4 AS slice", "event_type",
+                      "value > 1.0 AS suc"))
+    return (PCollection(ev)
+            | ProportionsZTest("suc", "event_type", "purchase",
+                               keys="slice")).df

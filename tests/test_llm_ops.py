@@ -4061,3 +4061,55 @@ def test_concentration_report_known_distributions(spark):
     assert u.gini == 0.0 and u.hhi == 0.25 and u.top_share == 0.25
     o = out["o"]
     assert o.gini == 0.75 and o.hhi == 1.0 and o.top_share == 1.0
+
+
+def test_one_way_anova_textbook(spark):
+    """Three groups [1,2,3], [2,3,4], [5,6,7]: grand mean 33/9,
+    SSB = 3*((2-11/3)^2 + (3-11/3)^2 + (6-11/3)^2) = 26, SSW = 6,
+    F = (26/2)/(6/6) = 13, eta^2 = 26/32. Single-group key -> NULL F."""
+    from beam_spark.operators.quality import OneWayAnova
+    from beam_spark.pcollection import PCollection
+
+    rows = ([("m", "g1", float(x)) for x in (1, 2, 3)]
+            + [("m", "g2", float(x)) for x in (2, 3, 4)]
+            + [("m", "g3", float(x)) for x in (5, 6, 7)]
+            + [("solo", "g1", 1.0), ("solo", "g1", 2.0)])
+    df = spark.createDataFrame(rows, "k string, g string, v double")
+    out = {r.k: r for r in
+           (PCollection(df)
+            | OneWayAnova("v", "g", keys="k")).df.collect()}
+    m = out["m"]
+    assert (m.n, m.k, m.df_between, m.df_within) == (9, 3, 2, 6)
+    assert abs(m.f_stat - 13.0) < 1e-9
+    assert abs(m.eta_sq - 26.0 / 32.0) < 1e-9
+    assert out["solo"].f_stat is None
+
+
+def test_proportions_ztest_and_srm(spark):
+    """A: 60/100 success, B: 40/100: pooled p = 0.5,
+    se = sqrt(0.25 * 0.02) -> z = 0.2/sqrt(0.005) = 2.8284...;
+    balanced split -> srm_chi2 = 0. A 150/50 split against 0.5 ->
+    chi2 = 50. ratio_a validation fails fast."""
+    import math
+
+    import pytest
+
+    from beam_spark.operators.quality import ProportionsZTest
+    from beam_spark.pcollection import PCollection
+
+    rows = ([("A", True)] * 60 + [("A", False)] * 40
+            + [("B", True)] * 40 + [("B", False)] * 60)
+    df = spark.createDataFrame(rows, "g string, s boolean")
+    r = (PCollection(df)
+         | ProportionsZTest("s", "g", "A")).df.collect()[0]
+    assert (r.n_a, r.n_b, r.pos_a, r.pos_b) == (100, 100, 60, 40)
+    assert abs(r.z - 0.2 / math.sqrt(0.005)) < 1e-9
+    assert r.srm_chi2 == 0.0
+    rows2 = [("A", True)] * 150 + [("B", True)] * 50
+    df2 = spark.createDataFrame(rows2, "g string, s boolean")
+    r2 = (PCollection(df2)
+          | ProportionsZTest("s", "g", "A")).df.collect()[0]
+    assert r2.srm_chi2 == 50.0
+    assert r2.z is None                 # pooled p = 1 -> zero variance
+    with pytest.raises(ValueError):
+        ProportionsZTest("s", "g", "A", ratio_a=1.0)
