@@ -2196,8 +2196,8 @@ class OneWayAnova(PTransform):
     Scale: one (keys, group) partial-agg groupBy + one keys reagg —
     the same two-level shape as KAnonymity; no joins, no windows.
 
-    Output: keys + (n, k, f_stat, df_between, df_within, eta_sq),
-    floats round 9.
+    Output: keys + (n, n_groups, f_stat, df_between, df_within,
+    eta_sq), floats round 9.
     """
 
     def __init__(self, value: str, group: str, keys=None,
@@ -2221,23 +2221,24 @@ class OneWayAnova(PTransform):
         nd = F.col("__n").cast("double")
         agg = per.groupBy(*ks).agg(
             F.sum("__n").cast("long").alias("n"),
-            F.count(F.lit(1)).cast("long").alias("k"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
             F.sum(sd * sd / nd).alias("__sgs"),
             F.sum("__s").alias("__stot"),
             F.sum("__ss").alias("__sstot"))
         n = F.col("n").cast("double")
-        k = F.col("k").cast("double")
+        k = F.col("n_groups").cast("double")
         corr = (F.col("__stot").cast("double")
                 * F.col("__stot").cast("double") / n)
         ssb = F.col("__sgs") - corr
         ssw = F.col("__sstot").cast("double") - corr - ssb
-        ok = (F.col("k") >= 2) & (n > k) & (ssw > 0.0)
+        ok = (F.col("n_groups") >= 2) & (n > k) & (ssw > 0.0)
         fstat = F.when(ok, (ssb / (k - 1.0)) / (ssw / (n - k)))
         out = agg.select(
-            *ks, "n", "k",
+            *ks, "n", "n_groups",
             F.round(fstat, 9).alias("f_stat"),
-            (F.col("k") - 1).cast("long").alias("df_between"),
-            (F.col("n") - F.col("k")).cast("long").alias("df_within"),
+            (F.col("n_groups") - 1).cast("long").alias("df_between"),
+            (F.col("n") - F.col("n_groups")).cast("long")
+            .alias("df_within"),
             F.round(F.when((ssb + ssw) > 0.0, ssb / (ssb + ssw)), 9)
             .alias("eta_sq"))
         return pcoll.with_df(out)

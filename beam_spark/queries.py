@@ -9766,7 +9766,7 @@ d AS (SELECT *, CAST(n AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd,
       FROM a),
 e AS (SELECT *, sgs - corr AS ssb, sstot - corr - (sgs - corr) AS ssw
       FROM d)
-SELECT l_linestatus, n, k,
+SELECT l_linestatus, n, k AS n_groups,
        round(CASE WHEN k >= 2 AND nd > kd AND ssw > 0.0
                   THEN (ssb / (kd - 1.0)) / (ssw / (nd - kd)) END, 9)
          AS f_stat,

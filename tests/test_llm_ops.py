@@ -4079,7 +4079,7 @@ def test_one_way_anova_textbook(spark):
            (PCollection(df)
             | OneWayAnova("v", "g", keys="k")).df.collect()}
     m = out["m"]
-    assert (m.n, m.k, m.df_between, m.df_within) == (9, 3, 2, 6)
+    assert (m.n, m.n_groups, m.df_between, m.df_within) == (9, 3, 2, 6)
     assert abs(m.f_stat - 13.0) < 1e-9
     assert abs(m.eta_sq - 26.0 / 32.0) < 1e-9
     assert out["solo"].f_stat is None
