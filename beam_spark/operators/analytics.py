@@ -560,8 +560,9 @@ class RfmSegmentation(PTransform):
         if self.as_of is not None:
             asof = F.lit(self.as_of).cast("date")
         else:
-            asof = F.max(F.col(ts).cast("date")).over(
-                Window.partitionBy())
+            # corpus max last-activity date (1-row window over the
+            # already-aggregated entity frame)
+            asof = F.max("__last").over(Window.partitionBy())
         ent = (df.groupBy(F.col(e).alias("entity"))
                .agg(F.max(F.col(ts).cast("date")).alias("__last"),
                     F.count(F.lit(1)).cast("long").alias("frequency"),

@@ -4113,3 +4113,22 @@ def test_proportions_ztest_and_srm(spark):
     assert r2.z is None                 # pooled p = 1 -> zero variance
     with pytest.raises(ValueError):
         ProportionsZTest("s", "g", "A", ratio_a=1.0)
+
+
+def test_rfm_default_as_of_uses_corpus_max(spark):
+    """as_of=None anchors recency at the corpus max activity date:
+    the most recent entity gets recency_days 0."""
+    import datetime
+
+    from beam_spark.operators.analytics import RfmSegmentation
+    from beam_spark.pcollection import PCollection
+
+    rows = [(1, datetime.datetime(2024, 1, 1), 5.0),
+            (2, datetime.datetime(2024, 1, 11), 5.0),
+            (3, datetime.datetime(2024, 1, 21), 5.0)]
+    df = spark.createDataFrame(rows, "e long, t timestamp, a double")
+    out = {r.entity: r for r in
+           (PCollection(df)
+            | RfmSegmentation("e", "t", "a", n_bins=3)).df.collect()}
+    assert out[3].recency_days == 0
+    assert out[1].recency_days == 20
