@@ -1837,7 +1837,8 @@ class MultipleTestCorrection(PTransform):
     tie-break changes nothing about tied p-values' adjusted value
     (running min/max equalizes them) but makes the plan fully
     deterministic and replayable. ``keys`` scopes the family (m and
-    the ranks) per key instead of globally.
+    the ranks) per key instead of globally. Rows with NULL p are
+    dropped (they are not hypotheses; m counts only real tests).
 
     Scale: one or two cardinality-bounded windows over the TEST frame
     (one row per hypothesis — already aggregated), never over raw
