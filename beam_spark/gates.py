@@ -459,6 +459,36 @@ def q_stats_moments(spark, sf_dir):
             "'coldep' AS op", "'n' AS k", "CAST(n AS DOUBLE) AS v1",
             "CAST(nx AS DOUBLE) AS v2", "CAST(ny AS DOUBLE) AS v3",
             f"{_ZERO} AS v4"),
+        # round-12 session-3 folds: the A/B testing battery + privacy
+        # / concentration / OLS reports (all 1-pass aggregation
+        # frames; full rows stay component-oracled)
+        _component("q_stats_welch_ttest")(spark, sf_dir).selectExpr(
+            "'welch' AS op", "l_linestatus AS k", "t AS v1",
+            "df AS v2", "cohens_d AS v3", "mean_diff AS v4"),
+        _component("q_stats_anova_quantity")(spark, sf_dir).selectExpr(
+            "'anova' AS op", "l_linestatus AS k", "f_stat AS v1",
+            "eta_sq AS v2", "CAST(df_between AS DOUBLE) AS v3",
+            "CAST(df_within AS DOUBLE) AS v4"),
+        _component("q_stats_mannwhitney_u")(spark, sf_dir).selectExpr(
+            "'mwu' AS op", "'purchase_vs_view' AS k", "u_a AS v1",
+            "z AS v2", "auc_a AS v3",
+            "CAST(na + nb AS DOUBLE) AS v4"),
+        _component("q_stats_proportions_srm")(spark, sf_dir).selectExpr(
+            "'prop' AS op", "CAST(slice AS STRING) AS k", "p_a AS v1",
+            "p_b AS v2", "z AS v3", "srm_chi2 AS v4"),
+        _component("q_stats_linear_fit")(spark, sf_dir).selectExpr(
+            "'ols' AS op", "l_returnflag AS k", "slope AS v1",
+            "intercept AS v2", "r2 AS v3", "CAST(n AS DOUBLE) AS v4"),
+        _component("q_privacy_k_anonymity")(spark, sf_dir).selectExpr(
+            "'kanon' AS op", "'customer' AS k",
+            "CAST(k_anonymity AS DOUBLE) AS v1",
+            "CAST(rows_below_k AS DOUBLE) AS v2",
+            "pct_rows_below_k AS v3",
+            "CAST(l_diversity AS DOUBLE) AS v4"),
+        _component("q_concentration_supplier_volume")(
+            spark, sf_dir).selectExpr(
+            "'gini' AS op", "flag AS k", "gini AS v1", "hhi AS v2",
+            "top_share AS v3", "CAST(n AS DOUBLE) AS v4"),
     ])
 
 
@@ -511,6 +541,30 @@ _STATS_MOMENTS_SQL = "\nUNION ALL\n".join([
           "CAST(nx AS DOUBLE) AS v2, CAST(ny AS DOUBLE) AS v3, "
           f"{_ZERO} AS v4",
           _component_sql("q_column_dependence_docs")),
+    _wrap("'welch' AS op, l_linestatus AS k, t AS v1, df AS v2, "
+          "cohens_d AS v3, mean_diff AS v4",
+          _component_sql("q_stats_welch_ttest")),
+    _wrap("'anova' AS op, l_linestatus AS k, f_stat AS v1, "
+          "eta_sq AS v2, CAST(df_between AS DOUBLE) AS v3, "
+          "CAST(df_within AS DOUBLE) AS v4",
+          _component_sql("q_stats_anova_quantity")),
+    _wrap("'mwu' AS op, 'purchase_vs_view' AS k, u_a AS v1, z AS v2, "
+          "auc_a AS v3, CAST(na + nb AS DOUBLE) AS v4",
+          _component_sql("q_stats_mannwhitney_u")),
+    _wrap("'prop' AS op, CAST(slice AS VARCHAR) AS k, p_a AS v1, "
+          "p_b AS v2, z AS v3, srm_chi2 AS v4",
+          _component_sql("q_stats_proportions_srm")),
+    _wrap("'ols' AS op, l_returnflag AS k, slope AS v1, "
+          "intercept AS v2, r2 AS v3, CAST(n AS DOUBLE) AS v4",
+          _component_sql("q_stats_linear_fit")),
+    _wrap("'kanon' AS op, 'customer' AS k, "
+          "CAST(k_anonymity AS DOUBLE) AS v1, "
+          "CAST(rows_below_k AS DOUBLE) AS v2, pct_rows_below_k AS v3, "
+          "CAST(l_diversity AS DOUBLE) AS v4",
+          _component_sql("q_privacy_k_anonymity")),
+    _wrap("'gini' AS op, flag AS k, gini AS v1, hhi AS v2, "
+          "top_share AS v3, CAST(n AS DOUBLE) AS v4",
+          _component_sql("q_concentration_supplier_volume")),
 ])
 
 
