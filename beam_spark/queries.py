@@ -9115,7 +9115,8 @@ adj AS (SELECT a AS node, b AS nbr FROM und
 deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
         FROM adj GROUP BY node),
 ctr AS (SELECT adj.node AS w, adj.nbr, deg.deg AS wdeg
-        FROM adj JOIN deg ON deg.node = adj.node),
+        FROM adj JOIN deg ON deg.node = adj.node
+        WHERE deg.deg <= 64),
 pairs AS (SELECT w1.nbr AS a, w2.nbr AS b,
                  CAST(count(*) AS BIGINT) AS cn,
                  sum(1.0 / ln(w1.wdeg)) AS aa,
@@ -9142,14 +9143,19 @@ def q_graph_link_prediction(spark, sf_dir):
     Adamic-Adar / resource-allocation / preferential-attachment,
     Liben-Nowell & Kleinberg 2003) over the sparse customer <->
     order-hash link graph, pruned to pairs with >= 2 shared
-    neighbors — DuckDB replays the wedge join + anti-join verbatim;
-    integer scores exact, float sums at round 9."""
+    neighbors and wedge centers capped at degree 64 (non-binding at
+    sf0.001/sf0.01 where max degree is ~30; at sf1 the FIXED 500-node
+    hash space densifies to degree ~3000, and the cap is what keeps
+    the wedge join bounded — the operator's documented skew control,
+    replayed in the oracle) — DuckDB replays the capped wedge join +
+    anti-join verbatim; integer scores exact, float sums at round 9."""
     from beam_spark.operators.graph import LinkPrediction
 
     o = table(spark, sf_dir, "orders").df
     edges = o.selectExpr("o_custkey AS src",
                          "o_orderkey % 500 + 1000000 AS dst")
-    out = (PCollection(edges) | LinkPrediction(min_common=2)).df
+    out = (PCollection(edges)
+           | LinkPrediction(min_common=2, max_neighbor_degree=64)).df
     return out.select("a", "b", "common_neighbors", "jaccard",
                       "adamic_adar", "resource_alloc",
                       "pref_attachment")
