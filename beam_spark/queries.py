@@ -9846,3 +9846,63 @@ def q_stats_proportions_srm(spark, sf_dir):
     return (PCollection(ev)
             | ProportionsZTest("suc", "event_type", "purchase",
                                keys="slice")).df
+
+
+@query("q_ml_naive_bayes_lang", """
+WITH tr AS (SELECT lang AS label, text FROM documents
+            WHERE doc_id % 2 = 0 AND lang IS NOT NULL
+              AND text IS NOT NULL),
+trt AS (SELECT label, unnest(list_filter({_TOK}, x -> x <> ''))
+          AS token FROM tr),
+wc AS (SELECT label, token, CAST(count(*) AS BIGINT) AS cnt
+       FROM trt GROUP BY 1, 2),
+vocab AS (SELECT DISTINCT token FROM wc),
+vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+tot AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS tok_c
+        FROM wc GROUP BY 1),
+grid AS (SELECT t.label, v.token,
+           CAST(ln((CAST(coalesce(wc.cnt, 0) AS DOUBLE) + 1.0)
+                / (CAST(t.tok_c AS DOUBLE)
+                   + 1.0 * CAST(vs.v AS DOUBLE)))
+                AS DECIMAL(16,9)) AS lp
+         FROM tot t CROSS JOIN vocab v CROSS JOIN vs
+         LEFT JOIN wc ON wc.label = t.label AND wc.token = v.token),
+pr AS (SELECT label, CAST(count(*) AS BIGINT) AS n_c
+       FROM tr GROUP BY 1),
+prn AS (SELECT CAST(sum(n_c) AS BIGINT) AS n FROM pr),
+priors AS (SELECT label,
+             CAST(ln(CAST(n_c AS DOUBLE) / CAST(n AS DOUBLE))
+                  AS DECIMAL(16,9)) AS lprior
+           FROM pr CROSS JOIN prn),
+te AS (SELECT doc_id, text FROM documents
+       WHERE doc_id % 2 = 1 AND text IS NOT NULL),
+tet AS (SELECT doc_id, unnest(list_filter({_TOK}, x -> x <> ''))
+          AS token FROM te),
+dc AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS cnt
+       FROM tet GROUP BY 1, 2),
+sc AS (SELECT d.doc_id, g.label,
+          sum(CAST(d.cnt AS DECIMAL(9,0)) * g.lp) AS s,
+          CAST(sum(d.cnt) AS BIGINT) AS known
+       FROM dc d JOIN grid g ON g.token = d.token GROUP BY 1, 2),
+fin AS (SELECT sc.doc_id, sc.label,
+           round(CAST(sc.s + p.lprior AS DOUBLE), 9) AS score,
+           sc.known
+        FROM sc JOIN priors p ON p.label = sc.label),
+rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         ORDER BY score DESC, label) AS r FROM fin)
+SELECT doc_id, label AS predicted, score, known AS n_known_tokens
+FROM rk WHERE r = 1
+""".replace("{_TOK}", _TOK))
+def q_ml_naive_bayes_lang(spark, sf_dir):
+    """Multinomial Naive Bayes language routing: fit on even doc_ids
+    (label = lang), classify odd doc_ids — counts exact, per-term ln
+    cast to decimal(16,9) BEFORE the per-doc sum (order-free), argmax
+    on the rounded score with label tie-break; DuckDB replays fit and
+    predict end-to-end."""
+    from beam_spark.ml.naive_bayes import NaiveBayesClassify
+
+    docs = table(spark, sf_dir, "documents").df
+    train = docs.where("doc_id % 2 = 0")
+    test = docs.where("doc_id % 2 = 1")
+    return (PCollection(test)
+            | NaiveBayesClassify(train, "lang", "doc_id")).df

@@ -425,3 +425,38 @@ def test_target_encode_plain_and_loo(spark):
     assert abs(sm[("a", 1.0)] - (6.0 + 2.0 * 4.0) / 5.0) < 1e-9
     with pytest.raises(ValueError):
         TargetEncode("c", "y", m=-1.0)
+
+
+def test_naive_bayes_classify_toy_corpus(spark):
+    """Separable toy corpus: 'spark shuffle' docs are 'tech', 'pasta
+    ragu' docs are 'food'. Held-out docs classify correctly; a doc of
+    only OOV tokens is absent from the output; prior dominance: an
+    ambiguous doc ties on likelihood and takes the majority class
+    with the smallest-label tie-break when priors tie too."""
+    import pytest
+
+    from beam_spark.ml.naive_bayes import NaiveBayesClassify
+    from beam_spark.pcollection import PCollection
+
+    train = spark.createDataFrame(
+        [("tech", "spark shuffle executor"),
+         ("tech", "spark codegen shuffle"),
+         ("food", "pasta ragu basil"),
+         ("food", "pasta olive ragu")],
+        "lang string, text string")
+    test = spark.createDataFrame(
+        [(1, "shuffle spark spark"), (2, "ragu pasta"),
+         (3, "zzz qqq"), (4, "spark pasta")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           (PCollection(test)
+            | NaiveBayesClassify(train, "lang", "doc_id")).df.collect()}
+    assert out[1].predicted == "tech"
+    assert out[2].predicted == "food"
+    assert 3 not in out                   # all tokens OOV -> dropped
+    assert out[4].n_known_tokens == 2
+    assert out[4].predicted == "food"     # tie -> smallest label
+    assert out[1].n_known_tokens == 3
+    assert out[1].score < 0.0             # log-domain
+    with pytest.raises(ValueError):
+        NaiveBayesClassify(train, "lang", "doc_id", alpha=0.0)
