@@ -9906,3 +9906,65 @@ def q_ml_naive_bayes_lang(spark, sf_dir):
     test = docs.where("doc_id % 2 = 1")
     return (PCollection(test)
             | NaiveBayesClassify(train, "lang", "doc_id")).df
+
+
+def _logistic_oracle_sql(iters: int = 3, lr: str = "0.5") -> str:
+    """Chained-CTE replay of LogisticFit's full-batch GD on the
+    lineitem returnflag task: one gradient CTE + one weight CTE per
+    iteration — the identical quantized-term sums and plain-double
+    weight updates the operator runs (ml/logistic.py docstring)."""
+    feats = ["x1", "x2", "x3"]
+    cte = ["""WITH data AS (
+  SELECT CAST(l_returnflag = 'A' AS DOUBLE) AS y,
+         CAST(l_quantity AS DOUBLE) / 64.0 AS x1,
+         CAST(l_discount AS DOUBLE) AS x2,
+         CAST(l_tax AS DOUBLE) AS x3
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM data),
+w0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
+              CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3),"""]
+    for t in range(1, iters + 1):
+        p = ("1.0 / (1.0 + exp(-(w.w0 + w.w1 * d.x1 + w.w2 * d.x2 "
+             "+ w.w3 * d.x3)))")
+        gsums = ",\n    ".join(
+            [f"sum(CAST(({p} - d.y) * 1.0 / nn.n AS DECIMAL(16,9))) "
+             f"AS g0"]
+            + [f"sum(CAST(({p} - d.y) * d.{f} / nn.n "
+               f"AS DECIMAL(16,9))) AS g{j}"
+               for j, f in enumerate(feats, start=1)])
+        cte.append(f"""g{t} AS (
+  SELECT {gsums}
+  FROM data d CROSS JOIN w{t - 1} w CROSS JOIN nn),""")
+        wcols = ", ".join(
+            f"w.w{j} - {lr} * CAST(g.g{j} AS DOUBLE) AS w{j}"
+            for j in range(4))
+        cte.append(f"""w{t} AS (SELECT {wcols}
+  FROM w{t - 1} w CROSS JOIN g{t} g),""")
+    cte[-1] = cte[-1].rstrip(",")
+    return ("\n".join(cte) + f"""
+SELECT 'intercept' AS term, round(w0, 9) AS weight FROM w{iters}
+UNION ALL SELECT 'x1', round(w1, 9) FROM w{iters}
+UNION ALL SELECT 'x2', round(w2, 9) FROM w{iters}
+UNION ALL SELECT 'x3', round(w3, 9) FROM w{iters}""")
+
+
+@query("q_ml_logistic_fit", _logistic_oracle_sql())
+def q_ml_logistic_fit(spark, sf_dir):
+    """Logistic regression trained by 3 full-batch GD passes (lr 0.5)
+    on lineitem: P(returnflag = 'A') from quantity/64 (dyadic scale —
+    exact doubles), discount, tax — gradients are order-free decimal
+    sums, weights plain doubles; DuckDB replays training end-to-end
+    via chained CTEs, weights compared at round 9."""
+    from beam_spark.ml.logistic import LogisticFit
+
+    li = table(spark, sf_dir, "lineitem").df.selectExpr(
+        "l_returnflag = 'A' AS y",
+        "CAST(l_quantity AS DOUBLE) / 64.0 AS x1",
+        "CAST(l_discount AS DOUBLE) AS x2",
+        "CAST(l_tax AS DOUBLE) AS x3")
+    out = (PCollection(li)
+           | LogisticFit(["x1", "x2", "x3"], "y", iterations=3,
+                         lr=0.5)).df
+    return out.select("term", F.round("weight", 9).alias("weight"))

@@ -460,3 +460,36 @@ def test_naive_bayes_classify_toy_corpus(spark):
     assert out[1].score < 0.0             # log-domain
     with pytest.raises(ValueError):
         NaiveBayesClassify(train, "lang", "doc_id", alpha=0.0)
+
+
+def test_logistic_fit_separable_and_scoring(spark):
+    """1D separable data (y = x > 0): after a few GD steps the slope
+    is positive and decision_column ranks positives above negatives;
+    constructor validation fails fast; NULL rows are excluded."""
+    import pytest
+
+    from beam_spark.ml.logistic import LogisticFit
+    from beam_spark.pcollection import PCollection
+
+    rows = ([(float(x) / 4.0, True) for x in range(1, 9)]
+            + [(-float(x) / 4.0, False) for x in range(1, 9)]
+            + [(None, True)])
+    df = spark.createDataFrame(rows, "x double, y boolean")
+    t = LogisticFit("x", "y", iterations=10, lr=0.5)
+    out = {r.term: r.weight for r in (PCollection(df) | t).df.collect()}
+    assert set(out) == {"intercept", "x"}
+    assert out["x"] > 0.5
+    assert abs(out["intercept"]) < 0.2     # symmetric data
+    scored = df.where("x IS NOT NULL").withColumn(
+        "p", t.decision_column()).collect()
+    for r in scored:
+        assert (r.p > 0.5) == (r.x > 0), r
+    with pytest.raises(ValueError):
+        LogisticFit([], "y")
+    with pytest.raises(ValueError):
+        LogisticFit("x", "y", iterations=0)
+    with pytest.raises(ValueError):
+        LogisticFit("x", "y", lr=0.0)
+    empty = spark.createDataFrame([], "x double, y boolean")
+    with pytest.raises(ValueError):
+        (PCollection(empty) | LogisticFit("x", "y")).df.collect()
