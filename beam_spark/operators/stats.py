@@ -1900,3 +1900,89 @@ class LagFeatures(PTransform):
                                           (vdbl - l1) / l1), 9))
                .drop("__xd"))
         return pcoll.with_df(out)
+
+
+class CrossCorrelation(PTransform):
+    """Sample cross-correlation between two columns of a keyed,
+    ordered series at every lag in [-max_lag, +max_lag] — the
+    lead-lag discovery pass ("do views lead purchases by 2 periods?")
+    that seeds transfer-function / causality work:
+
+        r(l) = corr(x_t, y_{t+l})   over the overlap rows, so
+        r at POSITIVE lag > 0 means x correlates with FUTURE y
+        (x leads y by l periods).
+
+    Construction: per row, an array of (lag, y shifted by lag) structs
+    from lead/lag windows, exploded to (keys, lag, x, y') — one
+    ordered window pass + one explode (factor 2*max_lag+1) + one
+    (keys, lag) decimal-moment aggregation. Pearson r evaluates in
+    double in a fixed operation order; NULL when the overlap has
+    n < 2 or either side is constant. r rounds 9 (|r| <= 1: the safe
+    magnitude zone for cross-engine round).
+
+    ``cast_to_x`` / ``cast_to_y``: decimal casts for the moment sums
+    (exact for decimal/int inputs — keep unscaled products under 2^53,
+    see LinearFit / the verify-skill hazard note).
+
+    Scale: the window needs one shuffle on the keys; the moment
+    aggregation is map-side combinable; output is (2L+1) rows per key.
+
+    Output: keys + (lag, n, r).
+    """
+
+    def __init__(self, x: str, y: str, order_by: str, keys=None,
+                 max_lag: int = 5, cast_to_x: str = "decimal(18,6)",
+                 cast_to_y: str = "decimal(18,6)", label=None):
+        super().__init__(label)
+        self.x, self.y, self.order_by = x, y, order_by
+        self.keys = ([keys] if isinstance(keys, str)
+                     else list(keys) if keys else [])
+        self.max_lag = int(max_lag)
+        if self.max_lag < 1:
+            raise ValueError("max_lag must be >= 1")
+        self.cast_to_x, self.cast_to_y = cast_to_x, cast_to_y
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        ks, L = self.keys, self.max_lag
+        base = Window.partitionBy(*ks) if ks else Window.partitionBy()
+        w = base.orderBy(self.order_by)
+        xv = F.col(self.x).cast(self.cast_to_x)
+        yv = F.col(self.y).cast(self.cast_to_y)
+        df = pcoll.df.withColumn("__x", xv).withColumn("__y", yv)
+        # window columns first (generators cannot embed window
+        # expressions), then the lag array explodes plain columns
+        for l in range(-L, L + 1):
+            shifted = (F.lead("__y", l).over(w) if l >= 0
+                       else F.lag("__y", -l).over(w))
+            df = df.withColumn(f"__yl_{l + L}", shifted)
+        pairs = F.array(*[
+            F.struct(F.lit(l).alias("lag"),
+                     F.col(f"__yl_{l + L}").alias("yl"))
+            for l in range(-L, L + 1)])
+        ex = (df.select(*ks, "__x", F.explode(pairs).alias("p"))
+              .select(*ks, F.col("p.lag").alias("lag"), "__x",
+                      F.col("p.yl").alias("__yl"))
+              .where(F.col("__x").isNotNull()
+                     & F.col("__yl").isNotNull()))
+        agg = ex.groupBy(*ks, "lag").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__x").alias("__sx"),
+            F.sum("__yl").alias("__sy"),
+            F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+            F.sum(F.col("__yl") * F.col("__yl")).alias("__syy"),
+            F.sum(F.col("__x") * F.col("__yl")).alias("__sxy"))
+        n = F.col("n").cast("double")
+        sx = F.col("__sx").cast("double")
+        sy = F.col("__sy").cast("double")
+        sxx = F.col("__sxx").cast("double")
+        syy = F.col("__syy").cast("double")
+        sxy = F.col("__sxy").cast("double")
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        r = F.when((F.col("n") >= 2) & (dx > 0.0) & (dy > 0.0),
+                   (n * sxy - sx * sy)
+                   / (F.sqrt(dx) * F.sqrt(dy)))
+        out = agg.select(*ks, "lag", "n", F.round(r, 9).alias("r"))
+        return pcoll.with_df(out)

@@ -9968,3 +9968,59 @@ def q_ml_logistic_fit(spark, sf_dir):
            | LogisticFit(["x1", "x2", "x3"], "y", iterations=3,
                          lr=0.5)).df
     return out.select("term", F.round("weight", 9).alias("weight"))
+
+
+@query("q_ts_cross_correlation", """
+WITH pre AS (SELECT l_suppkey % 10 AS k, l_orderkey AS ord,
+                    sum(CAST(l_quantity AS DECIMAL(9,2))) AS x,
+                    CAST(count(*) AS BIGINT) AS y
+             FROM lineitem GROUP BY 1, 2),
+lagged AS (SELECT k, ord, CAST(x AS DECIMAL(9,2)) AS x,
+                  CAST(y AS DECIMAL(9,0)) AS y,
+                  u.l AS lag
+           FROM pre, unnest([-3, -2, -1, 0, 1, 2, 3]) AS u(l)),
+shifted AS (SELECT k, lag, x,
+                   CASE WHEN lag >= 0
+                        THEN lead(y, greatest(lag, 0)) OVER
+                             (PARTITION BY k, lag ORDER BY ord)
+                        ELSE lag(y, greatest(-lag, 0)) OVER
+                             (PARTITION BY k, lag ORDER BY ord)
+                   END AS yl
+            FROM lagged),
+a AS (SELECT k, lag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(yl) AS DOUBLE) AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(yl * yl) AS DOUBLE) AS syy,
+             CAST(sum(x * yl) AS DOUBLE) AS sxy
+      FROM shifted WHERE x IS NOT NULL AND yl IS NOT NULL
+      GROUP BY 1, 2),
+d AS (SELECT *, CAST(n AS DOUBLE) AS nd,
+             CAST(n AS DOUBLE) * sxx - sx * sx AS dx,
+             CAST(n AS DOUBLE) * syy - sy * sy AS dy
+      FROM a)
+SELECT k, CAST(lag AS INT) AS lag, n,
+       round(CASE WHEN n >= 2 AND dx > 0.0 AND dy > 0.0
+                  THEN (nd * sxy - sx * sy)
+                       / (sqrt(dx) * sqrt(dy)) END, 9) AS r
+FROM d
+""")
+def q_ts_cross_correlation(spark, sf_dir):
+    """Cross-correlation (lags -3..3) between per-order quantity and
+    line count over supplier-hash series — unique-key pre-aggregated
+    ordering (the lag-features lesson), scale-2/0 decimal moments,
+    fixed-order Pearson in double, round 9."""
+    from beam_spark.operators.stats import CrossCorrelation
+
+    li = (table(spark, sf_dir, "lineitem").df
+          .selectExpr("l_suppkey % 10 AS k", "l_orderkey AS ord",
+                      "CAST(l_quantity AS DECIMAL(9,2)) AS xd")
+          .groupBy("k", "ord")
+          .agg(F.sum("xd").cast("decimal(9,2)").alias("x"),
+               F.count(F.lit(1)).cast("long").alias("y")))
+    out = (PCollection(li)
+           | CrossCorrelation("x", "y", "ord", keys="k", max_lag=3,
+                              cast_to_x="decimal(9,2)",
+                              cast_to_y="decimal(9,0)")).df
+    return out.select("k", F.col("lag").cast("int").alias("lag"),
+                      "n", "r")

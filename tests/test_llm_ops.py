@@ -4132,3 +4132,32 @@ def test_rfm_default_as_of_uses_corpus_max(spark):
             | RfmSegmentation("e", "t", "a", n_bins=3)).df.collect()}
     assert out[3].recency_days == 0
     assert out[1].recency_days == 20
+
+
+def test_cross_correlation_shifted_series(spark):
+    """y is x shifted forward by 2 periods (y_t = x_{t-2}): the
+    cross-correlation peaks (r = 1) at lag +2 (x leads y), not at 0;
+    constant series gives NULL r; max_lag validation fails fast."""
+    import math
+
+    import pytest
+
+    from beam_spark.operators.stats import CrossCorrelation
+    from beam_spark.pcollection import PCollection
+
+    xs = [1.0, 3.0, 2.0, 5.0, 4.0, 7.0, 6.0, 9.0, 8.0, 11.0]
+    rows = [("a", t, xs[t], xs[t - 2] if t >= 2 else None)
+            for t in range(len(xs))]
+    rows += [("const", t, 5.0, 5.0) for t in range(6)]
+    df = spark.createDataFrame(rows, "k string, t int, x double, y double")
+    out = {(r.k, r.lag): r for r in
+           (PCollection(df)
+            | CrossCorrelation("x", "y", "t", keys="k", max_lag=3)
+            ).df.collect()}
+    assert out[("a", 2)].r == 1.0
+    assert out[("a", 0)].r is None or out[("a", 0)].r < 1.0
+    assert all(out[("a", l)].r is None or out[("a", l)].r < 1.0
+               for l in (-3, -2, -1, 0, 1, 3))
+    assert out[("const", 0)].r is None
+    with pytest.raises(ValueError):
+        CrossCorrelation("x", "y", "t", max_lag=0)
