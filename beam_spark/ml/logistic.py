@@ -35,7 +35,9 @@ driver holds d+1 doubles. d is capped (weights ride in expressions).
 Output: (term, weight) — 'intercept' plus one row per feature.
 After expand, ``weights_`` holds the fitted dict driver-side, and
 ``decision_column(df)`` returns a sigmoid-score Column for scoring
-any frame with the same feature columns.
+any frame with the same feature columns. NULL rows are excluded; NaN
+feature values are NOT (they would poison the gradient exactly as in
+any GD trainer) — clean upstream.
 """
 
 from __future__ import annotations

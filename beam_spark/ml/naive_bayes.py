@@ -91,6 +91,10 @@ class NaiveBayesClassify(PTransform):
         wc = _token_counts(train, tc, ["label"])
         vocab = wc.select("token").distinct()
         v_size = vocab.count()
+        if v_size == 0:
+            raise ValueError(
+                "NaiveBayesClassify: empty training vocabulary "
+                "(no labeled rows with non-empty text)")
         totals = wc.groupBy("label").agg(
             F.sum("cnt").cast("long").alias("tok_c"))
         grid = (totals.crossJoin(vocab)

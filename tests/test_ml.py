@@ -493,3 +493,16 @@ def test_logistic_fit_separable_and_scoring(spark):
     empty = spark.createDataFrame([], "x double, y boolean")
     with pytest.raises(ValueError):
         (PCollection(empty) | LogisticFit("x", "y")).df.collect()
+
+
+def test_naive_bayes_empty_train_fails_fast(spark):
+    import pytest
+
+    from beam_spark.ml.naive_bayes import NaiveBayesClassify
+    from beam_spark.pcollection import PCollection
+
+    train = spark.createDataFrame([], "lang string, text string")
+    test = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        (PCollection(test)
+         | NaiveBayesClassify(train, "lang", "doc_id")).df.collect()
