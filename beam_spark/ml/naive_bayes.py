@@ -109,9 +109,13 @@ class NaiveBayesClassify(PTransform):
         return grid
 
     def fit_priors(self) -> DataFrame:
-        """(label, lprior decimal) — ln P(c) from doc counts."""
+        """(label, lprior decimal) — ln P(c) from doc counts (same
+        row filter as fit_model: labeled AND non-null text, so a
+        text-less row contributes to neither priors nor counts)."""
         lc = self.label_col
-        train = self.train.where(F.col(lc).isNotNull())
+        train = self.train.where(
+            F.col(lc).isNotNull()
+            & F.col(self.text_col).isNotNull())
         per = train.groupBy(F.col(lc).alias("label")).agg(
             F.count(F.lit(1)).cast("long").alias("n_c"))
         tot = per.agg(F.sum("n_c").cast("long").alias("n"))
