@@ -2310,3 +2310,71 @@ class ProportionsZTest(PTransform):
                            (pa - pb) / F.sqrt(se2)), 9).alias("z"),
             F.round(F.when(nonempty, srm), 9).alias("srm_chi2"))
         return pcoll.with_df(out)
+
+
+class ConformalInterval(PTransform):
+    """Split conformal prediction intervals (Vovk et al.; Lei et al.
+    JASA 2018) — distribution-free uncertainty bands for ANY point
+    predictor: given a CALIBRATION frame of (prediction, actual), the
+    (1-alpha) interval for a new prediction p is
+
+        p ± q,   q = the ceil((n + 1) * (1 - alpha))-th smallest
+                     absolute residual |actual - prediction|
+                     (+inf when the rank exceeds n — not enough
+                      calibration data for this alpha: NULL bounds)
+
+    guaranteeing >= 1-alpha marginal coverage for exchangeable data.
+    The quantile is an EXACT order statistic (row_number over the
+    residual frame with a deterministic tie-break on the residual
+    value itself), not an approximate percentile — fully replayable.
+
+    Scale: one window over the CALIBRATION frame (sized by holdout
+    policy, not corpus), one 1-row broadcast join to the scored
+    frame; tie-break note: ranks beyond ties pick the same residual
+    VALUE whatever the tie order, so ordering by value alone is
+    enough.
+
+    Output: the piped (scoring) frame + (lower, upper) around
+    ``pred_col``, both NULL when calibration is insufficient.
+    """
+
+    def __init__(self, calibration, pred_col: str, actual_col: str,
+                 alpha: float = 0.1, label=None):
+        super().__init__(label)
+        from beam_spark.pcollection import PCollection as _PC
+
+        self.calibration = (calibration.df
+                            if isinstance(calibration, _PC)
+                            else calibration)
+        self.pred_col, self.actual_col = pred_col, actual_col
+        self.alpha = float(alpha)
+        if not 0.0 < self.alpha < 1.0:
+            raise ValueError("alpha must be in (0, 1)")
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        pc, ac = self.pred_col, self.actual_col
+        cal = (self.calibration
+               .where(F.col(pc).isNotNull() & F.col(ac).isNotNull())
+               .select(F.abs(F.col(ac).cast("double")
+                             - F.col(pc).cast("double"))
+                       .alias("__res")))
+        w = Window.partitionBy().orderBy("__res")
+        ranked = (cal.withColumn("__r", F.row_number().over(w))
+                  .withColumn("__n", F.count(F.lit(1)).over(
+                      Window.partitionBy())))
+        # rank = ceil((n + 1) * (1 - alpha)); exact integer arithmetic
+        # when alpha is expressible, double ceil otherwise (both
+        # engines evaluate the identical expression)
+        need = F.ceil((F.col("__n") + 1).cast("double")
+                      * F.lit(1.0 - self.alpha))
+        q = (ranked.where(F.col("__r") == need)
+             .select(F.col("__res").alias("__q")))
+        out = (pcoll.df.join(F.broadcast(q), how="left")
+               .withColumn("lower",
+                           F.col(pc).cast("double") - F.col("__q"))
+               .withColumn("upper",
+                           F.col(pc).cast("double") + F.col("__q"))
+               .drop("__q"))
+        return pcoll.with_df(out)

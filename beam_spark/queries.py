@@ -10024,3 +10024,45 @@ def q_ts_cross_correlation(spark, sf_dir):
                               cast_to_y="decimal(9,0)")).df
     return out.select("k", F.col("lag").cast("int").alias("lag"),
                       "n", "r")
+
+
+@query("q_ml_conformal_interval", """
+WITH cal AS (SELECT abs(CAST(l_extendedprice AS DOUBLE)
+                        - CAST(l_quantity AS DOUBLE)
+                          * CAST(3000 AS DOUBLE)) AS res
+             FROM lineitem
+             WHERE l_orderkey % 2 = 0
+               AND l_extendedprice IS NOT NULL
+               AND l_quantity IS NOT NULL),
+rk AS (SELECT res, row_number() OVER (ORDER BY res) AS r,
+              count(*) OVER () AS n
+       FROM cal),
+q AS (SELECT res AS qv FROM rk
+      WHERE r = ceil(CAST(n + 1 AS DOUBLE) * CAST(0.9 AS DOUBLE))),
+sc AS (SELECT l_orderkey, l_linenumber,
+              CAST(l_quantity AS DOUBLE) * CAST(3000 AS DOUBLE)
+                AS pred
+       FROM lineitem WHERE l_orderkey % 2 = 1)
+SELECT sc.l_orderkey, sc.l_linenumber, sc.pred,
+       sc.pred - q.qv AS lower, sc.pred + q.qv AS upper
+FROM sc LEFT JOIN q ON TRUE
+""")
+def q_ml_conformal_interval(spark, sf_dir):
+    """Split-conformal 90% bands for a toy linear predictor
+    (pred = 3000 * quantity) — calibration residuals from even
+    orderkeys, scored frame odd; the quantile is the exact
+    ceil((n+1)*0.9)-th order statistic (double ceil, identical
+    expression both engines), intervals plain double arithmetic."""
+    from beam_spark.operators.quality import ConformalInterval
+
+    li = table(spark, sf_dir, "lineitem").df
+    cal = li.where("l_orderkey % 2 = 0").selectExpr(
+        "CAST(l_quantity AS DOUBLE) * CAST(3000 AS DOUBLE) AS pred",
+        "CAST(l_extendedprice AS DOUBLE) AS actual")
+    sc = li.where("l_orderkey % 2 = 1").selectExpr(
+        "l_orderkey", "l_linenumber",
+        "CAST(l_quantity AS DOUBLE) * CAST(3000 AS DOUBLE) AS pred")
+    out = (PCollection(sc)
+           | ConformalInterval(cal, "pred", "actual", alpha=0.1)).df
+    return out.select("l_orderkey", "l_linenumber", "pred",
+                      "lower", "upper")

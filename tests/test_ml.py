@@ -506,3 +506,34 @@ def test_naive_bayes_empty_train_fails_fast(spark):
     with pytest.raises(ValueError):
         (PCollection(test)
          | NaiveBayesClassify(train, "lang", "doc_id")).df.collect()
+
+
+def test_conformal_interval_coverage_and_rank(spark):
+    """Calibration residuals 1..9 (pred = 0, actual = i): alpha=0.2
+    -> rank ceil(10 * 0.8) = 8 -> q = 8; scored rows get pred +- 8.
+    Tiny calibration with strict alpha -> rank > n -> NULL bounds.
+    Empirical coverage on the calibration data >= 1 - alpha."""
+    import pytest
+
+    from beam_spark.operators.quality import ConformalInterval
+    from beam_spark.pcollection import PCollection
+
+    cal = spark.createDataFrame(
+        [(0.0, float(i)) for i in range(1, 10)], "pred double, actual double")
+    sc = spark.createDataFrame([(1, 100.0), (2, -5.0)],
+                               "id int, pred double")
+    out = {r.id: r for r in
+           (PCollection(sc)
+            | ConformalInterval(cal, "pred", "actual", alpha=0.2)
+            ).df.collect()}
+    assert out[1].lower == 92.0 and out[1].upper == 108.0
+    assert out[2].lower == -13.0 and out[2].upper == 3.0
+    covered = sum(1 for i in range(1, 10) if abs(i) <= 8.0)
+    assert covered / 9 >= 0.8
+    tiny = spark.createDataFrame([(0.0, 1.0)], "pred double, actual double")
+    out2 = (PCollection(sc)
+            | ConformalInterval(tiny, "pred", "actual", alpha=0.05)
+            ).df.collect()
+    assert all(r.lower is None and r.upper is None for r in out2)
+    with pytest.raises(ValueError):
+        ConformalInterval(cal, "pred", "actual", alpha=1.0)
