@@ -2378,3 +2378,71 @@ class ConformalInterval(PTransform):
                            F.col(pc).cast("double") + F.col("__q"))
                .drop("__q"))
         return pcoll.with_df(out)
+
+
+class Cuped(PTransform):
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM
+    2013) — the standard experimentation-platform adjustment: shrink
+    a metric's variance with a pre-experiment covariate before
+    running the t-test, cutting required sample sizes by 1 - rho^2:
+
+        theta = cov(X, Y) / var(X)
+        y_adj = y - theta * (x - mean(X))     [same mean, less noise]
+
+    theta / means come from one decimal-exact moment pass (``cast_to_
+    x/y``; keep unscaled products under 2^53 at your comparison SF —
+    the verify-skill hazard); y_adj is then fixed-order double per
+    row. ``keys`` fits theta per stratum. theta is 0 when var(X) = 0
+    (no covariate signal -> adjustment is a no-op, not a NULL — the
+    downstream test still runs).
+
+    Scale: one partial-agg moment pass + one broadcast join of the
+    1-row-per-key theta frame back onto the data; no windows.
+
+    Output: input columns + (y_adj round 6 — metric-magnitude
+    doubles sit where engines' round(x, 9) grids disagree, see the
+    verify-skill hazard notes — and theta round 9).
+    """
+
+    def __init__(self, metric: str, covariate: str, keys=None,
+                 cast_to_x: str = "decimal(18,6)",
+                 cast_to_y: str = "decimal(18,6)", label=None):
+        super().__init__(label)
+        self.metric, self.covariate = metric, covariate
+        self.keys = ([keys] if isinstance(keys, str)
+                     else list(keys) if keys else [])
+        self.cast_to_x, self.cast_to_y = cast_to_x, cast_to_y
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        y, x, ks = self.metric, self.covariate, self.keys
+        xd = F.col(x).cast(self.cast_to_x)
+        yd = F.col(y).cast(self.cast_to_y)
+        base = pcoll.df.where(F.col(x).isNotNull()
+                              & F.col(y).isNotNull())
+        mom = base.groupBy(*ks).agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum(xd).alias("__sx"),
+            F.sum(yd).alias("__sy"),
+            F.sum(xd * xd).alias("__sxx"),
+            F.sum(xd * yd).alias("__sxy"))
+        n = F.col("__n").cast("double")
+        sx = F.col("__sx").cast("double")
+        sy = F.col("__sy").cast("double")
+        sxx = F.col("__sxx").cast("double")
+        sxy = F.col("__sxy").cast("double")
+        dx = n * sxx - sx * sx
+        theta = F.when(dx != 0.0,
+                       (n * sxy - sx * sy) / dx).otherwise(F.lit(0.0))
+        stats = mom.select(*ks, theta.alias("__theta"),
+                           (sx / n).alias("__xbar"))
+        joined = (base.join(F.broadcast(stats), ks) if ks
+                  else base.crossJoin(F.broadcast(stats)))
+        out = (joined.withColumn(
+                   "y_adj",
+                   F.round(F.col(y).cast("double")
+                           - F.col("__theta")
+                           * (F.col(x).cast("double")
+                              - F.col("__xbar")), 6))
+               .withColumn("theta", F.round("__theta", 9))
+               .drop("__theta", "__xbar"))
+        return pcoll.with_df(out)

@@ -10066,3 +10066,47 @@ def q_ml_conformal_interval(spark, sf_dir):
            | ConformalInterval(cal, "pred", "actual", alpha=0.1)).df
     return out.select("l_orderkey", "l_linenumber", "pred",
                       "lower", "upper")
+
+
+@query("q_ab_cuped_adjustment", """
+WITH base AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+                     CAST(l_extendedprice AS DOUBLE) AS y,
+                     CAST(l_quantity AS DOUBLE) AS x,
+                     CAST(l_extendedprice AS DECIMAL(12,2)) AS yd,
+                     CAST(l_quantity AS DECIMAL(9,2)) AS xd
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL),
+m AS (SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xd) AS DOUBLE) AS sx,
+             CAST(sum(yd) AS DOUBLE) AS sy,
+             CAST(sum(xd * xd) AS DOUBLE) AS sxx,
+             CAST(sum(xd * yd) AS DOUBLE) AS sxy
+      FROM base GROUP BY 1),
+s AS (SELECT l_returnflag,
+             CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0
+                  THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / (CAST(n AS DOUBLE) * sxx - sx * sx)
+                  ELSE CAST(0 AS DOUBLE) END AS theta,
+             sx / CAST(n AS DOUBLE) AS xbar
+      FROM m)
+SELECT b.l_orderkey, b.l_linenumber, b.l_returnflag,
+       round(b.y - s.theta * (b.x - s.xbar), 6) AS y_adj,
+       round(s.theta, 9) AS theta
+FROM base b JOIN s ON s.l_returnflag = b.l_returnflag
+""")
+def q_ab_cuped_adjustment(spark, sf_dir):
+    """CUPED adjustment of extendedprice with quantity as covariate,
+    theta fit per returnflag stratum — decimal-exact moments (scale
+    2/4: unscaled sums < 2^53 at the comparison SFs), fixed-order
+    double adjustment, round 9."""
+    from beam_spark.operators.quality import Cuped
+
+    li = table(spark, sf_dir, "lineitem")
+    out = (li | Cuped("l_extendedprice", "l_quantity",
+                      keys="l_returnflag",
+                      cast_to_x="decimal(9,2)",
+                      cast_to_y="decimal(12,2)")).df
+    return out.select("l_orderkey", "l_linenumber", "l_returnflag",
+                      "y_adj", "theta")

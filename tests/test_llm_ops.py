@@ -4161,3 +4161,32 @@ def test_cross_correlation_shifted_series(spark):
     assert out[("const", 0)].r is None
     with pytest.raises(ValueError):
         CrossCorrelation("x", "y", "t", max_lag=0)
+
+
+def test_cuped_variance_reduction(spark):
+    """Y = 2X + noise: CUPED with covariate X recovers theta ~ 2 and
+    the adjusted metric's variance is far below the raw variance;
+    mean is preserved; var(X) = 0 stratum passes through (theta 0)."""
+    import statistics
+
+    from beam_spark.operators.quality import Cuped
+    from beam_spark.pcollection import PCollection
+
+    noise = [0.3, -0.2, 0.1, -0.4, 0.25, -0.05, 0.15, -0.15]
+    rows = [("s", float(x), 2.0 * x + noise[i])
+            for i, x in enumerate([1, 2, 3, 4, 5, 6, 7, 8])]
+    rows += [("flat", 5.0, 1.0), ("flat", 5.0, 3.0)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    out = [(r.k, r.x, r.y, r.y_adj, r.theta) for r in
+           (PCollection(df)
+            | Cuped("y", "x", keys="k")).df.collect()]
+    s = [(x, y, ya, th) for k, x, y, ya, th in out if k == "s"]
+    assert abs(s[0][3] - 2.0) < 0.1            # theta ~ slope
+    raw = statistics.pvariance([y for _, y, _, _ in s])
+    adj = statistics.pvariance([ya for _, _, ya, _ in s])
+    assert adj < raw * 0.05
+    assert abs(statistics.mean([ya for _, _, ya, _ in s])
+               - statistics.mean([y for _, y, _, _ in s])) < 1e-6
+    flat = [(ya, th) for k, x, y, ya, th in out if k == "flat"]
+    assert all(th == 0.0 for _, th in flat)
+    assert sorted(ya for ya, _ in flat) == [1.0, 3.0]
