@@ -1092,7 +1092,10 @@ class CovarianceMatrix(PTransform):
             (F.col("idx") / d).cast("int").alias("i"),
             (F.col("idx") % d).cast("int").alias("j"),
             F.col("g"))
-        out = (cells.join(si, "i").join(sj, "j")
+        # si/sj are d-row frames: broadcast explicitly (correct at any
+        # threshold, including sessions that disabled auto-broadcast)
+        out = (cells.join(F.broadcast(si), "i")
+               .join(F.broadcast(sj), "j")
                .where(F.col("n") >= 2)
                .select(
                    "i", "j",
