@@ -24,17 +24,35 @@ def test_aqe_splits_skewed_join_partition():
              .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
              .config("spark.sql.shuffle.partitions", "8")
              .getOrCreate())
-    left = spark.range(400_000).select(
-        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
-        F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"))
-    right = spark.range(2_000_000).select(
-        (F.col("id") % 2000).alias("k"), F.lit("r").alias("rv"))
-    j = left.join(right, on="k").select(F.sum(F.length("pad")).alias("s"))
-    j.collect()
-    plan = j._jdf.queryExecution().executedPlan().toString()
-    assert "isFinalPlan=true" in plan
-    assert "SortMergeJoin(skew=true)" in plan, plan[:800]
-    assert "AQEShuffleRead skewed" in plan
+    # builder.getOrCreate() on a live session MUTATES it (configs are
+    # applied to the shared session) — snapshot and restore the knobs
+    # this test flips so later plan assertions see default behavior
+    restore = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.shuffle.partitions")}
+    try:
+        left = spark.range(400_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"))
+        right = spark.range(2_000_000).select(
+            (F.col("id") % 2000).alias("k"), F.lit("r").alias("rv"))
+        j = left.join(right, on="k").select(F.sum(F.length("pad")).alias("s"))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan[:800]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in restore.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def test_scan_parallelism_scales_with_max_partition_bytes(spark, tmp_path):
