@@ -1986,3 +1986,68 @@ class CrossCorrelation(PTransform):
                    / (F.sqrt(dx) * F.sqrt(dy)))
         out = agg.select(*ks, "lag", "n", F.round(r, 9).alias("r"))
         return pcoll.with_df(out)
+
+
+class NelsonAalen(PTransform):
+    """Nelson-Aalen cumulative hazard estimator — KaplanMeier's
+    sibling for the HAZARD scale (preferred for small risk sets and
+    for comparing hazard ratios):
+
+        H(t) = sum over event times t_i <= t of d_i / n_i
+        S_fh(t) = exp(-H(t))        (the Fleming-Harrington survival)
+
+    Same at-risk construction and tie convention as KaplanMeier (see
+    its docstring); each d_i/n_i ratio is a double of exact integers
+    cast to decimal(28,12) before the TIME-ORDERED cumulative sum, so
+    H is an exact decimal both engines agree on; H and S_fh round 6.
+
+    Scale: identical to KaplanMeier — one groupBy(duration) + ordered
+    windows over the distinct-duration frame.
+
+    Output: one row per distinct event time — (t, n_risk, d_events,
+    c_censored, cum_hazard, survival_fh), ascending t.
+    """
+
+    def __init__(self, duration_col: str, event_col: str, label=None):
+        super().__init__(label)
+        self.duration_col, self.event_col = duration_col, event_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        dc, ec = self.duration_col, self.event_col
+        base = pcoll.df.where(
+            F.col(dc).isNotNull() & F.col(ec).isNotNull()).select(
+            F.col(dc).cast("double").alias("t"),
+            F.col(ec).cast("int").alias("__e"))
+        per = base.groupBy("t").agg(
+            F.sum("__e").cast("long").alias("d_events"),
+            F.sum(1 - F.col("__e")).cast("long").alias("c_censored"))
+        w_all = Window.partitionBy()
+        w_prev = (Window.orderBy("t")
+                  .rowsBetween(Window.unboundedPreceding, -1))
+        at_risk = (per
+                   .withColumn("__N", F.sum(F.col("d_events")
+                                            + F.col("c_censored"))
+                               .over(w_all))
+                   .withColumn("__left", F.coalesce(
+                       F.sum(F.col("d_events") + F.col("c_censored"))
+                       .over(w_prev), F.lit(0)))
+                   .withColumn("n_risk",
+                               (F.col("__N") - F.col("__left"))
+                               .cast("long")))
+        ratio = (F.col("d_events").cast("double")
+                 / F.col("n_risk").cast("double"))
+        w_cum = (Window.orderBy("t")
+                 .rowsBetween(Window.unboundedPreceding, 0))
+        out = (at_risk
+               .withColumn("__H",
+                           F.sum(ratio.cast("decimal(28,12)"))
+                           .over(w_cum))
+               .where(F.col("d_events") > 0)
+               .select("t", "n_risk", "d_events", "c_censored",
+                       F.round(F.col("__H").cast("double"), 6)
+                       .alias("cum_hazard"),
+                       F.round(F.exp(-F.col("__H").cast("double")), 6)
+                       .alias("survival_fh")))
+        return pcoll.with_df(out)

@@ -10110,3 +10110,57 @@ def q_ab_cuped_adjustment(spark, sf_dir):
                       cast_to_y="decimal(12,2)")).df
     return out.select("l_orderkey", "l_linenumber", "l_returnflag",
                       "y_adj", "theta")
+
+
+@query("q_survival_nelson_aalen", """
+WITH pu AS (SELECT user_id,
+              epoch_us(min(ts)) / CAST(1000000 AS DOUBLE) AS t0,
+              epoch_us(coalesce(min(CASE WHEN event_type = 'purchase'
+                                    THEN ts END), max(ts)))
+                / CAST(1000000 AS DOUBLE) AS t1,
+              CASE WHEN min(CASE WHEN event_type = 'purchase'
+                            THEN ts END) IS NOT NULL
+                   THEN 1 ELSE 0 END AS e
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY user_id),
+base AS (SELECT t1 - t0 AS t, e FROM pu),
+per AS (SELECT t, CAST(sum(e) AS BIGINT) AS d_events,
+               CAST(sum(1 - e) AS BIGINT) AS c_censored
+        FROM base GROUP BY t),
+ar AS (SELECT *, sum(d_events + c_censored) OVER () AS N,
+              coalesce(sum(d_events + c_censored)
+                       OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND 1 PRECEDING), 0) AS lft
+       FROM per),
+s AS (SELECT t, CAST(N - lft AS BIGINT) AS n_risk, d_events,
+             c_censored,
+        sum(CAST(CAST(d_events AS DOUBLE)
+                 / CAST(N - lft AS DOUBLE) AS DECIMAL(28,12)))
+          OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS H
+      FROM ar)
+SELECT t, n_risk, d_events, c_censored,
+       round(CAST(H AS DOUBLE), 6) AS cum_hazard,
+       round(exp(-CAST(H AS DOUBLE)), 6) AS survival_fh
+FROM s WHERE d_events > 0
+""")
+def q_survival_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard (+ Fleming-Harrington survival)
+    on the same time-to-first-purchase construction as the
+    Kaplan-Meier component — exact d/n ratios summed as time-ordered
+    decimals, round 6."""
+    from beam_spark.operators.stats import NelsonAalen
+
+    ev = table(spark, sf_dir, "events").df.where("user_id IS NOT NULL")
+    pu = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__t0"),
+        F.max("ts").alias("__tl"),
+        F.min(F.when(F.col("event_type") == "purchase",
+                     F.col("ts"))).alias("__tp"))
+    base = pu.select(
+        (F.coalesce(F.col("__tp"), F.col("__tl")).cast("double")
+         - F.col("__t0").cast("double")).alias("duration"),
+        F.col("__tp").isNotNull().cast("int").alias("event"))
+    out = (PCollection(base) | NelsonAalen("duration", "event")).df
+    return out.select("t", "n_risk", "d_events", "c_censored",
+                      "cum_hazard", "survival_fh")

@@ -4190,3 +4190,27 @@ def test_cuped_variance_reduction(spark):
     flat = [(ya, th) for k, x, y, ya, th in out if k == "flat"]
     assert all(th == 0.0 for _, th in flat)
     assert sorted(ya for ya, _ in flat) == [1.0, 3.0]
+
+
+def test_nelson_aalen_known_curve(spark):
+    """Classic small example: durations (1,e) (2,e) (2,c) (3,e) (4,c).
+    H(1) = 1/5; H(2) = 1/5 + 1/4; H(3) = ... + 1/2 (n_risk at 3 is 2
+    after the censored-at-2 subject leaves). survival_fh = exp(-H);
+    censored-only times produce no output row."""
+    import math
+
+    from beam_spark.operators.stats import NelsonAalen
+    from beam_spark.pcollection import PCollection
+
+    rows = [(1.0, 1), (2.0, 1), (2.0, 0), (3.0, 1), (4.0, 0)]
+    df = spark.createDataFrame(rows, "duration double, event int")
+    out = {r.t: r for r in
+           (PCollection(df) | NelsonAalen("duration", "event"))
+           .df.collect()}
+    assert set(out) == {1.0, 2.0, 3.0}
+    assert abs(out[1.0].cum_hazard - 0.2) < 1e-6
+    assert abs(out[2.0].cum_hazard - (0.2 + 0.25)) < 1e-6
+    assert out[3.0].n_risk == 2
+    assert abs(out[3.0].cum_hazard - (0.2 + 0.25 + 0.5)) < 1e-6
+    assert abs(out[3.0].survival_fh
+               - round(math.exp(-(0.2 + 0.25 + 0.5)), 6)) < 1e-9
