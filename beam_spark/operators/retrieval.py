@@ -621,3 +621,86 @@ class MmrRerank(PTransform):
 
         out = df.groupBy(qc).applyInPandas(fn, schema)
         return pcoll.with_df(out)
+
+
+class QueryLikelihoodTopK(PTransform):
+    """Query-likelihood retrieval with Dirichlet smoothing (Ponte &
+    Croft SIGIR'98; Zhai & Lafferty SIGIR'01) — the language-model
+    ranking family next to BM25 (it wins on verbose queries and is
+    the standard baseline in IR evaluation):
+
+        score(q, d) = sum over q terms w (with query tf qtf_w) of
+            qtf_w * ln((tf_wd + mu * cf_w / |C|) / (dl_d + mu))
+
+    cf_w = collection frequency, |C| = total corpus tokens. Query
+    terms absent from the corpus (cf = 0) are dropped (ln 0 is
+    -inf; the smoothing only covers terms the collection has seen).
+
+    Unlike BM25's sparse match join, QL scores EVERY document against
+    every query term (the smoothed miss-mass differs per document
+    length): the scoring frame is |query terms| x N_docs — the
+    small-query-set posture. For large query sets, prefilter
+    candidates with Bm25TopK and rerank with this.
+
+    Determinism: per-term ln values cast to decimal(16,9) times the
+    integer query tf (exact 25,9 products, order-free sums — the
+    NaiveBayes convention); rank over (round(score, 6) DESC, doc_id).
+
+    Output: (query_id, doc_id, rank, score round 6), rank <= k.
+    """
+
+    def __init__(self, queries, k: int = 10, mu: float = 2000.0,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 query_id_col: str = "query_id",
+                 query_text_col: str = "text", label=None):
+        super().__init__(label)
+        self.queries = (queries.df if isinstance(queries, PCollection)
+                        else queries)
+        self.k, self.mu = int(k), float(mu)
+        if self.mu <= 0:
+            raise ValueError("mu must be > 0")
+        self.text_col, self.id_col = text_col, id_col
+        self.query_id_col = query_id_col
+        self.query_text_col = query_text_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        idc, mu = self.id_col, self.mu
+        toks = pcoll.df.select(F.col(idc),
+                               tokens(self.text_col).alias("__t"))
+        doclen = toks.select(idc, F.size("__t").alias("dl"))
+        postings = (toks.select(idc, F.explode("__t").alias("term"))
+                    .groupBy(idc, "term")
+                    .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+        cf = postings.groupBy("term").agg(
+            F.sum("tf").cast("long").alias("cf"))
+        csize = cf.agg(F.sum("cf").cast("long").alias("C"))
+        qt = (self.queries
+              .select(F.col(self.query_id_col).alias("query_id"),
+                      F.explode(tokens(self.query_text_col))
+                      .alias("term"))
+              .groupBy("query_id", "term")
+              .agg(F.count(F.lit(1)).cast("long").alias("qtf"))
+              .join(cf, "term")                 # cf = 0 terms dropped
+              .crossJoin(F.broadcast(csize)))
+        grid = (qt.crossJoin(doclen)
+                .join(postings.withColumnRenamed("tf", "__tf"),
+                      ["term", idc], "left"))
+        tf = F.coalesce(F.col("__tf"), F.lit(0)).cast("double")
+        lnterm = F.log(
+            (tf + F.lit(mu) * (F.col("cf").cast("double")
+                               / F.col("C").cast("double")))
+            / (F.col("dl").cast("double") + F.lit(mu)))
+        scored = (grid
+                  .withColumn("__v", F.col("qtf").cast("decimal(9,0)")
+                              * lnterm.cast("decimal(16,9)"))
+                  .groupBy("query_id", idc)
+                  .agg(F.round(F.sum("__v").cast("double"), 6)
+                       .alias("score")))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.col(idc))
+        out = (scored.withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") <= self.k)
+               .select("query_id", idc, "rank", "score"))
+        return pcoll.with_df(out)

@@ -10164,3 +10164,54 @@ def q_survival_nelson_aalen(spark, sf_dir):
     out = (PCollection(base) | NelsonAalen("duration", "event")).df
     return out.select("t", "n_risk", "d_events", "c_censored",
                       "cum_hazard", "survival_fh")
+
+
+@query("q_retrieval_query_likelihood", r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents),
+dlen AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+         GROUP BY 1, 2),
+cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM post
+       GROUP BY 1),
+cs AS (SELECT CAST(sum(cf) AS BIGINT) AS C FROM cf),
+qt AS (SELECT query_id, term, CAST(count(*) AS BIGINT) AS qtf
+       FROM (SELECT doc_id AS query_id, unnest(t) AS term
+             FROM toks WHERE doc_id < 3)
+       GROUP BY 1, 2),
+grid AS (SELECT q.query_id, q.term, q.qtf, c.cf, cs.C,
+                d.doc_id, d.dl, coalesce(p.tf, 0) AS tf
+         FROM qt q JOIN cf c ON c.term = q.term CROSS JOIN cs
+         CROSS JOIN dlen d
+         LEFT JOIN post p ON p.term = q.term
+           AND p.doc_id = d.doc_id),
+sc AS (SELECT query_id, doc_id,
+         round(CAST(sum(CAST(qtf AS DECIMAL(9,0))
+           * CAST(ln((CAST(tf AS DOUBLE)
+                      + CAST(2000 AS DOUBLE)
+                        * (CAST(cf AS DOUBLE) / CAST(C AS DOUBLE)))
+                     / (CAST(dl AS DOUBLE) + CAST(2000 AS DOUBLE)))
+               AS DECIMAL(16,9))) AS DOUBLE), 6) AS score
+       FROM grid GROUP BY 1, 2),
+r AS (SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM sc)
+SELECT query_id, doc_id, rank, score FROM r WHERE rank <= 5
+""")
+def q_retrieval_query_likelihood(spark, sf_dir):
+    """Dirichlet query-likelihood retrieval (mu=2000), top-5 docs for
+    3 query documents — every document scores against every query
+    term (the smoothed-miss-mass construction); per-term ln decimals
+    times integer query tf give order-free exact sums; rank on the
+    rounded score with doc-id tie-break."""
+    from beam_spark.operators.retrieval import QueryLikelihoodTopK
+
+    docs = table(spark, sf_dir, "documents").df
+    queries_df = docs.where("doc_id < 3").selectExpr(
+        "doc_id AS query_id", "text")
+    out = (PCollection(docs)
+           | QueryLikelihoodTopK(queries_df, k=5)).df
+    return out.select("query_id", "doc_id", "rank", "score")

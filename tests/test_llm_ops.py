@@ -4214,3 +4214,31 @@ def test_nelson_aalen_known_curve(spark):
     assert abs(out[3.0].cum_hazard - (0.2 + 0.25 + 0.5)) < 1e-6
     assert abs(out[3.0].survival_fh
                - round(math.exp(-(0.2 + 0.25 + 0.5)), 6)) < 1e-9
+
+
+def test_query_likelihood_ranks_matching_doc_first(spark):
+    """Corpus of three docs; the query equal to doc 1's text ranks
+    doc 1 first (a doc always maximizes the likelihood of its own
+    terms under Dirichlet smoothing at this scale); all scores
+    negative (log domain); every doc is scored (smoothing covers
+    misses); mu validation fails fast."""
+    import pytest
+
+    from beam_spark.operators.retrieval import QueryLikelihoodTopK
+    from beam_spark.pcollection import PCollection
+
+    docs = spark.createDataFrame(
+        [(1, "spark shuffle join codegen"),
+         (2, "pasta ragu basil olive"),
+         (3, "spark pasta mixed corpus doc")],
+        "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(100, "spark shuffle join codegen")], "query_id long, text string")
+    out = (PCollection(docs)
+           | QueryLikelihoodTopK(queries, k=3, mu=10.0)).df.collect()
+    assert len(out) == 3                  # every doc scored
+    ranked = sorted(out, key=lambda r: r.rank)
+    assert ranked[0].doc_id == 1
+    assert all(r.score < 0 for r in out)
+    with pytest.raises(ValueError):
+        QueryLikelihoodTopK(queries, mu=0.0)
