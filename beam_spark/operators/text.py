@@ -994,6 +994,10 @@ class TextRank(PTransform):
         super().__init__(label)
         if int(min_count) < 1:
             raise ValueError(f"min_count {min_count}: need >= 1")
+        if int(min_token_len) < 1:
+            raise ValueError(f"min_token_len {min_token_len}: need "
+                             ">= 1 (0 would admit empty tokens as "
+                             "graph nodes)")
         self.text_col = text_col
         self.min_count = int(min_count)
         self.min_token_len = int(min_token_len)
