@@ -362,6 +362,38 @@ def _register_curation():
         "SilhouetteScore": ("beam_spark.operators.similarity",
                             "SilhouetteScore"),
         "Hits": ("beam_spark.operators.graph", "Hits"),
+        # round-12 session-3 single-frame families
+        "LinkPrediction": ("beam_spark.operators.graph",
+                           "LinkPrediction"),
+        "KAnonymity": ("beam_spark.operators.quality", "KAnonymity"),
+        "MannWhitneyU": ("beam_spark.operators.quality",
+                         "MannWhitneyU"),
+        "TwoSampleTTest": ("beam_spark.operators.quality",
+                           "TwoSampleTTest"),
+        "OneWayAnova": ("beam_spark.operators.quality", "OneWayAnova"),
+        "ProportionsZTest": ("beam_spark.operators.quality",
+                             "ProportionsZTest"),
+        "MultipleTestCorrection": ("beam_spark.operators.quality",
+                                   "MultipleTestCorrection"),
+        "ConcentrationReport": ("beam_spark.operators.quality",
+                                "ConcentrationReport"),
+        "MahalanobisOutliers": ("beam_spark.operators.quality",
+                                "MahalanobisOutliers"),
+        "LinearFit": ("beam_spark.operators.stats", "LinearFit"),
+        "LagFeatures": ("beam_spark.operators.stats", "LagFeatures"),
+        "CrossCorrelation": ("beam_spark.operators.stats",
+                             "CrossCorrelation"),
+        "NelsonAalen": ("beam_spark.operators.stats", "NelsonAalen"),
+        "KmvOverlapMatrix": ("beam_spark.operators.stats",
+                             "KmvOverlapMatrix"),
+        "CovarianceMatrix": ("beam_spark.operators.similarity",
+                             "CovarianceMatrix"),
+        "PcaProject": ("beam_spark.operators.similarity",
+                       "PcaProject"),
+        "RfmSegmentation": ("beam_spark.operators.analytics",
+                            "RfmSegmentation"),
+        "TextRank": ("beam_spark.operators.text", "TextRank"),
+        "TargetEncode": ("beam_spark.ml.transforms", "TargetEncode"),
     }
 
     def make(mod_name, cls_name):
@@ -496,3 +528,57 @@ def _canonicalize_clusters(t, current, named, pipeline):
     kwargs = {k: v for k, v in t.items()
               if k not in ("type", "name", "input", "assignment")}
     return current | CanonicalizeClusters(asg.df, **kwargs)
+
+
+@register_yaml_transform("Cuped")
+def _cuped(t, current, named, pipeline):
+    """CUPED adjustment; the calibration moments come from the piped
+    frame itself (single-frame form)."""
+    from beam_spark.operators.quality import Cuped
+
+    kwargs = {k: v for k, v in t.items()
+              if k not in ("type", "name", "input")}
+    return current | Cuped(**kwargs)
+
+
+@register_yaml_transform("ConformalInterval")
+def _conformal(t, current, named, pipeline):
+    """Two-frame conformal bands: ``calibration:`` names the
+    (pred, actual) calibration step."""
+    from beam_spark.operators.quality import ConformalInterval
+
+    cal = named[t["calibration"]]
+    kwargs = {k: v for k, v in t.items()
+              if k not in ("type", "name", "input", "calibration")}
+    return current | ConformalInterval(cal.df, **kwargs)
+
+
+@register_yaml_transform("NaiveBayesClassify")
+def _naive_bayes(t, current, named, pipeline):
+    """Two-frame classify: ``train:`` names the labeled step."""
+    from beam_spark.ml.naive_bayes import NaiveBayesClassify
+
+    train = named[t["train"]]
+    kwargs = {k: v for k, v in t.items()
+              if k not in ("type", "name", "input", "train")}
+    return current | NaiveBayesClassify(train.df, **kwargs)
+
+
+@register_yaml_transform("LogisticFit")
+def _logistic_fit(t, current, named, pipeline):
+    from beam_spark.ml.logistic import LogisticFit
+
+    kwargs = {k: v for k, v in t.items()
+              if k not in ("type", "name", "input")}
+    return current | LogisticFit(**kwargs)
+
+
+@register_yaml_transform("QueryLikelihoodTopK")
+def _ql_topk(t, current, named, pipeline):
+    """LM retrieval: ``queries:`` names the query-frame step."""
+    from beam_spark.operators.retrieval import QueryLikelihoodTopK
+
+    q = named[t["queries"]]
+    kwargs = {k: v for k, v in t.items()
+              if k not in ("type", "name", "input", "queries")}
+    return current | QueryLikelihoodTopK(q.df, **kwargs)

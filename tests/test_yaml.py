@@ -536,3 +536,59 @@ def test_yaml_round11_eval_ops(spark, sf_dir):
              "col": "value"},
         ]}}, spark)
     assert "value_q" in qt.df.columns and qt.df.count() > 0
+
+
+def test_yaml_round12_session3_ops(spark, sf_dir):
+    """Session-3 YAML surface: single-frame stats/privacy ops via the
+    generic adapter; two-frame NaiveBayesClassify and
+    QueryLikelihoodTopK via named-step references."""
+    from beam_spark.yaml_pipeline import run_yaml
+
+    kan = run_yaml({
+        "pipeline": {"transforms": [
+            {"type": "ReadFromParquet",
+             "path": f"{sf_dir}/customer.parquet"},
+            {"type": "KAnonymity",
+             "quasi": ["c_nationkey", "c_mktsegment"],
+             "sensitive": "c_acctbal", "k": 10},
+        ]}}, spark)
+    r = kan.df.collect()[0]
+    assert r["n_rows"] > 0 and r["k_anonymity"] >= 1
+
+    fit = run_yaml({
+        "pipeline": {"transforms": [
+            {"type": "ReadFromParquet",
+             "path": f"{sf_dir}/lineitem.parquet"},
+            {"type": "LinearFit", "x": "l_quantity",
+             "y": "l_extendedprice", "keys": "l_returnflag"},
+        ]}}, spark)
+    assert {row["l_returnflag"] for row in fit.df.collect()} \
+        == {"A", "N", "R"}
+
+    nb = run_yaml({
+        "pipeline": {"transforms": [
+            {"type": "ReadFromParquet", "name": "train",
+             "path": f"{sf_dir}/documents.parquet"},
+            {"type": "ReadFromParquet",
+             "path": f"{sf_dir}/documents.parquet"},
+            {"type": "Filter", "keep": "doc_id % 2 = 1"},
+            {"type": "NaiveBayesClassify", "train": "train",
+             "label_col": "lang", "id_col": "doc_id"},
+        ]}}, spark)
+    rows = nb.df.collect()
+    assert rows and all(row["predicted"] is not None for row in rows)
+
+    ql = run_yaml({
+        "pipeline": {"transforms": [
+            {"type": "ReadFromParquet", "name": "qs",
+             "path": f"{sf_dir}/documents.parquet"},
+            {"type": "Filter", "input": "qs", "name": "qs2",
+             "keep": "doc_id < 2"},
+            {"type": "Sql", "name": "qs3",
+             "query": "SELECT doc_id AS query_id, text FROM qs2"},
+            {"type": "ReadFromParquet",
+             "path": f"{sf_dir}/documents.parquet"},
+            {"type": "QueryLikelihoodTopK", "queries": "qs3", "k": 3},
+        ]}}, spark)
+    out = ql.df.collect()
+    assert out and all(1 <= row["rank"] <= 3 for row in out)
