@@ -2446,3 +2446,100 @@ class Cuped(PTransform):
                .withColumn("theta", F.round("__theta", 9))
                .drop("__theta", "__xbar"))
         return pcoll.with_df(out)
+
+
+class RobustLocation(PTransform):
+    """Robust location/spread report per key — exact trimmed mean,
+    median, and MAD (median absolute deviation), the outlier-immune
+    summary a metrics pipeline reports next to mean/stddev when the
+    data has heavy tails:
+
+        trimmed_mean   mean after dropping floor(n * trim) rows from
+                       EACH end (by exact rank, value+rank tie-break)
+        median         exact: middle value (odd n) or the mean of the
+                       two middle values (even n)
+        mad            median of |x - median|, same exact construction
+
+    All three come from exact rank windows and decimal sums
+    (``cast_to``) — no approx percentiles; the only doubles are the
+    final single divisions (round 9; inputs at metric magnitude
+    should be pre-scaled or compared at round 6 — see the round-grid
+    hazard note in the verify skill).
+
+    Scale: two rank-window passes over the data (one for the median,
+    one for |x - median|) + one broadcast join of the 1-row-per-key
+    median frame — rank windows shuffle on the keys and sort per
+    partition; for keyless use at extreme n, pre-aggregate to a
+    value-count frame upstream.
+
+    Output: keys + (n, mean, trimmed_mean, median, mad).
+    """
+
+    def __init__(self, value: str, keys=None, trim: float = 0.1,
+                 cast_to: str = "decimal(18,6)", label=None):
+        super().__init__(label)
+        self.value = value
+        self.keys = ([keys] if isinstance(keys, str)
+                     else list(keys) if keys else [])
+        self.trim = float(trim)
+        if not 0.0 <= self.trim < 0.5:
+            raise ValueError("trim must be in [0, 0.5)")
+        self.cast_to = cast_to
+
+    def _median(self, df, val_col, ks):
+        """Exact per-key median of ``val_col`` via rank windows."""
+        from pyspark.sql import Window
+
+        wkey = Window.partitionBy(*ks) if ks else Window.partitionBy()
+        w = wkey.orderBy(F.col(val_col))
+        r = (df.withColumn("__r", F.row_number().over(w))
+             .withColumn("__n", F.count(F.lit(1)).over(wkey)))
+        lo = (F.col("__n") + 1) / 2
+        hi = (F.col("__n") + 2) / 2
+        mid = r.where((F.col("__r") == F.floor(lo))
+                      | (F.col("__r") == F.floor(hi)))
+        return mid.groupBy(*ks).agg(
+            (F.sum(F.col(val_col).cast(self.cast_to)).cast("double")
+             / F.count(F.lit(1)).cast("double")).alias("__med"))
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        v, ks, trim = self.value, self.keys, self.trim
+        df = pcoll.df.where(F.col(v).isNotNull())
+        xd = F.col(v).cast(self.cast_to)
+        wkey = Window.partitionBy(*ks) if ks else Window.partitionBy()
+        w = wkey.orderBy(F.col(v))
+        ranked = (df.withColumn("__r", F.row_number().over(w))
+                  .withColumn("__n", F.count(F.lit(1)).over(wkey))
+                  .withColumn("__xd", xd))
+        drop = F.floor(F.col("__n").cast("double") * F.lit(trim))
+        keep = ((F.col("__r") > drop)
+                & (F.col("__r") <= F.col("__n") - drop))
+        agg = ranked.groupBy(*ks).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__xd").alias("__sx"),
+            F.sum(F.when(keep, F.col("__xd"))).alias("__stx"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long")
+            .alias("__tn"))
+        med = self._median(df.select(*ks, v), v, ks)
+        joined = (df.join(F.broadcast(med), ks) if ks
+                  else df.crossJoin(F.broadcast(med)))
+        dev = joined.select(
+            *ks, F.abs(F.col(v).cast("double") - F.col("__med"))
+            .alias("__dev"))
+        mad = (self._median(dev, "__dev", ks)
+               .withColumnRenamed("__med", "__mad"))
+        stats = (agg.join(med, ks) if ks else agg.crossJoin(med))
+        stats = (stats.join(mad, ks) if ks else stats.crossJoin(mad))
+        out = stats.select(
+            *ks, "n",
+            F.round(F.col("__sx").cast("double")
+                    / F.col("n").cast("double"), 9).alias("mean"),
+            F.round(F.when(F.col("__tn") > 0,
+                           F.col("__stx").cast("double")
+                           / F.col("__tn").cast("double")), 9)
+            .alias("trimmed_mean"),
+            F.round("__med", 9).alias("median"),
+            F.round("__mad", 9).alias("mad"))
+        return pcoll.with_df(out)

@@ -10215,3 +10215,59 @@ def q_retrieval_query_likelihood(spark, sf_dir):
     out = (PCollection(docs)
            | QueryLikelihoodTopK(queries_df, k=5)).df
     return out.select("query_id", "doc_id", "rank", "score")
+
+
+@query("q_stats_robust_location", """
+WITH base AS (SELECT l_returnflag AS k,
+                     CAST(l_quantity AS DOUBLE) AS v,
+                     CAST(l_quantity AS DECIMAL(18,6)) AS xd
+              FROM lineitem WHERE l_quantity IS NOT NULL),
+rk AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY v) AS r,
+              count(*) OVER (PARTITION BY k) AS n
+       FROM base),
+agg AS (SELECT k, CAST(max(n) AS BIGINT) AS n,
+               CAST(sum(xd) AS DOUBLE) AS sx,
+               CAST(sum(CASE WHEN r > floor(CAST(n AS DOUBLE) * 0.1)
+                              AND r <= n - floor(CAST(n AS DOUBLE)
+                                                 * 0.1)
+                             THEN xd END) AS DOUBLE) AS stx,
+               CAST(sum(CASE WHEN r > floor(CAST(n AS DOUBLE) * 0.1)
+                              AND r <= n - floor(CAST(n AS DOUBLE)
+                                                 * 0.1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM rk GROUP BY k),
+med AS (SELECT k, CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS med
+        FROM rk
+        WHERE r = floor((n + 1) / 2) OR r = floor((n + 2) / 2)
+        GROUP BY k),
+dev AS (SELECT b.k, abs(b.v - m.med) AS dv
+        FROM base b JOIN med m ON m.k = b.k),
+drk AS (SELECT k, dv, row_number() OVER (PARTITION BY k ORDER BY dv)
+               AS r, count(*) OVER (PARTITION BY k) AS n
+        FROM dev),
+mad AS (SELECT k, CAST(sum(CAST(dv AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS mad
+        FROM drk
+        WHERE r = floor((n + 1) / 2) OR r = floor((n + 2) / 2)
+        GROUP BY k)
+SELECT a.k, a.n,
+       round(a.sx / CAST(a.n AS DOUBLE), 9) AS mean,
+       round(CASE WHEN a.tn > 0
+                  THEN a.stx / CAST(a.tn AS DOUBLE) END, 9)
+         AS trimmed_mean,
+       round(m.med, 9) AS median,
+       round(d.mad, 9) AS mad
+FROM agg a JOIN med m ON m.k = a.k JOIN mad d ON d.k = a.k
+""")
+def q_stats_robust_location(spark, sf_dir):
+    """Exact trimmed mean (10% each end), median, and MAD of quantity
+    per returnflag — rank-window constructions whose results are
+    tie-permutation invariant, decimal sums, single divisions at
+    round 9 (quantity magnitude is in the safe round zone)."""
+    from beam_spark.operators.quality import RobustLocation
+
+    li = table(spark, sf_dir, "lineitem").df.selectExpr(
+        "l_returnflag AS k", "CAST(l_quantity AS DOUBLE) AS v")
+    return (PCollection(li)
+            | RobustLocation("v", keys="k", trim=0.1)).df

@@ -4242,3 +4242,30 @@ def test_query_likelihood_ranks_matching_doc_first(spark):
     assert all(r.score < 0 for r in out)
     with pytest.raises(ValueError):
         QueryLikelihoodTopK(queries, mu=0.0)
+
+
+def test_robust_location_known_values(spark):
+    """Values [1..9, 1000] (outlier): mean 145.9 pulled; 10% trim
+    drops 1 and 1000 -> trimmed_mean = mean(2..9) = 5.5; median =
+    (5+6)/2 = 5.5; MAD = median(|x - 5.5|) = (3.5+4.5)/2 = 4.0;
+    odd-n key has exact middle median; trim validation fails fast."""
+    import pytest
+
+    from beam_spark.operators.quality import RobustLocation
+    from beam_spark.pcollection import PCollection
+
+    rows = ([("a", float(x)) for x in range(1, 10)] + [("a", 1000.0)]
+            + [("odd", 1.0), ("odd", 2.0), ("odd", 10.0)])
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = {r.k: r for r in
+           (PCollection(df)
+            | RobustLocation("v", keys="k", trim=0.1)).df.collect()}
+    a = out["a"]
+    assert a.n == 10 and a.mean == 145.9
+    assert a.trimmed_mean == 5.5
+    assert a.median == 5.5
+    assert a.mad == 4.0
+    assert out["odd"].median == 2.0
+    assert out["odd"].mad == 1.0       # |devs| = [1, 0, 8] -> median 1
+    with pytest.raises(ValueError):
+        RobustLocation("v", trim=0.5)
