@@ -4245,10 +4245,11 @@ def test_query_likelihood_ranks_matching_doc_first(spark):
 
 
 def test_robust_location_known_values(spark):
-    """Values [1..9, 1000] (outlier): mean 145.9 pulled; 10% trim
-    drops 1 and 1000 -> trimmed_mean = mean(2..9) = 5.5; median =
-    (5+6)/2 = 5.5; MAD = median(|x - 5.5|) = (3.5+4.5)/2 = 4.0;
-    odd-n key has exact middle median; trim validation fails fast."""
+    """Values [1..9, 1000] (outlier): mean = 1045/10 = 104.5 pulled;
+    10% trim drops 1 and 1000 -> trimmed_mean = mean(2..9) = 5.5;
+    median = (5+6)/2 = 5.5; MAD = middle of sorted |x - 5.5| =
+    [.5 .5 1.5 1.5 2.5 2.5 3.5 3.5 4.5 994.5] -> 2.5; odd-n key has
+    the exact middle median; trim validation fails fast."""
     import pytest
 
     from beam_spark.operators.quality import RobustLocation
@@ -4261,10 +4262,10 @@ def test_robust_location_known_values(spark):
            (PCollection(df)
             | RobustLocation("v", keys="k", trim=0.1)).df.collect()}
     a = out["a"]
-    assert a.n == 10 and a.mean == 145.9
+    assert a.n == 10 and a.mean == 104.5
     assert a.trimmed_mean == 5.5
     assert a.median == 5.5
-    assert a.mad == 4.0
+    assert a.mad == 2.5
     assert out["odd"].median == 2.0
     assert out["odd"].mad == 1.0       # |devs| = [1, 0, 8] -> median 1
     with pytest.raises(ValueError):
