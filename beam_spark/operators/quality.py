@@ -2543,3 +2543,67 @@ class RobustLocation(PTransform):
             F.round("__med", 9).alias("median"),
             F.round("__mad", 9).alias("mad"))
         return pcoll.with_df(out)
+
+
+class DiffInDiff(PTransform):
+    """2x2 difference-in-differences estimate per key — the canonical
+    natural-experiment readout (Card & Krueger 1994 onward):
+
+        did = (mean[treat, post] - mean[treat, pre])
+            - (mean[control, post] - mean[control, pre])
+
+    from ONE conditional decimal-sum pass over (metric, treat flag,
+    post flag). Parallel-trends is the caller's design assumption;
+    this gives the point estimate and the four cell means/counts to
+    sanity-check it. A cell with n = 0 yields NULL did (a missing
+    quadrant is a design error worth surfacing, not a zero).
+
+    Scale: one map-side-combinable groupBy; no joins, no windows.
+
+    Output: keys + (n_tpre, n_tpost, n_cpre, n_cpost, mean_tpre,
+    mean_tpost, mean_cpre, mean_cpost, did) — means/did round 6
+    (metric magnitude: the cross-engine round-9 grid hazard).
+    """
+
+    def __init__(self, metric: str, treat: str, post: str, keys=None,
+                 cast_to: str = "decimal(18,6)", label=None):
+        super().__init__(label)
+        self.metric, self.treat, self.post = metric, treat, post
+        self.keys = ([keys] if isinstance(keys, str)
+                     else list(keys) if keys else [])
+        self.cast_to = cast_to
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        m, tr, po, ks = self.metric, self.treat, self.post, self.keys
+        df = pcoll.df.where(F.col(m).isNotNull()
+                            & F.col(tr).isNotNull()
+                            & F.col(po).isNotNull())
+        md = F.col(m).cast(self.cast_to)
+        t = F.col(tr).cast("boolean")
+        p = F.col(po).cast("boolean")
+        cells = {"tpre": t & ~p, "tpost": t & p,
+                 "cpre": ~t & ~p, "cpost": ~t & p}
+        aggs = []
+        for name, cond in cells.items():
+            aggs.append(F.sum(F.when(cond, 1).otherwise(0))
+                        .cast("long").alias(f"n_{name}"))
+            aggs.append(F.sum(F.when(cond, md)).alias(f"__s_{name}"))
+        agg = df.groupBy(*ks).agg(*aggs)
+        means = {name: F.col(f"__s_{name}").cast("double")
+                 / F.col(f"n_{name}").cast("double")
+                 for name in cells}
+        all_present = None
+        for name in cells:
+            c = F.col(f"n_{name}") > 0
+            all_present = c if all_present is None else all_present & c
+        did = F.when(all_present,
+                     (means["tpost"] - means["tpre"])
+                     - (means["cpost"] - means["cpre"]))
+        out = agg.select(
+            *ks,
+            "n_tpre", "n_tpost", "n_cpre", "n_cpost",
+            *[F.round(F.when(F.col(f"n_{name}") > 0, means[name]), 6)
+              .alias(f"mean_{name}") for name in
+              ("tpre", "tpost", "cpre", "cpost")],
+            F.round(did, 6).alias("did"))
+        return pcoll.with_df(out)

@@ -10271,3 +10271,62 @@ def q_stats_robust_location(spark, sf_dir):
         "l_returnflag AS k", "CAST(l_quantity AS DOUBLE) AS v")
     return (PCollection(li)
             | RobustLocation("v", keys="k", trim=0.1)).df
+
+
+@query("q_ab_diff_in_diff", """
+WITH base AS (SELECT l_linestatus,
+                     l_returnflag = 'A' AS t,
+                     l_orderkey % 2 = 0 AS p,
+                     CAST(l_quantity AS DECIMAL(9,2)) AS md
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_returnflag IN ('A', 'R')),
+a AS (SELECT l_linestatus,
+        CAST(sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_tpre,
+        CAST(sum(CASE WHEN t AND p THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_tpost,
+        CAST(sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_cpre,
+        CAST(sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_cpost,
+        CAST(sum(CASE WHEN t AND NOT p THEN md END) AS DOUBLE)
+          AS s_tpre,
+        CAST(sum(CASE WHEN t AND p THEN md END) AS DOUBLE) AS s_tpost,
+        CAST(sum(CASE WHEN NOT t AND NOT p THEN md END) AS DOUBLE)
+          AS s_cpre,
+        CAST(sum(CASE WHEN NOT t AND p THEN md END) AS DOUBLE)
+          AS s_cpost
+      FROM base GROUP BY 1),
+m AS (SELECT *,
+        s_tpre / CAST(n_tpre AS DOUBLE) AS m_tpre,
+        s_tpost / CAST(n_tpost AS DOUBLE) AS m_tpost,
+        s_cpre / CAST(n_cpre AS DOUBLE) AS m_cpre,
+        s_cpost / CAST(n_cpost AS DOUBLE) AS m_cpost
+      FROM a)
+SELECT l_linestatus, n_tpre, n_tpost, n_cpre, n_cpost,
+       round(CASE WHEN n_tpre > 0 THEN m_tpre END, 6) AS mean_tpre,
+       round(CASE WHEN n_tpost > 0 THEN m_tpost END, 6) AS mean_tpost,
+       round(CASE WHEN n_cpre > 0 THEN m_cpre END, 6) AS mean_cpre,
+       round(CASE WHEN n_cpost > 0 THEN m_cpost END, 6) AS mean_cpost,
+       round(CASE WHEN n_tpre > 0 AND n_tpost > 0 AND n_cpre > 0
+                   AND n_cpost > 0
+                  THEN (m_tpost - m_tpre) - (m_cpost - m_cpre)
+             END, 6) AS did
+FROM m
+""")
+def q_ab_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences of quantity per linestatus: treat =
+    returnflag A (vs R), post = even orderkey — one conditional
+    decimal-sum pass; cell means and did in fixed-order double,
+    round 6."""
+    from beam_spark.operators.quality import DiffInDiff
+
+    li = (table(spark, sf_dir, "lineitem").df
+          .where(F.col("l_returnflag").isin(["A", "R"]))
+          .selectExpr("l_linestatus", "l_quantity",
+                      "l_returnflag = 'A' AS t",
+                      "l_orderkey % 2 = 0 AS p"))
+    return (PCollection(li)
+            | DiffInDiff("l_quantity", "t", "p", keys="l_linestatus",
+                         cast_to="decimal(9,2)")).df

@@ -4270,3 +4270,34 @@ def test_robust_location_known_values(spark):
     assert out["odd"].mad == 1.0       # |devs| = [1, 0, 8] -> median 1
     with pytest.raises(ValueError):
         RobustLocation("v", trim=0.5)
+
+
+def test_diff_in_diff_known_effect(spark):
+    """Constructed effect: control 10 -> 12 (+2 trend), treated
+    20 -> 27 (+7) => did = 5. A key missing the control-post cell
+    yields NULL did but still reports the present cells."""
+    from beam_spark.operators.quality import DiffInDiff
+    from beam_spark.pcollection import PCollection
+
+    rows = []
+    for v in (9.0, 11.0):     # control pre, mean 10
+        rows.append(("m", False, False, v))
+    for v in (11.0, 13.0):    # control post, mean 12
+        rows.append(("m", False, True, v))
+    for v in (19.0, 21.0):    # treat pre, mean 20
+        rows.append(("m", True, False, v))
+    for v in (26.0, 28.0):    # treat post, mean 27
+        rows.append(("m", True, True, v))
+    rows += [("broken", True, True, 5.0), ("broken", True, False, 4.0),
+             ("broken", False, False, 3.0)]     # no control-post
+    df = spark.createDataFrame(rows, "k string, t boolean, p boolean, v double")
+    out = {r.k: r for r in
+           (PCollection(df)
+            | DiffInDiff("v", "t", "p", keys="k")).df.collect()}
+    m = out["m"]
+    assert (m.mean_cpre, m.mean_cpost) == (10.0, 12.0)
+    assert (m.mean_tpre, m.mean_tpost) == (20.0, 27.0)
+    assert m.did == 5.0
+    b = out["broken"]
+    assert b.did is None and b.n_cpost == 0
+    assert b.mean_tpost == 5.0
