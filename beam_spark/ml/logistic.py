@@ -99,6 +99,13 @@ class LogisticFit(PTransform):
               .select(F.col(lc).cast("boolean").cast("double")
                       .alias("__y"),
                       *[F.col(f).cast("double").alias(f) for f in fs]))
+        # spread the T scans: a small parquet source may arrive in 1-2
+        # partitions, serializing every gradient pass — repartition to
+        # the cluster's parallelism before checkpointing (gradients
+        # are order-free decimal sums, so this cannot change values)
+        par = pcoll.df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
         df = df.localCheckpoint(eager=True)   # T scans, one lineage
         n = df.count()
         if n == 0:
