@@ -131,3 +131,96 @@ class LogisticFit(PTransform):
         out = spark.createDataFrame(
             list(zip(names, w)), "term string, weight double")
         return pcoll.with_df(out)
+
+
+class InformationGainSplit(PTransform):
+    """Optimal binary split of a numeric feature against a binary
+    label — the decision-stump / feature-screening primitive (CART's
+    inner loop, run once per candidate feature): over the DISTINCT
+    feature values, find the threshold maximizing information gain
+
+        IG(t) = H(p) - (n_le/n) * H(p_le) - (n_gt/n) * H(p_gt)
+
+    where a split sends value <= t left. All counts are exact
+    integers from one groupBy + cumulative windows over the
+    distinct-value frame (cardinality-bounded — quantize continuous
+    features upstream); entropies are fixed-order doubles; the argmax
+    takes the best ROUND-9 gain with the smallest threshold as
+    tie-break (deterministic and replayable).
+
+    ``keys`` screens per slice (one stump per key). Rows with NULL
+    feature or label are excluded. Output: keys + (split_value,
+    gain round 9, n, n_le, pos_le, n_gt, pos_gt) — one row per key;
+    degenerate inputs (constant feature or label) yield gain 0 at
+    the smallest value.
+
+    Scale: one (keys, value) count + cumulative windows over the
+    distinct-value frame + a per-key argmax window — the MannWhitneyU
+    posture.
+    """
+
+    def __init__(self, feature: str, label_col: str, keys=None,
+                 label_=None):
+        super().__init__(label_)
+        self.feature, self.label_col = feature, label_col
+        self.keys = ([keys] if isinstance(keys, str)
+                     else list(keys) if keys else [])
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        f, lc, ks = self.feature, self.label_col, self.keys
+        df = pcoll.df.where(F.col(f).isNotNull()
+                            & F.col(lc).isNotNull())
+        y = F.col(lc).cast("boolean").cast("long")
+        cnt = (df.groupBy(*ks, F.col(f).alias("__v"))
+               .agg(F.count(F.lit(1)).cast("long").alias("__c"),
+                    F.sum(y).cast("long").alias("__p")))
+        wkey = Window.partitionBy(*ks) if ks else Window.partitionBy()
+        wcum = wkey.orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)
+        cnt = (cnt
+               .withColumn("__n", F.sum("__c").over(wkey))
+               .withColumn("__pos", F.sum("__p").over(wkey))
+               .withColumn("__nle", F.sum("__c").over(wcum))
+               .withColumn("__ple", F.sum("__p").over(wcum)))
+        n = F.col("__n").cast("double")
+        pos = F.col("__pos").cast("double")
+        nle = F.col("__nle").cast("double")
+        ple = F.col("__ple").cast("double")
+        ngt = n - nle
+        pgt = pos - ple
+
+        def ent(p, tot):
+            # H in bits; 0*log(0) handled by the guards
+            frac = p / tot
+            term = (F.when((frac > 0.0) & (frac < 1.0),
+                           -(frac * F.log2(frac)
+                             + (1.0 - frac) * F.log2(1.0 - frac)))
+                    .otherwise(F.lit(0.0)))
+            return term
+
+        gain = (ent(pos, n)
+                - (nle / n) * ent(ple, nle)
+                - F.when(ngt > 0.0, (ngt / n) * ent(pgt, ngt))
+                .otherwise(F.lit(0.0)))
+        # a split keeping everything left (the max value) is no split:
+        # force its gain to 0 so degenerate cases pick the smallest v
+        gain = F.when(F.col("__nle") < F.col("__n"), gain) \
+            .otherwise(F.lit(0.0))
+        scored = cnt.withColumn("__g", F.round(gain, 9))
+        wbest = wkey.orderBy(F.desc("__g"), F.col("__v"))
+        out = (scored.withColumn("__r", F.row_number().over(wbest))
+               .where(F.col("__r") == 1)
+               .select(
+                   *ks,
+                   F.col("__v").alias("split_value"),
+                   F.col("__g").alias("gain"),
+                   F.col("__n").cast("long").alias("n"),
+                   F.col("__nle").cast("long").alias("n_le"),
+                   F.col("__ple").cast("long").alias("pos_le"),
+                   (F.col("__n") - F.col("__nle")).cast("long")
+                   .alias("n_gt"),
+                   (F.col("__pos") - F.col("__ple")).cast("long")
+                   .alias("pos_gt")))
+        return pcoll.with_df(out)

@@ -10330,3 +10330,74 @@ def q_ab_diff_in_diff(spark, sf_dir):
     return (PCollection(li)
             | DiffInDiff("l_quantity", "t", "p", keys="l_linestatus",
                          cast_to="decimal(9,2)")).df
+
+
+@query("q_ml_information_gain_split", """
+WITH base AS (SELECT l_linestatus AS k,
+                     CAST(l_quantity AS DOUBLE) AS v,
+                     CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END
+                       AS y
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_returnflag IS NOT NULL),
+cnt AS (SELECT k, v, CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(y) AS BIGINT) AS p
+        FROM base GROUP BY 1, 2),
+cum AS (SELECT *, sum(c) OVER (PARTITION BY k) AS n,
+               sum(p) OVER (PARTITION BY k) AS pos,
+               sum(c) OVER (PARTITION BY k ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS nle,
+               sum(p) OVER (PARTITION BY k ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS ple
+        FROM cnt),
+g AS (SELECT k, v, n, pos, nle, ple,
+        CAST(n AS DOUBLE) AS nd, CAST(pos AS DOUBLE) AS posd,
+        CAST(nle AS DOUBLE) AS nled, CAST(ple AS DOUBLE) AS pled
+      FROM cum),
+sc AS (SELECT k, v, n, nle, ple, pos,
+        round(CASE WHEN nle < n THEN
+          (CASE WHEN posd / nd > 0.0 AND posd / nd < 1.0
+                THEN -((posd / nd) * log2(posd / nd)
+                       + (1.0 - posd / nd) * log2(1.0 - posd / nd))
+                ELSE 0.0 END)
+          - (nled / nd) *
+            (CASE WHEN pled / nled > 0.0 AND pled / nled < 1.0
+                  THEN -((pled / nled) * log2(pled / nled)
+                         + (1.0 - pled / nled)
+                           * log2(1.0 - pled / nled))
+                  ELSE 0.0 END)
+          - (CASE WHEN nd - nled > 0.0 THEN ((nd - nled) / nd) *
+              (CASE WHEN (posd - pled) / (nd - nled) > 0.0
+                     AND (posd - pled) / (nd - nled) < 1.0
+                    THEN -(((posd - pled) / (nd - nled))
+                           * log2((posd - pled) / (nd - nled))
+                           + (1.0 - (posd - pled) / (nd - nled))
+                             * log2(1.0 - (posd - pled)
+                                    / (nd - nled)))
+                    ELSE 0.0 END)
+             ELSE 0.0 END)
+        ELSE 0.0 END, 9) AS gain
+       FROM g),
+best AS (SELECT *, row_number() OVER (PARTITION BY k
+           ORDER BY gain DESC, v) AS r FROM sc)
+SELECT k, v AS split_value, gain, n, nle AS n_le, ple AS pos_le,
+       CAST(n - nle AS BIGINT) AS n_gt,
+       CAST(pos - ple AS BIGINT) AS pos_gt
+FROM best WHERE r = 1
+""")
+def q_ml_information_gain_split(spark, sf_dir):
+    """Optimal decision-stump threshold on quantity vs returnflag-A
+    per linestatus — exact cumulative counts over the distinct-value
+    frame, fixed-order double entropies, argmax on round-9 gain with
+    smallest-threshold tie-break."""
+    from beam_spark.ml.logistic import InformationGainSplit
+
+    li = table(spark, sf_dir, "lineitem").df.selectExpr(
+        "l_linestatus AS k", "CAST(l_quantity AS DOUBLE) AS v",
+        "l_returnflag = 'A' AS y")
+    out = (PCollection(li)
+           | InformationGainSplit("v", "y", keys="k")).df
+    return out.select("k", "split_value", "gain", "n", "n_le",
+                      "pos_le", "n_gt", "pos_gt")

@@ -537,3 +537,24 @@ def test_conformal_interval_coverage_and_rank(spark):
     assert all(r.lower is None and r.upper is None for r in out2)
     with pytest.raises(ValueError):
         ConformalInterval(cal, "pred", "actual", alpha=1.0)
+
+
+def test_information_gain_split_separable_and_degenerate(spark):
+    """Perfectly separable at v <= 3 (all positives below): gain = H(p)
+    (here p = 0.5 -> gain 1 bit) and split_value 3; constant label ->
+    gain 0 at the smallest value; per-key mode isolates slices."""
+    from beam_spark.ml.logistic import InformationGainSplit
+    from beam_spark.pcollection import PCollection
+
+    rows = ([("sep", float(v), True) for v in (1, 2, 3)]
+            + [("sep", float(v), False) for v in (4, 5, 6)]
+            + [("const", 1.0, True), ("const", 2.0, True)])
+    df = spark.createDataFrame(rows, "k string, v double, y boolean")
+    out = {r.k: r for r in
+           (PCollection(df)
+            | InformationGainSplit("v", "y", keys="k")).df.collect()}
+    s = out["sep"]
+    assert s.split_value == 3.0 and s.gain == 1.0
+    assert (s.n_le, s.pos_le, s.n_gt, s.pos_gt) == (3, 3, 3, 0)
+    c = out["const"]
+    assert c.gain == 0.0 and c.split_value == 1.0
