@@ -1112,3 +1112,29 @@ def test_streaming_upsert_sink(spark, tmp_path):
         batch2.where("op = 'D'"), keys="k", when_matched="delete",
         when_not_matched=None, validate=False)).df
     assert {r["k"]: r["v"] for r in replay.collect()} == snap
+
+
+def test_streaming_scoring_with_trained_models(spark):
+    """Train-inside-Spark models score unbounded streams natively:
+    LogisticFit's decision_column is a pure Catalyst expression, so
+    attaching it to a TestStream micro-batch flow needs no special
+    path; NB model/prior frames join stream-static. Here: fit on a
+    separable batch, score streamed rows, check the stream's scores
+    rank the positive above the negative."""
+    from beam_spark.ml.logistic import LogisticFit
+    from beam_spark.pcollection import PCollection
+
+    train = spark.createDataFrame(
+        [(float(x) / 4.0, x > 0) for x in range(-8, 9) if x != 0],
+        "x double, y boolean")
+    fit = LogisticFit("x", "y", iterations=10, lr=0.5)
+    (PCollection(train) | fit)          # fit populates weights_
+
+    ts = TestStream(spark, "id long, x double")
+    ts.add_elements([{"id": 1, "x": 2.0}, {"id": 2, "x": -2.0}])
+    scored = ts.stream()
+    scored = scored.with_df(
+        scored.df.withColumn("p", fit.decision_column()))
+    pc = scored | WriteStreamToMemory(output_mode="append")
+    rows = {r["id"]: r["p"] for r in pc.collect()}
+    assert rows[1] > 0.5 > rows[2]
