@@ -571,3 +571,66 @@ class TargetEncode(PTransform):
         out = (joined.withColumn(self.out_col, F.round(enc, 9))
                .drop("__cat", "__s", "__n", "__gs", "__gn"))
         return pcoll.with_df(out)
+
+
+class WoeIv(PTransform):
+    """Weight of evidence + information value of a categorical
+    feature against a binary label — the credit-scoring / feature-
+    screening standard (Siddiqi 2006), one aggregation pass:
+
+        woe(c) = ln( ((pos_c + a) / (pos + 2a))
+                   / ((neg_c + a) / (neg + 2a)) )
+        iv     = sum_c (pos_share_c - neg_share_c) * woe(c)
+
+    ``alpha`` (default 0.5, dyadic) is the Laplace smoothing that
+    keeps single-sided categories finite. Counts are exact integers;
+    each category's woe and iv term is a fixed-order double; the iv
+    SUM runs over decimal(16,9)-cast terms so category order cannot
+    change it (the NaiveBayes convention).
+
+    Scale: one (category) groupBy + a 1-row broadcast of the global
+    counts; category frame is vocabulary-bounded.
+
+    Output (``mode='categories'``, default): one row per category —
+    (category, n, pos, neg, woe round 9). ``mode='iv'``: one report
+    row — (n_categories, iv round 9).
+    """
+
+    def __init__(self, cat_col: str, label_col: str,
+                 alpha: float = 0.5, mode: str = "categories",
+                 label=None):
+        super().__init__(label)
+        self.cat_col, self.label_col = cat_col, label_col
+        self.alpha = float(alpha)
+        if self.alpha < 0:
+            raise ValueError("alpha must be >= 0")
+        if mode not in ("categories", "iv"):
+            raise ValueError("mode must be 'categories' or 'iv'")
+        self.mode = mode
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        c, lc, a = self.cat_col, self.label_col, self.alpha
+        df = pcoll.df.where(F.col(c).isNotNull()
+                            & F.col(lc).isNotNull())
+        y = F.col(lc).cast("boolean").cast("long")
+        per = (df.groupBy(F.col(c).alias("category"))
+               .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum(y).cast("long").alias("pos")))
+        per = per.withColumn("neg", F.col("n") - F.col("pos"))
+        tot = per.agg(F.sum("pos").cast("long").alias("__P"),
+                      F.sum("neg").cast("long").alias("__N"))
+        j = per.crossJoin(F.broadcast(tot))
+        ps = ((F.col("pos").cast("double") + F.lit(a))
+              / (F.col("__P").cast("double") + F.lit(2 * a)))
+        ns = ((F.col("neg").cast("double") + F.lit(a))
+              / (F.col("__N").cast("double") + F.lit(2 * a)))
+        woe = F.log(ps / ns)
+        if self.mode == "categories":
+            out = j.select("category", "n", "pos", "neg",
+                           F.round(woe, 9).alias("woe"))
+            return pcoll.with_df(out)
+        term = ((ps - ns) * woe).cast("decimal(16,9)")
+        out = j.agg(
+            F.count(F.lit(1)).cast("long").alias("n_categories"),
+            F.round(F.sum(term).cast("double"), 9).alias("iv"))
+        return pcoll.with_df(out)

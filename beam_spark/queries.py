@@ -10401,3 +10401,35 @@ def q_ml_information_gain_split(spark, sf_dir):
            | InformationGainSplit("v", "y", keys="k")).df
     return out.select("k", "split_value", "gain", "n", "n_le",
                       "pos_le", "n_gt", "pos_gt")
+
+
+@query("q_ml_woe_iv", """
+WITH base AS (SELECT o_orderpriority AS category,
+                     CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                       AS y
+              FROM orders
+              WHERE o_orderpriority IS NOT NULL
+                AND o_orderstatus IS NOT NULL),
+per AS (SELECT category, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM base GROUP BY 1),
+per2 AS (SELECT *, CAST(n - pos AS BIGINT) AS neg FROM per),
+tot AS (SELECT CAST(sum(pos) AS BIGINT) AS gp,
+               CAST(sum(neg) AS BIGINT) AS gn FROM per2)
+SELECT category, per2.n, pos, neg,
+       round(ln(((CAST(pos AS DOUBLE) + 0.5)
+                 / (CAST(gp AS DOUBLE) + 1.0))
+                / ((CAST(neg AS DOUBLE) + 0.5)
+                   / (CAST(gn AS DOUBLE) + 1.0))), 9) AS woe
+FROM per2 CROSS JOIN tot
+""")
+def q_ml_woe_iv(spark, sf_dir):
+    """Weight of evidence of order priority against finished status
+    (alpha = 0.5 Laplace) — exact counts, one fixed-order double ln
+    per category, round 9."""
+    from beam_spark.ml.transforms import WoeIv
+
+    o = table(spark, sf_dir, "orders").df.selectExpr(
+        "o_orderpriority", "o_orderstatus = 'F' AS y")
+    return (PCollection(o)
+            | WoeIv("o_orderpriority", "y", alpha=0.5)).df

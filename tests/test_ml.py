@@ -558,3 +558,37 @@ def test_information_gain_split_separable_and_degenerate(spark):
     assert (s.n_le, s.pos_le, s.n_gt, s.pos_gt) == (3, 3, 3, 0)
     c = out["const"]
     assert c.gain == 0.0 and c.split_value == 1.0
+
+
+def test_woe_iv_known_values(spark):
+    """Hand-checked with alpha=0: cat a = 3 pos / 1 neg, cat b =
+    1 pos / 3 neg (P = N = 4): woe(a) = ln((3/4)/(1/4)) = ln 3,
+    woe(b) = -ln 3, iv = (0.75-0.25)*ln3 + (0.25-0.75)*(-ln3) = ln 3;
+    one-sided category stays finite with alpha > 0."""
+    import math
+
+    from beam_spark.ml.transforms import WoeIv
+    from beam_spark.pcollection import PCollection
+
+    rows = ([("a", True)] * 3 + [("a", False)]
+            + [("b", True)] + [("b", False)] * 3)
+    df = spark.createDataFrame(rows, "c string, y boolean")
+    cats = {r.category: r for r in
+            (PCollection(df) | WoeIv("c", "y", alpha=0.0)).df.collect()}
+    assert abs(cats["a"].woe - math.log(3)) < 1e-9
+    assert abs(cats["b"].woe + math.log(3)) < 1e-9
+    iv = (PCollection(df)
+          | WoeIv("c", "y", alpha=0.0, mode="iv")).df.collect()[0]
+    assert iv.n_categories == 2
+    assert abs(iv.iv - math.log(3)) < 1e-8
+    onesided = spark.createDataFrame(
+        [("a", True), ("a", True), ("b", False)], "c string, y boolean")
+    out = {r.category: r.woe for r in
+           (PCollection(onesided)
+            | WoeIv("c", "y", alpha=0.5)).df.collect()}
+    assert all(abs(v) < 100 for v in out.values())   # finite
+    import pytest
+    with pytest.raises(ValueError):
+        WoeIv("c", "y", alpha=-1.0)
+    with pytest.raises(ValueError):
+        WoeIv("c", "y", mode="bogus")
