@@ -1205,3 +1205,69 @@ class PcaProject(PTransform):
         out = src.select(idc, vc).mapInPandas(
             project, schema=f"{idc} {id_type}, pca array<double>")
         return pcoll.with_df(out)
+
+
+class MeanPoolEmbeddings(PTransform):
+    """Per-key element-wise mean of a vector column (+ optional L2
+    normalization) — the profile-vector builder (user vector = mean
+    of their doc embeddings; source centroid for drift checks; class
+    centroid for nearest-centroid routing).
+
+    Construction: posexplode -> (keys, dim) partial-agg sum/count ->
+    re-assemble the array ordered by dim. The shuffle carries
+    keys x dim CELLS (the KMeansLloyd update posture), never whole
+    vectors; re-assembly sorts each key's d structs.
+
+    Output: keys + (n long, centroid array<double>) — per-dim means
+    rounded 9 (per-group float-sum order); with ``normalize=True``
+    the ROUNDED means are L2-normalized in a fixed IEEE sequence
+    (zero vectors stay zero). Rows with NULL vectors are dropped;
+    ragged vector lengths produce per-dim counts and fail fast.
+    """
+
+    def __init__(self, keys, vec_col: str = "embedding",
+                 normalize: bool = False, label=None):
+        super().__init__(label)
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        if not self.keys:
+            raise ValueError("MeanPoolEmbeddings: need >= 1 key")
+        self.vec_col = vec_col
+        self.normalize = bool(normalize)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        ks, vc = self.keys, self.vec_col
+        ex = (pcoll.df.where(F.col(vc).isNotNull())
+              .select(*ks, F.posexplode(vc).alias("dim", "__x")))
+        cells = (ex.groupBy(*ks, "dim")
+                 .agg(F.sum(F.col("__x").cast("double")).alias("__s"),
+                      F.count(F.lit(1)).cast("long").alias("__c")))
+        per_key = (cells.groupBy(*ks)
+                   .agg(F.min("__c").alias("__cmin"),
+                        F.max("__c").alias("__cmax"),
+                        F.array_sort(F.collect_list(
+                            F.struct("dim", "__s"))).alias("__cells")))
+        # ragged input: some dim appeared in fewer vectors
+        mean_arr = F.transform(
+            "__cells",
+            lambda s: F.round(s["__s"] / F.col("__cmin")
+                              .cast("double"), 9))
+        out = (per_key
+               .withColumn("__ragged",
+                           F.col("__cmin") != F.col("__cmax"))
+               .withColumn("n", F.col("__cmin").cast("long"))
+               .withColumn("centroid", mean_arr))
+        if self.normalize:
+            norm = F.sqrt(F.aggregate(
+                "centroid", F.lit(0.0),
+                lambda acc, x: acc + x * x))
+            out = out.withColumn(
+                "centroid",
+                F.when(norm > 0.0,
+                       F.transform("centroid", lambda x: x / norm))
+                .otherwise(F.col("centroid")))
+        bad = out.where("__ragged").limit(1).collect()
+        if bad:
+            raise ValueError(
+                "MeanPoolEmbeddings: ragged vector lengths under key "
+                f"{[bad[0][k] for k in ks]}")
+        return pcoll.with_df(out.select(*ks, "n", "centroid"))

@@ -10433,3 +10433,28 @@ def q_ml_woe_iv(spark, sf_dir):
         "o_orderpriority", "o_orderstatus = 'F' AS y")
     return (PCollection(o)
             | WoeIv("o_orderpriority", "y", alpha=0.5)).df
+
+
+@query("q_embedding_mean_pool", """
+WITH ex AS (SELECT label, u.i - 1 AS dim,
+                   CAST(embedding[u.i] AS DOUBLE) AS x
+            FROM embeddings, unnest(range(1, len(embedding) + 1))
+              AS u(i)
+            WHERE embedding IS NOT NULL),
+cells AS (SELECT label, dim, sum(x) AS s,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM ex GROUP BY 1, 2),
+pk AS (SELECT label, min(c) AS n,
+              list(round(s / CAST(c AS DOUBLE), 9) ORDER BY dim)
+                AS centroid
+       FROM cells GROUP BY label)
+SELECT label, CAST(n AS BIGINT) AS n, centroid FROM pk
+""")
+def q_embedding_mean_pool(spark, sf_dir):
+    """Per-label mean-pooled embedding centroid — (label, dim) cell
+    sums (the KMeans update shape), per-dim means round 9, arrays
+    re-assembled in dim order in both engines."""
+    from beam_spark.operators.similarity import MeanPoolEmbeddings
+
+    emb = table(spark, sf_dir, "embeddings")
+    return (emb | MeanPoolEmbeddings("label")).df

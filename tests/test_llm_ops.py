@@ -4301,3 +4301,31 @@ def test_diff_in_diff_known_effect(spark):
     b = out["broken"]
     assert b.did is None and b.n_cpost == 0
     assert b.mean_tpost == 5.0
+
+
+def test_mean_pool_embeddings_normalize_and_ragged(spark):
+    """Mean of [1,0] and [3,4] is [2,2]; normalized -> [1/sqrt2]*2;
+    a ragged key fails fast; NULL vectors are dropped from n."""
+    import math
+
+    import pytest
+
+    from beam_spark.operators.similarity import MeanPoolEmbeddings
+    from beam_spark.pcollection import PCollection
+
+    df = spark.createDataFrame(
+        [("u", [1.0, 0.0]), ("u", [3.0, 4.0]), ("u", None)],
+        "k string, embedding array<double>")
+    r = (PCollection(df)
+         | MeanPoolEmbeddings("k")).df.collect()[0]
+    assert r.n == 2 and r.centroid == [2.0, 2.0]
+    rn = (PCollection(df)
+          | MeanPoolEmbeddings("k", normalize=True)).df.collect()[0]
+    assert all(abs(v - 1 / math.sqrt(2)) < 1e-9 for v in rn.centroid)
+    ragged = spark.createDataFrame(
+        [("u", [1.0, 2.0]), ("u", [1.0])],
+        "k string, embedding array<double>")
+    with pytest.raises(ValueError):
+        (PCollection(ragged) | MeanPoolEmbeddings("k")).df.collect()
+    with pytest.raises(ValueError):
+        MeanPoolEmbeddings([])
