@@ -10458,3 +10458,78 @@ def q_embedding_mean_pool(spark, sf_dir):
 
     emb = table(spark, sf_dir, "embeddings")
     return (emb | MeanPoolEmbeddings("label")).df
+
+
+@query("q_embedding_nearest_centroid", """
+WITH tr AS (SELECT label, embedding FROM embeddings
+            WHERE embedding IS NOT NULL AND vec_id % 2 = 0),
+ex AS (SELECT label, u.i - 1 AS dim,
+              CAST(embedding[u.i] AS DOUBLE) AS x
+       FROM tr, unnest(range(1, len(embedding) + 1)) AS u(i)),
+cells AS (SELECT label, dim, sum(x) AS s,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM ex GROUP BY 1, 2),
+cent AS (SELECT label, dim, round(s / CAST(c AS DOUBLE), 9) AS m
+         FROM cells),
+cnorm AS (SELECT label, sqrt(sum(m * m)) AS nr FROM cent
+          GROUP BY label),
+te AS (SELECT vec_id, label AS true_label, u.i - 1 AS dim,
+              CAST(embedding[u.i] AS DOUBLE) AS x
+       FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+       WHERE embedding IS NOT NULL AND vec_id % 2 = 1),
+tnorm AS (SELECT vec_id, sqrt(sum(x * x)) AS nr FROM te
+          GROUP BY vec_id),
+dots AS (SELECT t.vec_id, t.true_label, c.label,
+                sum(t.x * c.m) AS dp
+         FROM te t JOIN cent c ON c.dim = t.dim
+         GROUP BY 1, 2, 3),
+sc AS (SELECT d.vec_id, d.true_label, d.label,
+              round(d.dp / (tn.nr * cn.nr), 6) AS cosine
+       FROM dots d JOIN tnorm tn ON tn.vec_id = d.vec_id
+       JOIN cnorm cn ON cn.label = d.label),
+best AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+           ORDER BY cosine DESC, label) AS r FROM sc)
+SELECT vec_id, CAST(label AS INT) AS predicted,
+       CAST(true_label AS INT) AS true_label, cosine
+FROM best WHERE r = 1
+""")
+def q_embedding_nearest_centroid(spark, sf_dir):
+    """Nearest-centroid classification of held-out embeddings (odd
+    vec_ids) against per-label MeanPoolEmbeddings centroids fit on
+    even vec_ids — a pure composition of existing operators: round-9
+    centroids, round-6 cosines, label tie-break; DuckDB replays both
+    stages. The per-(vector, label) dot products here use the
+    explode-join formulation so the oracle is row-identical; the
+    production path for large corpora is BruteForceCosineTopK against
+    the centroid frame."""
+    from beam_spark.operators.similarity import MeanPoolEmbeddings
+
+    emb = table(spark, sf_dir, "embeddings").df.where(
+        "embedding IS NOT NULL").select(
+        "vec_id", "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        .alias("embedding"))
+    cents = (PCollection(emb.where("vec_id % 2 = 0"))
+             | MeanPoolEmbeddings("label")).df
+    from beam_spark.operators.similarity import dot, norm
+
+    test = emb.where("vec_id % 2 = 1").select(
+        "vec_id", F.col("label").alias("true_label"), "embedding")
+    joined = test.crossJoin(
+        F.broadcast(cents.select(F.col("label"),
+                                 F.col("centroid"))))
+    cos = F.round(dot(F.col("embedding"), F.col("centroid"))
+                  / (norm(F.col("embedding"))
+                     * norm(F.col("centroid"))), 6)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("__cos"), F.col("label"))
+    out = (joined.withColumn("__cos", cos)
+           .withColumn("__r", F.row_number().over(w))
+           .where(F.col("__r") == 1)
+           .select("vec_id", F.col("label").cast("int")
+                   .alias("predicted"),
+                   F.col("true_label").cast("int").alias("true_label"),
+                   F.col("__cos").alias("cosine")))
+    return out
