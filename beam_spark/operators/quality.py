@@ -2607,3 +2607,83 @@ class DiffInDiff(PTransform):
               ("tpre", "tpost", "cpre", "cpost")],
             F.round(did, 6).alias("did"))
         return pcoll.with_df(out)
+
+
+# two-sided alpha / power z-quantiles as fixed double literals — the
+# operator takes z values (not alpha) so the contract is explicit and
+# engine-replayable; these are the conventional lookups
+Z_ALPHA_05 = 1.959963984540054      # Phi^-1(0.975)
+Z_POWER_80 = 0.8416212335729143     # Phi^-1(0.80)
+Z_POWER_90 = 1.2815515655446004     # Phi^-1(0.90)
+
+
+class PowerAnalysis(PTransform):
+    """Minimum detectable effect / required sample size per key for a
+    two-arm mean test — the pre-experiment sizing report every A/B
+    platform runs (and the post-CUPED "how much runtime did variance
+    reduction buy" readout):
+
+        mde_abs    = (z_a + z_b) * sqrt(2 * var / n_per_arm)
+        mde_rel    = mde_abs / |mean|            (NULL when mean = 0)
+        n_per_arm_required(effect) = ceil((z_a + z_b)^2 * 2 * var
+                                          / effect^2)
+
+    Variance/mean come from one decimal-moment pass (``cast_to``).
+    ``n_per_arm`` defaults to half the key's rows (a 50/50 split of
+    the observed data); ``target_effect`` (absolute units) adds the
+    required-n column. z defaults: two-sided alpha 0.05 / power 0.80
+    — pass other quantiles explicitly (the operator is deliberately
+    quantile-in, not alpha-in: no erf-inverse in either engine).
+
+    Scale: one groupBy; one row per key.
+
+    Output: keys + (n, mean round 6, var round 6, mde_abs round 6,
+    mde_rel round 9 [, n_per_arm_required]).
+    """
+
+    def __init__(self, value: str, keys=None,
+                 z_alpha: float = Z_ALPHA_05,
+                 z_power: float = Z_POWER_80,
+                 target_effect: float | None = None,
+                 cast_to: str = "decimal(18,6)", label=None):
+        super().__init__(label)
+        self.value = value
+        self.keys = ([keys] if isinstance(keys, str)
+                     else list(keys) if keys else [])
+        self.z_alpha, self.z_power = float(z_alpha), float(z_power)
+        self.target_effect = (None if target_effect is None
+                              else float(target_effect))
+        if self.target_effect is not None and self.target_effect <= 0:
+            raise ValueError("target_effect must be > 0")
+        self.cast_to = cast_to
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        v, ks = self.value, self.keys
+        xd = F.col(v).cast(self.cast_to)
+        agg = (pcoll.df.where(F.col(v).isNotNull())
+               .groupBy(*ks)
+               .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum(xd).alias("__s"),
+                    F.sum(xd * xd).alias("__ss")))
+        n = F.col("n").cast("double")
+        s = F.col("__s").cast("double")
+        ss = F.col("__ss").cast("double")
+        mean = s / n
+        var = F.when(F.col("n") >= 2, (ss - s * s / n) / (n - 1.0))
+        zsum = F.lit(self.z_alpha + self.z_power)
+        n_arm = n / 2.0
+        mde = F.when(var >= 0.0,
+                     zsum * F.sqrt(2.0 * var / n_arm))
+        cols = [
+            *ks, "n",
+            F.round(mean, 6).alias("mean"),
+            F.round(var, 6).alias("var"),
+            F.round(mde, 6).alias("mde_abs"),
+            F.round(F.when(mean != 0.0, mde / F.abs(mean)), 9)
+            .alias("mde_rel")]
+        if self.target_effect is not None:
+            eff = F.lit(self.target_effect)
+            cols.append(
+                F.ceil(zsum * zsum * 2.0 * var / (eff * eff))
+                .cast("long").alias("n_per_arm_required"))
+        return pcoll.with_df(agg.select(*cols))

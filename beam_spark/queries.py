@@ -10533,3 +10533,48 @@ def q_embedding_nearest_centroid(spark, sf_dir):
                    F.col("true_label").cast("int").alias("true_label"),
                    F.col("__cos").alias("cosine")))
     return out
+
+
+@query("q_ab_power_analysis", """
+WITH a AS (SELECT l_returnflag AS k,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(9,2)))
+                       AS DOUBLE) AS s,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(9,2))
+                           * CAST(l_quantity AS DECIMAL(9,2)))
+                       AS DOUBLE) AS ss
+           FROM lineitem WHERE l_quantity IS NOT NULL
+           GROUP BY 1),
+d AS (SELECT k, n, CAST(n AS DOUBLE) AS nd, s / CAST(n AS DOUBLE)
+        AS mean,
+             CASE WHEN n >= 2
+                  THEN (ss - s * s / CAST(n AS DOUBLE))
+                       / (CAST(n AS DOUBLE) - 1.0) END AS var
+      FROM a),
+m AS (SELECT *, CASE WHEN var >= 0.0
+                     THEN (1.959963984540054 + 0.8416212335729143)
+                          * sqrt(2.0 * var / (nd / 2.0)) END AS mde
+      FROM d)
+SELECT k, n, round(mean, 6) AS mean, round(var, 6) AS var,
+       round(mde, 6) AS mde_abs,
+       round(CASE WHEN mean <> 0.0 THEN mde / abs(mean) END, 9)
+         AS mde_rel,
+       CAST(ceil((1.959963984540054 + 0.8416212335729143)
+                 * (1.959963984540054 + 0.8416212335729143)
+                 * 2.0 * var / (CAST(1 AS DOUBLE)
+                                * CAST(1 AS DOUBLE))) AS BIGINT)
+         AS n_per_arm_required
+FROM m
+""")
+def q_ab_power_analysis(spark, sf_dir):
+    """MDE + required-n sizing of quantity per returnflag (alpha 0.05
+    two-sided, power 0.80, target effect 1.0 unit) — decimal moments,
+    fixed z literals, fixed-order doubles."""
+    from beam_spark.operators.quality import PowerAnalysis
+
+    li = table(spark, sf_dir, "lineitem").df.selectExpr(
+        "l_returnflag AS k", "l_quantity")
+    return (PCollection(li)
+            | PowerAnalysis("l_quantity", keys="k",
+                            target_effect=1.0,
+                            cast_to="decimal(9,2)")).df

@@ -4329,3 +4329,32 @@ def test_mean_pool_embeddings_normalize_and_ragged(spark):
         (PCollection(ragged) | MeanPoolEmbeddings("k")).df.collect()
     with pytest.raises(ValueError):
         MeanPoolEmbeddings([])
+
+
+def test_power_analysis_formula_and_required_n(spark):
+    """var = 4, n = 200 (100/arm), z sum = 2.8016...: mde =
+    zsum * sqrt(8/100) = 0.2828 * zsum; required n per arm for
+    effect 0.5 = ceil(zsum^2 * 8 / 0.25); mean 0 -> NULL mde_rel."""
+    import math
+
+    from beam_spark.operators.quality import (PowerAnalysis,
+                                              Z_ALPHA_05, Z_POWER_80)
+    from beam_spark.pcollection import PCollection
+
+    # symmetric values -> mean 0, pvariance 4 (ddof=1 adjusted below)
+    rows = [("k", 2.0)] * 100 + [("k", -2.0)] * 100
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = (PCollection(df)
+           | PowerAnalysis("v", keys="g", target_effect=0.5)
+           ).df.collect()[0]
+    zsum = Z_ALPHA_05 + Z_POWER_80
+    var = 4.0 * 200 / 199          # sample variance
+    assert abs(out.var - round(var, 6)) < 1e-9
+    assert abs(out.mde_abs
+               - round(zsum * math.sqrt(2 * var / 100.0), 6)) < 1e-9
+    assert out.mde_rel is None     # mean is 0
+    assert out.n_per_arm_required == math.ceil(
+        zsum * zsum * 2 * var / 0.25)
+    import pytest
+    with pytest.raises(ValueError):
+        PowerAnalysis("v", target_effect=0.0)
