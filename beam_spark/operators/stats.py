@@ -2051,3 +2051,93 @@ class NelsonAalen(PTransform):
                        F.round(F.exp(-F.col("__H").cast("double")), 6)
                        .alias("survival_fh")))
         return pcoll.with_df(out)
+
+
+class LogRankTest(PTransform):
+    """Two-group log-rank test (Mantel-Cox) — "do these two cohorts
+    churn at the same rate?", the inferential companion to
+    KaplanMeier / NelsonAalen:
+
+      at each distinct event time t (pooled), with n_1/n at risk and
+      d_1/d observed events:
+        O-E term   d_1 - d * n_1 / n
+        V term     d * (n_1/n) * (1 - n_1/n) * (n - d) / (n - 1)
+                   (0 when n = 1)
+      z = sum(O-E) / sqrt(sum V),  chi2 = z^2   (df = 1)
+
+    Counts are exact integers from one per-time conditional
+    aggregation + cumulative at-risk windows (the KaplanMeier
+    construction, per group via conditional sums); each time's O-E
+    and V term is a fixed-order double cast to decimal(28,12) before
+    the sum (order-free — the decimal ln-sum convention). z/chi2
+    round 9; NULL when sum V = 0.
+
+    Scale: one groupBy(duration) + ordered windows over the
+    distinct-duration frame + a 1-row reduce.
+
+    Output (ONE row): n_a, n_b, events_a, events_b, z, chi2.
+    """
+
+    def __init__(self, duration_col: str, event_col: str,
+                 group_col: str, group_a, label=None):
+        super().__init__(label)
+        self.duration_col, self.event_col = duration_col, event_col
+        self.group_col, self.group_a = group_col, group_a
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        dc, ec, gc = self.duration_col, self.event_col, self.group_col
+        base = (pcoll.df
+                .where(F.col(dc).isNotNull() & F.col(ec).isNotNull()
+                       & F.col(gc).isNotNull())
+                .select(F.col(dc).cast("double").alias("t"),
+                        F.col(ec).cast("int").alias("__e"),
+                        (F.col(gc) == F.lit(self.group_a))
+                        .cast("int").alias("__a")))
+        per = base.groupBy("t").agg(
+            F.sum(F.col("__e") * F.col("__a")).cast("long")
+            .alias("d1"),
+            F.sum("__e").cast("long").alias("d"),
+            F.sum(F.col("__a")).cast("long").alias("m1"),
+            F.count(F.lit(1)).cast("long").alias("m"))
+        w_all = Window.partitionBy()
+        w_prev = (Window.orderBy("t")
+                  .rowsBetween(Window.unboundedPreceding, -1))
+        ar = (per
+              .withColumn("__N1", F.sum("m1").over(w_all))
+              .withColumn("__N", F.sum("m").over(w_all))
+              .withColumn("__l1", F.coalesce(
+                  F.sum("m1").over(w_prev), F.lit(0)))
+              .withColumn("__l", F.coalesce(
+                  F.sum("m").over(w_prev), F.lit(0)))
+              .withColumn("n1", (F.col("__N1") - F.col("__l1"))
+                          .cast("long"))
+              .withColumn("n", (F.col("__N") - F.col("__l"))
+                          .cast("long"))
+              .where(F.col("d") > 0))
+        n1 = F.col("n1").cast("double")
+        n = F.col("n").cast("double")
+        d = F.col("d").cast("double")
+        d1 = F.col("d1").cast("double")
+        oe = d1 - d * n1 / n
+        vterm = F.when(F.col("n") > 1,
+                       d * (n1 / n) * (1.0 - n1 / n)
+                       * (n - d) / (n - 1.0)).otherwise(F.lit(0.0))
+        tot = ar.agg(
+            F.sum(oe.cast("decimal(28,12)")).alias("__oe"),
+            F.sum(vterm.cast("decimal(28,12)")).alias("__v"),
+            F.sum("d1").cast("long").alias("events_a"),
+            (F.sum("d") - F.sum("d1")).cast("long").alias("events_b"))
+        sizes = base.agg(
+            F.sum("__a").cast("long").alias("n_a"),
+            F.sum(1 - F.col("__a")).cast("long").alias("n_b"))
+        oed = F.col("__oe").cast("double")
+        vd = F.col("__v").cast("double")
+        out = (sizes.crossJoin(F.broadcast(tot))
+               .select("n_a", "n_b", "events_a", "events_b",
+                       F.round(F.when(vd > 0.0, oed / F.sqrt(vd)), 9)
+                       .alias("z"),
+                       F.round(F.when(vd > 0.0, (oed * oed) / vd), 9)
+                       .alias("chi2")))
+        return pcoll.with_df(out)

@@ -10578,3 +10578,76 @@ def q_ab_power_analysis(spark, sf_dir):
             | PowerAnalysis("l_quantity", keys="k",
                             target_effect=1.0,
                             cast_to="decimal(9,2)")).df
+
+
+@query("q_survival_log_rank", """
+WITH pu AS (SELECT user_id, user_id % 2 = 0 AS grp_a,
+              epoch_us(min(ts)) / CAST(1000000 AS DOUBLE) AS t0,
+              epoch_us(coalesce(min(CASE WHEN event_type = 'purchase'
+                                    THEN ts END), max(ts)))
+                / CAST(1000000 AS DOUBLE) AS t1,
+              CASE WHEN min(CASE WHEN event_type = 'purchase'
+                            THEN ts END) IS NOT NULL
+                   THEN 1 ELSE 0 END AS e
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY user_id),
+base AS (SELECT t1 - t0 AS t, e,
+                CASE WHEN grp_a THEN 1 ELSE 0 END AS a
+         FROM pu),
+per AS (SELECT t, CAST(sum(e * a) AS BIGINT) AS d1,
+               CAST(sum(e) AS BIGINT) AS d,
+               CAST(sum(a) AS BIGINT) AS m1,
+               CAST(count(*) AS BIGINT) AS m
+        FROM base GROUP BY t),
+ar AS (SELECT *, sum(m1) OVER () AS N1, sum(m) OVER () AS N,
+              coalesce(sum(m1) OVER (ORDER BY t ROWS BETWEEN
+                UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS l1,
+              coalesce(sum(m) OVER (ORDER BY t ROWS BETWEEN
+                UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS l
+       FROM per),
+ev AS (SELECT CAST(N1 - l1 AS DOUBLE) AS n1,
+              CAST(N - l AS DOUBLE) AS n,
+              CAST(d AS DOUBLE) AS dd, CAST(d1 AS DOUBLE) AS dd1,
+              d1, d, N - l AS ni
+       FROM ar WHERE d > 0),
+tot AS (SELECT
+          sum(CAST(dd1 - dd * n1 / n AS DECIMAL(28,12))) AS oe,
+          sum(CAST(CASE WHEN ni > 1
+                        THEN dd * (n1 / n) * (1.0 - n1 / n)
+                             * (n - dd) / (n - 1.0)
+                        ELSE CAST(0 AS DOUBLE) END
+                   AS DECIMAL(28,12))) AS v,
+          CAST(sum(d1) AS BIGINT) AS events_a,
+          CAST(sum(d) - sum(d1) AS BIGINT) AS events_b
+        FROM ev),
+sz AS (SELECT CAST(sum(a) AS BIGINT) AS n_a,
+              CAST(sum(1 - a) AS BIGINT) AS n_b FROM base)
+SELECT n_a, n_b, events_a, events_b,
+       round(CASE WHEN CAST(v AS DOUBLE) > 0.0
+                  THEN CAST(oe AS DOUBLE) / sqrt(CAST(v AS DOUBLE))
+             END, 9) AS z,
+       round(CASE WHEN CAST(v AS DOUBLE) > 0.0
+                  THEN (CAST(oe AS DOUBLE) * CAST(oe AS DOUBLE))
+                       / CAST(v AS DOUBLE) END, 9) AS chi2
+FROM sz CROSS JOIN tot
+""")
+def q_survival_log_rank(spark, sf_dir):
+    """Log-rank test of time-to-first-purchase between even and odd
+    user ids — per-event-time O-E and variance terms as fixed-order
+    doubles cast to decimals before the sum (order-free), exact
+    at-risk construction shared with the KM component."""
+    from beam_spark.operators.stats import LogRankTest
+
+    ev = table(spark, sf_dir, "events").df.where("user_id IS NOT NULL")
+    pu = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__t0"),
+        F.max("ts").alias("__tl"),
+        F.min(F.when(F.col("event_type") == "purchase",
+                     F.col("ts"))).alias("__tp"))
+    base = pu.select(
+        (F.coalesce(F.col("__tp"), F.col("__tl")).cast("double")
+         - F.col("__t0").cast("double")).alias("duration"),
+        F.col("__tp").isNotNull().cast("int").alias("event"),
+        (F.col("user_id") % 2 == 0).alias("grp"))
+    return (PCollection(base)
+            | LogRankTest("duration", "event", "grp", True)).df

@@ -4358,3 +4358,31 @@ def test_power_analysis_formula_and_required_n(spark):
     import pytest
     with pytest.raises(ValueError):
         PowerAnalysis("v", target_effect=0.0)
+
+
+def test_log_rank_identical_vs_separated_groups(spark):
+    """Identical survival in both groups -> z ~ 0; a group that dies
+    strictly earlier -> large |chi2| with the expected sign (group A
+    dying early means observed > expected: positive z). Lifelines-
+    checked formula on a tiny case: A dies at 1,2; B dies at 3,4:
+    O-E terms at t=1..4 sum to (1-2/4)+(1-1/3)+(0-1/2)+(0-0) -> z>0."""
+    from beam_spark.operators.stats import LogRankTest
+    from beam_spark.pcollection import PCollection
+
+    same = spark.createDataFrame(
+        [(float(t), 1, g) for t in (1, 2, 3) for g in ("A", "B")],
+        "duration double, event int, g string")
+    r = (PCollection(same)
+         | LogRankTest("duration", "event", "g", "A")).df.collect()[0]
+    assert r.z == 0.0 and r.chi2 == 0.0
+    assert (r.n_a, r.n_b, r.events_a, r.events_b) == (3, 3, 3, 3)
+
+    sep = spark.createDataFrame(
+        [(1.0, 1, "A"), (2.0, 1, "A"), (3.0, 1, "B"), (4.0, 1, "B")],
+        "duration double, event int, g string")
+    r2 = (PCollection(sep)
+          | LogRankTest("duration", "event", "g", "A")).df.collect()[0]
+    expected_oe = (1 - 2/4) + (1 - 1/3)
+    assert r2.z > 0 and r2.chi2 > 1.0
+    v = (2/4)*(1-2/4)*1 + (1/3)*(1-1/3)*1   # (n-d)/(n-1)=1 at d=1
+    assert abs(r2.chi2 - expected_oe**2 / v) < 1e-6
