@@ -118,12 +118,28 @@ class LogisticFit(PTransform):
             for j, f in enumerate(fs, start=1):
                 z = z + F.lit(w[j]) * F.col(f).cast("double")
             p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-            terms = [
-                F.sum(((p - F.col("__y")) * self._x(j)
-                       / F.lit(float(n))).cast(_DEC_G))
-                .alias(f"g{j}")
-                for j in range(len(names))]
+            casted = [((p - F.col("__y")) * self._x(j)
+                       / F.lit(float(n))).try_cast(_DEC_G)
+                      for j in range(len(names))]
+            # an out-of-range decimal term must fail LOUDLY, not be
+            # silently sum()-skipped (non-ANSI) or raise a cryptic
+            # ANSI cast error mid-task: try_cast makes overflow NULL
+            # in both modes, and the count guard below raises with
+            # the actionable message (|(p-y)*x/n| >= 1e7 means
+            # wildly unscaled features; standardize them)
+            terms = ([F.sum(c).alias(f"g{j}")
+                      for j, c in enumerate(casted)]
+                     + [F.count(c).alias(f"c{j}")
+                        for j, c in enumerate(casted)])
             row = df.agg(*terms).first()
+            for j in range(len(names)):
+                if row[f"c{j}"] != n:
+                    raise ValueError(
+                        f"LogisticFit: gradient term for "
+                        f"{names[j]!r} overflowed decimal(16,9) on "
+                        f"{n - row[f'c{j}']} of {n} rows — feature "
+                        "magnitudes are unscaled; standardize (e.g. "
+                        "ScaleTo01/z-score) before fitting")
             w = [w[j] - self.lr * float(row[f"g{j}"])
                  for j in range(len(names))]
         self.weights_ = dict(zip(names, w))

@@ -522,7 +522,10 @@ class TargetEncode(PTransform):
     Target sums accumulate as exact decimals (``cast_to``); the final
     expression is double in fixed order. Unseen-category handling at
     serve time is the caller's join problem — this transform encodes
-    the frame it is given.
+    the frame it is given. NULL is a real category: NULL-category
+    rows group together and receive that group's encoding (the join
+    back is null-safe); rows with a NULL TARGET are excluded from
+    the sums but still receive their category's encoding.
 
     Scale: one partial-agg groupBy on the category (the per-category
     frame is vocabulary-bounded and broadcast back), one 1-row global
@@ -555,8 +558,11 @@ class TargetEncode(PTransform):
                 .agg(F.sum(yd).alias("__gs"),
                      F.count(yd).cast("long").alias("__gn")))
         gm = F.col("__gs").cast("double") / F.col("__gn").cast("double")
-        joined = (df.join(F.broadcast(per), df[c] == F.col("__cat"),
-                          "left")
+        # null-safe equality: a NULL category is a real group (the
+        # groupBy above computes its encoding) and must receive it —
+        # plain equality would leave NULL-category rows unmatched
+        joined = (df.join(F.broadcast(per),
+                          df[c].eqNullSafe(F.col("__cat")), "left")
                   .crossJoin(F.broadcast(glob)))
         s = F.col("__s").cast("double")
         n = F.col("__n").cast("double")

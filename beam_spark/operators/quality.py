@@ -2048,6 +2048,11 @@ class MahalanobisOutliers(PTransform):
             schema="n long, s array<double>, g array<double>").collect()
         if not parts:
             raise ValueError("MahalanobisOutliers: empty input")
+        dims = {len(r["s"]) for r in parts}
+        if len(dims) != 1:
+            raise ValueError(
+                f"MahalanobisOutliers: ragged vector column {vc!r} "
+                f"— batch dims {sorted(dims)}")
         d = len(parts[0]["s"])
         n = sum(r["n"] for r in parts)
         if n < d + 1:

@@ -667,8 +667,13 @@ class QueryLikelihoodTopK(PTransform):
         from pyspark.sql import Window
 
         idc, mu = self.id_col, self.mu
-        toks = pcoll.df.select(F.col(idc),
-                               tokens(self.text_col).alias("__t"))
+        # drop '' tokens (whitespace-only text splits to ['']) — the
+        # NaiveBayes/TextRank convention; a phantom '' would inflate
+        # dl, enter postings/cf, and score as a query term
+        toks = pcoll.df.select(
+            F.col(idc),
+            F.filter(tokens(self.text_col),
+                     lambda x: x != "").alias("__t"))
         doclen = toks.select(idc, F.size("__t").alias("dl"))
         postings = (toks.select(idc, F.explode("__t").alias("term"))
                     .groupBy(idc, "term")
@@ -678,7 +683,9 @@ class QueryLikelihoodTopK(PTransform):
         csize = cf.agg(F.sum("cf").cast("long").alias("C"))
         qt = (self.queries
               .select(F.col(self.query_id_col).alias("query_id"),
-                      F.explode(tokens(self.query_text_col))
+                      F.explode(
+                          F.filter(tokens(self.query_text_col),
+                                   lambda x: x != ""))
                       .alias("term"))
               .groupBy("query_id", "term")
               .agg(F.count(F.lit(1)).cast("long").alias("qtf"))

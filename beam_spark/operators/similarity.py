@@ -1037,8 +1037,11 @@ class CovarianceMatrix(PTransform):
     Scale: the shuffle after the scan carries (#batches) * d^2 cells
     (thousands of rows, not billions); per-batch work is one
     (batch x d)'(batch x d) BLAS call. Rows with NULL vectors are
-    dropped; rows with a deviating vector length fail the numpy
-    stack loudly rather than silently truncating.
+    dropped; rows with a deviating vector length fail loudly rather
+    than silently truncating — within a batch via the numpy stack,
+    across batches via an explicit expected-dim check (without it,
+    partial-Gram arrays of different sizes would posexplode into
+    silently mixed cells).
 
     Output: (i, j, cov) for all d^2 ordered pairs (symmetric — both
     triangles emitted so downstream joins need no case logic), i/j
@@ -1052,7 +1055,12 @@ class CovarianceMatrix(PTransform):
         self.vec_col = vec_col
 
     @staticmethod
-    def _partial_gram(vec_col):
+    def _partial_gram(vec_col, expect_d=None):
+        """Per-batch (n, sums, flattened Gram). ``np.stack`` already
+        fails loudly on ragged lengths WITHIN a batch; ``expect_d``
+        extends that guarantee ACROSS batches (without it, two
+        batches of different d would emit partial arrays of
+        different sizes whose posexploded cells silently mix)."""
         def gen(it):
             import numpy as np
             import pandas as pd
@@ -1063,6 +1071,10 @@ class CovarianceMatrix(PTransform):
                     continue
                 X = np.stack([np.asarray(v, dtype=np.float64)
                               for v in vs])
+                if expect_d is not None and X.shape[1] != expect_d:
+                    raise ValueError(
+                        f"ragged vector column {vec_col!r}: batch "
+                        f"dim {X.shape[1]} != expected {expect_d}")
                 yield pd.DataFrame({
                     "n": [int(len(X))],
                     "s": [X.sum(axis=0).tolist()],
@@ -1077,7 +1089,7 @@ class CovarianceMatrix(PTransform):
             raise ValueError("CovarianceMatrix: empty input")
         d = int(first["d"])
         parts = src.select(vc).mapInPandas(
-            self._partial_gram(vc),
+            self._partial_gram(vc, expect_d=d),
             schema="n long, s array<double>, g array<double>")
         tot = (parts.select(F.posexplode("g").alias("idx", "gv"))
                .groupBy("idx").agg(F.sum("gv").alias("g")))
@@ -1157,6 +1169,11 @@ class PcaProject(PTransform):
             schema="n long, s array<double>, g array<double>").collect()
         if not parts:
             raise ValueError("PcaProject: empty input")
+        dims = {len(r["s"]) for r in parts}
+        if len(dims) != 1:
+            raise ValueError(
+                f"PcaProject: ragged vector column {vc!r} — batch "
+                f"dims {sorted(dims)}")
         d = len(parts[0]["s"])
         if d > self.MAX_DIM:
             raise ValueError(f"dim {d} > MAX_DIM {self.MAX_DIM}")

@@ -10168,7 +10168,9 @@ def q_survival_nelson_aalen(spark, sf_dir):
 
 @query("q_retrieval_query_likelihood", r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x != '') AS t
   FROM documents),
 dlen AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
 post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf

@@ -4386,3 +4386,68 @@ def test_log_rank_identical_vs_separated_groups(spark):
     assert r2.z > 0 and r2.chi2 > 1.0
     v = (2/4)*(1-2/4)*1 + (1/3)*(1-1/3)*1   # (n-d)/(n-1)=1 at d=1
     assert abs(r2.chi2 - expected_oe**2 / v) < 1e-6
+
+
+def test_covariance_matrix_ragged_across_batches_fails_fast(spark):
+    """Round-13 ADVICE regression: vectors of different lengths in
+    DIFFERENT batches must fail loudly, not posexplode into silently
+    mixed partial-Gram cells (within one batch np.stack already
+    raises). Two single-row partitions guarantee separate batches."""
+    import pytest
+
+    from beam_spark.operators.similarity import (CovarianceMatrix,
+                                                 PcaProject)
+    from beam_spark.pcollection import PCollection
+
+    # one partition of len-2 vectors, one of len-3 (range-partitioned
+    # on vec_id — a union of LocalRelations would fold back into one
+    # partition): each batch is internally consistent, so only the
+    # cross-batch check can catch the mismatch
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [2.0, 5.0]),
+         (2, [3.0, 4.0, 5.0]), (3, [1.0, 1.0, 1.0])],
+        "vec_id long, embedding array<double>").repartitionByRange(
+            2, "vec_id")
+    with pytest.raises(Exception, match="ragged"):
+        (PCollection(df) | CovarianceMatrix()).df.collect()
+    with pytest.raises(Exception, match="ragged"):
+        (PCollection(df) | PcaProject(k=1)).df.collect()
+
+
+def test_mahalanobis_ragged_across_batches_fails_fast(spark):
+    import pytest
+
+    from beam_spark.operators.quality import MahalanobisOutliers
+    from beam_spark.pcollection import PCollection
+
+    rows = ([(i, [float(i), float(i % 3)]) for i in range(4)]
+            + [(10 + i, [1.0, 2.0, float(i)]) for i in range(4)])
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartitionByRange(2, "vec_id")
+    with pytest.raises(Exception, match="ragged"):
+        (PCollection(df) | MahalanobisOutliers()).df.collect()
+
+
+def test_query_likelihood_empty_tokens_dropped(spark):
+    """Round-13 ADVICE regression: whitespace-only text tokenizes to
+    [''] under raw split — the '' must be dropped so it neither
+    inflates dl nor enters postings/cf nor scores as a query term.
+    A whitespace-only QUERY therefore returns no rows, and a
+    whitespace-only DOC scores exactly like an empty one (dl = 0)."""
+    from beam_spark.operators.retrieval import QueryLikelihoodTopK
+    from beam_spark.pcollection import PCollection
+
+    docs = spark.createDataFrame(
+        [(1, "spark shuffle"), (2, "   "), (3, "pasta ragu")],
+        "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [(100, "spark"), (200, "  \t ")], "query_id long, text string")
+    out = (PCollection(docs)
+           | QueryLikelihoodTopK(qs, k=3, mu=10.0)).df.collect()
+    assert {r.query_id for r in out} == {100}   # ws query -> no rows
+    by_doc = {r.doc_id: r.score for r in out}
+    # dl = 0 for the whitespace doc: score = ln(mu*cf/C / (0 + mu))
+    # = ln(cf/C) = ln(1/4) with cf('spark') = 1 over C = 4 tokens
+    import math
+    assert abs(by_doc[2] - round(math.log(1.0 / 4.0), 6)) < 1e-6

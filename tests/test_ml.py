@@ -592,3 +592,40 @@ def test_woe_iv_known_values(spark):
         WoeIv("c", "y", alpha=-1.0)
     with pytest.raises(ValueError):
         WoeIv("c", "y", mode="bogus")
+
+
+def test_logistic_fit_gradient_overflow_fails_fast(spark):
+    """Round-13 ADVICE regression: a gradient term whose magnitude
+    exceeds decimal(16,9) (|(p-y)*x/n| >= 1e7 — wildly unscaled
+    features) must raise, not silently NULL-skip under non-ANSI
+    Spark and bias the fit."""
+    import pytest
+
+    from beam_spark.ml.logistic import LogisticFit
+    from beam_spark.pcollection import PCollection
+
+    df = spark.createDataFrame(
+        [(1.0e9, True), (-1.0e9, False)], "x double, y boolean")
+    with pytest.raises(ValueError, match="overflowed"):
+        (PCollection(df) | LogisticFit("x", "y", iterations=1)).df
+
+
+def test_target_encode_null_category_gets_group_encoding(spark):
+    """Round-13 ADVICE regression: NULL is a real category — its rows
+    group together and receive that group's encoding via the
+    null-safe join (plain equality left them NULL)."""
+    from beam_spark.ml.transforms import TargetEncode
+    from beam_spark.pcollection import PCollection
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), (None, 10.0), (None, 20.0)],
+        "c string, y double")
+    out = {(r.c, r.y): r.c_enc for r in
+           (PCollection(df) | TargetEncode("c", "y", m=0.0)).df.collect()}
+    assert out[(None, 10.0)] == 15.0
+    assert out[(None, 20.0)] == 15.0
+    assert out[("a", 1.0)] == 2.0
+    loo = {(r.c, r.y): r.c_enc for r in
+           (PCollection(df)
+            | TargetEncode("c", "y", m=0.0, loo=True)).df.collect()}
+    assert loo[(None, 10.0)] == 20.0 and loo[(None, 20.0)] == 10.0
