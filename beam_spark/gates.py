@@ -382,114 +382,194 @@ def q_stats_moments(spark, sf_dir):
     slice (identical recursions, 10x fewer keys — the heavy full-key
     versions stay component-oracled, the q_graph_*_links pattern) and
     the full Jensen-Shannon drift report. Forecast doubles ride
-    UNROUNDED — both engines replay the same IEEE sequence."""
+    UNROUNDED — both engines replay the same IEEE sequence.
+
+    The ~22 member frames are INDEPENDENT one-pass aggregation plans;
+    building them serially costs ~8s of driver-side Catalyst/py4j
+    time at sf0.1, so they are built on a thread pool (the analytics
+    gate's posture, measured 14->4.6s there) — the union output is
+    the identical frames in the identical order either way."""
     from beam_spark.operators.quality import DistributionDrift
     from beam_spark.operators.stats import CrostonForecast, ThetaForecast
     from beam_spark.pcollection import PCollection as _PC
 
-    var = _component("q_variance_moments_per_type")(spark, sf_dir)
-    cov = _component("q_covar_price_quantity")(spark, sf_dir)
-    ev = table(spark, sf_dir, "events").df
-    sl = ev.filter("user_id % 10 = 0")
-    theta = (_PC(sl.filter("value IS NOT NULL")) | ThetaForecast(
-        "value", keys="user_id", order_by=["ts", "event_id"],
-        alpha=0.5, horizons=[1, 3])).df
-    cro = (_PC(sl) | CrostonForecast(
-        "value", keys="user_id", order_by=["ts", "event_id"],
-        demand_if="event_type = 'purchase'", alpha=0.5)).df
-    evv = ev.filter("value IS NOT NULL")
-    jsd = (_PC(evv.filter("event_type = 'purchase'"))
-           | DistributionDrift(evv.filter("event_type = 'view'"),
-                               "value", metric="jsd")).df
-    return _union([
-        var.selectExpr("'var' AS op", "event_type AS k", "var_value AS v1",
-                       "stddev_value AS v2", f"{_ZERO} AS v3",
-                       f"{_ZERO} AS v4"),
-        cov.selectExpr("'covar' AS op", "l_returnflag AS k",
-                       "covar_pq AS v1", f"{_ZERO} AS v2",
-                       f"{_ZERO} AS v3", f"{_ZERO} AS v4"),
-        theta.selectExpr("'theta' AS op",
-                         "CAST(user_id AS STRING) || ':' || "
-                         "CAST(h AS STRING) AS k",
-                         "slope AS v1", "intercept AS v2", "level AS v3",
-                         "forecast AS v4"),
-        cro.selectExpr("'croston' AS op", "CAST(user_id AS STRING) AS k",
-                       "CAST(demands AS DOUBLE) AS v1", "z AS v2",
-                       "p AS v3", "forecast AS v4"),
-        jsd.selectExpr("'jsd' AS op", "column AS k", "jsd AS v1",
-                       "CAST(n_ref AS DOUBLE) AS v2",
-                       "CAST(n_cur AS DOUBLE) AS v3",
-                       "CAST(drifted AS DOUBLE) AS v4"),
+    def _tagged(name, *exprs):
+        def f():
+            return _component(name)(spark, sf_dir).selectExpr(*exprs)
+        return f
+
+    def _theta():
+        ev = table(spark, sf_dir, "events").df
+        sl = ev.filter("user_id % 10 = 0")
+        return (_PC(sl.filter("value IS NOT NULL")) | ThetaForecast(
+            "value", keys="user_id", order_by=["ts", "event_id"],
+            alpha=0.5, horizons=[1, 3])).df.selectExpr(
+            "'theta' AS op",
+            "CAST(user_id AS STRING) || ':' || CAST(h AS STRING) AS k",
+            "slope AS v1", "intercept AS v2", "level AS v3",
+            "forecast AS v4")
+
+    def _croston():
+        ev = table(spark, sf_dir, "events").df
+        sl = ev.filter("user_id % 10 = 0")
+        return (_PC(sl) | CrostonForecast(
+            "value", keys="user_id", order_by=["ts", "event_id"],
+            demand_if="event_type = 'purchase'", alpha=0.5)).df.selectExpr(
+            "'croston' AS op", "CAST(user_id AS STRING) AS k",
+            "CAST(demands AS DOUBLE) AS v1", "z AS v2",
+            "p AS v3", "forecast AS v4")
+
+    def _jsd():
+        evv = table(spark, sf_dir, "events").df.filter(
+            "value IS NOT NULL")
+        return (_PC(evv.filter("event_type = 'purchase'"))
+                | DistributionDrift(evv.filter("event_type = 'view'"),
+                                    "value", metric="jsd")).df.selectExpr(
+            "'jsd' AS op", "column AS k", "jsd AS v1",
+            "CAST(n_ref AS DOUBLE) AS v2", "CAST(n_cur AS DOUBLE) AS v3",
+            "CAST(drifted AS DOUBLE) AS v4")
+
+    def _logit_slice():
+        # reduced variant: 3-pass GD on the l_orderkey%5 slice (the
+        # identical quantized-gradient training replay, 5x fewer
+        # rows; checkpoint + T scans make the FULL fit the gate's
+        # critical path — it stays component-oracled)
+        from beam_spark.ml.logistic import LogisticFit
+        li = table(spark, sf_dir, "lineitem").df.where(
+            "l_orderkey % 5 = 0").selectExpr(
+            "l_returnflag = 'A' AS y",
+            "CAST(l_quantity AS DOUBLE) / 64.0 AS x1",
+            "CAST(l_discount AS DOUBLE) AS x2",
+            "CAST(l_tax AS DOUBLE) AS x3")
+        out = (_PC(li) | LogisticFit(["x1", "x2", "x3"], "y",
+                                     iterations=3, lr=0.5)).df
+        return out.select("term",
+                          F.round("weight", 9).alias("weight")
+                          ).selectExpr(
+            "'logit' AS op", "term AS k", "weight AS v1",
+            f"{_ZERO} AS v2", f"{_ZERO} AS v3", f"{_ZERO} AS v4")
+
+    def _seasonal():
+        # reduced variant: user_id % 10 slice (identical windows and
+        # phase means, 10x fewer series — the q_graph_*_links
+        # pattern; the full version stays component-oracled)
+        from beam_spark.operators.stats import SeasonalDecompose
+        ev = table(spark, sf_dir, "events").df.filter(
+            "user_id % 10 = 0")
+        return (_PC(ev) | SeasonalDecompose(
+            "value", period=7, keys="user_id",
+            order_by=["ts", "event_id"])).df.selectExpr(
+            "'seasonal' AS op",
+            "CAST(user_id AS STRING) || ':' || "
+            "CAST(event_id AS STRING) AS k",
+            "trend AS v1", "seasonal AS v2", "remainder AS v3",
+            f"{_ZERO} AS v4")
+
+    thunks = [
+        _tagged("q_variance_moments_per_type",
+                "'var' AS op", "event_type AS k", "var_value AS v1",
+                "stddev_value AS v2", f"{_ZERO} AS v3", f"{_ZERO} AS v4"),
+        _tagged("q_covar_price_quantity",
+                "'covar' AS op", "l_returnflag AS k", "covar_pq AS v1",
+                f"{_ZERO} AS v2", f"{_ZERO} AS v3", f"{_ZERO} AS v4"),
+        _theta,
+        _croston,
+        _jsd,
         # round-11 session-2 evaluation family, as tagged projections
         # (full rows stay component-oracled — the reduced-variant
         # gate-fold pattern)
-        _component("q_cohens_kappa_langs")(spark, sf_dir).selectExpr(
-            "'kappa' AS op", "'cohen' AS k", "p_o AS v1", "p_e AS v2",
-            "kappa AS v3", "CAST(n_categories AS DOUBLE) AS v4"),
-        _component("q_fleiss_kappa_events")(spark, sf_dir).selectExpr(
-            "'kappa' AS op", "'fleiss' AS k", "p_bar AS v1",
-            "p_e AS v2", "kappa AS v3", "CAST(n_items AS DOUBLE) AS v4"),
-        _component("q_classifier_metrics")(spark, sf_dir).selectExpr(
-            "'clsf' AS op", "'docs' AS k", "auc AS v1", "logloss AS v2",
-            "brier AS v3", "f1 AS v4"),
-        _component("q_ranking_metrics_ndcg")(spark, sf_dir).selectExpr(
-            "'ndcg' AS op", "CAST(query_id AS STRING) AS k", "dcg AS v1",
-            "idcg AS v2", "ndcg AS v3", "mrr AS v4"),
-        _component("q_text_zipf_fit")(spark, sf_dir).selectExpr(
-            "'zipf' AS op", "'docs' AS k", "slope AS v1",
-            "intercept AS v2", "r2 AS v3",
-            "CAST(n_terms AS DOUBLE) AS v4"),
+        _tagged("q_cohens_kappa_langs",
+                "'kappa' AS op", "'cohen' AS k", "p_o AS v1", "p_e AS v2",
+                "kappa AS v3", "CAST(n_categories AS DOUBLE) AS v4"),
+        _tagged("q_fleiss_kappa_events",
+                "'kappa' AS op", "'fleiss' AS k", "p_bar AS v1",
+                "p_e AS v2", "kappa AS v3",
+                "CAST(n_items AS DOUBLE) AS v4"),
+        _tagged("q_classifier_metrics",
+                "'clsf' AS op", "'docs' AS k", "auc AS v1",
+                "logloss AS v2", "brier AS v3", "f1 AS v4"),
+        _tagged("q_ranking_metrics_ndcg",
+                "'ndcg' AS op", "CAST(query_id AS STRING) AS k",
+                "dcg AS v1", "idcg AS v2", "ndcg AS v3", "mrr AS v4"),
+        _tagged("q_text_zipf_fit",
+                "'zipf' AS op", "'docs' AS k", "slope AS v1",
+                "intercept AS v2", "r2 AS v3",
+                "CAST(n_terms AS DOUBLE) AS v4"),
         # round-12 folds: survival curve + column dependence (full
         # rows stay component-oracled). k carries the event time as
         # EXACT integer micros (CAST(double AS STRING) formats
         # differently across engines; bigint strings don't).
-        _component("q_survival_kaplan_meier")(spark, sf_dir).selectExpr(
-            "'km' AS op",
-            "CAST(CAST(ROUND(t * 1000000, 0) AS BIGINT) AS STRING) AS k",
-            "CAST(n_risk AS DOUBLE) AS v1",
-            "CAST(d_events AS DOUBLE) AS v2",
-            "CAST(c_censored AS DOUBLE) AS v3", "survival AS v4"),
-        _component("q_column_dependence_docs")(spark, sf_dir).selectExpr(
-            "'coldep' AS op", "'mi' AS k", "mi AS v1",
-            "u_x_given_y AS v2", "u_y_given_x AS v3", "cramers_v AS v4"),
-        _component("q_column_dependence_docs")(spark, sf_dir).selectExpr(
-            "'coldep' AS op", "'h' AS k", "h_x AS v1", "h_y AS v2",
-            "h_xy AS v3", "chi2 AS v4"),
-        _component("q_column_dependence_docs")(spark, sf_dir).selectExpr(
-            "'coldep' AS op", "'n' AS k", "CAST(n AS DOUBLE) AS v1",
-            "CAST(nx AS DOUBLE) AS v2", "CAST(ny AS DOUBLE) AS v3",
-            f"{_ZERO} AS v4"),
+        _tagged("q_survival_kaplan_meier",
+                "'km' AS op",
+                "CAST(CAST(ROUND(t * 1000000, 0) AS BIGINT) AS STRING)"
+                " AS k",
+                "CAST(n_risk AS DOUBLE) AS v1",
+                "CAST(d_events AS DOUBLE) AS v2",
+                "CAST(c_censored AS DOUBLE) AS v3", "survival AS v4"),
+        _tagged("q_column_dependence_docs",
+                "'coldep' AS op", "'mi' AS k", "mi AS v1",
+                "u_x_given_y AS v2", "u_y_given_x AS v3",
+                "cramers_v AS v4"),
+        _tagged("q_column_dependence_docs",
+                "'coldep' AS op", "'h' AS k", "h_x AS v1", "h_y AS v2",
+                "h_xy AS v3", "chi2 AS v4"),
+        _tagged("q_column_dependence_docs",
+                "'coldep' AS op", "'n' AS k", "CAST(n AS DOUBLE) AS v1",
+                "CAST(nx AS DOUBLE) AS v2", "CAST(ny AS DOUBLE) AS v3",
+                f"{_ZERO} AS v4"),
         # round-12 session-3 folds: the A/B testing battery + privacy
         # / concentration / OLS reports (all 1-pass aggregation
         # frames; full rows stay component-oracled)
-        _component("q_stats_welch_ttest")(spark, sf_dir).selectExpr(
-            "'welch' AS op", "l_linestatus AS k", "t AS v1",
-            "df AS v2", "cohens_d AS v3", "mean_diff AS v4"),
-        _component("q_stats_anova_quantity")(spark, sf_dir).selectExpr(
-            "'anova' AS op", "l_linestatus AS k", "f_stat AS v1",
-            "eta_sq AS v2", "CAST(df_between AS DOUBLE) AS v3",
-            "CAST(df_within AS DOUBLE) AS v4"),
-        _component("q_stats_mannwhitney_u")(spark, sf_dir).selectExpr(
-            "'mwu' AS op", "'purchase_vs_view' AS k", "u_a AS v1",
-            "z AS v2", "auc_a AS v3",
-            "CAST(na + nb AS DOUBLE) AS v4"),
-        _component("q_stats_proportions_srm")(spark, sf_dir).selectExpr(
-            "'prop' AS op", "CAST(slice AS STRING) AS k", "p_a AS v1",
-            "p_b AS v2", "z AS v3", "srm_chi2 AS v4"),
-        _component("q_stats_linear_fit")(spark, sf_dir).selectExpr(
-            "'ols' AS op", "l_returnflag AS k", "slope AS v1",
-            "intercept AS v2", "r2 AS v3", "CAST(n AS DOUBLE) AS v4"),
-        _component("q_privacy_k_anonymity")(spark, sf_dir).selectExpr(
-            "'kanon' AS op", "'customer' AS k",
-            "CAST(k_anonymity AS DOUBLE) AS v1",
-            "CAST(rows_below_k AS DOUBLE) AS v2",
-            "pct_rows_below_k AS v3",
-            "CAST(l_diversity AS DOUBLE) AS v4"),
-        _component("q_concentration_supplier_volume")(
-            spark, sf_dir).selectExpr(
-            "'gini' AS op", "flag AS k", "gini AS v1", "hhi AS v2",
-            "top_share AS v3", "CAST(n AS DOUBLE) AS v4"),
-    ])
+        _tagged("q_stats_welch_ttest",
+                "'welch' AS op", "l_linestatus AS k", "t AS v1",
+                "df AS v2", "cohens_d AS v3", "mean_diff AS v4"),
+        _tagged("q_stats_anova_quantity",
+                "'anova' AS op", "l_linestatus AS k", "f_stat AS v1",
+                "eta_sq AS v2", "CAST(df_between AS DOUBLE) AS v3",
+                "CAST(df_within AS DOUBLE) AS v4"),
+        _tagged("q_stats_mannwhitney_u",
+                "'mwu' AS op", "'purchase_vs_view' AS k", "u_a AS v1",
+                "z AS v2", "auc_a AS v3", "CAST(na + nb AS DOUBLE) AS v4"),
+        _tagged("q_stats_proportions_srm",
+                "'prop' AS op", "CAST(slice AS STRING) AS k", "p_a AS v1",
+                "p_b AS v2", "z AS v3", "srm_chi2 AS v4"),
+        _tagged("q_stats_linear_fit",
+                "'ols' AS op", "l_returnflag AS k", "slope AS v1",
+                "intercept AS v2", "r2 AS v3", "CAST(n AS DOUBLE) AS v4"),
+        _tagged("q_privacy_k_anonymity",
+                "'kanon' AS op", "'customer' AS k",
+                "CAST(k_anonymity AS DOUBLE) AS v1",
+                "CAST(rows_below_k AS DOUBLE) AS v2",
+                "pct_rows_below_k AS v3",
+                "CAST(l_diversity AS DOUBLE) AS v4"),
+        _tagged("q_concentration_supplier_volume",
+                "'gini' AS op", "flag AS k", "gini AS v1", "hhi AS v2",
+                "top_share AS v3", "CAST(n AS DOUBLE) AS v4"),
+        # round-13 folds: the trainable-model + survival-inference +
+        # experiment-sizing families the driver's contract had never
+        # seen (full rows stay component-oracled). Logistic weights
+        # are round-9 end-to-end TRAINING replays; NB rows carry the
+        # argmax prediction per odd doc.
+        _logit_slice,
+        _tagged("q_ml_naive_bayes_lang",
+                "'nb' AS op",
+                "CAST(doc_id AS STRING) || '|' || predicted AS k",
+                "score AS v1", "CAST(n_known_tokens AS DOUBLE) AS v2",
+                f"{_ZERO} AS v3", f"{_ZERO} AS v4"),
+        _tagged("q_survival_log_rank",
+                "'logrank' AS op", "'even_vs_odd' AS k", "z AS v1",
+                "chi2 AS v2", "CAST(events_a AS DOUBLE) AS v3",
+                "CAST(events_b AS DOUBLE) AS v4"),
+        _tagged("q_ab_power_analysis",
+                "'power' AS op", "k", "mde_abs AS v1", "mde_rel AS v2",
+                "CAST(n_per_arm_required AS DOUBLE) AS v3",
+                "CAST(n AS DOUBLE) AS v4"),
+        _seasonal,
+    ]
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(8) as _ex:
+        futs = [_ex.submit(t) for t in thunks]
+        return _union([f.result() for f in futs])
 
 
 _STATS_MOMENTS_SQL = "\nUNION ALL\n".join([
@@ -565,6 +645,29 @@ _STATS_MOMENTS_SQL = "\nUNION ALL\n".join([
     _wrap("'gini' AS op, flag AS k, gini AS v1, hhi AS v2, "
           "top_share AS v3, CAST(n AS DOUBLE) AS v4",
           _component_sql("q_concentration_supplier_volume")),
+    _wrap(f"'logit' AS op, term AS k, weight AS v1, {_ZERO} AS v2, "
+          f"{_ZERO} AS v3, {_ZERO} AS v4",
+          Q._logistic_oracle_sql().replace(
+              "WHERE l_returnflag IS NOT NULL",
+              "WHERE l_orderkey % 5 = 0 "
+              "AND l_returnflag IS NOT NULL")),
+    _wrap("'nb' AS op, CAST(doc_id AS VARCHAR) || '|' || predicted "
+          "AS k, score AS v1, CAST(n_known_tokens AS DOUBLE) AS v2, "
+          f"{_ZERO} AS v3, {_ZERO} AS v4",
+          _component_sql("q_ml_naive_bayes_lang")),
+    _wrap("'logrank' AS op, 'even_vs_odd' AS k, z AS v1, chi2 AS v2, "
+          "CAST(events_a AS DOUBLE) AS v3, "
+          "CAST(events_b AS DOUBLE) AS v4",
+          _component_sql("q_survival_log_rank")),
+    _wrap("'power' AS op, k, mde_abs AS v1, mde_rel AS v2, "
+          "CAST(n_per_arm_required AS DOUBLE) AS v3, "
+          "CAST(n AS DOUBLE) AS v4",
+          _component_sql("q_ab_power_analysis")),
+    _wrap("'seasonal' AS op, CAST(user_id AS VARCHAR) || ':' || "
+          "CAST(event_id AS VARCHAR) AS k, trend AS v1, "
+          f"seasonal AS v2, remainder AS v3, {_ZERO} AS v4",
+          _component_sql("q_ts_seasonal_decompose").replace(
+              "FROM events", "FROM events WHERE user_id % 10 = 0")),
 ])
 
 
@@ -658,11 +761,23 @@ def q_analytics_suite(spark, sf_dir):
     def _hits():
         return _component("q_graph_hits_links")(spark, sf_dir)
 
+    def _linkpred():
+        # round-13 fold: link-prediction battery on the o_orderkey%7
+        # edge slice (identical capped wedge join, ~7x fewer edges —
+        # the reduced-variant pattern; full stays component-oracled)
+        from beam_spark.operators.graph import LinkPrediction
+        from beam_spark.pcollection import PCollection as _PC
+        edges = table(spark, sf_dir, "orders").df.filter(
+            "o_orderkey % 7 = 0").selectExpr(
+            "o_custkey AS src", "o_orderkey % 500 + 1000000 AS dst")
+        return (_PC(edges) | LinkPrediction(
+            min_common=2, max_neighbor_degree=64)).df
+
     from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(5) as _ex:
+    with ThreadPoolExecutor(6) as _ex:
         futs = [_ex.submit(f) for f in (_pagerank, _sssp, _tri, _kcore,
-                                        _hits)]
-        prt, sssp, tri, kc, hits = [f.result() for f in futs]
+                                        _hits, _linkpred)]
+        prt, sssp, tri, kc, hits, lpred = [f.result() for f in futs]
     return _union([
         run.selectExpr("'run' AS op", "o_orderkey AS k1",
                        "CAST(o_custkey AS STRING) AS k2",
@@ -722,6 +837,12 @@ def q_analytics_suite(spark, sf_dir):
             "CAST(n_class_term AS DOUBLE) AS v1",
             "CAST(n_term AS DOUBLE) AS v2", "z AS v3",
             f"{_ZERO} AS v4"),
+        lpred.selectExpr(
+            "'linkpred' AS op", "a AS k1",
+            "CAST(b AS STRING) || ':' || "
+            "CAST(pref_attachment AS STRING) AS k2",
+            "CAST(common_neighbors AS DOUBLE) AS v1", "jaccard AS v2",
+            "adamic_adar AS v3", "resource_alloc AS v4"),
     ])
 
 
@@ -780,6 +901,13 @@ _ANALYTICS_SQL = "\nUNION ALL\n".join([
           "CAST(n_class_term AS DOUBLE) AS v1, "
           f"CAST(n_term AS DOUBLE) AS v2, z AS v3, {_ZERO} AS v4",
           _component_sql("q_text_log_odds_terms")),
+    _wrap("'linkpred' AS op, a AS k1, "
+          "CAST(b AS VARCHAR) || ':' || "
+          "CAST(pref_attachment AS VARCHAR) AS k2, "
+          "CAST(common_neighbors AS DOUBLE) AS v1, jaccard AS v2, "
+          "adamic_adar AS v3, resource_alloc AS v4",
+          _component_sql("q_graph_link_prediction").replace(
+              "FROM orders", "FROM orders WHERE o_orderkey % 7 = 0")),
 ])
 
 
@@ -1042,6 +1170,7 @@ def q_ann_exhaustive_suite(spark, sf_dir):
     posph = _component("q_retrieval_phrase_positional")(spark, sf_dir)
     mmr = _component("q_ann_mmr_rerank")(spark, sf_dir)
     km = _component("q_kmeans_embeddings")(spark, sf_dir)
+    ql = _component("q_retrieval_query_likelihood")(spark, sf_dir)
     return _union([
         lsh.selectExpr("'lsh' AS method", "query_id", "nbr_id", "rank", "cosine"),
         ivf.selectExpr("'ivf' AS method", "query_id", "nbr_id", "rank", "cosine"),
@@ -1066,6 +1195,10 @@ def q_ann_exhaustive_suite(spark, sf_dir):
         km.selectExpr("'kmeans' AS method", "vec_id AS query_id",
                       "CAST(cluster AS BIGINT) AS nbr_id",
                       "CAST(0 AS INT) AS rank", "sim AS cosine"),
+        # round-13 fold: Dirichlet query-likelihood retrieval as an
+        # 11th tagged method (full rows stay component-oracled)
+        ql.selectExpr("'ql' AS method", "query_id",
+                      "doc_id AS nbr_id", "rank", "score AS cosine"),
     ])
 
 
@@ -1101,6 +1234,10 @@ UNION ALL
 {_wrap("'kmeans' AS method, vec_id AS query_id, "
        "CAST(cluster AS BIGINT) AS nbr_id, CAST(0 AS INT) AS rank, "
        "sim AS cosine", _component_sql("q_kmeans_embeddings"))}
+UNION ALL
+{_wrap("'ql' AS method, query_id, doc_id AS nbr_id, rank, "
+       "score AS cosine",
+       _component_sql("q_retrieval_query_likelihood"))}
 """
 
 

@@ -533,17 +533,21 @@ class MergeInto(PTransform):
         None -> ignored
 
     Ambiguous matches: like Delta, a target row matching MULTIPLE
-    source rows is an error — ``validate=True`` (default) runs a
-    fail-fast duplicate-source-key pre-flight (one aggregation);
-    disable only when the source is known key-unique.
+    source rows is an error — ``validate=True`` (default) folds a
+    duplicate-source-key guard INTO the merge plan (a per-key count
+    window on the source + assert_true in the filter), so the error
+    surfaces from within the single merge job at ACTION time — zero
+    extra jobs, which is what a hot foreachBatch upsert loop needs.
+    Disable only when the source is known key-unique.
 
     ``match_condition``: optional SQL boolean over ``t.<col>`` /
     ``s.<col>`` prefixed columns (e.g. "s.ts > t.ts" — the
     late-arrival guard), evaluated only on key-matched pairs.
 
     Scale: ONE key-keyed full-outer join (AQE skew handling applies)
-    + a projection; the validate pre-flight is one groupBy(keys) agg
-    over the source. Output column order = target column order.
+    + a projection; the validate window shuffles the source on the
+    same keys the join shuffles on. Output column order = target
+    column order.
     """
 
     def __init__(self, source, keys, when_matched: str | None = "update",
@@ -588,15 +592,18 @@ class MergeInto(PTransform):
         # inserted rows carry NULL for target-only columns — standard
         # MERGE behavior, nothing to validate on the insert side
         if self.validate:
-            dup = (s.groupBy(*ks).agg(F.count(F.lit(1)).alias("__c"))
-                   .where(F.col("__c") > 1).limit(1).collect())
-            if dup:
-                key = {k: dup[0][k] for k in ks}
-                raise ValueError(
-                    "MergeInto: source has multiple rows for key "
-                    f"{key} — MERGE requires a key-unique source "
-                    "(Delta raises the same); pre-aggregate or pass "
-                    "validate=False at your own risk")
+            # duplicate-source-key guard folded INTO the merge plan:
+            # a per-key count window on the source + an assert_true
+            # in the keep filter below. Zero extra jobs — the check
+            # rides the single merge job (the window's shuffle is on
+            # the same keys the join shuffles on anyway), which
+            # matters in hot foreachBatch upsert loops where a
+            # driver-side pre-flight would cost one job per batch.
+            from pyspark.sql import Window
+            s = s.withColumn(
+                "__merge_sc",
+                F.count(F.lit(1)).over(
+                    Window.partitionBy(*[F.col(k) for k in ks])))
         # presence flags via key NULL-ness would be wrong when keys
         # can be NULL — a literal marker column per side is not;
         # the marker goes on BEFORE .alias() (withColumn would strip
@@ -623,6 +630,26 @@ class MergeInto(PTransform):
             keep = keep | matched
         if self.when_not_matched == "insert":
             keep = keep | s_only
+        if self.validate:
+            # every duplicated source key reaches the filter as a
+            # matched or s_only row, so the assert fires inside the
+            # merge job; t_only rows have NULL __merge_sc (coalesce
+            # passes them). assert_true returns NULL on success, so
+            # the conjunct is always-true and never changes `keep`.
+            keep = keep & F.assert_true(
+                F.coalesce(F.col("s.__merge_sc") <= F.lit(1),
+                           F.lit(True)),
+                F.concat(
+                    F.lit("MergeInto: source has multiple rows for "
+                          "key ("),
+                    F.concat_ws(
+                        ", ",
+                        *[F.coalesce(F.col(f"s.{k}").cast("string"),
+                                     F.lit("NULL")) for k in ks]),
+                    F.lit(") — MERGE requires a key-unique source "
+                          "(Delta raises the same); pre-aggregate or "
+                          "pass validate=False at your own risk"))
+            ).isNull()
         proj = []
         for c in out_cols:
             src_c = (F.col(f"s.{c}") if c in s.columns

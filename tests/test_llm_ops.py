@@ -3504,8 +3504,10 @@ def test_merge_into_semantics(spark):
 
     dup = spark.createDataFrame([(1, 1.0), (1, 2.0)],
                                 "id long, v double")
-    with pt.raises(ValueError, match="multiple rows"):
-        (PCollection(t) | MergeInto(dup, keys="id")).df
+    # the duplicate-key guard is folded into the merge plan (round
+    # 13): it surfaces at ACTION time from within the merge job
+    with pt.raises(Exception, match="multiple rows"):
+        (PCollection(t) | MergeInto(dup, keys="id")).df.collect()
     with pt.raises(ValueError, match="when_matched"):
         MergeInto(s, keys="id", when_matched="upsert")
 
@@ -4451,3 +4453,30 @@ def test_query_likelihood_empty_tokens_dropped(spark):
     # = ln(cf/C) = ln(1/4) with cf('spark') = 1 over C = 4 tokens
     import math
     assert abs(by_doc[2] - round(math.log(1.0 / 4.0), 6)) < 1e-6
+
+
+def test_merge_into_validate_costs_zero_extra_jobs(spark):
+    """Round-13: validate=True must not run a driver-side pre-flight
+    job at expand time (it used to limit(1).collect() once per MERGE
+    — one extra job per micro-batch in a foreachBatch upsert loop).
+    Building the merged frame launches ZERO Spark jobs; the guard
+    rides the merge job itself and a unique-keyed source still
+    merges clean with validation on."""
+    from beam_spark.operators.scd import MergeInto
+    from beam_spark.pcollection import PCollection
+
+    t = spark.createDataFrame([(1, 10.0), (2, 20.0)],
+                              "id long, v double")
+    s = spark.createDataFrame([(2, 99.0), (3, 30.0)],
+                              "id long, v double")
+    sc = spark.sparkContext
+    sc.setJobGroup("merge_expand_probe", "expand should be lazy")
+    try:
+        merged = (PCollection(t)
+                  | MergeInto(s, keys="id", validate=True)).df
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("merge_expand_probe")
+    assert len(jobs) == 0, f"expand launched jobs: {jobs}"
+    out = {r["id"]: r["v"] for r in merged.collect()}
+    assert out == {1: 10.0, 2: 99.0, 3: 30.0}
