@@ -429,26 +429,6 @@ def q_stats_moments(spark, sf_dir):
             "CAST(n_ref AS DOUBLE) AS v2", "CAST(n_cur AS DOUBLE) AS v3",
             "CAST(drifted AS DOUBLE) AS v4")
 
-    def _logit_slice():
-        # reduced variant: 3-pass GD on the l_orderkey%5 slice (the
-        # identical quantized-gradient training replay, 5x fewer
-        # rows; checkpoint + T scans make the FULL fit the gate's
-        # critical path — it stays component-oracled)
-        from beam_spark.ml.logistic import LogisticFit
-        li = table(spark, sf_dir, "lineitem").df.where(
-            "l_orderkey % 5 = 0").selectExpr(
-            "l_returnflag = 'A' AS y",
-            "CAST(l_quantity AS DOUBLE) / 64.0 AS x1",
-            "CAST(l_discount AS DOUBLE) AS x2",
-            "CAST(l_tax AS DOUBLE) AS x3")
-        out = (_PC(li) | LogisticFit(["x1", "x2", "x3"], "y",
-                                     iterations=3, lr=0.5)).df
-        return out.select("term",
-                          F.round("weight", 9).alias("weight")
-                          ).selectExpr(
-            "'logit' AS op", "term AS k", "weight AS v1",
-            f"{_ZERO} AS v2", f"{_ZERO} AS v3", f"{_ZERO} AS v4")
-
     def _seasonal():
         # reduced variant: user_id % 10 slice (identical windows and
         # phase means, 10x fewer series — the q_graph_*_links
@@ -547,15 +527,14 @@ def q_stats_moments(spark, sf_dir):
                 "top_share AS v3", "CAST(n AS DOUBLE) AS v4"),
         # round-13 folds: the trainable-model + survival-inference +
         # experiment-sizing families the driver's contract had never
-        # seen (full rows stay component-oracled). Logistic weights
-        # are round-9 end-to-end TRAINING replays; NB rows carry the
-        # argmax prediction per odd doc.
-        _logit_slice,
-        _tagged("q_ml_naive_bayes_lang",
-                "'nb' AS op",
-                "CAST(doc_id AS STRING) || '|' || predicted AS k",
-                "score AS v1", "CAST(n_known_tokens AS DOUBLE) AS v2",
-                f"{_ZERO} AS v3", f"{_ZERO} AS v4"),
+        # seen (full rows stay component-oracled). The composed
+        # q_pipeline_ml_training member carries NB routing (per-doc
+        # rows + held-out accuracy), the sliced logistic TRAINING
+        # replay (round-9 weights), classifier metrics on the fitted
+        # scores, and the isotonic calibration knots — one DAG, so
+        # the driver also sees the composition.
+        _tagged("q_pipeline_ml_training",
+                "op", "k", "v1", "v2", "v3 AS v3", f"{_ZERO} AS v4"),
         _tagged("q_survival_log_rank",
                 "'logrank' AS op", "'even_vs_odd' AS k", "z AS v1",
                 "chi2 AS v2", "CAST(events_a AS DOUBLE) AS v3",
@@ -645,16 +624,8 @@ _STATS_MOMENTS_SQL = "\nUNION ALL\n".join([
     _wrap("'gini' AS op, flag AS k, gini AS v1, hhi AS v2, "
           "top_share AS v3, CAST(n AS DOUBLE) AS v4",
           _component_sql("q_concentration_supplier_volume")),
-    _wrap(f"'logit' AS op, term AS k, weight AS v1, {_ZERO} AS v2, "
-          f"{_ZERO} AS v3, {_ZERO} AS v4",
-          Q._logistic_oracle_sql().replace(
-              "WHERE l_returnflag IS NOT NULL",
-              "WHERE l_orderkey % 5 = 0 "
-              "AND l_returnflag IS NOT NULL")),
-    _wrap("'nb' AS op, CAST(doc_id AS VARCHAR) || '|' || predicted "
-          "AS k, score AS v1, CAST(n_known_tokens AS DOUBLE) AS v2, "
-          f"{_ZERO} AS v3, {_ZERO} AS v4",
-          _component_sql("q_ml_naive_bayes_lang")),
+    _wrap(f"op, k, v1, v2, v3 AS v3, {_ZERO} AS v4",
+          _component_sql("q_pipeline_ml_training")),
     _wrap("'logrank' AS op, 'even_vs_odd' AS k, z AS v1, chi2 AS v2, "
           "CAST(events_a AS DOUBLE) AS v3, "
           "CAST(events_b AS DOUBLE) AS v4",

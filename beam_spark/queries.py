@@ -9970,6 +9970,188 @@ def q_ml_logistic_fit(spark, sf_dir):
     return out.select("term", F.round("weight", 9).alias("weight"))
 
 
+def _ml_training_pipeline_sql() -> str:
+    """Chained-CTE replay of the FULL composed training flow
+    (examples/ml_training.py): NB routing accuracy + logistic GD on
+    the l_orderkey%5 slice + classifier metrics on the fitted scores
+    + isotonic calibration of the round-2 reliability frame. Scores
+    quantize at round 6 immediately after the sigmoid so every
+    downstream rank/metric sees bit-identical inputs in both
+    engines; the minimax isotonic characterization and midrank AUC
+    are the q_isotonic_calibration / q_classifier_metrics oracles
+    verbatim, re-rooted on the composed scored frame."""
+    logit = _logistic_oracle_sql().replace(
+        "WHERE l_returnflag IS NOT NULL",
+        "WHERE l_orderkey % 5 = 0 AND l_returnflag IS NOT NULL")
+    prefix = logit[:logit.rindex("SELECT 'intercept'")].rstrip()
+    nb_sql = _REGISTRY["q_ml_naive_bayes_lang"][1]
+    return f"""{prefix},
+nb AS ({nb_sql}),
+nbacc AS (
+  SELECT avg(CAST(nb.predicted = d.lang AS DOUBLE)) AS acc,
+         CAST(count(*) AS BIGINT) AS n_routed
+  FROM nb JOIN documents d ON d.doc_id = nb.doc_id),
+scored AS (
+  SELECT d.y,
+         round(1.0 / (1.0 + exp(-(w.w0 + w.w1 * d.x1 + w.w2 * d.x2
+                                  + w.w3 * d.x3))), 6) AS s
+  FROM data d CROSS JOIN w3 w),
+mper AS (SELECT s, CAST(count(*) AS BIGINT) AS cnt,
+                CAST(sum(y) AS BIGINT) AS pos
+         FROM scored GROUP BY s),
+mrk AS (SELECT s, cnt, pos,
+          coalesce(sum(cnt) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND 1 PRECEDING), 0)
+            AS below
+        FROM mper),
+mrs AS (SELECT CAST(sum(pos * (2 * below + cnt + 1)) AS BIGINT)
+          AS rs2 FROM mrk),
+mcl AS (SELECT least(greatest(s, CAST(1e-15 AS DOUBLE)),
+                     CAST(1 AS DOUBLE) - CAST(1e-15 AS DOUBLE)) AS p,
+               s, y
+        FROM scored),
+mtot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         sum(CAST(CASE WHEN y = 1 THEN -ln(p)
+                       ELSE -ln(CAST(1 AS DOUBLE) - p)
+                  END AS DECIMAL(28,12))) AS ll,
+         sum(CAST((p - CAST(y AS DOUBLE)) * (p - CAST(y AS DOUBLE))
+                  AS DECIMAL(28,12))) AS br,
+         CAST(sum(CASE WHEN s >= CAST(0.5 AS DOUBLE) AND y = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN s >= CAST(0.5 AS DOUBLE) AND y = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN s < CAST(0.5 AS DOUBLE) AND y = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM mcl),
+met AS (SELECT
+          CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN
+            CAST(rs2 - n_pos * (n_pos + 1) AS DOUBLE)
+              / CAST(2 * n_pos * (n - n_pos) AS DOUBLE) END AS auc,
+          round(CAST(ll AS DOUBLE) / n, 6) AS logloss,
+          round(CAST(br AS DOUBLE) / n, 6) AS brier,
+          tp, fp, fn,
+          CASE WHEN 2 * tp + fp + fn > 0 THEN
+            CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+          END AS f1
+        FROM mtot CROSS JOIN mrs),
+ib AS (SELECT round(s, 2) AS score, y FROM scored),
+ig AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(y) AS BIGINT) AS n_pos FROM ib GROUP BY score),
+iord AS (SELECT *, row_number() OVER (ORDER BY score) AS rn FROM ig),
+icum AS (SELECT rn, score, n, n_pos,
+           CAST(sum(n) OVER (ORDER BY rn) AS BIGINT) AS cn,
+           CAST(sum(n_pos) OVER (ORDER BY rn) AS BIGINT) AS cp
+         FROM iord),
+iseg AS (SELECT i.rn AS ri, j.rn AS rj,
+           CAST(j.cp - i.cp + i.n_pos AS DOUBLE)
+             / CAST(j.cn - i.cn + i.n AS DOUBLE) AS m
+         FROM icum i JOIN icum j ON j.rn >= i.rn),
+iinn AS (SELECT k.rn AS rn, sg.ri AS ri, min(sg.m) AS im
+         FROM icum k JOIN iseg sg ON sg.ri <= k.rn AND sg.rj >= k.rn
+         GROUP BY k.rn, sg.ri),
+ifit AS (SELECT rn, max(im) AS calibrated FROM iinn GROUP BY rn)
+SELECT 'nb_acc' AS op, 'route' AS k, acc AS v1,
+       CAST(n_routed AS DOUBLE) AS v2, CAST(0 AS DOUBLE) AS v3
+FROM nbacc
+UNION ALL SELECT 'weight', 'intercept', round(w0, 9),
+  CAST(0 AS DOUBLE), CAST(0 AS DOUBLE) FROM w3
+UNION ALL SELECT 'weight', 'x1', round(w1, 9), CAST(0 AS DOUBLE),
+  CAST(0 AS DOUBLE) FROM w3
+UNION ALL SELECT 'weight', 'x2', round(w2, 9), CAST(0 AS DOUBLE),
+  CAST(0 AS DOUBLE) FROM w3
+UNION ALL SELECT 'weight', 'x3', round(w3, 9), CAST(0 AS DOUBLE),
+  CAST(0 AS DOUBLE) FROM w3
+UNION ALL SELECT 'metrics', 'summary', auc, logloss, brier FROM met
+UNION ALL SELECT 'confusion', 'summary', CAST(tp AS DOUBLE),
+  CAST(fp AS DOUBLE), f1 FROM met
+UNION ALL
+SELECT 'iso', CAST(CAST(round(c.score * 100, 0) AS BIGINT)
+                   AS VARCHAR),
+       CAST(c.n AS DOUBLE), CAST(c.n_pos AS DOUBLE), f.calibrated
+FROM icum c JOIN ifit f ON f.rn = c.rn
+UNION ALL
+SELECT 'nb', CAST(doc_id AS VARCHAR) || '|' || predicted,
+       score, CAST(n_known_tokens AS DOUBLE), CAST(0 AS DOUBLE)
+FROM nb
+"""
+
+
+@query("q_pipeline_ml_training", _ml_training_pipeline_sql())
+def q_pipeline_ml_training(spark, sf_dir):
+    """End-to-end train-inside-Spark pipeline (examples/
+    ml_training.py, composed into ONE value-oracled DAG): NB language
+    routing on half the documents with held-out accuracy; a logistic
+    quality head trained by 3 GD passes on the l_orderkey%5 lineitem
+    slice (the identical quantized-gradient replay as
+    q_ml_logistic_fit); midrank-AUC/logloss/Brier/F1 on the fitted
+    scores (round 6 at the sigmoid so both engines rank bit-identical
+    inputs); isotonic (PAVA) calibration of the round-2 reliability
+    frame, oracled via the minimax characterization. Composition is
+    where operator-level correctness quietly breaks (column
+    collisions, persist scoping) — this gate sees the whole lineage."""
+    from beam_spark.ml.logistic import LogisticFit
+    from beam_spark.ml.naive_bayes import NaiveBayesClassify
+    from beam_spark.operators.quality import (BinaryClassifierMetrics,
+                                              IsotonicCalibration)
+
+    docs = table(spark, sf_dir, "documents").df
+    train = docs.where("doc_id % 2 = 0")
+    test = docs.where("doc_id % 2 = 1")
+    routed = (PCollection(test)
+              | NaiveBayesClassify(train, "lang", "doc_id")).df
+    acc = (routed.join(docs.select("doc_id", "lang"), "doc_id")
+           .agg(F.avg((F.col("predicted") == F.col("lang"))
+                      .cast("double")).alias("acc"),
+                F.count(F.lit(1)).cast("long").alias("n_routed")))
+
+    feats = table(spark, sf_dir, "lineitem").df.where(
+        "l_orderkey % 5 = 0").selectExpr(
+        "l_returnflag = 'A' AS y",
+        "CAST(l_quantity AS DOUBLE) / 64.0 AS x1",
+        "CAST(l_discount AS DOUBLE) AS x2",
+        "CAST(l_tax AS DOUBLE) AS x3")
+    fit = LogisticFit(["x1", "x2", "x3"], "y", iterations=3, lr=0.5)
+    weights = (PCollection(feats) | fit).df
+    clean = feats.where("y IS NOT NULL AND x1 IS NOT NULL AND "
+                        "x2 IS NOT NULL AND x3 IS NOT NULL")
+    scored = clean.select(
+        F.col("y").cast("int").alias("label"),
+        F.round(fit.decision_column(), 6).alias("s"))
+    metrics = (PCollection(scored)
+               | BinaryClassifierMetrics("s", "label")).df
+    iso = (PCollection(scored.selectExpr("round(s, 2) AS score",
+                                         "label AS yl"))
+           | IsotonicCalibration("score", "yl")).df
+
+    zero = "CAST(0 AS DOUBLE)"
+    return (acc.selectExpr(
+        "'nb_acc' AS op", "'route' AS k", "acc AS v1",
+        "CAST(n_routed AS DOUBLE) AS v2", f"{zero} AS v3")
+        .unionByName(weights.selectExpr(
+            "'weight' AS op", "term AS k", "round(weight, 9) AS v1",
+            f"{zero} AS v2", f"{zero} AS v3"))
+        .unionByName(metrics.selectExpr(
+            "'metrics' AS op", "'summary' AS k", "auc AS v1",
+            "logloss AS v2", "brier AS v3"))
+        .unionByName(metrics.selectExpr(
+            "'confusion' AS op", "'summary' AS k",
+            "CAST(tp AS DOUBLE) AS v1", "CAST(fp AS DOUBLE) AS v2",
+            "f1 AS v3"))
+        .unionByName(iso.selectExpr(
+            "'iso' AS op",
+            "CAST(CAST(round(score * 100, 0) AS BIGINT) AS STRING)"
+            " AS k",
+            "CAST(n AS DOUBLE) AS v1", "CAST(n_pos AS DOUBLE) AS v2",
+            "calibrated AS v3"))
+        .unionByName(routed.selectExpr(
+            "'nb' AS op",
+            "CAST(doc_id AS STRING) || '|' || predicted AS k",
+            "score AS v1", "CAST(n_known_tokens AS DOUBLE) AS v2",
+            f"{zero} AS v3")))
+
+
 @query("q_ts_cross_correlation", """
 WITH pre AS (SELECT l_suppkey % 10 AS k, l_orderkey AS ord,
                     sum(CAST(l_quantity AS DECIMAL(9,2))) AS x,
