@@ -273,9 +273,55 @@ def _pattern_min_rows(pattern: list) -> int:
     return sum(mn * _node_min_rows(node) for node, mn, _ in pattern)
 
 
+def _runlen_true(mask):
+    """run_len[i] = number of consecutive True entries starting at i
+    (0 where mask[i] is False) — O(n) numpy, no Python loop. This is
+    what lets the matcher consume a whole greedy symbol run as one
+    array slice instead of one Python mask probe per row."""
+    import numpy as np
+
+    n = mask.shape[0]
+    ext = np.append(np.flatnonzero(~mask), n)
+    nxt = ext[np.searchsorted(ext, np.arange(n), side="left")]
+    return nxt - np.arange(n)
+
+
+def _make_fast_runs(masks: Mapping, ctx_syms: frozenset):
+    """Per-partition cache: alts tuple -> (codes, runlen) where
+    codes[i] is the index of the LEFTMOST alternative whose mask is
+    True at row i (-1 if none) and runlen is the consecutive-any-alt
+    run length. Symbols with match-state predicates (ctx) can't be
+    precomputed (their truth depends on the candidate's committed
+    labels) — those alts return (None, None) and the matcher falls
+    back to the per-row path."""
+    import numpy as np
+
+    cache: dict = {}
+
+    def fast(alts: tuple):
+        got = cache.get(alts)
+        if got is None:
+            if any(s in ctx_syms for s in alts):
+                got = (None, None)
+            elif len(alts) == 1:
+                m = masks[alts[0]]
+                got = (None, _runlen_true(m))
+            else:
+                codes = np.full(masks[alts[0]].shape[0], -1,
+                                dtype=np.int64)
+                for j in range(len(alts) - 1, -1, -1):
+                    codes[masks[alts[j]]] = j
+                got = (codes, _runlen_true(codes >= 0))
+            cache[alts] = got
+        return got
+
+    return fast
+
+
 def _match_at(masks: Mapping, n_rows: int, start: int,
               pattern: list, ctx: Mapping | None = None,
-              require_end: int | None = None) -> list | None:
+              require_end: int | None = None,
+              fast=None) -> list | None:
     """Greedy backtracking matcher over precomputed masks; returns list
     of (symbol, row_index) or None. Pattern items: (alts|Permute, min,
     max). Quantifier counts and PERMUTE orderings backtrack; within a
@@ -367,6 +413,27 @@ def _match_at(masks: Mapping, n_rows: int, start: int,
         # plain symbol / row-level alternation run: greedy forward scan,
         # then backtrack on the run LENGTH. Labels committed earlier in
         # the run stay valid when the tail is cut (prefix-stability).
+        if fast is not None:
+            codes, rl = fast(tuple(alts))
+            if rl is not None:
+                # vectorized run: the whole greedy run comes from the
+                # precomputed consecutive-true length (capped by the
+                # quantifier max and the candidate window), labels
+                # from the leftmost-alternative code array — no
+                # per-row Python probe
+                L = int(rl[pos]) if pos < n_rows else 0
+                L = min(L, n_rows - pos)
+                if mx is not None:
+                    L = min(L, mx)
+                if codes is None:
+                    s0 = alts[0]
+                    run = [(s0, p) for p in range(pos, pos + L)]
+                else:
+                    run = [(alts[c], p) for p, c in
+                           zip(range(pos, pos + L), codes[pos:pos + L])]
+                for n in range(L, mn - 1, -1):
+                    yield acc + run[:n], pos + n
+                return
         run = []
         p = pos
         acc_run = acc
@@ -567,11 +634,29 @@ class MatchRecognize(PTransform):
             if mn > 0:
                 break
 
-        def apply(pdf: "pd.DataFrame") -> "pd.DataFrame":
-            pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(drop=True)
+        def _boundaries(pdf):
+            """Group-start flags over a (keys)-sorted frame. factorize
+            is NaN-safe (NULL keys get one code), so NULL-key rows form
+            one group exactly like groupBy would."""
+            n = len(pdf)
+            change = np.zeros(n, dtype=bool)
+            change[0] = True
+            for k in keys:
+                kc = pd.factorize(pdf[k], use_na_sentinel=False)[0]
+                change[1:] |= kc[1:] != kc[:-1]
+            return change
+
+        def process(pdf: "pd.DataFrame", out: list) -> None:
+            """Match over a SORTED frame holding MANY complete groups:
+            masks / column arrays / run-length tables build ONCE per
+            Arrow-batch body (defines are elementwise, so multi-group
+            evaluation is identical to per-group), then the matcher
+            walks each group through numpy slice VIEWS. This is the
+            many-small-groups posture: per-group pandas fixed costs
+            (sort, frame construction) amortize across the batch."""
             n = len(pdf)
             if n == 0:
-                return pd.DataFrame(columns=out_cols)
+                return
 
             records = None  # row dicts, built only if needed
 
@@ -592,37 +677,19 @@ class MatchRecognize(PTransform):
                     masks[sym] = np.fromiter(
                         (bool(fn(r)) for r in rs), dtype=bool, count=n)
 
-            lead = np.zeros(n, dtype=bool)
+            lead_all = np.zeros(n, dtype=bool)
             for alts in lead_items:
                 for s in alts:
-                    lead |= masks[s]
-            starts = np.flatnonzero(lead)
-            if anchor_start:
-                # ^ : the only admissible candidate start is row 0
-                starts = starts[:1] if len(starts) and starts[0] == 0 \
-                    else starts[:0]
-            req_end = n if anchor_end else None
+                    lead_all |= masks[s]
 
             # Lazy row construction for measures: only rows inside a
             # match are ever converted to dicts on the vectorized path.
             cols = {c: pdf[c].to_numpy() for c in pdf.columns}
+            ctx_syms = frozenset(
+                sym for sym, d in defines.items()
+                if isinstance(d, Define) and d.ctx_fn is not None)
+            fast_all = _make_fast_runs(masks, ctx_syms)
 
-            # match-state predicates (FIRST/LAST refs in DEFINE): bind
-            # the group's column arrays once; the matcher calls
-            # ctx[sym](pos, acc) on top of the mask bit
-            ctx = {sym: (lambda pos, acc, _f=d.ctx_fn:
-                         _f(cols, pos,
-                            [(unalias.get(s, s), i) for s, i in acc]
-                            if unalias else acc))
-                   for sym, d in defines.items()
-                   if isinstance(d, Define) and d.ctx_fn is not None} or None
-
-            def row(i):
-                if records is not None:
-                    return records[i]
-                return {c: v[i] for c, v in cols.items()}
-
-            key_rec = {k: cols[k][0] for k in keys}
             if within_ms is not None:
                 ts_dtype = pdf[order_by[0]].dtype
                 if not str(ts_dtype).startswith("datetime64"):
@@ -630,69 +697,155 @@ class MatchRecognize(PTransform):
                         f"WITHIN needs a timestamp first order_by column"
                         f" ({order_by[0]} is {ts_dtype}) — a numeric "
                         "column would silently use the wrong unit")
-                ts_arr = (pdf[order_by[0]].astype("int64")
+                ts_all = (pdf[order_by[0]].astype("int64")
                           // 1_000_000).to_numpy()
-            out = []
-            i = 0
-            si = 0
-            n_starts = len(starts)
-            # SQL:2016 MATCH_NUMBER is sequential per MATCH, not per
-            # emitted row: a match whose rows are all excluded via
-            # {- -} still advances it (deriving from out[-1] would
-            # reuse the number — and diverge from the streaming path,
-            # which increments a persisted counter per match).
-            match_counter = 0
-            while si < n_starts:
-                pos = starts[si]
-                if pos < i:
-                    si += 1
-                    continue
-                if within_ms is not None:
-                    # WITHIN bound: candidate rows are those inside the
-                    # start row's time window
-                    j_end = int(np.searchsorted(
-                        ts_arr, ts_arr[pos] + within_ms, side="right"))
-                    m = _match_at(masks, j_end, pos, pattern, ctx,
-                                  require_end=req_end)
-                else:
-                    m = _match_at(masks, n, pos, pattern, ctx,
-                                  require_end=req_end)
-                if m:
-                    # suppression is POSITIONAL: mark the excluded
-                    # occurrences' rows BEFORE un-aliasing, then give
-                    # measures / skip / classifier the original names
-                    excl_rows = {idx for sym, idx in m
-                                 if sym in excluded}
-                    if unalias:
-                        m = [(unalias.get(sym, sym), idx)
-                             for sym, idx in m]
-                    match_rows = [(sym, row(idx)) for sym, idx in m]
-                    meas = {name: fn(match_rows)
-                            for name, fn in measures.items()}
-                    if all_rows:
-                        match_counter += 1
-                        match_no = match_counter
-                        for ridx, (sym, r) in enumerate(match_rows):
-                            if m[ridx][1] in excl_rows:
-                                continue
-                            meas_r = (meas if not running else
-                                      {name: (meas[name] if getattr(
-                                          fn, "final_semantics", False)
-                                          else fn(match_rows[:ridx + 1]))
-                                       for name, fn in measures.items()})
-                            out.append({**r, **meas_r, "__classifier": sym,
-                                        "__match_number": match_no})
-                    else:
-                        out.append({**key_rec, **meas})
-                    i = _next_start(after_match, m, pos)
-                else:
-                    i = pos + 1
-                si += 1
-            if not out:
-                return pd.DataFrame(columns=out_cols)
-            return pd.DataFrame(out, columns=out_cols)
 
-        out = (pcoll.df.groupBy(*keys).applyInPandas(apply, schema=schema))
+            change = _boundaries(pdf)
+            gstarts = np.flatnonzero(change)
+            gends = np.append(gstarts[1:], n)
+            for g_lo, g_hi in zip(gstarts, gends):
+                g_lo, g_hi = int(g_lo), int(g_hi)
+                gn = g_hi - g_lo
+                gmasks = {s: m[g_lo:g_hi] for s, m in masks.items()}
+                gcols = {c: v[g_lo:g_hi] for c, v in cols.items()}
+
+                def gfast(alts, _lo=g_lo, _hi=g_hi):
+                    # absolute run lengths may extend past the group
+                    # end; expand_item caps at n_rows - pos, which is
+                    # exactly the group-boundary cut
+                    codes, rl = fast_all(alts)
+                    if rl is None:
+                        return (None, None)
+                    return (None if codes is None else codes[_lo:_hi],
+                            rl[_lo:_hi])
+
+                # match-state predicates (FIRST/LAST refs in DEFINE):
+                # bind the group's column views; the matcher calls
+                # ctx[sym](pos, acc) on top of the mask bit
+                ctx = {sym: (lambda pos, acc, _f=d.ctx_fn, _gc=gcols:
+                             _f(_gc, pos,
+                                [(unalias.get(s, s), i) for s, i in acc]
+                                if unalias else acc))
+                       for sym, d in defines.items()
+                       if isinstance(d, Define)
+                       and d.ctx_fn is not None} or None
+
+                def row(i, _lo=g_lo, _gc=gcols):
+                    if records is not None:
+                        return records[_lo + i]
+                    return {c: v[i] for c, v in _gc.items()}
+
+                starts = np.flatnonzero(lead_all[g_lo:g_hi])
+                if anchor_start:
+                    # ^ : the only admissible candidate start is row 0
+                    starts = (starts[:1]
+                              if len(starts) and starts[0] == 0
+                              else starts[:0])
+                req_end = gn if anchor_end else None
+                key_rec = {k: gcols[k][0] for k in keys}
+                if within_ms is not None:
+                    ts_arr = ts_all[g_lo:g_hi]
+                i = 0
+                si = 0
+                n_starts = len(starts)
+                # SQL:2016 MATCH_NUMBER is sequential per MATCH within
+                # its partition, not per emitted row: a match whose
+                # rows are all excluded via {- -} still advances it
+                # (deriving from out[-1] would reuse the number — and
+                # diverge from the streaming path, which increments a
+                # persisted counter per match).
+                match_counter = 0
+                while si < n_starts:
+                    pos = starts[si]
+                    if pos < i:
+                        si += 1
+                        continue
+                    if within_ms is not None:
+                        # WITHIN bound: candidate rows are those inside
+                        # the start row's time window
+                        j_end = int(np.searchsorted(
+                            ts_arr, ts_arr[pos] + within_ms,
+                            side="right"))
+                        m = _match_at(gmasks, j_end, pos, pattern, ctx,
+                                      require_end=req_end, fast=gfast)
+                    else:
+                        m = _match_at(gmasks, gn, pos, pattern, ctx,
+                                      require_end=req_end, fast=gfast)
+                    if m:
+                        # suppression is POSITIONAL: mark the excluded
+                        # occurrences' rows BEFORE un-aliasing, then
+                        # give measures / skip / classifier the
+                        # original names
+                        excl_rows = {idx for sym, idx in m
+                                     if sym in excluded}
+                        if unalias:
+                            m = [(unalias.get(sym, sym), idx)
+                                 for sym, idx in m]
+                        match_rows = [(sym, row(idx)) for sym, idx in m]
+                        meas = {name: fn(match_rows)
+                                for name, fn in measures.items()}
+                        if all_rows:
+                            match_counter += 1
+                            match_no = match_counter
+                            for ridx, (sym, r) in enumerate(match_rows):
+                                if m[ridx][1] in excl_rows:
+                                    continue
+                                meas_r = (meas if not running else
+                                          {name: (meas[name] if getattr(
+                                              fn, "final_semantics",
+                                              False)
+                                              else fn(
+                                                  match_rows[:ridx + 1]))
+                                           for name, fn
+                                           in measures.items()})
+                                out.append({**r, **meas_r,
+                                            "__classifier": sym,
+                                            "__match_number": match_no})
+                        else:
+                            out.append({**key_rec, **meas})
+                        i = _next_start(after_match, m, pos)
+                    else:
+                        i = pos + 1
+                    si += 1
+
+        def gen(batches):
+            """mapInPandas driver over a (keys + order_by)-sorted
+            partition: Arrow batch boundaries can SPLIT a group, so
+            the last (possibly incomplete) group of each batch is
+            carried into the next; everything before it is complete
+            and processed in bulk."""
+            carry = None
+            for pdf in batches:
+                if carry is not None and len(carry):
+                    pdf = pd.concat([carry, pdf], ignore_index=True)
+                    carry = None
+                n = len(pdf)
+                if n == 0:
+                    continue
+                last_start = int(np.flatnonzero(_boundaries(pdf))[-1])
+                if last_start == 0:
+                    carry = pdf          # one (possibly open) group
+                    continue
+                carry = pdf.iloc[last_start:].reset_index(drop=True)
+                body = pdf.iloc[:last_start].reset_index(drop=True)
+                out: list = []
+                process(body, out)
+                if out:
+                    yield pd.DataFrame(out, columns=out_cols)
+            if carry is not None and len(carry):
+                out = []
+                process(carry, out)
+                if out:
+                    yield pd.DataFrame(out, columns=out_cols)
+
+        # repartition by key + sort within partitions replaces the
+        # per-group applyInPandas: one JVM sort instead of a pandas
+        # mergesort per group, and each python call sees a whole Arrow
+        # batch of groups — the difference between 15k tiny UDF calls
+        # and ~100 batch calls at sf1
+        out = (pcoll.df.repartition(*keys)
+               .sortWithinPartitions(*keys, *order_by)
+               .mapInPandas(gen, schema=schema))
         return pcoll.with_df(out)
 
     def _expand_streaming(self, pcoll: PCollection) -> PCollection:
