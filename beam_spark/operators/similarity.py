@@ -149,6 +149,70 @@ class BruteForceCosineTopK(PTransform):
         return pcoll.with_df(out)
 
 
+class KNeighborsClassify(PTransform):
+    """k-nearest-neighbor classification over an embedding column —
+    the label-propagation serving primitive (classify new vectors
+    against a labeled corpus, e.g. routing new documents to the
+    cluster/language/domain of their nearest labeled neighbors).
+
+    Composition, not a new kernel: BruteForceCosineTopK finds each
+    query's k cosine neighbors in the labeled corpus (broadcast
+    queries, one scan, per-batch argpartition prune), a
+    vocabulary-bounded join attaches labels, and the vote is one
+    groupBy + rank. Swap the neighbor stage for Lsh/IvfCosineTopK
+    when the query set is large (same downstream vote).
+
+    Vote is deterministic and integer-exact: predicted = the label
+    with (most votes, then nearest best-rank neighbor, then smallest
+    label string) — no float compare in the argmax. NULL-label
+    corpus rows are excluded from voting.
+
+    Output: (query_id, predicted, votes, best_rank) — one row per
+    query that found >= 1 labeled neighbor.
+    """
+
+    def __init__(self, queries, k: int = 5, id_col: str = "vec_id",
+                 vec_col: str = "embedding", label_col: str = "label",
+                 query_id_col: str | None = None,
+                 exclude_self: bool = True, label=None):
+        super().__init__(label)
+        from beam_spark.pcollection import PCollection as _PC
+
+        self.queries = (queries.df if isinstance(queries, _PC)
+                        else queries)
+        self.k = int(k)
+        if self.k < 1:
+            raise ValueError("k must be >= 1")
+        self.id_col, self.vec_col = id_col, vec_col
+        self.label_col = label_col
+        self.query_id_col = query_id_col
+        self.exclude_self = exclude_self
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        idc, lc = self.id_col, self.label_col
+        nbrs = (pcoll | BruteForceCosineTopK(
+            self.queries, k=self.k, id_col=idc,
+            vec_col=self.vec_col, query_id_col=self.query_id_col,
+            exclude_self=self.exclude_self)).df
+        labels = pcoll.df.where(F.col(lc).isNotNull()).select(
+            F.col(idc).alias("nbr_id"),
+            F.col(lc).cast("string").alias("__lbl"))
+        votes = (nbrs.join(labels, "nbr_id")
+                 .groupBy("query_id", "__lbl")
+                 .agg(F.count(F.lit(1)).cast("long").alias("votes"),
+                      F.min("rank").alias("best_rank")))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("votes").desc(), F.col("best_rank").asc(),
+            F.col("__lbl").asc())
+        out = (votes.withColumn("__r", F.row_number().over(w))
+               .where("__r = 1")
+               .select("query_id", F.col("__lbl").alias("predicted"),
+                       "votes", "best_rank"))
+        return pcoll.with_df(out)
+
+
 class LshCosineTopK(PTransform):
     """Approximate top-k: hyperplane sign-bucket join, then exact scoring
     within buckets. Multi-probe: queries also probe buckets at hamming
@@ -730,6 +794,131 @@ class PqCosineTopK(PTransform):
                .filter(F.col("rank") <= k)
                .select("query_id", "nbr_id", "rank",
                        F.round("cosine", 6).alias("cosine")))
+        return pcoll.with_df(out)
+
+
+class DbscanClusters(PTransform):
+    """Density-based clustering (DBSCAN, Ester et al. KDD'96) of
+    LOW-dimensional numeric points — the spatial/segmentation
+    clustering k-means can't do (arbitrary shapes, explicit noise).
+
+    Spark design (the parallel grid formulation): points hash into
+    eps-sided grid cells; each point probes its 3^d adjacent cells
+    (one explode + one equi-join — the ONLY shuffle of the pair
+    stage), pairs filter on exact squared distance, neighbor counts
+    mark cores (|N_eps| + self >= min_pts), core-core edges feed the
+    existing ConnectedComponents (large/small-star, O(log D) rounds),
+    and border points attach to the MINIMUM cluster id among their
+    core neighbors (the deterministic tie policy — parallel DBSCAN's
+    border assignment is order-dependent in the original paper).
+    Cluster id = min core id of the component (bigint-exact).
+
+    d is capped at 3: the 3^d probe factor and the
+    curse-of-dimensionality make grid DBSCAN a low-d tool — for
+    embeddings use KMeansLloyd / SemDeDup. A dense cell still costs
+    |cell|^2 within its bucket (inherent to DBSCAN's neighbor graph);
+    size eps accordingly.
+
+    Output: (id, cluster, is_core) — cluster NULL for noise points.
+    """
+
+    MAX_DIMS = 3
+
+    def __init__(self, cols, eps: float, min_pts: int = 4,
+                 id_col: str = "id", label=None):
+        super().__init__(label)
+        self.cols = [cols] if isinstance(cols, str) else list(cols)
+        if not 1 <= len(self.cols) <= self.MAX_DIMS:
+            raise ValueError(
+                f"need 1..{self.MAX_DIMS} coordinate columns "
+                f"(grid DBSCAN is a low-d tool), got {len(self.cols)}")
+        self.eps = float(eps)
+        if self.eps <= 0:
+            raise ValueError("eps must be > 0")
+        self.min_pts = int(min_pts)
+        if self.min_pts < 1:
+            raise ValueError("min_pts must be >= 1")
+        self.id_col = id_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from itertools import product
+
+        from beam_spark.operators.dedupe import ConnectedComponents
+
+        idc, eps, dims = self.id_col, self.eps, self.cols
+        d = len(dims)
+        cond = F.lit(True)
+        for c in dims:
+            cond = cond & F.col(c).isNotNull()
+        pts = pcoll.df.where(cond).select(
+            F.col(idc).cast("long").alias("__id"),
+            *[F.col(c).cast("double").alias(c) for c in dims])
+        cell = [F.floor(F.col(c) / F.lit(eps)).alias(f"__c{i}")
+                for i, c in enumerate(dims)]
+        base = pts.select("*", *cell)
+
+        offs = list(product((-1, 0, 1), repeat=d))
+        probe = base.select(
+            "__id", *dims,
+            F.explode(F.array(*[
+                F.struct(*[
+                    (F.col(f"__c{i}") + F.lit(o[i])).alias(f"__k{i}")
+                    for i in range(d)])
+                for o in offs])).alias("__k")).select(
+            F.col("__id").alias("__ai"),
+            *[F.col(c).alias(f"__a_{c}") for c in dims],
+            *[F.col(f"__k.__k{i}") for i in range(d)])
+        other = base.select(
+            F.col("__id").alias("__bi"),
+            *[F.col(c).alias(f"__b_{c}") for c in dims],
+            *[F.col(f"__c{i}").alias(f"__k{i}") for i in range(d)])
+        dist2 = sum(((F.col(f"__a_{c}") - F.col(f"__b_{c}"))
+                     * (F.col(f"__a_{c}") - F.col(f"__b_{c}")))
+                    for c in dims)
+        pairs = (probe.join(other, [f"__k{i}" for i in range(d)])
+                 .where((F.col("__ai") != F.col("__bi"))
+                        & (dist2 <= F.lit(eps * eps)))
+                 .select("__ai", "__bi"))
+        pairs = pairs.localCheckpoint(eager=True)  # 3 consumers below
+
+        ncnt = pairs.groupBy("__ai").agg(
+            F.count(F.lit(1)).alias("__n"))
+        cores = (ncnt.where(F.col("__n") + 1 >= self.min_pts)
+                 .select(F.col("__ai").alias("__id")))
+        # min_pts = 1 edge case: every point (even isolated) is core
+        if self.min_pts == 1:
+            cores = pts.select("__id")
+
+        ce = (pairs
+              .join(cores.withColumnRenamed("__id", "__ai"), "__ai")
+              .join(cores.withColumnRenamed("__id", "__bi"), "__bi")
+              .where(F.col("__ai") < F.col("__bi"))
+              .select(F.col("__ai").alias("i"),
+                      F.col("__bi").alias("j")))
+        cc = (pcoll.with_df(ce)
+              | ConnectedComponents(algorithm="star")).df
+        core_assign = (cores.join(
+            cc.withColumnRenamed("node", "__id"), "__id", "left")
+            .select("__id",
+                    F.coalesce("comp", "__id").alias("cluster")))
+
+        border = (pairs
+                  .join(core_assign.withColumnRenamed("__id", "__bi")
+                        .withColumnRenamed("cluster", "__bc"), "__bi")
+                  .join(cores.withColumnRenamed("__id", "__ai"),
+                        "__ai", "anti")
+                  .groupBy("__ai")
+                  .agg(F.min("__bc").alias("cluster"))
+                  .select(F.col("__ai").alias("__id"), "cluster"))
+
+        assigned = (core_assign.withColumn("is_core", F.lit(True))
+                    .unionByName(
+                        border.withColumn("is_core", F.lit(False))))
+        out = (pts.select("__id")
+               .join(assigned, "__id", "left")
+               .select(F.col("__id").alias(idc), "cluster",
+                       F.coalesce("is_core", F.lit(False))
+                       .alias("is_core")))
         return pcoll.with_df(out)
 
 

@@ -7177,6 +7177,95 @@ def q_ann_brute(spark, sf_dir):
             | BruteForceCosineTopK(queries_df, k=5)).df
 
 
+@query("q_cluster_dbscan_customers", """
+WITH RECURSIVE
+p AS (SELECT c_custkey AS id,
+             CAST(c_acctbal AS DOUBLE) / 1000 AS x,
+             CAST(c_nationkey AS DOUBLE) AS y
+      FROM customer WHERE c_custkey % 10 = 0
+        AND c_acctbal IS NOT NULL AND c_nationkey IS NOT NULL),
+e AS (SELECT a.id AS i, b.id AS j
+      FROM p a JOIN p b ON a.id <> b.id
+      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+            <= CAST(0.0625 AS DOUBLE)),
+nc AS (SELECT i AS id, CAST(count(*) AS BIGINT) AS n
+       FROM e GROUP BY 1),
+cores AS (SELECT id FROM nc WHERE n + 1 >= 3),
+ce AS (SELECT e.i, e.j FROM e
+       JOIN cores a ON a.id = e.i JOIN cores b ON b.id = e.j
+       WHERE e.i < e.j),
+sym AS (SELECT i AS a, j AS b FROM ce UNION SELECT j, i FROM ce),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b),
+comp AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY 1),
+ca AS (SELECT c.id, COALESCE(comp.comp, c.id) AS cluster
+       FROM cores c LEFT JOIN comp ON comp.id = c.id),
+border AS (SELECT e.i AS id, min(ca.cluster) AS cluster
+           FROM e JOIN ca ON ca.id = e.j
+           WHERE e.i NOT IN (SELECT id FROM cores)
+           GROUP BY 1),
+asg AS (SELECT id, cluster, TRUE AS is_core FROM ca
+        UNION ALL SELECT id, cluster, FALSE FROM border)
+SELECT p.id, asg.cluster, COALESCE(asg.is_core, FALSE) AS is_core
+FROM p LEFT JOIN asg ON asg.id = p.id
+""")
+def q_cluster_dbscan_customers(spark, sf_dir):
+    """Grid DBSCAN (eps 0.25 dyadic — the squared threshold 0.0625 is
+    an exact double in both engines; min_pts 3) over the c_custkey%10
+    customer slice in (acctbal/1000, nationkey) space: 3^2 adjacent-
+    cell probe join, exact squared distances, star-CC cluster ids,
+    min-cluster border attachment; DuckDB replays the neighbor graph
+    directly (O(n^2) on the slice) + recursive-CTE closure."""
+    from beam_spark.operators.similarity import DbscanClusters
+
+    cust = table(spark, sf_dir, "customer").df.where(
+        "c_custkey % 10 = 0").selectExpr(
+        "c_custkey AS id",
+        "CAST(c_acctbal AS DOUBLE) / 1000 AS x",
+        "CAST(c_nationkey AS DOUBLE) AS y")
+    return (PCollection(cust)
+            | DbscanClusters(["x", "y"], eps=0.25, min_pts=3)).df
+
+
+@query("q_ann_knn_classify", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  CAST(vec_id % 7 AS VARCHAR) AS lbl FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < 20),
+s AS (SELECT q.vec_id AS query_id, e.vec_id AS nbr_id, e.lbl,
+             list_cosine_similarity(q.v, e.v) AS c
+      FROM q JOIN e ON q.vec_id <> e.vec_id),
+r AS (SELECT query_id, nbr_id, lbl,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY c DESC, nbr_id) AS INT) AS rank
+      FROM s),
+v AS (SELECT query_id, lbl, CAST(count(*) AS BIGINT) AS votes,
+             min(rank) AS best_rank
+      FROM r WHERE rank <= 5 GROUP BY 1, 2),
+p AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY votes DESC, best_rank, lbl) AS rr FROM v)
+SELECT query_id, lbl AS predicted, votes, best_rank
+FROM p WHERE rr = 1
+""")
+def q_ann_knn_classify(spark, sf_dir):
+    """5-NN cosine classification of the first 20 vectors against the
+    vec_id%7-labeled corpus — brute top-k (the exact baseline the
+    ANN gate value-checks), vocabulary-bounded label join,
+    integer-exact (votes, best_rank, label) argmax; DuckDB replays
+    neighbors and vote end-to-end."""
+    from beam_spark.operators.similarity import KNeighborsClassify
+
+    emb = table(spark, sf_dir, "embeddings").df.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        .alias("embedding"),
+        (F.col("vec_id") % 7).cast("string").alias("label"))
+    queries_df = emb.filter("vec_id < 20")
+    return (PCollection(emb)
+            | KNeighborsClassify(queries_df, k=5)).df
+
+
 @query("q_ann_lsh_topk", None)
 def q_ann_lsh(spark, sf_dir):
     """Hyperplane-LSH bucketed ANN (the scale path): recall vs brute force
@@ -9968,6 +10057,105 @@ def q_ml_logistic_fit(spark, sf_dir):
            | LogisticFit(["x1", "x2", "x3"], "y", iterations=3,
                          lr=0.5)).df
     return out.select("term", F.round("weight", 9).alias("weight"))
+
+
+def _gbm_oracle_sql(rounds: int = 3, lr: str = "0.5") -> str:
+    """Chained-CTE replay of GradientBoostedStumps' full training run
+    on the lineitem price task — melt/histogram/prefix-window/argmax
+    per round, split choice included; prefix sums quantize to scale 6
+    before the double cast (keeps decimal->double single-rounded in
+    both engines at any row count; ml/gbm.py docstring)."""
+    feats = ["x1", "x2", "x3"]
+    melt = lambda src: "\n    UNION ALL ".join(
+        f"SELECT '{f}' AS f, {f} AS v, y, p FROM {src}" for f in feats)
+    case_f = ("CASE b.f " + " ".join(
+        f"WHEN '{f}' THEN d.{f}" for f in feats) + " END")
+    cte = ["""WITH data AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) / 65536 AS y,
+         CAST(l_quantity AS DOUBLE) AS x1,
+         CAST(l_discount AS DOUBLE) AS x2,
+         CAST(l_tax AS DOUBLE) AS x3
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+f0t AS (SELECT CAST(CAST(sum(CAST(y AS DECIMAL(16,9)))
+                         AS DECIMAL(28,6)) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS f0 FROM data),
+d0 AS (SELECT y, x1, x2, x3, f0 AS p FROM data CROSS JOIN f0t),"""]
+    for t in range(1, rounds + 1):
+        cte.append(f"""m{t} AS (
+  SELECT f, v, CAST(y - p AS DECIMAL(16,9)) AS r FROM (
+    {melt(f"d{t - 1}")})),
+h{t} AS (SELECT f, v, sum(r) AS s FROM m{t} GROUP BY 1, 2),
+hc{t} AS (SELECT f, v, CAST(count(*) AS BIGINT) AS c
+          FROM m{t} GROUP BY 1, 2),
+w{t} AS (SELECT h.f, h.v, h.s, hc.c,
+           sum(h.s) OVER (PARTITION BY h.f ORDER BY h.v) AS cs,
+           CAST(sum(hc.c) OVER (PARTITION BY h.f ORDER BY h.v)
+                AS BIGINT) AS cn,
+           sum(h.s) OVER (PARTITION BY h.f) AS ts,
+           CAST(sum(hc.c) OVER (PARTITION BY h.f) AS BIGINT) AS tn,
+           max(h.v) OVER (PARTITION BY h.f) AS vmax
+         FROM h{t} h JOIN hc{t} hc ON hc.f = h.f AND hc.v = h.v),
+g{t} AS (SELECT f, v,
+           CAST(CAST(cs AS DECIMAL(28,6)) AS DOUBLE) AS sl, cn,
+           CAST(CAST(ts - cs AS DECIMAL(28,6)) AS DOUBLE) AS sr,
+           tn - cn AS nr,
+           CAST(CAST(ts AS DECIMAL(28,6)) AS DOUBLE) AS st, tn
+         FROM w{t} WHERE v < vmax),
+b{t} AS (SELECT f, v,
+           sl / CAST(cn AS DOUBLE) AS wl,
+           sr / CAST(nr AS DOUBLE) AS wr
+         FROM g{t}
+         ORDER BY round(sl * sl / CAST(cn AS DOUBLE)
+                        + sr * sr / CAST(nr AS DOUBLE)
+                        - st * st / CAST(tn AS DOUBLE), 9) DESC,
+                  f, v
+         LIMIT 1),
+d{t} AS (SELECT d.y, d.x1, d.x2, d.x3,
+           d.p + {lr} * CASE WHEN {case_f} <= b.v
+                             THEN b.wl ELSE b.wr END AS p
+         FROM d{t - 1} d CROSS JOIN b{t} b),""")
+    cte[-1] = cte[-1].rstrip(",")
+    finals = ["""
+SELECT 0 AS round, '' AS feature, CAST(NULL AS DOUBLE) AS threshold,
+       round(f0, 6) AS left_value, round(f0, 6) AS right_value
+FROM f0t"""]
+    for t in range(1, rounds + 1):
+        finals.append(
+            f"SELECT {t}, f, v, round(wl, 6), round(wr, 6) FROM b{t}")
+    return "\n".join(cte) + "\nUNION ALL ".join(finals)
+
+
+@query("q_ml_gbm_stumps", _gbm_oracle_sql())
+def q_ml_gbm_stumps(spark, sf_dir):
+    """Gradient-boosted least-squares stumps (3 rounds, lr 0.5) on
+    lineitem: predict extendedprice/65536 (dyadic scale — exact
+    doubles) from the quantized quantity/discount/tax features —
+    residual terms as order-free decimal(16,9) sums, scale-6
+    quantized prefix sums, round-9 argmax with (feature, threshold)
+    tie-break; DuckDB replays training end-to-end via chained CTEs,
+    split choice included. Leaves compared at round 6, NOT 9: the
+    per-row double->decimal(16,9) residual cast is a shortest-repr
+    HALF_UP in Spark but a full-binary-expansion round in DuckDB, so
+    a value whose short decimal form ties exactly at the 1e-9 grid
+    can flip one 1e-9 term (observed once at sf0.001: 7e-9 leaf
+    drift by round 3); round 6 absorbs the drift, the split CHOICE
+    is still value-checked."""
+    from beam_spark.ml.gbm import GradientBoostedStumps
+
+    li = table(spark, sf_dir, "lineitem").df.selectExpr(
+        "CAST(l_extendedprice AS DOUBLE) / 65536 AS y",
+        "CAST(l_quantity AS DOUBLE) AS x1",
+        "CAST(l_discount AS DOUBLE) AS x2",
+        "CAST(l_tax AS DOUBLE) AS x3")
+    out = (PCollection(li)
+           | GradientBoostedStumps(["x1", "x2", "x3"], "y",
+                                   rounds=3, lr=0.5)).df
+    return out.select(
+        "round", "feature", "threshold",
+        F.round("left_value", 6).alias("left_value"),
+        F.round("right_value", 6).alias("right_value"))
 
 
 def _ml_training_pipeline_sql() -> str:

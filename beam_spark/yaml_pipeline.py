@@ -573,6 +573,35 @@ def _logistic_fit(t, current, named, pipeline):
     return current | LogisticFit(**kwargs)
 
 
+@register_yaml_transform("KNeighborsClassify")
+def _knn_classify(t, current, named, pipeline):
+    """Two-frame classify: ``queries:`` names the query-frame step."""
+    from beam_spark.operators.similarity import KNeighborsClassify
+
+    q = named[t["queries"]]
+    kwargs = {k: v for k, v in t.items()
+              if k not in ("type", "name", "input", "queries")}
+    return current | KNeighborsClassify(q.df, **kwargs)
+
+
+@register_yaml_transform("DbscanClusters")
+def _dbscan(t, current, named, pipeline):
+    from beam_spark.operators.similarity import DbscanClusters
+
+    kwargs = {k: v for k, v in t.items()
+              if k not in ("type", "name", "input")}
+    return current | DbscanClusters(**kwargs)
+
+
+@register_yaml_transform("GradientBoostedStumps")
+def _gbm_stumps(t, current, named, pipeline):
+    from beam_spark.ml.gbm import GradientBoostedStumps
+
+    kwargs = {k: v for k, v in t.items()
+              if k not in ("type", "name", "input")}
+    return current | GradientBoostedStumps(**kwargs)
+
+
 @register_yaml_transform("QueryLikelihoodTopK")
 def _ql_topk(t, current, named, pipeline):
     """LM retrieval: ``queries:`` names the query-frame step."""

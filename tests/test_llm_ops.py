@@ -4480,3 +4480,42 @@ def test_merge_into_validate_costs_zero_extra_jobs(spark):
     assert len(jobs) == 0, f"expand launched jobs: {jobs}"
     out = {r["id"]: r["v"] for r in merged.collect()}
     assert out == {1: 10.0, 2: 99.0, 3: 30.0}
+
+
+def test_dbscan_clusters_toy(spark):
+    """Hand-checked 1-d DBSCAN: chain {0.0, 0.1, 0.2} at eps=0.15
+    links only adjacent points. min_pts=2: all three are cores, one
+    cluster labeled by the min id; the isolated 9.0 is noise.
+    min_pts=3: only the middle point is core, the ends become
+    borders attached to its cluster. Validation fails fast."""
+    import pytest
+
+    from beam_spark.operators.similarity import DbscanClusters
+    from beam_spark.pcollection import PCollection
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, 0.1), (3, 0.2), (4, 5.0), (5, 5.1),
+         (6, 5.2), (7, 9.0)], "id long, x double")
+    out = {r.id: r for r in
+           (PCollection(df)
+            | DbscanClusters("x", eps=0.15, min_pts=2)).df.collect()}
+    assert out[1].cluster == 1 and out[2].cluster == 1 \
+        and out[3].cluster == 1
+    assert all(out[i].is_core for i in (1, 2, 3, 4, 5, 6))
+    assert out[4].cluster == 4 and out[6].cluster == 4
+    assert out[7].cluster is None and not out[7].is_core
+
+    out3 = {r.id: r for r in
+            (PCollection(df)
+             | DbscanClusters("x", eps=0.15, min_pts=3)).df.collect()}
+    assert out3[2].is_core and out3[2].cluster == 2
+    assert not out3[1].is_core and out3[1].cluster == 2   # border
+    assert not out3[3].is_core and out3[3].cluster == 2
+    assert out3[7].cluster is None
+
+    with pytest.raises(ValueError):
+        DbscanClusters(["a", "b", "c", "d"], eps=1.0)
+    with pytest.raises(ValueError):
+        DbscanClusters("x", eps=0.0)
+    with pytest.raises(ValueError):
+        DbscanClusters("x", eps=1.0, min_pts=0)

@@ -629,3 +629,59 @@ def test_target_encode_null_category_gets_group_encoding(spark):
            (PCollection(df)
             | TargetEncode("c", "y", m=0.0, loo=True)).df.collect()}
     assert loo[(None, 10.0)] == 20.0 and loo[(None, 20.0)] == 10.0
+
+
+def test_gbm_stumps_toy_exact_and_scoring(spark):
+    """Hand-checked 1-feature LS boosting: y = [0,0,10,10] over
+    x = [1,2,3,4], lr=1.0, 1 round. f0 = 5; best split x <= 2
+    (gain maximal), leaves -5 / +5; prediction_column returns exact
+    fitted values. Validation fails fast; constant feature raises."""
+    import pytest
+
+    from beam_spark.ml.gbm import GradientBoostedStumps
+    from beam_spark.pcollection import PCollection
+
+    df = spark.createDataFrame(
+        [(1.0, 0.0), (2.0, 0.0), (3.0, 10.0), (4.0, 10.0)],
+        "x double, y double")
+    t = GradientBoostedStumps("x", "y", rounds=1, lr=1.0)
+    out = {r["round"]: r for r in (PCollection(df) | t).df.collect()}
+    assert out[0].left_value == 5.0
+    assert out[1].feature == "x" and out[1].threshold == 2.0
+    assert out[1].left_value == -5.0 and out[1].right_value == 5.0
+    scored = df.withColumn("p", t.prediction_column()).collect()
+    for r in scored:
+        assert r.p == r.y, r
+    with pytest.raises(ValueError):
+        GradientBoostedStumps([], "y")
+    with pytest.raises(ValueError):
+        GradientBoostedStumps("x", "y", rounds=0)
+    with pytest.raises(ValueError):
+        GradientBoostedStumps("x", "y", lr=0.0)
+    const = spark.createDataFrame([(1.0, 2.0), (1.0, 3.0)],
+                                  "x double, y double")
+    with pytest.raises(ValueError, match="constant"):
+        (PCollection(const) | GradientBoostedStumps("x", "y")).df
+    empty = spark.createDataFrame([], "x double, y double")
+    with pytest.raises(ValueError, match="empty"):
+        (PCollection(empty) | GradientBoostedStumps("x", "y")).df
+
+
+def test_gbm_stumps_guards(spark):
+    """max_distinct fails fast on an un-quantized feature; an
+    overflowing target raises loudly instead of NULL-skipping."""
+    import pytest
+
+    from beam_spark.ml.gbm import GradientBoostedStumps
+    from beam_spark.pcollection import PCollection
+
+    fine = spark.createDataFrame(
+        [(float(i), float(i % 7)) for i in range(50)],
+        "x double, y double")
+    with pytest.raises(ValueError, match="max_distinct"):
+        (PCollection(fine)
+         | GradientBoostedStumps("x", "y", max_distinct=10)).df
+    big = spark.createDataFrame(
+        [(1.0, 1.0e9), (2.0, -1.0e9)], "x double, y double")
+    with pytest.raises(ValueError, match="overflowed"):
+        (PCollection(big) | GradientBoostedStumps("x", "y")).df
