@@ -1127,6 +1127,99 @@ class ChangepointMeanShift(PTransform):
         return pcoll.with_df(out)
 
 
+class KalmanLocalLevel(PTransform):
+    """Per-key local-level Kalman filter in event order (the
+    random-walk-plus-noise state-space model — Ewma's principled
+    cousin where the smoothing gain ADAPTS from the variance
+    recursion instead of being a fixed alpha):
+
+        Pp_i = P_{i-1} + q                    (predict)
+        K_i  = Pp_i / (Pp_i + r)              (gain)
+        m_i  = m_{i-1} + K_i * (x_i - m_{i-1})
+        P_i  = (1 - K_i) * Pp_i
+
+    ``q`` is the process (level-drift) variance, ``r`` the
+    observation variance — dyadic values keep the replay bit-stable.
+    Seeding follows the Ewma posture: outputs stay NULL until the
+    first non-NULL value, which seeds m = x, P = r; NULL inputs are
+    missing observations — the state predicts through them
+    (P += q, m unchanged, gain NULL), the textbook treatment.
+
+    Like Ewma/Holt, the recurrence has no shuffle-free Spark-SQL
+    form, so it runs inside an Arrow-batched ``applyInPandas`` per
+    key with a ``frompyfunc.accumulate`` C loop; the DuckDB oracle
+    replays the IDENTICAL IEEE sequence via a recursive CTE, so
+    outputs compare UNROUNDED. One key shuffle; per-key state O(1).
+
+    Output: input columns + (level, pvar, kgain) doubles — kgain
+    NULL on seed/missing rows.
+    """
+
+    def __init__(self, col: str, keys, order_by, q: float = 0.25,
+                 r: float = 1.0, level_col: str = "level",
+                 var_col: str = "pvar", gain_col: str = "kgain",
+                 label=None):
+        super().__init__(label)
+        self.col = col
+        self.q, self.r = float(q), float(r)
+        if self.q < 0 or self.r <= 0:
+            raise ValueError("need q >= 0 and r > 0")
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        self.order_by = ([order_by] if isinstance(order_by, str)
+                         else list(order_by))
+        self.level_col, self.var_col = level_col, var_col
+        self.gain_col = gain_col
+
+    def expand(self, pcoll):
+        import numpy as np
+
+        col, q_, r_ = self.col, self.q, self.r
+        ob = self.order_by
+        lc, vc, gc = self.level_col, self.var_col, self.gain_col
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in pcoll.df.schema.fields
+        ) + f", {lc} double, {vc} double, {gc} double"
+
+        def fn(pdf):
+            pdf = pdf.sort_values(ob, kind="mergesort")
+            x = pdf[col].to_numpy(dtype=object)
+
+            def step(acc, v):
+                # accumulate's first output is the RAW first element:
+                # normalize a scalar seed (or NULL) into state form
+                if not isinstance(acc, tuple):
+                    acc = (None if acc is None or acc != acc
+                           else (float(acc), r_, None))
+                if acc is None:
+                    if v is None or v != v:
+                        return None               # still unseeded
+                    return (float(v), r_, None)   # seed
+                m, p, _ = acc
+                if v is None or v != v:
+                    return (m, p + q_, None)      # predict through
+                pp = p + q_
+                k = pp / (pp + r_)
+                return (m + k * (float(v) - m), (1.0 - k) * pp, k)
+
+            y = np.frompyfunc(step, 2, 1).accumulate(x, dtype=object)
+
+            def unpack(v):
+                if isinstance(v, tuple):
+                    return v
+                return ((None, None, None) if v is None or v != v
+                        else (float(v), r_, None))
+
+            trips = [unpack(v) for v in y]
+            pdf[lc] = [t[0] for t in trips]
+            pdf[vc] = [t[1] for t in trips]
+            pdf[gc] = [t[2] for t in trips]
+            return pdf
+
+        out = pcoll.df.groupBy(*self.keys).applyInPandas(fn, schema)
+        return pcoll.with_df(out)
+
+
 class ThetaForecast(PTransform):
     """Per-key Theta-method h-step forecast (Assimakopoulos &
     Nikolopoulos 2000 — the M3-competition winner and the standard

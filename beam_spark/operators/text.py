@@ -560,6 +560,128 @@ class NgramPerplexity(PTransform):
         return pcoll.with_df(out)
 
 
+class KneserNeyPerplexity(PTransform):
+    """Interpolated Kneser-Ney bigram language-model scoring (Kneser
+    & Ney 1995; Chen & Goodman 1999's interpolated form) — the
+    KenLM-class quality signal NgramPerplexity's add-k smoothing only
+    approximates. Absolute discounting with continuation
+    probabilities:
+
+        P1(w)   = max(N1+(.w) - D, 0) / B
+                  + (D * Vc / B) * (1 / (V + 1))
+        P2(w|u) = max(c(uw) - D, 0) / c(u.)
+                  + (D * N1+(u.) / c(u.)) * P1(w)
+        (u unseen as a context -> full backoff to P1)
+
+    where N1+(.w) = distinct left-contexts of w, N1+(u.) = distinct
+    continuations of u, B = distinct bigrams, Vc = distinct
+    continuation words, c(u.) = u's context total, V = train
+    vocabulary (the +1 is the OOV slot of the uniform base — every
+    event scores finite, including fully-OOV bigrams).
+
+    ``train``: optional frame to fit on (held-out split, larger
+    corpus); None fits on the scored frame itself (the CCNet
+    posture). D must be dyadic (default 0.75) for bit-stable replay.
+
+    Determinism: every probability is a fixed-order double expression
+    over exact integer counts; per-event -ln(P2) quantizes to
+    decimal(16,9) before the per-doc sum (order-free — the
+    NaiveBayes convention); nll rounds 6, ppl = round(exp(nll), 6)
+    so exp sees bit-identical inputs in both engines.
+
+    Scale: one count fit (three vocabulary-bounded aggregates over
+    the bigram frame) + one scoring pass; joins are term-keyed, the
+    scalar constants ride a 1-row broadcast.
+
+    Output: input columns + (n_events, nll, ppl) — docs with < 2
+    tokens score NULL (n_events 0).
+    """
+
+    def __init__(self, train=None, text_col: str = "text",
+                 id_col: str = "doc_id", discount: float = 0.75,
+                 label=None):
+        super().__init__(label)
+        from beam_spark.pcollection import PCollection as _PC
+
+        self.train = (train.df if isinstance(train, _PC) else train)
+        self.text_col, self.id_col = text_col, id_col
+        self.discount = float(discount)
+        if not 0.0 < self.discount < 1.0:
+            raise ValueError(f"discount {discount} outside (0, 1)")
+
+    @staticmethod
+    def _bigrams(toks_df, idc):
+        pair = F.when(
+            F.size("__t") >= 2,
+            F.zip_with(F.slice("__t", 1, F.size("__t") - 1),
+                       F.expr("slice(__t, 2, size(__t) - 1)"),
+                       lambda a, b: F.struct(a.alias("w1"),
+                                             b.alias("w2")))
+        ).otherwise(F.array().cast(
+            "array<struct<w1:string,w2:string>>"))
+        cols = [idc] if idc else []
+        return (toks_df.select(*cols, F.explode(pair).alias("p"))
+                .select(*cols, F.col("p.w1").alias("w1"),
+                        F.col("p.w2").alias("w2")))
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        idc, d = self.id_col, self.discount
+        tok = lambda df: df.where(
+            F.col(self.text_col).isNotNull()).select(
+            F.col(idc),
+            F.filter(tokens(self.text_col),
+                     lambda x: x != "").alias("__t"))
+        train_df = self.train if self.train is not None else pcoll.df
+        tr = tok(train_df)
+        trb = self._bigrams(tr, None)
+        cab = (trb.groupBy("w1", "w2")
+               .agg(F.count(F.lit(1)).cast("long").alias("cab")))
+        ctx = (cab.groupBy("w1")
+               .agg(F.sum("cab").cast("long").alias("ca"),
+                    F.count(F.lit(1)).cast("long").alias("n1fw")))
+        cont = (cab.groupBy("w2")
+                .agg(F.count(F.lit(1)).cast("long").alias("n1p")))
+        consts = (cab.agg(F.count(F.lit(1)).cast("long").alias("B"))
+                  .crossJoin(cont.agg(F.count(F.lit(1)).cast("long")
+                                      .alias("Vc")))
+                  .crossJoin(tr.select(F.explode("__t").alias("w"))
+                             .agg(F.countDistinct("w").cast("long")
+                                  .alias("V"))))
+
+        te = tok(pcoll.df)
+        teb = self._bigrams(te, idc)
+        D = F.lit(d)
+        j = (teb.join(cab, ["w1", "w2"], "left")
+             .join(ctx, "w1", "left")
+             .join(cont, "w2", "left")
+             .crossJoin(F.broadcast(consts)))
+        b_d = F.col("B").cast("double")
+        p1 = (F.greatest(F.coalesce(F.col("n1p"), F.lit(0))
+                         .cast("double") - D, F.lit(0.0)) / b_d
+              + (D * F.col("Vc").cast("double") / b_d)
+              * (F.lit(1.0) / (F.col("V") + F.lit(1)).cast("double")))
+        ca_d = F.col("ca").cast("double")
+        p2 = F.when(
+            F.col("ca").isNotNull(),
+            F.greatest(F.coalesce(F.col("cab"), F.lit(0))
+                       .cast("double") - D, F.lit(0.0)) / ca_d
+            + (D * F.col("n1fw").cast("double") / ca_d) * p1
+        ).otherwise(p1)
+        sc = j.select(F.col(idc),
+                      (-F.log(p2)).cast("decimal(16,9)").alias("__nl"))
+        per_doc = (sc.groupBy(idc)
+                   .agg(F.count(F.lit(1)).cast("long")
+                        .alias("n_events"),
+                        F.round(F.sum("__nl").cast("double")
+                                / F.count(F.lit(1)).cast("double"), 6)
+                        .alias("nll")))
+        out = (pcoll.df.join(per_doc, idc, "left")
+               .withColumn("n_events",
+                           F.coalesce("n_events", F.lit(0)))
+               .withColumn("ppl", F.round(F.exp("nll"), 6)))
+        return pcoll.with_df(out)
+
+
 class NormalizeText(PTransform):
     """Pre-dedup text normalization (the canonicalization step C4/CCNet
     run before exact and fuzzy dedup): lowercase, strip control and

@@ -10340,6 +10340,140 @@ def q_pipeline_ml_training(spark, sf_dir):
             f"{zero} AS v3")))
 
 
+@query("q_text_kn_perplexity", """
+WITH tr AS (SELECT list_filter({_TOK}, x -> x <> '') AS t
+            FROM documents WHERE doc_id % 2 = 0
+              AND text IS NOT NULL),
+trb AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM (
+          SELECT unnest(list_transform(range(1, len(t)),
+            i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+          FROM tr WHERE len(t) >= 2)),
+cab AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cab
+        FROM trb GROUP BY 1, 2),
+ctx AS (SELECT w1, CAST(sum(cab) AS BIGINT) AS ca,
+               CAST(count(*) AS BIGINT) AS n1fw
+        FROM cab GROUP BY 1),
+cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p
+         FROM cab GROUP BY 1),
+consts AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM cab) AS B,
+         (SELECT CAST(count(*) AS BIGINT) FROM cont) AS Vc,
+         (SELECT CAST(count(DISTINCT w) AS BIGINT) FROM
+            (SELECT unnest(t) AS w FROM tr)) AS V),
+te AS (SELECT doc_id, list_filter({_TOK}, x -> x <> '') AS t
+       FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL),
+teb AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(t)),
+            i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+          FROM te WHERE len(t) >= 2)),
+sc AS (SELECT teb.doc_id,
+         CAST(-ln(
+           CASE WHEN ctx.ca IS NOT NULL THEN
+             greatest(CAST(coalesce(cab.cab, 0) AS DOUBLE)
+                      - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+               / CAST(ctx.ca AS DOUBLE)
+             + (CAST(0.75 AS DOUBLE) * CAST(ctx.n1fw AS DOUBLE)
+                / CAST(ctx.ca AS DOUBLE))
+               * (greatest(CAST(coalesce(cont.n1p, 0) AS DOUBLE)
+                           - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+                    / CAST(c.B AS DOUBLE)
+                  + (CAST(0.75 AS DOUBLE) * CAST(c.Vc AS DOUBLE)
+                     / CAST(c.B AS DOUBLE))
+                    * (CAST(1 AS DOUBLE)
+                       / CAST(c.V + 1 AS DOUBLE)))
+           ELSE
+             greatest(CAST(coalesce(cont.n1p, 0) AS DOUBLE)
+                      - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+               / CAST(c.B AS DOUBLE)
+             + (CAST(0.75 AS DOUBLE) * CAST(c.Vc AS DOUBLE)
+                / CAST(c.B AS DOUBLE))
+               * (CAST(1 AS DOUBLE) / CAST(c.V + 1 AS DOUBLE))
+           END) AS DECIMAL(16,9)) AS nl
+       FROM teb
+       LEFT JOIN cab ON cab.w1 = teb.w1 AND cab.w2 = teb.w2
+       LEFT JOIN ctx ON ctx.w1 = teb.w1
+       LEFT JOIN cont ON cont.w2 = teb.w2
+       CROSS JOIN consts c),
+pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_events,
+              round(CAST(sum(nl) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE), 6) AS nll
+       FROM sc GROUP BY 1)
+SELECT d.doc_id, COALESCE(p.n_events, 0) AS n_events, p.nll,
+       round(exp(p.nll), 6) AS ppl
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN pd p ON p.doc_id = d.doc_id
+""".replace("{_TOK}", _TOK))
+def q_text_kn_perplexity(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram perplexity (D=0.75): fit on
+    even doc_ids, score odd doc_ids — exact integer count tables,
+    fixed-order double probabilities, per-event -ln quantized to
+    decimal(16,9) before the per-doc sum (the NaiveBayes convention),
+    nll round 6, ppl = exp of the ROUNDED nll; DuckDB replays fit
+    and scoring end-to-end."""
+    from beam_spark.operators.text import KneserNeyPerplexity
+
+    docs = table(spark, sf_dir, "documents").df
+    train = docs.where("doc_id % 2 = 0")
+    test = docs.where("doc_id % 2 = 1")
+    out = (PCollection(test)
+           | KneserNeyPerplexity(train)).df
+    return out.select("doc_id", "n_events", "nll", "ppl")
+
+
+@query("q_ts_kalman_local_level", """
+WITH RECURSIVE r AS (
+  SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+e AS (
+  SELECT user_id, event_id, rn,
+         v AS level,
+         CASE WHEN v IS NULL THEN NULL
+              ELSE CAST(1.0 AS DOUBLE) END AS pvar,
+         CAST(NULL AS DOUBLE) AS kgain
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.user_id, r.event_id, r.rn,
+         CASE WHEN e.level IS NULL AND r.v IS NULL THEN NULL
+              WHEN e.level IS NULL THEN r.v
+              WHEN r.v IS NULL THEN e.level
+              ELSE e.level
+                   + ((e.pvar + CAST(0.25 AS DOUBLE))
+                      / ((e.pvar + CAST(0.25 AS DOUBLE))
+                         + CAST(1.0 AS DOUBLE)))
+                     * (r.v - e.level) END,
+         CASE WHEN e.level IS NULL AND r.v IS NULL THEN NULL
+              WHEN e.level IS NULL THEN CAST(1.0 AS DOUBLE)
+              WHEN r.v IS NULL THEN e.pvar + CAST(0.25 AS DOUBLE)
+              ELSE (CAST(1.0 AS DOUBLE)
+                    - ((e.pvar + CAST(0.25 AS DOUBLE))
+                       / ((e.pvar + CAST(0.25 AS DOUBLE))
+                          + CAST(1.0 AS DOUBLE))))
+                   * (e.pvar + CAST(0.25 AS DOUBLE)) END,
+         CASE WHEN e.level IS NULL OR r.v IS NULL THEN NULL
+              ELSE (e.pvar + CAST(0.25 AS DOUBLE))
+                   / ((e.pvar + CAST(0.25 AS DOUBLE))
+                      + CAST(1.0 AS DOUBLE)) END
+  FROM e JOIN r ON r.user_id = e.user_id AND r.rn = e.rn + 1)
+SELECT user_id, event_id, level, pvar, kgain FROM e
+""")
+def q_ts_kalman_local_level(spark, sf_dir):
+    """Per-user local-level Kalman filter of event values (q=0.25,
+    r=1.0 — dyadic): the Python recurrence and DuckDB's recursive-CTE
+    replay perform the IDENTICAL IEEE op sequence on identical
+    parquet doubles, so level/variance/gain compare UNROUNDED (the
+    EWMA convention); missing observations predict through (P += q,
+    gain NULL)."""
+    from beam_spark.operators.stats import KalmanLocalLevel
+
+    ev = table(spark, sf_dir, "events")
+    out = (ev | KalmanLocalLevel("value", keys="user_id",
+                                 order_by=["ts", "event_id"],
+                                 q=0.25, r=1.0)).df
+    return out.select("user_id", "event_id", "level", "pvar", "kgain")
+
+
 @query("q_ts_cross_correlation", """
 WITH pre AS (SELECT l_suppkey % 10 AS k, l_orderkey AS ord,
                     sum(CAST(l_quantity AS DECIMAL(9,2))) AS x,

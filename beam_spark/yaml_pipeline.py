@@ -573,6 +573,27 @@ def _logistic_fit(t, current, named, pipeline):
     return current | LogisticFit(**kwargs)
 
 
+@register_yaml_transform("KneserNeyPerplexity")
+def _kn_perplexity(t, current, named, pipeline):
+    """Optional ``train:`` names the fit-corpus step (else
+    self-train)."""
+    from beam_spark.operators.text import KneserNeyPerplexity
+
+    train = named[t["train"]].df if "train" in t else None
+    kwargs = {k: v for k, v in t.items()
+              if k not in ("type", "name", "input", "train")}
+    return current | KneserNeyPerplexity(train, **kwargs)
+
+
+@register_yaml_transform("KalmanLocalLevel")
+def _kalman(t, current, named, pipeline):
+    from beam_spark.operators.stats import KalmanLocalLevel
+
+    kwargs = {k: v for k, v in t.items()
+              if k not in ("type", "name", "input")}
+    return current | KalmanLocalLevel(**kwargs)
+
+
 @register_yaml_transform("KNeighborsClassify")
 def _knn_classify(t, current, named, pipeline):
     """Two-frame classify: ``queries:`` names the query-frame step."""

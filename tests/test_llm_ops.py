@@ -4519,3 +4519,69 @@ def test_dbscan_clusters_toy(spark):
         DbscanClusters("x", eps=0.0)
     with pytest.raises(ValueError):
         DbscanClusters("x", eps=1.0, min_pts=0)
+
+
+def test_kalman_local_level_hand_checked(spark):
+    """q=0.25, r=1: seed (m=2, P=1); a NULL predicts through
+    (P=1.25, gain NULL); then x=4: Pp=1.5, K=0.6, m=3.2, P=0.9*...
+    = 0.6. Leading NULLs stay unseeded; validation fails fast."""
+    import pytest
+
+    from beam_spark.operators.stats import KalmanLocalLevel
+    from beam_spark.pcollection import PCollection
+
+    df = spark.createDataFrame(
+        [("a", 1, 2.0), ("a", 2, None), ("a", 3, 4.0),
+         ("b", 1, None), ("b", 2, 8.0)],
+        "k string, i int, v double")
+    out = {(r.k, r.i): r for r in
+           (PCollection(df) | KalmanLocalLevel(
+               "v", keys="k", order_by="i")).df.collect()}
+    a1, a2, a3 = out[("a", 1)], out[("a", 2)], out[("a", 3)]
+    assert (a1.level, a1.pvar, a1.kgain) == (2.0, 1.0, None)
+    assert (a2.level, a2.pvar, a2.kgain) == (2.0, 1.25, None)
+    assert a3.kgain == 0.6 and a3.level == 3.2
+    assert a3.pvar == (1.0 - 0.6) * 1.5          # 0.6000000000000001
+    b1, b2 = out[("b", 1)], out[("b", 2)]
+    assert b1.level is None and b1.pvar is None
+    assert (b2.level, b2.pvar, b2.kgain) == (8.0, 1.0, None)
+    with pytest.raises(ValueError):
+        KalmanLocalLevel("v", keys="k", order_by="i", r=0.0)
+    with pytest.raises(ValueError):
+        KalmanLocalLevel("v", keys="k", order_by="i", q=-1.0)
+
+
+def test_kneser_ney_perplexity_semantics(spark):
+    """In-distribution text scores lower perplexity than OOV text;
+    fully-OOV bigrams still score finite (the +1 uniform slot);
+    docs with < 2 tokens get NULL nll and n_events 0; discount
+    validation fails fast."""
+    import pytest
+
+    from beam_spark.operators.text import KneserNeyPerplexity
+    from beam_spark.pcollection import PCollection
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(5)]
+        + [(10 + i, "the dog sat on the rug") for i in range(5)],
+        "doc_id long, text string")
+    test = spark.createDataFrame(
+        [(100, "the cat sat on the rug"),
+         (101, "zzz qqq xxx yyy"),
+         (102, "single"),
+         (103, None)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           (PCollection(test)
+            | KneserNeyPerplexity(train)).df.collect()}
+    assert out[100].ppl < out[101].ppl       # in-dist beats OOV
+    assert out[101].ppl is not None          # OOV finite
+    assert out[100].n_events == 5 and out[101].n_events == 3
+    assert out[102].n_events == 0 and out[102].nll is None
+    assert out[103].n_events == 0 and out[103].ppl is None
+    with pytest.raises(ValueError):
+        KneserNeyPerplexity(discount=1.0)
+    # self-train mode: scoring frame is its own corpus
+    selfed = (PCollection(train)
+              | KneserNeyPerplexity()).df.collect()
+    assert all(r.ppl is not None for r in selfed)
