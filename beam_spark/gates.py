@@ -1142,6 +1142,7 @@ def q_ann_exhaustive_suite(spark, sf_dir):
     mmr = _component("q_ann_mmr_rerank")(spark, sf_dir)
     km = _component("q_kmeans_embeddings")(spark, sf_dir)
     ql = _component("q_retrieval_query_likelihood")(spark, sf_dir)
+    pl2 = _component("q_retrieval_pl2_topk")(spark, sf_dir)
     return _union([
         lsh.selectExpr("'lsh' AS method", "query_id", "nbr_id", "rank", "cosine"),
         ivf.selectExpr("'ivf' AS method", "query_id", "nbr_id", "rank", "cosine"),
@@ -1166,10 +1167,13 @@ def q_ann_exhaustive_suite(spark, sf_dir):
         km.selectExpr("'kmeans' AS method", "vec_id AS query_id",
                       "CAST(cluster AS BIGINT) AS nbr_id",
                       "CAST(0 AS INT) AS rank", "sim AS cosine"),
-        # round-13 fold: Dirichlet query-likelihood retrieval as an
-        # 11th tagged method (full rows stay component-oracled)
+        # round-13 folds: Dirichlet query-likelihood and DFR PL2
+        # retrieval as 11th/12th tagged methods (full rows stay
+        # component-oracled) — the lexical triad is now gate-visible
         ql.selectExpr("'ql' AS method", "query_id",
                       "doc_id AS nbr_id", "rank", "score AS cosine"),
+        pl2.selectExpr("'pl2' AS method", "query_id",
+                       "doc_id AS nbr_id", "rank", "score AS cosine"),
     ])
 
 
@@ -1209,6 +1213,9 @@ UNION ALL
 {_wrap("'ql' AS method, query_id, doc_id AS nbr_id, rank, "
        "score AS cosine",
        _component_sql("q_retrieval_query_likelihood"))}
+UNION ALL
+{_wrap("'pl2' AS method, query_id, doc_id AS nbr_id, rank, "
+       "score AS cosine", _component_sql("q_retrieval_pl2_topk"))}
 """
 
 

@@ -711,3 +711,99 @@ class QueryLikelihoodTopK(PTransform):
                .where(F.col("rank") <= self.k)
                .select("query_id", idc, "rank", "score"))
         return pcoll.with_df(out)
+
+
+class Pl2TopK(PTransform):
+    """DFR PL2 ranking (Amati & van Rijsbergen, TOIS 2002) — the
+    divergence-from-randomness model Terrier ships as its default,
+    completing the lexical-ranking triad next to BM25 (Okapi) and
+    QueryLikelihoodTopK (Dirichlet LM):
+
+        tfn      = tf * log2(1 + c * avgdl / dl)
+        lambda_t = F_t / N            (collection frequency / #docs)
+        term     = (1 / (tfn + 1))
+                   * (tfn * log2(tfn / lambda_t)
+                      + (lambda_t - tfn) * log2(e)
+                      + 0.5 * log2(2*pi * tfn))
+        score    = sum over query terms of qtf * term
+
+    Query terms absent from the collection are dropped (lambda = 0
+    has no PL2 score — the QL convention for cf = 0). Scores CAN be
+    negative for very common terms: that is the model, not a bug.
+
+    Determinism: per-term values cast to decimal(16,9) times the
+    integer query tf (exact products, order-free sums — the
+    NaiveBayes convention); rank over (round(score, 6) DESC, doc_id).
+
+    Scale: term-keyed postings joins, the same posture as Bm25TopK —
+    only documents CONTAINING a query term are scored (no miss-mass
+    grid), so the scoring frame is postings-bounded.
+
+    Output: (query_id, doc_id, rank, score round 6), rank <= k.
+    """
+
+    _LOG2E = 1.4426950408889634
+    _TWO_PI = 6.283185307179586
+
+    def __init__(self, queries, k: int = 10, c: float = 1.0,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 query_id_col: str = "query_id",
+                 query_text_col: str = "text", label=None):
+        super().__init__(label)
+        self.queries = (queries.df if isinstance(queries, PCollection)
+                        else queries)
+        self.k, self.c = int(k), float(c)
+        if self.c <= 0:
+            raise ValueError("c must be > 0")
+        self.text_col, self.id_col = text_col, id_col
+        self.query_id_col = query_id_col
+        self.query_text_col = query_text_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        idc, c = self.id_col, self.c
+        toks = pcoll.df.select(
+            F.col(idc),
+            F.filter(tokens(self.text_col),
+                     lambda x: x != "").alias("__t"))
+        postings = (toks.select(idc, F.size("__t").alias("dl"),
+                                F.explode("__t").alias("term"))
+                    .groupBy(idc, "dl", "term")
+                    .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+        stats = toks.agg(F.count(F.lit(1)).cast("long").alias("N"),
+                         F.avg(F.size("__t")).alias("avgdl"))
+        cf = postings.groupBy("term").agg(
+            F.sum("tf").cast("long").alias("cf"))
+        qt = (self.queries
+              .select(F.col(self.query_id_col).alias("query_id"),
+                      F.explode(
+                          F.filter(tokens(self.query_text_col),
+                                   lambda x: x != ""))
+                      .alias("term"))
+              .groupBy("query_id", "term")
+              .agg(F.count(F.lit(1)).cast("long").alias("qtf"))
+              .join(cf, "term"))              # cf = 0 terms dropped
+
+        j = (postings.join(F.broadcast(qt), "term")
+             .crossJoin(F.broadcast(stats)))
+        tf_d = F.col("tf").cast("double")
+        lam = F.col("cf").cast("double") / F.col("N").cast("double")
+        tfn = tf_d * F.log2(F.lit(1.0) + F.lit(c) * F.col("avgdl")
+                            / F.col("dl").cast("double"))
+        inner = (tfn * F.log2(tfn / lam)
+                 + (lam - tfn) * F.lit(self._LOG2E)
+                 + F.lit(0.5) * F.log2(F.lit(self._TWO_PI) * tfn))
+        term = (F.lit(1.0) / (tfn + F.lit(1.0))) * inner
+        scored = (j.withColumn("__v",
+                               F.col("qtf").cast("decimal(9,0)")
+                               * term.cast("decimal(16,9)"))
+                  .groupBy("query_id", idc)
+                  .agg(F.round(F.sum("__v").cast("double"), 6)
+                       .alias("score")))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col(idc))
+        out = (scored.withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") <= self.k)
+               .select("query_id", idc, "rank", "score"))
+        return pcoll.with_df(out)

@@ -10723,6 +10723,69 @@ def q_retrieval_query_likelihood(spark, sf_dir):
     return out.select("query_id", "doc_id", "rank", "score")
 
 
+@query("q_retrieval_pl2_topk", r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x != '') AS t
+  FROM documents),
+st AS (SELECT CAST(count(*) AS BIGINT) AS N, avg(len(t)) AS avgdl
+       FROM toks),
+post AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, term,
+                CAST(count(*) AS BIGINT) AS tf
+         FROM (SELECT doc_id, t, unnest(t) AS term FROM toks)
+         GROUP BY 1, 2, 3),
+cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM post
+       GROUP BY 1),
+qt AS (SELECT query_id, term, CAST(count(*) AS BIGINT) AS qtf
+       FROM (SELECT doc_id AS query_id, unnest(t) AS term
+             FROM toks WHERE doc_id < 3)
+       GROUP BY 1, 2),
+sc AS (SELECT q.query_id, p.doc_id, q.qtf,
+         CAST(p.tf AS DOUBLE)
+           * log2(CAST(1 AS DOUBLE)
+                  + CAST(1 AS DOUBLE) * st.avgdl
+                    / CAST(p.dl AS DOUBLE)) AS tfn,
+         CAST(c.cf AS DOUBLE) / CAST(st.N AS DOUBLE) AS lam
+       FROM qt q JOIN cf c ON c.term = q.term
+       JOIN post p ON p.term = q.term
+       CROSS JOIN st),
+tv AS (SELECT query_id, doc_id,
+         CAST(qtf AS DECIMAL(9,0)) * CAST(
+           (CAST(1 AS DOUBLE) / (tfn + CAST(1 AS DOUBLE)))
+           * (tfn * log2(tfn / lam)
+              + (lam - tfn) * CAST('1.4426950408889634' AS DOUBLE)
+              + CAST(0.5 AS DOUBLE)
+                * log2(CAST('6.283185307179586' AS DOUBLE) * tfn))
+           AS DECIMAL(16,9)) AS v
+       FROM sc),
+ag AS (SELECT query_id, doc_id,
+              round(CAST(sum(v) AS DOUBLE), 6) AS score
+       FROM tv GROUP BY 1, 2),
+r AS (SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM ag)
+SELECT query_id, doc_id, rank, score FROM r WHERE rank <= 5
+""")
+def q_retrieval_pl2_topk(spark, sf_dir):
+    """DFR PL2 retrieval (c=1.0), top-5 docs for 3 query documents —
+    Terrier's default divergence-from-randomness model, completing
+    the BM25/QL lexical triad; per-term values quantize to
+    decimal(16,9) times integer query tf (order-free sums), rank on
+    the rounded score with doc-id tie-break. The log2(e) and 2*pi
+    constants ride as STRING-parsed double literals in the oracle (a
+    bare 17-digit numeric literal parses as a decimal whose unscaled
+    integer exceeds 2^53 — the documented double-rounding trap)."""
+    from beam_spark.operators.retrieval import Pl2TopK
+
+    docs = table(spark, sf_dir, "documents").df
+    queries_df = docs.where("doc_id < 3").selectExpr(
+        "doc_id AS query_id", "text")
+    out = (PCollection(docs) | Pl2TopK(queries_df, k=5, c=1.0)).df
+    return out.select("query_id", "doc_id", "rank", "score")
+
+
 @query("q_stats_robust_location", """
 WITH base AS (SELECT l_returnflag AS k,
                      CAST(l_quantity AS DOUBLE) AS v,

@@ -623,6 +623,17 @@ def _gbm_stumps(t, current, named, pipeline):
     return current | GradientBoostedStumps(**kwargs)
 
 
+@register_yaml_transform("Pl2TopK")
+def _pl2_topk(t, current, named, pipeline):
+    """DFR retrieval: ``queries:`` names the query-frame step."""
+    from beam_spark.operators.retrieval import Pl2TopK
+
+    q = named[t["queries"]]
+    kwargs = {k: v for k, v in t.items()
+              if k not in ("type", "name", "input", "queries")}
+    return current | Pl2TopK(q.df, **kwargs)
+
+
 @register_yaml_transform("QueryLikelihoodTopK")
 def _ql_topk(t, current, named, pipeline):
     """LM retrieval: ``queries:`` names the query-frame step."""

@@ -4585,3 +4585,29 @@ def test_kneser_ney_perplexity_semantics(spark):
     selfed = (PCollection(train)
               | KneserNeyPerplexity()).df.collect()
     assert all(r.ppl is not None for r in selfed)
+
+
+def test_pl2_topk_semantics(spark):
+    """A doc repeating the query term ranks above one mentioning it
+    once among other terms; query terms absent from the collection
+    are dropped (a fully-OOV query returns no rows); c validation
+    fails fast."""
+    import pytest
+
+    from beam_spark.operators.retrieval import Pl2TopK
+    from beam_spark.pcollection import PCollection
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark shuffle"),
+         (2, "spark pasta ragu basil"),
+         (3, "pasta ragu basil olive")],
+        "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [(100, "spark"), (200, "zzz qqq")], "query_id long, text string")
+    out = (PCollection(docs) | Pl2TopK(qs, k=3)).df.collect()
+    assert {r.query_id for r in out} == {100}     # OOV query dropped
+    ranked = sorted([r for r in out], key=lambda r: r.rank)
+    assert ranked[0].doc_id == 1                  # heavy tf wins
+    assert len(ranked) == 2                       # only docs w/ term
+    with pytest.raises(ValueError):
+        Pl2TopK(qs, c=0.0)
