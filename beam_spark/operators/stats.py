@@ -1127,6 +1127,126 @@ class ChangepointMeanShift(PTransform):
         return pcoll.with_df(out)
 
 
+class ChangepointBinSeg(PTransform):
+    """Mean-shift changepoint detection by binary segmentation
+    (Scott & Knott 1974; the CUSUM-location complement — CUSUM says
+    WHETHER a key drifted, this says WHERE): per key, repeatedly
+    split the series at the position maximizing the SSE reduction
+
+        gain(p) = SL^2/nL + SR^2/nR - S^2/n      (the sum-of-squares
+                  identity — the quadratic terms cancel, so only
+                  segment SUMS and COUNTS are needed)
+
+    one changepoint per key per round, up to ``k`` rounds; a key
+    stops when no candidate has gain > 0 (or min_size forbids all
+    splits). Segments are labeled by their START position, so ids
+    stay stable across rounds.
+
+    Spark design: each round is ONE pass — per-(key, segment)
+    cumulative decimal sums via window, gains as fixed-order doubles,
+    per-key argmax on (round-6 gain DESC, position ASC), then a
+    key-keyed join updates segment labels; the frame checkpoints per
+    round (the PageRank posture), so cost is k scans regardless of
+    key count. Gains quantize prefix sums to decimal scale 6 before
+    the double cast (the GBM convention — keeps decimal->double
+    single-rounded in both engines at any segment size). NULL values
+    are excluded BEFORE positions are assigned.
+
+    Output: (keys..., cp_round, position, gain) — position is the
+    1-based in-key row number (over ``order_by``, NULLs dropped)
+    of the LAST row of the left segment; gain round 6.
+    """
+
+    def __init__(self, col: str, keys, order_by, k: int = 3,
+                 min_size: int = 2, label=None):
+        super().__init__(label)
+        self.col = col
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        self.order_by = ([order_by] if isinstance(order_by, str)
+                         else list(order_by))
+        self.k = int(k)
+        if self.k < 1:
+            raise ValueError("k must be >= 1")
+        self.min_size = int(min_size)
+        if self.min_size < 1:
+            raise ValueError("min_size must be >= 1")
+
+    def expand(self, pcoll):
+        from pyspark.sql import Window
+
+        ks, ms = self.keys, self.min_size
+        w_rn = Window.partitionBy(*ks).orderBy(
+            *[F.col(c) for c in self.order_by])
+        rows = (pcoll.df.where(F.col(self.col).isNotNull())
+                .select(*ks,
+                        F.col(self.col).cast("double")
+                        .try_cast("decimal(16,9)").alias("__xd"),
+                        F.row_number().over(w_rn).alias("__rn"))
+                .withColumn("__seg", F.lit(0).cast("long")))
+        bad = rows.where(F.col("__xd").isNull()).limit(1).count()
+        if bad:
+            raise ValueError(
+                "ChangepointBinSeg: value overflowed decimal(16,9) — "
+                "scale it down (|x| must stay well under 1e7)")
+        rows = rows.localCheckpoint(eager=True)
+
+        def d6(c):
+            return c.cast("decimal(28,6)").cast("double")
+
+        spark = pcoll.df.sparkSession
+        cps = None
+        for rnd in range(1, self.k + 1):
+            w_seg = (Window.partitionBy(*ks, "__seg").orderBy("__rn")
+                     .rowsBetween(Window.unboundedPreceding,
+                                  Window.currentRow))
+            w_tot = Window.partitionBy(*ks, "__seg")
+            cand = rows.select(
+                *ks, "__rn", "__seg",
+                F.sum("__xd").over(w_seg).alias("__cs"),
+                F.count(F.lit(1)).over(w_seg).alias("__cn"),
+                F.sum("__xd").over(w_tot).alias("__ts"),
+                F.count(F.lit(1)).over(w_tot).alias("__tn"))
+            sl, st = d6(F.col("__cs")), d6(F.col("__ts"))
+            sr = d6(F.col("__ts") - F.col("__cs"))
+            nl = F.col("__cn").cast("double")
+            nr = (F.col("__tn") - F.col("__cn")).cast("double")
+            nt = F.col("__tn").cast("double")
+            gain = sl * sl / nl + sr * sr / nr - st * st / nt
+            cand = (cand.where((F.col("__cn") >= ms)
+                               & (F.col("__tn") - F.col("__cn") >= ms))
+                    .withColumn("__g", F.round(gain, 6))
+                    .where(F.col("__g") > 0.0))
+            w_best = Window.partitionBy(*ks).orderBy(
+                F.col("__g").desc(), F.col("__rn"))
+            best = (cand.withColumn("__b", F.row_number().over(w_best))
+                    .where("__b = 1")
+                    .select(*ks,
+                            F.col("__rn").cast("long").alias("position"),
+                            F.col("__seg").alias("__bs"),
+                            F.col("__g").alias("gain"))
+                    .localCheckpoint(eager=True))
+            found = (best.select(*ks, F.lit(rnd).alias("cp_round"),
+                                 "position", "gain"))
+            cps = found if cps is None else cps.unionByName(found)
+            if best.limit(1).count() == 0:
+                break
+            upd = best.select(
+                *ks, F.col("position").alias("__p"),
+                F.col("__bs").alias("__us"))
+            rows = (rows.join(upd, ks, "left")
+                    .withColumn(
+                        "__seg",
+                        F.when(F.col("__us").isNotNull()
+                               & (F.col("__seg") == F.col("__us"))
+                               & (F.col("__rn") > F.col("__p")),
+                               F.col("__p"))
+                        .otherwise(F.col("__seg")))
+                    .drop("__p", "__us")
+                    .localCheckpoint(eager=True))
+        out = cps.select(*ks, "cp_round", "position", "gain")
+        return pcoll.with_df(out)
+
+
 class KalmanLocalLevel(PTransform):
     """Per-key local-level Kalman filter in event order (the
     random-walk-plus-noise state-space model — Ewma's principled

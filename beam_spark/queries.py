@@ -10420,6 +10420,74 @@ def q_text_kn_perplexity(spark, sf_dir):
     return out.select("doc_id", "n_events", "nll", "ppl")
 
 
+def _binseg_oracle_sql(rounds: int = 2, min_size: int = 3) -> str:
+    """Chained-CTE replay of ChangepointBinSeg on the user_id%10
+    events slice: per round, segment-windowed decimal prefix sums,
+    scale-6-quantized gains, per-key argmax, segment relabel."""
+    def d6(x):
+        return f"CAST(CAST({x} AS DECIMAL(28,6)) AS DOUBLE)"
+
+    cte = ["""WITH base AS (
+  SELECT user_id,
+         CAST(CAST(value AS DOUBLE) AS DECIMAL(16,9)) AS xd,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id % 10 = 0 AND value IS NOT NULL),
+r0 AS (SELECT user_id, rn, xd, CAST(0 AS BIGINT) AS seg FROM base),"""]
+    for t in range(1, rounds + 1):
+        cte.append(f"""s{t} AS (
+  SELECT user_id, rn, seg,
+    sum(xd) OVER (PARTITION BY user_id, seg ORDER BY rn
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+    CAST(count(*) OVER (PARTITION BY user_id, seg ORDER BY rn
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS BIGINT) AS cn,
+    sum(xd) OVER (PARTITION BY user_id, seg) AS ts,
+    CAST(count(*) OVER (PARTITION BY user_id, seg) AS BIGINT) AS tn
+  FROM r{t - 1}),
+c{t} AS (
+  SELECT user_id, rn, seg,
+    round({d6('cs')} * {d6('cs')} / CAST(cn AS DOUBLE)
+          + {d6('ts - cs')} * {d6('ts - cs')}
+            / CAST(tn - cn AS DOUBLE)
+          - {d6('ts')} * {d6('ts')} / CAST(tn AS DOUBLE), 6) AS g
+  FROM s{t} WHERE cn >= {min_size} AND tn - cn >= {min_size}),
+b{t} AS (
+  SELECT user_id, CAST(rn AS BIGINT) AS position, seg, g
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+          ORDER BY g DESC, rn) AS b
+        FROM c{t} WHERE g > CAST(0 AS DOUBLE))
+  WHERE b = 1),
+r{t} AS (
+  SELECT r.user_id, r.rn, r.xd,
+    CASE WHEN b.position IS NOT NULL AND r.seg = b.seg
+              AND r.rn > b.position
+         THEN b.position ELSE r.seg END AS seg
+  FROM r{t - 1} r LEFT JOIN b{t} b ON b.user_id = r.user_id),""")
+    cte[-1] = cte[-1].rstrip(",")
+    finals = [f"SELECT user_id, CAST({t} AS INT) AS cp_round, "
+              f"position, g AS gain FROM b{t}"
+              for t in range(1, rounds + 1)]
+    return "\n".join(cte) + "\n" + "\nUNION ALL ".join(finals)
+
+
+@query("q_ts_changepoints_binseg", _binseg_oracle_sql())
+def q_ts_changepoints_binseg(spark, sf_dir):
+    """Binary-segmentation mean-shift changepoints (2 rounds,
+    min_size 3) of each user_id%10 event-value series — decimal
+    prefix sums per segment, scale-6-quantized sums before the double
+    cast, per-key argmax on (round-6 gain DESC, position); DuckDB
+    replays both rounds including the segment relabeling."""
+    from beam_spark.operators.stats import ChangepointBinSeg
+
+    ev = table(spark, sf_dir, "events").df.where("user_id % 10 = 0")
+    out = (PCollection(ev)
+           | ChangepointBinSeg("value", keys="user_id",
+                               order_by=["ts", "event_id"],
+                               k=2, min_size=3)).df
+    return out.select("user_id", "cp_round", "position", "gain")
+
+
 @query("q_ts_kalman_local_level", """
 WITH RECURSIVE r AS (
   SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,

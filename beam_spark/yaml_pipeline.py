@@ -585,6 +585,15 @@ def _kn_perplexity(t, current, named, pipeline):
     return current | KneserNeyPerplexity(train, **kwargs)
 
 
+@register_yaml_transform("ChangepointBinSeg")
+def _binseg(t, current, named, pipeline):
+    from beam_spark.operators.stats import ChangepointBinSeg
+
+    kwargs = {k: v for k, v in t.items()
+              if k not in ("type", "name", "input")}
+    return current | ChangepointBinSeg(**kwargs)
+
+
 @register_yaml_transform("KalmanLocalLevel")
 def _kalman(t, current, named, pipeline):
     from beam_spark.operators.stats import KalmanLocalLevel

@@ -4611,3 +4611,34 @@ def test_pl2_topk_semantics(spark):
     assert len(ranked) == 2                       # only docs w/ term
     with pytest.raises(ValueError):
         Pl2TopK(qs, c=0.0)
+
+
+def test_changepoint_binseg_hand_checked(spark):
+    """Step series [0,0,0,10,10,10]: one cp at position 3 with gain
+    0 + 900/3 - 900/6 = 150; round 2 finds nothing (both halves
+    constant). Two-step series [0,0,5,5,10,10]: round-1 gains tie at
+    75.0 for p=2 and p=4 — position tie-break picks 2; round 2 splits
+    the right segment at 4 (gain 25). Validation fails fast."""
+    import pytest
+
+    from beam_spark.operators.stats import ChangepointBinSeg
+    from beam_spark.pcollection import PCollection
+
+    rows = ([("a", i + 1, v) for i, v in
+             enumerate([0.0, 0.0, 0.0, 10.0, 10.0, 10.0])]
+            + [("b", i + 1, v) for i, v in
+               enumerate([0.0, 0.0, 5.0, 5.0, 10.0, 10.0])])
+    df = spark.createDataFrame(rows, "k string, i int, v double")
+    out = sorted(
+        [(r.k, r.cp_round, r.position, r.gain) for r in
+         (PCollection(df) | ChangepointBinSeg(
+             "v", keys="k", order_by="i", k=2,
+             min_size=2)).df.collect()])
+    assert ("a", 1, 3, 150.0) in out
+    assert not any(k == "a" and rnd == 2 for k, rnd, _, _ in out)
+    assert ("b", 1, 2, 75.0) in out
+    assert ("b", 2, 4, 25.0) in out
+    with pytest.raises(ValueError):
+        ChangepointBinSeg("v", keys="k", order_by="i", k=0)
+    with pytest.raises(ValueError):
+        ChangepointBinSeg("v", keys="k", order_by="i", min_size=0)
