@@ -535,6 +535,10 @@ def q_stats_moments(spark, sf_dir):
         # the driver also sees the composition.
         _tagged("q_pipeline_ml_training",
                 "op", "k", "v1", "v2", "v3 AS v3", f"{_ZERO} AS v4"),
+        # r13: the composed experiment readout (unit agg -> CUPED ->
+        # Welch-on-adjusted + MWU + SRM in one lineage)
+        _tagged("q_pipeline_ab_analysis",
+                "'ab_' || op AS op", "k", "v1", "v2", "v3", "v4"),
         _tagged("q_survival_log_rank",
                 "'logrank' AS op", "'even_vs_odd' AS k", "z AS v1",
                 "chi2 AS v2", "CAST(events_a AS DOUBLE) AS v3",
@@ -626,6 +630,8 @@ _STATS_MOMENTS_SQL = "\nUNION ALL\n".join([
           _component_sql("q_concentration_supplier_volume")),
     _wrap(f"op, k, v1, v2, v3 AS v3, {_ZERO} AS v4",
           _component_sql("q_pipeline_ml_training")),
+    _wrap("'ab_' || op AS op, k, v1, v2, v3, v4",
+          _component_sql("q_pipeline_ab_analysis")),
     _wrap("'logrank' AS op, 'even_vs_odd' AS k, z AS v1, chi2 AS v2, "
           "CAST(events_a AS DOUBLE) AS v3, "
           "CAST(events_b AS DOUBLE) AS v4",

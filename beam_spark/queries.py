@@ -10059,6 +10059,179 @@ def q_ml_logistic_fit(spark, sf_dir):
     return out.select("term", F.round("weight", 9).alias("weight"))
 
 
+_AB_PIPELINE_SQL = """
+WITH unit AS (
+  SELECT user_id, user_id % 2 AS arm,
+    CAST(sum(CASE WHEN event_type = 'purchase'
+             THEN CAST(value AS DECIMAL(18,6))
+             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS y,
+    CAST(sum(CASE WHEN event_type = 'view'
+             THEN CAST(value AS DECIMAL(18,6))
+             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS x
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+cm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(19,6))
+                  * CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(x AS DECIMAL(19,6))
+                  * CAST(y AS DECIMAL(19,6))) AS DOUBLE) AS sxy
+       FROM unit WHERE x IS NOT NULL AND y IS NOT NULL),
+cs AS (SELECT n,
+         CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0
+              THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n AS DOUBLE) * sxx - sx * sx)
+              ELSE CAST(0 AS DOUBLE) END AS theta,
+         sx / CAST(n AS DOUBLE) AS xbar
+       FROM cm),
+adj AS (SELECT u.user_id, u.arm, u.y,
+               round(u.y - cs.theta * (u.x - cs.xbar), 6) AS y_adj
+        FROM unit u CROSS JOIN cs),
+wb AS (SELECT CASE WHEN arm = 0 THEN 1 ELSE 0 END AS ia,
+              CAST(y_adj AS DECIMAL(19,6)) AS x
+       FROM adj WHERE y_adj IS NOT NULL AND arm IN (0, 1)),
+wa AS (SELECT CAST(sum(ia) AS BIGINT) AS na,
+              CAST(sum(1 - ia) AS BIGINT) AS nb,
+              CAST(sum(CASE WHEN ia = 1 THEN x END) AS DOUBLE) AS sa,
+              CAST(sum(CASE WHEN ia = 0 THEN x END) AS DOUBLE) AS sb,
+              CAST(sum(CASE WHEN ia = 1 THEN x * x END) AS DOUBLE)
+                AS ssa,
+              CAST(sum(CASE WHEN ia = 0 THEN x * x END) AS DOUBLE)
+                AS ssb
+       FROM wb),
+wm AS (SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+              CASE WHEN na >= 2
+                   THEN (ssa - sa * sa / na) / (na - 1.0) END AS va,
+              CASE WHEN nb >= 2
+                   THEN (ssb - sb * sb / nb) / (nb - 1.0) END AS vb,
+              CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd
+       FROM wa),
+ws AS (SELECT *, va / nad + vb / nbd AS se2 FROM wm),
+welch AS (SELECT
+    round(CASE WHEN se2 > 0.0 THEN (ma - mb) / sqrt(se2) END, 9) AS t,
+    round(CASE WHEN se2 > 0.0
+               THEN (se2 * se2)
+                    / ((va / nad) * (va / nad) / (nad - 1.0)
+                       + (vb / nbd) * (vb / nbd) / (nbd - 1.0))
+          END, 9) AS df,
+    round(CASE WHEN na >= 1 AND nb >= 1 THEN ma - mb END, 9)
+      AS mean_diff,
+    na, nb, nad, nbd
+  FROM ws),
+mf AS (SELECT y AS v, CASE WHEN arm = 0 THEN 1 ELSE 0 END AS ia
+       FROM unit WHERE y IS NOT NULL AND arm IN (0, 1)),
+mc AS (SELECT v, CAST(sum(ia) AS BIGINT) AS ca,
+              CAST(sum(1 - ia) AS BIGINT) AS cb
+       FROM mf GROUP BY v),
+mr AS (SELECT *, ca + cb AS t,
+              CAST(coalesce(sum(ca + cb) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS cum
+       FROM mc),
+ma_ AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+               CAST(sum(cb) AS BIGINT) AS nb,
+               CAST(sum(ca * (2*cum + t + 1)) AS BIGINT) AS ra2,
+               CAST(sum(t*t*t - t) AS BIGINT) AS ties
+        FROM mr),
+md AS (SELECT na, nb,
+              (CAST(ra2 AS DOUBLE)
+               - CAST(na AS DOUBLE) * CAST(na + 1 AS DOUBLE)) / 2.0
+                AS ua,
+              CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+              CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) AS n,
+              CAST(ties AS DOUBLE) AS tiesd
+       FROM ma_),
+ms AS (SELECT *, nad * nbd / 2.0 AS mu,
+              CASE WHEN n >= 2.0
+                   THEN nad * nbd / 12.0
+                        * ((n + 1.0) - tiesd / (n * (n - 1.0)))
+                   ELSE CAST(0 AS DOUBLE) END AS sig2
+       FROM md),
+mwu AS (SELECT round(ua, 9) AS u_a,
+               round(CASE WHEN sig2 > 0.0
+                          THEN (ua - mu) / sqrt(sig2) END, 9) AS z,
+               round(CASE WHEN na > 0 AND nb > 0
+                          THEN ua / (nad * nbd) END, 9) AS auc_a,
+               na, nb
+        FROM ms),
+srm AS (SELECT nad, nbd,
+               (nad + nbd) / 2.0 AS e
+        FROM (SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                          AS DOUBLE) AS nad,
+                     CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE) AS nbd
+              FROM unit))
+SELECT 'theta' AS op, 'global' AS k, round(cs.theta, 9) AS v1,
+       CAST(cs.n AS DOUBLE) AS v2, CAST(0 AS DOUBLE) AS v3,
+       CAST(0 AS DOUBLE) AS v4
+FROM cs
+UNION ALL SELECT 'welch', 'arm0_vs_1', t, df, mean_diff,
+  CAST(na + nb AS DOUBLE) FROM welch
+UNION ALL SELECT 'mwu', 'arm0_vs_1', u_a, z, auc_a,
+  CAST(na + nb AS DOUBLE) FROM mwu
+UNION ALL SELECT 'srm', 'counts', nad, nbd,
+  ((nad - e) * (nad - e)) / e + ((nbd - e) * (nbd - e)) / e,
+  CAST(0 AS DOUBLE) FROM srm
+"""
+
+
+@query("q_pipeline_ab_analysis", _AB_PIPELINE_SQL)
+def q_pipeline_ab_analysis(spark, sf_dir):
+    """End-to-end experiment readout as ONE composed DAG (the
+    examples/experiment_analysis.py loop): per-user unit aggregation
+    (purchase spend vs view-spend covariate, exact decimal sums) ->
+    CUPED variance reduction -> Welch t on the ADJUSTED metric +
+    Mann-Whitney U on the raw metric + sample-ratio-mismatch
+    chi-square on the assignment counts. Composition is the point:
+    the t-test consumes CUPED's output inside the same lineage, and
+    DuckDB replays the whole chain."""
+    from beam_spark.operators.quality import (Cuped, MannWhitneyU,
+                                              TwoSampleTTest)
+
+    dec = "decimal(18,6)"
+    ev = table(spark, sf_dir, "events").df.where("user_id IS NOT NULL")
+    unit = (ev.groupBy("user_id")
+            .agg(F.sum(F.when(F.col("event_type") == "purchase",
+                              F.col("value").cast(dec))
+                       .otherwise(F.lit(0).cast(dec)))
+                 .cast("double").alias("y"),
+                 F.sum(F.when(F.col("event_type") == "view",
+                              F.col("value").cast(dec))
+                       .otherwise(F.lit(0).cast(dec)))
+                 .cast("double").alias("x"))
+            .withColumn("arm", F.col("user_id") % 2))
+    adj = (PCollection(unit) | Cuped("y", "x")).df
+    welch = (PCollection(adj)
+             | TwoSampleTTest("y_adj", "arm", 0, 1,
+                              cast_to="decimal(19,6)")).df
+    mwu = (PCollection(unit) | MannWhitneyU("y", "arm", 0, 1)).df
+    theta = (adj.agg(F.max("theta").alias("theta"),
+                     F.count(F.lit(1)).cast("long").alias("n")))
+    cnts = unit.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("double").alias("nad"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("double").alias("nbd"))
+    e = (F.col("nad") + F.col("nbd")) / F.lit(2.0)
+    zero = "CAST(0 AS DOUBLE)"
+    return (theta.selectExpr(
+        "'theta' AS op", "'global' AS k", "theta AS v1",
+        "CAST(n AS DOUBLE) AS v2", f"{zero} AS v3", f"{zero} AS v4")
+        .unionByName(welch.selectExpr(
+            "'welch' AS op", "'arm0_vs_1' AS k", "t AS v1",
+            "df AS v2", "mean_diff AS v3",
+            "CAST(na + nb AS DOUBLE) AS v4"))
+        .unionByName(mwu.selectExpr(
+            "'mwu' AS op", "'arm0_vs_1' AS k", "u_a AS v1", "z AS v2",
+            "auc_a AS v3", "CAST(na + nb AS DOUBLE) AS v4"))
+        .unionByName(cnts.select(
+            F.lit("srm").alias("op"), F.lit("counts").alias("k"),
+            F.col("nad").alias("v1"), F.col("nbd").alias("v2"),
+            (((F.col("nad") - e) * (F.col("nad") - e)) / e
+             + ((F.col("nbd") - e) * (F.col("nbd") - e)) / e)
+            .alias("v3"), F.lit(0.0).alias("v4"))))
+
+
 def _gbm_oracle_sql(rounds: int = 3, lr: str = "0.5") -> str:
     """Chained-CTE replay of GradientBoostedStumps' full training run
     on the lineitem price task — melt/histogram/prefix-window/argmax
