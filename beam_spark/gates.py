@@ -539,6 +539,9 @@ def q_stats_moments(spark, sf_dir):
         # Welch-on-adjusted + MWU + SRM in one lineage)
         _tagged("q_pipeline_ab_analysis",
                 "'ab_' || op AS op", "k", "v1", "v2", "v3", "v4"),
+        _tagged("q_stats_bootstrap_ci",
+                "'bootci' AS op", "event_type AS k", "mean AS v1",
+                "ci_lo AS v2", "ci_hi AS v3", "CAST(n AS DOUBLE) AS v4"),
         _tagged("q_survival_log_rank",
                 "'logrank' AS op", "'even_vs_odd' AS k", "z AS v1",
                 "chi2 AS v2", "CAST(events_a AS DOUBLE) AS v3",
@@ -632,6 +635,9 @@ _STATS_MOMENTS_SQL = "\nUNION ALL\n".join([
           _component_sql("q_pipeline_ml_training")),
     _wrap("'ab_' || op AS op, k, v1, v2, v3, v4",
           _component_sql("q_pipeline_ab_analysis")),
+    _wrap("'bootci' AS op, event_type AS k, mean AS v1, ci_lo AS v2, "
+          "ci_hi AS v3, CAST(n AS DOUBLE) AS v4",
+          _component_sql("q_stats_bootstrap_ci")),
     _wrap("'logrank' AS op, 'even_vs_odd' AS k, z AS v1, chi2 AS v2, "
           "CAST(events_a AS DOUBLE) AS v3, "
           "CAST(events_b AS DOUBLE) AS v4",

@@ -1127,6 +1127,106 @@ class ChangepointMeanShift(PTransform):
         return pcoll.with_df(out)
 
 
+class BootstrapCI(PTransform):
+    """Percentile bootstrap confidence interval for a mean via the
+    POISSON bootstrap (Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams", Google 2012) — the only bootstrap that
+    works on distributed data: resample b gives each row weight
+    w ~ Poisson(1) instead of drawing n-with-replacement (which
+    needs global coordination), and the weight is a pure function of
+    ``md5(id:b)``, so the resampling is deterministic across
+    engines, retries, and partitionings (the HashSample posture).
+
+    The inverse-CDF thresholds are INTEGER constants on a 1e6 grid
+    (floor of the Poisson(1) CDF — part of the algorithm definition,
+    so the draw is integer-exact, no float compare): weights 0..9.
+
+    Per resample: mean_b = exact decimal sum of w*x over the rows
+    (scale-6-quantized before the double cast — the boosted-stumps
+    2^53 guard) / integer weight total. CI = exact order statistics
+    of the B means: lo = m_(floor(alpha/2*B)+1), hi =
+    m_(ceil((1-alpha/2)*B)), ties broken by resample index.
+
+    Scale: the explode is B rows per input row into a MAP-SIDE
+    partial aggregate — the shuffled state is (keys x B) cells, not
+    B copies of the data; keep B in the hundreds.
+
+    Output per key: (keys..., mean round 9, ci_lo round 9,
+    ci_hi round 9, n, b_resamples) — mean is the full-sample mean.
+    """
+
+    # floor(1e6 * CDF_Poisson(1)(k)) for k = 0..8; u >= t8 -> w = 9
+    _THRESH = (367879, 735758, 919698, 981011, 996340,
+               999405, 999916, 999989, 999998)
+
+    def __init__(self, col: str, id_col: str, b: int = 200,
+                 alpha: float = 0.05, keys=(), label=None):
+        super().__init__(label)
+        self.col, self.id_col = col, id_col
+        self.b = int(b)
+        if not 10 <= self.b <= 10_000:
+            raise ValueError(f"b {b} outside [10, 10000]")
+        self.alpha = float(alpha)
+        if not 0.0 < self.alpha < 1.0:
+            raise ValueError(f"alpha {alpha} outside (0, 1)")
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def expand(self, pcoll):
+        import math
+
+        from pyspark.sql import Window
+
+        c, idc, ks, B = self.col, self.id_col, self.keys, self.b
+        lo_rank = int(math.floor(self.alpha / 2 * B)) + 1
+        hi_rank = int(math.ceil((1 - self.alpha / 2) * B))
+        base = pcoll.df.where(F.col(c).isNotNull()).select(
+            *ks, F.col(idc).alias("__id"),
+            F.col(c).cast("double").try_cast("decimal(16,9)")
+            .alias("__xd"))
+        u = F.expr(
+            "CAST(conv(substring(md5(CAST(__id AS STRING) || ':' || "
+            "CAST(__b AS STRING)), 1, 8), 16, 10) AS BIGINT) "
+            "% 1000000")
+        w = F.lit(9)
+        for k in range(len(self._THRESH) - 1, -1, -1):
+            w = F.when(F.col("__u") < self._THRESH[k], F.lit(k)) \
+                 .otherwise(w)
+        rs = (base
+              .select(*ks, "__id", "__xd",
+                      F.explode(F.sequence(
+                          F.lit(0), F.lit(B - 1))).alias("__b"))
+              .withColumn("__u", u)
+              .withColumn("__w", w)
+              .groupBy(*ks, "__b")
+              .agg(F.sum(F.col("__xd") * F.col("__w")).alias("__s"),
+                   F.sum("__w").cast("long").alias("__n")))
+        mean_b = (F.col("__s").cast("decimal(28,6)").cast("double")
+                  / F.col("__n").cast("double"))
+        wr = Window.partitionBy(*ks).orderBy(
+            F.col("__m"), F.col("__b"))
+        ranked = (rs.where(F.col("__n") > 0)
+                  .withColumn("__m", mean_b)
+                  .withColumn("__r", F.row_number().over(wr)))
+        ci = (ranked.groupBy(*ks)
+              .agg(F.max(F.when(F.col("__r") == lo_rank,
+                                F.col("__m"))).alias("__lo"),
+                   F.max(F.when(F.col("__r") == hi_rank,
+                                F.col("__m"))).alias("__hi")))
+        full = (base.groupBy(*ks)
+                .agg((F.sum("__xd").cast("decimal(28,6)")
+                      .cast("double")
+                      / F.count(F.lit(1)).cast("double"))
+                     .alias("__mean"),
+                     F.count(F.lit(1)).cast("long").alias("n")))
+        out = ((full.join(ci, ks) if ks else full.crossJoin(ci))
+               .select(*ks,
+                       F.round("__mean", 9).alias("mean"),
+                       F.round("__lo", 9).alias("ci_lo"),
+                       F.round("__hi", 9).alias("ci_hi"),
+                       "n", F.lit(B).alias("b_resamples")))
+        return pcoll.with_df(out)
+
+
 class ChangepointBinSeg(PTransform):
     """Mean-shift changepoint detection by binary segmentation
     (Scott & Knott 1974; the CUSUM-location complement — CUSUM says

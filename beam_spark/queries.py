@@ -10593,6 +10593,63 @@ def q_text_kn_perplexity(spark, sf_dir):
     return out.select("doc_id", "n_events", "nll", "ppl")
 
 
+@query("q_stats_bootstrap_ci", """
+WITH base AS (SELECT event_type AS k, event_id AS id,
+                CAST(CAST(value AS DOUBLE) AS DECIMAL(16,9)) AS xd
+              FROM events WHERE value IS NOT NULL),
+drawn AS (
+  SELECT k, xd, b,
+    CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || ':'
+                         || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 1000000 AS uu
+  FROM base, (SELECT unnest(range(0, 100)) AS b) u),
+weighted AS (
+  SELECT k, b, xd,
+    CASE WHEN uu < 367879 THEN 0 WHEN uu < 735758 THEN 1
+         WHEN uu < 919698 THEN 2 WHEN uu < 981011 THEN 3
+         WHEN uu < 996340 THEN 4 WHEN uu < 999405 THEN 5
+         WHEN uu < 999916 THEN 6 WHEN uu < 999989 THEN 7
+         WHEN uu < 999998 THEN 8 ELSE 9 END AS w
+  FROM drawn),
+rs AS (SELECT k, b, sum(xd * w) AS s, CAST(sum(w) AS BIGINT) AS n
+       FROM weighted GROUP BY 1, 2),
+ranked AS (SELECT k, b,
+             CAST(CAST(s AS DECIMAL(28,6)) AS DOUBLE)
+               / CAST(n AS DOUBLE) AS m,
+             row_number() OVER (PARTITION BY k
+               ORDER BY CAST(CAST(s AS DECIMAL(28,6)) AS DOUBLE)
+                        / CAST(n AS DOUBLE), b) AS r
+           FROM rs WHERE n > 0),
+ci AS (SELECT k, max(CASE WHEN r = 3 THEN m END) AS lo,
+              max(CASE WHEN r = 98 THEN m END) AS hi
+       FROM ranked GROUP BY 1),
+fl AS (SELECT k,
+           CAST(CAST(sum(xd) AS DECIMAL(28,6)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS mean,
+           CAST(count(*) AS BIGINT) AS n
+         FROM base GROUP BY 1)
+SELECT f.k AS event_type, round(f.mean, 9) AS mean,
+       round(c.lo, 9) AS ci_lo, round(c.hi, 9) AS ci_hi, f.n,
+       CAST(100 AS INT) AS b_resamples
+FROM fl f JOIN ci c ON c.k = f.k
+""")
+def q_stats_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap 95% CI of the mean event value per event
+    type (B=100) — hash-deterministic Poisson(1) weights from
+    integer-grid inverse-CDF thresholds, exact decimal resample
+    sums (scale-6 quantized), exact order-statistic percentiles;
+    DuckDB replays every draw."""
+    from beam_spark.operators.stats import BootstrapCI
+
+    ev = table(spark, sf_dir, "events").df.selectExpr(
+        "event_type", "event_id", "value")
+    out = (PCollection(ev)
+           | BootstrapCI("value", id_col="event_id", b=100,
+                         alpha=0.05, keys="event_type")).df
+    return out.select("event_type", "mean", "ci_lo", "ci_hi", "n",
+                      "b_resamples")
+
+
 def _binseg_oracle_sql(rounds: int = 2, min_size: int = 3) -> str:
     """Chained-CTE replay of ChangepointBinSeg on the user_id%10
     events slice: per round, segment-windowed decimal prefix sums,

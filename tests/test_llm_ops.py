@@ -4642,3 +4642,31 @@ def test_changepoint_binseg_hand_checked(spark):
         ChangepointBinSeg("v", keys="k", order_by="i", k=0)
     with pytest.raises(ValueError):
         ChangepointBinSeg("v", keys="k", order_by="i", min_size=0)
+
+
+def test_bootstrap_ci_semantics(spark):
+    """The percentile CI brackets the sample mean on well-behaved
+    data; a 10x larger sample yields a tighter interval; weights are
+    deterministic (two runs identical); validation fails fast."""
+    import pytest
+
+    from beam_spark.operators.stats import BootstrapCI
+    from beam_spark.pcollection import PCollection
+
+    small = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(60)], "id long, v double")
+    big = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(600)], "id long, v double")
+    r1 = (PCollection(small)
+          | BootstrapCI("v", id_col="id", b=100)).df.collect()[0]
+    r2 = (PCollection(small)
+          | BootstrapCI("v", id_col="id", b=100)).df.collect()[0]
+    assert r1 == r2                                  # deterministic
+    assert r1.ci_lo <= r1.mean <= r1.ci_hi
+    rb = (PCollection(big)
+          | BootstrapCI("v", id_col="id", b=100)).df.collect()[0]
+    assert (rb.ci_hi - rb.ci_lo) < (r1.ci_hi - r1.ci_lo)
+    with pytest.raises(ValueError):
+        BootstrapCI("v", id_col="id", b=5)
+    with pytest.raises(ValueError):
+        BootstrapCI("v", id_col="id", alpha=0.0)
