@@ -944,7 +944,26 @@ def q_approx_sketches(spark, sf_dir):
                           "CAST(100 AS DOUBLE) AS expected",
                           "n = 100 AND n_in_source = 100 AS ok"))
 
-    return _union([approx_distinct, approx_q, hll, sample])
+    # r13 fold: DDSketch per-type quantiles as verdict rows — the
+    # estimate must sit within 3% of the exact quantile (alpha=0.01
+    # guarantee + interpolation slack; measured max 1.2%)
+    dd = _component("q_stats_ddsketch_quantiles")(spark, sf_dir)
+    exq = ev.df.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.25, 0.5, 0.95))")
+        .alias("eq"))
+    ddsketch = (dd.join(exq, "event_type")
+                .selectExpr(
+                    "'ddsketch' AS op",
+                    "event_type || '@' || CAST(q AS STRING) AS k",
+                    "CAST(CASE q WHEN 0.25 THEN eq[0] "
+                    "WHEN 0.5 THEN eq[1] ELSE eq[2] END AS DOUBLE)"
+                    " AS expected",
+                    "abs(estimate - CASE q WHEN 0.25 THEN eq[0] "
+                    "WHEN 0.5 THEN eq[1] ELSE eq[2] END) "
+                    "<= 0.03 * CASE q WHEN 0.25 THEN eq[0] "
+                    "WHEN 0.5 THEN eq[1] ELSE eq[2] END AS ok"))
+
+    return _union([approx_distinct, approx_q, hll, sample, ddsketch])
 
 
 _APPROX_SQL = "\nUNION ALL\n".join(
@@ -958,7 +977,11 @@ FROM events""" for p in ("0.25", "0.5", "0.75")]
        CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS expected, TRUE AS ok
 FROM events""",
        "SELECT 'sample' AS op, '' AS k, CAST(100 AS DOUBLE) AS expected, "
-       "TRUE AS ok"])
+       "TRUE AS ok"]
+    + [f"""SELECT 'ddsketch' AS op, event_type || '@{p}' AS k,
+       CAST(quantile_cont(value, {p}) AS DOUBLE) AS expected, TRUE AS ok
+FROM events WHERE value IS NOT NULL GROUP BY event_type"""
+       for p in ("0.25", "0.5", "0.95")])
 
 
 # --------------------------------------------------------------------------

@@ -189,6 +189,91 @@ def _tdigest_quantile(means, weights, q: float) -> float:
     return float(m[i] + frac * (m[i + 1] - m[i]))
 
 
+class DdSketchQuantiles(PTransform):
+    """DDSketch quantiles (Masson, Rim & Lee, VLDB 2019) — the
+    RELATIVE-error mergeable quantile sketch (t-digest bounds rank
+    error; DDSketch guarantees |est - true| <= alpha * true, which is
+    what latency/price distributions want). The sketch is just a
+    log-bucket histogram, so in Spark it degenerates to one groupBy:
+
+        gamma  = (1 + alpha) / (1 - alpha)
+        bucket = ceil(ln(x) / ln(gamma))          (x > 0)
+        est(q) = 2 * gamma^b / (gamma + 1),  b = first bucket whose
+                 cumulative count > floor(q * (n - 1))
+
+    Merge-safety is inherent (bucket counts add), so partial
+    aggregation and any partitioning give identical sketches.
+    ln(gamma) is precomputed DRIVER-side and shipped as a literal —
+    both engines then divide by the identical double instead of each
+    taking libm ln of gamma. Rows with x <= 0 are excluded from the
+    sketch (DDSketch stores them out-of-band) and reported in
+    ``n_nonpos``.
+
+    Output: (keys..., q, estimate round 6, n, n_nonpos) — one row
+    per key per requested quantile.
+    """
+
+    def __init__(self, col: str, quantiles=(0.5, 0.95, 0.99),
+                 alpha: float = 0.01, keys=(), label=None):
+        super().__init__(label)
+        self.col = col
+        self.quantiles = [float(q) for q in quantiles]
+        if not self.quantiles or not all(
+                0.0 < q < 1.0 for q in self.quantiles):
+            raise ValueError("quantiles must be in (0, 1)")
+        self.alpha = float(alpha)
+        if not 0.0 < self.alpha < 1.0:
+            raise ValueError(f"alpha {alpha} outside (0, 1)")
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def expand(self, pcoll):
+        import math
+
+        from pyspark.sql import Window
+
+        c, ks = self.col, self.keys
+        gamma = (1.0 + self.alpha) / (1.0 - self.alpha)
+        lgam = math.log(gamma)
+        g1 = gamma + 1.0
+        base = pcoll.df.where(F.col(c).isNotNull()).select(
+            *ks, F.col(c).cast("double").alias("__x"))
+        nonpos = (base.groupBy(*ks)
+                  .agg(F.sum(F.when(F.col("__x") <= 0.0, 1)
+                             .otherwise(0)).cast("long")
+                       .alias("n_nonpos")))
+        counts = (base.where(F.col("__x") > 0.0)
+                  .groupBy(*ks,
+                           F.ceil(F.log("__x") / F.lit(lgam))
+                           .cast("long").alias("__b"))
+                  .agg(F.count(F.lit(1)).cast("long").alias("__c")))
+        w_cum = (Window.partitionBy(*ks).orderBy("__b")
+                 .rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow))
+        w_tot = Window.partitionBy(*ks)
+        cum = counts.select(
+            *ks, "__b",
+            F.sum("__c").over(w_cum).alias("__cum"),
+            F.sum("__c").over(w_tot).alias("__n"))
+        qs = F.explode(F.array(*[F.lit(q) for q in self.quantiles]))
+        cand = (cum.select(*ks, "__b", "__cum", "__n",
+                           qs.alias("q"))
+                .where(F.col("__cum").cast("double")
+                       > F.floor(F.col("q")
+                                 * (F.col("__n") - 1).cast("double"))
+                       .cast("double"))
+                .groupBy(*ks, "q")
+                .agg(F.min("__b").alias("__bs"),
+                     F.max("__n").alias("n")))
+        est = (F.lit(2.0) * F.pow(F.lit(gamma), F.col("__bs"))
+               / F.lit(g1))
+        sel = cand.select(*ks, "q", F.round(est, 6).alias("estimate"),
+                          F.col("n").cast("long").alias("n"))
+        out = (sel.join(nonpos, ks) if ks
+               else sel.crossJoin(nonpos))
+        return pcoll.with_df(out.select(
+            *ks, "q", "estimate", "n", "n_nonpos"))
+
+
 class TDigestQuantiles(PTransform):
     """Distributed, mergeable t-digest quantiles.
 

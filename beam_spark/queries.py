@@ -10593,6 +10593,54 @@ def q_text_kn_perplexity(spark, sf_dir):
     return out.select("doc_id", "n_events", "nll", "ppl")
 
 
+@query("q_stats_ddsketch_quantiles", """
+WITH base AS (SELECT event_type AS k, CAST(value AS DOUBLE) AS x
+              FROM events WHERE value IS NOT NULL),
+np AS (SELECT k, CAST(sum(CASE WHEN x <= 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_nonpos
+       FROM base GROUP BY 1),
+cnt AS (SELECT k,
+          CAST(ceil(ln(x) / CAST('0.020000666706669435' AS DOUBLE))
+               AS BIGINT) AS b,
+          CAST(count(*) AS BIGINT) AS c
+        FROM base WHERE x > 0 GROUP BY 1, 2),
+cum AS (SELECT k, b,
+          CAST(sum(c) OVER (PARTITION BY k ORDER BY b
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum,
+          CAST(sum(c) OVER (PARTITION BY k) AS BIGINT) AS n
+        FROM cnt),
+cand AS (SELECT k, qq.q, min(b) AS bs, max(n) AS n
+         FROM cum, (SELECT unnest([CAST(0.25 AS DOUBLE),
+                                   CAST(0.5 AS DOUBLE),
+                                   CAST(0.95 AS DOUBLE)]) AS q) qq
+         WHERE CAST(cum AS DOUBLE)
+               > CAST(floor(qq.q * CAST(n - 1 AS DOUBLE)) AS DOUBLE)
+         GROUP BY 1, 2)
+SELECT c.k AS event_type, c.q,
+       round(CAST(2 AS DOUBLE)
+             * power(CAST('1.02020202020202' AS DOUBLE), bs)
+             / CAST('2.02020202020202' AS DOUBLE), 6) AS estimate,
+       c.n, np.n_nonpos
+FROM cand c JOIN np ON np.k = c.k
+""")
+def q_stats_ddsketch_quantiles(spark, sf_dir):
+    """DDSketch relative-error quantiles (alpha=0.01) of event value
+    per event type — one log-bucket groupBy, cumulative window, first
+    bucket past the rank target; ln(gamma) precomputed driver-side
+    and shipped to BOTH engines as a string-parsed literal (bare
+    17-digit numerics parse as >2^53-unscaled decimals); estimate
+    round 6."""
+    from beam_spark.operators.stats import DdSketchQuantiles
+
+    ev = table(spark, sf_dir, "events").df.selectExpr(
+        "event_type", "value")
+    out = (PCollection(ev)
+           | DdSketchQuantiles("value", quantiles=(0.25, 0.5, 0.95),
+                               alpha=0.01, keys="event_type")).df
+    return out.select("event_type", "q", "estimate", "n", "n_nonpos")
+
+
 @query("q_stats_bootstrap_ci", """
 WITH base AS (SELECT event_type AS k, event_id AS id,
                 CAST(CAST(value AS DOUBLE) AS DECIMAL(16,9)) AS xd

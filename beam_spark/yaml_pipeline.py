@@ -585,6 +585,15 @@ def _kn_perplexity(t, current, named, pipeline):
     return current | KneserNeyPerplexity(train, **kwargs)
 
 
+@register_yaml_transform("DdSketchQuantiles")
+def _ddsketch(t, current, named, pipeline):
+    from beam_spark.operators.stats import DdSketchQuantiles
+
+    kwargs = {k: v for k, v in t.items()
+              if k not in ("type", "name", "input")}
+    return current | DdSketchQuantiles(**kwargs)
+
+
 @register_yaml_transform("BootstrapCI")
 def _bootstrap_ci(t, current, named, pipeline):
     from beam_spark.operators.stats import BootstrapCI

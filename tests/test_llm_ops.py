@@ -4670,3 +4670,32 @@ def test_bootstrap_ci_semantics(spark):
         BootstrapCI("v", id_col="id", b=5)
     with pytest.raises(ValueError):
         BootstrapCI("v", id_col="id", alpha=0.0)
+
+
+def test_ddsketch_relative_error_guarantee(spark):
+    """The DDSketch estimate is within alpha relative error of the
+    EXACT quantile on a lognormal-ish spread; zeros/negatives are
+    excluded and counted; validation fails fast."""
+    import pytest
+
+    from beam_spark.operators.stats import DdSketchQuantiles
+    from beam_spark.pcollection import PCollection
+
+    vals = [float(2 ** (i % 13)) + i * 0.001 for i in range(1, 400)]
+    rows = [(v,) for v in vals] + [(0.0,), (-5.0,), (None,)]
+    df = spark.createDataFrame(rows, "v double")
+    out = {r.q: r for r in
+           (PCollection(df) | DdSketchQuantiles(
+               "v", quantiles=(0.5, 0.95), alpha=0.02)).df.collect()}
+    import statistics
+    sv = sorted(vals)
+    for q in (0.5, 0.95):
+        exact = sv[int(q * (len(sv) - 1))]
+        est = out[q].estimate
+        assert abs(est - exact) <= 0.021 * exact, (q, est, exact)
+        assert out[q].n == len(vals)
+        assert out[q].n_nonpos == 2
+    with pytest.raises(ValueError):
+        DdSketchQuantiles("v", quantiles=(1.5,))
+    with pytest.raises(ValueError):
+        DdSketchQuantiles("v", alpha=0.0)
