@@ -287,6 +287,76 @@ class HashStrings(PTransform):
             self.out_col, F.pmod(F.xxhash64(self.col), F.lit(self.n))))
 
 
+class FeatureHasher(PTransform):
+    """The hashing trick (Weinberger et al., ICML 2009) — project
+    arbitrary categorical feature columns into a FIXED-dimension
+    signed count vector without a vocabulary pass (the
+    dictionary-free featurizer sklearn ships as FeatureHasher and
+    Vowpal Wabbit is built on):
+
+        for each column c with non-NULL value v:
+            h    = md5(c || '=' || v)
+            idx  = int(h[0:8])  % n_features
+            sign = 1 - 2 * (int(h[8]) % 2)
+        vector[i] = sum of sign over features hashing to i
+
+    The signed sum keeps collisions unbiased (E[dot] preserved — the
+    paper's point). md5, not xxhash: the hash must be replayable in
+    the oracle engine. Zero-shuffle: idx/sign are projected once per
+    column, the vector is a pure expression — ``n_features`` is
+    capped because each output cell is one expression term.
+
+    Output: input columns + ``out_col`` array<double> of length
+    ``n_features``.
+    """
+
+    MAX_FEATURES = 256
+
+    def __init__(self, cols, n_features: int = 32,
+                 out_col: str = "hashed", label=None):
+        super().__init__(label)
+        self.cols = [cols] if isinstance(cols, str) else list(cols)
+        if not self.cols:
+            raise ValueError("need at least one column")
+        self.n_features = int(n_features)
+        if not 2 <= self.n_features <= self.MAX_FEATURES:
+            raise ValueError(
+                f"n_features {n_features} outside "
+                f"[2, {self.MAX_FEATURES}]")
+        self.out_col = out_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        d = self.n_features
+        tmp = pcoll.df
+        idx_cols, sign_cols = [], []
+        for j, c in enumerate(self.cols):
+            idx = F.expr(
+                f"CAST(conv(substring(md5('{c}=' || "
+                f"CAST({c} AS STRING)), 1, 8), 16, 10) AS BIGINT) "
+                f"% {d}")
+            sign = (F.lit(1) - F.lit(2) * F.expr(
+                f"CAST(conv(substring(md5('{c}=' || "
+                f"CAST({c} AS STRING)), 9, 1), 16, 10) AS BIGINT) "
+                f"% 2"))
+            ic, sc = f"__fh_i{j}", f"__fh_s{j}"
+            tmp = (tmp.withColumn(ic, idx)
+                   .withColumn(sc, sign))
+            idx_cols.append(ic)
+            sign_cols.append(sc)
+        cells = []
+        for i in range(d):
+            term = None
+            for ic, sc in zip(idx_cols, sign_cols):
+                t = F.when(F.col(ic) == i,
+                           F.col(sc)).otherwise(F.lit(0))
+                t = F.coalesce(t, F.lit(0))      # NULL value -> 0
+                term = t if term is None else term + t
+            cells.append(term.cast("double"))
+        out = (tmp.withColumn(self.out_col, F.array(*cells))
+               .drop(*idx_cols, *sign_cols))
+        return pcoll.with_df(out)
+
+
 class TFIDF(PTransform):
     """tft.TFIDF: per (doc, term) tf-idf scores.
 

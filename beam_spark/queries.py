@@ -10593,6 +10593,45 @@ def q_text_kn_perplexity(spark, sf_dir):
     return out.select("doc_id", "n_events", "nll", "ppl")
 
 
+@query("q_ml_feature_hasher", """
+WITH base AS (SELECT doc_id, lang,
+                     CAST(n_chars % 10 AS BIGINT) AS bucket
+              FROM documents),
+h AS (SELECT doc_id,
+        CAST(('0x' || substr(md5('lang=' || CAST(lang AS VARCHAR)),
+                             1, 8)) AS BIGINT) % 16 AS i1,
+        1 - 2 * (CAST(('0x' || substr(md5('lang='
+                 || CAST(lang AS VARCHAR)), 9, 1)) AS BIGINT) % 2)
+          AS s1,
+        CAST(('0x' || substr(md5('bucket='
+             || CAST(bucket AS VARCHAR)), 1, 8)) AS BIGINT) % 16
+          AS i2,
+        1 - 2 * (CAST(('0x' || substr(md5('bucket='
+                 || CAST(bucket AS VARCHAR)), 9, 1)) AS BIGINT) % 2)
+          AS s2
+      FROM base)
+SELECT doc_id,
+       list_transform(range(0, 16), i ->
+         CAST(coalesce(CASE WHEN i1 = i THEN s1 ELSE 0 END, 0)
+              + coalesce(CASE WHEN i2 = i THEN s2 ELSE 0 END, 0)
+              AS DOUBLE)) AS hashed
+FROM h
+""")
+def q_ml_feature_hasher(spark, sf_dir):
+    """Hashing-trick featurization of (lang, n_chars%10) into a
+    16-dim signed count vector — md5-derived index/sign per feature
+    (replayable, unlike xxhash), signed sums keep collisions
+    unbiased; DuckDB rebuilds the identical vectors via a
+    range/list_transform lambda."""
+    from beam_spark.ml.transforms import FeatureHasher
+
+    docs = table(spark, sf_dir, "documents").df.selectExpr(
+        "doc_id", "lang", "CAST(n_chars % 10 AS BIGINT) AS bucket")
+    out = (PCollection(docs)
+           | FeatureHasher(["lang", "bucket"], n_features=16)).df
+    return out.select("doc_id", "hashed")
+
+
 @query("q_stats_ddsketch_quantiles", """
 WITH base AS (SELECT event_type AS k, CAST(value AS DOUBLE) AS x
               FROM events WHERE value IS NOT NULL),

@@ -585,6 +585,15 @@ def _kn_perplexity(t, current, named, pipeline):
     return current | KneserNeyPerplexity(train, **kwargs)
 
 
+@register_yaml_transform("FeatureHasher")
+def _feature_hasher(t, current, named, pipeline):
+    from beam_spark.ml.transforms import FeatureHasher
+
+    kwargs = {k: v for k, v in t.items()
+              if k not in ("type", "name", "input")}
+    return current | FeatureHasher(**kwargs)
+
+
 @register_yaml_transform("DdSketchQuantiles")
 def _ddsketch(t, current, named, pipeline):
     from beam_spark.operators.stats import DdSketchQuantiles
