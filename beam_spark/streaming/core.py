@@ -801,15 +801,25 @@ class ContinuousAggregate(PTransform):
     @staticmethod
     def _pair_cond(pairs):
         """One partition-prunable predicate over exact (granularity,
-        bucket_start) pairs. Both are partition columns, so the OR of
-        equality conjunctions prunes statically — no sibling
-        granularity sharing an epoch is ever read or rewritten."""
+        bucket_start) pairs. Grouped as per-granularity IN lists —
+        an ``In`` expression holds its values as a FLAT child list,
+        so a batch touching thousands of buckets compiles to a few
+        shallow nodes (the original per-pair OR chain was left-deep
+        recursion and overflowed the JVM stack past ~3k pairs —
+        found running the timeseries example at sf0.01, where one
+        catch-up batch touches every hourly bucket). Equality +
+        IN on the two partition columns both prune statically."""
         import functools
         import operator
+        from collections import defaultdict
 
+        by_g = defaultdict(list)
+        for g, b in pairs:
+            by_g[g].append(b)
         return functools.reduce(operator.or_, [
-            (F.col("granularity") == g) & (F.col("bucket_start") == b)
-            for g, b in pairs])
+            (F.col("granularity") == g)
+            & F.col("bucket_start").isin(bs)
+            for g, bs in by_g.items()])
 
     def _upsert(self, batch_df, batch_id):
         from beam_spark.operators.group import TimeRollup

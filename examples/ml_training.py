@@ -72,6 +72,26 @@ def main(sf_dir: str) -> None:
            | IsotonicCalibration("score", "label_int")).df
     print("== isotonic calibration (first rows) ==")
     iso.orderBy("score").show(8)
+
+    # 5. Regression head: gradient-boosted stumps predicting scaled
+    #    price from the same quantized features (3 rounds, lr 0.5)
+    from beam_spark.ml.gbm import GradientBoostedStumps
+
+    reg = lineitem.selectExpr(
+        "CAST(l_extendedprice AS DOUBLE) / 65536 AS y",
+        "CAST(l_quantity AS DOUBLE) AS x1",
+        "CAST(l_discount AS DOUBLE) AS x2",
+        "CAST(l_tax AS DOUBLE) AS x3")
+    gbm = GradientBoostedStumps(["x1", "x2", "x3"], "y",
+                                rounds=3, lr=0.5)
+    model = (PCollection(reg) | gbm).df
+    print("== boosted-stump model ==")
+    model.show(truncate=False)
+    sse = reg.select(
+        F.avg(F.pow(F.col("y") - gbm.prediction_column(), 2))
+        .alias("mse"))
+    print("== in-sample MSE ==")
+    sse.show()
     spark.stop()
 
 

@@ -72,6 +72,30 @@ def main(sf_dir="/root/testdata/sf0.001"):
     print(f"-- streaming-maintained table vs batch rollup: "
           f"{'EQUAL' if diff == 0 else f'{diff} rows differ'} --")
     assert diff == 0
+
+    # 4. per-user state-space smoothing + structural breaks +
+    #    relative-error latency-style quantiles (round-13 family)
+    from beam_spark.operators.stats import (ChangepointBinSeg,
+                                            DdSketchQuantiles,
+                                            KalmanLocalLevel)
+
+    kal = (PCollection(ev.where("user_id % 100 = 0"))
+           | KalmanLocalLevel("value", keys="user_id",
+                              order_by=["ts", "event_id"])).df
+    print("== Kalman local-level (sample) ==")
+    kal.orderBy("user_id", "event_id").show(5)
+
+    cps = (PCollection(ev.where("user_id % 100 = 0"))
+           | ChangepointBinSeg("value", keys="user_id",
+                               order_by=["ts", "event_id"], k=2)).df
+    print("== mean-shift changepoints ==")
+    cps.orderBy("user_id", "cp_round").show(5)
+
+    dd = (PCollection(ev)
+          | DdSketchQuantiles("value", quantiles=(0.5, 0.95, 0.99),
+                              keys="event_type")).df
+    print("== DDSketch quantiles (1% relative error) ==")
+    dd.orderBy("event_type", "q").show()
     spark.stop()
 
 

@@ -1138,3 +1138,28 @@ def test_streaming_scoring_with_trained_models(spark):
     pc = scored | WriteStreamToMemory(output_mode="append")
     rows = {r["id"]: r["p"] for r in pc.collect()}
     assert rows[1] > 0.5 > rows[2]
+
+
+def test_continuous_aggregate_pair_cond_scales_past_jvm_stack(spark):
+    """Round-13 regression: a catch-up batch touching thousands of
+    (granularity, bucket) pairs must compile to a flat IN predicate —
+    the per-pair OR chain overflowed the JVM stack past ~3k pairs
+    (java.lang.StackOverflowError in Catalyst's left-deep recursion,
+    found running examples/timeseries_rollup.py at sf0.01)."""
+    import datetime
+
+    from beam_spark.streaming.core import ContinuousAggregate
+
+    pairs = [("hour", datetime.datetime(2024, 1, 1)
+              + datetime.timedelta(hours=i)) for i in range(4000)] \
+        + [("day", datetime.datetime(2024, 1, 1)
+            + datetime.timedelta(days=i)) for i in range(200)]
+    cond = ContinuousAggregate._pair_cond(pairs)
+    df = spark.createDataFrame(
+        [("hour", datetime.datetime(2024, 1, 1), 1),
+         ("hour", datetime.datetime(2030, 1, 1), 2),
+         ("day", datetime.datetime(2024, 1, 5), 3),
+         ("week", datetime.datetime(2024, 1, 1), 4)],
+        "granularity string, bucket_start timestamp, v int")
+    got = {r.v for r in df.filter(cond).collect()}   # no stack overflow
+    assert got == {1, 3}
