@@ -429,6 +429,21 @@ def q_stats_moments(spark, sf_dir):
             "CAST(n_ref AS DOUBLE) AS v2", "CAST(n_cur AS DOUBLE) AS v3",
             "CAST(drifted AS DOUBLE) AS v4")
 
+    def _bootci_slice():
+        # reduced variant: the Poisson bootstrap explodes B=100 draws
+        # per row (12s at sf0.1 full — the registry's heaviest
+        # component), so the gate runs the user_id%10 slice; the full
+        # version stays component-oracled
+        from beam_spark.operators.stats import BootstrapCI
+        ev = table(spark, sf_dir, "events").df.where(
+            "user_id % 10 = 0").selectExpr(
+            "event_type", "event_id", "value")
+        return (_PC(ev) | BootstrapCI(
+            "value", id_col="event_id", b=100, alpha=0.05,
+            keys="event_type")).df.selectExpr(
+            "'bootci' AS op", "event_type AS k", "mean AS v1",
+            "ci_lo AS v2", "ci_hi AS v3", "CAST(n AS DOUBLE) AS v4")
+
     def _seasonal():
         # reduced variant: user_id % 10 slice (identical windows and
         # phase means, 10x fewer series — the q_graph_*_links
@@ -539,9 +554,7 @@ def q_stats_moments(spark, sf_dir):
         # Welch-on-adjusted + MWU + SRM in one lineage)
         _tagged("q_pipeline_ab_analysis",
                 "'ab_' || op AS op", "k", "v1", "v2", "v3", "v4"),
-        _tagged("q_stats_bootstrap_ci",
-                "'bootci' AS op", "event_type AS k", "mean AS v1",
-                "ci_lo AS v2", "ci_hi AS v3", "CAST(n AS DOUBLE) AS v4"),
+        _bootci_slice,
         _tagged("q_survival_log_rank",
                 "'logrank' AS op", "'even_vs_odd' AS k", "z AS v1",
                 "chi2 AS v2", "CAST(events_a AS DOUBLE) AS v3",
@@ -637,7 +650,10 @@ _STATS_MOMENTS_SQL = "\nUNION ALL\n".join([
           _component_sql("q_pipeline_ab_analysis")),
     _wrap("'bootci' AS op, event_type AS k, mean AS v1, ci_lo AS v2, "
           "ci_hi AS v3, CAST(n AS DOUBLE) AS v4",
-          _component_sql("q_stats_bootstrap_ci")),
+          _component_sql("q_stats_bootstrap_ci").replace(
+              "FROM events WHERE value IS NOT NULL",
+              "FROM events WHERE user_id % 10 = 0 "
+              "AND value IS NOT NULL")),
     _wrap("'logrank' AS op, 'even_vs_odd' AS k, z AS v1, chi2 AS v2, "
           "CAST(events_a AS DOUBLE) AS v3, "
           "CAST(events_b AS DOUBLE) AS v4",
