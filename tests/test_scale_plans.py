@@ -683,3 +683,78 @@ def test_covariance_shuffles_summary_cells_not_rows(spark, sf_dir):
     assert "SortMergeJoin" not in plan       # cell joins are tiny -> broadcast
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan or \
         "mapInPandas" in plan.lower()
+
+
+def test_cep_batch_plan_one_shuffle_batched_python(spark, sf_dir):
+    """Round-13 CEP rewrite plan pin: the batch path is ONE
+    key-repartition exchange + an in-partition sort + mapInPandas —
+    no per-group applyInPandas (FlatMapGroupsInPandas) and no second
+    exchange."""
+    from beam_spark.operators.cep import MatchRecognize, vectorized
+    from beam_spark.pcollection import PCollection
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = (PCollection(ev) | MatchRecognize(
+        partition_by="user_id", order_by=["ts", "event_id"],
+        pattern=[("V", "+"), ("P", "1")],
+        defines={"V": vectorized(lambda p: p["event_type"] == "view"),
+                 "P": vectorized(
+                     lambda p: p["event_type"] == "purchase")},
+        measures={"n_views": lambda m: sum(1 for s, _ in m
+                                           if s == "V")},
+        output_schema="user_id long, n_views long")).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange") == 1          # the key repartition
+
+
+def test_dbscan_plan_single_pair_join_no_cartesian(spark, sf_dir):
+    """Grid DBSCAN's pair stage is ONE equi-join on cell keys —
+    never a cartesian/broadcast-nested-loop product."""
+    from beam_spark.operators.similarity import DbscanClusters
+    from beam_spark.pcollection import PCollection
+
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .selectExpr("c_custkey AS id",
+                        "CAST(c_acctbal AS DOUBLE) / 1000 AS x",
+                        "CAST(c_nationkey AS DOUBLE) AS y"))
+    out = (PCollection(cust)
+           | DbscanClusters(["x", "y"], eps=0.25, min_pts=3)).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_feature_hasher_zero_shuffle(spark, sf_dir):
+    """The hashing trick is a pure projection: no Exchange in the
+    plan."""
+    from beam_spark.ml.transforms import FeatureHasher
+    from beam_spark.pcollection import PCollection
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .selectExpr("doc_id", "lang",
+                        "CAST(n_chars % 10 AS BIGINT) AS bucket"))
+    out = (PCollection(docs)
+           | FeatureHasher(["lang", "bucket"], n_features=16)).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_ddsketch_plan_no_raw_row_window(spark, sf_dir):
+    """DDSketch windows run over the BUCKET frame (post-groupBy), not
+    the raw rows: the scan side of the plan has exactly one
+    aggregate pair before any Window."""
+    from beam_spark.operators.stats import DdSketchQuantiles
+    from beam_spark.pcollection import PCollection
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = (PCollection(ev)
+           | DdSketchQuantiles("value", keys="event_type")).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # the window's child chain contains a HashAggregate (bucket
+    # histogram) — a Window directly over the FileScan would mean
+    # per-row sorting of the raw frame
+    w_ix = plan.index("Window")
+    assert "HashAggregate" in plan[w_ix:]
