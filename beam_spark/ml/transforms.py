@@ -330,14 +330,15 @@ class FeatureHasher(PTransform):
         tmp = pcoll.df
         idx_cols, sign_cols = [], []
         for j, c in enumerate(self.cols):
-            idx = F.expr(
-                f"CAST(conv(substring(md5('{c}=' || "
-                f"CAST({c} AS STRING)), 1, 8), 16, 10) AS BIGINT) "
-                f"% {d}")
-            sign = (F.lit(1) - F.lit(2) * F.expr(
-                f"CAST(conv(substring(md5('{c}=' || "
-                f"CAST({c} AS STRING)), 9, 1), 16, 10) AS BIGINT) "
-                f"% 2"))
+            # backtick-quote the column (names with spaces/dots) and
+            # build the key from Column API, not f-string SQL
+            key = F.md5(F.concat(F.lit(c + "="),
+                                 F.col(c).cast("string")))
+            idx = F.conv(F.substring(key, 1, 8), 16, 10) \
+                   .cast("bigint") % F.lit(d)
+            sign = (F.lit(1) - F.lit(2)
+                    * (F.conv(F.substring(key, 9, 1), 16, 10)
+                       .cast("bigint") % F.lit(2)))
             ic, sc = f"__fh_i{j}", f"__fh_s{j}"
             tmp = (tmp.withColumn(ic, idx)
                    .withColumn(sc, sign))

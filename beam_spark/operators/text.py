@@ -648,13 +648,25 @@ class KneserNeyPerplexity(PTransform):
                              .agg(F.countDistinct("w").cast("long")
                                   .alias("V"))))
 
+        first = consts.first()
+        if first is None or not first["B"]:
+            raise ValueError(
+                "KneserNeyPerplexity: train corpus has no bigrams "
+                "(empty, all-NULL text, or single-token docs) — "
+                "scoring against an empty model would silently yield "
+                "NaN probabilities")
         te = tok(pcoll.df)
         teb = self._bigrams(te, idc)
         D = F.lit(d)
+        # the fail-fast probe above already materialized the 1-row
+        # model constants — ride them as literals instead of
+        # recomputing the aggregates inside the scoring job
         j = (teb.join(cab, ["w1", "w2"], "left")
              .join(ctx, "w1", "left")
              .join(cont, "w2", "left")
-             .crossJoin(F.broadcast(consts)))
+             .withColumn("B", F.lit(int(first["B"])))
+             .withColumn("Vc", F.lit(int(first["Vc"])))
+             .withColumn("V", F.lit(int(first["V"]))))
         b_d = F.col("B").cast("double")
         p1 = (F.greatest(F.coalesce(F.col("n1p"), F.lit(0))
                          .cast("double") - D, F.lit(0.0)) / b_d

@@ -4699,3 +4699,22 @@ def test_ddsketch_relative_error_guarantee(spark):
         DdSketchQuantiles("v", quantiles=(1.5,))
     with pytest.raises(ValueError):
         DdSketchQuantiles("v", alpha=0.0)
+
+
+def test_kneser_ney_empty_train_fails_fast(spark):
+    """Round-13 polish: an empty / bigram-less train corpus raises
+    instead of silently scoring NaN probabilities."""
+    import pytest
+
+    from beam_spark.operators.text import KneserNeyPerplexity
+    from beam_spark.pcollection import PCollection
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    single = spark.createDataFrame([(1, "word")],
+                                   "doc_id long, text string")
+    test = spark.createDataFrame([(2, "a b")],
+                                 "doc_id long, text string")
+    with pytest.raises(ValueError, match="no bigrams"):
+        (PCollection(test) | KneserNeyPerplexity(empty)).df
+    with pytest.raises(ValueError, match="no bigrams"):
+        (PCollection(test) | KneserNeyPerplexity(single)).df

@@ -717,3 +717,16 @@ def test_feature_hasher_properties(spark):
         FeatureHasher([], n_features=8)
     with pytest.raises(ValueError):
         FeatureHasher("a", n_features=1)
+
+
+def test_feature_hasher_odd_column_names(spark):
+    """Round-13 polish: column names that are not SQL identifiers
+    (spaces) must work — the hash key is built via the Column API,
+    not interpolated SQL."""
+    from beam_spark.ml.transforms import FeatureHasher
+    from beam_spark.pcollection import PCollection
+
+    df = spark.createDataFrame([(1, "en")], ["id", "the lang"])
+    out = (PCollection(df)
+           | FeatureHasher(["the lang"], n_features=8)).df.collect()
+    assert sum(abs(x) for x in out[0].hashed) == 1.0
