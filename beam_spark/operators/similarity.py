@@ -846,6 +846,12 @@ class DbscanClusters(PTransform):
         from beam_spark.operators.dedupe import ConnectedComponents
 
         idc, eps, dims = self.id_col, self.eps, self.cols
+        dt = dict(pcoll.df.dtypes).get(idc)
+        if dt not in ("bigint", "int", "smallint", "tinyint"):
+            raise ValueError(
+                f"DbscanClusters: id_col {idc!r} must be integral "
+                f"(got {dt}) — a string id would silently cast to "
+                "NULL and collapse every point into one group")
         d = len(dims)
         cond = F.lit(True)
         for c in dims:

@@ -4718,3 +4718,14 @@ def test_kneser_ney_empty_train_fails_fast(spark):
         (PCollection(test) | KneserNeyPerplexity(empty)).df
     with pytest.raises(ValueError, match="no bigrams"):
         (PCollection(test) | KneserNeyPerplexity(single)).df
+
+
+def test_dbscan_rejects_non_integral_ids(spark):
+    import pytest
+
+    from beam_spark.operators.similarity import DbscanClusters
+    from beam_spark.pcollection import PCollection
+
+    df = spark.createDataFrame([("a", 1.0)], "id string, x double")
+    with pytest.raises(ValueError, match="integral"):
+        (PCollection(df) | DbscanClusters("x", eps=1.0)).df
