@@ -962,9 +962,14 @@ def q_approx_sketches(spark, sf_dir):
 
     # r13 fold: DDSketch per-type quantiles as verdict rows — the
     # estimate must sit within 3% of the exact quantile (alpha=0.01
-    # guarantee + interpolation slack; measured max 1.2%)
+    # guarantee + interpolation slack; measured max 1.2%). The sketch
+    # stores x <= 0 out-of-band, so the exact reference filters to
+    # value > 0 and the band uses abs(expected) — a dataset whose
+    # quantile is nonpositive must not flip ok spuriously. (The
+    # component oracle's gamma literal '1.02020202020202' IS
+    # repr-exact: float('1.02020202020202') == 1.01/0.99.)
     dd = _component("q_stats_ddsketch_quantiles")(spark, sf_dir)
-    exq = ev.df.groupBy("event_type").agg(
+    exq = ev.df.where(F.col("value") > 0).groupBy("event_type").agg(
         F.expr("percentile(value, array(0.25, 0.5, 0.95))")
         .alias("eq"))
     ddsketch = (dd.join(exq, "event_type")
@@ -976,8 +981,8 @@ def q_approx_sketches(spark, sf_dir):
                     " AS expected",
                     "abs(estimate - CASE q WHEN 0.25 THEN eq[0] "
                     "WHEN 0.5 THEN eq[1] ELSE eq[2] END) "
-                    "<= 0.03 * CASE q WHEN 0.25 THEN eq[0] "
-                    "WHEN 0.5 THEN eq[1] ELSE eq[2] END AS ok"))
+                    "<= 0.03 * abs(CASE q WHEN 0.25 THEN eq[0] "
+                    "WHEN 0.5 THEN eq[1] ELSE eq[2] END) AS ok"))
 
     return _union([approx_distinct, approx_q, hll, sample, ddsketch])
 
@@ -996,7 +1001,7 @@ FROM events""",
        "TRUE AS ok"]
     + [f"""SELECT 'ddsketch' AS op, event_type || '@{p}' AS k,
        CAST(quantile_cont(value, {p}) AS DOUBLE) AS expected, TRUE AS ok
-FROM events WHERE value IS NOT NULL GROUP BY event_type"""
+FROM events WHERE value > 0 GROUP BY event_type"""
        for p in ("0.25", "0.5", "0.95")])
 
 

@@ -82,14 +82,16 @@ class GradientBoostedStumps(PTransform):
         if self.lr <= 0:
             raise ValueError("lr must be > 0")
         self.max_distinct = int(max_distinct)
-        self.model_ = None       # [(feature, threshold, wL, wR)], f0_
+        self.model_ = None       # [(feature, threshold, wL, wR)]
+        self.f0_ = None          # base prediction, set by expand
 
     def prediction_column(self, model=None, f0=None) -> Column:
         """F_T(x) as a Column over the feature columns."""
         m = model if model is not None else self.model_
         base = f0 if f0 is not None else self.f0_
-        if m is None:
-            raise ValueError("fit first (run expand)")
+        if m is None or base is None:
+            raise ValueError(
+                "fit first (run expand), or pass both model and f0")
         p = F.lit(float(base))
         for feat, thr, wl, wr in m:
             p = p + F.lit(self.lr) * F.when(

@@ -330,10 +330,13 @@ class FeatureHasher(PTransform):
         tmp = pcoll.df
         idx_cols, sign_cols = [], []
         for j, c in enumerate(self.cols):
-            # backtick-quote the column (names with spaces/dots) and
-            # build the key from Column API, not f-string SQL
+            # backtick-quote so a literal dot in the name is part of
+            # the NAME (bare F.col / df[c] both parse dots as
+            # struct-field access); internal backticks escape by
+            # doubling, per SQL identifier quoting
+            quoted = F.col("`" + c.replace("`", "``") + "`")
             key = F.md5(F.concat(F.lit(c + "="),
-                                 F.col(c).cast("string")))
+                                 quoted.cast("string")))
             idx = F.conv(F.substring(key, 1, 8), 16, 10) \
                    .cast("bigint") % F.lit(d)
             sign = (F.lit(1) - F.lit(2)

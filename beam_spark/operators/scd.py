@@ -591,25 +591,44 @@ class MergeInto(PTransform):
                 "source")
         # inserted rows carry NULL for target-only columns — standard
         # MERGE behavior, nothing to validate on the insert side
-        if self.validate:
-            # duplicate-source-key guard folded INTO the merge plan:
-            # a per-key count window on the source + an assert_true
-            # in the keep filter below. Zero extra jobs — the check
-            # rides the single merge job (the window's shuffle is on
-            # the same keys the join shuffles on anyway), which
-            # matters in hot foreachBatch upsert loops where a
-            # driver-side pre-flight would cost one job per batch.
-            from pyspark.sql import Window
-            s = s.withColumn(
-                "__merge_sc",
-                F.count(F.lit(1)).over(
-                    Window.partitionBy(*[F.col(k) for k in ks])))
         # presence flags via key NULL-ness would be wrong when keys
         # can be NULL — a literal marker column per side is not;
         # the marker goes on BEFORE .alias() (withColumn would strip
         # the subquery alias)
         ta = t.withColumn("__tp", F.lit(1)).alias("t")
-        sa = s.withColumn("__sp", F.lit(1)).alias("s")
+        if self.validate:
+            # duplicate-source-key guard folded INTO the merge plan:
+            # a per-key count window on the source, asserted inside
+            # the SOURCE-side presence marker itself — every source
+            # row evaluates it when __sp is computed, BEFORE the join
+            # and independent of which rows the keep filter retains
+            # (an assert conjoined into `keep` is skipped by And
+            # short-circuit for rows an earlier conjunct drops, e.g.
+            # when_matched='delete'). Zero extra jobs — the window's
+            # shuffle is on the same keys the join shuffles on
+            # anyway, which matters in hot foreachBatch upsert loops
+            # where a driver-side pre-flight would cost one job per
+            # batch. assert_true returns NULL on success, so
+            # when(guard.isNull(), 1) is always 1 — or throws.
+            from pyspark.sql import Window
+            guard = F.assert_true(
+                F.count(F.lit(1)).over(
+                    Window.partitionBy(
+                        *[F.col(k) for k in ks])) <= F.lit(1),
+                F.concat(
+                    F.lit("MergeInto: source has multiple rows for "
+                          "key ("),
+                    F.concat_ws(
+                        ", ",
+                        *[F.coalesce(F.col(k).cast("string"),
+                                     F.lit("NULL")) for k in ks]),
+                    F.lit(") — MERGE requires a key-unique source "
+                          "(Delta raises the same); pre-aggregate or "
+                          "pass validate=False at your own risk")))
+            sa = s.withColumn(
+                "__sp", F.when(guard.isNull(), F.lit(1))).alias("s")
+        else:
+            sa = s.withColumn("__sp", F.lit(1)).alias("s")
         j = ta.join(
             sa,
             on=[F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
@@ -630,26 +649,6 @@ class MergeInto(PTransform):
             keep = keep | matched
         if self.when_not_matched == "insert":
             keep = keep | s_only
-        if self.validate:
-            # every duplicated source key reaches the filter as a
-            # matched or s_only row, so the assert fires inside the
-            # merge job; t_only rows have NULL __merge_sc (coalesce
-            # passes them). assert_true returns NULL on success, so
-            # the conjunct is always-true and never changes `keep`.
-            keep = keep & F.assert_true(
-                F.coalesce(F.col("s.__merge_sc") <= F.lit(1),
-                           F.lit(True)),
-                F.concat(
-                    F.lit("MergeInto: source has multiple rows for "
-                          "key ("),
-                    F.concat_ws(
-                        ", ",
-                        *[F.coalesce(F.col(f"s.{k}").cast("string"),
-                                     F.lit("NULL")) for k in ks]),
-                    F.lit(") — MERGE requires a key-unique source "
-                          "(Delta raises the same); pre-aggregate or "
-                          "pass validate=False at your own risk"))
-            ).isNull()
         proj = []
         for c in out_cols:
             src_c = (F.col(f"s.{c}") if c in s.columns

@@ -1302,10 +1302,23 @@ class BootstrapCI(PTransform):
                       .cast("double")
                       / F.count(F.lit(1)).cast("double"))
                      .alias("__mean"),
-                     F.count(F.lit(1)).cast("long").alias("n")))
+                     F.count(F.lit(1)).cast("long").alias("n"),
+                     F.count("__xd").cast("long").alias("__nx")))
+        # fail-loud overflow guard (the GBM/LogisticFit posture): a
+        # value with |x| >= 1e7 try_casts to NULL __xd, which would
+        # silently drop out of the sums while still inflating the
+        # weight/count denominators — bias, not an error. Compare
+        # count(__xd) to count(1) per key inside the plan; both the
+        # resample and full paths read the same base, so one guard
+        # covers both. assert_true returns NULL on success.
+        guard = F.assert_true(
+            F.col("__nx") == F.col("n"),
+            F.lit("BootstrapCI: value overflowed decimal(16,9) — "
+                  "scale it down (|x| must stay well under 1e7)"))
         out = ((full.join(ci, ks) if ks else full.crossJoin(ci))
                .select(*ks,
-                       F.round("__mean", 9).alias("mean"),
+                       F.when(guard.isNull(),
+                              F.round("__mean", 9)).alias("mean"),
                        F.round("__lo", 9).alias("ci_lo"),
                        F.round("__hi", 9).alias("ci_hi"),
                        "n", F.lit(B).alias("b_resamples")))

@@ -3512,6 +3512,39 @@ def test_merge_into_semantics(spark):
         MergeInto(s, keys="id", when_matched="upsert")
 
 
+def test_merge_into_validate_fires_for_dropped_rows(spark):
+    """Round-14 ADVICE regression: the dup-key assert lives on the
+    SOURCE-side presence marker, so it fires even in configs whose
+    keep filter DROPS the duplicated rows — when_matched='delete'
+    removes matched rows, and when_matched=None/when_not_matched=None
+    keeps nothing from the source; an assert conjoined into `keep`
+    would be And-short-circuited for exactly those rows."""
+    import pytest as pt
+
+    from beam_spark.operators.scd import MergeInto
+    from beam_spark.pcollection import PCollection
+
+    t = spark.createDataFrame([(1, 10.0), (2, 20.0)],
+                              "id long, v double")
+    dup = spark.createDataFrame([(1, 1.0), (1, 2.0)],
+                                "id long, v double")
+    with pt.raises(Exception, match="multiple rows"):
+        (PCollection(t) | MergeInto(
+            dup, keys="id", when_matched="delete",
+            when_not_matched=None)).df.collect()
+    with pt.raises(Exception, match="multiple rows"):
+        (PCollection(t) | MergeInto(
+            dup, keys="id", when_matched=None,
+            when_not_matched=None)).df.collect()
+    # and an unmatched duplicate (key absent from target) under
+    # insert=None is equally dropped — still must raise
+    dup9 = spark.createDataFrame([(9, 1.0), (9, 2.0)],
+                                 "id long, v double")
+    with pt.raises(Exception, match="multiple rows"):
+        (PCollection(t) | MergeInto(
+            dup9, keys="id", when_not_matched=None)).df.collect()
+
+
 def test_kmv_overlap_exact_and_estimate(spark):
     """Below k the sketch IS the exact answer: two 6/4-element sets
     sharing 2 values report exact sizes, union, intersection and
@@ -4670,6 +4703,24 @@ def test_bootstrap_ci_semantics(spark):
         BootstrapCI("v", id_col="id", b=5)
     with pytest.raises(ValueError):
         BootstrapCI("v", id_col="id", alpha=0.0)
+
+
+def test_bootstrap_ci_overflow_fails_loud(spark):
+    """Round-14 ADVICE regression: |x| >= 1e7 try_casts to NULL at
+    decimal(16,9) — such a value must raise an actionable error, not
+    silently drop out of the resample sums while still inflating the
+    weight/count denominators."""
+    import pytest
+
+    from beam_spark.operators.stats import BootstrapCI
+    from beam_spark.pcollection import PCollection
+
+    big = spark.createDataFrame(
+        [(0, 1.0e9)] + [(i, float(i % 7)) for i in range(1, 40)],
+        "id long, v double")
+    with pytest.raises(Exception, match="overflowed"):
+        (PCollection(big)
+         | BootstrapCI("v", id_col="id", b=20)).df.collect()
 
 
 def test_ddsketch_relative_error_guarantee(spark):

@@ -685,6 +685,13 @@ def test_gbm_stumps_guards(spark):
         [(1.0, 1.0e9), (2.0, -1.0e9)], "x double, y double")
     with pytest.raises(ValueError, match="overflowed"):
         (PCollection(big) | GradientBoostedStumps("x", "y")).df
+    # round-14 ADVICE regression: scoring before any fit raises the
+    # actionable ValueError, not AttributeError on f0_
+    unfit = GradientBoostedStumps("x", "y")
+    with pytest.raises(ValueError, match="fit first"):
+        unfit.prediction_column()
+    with pytest.raises(ValueError, match="fit first"):
+        unfit.prediction_column(model=[("x", 1.0, -1.0, 1.0)])
 
 
 def test_feature_hasher_properties(spark):
@@ -720,9 +727,9 @@ def test_feature_hasher_properties(spark):
 
 
 def test_feature_hasher_odd_column_names(spark):
-    """Round-13 polish: column names that are not SQL identifiers
-    (spaces) must work — the hash key is built via the Column API,
-    not interpolated SQL."""
+    """Round-13/14 polish: column names that are not SQL identifiers
+    (spaces, literal dots) must work — the hash key binds via df[c],
+    so a dot is part of the NAME, not struct-field access."""
     from beam_spark.ml.transforms import FeatureHasher
     from beam_spark.pcollection import PCollection
 
@@ -730,3 +737,8 @@ def test_feature_hasher_odd_column_names(spark):
     out = (PCollection(df)
            | FeatureHasher(["the lang"], n_features=8)).df.collect()
     assert sum(abs(x) for x in out[0].hashed) == 1.0
+
+    dotted = spark.createDataFrame([(1, "en")], ["id", "a.b"])
+    out2 = (PCollection(dotted)
+            | FeatureHasher(["a.b"], n_features=8)).df.collect()
+    assert sum(abs(x) for x in out2[0].hashed) == 1.0
