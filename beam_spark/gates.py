@@ -77,6 +77,10 @@ def _component_sql(name: str) -> str:
 # --------------------------------------------------------------------------
 _ZERO = "CAST(0 AS DOUBLE)"
 
+# r14 per-gate time-budget slice: heavy full-corpus members run on the
+# even half of documents inside gates; full versions stay components
+_HALF_DOCS = "FROM documents WHERE doc_id % 2 = 0"
+
 _TPCH_AGG_MAP = [
     ("q4", "q4_order_priority_exists", "o_orderpriority", "order_count", None),
     ("q6", "q6_forecast_revenue", "''", "revenue", None),
@@ -283,20 +287,82 @@ _GIB_SQL = _wrap(
 
 
 def q_exact_percentiles(spark, sf_dir):
-    """Exact interpolated percentiles, one scalar row per (key, p)."""
+    """Exact interpolated percentiles + the r13 iterative-training /
+    recurrence families (VERDICT r13 #1) as tagged rows: GBM's
+    3-round training replay (the whole fitted model, 4 rows),
+    binary-segmentation changepoints (the %10-slice component), and
+    the local-level Kalman filter on the user_id%10 slice (level/
+    pvar/kgain UNROUNDED — both engines replay the same IEEE
+    sequence). These live HERE, not in the stats gate, so the two
+    eager trainers (GBM, binseg — per-round driver jobs at
+    construction) don't stack onto the stats gate's own eager
+    logistic fit: one eager-training family per gate keeps every
+    gate under the per-gate time budget. GBM and binseg build on a
+    2-thread pool (their training jobs overlap)."""
     df = _component("q_exact_percentiles_quantity")(spark, sf_dir)
-    return (df.select("l_returnflag", F.posexplode("qs").alias("pos", "quantile"))
-            .select("l_returnflag",
-                    F.expr("CAST(element_at(array(0.25D, 0.5D, 0.75D, 0.9D), "
-                           "pos + 1) AS DOUBLE)").alias("p"),
-                    "quantile"))
+    pct = (df.select("l_returnflag",
+                     F.posexplode("qs").alias("pos", "quantile"))
+           .selectExpr(
+               "'pct' AS op",
+               "l_returnflag || '@' || CAST(CAST(element_at("
+               "array(0.25D, 0.5D, 0.75D, 0.9D), pos + 1) "
+               "AS DOUBLE) AS STRING) AS k",
+               "quantile AS v1", f"{_ZERO} AS v2", f"{_ZERO} AS v3"))
+
+    def _gbm():
+        return _component("q_ml_gbm_stumps")(spark, sf_dir).selectExpr(
+            "'gbm' AS op",
+            "CAST(round AS STRING) || '|' || feature AS k",
+            "threshold AS v1", "left_value AS v2", "right_value AS v3")
+
+    def _binseg():
+        return _component("q_ts_changepoints_binseg")(
+            spark, sf_dir).selectExpr(
+            "'binseg' AS op",
+            "CAST(user_id AS STRING) || ':' || "
+            "CAST(cp_round AS STRING) || ':' || "
+            "CAST(position AS STRING) AS k",
+            "gain AS v1", f"{_ZERO} AS v2", f"{_ZERO} AS v3")
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(2) as _ex:
+        fg, fb = _ex.submit(_gbm), _ex.submit(_binseg)
+        gbm, binseg = fg.result(), fb.result()
+
+    from beam_spark.operators.stats import KalmanLocalLevel
+    from beam_spark.pcollection import PCollection as _PC
+    ev = table(spark, sf_dir, "events").df.filter("user_id % 10 = 0")
+    kalman = (_PC(ev) | KalmanLocalLevel(
+        "value", keys="user_id", order_by=["ts", "event_id"],
+        q=0.25, r=1.0)).df.selectExpr(
+        "'kalman' AS op",
+        "CAST(user_id AS STRING) || ':' || "
+        "CAST(event_id AS STRING) AS k",
+        "level AS v1", "pvar AS v2", "kgain AS v3")
+    return _union([pct, gbm, binseg, kalman])
 
 
 _EXACT_PCT_SQL = "\nUNION ALL\n".join(
-    f"SELECT l_returnflag, CAST({p} AS DOUBLE) AS p, "
-    f"quantile_cont(l_quantity, {p}) AS quantile FROM lineitem "
-    f"GROUP BY l_returnflag"
-    for p in (0.25, 0.5, 0.75, 0.9))
+    [f"SELECT 'pct' AS op, l_returnflag || '@' || "
+     f"CAST(CAST({p} AS DOUBLE) AS VARCHAR) AS k, "
+     f"quantile_cont(l_quantity, {p}) AS v1, "
+     f"{_ZERO} AS v2, {_ZERO} AS v3 FROM lineitem "
+     f"GROUP BY l_returnflag"
+     for p in (0.25, 0.5, 0.75, 0.9)]
+    + [_wrap("'gbm' AS op, CAST(round AS VARCHAR) || '|' || feature "
+             "AS k, threshold AS v1, left_value AS v2, "
+             "right_value AS v3",
+             _component_sql("q_ml_gbm_stumps")),
+       _wrap("'binseg' AS op, CAST(user_id AS VARCHAR) || ':' || "
+             "CAST(cp_round AS VARCHAR) || ':' || "
+             "CAST(position AS VARCHAR) AS k, gain AS v1, "
+             f"{_ZERO} AS v2, {_ZERO} AS v3",
+             _component_sql("q_ts_changepoints_binseg")),
+       _wrap("'kalman' AS op, CAST(user_id AS VARCHAR) || ':' || "
+             "CAST(event_id AS VARCHAR) AS k, level AS v1, "
+             "pvar AS v2, kgain AS v3",
+             _component_sql("q_ts_kalman_local_level").replace(
+                 "FROM events", "FROM events WHERE user_id % 10 = 0"))])
 
 
 def q_multimodal(spark, sf_dir):
@@ -1032,18 +1098,24 @@ def q_text_suite(spark, sf_dir):
     ent = _component("q_text_char_entropy")(spark, sf_dir)
     read = _component("q_text_readability")(spark, sf_dir).select(
         "doc_id", "n_syllables", "flesch")
+    # r14 fold (VERDICT #1): Kneser-Ney bigram perplexity — fit on
+    # even docs, scored on odd docs, so it joins LEFT (kn_* NULL for
+    # the training half); the component keeps the full-row oracle
+    kn = _component("q_text_kn_perplexity")(spark, sf_dir).select(
+        "doc_id", F.col("nll").alias("kn_nll"),
+        F.col("ppl").alias("kn_ppl"))
     return (a.join(b, on="doc_id").join(c, on="doc_id").join(fp, on="doc_id")
             .join(groups, on="content_md5").join(pii, on="doc_id")
             .join(gopher, on="doc_id").join(ppl, on="doc_id")
             .join(norm, on="doc_id").join(ent, on="doc_id")
-            .join(read, on="doc_id")
+            .join(read, on="doc_id").join(kn, on="doc_id", how="left")
             .select("doc_id", "n_tokens_ws", "n_tokens_bpe", "n_chars_calc",
                     "mean_token_len", "n_tokens", "punct_ratio", "alpha_ratio",
                     "stopword_ratio", "lang_pred", "content_md5", "keep_id",
                     "dup_count", "pii_count", "n_words", "alpha_word_frac",
                     "stopword_hits", "gopher_keep", "n_bigrams", "nll",
                     "n_chars_norm", "entropy", "n_distinct_chars",
-                    "n_syllables", "flesch"))
+                    "n_syllables", "flesch", "kn_nll", "kn_ppl"))
 
 
 _TEXT_SUITE_SQL = f"""
@@ -1058,7 +1130,8 @@ go AS ({_component_sql("q_text_gopher_filter")}),
 ppl AS ({_component_sql("q_text_bigram_perplexity")}),
 nrm AS ({_component_sql("q_text_normalize")}),
 ent AS ({_component_sql("q_text_char_entropy")}),
-rd AS ({_component_sql("q_text_readability")})
+rd AS ({_component_sql("q_text_readability")}),
+kn AS ({_component_sql("q_text_kn_perplexity")})
 SELECT a.doc_id, a.n_tokens_ws, a.n_tokens_bpe, a.n_chars_calc,
        a.mean_token_len, b.n_tokens, b.punct_ratio, b.alpha_ratio,
        b.stopword_ratio, c.lang_pred, fp.content_md5, g.keep_id, g.dup_count,
@@ -1066,7 +1139,7 @@ SELECT a.doc_id, a.n_tokens_ws, a.n_tokens_bpe, a.n_chars_calc,
        go.keep AS gopher_keep, ppl.n_bigrams, ppl.nll,
        CAST(length(nrm.norm_text) AS INT) AS n_chars_norm,
        ent.entropy, ent.n_distinct_chars,
-       rd.n_syllables, rd.flesch
+       rd.n_syllables, rd.flesch, kn.nll AS kn_nll, kn.ppl AS kn_ppl
 FROM a
 JOIN b ON a.doc_id = b.doc_id
 JOIN c ON a.doc_id = c.doc_id
@@ -1078,6 +1151,7 @@ JOIN ppl ON a.doc_id = ppl.doc_id
 JOIN nrm ON a.doc_id = nrm.doc_id
 JOIN ent ON a.doc_id = ent.doc_id
 JOIN rd ON a.doc_id = rd.doc_id
+LEFT JOIN kn ON a.doc_id = kn.doc_id
 """
 
 
@@ -1088,11 +1162,48 @@ def q_dedup_pairs_suite(spark, sf_dir):
     join stays a COMPONENT (q_dedup_jaccard_prefix_join, same
     brute-force oracle): its shingle-cache + verify cost at sf0.1
     would dominate this gate's bench line for zero extra semantic
-    coverage (the pair set is identical to 'ngram' by construction)."""
-    ngram = _component("q_dedup_ngram_jaccard_pairs")(spark, sf_dir)
-    minhash = _component("q_dedup_minhash_lsh_pairs")(spark, sf_dir)
+    coverage (the pair set is identical to 'ngram' by construction).
+
+    r14 budget trim (VERDICT #2): ngram and minhash run on the
+    doc_id%2=0 half-corpus here (their shingle explode + pair join
+    dominated the gate's bench line); the full-corpus versions stay
+    component-oracled, and LSH-equals-exact is still asserted on the
+    identical sliced input.
+
+    r14 fold: grid DBSCAN (VERDICT #1) — clustering is this gate's
+    family (DBSCAN's core-core edges feed the SAME ConnectedComponents
+    the 'cc' rows verify). The gate instance runs eps=0.125 on the
+    c_custkey%10 slice (smaller clusters -> fewer star-CC rounds, the
+    per-gate time budget; the eps=0.25 instance stays
+    component-oracled). The two ITERATIVE members (cc, dbscan — eager
+    per-round checkpoints at construction) build on a 2-thread pool."""
+    from beam_spark.operators.dedupe import MinHashLSH, NgramJaccardPairs
+    from beam_spark.operators.similarity import DbscanClusters
+    from beam_spark.pcollection import PCollection as _PC
+
+    half = table(spark, sf_dir, "documents").df.where("doc_id % 2 = 0")
+    ngram = (_PC(half) | NgramJaccardPairs(threshold=0.6)).df
+    minhash = (_PC(half)
+               | MinHashLSH(bands=16, rows_per_band=8, threshold=0.6)).df
     emb = _component("q_embedding_neardup_pairs")(spark, sf_dir)
-    cc = _component("q_dedup_connected_components")(spark, sf_dir)
+
+    def _cc():
+        return _component("q_dedup_connected_components")(spark, sf_dir)
+
+    def _dbscan():
+        cust = table(spark, sf_dir, "customer").df.where(
+            "c_custkey % 10 = 0").selectExpr(
+            "c_custkey AS id",
+            "CAST(c_acctbal AS DOUBLE) / 1000 AS x",
+            "CAST(c_nationkey AS DOUBLE) AS y")
+        return (_PC(cust)
+                | DbscanClusters(["x", "y"], eps=0.125, min_pts=3)).df
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(2) as _ex:
+        fc, fd = _ex.submit(_cc), _ex.submit(_dbscan)
+        cc, dbscan = fc.result(), fd.result()
+
     spans = _component("q_dedup_exact_substr_spans")(spark, sf_dir)
     snm = _component("q_dedup_sorted_neighborhood")(spark, sf_dir)
     return _union([
@@ -1105,13 +1216,18 @@ def q_dedup_pairs_suite(spark, sf_dir):
                          "dup_windows AS j", "dup_frac AS sim"),
         snm.selectExpr("'snm' AS method", "i", "j",
                        "CAST(d AS DOUBLE) AS sim"),
+        dbscan.selectExpr("'dbscan' AS method", "id AS i",
+                          "cluster AS j",
+                          "CAST(is_core AS DOUBLE) AS sim"),
     ])
 
 
 # ngram and minhash share ONE jaccard-pair oracle (the quadratic CTE is
 # the oracle's dominant cost — compute it once, tag it twice)
 _DEDUP_PAIRS_SQL = f"""
-WITH jp AS MATERIALIZED ({_component_sql("q_dedup_ngram_jaccard_pairs")})
+WITH jp AS MATERIALIZED (
+{_component_sql("q_dedup_ngram_jaccard_pairs").replace(
+    "FROM documents", _HALF_DOCS)})
 SELECT 'ngram' AS method, i, j, jaccard AS sim FROM jp
 UNION ALL
 SELECT 'minhash_lsh' AS method, i, j, jaccard AS sim FROM jp
@@ -1128,6 +1244,11 @@ UNION ALL
 UNION ALL
 {_wrap("'snm' AS method, i, j, CAST(d AS DOUBLE) AS sim",
        _component_sql("q_dedup_sorted_neighborhood"))}
+UNION ALL
+{_wrap("'dbscan' AS method, id AS i, cluster AS j, "
+       "CAST(is_core AS DOUBLE) AS sim",
+       _component_sql("q_cluster_dbscan_customers").replace(
+           "0.0625", "0.015625"))}
 """
 
 
@@ -1177,8 +1298,19 @@ _PIPELINE_SQL = Q._PIPELINE_SQL
 def q_ann_exhaustive_suite(spark, sf_dir):
     """LSH and IVF ANN run in full-probe mode — provably exact, so the
     brute-force SQL is a value-level oracle of the whole bucket/assign/
-    score/rerank machinery. Approximate-mode recall is pytest-asserted."""
-    from beam_spark.operators.similarity import IvfCosineTopK, LshCosineTopK
+    score/rerank machinery. Approximate-mode recall is pytest-asserted.
+
+    r14 budget trim (VERDICT #2): the three heaviest lexical members
+    (bm25, bm25f, rrf — full-corpus postings builds) run on the
+    doc_id%2=0 half-corpus here; the full-corpus versions stay
+    component-oracled. The slice keeps 3 of the 5 query docs (0, 2,
+    4), so per-member rows drop 25 -> 15 — still k x queries deep.
+    r14 fold: KNeighborsClassify as the 13th tagged method."""
+    from beam_spark.operators.retrieval import (Bm25fTopK, Bm25TopK,
+                                                RrfFuse)
+    from beam_spark.operators.similarity import (BruteForceCosineTopK,
+                                                 IvfCosineTopK,
+                                                 LshCosineTopK)
     from beam_spark.pcollection import PCollection
 
     emb = table(spark, sf_dir, "embeddings").df.select(
@@ -1189,11 +1321,29 @@ def q_ann_exhaustive_suite(spark, sf_dir):
            | LshCosineTopK(queries_df, k=5, n_planes=4, probe_all=True)).df
     ivf = (PCollection(emb)
            | IvfCosineTopK(queries_df, k=5, n_lists=8, nprobe=8)).df
-    bm25 = _component("q_retrieval_bm25_topk")(spark, sf_dir)
-    rrf = _component("q_retrieval_hybrid_rrf")(spark, sf_dir)
+
+    half = table(spark, sf_dir, "documents").df.where("doc_id % 2 = 0")
+    hq = half.filter("doc_id < 5").selectExpr(
+        "doc_id AS query_id", "text")
+    bm25 = (PCollection(half) | Bm25TopK(hq, k=5, k1=1.5)).df
+    ann_leg = (PCollection(emb)
+               | BruteForceCosineTopK(
+                   emb.filter("vec_id < 5 AND vec_id % 2 = 0"), k=5,
+                   exclude_self=False)
+               ).df.selectExpr("query_id", "nbr_id AS doc_id", "rank")
+    rrf = (PCollection(half) | RrfFuse(bm25, ann_leg, k=5)).df
+    split = F.split(F.lower(F.trim("text")), r"\s+")
+    fielded = half.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(split, 1, 5)).alias("title"),
+        F.concat_ws(" ", F.slice(
+            split, 6, F.greatest(F.size(split) - 5, F.lit(0))))
+        .alias("body"))
+    bm25f = (PCollection(fielded) | Bm25fTopK(
+        hq, {"title": (3.0, 0.5), "body": (1.0, 0.75)},
+        k=5, k1=1.5)).df
     bm25_and = _component("q_retrieval_bm25_and")(spark, sf_dir)
     bm25_ph = _component("q_retrieval_bm25_phrase")(spark, sf_dir)
-    bm25f = _component("q_retrieval_bm25f_topk")(spark, sf_dir)
     posph = _component("q_retrieval_phrase_positional")(spark, sf_dir)
     mmr = _component("q_ann_mmr_rerank")(spark, sf_dir)
     km = _component("q_kmeans_embeddings")(spark, sf_dir)
@@ -1230,6 +1380,14 @@ def q_ann_exhaustive_suite(spark, sf_dir):
                       "doc_id AS nbr_id", "rank", "score AS cosine"),
         pl2.selectExpr("'pl2' AS method", "query_id",
                        "doc_id AS nbr_id", "rank", "score AS cosine"),
+        # round-14 fold: 5-NN cosine classification as the 13th
+        # method — the integer-exact vote rides as (label, best_rank,
+        # votes) in the (nbr_id, rank, cosine) slots
+        _component("q_ann_knn_classify")(spark, sf_dir).selectExpr(
+            "'knn' AS method", "query_id",
+            "CAST(predicted AS BIGINT) AS nbr_id",
+            "CAST(best_rank AS INT) AS rank",
+            "CAST(votes AS DOUBLE) AS cosine"),
     ])
 
 
@@ -1239,11 +1397,15 @@ _ANN_EXHAUSTIVE_SQL = "\nUNION ALL\n".join(
     for m in ("lsh", "ivf")) + f"""
 UNION ALL
 {_wrap("'bm25' AS method, query_id, doc_id AS nbr_id, rank, score AS cosine",
-       _component_sql("q_retrieval_bm25_topk"))}
+       _component_sql("q_retrieval_bm25_topk").replace(
+           "FROM documents", _HALF_DOCS))}
 UNION ALL
 {_wrap("'rrf' AS method, query_id, doc_id AS nbr_id, rank, "
        "rrf_score AS cosine",
-       _component_sql("q_retrieval_hybrid_rrf"))}
+       _component_sql("q_retrieval_hybrid_rrf").replace(
+           "FROM documents", _HALF_DOCS).replace(
+           "FROM e WHERE vec_id < 5",
+           "FROM e WHERE vec_id < 5 AND vec_id % 2 = 0"))}
 UNION ALL
 {_wrap("'bm25_and' AS method, query_id, doc_id AS nbr_id, rank, "
        "score AS cosine", _component_sql("q_retrieval_bm25_and"))}
@@ -1252,7 +1414,9 @@ UNION ALL
        "score AS cosine", _component_sql("q_retrieval_bm25_phrase"))}
 UNION ALL
 {_wrap("'bm25f' AS method, query_id, doc_id AS nbr_id, rank, "
-       "score AS cosine", _component_sql("q_retrieval_bm25f_topk"))}
+       "score AS cosine",
+       _component_sql("q_retrieval_bm25f_topk").replace(
+           "FROM documents", _HALF_DOCS))}
 UNION ALL
 {_wrap("'phrase_pos' AS method, query_id, doc_id AS nbr_id, "
        "CAST(n_occurrences AS INT) AS rank, "
@@ -1272,6 +1436,10 @@ UNION ALL
 UNION ALL
 {_wrap("'pl2' AS method, query_id, doc_id AS nbr_id, rank, "
        "score AS cosine", _component_sql("q_retrieval_pl2_topk"))}
+UNION ALL
+{_wrap("'knn' AS method, query_id, CAST(predicted AS BIGINT) AS nbr_id, "
+       "CAST(best_rank AS INT) AS rank, CAST(votes AS DOUBLE) AS cosine",
+       _component_sql("q_ann_knn_classify"))}
 """
 
 
@@ -1313,6 +1481,39 @@ def _runinference_sql() -> str:
 # --------------------------------------------------------------------------
 # CEP suite (API + SQL MATCH_RECOGNIZE variants)
 # --------------------------------------------------------------------------
+def q_ml_scale_hash(spark, sf_dir):
+    """ScaleTo01 (the original gate) + the r14 FeatureHasher fold
+    (VERDICT #1) as tagged rows. The hasher's array<double> output is
+    POSEXPLODED to scalar (doc_id:pos, cell) rows — the driver's
+    canonicalizer cannot hash list columns (gates.py module
+    docstring); the list-shaped version stays component-oracled."""
+    scale = _component("q_ml_scale_bucketize")(spark, sf_dir).selectExpr(
+        "'scale' AS op", "CAST(c_custkey AS STRING) AS k",
+        "c_acctbal_scaled AS v")
+    hashed = (_component("q_ml_feature_hasher")(spark, sf_dir)
+              .select("doc_id",
+                      F.posexplode("hashed").alias("pos", "cell"))
+              .selectExpr(
+                  "'hash' AS op",
+                  "CAST(doc_id AS STRING) || ':' || "
+                  "CAST(pos AS STRING) AS k",
+                  "cell AS v"))
+    return _union([scale, hashed])
+
+
+_ML_SCALE_HASH_SQL = f"""
+{_wrap("'scale' AS op, CAST(c_custkey AS VARCHAR) AS k, "
+       "c_acctbal_scaled AS v",
+       _component_sql("q_ml_scale_bucketize"))}
+UNION ALL
+SELECT 'hash' AS op,
+       CAST(t.doc_id AS VARCHAR) || ':' || CAST(u.i AS VARCHAR) AS k,
+       t.hashed[u.i + 1] AS v
+FROM ({_component_sql("q_ml_feature_hasher")}
+) t, (SELECT unnest(range(0, 16)) AS i) u
+"""
+
+
 def q_cep_suite(spark, sf_dir):
     """Seven CEP variants in one gate: the V+ P pattern through BOTH
     front-ends (python MatchRecognize API with the purchase event id
@@ -1535,7 +1736,7 @@ _ORDER: list = [
     ("q_multimodal_image_features", q_multimodal, _MULTIMODAL_SQL),
     "q_ml_chunk_documents",
     "q_ml_tfidf_top_terms",
-    "q_ml_scale_bucketize",
+    ("q_ml_scale_bucketize", q_ml_scale_hash, _ML_SCALE_HASH_SQL),
     ("q_ml_runinference_real", q_ml_runinference_real, _runinference_sql()),
     "q_sql_tumble_hourly",
     ("q_cep_match_recognize_suite", q_cep_suite, _CEP_SQL),

@@ -10334,7 +10334,7 @@ def q_ml_gbm_stumps(spark, sf_dir):
 def _ml_training_pipeline_sql() -> str:
     """Chained-CTE replay of the FULL composed training flow
     (examples/ml_training.py): NB routing accuracy + logistic GD on
-    the l_orderkey%5 slice + classifier metrics on the fitted scores
+    the l_orderkey%20 slice + classifier metrics on the fitted scores
     + isotonic calibration of the round-2 reliability frame. Scores
     quantize at round 6 immediately after the sigmoid so every
     downstream rank/metric sees bit-identical inputs in both
@@ -10343,9 +10343,14 @@ def _ml_training_pipeline_sql() -> str:
     verbatim, re-rooted on the composed scored frame."""
     logit = _logistic_oracle_sql().replace(
         "WHERE l_returnflag IS NOT NULL",
-        "WHERE l_orderkey % 5 = 0 AND l_returnflag IS NOT NULL")
+        "WHERE l_orderkey % 20 = 0 AND l_returnflag IS NOT NULL")
     prefix = logit[:logit.rindex("SELECT 'intercept'")].rstrip()
-    nb_sql = _REGISTRY["q_ml_naive_bayes_lang"][1]
+    # routing slice: classify doc_id%4=1 (half the odd docs) with the
+    # UNCHANGED %2=0-trained model — the per-gate time-budget lever;
+    # the full %2=1 routing stays oracled in q_ml_naive_bayes_lang
+    nb_sql = _REGISTRY["q_ml_naive_bayes_lang"][1].replace(
+        "WHERE doc_id % 2 = 1 AND text IS NOT NULL",
+        "WHERE doc_id % 4 = 1 AND text IS NOT NULL")
     return f"""{prefix},
 nb AS ({nb_sql}),
 nbacc AS (
@@ -10443,10 +10448,11 @@ FROM nb
 def q_pipeline_ml_training(spark, sf_dir):
     """End-to-end train-inside-Spark pipeline (examples/
     ml_training.py, composed into ONE value-oracled DAG): NB language
-    routing on half the documents with held-out accuracy; a logistic
-    quality head trained by 3 GD passes on the l_orderkey%5 lineitem
-    slice (the identical quantized-gradient replay as
-    q_ml_logistic_fit); midrank-AUC/logloss/Brier/F1 on the fitted
+    routing of the doc_id%4=1 docs (model fit on the %2=0 half) with
+    held-out accuracy; a logistic quality head trained by 3 GD passes
+    on the l_orderkey%20 lineitem slice (the identical
+    quantized-gradient replay as q_ml_logistic_fit, reduced per the
+    gate time budget); midrank-AUC/logloss/Brier/F1 on the fitted
     scores (round 6 at the sigmoid so both engines rank bit-identical
     inputs); isotonic (PAVA) calibration of the round-2 reliability
     frame, oracled via the minimax characterization. Composition is
@@ -10459,7 +10465,7 @@ def q_pipeline_ml_training(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents").df
     train = docs.where("doc_id % 2 = 0")
-    test = docs.where("doc_id % 2 = 1")
+    test = docs.where("doc_id % 4 = 1")
     routed = (PCollection(test)
               | NaiveBayesClassify(train, "lang", "doc_id")).df
     acc = (routed.join(docs.select("doc_id", "lang"), "doc_id")
@@ -10468,7 +10474,7 @@ def q_pipeline_ml_training(spark, sf_dir):
                 F.count(F.lit(1)).cast("long").alias("n_routed")))
 
     feats = table(spark, sf_dir, "lineitem").df.where(
-        "l_orderkey % 5 = 0").selectExpr(
+        "l_orderkey % 20 = 0").selectExpr(
         "l_returnflag = 'A' AS y",
         "CAST(l_quantity AS DOUBLE) / 64.0 AS x1",
         "CAST(l_discount AS DOUBLE) AS x2",
