@@ -606,18 +606,11 @@ def q_stats_moments(spark, sf_dir):
         _tagged("q_concentration_supplier_volume",
                 "'gini' AS op", "flag AS k", "gini AS v1", "hhi AS v2",
                 "top_share AS v3", "CAST(n AS DOUBLE) AS v4"),
-        # round-13 folds: the trainable-model + survival-inference +
-        # experiment-sizing families the driver's contract had never
-        # seen (full rows stay component-oracled). The composed
-        # q_pipeline_ml_training member carries NB routing (per-doc
-        # rows + held-out accuracy), the sliced logistic TRAINING
-        # replay (round-9 weights), classifier metrics on the fitted
-        # scores, and the isotonic calibration knots — one DAG, so
-        # the driver also sees the composition.
-        _tagged("q_pipeline_ml_training",
-                "op", "k", "v1", "v2", "v3 AS v3", f"{_ZERO} AS v4"),
         # r13: the composed experiment readout (unit agg -> CUPED ->
-        # Welch-on-adjusted + MWU + SRM in one lineage)
+        # Welch-on-adjusted + MWU + SRM in one lineage). The composed
+        # q_pipeline_ml_training member moved to the anomaly gate in
+        # r14: its eager logistic fit was this gate's construction
+        # critical path (one eager-training family per gate).
         _tagged("q_pipeline_ab_analysis",
                 "'ab_' || op AS op", "k", "v1", "v2", "v3", "v4"),
         _bootci_slice,
@@ -632,7 +625,7 @@ def q_stats_moments(spark, sf_dir):
         _seasonal,
     ]
     from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(8) as _ex:
+    with ThreadPoolExecutor(16) as _ex:
         futs = [_ex.submit(t) for t in thunks]
         return _union([f.result() for f in futs])
 
@@ -710,8 +703,6 @@ _STATS_MOMENTS_SQL = "\nUNION ALL\n".join([
     _wrap("'gini' AS op, flag AS k, gini AS v1, hhi AS v2, "
           "top_share AS v3, CAST(n AS DOUBLE) AS v4",
           _component_sql("q_concentration_supplier_volume")),
-    _wrap(f"op, k, v1, v2, v3 AS v3, {_ZERO} AS v4",
-          _component_sql("q_pipeline_ml_training")),
     _wrap("'ab_' || op AS op, k, v1, v2, v3, v4",
           _component_sql("q_pipeline_ab_analysis")),
     _wrap("'bootci' AS op, event_type AS k, mean AS v1, ci_lo AS v2, "
@@ -790,11 +781,8 @@ def q_analytics_suite(spark, sf_dir):
     selection is deterministic. Round 12 adds HITS (5th thread-pool
     member, same link graph), Attribution, the l_orderkey%5
     FrequentItemsets slice and LogOddsTerms as tagged rows."""
-    run = _component("q_running_total_per_customer")(spark, sf_dir)
-    rnk = _component("q_rank_orders_in_priority")(spark, sf_dir)
-    fun = _component("q_funnel_view_click_purchase")(spark, sf_dir)
-    coh = _component("q_cohort_retention_monthly")(spark, sf_dir)
-    trn = _component("q_event_transition_matrix")(spark, sf_dir)
+    def _cmp(name):
+        return lambda: _component(name)(spark, sf_dir)
 
     # The four graph members are ITERATIVE (per-round eager
     # localCheckpoint — the scale posture), so building them
@@ -843,6 +831,14 @@ def q_analytics_suite(spark, sf_dir):
         futs = [_ex.submit(f) for f in (_pagerank, _sssp, _tri, _kcore,
                                         _hits, _linkpred)]
         prt, sssp, tri, kc, hits, lpred = [f.result() for f in futs]
+    run = _cmp("q_running_total_per_customer")()
+    rnk = _cmp("q_rank_orders_in_priority")()
+    fun = _cmp("q_funnel_view_click_purchase")()
+    coh = _cmp("q_cohort_retention_monthly")()
+    trn = _cmp("q_event_transition_matrix")()
+    attrib = _cmp("q_attribution_last_touch")()
+    itemsets = _itemsets_slice(spark, sf_dir)
+    logodds = _cmp("q_text_log_odds_terms")()
     return _union([
         run.selectExpr("'run' AS op", "o_orderkey AS k1",
                        "CAST(o_custkey AS STRING) AS k2",
@@ -884,19 +880,19 @@ def q_analytics_suite(spark, sf_dir):
                         f"{_ZERO} AS v3", f"{_ZERO} AS v4"),
         # round-12 folds: attribution credit, a-priori itemsets,
         # Monroe log-odds terms (full rows stay component-oracled)
-        _component("q_attribution_last_touch")(spark, sf_dir).selectExpr(
+        attrib.selectExpr(
             "'attrib' AS op", "conv_event_id AS k1",
             "CAST(user_id AS STRING) || '|' || "
             "COALESCE(touch_event, '') AS k2",
             "CAST(touch_event_id AS DOUBLE) AS v1", f"{_ZERO} AS v2",
             f"{_ZERO} AS v3", f"{_ZERO} AS v4"),
-        _itemsets_slice(spark, sf_dir).selectExpr(
+        itemsets.selectExpr(
             "'itemsets' AS op", "CAST(size AS BIGINT) AS k1",
             "array_join(transform(items, x -> CAST(x AS STRING)), ',')"
             " AS k2",
             "CAST(support_n AS DOUBLE) AS v1", f"{_ZERO} AS v2",
             f"{_ZERO} AS v3", f"{_ZERO} AS v4"),
-        _component("q_text_log_odds_terms")(spark, sf_dir).selectExpr(
+        logodds.selectExpr(
             "'logodds' AS op", "CAST(0 AS BIGINT) AS k1",
             "lang || '|' || term AS k2",
             "CAST(n_class_term AS DOUBLE) AS v1",
@@ -1317,14 +1313,22 @@ def q_ann_exhaustive_suite(spark, sf_dir):
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"))
     queries_df = emb.filter("vec_id < 10")
-    lsh = (PCollection(emb)
-           | LshCosineTopK(queries_df, k=5, n_planes=4, probe_all=True)).df
-    ivf = (PCollection(emb)
-           | IvfCosineTopK(queries_df, k=5, n_lists=8, nprobe=8)).df
 
     half = table(spark, sf_dir, "documents").df.where("doc_id % 2 = 0")
     hq = half.filter("doc_id < 5").selectExpr(
         "doc_id AS query_id", "text")
+
+    # NOTE: members build SERIALLY on purpose. An 8-way pooled build
+    # was tried in r14 and made the gate 34% SLOWER at sf0.1: the
+    # iterative eager members (k-means rounds, IVF training) issue
+    # many tiny sequential jobs, and concurrent jobs from pool
+    # threads queue behind each other's stages on local FIFO — pool
+    # builds only pay off when members have few, large jobs (the
+    # stats gate's shape), not many small rounds.
+    lsh = (PCollection(emb)
+           | LshCosineTopK(queries_df, k=5, n_planes=4, probe_all=True)).df
+    ivf = (PCollection(emb)
+           | IvfCosineTopK(queries_df, k=5, n_lists=8, nprobe=8)).df
     bm25 = (PCollection(half) | Bm25TopK(hq, k=5, k1=1.5)).df
     ann_leg = (PCollection(emb)
                | BruteForceCosineTopK(
@@ -1481,6 +1485,34 @@ def _runinference_sql() -> str:
 # --------------------------------------------------------------------------
 # CEP suite (API + SQL MATCH_RECOGNIZE variants)
 # --------------------------------------------------------------------------
+def q_anomaly_mltrain(spark, sf_dir):
+    """Z-score anomaly flags (the original gate) + the composed
+    ml-training pipeline (NB routing -> sliced logistic GD replay ->
+    classifier metrics -> isotonic calibration, ONE DAG) as tagged
+    rows. The pipeline member lived in the stats gate through r13;
+    its eager logistic fit was that gate's construction critical
+    path, so it moved here (one eager-training family per gate —
+    the per-gate time budget, VERDICT r13 #2)."""
+    anomaly = _component("q_anomaly_zscore_events")(
+        spark, sf_dir).selectExpr(
+        "'anomaly' AS op",
+        "CAST(event_id AS STRING) || '|' || event_type AS k",
+        "zscore AS v1", "CAST(is_anomaly AS DOUBLE) AS v2",
+        f"{_ZERO} AS v3")
+    mlt = _component("q_pipeline_ml_training")(spark, sf_dir)
+    return _union([anomaly, mlt])
+
+
+_ANOMALY_MLTRAIN_SQL = f"""
+{_wrap("'anomaly' AS op, CAST(event_id AS VARCHAR) || '|' || event_type "
+       "AS k, zscore AS v1, CAST(is_anomaly AS DOUBLE) AS v2, "
+       f"{_ZERO} AS v3",
+       _component_sql("q_anomaly_zscore_events"))}
+UNION ALL
+{_wrap("op, k, v1, v2, v3", _component_sql("q_pipeline_ml_training"))}
+"""
+
+
 def q_ml_scale_hash(spark, sf_dir):
     """ScaleTo01 (the original gate) + the r14 FeatureHasher fold
     (VERDICT #1) as tagged rows. The hasher's array<double> output is
@@ -1740,7 +1772,7 @@ _ORDER: list = [
     ("q_ml_runinference_real", q_ml_runinference_real, _runinference_sql()),
     "q_sql_tumble_hourly",
     ("q_cep_match_recognize_suite", q_cep_suite, _CEP_SQL),
-    "q_anomaly_zscore_events",
+    ("q_anomaly_zscore_events", q_anomaly_mltrain, _ANOMALY_MLTRAIN_SQL),
     "q_nexmark5_hot_users",
     "q_nexmark7_max_value_per_window",
     ("q_pipeline_llm_dataprep", _component("q_pipeline_llm_dataprep"),
