@@ -1018,6 +1018,15 @@ class MatchRecognize(PTransform):
                            for sym, d in defines.items()
                            if isinstance(d, Define)
                            and d.ctx_fn is not None}
+                # r14: the batch path's run-length fast path, ported —
+                # greedy symbol runs over the buffered mature prefix
+                # consume precomputed numpy consecutive-true lengths
+                # instead of one Python mask probe per row. The run
+                # arrays span the full phantom-extended buffer; every
+                # _match_at call caps by its own n_rows, so one cache
+                # serves the open and the WITHIN-closed variants.
+                fast = _make_fast_runs(
+                    masks, frozenset(ctx) if ctx else frozenset())
                 i = 0
                 while i < n_mature:
                     closed = False
@@ -1029,11 +1038,14 @@ class MatchRecognize(PTransform):
                             closed = True
                             j_end = int(np.searchsorted(ts_arr, limit,
                                                         side="right"))
-                            m = _match_at(masks, j_end, i, pattern, ctx)
+                            m = _match_at(masks, j_end, i, pattern, ctx,
+                                          fast=fast)
                         else:
-                            m = _match_at(masks, n_ext, i, pattern, ctx)
+                            m = _match_at(masks, n_ext, i, pattern, ctx,
+                                          fast=fast)
                     else:
-                        m = _match_at(masks, n_ext, i, pattern, ctx)
+                        m = _match_at(masks, n_ext, i, pattern, ctx,
+                                      fast=fast)
                     if m is None:
                         # not even all-matching future rows can complete
                         # a match here: release the row
