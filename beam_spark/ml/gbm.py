@@ -55,6 +55,28 @@ _DEC = "decimal(16,9)"
 MAX_FEATURES = 64
 
 
+def _checkpoint_bytes(n_rows: int, n_features: int) -> int:
+    """Estimated block-manager footprint of the eager-checkpointed
+    training frame: UnsafeRow of (1 + F) doubles = 8-byte null
+    bitset word + 8 bytes per field, x2 for deserialized-storage +
+    melt-pass headroom (the sf1 OOM this guards against was observed
+    at roughly this multiple)."""
+    row = 8 + 8 * (1 + n_features)
+    return 2 * n_rows * row
+
+
+def _available_heap_bytes(spark) -> int | None:
+    """Free JVM heap of the driver-side block-manager JVM (in local
+    mode the only JVM). None when the JVM is unreachable — the guard
+    then stands aside rather than guessing. Module-level so tests can
+    fake a small heap."""
+    try:
+        rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+        return int(rt.maxMemory() - rt.totalMemory() + rt.freeMemory())
+    except Exception:
+        return None
+
+
 class GradientBoostedStumps(PTransform):
     """Fit T least-squares stumps on the piped frame's QUANTIZED
     numeric ``features`` against numeric ``target``; NULL rows (any
@@ -111,11 +133,28 @@ class GradientBoostedStumps(PTransform):
         par = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < par:
             df = df.repartition(par)
-        df = df.localCheckpoint(eager=True)
+        # count BEFORE checkpointing: the eager localCheckpoint pins
+        # the whole (1 + F)-column double frame in this JVM's block
+        # manager (local mode shares the driver heap), and a frame
+        # that doesn't fit dies as an opaque JVM OOM mid-round. Same
+        # total job count as checkpoint-then-count; the order buys the
+        # fail-fast.
         n = df.count()
         if n == 0:
             raise ValueError("GradientBoostedStumps: empty input "
                              "after NULL filtering")
+        est = _checkpoint_bytes(n, len(fs))
+        avail = _available_heap_bytes(spark)
+        if avail is not None and est > 0.5 * avail:
+            raise ValueError(
+                f"GradientBoostedStumps: the checkpointed training "
+                f"frame needs ~{est // (1 << 20)} MiB "
+                f"({n} rows x {len(fs) + 1} double columns) but only "
+                f"~{avail // (1 << 20)} MiB of JVM heap is free — "
+                f"raise driver memory (e.g. "
+                f"spark.driver.memory=8g in local mode) or train on "
+                f"a smaller slice")
+        df = df.localCheckpoint(eager=True)
 
         # base prediction: exact-decimal mean -> one division
         row0 = df.agg(

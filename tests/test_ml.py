@@ -694,6 +694,33 @@ def test_gbm_stumps_guards(spark):
         unfit.prediction_column(model=[("x", 1.0, -1.0, 1.0)])
 
 
+def test_gbm_driver_memory_fail_fast(spark, monkeypatch):
+    """Round-14 (VERDICT #4): a training frame whose eager checkpoint
+    would not fit the JVM heap raises an actionable error BEFORE the
+    checkpoint instead of an opaque JVM OOM mid-round. Faked by
+    shrinking the reported free heap; an unreachable JVM (None)
+    stands aside."""
+    import pytest
+
+    import beam_spark.ml.gbm as gbm_mod
+    from beam_spark.ml.gbm import GradientBoostedStumps
+    from beam_spark.pcollection import PCollection
+
+    df = spark.createDataFrame(
+        [(float(i % 5), float(i % 7)) for i in range(100)],
+        "x double, y double")
+    monkeypatch.setattr(gbm_mod, "_available_heap_bytes",
+                        lambda spark: 1024)
+    with pytest.raises(ValueError, match="driver memory"):
+        (PCollection(df) | GradientBoostedStumps("x", "y")).df
+    # None (JVM unreachable) must not block training
+    monkeypatch.setattr(gbm_mod, "_available_heap_bytes",
+                        lambda spark: None)
+    out = (PCollection(df) | GradientBoostedStumps(
+        "x", "y", rounds=1, lr=1.0)).df
+    assert out.count() == 2
+
+
 def test_feature_hasher_properties(spark):
     """Fixed dimension; equal inputs hash identically; different
     columns with the same value land independently (column name is
