@@ -579,6 +579,21 @@ class KneserNeyPerplexity(PTransform):
     vocabulary (the +1 is the OOV slot of the uniform base — every
     event scores finite, including fully-OOV bigrams).
 
+    ``order=3`` fits the interpolated TRIGRAM model (Chen & Goodman
+    1999, eq. 18 recursion) with every lower order derived from
+    CONTINUATION counts of the trigram table:
+
+        P3(w|u,v) = max(c(uvw) - D, 0) / c(uv.)
+                    + (D * N1+(uv.) / c(uv.)) * P2(w|v)
+        P2(w|v)   = max(N1+(.vw) - D, 0) / N1+(.v.)
+                    + (D * N1+(v.) / N1+(.v.)) * P1(w)
+        P1(w)     = max(N1+(.w) - D, 0) / N1+(..)
+                    + (D * Vc / N1+(..)) * (1 / (V + 1))
+
+    (unseen (u,v) context -> P2; unseen v middle -> P1; scored
+    events are the trigram positions, so docs with < 3 tokens get
+    n_events 0 / NULL nll.)
+
     ``train``: optional frame to fit on (held-out split, larger
     corpus); None fits on the scored frame itself (the CCNet
     posture). D must be dyadic (default 0.75) for bit-stable replay.
@@ -599,7 +614,7 @@ class KneserNeyPerplexity(PTransform):
 
     def __init__(self, train=None, text_col: str = "text",
                  id_col: str = "doc_id", discount: float = 0.75,
-                 label=None):
+                 order: int = 2, label=None):
         super().__init__(label)
         from beam_spark.pcollection import PCollection as _PC
 
@@ -608,6 +623,10 @@ class KneserNeyPerplexity(PTransform):
         self.discount = float(discount)
         if not 0.0 < self.discount < 1.0:
             raise ValueError(f"discount {discount} outside (0, 1)")
+        self.order = int(order)
+        if self.order not in (2, 3):
+            raise ValueError(f"order {order}: 2 (bigram) or 3 "
+                             "(trigram) supported")
 
     @staticmethod
     def _bigrams(toks_df, idc):
@@ -624,6 +643,21 @@ class KneserNeyPerplexity(PTransform):
                 .select(*cols, F.col("p.w1").alias("w1"),
                         F.col("p.w2").alias("w2")))
 
+    @staticmethod
+    def _trigrams(toks_df, idc):
+        trip = F.when(
+            F.size("__t") >= 3,
+            F.expr("transform(sequence(0, size(__t) - 3), i -> "
+                   "struct(__t[i] AS w1, __t[i+1] AS w2, "
+                   "__t[i+2] AS w3))")
+        ).otherwise(F.array().cast(
+            "array<struct<w1:string,w2:string,w3:string>>"))
+        cols = [idc] if idc else []
+        return (toks_df.select(*cols, F.explode(trip).alias("p"))
+                .select(*cols, F.col("p.w1").alias("w1"),
+                        F.col("p.w2").alias("w2"),
+                        F.col("p.w3").alias("w3")))
+
     def expand(self, pcoll: PCollection) -> PCollection:
         idc, d = self.id_col, self.discount
         tok = lambda df: df.where(
@@ -633,6 +667,8 @@ class KneserNeyPerplexity(PTransform):
                      lambda x: x != "").alias("__t"))
         train_df = self.train if self.train is not None else pcoll.df
         tr = tok(train_df)
+        if self.order == 3:
+            return self._expand_trigram(pcoll, tr, tok)
         trb = self._bigrams(tr, None)
         cab = (trb.groupBy("w1", "w2")
                .agg(F.count(F.lit(1)).cast("long").alias("cab")))
@@ -681,6 +717,81 @@ class KneserNeyPerplexity(PTransform):
         ).otherwise(p1)
         sc = j.select(F.col(idc),
                       (-F.log(p2)).cast("decimal(16,9)").alias("__nl"))
+        per_doc = (sc.groupBy(idc)
+                   .agg(F.count(F.lit(1)).cast("long")
+                        .alias("n_events"),
+                        F.round(F.sum("__nl").cast("double")
+                                / F.count(F.lit(1)).cast("double"), 6)
+                        .alias("nll")))
+        out = (pcoll.df.join(per_doc, idc, "left")
+               .withColumn("n_events",
+                           F.coalesce("n_events", F.lit(0)))
+               .withColumn("ppl", F.round(F.exp("nll"), 6)))
+        return pcoll.with_df(out)
+
+    def _expand_trigram(self, pcoll, tr, tok):
+        """order=3 path: every count table derives from the TRIGRAM
+        table (the Chen-Goodman recursion), so a doc contributes to
+        the model only through its trigrams — bigrams of 2-token docs
+        are deliberately absent, matching the oracle replay."""
+        idc, d = self.id_col, self.discount
+        tr3 = self._trigrams(tr, None)
+        c3 = (tr3.groupBy("w1", "w2", "w3")
+              .agg(F.count(F.lit(1)).cast("long").alias("c3")))
+        ctx3 = (c3.groupBy("w1", "w2")
+                .agg(F.sum("c3").cast("long").alias("ca3"),
+                     F.count(F.lit(1)).cast("long").alias("n1fw3")))
+        cb = (c3.groupBy("w2", "w3")
+              .agg(F.count(F.lit(1)).cast("long").alias("cbc")))
+        ctx2 = (cb.groupBy("w2")
+                .agg(F.sum("cbc").cast("long").alias("cbt"),
+                     F.count(F.lit(1)).cast("long").alias("n1fw2")))
+        cu = (cb.groupBy("w3")
+              .agg(F.count(F.lit(1)).cast("long").alias("cuc")))
+        consts = (cb.agg(F.count(F.lit(1)).cast("long").alias("B2"))
+                  .crossJoin(cu.agg(F.count(F.lit(1)).cast("long")
+                                    .alias("Vc")))
+                  .crossJoin(tr.select(F.explode("__t").alias("w"))
+                             .agg(F.countDistinct("w").cast("long")
+                                  .alias("V"))))
+        first = consts.first()
+        if first is None or not first["B2"]:
+            raise ValueError(
+                "KneserNeyPerplexity(order=3): train corpus has no "
+                "trigrams (empty, all-NULL text, or sub-3-token "
+                "docs) — scoring against an empty model would "
+                "silently yield NaN probabilities")
+        te3 = self._trigrams(tok(pcoll.df), idc)
+        D = F.lit(d)
+        j = (te3.join(c3, ["w1", "w2", "w3"], "left")
+             .join(ctx3, ["w1", "w2"], "left")
+             .join(cb, ["w2", "w3"], "left")
+             .join(ctx2, "w2", "left")
+             .join(cu, "w3", "left")
+             .withColumn("B2", F.lit(int(first["B2"])))
+             .withColumn("Vc", F.lit(int(first["Vc"])))
+             .withColumn("V", F.lit(int(first["V"]))))
+        b2_d = F.col("B2").cast("double")
+        p1 = (F.greatest(F.coalesce(F.col("cuc"), F.lit(0))
+                         .cast("double") - D, F.lit(0.0)) / b2_d
+              + (D * F.col("Vc").cast("double") / b2_d)
+              * (F.lit(1.0) / (F.col("V") + F.lit(1)).cast("double")))
+        cbt_d = F.col("cbt").cast("double")
+        p2 = F.when(
+            F.col("cbt").isNotNull(),
+            F.greatest(F.coalesce(F.col("cbc"), F.lit(0))
+                       .cast("double") - D, F.lit(0.0)) / cbt_d
+            + (D * F.col("n1fw2").cast("double") / cbt_d) * p1
+        ).otherwise(p1)
+        ca3_d = F.col("ca3").cast("double")
+        p3 = F.when(
+            F.col("ca3").isNotNull(),
+            F.greatest(F.coalesce(F.col("c3"), F.lit(0))
+                       .cast("double") - D, F.lit(0.0)) / ca3_d
+            + (D * F.col("n1fw3").cast("double") / ca3_d) * p2
+        ).otherwise(p2)
+        sc = j.select(F.col(idc),
+                      (-F.log(p3)).cast("decimal(16,9)").alias("__nl"))
         per_doc = (sc.groupBy(idc)
                    .agg(F.count(F.lit(1)).cast("long")
                         .alias("n_events"),

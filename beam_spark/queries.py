@@ -10599,6 +10599,129 @@ def q_text_kn_perplexity(spark, sf_dir):
     return out.select("doc_id", "n_events", "nll", "ppl")
 
 
+@query("q_text_kn3_perplexity", """
+WITH tr AS (SELECT list_filter({_TOK}, x -> x <> '') AS t
+            FROM documents WHERE doc_id % 2 = 0
+              AND text IS NOT NULL),
+tr3 AS (SELECT p.w1 AS w1, p.w2 AS w2, p.w3 AS w3 FROM (
+          SELECT unnest(list_transform(range(1, len(t) - 1),
+            i -> struct_pack(w1 := t[i], w2 := t[i+1],
+                             w3 := t[i+2]))) AS p
+          FROM tr WHERE len(t) >= 3)),
+c3 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3
+       FROM tr3 GROUP BY 1, 2, 3),
+ctx3 AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS ca3,
+                CAST(count(*) AS BIGINT) AS n1fw3
+         FROM c3 GROUP BY 1, 2),
+cb AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS cbc
+       FROM c3 GROUP BY 1, 2),
+ctx2 AS (SELECT w2, CAST(sum(cbc) AS BIGINT) AS cbt,
+                CAST(count(*) AS BIGINT) AS n1fw2
+         FROM cb GROUP BY 1),
+cu AS (SELECT w3, CAST(count(*) AS BIGINT) AS cuc
+       FROM cb GROUP BY 1),
+consts AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM cb) AS B2,
+         (SELECT CAST(count(*) AS BIGINT) FROM cu) AS Vc,
+         (SELECT CAST(count(DISTINCT w) AS BIGINT) FROM
+            (SELECT unnest(t) AS w FROM tr)) AS V),
+te AS (SELECT doc_id, list_filter({_TOK}, x -> x <> '') AS t
+       FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL),
+te3 AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2, p.w3 AS w3 FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+            i -> struct_pack(w1 := t[i], w2 := t[i+1],
+                             w3 := t[i+2]))) AS p
+          FROM te WHERE len(t) >= 3)),
+sc AS (SELECT te3.doc_id,
+         CAST(-ln(
+           CASE WHEN ctx3.ca3 IS NOT NULL THEN
+             greatest(CAST(coalesce(c3.c3, 0) AS DOUBLE)
+                      - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+               / CAST(ctx3.ca3 AS DOUBLE)
+             + (CAST(0.75 AS DOUBLE) * CAST(ctx3.n1fw3 AS DOUBLE)
+                / CAST(ctx3.ca3 AS DOUBLE))
+               * (CASE WHEN ctx2.cbt IS NOT NULL THEN
+                    greatest(CAST(coalesce(cb.cbc, 0) AS DOUBLE)
+                             - CAST(0.75 AS DOUBLE),
+                             CAST(0 AS DOUBLE))
+                      / CAST(ctx2.cbt AS DOUBLE)
+                    + (CAST(0.75 AS DOUBLE)
+                       * CAST(ctx2.n1fw2 AS DOUBLE)
+                       / CAST(ctx2.cbt AS DOUBLE))
+                      * (greatest(CAST(coalesce(cu.cuc, 0) AS DOUBLE)
+                                  - CAST(0.75 AS DOUBLE),
+                                  CAST(0 AS DOUBLE))
+                           / CAST(c.B2 AS DOUBLE)
+                         + (CAST(0.75 AS DOUBLE)
+                            * CAST(c.Vc AS DOUBLE)
+                            / CAST(c.B2 AS DOUBLE))
+                           * (CAST(1 AS DOUBLE)
+                              / CAST(c.V + 1 AS DOUBLE)))
+                  ELSE
+                    greatest(CAST(coalesce(cu.cuc, 0) AS DOUBLE)
+                             - CAST(0.75 AS DOUBLE),
+                             CAST(0 AS DOUBLE))
+                      / CAST(c.B2 AS DOUBLE)
+                    + (CAST(0.75 AS DOUBLE) * CAST(c.Vc AS DOUBLE)
+                       / CAST(c.B2 AS DOUBLE))
+                      * (CAST(1 AS DOUBLE)
+                         / CAST(c.V + 1 AS DOUBLE))
+                  END)
+           WHEN ctx2.cbt IS NOT NULL THEN
+             greatest(CAST(coalesce(cb.cbc, 0) AS DOUBLE)
+                      - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+               / CAST(ctx2.cbt AS DOUBLE)
+             + (CAST(0.75 AS DOUBLE) * CAST(ctx2.n1fw2 AS DOUBLE)
+                / CAST(ctx2.cbt AS DOUBLE))
+               * (greatest(CAST(coalesce(cu.cuc, 0) AS DOUBLE)
+                           - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+                    / CAST(c.B2 AS DOUBLE)
+                  + (CAST(0.75 AS DOUBLE) * CAST(c.Vc AS DOUBLE)
+                     / CAST(c.B2 AS DOUBLE))
+                    * (CAST(1 AS DOUBLE) / CAST(c.V + 1 AS DOUBLE)))
+           ELSE
+             greatest(CAST(coalesce(cu.cuc, 0) AS DOUBLE)
+                      - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+               / CAST(c.B2 AS DOUBLE)
+             + (CAST(0.75 AS DOUBLE) * CAST(c.Vc AS DOUBLE)
+                / CAST(c.B2 AS DOUBLE))
+               * (CAST(1 AS DOUBLE) / CAST(c.V + 1 AS DOUBLE))
+           END) AS DECIMAL(16,9)) AS nl
+       FROM te3
+       LEFT JOIN c3 ON c3.w1 = te3.w1 AND c3.w2 = te3.w2
+                   AND c3.w3 = te3.w3
+       LEFT JOIN ctx3 ON ctx3.w1 = te3.w1 AND ctx3.w2 = te3.w2
+       LEFT JOIN cb ON cb.w2 = te3.w2 AND cb.w3 = te3.w3
+       LEFT JOIN ctx2 ON ctx2.w2 = te3.w2
+       LEFT JOIN cu ON cu.w3 = te3.w3
+       CROSS JOIN consts c),
+pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_events,
+              round(CAST(sum(nl) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE), 6) AS nll
+       FROM sc GROUP BY 1)
+SELECT d.doc_id, COALESCE(p.n_events, 0) AS n_events, p.nll,
+       round(exp(p.nll), 6) AS ppl
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN pd p ON p.doc_id = d.doc_id
+""".replace("{_TOK}", _TOK))
+def q_text_kn3_perplexity(spark, sf_dir):
+    """Interpolated Kneser-Ney TRIGRAM perplexity (D=0.75, Chen &
+    Goodman recursion — lower orders from CONTINUATION counts of the
+    trigram table): fit on even doc_ids, score odd doc_ids. Same
+    determinism contract as the bigram component (exact integer
+    counts, fixed-order doubles, per-event -ln quantized to
+    decimal(16,9), nll round 6, ppl = exp of the ROUNDED nll);
+    DuckDB replays fit and the full 3-level backoff end-to-end."""
+    from beam_spark.operators.text import KneserNeyPerplexity
+
+    docs = table(spark, sf_dir, "documents").df
+    train = docs.where("doc_id % 2 = 0")
+    test = docs.where("doc_id % 2 = 1")
+    out = (PCollection(test)
+           | KneserNeyPerplexity(train, order=3)).df
+    return out.select("doc_id", "n_events", "nll", "ppl")
+
+
 @query("q_ml_feature_hasher", """
 WITH base AS (SELECT doc_id, lang,
                      CAST(n_chars % 10 AS BIGINT) AS bucket

@@ -4771,6 +4771,65 @@ def test_kneser_ney_empty_train_fails_fast(spark):
         (PCollection(test) | KneserNeyPerplexity(single)).df
 
 
+def test_kneser_ney_trigram_semantics(spark):
+    """Round-14 (VERDICT #5): order=3 — in-distribution text beats
+    OOV; a trigram seen verbatim in train scores lower nll than the
+    same words in unseen order (the extra context level at work);
+    docs with < 3 tokens get n_events 0; a 2-token-doc-only corpus
+    has no trigrams and fails fast; order validation fails fast."""
+    import math
+
+    import pytest
+
+    from beam_spark.operators.text import KneserNeyPerplexity
+    from beam_spark.pcollection import PCollection
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(5)]
+        + [(10 + i, "the dog sat on the rug") for i in range(5)],
+        "doc_id long, text string")
+    test = spark.createDataFrame(
+        [(100, "the cat sat on the rug"),
+         (101, "zzz qqq xxx yyy"),
+         (102, "mat the sat cat on the"),   # same words, unseen order
+         (103, "to be"),                    # < 3 tokens
+         (104, None)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           (PCollection(test)
+            | KneserNeyPerplexity(train, order=3)).df.collect()}
+    assert out[100].ppl < out[101].ppl        # in-dist beats OOV
+    assert out[100].nll < out[102].nll        # order matters at n=3
+    assert out[101].ppl is not None and math.isfinite(out[101].ppl)
+    assert out[100].n_events == 4 and out[101].n_events == 2
+    assert out[103].n_events == 0 and out[103].nll is None
+    assert out[104].n_events == 0 and out[104].ppl is None
+    # hand-check one fully-seen trigram: 'the cat sat' occurs 5x,
+    # context 'the cat' occurs 5x with 1 continuation ->
+    # P3 = (5 - .75)/5 + (.75 * 1/5) * P2('sat'|'cat');
+    # cb('cat','sat') = 1, ctx2('cat'): cbt = 1, n1fw2 = 1 ->
+    # P2 = (1 - .75)/1 + (.75 * 1/1) * P1('sat');
+    # continuation tables from the 7 trigram types: cu('sat') = 2
+    # (after cat/dog), B2 = 6 distinct (v,w), Vc = 5 distinct
+    # continuation words, V = 7 train vocab ->
+    # P1 = (2 - .75)/6 + (.75 * 5/6) * (1/8)
+    p1 = (2 - 0.75) / 6 + (0.75 * 5 / 6) * (1 / 8)
+    p2 = (1 - 0.75) / 1 + (0.75 * 1 / 1) * p1
+    p3 = (5 - 0.75) / 5 + (0.75 * 1 / 5) * p2
+    only = {r.doc_id: r for r in (PCollection(spark.createDataFrame(
+        [(200, "the cat sat")], "doc_id long, text string"))
+        | KneserNeyPerplexity(train, order=3)).df.collect()}
+    assert abs(float(only[200].nll) - round(-math.log(p3), 6)) < 2e-6
+    with pytest.raises(ValueError, match="order"):
+        KneserNeyPerplexity(order=4)
+    two_tok = spark.createDataFrame([(1, "a b"), (2, "c d")],
+                                    "doc_id long, text string")
+    test3 = spark.createDataFrame([(3, "a b c")],
+                                  "doc_id long, text string")
+    with pytest.raises(ValueError, match="no trigrams"):
+        (PCollection(test3) | KneserNeyPerplexity(two_tok, order=3)).df
+
+
 def test_dbscan_rejects_non_integral_ids(spark):
     import pytest
 
