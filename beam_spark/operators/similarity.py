@@ -885,47 +885,201 @@ class DbscanClusters(PTransform):
                  .where((F.col("__ai") != F.col("__bi"))
                         & (dist2 <= F.lit(eps * eps)))
                  .select("__ai", "__bi"))
-        pairs = pairs.localCheckpoint(eager=True)  # 3 consumers below
+        return pcoll.with_df(_dbscan_assign(
+            pcoll, pts, pairs, self.min_pts, idc))
 
-        ncnt = pairs.groupBy("__ai").agg(
-            F.count(F.lit(1)).alias("__n"))
-        cores = (ncnt.where(F.col("__n") + 1 >= self.min_pts)
-                 .select(F.col("__ai").alias("__id")))
-        # min_pts = 1 edge case: every point (even isolated) is core
-        if self.min_pts == 1:
-            cores = pts.select("__id")
 
-        ce = (pairs
-              .join(cores.withColumnRenamed("__id", "__ai"), "__ai")
-              .join(cores.withColumnRenamed("__id", "__bi"), "__bi")
-              .where(F.col("__ai") < F.col("__bi"))
-              .select(F.col("__ai").alias("i"),
-                      F.col("__bi").alias("j")))
-        cc = (pcoll.with_df(ce)
-              | ConnectedComponents(algorithm="star")).df
-        core_assign = (cores.join(
-            cc.withColumnRenamed("node", "__id"), "__id", "left")
-            .select("__id",
-                    F.coalesce("comp", "__id").alias("cluster")))
+def _dbscan_assign(pcoll, pts, pairs, min_pts, idc):
+    """Shared DBSCAN tail: eps-neighbor pairs (__ai, __bi — BOTH
+    directions present) -> core marking, star-CC cluster ids over
+    core-core edges, min-cluster border attachment. Used by the grid
+    and the LSH variants — the candidate-generation strategy is the
+    only thing that differs between them."""
+    from beam_spark.operators.dedupe import ConnectedComponents
 
-        border = (pairs
-                  .join(core_assign.withColumnRenamed("__id", "__bi")
-                        .withColumnRenamed("cluster", "__bc"), "__bi")
-                  .join(cores.withColumnRenamed("__id", "__ai"),
-                        "__ai", "anti")
-                  .groupBy("__ai")
-                  .agg(F.min("__bc").alias("cluster"))
-                  .select(F.col("__ai").alias("__id"), "cluster"))
+    pairs = pairs.localCheckpoint(eager=True)  # 3 consumers below
 
-        assigned = (core_assign.withColumn("is_core", F.lit(True))
-                    .unionByName(
-                        border.withColumn("is_core", F.lit(False))))
-        out = (pts.select("__id")
-               .join(assigned, "__id", "left")
-               .select(F.col("__id").alias(idc), "cluster",
-                       F.coalesce("is_core", F.lit(False))
-                       .alias("is_core")))
-        return pcoll.with_df(out)
+    ncnt = pairs.groupBy("__ai").agg(
+        F.count(F.lit(1)).alias("__n"))
+    cores = (ncnt.where(F.col("__n") + 1 >= min_pts)
+             .select(F.col("__ai").alias("__id")))
+    # min_pts = 1 edge case: every point (even isolated) is core
+    if min_pts == 1:
+        cores = pts.select("__id")
+
+    ce = (pairs
+          .join(cores.withColumnRenamed("__id", "__ai"), "__ai")
+          .join(cores.withColumnRenamed("__id", "__bi"), "__bi")
+          .where(F.col("__ai") < F.col("__bi"))
+          .select(F.col("__ai").alias("i"),
+                  F.col("__bi").alias("j")))
+    cc = (pcoll.with_df(ce)
+          | ConnectedComponents(algorithm="star")).df
+    core_assign = (cores.join(
+        cc.withColumnRenamed("node", "__id"), "__id", "left")
+        .select("__id",
+                F.coalesce("comp", "__id").alias("cluster")))
+
+    border = (pairs
+              .join(core_assign.withColumnRenamed("__id", "__bi")
+                    .withColumnRenamed("cluster", "__bc"), "__bi")
+              .join(cores.withColumnRenamed("__id", "__ai"),
+                    "__ai", "anti")
+              .groupBy("__ai")
+              .agg(F.min("__bc").alias("cluster"))
+              .select(F.col("__ai").alias("__id"), "cluster"))
+
+    assigned = (core_assign.withColumn("is_core", F.lit(True))
+                .unionByName(
+                    border.withColumn("is_core", F.lit(False))))
+    return (pts.select("__id")
+            .join(assigned, "__id", "left")
+            .select(F.col("__id").alias(idc), "cluster",
+                    F.coalesce("is_core", F.lit(False))
+                    .alias("is_core")))
+
+
+def lsh_projections(dim: int, bands: int, rows_per_band: int,
+                    bucket_width: float, seed: int):
+    """Seed-deterministic p-stable (E2LSH, Datar et al. 2004)
+    projection literals, shared by the Spark plan and the DuckDB
+    oracle: a[band][row][dim] ~ N(0,1) rounded 6 (exact doubles both
+    engines), b[band][row] ~ U[0, w) rounded 6. Driver-side numpy —
+    no RNG state on executors (the HashSample posture)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = np.round(rng.standard_normal((bands, rows_per_band, dim)), 6)
+    b = np.round(rng.uniform(0.0, bucket_width,
+                             (bands, rows_per_band)), 6)
+    return a.tolist(), b.tolist()
+
+
+class DbscanClustersLsh(PTransform):
+    """DBSCAN for HIGH-dimensional numeric vectors (embedding-space
+    density clustering) — the regime where the grid variant's 3^d
+    probe factor explodes. Candidate eps-neighbor pairs come from
+    p-stable LSH (E2LSH, Datar et al. 2004): per band, each point
+    hashes to ``rows_per_band`` concatenated keys
+    floor((a.x + b) / w); points sharing a band's full key become
+    candidates, every candidate is verified on the EXACT squared
+    euclidean distance, and the verified pairs feed the identical
+    core / star-CC / border machinery as the grid variant.
+
+    APPROXIMATE by nature: a true eps-pair landing in no common
+    bucket is missed (probability shrinks with ``bands``), so
+    clusters can fragment relative to exact DBSCAN — recall vs the
+    exact grid is pytest-floored at low d. Projections are
+    seed-deterministic round-6 literals and every per-row sum is an
+    EXPLICIT per-dimension chain (fixed IEEE order), so the realized
+    candidate set — and therefore the whole output — replays exactly
+    in the DuckDB oracle.
+
+    Scale: the band-key self-join is the only shuffle; a dense bucket
+    costs |bucket|^2 within its band (tune ``bucket_width`` down /
+    ``rows_per_band`` up for skewed corpora). Never all-pairs.
+
+    Output: (id, cluster, is_core) — cluster NULL for noise.
+    """
+
+    MAX_DIM = 64
+
+    def __init__(self, vec_col: str, eps: float, min_pts: int = 4,
+                 id_col: str = "id", bands: int = 8,
+                 rows_per_band: int = 2,
+                 bucket_width: float | None = None, seed: int = 7,
+                 label=None):
+        super().__init__(label)
+        self.vec_col = vec_col
+        self.eps = float(eps)
+        if self.eps <= 0:
+            raise ValueError("eps must be > 0")
+        self.min_pts = int(min_pts)
+        if self.min_pts < 1:
+            raise ValueError("min_pts must be >= 1")
+        self.id_col = id_col
+        self.bands = int(bands)
+        self.rows_per_band = int(rows_per_band)
+        if not 1 <= self.bands <= 64:
+            raise ValueError("bands must be in [1, 64]")
+        if not 1 <= self.rows_per_band <= 8:
+            raise ValueError("rows_per_band must be in [1, 8]")
+        self.bucket_width = (float(bucket_width)
+                             if bucket_width is not None
+                             else 2.0 * self.eps)
+        if self.bucket_width <= 0:
+            raise ValueError("bucket_width must be > 0")
+        self.seed = int(seed)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        idc, vc, eps = self.id_col, self.vec_col, self.eps
+        dt = dict(pcoll.df.dtypes).get(idc)
+        if dt not in ("bigint", "int", "smallint", "tinyint"):
+            raise ValueError(
+                f"DbscanClustersLsh: id_col {idc!r} must be integral "
+                f"(got {dt})")
+        pts = pcoll.df.where(F.col(vc).isNotNull()).select(
+            F.col(idc).cast("long").alias("__id"),
+            F.expr(f"transform({vc}, x -> CAST(x AS DOUBLE))")
+            .alias("__v"))
+        row = pts.agg(F.min(F.size("__v")).alias("lo"),
+                      F.max(F.size("__v")).alias("hi"),
+                      F.count(F.lit(1)).alias("n")).first()
+        if not row["n"]:
+            return pcoll.with_df(pts.select(
+                F.col("__id").alias(idc),
+                F.lit(None).cast("long").alias("cluster"),
+                F.lit(False).alias("is_core")))
+        if row["lo"] != row["hi"]:
+            raise ValueError(
+                f"DbscanClustersLsh: ragged vector dims "
+                f"[{row['lo']}, {row['hi']}] — fix the input "
+                "(a short vector would silently hash on a prefix)")
+        dim = int(row["lo"])
+        if dim > self.MAX_DIM:
+            raise ValueError(
+                f"DbscanClustersLsh: dim {dim} > {self.MAX_DIM} "
+                "(per-dimension expression chains bound the key "
+                "width) — reduce with PcaProject first")
+        a, b = lsh_projections(dim, self.bands, self.rows_per_band,
+                               self.bucket_width, self.seed)
+        w = self.bucket_width
+
+        def key(band, r):
+            s = F.lit(0.0)
+            for i in range(dim):
+                s = s + F.element_at("__v", i + 1) * F.lit(a[band][r][i])
+            return F.floor((s + F.lit(b[band][r])) / F.lit(w)) \
+                    .cast("long")
+
+        keyed = pts.select(
+            "__id", "__v",
+            F.explode(F.array(*[
+                F.struct(F.lit(band).alias("__band"),
+                         *[key(band, r).alias(f"__k{r}")
+                           for r in range(self.rows_per_band)])
+                for band in range(self.bands)])).alias("__h")
+        ).select("__id", "__v", "__h.*")
+        left = keyed.select(
+            F.col("__id").alias("__ai"), F.col("__v").alias("__va"),
+            "__band", *[f"__k{r}" for r in range(self.rows_per_band)])
+        right = keyed.select(
+            F.col("__id").alias("__bi"), F.col("__v").alias("__vb"),
+            "__band", *[f"__k{r}" for r in range(self.rows_per_band)])
+        d2 = F.lit(0.0)
+        for i in range(dim):
+            diff = (F.element_at("__va", i + 1)
+                    - F.element_at("__vb", i + 1))
+            d2 = d2 + diff * diff
+        pairs = (left.join(
+            right,
+            ["__band"] + [f"__k{r}" for r in range(self.rows_per_band)])
+            .where(F.col("__ai") != F.col("__bi"))
+            .where(d2 <= F.lit(eps * eps))
+            .select("__ai", "__bi")
+            .distinct())
+        return pcoll.with_df(_dbscan_assign(
+            pcoll, pts, pairs, self.min_pts, idc))
 
 
 class KMeansLloyd(PTransform):

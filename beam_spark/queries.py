@@ -7229,6 +7229,100 @@ def q_cluster_dbscan_customers(spark, sf_dir):
             | DbscanClusters(["x", "y"], eps=0.25, min_pts=3)).df
 
 
+def _lsh_dbscan_oracle_sql(dim: int = 64, bands: int = 8,
+                           rows_per_band: int = 2, w: float = 2.25,
+                           eps: float = 1.125, min_pts: int = 3,
+                           seed: int = 7) -> str:
+    """DuckDB replay of DbscanClustersLsh on the embeddings table:
+    the SAME seed-deterministic projection literals
+    (similarity.lsh_projections) drive per-band bucket keys with the
+    IDENTICAL left-assoc per-dimension sum chain the Spark plan
+    builds, candidates verify on the identical exact-distance chain,
+    and the DBSCAN tail (cores -> recursive-CTE closure -> borders)
+    is the grid component's oracle rooted on the LSH pair set."""
+    from beam_spark.operators.similarity import lsh_projections
+
+    a, b = lsh_projections(dim, bands, rows_per_band, w, seed)
+
+    def dlit(x):
+        return f"CAST({x!r} AS DOUBLE)"
+
+    band_selects = []
+    for band in range(bands):
+        keys = []
+        for r in range(rows_per_band):
+            s = "CAST(0 AS DOUBLE)"
+            for i in range(dim):
+                s += f" + v[{i + 1}] * {dlit(a[band][r][i])}"
+            keys.append(
+                f"CAST(floor(({s} + {dlit(b[band][r])}) / {dlit(w)}) "
+                f"AS BIGINT) AS k{r}")
+        band_selects.append(
+            f"SELECT id, v, {band} AS band, {', '.join(keys)} FROM p")
+    k_sql = "\nUNION ALL\n".join(band_selects)
+    d2 = "CAST(0 AS DOUBLE)"
+    for i in range(dim):
+        d2 += (f" + (x.v[{i + 1}] - y.v[{i + 1}])"
+               f" * (x.v[{i + 1}] - y.v[{i + 1}])")
+    on_keys = " AND ".join(f"y.k{r} = x.k{r}"
+                           for r in range(rows_per_band))
+    return f"""
+WITH RECURSIVE
+p AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id % 2 = 0
+        AND embedding IS NOT NULL),
+k AS ({k_sql}),
+e AS (SELECT DISTINCT x.id AS i, y.id AS j
+      FROM k x JOIN k y ON y.band = x.band AND {on_keys}
+      WHERE x.id <> y.id AND {d2} <= {dlit(eps * eps)}),
+nc AS (SELECT i AS id, CAST(count(*) AS BIGINT) AS n
+       FROM e GROUP BY 1),
+cores AS (SELECT id FROM nc WHERE n + 1 >= {min_pts}),
+ce AS (SELECT e.i, e.j FROM e
+       JOIN cores a ON a.id = e.i JOIN cores b ON b.id = e.j
+       WHERE e.i < e.j),
+sym AS (SELECT i AS a, j AS b FROM ce UNION SELECT j, i FROM ce),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b),
+comp AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY 1),
+ca AS (SELECT c.id, COALESCE(comp.comp, c.id) AS cluster
+       FROM cores c LEFT JOIN comp ON comp.id = c.id),
+border AS (SELECT e.i AS id, min(ca.cluster) AS cluster
+           FROM e JOIN ca ON ca.id = e.j
+           WHERE e.i NOT IN (SELECT id FROM cores)
+           GROUP BY 1),
+asg AS (SELECT id, cluster, TRUE AS is_core FROM ca
+        UNION ALL SELECT id, cluster, FALSE FROM border)
+SELECT p.id, asg.cluster, COALESCE(asg.is_core, FALSE) AS is_core
+FROM p LEFT JOIN asg ON asg.id = p.id
+"""
+
+
+@query("q_cluster_dbscan_lsh_embeddings", _lsh_dbscan_oracle_sql())
+def q_cluster_dbscan_lsh(spark, sf_dir):
+    """High-dimensional DBSCAN over the 64-dim embeddings (vec_id%2
+    slice) via p-stable LSH candidate pairs (8 bands x 2 rows,
+    w=2.25, eps=1.125 — both dyadic, min_pts=3): bucket keys and
+    exact verify distances are fixed-order per-dimension double
+    chains, so the realized approximate candidate set — and the full
+    cluster assignment built on it — replays exactly in DuckDB.
+    Corpus caveat: the testdata embeddings are near-uniform random
+    (pair contrast ~1.2x), where NO LSH family can prune — candidate
+    volume here tracks all-pairs, hence the slice; on real embedding
+    corpora (neighbors at 2x+ contrast) the band join prunes. The
+    recall-vs-exact floor is pytest-asserted at d=2."""
+    from beam_spark.operators.similarity import DbscanClustersLsh
+
+    emb = table(spark, sf_dir, "embeddings").df.where(
+        "vec_id % 2 = 0").selectExpr("vec_id AS id", "embedding")
+    return (PCollection(emb)
+            | DbscanClustersLsh("embedding", eps=1.125, min_pts=3,
+                                bands=8, rows_per_band=2,
+                                seed=7)).df
+
+
 @query("q_ann_knn_classify", """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                   CAST(vec_id % 7 AS VARCHAR) AS lbl FROM embeddings),

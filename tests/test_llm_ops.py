@@ -4830,6 +4830,82 @@ def test_kneser_ney_trigram_semantics(spark):
         (PCollection(test3) | KneserNeyPerplexity(two_tok, order=3)).df
 
 
+def test_lsh_dbscan_recall_vs_exact_grid(spark):
+    """Round-14 (VERDICT #6): the LSH variant's verified pairs are a
+    SUBSET of the true eps-pairs (exact-distance verify), so it can
+    only under-cluster — every LSH-clustered point must be clustered
+    by the exact grid run, and with enough bands the recall floor
+    holds: >= 90% of exactly-clustered points are also LSH-clustered.
+    d=2 so the grid variant is the exact reference."""
+    import numpy as np
+
+    from beam_spark.operators.similarity import (DbscanClusters,
+                                                 DbscanClustersLsh)
+    from beam_spark.pcollection import PCollection
+
+    rng = np.random.default_rng(42)
+    pts = []
+    pid = 0
+    for cx, cy in [(0, 0), (10, 0), (0, 10), (10, 10), (5, 5)]:
+        for _ in range(30):
+            pts.append((pid, float(cx + rng.normal(0, 0.3)),
+                        float(cy + rng.normal(0, 0.3))))
+            pid += 1
+    for _ in range(20):
+        pts.append((pid, float(rng.uniform(-20, 30)),
+                    float(rng.uniform(20, 40))))
+        pid += 1
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    exact = {r.id: r.cluster for r in (
+        PCollection(df)
+        | DbscanClusters(["x", "y"], eps=1.0, min_pts=4)).df.collect()}
+    vdf = df.selectExpr("id", "array(x, y) AS v")
+    lsh = {r.id: r.cluster for r in (
+        PCollection(vdf)
+        | DbscanClustersLsh("v", eps=1.0, min_pts=4, bands=12,
+                            rows_per_band=1, seed=3)).df.collect()}
+    ex_clustered = {i for i, c in exact.items() if c is not None}
+    lsh_clustered = {i for i, c in lsh.items() if c is not None}
+    assert lsh_clustered <= ex_clustered      # no false clustering
+    assert len(lsh_clustered) >= 0.9 * len(ex_clustered)
+    assert len(ex_clustered) >= 140           # the blobs did cluster
+    # co-membership agreement on the LSH-clustered subset: pairs the
+    # exact run separates must stay separated (pair subset property)
+    ids = sorted(lsh_clustered)
+    for i in ids[:50]:
+        for j in ids[:50]:
+            if i < j and lsh[i] == lsh[j]:
+                assert exact[i] == exact[j]
+
+
+def test_lsh_dbscan_validation(spark):
+    import pytest
+
+    from beam_spark.operators.similarity import DbscanClustersLsh
+    from beam_spark.pcollection import PCollection
+
+    with pytest.raises(ValueError, match="eps"):
+        DbscanClustersLsh("v", eps=0.0)
+    with pytest.raises(ValueError, match="bands"):
+        DbscanClustersLsh("v", eps=1.0, bands=0)
+    with pytest.raises(ValueError, match="rows_per_band"):
+        DbscanClustersLsh("v", eps=1.0, rows_per_band=9)
+    s = spark.createDataFrame([("a", [1.0, 2.0])],
+                              "id string, v array<double>")
+    with pytest.raises(ValueError, match="integral"):
+        (PCollection(s) | DbscanClustersLsh("v", eps=1.0)).df
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+        "id long, v array<double>")
+    with pytest.raises(ValueError, match="ragged"):
+        (PCollection(ragged) | DbscanClustersLsh("v", eps=1.0)).df
+    wide = spark.createDataFrame(
+        [(1, [float(i) for i in range(65)])],
+        "id long, v array<double>")
+    with pytest.raises(ValueError, match="dim 65"):
+        (PCollection(wide) | DbscanClustersLsh("v", eps=1.0)).df
+
+
 def test_dbscan_rejects_non_integral_ids(spark):
     import pytest
 
