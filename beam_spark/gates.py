@@ -1046,7 +1046,20 @@ def q_approx_sketches(spark, sf_dir):
                     "<= 0.03 * abs(CASE q WHEN 0.25 THEN eq[0] "
                     "WHEN 0.5 THEN eq[1] ELSE eq[2] END) AS ok"))
 
-    return _union([approx_distinct, approx_q, hll, sample, ddsketch])
+    # r14 fold: AMS F2 verdict rows — the estimate itself is
+    # deterministic (md5 signs) and value-checked by the component
+    # oracle; here the gate asserts the ACCURACY band vs exact F2:
+    # 0.45 = 2.5x the k=64 theoretical std (sqrt(2/64) ~ 0.18);
+    # measured max realized deviation 0.23 across sf0.001-0.1
+    ams = (_component("q_stats_ams_f2")(spark, sf_dir)
+           .selectExpr(
+               "'ams_f2' AS op", "event_type AS k",
+               "CAST(f2_exact AS DOUBLE) AS expected",
+               "abs(f2_estimate - CAST(f2_exact AS DOUBLE)) "
+               "<= 0.45 * CAST(f2_exact AS DOUBLE) AS ok"))
+
+    return _union([approx_distinct, approx_q, hll, sample, ddsketch,
+                   ams])
 
 
 _APPROX_SQL = "\nUNION ALL\n".join(
@@ -1064,7 +1077,12 @@ FROM events""",
     + [f"""SELECT 'ddsketch' AS op, event_type || '@{p}' AS k,
        CAST(quantile_cont(value, {p}) AS DOUBLE) AS expected, TRUE AS ok
 FROM events WHERE value > 0 GROUP BY event_type"""
-       for p in ("0.25", "0.5", "0.95")])
+       for p in ("0.25", "0.5", "0.95")]
+    + ["""SELECT 'ams_f2' AS op, event_type AS k,
+       CAST(sum(c * c) AS DOUBLE) AS expected, TRUE AS ok
+FROM (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2)
+GROUP BY event_type"""])
 
 
 # --------------------------------------------------------------------------
@@ -1181,7 +1199,9 @@ def q_dedup_pairs_suite(spark, sf_dir):
     per-gate time budget; the eps=0.25 instance stays
     component-oracled). The two ITERATIVE members (cc, dbscan — eager
     per-round checkpoints at construction) build on a 2-thread pool."""
-    from beam_spark.operators.dedupe import MinHashLSH, NgramJaccardPairs
+    from beam_spark.operators.dedupe import (ContainmentPairs,
+                                             MinHashLSH,
+                                             NgramJaccardPairs)
     from beam_spark.operators.similarity import DbscanClusters
     from beam_spark.pcollection import PCollection as _PC
 
@@ -1189,6 +1209,9 @@ def q_dedup_pairs_suite(spark, sf_dir):
     ngram = (_PC(half) | NgramJaccardPairs(threshold=0.6)).df
     minhash = (_PC(half)
                | MinHashLSH(bands=16, rows_per_band=8, threshold=0.6)).df
+    # r14 fold: asymmetric containment pairs on the same half-corpus
+    # slice (the full corpus stays component-oracled)
+    containment = (_PC(half) | ContainmentPairs(threshold=0.5)).df
     emb = _component("q_embedding_neardup_pairs")(spark, sf_dir)
 
     def _cc():
@@ -1223,6 +1246,8 @@ def q_dedup_pairs_suite(spark, sf_dir):
         dbscan.selectExpr("'dbscan' AS method", "id AS i",
                           "cluster AS j",
                           "CAST(is_core AS DOUBLE) AS sim"),
+        containment.selectExpr("'containment' AS method", "i", "j",
+                               "containment AS sim"),
     ])
 
 
@@ -1253,6 +1278,10 @@ UNION ALL
        "CAST(is_core AS DOUBLE) AS sim",
        _component_sql("q_cluster_dbscan_customers").replace(
            "0.0625", "0.015625"))}
+UNION ALL
+{_wrap("'containment' AS method, i, j, containment AS sim",
+       _component_sql("q_dedup_containment_pairs").replace(
+           "FROM documents", _HALF_DOCS))}
 """
 
 

@@ -110,6 +110,59 @@ class NgramJaccardPairs(PTransform):
         return pcoll.with_df(out)
 
 
+class ContainmentPairs(PTransform):
+    """Asymmetric near-dup pairs by shingle CONTAINMENT
+    c(i in j) = |S_i ∩ S_j| / |S_i| >= threshold — the dedup signal
+    symmetric jaccard structurally misses: a document quoted whole
+    inside a much longer one has jaccard ≈ |A|/|B| (arbitrarily
+    small) but containment 1.0. This is the "substring at the
+    shingle level" complement to ExactSubstrDedup's byte-level spans
+    (Broder 1997 splits resemblance/containment exactly this way).
+
+    Same candidate machinery as NgramJaccardPairs (explode ->
+    join-on-shingle -> per-pair common count; quadratic only within
+    shared shingles), but ORDERED pairs: (i, j) scores i's coverage
+    by j, so both directions emit independently. containment rides
+    UNROUNDED — one int/int division, same IEEE op both engines.
+
+    Output: (i, j, containment) for every ordered pair above
+    threshold.
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 n: int = 3, threshold: float = 0.5, label=None):
+        super().__init__(label)
+        self.text_col, self.id_col = text_col, id_col
+        self.n, self.threshold = n, float(threshold)
+        if not 0.0 < self.threshold <= 1.0:
+            raise ValueError(f"threshold {threshold} outside (0, 1]")
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        idc = self.id_col
+        sh = (pcoll.df
+              .select(F.col(idc), tokens(self.text_col).alias("__w"))
+              .filter(F.size("__w") >= self.n)
+              .select(F.col(idc),
+                      word_shingles_on("__w", self.n).alias("sh")))
+        sh.persist()
+        track_cache(pcoll, sh)
+        sh = sh.withColumn("n_sh", F.size("sh"))
+        ex = sh.select(idc, "n_sh", F.explode("sh").alias("shingle"))
+        a = ex.select(F.col(idc).alias("i"),
+                      F.col("n_sh").alias("ni"), "shingle")
+        b = ex.select(F.col(idc).alias("j"), "shingle")
+        common = (a.join(b, on="shingle")
+                  .filter(F.col("i") != F.col("j"))
+                  .groupBy("i", "j", "ni")
+                  .agg(F.count("*").alias("common")))
+        cont = F.col("common") / F.col("ni")
+        out = (common
+               .withColumn("containment", cont)
+               .filter(F.col("containment") >= self.threshold)
+               .select("i", "j", "containment"))
+        return pcoll.with_df(out)
+
+
 def _band_keys(sig_df: DataFrame, idc: str, bands: int, rows: int) -> DataFrame:
     """Explode a (id, sig) frame into LSH band keys: one row per band,
     bk = (band index, xxhash64 of that band's signature slice)."""

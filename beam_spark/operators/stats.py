@@ -100,6 +100,60 @@ def moments_covar_samp_sql(dec_x: str, dec_y: str) -> str:
     return f"(({sxy}) - ({sx}) * ({sy}) / {n}) / ({n} - 1)"
 
 
+class AmsF2Sketch(PTransform):
+    """Second frequency moment F2 = sum_v f_v^2 estimator (Alon,
+    Matias & Szegedy, STOC'96 — the original streaming-sketch
+    paper): the self-join / repeat-rate size signal a planner wants
+    without holding per-value counts. Each of ``counters`` cells
+    keeps Z_j = sum over rows of s_j(value) where s_j(v) = +-1;
+    E[Z_j^2] = F2, and the estimate averages the k cells
+    (std ~ sqrt(2/k) * F2 — k=64 gives ~18%; this is a coarse
+    planner signal, not a quantile sketch).
+
+    Spark design: one explode(k) into a MAP-SIDE partial sum — the
+    shuffled state is (keys x k) integer cells, never per-value
+    counts; cells ADD, so partial aggregation and any partitioning
+    give the identical sketch. The sign is a pure function of
+    md5(j:value) (replayable in the oracle engine — the FeatureHasher
+    convention), so the estimate is DETERMINISTIC: the oracle checks
+    it for exact equality (integer cell sums / k), and the accuracy
+    band is a verdict row in the gate, like the other sketches.
+
+    Output: (keys..., f2_estimate double, n long).
+    """
+
+    def __init__(self, col: str, counters: int = 64, keys=(),
+                 label=None):
+        super().__init__(label)
+        self.col = col
+        self.counters = int(counters)
+        if not 4 <= self.counters <= 1024:
+            raise ValueError(f"counters {counters} outside [4, 1024]")
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def expand(self, pcoll):
+        c, ks, k = self.col, self.keys, self.counters
+        base = pcoll.df.where(F.col(c).isNotNull()).select(
+            *ks, F.col(c).cast("string").alias("__v"))
+        ex = base.select(
+            *ks, "__v",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__j"))
+        sign = (F.lit(1) - F.lit(2)
+                * (F.conv(F.substring(
+                    F.md5(F.concat(F.col("__j").cast("string"),
+                                   F.lit(":"), F.col("__v"))),
+                    1, 1), 16, 10).cast("bigint") % F.lit(2)))
+        cells = (ex.groupBy(*ks, "__j")
+                 .agg(F.sum(sign).cast("long").alias("__z"),
+                      F.count(F.lit(1)).cast("long").alias("__n")))
+        out = (cells.groupBy(*ks)
+               .agg((F.sum(F.col("__z") * F.col("__z"))
+                     .cast("double") / F.lit(float(k)))
+                    .alias("f2_estimate"),
+                    F.max("__n").cast("long").alias("n")))
+        return pcoll.with_df(out)
+
+
 class CountMinSketch:
     """SketchFrequencies (sdks/java/extensions/sketching/
     SketchFrequencies.java) -> Spark's native count-min sketch.

@@ -6879,6 +6879,27 @@ def q_ngram_jaccard(spark, sf_dir):
             | NgramJaccardPairs(threshold=0.6)).df
 
 
+@query("q_dedup_containment_pairs", """
+WITH sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+        CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / len(a.shingles) AS containment
+      FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+      WHERE len(a.shingles) > 0 AND len(b.shingles) > 0)
+SELECT i, j, containment FROM p WHERE containment >= 0.5
+""".replace("{_SHINGLES}", _SHINGLES))
+def q_dedup_containment_pairs(spark, sf_dir):
+    """Asymmetric shingle-containment near-dup pairs (threshold 0.5,
+    ordered — c(i in j) and c(j in i) emit independently): the
+    doc-inside-doc signal symmetric jaccard misses. Exact verifier
+    posture: same brute-force oracle shape as the jaccard family,
+    containment UNROUNDED (one int/int division)."""
+    from beam_spark.operators.dedupe import ContainmentPairs
+
+    return (table(spark, sf_dir, "documents")
+            | ContainmentPairs(threshold=0.5)).df
+
+
 @query("q_dedup_jaccard_prefix_join", _JACCARD_ORACLE)
 def q_jaccard_prefix(spark, sf_dir):
     """EXACT jaccard pairs via AllPairs/PPJoin prefix filtering —
@@ -10853,6 +10874,50 @@ def q_ml_feature_hasher(spark, sf_dir):
     out = (PCollection(docs)
            | FeatureHasher(["lang", "bucket"], n_features=16)).df
     return out.select("doc_id", "hashed")
+
+
+@query("q_stats_ams_f2", """
+WITH base AS (SELECT event_type AS g, CAST(user_id AS VARCHAR) AS v
+              FROM events WHERE user_id IS NOT NULL),
+ex AS (SELECT g, v, u.j FROM base,
+       (SELECT unnest(range(0, 64)) AS j) u),
+cells AS (SELECT g, j,
+            CAST(sum(1 - 2 * (CAST(('0x' || substr(
+                md5(CAST(j AS VARCHAR) || ':' || v), 1, 1))
+                AS BIGINT) % 2)) AS BIGINT) AS z,
+            CAST(count(*) AS BIGINT) AS n
+          FROM ex GROUP BY 1, 2),
+est AS (SELECT g, CAST(sum(z * z) AS DOUBLE)
+                  / CAST(64 AS DOUBLE) AS f2_estimate,
+               CAST(max(n) AS BIGINT) AS n
+        FROM cells GROUP BY 1),
+ext AS (SELECT g, CAST(sum(c * c) AS BIGINT) AS f2_exact FROM
+          (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+           FROM base GROUP BY 1, 2) GROUP BY 1)
+SELECT e.g AS event_type, e.f2_estimate, e.n, x.f2_exact
+FROM est e JOIN ext x ON x.g = e.g
+""")
+def q_stats_ams_f2(spark, sf_dir):
+    """AMS second-frequency-moment sketch (64 cells) of user_id per
+    event type, alongside the exact F2 — the estimate is
+    deterministic (md5-derived +-1 signs), so DuckDB recomputes the
+    IDENTICAL integer cell sums and the value check is exact; the
+    accuracy band rides as a verdict row in the approx gate."""
+    from beam_spark.operators.stats import AmsF2Sketch
+
+    ev = table(spark, sf_dir, "events").df.selectExpr(
+        "event_type", "user_id")
+    est = (PCollection(ev)
+           | AmsF2Sketch("user_id", counters=64,
+                         keys="event_type")).df
+    exact = (ev.where("user_id IS NOT NULL")
+             .groupBy("event_type", "user_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("c"))
+             .groupBy("event_type")
+             .agg(F.sum(F.col("c") * F.col("c")).cast("long")
+                  .alias("f2_exact")))
+    return est.join(exact, "event_type").select(
+        "event_type", "f2_estimate", "n", "f2_exact")
 
 
 @query("q_stats_ddsketch_quantiles", """

@@ -1437,6 +1437,36 @@ def test_sorted_neighborhood_pairs(spark):
         SortedNeighborhoodPairs(key_col="name", window=1)
 
 
+def test_containment_pairs_asymmetric(spark):
+    """Round-14: a short doc quoted whole inside a much longer one —
+    containment(short in long) = 1.0 while jaccard stays below any
+    useful threshold; the reverse direction scores |short|/|long|;
+    unrelated docs emit nothing; threshold validated."""
+    import pytest as _pytest
+
+    from beam_spark.operators.dedupe import (ContainmentPairs,
+                                             NgramJaccardPairs)
+    from beam_spark.pcollection import PCollection
+
+    short = "alpha beta gamma delta epsilon"        # 3 shingles
+    filler = " ".join(f"w{i}" for i in range(40))   # 38 shingles
+    long_doc = short + " " + filler
+    df = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, "zeta eta theta iota")],
+        "doc_id long, text string")
+    got = {(r.i, r.j): r.containment for r in
+           (PCollection(df)
+            | ContainmentPairs(threshold=0.5)).df.collect()}
+    assert got[(1, 2)] == 1.0          # short fully inside long
+    assert (2, 1) not in got           # reverse ~ 3/41 < 0.5
+    assert not any(3 in k for k in got)
+    jac = (PCollection(df)
+           | NgramJaccardPairs(threshold=0.5)).df.collect()
+    assert jac == []                   # symmetric jaccard misses it
+    with _pytest.raises(ValueError, match="threshold"):
+        ContainmentPairs(threshold=0.0)
+
+
 def test_jaccard_prefix_join_equals_quadratic(spark):
     """JaccardPrefixJoin returns the identical (i, j, jaccard) set as
     the quadratic NgramJaccardPairs on planted near-dups (lossless
@@ -4750,6 +4780,34 @@ def test_ddsketch_relative_error_guarantee(spark):
         DdSketchQuantiles("v", quantiles=(1.5,))
     with pytest.raises(ValueError):
         DdSketchQuantiles("v", alpha=0.0)
+
+
+def test_ams_f2_sketch_properties(spark):
+    """Round-14: the estimate is deterministic (two runs identical —
+    md5 signs, no RNG state); partitioning-invariant (cells ADD, so
+    1 vs 8 partitions give the identical sketch); within 2.5 sigma
+    of exact F2 on a skewed distribution; validation fails fast."""
+    import math
+
+    import pytest
+
+    from beam_spark.operators.stats import AmsF2Sketch
+    from beam_spark.pcollection import PCollection
+
+    # skewed: value v appears v times, v = 1..40 -> F2 = sum v^2
+    rows = [(v,) for v in range(1, 41) for _ in range(v)]
+    f2 = sum(v * v for v in range(1, 41))
+    df = spark.createDataFrame(rows, "v long")
+    r1 = (PCollection(df)
+          | AmsF2Sketch("v", counters=64)).df.collect()[0]
+    r2 = (PCollection(df.repartition(8))
+          | AmsF2Sketch("v", counters=64)).df.collect()[0]
+    assert r1.f2_estimate == r2.f2_estimate     # partition-invariant
+    assert r1.n == sum(range(1, 41))
+    sigma = math.sqrt(2.0 / 64) * f2
+    assert abs(r1.f2_estimate - f2) <= 2.5 * sigma
+    with pytest.raises(ValueError, match="counters"):
+        AmsF2Sketch("v", counters=2)
 
 
 def test_kneser_ney_empty_train_fails_fast(spark):
