@@ -578,6 +578,12 @@ def q_stats_moments(spark, sf_dir):
                 "'coldep' AS op", "'n' AS k", "CAST(n AS DOUBLE) AS v1",
                 "CAST(nx AS DOUBLE) AS v2", "CAST(ny AS DOUBLE) AS v3",
                 f"{_ZERO} AS v4"),
+        # r14 fold: the multi-feature MI ranking screen (coldep's
+        # one-pair report generalized to a melt pass)
+        _tagged("q_quality_mi_feature_rank",
+                "'mi_rank' AS op", "feature AS k", "mi AS v1",
+                "h_feature AS v2", "h_label AS v3",
+                "CAST(n AS DOUBLE) AS v4"),
         # round-12 session-3 folds: the A/B testing battery + privacy
         # / concentration / OLS reports (all 1-pass aggregation
         # frames; full rows stay component-oracled)
@@ -679,6 +685,9 @@ _STATS_MOMENTS_SQL = "\nUNION ALL\n".join([
           "CAST(nx AS DOUBLE) AS v2, CAST(ny AS DOUBLE) AS v3, "
           f"{_ZERO} AS v4",
           _component_sql("q_column_dependence_docs")),
+    _wrap("'mi_rank' AS op, feature AS k, mi AS v1, h_feature AS v2, "
+          "h_label AS v3, CAST(n AS DOUBLE) AS v4",
+          _component_sql("q_quality_mi_feature_rank")),
     _wrap("'welch' AS op, l_linestatus AS k, t AS v1, df AS v2, "
           "cohens_d AS v3, mean_diff AS v4",
           _component_sql("q_stats_welch_ttest")),

@@ -1545,6 +1545,79 @@ class CategoryEntropy(PTransform):
         return pcoll.with_df(out)
 
 
+class MutualInformationRank(PTransform):
+    """Per-feature mutual information with a label column, in bits —
+    the one-pass feature-selection screen (sklearn's
+    mutual_info_classif for the discrete case): which metadata
+    columns carry signal about the label, ranked. ColumnDependence
+    reports ONE pair in depth; this scores MANY features in a single
+    melt pass:
+
+        melt (stack) -> ONE (feature, x, y) joint count ->
+        per-feature H(X), H(Y), H(X,Y) from exact counts
+        MI = H(X) + H(Y) - H(X,Y)
+
+    Rows where the label is NULL are dropped; a NULL feature value
+    within a kept row is dropped for THAT feature only (features are
+    scored on their own non-NULL support — n is per-feature).
+    Entropy terms quantize to decimal(28,12) before the sum (the
+    ColumnDependence convention) so partial-agg order can't drift.
+
+    Scale: the shuffled state is (feature x categories) joint
+    counts — the melt multiplies rows by |features| but feeds a
+    map-side partial agg, never a row-level shuffle.
+
+    Output: (feature, n, h_feature, h_label, mi) — entropies and mi
+    round 9, one row per feature.
+    """
+
+    def __init__(self, features, label_col: str, label=None):
+        super().__init__(label)
+        self.features = ([features] if isinstance(features, str)
+                         else list(features))
+        if not self.features:
+            raise ValueError("need at least one feature column")
+        self.label_col = label_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        fs, yc = self.features, self.label_col
+        stack_args = ", ".join(
+            f"'{f}', CAST(`{f.replace(chr(96), chr(96) * 2)}` "
+            f"AS STRING)" for f in fs)
+        melt = (pcoll.df.where(F.col(yc).isNotNull())
+                .selectExpr(
+                    f"stack({len(fs)}, {stack_args}) "
+                    "AS (feature, __x)",
+                    f"CAST(`{yc}` AS STRING) AS __y")
+                .where(F.col("__x").isNotNull()))
+        joint = melt.groupBy("feature", "__x", "__y").agg(
+            F.count(F.lit(1)).cast("long").alias("c"))
+        tot = joint.groupBy("feature").agg(
+            F.sum("c").cast("long").alias("n"))
+
+        def ent(keys, alias):
+            cnt = joint.groupBy("feature", *keys).agg(
+                F.sum("c").cast("long").alias("cc"))
+            p = (F.col("cc").cast("double")
+                 / F.col("n").cast("double"))
+            term = (-(p * F.log2(p))).cast("decimal(28,12)")
+            return (cnt.join(tot, "feature")
+                    .groupBy("feature")
+                    .agg(F.sum(term).cast("double").alias(alias)))
+
+        hx = ent(["__x"], "__hx")
+        hy = ent(["__y"], "__hy")
+        hxy = ent(["__x", "__y"], "__hxy")
+        out = (tot.join(hx, "feature").join(hy, "feature")
+               .join(hxy, "feature")
+               .select("feature", "n",
+                       F.round("__hx", 9).alias("h_feature"),
+                       F.round("__hy", 9).alias("h_label"),
+                       F.round(F.col("__hx") + F.col("__hy")
+                               - F.col("__hxy"), 9).alias("mi")))
+        return pcoll.with_df(out)
+
+
 class ColumnDependence(PTransform):
     """Dependence report between two categorical columns — mutual
     information and Theil's uncertainty coefficients, the leakage /

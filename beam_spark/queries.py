@@ -10876,6 +10876,62 @@ def q_ml_feature_hasher(spark, sf_dir):
     return out.select("doc_id", "hashed")
 
 
+def _mi_rank_oracle_sql() -> str:
+    """DuckDB replay of MutualInformationRank on documents: per
+    feature, joint counts -> exact-count entropies with the identical
+    decimal(28,12) term quantization -> MI = H(X) + H(Y) - H(X,Y)."""
+    feats = [("source", "f_source"), ("bucket", "f_bucket"),
+             ("band", "f_band")]
+
+    def ent(src, n_src, group):
+        p = f"(CAST(cc AS DOUBLE) / CAST(n AS DOUBLE))"
+        return (f"(SELECT CAST(sum(CAST(-({p} * log2({p})) "
+                f"AS DECIMAL(28,12))) AS DOUBLE) FROM "
+                f"(SELECT {group}, CAST(sum(c) AS BIGINT) AS cc "
+                f"FROM {src} GROUP BY {group}) CROSS JOIN {n_src})")
+
+    blocks, finals = [], []
+    for name, col in feats:
+        blocks.append(
+            f"j_{name} AS (SELECT {col} AS x, y, "
+            f"CAST(count(*) AS BIGINT) AS c FROM base "
+            f"WHERE {col} IS NOT NULL GROUP BY 1, 2)")
+        blocks.append(
+            f"n_{name} AS (SELECT CAST(sum(c) AS BIGINT) AS n "
+            f"FROM j_{name})")
+        hx = ent(f"j_{name}", f"n_{name}", "x")
+        hy = ent(f"j_{name}", f"n_{name}", "y")
+        hxy = ent(f"j_{name}", f"n_{name}", "x, y")
+        finals.append(
+            f"SELECT '{name}' AS feature, n, "
+            f"round({hx}, 9) AS h_feature, "
+            f"round({hy}, 9) AS h_label, "
+            f"round({hx} + {hy} - {hxy}, 9) AS mi FROM n_{name}")
+    return ("WITH base AS (SELECT lang AS y, source AS f_source, "
+            "CAST(n_chars % 10 AS VARCHAR) AS f_bucket, "
+            "CAST(n_chars // 1000 AS VARCHAR) AS f_band "
+            "FROM documents WHERE lang IS NOT NULL),\n"
+            + ",\n".join(blocks) + "\n"
+            + "\nUNION ALL\n".join(finals))
+
+
+@query("q_quality_mi_feature_rank", _mi_rank_oracle_sql())
+def q_quality_mi_feature_rank(spark, sf_dir):
+    """Mutual-information feature ranking against the lang label —
+    three document metadata features (source, n_chars%10 bucket,
+    n_chars DIV 1000 band) scored in one melt pass; exact-count
+    entropies with decimal(28,12) term sums, round 9."""
+    from beam_spark.operators.quality import MutualInformationRank
+
+    docs = table(spark, sf_dir, "documents").df.selectExpr(
+        "lang", "source",
+        "CAST(n_chars % 10 AS STRING) AS bucket",
+        "CAST(n_chars DIV 1000 AS STRING) AS band")
+    return (PCollection(docs)
+            | MutualInformationRank(["source", "bucket", "band"],
+                                    "lang")).df
+
+
 @query("q_stats_ams_f2", """
 WITH base AS (SELECT event_type AS g, CAST(user_id AS VARCHAR) AS v
               FROM events WHERE user_id IS NOT NULL),

@@ -4782,6 +4782,42 @@ def test_ddsketch_relative_error_guarantee(spark):
         DdSketchQuantiles("v", alpha=0.0)
 
 
+def test_mutual_information_rank(spark):
+    """Round-14: a feature that perfectly determines the label gets
+    MI = H(label); an independent feature gets MI ~ 0; a constant
+    feature gets MI = 0 exactly; NULL label rows drop globally, NULL
+    feature values drop per-feature (per-feature n); validation."""
+    import math
+
+    import pytest
+
+    from beam_spark.operators.quality import MutualInformationRank
+    from beam_spark.pcollection import PCollection
+
+    # y uniform over {a,b}; f_perfect == y; f_indep alternates within
+    # each y (exactly independent); f_const constant
+    rows = []
+    for i in range(40):
+        y = "a" if i % 2 == 0 else "b"
+        rows.append((i, y, y, str(i % 4 // 2), "k",
+                     None if i == 0 else "x"))
+    df = spark.createDataFrame(
+        rows, "id long, y string, f_perfect string, f_indep string, "
+              "f_const string, f_null string")
+    out = {r.feature: r for r in (PCollection(df)
+           | MutualInformationRank(
+               ["f_perfect", "f_indep", "f_const", "f_null"],
+               "y")).df.collect()}
+    assert abs(out["f_perfect"].mi - 1.0) < 1e-9    # H(y) = 1 bit
+    assert abs(out["f_indep"].mi) < 1e-9
+    assert out["f_const"].mi == 0.0
+    assert out["f_const"].h_feature == 0.0
+    assert out["f_null"].n == 39                    # per-feature n
+    assert out["f_perfect"].n == 40
+    with pytest.raises(ValueError, match="feature"):
+        MutualInformationRank([], "y")
+
+
 def test_ams_f2_sketch_properties(spark):
     """Round-14: the estimate is deterministic (two runs identical —
     md5 signs, no RNG state); partitioning-invariant (cells ADD, so
