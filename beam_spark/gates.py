@@ -1545,8 +1545,16 @@ def q_anomaly_mltrain(spark, sf_dir):
         "CAST(event_id AS STRING) || '|' || event_type AS k",
         "zscore AS v1", "CAST(is_anomaly AS DOUBLE) AS v2",
         f"{_ZERO} AS v3")
+    # r14 fold: the robust-zscore/IQR/majority-vote ensemble
+    robust = _component("q_anomaly_robust_ensemble")(
+        spark, sf_dir).selectExpr(
+        "'robust' AS op",
+        "CAST(event_id AS STRING) || '|' || event_type AS k",
+        "robust_zscore AS v1",
+        "CAST(is_robust AS DOUBLE) + 2 * CAST(is_iqr AS DOUBLE) AS v2",
+        "CAST(vote AS DOUBLE) AS v3")
     mlt = _component("q_pipeline_ml_training")(spark, sf_dir)
-    return _union([anomaly, mlt])
+    return _union([anomaly, robust, mlt])
 
 
 _ANOMALY_MLTRAIN_SQL = f"""
@@ -1554,6 +1562,12 @@ _ANOMALY_MLTRAIN_SQL = f"""
        "AS k, zscore AS v1, CAST(is_anomaly AS DOUBLE) AS v2, "
        f"{_ZERO} AS v3",
        _component_sql("q_anomaly_zscore_events"))}
+UNION ALL
+{_wrap("'robust' AS op, CAST(event_id AS VARCHAR) || '|' || event_type "
+       "AS k, robust_zscore AS v1, "
+       "CAST(is_robust AS DOUBLE) + 2 * CAST(is_iqr AS DOUBLE) AS v2, "
+       "CAST(vote AS DOUBLE) AS v3",
+       _component_sql("q_anomaly_robust_ensemble"))}
 UNION ALL
 {_wrap("op, k, v1, v2, v3", _component_sql("q_pipeline_ml_training"))}
 """

@@ -91,6 +91,98 @@ class IQRDetector(PTransform):
         return pcoll.with_df(out)
 
 
+class RobustZScoreDetector(PTransform):
+    """Robust (modified) z-score (detectors/robust_zscore.py:31):
+    score = |0.6745 * (x - median) / MAD|, MAD = median(|x - median|)
+    — the outlier-insensitive alternative to the moment z-score (one
+    wild value shifts mean AND stddev, masking itself; the median and
+    MAD barely move). 0.6745 = Phi^-1(0.75) makes the score
+    sigma-comparable under normality, so the default threshold stays
+    3. The reference floors MAD at EPSILON = 1e-9
+    (univariate/base.py:22) so a constant-but-for-outliers group
+    still flags the outliers; mirrored here.
+
+    Batch-exact: interpolated medians (the reference notes its
+    STREAMING tracker only approximates this batch definition).
+    Two aggregation passes (median, then MAD over |x - median|),
+    group stats broadcast back.
+    """
+
+    def __init__(self, value_col: str, group_cols=None,
+                 threshold: float = 3.0, label=None):
+        super().__init__(label)
+        self.value_col = value_col
+        self.group_cols = ([group_cols] if isinstance(group_cols, str)
+                           else list(group_cols or []))
+        self.threshold = float(threshold)
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        v, gs = self.value_col, self.group_cols
+        df = pcoll.df
+        med_agg = F.expr(f"percentile({v}, 0.5)").alias("__med")
+        if gs:
+            med = df.groupBy(*gs).agg(med_agg)
+            with_med = df.join(F.broadcast(med), on=gs)
+            mad = (with_med
+                   .groupBy(*gs)
+                   .agg(F.expr(f"percentile(abs({v} - __med), 0.5)")
+                        .alias("__mad")))
+            scored = with_med.join(F.broadcast(mad), on=gs)
+        else:
+            m = df.agg(med_agg).first()[0]
+            with_med = df.withColumn("__med", F.lit(m))
+            md = with_med.agg(
+                F.expr(f"percentile(abs({v} - __med), 0.5)")).first()[0]
+            scored = with_med.withColumn("__mad", F.lit(md))
+        score = F.abs(F.lit(0.6745) * (F.col(v) - F.col("__med"))
+                      / F.greatest(F.col("__mad"), F.lit(1.0e-9)))
+        out = (scored
+               .withColumn("robust_zscore", score)
+               .withColumn("is_anomaly",
+                           F.col("robust_zscore") > self.threshold)
+               .drop("__med", "__mad"))
+        return pcoll.with_df(out)
+
+
+class AnomalyVote(PTransform):
+    """Label aggregation across detector flags
+    (ml/anomaly/aggregations.py MajorityVote:195 / AllVote:236 /
+    AnyVote:267): combine boolean is-anomaly columns from several
+    detectors into one ensemble flag. Pure expression — zero
+    shuffle. NULL flags count as normal votes (the reference's
+    missing-prediction handling under its defaults).
+    """
+
+    RULES = ("majority", "any", "all")
+
+    def __init__(self, flag_cols, out_col: str = "is_anomaly",
+                 rule: str = "majority", label=None):
+        super().__init__(label)
+        self.flag_cols = ([flag_cols] if isinstance(flag_cols, str)
+                          else list(flag_cols))
+        if len(self.flag_cols) < 1:
+            raise ValueError("need at least one flag column")
+        if rule not in self.RULES:
+            raise ValueError(f"rule {rule!r}: one of {self.RULES}")
+        self.rule, self.out_col = rule, out_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        votes = [F.coalesce(F.col(c).cast("int"), F.lit(0))
+                 for c in self.flag_cols]
+        total = votes[0]
+        for vv in votes[1:]:
+            total = total + vv
+        k = len(votes)
+        if self.rule == "majority":
+            flag = total * 2 > F.lit(k)
+        elif self.rule == "any":
+            flag = total > F.lit(0)
+        else:
+            flag = total == F.lit(k)
+        return pcoll.with_df(
+            pcoll.df.withColumn(self.out_col, flag))
+
+
 class OnlineZScoreDetector(PTransform):
     """Streaming score-and-learn z-score detector (the reference's
     stateful AnomalyDetection mode, ml/anomaly/transforms.py:53): per-key

@@ -10876,6 +10876,80 @@ def q_ml_feature_hasher(spark, sf_dir):
     return out.select("doc_id", "hashed")
 
 
+@query("q_anomaly_robust_ensemble", f"""
+WITH ev AS (SELECT event_id, event_type, CAST(value AS DOUBLE) AS v
+            FROM events WHERE value IS NOT NULL),
+zs AS (SELECT event_type,
+              CAST(SUM({_EVENT_VAL}) AS DOUBLE) / COUNT(*) AS mean_v,
+              sqrt(CAST(SUM({_EVENT_VAL} * {_EVENT_VAL}) AS DOUBLE)
+                     / COUNT(*)
+                   - (CAST(SUM({_EVENT_VAL}) AS DOUBLE) / COUNT(*))
+                     * (CAST(SUM({_EVENT_VAL}) AS DOUBLE) / COUNT(*)))
+                AS std_v
+       FROM events WHERE value IS NOT NULL GROUP BY event_type),
+md AS (SELECT event_type, quantile_cont(v, 0.5) AS med,
+              quantile_cont(v, [0.25, 0.75]) AS q
+       FROM ev GROUP BY event_type),
+mad AS (SELECT ev.event_type,
+               quantile_cont(abs(ev.v - md.med), 0.5) AS mad
+        FROM ev JOIN md ON md.event_type = ev.event_type
+        GROUP BY ev.event_type),
+sc AS (SELECT ev.event_id, ev.event_type,
+         abs((CAST(0.6745 AS DOUBLE) * (ev.v - md.med))
+             / greatest(mad.mad, CAST(1e-9 AS DOUBLE)))
+           AS robust_zscore,
+         abs((ev.v - zs.mean_v) / zs.std_v) > CAST(3 AS DOUBLE)
+           AS is_z,
+         abs((CAST(0.6745 AS DOUBLE) * (ev.v - md.med))
+             / greatest(mad.mad, CAST(1e-9 AS DOUBLE)))
+           > CAST(3 AS DOUBLE) AS is_robust,
+         (ev.v < md.q[1] - CAST(1.5 AS DOUBLE) * (md.q[2] - md.q[1])
+          OR ev.v > md.q[2] + CAST(1.5 AS DOUBLE) * (md.q[2] - md.q[1]))
+           AS is_iqr
+       FROM ev
+       JOIN zs ON zs.event_type = ev.event_type
+       JOIN md ON md.event_type = ev.event_type
+       JOIN mad ON mad.event_type = ev.event_type)
+SELECT event_id, event_type, robust_zscore, is_z, is_robust, is_iqr,
+       (CAST(coalesce(is_z, FALSE) AS INT)
+        + CAST(coalesce(is_robust, FALSE) AS INT)
+        + CAST(coalesce(is_iqr, FALSE) AS INT)) * 2 > 3 AS vote
+FROM sc
+""")
+def q_anomaly_robust_ensemble(spark, sf_dir):
+    """Three-detector anomaly ensemble per event type — moment
+    z-score, robust (median/MAD) z-score, IQR fences — combined by
+    MajorityVote (the reference's aggregations.py surface). The
+    robust score and every flag replay exactly: interpolated medians
+    match quantile_cont (the exact-percentile gates' property) and
+    the score is one fixed-order double chain."""
+    from beam_spark.ml.anomaly import (AnomalyVote, IQRDetector,
+                                       RobustZScoreDetector,
+                                       ZScoreDetector)
+
+    ev = table(spark, sf_dir, "events").df.where(
+        "value IS NOT NULL").selectExpr(
+        "event_id", "event_type", "CAST(value AS DOUBLE) AS value")
+    z = (PCollection(ev)
+         | ZScoreDetector("value", "event_type", 3.0)).df.select(
+        "event_id", F.col("is_anomaly").alias("is_z"))
+    r = (PCollection(ev)
+         | RobustZScoreDetector("value", "event_type", 3.0)).df.select(
+        "event_id", "robust_zscore",
+        F.col("is_anomaly").alias("is_robust"))
+    i = (PCollection(ev)
+         | IQRDetector("value", "event_type", 1.5)).df.select(
+        "event_id", F.col("is_anomaly").alias("is_iqr"))
+    joined = (ev.select("event_id", "event_type")
+              .join(z, "event_id").join(r, "event_id")
+              .join(i, "event_id"))
+    out = (PCollection(joined)
+           | AnomalyVote(["is_z", "is_robust", "is_iqr"],
+                         out_col="vote", rule="majority")).df
+    return out.select("event_id", "event_type", "robust_zscore",
+                      "is_z", "is_robust", "is_iqr", "vote")
+
+
 def _mi_rank_oracle_sql() -> str:
     """DuckDB replay of MutualInformationRank on documents: per
     feature, joint counts -> exact-count entropies with the identical

@@ -114,6 +114,56 @@ def test_llm_dataprep_pipeline_shape(spark, sf_dir):
     assert not (losers & kept_docs)
 
 
+def test_robust_zscore_resists_masking(spark):
+    """Round-14: two extreme outliers inflate the plain z-score's
+    mean AND stddev enough to mask themselves (|z| < 3), while the
+    median/MAD robust score flags both; an all-constant-but-outlier
+    group (MAD = 0) still flags via the EPSILON floor; the vote
+    rules combine flags correctly and validate."""
+    import pytest
+
+    from beam_spark.ml.anomaly import AnomalyVote, RobustZScoreDetector, ZScoreDetector
+    from beam_spark.pcollection import PCollection
+
+    # 20 values in [9.8, 11.8] + two at 1000: z of the outliers is
+    # ~sqrt(n/2) * (1 - 1/n) ~ 3.0 > masked territory at n=22? use 8
+    # inliers + 2 outliers -> |z| ~ 1.9, robustly masked
+    rows = ([(i, 10.0 + (i % 5) * 0.1) for i in range(8)]
+            + [(100, 1000.0), (101, 1000.0)])
+    df = spark.createDataFrame(rows, "id long, v double")
+    z = {r.id: r.is_anomaly for r in (
+        PCollection(df) | ZScoreDetector("v", threshold=3.0)).df.collect()}
+    r = {r.id: r for r in (
+        PCollection(df)
+        | RobustZScoreDetector("v", threshold=3.0)).df.collect()}
+    assert not z[100] and not z[101]          # masked for plain z
+    assert r[100].is_anomaly and r[101].is_anomaly
+    assert not r[0].is_anomaly
+    # MAD = 0: constant group + one outlier -> EPSILON floor flags it
+    const = spark.createDataFrame(
+        [(i, 5.0) for i in range(9)] + [(99, 6.0)], "id long, v double")
+    rc = {r.id: r.is_anomaly for r in (
+        PCollection(const)
+        | RobustZScoreDetector("v", threshold=3.0)).df.collect()}
+    assert rc[99] and not rc[0]
+    # vote rules
+    vf = spark.createDataFrame(
+        [(1, True, True, False), (2, True, False, False),
+         (3, None, False, False)],
+        "id long, a boolean, b boolean, c boolean")
+    for rule, want in (("majority", {1: True, 2: False, 3: False}),
+                       ("any", {1: True, 2: True, 3: False}),
+                       ("all", {1: False, 2: False, 3: False})):
+        got = {r.id: r.flag for r in (
+            PCollection(vf) | AnomalyVote(["a", "b", "c"], "flag",
+                                          rule)).df.collect()}
+        assert got == want, rule
+    with pytest.raises(ValueError, match="rule"):
+        AnomalyVote(["a"], rule="xor")
+    with pytest.raises(ValueError, match="flag"):
+        AnomalyVote([])
+
+
 def test_online_zscore_detector_streaming(spark):
     from beam_spark.ml.anomaly import OnlineZScoreDetector
     from beam_spark.streaming import TestStream, WriteStreamToMemory
