@@ -1553,8 +1553,14 @@ def q_anomaly_mltrain(spark, sf_dir):
         "robust_zscore AS v1",
         "CAST(is_robust AS DOUBLE) + 2 * CAST(is_iqr AS DOUBLE) AS v2",
         "CAST(vote AS DOUBLE) AS v3")
+    # r14 fold: isolation-forest scores (4 trees, depth 4, md5
+    # quarter-sample — TRAINING replayed by the oracle)
+    iforest = _component("q_ml_isolation_forest")(
+        spark, sf_dir).selectExpr(
+        "'iforest' AS op", "CAST(event_id AS STRING) AS k",
+        "iforest_h AS v1", "iforest_score AS v2", f"{_ZERO} AS v3")
     mlt = _component("q_pipeline_ml_training")(spark, sf_dir)
-    return _union([anomaly, robust, mlt])
+    return _union([anomaly, robust, iforest, mlt])
 
 
 _ANOMALY_MLTRAIN_SQL = f"""
@@ -1568,6 +1574,10 @@ UNION ALL
        "CAST(is_robust AS DOUBLE) + 2 * CAST(is_iqr AS DOUBLE) AS v2, "
        "CAST(vote AS DOUBLE) AS v3",
        _component_sql("q_anomaly_robust_ensemble"))}
+UNION ALL
+{_wrap("'iforest' AS op, CAST(event_id AS VARCHAR) AS k, "
+       f"iforest_h AS v1, iforest_score AS v2, {_ZERO} AS v3",
+       _component_sql("q_ml_isolation_forest"))}
 UNION ALL
 {_wrap("op, k, v1, v2, v3", _component_sql("q_pipeline_ml_training"))}
 """

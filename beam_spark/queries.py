@@ -10876,6 +10876,132 @@ def q_ml_feature_hasher(spark, sf_dir):
     return out.select("doc_id", "hashed")
 
 
+def _iforest_oracle_sql(trees: int = 4, depth: int = 4,
+                        mod: int = 4, seed: int = 7,
+                        norm_n: int = 256) -> str:
+    """Chained-CTE replay of IsolationForest TRAINING + scoring on
+    events (features f0 = value, f1 = user_id % 97): per depth, node
+    min/max/count stats -> md5-derived split feature and threshold
+    (the identical integer-grid u and lo + u*(hi-lo) chain) ->
+    advance; leaves carry c(n) computed with ln() in-engine (the
+    <=1-ulp libm divergence vs the Spark side's python-literal c
+    sits far below the round-6 grid). Scoring descends every row
+    through the replayed splits with the same left-assoc tree-sum."""
+    gamma = "CAST('0.5772156649015329' AS DOUBLE)"
+
+    def md5i(expr8):
+        return f"CAST(('0x' || substr(md5({expr8}), 1, 8)) AS BIGINT)"
+
+    def c_adj(n):
+        return (f"CASE WHEN {n} <= 1 THEN CAST(0 AS DOUBLE) "
+                f"WHEN {n} = 2 THEN CAST(1 AS DOUBLE) "
+                f"ELSE CAST(2 AS DOUBLE) * (ln(CAST({n} - 1 AS "
+                f"DOUBLE)) + {gamma}) - CAST(2 AS DOUBLE) "
+                f"* CAST({n} - 1 AS DOUBLE) / CAST({n} AS DOUBLE) "
+                f"END")
+
+    fkey = (f"'{seed}:' || CAST(t AS VARCHAR) || ':' || "
+            f"CAST(node AS VARCHAR) || ':f'")
+    ukey = (f"'{seed}:' || CAST(t AS VARCHAR) || ':' || "
+            f"CAST(node AS VARCHAR) || ':u'")
+    skey = (f"'{seed}:' || CAST(u.t AS VARCHAR) || ':' || "
+            f"CAST(b.event_id AS VARCHAR)")
+    ctes = [f"""base AS (SELECT event_id,
+       CAST(value AS DOUBLE) AS f0,
+       CAST(user_id % 97 AS DOUBLE) AS f1
+FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL)""",
+            f"""trees AS (SELECT unnest(range(0, {trees})) AS t)""",
+            f"""s0 AS (SELECT b.event_id, b.f0, b.f1, u.t,
+       CAST(1 AS BIGINT) AS node
+FROM base b, trees u
+WHERE {md5i(skey)} % {mod} = 0)"""]
+    lv_parts = []
+    for d in range(depth):
+        ctes.append(f"""st{d} AS (SELECT t, node,
+  CAST(count(*) AS BIGINT) AS n,
+  min(f0) AS lo0, max(f0) AS hi0, min(f1) AS lo1, max(f1) AS hi1
+FROM s{d} GROUP BY 1, 2)""")
+        ctes.append(f"""sp{d} AS (SELECT t, node, n, fidx, lo, hi,
+  lo + uu * (hi - lo) AS thr, (n <= 1 OR lo = hi) AS term
+FROM (SELECT t, node, n, fidx,
+        CASE fidx WHEN 0 THEN lo0 ELSE lo1 END AS lo,
+        CASE fidx WHEN 0 THEN hi0 ELSE hi1 END AS hi,
+        CAST({md5i(ukey)} % 1000000 AS DOUBLE)
+          / CAST(1000000 AS DOUBLE) AS uu
+      FROM (SELECT *, {md5i(fkey)} % 2 AS fidx FROM st{d})))""")
+        lv_parts.append(
+            f"SELECT t, node, {d} AS d, n FROM sp{d} WHERE term")
+        ctes.append(f"""s{d + 1} AS (SELECT s.event_id, s.f0, s.f1,
+  s.t, s.node * 2 + CASE WHEN (CASE sp.fidx WHEN 0 THEN s.f0
+    ELSE s.f1 END) > sp.thr THEN 1 ELSE 0 END AS node
+FROM s{d} s JOIN sp{d} sp
+  ON sp.t = s.t AND sp.node = s.node AND NOT sp.term)""")
+    lv_parts.append(
+        f"SELECT t, node, {depth} AS d, CAST(count(*) AS BIGINT) AS n "
+        f"FROM s{depth} GROUP BY 1, 2")
+    ctes.append("lv_all AS (SELECT t, node, d, n, "
+                + c_adj("n") + " AS c_adj FROM ("
+                + "\nUNION ALL\n".join(lv_parts) + "))")
+    ctes.append("""r0 AS (SELECT b.event_id, b.f0, b.f1, u.t,
+  CAST(1 AS BIGINT) AS node, CAST(NULL AS DOUBLE) AS h
+FROM base b, trees u)""")
+    for d in range(depth):
+        ctes.append(f"""r{d + 1} AS (SELECT r.event_id, r.f0, r.f1,
+  r.t,
+  CASE WHEN r.h IS NOT NULL THEN r.node
+       WHEN sp.node IS NULL THEN r.node
+       ELSE r.node * 2 + CASE WHEN (CASE sp.fidx WHEN 0 THEN r.f0
+            ELSE r.f1 END) > sp.thr THEN 1 ELSE 0 END END AS node,
+  CASE WHEN r.h IS NOT NULL THEN r.h
+       WHEN sp.node IS NULL THEN CAST({d} AS DOUBLE)
+            + coalesce(lv.c_adj, CAST(0 AS DOUBLE))
+       ELSE NULL END AS h
+FROM r{d} r
+LEFT JOIN (SELECT * FROM sp{d} WHERE NOT term) sp
+  ON sp.t = r.t AND sp.node = r.node
+LEFT JOIN lv_all lv ON lv.t = r.t AND lv.node = r.node)""")
+    ctes.append(f"""fin AS (SELECT r.event_id, r.t,
+  CASE WHEN r.h IS NOT NULL THEN r.h
+       ELSE CAST({depth} AS DOUBLE)
+            + coalesce(lv.c_adj, CAST(0 AS DOUBLE)) END AS h
+FROM r{depth} r LEFT JOIN lv_all lv
+  ON lv.t = r.t AND lv.node = r.node)""")
+    tree_sum = "max(CASE WHEN t = 0 THEN h END)"
+    for t in range(1, trees):
+        tree_sum = f"({tree_sum} + max(CASE WHEN t = {t} THEN h END))"
+    ctes.append(f"""agg AS (SELECT event_id,
+  {tree_sum} / CAST('{float(trees)!r}' AS DOUBLE) AS h_avg
+FROM fin GROUP BY 1)""")
+    cn = c_adj(str(norm_n))
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT e.event_id, round(a.h_avg, 6) AS iforest_h,
+       round(power(CAST(2 AS DOUBLE), (-a.h_avg) / ({cn})), 6)
+         AS iforest_score
+FROM events e LEFT JOIN agg a ON a.event_id = e.event_id""")
+
+
+@query("q_ml_isolation_forest", _iforest_oracle_sql())
+def q_ml_isolation_forest(spark, sf_dir):
+    """Isolation-forest anomaly scores over events (features: value,
+    user_id%97; 4 trees, depth 4, md5 quarter-sample per tree, seed
+    7) — TRAINING replayed in DuckDB per depth (node stats ->
+    md5-derived feature/threshold -> advance), scoring descends the
+    replayed splits; h and score compared at round 6 (ln() runs
+    in-engine on the oracle side, python-literal on the Spark side —
+    <=1-ulp, far below the grid)."""
+    from beam_spark.ml.iforest import IsolationForest
+
+    ev = table(spark, sf_dir, "events").df.selectExpr(
+        "event_id",
+        "CAST(value AS DOUBLE) AS x1",
+        "CAST(user_id % 97 AS DOUBLE) AS x2")
+    out = (PCollection(ev)
+           | IsolationForest(["x1", "x2"], id_col="event_id",
+                             trees=4, depth=4, sample_mod=4,
+                             seed=7)).df
+    return out.select("event_id", "iforest_h", "iforest_score")
+
+
 @query("q_anomaly_robust_ensemble", f"""
 WITH ev AS (SELECT event_id, event_type, CAST(value AS DOUBLE) AS v
             FROM events WHERE value IS NOT NULL),

@@ -114,6 +114,47 @@ def test_llm_dataprep_pipeline_shape(spark, sf_dir):
     assert not (losers & kept_docs)
 
 
+def test_isolation_forest_semantics(spark):
+    """Round-14: planted extreme points isolate in fewer random cuts
+    and take the top anomaly scores; scores are deterministic across
+    runs AND partitionings (md5 sample + md5 thresholds, no RNG
+    state); NULL-feature rows score NULL; scores live in (0, 1];
+    empty input and parameter validation fail fast."""
+    import numpy as np
+    import pytest
+
+    from beam_spark.ml.iforest import IsolationForest
+    from beam_spark.pcollection import PCollection
+
+    rng = np.random.default_rng(1)
+    rows = [(i, float(rng.normal(0, 1)), float(rng.normal(0, 1)))
+            for i in range(200)]
+    rows += [(900, 50.0, 50.0), (901, -40.0, 60.0),
+             (902, None, 1.0)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    t = IsolationForest(["x", "y"], id_col="id", trees=8, depth=6,
+                        seed=7)
+    out = {r.id: r for r in (PCollection(df) | t).df.collect()}
+    scores = {k: v.iforest_score for k, v in out.items()
+              if v.iforest_score is not None}
+    top2 = set(sorted(scores, key=lambda k: -scores[k])[:2])
+    assert top2 == {900, 901}
+    assert out[902].iforest_score is None
+    assert all(0.0 < s <= 1.0 for s in scores.values())
+    out2 = {r.id: r.iforest_score for r in
+            (PCollection(df.repartition(7))
+             | IsolationForest(["x", "y"], id_col="id", trees=8,
+                               depth=6, seed=7)).df.collect()}
+    assert all(out2[k] == v.iforest_score for k, v in out.items())
+    with pytest.raises(ValueError, match="trees"):
+        IsolationForest("x", id_col="id", trees=0)
+    with pytest.raises(ValueError, match="2048"):
+        IsolationForest("x", id_col="id", trees=32, depth=8)
+    empty = spark.createDataFrame([], "id long, x double")
+    with pytest.raises(ValueError, match="empty"):
+        (PCollection(empty) | IsolationForest("x", id_col="id")).df
+
+
 def test_robust_zscore_resists_masking(spark):
     """Round-14: two extreme outliers inflate the plain z-score's
     mean AND stddev enough to mask themselves (|z| < 3), while the
