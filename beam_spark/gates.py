@@ -1130,12 +1130,17 @@ def q_text_suite(spark, sf_dir):
     kn3 = _component("q_text_kn3_perplexity")(spark, sf_dir).select(
         "doc_id", F.col("nll").alias("kn3_nll"),
         F.col("ppl").alias("kn3_ppl"))
+    # r14 fold: leakage-safe split assignment (group = exact-dedup
+    # content hash, so duplicates share a split) — zero-shuffle
+    split = _component("q_dedup_leakage_safe_split")(
+        spark, sf_dir).select("doc_id", "split")
     return (a.join(b, on="doc_id").join(c, on="doc_id").join(fp, on="doc_id")
             .join(groups, on="content_md5").join(pii, on="doc_id")
             .join(gopher, on="doc_id").join(ppl, on="doc_id")
             .join(norm, on="doc_id").join(ent, on="doc_id")
             .join(read, on="doc_id").join(kn, on="doc_id", how="left")
             .join(kn3, on="doc_id", how="left")
+            .join(split, on="doc_id")
             .select("doc_id", "n_tokens_ws", "n_tokens_bpe", "n_chars_calc",
                     "mean_token_len", "n_tokens", "punct_ratio", "alpha_ratio",
                     "stopword_ratio", "lang_pred", "content_md5", "keep_id",
@@ -1143,7 +1148,7 @@ def q_text_suite(spark, sf_dir):
                     "stopword_hits", "gopher_keep", "n_bigrams", "nll",
                     "n_chars_norm", "entropy", "n_distinct_chars",
                     "n_syllables", "flesch", "kn_nll", "kn_ppl",
-                    "kn3_nll", "kn3_ppl"))
+                    "kn3_nll", "kn3_ppl", "split"))
 
 
 _TEXT_SUITE_SQL = f"""
@@ -1160,7 +1165,8 @@ nrm AS ({_component_sql("q_text_normalize")}),
 ent AS ({_component_sql("q_text_char_entropy")}),
 rd AS ({_component_sql("q_text_readability")}),
 kn AS ({_component_sql("q_text_kn_perplexity")}),
-kn3 AS ({_component_sql("q_text_kn3_perplexity")})
+kn3 AS ({_component_sql("q_text_kn3_perplexity")}),
+spl AS ({_component_sql("q_dedup_leakage_safe_split")})
 SELECT a.doc_id, a.n_tokens_ws, a.n_tokens_bpe, a.n_chars_calc,
        a.mean_token_len, b.n_tokens, b.punct_ratio, b.alpha_ratio,
        b.stopword_ratio, c.lang_pred, fp.content_md5, g.keep_id, g.dup_count,
@@ -1169,7 +1175,7 @@ SELECT a.doc_id, a.n_tokens_ws, a.n_tokens_bpe, a.n_chars_calc,
        CAST(length(nrm.norm_text) AS INT) AS n_chars_norm,
        ent.entropy, ent.n_distinct_chars,
        rd.n_syllables, rd.flesch, kn.nll AS kn_nll, kn.ppl AS kn_ppl,
-       kn3.nll AS kn3_nll, kn3.ppl AS kn3_ppl
+       kn3.nll AS kn3_nll, kn3.ppl AS kn3_ppl, spl.split
 FROM a
 JOIN b ON a.doc_id = b.doc_id
 JOIN c ON a.doc_id = c.doc_id
@@ -1183,6 +1189,7 @@ JOIN ent ON a.doc_id = ent.doc_id
 JOIN rd ON a.doc_id = rd.doc_id
 LEFT JOIN kn ON a.doc_id = kn.doc_id
 LEFT JOIN kn3 ON a.doc_id = kn3.doc_id
+JOIN spl ON a.doc_id = spl.doc_id
 """
 
 

@@ -225,6 +225,66 @@ class HashSample(PTransform):
         return pcoll.with_df(out)
 
 
+class LeakageSafeSplit(PTransform):
+    """Deterministic train/val/test assignment by GROUP hash — the
+    split discipline a dedup-aware pipeline needs: hashing row ids
+    puts two near-duplicates on opposite sides of the split
+    (train/test contamination, the thing decontamination removes
+    against external benchmarks but naive splitting re-creates
+    internally). Hashing a GROUP key instead — the exact-dedup
+    content_md5, a connected-component id, a source domain — keeps
+    every member of a group in the SAME split.
+
+    Assignment: md5(group) uniform bucket in [0, 10000); split s_i
+    owns [sum(f_0..f_{i-1}), sum(f_0..f_i)) * 10000 with the
+    HashSample round-before-cast boundary convention. Fractions must
+    sum to <= 1; any remainder is assigned NULL (held out). NULL
+    group keys get NULL split (fail-safe: never silently pooled).
+    Zero-shuffle map-side projection.
+
+    Output: input columns + ``split_col`` string.
+    """
+
+    def __init__(self, group_col: str, fractions: dict,
+                 split_col: str = "split", label=None):
+        super().__init__(label)
+        self.group_col, self.split_col = group_col, split_col
+        self.fractions = dict(fractions)
+        if not self.fractions:
+            raise ValueError("need at least one split fraction")
+        tot = 0.0
+        for name, f in self.fractions.items():
+            if not 0.0 < float(f) <= 1.0:
+                raise ValueError(
+                    f"fraction {name}={f} outside (0, 1]")
+            tot += float(f)
+        if tot > 1.0 + 1e-9:
+            raise ValueError(f"fractions sum to {tot} > 1")
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        g = self.group_col
+        bucket = F.expr(
+            f"CAST(conv(substring(md5(CAST({g} AS STRING)), 1, 8),"
+            f" 16, 10) AS BIGINT) % 10000")
+        expr = F.lit(None).cast("string")
+        hi = 0.0
+        # assign from the LAST range backwards so the when-chain
+        # stays flat: split_i wins when bucket < upper_i and no
+        # earlier (smaller-upper) split claimed it
+        cuts = []
+        for name, f in self.fractions.items():
+            hi += float(f)
+            cuts.append((name, hi))
+        for name, upper in reversed(cuts):
+            expr = F.when(
+                bucket < F.round(F.lit(upper) * 10000).cast("bigint"),
+                F.lit(name)).otherwise(expr)
+        expr = F.when(F.col(g).isNull(),
+                      F.lit(None).cast("string")).otherwise(expr)
+        return pcoll.with_df(
+            pcoll.df.withColumn(self.split_col, expr))
+
+
 class TemperatureSample(PTransform):
     """Temperature-based domain rebalancing — the multilingual /
     multi-source mixing step of a training-data pipeline: target domain

@@ -10876,6 +10876,55 @@ def q_ml_feature_hasher(spark, sf_dir):
     return out.select("doc_id", "hashed")
 
 
+def _leakage_split_oracle_sql() -> str:
+    """Replays LeakageSafeSplit on the exact-dedup content groups:
+    cumulative split uppers accumulate in PYTHON floats on both
+    sides (repr-exact literals here), bucket = md5(group) % 10000,
+    round-before-cast boundaries (the HashSample convention)."""
+    fr = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    hi = 0.0
+    cases = []
+    for name, f in fr:
+        hi += f
+        cases.append(
+            f"WHEN bk < CAST(round(CAST('{hi!r}' AS DOUBLE) "
+            f"* 10000) AS BIGINT) THEN '{name}'")
+    return f"""
+WITH fp AS (SELECT doc_id,
+              md5(array_to_string({{_TOK}}, ' ')) AS content_md5
+            FROM documents),
+b AS (SELECT doc_id, content_md5,
+        CAST(('0x' || substr(md5(content_md5), 1, 8)) AS BIGINT)
+          % 10000 AS bk
+      FROM fp)
+SELECT doc_id, content_md5,
+       CASE WHEN content_md5 IS NULL THEN NULL
+            {' '.join(cases)}
+            ELSE NULL END AS split
+FROM b
+""".replace("{_TOK}", _TOK)
+
+
+@query("q_dedup_leakage_safe_split", _leakage_split_oracle_sql())
+def q_dedup_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe 80/10/10 split of documents by their exact-dedup
+    content group — every byte-identical duplicate lands in the SAME
+    split (naive id-hash splitting puts near-dups on both sides of
+    train/test, re-creating the contamination decontamination
+    removes); md5-bucket assignment is reproducible across engines,
+    retries, partitionings and scale factors."""
+    from beam_spark.operators.combiners import LeakageSafeSplit
+    from beam_spark.operators.text import Fingerprint
+
+    fp = (table(spark, sf_dir, "documents") | Fingerprint()).df.select(
+        "doc_id", "content_md5")
+    out = (PCollection(fp)
+           | LeakageSafeSplit("content_md5",
+                              {"train": 0.8, "val": 0.1,
+                               "test": 0.1})).df
+    return out.select("doc_id", "content_md5", "split")
+
+
 def _iforest_oracle_sql(trees: int = 4, depth: int = 4,
                         mod: int = 4, seed: int = 7,
                         norm_n: int = 256) -> str:

@@ -1437,6 +1437,47 @@ def test_sorted_neighborhood_pairs(spark):
         SortedNeighborhoodPairs(key_col="name", window=1)
 
 
+def test_leakage_safe_split(spark):
+    """Round-14: every member of a group lands in the SAME split (the
+    leakage guarantee id-hash splitting lacks); assignment is
+    deterministic; fractions partition ~correctly; NULL groups get
+    NULL split; remainder below 1.0 is held out as NULL; fraction
+    validation fails fast."""
+    import pytest
+
+    from beam_spark.operators.combiners import LeakageSafeSplit
+    from beam_spark.pcollection import PCollection
+
+    rows = [(i, f"g{i % 50}") for i in range(500)] + [(999, None)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = (PCollection(df) | LeakageSafeSplit(
+        "grp", {"train": 0.6, "val": 0.2, "test": 0.2})).df.collect()
+    by_grp = {}
+    for r in out:
+        if r.grp is None:
+            assert r.split is None
+            continue
+        by_grp.setdefault(r.grp, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_grp.values())   # no straddling
+    splits = {next(iter(s)) for s in by_grp.values()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+    out2 = (PCollection(df.repartition(5)) | LeakageSafeSplit(
+        "grp", {"train": 0.6, "val": 0.2, "test": 0.2})).df.collect()
+    assert sorted((r.id, r.split) for r in out2) == \
+        sorted((r.id, r.split) for r in out)
+    # remainder held out: fractions summing to 0.5 leave NULLs
+    held = (PCollection(df.where("grp IS NOT NULL"))
+            | LeakageSafeSplit("grp", {"train": 0.5})).df
+    n_null = held.where("split IS NULL").count()
+    assert 0 < n_null < 500
+    with pytest.raises(ValueError, match="sum"):
+        LeakageSafeSplit("grp", {"a": 0.8, "b": 0.4})
+    with pytest.raises(ValueError, match="fraction"):
+        LeakageSafeSplit("grp", {"a": 0.0})
+    with pytest.raises(ValueError, match="at least one"):
+        LeakageSafeSplit("grp", {})
+
+
 def test_containment_pairs_asymmetric(spark):
     """Round-14: a short doc quoted whole inside a much longer one —
     containment(short in long) = 1.0 while jaccard stays below any
