@@ -1046,10 +1046,20 @@ class DbscanClustersLsh(PTransform):
         w = self.bucket_width
 
         def key(band, r):
-            s = F.lit(0.0)
-            for i in range(dim):
-                s = s + F.element_at("__v", i + 1) * F.lit(a[band][r][i])
-            return F.floor((s + F.lit(b[band][r])) / F.lit(w)) \
+            # aggregate(zip_with(...)) is a LEFT FOLD in array order —
+            # the identical IEEE sequence as an explicit
+            # ((0 + t1) + t2)... chain (which the oracle spells out),
+            # but one expression node instead of `dim` chained adds:
+            # the chained form put 16 keys x 64 terms in one codegen
+            # method and blew janino's 64 KB limit into interpreted
+            # fallback
+            proj = F.aggregate(
+                F.zip_with("__v",
+                           F.array(*[F.lit(float(x))
+                                     for x in a[band][r]]),
+                           lambda x, y: x * y),
+                F.lit(0.0), lambda acc, t: acc + t)
+            return F.floor((proj + F.lit(b[band][r])) / F.lit(w)) \
                     .cast("long")
 
         keyed = pts.select(
@@ -1066,11 +1076,10 @@ class DbscanClustersLsh(PTransform):
         right = keyed.select(
             F.col("__id").alias("__bi"), F.col("__v").alias("__vb"),
             "__band", *[f"__k{r}" for r in range(self.rows_per_band)])
-        d2 = F.lit(0.0)
-        for i in range(dim):
-            diff = (F.element_at("__va", i + 1)
-                    - F.element_at("__vb", i + 1))
-            d2 = d2 + diff * diff
+        d2 = F.aggregate(
+            F.zip_with("__va", "__vb",
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, t: acc + t)
         pairs = (left.join(
             right,
             ["__band"] + [f"__k{r}" for r in range(self.rows_per_band)])
