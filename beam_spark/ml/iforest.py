@@ -199,7 +199,11 @@ class IsolationForest(PTransform):
                     F.col(fs[fidx]) > F.lit(thr),
                     desc(2 * node + 1, d + 1)
                 ).otherwise(desc(2 * node, d + 1))
-            ld, size = leaves.get((tree, node), (d, 0))
+            # a fit leaf at (tree, node) was terminalized at exactly
+            # this descent depth (heap ids are depth-unique), so d is
+            # the leaf depth; unseen nodes (no sample reached them)
+            # contribute c(0) = 0 — immediate isolation
+            _, size = leaves.get((tree, node), (d, 0))
             return F.lit(float(d) + avg_path_c(size))
 
         return desc(1, 0)

@@ -843,8 +843,6 @@ class DbscanClusters(PTransform):
     def expand(self, pcoll: PCollection) -> PCollection:
         from itertools import product
 
-        from beam_spark.operators.dedupe import ConnectedComponents
-
         idc, eps, dims = self.id_col, self.eps, self.cols
         dt = dict(pcoll.df.dtypes).get(idc)
         if dt not in ("bigint", "int", "smallint", "tinyint"):
