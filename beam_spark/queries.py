@@ -7290,7 +7290,7 @@ def _lsh_dbscan_oracle_sql(dim: int = 64, bands: int = 8,
     return f"""
 WITH RECURSIVE
 p AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
-      FROM embeddings WHERE vec_id % 2 = 0
+      FROM embeddings WHERE vec_id % 3 = 0
         AND embedding IS NOT NULL),
 k AS ({k_sql}),
 e AS (SELECT DISTINCT x.id AS i, y.id AS j
@@ -7323,7 +7323,7 @@ FROM p LEFT JOIN asg ON asg.id = p.id
 
 @query("q_cluster_dbscan_lsh_embeddings", _lsh_dbscan_oracle_sql())
 def q_cluster_dbscan_lsh(spark, sf_dir):
-    """High-dimensional DBSCAN over the 64-dim embeddings (vec_id%2
+    """High-dimensional DBSCAN over the 64-dim embeddings (vec_id%3
     slice) via p-stable LSH candidate pairs (8 bands x 2 rows,
     w=2.25, eps=1.125 — both dyadic, min_pts=3): bucket keys and
     exact verify distances are fixed-order per-dimension double
@@ -7337,7 +7337,7 @@ def q_cluster_dbscan_lsh(spark, sf_dir):
     from beam_spark.operators.similarity import DbscanClustersLsh
 
     emb = table(spark, sf_dir, "embeddings").df.where(
-        "vec_id % 2 = 0").selectExpr("vec_id AS id", "embedding")
+        "vec_id % 3 = 0").selectExpr("vec_id AS id", "embedding")
     return (PCollection(emb)
             | DbscanClustersLsh("embedding", eps=1.125, min_pts=3,
                                 bands=8, rows_per_band=2,
