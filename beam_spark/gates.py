@@ -1213,12 +1213,21 @@ def q_dedup_pairs_suite(spark, sf_dir):
     the 'cc' rows verify). The gate instance runs eps=0.125 on the
     c_custkey%10 slice (smaller clusters -> fewer star-CC rounds, the
     per-gate time budget; the eps=0.25 instance stays
-    component-oracled). The two ITERATIVE members (cc, dbscan — eager
-    per-round checkpoints at construction) build on a 2-thread pool."""
+    component-oracled).
+
+    r15 fold (VERDICT #2): LSH DBSCAN — the one family the driver's
+    oracle never saw in r14. The gate instance runs the vec_id%10
+    embeddings slice with bands=4 (its ~4.3s standalone cost is mostly
+    driver-side plan analysis of the per-dimension fold expressions,
+    which OVERLAPS the other eager members' executor work on the
+    pool; the vec_id%8 bands=8 instance stays component-oracled). The
+    three ITERATIVE members (cc, dbscan, dbscan_lsh — eager per-round
+    checkpoints at construction) build on a 3-thread pool."""
     from beam_spark.operators.dedupe import (ContainmentPairs,
                                              MinHashLSH,
                                              NgramJaccardPairs)
-    from beam_spark.operators.similarity import DbscanClusters
+    from beam_spark.operators.similarity import (DbscanClusters,
+                                                 DbscanClustersLsh)
     from beam_spark.pcollection import PCollection as _PC
 
     half = table(spark, sf_dir, "documents").df.where("doc_id % 2 = 0")
@@ -1242,10 +1251,19 @@ def q_dedup_pairs_suite(spark, sf_dir):
         return (_PC(cust)
                 | DbscanClusters(["x", "y"], eps=0.125, min_pts=3)).df
 
+    def _dbscan_lsh():
+        emb = table(spark, sf_dir, "embeddings").df.where(
+            "vec_id % 10 = 0").selectExpr("vec_id AS id", "embedding")
+        return (_PC(emb)
+                | DbscanClustersLsh("embedding", eps=1.125, min_pts=3,
+                                    bands=4, rows_per_band=2,
+                                    seed=7)).df
+
     from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(2) as _ex:
-        fc, fd = _ex.submit(_cc), _ex.submit(_dbscan)
-        cc, dbscan = fc.result(), fd.result()
+    with ThreadPoolExecutor(3) as _ex:
+        fc, fd, fl = (_ex.submit(_cc), _ex.submit(_dbscan),
+                      _ex.submit(_dbscan_lsh))
+        cc, dbscan, dbscan_lsh = fc.result(), fd.result(), fl.result()
 
     spans = _component("q_dedup_exact_substr_spans")(spark, sf_dir)
     snm = _component("q_dedup_sorted_neighborhood")(spark, sf_dir)
@@ -1264,6 +1282,9 @@ def q_dedup_pairs_suite(spark, sf_dir):
                           "CAST(is_core AS DOUBLE) AS sim"),
         containment.selectExpr("'containment' AS method", "i", "j",
                                "containment AS sim"),
+        dbscan_lsh.selectExpr("'dbscan_lsh' AS method", "id AS i",
+                              "cluster AS j",
+                              "CAST(is_core AS DOUBLE) AS sim"),
     ])
 
 
@@ -1298,6 +1319,10 @@ UNION ALL
 {_wrap("'containment' AS method, i, j, containment AS sim",
        _component_sql("q_dedup_containment_pairs").replace(
            "FROM documents", _HALF_DOCS))}
+UNION ALL
+{_wrap("'dbscan_lsh' AS method, id AS i, cluster AS j, "
+       "CAST(is_core AS DOUBLE) AS sim",
+       Q._lsh_dbscan_oracle_sql(bands=4, slice_mod=10))}
 """
 
 

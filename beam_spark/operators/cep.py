@@ -947,20 +947,52 @@ class MatchRecognize(PTransform):
                                           dtype=bool, count=n)
             return ms
 
+        def ts_ms_array(s):
+            # vectorized pd.Timestamp(v).value // 1e6 (UTC ms): tz-aware
+            # normalizes to UTC first, matching Timestamp.value
+            if getattr(s.dtype, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            return s.to_numpy().astype("datetime64[ms]").astype(np.int64)
+
+        def coldict(df):
+            # state codec (r15): the buffer crosses the state boundary
+            # as pickled {column -> numpy array}, NOT a list of per-row
+            # dicts — numeric/datetime columns serialize as raw buffers
+            # and strings as one object array, so encode/decode cost is
+            # O(columns) array ops instead of O(rows) dict building.
+            # This is the coder-encoded-state discipline of
+            # trigger_manager.py:123 (Beam never keeps state as live
+            # Python objects either).
+            if df is None or not len(df):
+                return None
+            return {c: df[c].to_numpy() for c in df.columns}
+
         def fn(key, pdfs, state):
+            parts, match_no, ctx_df = [], 0, None
             if state.exists:
                 saved = pickle.loads(bytes(state.get[0]))
-                # pre-all-rows state pickled the bare buffer list
                 if isinstance(saved, list):
-                    buf, match_no, ctx_rows = saved, 0, []
+                    # pre-all-rows state pickled the bare buffer list
+                    if saved:
+                        parts.append(pd.DataFrame(saved))
+                elif "cols" in saved:
+                    # r15 columnar state
+                    match_no = saved["mn"]
+                    if saved["cols"] is not None:
+                        parts.append(pd.DataFrame(saved["cols"]))
+                    if saved["ctx"] is not None:
+                        ctx_df = pd.DataFrame(saved["ctx"])
                 else:
-                    buf, match_no = saved["buf"], saved["mn"]
-                    ctx_rows = saved.get("ctx", [])
-            else:
-                buf, match_no, ctx_rows = [], 0, []
+                    # r14 dict-records state
+                    match_no = saved["mn"]
+                    if saved["buf"]:
+                        parts.append(pd.DataFrame(saved["buf"]))
+                    if saved.get("ctx"):
+                        ctx_df = pd.DataFrame(saved["ctx"])
             for pdf in pdfs:
-                buf.extend(pdf.to_dict(orient="records"))
-            if not buf:
+                if len(pdf):
+                    parts.append(pdf)
+            if not parts:
                 # reachable only via a timeout on a counter-only record
                 # (keys with data always repopulate buf). With a TTL
                 # configured the fired timer IS the expiry (we always
@@ -971,29 +1003,31 @@ class MatchRecognize(PTransform):
                 if state.exists:
                     state.remove()
                 return
-            buf.sort(key=lambda r: tuple(r[c] for c in order_by))
+            buf = (parts[0] if len(parts) == 1
+                   else pd.concat(parts, ignore_index=True))
+            # stable multi-key sort: held rows keep arrival order on
+            # ties, exactly like the old list.sort on key tuples
+            buf = buf.sort_values(list(order_by), kind="stable",
+                                  ignore_index=True)
             wm = state.getCurrentWatermarkMs()
 
-            def ts_ms(r):
-                v = r[ts_col]
-                return int(pd.Timestamp(v).value // 1_000_000)
-
-            n_mature = 0
-            while n_mature < len(buf) and ts_ms(buf[n_mature]) <= wm:
-                n_mature += 1
+            ts_all = ts_ms_array(buf[ts_col])
+            over = ts_all > wm
+            # first index with ts > wm == the old linear-scan stop
+            n_mature = int(over.argmax()) if over.any() else len(buf)
 
             out = []
             consumed = 0
             if n_mature > 0:
-                mature = pd.DataFrame(buf[:n_mature])
+                mature = buf.iloc[:n_mature]
                 phantoms = max(1, _pattern_min_rows(pattern))
-                if max_prev and ctx_rows:
+                if max_prev and ctx_df is not None and len(ctx_df):
                     # evaluate masks over (shift context + mature) and
                     # slice the context off: PREV at the buffer head
                     # then reads the retained consumed rows, exactly as
                     # the batch sort would
-                    n_ctx = len(ctx_rows)
-                    ext = pd.DataFrame(ctx_rows + buf[:n_mature])
+                    n_ctx = len(ctx_df)
+                    ext = pd.concat([ctx_df, mature], ignore_index=True)
                     raw_masks = {sym: np.asarray(m)[n_ctx:]
                                  for sym, m in masks_for(ext).items()}
                 else:
@@ -1003,8 +1037,7 @@ class MatchRecognize(PTransform):
                         [np.asarray(mask), np.ones(phantoms, dtype=bool)])
                     for sym, mask in raw_masks.items()}
                 n_ext = n_mature + phantoms
-                ts_arr = np.array([ts_ms(r) for r in buf[:n_mature]],
-                                  dtype=np.int64)
+                ts_arr = ts_all[:n_mature]
                 ctx = None
                 if has_ctx:
                     cols = {c: mature[c].to_numpy()
@@ -1060,7 +1093,15 @@ class MatchRecognize(PTransform):
                         if unalias:
                             m = [(unalias.get(sym, sym), idx)
                                  for sym, idx in m]
-                        match_rows = [(sym, buf[idx]) for sym, idx in m]
+                        # matches label consecutive rows (the matcher
+                        # advances p+1), so one slice-to_dict per match
+                        # materializes row dicts ONLY for matched rows —
+                        # the rest of the buffer never leaves columnar
+                        lo = m[0][1]
+                        span = (buf.iloc[lo:m[-1][1] + 1]
+                                .to_dict(orient="records"))
+                        match_rows = [(sym, span[idx - lo])
+                                      for sym, idx in m]
                         meas = {name: fmeas(match_rows)
                                 for name, fmeas in measures.items()}
                         match_no += 1
@@ -1087,25 +1128,31 @@ class MatchRecognize(PTransform):
                     else:
                         break  # touches phantoms: hold until decidable
             if max_prev:
-                ctx_rows = (ctx_rows + buf[:consumed])[-max_prev:]
-            buf = buf[consumed:]
-            if buf:
+                ctx_parts = [x for x in (ctx_df, buf.iloc[:consumed])
+                             if x is not None and len(x)]
+                ctx_df = (pd.concat(ctx_parts, ignore_index=True)
+                          .iloc[-max_prev:].reset_index(drop=True)
+                          if ctx_parts else None)
+            held = len(buf) - consumed
+            if held > 0:
                 state.update((pickle.dumps(
-                    {"buf": buf, "mn": match_no, "ctx": ctx_rows}),))
+                    {"cols": coldict(buf.iloc[consumed:]),
+                     "mn": match_no, "ctx": coldict(ctx_df)}),))
                 # wake when the watermark passes the earliest held row —
                 # or, with WITHIN, when its window closes (guaranteed
                 # drain even if the key never sees another row)
-                target = ts_ms(buf[0]) + 1
+                target = int(ts_all[consumed]) + 1
                 if within_ms is not None:
-                    target = ts_ms(buf[0]) + within_ms + 1
+                    target = int(ts_all[consumed]) + within_ms + 1
                 state.setTimeoutTimestamp(max(target, wm + 1))
-            elif match_no or ctx_rows:
+            elif match_no or (ctx_df is not None and len(ctx_df)):
                 # full drain: keep the counter-only record so match
                 # numbering (and PREV context at the next row) survives
                 # — the batch-equivalence guarantee. ~bytes per key;
                 # drain_state_ttl expires it for idle keys.
                 state.update((pickle.dumps(
-                    {"buf": [], "mn": match_no, "ctx": ctx_rows}),))
+                    {"cols": None, "mn": match_no,
+                     "ctx": coldict(ctx_df)}),))
                 if drain_ttl_ms is not None:
                     state.setTimeoutTimestamp(wm + drain_ttl_ms)
             else:

@@ -7253,7 +7253,7 @@ def q_cluster_dbscan_customers(spark, sf_dir):
 def _lsh_dbscan_oracle_sql(dim: int = 64, bands: int = 8,
                            rows_per_band: int = 2, w: float = 2.25,
                            eps: float = 1.125, min_pts: int = 3,
-                           seed: int = 7) -> str:
+                           seed: int = 7, slice_mod: int = 8) -> str:
     """DuckDB replay of DbscanClustersLsh on the embeddings table:
     the SAME seed-deterministic projection literals
     (similarity.lsh_projections) drive per-band bucket keys with the
@@ -7290,7 +7290,7 @@ def _lsh_dbscan_oracle_sql(dim: int = 64, bands: int = 8,
     return f"""
 WITH RECURSIVE
 p AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
-      FROM embeddings WHERE vec_id % 3 = 0
+      FROM embeddings WHERE vec_id % {slice_mod} = 0
         AND embedding IS NOT NULL),
 k AS ({k_sql}),
 e AS (SELECT DISTINCT x.id AS i, y.id AS j
@@ -7323,10 +7323,14 @@ FROM p LEFT JOIN asg ON asg.id = p.id
 
 @query("q_cluster_dbscan_lsh_embeddings", _lsh_dbscan_oracle_sql())
 def q_cluster_dbscan_lsh(spark, sf_dir):
-    """High-dimensional DBSCAN over the 64-dim embeddings (vec_id%3
-    slice) via p-stable LSH candidate pairs (8 bands x 2 rows,
-    w=2.25, eps=1.125 — both dyadic, min_pts=3): bucket keys and
-    exact verify distances are fixed-order per-dimension double
+    """High-dimensional DBSCAN over the 64-dim embeddings (vec_id%8
+    slice — r15: was %3/~16s, the registry's heaviest component; the
+    cost decomposes as ~5s fixed driver-side planning + a pair-volume
+    term, so the slice trims the quadratic term under the ~8s budget
+    while the gate fold in q_dedup_pairs_suite keeps a second config
+    driver-visible) via p-stable LSH candidate pairs (8 bands x 2
+    rows, w=2.25, eps=1.125 — both dyadic, min_pts=3): bucket keys
+    and exact verify distances are fixed-order per-dimension double
     chains, so the realized approximate candidate set — and the full
     cluster assignment built on it — replays exactly in DuckDB.
     Corpus caveat: the testdata embeddings are near-uniform random
@@ -7337,7 +7341,7 @@ def q_cluster_dbscan_lsh(spark, sf_dir):
     from beam_spark.operators.similarity import DbscanClustersLsh
 
     emb = table(spark, sf_dir, "embeddings").df.where(
-        "vec_id % 3 = 0").selectExpr("vec_id AS id", "embedding")
+        "vec_id % 8 = 0").selectExpr("vec_id AS id", "embedding")
     return (PCollection(emb)
             | DbscanClustersLsh("embedding", eps=1.125, min_pts=3,
                                 bands=8, rows_per_band=2,

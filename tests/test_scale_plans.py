@@ -758,3 +758,80 @@ def test_ddsketch_plan_no_raw_row_window(spark, sf_dir):
     # per-row sorting of the raw frame
     w_ix = plan.index("Window")
     assert "HashAggregate" in plan[w_ix:]
+
+
+# ---------------------------------------------------------------------------
+# round-14 family plan pins (VERDICT r14 #4): the zero-shuffle /
+# bounded-collect claims measured in SCALE.md, pinned against plan
+# regressions the same way the r12/r13 families are.
+# ---------------------------------------------------------------------------
+
+def test_ams_f2_one_rowvolume_shuffle_partial_agg(spark, sf_dir):
+    """AmsF2Sketch's only row-volume shuffle is the map-side partial
+    cell sum: exactly TWO exchanges total — (keys, cell) partial+final
+    around the first (its shuffled state is keys x k integer cells,
+    not rows), then the keys-level estimate pair whose input is
+    already cell-sized. Both aggregations keep their partial/final
+    HashAggregate pairs (4 HashAggregates)."""
+    from beam_spark.operators.stats import AmsF2Sketch
+    from beam_spark.pcollection import PCollection
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = (PCollection(ev)
+           | AmsF2Sketch("event_type", counters=16, keys="user_id")).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2, plan[:1200]
+    assert plan.count("HashAggregate") == 4, plan[:1200]
+
+
+def test_leakage_safe_split_zero_shuffle(spark, sf_dir):
+    """LeakageSafeSplit is a pure group-hash projection: no Exchange —
+    the property that makes it free at 100 TB (and keeps duplicates
+    from straddling splits without any grouping shuffle)."""
+    from beam_spark.operators.combiners import LeakageSafeSplit
+    from beam_spark.pcollection import PCollection
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = (PCollection(docs)
+           | LeakageSafeSplit("source",
+                              {"train": 0.8, "val": 0.1, "test": 0.1})).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1200]
+
+
+def test_iforest_scoring_zero_shuffle_jvm_only(spark, sf_dir):
+    """IsolationForest SCORING is a when-tree projection: after the
+    bounded fit collects (T x 2^D node stats, constructor-capped), the
+    scored frame plans with zero Exchange and zero Python eval nodes —
+    scoring 100 TB is one codegen pass over the scan."""
+    from beam_spark.ml.iforest import IsolationForest
+    from beam_spark.pcollection import PCollection
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .selectExpr("event_id", "CAST(value AS DOUBLE) AS value",
+                      "CAST(user_id % 97 AS DOUBLE) AS u"))
+    out = (PCollection(ev)
+           | IsolationForest(["value", "u"], id_col="event_id",
+                             trees=2, depth=3)).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1200]
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_containment_pairs_shingle_equijoin_envelope(spark, sf_dir):
+    """ContainmentPairs rides the same shingle-join envelope as the
+    jaccard verifier: candidates come from an equi-join on shingle
+    keys — never a cartesian / broadcast-nested-loop all-pairs
+    product."""
+    from beam_spark.operators.dedupe import ContainmentPairs
+    from beam_spark.pcollection import PCollection
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where("doc_id % 2 = 0"))
+    out = (PCollection(docs) | ContainmentPairs(threshold=0.5)).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin")
+            + plan.count("ShuffledHashJoin")) >= 1, plan[:1200]
