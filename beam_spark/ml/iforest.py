@@ -75,7 +75,8 @@ class IsolationForest(PTransform):
 
     def __init__(self, features, id_col: str, trees: int = 4,
                  depth: int = 4, sample_mod: int = 1, seed: int = 7,
-                 norm_n: int = 256, label=None):
+                 norm_n: int = 256, group_col: str | None = None,
+                 max_groups: int = 32, label=None):
         super().__init__(label)
         self.features = ([features] if isinstance(features, str)
                          else list(features))
@@ -101,35 +102,78 @@ class IsolationForest(PTransform):
         self.norm_n = int(norm_n)
         if self.norm_n < 2:
             raise ValueError("norm_n must be >= 2")
+        #: per-GROUP forests (multi-tenant anomaly surfaces): one
+        #: independent forest per distinct ``group_col`` value, fitted
+        #: in the SAME per-depth aggregation rounds (the group key just
+        #: joins the node key) — seeds are group-salted so two groups
+        #: with identical data still draw independent trees. Bounded:
+        #: distinct groups <= max_groups (fit fail-fasts), and
+        #: groups * trees * 2^depth <= 4096 caps the node-stat collect
+        #: AND the scoring when-tree size.
+        self.group_col = group_col
+        self.max_groups = int(max_groups)
+        if self.max_groups < 1:
+            raise ValueError("max_groups must be >= 1")
         self.model_ = None   # {"splits": {(t,node): (fidx,thr,d)},
         #                      "leaves": {(t,node): (depth,size)}}
+        #                     (group_col: keys gain a leading group
+        #                      string -> (g,t,node); "groups": [g...])
 
     # -- fit ------------------------------------------------------------
     def _fit(self, df):
         fs, T, D = self.features, self.trees, self.depth
         seed, mod = self.seed, self.sample_mod
-        idc = self.id_col
+        idc, gcol = self.id_col, self.group_col
         cond = F.lit(True)
         for f in fs:
             cond = cond & F.col(f).isNotNull()
-        base = df.where(cond).select(
-            F.col(idc).cast("string").alias("__id"),
-            *[F.col(f).cast("double").alias(f) for f in fs])
+        cols = [F.col(idc).cast("string").alias("__id"),
+                *[F.col(f).cast("double").alias(f) for f in fs]]
+        if gcol:
+            cond = cond & F.col(gcol).isNotNull()
+            cols.append(F.col(gcol).cast("string").alias("__g"))
+        base = df.where(cond).select(*cols)
+        if gcol:
+            gs = sorted(r["__g"] for r in base.select("__g").distinct()
+                        .limit(self.max_groups + 1).collect())
+            if len(gs) > self.max_groups:
+                raise ValueError(
+                    f"IsolationForest: > {self.max_groups} distinct "
+                    f"{gcol!r} groups — per-group forests collect "
+                    "groups * trees * 2^depth node stats and build "
+                    "that many scoring branches; raise max_groups "
+                    "deliberately or coarsen the group key")
+            if len(gs) * T * (1 << D) > 4096:
+                raise ValueError(
+                    f"IsolationForest: {len(gs)} groups * {T} trees * "
+                    f"2^{D} > 4096 — shrink trees/depth for the "
+                    "per-group configuration")
+            groups = gs
+        else:
+            groups = []
+        # group-salted sample key: '{seed}:{g}:{t}:{id}' so two groups
+        # with identical rows draw independent samples
+        gseg = "__g || ':' || " if gcol else ""
         samp = (base.select(
             "*", F.explode(F.sequence(F.lit(0), F.lit(T - 1)))
             .alias("__t"))
             .where(F.expr(
-                f"CAST(conv(substring(md5('{seed}:' || "
+                f"CAST(conv(substring(md5('{seed}:' || {gseg}"
                 f"CAST(__t AS STRING) || ':' || __id), 1, 8), 16, 10) "
                 f"AS BIGINT) % {mod} = 0"))
             .withColumn("__node", F.lit(1)))
         samp = samp.localCheckpoint(eager=True)
+        gkeys = ["__g"] if gcol else []
+        gcode = {g: i for i, g in enumerate(groups)}
+
+        def k(g, t, node):
+            return (g, t, node) if gcol else (t, node)
 
         splits: dict = {}
         leaves: dict = {}
         live = samp
         for d in range(D):
-            stats = (live.groupBy("__t", "__node")
+            stats = (live.groupBy(*gkeys, "__t", "__node")
                      .agg(F.count(F.lit(1)).alias("n"),
                           *[F.min(f).alias(f"lo_{i}")
                             for i, f in enumerate(fs)],
@@ -137,21 +181,24 @@ class IsolationForest(PTransform):
                             for i, f in enumerate(fs)])
                      ).collect()
             level = {}
-            for r in sorted(stats, key=lambda r: (r["__t"],
-                                                  r["__node"])):
+            for r in sorted(stats,
+                            key=lambda r: ((r["__g"],) if gcol else ())
+                            + (r["__t"], r["__node"])):
                 t, node, n = r["__t"], r["__node"], r["n"]
+                g = r["__g"] if gcol else ""
+                pre = f"{seed}:{g}:" if gcol else f"{seed}:"
                 fidx = int(int.from_bytes(
                     __import__("hashlib").md5(
-                        f"{seed}:{t}:{node}:f".encode()).digest()[:4],
+                        f"{pre}{t}:{node}:f".encode()).digest()[:4],
                     "big") % len(fs))
                 lo, hi = r[f"lo_{fidx}"], r[f"hi_{fidx}"]
                 if n <= 1 or lo == hi:
-                    leaves[(t, node)] = (d, n)
+                    leaves[k(g, t, node)] = (d, n)
                     continue
-                u = _grid_u(f"{seed}:{t}:{node}:u")
+                u = _grid_u(f"{pre}{t}:{node}:u")
                 thr = lo + u * (hi - lo)
-                splits[(t, node)] = (fidx, thr, d)
-                level[(t, node)] = (fidx, thr)
+                splits[k(g, t, node)] = (fidx, thr, d)
+                level[k(g, t, node)] = (fidx, thr)
             if not level:
                 break
             # advance via FLAT literal-map lookups on a composite key
@@ -160,12 +207,26 @@ class IsolationForest(PTransform):
             # ContinuousAggregate lesson; create_map is one node)
             key = (F.col("__t").cast("long") * F.lit(1 << 24)
                    + F.col("__node"))
+            if gcol:
+                gc_map = F.create_map(*[
+                    x for g, c in gcode.items()
+                    for x in (F.lit(g), F.lit(c))])
+                key = key + gc_map[F.col("__g")].cast("long") \
+                    * F.lit(1 << 40)
+
+            def mkey(lk):
+                if gcol:
+                    g, t, node = lk
+                    return (gcode[g] << 40) + (t << 24) + node
+                t, node = lk
+                return (t << 24) + node
+
             thr_map = F.create_map(*[
-                x for (t, node), (fi, th) in level.items()
-                for x in (F.lit((t << 24) + node), F.lit(float(th)))])
+                x for lk, (fi, th) in level.items()
+                for x in (F.lit(mkey(lk)), F.lit(float(th)))])
             fid_map = F.create_map(*[
-                x for (t, node), (fi, th) in level.items()
-                for x in (F.lit((t << 24) + node), F.lit(int(fi)))])
+                x for lk, (fi, th) in level.items()
+                for x in (F.lit(mkey(lk)), F.lit(int(fi)))])
             thr_col = thr_map[key]
             xsel = F.col(fs[0])
             if len(fs) > 1:
@@ -181,18 +242,26 @@ class IsolationForest(PTransform):
                     .localCheckpoint(eager=True))
         else:
             # max depth reached: remaining nodes become leaves
-            for r in (live.groupBy("__t", "__node")
+            for r in (live.groupBy(*gkeys, "__t", "__node")
                       .agg(F.count(F.lit(1)).alias("n")).collect()):
-                leaves[(r["__t"], r["__node"])] = (D, r["n"])
-        return {"splits": splits, "leaves": leaves}
+                leaves[k(r["__g"] if gcol else "", r["__t"],
+                         r["__node"])] = (D, r["n"])
+        out = {"splits": splits, "leaves": leaves}
+        if gcol:
+            out["groups"] = groups
+        return out
 
     # -- score ----------------------------------------------------------
-    def _h_expr(self, tree: int):
+    def _h_expr(self, tree: int, group: str | None = None):
         fs, D = self.features, self.depth
         splits, leaves = self.model_["splits"], self.model_["leaves"]
 
+        def k(node):
+            return ((group, tree, node) if group is not None
+                    else (tree, node))
+
         def desc(node, d):
-            s = splits.get((tree, node))
+            s = splits.get(k(node))
             if s is not None and d < D:
                 fidx, thr, _ = s
                 return F.when(
@@ -203,13 +272,19 @@ class IsolationForest(PTransform):
             # this descent depth (heap ids are depth-unique), so d is
             # the leaf depth; unseen nodes (no sample reached them)
             # contribute c(0) = 0 — immediate isolation
-            _, size = leaves.get((tree, node), (d, 0))
+            _, size = leaves.get(k(node), (d, 0))
             return F.lit(float(d) + avg_path_c(size))
 
         return desc(1, 0)
 
+    def _forest_h(self, group: str | None = None):
+        h = self._h_expr(0, group)
+        for t in range(1, self.trees):
+            h = h + self._h_expr(t, group)
+        return h
+
     def expand(self, pcoll: PCollection) -> PCollection:
-        fs = self.features
+        fs, gcol = self.features, self.group_col
         self.model_ = self._fit(pcoll.df)
         if not self.model_["splits"] and not self.model_["leaves"]:
             raise ValueError(
@@ -218,9 +293,22 @@ class IsolationForest(PTransform):
         cond = F.lit(True)
         for f in fs:
             cond = cond & F.col(f).isNotNull()
-        h = self._h_expr(0)
-        for t in range(1, self.trees):
-            h = h + self._h_expr(t)
+        if gcol:
+            # per-group scoring: each row descends ITS group's forest
+            # (groups are exhaustive over non-NULL keys by
+            # construction — fit's distinct ran on this same frame)
+            cond = cond & F.col(gcol).isNotNull()
+            gexpr = F.col(gcol).cast("string")
+            h = None
+            for g in self.model_["groups"]:
+                hg = self._forest_h(g)
+                h = (F.when(gexpr == F.lit(g), hg) if h is None
+                     else h.when(gexpr == F.lit(g), hg))
+            if h is None:
+                raise ValueError(
+                    "IsolationForest: no non-NULL groups to fit")
+        else:
+            h = self._forest_h()
         h_avg = h / F.lit(float(self.trees))
         score = F.pow(F.lit(2.0),
                       -h_avg / F.lit(avg_path_c(self.norm_n)))

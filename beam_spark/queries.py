@@ -10931,7 +10931,8 @@ def q_dedup_leakage_safe_split(spark, sf_dir):
 
 def _iforest_oracle_sql(trees: int = 4, depth: int = 4,
                         mod: int = 4, seed: int = 7,
-                        norm_n: int = 256) -> str:
+                        norm_n: int = 256,
+                        group: str | None = None) -> str:
     """Chained-CTE replay of IsolationForest TRAINING + scoring on
     events (features f0 = value, f1 = user_id % 97): per depth, node
     min/max/count stats -> md5-derived split feature and threshold
@@ -10939,7 +10940,13 @@ def _iforest_oracle_sql(trees: int = 4, depth: int = 4,
     advance; leaves carry c(n) computed with ln() in-engine (the
     <=1-ulp libm divergence vs the Spark side's python-literal c
     sits far below the round-6 grid). Scoring descends every row
-    through the replayed splits with the same left-assoc tree-sum."""
+    through the replayed splits with the same left-assoc tree-sum.
+
+    ``group`` (r15): SQL expression over events (e.g. 'event_type')
+    replaying per-GROUP forests — the group key joins every node key
+    and salts every md5 seed exactly as the operator does; with
+    group=None the emitted SQL is byte-identical to the r14 text
+    (regression-pinned in tests)."""
     gamma = "CAST('0.5772156649015329' AS DOUBLE)"
 
     def md5i(expr8):
@@ -10953,53 +10960,70 @@ def _iforest_oracle_sql(trees: int = 4, depth: int = 4,
                 f"* CAST({n} - 1 AS DOUBLE) / CAST({n} AS DOUBLE) "
                 f"END")
 
-    fkey = (f"'{seed}:' || CAST(t AS VARCHAR) || ':' || "
+    # grouped fragments — all collapse to "" / base text when group
+    # is None so the ungrouped SQL stays byte-identical
+    gsel = "g, " if group else ""            # leading column in selects
+    gby = "g, " if group else ""             # leading GROUP BY key
+    gseed = "g || ':' || " if group else ""  # md5 seed salt
+    fkey = (f"'{seed}:' || {gseed}CAST(t AS VARCHAR) || ':' || "
             f"CAST(node AS VARCHAR) || ':f'")
-    ukey = (f"'{seed}:' || CAST(t AS VARCHAR) || ':' || "
+    ukey = (f"'{seed}:' || {gseed}CAST(t AS VARCHAR) || ':' || "
             f"CAST(node AS VARCHAR) || ':u'")
-    skey = (f"'{seed}:' || CAST(u.t AS VARCHAR) || ':' || "
+    bgseed = "b.g || ':' || " if group else ""
+    skey = (f"'{seed}:' || {bgseed}"
+            f"CAST(u.t AS VARCHAR) || ':' || "
             f"CAST(b.event_id AS VARCHAR)")
+    base_g = (f",\n       CAST({group} AS VARCHAR) AS g" if group
+              else "")
+    base_gw = f" AND {group} IS NOT NULL" if group else ""
+    sg = ", s.g" if group else ""
+    rg = ", r.g" if group else ""
+    bg = ", b.g" if group else ""
+    jg_s = " AND sp.g = s.g" if group else ""
+    jg_r = " AND sp.g = r.g" if group else ""
+    jg_lv = " AND lv.g = r.g" if group else ""
     ctes = [f"""base AS (SELECT event_id,
        CAST(value AS DOUBLE) AS f0,
-       CAST(user_id % 97 AS DOUBLE) AS f1
-FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL)""",
+       CAST(user_id % 97 AS DOUBLE) AS f1{base_g}
+FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL{base_gw})""",
             f"""trees AS (SELECT unnest(range(0, {trees})) AS t)""",
-            f"""s0 AS (SELECT b.event_id, b.f0, b.f1, u.t,
+            f"""s0 AS (SELECT b.event_id, b.f0, b.f1{bg}, u.t,
        CAST(1 AS BIGINT) AS node
 FROM base b, trees u
 WHERE {md5i(skey)} % {mod} = 0)"""]
+    st_gby = "1, 2, 3" if group else "1, 2"
     lv_parts = []
     for d in range(depth):
-        ctes.append(f"""st{d} AS (SELECT t, node,
+        ctes.append(f"""st{d} AS (SELECT {gsel}t, node,
   CAST(count(*) AS BIGINT) AS n,
   min(f0) AS lo0, max(f0) AS hi0, min(f1) AS lo1, max(f1) AS hi1
-FROM s{d} GROUP BY 1, 2)""")
-        ctes.append(f"""sp{d} AS (SELECT t, node, n, fidx, lo, hi,
+FROM s{d} GROUP BY {st_gby})""")
+        ctes.append(f"""sp{d} AS (SELECT {gsel}t, node, n, fidx, lo, hi,
   lo + uu * (hi - lo) AS thr, (n <= 1 OR lo = hi) AS term
-FROM (SELECT t, node, n, fidx,
+FROM (SELECT {gsel}t, node, n, fidx,
         CASE fidx WHEN 0 THEN lo0 ELSE lo1 END AS lo,
         CASE fidx WHEN 0 THEN hi0 ELSE hi1 END AS hi,
         CAST({md5i(ukey)} % 1000000 AS DOUBLE)
           / CAST(1000000 AS DOUBLE) AS uu
       FROM (SELECT *, {md5i(fkey)} % 2 AS fidx FROM st{d})))""")
         lv_parts.append(
-            f"SELECT t, node, {d} AS d, n FROM sp{d} WHERE term")
-        ctes.append(f"""s{d + 1} AS (SELECT s.event_id, s.f0, s.f1,
+            f"SELECT {gsel}t, node, {d} AS d, n FROM sp{d} WHERE term")
+        ctes.append(f"""s{d + 1} AS (SELECT s.event_id, s.f0, s.f1{sg},
   s.t, s.node * 2 + CASE WHEN (CASE sp.fidx WHEN 0 THEN s.f0
     ELSE s.f1 END) > sp.thr THEN 1 ELSE 0 END AS node
 FROM s{d} s JOIN sp{d} sp
-  ON sp.t = s.t AND sp.node = s.node AND NOT sp.term)""")
+  ON sp.t = s.t AND sp.node = s.node{jg_s} AND NOT sp.term)""")
     lv_parts.append(
-        f"SELECT t, node, {depth} AS d, CAST(count(*) AS BIGINT) AS n "
-        f"FROM s{depth} GROUP BY 1, 2")
-    ctes.append("lv_all AS (SELECT t, node, d, n, "
+        f"SELECT {gsel}t, node, {depth} AS d, CAST(count(*) AS BIGINT) AS n "
+        f"FROM s{depth} GROUP BY {st_gby}")
+    ctes.append(f"lv_all AS (SELECT {gsel}t, node, d, n, "
                 + c_adj("n") + " AS c_adj FROM ("
                 + "\nUNION ALL\n".join(lv_parts) + "))")
-    ctes.append("""r0 AS (SELECT b.event_id, b.f0, b.f1, u.t,
+    ctes.append(f"""r0 AS (SELECT b.event_id, b.f0, b.f1{bg}, u.t,
   CAST(1 AS BIGINT) AS node, CAST(NULL AS DOUBLE) AS h
 FROM base b, trees u)""")
     for d in range(depth):
-        ctes.append(f"""r{d + 1} AS (SELECT r.event_id, r.f0, r.f1,
+        ctes.append(f"""r{d + 1} AS (SELECT r.event_id, r.f0, r.f1{rg},
   r.t,
   CASE WHEN r.h IS NOT NULL THEN r.node
        WHEN sp.node IS NULL THEN r.node
@@ -11011,14 +11035,14 @@ FROM base b, trees u)""")
        ELSE NULL END AS h
 FROM r{d} r
 LEFT JOIN (SELECT * FROM sp{d} WHERE NOT term) sp
-  ON sp.t = r.t AND sp.node = r.node
-LEFT JOIN lv_all lv ON lv.t = r.t AND lv.node = r.node)""")
+  ON sp.t = r.t AND sp.node = r.node{jg_r}
+LEFT JOIN lv_all lv ON lv.t = r.t AND lv.node = r.node{jg_lv})""")
     ctes.append(f"""fin AS (SELECT r.event_id, r.t,
   CASE WHEN r.h IS NOT NULL THEN r.h
        ELSE CAST({depth} AS DOUBLE)
             + coalesce(lv.c_adj, CAST(0 AS DOUBLE)) END AS h
 FROM r{depth} r LEFT JOIN lv_all lv
-  ON lv.t = r.t AND lv.node = r.node)""")
+  ON lv.t = r.t AND lv.node = r.node{jg_lv})""")
     tree_sum = "max(CASE WHEN t = 0 THEN h END)"
     for t in range(1, trees):
         tree_sum = f"({tree_sum} + max(CASE WHEN t = {t} THEN h END))"
@@ -11051,6 +11075,31 @@ def q_ml_isolation_forest(spark, sf_dir):
     out = (PCollection(ev)
            | IsolationForest(["x1", "x2"], id_col="event_id",
                              trees=4, depth=4, sample_mod=4,
+                             seed=7)).df
+    return out.select("event_id", "iforest_h", "iforest_score")
+
+
+@query("q_ml_isolation_forest_groups",
+       _iforest_oracle_sql(trees=2, depth=3, group="event_type"))
+def q_ml_isolation_forest_groups(spark, sf_dir):
+    """Per-GROUP isolation forests (r15, NEXT backlog #3): one
+    independent forest per event_type — the multi-tenant anomaly
+    surface, where a value that is normal for 'purchase' is anomalous
+    for 'click'. Same aggregation-round fit with the group key joined
+    onto every node key and group-salted md5 seeds; scoring adds one
+    when-branch per group around the zero-shuffle when-trees. The
+    DuckDB oracle replays the grouped training with the identical
+    salt (generator regression-pinned byte-identical at group=None)."""
+    from beam_spark.ml.iforest import IsolationForest
+
+    ev = table(spark, sf_dir, "events").df.selectExpr(
+        "event_id", "event_type",
+        "CAST(value AS DOUBLE) AS x1",
+        "CAST(user_id % 97 AS DOUBLE) AS x2")
+    out = (PCollection(ev)
+           | IsolationForest(["x1", "x2"], id_col="event_id",
+                             group_col="event_type",
+                             trees=2, depth=3, sample_mod=4,
                              seed=7)).df
     return out.select("event_id", "iforest_h", "iforest_score")
 

@@ -860,3 +860,46 @@ def test_feature_hasher_odd_column_names(spark):
     out2 = (PCollection(dotted)
             | FeatureHasher(["a.b"], n_features=8)).df.collect()
     assert sum(abs(x) for x in out2[0].hashed) == 1.0
+
+
+def test_isolation_forest_per_group_semantics(spark):
+    """Round-15 per-group forests: a value that is NORMAL in group B
+    is the top anomaly of group A when A's distribution is tight
+    elsewhere — the pooled forest structurally can't express that.
+    NULL group rows score NULL; group fail-fasts fire."""
+    import numpy as np
+    import pytest
+
+    from beam_spark.ml.iforest import IsolationForest
+    from beam_spark.pcollection import PCollection
+
+    rng = np.random.default_rng(2)
+    rows = [(i, "a", float(rng.normal(0, 1))) for i in range(150)]
+    rows += [(i, "b", float(rng.normal(100, 1))) for i in range(200, 350)]
+    # 100.0 is dead-center for group b, extreme for group a
+    rows += [(900, "a", 100.0), (901, "b", 100.0), (902, None, 1.0)]
+    df = spark.createDataFrame(rows, "id long, g string, x double")
+    t = IsolationForest("x", id_col="id", group_col="g",
+                        trees=8, depth=6, seed=7)
+    out = {r.id: r for r in (PCollection(df) | t).df.collect()}
+    a_scores = {k: v.iforest_score for k, v in out.items()
+                if v.g == "a" and v.iforest_score is not None}
+    assert max(a_scores, key=a_scores.get) == 900
+    # the same value inside group b is unremarkable: nowhere near b's top
+    b_scores = {k: v.iforest_score for k, v in out.items()
+                if v.g == "b" and v.iforest_score is not None}
+    b_rank_901 = sorted(b_scores, key=lambda k: -b_scores[k]).index(901)
+    assert b_rank_901 > 10
+    assert out[902].iforest_score is None  # NULL group -> NULL score
+    assert sorted(t.model_["groups"]) == ["a", "b"]
+    # fail-fasts: group cardinality and the grouped size cap
+    with pytest.raises(ValueError, match="max_groups"):
+        (PCollection(df.selectExpr("id", "CAST(id AS STRING) AS g", "x"))
+         | IsolationForest("x", id_col="id", group_col="g",
+                           max_groups=4)).df
+    with pytest.raises(ValueError, match="4096"):
+        # id-as-group: ~300 groups pass max_groups but blow the
+        # groups * trees * 2^depth collect/when-tree cap
+        (PCollection(df.selectExpr("id", "CAST(id AS STRING) AS g", "x"))
+         | IsolationForest("x", id_col="id", group_col="g",
+                           trees=8, depth=8, max_groups=100000)).df
