@@ -1104,6 +1104,157 @@ class Pacf(PTransform):
         return pcoll.with_df(g.mapInPandas(gen, schema=out_schema))
 
 
+class ArForecast(PTransform):
+    """Per-key AR(p) h-step forecast fitted by Yule-Walker — the
+    autoregressive sibling of Holt/Theta/Croston and the consumer of
+    :class:`Pacf`'s order identification: run the same Durbin-Levinson
+    recursion over the sample ACF to order ``p``; the final phi vector
+    IS the Yule-Walker AR(p) coefficient estimate, and the forecast
+    iterates the fitted recurrence on mean deviations:
+
+        f_j = phi_1 * f_{j-1} + ... + phi_p * f_{j-p}
+        (f_0 = x_n - mu, f_{-1} = x_{n-1} - mu, ...)
+        forecast_h = mu + f_h
+
+    Stationarity is NOT enforced: a phi outside the stationary region
+    produces (correctly) diverging forecasts — fix the order with
+    Pacf first. Keys with a constant series (zero ACF denominator) or
+    fewer than p + 1 rows are dropped; a degenerate Durbin-Levinson
+    step (innovation variance 0) yields NULL forecasts for the key.
+    NULL values are dropped before ordering (GapFill upstream for
+    strict-lag semantics — same contract as Acf).
+
+    Scale: identical envelope to Pacf — one per-key mean join, one
+    window pass for the p lag columns (the last row's lags double as
+    the forecast's starting deviations via max_by), ONE aggregation to
+    moment sums; the recursion + forecast then run vectorized across
+    keys in an Arrow-batched mapInPandas on one row per key.
+
+    Output: one row per (key, h): keys + (h int, forecast double,
+    phi_1..phi_p double — UNROUNDED, consumers round; numpy's
+    half-even rounding differs from the engines' round())."""
+
+    def __init__(self, col: str, keys, order_by, p: int = 2,
+                 horizons=(1,), label=None):
+        super().__init__(label)
+        if not 1 <= int(p) <= 8:
+            raise ValueError(f"p {p} outside [1, 8]")
+        hs = sorted({int(h) for h in horizons})
+        if not hs or hs[0] < 1:
+            raise ValueError(
+                f"horizons {horizons!r}: need >= 1 integer horizons")
+        self.col, self.p, self.horizons = col, int(p), hs
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        self.order_by = ([order_by] if isinstance(order_by, str)
+                         else list(order_by))
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        keys, ob, P = self.keys, self.order_by, self.p
+        hs = self.horizons
+        v = F.col(self.col).cast("double")
+        base = pcoll.df.where(F.col(self.col).isNotNull())
+        mu = base.groupBy(*keys).agg(F.avg(v).alias("__mu"))
+        w = Window.partitionBy(*keys).orderBy(*ob)
+        d = base.join(mu, on=keys)
+        for lag in range(1, P + 1):
+            d = d.withColumn(f"__l{lag}", F.lag(v, lag).over(w))
+        # the last row (by order) carries the forecast's seed
+        # deviations: its value is x_n and its lag columns are
+        # x_{n-1}..x_{n-p+1}
+        last = F.max_by(
+            F.struct(v.alias("x0"),
+                     *[F.col(f"__l{i}").alias(f"x{i}")
+                       for i in range(1, P)]),
+            F.struct(*[F.col(c) for c in ob]))
+        aggs = [F.sum((v - F.col("__mu")) * (v - F.col("__mu")))
+                .alias("__den"),
+                F.count(F.lit(1)).alias("__n"),
+                F.first("__mu").alias("__mu"),
+                last.alias("__last")]
+        for lag in range(1, P + 1):
+            aggs.append(F.sum((v - F.col("__mu"))
+                              * (F.col(f"__l{lag}") - F.col("__mu")))
+                        .alias(f"__r{lag}"))
+        g = (d.groupBy(*keys).agg(*aggs)
+             .where((F.col("__den") != 0) & (F.col("__n") >= P + 1)))
+        for lag in range(1, P + 1):
+            g = g.withColumn(f"__r{lag}",
+                             F.coalesce(f"__r{lag}", F.lit(0.0)))
+        g = g.select(*keys, "__den", "__mu",
+                     *[f"__r{lag}" for lag in range(1, P + 1)],
+                     *[F.col(f"__last.x{i}").alias(f"__x{i}")
+                       for i in range(P)])
+
+        key_fields = [(k, pcoll.df.schema[k].dataType.simpleString())
+                      for k in keys]
+        out_schema = (", ".join(f"{k} {t}" for k, t in key_fields)
+                      + ", h int, forecast double, "
+                      + ", ".join(f"phi{i} double"
+                                  for i in range(1, P + 1)))
+
+        def gen(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                den = pdf["__den"].to_numpy(np.float64)
+                r = np.stack([pdf[f"__r{k}"].to_numpy(np.float64) / den
+                              for k in range(1, P + 1)])
+                # Durbin-Levinson to order P (the Pacf recursion —
+                # identical nesting so the oracle replays both)
+                phi = np.zeros((P, n))
+                phi[0] = r[0]
+                var = 1.0 - r[0] * r[0]
+                for k in range(2, P + 1):
+                    num = r[k - 1].copy()
+                    for j in range(1, k):
+                        num = num - phi[j - 1] * r[k - 1 - j]
+                    ok = var > 0
+                    with np.errstate(divide="ignore",
+                                     invalid="ignore"):
+                        phik = np.where(ok,
+                                        num / np.where(ok, var, 1.0),
+                                        np.nan)
+                    newphi = phi.copy()
+                    for j in range(1, k):
+                        newphi[j - 1] = phi[j - 1] - phik * phi[k - 1 - j]
+                    newphi[k - 1] = phik
+                    phi = newphi
+                    var = var * (1.0 - phik * phik)
+                mu_a = pdf["__mu"].to_numpy(np.float64)
+                # deviation history, most recent first
+                hist = [pdf[f"__x{i}"].to_numpy(np.float64) - mu_a
+                        for i in range(P)]
+                H = hs[-1]
+                fc = np.full((H, n), np.nan)
+                for j in range(H):
+                    f = phi[0] * hist[0]
+                    for i in range(1, P):
+                        f = f + phi[i] * hist[i]
+                    fc[j] = f
+                    hist = [f] + hist[:-1]
+                rows = {k: np.repeat(pdf[k].to_numpy(), len(hs))
+                        for k, _ in key_fields}
+                rows["h"] = np.tile(np.array(hs), n)
+                sel = np.array([h - 1 for h in hs])
+                rows["forecast"] = (mu_a[:, None]
+                                    + fc[sel].T).reshape(-1)
+                for i in range(1, P + 1):
+                    rows[f"phi{i}"] = np.repeat(phi[i - 1], len(hs))
+                out = pd.DataFrame(rows)
+                for c in ("forecast",
+                          *[f"phi{i}" for i in range(1, P + 1)]):
+                    out[c] = out[c].where(~np.isnan(out[c]), None)
+                yield out
+
+        return pcoll.with_df(g.mapInPandas(gen, schema=out_schema))
+
+
 class RollingCorr(PTransform):
     """Rolling Pearson correlation of two columns over a fixed
     ``window`` of rows per key (current row + window-1 preceding) —

@@ -4323,6 +4323,110 @@ it1 AS (SELECT user_id, r, [r[1]] AS phi,
     return "\n".join(cte) + "\n" + "\nUNION ALL\n".join(tails)
 
 
+def _ar_forecast_oracle_sql(p: int = 2, horizons=(1, 2, 3)) -> str:
+    """Chained-CTE Yule-Walker AR(p) forecast replay: the PACF
+    generator's Durbin-Levinson chain to order p (identical nesting),
+    the last row's value + lag columns as the seed deviations, then
+    one CTE per forecast step carrying the deviation history as a
+    list column — the recurrence's left-assoc add order mirrors the
+    operator's numpy loop exactly (round 6)."""
+    hs = sorted(set(horizons))
+    H = hs[-1]
+    head = """WITH x AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL),
+m AS (SELECT user_id, avg(v) AS mu FROM x GROUP BY user_id),
+l AS (
+  SELECT x.user_id, v, mu, rn,
+         """ + ",\n         ".join(
+        f"lag(v, {k}) OVER w AS l{k}" for k in range(1, p + 1)) + """
+  FROM x JOIN m ON x.user_id = m.user_id
+  WINDOW w AS (PARTITION BY x.user_id ORDER BY rn)),
+a AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         sum((v - mu) * (v - mu)) AS den,
+         """ + ",\n         ".join(
+        f"coalesce(sum((v - mu) * (l{k} - mu)), 0) AS n{k}"
+        for k in range(1, p + 1)) + """
+  FROM l GROUP BY user_id),
+last AS (
+  SELECT user_id, v AS x0""" + "".join(
+        f", l{i} AS x{i}" for i in range(1, p)) + """
+  FROM l
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY rn DESC) = 1),
+rl AS (SELECT user_id, [""" + ", ".join(
+        f"n{k} / den" for k in range(1, p + 1)) + f"""] AS r
+       FROM a WHERE den <> 0 AND n >= {p + 1}),
+it1 AS (SELECT user_id, r, [r[1]] AS phi,
+               1 - r[1] * r[1] AS v FROM rl),"""
+    cte = [head]
+    for k in range(2, p + 1):
+        num = f"r[{k}]"
+        for j in range(1, k):
+            num = f"({num} - phi[{j}] * r[{k - j}])"
+        cte.append(f"""e{k} AS (
+  SELECT user_id, r, phi, v,
+         CASE WHEN v > 0 THEN {num} / v END AS pk
+  FROM it{k - 1}),""")
+        upd = ", ".join(f"phi[{j}] - pk * phi[{k - j}]"
+                        for j in range(1, k))
+        cte.append(f"""it{k} AS (
+  SELECT user_id, r, [{upd}, pk] AS phi,
+         v * (1 - pk * pk) AS v
+  FROM e{k}),""")
+    hist0 = ", ".join(f"last.x{i} - m.mu" for i in range(p))
+    cte.append(f"""s0 AS (
+  SELECT it{p}.user_id, m.mu, phi, [{hist0}] AS hist
+  FROM it{p}
+  JOIN last ON last.user_id = it{p}.user_id
+  JOIN m ON m.user_id = it{p}.user_id),""")
+    for j in range(1, H + 1):
+        fexpr = "(phi[1] * hist[1])"
+        for i in range(2, p + 1):
+            fexpr = f"({fexpr} + (phi[{i}] * hist[{i}]))"
+        keep = ", ".join(f"f{i}" for i in range(1, j))
+        keep = (keep + ", ") if keep else ""
+        newhist = ", ".join(["f"] + [f"hist[{i}]"
+                                     for i in range(1, p)])
+        cte.append(f"""t{j} AS (
+  SELECT user_id, mu, phi, hist, {keep}{fexpr} AS f
+  FROM s{j - 1}),""")
+        cte.append(f"""s{j} AS (
+  SELECT user_id, mu, phi, [{newhist}] AS hist, {keep}f AS f{j}
+  FROM t{j}),""")
+    cte[-1] = cte[-1].rstrip(",")
+    phis = ", ".join(f"round(phi[{i}], 6) AS phi{i}"
+                     for i in range(1, p + 1))
+    tails = [f"SELECT user_id, {h} AS h, round(mu + f{h}, 6) AS forecast, "
+             f"{phis} FROM s{H}" for h in hs]
+    return "\n".join(cte) + "\n" + "\nUNION ALL\n".join(tails)
+
+
+@query("q_ts_ar_forecast", _ar_forecast_oracle_sql())
+def q_ts_ar_forecast(spark, sf_dir):
+    """Per-user AR(2) forecasts at horizons 1..3, fitted by
+    Yule-Walker (the Durbin-Levinson phi at order 2) and iterated on
+    mean deviations — the autoregressive sibling of Holt/Theta with
+    Pacf as its order-identification companion; DuckDB replays the
+    D-L chain, seeds the deviation history from the last row's lag
+    columns, and unrolls the identical left-assoc recurrence
+    (round 6)."""
+    from beam_spark.operators.stats import ArForecast
+
+    ev = table(spark, sf_dir, "events").df
+    out = (PCollection(ev)
+           | ArForecast("value", keys="user_id",
+                        order_by=["ts", "event_id"], p=2,
+                        horizons=(1, 2, 3))).df
+    return out.select("user_id", F.col("h").cast("int").alias("h"),
+                      F.round("forecast", 6).alias("forecast"),
+                      F.round("phi1", 6).alias("phi1"),
+                      F.round("phi2", 6).alias("phi2"))
+
+
 @query("q_ts_pacf", _pacf_oracle_sql())
 def q_pacf(spark, sf_dir):
     """Per-user PACF at lags 1..5 (Durbin-Levinson over the sample

@@ -595,3 +595,58 @@ def test_changepoint_binary_segmentation_recovers_shifts(spark):
     with _pytest.raises(ValueError, match="levels"):
         ChangepointMeanShift("v", keys="k", order_by="i",
                              penalty=1, levels=0)
+
+
+def test_ar_forecast_recovers_coefficients_and_recurrence(spark):
+    """Round-15 ArForecast: on a seeded AR(2) series the Yule-Walker
+    phi land near the true (0.6, -0.3); forecasts iterate exactly the
+    fitted recurrence from the last two observations (checked against
+    a direct numpy replay at 1e-9); constant and too-short keys are
+    dropped; p=1 collapses to phi1 = r1."""
+    import numpy as np
+    import pytest as _pytest
+
+    from beam_spark.operators.stats import ArForecast
+    from beam_spark.pcollection import PCollection
+
+    rng = np.random.default_rng(11)
+    eps = rng.normal(0, 1, 600)
+    x = np.zeros(600)
+    for t in range(2, 600):
+        x[t] = 0.6 * x[t - 1] - 0.3 * x[t - 2] + eps[t]
+    rows = [("k", i, float(v)) for i, v in enumerate(x)]
+    rows += [("const", i, 5.0) for i in range(10)]   # den = 0 -> drop
+    rows += [("tiny", 0, 1.0), ("tiny", 1, 2.0)]    # n < p+1 -> drop
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    got = {(r["k"], r["h"]): r for r in
+           (PCollection(df) | ArForecast(
+               "v", keys="k", order_by="i", p=2,
+               horizons=(1, 2, 3))).df.collect()}
+    assert {k for k, _ in got} == {"k"}
+    # direct replay: Yule-Walker phi + deviation recurrence
+    mu = x.mean()
+    c = x - mu
+    den = float((c * c).sum())
+    r1 = float((c[1:] * c[:-1]).sum()) / den
+    r2 = float((c[2:] * c[:-2]).sum()) / den
+    v0 = 1 - r1 * r1
+    pk = (r2 - r1 * r1) / v0
+    phi1, phi2 = r1 - pk * r1, pk
+    assert abs(got[("k", 1)]["phi1"] - phi1) < 1e-9
+    assert abs(got[("k", 1)]["phi2"] - phi2) < 1e-9
+    assert abs(phi1 - 0.6) < 0.1 and abs(phi2 - (-0.3)) < 0.1
+    h = [x[-1] - mu, x[-2] - mu]
+    for step in (1, 2, 3):
+        f = phi1 * h[0] + phi2 * h[1]
+        assert abs(got[("k", step)]["forecast"] - (mu + f)) < 1e-9
+        h = [f, h[0]]
+    # p=1: phi1 is exactly r1
+    got1 = {r["h"]: r for r in
+            (PCollection(df.where("k = 'k'")) | ArForecast(
+                "v", keys="k", order_by="i", p=1, horizons=(1,))
+             ).df.collect()}
+    assert abs(got1[1]["phi1"] - r1) < 1e-12
+    with _pytest.raises(ValueError, match="horizons"):
+        ArForecast("v", keys="k", order_by="i", horizons=())
+    with _pytest.raises(ValueError, match="p "):
+        ArForecast("v", keys="k", order_by="i", p=0)
