@@ -63,6 +63,26 @@ def _grid_u(key: str) -> float:
     return (int(h[:8], 16) % 1_000_000) / 1e6
 
 
+def oblique_direction(prefix: str, dim: int) -> list[float]:
+    """Deterministic ~N(0,1) hyperplane slope for one tree node
+    (extended isolation forest, Hariri et al. 2019): Box-Muller over
+    two md5 grid uniforms per component, rounded 6 — PYTHON-side
+    literals shared verbatim by the Spark plan and the oracle SQL
+    (the lsh_projections convention), so no cross-engine transcendental
+    ever runs on data. Normalization is unnecessary: the split
+    threshold is drawn from the node's own projection range, so the
+    slope's scale cancels."""
+    import math
+
+    out = []
+    for i in range(dim):
+        u1 = max(_grid_u(f"{prefix}a{i}:1"), 1e-6)
+        u2 = _grid_u(f"{prefix}a{i}:2")
+        n = math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2)
+        out.append(round(n, 6))
+    return out
+
+
 class IsolationForest(PTransform):
     """Fit ``trees`` isolation trees on a deterministic row sample of
     the piped frame and append (``h_avg``, ``score``) columns scoring
@@ -76,7 +96,8 @@ class IsolationForest(PTransform):
     def __init__(self, features, id_col: str, trees: int = 4,
                  depth: int = 4, sample_mod: int = 1, seed: int = 7,
                  norm_n: int = 256, group_col: str | None = None,
-                 max_groups: int = 32, label=None):
+                 max_groups: int = 32, oblique: bool = False,
+                 label=None):
         super().__init__(label)
         self.features = ([features] if isinstance(features, str)
                          else list(features))
@@ -114,6 +135,17 @@ class IsolationForest(PTransform):
         self.max_groups = int(max_groups)
         if self.max_groups < 1:
             raise ValueError("max_groups must be >= 1")
+        #: EXTENDED isolation forest (Hariri, Kind & Brunner, TKDE
+        #: 2019): each node cuts on a random OBLIQUE hyperplane
+        #: (projection = sum_i a_i * x_i with md5-derived round-6
+        #: normal slopes, threshold drawn from the node's projection
+        #: range) instead of a single axis — removes the axis-parallel
+        #: "ghost region" artifacts of standard iForest score maps.
+        #: Same aggregation rounds (min/max of ONE projection per node
+        #: instead of per-feature), same bounded collects, and the
+        #: slopes are Python-side literals shared verbatim with the
+        #: oracle, so the fit replays exactly.
+        self.oblique = bool(oblique)
         self.model_ = None   # {"splits": {(t,node): (fidx,thr,d)},
         #                      "leaves": {(t,node): (depth,size)}}
         #                     (group_col: keys gain a leading group
@@ -169,17 +201,64 @@ class IsolationForest(PTransform):
         def k(g, t, node):
             return (g, t, node) if gcol else (t, node)
 
+        # FLAT literal-map composite key (a per-node OR/when chain is
+        # left-deep and overflows Catalyst recursion at a few thousand
+        # nodes — the r13 ContinuousAggregate lesson; create_map is
+        # one node)
+        key = (F.col("__t").cast("long") * F.lit(1 << 24)
+               + F.col("__node"))
+        if gcol:
+            gc_map = F.create_map(*[
+                x for g, c in gcode.items()
+                for x in (F.lit(g), F.lit(c))])
+            key = key + gc_map[F.col("__g")].cast("long") \
+                * F.lit(1 << 40)
+
+        def mkey(lk):
+            if gcol:
+                g, t, node = lk
+                return (gcode[g] << 40) + (t << 24) + node
+            t, node = lk
+            return (t << 24) + node
+
+        ob = self.oblique
         splits: dict = {}
         leaves: dict = {}
         live = samp
         for d in range(D):
-            stats = (live.groupBy(*gkeys, "__t", "__node")
-                     .agg(F.count(F.lit(1)).alias("n"),
-                          *[F.min(f).alias(f"lo_{i}")
-                            for i, f in enumerate(fs)],
-                          *[F.max(f).alias(f"hi_{i}")
-                            for i, f in enumerate(fs)])
-                     ).collect()
+            cand = {}
+            proj = None
+            if ob:
+                # slopes for EVERY possible node at this depth (a
+                # superset of live nodes — bounded by the same
+                # groups*T*2^depth cap), as per-dim literal maps; the
+                # left-assoc (a0*f0) + (a1*f1) + ... accumulation is
+                # the chain the oracle spells out
+                for g in (groups if gcol else [""]):
+                    pre = f"{seed}:{g}:" if gcol else f"{seed}:"
+                    for t in range(T):
+                        for node in range(1 << d, 1 << (d + 1)):
+                            cand[k(g, t, node)] = oblique_direction(
+                                f"{pre}{t}:{node}:", len(fs))
+                for i in range(len(fs)):
+                    m = F.create_map(*[
+                        x for lk, cs in cand.items()
+                        for x in (F.lit(mkey(lk)), F.lit(cs[i]))])
+                    term = m[key] * F.col(fs[i])
+                    proj = term if proj is None else proj + term
+                stats = (live.groupBy(*gkeys, "__t", "__node")
+                         .agg(F.count(F.lit(1)).alias("n"),
+                              F.min(proj).alias("lo_p"),
+                              F.max(proj).alias("hi_p"))
+                         ).collect()
+            else:
+                stats = (live.groupBy(*gkeys, "__t", "__node")
+                         .agg(F.count(F.lit(1)).alias("n"),
+                              *[F.min(f).alias(f"lo_{i}")
+                                for i, f in enumerate(fs)],
+                              *[F.max(f).alias(f"hi_{i}")
+                                for i, f in enumerate(fs)])
+                         ).collect()
             level = {}
             for r in sorted(stats,
                             key=lambda r: ((r["__g"],) if gcol else ())
@@ -187,53 +266,40 @@ class IsolationForest(PTransform):
                 t, node, n = r["__t"], r["__node"], r["n"]
                 g = r["__g"] if gcol else ""
                 pre = f"{seed}:{g}:" if gcol else f"{seed}:"
-                fidx = int(int.from_bytes(
-                    __import__("hashlib").md5(
-                        f"{pre}{t}:{node}:f".encode()).digest()[:4],
-                    "big") % len(fs))
-                lo, hi = r[f"lo_{fidx}"], r[f"hi_{fidx}"]
+                if ob:
+                    sel = cand[k(g, t, node)]
+                    lo, hi = r["lo_p"], r["hi_p"]
+                else:
+                    sel = int(int.from_bytes(
+                        __import__("hashlib").md5(
+                            f"{pre}{t}:{node}:f".encode()).digest()[:4],
+                        "big") % len(fs))
+                    lo, hi = r[f"lo_{sel}"], r[f"hi_{sel}"]
                 if n <= 1 or lo == hi:
                     leaves[k(g, t, node)] = (d, n)
                     continue
                 u = _grid_u(f"{pre}{t}:{node}:u")
                 thr = lo + u * (hi - lo)
-                splits[k(g, t, node)] = (fidx, thr, d)
-                level[k(g, t, node)] = (fidx, thr)
+                splits[k(g, t, node)] = (sel, thr, d)
+                level[k(g, t, node)] = (sel, thr)
             if not level:
                 break
-            # advance via FLAT literal-map lookups on a composite key
-            # (a per-node OR/when chain is left-deep and overflows
-            # Catalyst recursion at a few thousand nodes — the r13
-            # ContinuousAggregate lesson; create_map is one node)
-            key = (F.col("__t").cast("long") * F.lit(1 << 24)
-                   + F.col("__node"))
-            if gcol:
-                gc_map = F.create_map(*[
-                    x for g, c in gcode.items()
-                    for x in (F.lit(g), F.lit(c))])
-                key = key + gc_map[F.col("__g")].cast("long") \
-                    * F.lit(1 << 40)
-
-            def mkey(lk):
-                if gcol:
-                    g, t, node = lk
-                    return (gcode[g] << 40) + (t << 24) + node
-                t, node = lk
-                return (t << 24) + node
-
             thr_map = F.create_map(*[
                 x for lk, (fi, th) in level.items()
                 for x in (F.lit(mkey(lk)), F.lit(float(th)))])
-            fid_map = F.create_map(*[
-                x for lk, (fi, th) in level.items()
-                for x in (F.lit(mkey(lk)), F.lit(int(fi)))])
             thr_col = thr_map[key]
-            xsel = F.col(fs[0])
-            if len(fs) > 1:
-                fid_col = fid_map[key]
-                xsel = F.when(fid_col == 0, F.col(fs[0]))
-                for i in range(1, len(fs)):
-                    xsel = xsel.when(fid_col == i, F.col(fs[i]))
+            if ob:
+                xsel = proj   # identical literal chain as the stats
+            else:
+                xsel = F.col(fs[0])
+                if len(fs) > 1:
+                    fid_map = F.create_map(*[
+                        x for lk, (fi, th) in level.items()
+                        for x in (F.lit(mkey(lk)), F.lit(int(fi)))])
+                    fid_col = fid_map[key]
+                    xsel = F.when(fid_col == 0, F.col(fs[0]))
+                    for i in range(1, len(fs)):
+                        xsel = xsel.when(fid_col == i, F.col(fs[i]))
             live = (live.where(thr_col.isNotNull())
                     .withColumn(
                         "__node",
@@ -263,9 +329,16 @@ class IsolationForest(PTransform):
         def desc(node, d):
             s = splits.get(k(node))
             if s is not None and d < D:
-                fidx, thr, _ = s
+                sel, thr, _ = s
+                if self.oblique:
+                    test = None
+                    for i, c in enumerate(sel):
+                        term = F.lit(c) * F.col(fs[i])
+                        test = term if test is None else test + term
+                else:
+                    test = F.col(fs[sel])
                 return F.when(
-                    F.col(fs[fidx]) > F.lit(thr),
+                    test > F.lit(thr),
                     desc(2 * node + 1, d + 1)
                 ).otherwise(desc(2 * node, d + 1))
             # a fit leaf at (tree, node) was terminalized at exactly

@@ -11183,6 +11183,144 @@ def q_ml_isolation_forest(spark, sf_dir):
     return out.select("event_id", "iforest_h", "iforest_score")
 
 
+def _iforest_oblique_oracle_sql(trees: int = 2, depth: int = 3,
+                                mod: int = 4, seed: int = 7,
+                                norm_n: int = 256) -> str:
+    """Chained-CTE replay of the EXTENDED (oblique) isolation forest:
+    node hyperplane slopes come from the SAME python helper the
+    operator uses (`iforest.oblique_direction` — md5 Box-Muller
+    round-6 literals, the lsh_projections convention) emitted as a
+    VALUES table; per depth, node min/max of the left-assoc projection
+    chain (a0*f0) + (a1*f1) -> the identical integer-grid threshold ->
+    advance; scoring descends the replayed hyperplanes."""
+    from beam_spark.ml.iforest import oblique_direction
+
+    gamma = "CAST('0.5772156649015329' AS DOUBLE)"
+
+    def md5i(expr8):
+        return f"CAST(('0x' || substr(md5({expr8}), 1, 8)) AS BIGINT)"
+
+    def c_adj(n):
+        return (f"CASE WHEN {n} <= 1 THEN CAST(0 AS DOUBLE) "
+                f"WHEN {n} = 2 THEN CAST(1 AS DOUBLE) "
+                f"ELSE CAST(2 AS DOUBLE) * (ln(CAST({n} - 1 AS "
+                f"DOUBLE)) + {gamma}) - CAST(2 AS DOUBLE) "
+                f"* CAST({n} - 1 AS DOUBLE) / CAST({n} AS DOUBLE) "
+                f"END")
+
+    def dlit(x):
+        return f"CAST({x!r} AS DOUBLE)"
+
+    dir_rows = []
+    for t in range(trees):
+        for node in range(1, 1 << depth):
+            a = oblique_direction(f"{seed}:{t}:{node}:", 2)
+            dir_rows.append(
+                f"({t}, {node}, {dlit(a[0])}, {dlit(a[1])})")
+    ukey = (f"'{seed}:' || CAST(t AS VARCHAR) || ':' || "
+            f"CAST(node AS VARCHAR) || ':u'")
+    skey = (f"'{seed}:' || CAST(u.t AS VARCHAR) || ':' || "
+            f"CAST(b.event_id AS VARCHAR)")
+    proj_s = "((d.a0 * s.f0) + (d.a1 * s.f1))"
+    proj_r = "((d.a0 * r.f0) + (d.a1 * r.f1))"
+    ctes = [f"""base AS (SELECT event_id,
+       CAST(value AS DOUBLE) AS f0,
+       CAST(user_id % 97 AS DOUBLE) AS f1
+FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL)""",
+            f"""trees AS (SELECT unnest(range(0, {trees})) AS t)""",
+            "dirs AS (SELECT * FROM (VALUES\n  "
+            + ",\n  ".join(dir_rows)
+            + ") AS v(t, node, a0, a1))",
+            f"""s0 AS (SELECT b.event_id, b.f0, b.f1, u.t,
+       CAST(1 AS BIGINT) AS node
+FROM base b, trees u
+WHERE {md5i(skey)} % {mod} = 0)"""]
+    lv_parts = []
+    for d in range(depth):
+        ctes.append(f"""st{d} AS (SELECT s.t, s.node,
+  CAST(count(*) AS BIGINT) AS n,
+  min({proj_s}) AS lo, max({proj_s}) AS hi
+FROM s{d} s JOIN dirs d ON d.t = s.t AND d.node = s.node
+GROUP BY 1, 2)""")
+        ctes.append(f"""sp{d} AS (SELECT t, node, n, lo, hi,
+  lo + uu * (hi - lo) AS thr, (n <= 1 OR lo = hi) AS term
+FROM (SELECT *, CAST({md5i(ukey)} % 1000000 AS DOUBLE)
+        / CAST(1000000 AS DOUBLE) AS uu
+      FROM st{d}))""")
+        lv_parts.append(
+            f"SELECT t, node, {d} AS d, n FROM sp{d} WHERE term")
+        ctes.append(f"""s{d + 1} AS (SELECT s.event_id, s.f0, s.f1,
+  s.t, s.node * 2 + CASE WHEN {proj_s} > sp.thr
+    THEN 1 ELSE 0 END AS node
+FROM s{d} s JOIN sp{d} sp
+  ON sp.t = s.t AND sp.node = s.node AND NOT sp.term
+JOIN dirs d ON d.t = s.t AND d.node = s.node)""")
+    lv_parts.append(
+        f"SELECT t, node, {depth} AS d, CAST(count(*) AS BIGINT) AS n "
+        f"FROM s{depth} GROUP BY 1, 2")
+    ctes.append("lv_all AS (SELECT t, node, d, n, "
+                + c_adj("n") + " AS c_adj FROM ("
+                + "\nUNION ALL\n".join(lv_parts) + "))")
+    ctes.append("""r0 AS (SELECT b.event_id, b.f0, b.f1, u.t,
+  CAST(1 AS BIGINT) AS node, CAST(NULL AS DOUBLE) AS h
+FROM base b, trees u)""")
+    for d in range(depth):
+        ctes.append(f"""r{d + 1} AS (SELECT r.event_id, r.f0, r.f1,
+  r.t,
+  CASE WHEN r.h IS NOT NULL THEN r.node
+       WHEN sp.node IS NULL THEN r.node
+       ELSE r.node * 2 + CASE WHEN {proj_r} > sp.thr
+            THEN 1 ELSE 0 END END AS node,
+  CASE WHEN r.h IS NOT NULL THEN r.h
+       WHEN sp.node IS NULL THEN CAST({d} AS DOUBLE)
+            + coalesce(lv.c_adj, CAST(0 AS DOUBLE))
+       ELSE NULL END AS h
+FROM r{d} r
+LEFT JOIN (SELECT * FROM sp{d} WHERE NOT term) sp
+  ON sp.t = r.t AND sp.node = r.node
+LEFT JOIN dirs d ON d.t = r.t AND d.node = r.node
+LEFT JOIN lv_all lv ON lv.t = r.t AND lv.node = r.node)""")
+    ctes.append(f"""fin AS (SELECT r.event_id, r.t,
+  CASE WHEN r.h IS NOT NULL THEN r.h
+       ELSE CAST({depth} AS DOUBLE)
+            + coalesce(lv.c_adj, CAST(0 AS DOUBLE)) END AS h
+FROM r{depth} r LEFT JOIN lv_all lv
+  ON lv.t = r.t AND lv.node = r.node)""")
+    tree_sum = "max(CASE WHEN t = 0 THEN h END)"
+    for t in range(1, trees):
+        tree_sum = f"({tree_sum} + max(CASE WHEN t = {t} THEN h END))"
+    ctes.append(f"""agg AS (SELECT event_id,
+  {tree_sum} / CAST('{float(trees)!r}' AS DOUBLE) AS h_avg
+FROM fin GROUP BY 1)""")
+    cn = c_adj(str(norm_n))
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT e.event_id, round(a.h_avg, 6) AS iforest_h,
+       round(power(CAST(2 AS DOUBLE), (-a.h_avg) / ({cn})), 6)
+         AS iforest_score
+FROM events e LEFT JOIN agg a ON a.event_id = e.event_id""")
+
+
+@query("q_ml_isolation_forest_oblique", _iforest_oblique_oracle_sql())
+def q_ml_isolation_forest_oblique(spark, sf_dir):
+    """EXTENDED isolation forest (Hariri et al. 2019) over events:
+    each node cuts on a random oblique hyperplane — md5 Box-Muller
+    round-6 slope literals shared verbatim between the Spark plan and
+    the DuckDB VALUES table — removing the axis-parallel ghost-region
+    artifacts of standard iForest; training replayed per depth with
+    node min/max of the identical left-assoc projection chain."""
+    from beam_spark.ml.iforest import IsolationForest
+
+    ev = table(spark, sf_dir, "events").df.selectExpr(
+        "event_id",
+        "CAST(value AS DOUBLE) AS x1",
+        "CAST(user_id % 97 AS DOUBLE) AS x2")
+    out = (PCollection(ev)
+           | IsolationForest(["x1", "x2"], id_col="event_id",
+                             trees=2, depth=3, sample_mod=4,
+                             seed=7, oblique=True)).df
+    return out.select("event_id", "iforest_h", "iforest_score")
+
+
 @query("q_ml_isolation_forest_groups",
        _iforest_oracle_sql(trees=2, depth=3, group="event_type"))
 def q_ml_isolation_forest_groups(spark, sf_dir):

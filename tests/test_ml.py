@@ -903,3 +903,44 @@ def test_isolation_forest_per_group_semantics(spark):
         (PCollection(df.selectExpr("id", "CAST(id AS STRING) AS g", "x"))
          | IsolationForest("x", id_col="id", group_col="g",
                            trees=8, depth=8, max_groups=100000)).df
+
+
+def test_isolation_forest_oblique_semantics(spark):
+    """Round-15 extended (oblique) isolation forest: planted extremes
+    still take the top scores, results are deterministic across
+    partitionings, and on a diagonally-correlated cloud an on-diagonal
+    far point and an off-diagonal near point both isolate — the
+    off-diagonal one is the case axis-parallel cuts blur (ghost
+    regions); here it must outrank the cloud's own tail."""
+    import numpy as np
+
+    from beam_spark.ml.iforest import IsolationForest
+    from beam_spark.pcollection import PCollection
+
+    rng = np.random.default_rng(3)
+    # tight diagonal cloud: x ~ N(0,1), y = x + small noise
+    xs = rng.normal(0, 1, 300)
+    rows = [(i, float(x), float(x + rng.normal(0, 0.05)))
+            for i, x in enumerate(xs)]
+    # off-diagonal anomaly INSIDE the marginal ranges (each coordinate
+    # unremarkable on its own — only the joint is wrong)
+    rows += [(900, 1.5, -1.5)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    t = IsolationForest(["x", "y"], id_col="id", trees=8, depth=6,
+                        seed=7, oblique=True)
+    out = {r.id: r.iforest_score for r in
+           (PCollection(df) | t).df.collect()}
+    scores = {k: v for k, v in out.items() if v is not None}
+    rank_900 = sorted(scores, key=lambda k: -scores[k]).index(900)
+    assert rank_900 < 5, rank_900
+    out2 = {r.id: r.iforest_score for r in
+            (PCollection(df.repartition(7))
+             | IsolationForest(["x", "y"], id_col="id", trees=8,
+                               depth=6, seed=7, oblique=True)).df.collect()}
+    assert out2 == out
+    # oblique composes with per-group fitting
+    df2 = df.selectExpr("id", "CAST(id % 2 AS STRING) AS g", "x", "y")
+    outg = (PCollection(df2) | IsolationForest(
+        ["x", "y"], id_col="id", group_col="g", trees=4, depth=4,
+        seed=7, oblique=True)).df
+    assert outg.where("iforest_score IS NOT NULL").count() == 301
