@@ -834,6 +834,90 @@ class NormalizeText(PTransform):
         return pcoll.with_df(pcoll.df.withColumn(self.out_col, x))
 
 
+class LuhnValidate(PTransform):
+    """Checksum validation for card-shaped digit strings (ISO/IEC
+    7812 Luhn mod-10) — the false-positive cutter a rule-based PII
+    pass needs: :class:`PiiRedact`'s ``<CARD>`` pattern matches ANY
+    13-16 digit run, but only ~1 in 10 random runs passes Luhn, so
+    validating before redaction/reporting separates real card numbers
+    from order ids and phone-number fragments.
+
+    Pure expression pipeline (zero shuffle): strip separators, bound
+    the length to [13, 19] (ISO/IEC 7812 PANs), then one
+    ``aggregate(sequence(...))`` fold computes the doubled-alternate
+    digit sum right-to-left. The fold is ALL-INTEGER arithmetic, so
+    the oracle replays it with its own list primitives
+    (list_sum/list_transform) and still matches exactly — no IEEE
+    ordering concern exists here. No UDF.
+
+    Adds ``<col>_luhn_valid`` boolean (NULL for NULL/out-of-bounds
+    inputs — "not a candidate" is distinct from "failed checksum").
+    """
+
+    def __init__(self, col: str, label=None):
+        super().__init__(label)
+        self.col = col
+
+    @staticmethod
+    def sql_expr(digits: str) -> str:
+        """Spark-side Luhn SQL over a separator-free digit string —
+        one fold over reversed positions; doubled digits fold their
+        carry via ``2d - 9``. Integer-exact, so the oracle's
+        list_sum/list_transform replay matches without any rounding
+        convention."""
+        d = f"reverse({digits})"
+        return (
+            f"CASE WHEN {digits} IS NULL THEN NULL "
+            f"WHEN length({digits}) < 13 OR length({digits}) > 19 "
+            f"THEN NULL "
+            f"ELSE aggregate(sequence(1, length({digits})), 0, "
+            f"(acc, i) -> acc + CASE WHEN i % 2 = 0 THEN "
+            f"CASE WHEN 2 * (ascii(substr({d}, i, 1)) - 48) > 9 "
+            f"THEN 2 * (ascii(substr({d}, i, 1)) - 48) - 9 "
+            f"ELSE 2 * (ascii(substr({d}, i, 1)) - 48) END "
+            f"ELSE ascii(substr({d}, i, 1)) - 48 END) % 10 = 0 END")
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        c = self.col
+        digits = f"regexp_replace({c}, '[ -]', '')"
+        return pcoll.with_df(pcoll.df.withColumn(
+            f"{c}_luhn_valid", F.expr(self.sql_expr(digits))))
+
+
+class CardFindings(PTransform):
+    """Per-document credit-card detection with checksum validation:
+    extract every card-shaped digit run (PiiRedact's ``<CARD>``
+    pattern), strip separators, Luhn-validate each, and report
+    ``card_candidates`` / ``card_valid`` counts — the quality signal
+    that distinguishes documents containing real PANs from documents
+    full of 16-digit order ids. Zero-shuffle array expressions; the
+    per-candidate Luhn fold reuses :meth:`LuhnValidate.sql_expr`.
+    """
+
+    CARD_PATTERN = r"\\b(?:\\d[ -]?){12,18}\\d\\b"
+
+    def __init__(self, text_col: str = "text", label=None):
+        super().__init__(label)
+        self.text_col = text_col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        c = self.text_col
+        cands = (f"filter(transform(regexp_extract_all({c}, "
+                 f"'{self.CARD_PATTERN}', 0), "
+                 f"s -> regexp_replace(s, '[ -]', '')), "
+                 f"s -> length(s) >= 13 AND length(s) <= 19)")
+        valid = LuhnValidate.sql_expr("s")
+        df = (pcoll.df
+              .withColumn("__cands", F.expr(cands))
+              .withColumn("card_candidates",
+                          F.expr("size(__cands)"))
+              .withColumn("card_valid",
+                          F.expr(f"size(filter(__cands, "
+                                 f"s -> {valid}))"))
+              .drop("__cands"))
+        return pcoll.with_df(df)
+
+
 class UrlNormalize(PTransform):
     """URL canonicalization + host/registered-domain extraction — the
     web-crawl curation primitive CCNet/RefinedWeb-style pipelines run

@@ -1021,6 +1021,75 @@ def _pii_component_sql() -> str:
             f"CAST({count} AS BIGINT) AS pii_count FROM r")
 
 
+def _luhn_duck(digits: str) -> str:
+    """DuckDB replay of LuhnValidate.sql_expr: same all-integer fold
+    spelled with list_sum/list_transform (DuckDB has no
+    aggregate(seq, init, lambda) HOF) — integer arithmetic, so form
+    differences cannot drift."""
+    d = f"reverse({digits})"
+    digit = f"(ascii(substr({d}, i, 1)) - 48)"
+    return (
+        f"CASE WHEN {digits} IS NULL THEN NULL "
+        f"WHEN length({digits}) < 13 OR length({digits}) > 19 "
+        f"THEN NULL "
+        f"ELSE list_sum(list_transform(range(1, length({digits}) + 1), "
+        f"i -> CASE WHEN i % 2 = 0 THEN "
+        f"CASE WHEN 2 * {digit} > 9 THEN 2 * {digit} - 9 "
+        f"ELSE 2 * {digit} END "
+        f"ELSE {digit} END)) % 10 = 0 END")
+
+
+@query("q_text_luhn_card_validation", f"""
+WITH p AS (
+  SELECT o_orderkey,
+         lpad(CAST((o_orderkey * 7919 + o_custkey) % 10000000000000000
+              AS VARCHAR), 16, '0') AS pan,
+         CAST(o_custkey AS VARCHAR) AS shortd
+  FROM orders),
+fmt AS (
+  SELECT o_orderkey, pan, shortd,
+         substr(pan, 1, 4) || ' ' || substr(pan, 5, 4) || '-' ||
+         substr(pan, 9, 4) || ' ' || substr(pan, 13, 4) AS pan_fmt
+  FROM p)
+SELECT o_orderkey, pan,
+       {_luhn_duck("pan")} AS pan_luhn_valid,
+       {_luhn_duck("replace(replace(pan_fmt, ' ', ''), '-', '')")}
+         AS fmt_luhn_valid,
+       {_luhn_duck("shortd")} AS short_luhn_valid
+FROM fmt
+""")
+def q_text_luhn_card_validation(spark, sf_dir):
+    """Luhn (ISO/IEC 7812 mod-10) checksum validation — the
+    false-positive cutter for card-shaped PII: card-shaped 16-digit
+    PANs derived deterministically from order keys (the corpus has no
+    digit runs, so the candidates are synthesized identically in both
+    engines), validated raw, separator-formatted (exercising the
+    strip), and as out-of-range short strings (NULL — "not a
+    candidate" is distinct from "failed checksum"). All-integer fold:
+    ~1 in 10 synthesized PANs passes, exactly the discrimination rate
+    random digit runs show."""
+    from beam_spark.operators.text import LuhnValidate
+
+    orders = table(spark, sf_dir, "orders").df.selectExpr(
+        "o_orderkey",
+        "lpad(CAST((o_orderkey * 7919 + o_custkey) % "
+        "10000000000000000 AS STRING), 16, '0') AS pan",
+        "CAST(o_custkey AS STRING) AS shortd")
+    orders = orders.selectExpr(
+        "*",
+        "concat(substr(pan, 1, 4), ' ', substr(pan, 5, 4), '-', "
+        "substr(pan, 9, 4), ' ', substr(pan, 13, 4)) AS pan_fmt")
+    out = (PCollection(orders)
+           | LuhnValidate("pan")
+           | LuhnValidate("pan_fmt")
+           | LuhnValidate("shortd")).df
+    return out.select(
+        "o_orderkey", "pan",
+        F.col("pan_luhn_valid"),
+        F.col("pan_fmt_luhn_valid").alias("fmt_luhn_valid"),
+        F.col("shortd_luhn_valid").alias("short_luhn_valid"))
+
+
 @query("q_text_pii_redaction", _pii_component_sql())
 def q_pii_redaction(spark, sf_dir):
     """Rule-based PII scrubbing (emails/cards/SSNs/phones/IPs ->

@@ -5050,3 +5050,42 @@ def test_dbscan_rejects_non_integral_ids(spark):
     df = spark.createDataFrame([("a", 1.0)], "id string, x double")
     with pytest.raises(ValueError, match="integral"):
         (PCollection(df) | DbscanClusters("x", eps=1.0)).df
+
+
+def test_luhn_validate_known_vectors_and_findings(spark):
+    """Round-15 Luhn: standard test PANs validate, off-by-one fails,
+    separators strip, out-of-range lengths yield NULL (not False);
+    CardFindings counts candidates vs Luhn-valid per document — the
+    false-positive cutter over PiiRedact's shape-only <CARD> match."""
+    from beam_spark.operators.text import CardFindings, LuhnValidate
+    from beam_spark.pcollection import PCollection
+
+    rows = [
+        (1, "4539148803436467"),      # valid Visa test PAN
+        (2, "4539 1488 0343 6467"),   # same, separated
+        (3, "4539148803436468"),      # last digit off -> invalid
+        (4, "79927398713"),           # classic Luhn example BUT 11
+                                      # digits -> out of range -> NULL
+        (5, "12345"),                 # too short -> NULL
+        (6, None),                    # NULL in -> NULL out
+    ]
+    df = spark.createDataFrame(rows, "id long, pan string")
+    got = {r.id: r.pan_luhn_valid for r in
+           (PCollection(df) | LuhnValidate("pan")).df.collect()}
+    assert got == {1: True, 2: True, 3: False, 4: None, 5: None,
+                   6: None}
+
+    docs = [
+        (1, "pay with 4539 1488 0343 6467 or 4111-1111-1111-1111 ok"),
+        (2, "order 1234567812345678 shipped ref 9999 8888 7777 6666"),
+        (3, "no numbers here"),
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: (r.card_candidates, r.card_valid) for r in
+           (PCollection(ddf) | CardFindings()).df.collect()}
+    # doc 1: two real (Luhn-valid) test PANs; doc 2: two card-shaped
+    # but invalid runs — the shape-only pattern can't tell them apart,
+    # the checksum can
+    assert out[1] == (2, 2)
+    assert out[2] == (2, 0)
+    assert out[3] == (0, 0)
