@@ -884,6 +884,46 @@ class LuhnValidate(PTransform):
             f"{c}_luhn_valid", F.expr(self.sql_expr(digits))))
 
 
+class IbanValidate(PTransform):
+    """IBAN checksum validation (ISO 13616 mod-97-10) — the second
+    member of the checksum-validated-PII family next to
+    :class:`LuhnValidate`: structural shape (2 letters + 2 check
+    digits + 11-30 alphanumeric BBAN, upper-cased, spaces stripped)
+    gates candidacy, then the rearranged string (BBAN + country +
+    check) folds to a running mod 97 — digits contribute
+    ``acc*10 + d``, letters their two-digit A=10..Z=35 value via
+    ``acc*100 + v`` — and validity is ``acc == 1``.
+
+    All-integer fold (aggregate/sequence, zero shuffle, no UDF); the
+    oracle replays it with list_reduce — integer arithmetic, so the
+    different fold primitive cannot drift. Adds ``<col>_iban_valid``
+    boolean (NULL = structurally not an IBAN candidate, distinct from
+    a failed checksum).
+    """
+
+    SHAPE = "^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$"
+
+    def __init__(self, col: str, label=None):
+        super().__init__(label)
+        self.col = col
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        c = self.col
+        norm = f"upper(regexp_replace({c}, '[ ]', ''))"
+        re_arr = (f"concat(substr({norm}, 5, length({norm}) - 4), "
+                  f"substr({norm}, 1, 4))")
+        ch = f"ascii(substr({re_arr}, i, 1))"
+        fold = (f"aggregate(sequence(1, length({re_arr})), 0, "
+                f"(acc, i) -> CASE WHEN {ch} >= 65 "
+                f"THEN (acc * 100 + ({ch} - 55)) % 97 "
+                f"ELSE (acc * 10 + ({ch} - 48)) % 97 END)")
+        expr = (f"CASE WHEN {c} IS NULL THEN NULL "
+                f"WHEN NOT {norm} RLIKE '{self.SHAPE}' THEN NULL "
+                f"ELSE {fold} = 1 END")
+        return pcoll.with_df(pcoll.df.withColumn(
+            f"{c}_iban_valid", F.expr(expr)))
+
+
 class CardFindings(PTransform):
     """Per-document credit-card detection with checksum validation:
     extract every card-shaped digit run (PiiRedact's ``<CARD>``

@@ -1090,6 +1090,89 @@ def q_text_luhn_card_validation(spark, sf_dir):
         F.col("shortd_luhn_valid").alias("short_luhn_valid"))
 
 
+def _iban_duck(col: str) -> str:
+    """DuckDB replay of IbanValidate: the same rearranged mod-97-10
+    fold via list_reduce over per-char (multiplier, value) codes —
+    all-integer, so the different fold primitive cannot drift."""
+    norm = f"upper(regexp_replace({col}, '[ ]', '', 'g'))"
+    re_arr = (f"(substr({norm}, 5, length({norm}) - 4) || "
+              f"substr({norm}, 1, 4))")
+    ch = f"ascii(substr({re_arr}, i, 1))"
+    codes = (f"list_prepend(0, list_transform("
+             f"range(1, length({re_arr}) + 1), "
+             f"i -> CASE WHEN {ch} >= 65 THEN 10000 + ({ch} - 55) "
+             f"ELSE 1000 + ({ch} - 48) END))")
+    fold = (f"list_reduce({codes}, "
+            f"(acc, e) -> (acc * (e // 100) + (e % 100)) % 97)")
+    return (f"CASE WHEN {col} IS NULL THEN NULL "
+            f"WHEN NOT regexp_matches({norm}, "
+            f"'^[A-Z]{{2}}[0-9]{{2}}[A-Z0-9]{{11,30}}$') THEN NULL "
+            f"ELSE {fold} = 1 END")
+
+
+@query("q_text_iban_validation", f"""
+WITH b AS (
+  SELECT c_custkey,
+         (c_custkey * 104729) % 1000000000000000000 AS x
+  FROM customer),
+c AS (
+  SELECT c_custkey, lpad(CAST(x AS VARCHAR), 18, '0') AS bban,
+         98 - (((x % 97) * (1000000 % 97) + 131400) % 97) AS chk
+  FROM b),
+i AS (
+  SELECT c_custkey,
+         'DE' || lpad(CAST(chk AS VARCHAR), 2, '0') || bban AS iban
+  FROM c),
+v AS (
+  SELECT c_custkey, iban,
+         substr(iban, 1, length(iban) - 1) ||
+           CAST((CAST(substr(iban, length(iban), 1) AS BIGINT) + 1)
+                % 10 AS VARCHAR) AS corrupt,
+         substr(iban, 1, 10) AS malformed
+  FROM i)
+SELECT c_custkey, iban,
+       {_iban_duck("iban")} AS iban_valid,
+       {_iban_duck("corrupt")} AS corrupt_valid,
+       {_iban_duck("malformed")} AS malformed_valid
+FROM v
+""")
+def q_text_iban_validation(spark, sf_dir):
+    """IBAN mod-97-10 validation (ISO 13616) — the checksum-PII
+    family's second member: German-format IBANs are SYNTHESIZED with
+    correct check digits from customer keys (check digits derive from
+    the bban's residue with plain bigint modular arithmetic — both
+    engines compute the identical string), then validated as-is (all
+    TRUE), with the last digit flipped (all FALSE — a one-digit edit
+    always changes the residue), and truncated (shape-gated NULL)."""
+    from beam_spark.operators.text import IbanValidate
+
+    cust = table(spark, sf_dir, "customer").df.selectExpr(
+        "c_custkey",
+        "(c_custkey * 104729) % 1000000000000000000 AS x")
+    cust = cust.selectExpr(
+        "c_custkey",
+        "lpad(CAST(x AS STRING), 18, '0') AS bban",
+        "98 - (((x % 97) * (1000000 % 97) + 131400) % 97) AS chk")
+    cust = cust.selectExpr(
+        "c_custkey",
+        "concat('DE', lpad(CAST(chk AS STRING), 2, '0'), bban) AS iban")
+    cust = cust.selectExpr(
+        "c_custkey", "iban",
+        "concat(substr(iban, 1, length(iban) - 1), "
+        "CAST((CAST(substr(iban, length(iban), 1) AS BIGINT) + 1) "
+        "% 10 AS STRING)) AS corrupt",
+        "substr(iban, 1, 10) AS malformed")
+    out = (PCollection(cust)
+           | IbanValidate("iban")
+           | IbanValidate("corrupt")
+           | IbanValidate("malformed")).df
+    return out.select(
+        "c_custkey", "iban",
+        F.col("iban_iban_valid").alias("iban_valid"),
+        F.col("corrupt_iban_valid").alias("corrupt_valid"),
+        F.col("malformed_iban_valid").alias("malformed_valid"))
+
+
 @query("q_text_pii_redaction", _pii_component_sql())
 def q_pii_redaction(spark, sf_dir):
     """Rule-based PII scrubbing (emails/cards/SSNs/phones/IPs ->

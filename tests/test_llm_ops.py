@@ -5089,3 +5089,26 @@ def test_luhn_validate_known_vectors_and_findings(spark):
     assert out[1] == (2, 2)
     assert out[2] == (2, 0)
     assert out[3] == (0, 0)
+
+
+def test_iban_validate_known_vectors(spark):
+    """Round-15 IBAN mod-97-10: the ISO 13616 canonical example
+    validates (with spaces and lower-case normalized), a one-digit
+    edit fails, non-IBAN shapes yield NULL."""
+    from beam_spark.operators.text import IbanValidate
+    from beam_spark.pcollection import PCollection
+
+    rows = [
+        (1, "GB82 WEST 1234 5698 7654 32"),   # canonical valid example
+        (2, "gb82 west 1234 5698 7654 32"),   # case-normalized
+        (3, "GB82WEST12345698765432"),        # no spaces
+        (4, "GB82 WEST 1234 5698 7654 33"),   # one digit off -> False
+        (5, "DE00123"),                       # too short -> NULL
+        (6, "hello world"),                   # not IBAN-shaped -> NULL
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {r.id: r.s_iban_valid for r in
+           (PCollection(df) | IbanValidate("s")).df.collect()}
+    assert got == {1: True, 2: True, 3: True, 4: False, 5: None,
+                   6: None, 7: None}
