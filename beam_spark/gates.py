@@ -329,7 +329,7 @@ def q_exact_percentiles(spark, sf_dir):
         fg, fb = _ex.submit(_gbm), _ex.submit(_binseg)
         gbm, binseg = fg.result(), fb.result()
 
-    from beam_spark.operators.stats import KalmanLocalLevel
+    from beam_spark.operators.stats import ArForecast, KalmanLocalLevel
     from beam_spark.pcollection import PCollection as _PC
     ev = table(spark, sf_dir, "events").df.filter("user_id % 10 = 0")
     kalman = (_PC(ev) | KalmanLocalLevel(
@@ -339,7 +339,17 @@ def q_exact_percentiles(spark, sf_dir):
         "CAST(user_id AS STRING) || ':' || "
         "CAST(event_id AS STRING) AS k",
         "level AS v1", "pvar AS v2", "kgain AS v3")
-    return _union([pct, gbm, binseg, kalman])
+    # r15 fold: AR(2) Yule-Walker forecasts on the same user_id%10
+    # slice (the scan and key shuffle shape kalman already pays) —
+    # one forecast+phi row per (user, horizon)
+    ar = (_PC(ev) | ArForecast(
+        "value", keys="user_id", order_by=["ts", "event_id"],
+        p=2, horizons=(1, 2, 3))).df.selectExpr(
+        "'ar' AS op",
+        "CAST(user_id AS STRING) || ':' || CAST(h AS STRING) AS k",
+        "round(forecast, 6) AS v1", "round(phi1, 6) AS v2",
+        "round(phi2, 6) AS v3")
+    return _union([pct, gbm, binseg, kalman, ar])
 
 
 _EXACT_PCT_SQL = "\nUNION ALL\n".join(
@@ -362,7 +372,14 @@ _EXACT_PCT_SQL = "\nUNION ALL\n".join(
              "CAST(event_id AS VARCHAR) AS k, level AS v1, "
              "pvar AS v2, kgain AS v3",
              _component_sql("q_ts_kalman_local_level").replace(
-                 "FROM events", "FROM events WHERE user_id % 10 = 0"))])
+                 "FROM events", "FROM events WHERE user_id % 10 = 0")),
+       _wrap("'ar' AS op, CAST(user_id AS VARCHAR) || ':' || "
+             "CAST(h AS VARCHAR) AS k, forecast AS v1, "
+             "phi1 AS v2, phi2 AS v3",
+             _component_sql("q_ts_ar_forecast").replace(
+                 "FROM events WHERE value IS NOT NULL",
+                 "FROM events WHERE user_id % 10 = 0 "
+                 "AND value IS NOT NULL"))])
 
 
 def q_multimodal(spark, sf_dir):
@@ -1586,13 +1603,37 @@ def q_anomaly_mltrain(spark, sf_dir):
         "CAST(is_robust AS DOUBLE) + 2 * CAST(is_iqr AS DOUBLE) AS v2",
         "CAST(vote AS DOUBLE) AS v3")
     # r14 fold: isolation-forest scores (4 trees, depth 4, md5
-    # quarter-sample — TRAINING replayed by the oracle)
-    iforest = _component("q_ml_isolation_forest")(
-        spark, sf_dir).selectExpr(
-        "'iforest' AS op", "CAST(event_id AS STRING) AS k",
-        "iforest_h AS v1", "iforest_score AS v2", f"{_ZERO} AS v3")
+    # quarter-sample — TRAINING replayed by the oracle). r15: the
+    # per-GROUP (one forest per event_type) and EXTENDED/oblique
+    # variants join as tagged rows; all three fits are EAGER
+    # (depth-round driver jobs at construction), so they build on a
+    # 3-thread pool — their small per-round jobs interleave, unlike
+    # the big-job trainers the one-eager-trainer rule is about.
+    def _if_axis():
+        return _component("q_ml_isolation_forest")(
+            spark, sf_dir).selectExpr(
+            "'iforest' AS op", "CAST(event_id AS STRING) AS k",
+            "iforest_h AS v1", "iforest_score AS v2", f"{_ZERO} AS v3")
+
+    def _if_grp():
+        return _component("q_ml_isolation_forest_groups")(
+            spark, sf_dir).selectExpr(
+            "'iforest_grp' AS op", "CAST(event_id AS STRING) AS k",
+            "iforest_h AS v1", "iforest_score AS v2", f"{_ZERO} AS v3")
+
+    def _if_obl():
+        return _component("q_ml_isolation_forest_oblique")(
+            spark, sf_dir).selectExpr(
+            "'iforest_obl' AS op", "CAST(event_id AS STRING) AS k",
+            "iforest_h AS v1", "iforest_score AS v2", f"{_ZERO} AS v3")
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(3) as _ex:
+        fa, fg, fo = (_ex.submit(_if_axis), _ex.submit(_if_grp),
+                      _ex.submit(_if_obl))
+        iforest, ifg, ifo = fa.result(), fg.result(), fo.result()
     mlt = _component("q_pipeline_ml_training")(spark, sf_dir)
-    return _union([anomaly, robust, iforest, mlt])
+    return _union([anomaly, robust, iforest, ifg, ifo, mlt])
 
 
 _ANOMALY_MLTRAIN_SQL = f"""
@@ -1610,6 +1651,14 @@ UNION ALL
 {_wrap("'iforest' AS op, CAST(event_id AS VARCHAR) AS k, "
        f"iforest_h AS v1, iforest_score AS v2, {_ZERO} AS v3",
        _component_sql("q_ml_isolation_forest"))}
+UNION ALL
+{_wrap("'iforest_grp' AS op, CAST(event_id AS VARCHAR) AS k, "
+       f"iforest_h AS v1, iforest_score AS v2, {_ZERO} AS v3",
+       _component_sql("q_ml_isolation_forest_groups"))}
+UNION ALL
+{_wrap("'iforest_obl' AS op, CAST(event_id AS VARCHAR) AS k, "
+       f"iforest_h AS v1, iforest_score AS v2, {_ZERO} AS v3",
+       _component_sql("q_ml_isolation_forest_oblique"))}
 UNION ALL
 {_wrap("op, k, v1, v2, v3", _component_sql("q_pipeline_ml_training"))}
 """
@@ -1786,10 +1835,18 @@ CROSS JOIN (SELECT unnest(['avro', 'csv', 'json', 'orc', 'tfrecord']) AS fmt) f
 # --------------------------------------------------------------------------
 def q_scalar_conformance(spark, sf_dir):
     """Array ops + datetime extraction + conditional functions in one
-    tagged union (op, k, s1, s2, v1, v2)."""
+    tagged union (op, k, s1, s2, v1, v2). r15 fold: the
+    checksum-validation family (Luhn mod-10 over order-key-derived
+    PANs, IBAN mod-97-10 over check-digit-correct synthesized IBANs)
+    — scalar all-integer folds, so this is their conformance home;
+    NULL shape-gate verdicts encode as -1 (NULL means "not a
+    candidate", distinct from a failed checksum)."""
     arr = _component("q_array_ops_tokens")(spark, sf_dir)
     dt = _component("q_datetime_functions")(spark, sf_dir)
     cond = _component("q_conditional_functions")(spark, sf_dir)
+    luhn = _component("q_text_luhn_card_validation")(spark, sf_dir)
+    iban = _component("q_text_iban_validation")(spark, sf_dir)
+    flag = "coalesce(CAST({c} AS DOUBLE), -1)"
     return _union([
         arr.selectExpr("'array' AS op", "CAST(doc_id AS STRING) AS k",
                        "first_token AS s1",
@@ -1803,6 +1860,18 @@ def q_scalar_conformance(spark, sf_dir):
         cond.selectExpr("'cond' AS op", "CAST(o_orderkey AS STRING) AS k",
                         "size_tier AS s1", "status_label AS s2",
                         "CAST(is_urgent AS DOUBLE) AS v1", f"{_ZERO} AS v2"),
+        luhn.selectExpr(
+            "'luhn' AS op", "CAST(o_orderkey AS STRING) AS k",
+            "pan AS s1", "'' AS s2",
+            flag.format(c="pan_luhn_valid") + " + 2 * "
+            + flag.format(c="fmt_luhn_valid") + " AS v1",
+            flag.format(c="short_luhn_valid") + " AS v2"),
+        iban.selectExpr(
+            "'iban' AS op", "CAST(c_custkey AS STRING) AS k",
+            "iban AS s1", "'' AS s2",
+            flag.format(c="iban_valid") + " + 2 * "
+            + flag.format(c="corrupt_valid") + " AS v1",
+            flag.format(c="malformed_valid") + " AS v2"),
     ])
 
 
@@ -1819,6 +1888,16 @@ _SCALAR_SQL = "\nUNION ALL\n".join([
     _wrap("'cond' AS op, CAST(o_orderkey AS STRING) AS k, size_tier AS s1, "
           f"status_label AS s2, CAST(is_urgent AS DOUBLE) AS v1, {_ZERO} AS v2",
           _component_sql("q_conditional_functions")),
+    _wrap("'luhn' AS op, CAST(o_orderkey AS VARCHAR) AS k, pan AS s1, "
+          "'' AS s2, coalesce(CAST(pan_luhn_valid AS DOUBLE), -1) + 2 * "
+          "coalesce(CAST(fmt_luhn_valid AS DOUBLE), -1) AS v1, "
+          "coalesce(CAST(short_luhn_valid AS DOUBLE), -1) AS v2",
+          _component_sql("q_text_luhn_card_validation")),
+    _wrap("'iban' AS op, CAST(c_custkey AS VARCHAR) AS k, iban AS s1, "
+          "'' AS s2, coalesce(CAST(iban_valid AS DOUBLE), -1) + 2 * "
+          "coalesce(CAST(corrupt_valid AS DOUBLE), -1) AS v1, "
+          "coalesce(CAST(malformed_valid AS DOUBLE), -1) AS v2",
+          _component_sql("q_text_iban_validation")),
 ])
 
 

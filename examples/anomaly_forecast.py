@@ -57,9 +57,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     # robust ensemble: median/MAD flags resist the masking that
     # inflated-stddev plain z-scores suffer
     z = (PCollection(events)
-         | ZScoreDetector("value", keys="event_type")).df
+         | ZScoreDetector("value", group_cols=["event_type"])).df
     rz = (PCollection(events)
-          | RobustZScoreDetector("value", keys="event_type")).df
+          | RobustZScoreDetector("value", group_cols=["event_type"])).df
     both = (z.select("event_id", F.col("is_anomaly").alias("z_flag"))
             .join(rz.select("event_id",
                             F.col("is_anomaly").alias("robust_flag")),
