@@ -349,7 +349,17 @@ def q_exact_percentiles(spark, sf_dir):
         "CAST(user_id AS STRING) || ':' || CAST(h AS STRING) AS k",
         "round(forecast, 6) AS v1", "round(phi1, 6) AS v2",
         "round(phi2, 6) AS v3")
-    return _union([pct, gbm, binseg, kalman, ar])
+    # r15 fold: the hold-out backtest scoring those forecasts (last 3
+    # events withheld per user, MASE vs the train naive-1) — same
+    # slice, one extra window + agg pass
+    from beam_spark.operators.stats import ForecastBacktest
+    bt = (_PC(ev) | ForecastBacktest(
+        "value", keys="user_id", order_by=["ts", "event_id"],
+        p=2, holdout=3)).df.selectExpr(
+        "'backtest' AS op",
+        "CAST(user_id AS STRING) || ':' || CAST(h AS STRING) AS k",
+        "forecast AS v1", "abs_err AS v2", "mase AS v3")
+    return _union([pct, gbm, binseg, kalman, ar, bt])
 
 
 _EXACT_PCT_SQL = "\nUNION ALL\n".join(
@@ -377,6 +387,13 @@ _EXACT_PCT_SQL = "\nUNION ALL\n".join(
              "CAST(h AS VARCHAR) AS k, forecast AS v1, "
              "phi1 AS v2, phi2 AS v3",
              _component_sql("q_ts_ar_forecast").replace(
+                 "FROM events WHERE value IS NOT NULL",
+                 "FROM events WHERE user_id % 10 = 0 "
+                 "AND value IS NOT NULL")),
+       _wrap("'backtest' AS op, CAST(user_id AS VARCHAR) || ':' || "
+             "CAST(h AS VARCHAR) AS k, forecast AS v1, "
+             "abs_err AS v2, mase AS v3",
+             _component_sql("q_ts_forecast_backtest").replace(
                  "FROM events WHERE value IS NOT NULL",
                  "FROM events WHERE user_id % 10 = 0 "
                  "AND value IS NOT NULL"))])

@@ -1255,6 +1255,87 @@ class ArForecast(PTransform):
         return pcoll.with_df(g.mapInPandas(gen, schema=out_schema))
 
 
+class ForecastBacktest(PTransform):
+    """Hold-out evaluation for per-key forecasts — the forecasting
+    family's missing eval member (the quality module scores
+    classifiers/rankers but nothing scored the Holt/Theta/AR outputs):
+    the last ``holdout`` rows of each key are withheld, an AR(p)
+    Yule-Walker fit (:class:`ArForecast`) runs on the train prefix,
+    and each horizon's forecast is scored against the actual it
+    predicts with
+
+        abs_err  = |forecast - actual|
+        scaled   = abs_err / mean(|x_t - x_{t-1}|)  over the train
+                   prefix (the MASE denominator, Hyndman & Koehler
+                   2006 — per-horizon MASE contributions; > 1 means
+                   worse than the naive one-step carry-forward)
+
+    Keys whose train prefix is shorter than p + 1 rows (or constant)
+    are dropped by the underlying fit; a zero naive denominator
+    (constant train series would already be dropped, but ties can
+    zero it) yields NULL scaled error.
+
+    Scale: the holdout split is one descending row_number window over
+    the key partition (same shuffle ArForecast's lag pass needs), the
+    naive denominator one extra keyed aggregation of the lag-1
+    differences the fit already materializes. Output: one row per
+    (key, h): keys + (h int, forecast, actual, abs_err, mase —
+    round 6).
+    """
+
+    def __init__(self, col: str, keys, order_by, p: int = 2,
+                 holdout: int = 3, label=None):
+        super().__init__(label)
+        if int(holdout) < 1:
+            raise ValueError("holdout must be >= 1")
+        self.col, self.p = col, int(p)
+        self.holdout = int(holdout)
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        self.order_by = ([order_by] if isinstance(order_by, str)
+                         else list(order_by))
+
+    def expand(self, pcoll: PCollection) -> PCollection:
+        from pyspark.sql import Window
+
+        keys, ob, H = self.keys, self.order_by, self.holdout
+        v = F.col(self.col).cast("double")
+        base = pcoll.df.where(F.col(self.col).isNotNull())
+        wdesc = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).desc() for c in ob])
+        split = base.withColumn("__rd", F.row_number().over(wdesc))
+        train = split.where(F.col("__rd") > H).drop("__rd")
+        test = (split.where(F.col("__rd") <= H)
+                .select(*keys, (F.lit(H + 1) - F.col("__rd"))
+                        .cast("int").alias("h"),
+                        v.alias("actual")))
+        fc = (pcoll.with_df(train)
+              | ArForecast(self.col, keys=self.keys,
+                           order_by=self.order_by, p=self.p,
+                           horizons=tuple(range(1, H + 1)))).df
+        wasc = Window.partitionBy(*keys).orderBy(*ob)
+        naive = (train
+                 .withColumn("__l1", F.lag(v, 1).over(wasc))
+                 .groupBy(*keys)
+                 .agg(F.avg(F.abs(v - F.col("__l1")))
+                      .alias("__naive")))
+        # errors score the ROUND-6 forecast (the value a consumer
+        # actually reads — and the grid the oracle replays on)
+        f6 = F.round("forecast", 6)
+        out = (fc.join(test, on=[*keys, "h"])
+               .join(naive, on=keys)
+               .select(
+                   *keys, "h",
+                   f6.alias("forecast"),
+                   F.round("actual", 6).alias("actual"),
+                   F.round(F.abs(f6 - F.col("actual")), 6)
+                   .alias("abs_err"),
+                   F.round(F.when(
+                       F.col("__naive") != 0,
+                       F.abs(f6 - F.col("actual"))
+                       / F.col("__naive")), 6).alias("mase")))
+        return pcoll.with_df(out)
+
+
 class RollingCorr(PTransform):
     """Rolling Pearson correlation of two columns over a fixed
     ``window`` of rows per key (current row + window-1 preceding) —

@@ -4579,6 +4579,67 @@ def q_ts_ar_forecast(spark, sf_dir):
                       F.round("phi2", 6).alias("phi2"))
 
 
+def _forecast_backtest_oracle_sql(p: int = 2, holdout: int = 3) -> str:
+    """Backtest replay: the AR oracle's full chain re-rooted on the
+    TRAIN prefix (last ``holdout`` rows withheld via a descending
+    row_number — textual replace of the events source, the gate-fold
+    convention), joined to the held-out actuals (rd <= holdout maps to
+    h = holdout + 1 - rd) and the train-prefix naive-1 MASE
+    denominator. Errors score the round-6 forecast (the operator's
+    documented grid)."""
+    rd = ("row_number() OVER (PARTITION BY user_id "
+          "ORDER BY ts DESC, event_id DESC)")
+    train_src = (f"(SELECT * FROM (SELECT *, {rd} AS rd FROM events "
+                 f"WHERE value IS NOT NULL) WHERE rd > {holdout})")
+    ar = _ar_forecast_oracle_sql(
+        p=p, horizons=tuple(range(1, holdout + 1))).replace(
+        "FROM events WHERE value IS NOT NULL", f"FROM {train_src}")
+    return f"""
+WITH fc AS (
+{ar}
+),
+t AS (SELECT user_id, CAST({holdout} + 1 - rd AS INT) AS h,
+             CAST(value AS DOUBLE) AS actual
+      FROM (SELECT *, {rd} AS rd FROM events
+            WHERE value IS NOT NULL)
+      WHERE rd <= {holdout}),
+nv AS (SELECT user_id, avg(abs(v - l1)) AS naive
+       FROM (SELECT user_id, CAST(value AS DOUBLE) AS v,
+                    lag(CAST(value AS DOUBLE), 1) OVER (
+                      PARTITION BY user_id
+                      ORDER BY ts, event_id) AS l1
+             FROM {train_src})
+       GROUP BY 1)
+SELECT fc.user_id, fc.h, fc.forecast, round(t.actual, 6) AS actual,
+       round(abs(fc.forecast - t.actual), 6) AS abs_err,
+       round(CASE WHEN nv.naive <> 0
+             THEN abs(fc.forecast - t.actual) / nv.naive END, 6)
+         AS mase
+FROM fc
+JOIN t ON t.user_id = fc.user_id AND t.h = fc.h
+JOIN nv ON nv.user_id = fc.user_id
+"""
+
+
+@query("q_ts_forecast_backtest", _forecast_backtest_oracle_sql())
+def q_ts_forecast_backtest(spark, sf_dir):
+    """Per-user AR(2) hold-out backtest (last 3 events withheld,
+    forecasts scored against them): abs error + per-horizon MASE
+    contribution (naive-1 train denominator, Hyndman & Koehler 2006)
+    — the forecasting family's eval member; DuckDB re-roots the AR
+    replay on the train prefix and scores the identical round-6
+    forecasts."""
+    from beam_spark.operators.stats import ForecastBacktest
+
+    ev = table(spark, sf_dir, "events").df
+    out = (PCollection(ev)
+           | ForecastBacktest("value", keys="user_id",
+                              order_by=["ts", "event_id"], p=2,
+                              holdout=3)).df
+    return out.select("user_id", F.col("h").cast("int").alias("h"),
+                      "forecast", "actual", "abs_err", "mase")
+
+
 @query("q_ts_pacf", _pacf_oracle_sql())
 def q_pacf(spark, sf_dir):
     """Per-user PACF at lags 1..5 (Durbin-Levinson over the sample

@@ -650,3 +650,43 @@ def test_ar_forecast_recovers_coefficients_and_recurrence(spark):
         ArForecast("v", keys="k", order_by="i", horizons=())
     with _pytest.raises(ValueError, match="p "):
         ArForecast("v", keys="k", order_by="i", p=0)
+
+
+def test_forecast_backtest_holdout_and_mase(spark):
+    """Round-15 ForecastBacktest: the last `holdout` rows per key are
+    the scored actuals (h maps oldest-held-out -> 1), the fit sees
+    only the train prefix (checked against a direct ArForecast run on
+    the truncated frame), and mase = abs_err / mean |lag-1 diff| of
+    the train prefix."""
+    import numpy as np
+
+    from beam_spark.operators.stats import ArForecast, ForecastBacktest
+    from beam_spark.pcollection import PCollection
+
+    rng = np.random.default_rng(5)
+    eps = rng.normal(0, 1, 200)
+    x = np.zeros(200)
+    for t in range(2, 200):
+        x[t] = 0.5 * x[t - 1] - 0.2 * x[t - 2] + eps[t]
+    rows = [("k", i, float(v)) for i, v in enumerate(x)]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    got = {r["h"]: r for r in
+           (PCollection(df) | ForecastBacktest(
+               "v", keys="k", order_by="i", p=2, holdout=3)
+            ).df.collect()}
+    assert set(got) == {1, 2, 3}
+    # actuals are exactly the withheld tail, oldest -> h=1
+    for h in (1, 2, 3):
+        assert abs(got[h]["actual"] - round(x[197 + h - 1], 6)) < 1e-12
+    # forecasts equal a direct AR fit on the truncated frame
+    fc = {r["h"]: round(r["forecast"], 6) for r in
+          (PCollection(df.where("i < 197")) | ArForecast(
+              "v", keys="k", order_by="i", p=2,
+              horizons=(1, 2, 3))).df.collect()}
+    for h in (1, 2, 3):
+        assert got[h]["forecast"] == fc[h]
+    # mase denominator: mean |lag-1 diff| over the train prefix
+    naive = float(np.abs(np.diff(x[:197])).mean())
+    for h in (1, 2, 3):
+        want = round(abs(got[h]["forecast"] - x[197 + h - 1]) / naive, 6)
+        assert abs(got[h]["mase"] - want) < 1e-6
