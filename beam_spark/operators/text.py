@@ -870,6 +870,7 @@ class LuhnValidate(PTransform):
             f"CASE WHEN {digits} IS NULL THEN NULL "
             f"WHEN length({digits}) < 13 OR length({digits}) > 19 "
             f"THEN NULL "
+            f"WHEN NOT {digits} RLIKE '^[0-9]+$' THEN NULL "
             f"ELSE aggregate(sequence(1, length({digits})), 0, "
             f"(acc, i) -> acc + CASE WHEN i % 2 = 0 THEN "
             f"CASE WHEN 2 * (ascii(substr({d}, i, 1)) - 48) > 9 "

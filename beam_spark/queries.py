@@ -1032,6 +1032,7 @@ def _luhn_duck(digits: str) -> str:
         f"CASE WHEN {digits} IS NULL THEN NULL "
         f"WHEN length({digits}) < 13 OR length({digits}) > 19 "
         f"THEN NULL "
+        f"WHEN NOT regexp_matches({digits}, '^[0-9]+$') THEN NULL "
         f"ELSE list_sum(list_transform(range(1, length({digits}) + 1), "
         f"i -> CASE WHEN i % 2 = 0 THEN "
         f"CASE WHEN 2 * {digit} > 9 THEN 2 * {digit} - 9 "

@@ -5068,12 +5068,13 @@ def test_luhn_validate_known_vectors_and_findings(spark):
                                       # digits -> out of range -> NULL
         (5, "12345"),                 # too short -> NULL
         (6, None),                    # NULL in -> NULL out
+        (7, "ABCDEFGHIJKLMNO"),       # 15 chars but not digits -> NULL
     ]
     df = spark.createDataFrame(rows, "id long, pan string")
     got = {r.id: r.pan_luhn_valid for r in
            (PCollection(df) | LuhnValidate("pan")).df.collect()}
     assert got == {1: True, 2: True, 3: False, 4: None, 5: None,
-                   6: None}
+                   6: None, 7: None}
 
     docs = [
         (1, "pay with 4539 1488 0343 6467 or 4111-1111-1111-1111 ok"),
