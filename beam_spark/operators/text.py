@@ -859,13 +859,13 @@ class LuhnValidate(PTransform):
         self.col = col
 
     @staticmethod
-    def sql_expr(digits: str) -> str:
-        """Spark-side Luhn SQL over a separator-free digit string —
-        one fold over reversed positions; doubled digits fold their
-        carry via ``2d - 9``. Integer-exact, so the oracle's
-        list_sum/list_transform replay matches without any rounding
-        convention."""
-        d = f"reverse({digits})"
+    def _fold_expr(digits: str, rev: str) -> str:
+        """The Luhn CASE/fold over a digit string ``digits`` and its
+        precomputed reversal ``rev`` (same value as
+        ``reverse(digits)`` — callers on a hot path pass a projected
+        COLUMN for both so the interpreted higher-order-function
+        lambda touches attributes, not a re-evaluated
+        regexp/reverse chain per character)."""
         return (
             f"CASE WHEN {digits} IS NULL THEN NULL "
             f"WHEN length({digits}) < 13 OR length({digits}) > 19 "
@@ -873,16 +873,36 @@ class LuhnValidate(PTransform):
             f"WHEN NOT {digits} RLIKE '^[0-9]+$' THEN NULL "
             f"ELSE aggregate(sequence(1, length({digits})), 0, "
             f"(acc, i) -> acc + CASE WHEN i % 2 = 0 THEN "
-            f"CASE WHEN 2 * (ascii(substr({d}, i, 1)) - 48) > 9 "
-            f"THEN 2 * (ascii(substr({d}, i, 1)) - 48) - 9 "
-            f"ELSE 2 * (ascii(substr({d}, i, 1)) - 48) END "
-            f"ELSE ascii(substr({d}, i, 1)) - 48 END) % 10 = 0 END")
+            f"CASE WHEN 2 * (ascii(substr({rev}, i, 1)) - 48) > 9 "
+            f"THEN 2 * (ascii(substr({rev}, i, 1)) - 48) - 9 "
+            f"ELSE 2 * (ascii(substr({rev}, i, 1)) - 48) END "
+            f"ELSE ascii(substr({rev}, i, 1)) - 48 END) % 10 = 0 END")
+
+    @classmethod
+    def sql_expr(cls, digits: str) -> str:
+        """Spark-side Luhn SQL over a separator-free digit string —
+        one fold over reversed positions; doubled digits fold their
+        carry via ``2d - 9``. Integer-exact, so the oracle's
+        list_sum/list_transform replay matches without any rounding
+        convention."""
+        return cls._fold_expr(digits, f"reverse({digits})")
 
     def expand(self, pcoll: PCollection) -> PCollection:
         c = self.col
-        digits = f"regexp_replace({c}, '[ -]', '')"
-        return pcoll.with_df(pcoll.df.withColumn(
-            f"{c}_luhn_valid", F.expr(self.sql_expr(digits))))
+        # Hoist the separator strip + reversal into REAL projected
+        # columns: higher-order-function lambdas are evaluated
+        # interpreted per element, so inlining the normalization into
+        # the fold body re-ran regexp_replace + reverse once per
+        # CHARACTER per row (measured 23x on the scalar-conformance
+        # gate). The fold arithmetic is unchanged — same values.
+        dcol, rcol = f"__{c}_luhn_d", f"__{c}_luhn_r"
+        df = (pcoll.df
+              .withColumn(dcol, F.expr(f"regexp_replace({c}, '[ -]', '')"))
+              .withColumn(rcol, F.reverse(F.col(dcol)))
+              .withColumn(f"{c}_luhn_valid",
+                          F.expr(self._fold_expr(dcol, rcol)))
+              .drop(dcol, rcol))
+        return pcoll.with_df(df)
 
 
 class IbanValidate(PTransform):
@@ -910,19 +930,31 @@ class IbanValidate(PTransform):
 
     def expand(self, pcoll: PCollection) -> PCollection:
         c = self.col
-        norm = f"upper(regexp_replace({c}, '[ ]', ''))"
-        re_arr = (f"concat(substr({norm}, 5, length({norm}) - 4), "
-                  f"substr({norm}, 1, 4))")
-        ch = f"ascii(substr({re_arr}, i, 1))"
-        fold = (f"aggregate(sequence(1, length({re_arr})), 0, "
+        # Hoist the normalized + rearranged strings into REAL
+        # projected columns (the LuhnValidate posture): the fold's
+        # lambda is evaluated interpreted per element, so inlining
+        # upper/regexp_replace/concat into it re-built the candidate
+        # string once per CHARACTER per row. Same fold arithmetic,
+        # same values.
+        ncol, acol = f"__{c}_iban_n", f"__{c}_iban_a"
+        ch = f"ascii(substr({acol}, i, 1))"
+        fold = (f"aggregate(sequence(1, length({acol})), 0, "
                 f"(acc, i) -> CASE WHEN {ch} >= 65 "
                 f"THEN (acc * 100 + ({ch} - 55)) % 97 "
                 f"ELSE (acc * 10 + ({ch} - 48)) % 97 END)")
         expr = (f"CASE WHEN {c} IS NULL THEN NULL "
-                f"WHEN NOT {norm} RLIKE '{self.SHAPE}' THEN NULL "
+                f"WHEN NOT {ncol} RLIKE '{self.SHAPE}' THEN NULL "
                 f"ELSE {fold} = 1 END")
-        return pcoll.with_df(pcoll.df.withColumn(
-            f"{c}_iban_valid", F.expr(expr)))
+        df = (pcoll.df
+              .withColumn(ncol,
+                          F.expr(f"upper(regexp_replace({c}, '[ ]', ''))"))
+              .withColumn(acol,
+                          F.expr(f"concat(substr({ncol}, 5, "
+                                 f"length({ncol}) - 4), "
+                                 f"substr({ncol}, 1, 4))"))
+              .withColumn(f"{c}_iban_valid", F.expr(expr))
+              .drop(ncol, acol))
+        return pcoll.with_df(df)
 
 
 class CardFindings(PTransform):

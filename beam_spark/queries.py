@@ -94,6 +94,24 @@ def davg(expr: str, alias: str, count_col: str = "*") -> str:
     return f"CAST(SUM({expr}) AS DOUBLE) / COUNT({count_col}) AS {alias}"
 
 
+def fan_out(df, spark: SparkSession):
+    """Scale-adaptive read fan-out for expression-heavy zero-shuffle
+    pipelines (optimization guide §2.5, "input skew: one huge
+    unsplittable file ... repartition immediately after the read"):
+    the testdata tables are single-row-group parquet files, so every
+    scan is exactly ONE task at any core count and a per-row
+    expression chain runs single-threaded no matter how many cores
+    the session has. Round-robin repartition to the session's default
+    parallelism ONLY when the scan is under-parallel — on a real
+    multi-file table (scan partitions >= parallelism) this is a no-op,
+    so nothing extra is shuffled at scale, and the fan-out width
+    follows the core count the driver runs the bench at."""
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 # --------------------------------------------------------------------------
 # q1 — TPC-H Q1 shape: scan -> filter -> project -> hash aggregate.
 # Exercises: ReadFromParquet, Filter (pushed to scan), CombinePerKey
@@ -1076,10 +1094,10 @@ def q_text_luhn_card_validation(spark, sf_dir):
         "lpad(CAST((o_orderkey * 7919 + o_custkey) % "
         "10000000000000000 AS STRING), 16, '0') AS pan",
         "CAST(o_custkey AS STRING) AS shortd")
-    orders = orders.selectExpr(
+    orders = fan_out(orders.selectExpr(
         "*",
         "concat(substr(pan, 1, 4), ' ', substr(pan, 5, 4), '-', "
-        "substr(pan, 9, 4), ' ', substr(pan, 13, 4)) AS pan_fmt")
+        "substr(pan, 9, 4), ' ', substr(pan, 13, 4)) AS pan_fmt"), spark)
     out = (PCollection(orders)
            | LuhnValidate("pan")
            | LuhnValidate("pan_fmt")
@@ -1157,12 +1175,12 @@ def q_text_iban_validation(spark, sf_dir):
     cust = cust.selectExpr(
         "c_custkey",
         "concat('DE', lpad(CAST(chk AS STRING), 2, '0'), bban) AS iban")
-    cust = cust.selectExpr(
+    cust = fan_out(cust.selectExpr(
         "c_custkey", "iban",
         "concat(substr(iban, 1, length(iban) - 1), "
         "CAST((CAST(substr(iban, length(iban), 1) AS BIGINT) + 1) "
         "% 10 AS STRING)) AS corrupt",
-        "substr(iban, 1, 10) AS malformed")
+        "substr(iban, 1, 10) AS malformed"), spark)
     out = (PCollection(cust)
            | IbanValidate("iban")
            | IbanValidate("corrupt")
