@@ -144,14 +144,25 @@ def _suite_select(tag, k_sql, v1_sql, v2_sql) -> str:
 
 def _tpch_suite_fn(mapping):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        parts = []
-        for tag, comp, k_sql, v1_sql, v2_sql in mapping:
+        # members are pure LAZY plan constructions (no eager jobs), so
+        # building them on a thread pool overlaps the per-member
+        # py4j/Catalyst analysis cost (measured: the join suite's
+        # serial build was 4.5s of its 7.4s total at sf0.1 — the
+        # stats/analytics-gate posture, and the opposite regime from
+        # the ANN gate's eager-member negative result). The output is
+        # the identical frames in the identical mapping order.
+        def _build(entry):
+            tag, comp, k_sql, v1_sql, v2_sql = entry
             df = _component(comp)(spark, sf_dir)
-            parts.append(df.selectExpr(
+            return df.selectExpr(
                 f"'{tag}' AS q", f"{k_sql} AS k",
                 f"CAST({v1_sql} AS DOUBLE) AS v1",
                 f"CAST({v2_sql} AS DOUBLE) AS v2" if v2_sql
-                else f"{_ZERO} AS v2"))
+                else f"{_ZERO} AS v2")
+
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(min(8, len(mapping))) as _ex:
+            parts = list(_ex.map(_build, mapping))
         return _union(parts)
     return fn
 
@@ -299,15 +310,16 @@ def q_exact_percentiles(spark, sf_dir):
     logistic fit: one eager-training family per gate keeps every
     gate under the per-gate time budget. GBM and binseg build on a
     2-thread pool (their training jobs overlap)."""
-    df = _component("q_exact_percentiles_quantity")(spark, sf_dir)
-    pct = (df.select("l_returnflag",
-                     F.posexplode("qs").alias("pos", "quantile"))
-           .selectExpr(
-               "'pct' AS op",
-               "l_returnflag || '@' || CAST(CAST(element_at("
-               "array(0.25D, 0.5D, 0.75D, 0.9D), pos + 1) "
-               "AS DOUBLE) AS STRING) AS k",
-               "quantile AS v1", f"{_ZERO} AS v2", f"{_ZERO} AS v3"))
+    def _pct():
+        df = _component("q_exact_percentiles_quantity")(spark, sf_dir)
+        return (df.select("l_returnflag",
+                          F.posexplode("qs").alias("pos", "quantile"))
+                .selectExpr(
+                    "'pct' AS op",
+                    "l_returnflag || '@' || CAST(CAST(element_at("
+                    "array(0.25D, 0.5D, 0.75D, 0.9D), pos + 1) "
+                    "AS DOUBLE) AS STRING) AS k",
+                    "quantile AS v1", f"{_ZERO} AS v2", f"{_ZERO} AS v3"))
 
     def _gbm():
         return _component("q_ml_gbm_stumps")(spark, sf_dir).selectExpr(
@@ -324,41 +336,55 @@ def q_exact_percentiles(spark, sf_dir):
             "CAST(position AS STRING) AS k",
             "gain AS v1", f"{_ZERO} AS v2", f"{_ZERO} AS v3")
 
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(2) as _ex:
-        fg, fb = _ex.submit(_gbm), _ex.submit(_binseg)
-        gbm, binseg = fg.result(), fb.result()
-
-    from beam_spark.operators.stats import ArForecast, KalmanLocalLevel
+    from beam_spark.operators.stats import (ArForecast, ForecastBacktest,
+                                            KalmanLocalLevel)
     from beam_spark.pcollection import PCollection as _PC
-    ev = table(spark, sf_dir, "events").df.filter("user_id % 10 = 0")
-    kalman = (_PC(ev) | KalmanLocalLevel(
-        "value", keys="user_id", order_by=["ts", "event_id"],
-        q=0.25, r=1.0)).df.selectExpr(
-        "'kalman' AS op",
-        "CAST(user_id AS STRING) || ':' || "
-        "CAST(event_id AS STRING) AS k",
-        "level AS v1", "pvar AS v2", "kgain AS v3")
+
+    def _kalman():
+        ev = table(spark, sf_dir, "events").df.filter("user_id % 10 = 0")
+        return (_PC(ev) | KalmanLocalLevel(
+            "value", keys="user_id", order_by=["ts", "event_id"],
+            q=0.25, r=1.0)).df.selectExpr(
+            "'kalman' AS op",
+            "CAST(user_id AS STRING) || ':' || "
+            "CAST(event_id AS STRING) AS k",
+            "level AS v1", "pvar AS v2", "kgain AS v3")
+
     # r15 fold: AR(2) Yule-Walker forecasts on the same user_id%10
     # slice (the scan and key shuffle shape kalman already pays) —
     # one forecast+phi row per (user, horizon)
-    ar = (_PC(ev) | ArForecast(
-        "value", keys="user_id", order_by=["ts", "event_id"],
-        p=2, horizons=(1, 2, 3))).df.selectExpr(
-        "'ar' AS op",
-        "CAST(user_id AS STRING) || ':' || CAST(h AS STRING) AS k",
-        "round(forecast, 6) AS v1", "round(phi1, 6) AS v2",
-        "round(phi2, 6) AS v3")
+    def _ar():
+        ev = table(spark, sf_dir, "events").df.filter("user_id % 10 = 0")
+        return (_PC(ev) | ArForecast(
+            "value", keys="user_id", order_by=["ts", "event_id"],
+            p=2, horizons=(1, 2, 3))).df.selectExpr(
+            "'ar' AS op",
+            "CAST(user_id AS STRING) || ':' || CAST(h AS STRING) AS k",
+            "round(forecast, 6) AS v1", "round(phi1, 6) AS v2",
+            "round(phi2, 6) AS v3")
+
     # r15 fold: the hold-out backtest scoring those forecasts (last 3
     # events withheld per user, MASE vs the train naive-1) — same
     # slice, one extra window + agg pass
-    from beam_spark.operators.stats import ForecastBacktest
-    bt = (_PC(ev) | ForecastBacktest(
-        "value", keys="user_id", order_by=["ts", "event_id"],
-        p=2, holdout=3)).df.selectExpr(
-        "'backtest' AS op",
-        "CAST(user_id AS STRING) || ':' || CAST(h AS STRING) AS k",
-        "forecast AS v1", "abs_err AS v2", "mase AS v3")
+    def _bt():
+        ev = table(spark, sf_dir, "events").df.filter("user_id % 10 = 0")
+        return (_PC(ev) | ForecastBacktest(
+            "value", keys="user_id", order_by=["ts", "event_id"],
+            p=2, holdout=3)).df.selectExpr(
+            "'backtest' AS op",
+            "CAST(user_id AS STRING) || ':' || CAST(h AS STRING) AS k",
+            "forecast AS v1", "abs_err AS v2", "mase AS v3")
+
+    # the LAZY members (pct, kalman, ar, backtest — window/agg plan
+    # constructions, no jobs) build on the same pool as the two eager
+    # trainers so their py4j/Catalyst analysis overlaps the training
+    # jobs instead of running serially after them (gate build was
+    # 6.0s of its 7.9s total at sf0.1 before this)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(6) as _ex:
+        futs = [_ex.submit(t)
+                for t in (_pct, _gbm, _binseg, _kalman, _ar, _bt)]
+        pct, gbm, binseg, kalman, ar, bt = [f.result() for f in futs]
     return _union([pct, gbm, binseg, kalman, ar, bt])
 
 
@@ -1135,39 +1161,64 @@ def q_text_suite(spark, sf_dir):
     """Per-document text analysis: token counting, quality features,
     language id, content fingerprint + exact-dup group info — each from
     its own operator, joined on doc_id/md5."""
-    a = _component("q_text_token_stats")(spark, sf_dir)
-    b = _component("q_text_quality_scores")(spark, sf_dir)
-    c = _component("q_text_langid")(spark, sf_dir)
+    # every member is a pure LAZY plan construction over documents (no
+    # eager jobs), so the per-member py4j/Catalyst analysis cost is
+    # overlapped on a thread pool (measured: serial build was 4.0s of
+    # the gate's 7.0s at sf0.1) — the joined output is the identical
+    # frames either way
     from beam_spark.operators.text import Fingerprint
 
-    fp = (table(spark, sf_dir, "documents") | Fingerprint()).df.select(
-        "doc_id", "content_md5")
-    groups = _component("q_text_fingerprint_exact_dedup")(spark, sf_dir)
-    pii = _component("q_text_pii_redaction")(spark, sf_dir).select(
-        "doc_id", "pii_count")
-    gopher = _component("q_text_gopher_filter")(spark, sf_dir).select(
-        "doc_id", "n_words", F.col("alpha_word_frac"),
-        F.col("stopword_hits"), F.col("keep").alias("gopher_keep"))
-    ppl = _component("q_text_bigram_perplexity")(spark, sf_dir).select(
-        "doc_id", "n_bigrams", "nll")
-    norm = _component("q_text_normalize")(spark, sf_dir).select(
-        "doc_id", F.length("norm_text").alias("n_chars_norm"))
-    ent = _component("q_text_char_entropy")(spark, sf_dir)
-    read = _component("q_text_readability")(spark, sf_dir).select(
-        "doc_id", "n_syllables", "flesch")
-    # r14 fold (VERDICT #1): Kneser-Ney bigram perplexity — fit on
-    # even docs, scored on odd docs, so it joins LEFT (kn_* NULL for
-    # the training half); the component keeps the full-row oracle
-    kn = _component("q_text_kn_perplexity")(spark, sf_dir).select(
-        "doc_id", F.col("nll").alias("kn_nll"),
-        F.col("ppl").alias("kn_ppl"))
-    kn3 = _component("q_text_kn3_perplexity")(spark, sf_dir).select(
-        "doc_id", F.col("nll").alias("kn3_nll"),
-        F.col("ppl").alias("kn3_ppl"))
-    # r14 fold: leakage-safe split assignment (group = exact-dedup
-    # content hash, so duplicates share a split) — zero-shuffle
-    split = _component("q_dedup_leakage_safe_split")(
-        spark, sf_dir).select("doc_id", "split")
+    def _fp():
+        return (table(spark, sf_dir, "documents") | Fingerprint()).df.select(
+            "doc_id", "content_md5")
+
+    thunks = {
+        "a": lambda: _component("q_text_token_stats")(spark, sf_dir),
+        "b": lambda: _component("q_text_quality_scores")(spark, sf_dir),
+        "c": lambda: _component("q_text_langid")(spark, sf_dir),
+        "fp": _fp,
+        "groups": lambda: _component("q_text_fingerprint_exact_dedup")(
+            spark, sf_dir),
+        "pii": lambda: _component("q_text_pii_redaction")(
+            spark, sf_dir).select("doc_id", "pii_count"),
+        "gopher": lambda: _component("q_text_gopher_filter")(
+            spark, sf_dir).select(
+            "doc_id", "n_words", F.col("alpha_word_frac"),
+            F.col("stopword_hits"), F.col("keep").alias("gopher_keep")),
+        "ppl": lambda: _component("q_text_bigram_perplexity")(
+            spark, sf_dir).select("doc_id", "n_bigrams", "nll"),
+        "norm": lambda: _component("q_text_normalize")(
+            spark, sf_dir).select(
+            "doc_id", F.length("norm_text").alias("n_chars_norm")),
+        "ent": lambda: _component("q_text_char_entropy")(spark, sf_dir),
+        "read": lambda: _component("q_text_readability")(
+            spark, sf_dir).select("doc_id", "n_syllables", "flesch"),
+        # r14 fold (VERDICT #1): Kneser-Ney bigram perplexity — fit on
+        # even docs, scored on odd docs, so it joins LEFT (kn_* NULL
+        # for the training half); the component keeps the full-row
+        # oracle
+        "kn": lambda: _component("q_text_kn_perplexity")(
+            spark, sf_dir).select(
+            "doc_id", F.col("nll").alias("kn_nll"),
+            F.col("ppl").alias("kn_ppl")),
+        "kn3": lambda: _component("q_text_kn3_perplexity")(
+            spark, sf_dir).select(
+            "doc_id", F.col("nll").alias("kn3_nll"),
+            F.col("ppl").alias("kn3_ppl")),
+        # r14 fold: leakage-safe split assignment (group = exact-dedup
+        # content hash, so duplicates share a split) — zero-shuffle
+        "split": lambda: _component("q_dedup_leakage_safe_split")(
+            spark, sf_dir).select("doc_id", "split"),
+    }
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(8) as _ex:
+        futs = {k: _ex.submit(t) for k, t in thunks.items()}
+        built = {k: f.result() for k, f in futs.items()}
+    a, b, c, fp = built["a"], built["b"], built["c"], built["fp"]
+    groups, pii, gopher = built["groups"], built["pii"], built["gopher"]
+    ppl, norm, ent = built["ppl"], built["norm"], built["ent"]
+    read, kn, kn3 = built["read"], built["kn"], built["kn3"]
+    split = built["split"]
     return (a.join(b, on="doc_id").join(c, on="doc_id").join(fp, on="doc_id")
             .join(groups, on="content_md5").join(pii, on="doc_id")
             .join(gopher, on="doc_id").join(ppl, on="doc_id")
@@ -1265,13 +1316,6 @@ def q_dedup_pairs_suite(spark, sf_dir):
     from beam_spark.pcollection import PCollection as _PC
 
     half = table(spark, sf_dir, "documents").df.where("doc_id % 2 = 0")
-    ngram = (_PC(half) | NgramJaccardPairs(threshold=0.6)).df
-    minhash = (_PC(half)
-               | MinHashLSH(bands=16, rows_per_band=8, threshold=0.6)).df
-    # r14 fold: asymmetric containment pairs on the same half-corpus
-    # slice (the full corpus stays component-oracled)
-    containment = (_PC(half) | ContainmentPairs(threshold=0.5)).df
-    emb = _component("q_embedding_neardup_pairs")(spark, sf_dir)
 
     def _cc():
         return _component("q_dedup_connected_components")(spark, sf_dir)
@@ -1293,14 +1337,31 @@ def q_dedup_pairs_suite(spark, sf_dir):
                                     bands=4, rows_per_band=2,
                                     seed=7)).df
 
+    # the LAZY members (shingle/pair plan constructions, no jobs)
+    # build on the same pool as the three eager iterative members so
+    # their py4j/Catalyst analysis overlaps the star-CC/DBSCAN round
+    # jobs instead of running serially after them. r14 fold:
+    # containment = asymmetric pairs on the same half-corpus slice
+    # (the full corpus stays component-oracled).
     from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(3) as _ex:
-        fc, fd, fl = (_ex.submit(_cc), _ex.submit(_dbscan),
-                      _ex.submit(_dbscan_lsh))
-        cc, dbscan, dbscan_lsh = fc.result(), fd.result(), fl.result()
-
-    spans = _component("q_dedup_exact_substr_spans")(spark, sf_dir)
-    snm = _component("q_dedup_sorted_neighborhood")(spark, sf_dir)
+    with ThreadPoolExecutor(6) as _ex:
+        futs = [
+            _ex.submit(_cc), _ex.submit(_dbscan), _ex.submit(_dbscan_lsh),
+            _ex.submit(lambda: (_PC(half) | NgramJaccardPairs(
+                threshold=0.6)).df),
+            _ex.submit(lambda: (_PC(half) | MinHashLSH(
+                bands=16, rows_per_band=8, threshold=0.6)).df),
+            _ex.submit(lambda: (_PC(half) | ContainmentPairs(
+                threshold=0.5)).df),
+            _ex.submit(lambda: _component("q_embedding_neardup_pairs")(
+                spark, sf_dir)),
+            _ex.submit(lambda: _component("q_dedup_exact_substr_spans")(
+                spark, sf_dir)),
+            _ex.submit(lambda: _component("q_dedup_sorted_neighborhood")(
+                spark, sf_dir)),
+        ]
+        (cc, dbscan, dbscan_lsh, ngram, minhash, containment, emb,
+         spans, snm) = [f.result() for f in futs]
     return _union([
         ngram.selectExpr("'ngram' AS method", "i", "j", "jaccard AS sim"),
         minhash.selectExpr("'minhash_lsh' AS method", "i", "j", "jaccard AS sim"),
@@ -1430,41 +1491,71 @@ def q_ann_exhaustive_suite(spark, sf_dir):
     hq = half.filter("doc_id < 5").selectExpr(
         "doc_id AS query_id", "text")
 
-    # NOTE: members build SERIALLY on purpose. An 8-way pooled build
-    # was tried in r14 and made the gate 34% SLOWER at sf0.1: the
-    # iterative eager members (k-means rounds, IVF training) issue
-    # many tiny sequential jobs, and concurrent jobs from pool
-    # threads queue behind each other's stages on local FIFO — pool
-    # builds only pay off when members have few, large jobs (the
-    # stats gate's shape), not many small rounds.
-    lsh = (PCollection(emb)
-           | LshCosineTopK(queries_df, k=5, n_planes=4, probe_all=True)).df
-    ivf = (PCollection(emb)
-           | IvfCosineTopK(queries_df, k=5, n_lists=8, nprobe=8)).df
-    bm25 = (PCollection(half) | Bm25TopK(hq, k=5, k1=1.5)).df
-    ann_leg = (PCollection(emb)
-               | BruteForceCosineTopK(
-                   emb.filter("vec_id < 5 AND vec_id % 2 = 0"), k=5,
-                   exclude_self=False)
-               ).df.selectExpr("query_id", "nbr_id AS doc_id", "rank")
-    rrf = (PCollection(half) | RrfFuse(bm25, ann_leg, k=5)).df
-    split = F.split(F.lower(F.trim("text")), r"\s+")
-    fielded = half.select(
-        "doc_id",
-        F.concat_ws(" ", F.slice(split, 1, 5)).alias("title"),
-        F.concat_ws(" ", F.slice(
-            split, 6, F.greatest(F.size(split) - 5, F.lit(0))))
-        .alias("body"))
-    bm25f = (PCollection(fielded) | Bm25fTopK(
-        hq, {"title": (3.0, 0.5), "body": (1.0, 0.75)},
-        k=5, k1=1.5)).df
-    bm25_and = _component("q_retrieval_bm25_and")(spark, sf_dir)
-    bm25_ph = _component("q_retrieval_bm25_phrase")(spark, sf_dir)
-    posph = _component("q_retrieval_phrase_positional")(spark, sf_dir)
-    mmr = _component("q_ann_mmr_rerank")(spark, sf_dir)
-    km = _component("q_kmeans_embeddings")(spark, sf_dir)
-    ql = _component("q_retrieval_query_likelihood")(spark, sf_dir)
-    pl2 = _component("q_retrieval_pl2_topk")(spark, sf_dir)
+    # Build split (refines the r14 all-member negative result — an
+    # 8-way pool of ALL members was 34% slower because the EAGER
+    # members' many tiny training jobs queued behind each other on
+    # local FIFO): the eager members (k-means seeding/rounds, IVF
+    # training, LSH's input probe) still build SERIALLY in this
+    # thread, so their jobs never contend; the LAZY members (pure
+    # plan constructions, zero jobs — measured ~4s of serial
+    # py4j/Catalyst analysis) build on a pool that overlaps both each
+    # other and the eager jobs. Identical frames either way.
+    def _bm25():
+        return (PCollection(half) | Bm25TopK(hq, k=5, k1=1.5)).df
+
+    def _rrf():
+        bm = (PCollection(half) | Bm25TopK(hq, k=5, k1=1.5)).df
+        ann_leg = (PCollection(emb)
+                   | BruteForceCosineTopK(
+                       emb.filter("vec_id < 5 AND vec_id % 2 = 0"), k=5,
+                       exclude_self=False)
+                   ).df.selectExpr("query_id", "nbr_id AS doc_id", "rank")
+        return (PCollection(half) | RrfFuse(bm, ann_leg, k=5)).df
+
+    def _bm25f():
+        split = F.split(F.lower(F.trim("text")), r"\s+")
+        fielded = half.select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(split, 1, 5)).alias("title"),
+            F.concat_ws(" ", F.slice(
+                split, 6, F.greatest(F.size(split) - 5, F.lit(0))))
+            .alias("body"))
+        return (PCollection(fielded) | Bm25fTopK(
+            hq, {"title": (3.0, 0.5), "body": (1.0, 0.75)},
+            k=5, k1=1.5)).df
+
+    def _cmp(name):
+        return lambda: _component(name)(spark, sf_dir)
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(6) as _ex:
+        lazy = {
+            "bm25": _ex.submit(_bm25),
+            "rrf": _ex.submit(_rrf),
+            "bm25f": _ex.submit(_bm25f),
+            "bm25_and": _ex.submit(_cmp("q_retrieval_bm25_and")),
+            "bm25_ph": _ex.submit(_cmp("q_retrieval_bm25_phrase")),
+            "posph": _ex.submit(_cmp("q_retrieval_phrase_positional")),
+            "mmr": _ex.submit(_cmp("q_ann_mmr_rerank")),
+            "ql": _ex.submit(_cmp("q_retrieval_query_likelihood")),
+            "pl2": _ex.submit(_cmp("q_retrieval_pl2_topk")),
+            "knn": _ex.submit(_cmp("q_ann_knn_classify")),
+        }
+        # eager members stay serial in THIS thread while the pool
+        # grinds the lazy constructions
+        lsh = (PCollection(emb)
+               | LshCosineTopK(queries_df, k=5, n_planes=4,
+                               probe_all=True)).df
+        ivf = (PCollection(emb)
+               | IvfCosineTopK(queries_df, k=5, n_lists=8, nprobe=8)).df
+        km = _component("q_kmeans_embeddings")(spark, sf_dir)
+        bm25, rrf, bm25f = (lazy["bm25"].result(), lazy["rrf"].result(),
+                            lazy["bm25f"].result())
+        bm25_and, bm25_ph = (lazy["bm25_and"].result(),
+                             lazy["bm25_ph"].result())
+        posph, mmr = lazy["posph"].result(), lazy["mmr"].result()
+        ql, pl2 = lazy["ql"].result(), lazy["pl2"].result()
+        knn = lazy["knn"].result()
     return _union([
         lsh.selectExpr("'lsh' AS method", "query_id", "nbr_id", "rank", "cosine"),
         ivf.selectExpr("'ivf' AS method", "query_id", "nbr_id", "rank", "cosine"),
@@ -1499,7 +1590,7 @@ def q_ann_exhaustive_suite(spark, sf_dir):
         # round-14 fold: 5-NN cosine classification as the 13th
         # method — the integer-exact vote rides as (label, best_rank,
         # votes) in the (nbr_id, rank, cosine) slots
-        _component("q_ann_knn_classify")(spark, sf_dir).selectExpr(
+        knn.selectExpr(
             "'knn' AS method", "query_id",
             "CAST(predicted AS BIGINT) AS nbr_id",
             "CAST(best_rank AS INT) AS rank",
@@ -1644,12 +1735,19 @@ def q_anomaly_mltrain(spark, sf_dir):
             "'iforest_obl' AS op", "CAST(event_id AS STRING) AS k",
             "iforest_h AS v1", "iforest_score AS v2", f"{_ZERO} AS v3")
 
+    def _mlt():
+        return _component("q_pipeline_ml_training")(spark, sf_dir)
+
+    # the composed NB->logistic->isotonic trainer joins the pool: its
+    # eager logistic fit is a handful of medium jobs that interleave
+    # with the iforests' depth-round jobs (measured: serial-after-pool
+    # left it on the critical path — build 6.1s of the gate's 8.5s)
     from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(3) as _ex:
-        fa, fg, fo = (_ex.submit(_if_axis), _ex.submit(_if_grp),
-                      _ex.submit(_if_obl))
-        iforest, ifg, ifo = fa.result(), fg.result(), fo.result()
-    mlt = _component("q_pipeline_ml_training")(spark, sf_dir)
+    with ThreadPoolExecutor(4) as _ex:
+        fa, fg, fo, fm = (_ex.submit(_if_axis), _ex.submit(_if_grp),
+                          _ex.submit(_if_obl), _ex.submit(_mlt))
+        iforest, ifg, ifo, mlt = (fa.result(), fg.result(),
+                                  fo.result(), fm.result())
     return _union([anomaly, robust, iforest, ifg, ifo, mlt])
 
 

@@ -133,13 +133,20 @@ class GradientBoostedStumps(PTransform):
         par = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < par:
             df = df.repartition(par)
-        # count BEFORE checkpointing: the eager localCheckpoint pins
-        # the whole (1 + F)-column double frame in this JVM's block
-        # manager (local mode shares the driver heap), and a frame
-        # that doesn't fit dies as an opaque JVM OOM mid-round. Same
-        # total job count as checkpoint-then-count; the order buys the
-        # fail-fast.
-        n = df.count()
+        # ONE setup pass BEFORE checkpointing — row count (the heap
+        # fail-fast: the eager localCheckpoint pins the whole (1 + F)-
+        # column double frame in this JVM's block manager, and a frame
+        # that doesn't fit dies as an opaque JVM OOM mid-round),
+        # exact-decimal target sum (the base prediction), and the
+        # per-feature distinct counts (the un-quantized-feature
+        # fail-fast) — previously three sequential driver jobs; the
+        # merged agg computes the identical values in one.
+        row0 = df.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("__y").try_cast(_DEC)).alias("__s"),
+            F.count(F.col("__y").try_cast(_DEC)).alias("__c"),
+            *[F.countDistinct(f).alias(f) for f in fs]).first()
+        n = row0["__n"]
         if n == 0:
             raise ValueError("GradientBoostedStumps: empty input "
                              "after NULL filtering")
@@ -154,33 +161,25 @@ class GradientBoostedStumps(PTransform):
                 f"raise driver memory (e.g. "
                 f"spark.driver.memory=8g in local mode) or train on "
                 f"a smaller slice")
-        df = df.localCheckpoint(eager=True)
-
-        # base prediction: exact-decimal mean -> one division
-        row0 = df.agg(
-            F.sum(F.col("__y").try_cast(_DEC)).alias("s"),
-            F.count(F.col("__y").try_cast(_DEC)).alias("c")).first()
-        if row0["c"] != n:
+        if row0["__c"] != n:
             raise ValueError(
                 "GradientBoostedStumps: target overflowed "
                 "decimal(16,9) — scale it down (|y| must stay well "
                 "under 1e7)")
+        # feature histograms are the working set: fail fast if a
+        # feature is un-quantized (mirrors KsDrift/Isotonic)
+        for f in fs:
+            if row0[f] > self.max_distinct:
+                raise ValueError(
+                    f"GradientBoostedStumps: feature {f!r} has "
+                    f"{row0[f]} distinct values > max_distinct "
+                    f"{self.max_distinct} — quantize it upstream")
         from decimal import ROUND_HALF_UP, Decimal
-        f0 = float(Decimal(row0["s"]).quantize(
+        f0 = float(Decimal(row0["__s"]).quantize(
             Decimal("0.000001"),
             rounding=ROUND_HALF_UP)) / float(n)
         self.f0_ = f0
-
-        # feature histograms are the working set: fail fast if a
-        # feature is un-quantized (mirrors KsDrift/Isotonic)
-        nd = df.select(*[
-            F.countDistinct(f).alias(f) for f in fs]).first()
-        for f in fs:
-            if nd[f] > self.max_distinct:
-                raise ValueError(
-                    f"GradientBoostedStumps: feature {f!r} has "
-                    f"{nd[f]} distinct values > max_distinct "
-                    f"{self.max_distinct} — quantize it upstream")
+        df = df.localCheckpoint(eager=True)
 
         model: list[tuple] = []
         pred: Column = F.lit(f0)

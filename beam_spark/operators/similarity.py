@@ -52,6 +52,22 @@ def _collect_queries(df: DataFrame, cols: list[str], max_rows: int,
     return rows
 
 
+def lit_double_array(values) -> Column:
+    """array<double> literal built in ONE expression parse. The
+    per-element ``F.array(*[F.lit(x) ...])`` chain costs one py4j
+    round-trip per element — at dim 64 that makes literal-heavy plan
+    CONSTRUCTION (k-means assignment, LSH planes, PCA loadings) the
+    driver-side bottleneck (measured 5x slower than a single parsed
+    expression). ``repr(float)`` round-trips doubles exactly and SQL
+    string->double casting is correctly rounded, so the realized
+    literals are bit-identical to the F.lit path."""
+    vals = [float(x) for x in values]
+    if not vals or not all(math.isfinite(v) for v in vals):
+        return F.array(*[F.lit(v) for v in vals])
+    return F.expr(
+        "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in vals) + ")")
+
+
 def dot(a: Column, b: Column) -> Column:
     """Deterministic dot product of two array columns (double result)."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -76,7 +92,7 @@ def _sketch(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit sketch as BIGINT: bit p set iff dot(vec, plane_p) > 0."""
     bits = None
     for p, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(v) for v in plane])
+        lit_plane = lit_double_array(plane)
         bit = F.when(dot(vec, lit_plane) > 0,
                      F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, p)
@@ -451,8 +467,7 @@ class SemDeDup(PTransform):
         # (row norm is a positive per-row constant). Centroid literals are
         # double, so zip_with products run in double. First-max index on
         # ties == smallest seed id (seeds are id-ordered).
-        dots = F.array(*[dot(F.col("vec"),
-                             F.array(*[F.lit(float(v)) for v in row]))
+        dots = F.array(*[dot(F.col("vec"), lit_double_array(row))
                          for row in C])
         sid_arr = F.array(*[F.lit(s).cast("long") for s in sids])
         assigned = (pcoll.df
@@ -1052,9 +1067,7 @@ class DbscanClustersLsh(PTransform):
             # method and blew janino's 64 KB limit into interpreted
             # fallback
             proj = F.aggregate(
-                F.zip_with("__v",
-                           F.array(*[F.lit(float(x))
-                                     for x in a[band][r]]),
+                F.zip_with("__v", lit_double_array(a[band][r]),
                            lambda x, y: x * y),
                 F.lit(0.0), lambda acc, t: acc + t)
             return F.floor((proj + F.lit(b[band][r])) / F.lit(w)) \
@@ -1181,8 +1194,7 @@ class KMeansLloyd(PTransform):
             nrm = norm(F.col("__v"))
             for _ in range(1, k):
                 sims = F.array(*[
-                    F.round(dot(F.col("__v"),
-                                F.array(*[F.lit(float(x)) for x in c]))
+                    F.round(dot(F.col("__v"), lit_double_array(c))
                             / nrm, 6)
                     for c in chosen])
                 pick = (base.withColumn("__mc", F.array_max(sims))
@@ -1205,8 +1217,7 @@ class KMeansLloyd(PTransform):
         def assign(cent):
             nrm = norm(F.col("__v"))
             sims = F.array(*[
-                F.round(dot(F.col("__v"),
-                            F.array(*[F.lit(float(x)) for x in row]))
+                F.round(dot(F.col("__v"), lit_double_array(row))
                         / nrm, 6)
                 for row in cent])
             return (base
@@ -1349,7 +1360,7 @@ class SilhouetteScore(PTransform):
             N[cpos[r["__cl"]]] = r["n"]
 
         def s_lit(i):
-            return F.array(*[F.lit(float(x)) for x in S[i]])
+            return lit_double_array(S[i])
 
         dots = [dot(F.col("__u"), s_lit(i)) for i in range(len(cids))]
         own_dot = None
