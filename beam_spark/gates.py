@@ -895,19 +895,25 @@ def q_analytics_suite(spark, sf_dir):
         return (_PC(edges) | LinkPrediction(
             min_common=2, max_neighbor_degree=64)).df
 
+    # the LAZY report members (window/agg plan constructions, no
+    # jobs) build on the same pool as the six iterative graph members
+    # + the eager itemsets slice, so their py4j/Catalyst analysis
+    # overlaps the graph round jobs instead of running serially after
+    # the pool drains
     from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(6) as _ex:
-        futs = [_ex.submit(f) for f in (_pagerank, _sssp, _tri, _kcore,
-                                        _hits, _linkpred)]
-        prt, sssp, tri, kc, hits, lpred = [f.result() for f in futs]
-    run = _cmp("q_running_total_per_customer")()
-    rnk = _cmp("q_rank_orders_in_priority")()
-    fun = _cmp("q_funnel_view_click_purchase")()
-    coh = _cmp("q_cohort_retention_monthly")()
-    trn = _cmp("q_event_transition_matrix")()
-    attrib = _cmp("q_attribution_last_touch")()
-    itemsets = _itemsets_slice(spark, sf_dir)
-    logodds = _cmp("q_text_log_odds_terms")()
+    with ThreadPoolExecutor(8) as _ex:
+        futs = [_ex.submit(f) for f in (
+            _pagerank, _sssp, _tri, _kcore, _hits, _linkpred,
+            lambda: _itemsets_slice(spark, sf_dir),
+            _cmp("q_running_total_per_customer"),
+            _cmp("q_rank_orders_in_priority"),
+            _cmp("q_funnel_view_click_purchase"),
+            _cmp("q_cohort_retention_monthly"),
+            _cmp("q_event_transition_matrix"),
+            _cmp("q_attribution_last_touch"),
+            _cmp("q_text_log_odds_terms"))]
+        (prt, sssp, tri, kc, hits, lpred, itemsets, run, rnk, fun,
+         coh, trn, attrib, logodds) = [f.result() for f in futs]
     return _union([
         run.selectExpr("'run' AS op", "o_orderkey AS k1",
                        "CAST(o_custkey AS STRING) AS k2",

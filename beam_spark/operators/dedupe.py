@@ -481,16 +481,21 @@ class ConnectedComponents(PTransform):
         deterministic given the edge SET, so equal fingerprints mean
         equal sets here."""
         ic, jc = self.i_col, self.j_col
+        # NON-eager in-loop checkpoints (here and per round below):
+        # eager=True costs a dedicated materialization job per call,
+        # and every one of them is immediately followed by a tiny
+        # action (the fingerprint) that can do the materializing —
+        # one job per round instead of two, identical arithmetic.
         edges = (pcoll.df
                  .select(F.greatest(F.col(ic), F.col(jc)).alias("u"),
                          F.least(F.col(ic), F.col(jc)).alias("v"))
                  .filter(F.col("u") != F.col("v"))
                  .distinct()
-                 .localCheckpoint(eager=True))
+                 .localCheckpoint(eager=False))
         nodes = (pcoll.df.select(F.col(ic).alias("node"))
                  .union(pcoll.df.select(F.col(jc).alias("node")))
                  .distinct()
-                 .localCheckpoint(eager=True))
+                 .localCheckpoint(eager=False))
 
         def fingerprint(e):
             row = e.agg(
@@ -530,7 +535,7 @@ class ConnectedComponents(PTransform):
         converged = False
         for _ in range(self.max_iterations):
             stepped = small_star(large_star(edges)).localCheckpoint(
-                eager=True)
+                eager=False)
             fp = fingerprint(stepped)
             edges = stepped
             if fp == prev_fp:
@@ -583,7 +588,7 @@ class ConnectedComponents(PTransform):
             # truncation the logical plan DOUBLES per iteration and a
             # >10-round graph (long chain) OOMs the driver on plan
             # objects alone
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = new_labels.localCheckpoint(eager=False)
             # convergence via one agg, no join: labels only ever
             # DECREASE under min-propagation, so an unchanged sum means
             # a fixed point

@@ -81,20 +81,24 @@ class PageRank(PTransform):
 
     def expand(self, pcoll: PCollection) -> PCollection:
         d, wc = self.damping, self.weight
+        # setup checkpoints are NON-eager: nodes is materialized by
+        # the count right below, edges/deg by round 1's ranks job —
+        # lineage is still cut at first materialization, but no
+        # dedicated per-frame materialization jobs are paid
         edges = (pcoll.df
                  .select(F.col(self.src).alias("src"),
                          F.col(self.dst).alias("dst"),
                          *([F.col(wc).cast("double").alias("__w")]
                            if wc else []))
-                 .localCheckpoint(eager=True))
+                 .localCheckpoint(eager=False))
         nodes = (edges.select(F.col("src").alias("node"))
                  .unionByName(edges.select(F.col("dst").alias("node")))
                  .distinct()
-                 .localCheckpoint(eager=True))
+                 .localCheckpoint(eager=False))
         deg = (edges.groupBy("src")
                .agg((F.sum("__w") if wc else F.count(F.lit(1)))
                     .alias("__deg"))
-               .localCheckpoint(eager=True))
+               .localCheckpoint(eager=False))
         n_nodes = nodes.count()
         # restart vector: uniform 1/N, or the normalized
         # personalization (absent nodes restart with zero mass)
@@ -111,10 +115,10 @@ class PageRank(PTransform):
                 .crossJoin(F.broadcast(tot))
                 .select("node", F.coalesce(F.col("__p") / F.col("__t"),
                                            F.lit(0.0)).alias("__r"))
-                .localCheckpoint(eager=True))
+                .localCheckpoint(eager=False))
         else:
             rv = (nodes.withColumn("__r", F.lit(1.0 / n_nodes))
-                  .localCheckpoint(eager=True))
+                  .localCheckpoint(eager=False))
         ranks = rv.select("node", F.col("__r").alias("pr"))
         self.rounds_run_ = 0
         for _ in range(self.iterations):
@@ -244,7 +248,7 @@ class ShortestPaths(PTransform):
                        .select("node",
                                F.col("sp.dist").alias("dist"),
                                F.col("sp.pred").alias("pred"))
-                       .localCheckpoint(eager=True))
+                       .localCheckpoint(eager=False))
                 diff = (F.col("n.dist") != F.col("p.dist")) | (
                     F.col("n.pred") != F.col("p.pred"))
             else:
@@ -252,9 +256,11 @@ class ShortestPaths(PTransform):
                          .select(F.col("dst").alias("node"),
                                  (F.col("dist") + F.col("__w"))
                                  .alias("dist")))
+                # non-eager: the changed-count action below both
+                # computes and stores the round — one job, not two
                 new = (dist.unionByName(relax)
                        .groupBy("node").agg(F.min("dist").alias("dist"))
-                       .localCheckpoint(eager=True))
+                       .localCheckpoint(eager=False))
                 diff = F.col("n.dist") != F.col("p.dist")
             self.rounds_run_ += 1
             changed = (new.alias("n")
@@ -419,9 +425,11 @@ class KCore(PTransform):
         prev_n = None
         for _ in range(rounds):
             deg = degrees(edges)
+            # non-eager: materialized by the count below (convergence
+            # mode) or inside the edges checkpoint job (fixed mode)
             survivors = (deg.where(F.col("degree") >= k)
                          .select("node")
-                         .localCheckpoint(eager=True))
+                         .localCheckpoint(eager=False))
             if self.fixed_rounds is None:
                 n = survivors.count()
                 if n == prev_n:
@@ -695,7 +703,7 @@ class Hits(PTransform):
                     .select(nodes["node"],
                             (F.coalesce(F.col("__a"), F.lit(0.0))
                              / F.col("__s")).alias("a"))
-                    .localCheckpoint(eager=True))
+                    .localCheckpoint(eager=False))
             hraw = (edges.join(auth, edges["dst"] == auth["node"])
                     .groupBy("src").agg(F.sum("a").alias("__h")))
             hnorm = hraw.agg(F.sum("__h").alias("__s"))

@@ -910,6 +910,11 @@ def _dbscan_assign(pcoll, pts, pairs, min_pts, idc):
     only thing that differs between them."""
     from beam_spark.operators.dedupe import ConnectedComponents
 
+    # EAGER on purpose: the first consumer job reads pairs through
+    # parallel stage branches (the core count and the core-core edge
+    # join), and a non-eager checkpoint would compute it once per
+    # branch before the cache exists (measured +37% on the gate's
+    # dbscan member when tried)
     pairs = pairs.localCheckpoint(eager=True)  # 3 consumers below
 
     ncnt = pairs.groupBy("__ai").agg(
