@@ -766,13 +766,15 @@ def test_ddsketch_plan_no_raw_row_window(spark, sf_dir):
 # regressions the same way the r12/r13 families are.
 # ---------------------------------------------------------------------------
 
-def test_ams_f2_one_rowvolume_shuffle_partial_agg(spark, sf_dir):
-    """AmsF2Sketch's only row-volume shuffle is the map-side partial
-    cell sum: exactly TWO exchanges total — (keys, cell) partial+final
-    around the first (its shuffled state is keys x k integer cells,
-    not rows), then the keys-level estimate pair whose input is
-    already cell-sized. Both aggregations keep their partial/final
-    HashAggregate pairs (4 HashAggregates)."""
+def test_ams_f2_summary_sized_shuffles_partial_agg(spark, sf_dir):
+    """AmsF2Sketch never shuffles raw rows: the r15 frequency-first
+    rewrite (the md5 sign is a pure function of (cell, value), so
+    Z_j = sum_v f_v * s_j(v) — identical integer cells, k x fewer
+    hashes) makes exactly THREE exchanges — the (keys, value)
+    frequency pass, the (keys, cell) sum, the keys-level estimate —
+    each behind a map-side partial HashAggregate (6 HashAggregates),
+    and the explode(k) sits AFTER the frequency aggregation so the
+    k-fold blowup applies to distinct-value cells, not rows."""
     from beam_spark.operators.stats import AmsF2Sketch
     from beam_spark.pcollection import PCollection
 
@@ -780,8 +782,12 @@ def test_ams_f2_one_rowvolume_shuffle_partial_agg(spark, sf_dir):
     out = (PCollection(ev)
            | AmsF2Sketch("event_type", counters=16, keys="user_id")).df
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") == 2, plan[:1200]
-    assert plan.count("HashAggregate") == 4, plan[:1200]
+    assert plan.count("Exchange") == 3, plan[:1200]
+    assert plan.count("HashAggregate") == 6, plan[:1200]
+    # explode(k) must consume the aggregated frequency frame (its
+    # child chain contains the first HashAggregate), never the scan
+    gen = plan.index("Generate explode")
+    assert "HashAggregate" in plan[gen:], plan[:1200]
 
 
 def test_leakage_safe_split_zero_shuffle(spark, sf_dir):
