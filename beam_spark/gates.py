@@ -561,9 +561,13 @@ def q_stats_moments(spark, sf_dir):
         # component), so the gate runs the user_id%10 slice; the full
         # version stays component-oracled
         from beam_spark.operators.stats import BootstrapCI
-        ev = table(spark, sf_dir, "events").df.where(
+        # fan_out: the B=100 explode + per-draw md5 otherwise run on
+        # the scan's single task (single-row-group input); the Poisson
+        # weight is a pure function of (event_id, b) and both sums are
+        # exact decimals, so partitioning cannot change the CI
+        ev = Q.fan_out(table(spark, sf_dir, "events").df.where(
             "user_id % 10 = 0").selectExpr(
-            "event_type", "event_id", "value")
+            "event_type", "event_id", "value"), spark)
         return (_PC(ev) | BootstrapCI(
             "value", id_col="event_id", b=100, alpha=0.05,
             keys="event_type")).df.selectExpr(
@@ -1432,10 +1436,20 @@ def q_simhash_fingerprints(spark, sf_dir):
     aggregation is recomputed in DuckDB from md5 hex halves, so the
     64-bit fingerprint (emitted as two uint32 halves) is value-exact.
     xxhash64 stays the scale default; the pigeonhole pair join is
-    pytest-verified (planted-dup recall + hamming correctness)."""
-    from beam_spark.operators.dedupe import SimHash
+    pytest-verified (planted-dup recall + hamming correctness).
 
-    fp = (table(spark, sf_dir, "documents") | SimHash(hash_fn="md5")).df
+    The operator itself is deliberately ZERO-shuffle (one projection
+    per document — test_simhash_zero_shuffle), which on the
+    single-row-group testdata parquet means the whole 64-bit vote
+    fold runs on ONE task; fan_out after the read parallelizes the
+    per-row HOF work (guide §2.5) without touching the operator's
+    scale posture — the fingerprint is a pure per-row function, so
+    partitioning cannot change it."""
+    from beam_spark.operators.dedupe import SimHash
+    from beam_spark.pcollection import PCollection as _PC
+
+    docs = Q.fan_out(table(spark, sf_dir, "documents").df, spark)
+    fp = (_PC(docs) | SimHash(hash_fn="md5")).df
     return fp.select(
         "doc_id",
         F.col("simhash").bitwiseAND(F.lit(0xFFFFFFFF)).alias("fp_lo"),

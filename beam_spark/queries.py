@@ -7782,7 +7782,10 @@ def q_pardo_json(spark, sf_dir):
                    "k": json.loads(el["props"]).get("k"),
                    "event_type": el["event_type"]}
 
-    out = (table(spark, sf_dir, "events")
+    # fan_out: the Python json.loads bundle otherwise runs on the
+    # scan's single task (single-row-group input); per-row pure
+    ev = table(spark, sf_dir, "events")
+    out = (ev.with_df(fan_out(ev.df, spark))
            | ParDo(ExtractProps(),
                    output_schema="event_id: long, k: long, event_type: string"))
     return out.df
