@@ -590,6 +590,27 @@ def q_stats_moments(spark, sf_dir):
             "trend AS v1", "seasonal AS v2", "remainder AS v3",
             f"{_ZERO} AS v4")
 
+    def _coldep3():
+        # the three coldep projections read the SAME component frame
+        # (a one-row dependence report whose ~2s MI/entropy pipeline
+        # was otherwise planned AND executed three times in the
+        # union); one eager checkpoint on the pool, three trivial
+        # projections — identical rows in the identical union slots
+        base = _component("q_column_dependence_docs")(
+            spark, sf_dir).localCheckpoint(eager=True)
+        return _union([
+            base.selectExpr(
+                "'coldep' AS op", "'mi' AS k", "mi AS v1",
+                "u_x_given_y AS v2", "u_y_given_x AS v3",
+                "cramers_v AS v4"),
+            base.selectExpr(
+                "'coldep' AS op", "'h' AS k", "h_x AS v1", "h_y AS v2",
+                "h_xy AS v3", "chi2 AS v4"),
+            base.selectExpr(
+                "'coldep' AS op", "'n' AS k", "CAST(n AS DOUBLE) AS v1",
+                "CAST(nx AS DOUBLE) AS v2", "CAST(ny AS DOUBLE) AS v3",
+                f"{_ZERO} AS v4")])
+
     thunks = [
         _tagged("q_variance_moments_per_type",
                 "'var' AS op", "event_type AS k", "var_value AS v1",
@@ -631,17 +652,7 @@ def q_stats_moments(spark, sf_dir):
                 "CAST(n_risk AS DOUBLE) AS v1",
                 "CAST(d_events AS DOUBLE) AS v2",
                 "CAST(c_censored AS DOUBLE) AS v3", "survival AS v4"),
-        _tagged("q_column_dependence_docs",
-                "'coldep' AS op", "'mi' AS k", "mi AS v1",
-                "u_x_given_y AS v2", "u_y_given_x AS v3",
-                "cramers_v AS v4"),
-        _tagged("q_column_dependence_docs",
-                "'coldep' AS op", "'h' AS k", "h_x AS v1", "h_y AS v2",
-                "h_xy AS v3", "chi2 AS v4"),
-        _tagged("q_column_dependence_docs",
-                "'coldep' AS op", "'n' AS k", "CAST(n AS DOUBLE) AS v1",
-                "CAST(nx AS DOUBLE) AS v2", "CAST(ny AS DOUBLE) AS v3",
-                f"{_ZERO} AS v4"),
+        _coldep3,
         # r14 fold: the multi-feature MI ranking screen (coldep's
         # one-pair report generalized to a melt pass)
         _tagged("q_quality_mi_feature_rank",

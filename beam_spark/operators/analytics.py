@@ -401,8 +401,17 @@ class FrequentItemsets(PTransform):
         levels = [l1.select(F.array(F.col(it)).alias("items"),
                             F.lit(1).cast("int").alias("size"),
                             F.col("c").alias("support_n"))]
+        # the pruned basket list is reused by BOTH legs of every
+        # level self-join (and by the next level's pruning), so an
+        # unmaterialized fb replicates the distinct+L1+semi-join tree
+        # once per reference — ~15 copies at max_size=3. One eager
+        # localCheckpoint per level keeps the plan linear; the
+        # checkpointed frame is the identical row set (a-priori
+        # implementations cache the pruned transaction list per level
+        # for the same reason at any scale).
         fb = b.join(l1.select(it), on=it, how="left_semi")
         if self.max_size >= 2:
+            fb = fb.localCheckpoint(eager=True)
             x = fb.select(*bk, F.col(it).alias("__a"))
             y = fb.select(*bk, F.col(it).alias("__b"))
             l2 = (x.join(y, on=bk).where(F.col("__b") > F.col("__a"))
@@ -414,10 +423,11 @@ class FrequentItemsets(PTransform):
                 F.lit(2).cast("int").alias("size"),
                 F.col("c").alias("support_n")))
         if self.max_size >= 3:
-            it2 = (l2.select(F.col("__a").alias(it))
-                   .unionAll(l2.select(F.col("__b").alias(it)))
+            it2 = (l2.select(F.explode(F.array(
+                F.col("__a"), F.col("__b"))).alias(it))
                    .distinct())
-            fb2 = fb.join(it2, on=it, how="left_semi")
+            fb2 = (fb.join(it2, on=it, how="left_semi")
+                   .localCheckpoint(eager=True))
             x = fb2.select(*bk, F.col(it).alias("__a"))
             y = fb2.select(*bk, F.col(it).alias("__b"))
             z = fb2.select(*bk, F.col(it).alias("__c"))

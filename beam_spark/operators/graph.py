@@ -312,14 +312,21 @@ class TriangleCount(PTransform):
                        F.greatest(F.col(s), F.col(d)).alias("b"))
                .where(F.col("a") != F.col("b"))
                .distinct())
-        deg = (und.select(F.col("a").alias("node"))
-               .unionAll(und.select(F.col("b").alias("node")))
+        deg = (und.select(F.explode(F.array("a", "b")).alias("node"))
                .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
         da = deg.select(F.col("node").alias("a"),
                         F.col("deg").alias("da"))
         db = deg.select(F.col("node").alias("b"),
                         F.col("deg").alias("db"))
-        # orient low (degree, node) -> high: out-degree O(sqrt(m))
+        # orient low (degree, node) -> high: out-degree O(sqrt(m)).
+        # The oriented list is consumed by FOUR downstream branches
+        # (both wedge legs, both closure directions) and each branch
+        # would otherwise re-plan and re-execute the whole
+        # distinct+degree+join pipeline — an unmaterialized tree of
+        # 200+ Exchanges. One eager localCheckpoint (the same posture
+        # as the iterative graph operators) makes the downstream plan
+        # linear in both engines' sense: identical rows, one
+        # materialization, reused everywhere.
         oriented = (und.join(da, "a").join(db, "b")
                     .select(
                         F.when((F.col("da") < F.col("db"))
@@ -331,24 +338,31 @@ class TriangleCount(PTransform):
                                | ((F.col("da") == F.col("db"))
                                   & (F.col("a") < F.col("b"))),
                                F.col("b")).otherwise(F.col("a"))
-                        .alias("v")))
+                        .alias("v"))
+                    .localCheckpoint(eager=True))
+        # degrees re-derived from the checkpoint: oriented rows map
+        # 1:1 to und rows with the same endpoint multiset, so the
+        # explode'd counts are the identical integers — and the
+        # downstream plan never references the pre-checkpoint tree
+        deg = (oriented.select(F.explode(F.array("u", "v"))
+                               .alias("node"))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
         e1 = oriented.select(F.col("u"), F.col("v").alias("x"))
         e2 = oriented.select(F.col("u"), F.col("v").alias("y"))
         wedges = (e1.join(e2, "u").where(F.col("x") < F.col("y")))
-        closer = oriented.select(F.col("u").alias("x"),
-                                 F.col("v").alias("y"))
         # a wedge (u; x, y) closes iff oriented edge (x, y) exists —
         # x < y and orientation is a total order, so one direction
         # suffices... except orientation orders by (degree, node),
-        # not by node id: check BOTH oriented directions
-        closer2 = oriented.select(F.col("v").alias("x"),
-                                  F.col("u").alias("y"))
-        tri = (wedges.join(closer.unionAll(closer2).distinct(),
-                           ["x", "y"], "inner")
+        # not by node id: check BOTH oriented directions (one explode
+        # pass over the checkpoint instead of a two-branch union)
+        closers = (oriented.select(F.explode(F.array(
+            F.struct(F.col("u").alias("x"), F.col("v").alias("y")),
+            F.struct(F.col("v").alias("x"), F.col("u").alias("y"))))
+            .alias("e")).select("e.x", "e.y").distinct())
+        tri = (wedges.join(closers, ["x", "y"], "inner")
                .select("u", "x", "y"))
-        per_node = (tri.select(F.col("u").alias("node"))
-                    .unionAll(tri.select(F.col("x").alias("node")))
-                    .unionAll(tri.select(F.col("y").alias("node")))
+        per_node = (tri.select(F.explode(F.array("u", "x", "y"))
+                               .alias("node"))
                     .groupBy("node")
                     .agg(F.count(F.lit(1)).alias("triangles")))
         out = (deg.join(per_node, "node", "left")
@@ -772,17 +786,30 @@ class LinkPrediction(PTransform):
 
     def expand(self, pcoll: PCollection) -> PCollection:
         s, d = self.src, self.dst
+        # und feeds both wedge legs, the existing-edge anti-join and
+        # (through deg) both endpoint-degree joins — unmaterialized,
+        # the distinct tree is planned and executed ~13 times (the
+        # TriangleCount pathology). Two eager localCheckpoints keep
+        # the downstream plan linear over identical row sets.
         und = (pcoll.df
                .select(F.least(F.col(s), F.col(d)).alias("a"),
                        F.greatest(F.col(s), F.col(d)).alias("b"))
                .where(F.col("a") != F.col("b"))
-               .distinct())
+               .distinct()
+               .localCheckpoint(eager=True))
+        # adj stays the two-block unionAll (NOT an explode): the
+        # wedge aggregation sums doubles downstream, and the union of
+        # two checkpoint reads preserves the exact pre-change row
+        # layout (an explode would interleave rows and perturb the
+        # partial-sum accumulation order). Reading a materialized
+        # frame twice costs no extra shuffle.
         adj = (und.select(F.col("a").alias("node"),
                           F.col("b").alias("nbr"))
                .unionAll(und.select(F.col("b").alias("node"),
                                     F.col("a").alias("nbr"))))
-        deg = adj.groupBy("node").agg(
+        deg = (adj.groupBy("node").agg(
             F.count(F.lit(1)).alias("deg"))
+            .localCheckpoint(eager=True))
         # wedge centers: the shared neighbor w carries its own degree
         # into the join so adamic-adar / resource-allocation are
         # computed in the same pass as the pair count

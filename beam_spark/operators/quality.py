@@ -1590,8 +1590,15 @@ class MutualInformationRank(PTransform):
                     "AS (feature, __x)",
                     f"CAST(`{yc}` AS STRING) AS __y")
                 .where(F.col("__x").isNotNull()))
-        joint = melt.groupBy("feature", "__x", "__y").agg(
+        # the joint-count frame (feature x categories — summary-sized)
+        # feeds the total, all three entropy reaggregations and the
+        # final join; unmaterialized, the melt+count pipeline is
+        # planned and executed once per reference (~7 copies). One
+        # eager localCheckpoint keeps the plan linear; every
+        # downstream sum is an exact integer or decimal(28,12).
+        joint = (melt.groupBy("feature", "__x", "__y").agg(
             F.count(F.lit(1)).cast("long").alias("c"))
+            .localCheckpoint(eager=True))
         tot = joint.groupBy("feature").agg(
             F.sum("c").cast("long").alias("n"))
 
@@ -1652,8 +1659,14 @@ class ColumnDependence(PTransform):
         x, y = F.col(self.col_x), F.col(self.col_y)
         base = (pcoll.df.where(x.isNotNull() & y.isNotNull())
                 .select(x.alias("__x"), y.alias("__y")))
-        joint = base.groupBy("__x", "__y").agg(
+        # the joint-count frame (category-cardinality) feeds all
+        # three entropy reaggregations and the chi2 marginal windows;
+        # unmaterialized, the row-level count pipeline replays per
+        # reference (~40-Exchange plan). One eager localCheckpoint
+        # keeps it linear; downstream sums are integers/decimals.
+        joint = (base.groupBy("__x", "__y").agg(
             F.count(F.lit(1)).cast("long").alias("c"))
+            .localCheckpoint(eager=True))
 
         def ent(df, keys, alias):
             cnt = df.groupBy(*keys).agg(F.sum("c").cast("long")

@@ -10657,7 +10657,12 @@ def q_pipeline_ab_analysis(spark, sf_dir):
                               F.col("value").cast(dec))
                        .otherwise(F.lit(0).cast(dec)))
                  .cast("double").alias("x"))
-            .withColumn("arm", F.col("user_id") % 2))
+            .withColumn("arm", F.col("user_id") % 2)
+            # unit feeds CUPED (which references it again internally),
+            # the MWU leg and the SRM counts — unmaterialized, the
+            # events aggregation replays ~5x inside the union. One
+            # eager localCheckpoint; the sums are exact decimals.
+            .localCheckpoint(eager=True))
     adj = (PCollection(unit) | Cuped("y", "x")).df
     welch = (PCollection(adj)
              | TwoSampleTTest("y_adj", "arm", 0, 1,
@@ -10924,8 +10929,15 @@ def q_pipeline_ml_training(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").df
     train = docs.where("doc_id % 2 = 0")
     test = docs.where("doc_id % 4 = 1")
+    # routed feeds both the accuracy aggregate and the output 'nb'
+    # rows; metrics feeds two projections — unmaterialized, the NB
+    # inference and the classifier-metrics pipelines are each planned
+    # and executed twice inside the union (78-Exchange plan). One
+    # eager localCheckpoint each materializes the identical frame
+    # once; every downstream aggregate is exact-integer/decimal.
     routed = (PCollection(test)
-              | NaiveBayesClassify(train, "lang", "doc_id")).df
+              | NaiveBayesClassify(train, "lang", "doc_id")
+              ).df.localCheckpoint(eager=True)
     acc = (routed.join(docs.select("doc_id", "lang"), "doc_id")
            .agg(F.avg((F.col("predicted") == F.col("lang"))
                       .cast("double")).alias("acc"),
@@ -10945,7 +10957,8 @@ def q_pipeline_ml_training(spark, sf_dir):
         F.col("y").cast("int").alias("label"),
         F.round(fit.decision_column(), 6).alias("s"))
     metrics = (PCollection(scored)
-               | BinaryClassifierMetrics("s", "label")).df
+               | BinaryClassifierMetrics("s", "label")
+               ).df.localCheckpoint(eager=True)
     iso = (PCollection(scored.selectExpr("round(s, 2) AS score",
                                          "label AS yl"))
            | IsotonicCalibration("score", "yl")).df
