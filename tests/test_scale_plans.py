@@ -841,3 +841,51 @@ def test_containment_pairs_shingle_equijoin_envelope(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert (plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin")
             + plan.count("ShuffledHashJoin")) >= 1, plan[:1200]
+
+
+def test_multi_consumer_operators_plan_linear(spark, sf_dir):
+    """Operators whose intermediate frames feed several downstream
+    branches (both legs of a self-join, per-level pruning, multiple
+    reaggregations) materialize that frame once with an eager
+    localCheckpoint — otherwise each reference replays the WHOLE
+    upstream tree and the copies compound multiplicatively
+    (TriangleCount's plan reached 242 Exchange nodes for a ~10-node
+    ideal before r15). These bounds prove the plans stay LINEAR: a
+    reintroduced replay immediately multiplies the Exchange count."""
+    from beam_spark.operators.analytics import FrequentItemsets
+    from beam_spark.operators.graph import LinkPrediction, TriangleCount
+    from beam_spark.operators.quality import (ColumnDependence,
+                                              MutualInformationRank)
+    from beam_spark.pcollection import PCollection
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    edges = orders.selectExpr("o_custkey AS src", "o_orderkey % 200 AS dst")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def n_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange")
+
+    tri = (PCollection(edges) | TriangleCount()).df
+    assert n_exchanges(tri) <= 16, "TriangleCount plan no longer linear"
+
+    lp = (PCollection(edges.where("src % 7 = 0"))
+          | LinkPrediction(min_common=2, max_neighbor_degree=64)).df
+    assert n_exchanges(lp) <= 16, "LinkPrediction plan no longer linear"
+
+    li = orders.selectExpr("o_orderkey AS b", "o_custkey % 20 AS item")
+    fi = (PCollection(li)
+          | FrequentItemsets("item", basket_keys="b", min_support=3,
+                             max_size=3)).df
+    assert n_exchanges(fi) <= 20, "FrequentItemsets plan no longer linear"
+
+    mi = (PCollection(docs.selectExpr(
+        "lang", "source", "CAST(n_chars % 10 AS STRING) AS bucket"))
+        | MutualInformationRank(["source", "bucket"], "lang")).df
+    assert n_exchanges(mi) <= 16, "MutualInformationRank no longer linear"
+
+    cd = (PCollection(docs.selectExpr("lang", "source"))
+          | ColumnDependence("source", "lang")).df
+    # three entropy paths + chi2 windows + their broadcasts read the
+    # ONE checkpointed joint frame: ~19 post-collapse vs ~40 before
+    assert n_exchanges(cd) <= 24, "ColumnDependence plan no longer linear"
