@@ -50,11 +50,34 @@ def main() -> None:
     else:
         registry["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Host-drift calibration (VERDICT r15 #2): a fixed synthetic
+    # aggregate (120M xxhash64 over 8 range partitions — no table
+    # reads, no query code) timed as median-of-3 after an untimed
+    # warmup. Its seconds land in the JSON line as ``calib_sec`` so
+    # two artifacts recorded weeks apart on a drifting host can be
+    # compared: query-time ratios can be read against the calib
+    # ratio instead of needing an untouched-query control group.
+    def _calib_once() -> float:
+        t0 = time.perf_counter()
+        (spark.range(0, 120_000_000, 1, 8)
+         # mask before summing: a raw sum of 20M random longs
+         # overflows BIGINT under ANSI mode
+         .selectExpr("sum(xxhash64(id) & 1048575) AS h")
+         .write.format("noop").mode("overwrite").save())
+        return time.perf_counter() - t0
+
+    from statistics import median
+    _calib_once()  # untimed warmup
+    calib_sec = round(median(_calib_once() for _ in range(3)), 3)
+    print(f"calibration: {calib_sec}s", file=sys.stderr)
+
     # This host shows 4-6x per-query noise on single runs (NEXT.md
     # measurement log) — run the inventory n>=3 times and report
     # per-query MEDIANS so one noisy run can't become the round's
-    # artifact.
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # artifact. Default bumped 3 -> 5 (VERDICT r15 #2: cheaper
+    # insurance post-warmup than it was before; medians over 5 absorb
+    # two bursts where 3 absorbs one).
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     runs: dict[str, list[float]] = {n: [] for n in names}
     for r in range(n_runs):
         for name in names:
@@ -65,7 +88,6 @@ def main() -> None:
             runs[name].append(dt)
             print(f"run{r + 1} {name}: {dt}s", file=sys.stderr)
 
-    from statistics import median
     timings = {n: round(median(ts), 3) for n, ts in runs.items()}
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -94,6 +116,7 @@ def main() -> None:
         "aggregation": "per-query median",
         "run_totals": [round(sum(runs[n][r] for n in names), 3)
                        for r in range(n_runs)],
+        "calib_sec": calib_sec,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_FULL.json"), "w") as f:
