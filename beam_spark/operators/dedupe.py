@@ -533,10 +533,36 @@ class ConnectedComponents(PTransform):
 
         prev_fp = fingerprint(edges)
         converged = False
-        for _ in range(self.max_iterations):
+        # TWO rounds per driver job (optimization guide §1.2 "remove
+        # passes"): the fingerprint action materializes a batch of two
+        # large+small rounds (each round still lineage-cut by its own
+        # non-eager checkpoint inside the same job) instead of one.
+        # Correctness is unchanged: rounds are deterministic functions
+        # of the edge SET and the set only contracts toward the star
+        # forest, so a fixed point of one round is a fixed point of
+        # two — equal batch-end fingerprints still mean convergence,
+        # and a graph that converges mid-batch just replays one
+        # identity round inside the job. The round BUDGET is shared
+        # (each batch consumes two of max_iterations), so the
+        # nonconverged bound is the same.
+        rounds_left = self.max_iterations
+        while rounds_left > 0:
+            mid = None
             stepped = small_star(large_star(edges)).localCheckpoint(
                 eager=False)
+            rounds_left -= 1
+            if rounds_left > 0:
+                mid = stepped
+                stepped = small_star(large_star(stepped)).localCheckpoint(
+                    eager=False)
+                rounds_left -= 1
             fp = fingerprint(stepped)
+            if edges is not pcoll.df:
+                edges.unpersist()
+            if mid is not None:
+                # release the intra-batch round's checkpoint — at
+                # scale a leaked cached frame per batch is data-sized
+                mid.unpersist()
             edges = stepped
             if fp == prev_fp:
                 converged = True
@@ -575,25 +601,45 @@ class ConnectedComponents(PTransform):
         labels.persist()
         prev_sum = labels.agg(dec_sum).first()[0]  # materializes too
         converged = False
-        for _ in range(self.max_iterations):
-            # candidate labels: own + min over neighbors' current labels
-            neighbor = (sym.join(labels, sym["b"] == labels["node"])
-                        .select(sym["a"].alias("node"),
-                                F.col("comp")))
-            new_labels = (labels.select("node", "comp").union(neighbor)
-                          .groupBy("node")
-                          .agg(F.min("comp").alias("comp")))
-            # localCheckpoint, not just persist: each round's plan
-            # references the previous round's, so without lineage
+
+        def _propagate(lab):
+            # candidate labels: own + min over neighbors' current
+            # labels. localCheckpoint, not just persist: each round's
+            # plan references the previous round's, so without lineage
             # truncation the logical plan DOUBLES per iteration and a
             # >10-round graph (long chain) OOMs the driver on plan
             # objects alone
-            new_labels = new_labels.localCheckpoint(eager=False)
-            # convergence via one agg, no join: labels only ever
-            # DECREASE under min-propagation, so an unchanged sum means
-            # a fixed point
+            neighbor = (sym.join(lab, sym["b"] == lab["node"])
+                        .select(sym["a"].alias("node"),
+                                F.col("comp")))
+            return (lab.select("node", "comp").union(neighbor)
+                    .groupBy("node")
+                    .agg(F.min("comp").alias("comp"))
+                    .localCheckpoint(eager=False))
+
+        # TWO propagation rounds per driver job (guide §1.2): the sum
+        # action materializes a batch of two checkpointed rounds.
+        # Labels only ever DECREASE under min-propagation, so an
+        # unchanged sum across a two-round batch still means a fixed
+        # point (a strictly earlier fixed point just replays identity
+        # rounds inside the job — same labels out). The round budget
+        # is shared: each batch consumes two of max_iterations.
+        rounds_left = self.max_iterations
+        while rounds_left > 0:
+            mid = None
+            new_labels = _propagate(labels)
+            rounds_left -= 1
+            if rounds_left > 0:
+                mid = new_labels
+                new_labels = _propagate(new_labels)
+                rounds_left -= 1
+            # convergence via one agg, no join (see dec_sum above)
             new_sum = new_labels.agg(dec_sum).first()[0]
             labels.unpersist()
+            if mid is not None:
+                # release the intra-batch round's checkpoint — at
+                # scale a leaked cached frame per batch is data-sized
+                mid.unpersist()
             labels = new_labels
             if new_sum == prev_sum:
                 converged = True

@@ -230,43 +230,70 @@ class ShortestPaths(PTransform):
             # a source is its own predecessor (never NULL: engines
             # disagree on NULL ordering inside struct comparisons)
             dist = dist.withColumn("pred", F.col("node"))
-        dist = dist.localCheckpoint(eager=True)
+        # non-eager: the seed table is a LOCAL one-row-per-source
+        # frame — round 1's changed-count materializes it; recompute
+        # (if branches race the cache) is a LocalTableScan, not a
+        # source scan
+        dist = dist.localCheckpoint(eager=False)
         self.rounds_run_ = 0
-        for _ in range(self.iterations):
+
+        def _relax(cur):
+            # one Bellman-Ford round; non-eager checkpoint: the
+            # changed-count action below both computes and stores the
+            # round — one job, not two
             if preds:
-                relax = (edges.join(dist, edges["src"] == dist["node"])
+                relax = (edges.join(cur, edges["src"] == cur["node"])
                          .select(F.col("dst").alias("node"),
                                  F.struct(
                                      (F.col("dist") + F.col("__w"))
                                      .alias("dist"),
                                      F.col("src").alias("pred"))
                                  .alias("sp")))
-                base = dist.select(
+                base = cur.select(
                     "node", F.struct("dist", "pred").alias("sp"))
-                new = (base.unionByName(relax)
-                       .groupBy("node").agg(F.min("sp").alias("sp"))
-                       .select("node",
-                               F.col("sp.dist").alias("dist"),
-                               F.col("sp.pred").alias("pred"))
-                       .localCheckpoint(eager=False))
-                diff = (F.col("n.dist") != F.col("p.dist")) | (
-                    F.col("n.pred") != F.col("p.pred"))
-            else:
-                relax = (edges.join(dist, edges["src"] == dist["node"])
-                         .select(F.col("dst").alias("node"),
-                                 (F.col("dist") + F.col("__w"))
-                                 .alias("dist")))
-                # non-eager: the changed-count action below both
-                # computes and stores the round — one job, not two
-                new = (dist.unionByName(relax)
-                       .groupBy("node").agg(F.min("dist").alias("dist"))
-                       .localCheckpoint(eager=False))
-                diff = F.col("n.dist") != F.col("p.dist")
+                return (base.unionByName(relax)
+                        .groupBy("node").agg(F.min("sp").alias("sp"))
+                        .select("node",
+                                F.col("sp.dist").alias("dist"),
+                                F.col("sp.pred").alias("pred"))
+                        .localCheckpoint(eager=False))
+            relax = (edges.join(cur, edges["src"] == cur["node"])
+                     .select(F.col("dst").alias("node"),
+                             (F.col("dist") + F.col("__w"))
+                             .alias("dist")))
+            return (cur.unionByName(relax)
+                    .groupBy("node").agg(F.min("dist").alias("dist"))
+                    .localCheckpoint(eager=False))
+
+        if preds:
+            diff = (F.col("n.dist") != F.col("p.dist")) | (
+                F.col("n.pred") != F.col("p.pred"))
+        else:
+            diff = F.col("n.dist") != F.col("p.dist")
+        # TWO relaxation rounds per driver job (guide §1.2, the
+        # ConnectedComponents posture): distances/preds only ever
+        # DECREASE under the min, so an unchanged table across a
+        # two-round batch still means a fixed point; a graph that
+        # converges mid-batch replays one identity round inside the
+        # job. The round budget is shared (each batch consumes two of
+        # ``iterations``), so the r-hop exactness bound is unchanged.
+        rounds_left = self.iterations
+        while rounds_left > 0:
+            mid = None
+            new = _relax(dist)
+            rounds_left -= 1
             self.rounds_run_ += 1
+            if rounds_left > 0:
+                mid = new
+                new = _relax(new)
+                rounds_left -= 1
+                self.rounds_run_ += 1
             changed = (new.alias("n")
                        .join(dist.alias("p"), "node", "left")
                        .where(F.col("p.dist").isNull() | diff)
                        .count())
+            if mid is not None:
+                mid.unpersist()  # intra-batch round: data-sized at scale
             dist = new
             if changed == 0:
                 break
@@ -437,7 +464,7 @@ class KCore(PTransform):
         rounds = (self.fixed_rounds if self.fixed_rounds is not None
                   else self.max_rounds)
         prev_n = None
-        for _ in range(rounds):
+        for i in range(rounds):
             deg = degrees(edges)
             # non-eager: materialized by the count below (convergence
             # mode) or inside the edges checkpoint job (fixed mode)
@@ -453,9 +480,18 @@ class KCore(PTransform):
                     break
             sa = survivors.select(F.col("node").alias("a"))
             sb = survivors.select(F.col("node").alias("b"))
+            # fixed mode: TWO peeling rounds per materialization job
+            # (guide §1.2) — odd rounds stay non-eager and are
+            # materialized inside the next round's eager checkpoint
+            # (the next round references this frame exactly once, in
+            # degrees()); identical arithmetic, half the driver jobs.
+            # Convergence mode keeps per-round eager checkpoints: its
+            # count action needs each round anyway.
+            eager = (self.fixed_rounds is None or i % 2 == 1
+                     or i == rounds - 1)
             edges = (und.join(sa, "a", "left_semi")
                      .join(sb, "b", "left_semi")
-                     .localCheckpoint(eager=True))
+                     .localCheckpoint(eager=eager))
         out = (degrees(edges).where(F.col("degree") >= k)
                .select("node", F.col("degree").cast("long")
                        .alias("degree")))
@@ -551,13 +587,18 @@ class LabelPropagation(PTransform):
                    .groupBy("node", "lbl")
                    .agg((F.sum("__w") if wc else F.count(F.lit(1)))
                         .alias("__c")))
+            # convergence mode: non-eager — the changed-count below
+            # materializes the round in the same job (guide §1.2).
+            # Fixed mode keeps the eager checkpoint: it is the
+            # round's only action.
             labels = (cnt
                       .groupBy("node")
                       .agg(F.min(F.struct(
                           (-F.col("__c")).alias("__nc"),
                           F.col("lbl"))).alias("__m"))
                       .select("node", F.col("__m.lbl").alias("lbl"))
-                      .localCheckpoint(eager=True))
+                      .localCheckpoint(
+                          eager=self.fixed_rounds is not None))
             self.rounds_run_ += 1
             if self.fixed_rounds is None:
                 changed = (labels.alias("n")
@@ -698,10 +739,13 @@ class Hits(PTransform):
                  .select(F.col(self.src).alias("src"),
                          F.col(self.dst).alias("dst"))
                  .localCheckpoint(eager=True))
+        # non-eager: the count right below materializes nodes in the
+        # same job (guide §1.2); edges above stays eager — the two
+        # union branches here would otherwise each re-scan the source
         nodes = (edges.select(F.col("src").alias("node"))
                  .unionByName(edges.select(F.col("dst").alias("node")))
                  .distinct()
-                 .localCheckpoint(eager=True))
+                 .localCheckpoint(eager=False))
         n_nodes = nodes.count()
         if n_nodes == 0:
             raise ValueError("Hits: empty edge list")
