@@ -141,11 +141,16 @@ class GradientBoostedStumps(PTransform):
         # per-feature distinct counts (the un-quantized-feature
         # fail-fast) — previously three sequential driver jobs; the
         # merged agg computes the identical values in one.
+        # distinct counts aliased POSITIONALLY (__nd_<i>): aliasing
+        # them as the bare feature name would silently collide with
+        # the __n/__s/__c metric aliases for a feature literally
+        # named __n (Row lookup returns the first field)
         row0 = df.agg(
             F.count(F.lit(1)).alias("__n"),
             F.sum(F.col("__y").try_cast(_DEC)).alias("__s"),
             F.count(F.col("__y").try_cast(_DEC)).alias("__c"),
-            *[F.countDistinct(f).alias(f) for f in fs]).first()
+            *[F.countDistinct(f).alias(f"__nd_{i}")
+              for i, f in enumerate(fs)]).first()
         n = row0["__n"]
         if n == 0:
             raise ValueError("GradientBoostedStumps: empty input "
@@ -168,18 +173,23 @@ class GradientBoostedStumps(PTransform):
                 "under 1e7)")
         # feature histograms are the working set: fail fast if a
         # feature is un-quantized (mirrors KsDrift/Isotonic)
-        for f in fs:
-            if row0[f] > self.max_distinct:
+        for i, f in enumerate(fs):
+            if row0[f"__nd_{i}"] > self.max_distinct:
                 raise ValueError(
                     f"GradientBoostedStumps: feature {f!r} has "
-                    f"{row0[f]} distinct values > max_distinct "
-                    f"{self.max_distinct} — quantize it upstream")
+                    f"{row0[f'__nd_{i}']} distinct values > "
+                    f"max_distinct {self.max_distinct} — quantize it "
+                    f"upstream")
         from decimal import ROUND_HALF_UP, Decimal
         f0 = float(Decimal(row0["__s"]).quantize(
             Decimal("0.000001"),
             rounding=ROUND_HALF_UP)) / float(n)
         self.f0_ = f0
-        df = df.localCheckpoint(eager=True)
+        # non-eager: round 1's histogram collect is the sole first
+        # consumer and materializes the training frame in the same
+        # job (guide §1.2); the heap fail-fast above still ran BEFORE
+        # anything is pinned
+        df = df.localCheckpoint(eager=False)
 
         model: list[tuple] = []
         pred: Column = F.lit(f0)

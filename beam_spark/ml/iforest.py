@@ -194,7 +194,10 @@ class IsolationForest(PTransform):
                 f"CAST(__t AS STRING) || ':' || __id), 1, 8), 16, 10) "
                 f"AS BIGINT) % {mod} = 0"))
             .withColumn("__node", F.lit(1)))
-        samp = samp.localCheckpoint(eager=True)
+        # non-eager: depth 0's stats collect is the sole first
+        # consumer and materializes the sample in the same job
+        # (guide §1.2 one-job-per-round; the star-CC posture)
+        samp = samp.localCheckpoint(eager=False)
         gkeys = ["__g"] if gcol else []
         gcode = {g: i for i, g in enumerate(groups)}
 
@@ -300,12 +303,16 @@ class IsolationForest(PTransform):
                     xsel = F.when(fid_col == 0, F.col(fs[0]))
                     for i in range(1, len(fs)):
                         xsel = xsel.when(fid_col == i, F.col(fs[i]))
+            # non-eager: the next depth's stats collect (or the
+            # max-depth leaf collect) is the sole first consumer and
+            # materializes the level in the same job — one driver job
+            # per depth instead of two, identical arithmetic
             live = (live.where(thr_col.isNotNull())
                     .withColumn(
                         "__node",
                         F.col("__node") * 2
                         + (xsel > thr_col).cast("int"))
-                    .localCheckpoint(eager=True))
+                    .localCheckpoint(eager=False))
         else:
             # max depth reached: remaining nodes become leaves
             for r in (live.groupBy(*gkeys, "__t", "__node")

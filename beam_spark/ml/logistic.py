@@ -106,7 +106,10 @@ class LogisticFit(PTransform):
         par = pcoll.df.sparkSession.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < par:
             df = df.repartition(par)
-        df = df.localCheckpoint(eager=True)   # T scans, one lineage
+        # T scans, one lineage; non-eager — the count right below is
+        # the sole first consumer and materializes the frame in the
+        # same job (guide §1.2 one-job-per-round)
+        df = df.localCheckpoint(eager=False)
         n = df.count()
         if n == 0:
             raise ValueError("LogisticFit: empty input after NULL "

@@ -1684,7 +1684,9 @@ class ChangepointBinSeg(PTransform):
             raise ValueError(
                 "ChangepointBinSeg: value overflowed decimal(16,9) — "
                 "scale it down (|x| must stay well under 1e7)")
-        rows = rows.localCheckpoint(eager=True)
+        # non-eager: round 1's convergence count is the sole first
+        # consumer and materializes the base rows in the same job
+        rows = rows.localCheckpoint(eager=False)
 
         def d6(c):
             return c.cast("decimal(28,6)").cast("double")
@@ -1714,17 +1716,26 @@ class ChangepointBinSeg(PTransform):
                     .where(F.col("__g") > 0.0))
             w_best = Window.partitionBy(*ks).orderBy(
                 F.col("__g").desc(), F.col("__rn"))
+            # ONE driver job per round (guide §1.2): best is a
+            # non-eager checkpoint materialized by the full count
+            # below (a full count, not limit(1) — a limit can stop
+            # consuming a partition mid-cache; best is key-bounded,
+            # so the count is as cheap), and the PREVIOUS round's
+            # relabeled rows checkpoint rides the same job (best's
+            # plan consumes rows exactly once, through cand). The
+            # final round's rows update is then never materialized
+            # at all — nothing downstream reads it.
             best = (cand.withColumn("__b", F.row_number().over(w_best))
                     .where("__b = 1")
                     .select(*ks,
                             F.col("__rn").cast("long").alias("position"),
                             F.col("__seg").alias("__bs"),
                             F.col("__g").alias("gain"))
-                    .localCheckpoint(eager=True))
+                    .localCheckpoint(eager=False))
             found = (best.select(*ks, F.lit(rnd).alias("cp_round"),
                                  "position", "gain"))
             cps = found if cps is None else cps.unionByName(found)
-            if best.limit(1).count() == 0:
+            if best.count() == 0:
                 break
             upd = best.select(
                 *ks, F.col("position").alias("__p"),
@@ -1738,7 +1749,7 @@ class ChangepointBinSeg(PTransform):
                                F.col("__p"))
                         .otherwise(F.col("__seg")))
                     .drop("__p", "__us")
-                    .localCheckpoint(eager=True))
+                    .localCheckpoint(eager=False))
         out = cps.select(*ks, "cp_round", "position", "gain")
         return pcoll.with_df(out)
 
