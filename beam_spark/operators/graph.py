@@ -137,6 +137,12 @@ class PageRank(PTransform):
                        .join(deg, "src")
                        .groupBy("dst")
                        .agg(F.sum(share).alias("__m")))
+            # tol mode: non-eager — the delta action below is the
+            # round's first consumer and materializes it in the same
+            # job (guide §1.2). Fixed mode keeps the eager
+            # checkpoint: it is the round's only action, and the
+            # next round references ranks through PARALLEL branches
+            # (dangling + contrib) that would race the cache.
             ranks = (rv
                      .join(contrib, rv["node"] == contrib["dst"],
                            "left")
@@ -147,7 +153,7 @@ class PageRank(PTransform):
                           + d * (F.coalesce(F.col("__m"), F.lit(0.0))
                                  + F.col("__dm") * F.col("__r")))
                          .alias("pr"))
-                     .localCheckpoint(eager=True))
+                     .localCheckpoint(eager=self.tol is None))
             self.rounds_run_ += 1
             if self.tol is not None:
                 # one tiny action over two node-sized checkpointed

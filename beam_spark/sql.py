@@ -356,18 +356,29 @@ class SqlTransform(PTransform):
         super().__init__(label)
         self.sql, self.table_name = sql, table_name
 
-    def _run(self, spark: SparkSession, tables: dict[str, DataFrame]) -> DataFrame:
-        for name, df in tables.items():
-            df.createOrReplaceTempView(name)
-        sql = _rewrite_tvf(self.sql)
-        sql = _rewrite_qualify(sql)
-        if "ASOF" in sql.upper():
-            sql = _rewrite_asof_join(sql, spark, tables)
-        if "MATCH_RECOGNIZE" in sql.upper():
-            from beam_spark.sql_match import try_rewrite_match_recognize
+    # Temp views are session-GLOBAL catalog state registered under
+    # fixed names (the SQL references them; MATCH_RECOGNIZE adds
+    # __mr_<table>), so two SqlTransform constructions on concurrent
+    # driver threads can replace each other's views between
+    # registration and analysis and silently read the wrong frame.
+    # spark.sql() resolves views EAGERLY at analysis, so a plan-time
+    # lock around register+analyze removes the race without touching
+    # execution (zero contention outside plan construction).
+    _CATALOG_LOCK = __import__("threading").Lock()
 
-            sql = try_rewrite_match_recognize(sql, spark, tables)
-        return spark.sql(sql)
+    def _run(self, spark: SparkSession, tables: dict[str, DataFrame]) -> DataFrame:
+        with SqlTransform._CATALOG_LOCK:
+            for name, df in tables.items():
+                df.createOrReplaceTempView(name)
+            sql = _rewrite_tvf(self.sql)
+            sql = _rewrite_qualify(sql)
+            if "ASOF" in sql.upper():
+                sql = _rewrite_asof_join(sql, spark, tables)
+            if "MATCH_RECOGNIZE" in sql.upper():
+                from beam_spark.sql_match import try_rewrite_match_recognize
+
+                sql = try_rewrite_match_recognize(sql, spark, tables)
+            return spark.sql(sql)
 
     def expand(self, pcolls) -> PCollection:
         if isinstance(pcolls, PCollection):

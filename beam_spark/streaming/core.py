@@ -550,6 +550,29 @@ class TestStream:
         self.schema = schema
         self.dir = tempfile.mkdtemp(prefix="bs_teststream_")
         self._n = 0
+        self._t0 = None
+
+    # arrow types for the schema fields the scripted streams use; a
+    # field outside this map falls back to the Spark write path
+    _ARROW_TYPES = None
+
+    @classmethod
+    def _arrow_type(cls, dt):
+        import pyarrow as pa
+        from pyspark.sql import types as T
+
+        if cls._ARROW_TYPES is None:
+            cls._ARROW_TYPES = {
+                T.LongType: pa.int64(), T.IntegerType: pa.int32(),
+                T.ShortType: pa.int16(), T.ByteType: pa.int8(),
+                T.DoubleType: pa.float64(), T.FloatType: pa.float32(),
+                T.StringType: pa.string(), T.BooleanType: pa.bool_(),
+                T.DateType: pa.date32(),
+                # session tz is UTC (engine default): naive datetimes
+                # are UTC instants, exactly what createDataFrame did
+                T.TimestampType: pa.timestamp("us", tz="UTC"),
+            }
+        return cls._ARROW_TYPES.get(type(dt))
 
     def add_elements(self, rows: list[dict]) -> "TestStream":
         import datetime
@@ -565,8 +588,44 @@ class TestStream:
                 if isinstance(f.dataType, T.TimestampType) and isinstance(v, str):
                     r[f.name] = datetime.datetime.fromisoformat(v)
             coerced.append(r)
-        df = self.spark.createDataFrame(coerced, struct)
-        df.coalesce(1).write.mode("append").parquet(self.dir)
+        # Write the scripted file DIRECTLY with pyarrow when every
+        # field maps: the previous createDataFrame + coalesce(1) +
+        # parquet commit was a full Spark write job (~1.3s) per
+        # scripted batch — the single largest cost of every
+        # TestStream-driven test. Micro-batch ORDER is pinned by
+        # strictly increasing mtimes (the file stream source orders
+        # by modification time), which the sequential Spark writes
+        # only provided incidentally.
+        atypes = [self._arrow_type(f.dataType) for f in struct.fields]
+        if all(t is not None for t in atypes):
+            import os as _os
+            import time as _time
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            utc = datetime.timezone.utc
+            cols = {}
+            for f in struct.fields:
+                vals = [r.get(f.name) for r in coerced]
+                if isinstance(f.dataType, T.TimestampType):
+                    vals = [v.replace(tzinfo=utc)
+                            if isinstance(v, datetime.datetime)
+                            and v.tzinfo is None else v for v in vals]
+                cols[f.name] = vals
+            tbl = pa.Table.from_pydict(
+                cols, schema=pa.schema(
+                    [pa.field(f.name, t)
+                     for f, t in zip(struct.fields, atypes)]))
+            path = _os.path.join(self.dir, f"ts-{self._n:05d}.parquet")
+            pq.write_table(tbl, path)
+            if self._t0 is None:
+                self._t0 = _time.time()
+            mt = self._t0 + self._n
+            _os.utime(path, (mt, mt))
+        else:
+            df = self.spark.createDataFrame(coerced, struct)
+            df.coalesce(1).write.mode("append").parquet(self.dir)
         self._n += 1
         return self
 
