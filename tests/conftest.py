@@ -12,7 +12,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     from beam_spark.session import get_spark
 
-    spark = get_spark("beam_spark-tests", master="local[4]",
+    # local[8]: the suite's wall time is dominated by thread-pooled
+    # oracle sweeps whose Spark jobs were executor-bound at local[4]
+    # (VERDICT r15 #1 — the driver's pytest window); shuffle
+    # parallelism stays at 8 so plan shapes are unchanged
+    spark = get_spark("beam_spark-tests", master="local[8]",
                       extra_conf={"spark.sql.shuffle.partitions": "8"})
     yield spark
 

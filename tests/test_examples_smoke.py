@@ -43,14 +43,34 @@ def test_every_example_is_covered():
         assert f in _ARGV or True  # default argv is [SF_DIR]
 
 
-@pytest.mark.parametrize("name", ALL_EXAMPLES)
-def test_example_exits_zero(name):
+def _run_example(name):
     argv = _ARGV.get(name, [SF_DIR])
-    proc = subprocess.run(
+    return subprocess.run(
         [sys.executable, os.path.join(EXAMPLES_DIR, name), *argv],
         capture_output=True, text=True, timeout=420,
         env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR},
     )
+
+
+@pytest.fixture(scope="module")
+def example_procs():
+    """Run all examples CONCURRENTLY (bounded pool): each is an
+    independent subprocess with its own JVM, and the serial version
+    paid ~16 cold JVM startups back-to-back — the single largest
+    block of the suite's wall time (VERDICT r15 #1: the driver's
+    pytest run cannot finish its time window). Results are keyed by
+    example name; the per-example tests below assert exactly what
+    the serial version asserted."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(8) as ex:
+        futs = {n: ex.submit(_run_example, n) for n in ALL_EXAMPLES}
+        return {n: f.result() for n, f in futs.items()}
+
+
+@pytest.mark.parametrize("name", ALL_EXAMPLES)
+def test_example_exits_zero(name, example_procs):
+    proc = example_procs[name]
     assert proc.returncode == 0, (
         f"{name} exited {proc.returncode}\n"
         f"--- stdout tail ---\n{proc.stdout[-2000:]}\n"
