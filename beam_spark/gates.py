@@ -502,6 +502,165 @@ FROM (SELECT doc_id AS asset_id, sha256(text) AS h,
 # --------------------------------------------------------------------------
 # Stats / analytics merges
 # --------------------------------------------------------------------------
+def _li_moment_members(spark, sf_dir):
+    """The four one-pass lineitem aggregation members (welch, anova,
+    ols, covar) derived from ONE shared (l_linestatus, l_returnflag)
+    moment pass instead of four independent scans (guide §1.2
+    "remove passes" / §2.3): every member's decimal moment sums
+    re-aggregate EXACTLY from the 6-9 cell sums (decimal addition is
+    exact and associative), and each member's double closed forms
+    are copied verbatim from its operator (TwoSampleTTest,
+    OneWayAnova, LinearFit, moments_covar_samp_sql), so the realized
+    values are identical — proven by the unchanged gate oracle hash.
+    The four projections reference the same cell frame, which is
+    eagerly checkpointed (6-9 rows — summary-sized, the _coldep3
+    pattern) so the lineitem scan is plan-visibly executed ONCE
+    instead of four identical subtrees relying on runtime stage
+    reuse. Returns {'welch','anova','ols','covar'} frames with the
+    operators' output columns."""
+    li = table(spark, sf_dir, "lineitem").df
+    rf, ls = F.col("l_returnflag"), F.col("l_linestatus")
+    price18 = F.col("l_extendedprice").cast("decimal(18,6)")
+    qty18 = F.col("l_quantity").cast("decimal(18,6)")
+    qty9 = F.col("l_quantity").cast("decimal(9,2)")
+    price12 = F.col("l_extendedprice").cast("decimal(12,2)")
+    qty12 = F.col("l_quantity").cast("decimal(12,2)")
+    both = F.col("l_quantity").isNotNull() & F.col(
+        "l_extendedprice").isNotNull()
+    cells = li.groupBy("l_linestatus", "l_returnflag").agg(
+        # welch: price moments over price-not-null rows (the A/B
+        # split is a function of the rf group key, applied below)
+        F.count(price18).alias("p_n"),
+        F.sum(price18).alias("p_s"),
+        F.sum(price18 * price18).alias("p_ss"),
+        # anova: quantity moments at decimal(9,2)
+        F.count(qty9).alias("a_n"),
+        F.sum(qty9).alias("a_s"),
+        F.sum(qty9 * qty9).alias("a_ss"),
+        # ols (x=quantity, y=price at 18,6; both-not-null rows)
+        F.count(F.when(both, F.lit(1))).alias("o_n"),
+        F.sum(F.when(both, qty18)).alias("o_sx"),
+        F.sum(F.when(both, price18)).alias("o_sy"),
+        F.sum(F.when(both, qty18 * qty18)).alias("o_sxx"),
+        F.sum(F.when(both, qty18 * price18)).alias("o_sxy"),
+        F.sum(F.when(both, price18 * price18)).alias("o_syy"),
+        # covar: COUNT(*) + null-skipping sums at 12,2
+        F.count(F.lit(1)).alias("c_n"),
+        F.sum(price12).alias("c_sx"),
+        F.sum(qty12).alias("c_sy"),
+        F.sum(price12 * qty12).alias("c_sxy")).localCheckpoint(
+        eager=True)
+
+    # -- welch (TwoSampleTTest('l_extendedprice','l_returnflag','A',
+    #           keys='l_linestatus')): A vs R per linestatus
+    wagg = (cells.where(rf.isin(["A", "R"]))
+            .groupBy("l_linestatus")
+            .agg(F.coalesce(F.sum(F.when(rf == "A", F.col("p_n"))),
+                            F.lit(0)).cast("long").alias("na"),
+                 F.coalesce(F.sum(F.when(rf != "A", F.col("p_n"))),
+                            F.lit(0)).cast("long").alias("nb"),
+                 F.sum(F.when(rf == "A", F.col("p_s"))).alias("__sa"),
+                 F.sum(F.when(rf != "A", F.col("p_s"))).alias("__sb"),
+                 F.sum(F.when(rf == "A", F.col("p_ss"))).alias("__ssa"),
+                 F.sum(F.when(rf != "A", F.col("p_ss"))).alias("__ssb")))
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    sa = F.col("__sa").cast("double")
+    sb = F.col("__sb").cast("double")
+    ssa = F.col("__ssa").cast("double")
+    ssb = F.col("__ssb").cast("double")
+    ma, mb = sa / na, sb / nb
+    va = F.when(F.col("na") >= 2, (ssa - sa * sa / na) / (na - 1.0))
+    vb = F.when(F.col("nb") >= 2, (ssb - sb * sb / nb) / (nb - 1.0))
+    se2 = va / na + vb / nb
+    t = F.when(se2 > 0.0, (ma - mb) / F.sqrt(se2))
+    dfree = F.when(se2 > 0.0,
+                   (se2 * se2) / ((va / na) * (va / na) / (na - 1.0)
+                                  + (vb / nb) * (vb / nb) / (nb - 1.0)))
+    sp2 = ((na - 1.0) * va + (nb - 1.0) * vb) / (na + nb - 2.0)
+    cd = F.when(sp2 > 0.0, (ma - mb) / F.sqrt(sp2))
+    welch = wagg.select(
+        "l_linestatus", "na", "nb",
+        F.round(F.when(F.col("na") >= 1, ma), 9).alias("mean_a"),
+        F.round(F.when(F.col("nb") >= 1, mb), 9).alias("mean_b"),
+        F.round(F.when((F.col("na") >= 1) & (F.col("nb") >= 1),
+                       ma - mb), 9).alias("mean_diff"),
+        F.round(t, 9).alias("t"),
+        F.round(dfree, 9).alias("df"),
+        F.round(cd, 9).alias("cohens_d"))
+
+    # -- anova (OneWayAnova('l_quantity','l_returnflag',
+    #           keys='l_linestatus', cast_to='decimal(9,2)'))
+    sd = F.col("a_s").cast("double")
+    nd = F.col("a_n").cast("double")
+    aagg = (cells.where(rf.isNotNull() & (F.col("a_n") > 0))
+            .groupBy("l_linestatus")
+            .agg(F.sum("a_n").cast("long").alias("n"),
+                 F.count(F.lit(1)).cast("long").alias("n_groups"),
+                 F.sum(sd * sd / nd).alias("__sgs"),
+                 F.sum("a_s").alias("__stot"),
+                 F.sum("a_ss").alias("__sstot")))
+    n = F.col("n").cast("double")
+    k = F.col("n_groups").cast("double")
+    corr = (F.col("__stot").cast("double")
+            * F.col("__stot").cast("double") / n)
+    ssb_ = F.col("__sgs") - corr
+    ssw = F.col("__sstot").cast("double") - corr - ssb_
+    ok = (F.col("n_groups") >= 2) & (n > k) & (ssw > 0.0)
+    fstat = F.when(ok, (ssb_ / (k - 1.0)) / (ssw / (n - k)))
+    anova = aagg.select(
+        "l_linestatus", "n", "n_groups",
+        F.round(fstat, 9).alias("f_stat"),
+        (F.col("n_groups") - 1).cast("long").alias("df_between"),
+        (F.col("n") - F.col("n_groups")).cast("long").alias("df_within"),
+        F.round(F.when((ssb_ + ssw) > 0.0, ssb_ / (ssb_ + ssw)), 9)
+        .alias("eta_sq"))
+
+    # -- ols (LinearFit('l_quantity','l_extendedprice',
+    #         keys='l_returnflag'))
+    oagg = (cells.groupBy("l_returnflag")
+            .agg(F.sum("o_n").cast("long").alias("n"),
+                 F.sum("o_sx").alias("__sx"),
+                 F.sum("o_sy").alias("__sy"),
+                 F.sum("o_sxx").alias("__sxx"),
+                 F.sum("o_sxy").alias("__sxy"),
+                 F.sum("o_syy").alias("__syy"))
+            .where(F.col("n") > 0))
+    n2 = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    syy = F.col("__syy").cast("double")
+    num = n2 * sxy - sx * sy
+    dx = n2 * sxx - sx * sx
+    dy = n2 * syy - sy * sy
+    slope = F.when(dx != 0.0, num / dx)
+    ols = oagg.select(
+        "l_returnflag", "n",
+        F.round(slope, 9).alias("slope"),
+        F.round(F.when(dx != 0.0, (sy - slope * sx) / n2), 9)
+        .alias("intercept"),
+        F.round(F.when((dx != 0.0) & (dy != 0.0),
+                       (num * num) / (dx * dy)), 9).alias("r2"))
+
+    # -- covar (CombinePerKey('l_returnflag',
+    #           covar_pq=moments_covar_samp_sql(price12, qty12)))
+    cagg = (cells.groupBy("l_returnflag")
+            .agg(F.sum("c_n").cast("long").alias("__n"),
+                 F.sum("c_sx").alias("__csx"),
+                 F.sum("c_sy").alias("__csy"),
+                 F.sum("c_sxy").alias("__csxy")))
+    cn = F.col("__n")
+    csx = F.col("__csx").cast("double")
+    csy = F.col("__csy").cast("double")
+    csxy = F.col("__csxy").cast("double")
+    covar = cagg.select(
+        "l_returnflag",
+        ((csxy - csx * csy / cn) / (cn - F.lit(1))).alias("covar_pq"))
+    return {"welch": welch, "anova": anova, "ols": ols, "covar": covar}
+
+
 def q_stats_moments(spark, sf_dir):
     """Moments-based VAR/STDDEV + COVAR, plus the round-11 forecast
     family as tagged rows: Theta-method and Croston on the user_id%10
@@ -611,13 +770,27 @@ def q_stats_moments(spark, sf_dir):
                 "CAST(nx AS DOUBLE) AS v2", "CAST(ny AS DOUBLE) AS v3",
                 f"{_ZERO} AS v4")])
 
+    # welch/anova/ols/covar all scan lineitem: ONE shared checkpointed
+    # moment pass instead of four independent scans — see
+    # _li_moment_members. The eager checkpoint job runs on its own
+    # thread so it overlaps the member pool below.
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+    _li4_ex = _TPE(1)
+    _li4_fut = _li4_ex.submit(_li_moment_members, spark, sf_dir)
+    _li4_ex.shutdown(wait=False)
+
+    def _li_tagged(member, *exprs):
+        def f():
+            return _li4_fut.result()[member].selectExpr(*exprs)
+        return f
+
     thunks = [
         _tagged("q_variance_moments_per_type",
                 "'var' AS op", "event_type AS k", "var_value AS v1",
                 "stddev_value AS v2", f"{_ZERO} AS v3", f"{_ZERO} AS v4"),
-        _tagged("q_covar_price_quantity",
-                "'covar' AS op", "l_returnflag AS k", "covar_pq AS v1",
-                f"{_ZERO} AS v2", f"{_ZERO} AS v3", f"{_ZERO} AS v4"),
+        _li_tagged("covar",
+                   "'covar' AS op", "l_returnflag AS k", "covar_pq AS v1",
+                   f"{_ZERO} AS v2", f"{_ZERO} AS v3", f"{_ZERO} AS v4"),
         _theta,
         _croston,
         _jsd,
@@ -662,22 +835,23 @@ def q_stats_moments(spark, sf_dir):
         # round-12 session-3 folds: the A/B testing battery + privacy
         # / concentration / OLS reports (all 1-pass aggregation
         # frames; full rows stay component-oracled)
-        _tagged("q_stats_welch_ttest",
-                "'welch' AS op", "l_linestatus AS k", "t AS v1",
-                "df AS v2", "cohens_d AS v3", "mean_diff AS v4"),
-        _tagged("q_stats_anova_quantity",
-                "'anova' AS op", "l_linestatus AS k", "f_stat AS v1",
-                "eta_sq AS v2", "CAST(df_between AS DOUBLE) AS v3",
-                "CAST(df_within AS DOUBLE) AS v4"),
+        _li_tagged("welch",
+                   "'welch' AS op", "l_linestatus AS k", "t AS v1",
+                   "df AS v2", "cohens_d AS v3", "mean_diff AS v4"),
+        _li_tagged("anova",
+                   "'anova' AS op", "l_linestatus AS k", "f_stat AS v1",
+                   "eta_sq AS v2", "CAST(df_between AS DOUBLE) AS v3",
+                   "CAST(df_within AS DOUBLE) AS v4"),
         _tagged("q_stats_mannwhitney_u",
                 "'mwu' AS op", "'purchase_vs_view' AS k", "u_a AS v1",
                 "z AS v2", "auc_a AS v3", "CAST(na + nb AS DOUBLE) AS v4"),
         _tagged("q_stats_proportions_srm",
                 "'prop' AS op", "CAST(slice AS STRING) AS k", "p_a AS v1",
                 "p_b AS v2", "z AS v3", "srm_chi2 AS v4"),
-        _tagged("q_stats_linear_fit",
-                "'ols' AS op", "l_returnflag AS k", "slope AS v1",
-                "intercept AS v2", "r2 AS v3", "CAST(n AS DOUBLE) AS v4"),
+        _li_tagged("ols",
+                   "'ols' AS op", "l_returnflag AS k", "slope AS v1",
+                   "intercept AS v2", "r2 AS v3",
+                   "CAST(n AS DOUBLE) AS v4"),
         _tagged("q_privacy_k_anonymity",
                 "'kanon' AS op", "'customer' AS k",
                 "CAST(k_anonymity AS DOUBLE) AS v1",
@@ -1534,8 +1708,10 @@ def q_ann_exhaustive_suite(spark, sf_dir):
     def _bm25():
         return (PCollection(half) | Bm25TopK(hq, k=5, k1=1.5)).df
 
-    def _rrf():
-        bm = (PCollection(half) | Bm25TopK(hq, k=5, k1=1.5)).df
+    def _rrf(bm):
+        # bm = the pooled _bm25 member's frame, reused verbatim — the
+        # fused ranking is a pure function of the two rank frames, so
+        # sharing the construction changes nothing downstream
         ann_leg = (PCollection(emb)
                    | BruteForceCosineTopK(
                        emb.filter("vec_id < 5 AND vec_id % 2 = 0"), k=5,
@@ -1560,9 +1736,14 @@ def q_ann_exhaustive_suite(spark, sf_dir):
 
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(6) as _ex:
+        # rrf and knn are NOT in the lazy pool: both issue a driver
+        # job at construction (their BruteForceCosineTopK legs collect
+        # the query rows), and job-issuing members on pool threads
+        # contend with the eager trainers' jobs on local FIFO — the
+        # r14 all-member-pool pathology (ADVICE r15). They build
+        # serially with the other eager members below.
         lazy = {
             "bm25": _ex.submit(_bm25),
-            "rrf": _ex.submit(_rrf),
             "bm25f": _ex.submit(_bm25f),
             "bm25_and": _ex.submit(_cmp("q_retrieval_bm25_and")),
             "bm25_ph": _ex.submit(_cmp("q_retrieval_bm25_phrase")),
@@ -1570,7 +1751,6 @@ def q_ann_exhaustive_suite(spark, sf_dir):
             "mmr": _ex.submit(_cmp("q_ann_mmr_rerank")),
             "ql": _ex.submit(_cmp("q_retrieval_query_likelihood")),
             "pl2": _ex.submit(_cmp("q_retrieval_pl2_topk")),
-            "knn": _ex.submit(_cmp("q_ann_knn_classify")),
         }
         # eager members stay serial in THIS thread while the pool
         # grinds the lazy constructions
@@ -1580,13 +1760,13 @@ def q_ann_exhaustive_suite(spark, sf_dir):
         ivf = (PCollection(emb)
                | IvfCosineTopK(queries_df, k=5, n_lists=8, nprobe=8)).df
         km = _component("q_kmeans_embeddings")(spark, sf_dir)
-        bm25, rrf, bm25f = (lazy["bm25"].result(), lazy["rrf"].result(),
-                            lazy["bm25f"].result())
+        rrf = _rrf(lazy["bm25"].result())
+        knn = _cmp("q_ann_knn_classify")()
+        bm25, bm25f = lazy["bm25"].result(), lazy["bm25f"].result()
         bm25_and, bm25_ph = (lazy["bm25_and"].result(),
                              lazy["bm25_ph"].result())
         posph, mmr = lazy["posph"].result(), lazy["mmr"].result()
         ql, pl2 = lazy["ql"].result(), lazy["pl2"].result()
-        knn = lazy["knn"].result()
     return _union([
         lsh.selectExpr("'lsh' AS method", "query_id", "nbr_id", "rank", "cosine"),
         ivf.selectExpr("'ivf' AS method", "query_id", "nbr_id", "rank", "cosine"),
@@ -1925,9 +2105,13 @@ def q_io_roundtrip(spark, sf_dir):
     nation = table(spark, sf_dir, "nation").df.select(
         "n_nationkey", "n_name", "n_regionkey")
 
-    parts = []
     schema = "n_nationkey long, n_name string, n_regionkey long"
-    for fmt in ("csv", "json", "orc"):
+
+    # the five format round-trips are independent WRITE jobs to five
+    # distinct directories — overlap them on a pool (guide §2.6
+    # "overlap independent jobs"); the union order below is fixed by
+    # code, identical to the serial version
+    def _fmt_part(fmt):
         path = os.path.join(base, fmt)
         w = nation.write.mode("overwrite")
         if fmt == "csv":
@@ -1939,33 +2123,44 @@ def q_io_roundtrip(spark, sf_dir):
         else:
             w.orc(path)
             back = spark.read.orc(path)
-        parts.append(back.selectExpr(f"'{fmt}' AS fmt", "n_nationkey",
-                                     "n_name", "n_regionkey"))
+        return back.selectExpr(f"'{fmt}' AS fmt", "n_nationkey",
+                               "n_name", "n_regionkey")
 
-    tf_path = os.path.join(base, "tfrecord")
-    # clean stale shards: a previous run with MORE partitions would leave
-    # extra part files behind (the raw sink writes, it doesn't commit a
-    # directory) and duplicate the read
-    import shutil
+    def _tfrecord_part():
+        tf_path = os.path.join(base, "tfrecord")
+        # clean stale shards: a previous run with MORE partitions would
+        # leave extra part files behind (the raw sink writes, it
+        # doesn't commit a directory) and duplicate the read
+        import shutil
 
-    shutil.rmtree(tf_path, ignore_errors=True)
-    recs = PCollection(nation.select(F.encode(F.concat_ws(
-        "|", F.col("n_nationkey").cast("string"), "n_name",
-        F.col("n_regionkey").cast("string")), "utf-8").alias("record")))
-    (recs | WriteToTFRecord(tf_path)).df.collect()  # materialize the shards
-    back = (Pipeline(spark) | ReadFromTFRecord(tf_path + "/*.tfrecord")).df
-    parts.append(back.selectExpr(
-        "'tfrecord' AS fmt",
-        "CAST(split(decode(record, 'utf-8'), '\\\\|')[0] AS BIGINT) AS n_nationkey",
-        "split(decode(record, 'utf-8'), '\\\\|')[1] AS n_name",
-        "CAST(split(decode(record, 'utf-8'), '\\\\|')[2] AS BIGINT) AS n_regionkey"))
+        shutil.rmtree(tf_path, ignore_errors=True)
+        recs = PCollection(nation.select(F.encode(F.concat_ws(
+            "|", F.col("n_nationkey").cast("string"), "n_name",
+            F.col("n_regionkey").cast("string")), "utf-8").alias("record")))
+        (recs | WriteToTFRecord(tf_path)).df.collect()  # materialize shards
+        back = (Pipeline(spark) | ReadFromTFRecord(tf_path + "/*.tfrecord")).df
+        return back.selectExpr(
+            "'tfrecord' AS fmt",
+            "CAST(split(decode(record, 'utf-8'), '\\\\|')[0] AS BIGINT) AS n_nationkey",
+            "split(decode(record, 'utf-8'), '\\\\|')[1] AS n_name",
+            "CAST(split(decode(record, 'utf-8'), '\\\\|')[2] AS BIGINT) AS n_regionkey")
 
-    avro_path = os.path.join(base, "avro")
-    shutil.rmtree(avro_path, ignore_errors=True)  # same stale-shard logic
-    (PCollection(nation) | WriteToAvroFile(avro_path)).df.collect()
-    back = (Pipeline(spark) | ReadFromAvroFile(avro_path + "/*.avro")).df
-    parts.append(back.selectExpr("'avro' AS fmt", "n_nationkey", "n_name",
-                                 "n_regionkey"))
+    def _avro_part():
+        import shutil
+
+        avro_path = os.path.join(base, "avro")
+        shutil.rmtree(avro_path, ignore_errors=True)  # stale-shard logic
+        (PCollection(nation) | WriteToAvroFile(avro_path)).df.collect()
+        back = (Pipeline(spark) | ReadFromAvroFile(avro_path + "/*.avro")).df
+        return back.selectExpr("'avro' AS fmt", "n_nationkey", "n_name",
+                               "n_regionkey")
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(5) as _ex:
+        futs = [_ex.submit(_fmt_part, "csv"), _ex.submit(_fmt_part, "json"),
+                _ex.submit(_fmt_part, "orc"), _ex.submit(_tfrecord_part),
+                _ex.submit(_avro_part)]
+        parts = [f.result() for f in futs]
     return _union(parts)
 
 
