@@ -10929,39 +10929,55 @@ def q_pipeline_ml_training(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").df
     train = docs.where("doc_id % 2 = 0")
     test = docs.where("doc_id % 4 = 1")
+
     # routed feeds both the accuracy aggregate and the output 'nb'
     # rows; metrics feeds two projections — unmaterialized, the NB
     # inference and the classifier-metrics pipelines are each planned
     # and executed twice inside the union (78-Exchange plan). One
     # eager localCheckpoint each materializes the identical frame
     # once; every downstream aggregate is exact-integer/decimal.
-    routed = (PCollection(test)
-              | NaiveBayesClassify(train, "lang", "doc_id")
-              ).df.localCheckpoint(eager=True)
-    acc = (routed.join(docs.select("doc_id", "lang"), "doc_id")
-           .agg(F.avg((F.col("predicted") == F.col("lang"))
-                      .cast("double")).alias("acc"),
-                F.count(F.lit(1)).cast("long").alias("n_routed")))
+    # The NB-routing chain and the logistic->metrics->isotonic chain
+    # are INDEPENDENT DAGs whose eager fit/checkpoint jobs previously
+    # serialized on one thread — they build on two threads (their
+    # jobs interleave; the realized frames are identical).
+    def _nb_branch():
+        routed = (PCollection(test)
+                  | NaiveBayesClassify(train, "lang", "doc_id")
+                  ).df.localCheckpoint(eager=True)
+        acc = (routed.join(docs.select("doc_id", "lang"), "doc_id")
+               .agg(F.avg((F.col("predicted") == F.col("lang"))
+                          .cast("double")).alias("acc"),
+                    F.count(F.lit(1)).cast("long").alias("n_routed")))
+        return routed, acc
 
-    feats = table(spark, sf_dir, "lineitem").df.where(
-        "l_orderkey % 20 = 0").selectExpr(
-        "l_returnflag = 'A' AS y",
-        "CAST(l_quantity AS DOUBLE) / 64.0 AS x1",
-        "CAST(l_discount AS DOUBLE) AS x2",
-        "CAST(l_tax AS DOUBLE) AS x3")
-    fit = LogisticFit(["x1", "x2", "x3"], "y", iterations=3, lr=0.5)
-    weights = (PCollection(feats) | fit).df
-    clean = feats.where("y IS NOT NULL AND x1 IS NOT NULL AND "
-                        "x2 IS NOT NULL AND x3 IS NOT NULL")
-    scored = clean.select(
-        F.col("y").cast("int").alias("label"),
-        F.round(fit.decision_column(), 6).alias("s"))
-    metrics = (PCollection(scored)
-               | BinaryClassifierMetrics("s", "label")
-               ).df.localCheckpoint(eager=True)
-    iso = (PCollection(scored.selectExpr("round(s, 2) AS score",
-                                         "label AS yl"))
-           | IsotonicCalibration("score", "yl")).df
+    def _logistic_branch():
+        feats = table(spark, sf_dir, "lineitem").df.where(
+            "l_orderkey % 20 = 0").selectExpr(
+            "l_returnflag = 'A' AS y",
+            "CAST(l_quantity AS DOUBLE) / 64.0 AS x1",
+            "CAST(l_discount AS DOUBLE) AS x2",
+            "CAST(l_tax AS DOUBLE) AS x3")
+        fit = LogisticFit(["x1", "x2", "x3"], "y", iterations=3, lr=0.5)
+        weights = (PCollection(feats) | fit).df
+        clean = feats.where("y IS NOT NULL AND x1 IS NOT NULL AND "
+                            "x2 IS NOT NULL AND x3 IS NOT NULL")
+        scored = clean.select(
+            F.col("y").cast("int").alias("label"),
+            F.round(fit.decision_column(), 6).alias("s"))
+        metrics = (PCollection(scored)
+                   | BinaryClassifierMetrics("s", "label")
+                   ).df.localCheckpoint(eager=True)
+        iso = (PCollection(scored.selectExpr("round(s, 2) AS score",
+                                             "label AS yl"))
+               | IsotonicCalibration("score", "yl")).df
+        return weights, metrics, iso
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(2) as _ex:
+        _fnb = _ex.submit(_nb_branch)
+        _flog = _ex.submit(_logistic_branch)
+        routed, acc = _fnb.result()
+        weights, metrics, iso = _flog.result()
 
     zero = "CAST(0 AS DOUBLE)"
     return (acc.selectExpr(
